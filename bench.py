@@ -1,0 +1,80 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total_sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": <sf>}
+
+Each query is materialized with a noop write (full execution on
+executors, no driver-side row transfer) after a warm-up of the JVM +
+file listing via a trivial count.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Headline set: one per operator family. Names must exist in queries().
+HEADLINE = [
+    "q_agg_basic",
+    "q_join_broadcast",
+    "q_join_inner",
+    "q_window_rank",
+    "q_latest_per_key",
+    "q_explode",
+    "q_window_hourly",
+    "q_dedup_exact",
+    "q_dedup_minhash_pairs",
+    "q_similarity_topk",
+    "q_text_quality",
+    "q_token_count",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0)
+
+    from sandbox_data_pipeline_spark.plans.flagship import flagship_query
+    from sandbox_data_pipeline_spark.queries import registry
+    from sandbox_data_pipeline_spark.session import get_spark
+
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    queries, _ = registry()
+
+    # Warm-up: JVM JIT, parquet footer reads, broadcast machinery.
+    flagship_query(spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+
+    def run(name: str, df) -> None:
+        t0 = time.time()
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    run("flagship", flagship_query(spark, sf_dir))
+    for name in HEADLINE:
+        if name in queries:
+            run(name, queries[name](spark, sf_dir))
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

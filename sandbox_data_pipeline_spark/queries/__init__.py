@@ -1,0 +1,45 @@
+"""Query registry: every declared engine query + its DuckDB oracle SQL.
+
+Each submodule exposes ``QUERIES: dict[str, Callable[(spark, sf_dir),
+DataFrame]]`` and ``ORACLE: dict[str, str]`` (ANSI SQL for DuckDB over
+the same parquet tables; omitted for non-SQL-expressible operators,
+which get a weaker rows-only check). ``__spark_entry__.py`` aggregates
+these for the driver.
+
+Naming contract: every computed column is aliased identically in the
+Spark plan and the oracle SQL — the driver sorts columns by name before
+value-hashing.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+def registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
+    from sandbox_data_pipeline_spark.queries import (
+        dedup,
+        dq,
+        multimodal,
+        reference_parity,
+        relational,
+        similarity,
+        text,
+    )
+
+    queries: dict[str, QueryFn] = {}
+    oracle: dict[str, str] = {}
+    for mod in (relational, reference_parity, dedup, similarity, text, multimodal, dq):
+        overlap = queries.keys() & mod.QUERIES.keys()
+        if overlap:
+            raise ValueError(f"duplicate query names: {overlap}")
+        queries.update(mod.QUERIES)
+        oracle.update(mod.ORACLE)
+    missing = oracle.keys() - queries.keys()
+    if missing:
+        raise ValueError(f"oracle without query: {missing}")
+    return queries, oracle

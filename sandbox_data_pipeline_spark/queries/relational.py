@@ -1,0 +1,556 @@
+"""General relational query surface (SURVEY.md §2.11 gap-fillers).
+
+The reference's tables form a star schema its consumers query through
+the warehouse; these are the table-stakes operators re-expressed as
+Catalyst logical plans. Every query here is pure DataFrame API — no
+UDFs, no collects — so predicate pushdown, column pruning, partial
+aggregation, broadcast/SMJ selection, and AQE all apply unmodified at
+any scale factor.
+
+Floating-point aggregates are rounded to 4 decimals on BOTH the Spark
+and oracle side: cross-engine double accumulation order differs at the
+ulp level and would otherwise break the driver's value hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from sandbox_data_pipeline_spark.catalog import table
+
+
+# --- scans + filters -------------------------------------------------------
+
+def q_filter_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row filter + narrow projection; predicate and columns reach the
+    parquet scan (PushedFilters / 4-column ReadSchema in .explain)."""
+    return (
+        table(spark, sf_dir, "lineitem")
+        .where((F.col("l_quantity") >= 5) & (F.col("l_quantity") <= 30) & (F.col("l_returnflag") == "R"))
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+    )
+
+
+def q_delete_run_hr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's partition-scoped delete (F1: `delete from t where
+    run_hr = X`, write_weather_to_bigquery.sql:51-53) expressed as the
+    complementary filter — rows that survive the delete — aggregated to
+    keep the compared result compact."""
+    hr = "2024-01-03 00:00:00"
+    return (
+        table(spark, sf_dir, "events")
+        .where(F.date_trunc("hour", F.col("ts")) != F.to_timestamp(F.lit(hr)))
+        .groupBy("event_type")
+        .agg(F.count("*").alias("surviving_rows"))
+    )
+
+
+# --- joins (J-series + §2.11 q_join_*) -------------------------------------
+
+def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey, "inner")
+        .select("o_orderkey", "c_name", "o_totalprice", "c_mktsegment")
+    )
+
+
+def q_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .select("c_custkey", "c_name", "o_orderkey")
+    )
+
+
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers having at least one order > 300 (LEFT SEMI — EXISTS)."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 300)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with no orders at all (LEFT ANTI — NOT EXISTS)."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-dim join with an explicit broadcast hint: `part` is a dim
+    table; at 100 TB the fact side never shuffles for this join."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"),
+            F.count("*").alias("line_cnt"),
+        )
+    )
+
+
+def q_join_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-way snowflake join customer→nation→region with tiny dims
+    broadcast; Catalyst collapses this into two broadcast-hash joins on
+    an unshuffled probe side."""
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count("*").alias("cust_cnt"),
+            F.round(F.avg("c_acctbal"), 4).alias("avg_bal"),
+        )
+    )
+
+
+# --- aggregations (§2.6) ---------------------------------------------------
+
+def q_agg_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary: two-phase HashAggregate with
+    map-side partial combine; shuffles only |groups| rows per task."""
+    li = table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.where(F.col("l_shipdate") <= F.to_timestamp(F.lit("2024-12-01 00:00:00")))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 4).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 4).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("distinct_custs"),
+        F.count("*").alias("order_cnt"),
+        F.round(F.sum("o_totalprice"), 4).alias("sum_price"),
+    )
+
+
+def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over (returnflag, linestatus) — subtotal + grand-total rows."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+        F.count("*").alias("line_cnt"),
+    )
+
+
+def q_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HLL++). Sketch values are implementation-
+    specific, so there is no cross-engine oracle — rows-only check. At
+    100 TB this replaces exact distinct-count's full shuffle with a
+    fixed-size sketch merge."""
+    e = table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
+        F.count("*").alias("event_cnt"),
+    )
+
+
+# --- windows / sorts / top-k (§2.7) ---------------------------------------
+
+def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 top-K per group via row_number; the rank filter prunes before
+    any downstream op, and only one shuffle (by segment) is needed."""
+    c = table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+    return (
+        c.withColumn("rank_in_seg", F.row_number().over(w))
+        .where(F.col("rank_in_seg") <= 3)
+        .select("c_mktsegment", "rank_in_seg", "c_custkey", "c_name", "c_acctbal")
+    )
+
+
+def q_window_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running total per customer (ROWS UNBOUNDED PRECEDING..CURRENT)."""
+    o = table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.round(F.sum("o_totalprice").over(w), 4).alias("running_total"),
+    )
+
+
+def q_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2 'most recent per key' (anomalo_datahub_integration.py:63 picks
+    the latest check run) — row_number desc over event time."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "event_id", "ts", "event_type", F.round("value", 4).alias("value"))
+    )
+
+
+def q_sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global ORDER BY + LIMIT → TakeOrderedAndProject: per-partition
+    top-K then a K-row merge on the driver, never a full sort."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.orderBy(F.col("l_extendedprice").desc(), "l_orderkey", "l_linenumber")
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .limit(20)
+    )
+
+
+def q_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1: the reference's 'top 5 cities' is computed upstream by a
+    Lambda (dags/sandbox_data_pipeline.py:84-91); natively it's an
+    order-limit."""
+    c = table(spark, sf_dir, "customer")
+    return (
+        c.orderBy(F.col("c_acctbal").desc(), "c_custkey")
+        .select("c_custkey", "c_name", "c_acctbal")
+        .limit(5)
+    )
+
+
+# --- set operations (§2.7 U1 + gap-fillers) --------------------------------
+
+def q_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1 (dags/test.py:131-133): UNION ALL of two heterogeneous selects
+    normalized to one schema."""
+    c = table(spark, sf_dir, "customer").select(
+        F.lit("customer").alias("side"), F.col("c_name").alias("name"), F.col("c_acctbal").alias("acctbal")
+    )
+    s = table(spark, sf_dir, "supplier").select(
+        F.lit("supplier").alias("side"), F.col("s_name").alias("name"), F.col("s_acctbal").alias("acctbal")
+    )
+    return c.unionAll(s)
+
+
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT and EXCEPT (distinct set semantics) over nation keys."""
+    cn = table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    sn = table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    inter = cn.intersect(sn).select(F.lit("intersect").alias("op"), "nationkey")
+    exc = cn.subtract(sn).select(F.lit("except").alias("op"), "nationkey")
+    return inter.unionAll(exc)
+
+
+# --- scalar function families (P-series) -----------------------------------
+
+def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P10 normalization (lower + space→underscore,
+    dags/sandbox_data_pipeline.py:113) plus concat/length."""
+    c = table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.lower(F.col("c_name")).alias("name_lower"),
+        F.regexp_replace(F.lower(F.col("c_name")), " ", "_").alias("name_key"),
+        F.concat(F.col("c_mktsegment"), F.lit(":"), F.col("c_name")).alias("seg_name"),
+        F.length("c_name").alias("name_len"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+    )
+
+
+def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6 date_trunc + P12 run_hr-style date_format over order dates."""
+    o = table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.date_trunc("month", F.col("o_orderdate")).alias("order_month"),
+        F.date_format("o_orderdate", "yyyyMMddHH00").alias("run_hr"),
+        F.year("o_orderdate").alias("order_year"),
+        F.hour("o_orderdate").alias("order_hour"),
+    )
+
+
+def q_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3 variant path extraction (json_data:location:name ↔
+    get_json_object) + P4 cast, aggregated per event type."""
+    e = table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.round(F.avg("k"), 4).alias("avg_k"),
+            F.max("k").alias("max_k"),
+            F.count("*").alias("cnt"),
+        )
+    )
+
+
+def q_run_hr_derive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P12/T1: floor event time to the hour and format as the
+    reference's run_hr key YYYYMMDDHH00
+    (dags/sandbox_data_pipeline.py:75-81)."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.select(F.date_format("ts", "yyyyMMddHH00").alias("run_hr"))
+        .groupBy("run_hr")
+        .agg(F.count("*").alias("event_cnt"))
+    )
+
+
+def q_window_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1 hourly tumbling window as a batch query; the streaming module
+    runs the identical aggregation via F.window + watermark."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(F.count("*").alias("event_cnt"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(F.col("w.start").alias("hour_start"), "event_type", "event_cnt", "sum_value")
+    )
+
+
+def q_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 CROSS JOIN UNNEST (write_cocktails_to_bigquery.sql:175-176):
+    array→rows via explode, here over tokenized document text."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split(F.col("text"), " ")).alias("token"))
+        .where(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count("*").alias("token_cnt"))
+    )
+
+
+def q_nested_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1/P2 struct build + nested-field access
+    (write_weather_to_bigquery.sql:58-96 rebuilds `location` /
+    `current.condition.text`): construct a struct, then project leaves
+    back out."""
+    c = table(spark, sf_dir, "customer")
+    built = c.select(
+        "c_custkey",
+        F.struct(
+            F.col("c_name").alias("name"),
+            F.col("c_mktsegment").alias("segment"),
+            F.struct(F.col("c_acctbal").alias("bal"), F.col("c_nationkey").alias("nat")).alias("account"),
+        ).alias("info"),
+    )
+    return built.select(
+        "c_custkey",
+        F.col("info.name").alias("info_name"),
+        F.col("info.segment").alias("info_segment"),
+        F.col("info.account.bal").alias("info_bal"),
+        F.col("info.account.nat").alias("info_nat"),
+    )
+
+
+QUERIES = {
+    "q_filter_basic": q_filter_basic,
+    "q_delete_run_hr": q_delete_run_hr,
+    "q_join_inner": q_join_inner,
+    "q_join_left": q_join_left,
+    "q_join_semi": q_join_semi,
+    "q_join_anti": q_join_anti,
+    "q_join_broadcast": q_join_broadcast,
+    "q_join_multi": q_join_multi,
+    "q_agg_basic": q_agg_basic,
+    "q_agg_distinct": q_agg_distinct,
+    "q_agg_rollup": q_agg_rollup,
+    "q_agg_approx": q_agg_approx,
+    "q_window_rank": q_window_rank,
+    "q_window_frame": q_window_frame,
+    "q_latest_per_key": q_latest_per_key,
+    "q_sort_limit": q_sort_limit,
+    "q_top5": q_top5,
+    "q_union_all": q_union_all,
+    "q_set_ops": q_set_ops,
+    "q_string_funcs": q_string_funcs,
+    "q_date_funcs": q_date_funcs,
+    "q_json_funcs": q_json_funcs,
+    "q_run_hr_derive": q_run_hr_derive,
+    "q_window_hourly": q_window_hourly,
+    "q_explode": q_explode,
+    "q_nested_struct": q_nested_struct,
+}
+
+ORACLE = {
+    "q_filter_basic": """
+        SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        FROM lineitem
+        WHERE l_quantity >= 5 AND l_quantity <= 30 AND l_returnflag = 'R'
+    """,
+    "q_delete_run_hr": """
+        SELECT event_type, count(*) AS surviving_rows
+        FROM events
+        WHERE date_trunc('hour', ts) <> TIMESTAMP '2024-01-03 00:00:00'
+        GROUP BY event_type
+    """,
+    "q_join_inner": """
+        SELECT o_orderkey, c_name, o_totalprice, c_mktsegment
+        FROM orders JOIN customer ON o_custkey = c_custkey
+    """,
+    "q_join_left": """
+        SELECT c_custkey, c_name, o_orderkey
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    """,
+    "q_join_semi": """
+        SELECT c_custkey, c_name FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300)
+    """,
+    "q_join_anti": """
+        SELECT c_custkey, c_name FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    "q_join_broadcast": """
+        SELECT p_brand,
+               round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+               count(*) AS line_cnt
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_brand
+    """,
+    "q_join_multi": """
+        SELECT r_name, n_name, count(*) AS cust_cnt, round(avg(c_acctbal), 4) AS avg_bal
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name, n_name
+    """,
+    "q_agg_basic": """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 4) AS sum_qty,
+               round(sum(l_extendedprice), 4) AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+               round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
+               round(avg(l_quantity), 4) AS avg_qty,
+               round(avg(l_discount), 4) AS avg_disc,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '2024-12-01 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "q_agg_distinct": """
+        SELECT o_orderpriority,
+               count(DISTINCT o_custkey) AS distinct_custs,
+               count(*) AS order_cnt,
+               round(sum(o_totalprice), 4) AS sum_price
+        FROM orders GROUP BY o_orderpriority
+    """,
+    "q_agg_rollup": """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 4) AS sum_qty,
+               count(*) AS line_cnt
+        FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    "q_window_rank": """
+        SELECT c_mktsegment, rank_in_seg, c_custkey, c_name, c_acctbal FROM (
+            SELECT c_mktsegment, c_custkey, c_name, c_acctbal,
+                   row_number() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS rank_in_seg
+            FROM customer
+        ) WHERE rank_in_seg <= 3
+    """,
+    "q_window_frame": """
+        SELECT o_custkey, o_orderkey, o_orderdate,
+               round(sum(o_totalprice) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_total
+        FROM orders
+    """,
+    "q_latest_per_key": """
+        SELECT user_id, event_id, ts, event_type, round(value, 4) AS value FROM (
+            SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events
+        ) WHERE rn = 1
+    """,
+    "q_sort_limit": """
+        SELECT l_orderkey, l_linenumber, l_extendedprice
+        FROM lineitem
+        ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+        LIMIT 20
+    """,
+    "q_top5": """
+        SELECT c_custkey, c_name, c_acctbal
+        FROM customer ORDER BY c_acctbal DESC, c_custkey LIMIT 5
+    """,
+    "q_union_all": """
+        SELECT 'customer' AS side, c_name AS name, c_acctbal AS acctbal FROM customer
+        UNION ALL
+        SELECT 'supplier' AS side, s_name AS name, s_acctbal AS acctbal FROM supplier
+    """,
+    "q_set_ops": """
+        SELECT 'intersect' AS op, nationkey FROM (
+            SELECT c_nationkey AS nationkey FROM customer
+            INTERSECT
+            SELECT s_nationkey AS nationkey FROM supplier
+        )
+        UNION ALL
+        SELECT 'except' AS op, nationkey FROM (
+            SELECT c_nationkey AS nationkey FROM customer
+            EXCEPT
+            SELECT s_nationkey AS nationkey FROM supplier
+        )
+    """,
+    "q_string_funcs": """
+        SELECT c_custkey,
+               lower(c_name) AS name_lower,
+               replace(lower(c_name), ' ', '_') AS name_key,
+               c_mktsegment || ':' || c_name AS seg_name,
+               length(c_name) AS name_len,
+               substr(c_name, 1, 8) AS name_prefix
+        FROM customer
+    """,
+    "q_date_funcs": """
+        SELECT o_orderkey,
+               CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS order_month,
+               strftime(o_orderdate, '%Y%m%d%H00') AS run_hr,
+               CAST(year(o_orderdate) AS INTEGER) AS order_year,
+               CAST(hour(o_orderdate) AS INTEGER) AS order_hour
+        FROM orders
+    """,
+    "q_json_funcs": """
+        SELECT event_type,
+               round(avg(k), 4) AS avg_k,
+               max(k) AS max_k,
+               count(*) AS cnt
+        FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k FROM events)
+        GROUP BY event_type
+    """,
+    "q_run_hr_derive": """
+        SELECT strftime(ts, '%Y%m%d%H00') AS run_hr, count(*) AS event_cnt
+        FROM events GROUP BY 1
+    """,
+    "q_window_hourly": """
+        SELECT date_trunc('hour', ts) AS hour_start, event_type,
+               count(*) AS event_cnt, round(sum(value), 4) AS sum_value
+        FROM events GROUP BY 1, 2
+    """,
+    "q_explode": """
+        SELECT token, count(*) AS token_cnt FROM (
+            SELECT unnest(string_split(text, ' ')) AS token FROM documents
+        ) WHERE token <> '' GROUP BY token
+    """,
+    "q_nested_struct": """
+        SELECT c_custkey,
+               info.name AS info_name,
+               info.segment AS info_segment,
+               info.account.bal AS info_bal,
+               info.account.nat AS info_nat
+        FROM (
+            SELECT c_custkey,
+                   struct_pack(name := c_name, segment := c_mktsegment,
+                               account := struct_pack(bal := c_acctbal, nat := c_nationkey)) AS info
+            FROM customer
+        )
+    """,
+    # q_agg_approx: sketch-based, no cross-engine oracle (rows-only).
+}

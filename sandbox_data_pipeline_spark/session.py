@@ -1,0 +1,71 @@
+"""SparkSession factory with scale-oriented defaults.
+
+The reference delegates execution to BigQuery/Snowflake; here Catalyst +
+Tungsten are the engine, so the session is where the 100 TB posture is
+set: AQE (runtime coalescing + skew-join handling), dynamic partition
+overwrite (the reference's core idempotent-write semantic — see
+/root/reference/dags/sql/write_weather_to_bigquery.sql:51-56), Arrow for
+any Python exchange, and UTC session time so timestamp semantics are
+stable across engines.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Confs that matter at 100 TB and are harmless at sf0.001:
+#  - AQE re-plans post-shuffle: coalesces tiny partitions, splits skewed
+#    ones, and demotes sort-merge joins to broadcast when a side turns
+#    out small at runtime.
+#  - dynamic partitionOverwriteMode makes INSERT OVERWRITE replace only
+#    the partitions present in the incoming frame (delete+insert by
+#    run_hr, the reference's K4 semantic).
+#  - Arrow makes every pandas_udf / toPandas exchange columnar.
+SCALE_CONFS: dict[str, str] = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.sources.partitionOverwriteMode": "dynamic",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.parquet.compression.codec": "snappy",
+    # At 100 TB files should split into ~128 MB tasks (default); keep
+    # explicit so the intent is visible and tunable per deployment.
+    "spark.sql.files.maxPartitionBytes": "134217728",
+}
+
+
+def get_spark(
+    app_name: str = "sandbox-data-pipeline-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with the engine's defaults.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` for local work;
+    on a real cluster pass ``None`` after setting ``--master`` in
+    spark-submit (an existing session is reused as-is, confs applied
+    where runtime-settable).
+    """
+    builder = SparkSession.builder.appName(app_name)
+    if master is None and not os.environ.get("SPARK_MASTER"):
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+        master = f"local[{cpus}]"
+    if master:
+        builder = builder.master(master)
+    if shuffle_partitions is None:
+        # Local mode: one shuffle partition per core keeps every stage
+        # fully parallel without tiny-task overhead. On a cluster this
+        # should be ~2-3x total cores; AQE coalesces the excess.
+        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    confs = dict(SCALE_CONFS)
+    confs["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
+    if extra_conf:
+        confs.update(extra_conf)
+    for k, v in confs.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    return spark
