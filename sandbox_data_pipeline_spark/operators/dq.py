@@ -1,0 +1,94 @@
+"""Data-quality checks (D1/D2/D3) — the Anomalo surface, native.
+
+The reference triggers an external DQ service per table per run and
+persists the JSON verdict to S3
+(dags/sandbox_data_pipeline.py:152-228); the check itself is a
+table-level metric sweep. Natively that is one aggregation pass:
+count, per-column null counts, min/max — computed in a single
+job, no extra scan per metric.
+
+``check_table`` returns (metrics_row, check_result_doc) where the doc
+has exactly the reference's check_runs[] shape
+(include/utils/anomalo_datahub.py:276-279), so downstream catalog
+emission (D3) is format-compatible.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def dq_metrics(df: DataFrame, key_cols: list[str] | None = None) -> DataFrame:
+    """One-pass table metrics: row count, null count per column, and
+    (if key_cols) duplicate-key count. All partial-aggregatable —
+    a single shuffle of one row per partition at any scale."""
+    aggs = [F.count(F.lit(1)).alias("row_cnt")]
+    for c in df.columns:
+        aggs.append(F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"nulls_{c}"))
+    out = df.agg(*aggs)
+    if key_cols:
+        dup = (
+            df.groupBy(*key_cols)
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .agg(F.sum(F.when(F.col("_n") > 1, F.col("_n") - 1).otherwise(0)).alias("dup_keys"))
+        )
+        out = out.crossJoin(dup)
+    return out
+
+
+def run_checks(
+    df: DataFrame,
+    table_name: str,
+    not_null: list[str] | None = None,
+    unique: list[str] | None = None,
+    min_rows: int = 1,
+) -> tuple[dict[str, Any], dict[str, Any]]:
+    """D1: evaluate rule-based checks in ONE aggregation job and emit
+    the reference-shaped result document. Synchronous, so the D2
+    status sensor is trivially 'complete' (SURVEY §2.9)."""
+    metrics_row = dq_metrics(df, key_cols=unique).collect()[0].asDict()
+    failures: list[str] = []
+    if metrics_row["row_cnt"] < min_rows:
+        failures.append(f"row_cnt {metrics_row['row_cnt']} < {min_rows}")
+    for c in not_null or []:
+        n = metrics_row.get(f"nulls_{c}", 0)
+        if n:
+            failures.append(f"column {c} has {n} nulls")
+    if unique and metrics_row.get("dup_keys", 0):
+        failures.append(f"duplicate keys on {unique}: {metrics_row['dup_keys']}")
+    ok = not failures
+    doc = {
+        "check_runs": [
+            {
+                "results_pending": False,
+                "check_run_url": f"native://dq/{table_name}",
+                "run_config": {"_metadata": {"check_message": f"checks for {table_name}"}},
+                "results": {
+                    "success": ok,
+                    "evaluated_message": "all checks passed" if ok else "; ".join(failures),
+                },
+            }
+        ]
+    }
+    return metrics_row, doc
+
+
+def catalog_events(table_name: str, doc: dict[str, Any]) -> list[dict[str, Any]]:
+    """D3-lite: map a check document to catalog assertion events with
+    the same fields DataHub receives from the reference
+    (include/utils/anomalo_datahub.py:61-80,276-279)."""
+    out = []
+    for run in doc["check_runs"]:
+        out.append(
+            {
+                "assertion": f"dq.{table_name}",
+                "success": bool(run["results"]["success"]),
+                "url": run["check_run_url"],
+                "message": run["results"]["evaluated_message"],
+                "tag": "Monitored_By_Native_DQ",
+            }
+        )
+    return out

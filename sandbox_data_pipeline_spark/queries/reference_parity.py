@@ -1,4 +1,221 @@
-"""Placeholder — filled in later this round."""
+"""Reference-parity queries: the ingest→publish transforms of the
+reference pipeline, differentially tested against DuckDB on the SAME
+fixture documents (embedded as VALUES literals in the generated oracle
+SQL — no filesystem or network dependency).
 
-QUERIES = {}
-ORACLE = {}
+Spark side: declared-schema parse (S3) / variant extraction (S4) +
+the publish transforms in operators/ingest.py.
+DuckDB side: json_extract over identical literals.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sandbox_data_pipeline_spark import fixtures
+from sandbox_data_pipeline_spark.functions.core import clean_json_udf, normalize_city
+from sandbox_data_pipeline_spark.operators.ingest import (
+    cocktails_publish,
+    cocktails_variant_publish,
+    weather_flatten,
+    weather_publish,
+    weather_variant_publish,
+)
+from sandbox_data_pipeline_spark.schemas import COCKTAIL_RENAME, COCKTAILS_SCHEMA, WEATHER_SCHEMA
+from sandbox_data_pipeline_spark.sources.json_source import docs_to_df, parse_declared
+
+
+def _q(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def _weather_values() -> str:
+    rows = ",\n".join(
+        f"({_q(body)}, {run_hr})" for _, run_hr, body in fixtures.weather_json_docs()
+    )
+    return f"(VALUES\n{rows}\n) AS t(j, run_hr)"
+
+
+# --- q_weather_insert (S3 + P1/P2/P5/P8 → flattened BQ prod shape) ---------
+
+def q_weather_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = docs_to_df(spark, fixtures.weather_json_docs())
+    out: DataFrame | None = None
+    for run_hr in fixtures.RUN_HRS:
+        stage = parse_declared(
+            docs.where(F.col("run_hr") == run_hr).select("body"), WEATHER_SCHEMA
+        )
+        pub = weather_flatten(weather_publish(stage, run_hr))
+        out = pub if out is None else out.unionAll(pub)
+    assert out is not None
+    return out
+
+
+def _weather_insert_oracle() -> str:
+    loc_str = ("name", "region", "country", "tz_id")
+    cur_dbl = (
+        "temp_c", "temp_f", "wind_mph", "wind_kph", "pressure_mb", "pressure_in",
+        "precip_mm", "precip_in", "feelslike_c", "feelslike_f", "vis_km",
+        "vis_miles", "uv", "gust_mph", "gust_kph",
+    )
+    cur_big = ("last_updated_epoch", "is_day", "wind_degree", "humidity", "cloud")
+    sel = []
+    for f in loc_str:
+        sel.append(f"json_extract_string(j, '$.location.{f}') AS loc_{f}")
+    for f in ("lat", "lon"):
+        sel.append(f"CAST(json_extract(j, '$.location.{f}') AS DOUBLE) AS loc_{f}")
+    sel.append("CAST(json_extract(j, '$.location.localtime_epoch') AS BIGINT) AS loc_localtime_epoch")
+    sel.append("CAST(json_extract_string(j, '$.location.localtime') || ':00' AS TIMESTAMP) AS loc_localtime")
+    for f in cur_big:
+        sel.append(f"CAST(json_extract(j, '$.current.{f}') AS BIGINT) AS cur_{f}")
+    sel.append("CAST(json_extract_string(j, '$.current.last_updated') || ':00' AS TIMESTAMP) AS cur_last_updated")
+    for f in cur_dbl:
+        sel.append(f"CAST(json_extract(j, '$.current.{f}') AS DOUBLE) AS cur_{f}")
+    sel.append("json_extract_string(j, '$.current.wind_dir') AS cur_wind_dir")
+    sel.append("json_extract_string(j, '$.current.condition.text') AS cond_text")
+    sel.append("json_extract_string(j, '$.current.condition.icon') AS cond_icon")
+    sel.append("CAST(json_extract(j, '$.current.condition.code') AS BIGINT) AS cond_code")
+    sel.append("run_hr")
+    return "SELECT\n  " + ",\n  ".join(sel) + f"\nFROM {_weather_values()}"
+
+
+# --- q_weather_variant_insert (S4 + P3/P4/P6 → Snowflake narrow shape) -----
+
+def q_weather_variant_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = docs_to_df(spark, fixtures.weather_json_docs())
+    out: DataFrame | None = None
+    for run_hr in fixtures.RUN_HRS:
+        stage = docs.where(F.col("run_hr") == run_hr).select(F.col("body").alias("json_data"))
+        pub = weather_variant_publish(stage, run_hr)
+        out = pub if out is None else out.unionAll(pub)
+    assert out is not None
+    return out
+
+
+def _weather_variant_oracle() -> str:
+    def vint(path: str, alias: str) -> str:
+        return (
+            f"CAST(round(CAST(json_extract_string(j, '{path}') AS DOUBLE), 0) AS INTEGER) AS {alias}"
+        )
+
+    sel = [
+        "CAST(run_hr AS BIGINT) AS run_hr",
+        "json_extract_string(j, '$.location.name') AS location_name",
+        # DuckDB needs the seconds suffix to parse minute-precision
+        # strings (Spark/Snowflake tolerate them bare)
+        "date_trunc('hour', CAST(json_extract_string(j, '$.location.localtime') || ':00' AS TIMESTAMP)) AS local_time",
+        vint("$.current.temp_c", "temp_c"),
+        vint("$.current.temp_f", "temp_f"),
+        "CAST(CAST(json_extract_string(j, '$.current.is_day') AS INTEGER) AS BOOLEAN) AS is_day",
+        "CAST(json_extract(j, '$.current.condition') AS VARCHAR) AS condition",
+        "CAST(json_extract(j, '$.current.wind_kph') AS DOUBLE) AS wind_kph",
+        "CAST(json_extract(j, '$.current.wind_mph') AS DOUBLE) AS wind_mph",
+        "CAST(json_extract(j, '$.current.gust_kph') AS DOUBLE) AS gust_kph",
+        "CAST(json_extract(j, '$.current.gust_mph') AS DOUBLE) AS gust_mph",
+        vint("$.current.pressure_mb", "pressure_mb"),
+        vint("$.current.pressure_in", "pressure_in"),
+        vint("$.current.humidity", "humidity"),
+        vint("$.current.cloud", "cloud"),
+        vint("$.current.feelslike_c", "feelslike_c"),
+        vint("$.current.feelslike_f", "feelslike_f"),
+        vint("$.current.vis_km", "vis_km"),
+        vint("$.current.vis_miles", "vis_miles"),
+        vint("$.current.uv", "uv"),
+    ]
+    return "SELECT\n  " + ",\n  ".join(sel) + f"\nFROM {_weather_values()}"
+
+
+# --- q_cocktails_insert / q_cocktails_variant_insert (J1/J2 + P9) ----------
+
+def q_cocktails_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    doc = spark.createDataFrame([(fixtures.cocktails_json(),)], "body string")
+    stage = parse_declared(doc, COCKTAILS_SCHEMA)
+    return cocktails_publish(stage, fixtures.RUN_HRS[0])
+
+
+def _cocktail_field_sql(camel: str, snake: str) -> str:
+    path = f'$."{camel}"'
+    if camel == "dateModified":
+        return f"CAST(json_extract_string(drink, '{path}') AS TIMESTAMP) AS {snake}"
+    if camel == "idDrink":
+        return f"CAST(json_extract(drink, '{path}') AS DOUBLE) AS {snake}"
+    return f"json_extract_string(drink, '{path}') AS {snake}"
+
+
+def _cocktails_oracle(variant: bool) -> str:
+    sel = []
+    for camel, snake in COCKTAIL_RENAME.items():
+        if variant and camel == "idDrink":
+            sel.append(
+                'CAST(round(CAST(json_extract(drink, \'$."idDrink"\') AS DOUBLE), 0) AS INTEGER) AS drink_id'
+            )
+        else:
+            sel.append(_cocktail_field_sql(camel, snake))
+    run_hr = fixtures.RUN_HRS[0]
+    cast = "BIGINT"
+    sel.append(f"CAST({run_hr} AS {cast}) AS run_hr")
+    return (
+        "WITH doc AS (SELECT " + _q(fixtures.cocktails_json()) + " AS j),\n"
+        "drinks AS (SELECT unnest(CAST(json_extract(j, '$.drinks') AS JSON[])) AS drink FROM doc)\n"
+        "SELECT\n  " + ",\n  ".join(sel) + "\nFROM drinks"
+    )
+
+
+def q_cocktails_variant_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    doc = spark.createDataFrame(
+        [(fixtures.cocktails_json(),)], "json_data string"
+    )
+    return cocktails_variant_publish(doc, fixtures.RUN_HRS[0])
+
+
+# --- small parity queries --------------------------------------------------
+
+def q_cities_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1: the REST city-list source, materialized as a one-column
+    frame (driver-side fetch in production; fixture list here)."""
+    return spark.createDataFrame([(c,) for c in fixtures.CITIES], "city string")
+
+
+def q_city_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P10: city → S3-key normalization (lower + space→underscore)."""
+    cities = q_cities_source(spark, sf_dir)
+    return cities.select(
+        F.col("city"), normalize_city(F.col("city")).alias("city_key")
+    )
+
+
+def q_clean_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2/P11: python-repr repair UDF over raw fixture docs — not
+    SQL-expressible (ast.literal_eval), rows-only check; the scalar
+    behavior is pinned by the reference's golden test in
+    tests/test_ingest.py."""
+    raw = [(f"weather:{k}:{hr}", hr, body) for k, hr, body in fixtures.weather_raw_docs()]
+    raw.append(("cocktails", fixtures.RUN_HRS[0], fixtures.cocktails_raw()))
+    docs = docs_to_df(spark, raw)
+    return docs.select("entity_key", clean_json_udf(F.col("body")).alias("clean_body"))
+
+
+QUERIES = {
+    "q_weather_insert": q_weather_insert,
+    "q_weather_variant_insert": q_weather_variant_insert,
+    "q_cocktails_insert": q_cocktails_insert,
+    "q_cocktails_variant_insert": q_cocktails_variant_insert,
+    "q_cities_source": q_cities_source,
+    "q_city_normalize": q_city_normalize,
+    "q_clean_json": q_clean_json,
+}
+
+ORACLE = {
+    "q_weather_insert": _weather_insert_oracle(),
+    "q_weather_variant_insert": _weather_variant_oracle(),
+    "q_cocktails_insert": _cocktails_oracle(variant=False),
+    "q_cocktails_variant_insert": _cocktails_oracle(variant=True),
+    "q_cities_source": "SELECT * FROM (VALUES "
+    + ", ".join(f"({_q(c)})" for c in fixtures.CITIES)
+    + ") AS t(city)",
+    "q_city_normalize": "SELECT city, replace(lower(city), ' ', '_') AS city_key FROM (VALUES "
+    + ", ".join(f"({_q(c)})" for c in fixtures.CITIES)
+    + ") AS t(city)",
+    # q_clean_json: rows-only (Python literal_eval repair is not SQL).
+}

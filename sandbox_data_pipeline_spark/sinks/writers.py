@@ -1,0 +1,86 @@
+"""Sinks: the reference's write semantics, Spark-native.
+
+K4 — idempotent partition overwrite: the reference's core publish is
+`delete from prod where run_hr = X; insert into prod select …`
+(write_weather_to_bigquery.sql:51-98). With
+``spark.sql.sources.partitionOverwriteMode=dynamic`` (set in
+session.py), ``mode("overwrite").partitionBy("run_hr")`` rewrites ONLY
+the run-hours present in the incoming frame — same delete+insert
+atomicity per partition, no full-table rewrite, scales to any number
+of retained hours.
+
+F2 — output-existence skip: `if s3_object_exists(...): raise
+AirflowSkipException` (dags/sandbox_data_pipeline.py:52-54,
+include/utils/helpers.py:7-30) becomes a filesystem existence guard.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+RUN_HR_COL = "run_hr"
+
+
+class SkippedWrite(Exception):
+    """Raised when an idempotency guard suppresses a write (the
+    engine's AirflowSkipException analogue). Callers treat it as
+    success-without-work, like trigger_rule='none_failed'."""
+
+
+def _hadoop_path_exists(spark: SparkSession, path: str) -> bool:
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return p.getFileSystem(conf).exists(p)
+
+
+def partition_exists(spark: SparkSession, base_path: str, run_hr: int) -> bool:
+    """F2 guard against a Hive-partitioned table root."""
+    return _hadoop_path_exists(spark, f"{base_path}/{RUN_HR_COL}={run_hr}")
+
+
+def write_partitioned(
+    df: DataFrame,
+    base_path: str,
+    fmt: str = "parquet",
+    partition_col: str = RUN_HR_COL,
+) -> None:
+    """K3/K4: dynamic partition overwrite — replaces exactly the
+    partitions present in ``df``, leaves every other run-hour intact."""
+    (
+        df.write.mode("overwrite")
+        .format(fmt)
+        .partitionBy(partition_col)
+        .save(base_path)
+    )
+
+
+def publish_run(
+    df: DataFrame,
+    base_path: str,
+    run_hr: int,
+    skip_if_exists: bool = False,
+    fmt: str = "parquet",
+) -> None:
+    """The reference's per-run publish: optional F2 existence skip,
+    then K4 delete+insert of one run-hour.
+
+    ``skip_if_exists=False`` reproduces the prod-table path (re-runs
+    REPLACE the hour, T5 late-data semantics); ``True`` reproduces the
+    raw-landing path (re-runs are suppressed entirely).
+    """
+    spark = df.sparkSession
+    if skip_if_exists and partition_exists(spark, base_path, run_hr):
+        raise SkippedWrite(f"{base_path} run_hr={run_hr} already published")
+    from pyspark.sql import functions as F
+
+    out = df
+    if RUN_HR_COL not in df.columns:
+        out = df.withColumn(RUN_HR_COL, F.lit(run_hr))  # P8 literal injection
+    write_partitioned(out, base_path, fmt=fmt)
+
+
+def write_raw_json(df: DataFrame, base_path: str) -> None:
+    """K1: land raw documents as JSON text partitioned by run-hour
+    (the api_data/<feed>/{run_hr}/ layout, Hive-style)."""
+    df.write.mode("overwrite").partitionBy(RUN_HR_COL).json(base_path)

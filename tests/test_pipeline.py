@@ -1,0 +1,67 @@
+"""End-to-end run-loop tests: idempotency (K4/T5), skip guards (F2),
+branch skip (F3), DQ gating (D1) — SURVEY §5.2.3.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from sandbox_data_pipeline_spark import fixtures
+from sandbox_data_pipeline_spark.plans.pipeline import PipelineConfig, run_pipeline
+from sandbox_data_pipeline_spark.sinks.writers import SkippedWrite, publish_run
+
+
+def _table_hash(spark, path: str) -> str:
+    df = spark.read.parquet(path)
+    rows = sorted(str(sorted(r.asDict().items())) for r in df.drop("created_at_ts").collect())
+    return hashlib.sha256("\n".join(rows).encode()).hexdigest()
+
+
+def test_pipeline_end_to_end_and_idempotent(spark, tmp_path):
+    cfg = PipelineConfig(base_dir=str(tmp_path))
+    hr = fixtures.RUN_HRS[0]
+    report1 = run_pipeline(spark, cfg, hr)
+    assert report1["skipped"] == []
+    assert report1["catalog_events"][0]["success"] is True
+
+    h1 = _table_hash(spark, f"{tmp_path}/prod/weather")
+    n1 = spark.read.parquet(f"{tmp_path}/prod/weather").count()
+    assert n1 == len(cfg.cities)
+
+    # Re-run the same hour: raw landing skipped (F2), prod replaced
+    # not duplicated (K4) — table bytes identical.
+    report2 = run_pipeline(spark, cfg, hr)
+    assert "land_weather_raw" in report2["skipped"]
+    assert _table_hash(spark, f"{tmp_path}/prod/weather") == h1
+    assert spark.read.parquet(f"{tmp_path}/prod/weather").count() == n1
+
+
+def test_partition_overwrite_preserves_other_hours(spark, tmp_path):
+    cfg = PipelineConfig(base_dir=str(tmp_path))
+    hr_a, hr_b = fixtures.RUN_HRS
+    run_pipeline(spark, cfg, hr_a)
+    h_a = _table_hash(spark, f"{tmp_path}/prod/weather/run_hr={hr_a}")
+    run_pipeline(spark, cfg, hr_b)
+    # writing hour B must not touch hour A's partition (dynamic overwrite)
+    assert _table_hash(spark, f"{tmp_path}/prod/weather/run_hr={hr_a}") == h_a
+    df = spark.read.parquet(f"{tmp_path}/prod/weather")
+    assert set(r.run_hr for r in df.select("run_hr").distinct().collect()) == {hr_a, hr_b}
+
+
+def test_snowflake_branch_skip(spark, tmp_path):
+    cfg = PipelineConfig(base_dir=str(tmp_path), write_snowflake=False)
+    report = run_pipeline(spark, cfg, fixtures.RUN_HRS[0])
+    assert "snowflake_branch" in report["skipped"]
+    import os
+
+    assert not os.path.exists(f"{tmp_path}/prod/weather_narrow")
+
+
+def test_skip_guard_raises(spark, tmp_path):
+    df = spark.createDataFrame([(1, 202401150000)], "x long, run_hr long")
+    base = str(tmp_path / "t")
+    publish_run(df, base, 202401150000, skip_if_exists=True)
+    with pytest.raises(SkippedWrite):
+        publish_run(df, base, 202401150000, skip_if_exists=True)
