@@ -1,0 +1,288 @@
+"""Deduplication operators for large-scale text corpora.
+
+Exact (hash-group), n-gram Jaccard (shingle join), MinHash+LSH (band
+join), SimHash (bit-vote fingerprint + byte-band hamming join). All
+are compositions of built-in DataFrame ops — no UDFs, no windows, no
+driver-side loops — so every stage partial-aggregates and shuffles
+only on well-distributed keys.
+
+Scale notes (100 TB posture):
+- Shingling is done with array expressions (split/sequence/transform),
+  NOT a per-doc window: zero shuffle until the first groupBy.
+- MinHash signatures are K `min()` aggregates in ONE pass over the
+  exploded shingles (map-side combine shrinks the shuffle to one row
+  per doc per partition) — never a K-way cross join.
+- Candidate generation joins on band signatures / simhash bytes, whose
+  fan-out is bounded by actual near-duplicate density, not corpus size.
+- `df_cap` (document-frequency cap) drops stop-shingles before the
+  exact-Jaccard self-join — the classic guard against hot-key blowup
+  when vocabulary is small relative to corpus size.
+
+The portable hash — bigint from the first 15 hex chars of md5 — is
+chosen because DuckDB computes the identical value, making every
+operator here oracle-checkable cross-engine.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def portable_hash(col: Column, salt: str = "") -> Column:
+    """Deterministic 60-bit hash identical in Spark and DuckDB:
+    Spark  conv(substring(md5(salt||s),1,15),16,10)::long
+    DuckDB ('0x'||substr(md5(salt||s),1,15))::BIGINT
+    """
+    base = F.concat(F.lit(salt), col) if salt else col
+    return F.conv(F.substring(F.md5(base), 1, 15), 16, 10).cast("long")
+
+
+def word_shingles(
+    docs: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    df_cap: int | None = None,
+) -> DataFrame:
+    """Distinct word n-grams per document, shuffle-free until distinct.
+
+    Array-expression shingling: tokens[i..i+n-1] for i in 0..len-n via
+    transform(sequence(...)) — evaluated row-local inside whole-stage
+    codegen. ``df_cap`` removes shingles appearing in more than that
+    many documents (computed with one extra agg) before any self-join.
+    """
+    toks = F.split(F.col(text_col), " ")
+    parts = [F.expr(f"_toks[i + {j}]") for j in range(n)]
+    shingled = (
+        docs.select(id_col, toks.alias("_toks"))
+        .where(F.size("_toks") >= n)
+        .select(
+            id_col,
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, size(_toks) - {n}), i -> "
+                    + "concat_ws(' ', "
+                    + ", ".join(f"_toks[i + {j}]" for j in range(n))
+                    + "))"
+                )
+            ).alias("shingle"),
+        )
+        .distinct()
+    )
+    if df_cap is not None:
+        hot = (
+            shingled.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .where(F.col("_df") > df_cap)
+            .select("shingle")
+        )
+        shingled = shingled.join(hot, "shingle", "left_anti")
+    return shingled
+
+
+def exact_dedup_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact dedup as two-level aggregation: group by content hash,
+    then corpus-level stats. One row out; both aggs partial-combine."""
+    groups = docs.groupBy(F.md5(F.col(text_col)).alias("fp")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    return groups.agg(
+        F.count(F.lit(1)).alias("n_distinct_texts"),
+        F.sum("cnt").alias("n_docs"),
+        F.sum(F.col("cnt") - 1).alias("n_dup_docs"),
+    )
+
+
+def exact_dedup_keep(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Keep-first exact dedup: min(id) per content hash — the survivor
+    set. Equivalent to dropDuplicates([text]) but with a deterministic
+    keeper, which dropDuplicates does not guarantee."""
+    return (
+        docs.groupBy(F.md5(F.col(text_col)).alias("fp"))
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("dup_cnt"))
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    n: int = 5,
+    threshold: float = 0.2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    df_cap: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for all colliding pairs.
+
+    shingle self-join (shuffle key: shingle) → per-pair common count →
+    join per-doc sizes → |A∩B| / (|A|+|B|-|A∩B|). Emits pairs with
+    jaccard >= threshold, doc_a < doc_b.
+    """
+    sh = word_shingles(docs, n=n, id_col=id_col, text_col=text_col, df_cap=df_cap)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common")), 4),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "common", "jaccard")
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    k: int = 16,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """K-permutation MinHash signature in ONE aggregation pass:
+    h_j(doc) = min over shingles of hash(j || shingle). Columns h0..h{k-1}."""
+    sh = word_shingles(docs, n=n, id_col=id_col, text_col=text_col)
+    aggs = [F.min(portable_hash(F.col("shingle"), salt=f"{j}|")).alias(f"h{j}") for j in range(k)]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def minhash_bands(sig: DataFrame, k: int = 16, bands: int = 4, id_col: str = "doc_id") -> DataFrame:
+    """LSH banding: band signature = md5 of the band's hash slice.
+    Output (doc_id, band_idx, band_sig) — the join key space."""
+    r = k // bands
+    parts = []
+    for bi in range(bands):
+        cols = [F.col(f"h{j}") for j in range(bi * r, (bi + 1) * r)]
+        parts.append(
+            sig.select(
+                F.col(id_col),
+                F.lit(bi).alias("band_idx"),
+                F.md5(F.concat_ws("|", *cols)).alias("band_sig"),
+            )
+        )
+    return reduce(lambda x, y: x.unionAll(y), parts)
+
+
+def minhash_candidate_pairs(
+    docs: DataFrame,
+    k: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """MinHash+LSH near-duplicate pairs: band-join for candidates, then
+    estimated Jaccard = fraction of matching minhashes >= threshold."""
+    sig = minhash_signatures(docs, k=k, n=n, id_col=id_col, text_col=text_col)
+    bandsdf = minhash_bands(sig, k=k, bands=bands, id_col=id_col)
+    a, b = bandsdf.alias("a"), bandsdf.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
+        .distinct()
+    )
+    siga = sig.select(F.col(id_col).alias("doc_a"), *[F.col(f"h{j}").alias(f"a{j}") for j in range(k)])
+    sigb = sig.select(F.col(id_col).alias("doc_b"), *[F.col(f"h{j}").alias(f"b{j}") for j in range(k)])
+    matches = reduce(
+        lambda x, y: x + y,
+        [F.when(F.col(f"a{j}") == F.col(f"b{j}"), 1).otherwise(0) for j in range(k)],
+    )
+    return (
+        cand.join(siga, "doc_a")
+        .join(sigb, "doc_b")
+        .withColumn("est_jaccard", F.round(matches / F.lit(k), 4))
+        .where(F.col("est_jaccard") >= threshold)
+        .select("doc_a", "doc_b", "est_jaccard")
+    )
+
+
+def simhash_fingerprints(
+    docs: DataFrame,
+    bits: int = 48,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """SimHash: per-token hash votes on each bit, weighted by term
+    frequency (classic Charikar weighting — unweighted distinct-token
+    votes degenerate when documents share most of their vocabulary);
+    fingerprint bit b is 1 iff the signed vote sum >= 0. Two chained
+    aggregations, both map-side combinable."""
+    tf = (
+        docs.select(id_col, F.explode(F.split(F.col(text_col), " ")).alias("token"))
+        .where(F.col("token") != "")
+        .groupBy(id_col, "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .withColumn("h", portable_hash(F.col("token")))
+    )
+    votes = [
+        F.sum(
+            F.when(F.expr(f"(h >> {b}) & 1") == 1, F.col("tf")).otherwise(-F.col("tf"))
+        ).alias(f"s{b}")
+        for b in range(bits)
+    ]
+    summed = tf.groupBy(id_col).agg(*votes)
+    fp = reduce(
+        lambda x, y: x + y,
+        [F.when(F.col(f"s{b}") >= 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long")) for b in range(bits)],
+    )
+    return summed.select(F.col(id_col), fp.alias("simhash"))
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    bits: int = 48,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """SimHash near-dup pairs: byte-band join (any equal byte of the
+    fingerprint → candidate; with 6 bytes and hamming <= 3 at least
+    three bytes must match exactly), then exact hamming filter.
+    48 bits (not 32) because shared-vocabulary corpora cluster tightly
+    in simhash space — fewer bits produce quadratic candidate blowup."""
+    fps = simhash_fingerprints(docs, bits=bits, id_col=id_col, text_col=text_col)
+    nbytes = bits // 8
+    bands = reduce(
+        lambda x, y: x.unionAll(y),
+        [
+            fps.select(
+                F.col(id_col),
+                F.col("simhash"),
+                F.lit(i).alias("band_idx"),
+                F.expr(f"(simhash >> {8 * i}) & 255").alias("band_val"),
+            )
+            for i in range(nbytes)
+        ],
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            F.expr("bit_count(a.simhash ^ b.simhash)").alias("hamming"),
+        )
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,189 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed
+metadata, with decode / feature-extract / resize / frame-sample as
+Arrow-batched Pandas UDFs over mapInPandas.
+
+The Spark-side plumbing — schemas, partitioning, UDF signatures, batch
+shapes — is real and tested. The actual media decoding is STUBBED: the
+container has no image/audio libraries, so ``decode_media`` raises
+NotImplementedError unless ``fake=True``, in which case a clearly-marked
+deterministic fake derives "pixels" from the content bytes. Swapping in
+Pillow/librosa/pyav means replacing ONE function body; every plan
+around it is unchanged.
+
+Scale notes: media blobs ride in parquet binary columns; mapInPandas
+streams Arrow batches so peak memory is one batch of blobs per task —
+size ``spark.sql.execution.arrow.maxRecordsPerBatch`` (and keep blobs
+under ~100 MB) accordingly. Feature extraction emits narrow rows, so
+the expensive wide→narrow step happens inside the scan stage with no
+shuffle.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("media_type", StringType()),  # image | audio | video
+        StructField("content", BinaryType()),  # opaque encoded bytes
+        StructField(
+            "meta",
+            StructType(
+                [
+                    StructField("byte_len", LongType()),
+                    StructField("mime", StringType()),
+                    StructField("width", IntegerType()),
+                    StructField("height", IntegerType()),
+                    StructField("duration_ms", LongType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("byte_len", LongType()),
+        StructField("feature", ArrayType(DoubleType())),
+    ]
+)
+
+
+def media_from_documents(docs: DataFrame) -> DataFrame:
+    """Build a media table from the documents corpus: text bytes stand
+    in for encoded media (deterministic, schema-faithful). Metadata is
+    typed at ingest exactly as a real loader would populate it."""
+    content = F.encode(F.col("text"), "utf-8")
+    mtype = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        mtype.alias("media_type"),
+        content.alias("content"),
+        F.struct(
+            F.length(content).cast("long").alias("byte_len"),
+            F.concat(F.lit("application/x-fake-"), mtype).alias("mime"),
+            F.when(mtype == "image", ((F.col("doc_id") % 8 + 1) * 64).cast("int")).alias("width"),
+            F.when(mtype == "image", ((F.col("doc_id") % 4 + 1) * 64).cast("int")).alias("height"),
+            F.when(mtype != "image", (F.col("n_chars") * 10).cast("long")).alias("duration_ms"),
+        ).alias("meta"),
+    )
+
+
+def decode_media(content: bytes, media_type: str, fake: bool = False) -> dict[str, Any]:
+    """STUB: real decoding requires Pillow / librosa / pyav, absent in
+    this environment. ``fake=True`` produces a deterministic surrogate
+    decode derived from the bytes themselves."""
+    if not fake:
+        raise NotImplementedError(
+            "media decoding requires an image/audio library; "
+            "re-implement decode_media with Pillow/librosa/pyav, or pass fake=True"
+        )
+    # Deterministic fake: "samples" = byte values of an 8-byte stride.
+    return {
+        "n_samples": len(content),
+        "samples": list(content[::8][:16]),
+    }
+
+
+def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
+    """Arrow-batched feature extraction over mapInPandas: 8-bucket byte
+    histogram (normalized) as the stand-in embedding. Batch shape:
+    pdf[content] is a Series of bytes objects; output is narrow."""
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for content in pdf["content"]:
+                decoded = decode_media(bytes(content), "any", fake=fake)
+                hist = [0.0] * 8
+                for b in decoded["samples"]:
+                    hist[b % 8] += 1.0
+                total = sum(hist) or 1.0
+                feats.append([h / total for h in hist])
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": pdf["media_type"],
+                    "byte_len": [len(bytes(c)) for c in pdf["content"]],
+                    "feature": feats,
+                }
+            )
+
+    return media.mapInPandas(_extract, FEATURE_SCHEMA)
+
+
+def resize_images(media: DataFrame, width: int, height: int, fake: bool = True) -> DataFrame:
+    """Resize plumbing: filters to images, rewrites content + meta via
+    mapInPandas. The fake 'resize' truncates/pads bytes to w*h (a real
+    one decodes, resizes, re-encodes — same frame contract)."""
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        target = width * height
+        for pdf in batches:
+            if not fake:
+                decode_media(b"", "image", fake=False)  # raises NotImplementedError
+            content = [
+                bytes(c)[:target].ljust(target, b"\0") for c in pdf["content"]
+            ]
+            out = pdf.copy()
+            out["content"] = content
+            meta = pd.DataFrame(list(out["meta"]))
+            meta["byte_len"] = target
+            meta["width"] = width
+            meta["height"] = height
+            out["meta"] = meta.to_dict("records")
+            yield out
+
+    return media.where(F.col("media_type") == "image").mapInPandas(_resize, MEDIA_SCHEMA)
+
+
+def sample_frames(media: DataFrame, every_ms: int = 1000, fake: bool = True) -> DataFrame:
+    """Frame sampling plumbing for video rows: one output row per
+    sampled frame (media_id, frame_idx, frame bytes). Fake frames are
+    fixed-size byte slices; a real sampler seeks the container."""
+    schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("frame_idx", IntegerType()),
+            StructField("frame", BinaryType()),
+        ]
+    )
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for mid, content, meta in zip(pdf["media_id"], pdf["content"], pdf["meta"]):
+                if not fake:
+                    decode_media(b"", "video", fake=False)
+                n_frames = max(1, int((meta["duration_ms"] or 0) // every_ms))
+                blob = bytes(content)
+                step = max(1, len(blob) // n_frames)
+                for i in range(n_frames):
+                    ids.append(mid)
+                    idxs.append(i)
+                    frames.append(blob[i * step : (i + 1) * step])
+            yield pd.DataFrame({"media_id": ids, "frame_idx": idxs, "frame": frames})
+
+    return media.where(F.col("media_type") == "video").mapInPandas(_sample, schema)

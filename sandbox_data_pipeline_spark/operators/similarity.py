@@ -1,0 +1,160 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k is the exact baseline; sign-random-projection
+LSH (SimHash for vectors) is the scale path — candidates only within
+matching hash buckets, turning O(Q·N) into O(Q·N/2^planes) expected.
+
+Everything stays JVM-side: dot products are ``aggregate(zip_with(...))``
+array expressions inside whole-stage codegen — no Python, no UDFs.
+The LSH hyperplanes are deterministic (derived from md5 in the driver),
+so results are reproducible and cross-engine checkable.
+
+At 100 TB: the candidate set (query side) is small and broadcast; the
+corpus side never shuffles for brute force (map-side join + per-partition
+partial top-k via the window rank's partial sort). For LSH, the corpus
+is bucketed once (one narrow pass) and reused across query batches.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: str, b: str) -> Column:
+    return F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"
+    )
+
+
+def _norm(a: str) -> Column:
+    return F.sqrt(_dot(a, a))
+
+
+def cosine(a: str, b: str) -> Column:
+    """Cosine similarity of two array<double> columns, in-codegen."""
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def as_double_array(col: str) -> Column:
+    return F.col(col).cast("array<double>")
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query vector.
+
+    queries is expected small → broadcast; candidates stream by in one
+    pass. Ranking is row_number over (query, rounded-sim desc, id) —
+    the rounding keeps ranking deterministic across float-sum orders.
+    """
+    cand = embeddings.select(
+        F.col(id_col).alias("cand_id"), as_double_array(vec_col).alias("cvec")
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), as_double_array(vec_col).alias("qvec"))
+    sims = (
+        cand.join(F.broadcast(q), F.col("cand_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            F.round(cosine("qvec", "cvec"), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("cand_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "cand_id", F.round("cos_sim", 4).alias("cos_sim"))
+    )
+
+
+def hyperplanes(dim: int, planes: int) -> list[list[float]]:
+    """Deterministic ±1 hyperplanes from md5(plane||dim) — reproducible
+    in any engine, no RNG state."""
+    out = []
+    for p in range(planes):
+        row = []
+        for d in range(dim):
+            h = hashlib.md5(f"{p}|{d}".encode()).hexdigest()
+            row.append(1.0 if int(h[:2], 16) % 2 == 0 else -1.0)
+        out.append(row)
+    return out
+
+
+def lsh_buckets(
+    embeddings: DataFrame,
+    dim: int,
+    planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Sign-random-projection bucket per vector: bit p = (v·h_p >= 0).
+    One narrow pass, no shuffle; bucket ids are stable across runs."""
+    v = embeddings.withColumn("_v", as_double_array(vec_col))
+    bucket = None
+    for p, plane in enumerate(hyperplanes(dim, planes)):
+        arr = "array(" + ", ".join(f"{x}D" for x in plane) + ")"
+        bit = F.when(F.expr(f"aggregate(zip_with(_v, {arr}, (x, y) -> x * y), 0D, (acc, v) -> acc + v)") >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    return v.select(F.col(id_col), bucket.cast("int").alias("bucket"))
+
+
+def lsh_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    planes: int = 8,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's bucket,
+    then exact cosine rank inside it. Bucket join shuffles only ids +
+    buckets (narrow); vectors rejoin candidates by id."""
+    b = lsh_buckets(embeddings, dim, planes, id_col, vec_col)
+    cand = embeddings.select(F.col(id_col).alias("cand_id"), as_double_array(vec_col).alias("cvec")).join(
+        b.select(F.col(id_col).alias("cand_id"), "bucket"), "cand_id"
+    )
+    q = (
+        queries.select(F.col(id_col).alias("query_id"), as_double_array(vec_col).alias("qvec"))
+        .join(b.select(F.col(id_col).alias("query_id"), "bucket"), "query_id")
+    )
+    sims = cand.join(F.broadcast(q), ["bucket"]).where(F.col("cand_id") != F.col("query_id")).select(
+        "query_id", "cand_id", F.round(cosine("qvec", "cvec"), 6).alias("cos_sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("cand_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "cand_id", F.round("cos_sim", 4).alias("cos_sim"))
+    )
+
+
+def near_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.98,
+    block_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, blocked (only pairs
+    sharing ``block_col`` are compared — at scale the block key is an
+    LSH bucket; here the label column doubles as the block)."""
+    v = embeddings.select(
+        F.col(id_col), F.col(block_col).alias("_blk"), as_double_array(vec_col).alias("_v")
+    )
+    a = v.select(F.col(id_col).alias("id_a"), F.col("_blk"), F.col("_v").alias("va"))
+    b = v.select(F.col(id_col).alias("id_b"), F.col("_blk"), F.col("_v").alias("vb"))
+    return (
+        a.join(b, ["_blk"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(cosine("va", "vb"), 4).alias("cos_sim"))
+        .where(F.col("cos_sim") >= threshold)
+    )

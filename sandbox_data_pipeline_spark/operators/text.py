@@ -1,0 +1,127 @@
+"""Text-analysis operators for training-data pipelines: token counting,
+quality scoring, language-ID heuristics, document fingerprinting.
+
+All pure column expressions (split/regexp/array functions) — the whole
+family runs inside whole-stage codegen with zero shuffles; at 100 TB
+these are embarrassingly parallel scan-projections whose cost is the
+parquet read itself.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Minimal per-language stopword markers for the heuristic language ID.
+# (A real pipeline swaps in fastText or CLD3 via a pandas_udf; the
+# heuristic keeps the operator dependency-free and oracle-checkable.)
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "is"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "es": ("el", "la", "los", "y", "es"),
+    "fr": ("le", "la", "les", "et", "est"),
+}
+
+
+def tokens(text_col: str = "text") -> Column:
+    return F.split(F.col(text_col), " ")
+
+
+def token_count(text_col: str = "text") -> Column:
+    """Whitespace token count (empty string → 0 tokens)."""
+    return F.when(F.col(text_col) == "", F.lit(0)).otherwise(
+        F.size(F.filter(tokens(text_col), lambda t: t != F.lit("")))
+    )
+
+
+BPE_ISH_PATTERN = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+
+
+def bpe_ish_token_count(text_col: str = "text") -> Column:
+    """BPE-ish proxy: counts the segments a GPT-2-style pre-tokenizer
+    would split on — runs of letters, runs of digits, single
+    punctuation. regexp_count keeps it a pure scan expression."""
+    return F.regexp_count(F.col(text_col), F.lit(BPE_ISH_PATTERN))
+
+
+def quality_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / punctuation / stopword / repetition features + a
+    composite quality score in one projection."""
+    n_chars = F.length(F.col(text_col))
+    n_tok = token_count(text_col)
+    n_space = n_chars - F.length(F.regexp_replace(F.col(text_col), " ", ""))
+    n_punct = F.length(F.regexp_replace(F.col(text_col), r"[^.,!?;:]", ""))
+    n_digit = F.length(F.regexp_replace(F.col(text_col), r"[^0-9]", ""))
+    n_stop = F.size(
+        F.filter(tokens(text_col), lambda t: t.isin(*LANG_MARKERS["en"]))
+    )
+    n_distinct = F.size(F.array_distinct(tokens(text_col)))
+    avg_tok_len = (n_chars - n_space) / n_tok
+    return docs.select(
+        "doc_id",
+        n_chars.alias("n_chars"),
+        n_tok.alias("n_tokens"),
+        F.round(avg_tok_len, 4).alias("avg_token_len"),
+        F.round(n_punct / n_chars, 4).alias("punct_ratio"),
+        F.round(n_digit / n_chars, 4).alias("digit_ratio"),
+        F.round(n_stop / n_tok, 4).alias("stopword_ratio"),
+        F.round(n_distinct / n_tok, 4).alias("distinct_ratio"),
+        # Composite score in [0,1]: rewards stopword presence and
+        # lexical diversity, penalizes digit/punct noise.
+        F.round(
+            F.least(
+                F.lit(1.0),
+                F.greatest(
+                    F.lit(0.0),
+                    0.5 * (n_stop / n_tok) + 0.5 * (n_distinct / n_tok) - n_digit / n_chars,
+                ),
+            ),
+            4,
+        ).alias("quality_score"),
+    )
+
+
+def _in_set(markers: tuple[str, ...]):
+    # closure (not a default arg: F.filter passes a Column per lambda
+    # parameter, so extra params break)
+    return lambda t: t.isin(*markers)
+
+
+def lang_scores(text_col: str = "text") -> dict[str, Column]:
+    toks = tokens(text_col)
+    return {
+        lang: F.size(F.filter(toks, _in_set(markers)))
+        for lang, markers in LANG_MARKERS.items()
+    }
+
+
+def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic language ID: argmax of per-language stopword hits
+    (deterministic tie-break by language code order), 'und' if no
+    marker hits at all."""
+    scores = lang_scores(text_col)
+    best = F.greatest(*scores.values())
+    # deterministic argmax: first language (in sorted code order)
+    # achieving the max hit count
+    expr = F.lit("und")
+    for lang in sorted(LANG_MARKERS, reverse=True):
+        expr = F.when(scores[lang] == best, F.lit(lang)).otherwise(expr)
+    expr = F.when(best == 0, F.lit("und")).otherwise(expr)
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("lang_declared"),
+        expr.alias("lang_guess"),
+        *[scores[lang].alias(f"hits_{lang}") for lang in sorted(LANG_MARKERS)],
+    )
+
+
+def fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Normalized document fingerprint: md5 over the sorted distinct
+    token set — invariant to word order and duplication, the cheap
+    first pass before shingle-level near-dup machinery."""
+    sorted_toks = F.array_sort(F.array_distinct(tokens(text_col)))
+    return docs.select(
+        "doc_id",
+        F.md5(F.concat_ws(" ", sorted_toks)).alias("fingerprint"),
+        F.size(sorted_toks).alias("vocab_size"),
+    )

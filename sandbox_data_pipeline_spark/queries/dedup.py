@@ -1,4 +1,206 @@
-"""Placeholder — filled in later this round."""
+"""Dedup queries over the `documents` table, each with a DuckDB oracle
+mirroring the exact computation (portable md5-based hashing — see
+operators/dedup.py — makes MinHash/SimHash cross-engine deterministic).
+"""
 
-QUERIES = {}
-ORACLE = {}
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from sandbox_data_pipeline_spark.catalog import table
+from sandbox_data_pipeline_spark.operators.dedup import (
+    exact_dedup_keep,
+    exact_dedup_stats,
+    minhash_candidate_pairs,
+    ngram_jaccard_pairs,
+    simhash_fingerprints,
+    simhash_pairs,
+)
+
+K = 16
+BANDS = 4
+MINHASH_N = 3
+JACCARD_N = 5
+JACCARD_T = 0.2
+MINHASH_T = 0.5
+SIMHASH_BITS = 48
+SIMHASH_MAXH = 3
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup_stats(table(spark, sf_dir, "documents"))
+
+
+def q_dedup_exact_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup_keep(table(spark, sf_dir, "documents"))
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_jaccard_pairs(table(spark, sf_dir, "documents"), n=JACCARD_N, threshold=JACCARD_T)
+
+
+def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_candidate_pairs(
+        table(spark, sf_dir, "documents"), k=K, bands=BANDS, n=MINHASH_N, threshold=MINHASH_T
+    )
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_fingerprints(table(spark, sf_dir, "documents"), bits=SIMHASH_BITS)
+
+
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_pairs(table(spark, sf_dir, "documents"), bits=SIMHASH_BITS, max_hamming=SIMHASH_MAXH)
+
+
+# --- DuckDB oracle builders -------------------------------------------------
+
+def _H(expr: str, salt: str = "") -> str:
+    inner = f"'{salt}' || {expr}" if salt else expr
+    return f"CAST('0x' || substr(md5({inner}), 1, 15) AS BIGINT)"
+
+
+def _shingles_cte(n: int) -> str:
+    return f"""
+shingles AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           unnest(CASE WHEN len(toks) >= {n}
+                  THEN list_transform(range(1, len(toks) - {n} + 2),
+                                      i -> array_to_string(toks[i:i + {n - 1}], ' '))
+                  ELSE [] END) AS shingle
+    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+  )
+)"""
+
+
+def _sig_cte(k: int, n: int) -> str:
+    mins = ",\n         ".join(
+        f"min({_H('shingle', salt=f'{j}|')}) AS h{j}" for j in range(k)
+    )
+    return _shingles_cte(n) + f""",
+sigs AS (
+  SELECT doc_id,
+         {mins}
+  FROM shingles GROUP BY doc_id
+)"""
+
+
+ORACLE_DEDUP_EXACT = """
+SELECT count(*) AS n_distinct_texts,
+       CAST(sum(cnt) AS BIGINT) AS n_docs,
+       CAST(sum(cnt - 1) AS BIGINT) AS n_dup_docs
+FROM (SELECT md5(text) AS fp, count(*) AS cnt FROM documents GROUP BY 1)
+"""
+
+ORACLE_DEDUP_KEEP = """
+SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS dup_cnt
+FROM documents GROUP BY 1
+"""
+
+
+def _oracle_jaccard() -> str:
+    n, t = JACCARD_N, JACCARD_T
+    return f"""
+WITH {_shingles_cte(n)},
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+  FROM shingles a JOIN shingles b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, common,
+       round(common / (sa.n_sh + sb.n_sh - common), 4) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE round(common / (sa.n_sh + sb.n_sh - common), 4) >= {t}
+"""
+
+
+def _oracle_minhash() -> str:
+    k, bands, n, t = K, BANDS, MINHASH_N, MINHASH_T
+    r = k // bands
+    band_selects = "\n  UNION ALL\n".join(
+        "  SELECT doc_id, {bi} AS band_idx, md5(concat_ws('|', {cols})) AS band_sig FROM sigs".format(
+            bi=bi, cols=", ".join(f"h{j}" for j in range(bi * r, (bi + 1) * r))
+        )
+        for bi in range(bands)
+    )
+    matches = " + ".join(f"(CASE WHEN sa.h{j} = sb.h{j} THEN 1 ELSE 0 END)" for j in range(k))
+    return f"""
+WITH {_sig_cte(k, n)},
+bands AS (
+{band_selects}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, round(({matches}) / {k}.0, 4) AS est_jaccard
+FROM cand
+JOIN sigs sa ON sa.doc_id = doc_a
+JOIN sigs sb ON sb.doc_id = doc_b
+WHERE round(({matches}) / {k}.0, 4) >= {t}
+"""
+
+
+def _simhash_cte(bits: int = SIMHASH_BITS) -> str:
+    votes = ",\n         ".join(
+        f"CAST(sum(CASE WHEN ((h >> {b}) & 1) = 1 THEN tf ELSE -tf END) AS BIGINT) AS s{b}" for b in range(bits)
+    )
+    fp = " + ".join(f"(CASE WHEN s{b} >= 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END)" for b in range(bits))
+    return f"""
+toks AS (
+  SELECT doc_id, token, count(*) AS tf FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+  ) WHERE token <> '' GROUP BY doc_id, token
+),
+hashed AS (SELECT doc_id, tf, {_H('token')} AS h FROM toks),
+votes AS (SELECT doc_id, {votes} FROM hashed GROUP BY doc_id),
+fps AS (SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM votes)"""
+
+
+def _oracle_simhash() -> str:
+    return f"WITH {_simhash_cte()}\nSELECT doc_id, simhash FROM fps"
+
+
+def _oracle_simhash_pairs() -> str:
+    bands = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, simhash, {i} AS band_idx, (simhash >> {8 * i}) & 255 AS band_val FROM fps"
+        for i in range(SIMHASH_BITS // 8)
+    )
+    return f"""
+WITH {_simhash_cte()},
+bands AS (
+{bands}
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= {SIMHASH_MAXH}
+"""
+
+
+QUERIES = {
+    "q_dedup_exact": q_dedup_exact,
+    "q_dedup_exact_keep": q_dedup_exact_keep,
+    "q_dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "q_dedup_minhash_pairs": q_dedup_minhash_pairs,
+    "q_dedup_simhash": q_dedup_simhash,
+    "q_dedup_simhash_pairs": q_dedup_simhash_pairs,
+}
+
+ORACLE = {
+    "q_dedup_exact": ORACLE_DEDUP_EXACT,
+    "q_dedup_exact_keep": ORACLE_DEDUP_KEEP,
+    "q_dedup_ngram_jaccard": _oracle_jaccard(),
+    "q_dedup_minhash_pairs": _oracle_minhash(),
+    "q_dedup_simhash": _oracle_simhash(),
+    "q_dedup_simhash_pairs": _oracle_simhash_pairs(),
+}

@@ -1,4 +1,79 @@
-"""Placeholder — filled in later this round."""
+"""Multimodal queries: metadata projection is oracle-checked (binary
+length/md5 compute identically in DuckDB); the Pandas-UDF feature and
+frame paths are rows-only (Python-side, not SQL-expressible).
+"""
 
-QUERIES = {}
-ORACLE = {}
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sandbox_data_pipeline_spark.catalog import table
+from sandbox_data_pipeline_spark.operators.multimodal import (
+    extract_features,
+    media_from_documents,
+    sample_frames,
+)
+
+
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed-metadata projection over the media table: byte length,
+    content digest, media-type split — all JVM-side."""
+    media = media_from_documents(table(spark, sf_dir, "documents"))
+    return media.select(
+        "media_id",
+        "media_type",
+        F.col("meta.byte_len").alias("byte_len"),
+        F.col("meta.mime").alias("mime"),
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        F.col("meta.duration_ms").alias("duration_ms"),
+        F.md5(F.col("content")).alias("content_md5"),
+    )
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched feature extraction (mapInPandas) — rows-only."""
+    media = media_from_documents(table(spark, sf_dir, "documents"))
+    feats = extract_features(media, fake=True)
+    return feats.select(
+        "media_id",
+        "media_type",
+        "byte_len",
+        F.round(F.element_at("feature", 1), 4).alias("f0"),
+        F.round(F.element_at("feature", 8), 4).alias("f7"),
+    )
+
+
+def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing (video rows → frame rows) — rows-only."""
+    media = media_from_documents(table(spark, sf_dir, "documents"))
+    frames = sample_frames(media, every_ms=1000, fake=True)
+    return frames.select(
+        "media_id", "frame_idx", F.length("frame").alias("frame_bytes")
+    )
+
+
+ORACLE_META = """
+SELECT doc_id AS media_id,
+       ['image', 'audio', 'video'][(doc_id % 3 + 1)::INTEGER] AS media_type,
+       CAST(length(text) AS BIGINT) AS byte_len,
+       'application/x-fake-' || ['image', 'audio', 'video'][(doc_id % 3 + 1)::INTEGER] AS mime,
+       CASE WHEN doc_id % 3 = 0 THEN CAST((doc_id % 8 + 1) * 64 AS INTEGER) END AS width,
+       CASE WHEN doc_id % 3 = 0 THEN CAST((doc_id % 4 + 1) * 64 AS INTEGER) END AS height,
+       CASE WHEN doc_id % 3 <> 0 THEN CAST(n_chars * 10 AS BIGINT) END AS duration_ms,
+       md5(text) AS content_md5
+FROM documents
+"""
+
+
+QUERIES = {
+    "q_multimodal_meta": q_multimodal_meta,
+    "q_media_features": q_media_features,
+    "q_media_frames": q_media_frames,
+}
+
+ORACLE = {
+    "q_multimodal_meta": ORACLE_META,
+    # q_media_features / q_media_frames: Pandas-UDF paths, rows-only.
+}

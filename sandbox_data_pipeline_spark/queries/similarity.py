@@ -1,4 +1,144 @@
-"""Placeholder — filled in later this round."""
+"""Similarity-search queries over the `embeddings` table with DuckDB
+oracles (list_dot_product on DOUBLE[] mirrors the Spark zip_with dot;
+deterministic md5-derived hyperplanes make LSH cross-engine exact).
+"""
 
-QUERIES = {}
-ORACLE = {}
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sandbox_data_pipeline_spark.catalog import table
+from sandbox_data_pipeline_spark.operators.similarity import (
+    brute_force_topk,
+    hyperplanes,
+    lsh_buckets,
+    lsh_topk,
+    near_dup_pairs,
+)
+
+DIM = 64
+PLANES = 8
+TOPK = 5
+QUERY_MOD = 100  # query set = vec_id % 100 == 0
+# The synthetic embeddings have no true near-dups (max within-label
+# cosine ≈ 0.45), so the declared query uses a low threshold to keep
+# the correctness comparison non-trivial; production callers pass
+# ~0.95+ to the operator.
+NEAR_T = 0.35
+
+
+def _queries_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    return emb.where(F.col("vec_id") % QUERY_MOD == 0)
+
+
+def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    return brute_force_topk(emb, _queries_df(spark, sf_dir), k=TOPK)
+
+
+def q_similarity_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lsh_buckets(table(spark, sf_dir, "embeddings"), dim=DIM, planes=PLANES)
+
+
+def q_similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    return lsh_topk(emb, _queries_df(spark, sf_dir), dim=DIM, planes=PLANES, k=TOPK)
+
+
+def q_similarity_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return near_dup_pairs(table(spark, sf_dir, "embeddings"), threshold=NEAR_T)
+
+
+# --- DuckDB oracles ---------------------------------------------------------
+
+_COS = (
+    "list_dot_product({a}, {b}) / "
+    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+)
+
+
+def _oracle_topk() -> str:
+    cos = _COS.format(a="q.v", b="c.v")
+    return f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v FROM v WHERE vec_id % {QUERY_MOD} = 0),
+c AS (SELECT vec_id AS cand_id, v FROM v),
+sims AS (
+  SELECT query_id, cand_id, round({cos}, 6) AS cos_sim
+  FROM q JOIN c ON cand_id <> query_id
+),
+ranked AS (
+  SELECT query_id, cand_id, cos_sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, cand_id) AS rank
+  FROM sims
+)
+SELECT query_id, CAST(rank AS INTEGER) AS rank, cand_id, round(cos_sim, 4) AS cos_sim
+FROM ranked WHERE rank <= {TOPK}
+"""
+
+
+def _bucket_sql(vcol: str) -> str:
+    terms = []
+    for p, plane in enumerate(hyperplanes(DIM, PLANES)):
+        arr = "[" + ", ".join(f"{x:.1f}" for x in plane) + "]"
+        terms.append(
+            f"(CASE WHEN list_dot_product({vcol}, {arr}) >= 0 THEN {1 << p} ELSE 0 END)"
+        )
+    return "CAST(" + " + ".join(terms) + " AS INTEGER)"
+
+
+def _oracle_lsh_buckets() -> str:
+    return f"""
+SELECT vec_id, {_bucket_sql('v')} AS bucket
+FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+"""
+
+
+def _oracle_lsh_topk() -> str:
+    cos = _COS.format(a="q.v", b="c.v")
+    return f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+b AS (SELECT vec_id, {_bucket_sql('v')} AS bucket FROM v),
+q AS (SELECT v.vec_id AS query_id, v, bucket FROM v JOIN b USING (vec_id)
+      WHERE v.vec_id % {QUERY_MOD} = 0),
+c AS (SELECT v.vec_id AS cand_id, v, bucket FROM v JOIN b USING (vec_id)),
+sims AS (
+  SELECT query_id, cand_id, round({cos}, 6) AS cos_sim
+  FROM q JOIN c USING (bucket)
+  WHERE cand_id <> query_id
+),
+ranked AS (
+  SELECT query_id, cand_id, cos_sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, cand_id) AS rank
+  FROM sims
+)
+SELECT query_id, CAST(rank AS INTEGER) AS rank, cand_id, round(cos_sim, 4) AS cos_sim
+FROM ranked WHERE rank <= {TOPK}
+"""
+
+
+def _oracle_near_dup() -> str:
+    cos = _COS.format(a="a.v", b="b.v")
+    return f"""
+WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, round({cos}, 4) AS cos_sim
+FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE round({cos}, 4) >= {NEAR_T}
+"""
+
+
+QUERIES = {
+    "q_similarity_topk": q_similarity_topk,
+    "q_similarity_lsh_buckets": q_similarity_lsh_buckets,
+    "q_similarity_lsh_topk": q_similarity_lsh_topk,
+    "q_similarity_near_dup": q_similarity_near_dup,
+}
+
+ORACLE = {
+    "q_similarity_topk": _oracle_topk(),
+    "q_similarity_lsh_buckets": _oracle_lsh_buckets(),
+    "q_similarity_lsh_topk": _oracle_lsh_topk(),
+    "q_similarity_near_dup": _oracle_near_dup(),
+}

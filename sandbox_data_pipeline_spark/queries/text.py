@@ -1,4 +1,141 @@
-"""Placeholder — filled in later this round."""
+"""Text-analysis queries over `documents`, DuckDB-oracled.
 
-QUERIES = {}
-ORACLE = {}
+DuckDB mirrors: string_split / list_filter / regexp_extract_all /
+list_sort — each expression is written to compute the identical value
+as the Spark column expression in operators/text.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sandbox_data_pipeline_spark.catalog import table
+from sandbox_data_pipeline_spark.operators.text import (
+    BPE_ISH_PATTERN,
+    LANG_MARKERS,
+    bpe_ish_token_count,
+    fingerprints,
+    language_id,
+    quality_features,
+    token_count,
+)
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count().alias("n_tokens"),
+        bpe_ish_token_count().alias("n_bpe_ish"),
+        F.length("text").alias("n_chars_actual"),
+    )
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality_features(table(spark, sf_dir, "documents"))
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return language_id(table(spark, sf_dir, "documents"))
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return fingerprints(table(spark, sf_dir, "documents"))
+
+
+# --- DuckDB oracles ---------------------------------------------------------
+
+def _toks() -> str:
+    return "string_split(text, ' ')"
+
+
+def _ntok() -> str:
+    return f"CASE WHEN text = '' THEN 0 ELSE len(list_filter({_toks()}, t -> t <> '')) END"
+
+
+def _stop_hits(markers: tuple[str, ...]) -> str:
+    inlist = ", ".join(f"'{m}'" for m in markers)
+    return f"len(list_filter({_toks()}, t -> t IN ({inlist})))"
+
+
+ORACLE_TOKEN_COUNT = f"""
+SELECT doc_id,
+       CAST({_ntok()} AS INTEGER) AS n_tokens,
+       CAST(len(regexp_extract_all(text, '{BPE_ISH_PATTERN}')) AS INTEGER) AS n_bpe_ish,
+       CAST(length(text) AS INTEGER) AS n_chars_actual
+FROM documents
+"""
+
+
+def _oracle_quality() -> str:
+    ntok = _ntok()
+    nstop = _stop_hits(LANG_MARKERS["en"])
+    return f"""
+SELECT doc_id,
+       CAST(n_chars AS INTEGER) AS n_chars,
+       CAST(n_tok AS INTEGER) AS n_tokens,
+       round((n_chars - n_space) / n_tok, 4) AS avg_token_len,
+       round(n_punct / n_chars, 4) AS punct_ratio,
+       round(n_digit / n_chars, 4) AS digit_ratio,
+       round(n_stop / n_tok, 4) AS stopword_ratio,
+       round(n_distinct / n_tok, 4) AS distinct_ratio,
+       round(least(1.0, greatest(0.0,
+             0.5 * (n_stop / n_tok) + 0.5 * (n_distinct / n_tok) - n_digit / n_chars)), 4)
+           AS quality_score
+FROM (
+  SELECT doc_id,
+         length(text) AS n_chars,
+         {ntok} AS n_tok,
+         length(text) - length(replace(text, ' ', '')) AS n_space,
+         length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS n_punct,
+         length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit,
+         {nstop} AS n_stop,
+         len(list_distinct({_toks()})) AS n_distinct
+  FROM documents
+)
+"""
+
+
+def _oracle_lang() -> str:
+    langs = sorted(LANG_MARKERS)
+    hits = ",\n       ".join(
+        f"CAST({_stop_hits(LANG_MARKERS[lang])} AS INTEGER) AS hits_{lang}" for lang in langs
+    )
+    best = "greatest(" + ", ".join(f"hits_{lang}" for lang in langs) + ")"
+    case = "'und'"
+    for lang in sorted(langs, reverse=True):
+        case = f"CASE WHEN hits_{lang} = {best} THEN '{lang}' ELSE {case} END"
+    case = f"CASE WHEN {best} = 0 THEN 'und' ELSE {case} END"
+    return f"""
+SELECT doc_id, lang_declared, {case} AS lang_guess,
+       {', '.join(f'hits_{lang}' for lang in langs)}
+FROM (
+  SELECT doc_id, lang AS lang_declared,
+       {hits}
+  FROM documents
+)
+"""
+
+
+ORACLE_FINGERPRINT = f"""
+SELECT doc_id,
+       md5(array_to_string(list_sort(list_distinct({_toks()})), ' ')) AS fingerprint,
+       CAST(len(list_sort(list_distinct({_toks()}))) AS INTEGER) AS vocab_size
+FROM documents
+"""
+
+
+QUERIES = {
+    "q_token_count": q_token_count,
+    "q_text_quality": q_text_quality,
+    "q_lang_id": q_lang_id,
+    "q_fingerprint": q_fingerprint,
+}
+
+ORACLE = {
+    "q_token_count": ORACLE_TOKEN_COUNT,
+    "q_text_quality": _oracle_quality(),
+    "q_lang_id": _oracle_lang(),
+    "q_fingerprint": ORACLE_FINGERPRINT,
+}

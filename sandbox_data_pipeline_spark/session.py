@@ -30,6 +30,7 @@ SCALE_CONFS: dict[str, str] = {
     "spark.sql.sources.partitionOverwriteMode": "dynamic",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.session.timeZone": "UTC",
+    "spark.ui.showConsoleProgress": "false",
     "spark.sql.parquet.compression.codec": "snappy",
     # At 100 TB files should split into ~128 MB tasks (default); keep
     # explicit so the intent is visible and tunable per deployment.

@@ -1,0 +1,65 @@
+"""Dedup operator semantics on crafted corpora (planted duplicates)."""
+
+from __future__ import annotations
+
+from sandbox_data_pipeline_spark.operators.dedup import (
+    exact_dedup_keep,
+    exact_dedup_stats,
+    minhash_candidate_pairs,
+    ngram_jaccard_pairs,
+    simhash_fingerprints,
+    simhash_pairs,
+    word_shingles,
+)
+
+BASE = "the quick brown fox jumps over the lazy dog near the old river bank today"
+NEAR = "the quick brown fox jumps over the lazy dog near the old river bank tonight"
+OTHER = "completely different content about spark query engines and columnar formats here"
+
+
+def _docs(spark):
+    rows = [(0, BASE), (1, NEAR), (2, OTHER), (3, BASE), (4, "tiny doc")]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_word_shingles_count(spark):
+    sh = word_shingles(_docs(spark), n=3)
+    base_n = sh.where("doc_id = 0").count()
+    assert base_n == len(BASE.split()) - 2  # all distinct here
+    assert sh.where("doc_id = 4").count() == 0  # shorter than n
+
+
+def test_exact_dedup(spark):
+    stats = exact_dedup_stats(_docs(spark)).first()
+    assert stats.n_docs == 5
+    assert stats.n_distinct_texts == 4
+    assert stats.n_dup_docs == 1
+    keep = {r.keep_id for r in exact_dedup_keep(_docs(spark)).collect()}
+    assert keep == {0, 1, 2, 4}  # doc 3 deduped into doc 0's group
+
+
+def test_ngram_jaccard_finds_planted_near_dup(spark):
+    pairs = {(r.doc_a, r.doc_b): r.jaccard for r in
+             ngram_jaccard_pairs(_docs(spark), n=3, threshold=0.5).collect()}
+    assert (0, 3) in pairs and pairs[(0, 3)] == 1.0  # exact dup
+    assert (0, 1) in pairs and 0.5 <= pairs[(0, 1)] < 1.0  # near dup
+    assert (1, 3) in pairs
+    assert not any(2 in p for p in pairs)  # unrelated doc never pairs
+
+
+def test_minhash_agrees_with_planted_dups(spark):
+    pairs = {(r.doc_a, r.doc_b): r.est_jaccard for r in
+             minhash_candidate_pairs(_docs(spark), k=16, bands=4, n=3, threshold=0.5).collect()}
+    assert pairs[(0, 3)] == 1.0
+    assert (0, 1) in pairs  # near dup caught by banding
+    assert not any(2 in p for p in pairs)
+
+
+def test_simhash_hamming_ordering(spark):
+    fps = {r.doc_id: r.simhash for r in simhash_fingerprints(_docs(spark)).collect()}
+    assert fps[0] == fps[3]  # identical text -> identical fingerprint
+    ham = lambda a, b: bin(a ^ b).count("1")
+    assert ham(fps[0], fps[1]) < ham(fps[0], fps[2])  # near < far
+    pairs = {(r.doc_a, r.doc_b): r.hamming for r in
+             simhash_pairs(_docs(spark), max_hamming=3).collect()}
+    assert pairs[(0, 3)] == 0

@@ -1,0 +1,57 @@
+"""Text-analysis operator semantics on crafted strings."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sandbox_data_pipeline_spark.operators.text import (
+    bpe_ish_token_count,
+    fingerprints,
+    language_id,
+    quality_features,
+    token_count,
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_token_counts(spark):
+    df = _df(spark, [(0, "hello world", "en"), (1, "", "en"), (2, "one", "en")])
+    got = {r.doc_id: r for r in df.select(
+        "doc_id", token_count().alias("n"), bpe_ish_token_count().alias("b")).collect()}
+    assert got[0].n == 2 and got[1].n == 0 and got[2].n == 1
+    assert got[0].b == 2
+
+
+def test_bpe_ish_splits_punct_and_digits(spark):
+    df = _df(spark, [(0, "don't stop2day!", "en")])
+    # don | ' | t | stop | 2 | day | !  -> 7
+    assert df.select(bpe_ish_token_count().alias("b")).first().b == 7
+
+
+def test_quality_features_ranges(spark):
+    df = _df(spark, [(0, "the cat sat on the mat, happily.", "en"),
+                     (1, "1234 5678 9999", "en")])
+    got = {r.doc_id: r for r in quality_features(df).collect()}
+    good, bad = got[0], got[1]
+    assert good.quality_score > bad.quality_score
+    assert bad.digit_ratio > 0.5
+    assert 0 <= good.punct_ratio < 0.2
+    assert good.stopword_ratio > 0
+
+
+def test_language_id_markers(spark):
+    df = _df(spark, [(0, "the cat and the dog is here", "en"),
+                     (1, "der hund und die katze ist hier", "de"),
+                     (2, "zzz qqq www", "xx")])
+    got = {r.doc_id: r.lang_guess for r in language_id(df).collect()}
+    assert got[0] == "en" and got[1] == "de" and got[2] == "und"
+
+
+def test_fingerprint_order_invariant(spark):
+    df = _df(spark, [(0, "b a c a", "en"), (1, "a b c", "en"), (2, "a b d", "en")])
+    got = {r.doc_id: r.fingerprint for r in fingerprints(df).collect()}
+    assert got[0] == got[1]  # order + duplication invariant
+    assert got[0] != got[2]
