@@ -47,6 +47,9 @@ def write_partitioned(
 ) -> None:
     """K3/K4: dynamic partition overwrite — replaces exactly the
     partitions present in ``df``, leaves every other run-hour intact."""
+    # Pin the semantic at the write site; a session built outside
+    # get_spark() would otherwise silently do a full-table replace.
+    df.sparkSession.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     (
         df.write.mode("overwrite")
         .format(fmt)

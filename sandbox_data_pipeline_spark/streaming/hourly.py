@@ -1,0 +1,137 @@
+"""Streaming mode: the reference's sensor-driven hourly batch flow as
+Structured Streaming.
+
+Mapping (SURVEY §2.8):
+- T2 file-arrival sensor (GCSObjectListExistenceSensor, poke loop) →
+  the file SOURCE ITSELF: ``readStream`` discovers new files under the
+  landing prefix; no polling code exists at all.
+- T1 hourly run window → event-time tumbling window + watermark.
+- T5 late/duplicate handling (re-run replaces the hour) →
+  dropDuplicates within watermark + idempotent per-hour overwrite in
+  foreachBatch.
+- K4 publish → foreachBatch dynamic partition overwrite keyed by
+  run_hr (exactly-once per window under retries: the overwrite is
+  idempotent, the sink path is the batch's run-hours).
+
+At scale: the file source lists incrementally (maxFilesPerTrigger
+bounds a micro-batch), state for the window agg is bounded by the
+watermark horizon, and the sink writes only the touched hours.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+EVENT_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def read_event_stream(
+    spark: SparkSession,
+    path: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """T2 as a source: new JSON files under ``path`` become rows as
+    they arrive. Declared schema (no inference — a streaming source
+    must never re-scan to infer)."""
+    reader = spark.readStream.schema(EVENT_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.json(path)
+
+
+def hourly_rollup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """T1: event-time tumbling hour window with late-data tolerance;
+    emits the same shape as the batch q_window_hourly plus run_hr."""
+    deduped = events.withWatermark("ts", watermark).dropDuplicates(["event_id"])
+    return (
+        deduped.groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("event_cnt"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(
+            F.col("w.start").alias("hour_start"),
+            F.date_format("w.start", "yyyyMMddHH00").cast("long").alias("run_hr"),
+            "event_type",
+            "event_cnt",
+            "sum_value",
+        )
+    )
+
+
+def start_hourly_pipeline(
+    spark: SparkSession,
+    source_dir: str,
+    sink_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = False,
+    watermark: str = "2 hours",
+):
+    """Wire source → rollup → idempotent per-hour sink. foreachBatch
+    writes each micro-batch's hours with dynamic partition overwrite —
+    a replayed batch rewrites identical partitions (exactly-once
+    publication semantics, the streaming form of K4)."""
+    rollup = hourly_rollup(read_event_stream(spark, source_dir), watermark=watermark)
+
+    def _publish(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        # Pin dynamic overwrite HERE, not just in the session factory:
+        # on a session without it, static overwrite would wipe every
+        # hour not present in this micro-batch.
+        batch_df.sparkSession.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", "dynamic"
+        )
+        (
+            batch_df.write.mode("overwrite")
+            .partitionBy("run_hr")
+            .parquet(sink_dir)
+        )
+
+    writer = (
+        rollup.writeStream.outputMode("update")
+        .foreachBatch(_publish)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def sessionize(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Custom stateful operator: session windows per user via Spark's
+    native session_window (state bounded by the watermark). The
+    reference has no analogue (SURVEY §2.8 marks stateful ops as
+    Spark-native surplus); included as the engine's
+    stateful-aggregation surface."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", f"{gap_minutes} minutes").alias("w"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(
+            F.col("user_id"),
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
