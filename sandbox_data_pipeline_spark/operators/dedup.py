@@ -120,7 +120,7 @@ def ngram_jaccard_pairs(
     join per-doc sizes → |A∩B| / (|A|+|B|-|A∩B|). Emits pairs with
     jaccard >= threshold, doc_a < doc_b.
     """
-    sh = word_shingles(docs, n=n, id_col=id_col, text_col=text_col, df_cap=df_cap)
+    sh = word_shingles(docs, n=n, id_col=id_col, text_col=text_col, df_cap=df_cap).persist()
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     common = (
@@ -158,19 +158,24 @@ def minhash_signatures(
 
 def minhash_bands(sig: DataFrame, k: int = 16, bands: int = 4, id_col: str = "doc_id") -> DataFrame:
     """LSH banding: band signature = md5 of the band's hash slice.
-    Output (doc_id, band_idx, band_sig) — the join key space."""
+    Output (doc_id, band_idx, band_sig) — the join key space.
+
+    Built as ONE explode over an inline array (not a union of selects):
+    a union would re-evaluate the whole signature subplan per band —
+    Catalyst does not share common subplans across union branches."""
     r = k // bands
-    parts = []
-    for bi in range(bands):
-        cols = [F.col(f"h{j}") for j in range(bi * r, (bi + 1) * r)]
-        parts.append(
-            sig.select(
-                F.col(id_col),
-                F.lit(bi).alias("band_idx"),
-                F.md5(F.concat_ws("|", *cols)).alias("band_sig"),
-            )
+    band_structs = [
+        F.struct(
+            F.lit(bi).alias("band_idx"),
+            F.md5(
+                F.concat_ws("|", *[F.col(f"h{j}") for j in range(bi * r, (bi + 1) * r)])
+            ).alias("band_sig"),
         )
-    return reduce(lambda x, y: x.unionAll(y), parts)
+        for bi in range(bands)
+    ]
+    return sig.select(F.col(id_col), F.explode(F.array(*band_structs)).alias("b")).select(
+        id_col, "b.band_idx", "b.band_sig"
+    )
 
 
 def minhash_candidate_pairs(
@@ -183,8 +188,14 @@ def minhash_candidate_pairs(
     text_col: str = "text",
 ) -> DataFrame:
     """MinHash+LSH near-duplicate pairs: band-join for candidates, then
-    estimated Jaccard = fraction of matching minhashes >= threshold."""
-    sig = minhash_signatures(docs, k=k, n=n, id_col=id_col, text_col=text_col)
+    estimated Jaccard = fraction of matching minhashes >= threshold.
+
+    Signatures are persisted: the narrow (id + K longs) frame is read
+    by the band generator and both sides of the verification join —
+    without it the shingle+min pipeline re-executes 3×. This is also
+    the production shape at 100 TB: signatures are ~1e-4 of corpus
+    bytes and are the natural intermediate to materialize."""
+    sig = minhash_signatures(docs, k=k, n=n, id_col=id_col, text_col=text_col).persist()
     bandsdf = minhash_bands(sig, k=k, bands=bands, id_col=id_col)
     a, b = bandsdf.alias("a"), bandsdf.alias("b")
     cand = (
@@ -256,20 +267,24 @@ def simhash_pairs(
     three bytes must match exactly), then exact hamming filter.
     48 bits (not 32) because shared-vocabulary corpora cluster tightly
     in simhash space — fewer bits produce quadratic candidate blowup."""
-    fps = simhash_fingerprints(docs, bits=bits, id_col=id_col, text_col=text_col)
+    fps = simhash_fingerprints(docs, bits=bits, id_col=id_col, text_col=text_col).persist()
     nbytes = bits // 8
-    bands = reduce(
-        lambda x, y: x.unionAll(y),
-        [
-            fps.select(
-                F.col(id_col),
-                F.col("simhash"),
-                F.lit(i).alias("band_idx"),
-                F.expr(f"(simhash >> {8 * i}) & 255").alias("band_val"),
+    # single-pass banding (explode, not union — see minhash_bands)
+    bands = fps.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_idx"),
+                        F.expr(f"(simhash >> {8 * i}) & 255").alias("band_val"),
+                    )
+                    for i in range(nbytes)
+                ]
             )
-            for i in range(nbytes)
-        ],
-    )
+        ).alias("b"),
+    ).select(id_col, "simhash", "b.band_idx", "b.band_val")
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(
