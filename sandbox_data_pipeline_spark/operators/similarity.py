@@ -137,6 +137,112 @@ def lsh_topk(
     )
 
 
+def ivf_centroids(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """Coarse centroids for IVF: the vectors with the N smallest ids
+    (TakeOrdered on a narrow projection — one scan, O(C) heap, no
+    shuffle). Production IVF would k-means these; a deterministic pick
+    keeps the operator cross-engine checkable while the contract
+    (centroid list → inverted lists) is identical."""
+    rows = (
+        embeddings.select(F.col(id_col), as_double_array(vec_col).alias("v"))
+        .orderBy(id_col)
+        .limit(n_centroids)
+        .collect()
+    )
+    return [(r[0], list(r[1])) for r in rows]
+
+
+def _centroid_cos(vcol: str, vnorm_col: str, cvec: list[float]) -> Column:
+    """cos(v, c) with the centroid embedded as a literal array, its norm
+    precomputed driver-side, and the vector norm read from an existing
+    column — one codegen'd expression per centroid, no join, no Python."""
+    import math
+
+    arr = "array(" + ", ".join(f"{x}D" for x in cvec) + ")"
+    cnorm = math.sqrt(sum(x * x for x in cvec))
+    dot = F.expr(f"aggregate(zip_with({vcol}, {arr}, (x, y) -> x * y), 0D, (acc, v) -> acc + v)")
+    return F.round(dot / (F.col(vnorm_col) * F.lit(cnorm)), 6)
+
+
+def ivf_assign(
+    embeddings: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign every vector to its nearest centroid (max rounded cosine,
+    ties → lowest centroid id). Pure map-side: the corpus never
+    shuffles — at 100 TB this is the pass that builds the inverted
+    lists, and it parallelizes embarrassingly."""
+    v = embeddings.withColumn("_v", as_double_array(vec_col)).withColumn(
+        "_vn", _norm("_v")
+    )
+    sims = F.array(*[_centroid_cos("_v", "_vn", cvec) for _, cvec in centroids])
+    ids = F.array(*[F.lit(cid) for cid, _ in centroids])
+    best = F.element_at(ids, F.array_position(sims, F.array_max(sims)).cast("int"))
+    return v.select(F.col(id_col), best.alias("list_id"))
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    n_centroids: int = 16,
+    nprobe: int = 2,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: search only the ``nprobe`` inverted lists
+    whose centroids are nearest each query. Corpus side = one map-side
+    assignment pass; query side is small and broadcast after exploding
+    its probe set; exact cosine re-ranks within the probed lists."""
+    cents = ivf_centroids(embeddings, n_centroids, id_col, vec_col)
+    cand = embeddings.select(
+        F.col(id_col).alias("cand_id"), as_double_array(vec_col).alias("cvec")
+    ).join(
+        ivf_assign(embeddings, cents, id_col, vec_col).select(
+            F.col(id_col).alias("cand_id"), "list_id"
+        ),
+        "cand_id",
+    )
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), as_double_array(vec_col).alias("qvec")
+    ).withColumn("_qn", _norm("qvec"))
+    probe_structs = F.array(
+        *[
+            F.struct(
+                (-_centroid_cos("qvec", "_qn", cvec)).alias("nc"), F.lit(cid).alias("cid")
+            )
+            for cid, cvec in cents
+        ]
+    )
+    q = qv.select(
+        "query_id",
+        "qvec",
+        F.explode(
+            F.transform(
+                F.slice(F.array_sort(probe_structs), 1, nprobe), lambda s: s["cid"]
+            )
+        ).alias("list_id"),
+    )
+    sims = (
+        cand.join(F.broadcast(q), ["list_id"])
+        .where(F.col("cand_id") != F.col("query_id"))
+        .select("query_id", "cand_id", F.round(cosine("qvec", "cvec"), 6).alias("cos_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("cand_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "cand_id", F.round("cos_sim", 4).alias("cos_sim"))
+    )
+
+
 def near_dup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.98,

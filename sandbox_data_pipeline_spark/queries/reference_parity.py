@@ -23,7 +23,11 @@ from sandbox_data_pipeline_spark.operators.ingest import (
     weather_variant_publish,
 )
 from sandbox_data_pipeline_spark.schemas import COCKTAIL_RENAME, COCKTAILS_SCHEMA, WEATHER_SCHEMA
-from sandbox_data_pipeline_spark.sources.json_source import docs_to_df, parse_declared
+from sandbox_data_pipeline_spark.sources.json_source import (
+    VARIANT_COL,
+    docs_to_df,
+    parse_declared,
+)
 
 
 def _q(s: str) -> str:
@@ -35,6 +39,112 @@ def _weather_values() -> str:
         f"({_q(body)}, {run_hr})" for _, run_hr, body in fixtures.weather_json_docs()
     )
     return f"(VALUES\n{rows}\n) AS t(j, run_hr)"
+
+
+# --- q_weather_stage / q_cocktails_stage / q_weather_variant_stage (S3/S4) -
+# The stage discipline itself, independent of the publish transforms:
+# declared-schema parse lands the typed nested frame (BigQuery LOAD DATA
+# OVERWRITE, write_weather_to_bigquery_stage.sql:5-51), variant lands raw
+# bytes (Snowflake COPY INTO json_data variant,
+# write_weather_to_snowflake_stage.sql:10-12). Stage rows keep nested
+# structs in the engine; leaves are projected here only because the
+# cross-engine hash cannot compare struct values.
+
+
+def q_weather_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3: declared nested parse, fields untouched (localtime stays a
+    raw string, no run_hr-literal injection, no struct rebuild)."""
+    docs = docs_to_df(spark, fixtures.weather_json_docs())
+    stage = parse_declared(docs.select("run_hr", "body"), WEATHER_SCHEMA)
+    loc_str = ("name", "region", "country", "tz_id")
+    cur_dbl = (
+        "temp_c", "temp_f", "wind_mph", "wind_kph", "pressure_mb", "pressure_in",
+        "precip_mm", "precip_in", "feelslike_c", "feelslike_f", "vis_km",
+        "vis_miles", "uv", "gust_mph", "gust_kph",
+    )
+    cur_big = ("last_updated_epoch", "is_day", "wind_degree", "humidity", "cloud")
+    sel = [F.col("run_hr")]
+    sel += [F.col(f"location.{f}").alias(f"loc_{f}") for f in loc_str]
+    sel += [F.col(f"location.{f}").alias(f"loc_{f}") for f in ("lat", "lon")]
+    sel += [
+        F.col("location.localtime_epoch").alias("loc_localtime_epoch"),
+        F.col("location.localtime").alias("loc_localtime"),
+    ]
+    sel += [F.col(f"current.{f}").alias(f"cur_{f}") for f in cur_big]
+    sel += [F.col("current.last_updated").alias("cur_last_updated")]
+    sel += [F.col(f"current.{f}").alias(f"cur_{f}") for f in cur_dbl]
+    sel += [
+        F.col("current.wind_dir").alias("cur_wind_dir"),
+        F.col("current.condition.text").alias("cond_text"),
+        F.col("current.condition.icon").alias("cond_icon"),
+        F.col("current.condition.code").alias("cond_code"),
+    ]
+    return stage.select(*sel)
+
+
+def _weather_stage_oracle() -> str:
+    loc_str = ("name", "region", "country", "tz_id")
+    cur_dbl = (
+        "temp_c", "temp_f", "wind_mph", "wind_kph", "pressure_mb", "pressure_in",
+        "precip_mm", "precip_in", "feelslike_c", "feelslike_f", "vis_km",
+        "vis_miles", "uv", "gust_mph", "gust_kph",
+    )
+    cur_big = ("last_updated_epoch", "is_day", "wind_degree", "humidity", "cloud")
+    sel = ["run_hr"]
+    sel += [f"json_extract_string(j, '$.location.{f}') AS loc_{f}" for f in loc_str]
+    sel += [f"CAST(json_extract(j, '$.location.{f}') AS DOUBLE) AS loc_{f}" for f in ("lat", "lon")]
+    sel += [
+        "CAST(json_extract(j, '$.location.localtime_epoch') AS BIGINT) AS loc_localtime_epoch",
+        "json_extract_string(j, '$.location.localtime') AS loc_localtime",
+    ]
+    sel += [f"CAST(json_extract(j, '$.current.{f}') AS BIGINT) AS cur_{f}" for f in cur_big]
+    sel += ["json_extract_string(j, '$.current.last_updated') AS cur_last_updated"]
+    sel += [f"CAST(json_extract(j, '$.current.{f}') AS DOUBLE) AS cur_{f}" for f in cur_dbl]
+    sel += [
+        "json_extract_string(j, '$.current.wind_dir') AS cur_wind_dir",
+        "json_extract_string(j, '$.current.condition.text') AS cond_text",
+        "json_extract_string(j, '$.current.condition.icon') AS cond_icon",
+        "CAST(json_extract(j, '$.current.condition.code') AS BIGINT) AS cond_code",
+    ]
+    return "SELECT\n  " + ",\n  ".join(sel) + f"\nFROM {_weather_values()}"
+
+
+def q_cocktails_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 (array discipline): declared ARRAY<STRUCT> parse; doc-level
+    array metrics + element indexing prove the typed landing without
+    the J1 explode (that is q_cocktails_insert's job)."""
+    doc = spark.createDataFrame([(fixtures.cocktails_json(),)], "body string")
+    stage = parse_declared(doc, COCKTAILS_SCHEMA)
+    return stage.select(
+        F.size("drinks").alias("n_drinks"),
+        F.col("drinks")[0]["strDrink"].alias("first_drink"),
+        F.col("drinks")[0]["idDrink"].alias("first_drink_id"),
+        F.element_at("drinks", -1)["strDrink"].alias("last_drink"),
+    )
+
+
+def _cocktails_stage_oracle() -> str:
+    last = len(fixtures.cocktails_doc()["drinks"]) - 1
+    return (
+        "SELECT\n"
+        "  CAST(json_array_length(j, '$.drinks') AS INTEGER) AS n_drinks,\n"
+        "  json_extract_string(j, '$.drinks[0].\"strDrink\"') AS first_drink,\n"
+        "  CAST(json_extract(j, '$.drinks[0].\"idDrink\"') AS DOUBLE) AS first_drink_id,\n"
+        f"  json_extract_string(j, '$.drinks[{last}].\"strDrink\"') AS last_drink\n"
+        f"FROM (SELECT {_q(fixtures.cocktails_json())} AS j)"
+    )
+
+
+def q_weather_variant_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4: variant stage — raw document bytes as one string column,
+    run-hour as the partition key; all typing deferred to query time
+    (q_weather_variant_insert)."""
+    docs = docs_to_df(spark, fixtures.weather_json_docs())
+    return docs.select("run_hr", F.col("body").alias(VARIANT_COL))
+
+
+def _weather_variant_stage_oracle() -> str:
+    return f"SELECT run_hr, j AS json_data FROM {_weather_values()}"
 
 
 # --- q_weather_insert (S3 + P1/P2/P5/P8 → flattened BQ prod shape) ---------
@@ -197,6 +307,9 @@ def q_clean_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "q_weather_stage": q_weather_stage,
+    "q_cocktails_stage": q_cocktails_stage,
+    "q_weather_variant_stage": q_weather_variant_stage,
     "q_weather_insert": q_weather_insert,
     "q_weather_variant_insert": q_weather_variant_insert,
     "q_cocktails_insert": q_cocktails_insert,
@@ -207,6 +320,9 @@ QUERIES = {
 }
 
 ORACLE = {
+    "q_weather_stage": _weather_stage_oracle(),
+    "q_cocktails_stage": _cocktails_stage_oracle(),
+    "q_weather_variant_stage": _weather_variant_stage_oracle(),
     "q_weather_insert": _weather_insert_oracle(),
     "q_weather_variant_insert": _weather_variant_oracle(),
     "q_cocktails_insert": _cocktails_oracle(variant=False),

@@ -12,6 +12,9 @@ from sandbox_data_pipeline_spark.catalog import table
 from sandbox_data_pipeline_spark.operators.similarity import (
     brute_force_topk,
     hyperplanes,
+    ivf_assign,
+    ivf_centroids,
+    ivf_topk,
     lsh_buckets,
     lsh_topk,
     near_dup_pairs,
@@ -49,6 +52,26 @@ def q_similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_similarity_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_dup_pairs(table(spark, sf_dir, "embeddings"), threshold=NEAR_T)
+
+
+N_CENTROIDS = 16
+NPROBE = 2
+
+
+def q_similarity_ivf_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF inverted-list assignment: nearest deterministic centroid per
+    vector, computed map-side (no corpus shuffle)."""
+    emb = table(spark, sf_dir, "embeddings")
+    return ivf_assign(emb, ivf_centroids(emb, N_CENTROIDS))
+
+
+def q_similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k: probe the NPROBE nearest inverted lists
+    per query, exact cosine re-rank inside them."""
+    emb = table(spark, sf_dir, "embeddings")
+    return ivf_topk(
+        emb, _queries_df(spark, sf_dir), n_centroids=N_CENTROIDS, nprobe=NPROBE, k=TOPK
+    )
 
 
 # --- DuckDB oracles ---------------------------------------------------------
@@ -119,6 +142,65 @@ FROM ranked WHERE rank <= {TOPK}
 """
 
 
+_IVF_BASE = f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cent AS (SELECT vec_id AS centroid_id, v AS cv FROM v ORDER BY vec_id LIMIT {{n_centroids}}),
+asg AS (
+  SELECT vec_id, centroid_id AS list_id FROM (
+    SELECT a.vec_id, c.centroid_id,
+           row_number() OVER (
+             PARTITION BY a.vec_id ORDER BY
+               round(list_dot_product(a.v, c.cv) /
+                     (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.cv, c.cv))), 6) DESC,
+               c.centroid_id
+           ) AS rn
+    FROM v a CROSS JOIN cent c
+  ) WHERE rn = 1
+)
+"""
+
+
+def _oracle_ivf_lists() -> str:
+    return _IVF_BASE.format(n_centroids=N_CENTROIDS) + "SELECT vec_id, list_id FROM asg"
+
+
+def _oracle_ivf_topk() -> str:
+    cos = _COS.format(a="q.qv", b="cv.v")
+    return (
+        _IVF_BASE.format(n_centroids=N_CENTROIDS)
+        + f""",
+q AS (SELECT vec_id AS query_id, v AS qv FROM v WHERE vec_id % {QUERY_MOD} = 0),
+probes AS (
+  SELECT query_id, centroid_id AS list_id FROM (
+    SELECT q.query_id, c.centroid_id,
+           row_number() OVER (
+             PARTITION BY q.query_id ORDER BY
+               round(list_dot_product(q.qv, c.cv) /
+                     (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.cv, c.cv))), 6) DESC,
+               c.centroid_id
+           ) AS rn
+    FROM q CROSS JOIN cent c
+  ) WHERE rn <= {NPROBE}
+),
+sims AS (
+  SELECT p.query_id, a.vec_id AS cand_id, round({cos}, 6) AS cos_sim
+  FROM probes p
+  JOIN asg a USING (list_id)
+  JOIN q ON q.query_id = p.query_id
+  JOIN v cv ON cv.vec_id = a.vec_id
+  WHERE a.vec_id <> p.query_id
+),
+ranked AS (
+  SELECT query_id, cand_id, cos_sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, cand_id) AS rank
+  FROM sims
+)
+SELECT query_id, CAST(rank AS INTEGER) AS rank, cand_id, round(cos_sim, 4) AS cos_sim
+FROM ranked WHERE rank <= {TOPK}
+"""
+    )
+
+
 def _oracle_near_dup() -> str:
     cos = _COS.format(a="a.v", b="b.v")
     return f"""
@@ -134,9 +216,13 @@ QUERIES = {
     "q_similarity_lsh_buckets": q_similarity_lsh_buckets,
     "q_similarity_lsh_topk": q_similarity_lsh_topk,
     "q_similarity_near_dup": q_similarity_near_dup,
+    "q_similarity_ivf_lists": q_similarity_ivf_lists,
+    "q_similarity_ivf_topk": q_similarity_ivf_topk,
 }
 
 ORACLE = {
+    "q_similarity_ivf_lists": _oracle_ivf_lists(),
+    "q_similarity_ivf_topk": _oracle_ivf_topk(),
     "q_similarity_topk": _oracle_topk(),
     "q_similarity_lsh_buckets": _oracle_lsh_buckets(),
     "q_similarity_lsh_topk": _oracle_lsh_topk(),

@@ -68,3 +68,31 @@ def test_near_dup_blocked_pairs(spark):
     assert (0, 1) in pairs and (2, 3) in pairs
     # cross-label pairs are never compared (blocking)
     assert all(a // 2 == b // 2 for a, b in pairs)
+
+
+def test_ivf_assign_nearest_centroid(spark):
+    from sandbox_data_pipeline_spark.operators.similarity import ivf_assign, ivf_centroids
+
+    emb = _emb(spark)
+    cents = ivf_centroids(emb, n_centroids=3)  # centroids = vec 0, 1, 2
+    assert [c[0] for c in cents] == [0, 1, 2]
+    lists = {r.vec_id: r.list_id for r in ivf_assign(emb, cents).collect()}
+    # each centroid assigns to itself (cos=1); vec 3 to centroid 2; vec 4
+    # (antipodal to 0) is least-negative against centroid 2 (orthogonal → 0)
+    assert lists[0] == 0 and lists[1] == 1 and lists[2] == 2
+    assert lists[3] == 2
+    assert lists[4] == 2
+
+
+def test_ivf_topk_subset_of_brute_force(spark):
+    from sandbox_data_pipeline_spark.operators.similarity import ivf_topk
+
+    emb = table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = emb.where(F.col("vec_id") < 5)
+    exact = {(r.query_id, r.cand_id) for r in brute_force_topk(emb, q, k=3).collect()}
+    approx = {(r.query_id, r.cand_id) for r in
+              ivf_topk(emb, q, n_centroids=8, nprobe=2, k=3).collect()}
+    assert approx
+    for qid, cid in approx:
+        assert qid != cid
+    assert len(approx & exact) > 0
