@@ -142,6 +142,14 @@ def ngram_jaccard_pairs(
     )
 
 
+def perm_constants(k: int) -> list[int]:
+    """Deterministic 60-bit XOR constants for the K minhash
+    permutations (md5-derived, reproducible in any engine)."""
+    import hashlib
+
+    return [int(hashlib.md5(f"perm|{j}".encode()).hexdigest()[:15], 16) for j in range(k)]
+
+
 def minhash_signatures(
     docs: DataFrame,
     k: int = 16,
@@ -150,9 +158,20 @@ def minhash_signatures(
     text_col: str = "text",
 ) -> DataFrame:
     """K-permutation MinHash signature in ONE aggregation pass:
-    h_j(doc) = min over shingles of hash(j || shingle). Columns h0..h{k-1}."""
-    sh = word_shingles(docs, n=n, id_col=id_col, text_col=text_col)
-    aggs = [F.min(portable_hash(F.col("shingle"), salt=f"{j}|")).alias(f"h{j}") for j in range(k)]
+    h_j(doc) = min over shingles of (hash(shingle) XOR c_j).
+
+    The shingle is md5-hashed ONCE; each permutation is a bitwise XOR
+    with a fixed 60-bit constant (a uniform permutation of the hash
+    space — the standard cheap minhash family). The per-salt
+    alternative (k md5 calls per shingle) costs k× the hashing and k×
+    the codegen; XOR is one instruction. Columns h0..h{k-1}."""
+    sh = word_shingles(docs, n=n, id_col=id_col, text_col=text_col).withColumn(
+        "_h", portable_hash(F.col("shingle"))
+    )
+    aggs = [
+        F.min(F.expr(f"_h ^ {c}").cast("long")).alias(f"h{j}")
+        for j, c in enumerate(perm_constants(k))
+    ]
     return sh.groupBy(id_col).agg(*aggs)
 
 

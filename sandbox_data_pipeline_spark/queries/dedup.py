@@ -13,6 +13,7 @@ from sandbox_data_pipeline_spark.operators.dedup import (
     exact_dedup_stats,
     minhash_candidate_pairs,
     ngram_jaccard_pairs,
+    perm_constants,
     simhash_fingerprints,
     simhash_pairs,
 )
@@ -76,13 +77,14 @@ shingles AS (
 
 def _sig_cte(k: int, n: int) -> str:
     mins = ",\n         ".join(
-        f"min({_H('shingle', salt=f'{j}|')}) AS h{j}" for j in range(k)
+        f"min(xor(h, {c})) AS h{j}" for j, c in enumerate(perm_constants(k))
     )
     return _shingles_cte(n) + f""",
+hashed AS (SELECT doc_id, {_H('shingle')} AS h FROM shingles),
 sigs AS (
   SELECT doc_id,
          {mins}
-  FROM shingles GROUP BY doc_id
+  FROM hashed GROUP BY doc_id
 )"""
 
 
