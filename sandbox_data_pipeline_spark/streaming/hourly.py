@@ -113,6 +113,84 @@ def start_hourly_pipeline(
     return writer.start()
 
 
+def dedup_stream(
+    events: DataFrame,
+    key_col: str = "event_id",
+    watermark: str = "2 hours",
+    state_ttl_hours: int = 24,
+) -> DataFrame:
+    """Cross-batch streaming dedup with explicit keyed state
+    (applyInPandasWithState): emits the FIRST row per key ever seen and
+    suppresses every later arrival — across micro-batches and restarts
+    (state lives in the checkpoint).
+
+    This is the custom-stateful surface of the engine (beyond
+    dropDuplicates, whose state the planner manages): per-key state is
+    one boolean, expired by an event-time timeout ``state_ttl_hours``
+    past the watermark, so state size is bounded by key arrival rate ×
+    TTL, not by stream lifetime — the property that matters at 100 TB/day
+    ingest. Arrow-batched; rows never round-trip through Python one at
+    a time."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    ttl_ms = state_ttl_hours * 3600 * 1000
+
+    def _first_seen(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        first = None
+        max_ts_ms = 0
+        for pdf in pdfs:
+            if len(pdf) > 0:
+                max_ts_ms = max(max_ts_ms, int(pdf["ts"].max().value // 1_000_000))
+                if first is None:
+                    first = pdf.iloc[[0]]
+        # TTL anchors to EVENT time (not the current watermark, which is
+        # 0 in the first batch and would expire all state immediately).
+        state.setTimeoutTimestamp(max(max_ts_ms, state.getCurrentWatermarkMs()) + ttl_ms)
+        if state.exists:
+            return  # key already emitted in an earlier batch
+        state.update((True,))
+        if first is not None:
+            yield first
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.col(key_col))
+        .applyInPandasWithState(
+            _first_seen,
+            outputStructType=EVENT_SCHEMA,
+            stateStructType="seen boolean",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def start_dedup_pipeline(
+    spark: SparkSession,
+    source_dir: str,
+    sink_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = False,
+    max_files_per_trigger: int | None = None,
+):
+    """Source → stateful first-seen dedup → append parquet sink."""
+    deduped = dedup_stream(
+        read_event_stream(spark, source_dir, max_files_per_trigger)
+    )
+    writer = (
+        deduped.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", sink_dir)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def sessionize(
     events: DataFrame,
     gap_minutes: int = 30,

@@ -103,3 +103,37 @@ def test_sessionize_gap_semantics(spark):
     first = min(by_user[100], key=lambda r: r.session_start)
     assert first.n_events == 2 and first.sum_value == 3.0
     assert len(by_user[200]) == 1
+
+
+def test_stateful_dedup_across_batches_and_restarts(spark, tmp_path):
+    from sandbox_data_pipeline_spark.streaming.hourly import start_dedup_pipeline
+
+    src, sink, ckpt = (str(tmp_path / d) for d in ("src", "sink", "ckpt"))
+    os.makedirs(src)
+
+    def _rows(ids):
+        return "\n".join(
+            json.dumps({"event_id": i, "ts": "2024-02-01 10:00:00.000",
+                        "user_id": i % 7, "event_type": "click",
+                        "value": 1.0, "props": "{}"})
+            for i in ids
+        )
+
+    # batch 1: ids 0..99, each written TWICE (in-batch duplicates)
+    with open(os.path.join(src, "a.json"), "w") as f:
+        f.write(_rows(list(range(100)) + list(range(100))))
+    q = start_dedup_pipeline(spark, src, sink, ckpt, available_now=True)
+    q.awaitTermination(120)
+    got = spark.read.parquet(sink)
+    assert got.count() == 100
+    assert got.select("event_id").distinct().count() == 100
+
+    # batch 2 after restart: ids 50..149 — the 50 already-seen ids are
+    # suppressed by checkpointed state, only 100..149 are new
+    with open(os.path.join(src, "b.json"), "w") as f:
+        f.write(_rows(range(50, 150)))
+    q2 = start_dedup_pipeline(spark, src, sink, ckpt, available_now=True)
+    q2.awaitTermination(120)
+    got2 = spark.read.parquet(sink)
+    assert got2.count() == 150
+    assert got2.select("event_id").distinct().count() == 150
