@@ -142,6 +142,59 @@ def weather_variant_publish(stage: DataFrame, run_hr: int) -> DataFrame:
     )
 
 
+def weather_variant_publish_native(stage: DataFrame, run_hr: int) -> DataFrame:
+    """The same Snowflake-discipline publish as ``weather_variant_publish``
+    but on Spark 4's native VariantType: ``parse_json`` once, then typed
+    ``try_variant_get`` path extraction (the literal equivalent of
+    Snowflake's ``json_data:path::type`` — SURVEY §1.2). Identical
+    output schema/values; at scale the binary variant avoids re-parsing
+    the JSON text per extracted path, which is what get_json_object does.
+
+    ``condition`` is re-serialized from an ordered struct because variant
+    binary form sorts object keys and the reference keeps the original
+    field order in its untyped prod column."""
+    v = stage.select(F.parse_json(F.col(VARIANT_COL)).alias("_v"))
+
+    def vstr(path: str) -> Column:
+        return F.try_variant_get("_v", path, "string")
+
+    def vdouble(path: str) -> Column:
+        return F.try_variant_get("_v", path, "double")
+
+    def vint(path: str) -> Column:
+        return F.round(F.try_variant_get("_v", path, "double"), 0).cast("int")
+
+    condition = F.to_json(
+        F.struct(
+            vstr("$.current.condition.text").alias("text"),
+            vstr("$.current.condition.icon").alias("icon"),
+            F.try_variant_get("_v", "$.current.condition.code", "long").alias("code"),
+        )
+    )
+    return v.select(
+        F.lit(run_hr).cast("long").alias("run_hr"),
+        vstr("$.location.name").alias("location_name"),
+        F.date_trunc("hour", vstr("$.location.localtime").cast("timestamp")).alias("local_time"),
+        vint("$.current.temp_c").alias("temp_c"),
+        vint("$.current.temp_f").alias("temp_f"),
+        F.try_variant_get("_v", "$.current.is_day", "int").cast("boolean").alias("is_day"),
+        condition.alias("condition"),
+        vdouble("$.current.wind_kph").alias("wind_kph"),
+        vdouble("$.current.wind_mph").alias("wind_mph"),
+        vdouble("$.current.gust_kph").alias("gust_kph"),
+        vdouble("$.current.gust_mph").alias("gust_mph"),
+        vint("$.current.pressure_mb").alias("pressure_mb"),
+        vint("$.current.pressure_in").alias("pressure_in"),
+        vint("$.current.humidity").alias("humidity"),
+        vint("$.current.cloud").alias("cloud"),
+        vint("$.current.feelslike_c").alias("feelslike_c"),
+        vint("$.current.feelslike_f").alias("feelslike_f"),
+        vint("$.current.vis_km").alias("vis_km"),
+        vint("$.current.vis_miles").alias("vis_miles"),
+        vint("$.current.uv").alias("uv"),
+    )
+
+
 def cocktails_publish(stage: DataFrame, run_hr: int) -> DataFrame:
     """BigQuery-discipline publish (write_cocktails_to_bigquery.sql:63-176):
     CROSS JOIN UNNEST (J1 → explode) then the 51-column camelCase →

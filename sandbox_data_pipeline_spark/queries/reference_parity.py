@@ -21,6 +21,7 @@ from sandbox_data_pipeline_spark.operators.ingest import (
     weather_flatten,
     weather_publish,
     weather_variant_publish,
+    weather_variant_publish_native,
 )
 from sandbox_data_pipeline_spark.schemas import COCKTAIL_RENAME, COCKTAILS_SCHEMA, WEATHER_SCHEMA
 from sandbox_data_pipeline_spark.sources.json_source import (
@@ -236,6 +237,20 @@ def _weather_variant_oracle() -> str:
     return "SELECT\n  " + ",\n  ".join(sel) + f"\nFROM {_weather_values()}"
 
 
+def q_weather_variant_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 on Spark 4 native VariantType (parse_json + try_variant_get):
+    same output contract as q_weather_variant_insert, checked against
+    the same oracle."""
+    docs = docs_to_df(spark, fixtures.weather_json_docs())
+    out: DataFrame | None = None
+    for run_hr in fixtures.RUN_HRS:
+        stage = docs.where(F.col("run_hr") == run_hr).select(F.col("body").alias("json_data"))
+        pub = weather_variant_publish_native(stage, run_hr)
+        out = pub if out is None else out.unionAll(pub)
+    assert out is not None
+    return out
+
+
 # --- q_cocktails_insert / q_cocktails_variant_insert (J1/J2 + P9) ----------
 
 def q_cocktails_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -312,6 +327,7 @@ QUERIES = {
     "q_weather_variant_stage": q_weather_variant_stage,
     "q_weather_insert": q_weather_insert,
     "q_weather_variant_insert": q_weather_variant_insert,
+    "q_weather_variant_native": q_weather_variant_native,
     "q_cocktails_insert": q_cocktails_insert,
     "q_cocktails_variant_insert": q_cocktails_variant_insert,
     "q_cities_source": q_cities_source,
@@ -325,6 +341,7 @@ ORACLE = {
     "q_weather_variant_stage": _weather_variant_stage_oracle(),
     "q_weather_insert": _weather_insert_oracle(),
     "q_weather_variant_insert": _weather_variant_oracle(),
+    "q_weather_variant_native": _weather_variant_oracle(),
     "q_cocktails_insert": _cocktails_oracle(variant=False),
     "q_cocktails_variant_insert": _cocktails_oracle(variant=True),
     "q_cities_source": "SELECT * FROM (VALUES "

@@ -87,3 +87,30 @@ def write_raw_json(df: DataFrame, base_path: str) -> None:
     """K1: land raw documents as JSON text partitioned by run-hour
     (the api_data/<feed>/{run_hr}/ layout, Hive-style)."""
     df.write.mode("overwrite").partitionBy(RUN_HR_COL).json(base_path)
+
+
+def notify_query_result(
+    df: DataFrame,
+    transport,
+    title: str = "",
+    max_rows: int = 50,
+) -> dict:
+    """K6: query→notification sink (the reference's SqlToSlackOperator,
+    dags/test.py:128-137 — run a query, post the small result frame to
+    a webhook).
+
+    Driver-side BY DESIGN: a notification is a human-sized artifact, so
+    the collect is bounded by ``max_rows`` (limit pushed into the plan,
+    not applied after collect). ``transport`` is an injected callable
+    ``(payload: dict) -> None`` — an HTTP POST in production, a recorder
+    in tests; the engine never hardcodes a network dependency."""
+    rows = df.limit(max_rows).collect()
+    payload = {
+        "title": title,
+        "columns": df.columns,
+        "rows": [[r[c] for c in df.columns] for r in rows],
+        "row_count": len(rows),
+        "truncated": len(rows) == max_rows,
+    }
+    transport(payload)
+    return payload

@@ -84,3 +84,23 @@ def test_cocktails_explode_cardinality(spark):
     assert prod.columns[-1] == "run_hr"
     names = {r.drink for r in prod.select("drink").collect()}
     assert names == {"A1", "ABC", "Ace"}
+
+
+def test_weather_variant_native_matches_get_json_object_path(spark):
+    """Spark-4 VariantType publish must be value-identical to the
+    portable get_json_object publish (same Snowflake discipline)."""
+    from sandbox_data_pipeline_spark import fixtures
+    from sandbox_data_pipeline_spark.operators.ingest import (
+        weather_variant_publish,
+        weather_variant_publish_native,
+    )
+    from sandbox_data_pipeline_spark.sources.json_source import docs_to_df
+
+    docs = docs_to_df(spark, fixtures.weather_json_docs())
+    stage = docs.where(F.col("run_hr") == fixtures.RUN_HRS[0]).select(
+        F.col("body").alias("json_data")
+    )
+    a = weather_variant_publish(stage, fixtures.RUN_HRS[0])
+    b = weather_variant_publish_native(stage, fixtures.RUN_HRS[0])
+    assert a.columns == b.columns
+    assert sorted(map(str, a.collect())) == sorted(map(str, b.collect()))

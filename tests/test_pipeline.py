@@ -65,3 +65,16 @@ def test_skip_guard_raises(spark, tmp_path):
     publish_run(df, base, 202401150000, skip_if_exists=True)
     with pytest.raises(SkippedWrite):
         publish_run(df, base, 202401150000, skip_if_exists=True)
+
+
+def test_notify_query_result_bounded_and_injected(spark):
+    from sandbox_data_pipeline_spark.sinks.writers import notify_query_result
+
+    df = spark.range(200).selectExpr("id", "id * 2 AS v")
+    sent = []
+    payload = notify_query_result(df, sent.append, title="t", max_rows=10)
+    assert sent == [payload]
+    assert payload["columns"] == ["id", "v"]
+    assert payload["row_count"] == 10 and payload["truncated"] is True
+    small = notify_query_result(spark.range(3).toDF("id"), sent.append, max_rows=10)
+    assert small["row_count"] == 3 and small["truncated"] is False
