@@ -29,7 +29,10 @@ HEADLINE = [
     "q_window_hourly",
     "q_dedup_exact",
     "q_dedup_minhash_pairs",
+    "q_dedup_simhash_pairs",
     "q_similarity_topk",
+    "q_similarity_lsh_topk",
+    "q_similarity_ivf_topk",
     "q_text_quality",
     "q_token_count",
 ]

@@ -95,6 +95,28 @@ def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe salted equi-join (operators/skew.py): row-identical to
+    the plain join — verified by sharing the plain-join oracle — while
+    spreading each hot key over salt_factor shuffle partitions."""
+    from sandbox_data_pipeline_spark.operators.skew import salted_join
+
+    l = table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("orderkey"), "l_extendedprice", "l_discount"
+    )
+    o = table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("orderkey"), "o_orderpriority"
+    )
+    return (
+        salted_join(l, o, on="orderkey", salt_factor=8)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"),
+            F.count(F.lit(1)).alias("line_cnt"),
+        )
+    )
+
+
 def q_join_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-way snowflake join customer→nation→region with tiny dims
     broadcast; Catalyst collapses this into two broadcast-hash joins on
@@ -364,6 +386,7 @@ QUERIES = {
     "q_join_anti": q_join_anti,
     "q_join_broadcast": q_join_broadcast,
     "q_join_multi": q_join_multi,
+    "q_join_salted": q_join_salted,
     "q_agg_basic": q_agg_basic,
     "q_agg_distinct": q_agg_distinct,
     "q_agg_rollup": q_agg_rollup,
@@ -395,6 +418,13 @@ ORACLE = {
         FROM events
         WHERE date_trunc('hour', ts) <> TIMESTAMP '2024-01-03 00:00:00'
         GROUP BY event_type
+    """,
+    "q_join_salted": """
+        SELECT o_orderpriority,
+               round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+               count(*) AS line_cnt
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderpriority
     """,
     "q_join_inner": """
         SELECT o_orderkey, c_name, o_totalprice, c_mktsegment
