@@ -266,6 +266,55 @@ def q_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.unionAll(s)
 
 
+# --- SQL entry point: subquery forms ---------------------------------------
+# Declared through spark.sql over registered views — the engine's SQL
+# surface (the reference's query semantics all live in SQL files;
+# SURVEY §0). Catalyst rewrites these to the same physical joins as the
+# DataFrame API: IN → left-semi, EXISTS → left-semi with correlated
+# predicate pulled up, scalar subquery → broadcast one-row relation.
+
+_SUBQ_IN = """
+SELECT o_orderkey, o_totalprice
+FROM orders
+WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+"""
+
+_SCALAR_SUBQ = """
+SELECT o_orderkey, round(o_totalprice, 4) AS o_totalprice
+FROM orders
+WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+"""
+
+_EXISTS_CORR = """
+SELECT c_custkey, c_name
+FROM customer c
+WHERE EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F'
+)
+"""
+
+
+def _register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...]) -> None:
+    for t in names:
+        table(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+def q_subquery_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _register_views(spark, sf_dir, ("orders", "customer"))
+    return spark.sql(_SUBQ_IN)
+
+
+def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _register_views(spark, sf_dir, ("orders",))
+    return spark.sql(_SCALAR_SUBQ)
+
+
+def q_exists_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _register_views(spark, sf_dir, ("orders", "customer"))
+    return spark.sql(_EXISTS_CORR)
+
+
 def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INTERSECT and EXCEPT (distinct set semantics) over nation keys."""
     cn = table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
@@ -397,6 +446,9 @@ QUERIES = {
     "q_sort_limit": q_sort_limit,
     "q_top5": q_top5,
     "q_union_all": q_union_all,
+    "q_subquery_in": q_subquery_in,
+    "q_scalar_subquery": q_scalar_subquery,
+    "q_exists_correlated": q_exists_correlated,
     "q_set_ops": q_set_ops,
     "q_string_funcs": q_string_funcs,
     "q_date_funcs": q_date_funcs,
@@ -419,6 +471,9 @@ ORACLE = {
         WHERE date_trunc('hour', ts) <> TIMESTAMP '2024-01-03 00:00:00'
         GROUP BY event_type
     """,
+    "q_subquery_in": _SUBQ_IN,
+    "q_scalar_subquery": _SCALAR_SUBQ,
+    "q_exists_correlated": _EXISTS_CORR,
     "q_join_salted": """
         SELECT o_orderpriority,
                round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
