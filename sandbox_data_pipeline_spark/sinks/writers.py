@@ -89,6 +89,31 @@ def write_raw_json(df: DataFrame, base_path: str) -> None:
     df.write.mode("overwrite").partitionBy(RUN_HR_COL).json(base_path)
 
 
+def save_bucketed(
+    df: DataFrame,
+    name: str,
+    key: str,
+    buckets: int = 32,
+    path: str | None = None,
+    sort: bool = True,
+) -> None:
+    """Persist a table hash-bucketed (and per-bucket sorted) on its join
+    key. Two tables bucketed on the same key with the same bucket count
+    join WITHOUT a shuffle on either side — the pre-partitioning both
+    sides already have satisfies the join's distribution requirement.
+
+    This is the 100 TB pattern for fact-fact joins repeated across many
+    queries (e.g. lineitem⋈orders): pay the shuffle once at write time,
+    never again at read time. Bucket count should be sized so one
+    bucket ≈ one task's worth of data at the target scale."""
+    writer = df.write.mode("overwrite").format("parquet").bucketBy(buckets, key)
+    if sort:
+        writer = writer.sortBy(key)
+    if path:
+        writer = writer.option("path", path)
+    writer.saveAsTable(name)
+
+
 def notify_query_result(
     df: DataFrame,
     transport,

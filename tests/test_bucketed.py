@@ -1,0 +1,51 @@
+"""Bucketed co-located joins: two tables bucketed on the join key join
+with NO shuffle on either side (the SCALE.md fact-fact join pattern)."""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+from pyspark.sql import functions as F
+
+from sandbox_data_pipeline_spark.catalog import table
+from sandbox_data_pipeline_spark.sinks.writers import save_bucketed
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    o = table(spark, SF, "orders").select("o_orderkey", "o_orderpriority")
+    l = table(spark, SF, "lineitem").select("l_orderkey", "l_quantity")
+    # sf0.001 tables broadcast by default, which hides the property under
+    # test; at real fact-fact scale neither side broadcasts.
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", None)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        save_bucketed(o, "b_orders", "o_orderkey", buckets=8, path=str(tmp_path / "o"))
+        save_bucketed(
+            l.withColumnRenamed("l_orderkey", "o_orderkey"),
+            "b_lineitem", "o_orderkey", buckets=8, path=str(tmp_path / "l"),
+        )
+        bo, bl = spark.table("b_orders"), spark.table("b_lineitem")
+        joined = bo.join(bl, "o_orderkey")
+        plan = _plan(joined)
+        assert "Exchange" not in plan  # no shuffle, no broadcast — co-located
+        # and it still computes the right thing
+        expect = l.join(o, l.l_orderkey == o.o_orderkey).count()
+        assert joined.count() == expect
+        # the unbucketed source join DOES shuffle (control)
+        control = _plan(l.join(o, l.l_orderkey == o.o_orderkey))
+        assert "Exchange" in control and "hashpartitioning" in control
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
