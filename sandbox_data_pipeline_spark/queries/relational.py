@@ -266,6 +266,62 @@ def q_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.unionAll(s)
 
 
+def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus): all 4 grouping-set combos."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+        F.count(F.lit(1)).alias("line_cnt"),
+    )
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch session windows (30-minute gap) per user over events —
+    Spark's native session_window; the oracle reproduces the semantics
+    with gaps-and-islands SQL (new session when the gap since the
+    previous event is >= 30 min; session end = last event + gap)."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes").alias("w"), F.col("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+_SESSIONIZE_ORACLE = """
+WITH marked AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sess AS (
+  SELECT user_id, ts, value,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) + INTERVAL 30 MINUTE AS session_end,
+       count(*) AS n_events,
+       round(sum(value), 4) AS sum_value
+FROM sess
+GROUP BY user_id, sid
+"""
+
+
 # --- SQL entry point: subquery forms ---------------------------------------
 # Declared through spark.sql over registered views — the engine's SQL
 # surface (the reference's query semantics all live in SQL files;
@@ -439,6 +495,8 @@ QUERIES = {
     "q_agg_basic": q_agg_basic,
     "q_agg_distinct": q_agg_distinct,
     "q_agg_rollup": q_agg_rollup,
+    "q_agg_cube": q_agg_cube,
+    "q_sessionize": q_sessionize,
     "q_agg_approx": q_agg_approx,
     "q_window_rank": q_window_rank,
     "q_window_frame": q_window_frame,
@@ -471,6 +529,14 @@ ORACLE = {
         WHERE date_trunc('hour', ts) <> TIMESTAMP '2024-01-03 00:00:00'
         GROUP BY event_type
     """,
+    "q_agg_cube": """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 4) AS sum_qty,
+               count(*) AS line_cnt
+        FROM lineitem
+        GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    "q_sessionize": _SESSIONIZE_ORACLE,
     "q_subquery_in": _SUBQ_IN,
     "q_scalar_subquery": _SCALAR_SUBQ,
     "q_exists_correlated": _EXISTS_CORR,
