@@ -322,6 +322,42 @@ GROUP BY user_id, sid
 """
 
 
+def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join (operators/asof.py): each click event joined
+    to the user's latest purchase at-or-before it. The oracle is
+    DuckDB's native ASOF LEFT JOIN; the purchase side is pre-aggregated
+    per (user, ts) so ties are deterministic on both engines."""
+    from sandbox_data_pipeline_spark.operators.asof import asof_join
+
+    e = table(spark, sf_dir, "events")
+    clicks = e.where(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", F.round("value", 4).alias("click_value")
+    )
+    purchases = (
+        e.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.round(F.max("value"), 4).alias("purchase_value"))
+    )
+    return asof_join(clicks, purchases, by="user_id", ts_col="ts")
+
+
+_ASOF_ORACLE = """
+WITH clicks AS (
+  SELECT user_id, ts, event_id, round(value, 4) AS click_value
+  FROM events WHERE event_type = 'click'
+),
+purch AS (
+  SELECT user_id, ts, round(max(value), 4) AS purchase_value
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY user_id, ts
+)
+SELECT c.user_id, c.ts, c.event_id, c.click_value,
+       p.ts AS ts_asof, p.purchase_value AS purchase_value_asof
+FROM clicks c ASOF LEFT JOIN purch p
+  ON c.user_id = p.user_id AND c.ts >= p.ts
+"""
+
+
 # --- SQL entry point: subquery forms ---------------------------------------
 # Declared through spark.sql over registered views — the engine's SQL
 # surface (the reference's query semantics all live in SQL files;
@@ -492,6 +528,7 @@ QUERIES = {
     "q_join_broadcast": q_join_broadcast,
     "q_join_multi": q_join_multi,
     "q_join_salted": q_join_salted,
+    "q_join_asof": q_join_asof,
     "q_agg_basic": q_agg_basic,
     "q_agg_distinct": q_agg_distinct,
     "q_agg_rollup": q_agg_rollup,
@@ -537,6 +574,7 @@ ORACLE = {
         GROUP BY CUBE (l_returnflag, l_linestatus)
     """,
     "q_sessionize": _SESSIONIZE_ORACLE,
+    "q_join_asof": _ASOF_ORACLE,
     "q_subquery_in": _SUBQ_IN,
     "q_scalar_subquery": _SCALAR_SUBQ,
     "q_exists_correlated": _EXISTS_CORR,
