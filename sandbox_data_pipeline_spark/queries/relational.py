@@ -358,6 +358,34 @@ FROM clicks c ASOF LEFT JOIN purch p
 """
 
 
+def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded range join (operators/range_join.py): errors within 24 h
+    after each signup, aggregated per signup. The oracle is the naive
+    inequality join — identical pairs, different (scalable) plan."""
+    from sandbox_data_pipeline_spark.operators.range_join import range_join
+
+    e = table(spark, sf_dir, "events")
+    signups = e.where(F.col("event_type") == "signup").select("user_id", "ts", "event_id")
+    errors = e.where(F.col("event_type") == "error").select("user_id", "ts", "value")
+    pairs = range_join(signups, errors, by="user_id", lower_s=0, upper_s=86400)
+    return pairs.groupBy("user_id", F.col("l_event_id").alias("signup_id")).agg(
+        F.count(F.lit(1)).alias("errors_24h"),
+        F.round(F.sum("r_value"), 4).alias("error_value_sum"),
+    )
+
+
+_RANGE_ORACLE = """
+WITH s AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'signup'),
+r AS (SELECT user_id, ts, value FROM events WHERE event_type = 'error')
+SELECT s.user_id, s.event_id AS signup_id,
+       count(*) AS errors_24h,
+       round(sum(r.value), 4) AS error_value_sum
+FROM s JOIN r ON s.user_id = r.user_id
+ AND r.ts >= s.ts AND r.ts <= s.ts + INTERVAL 24 HOUR
+GROUP BY s.user_id, s.event_id
+"""
+
+
 # --- SQL entry point: subquery forms ---------------------------------------
 # Declared through spark.sql over registered views — the engine's SQL
 # surface (the reference's query semantics all live in SQL files;
@@ -529,6 +557,7 @@ QUERIES = {
     "q_join_multi": q_join_multi,
     "q_join_salted": q_join_salted,
     "q_join_asof": q_join_asof,
+    "q_join_range": q_join_range,
     "q_agg_basic": q_agg_basic,
     "q_agg_distinct": q_agg_distinct,
     "q_agg_rollup": q_agg_rollup,
@@ -575,6 +604,7 @@ ORACLE = {
     """,
     "q_sessionize": _SESSIONIZE_ORACLE,
     "q_join_asof": _ASOF_ORACLE,
+    "q_join_range": _RANGE_ORACLE,
     "q_subquery_in": _SUBQ_IN,
     "q_scalar_subquery": _SCALAR_SUBQ,
     "q_exists_correlated": _EXISTS_CORR,
