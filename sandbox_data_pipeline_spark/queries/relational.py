@@ -386,6 +386,34 @@ GROUP BY s.user_id, s.event_id
 """
 
 
+def q_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate (operators/rollup.py):
+    daily tier computed FROM the hourly tier (sums of sums), never from
+    raw events. The oracle aggregates events directly to daily — the
+    check proves cascaded re-aggregation is exact."""
+    from sandbox_data_pipeline_spark.operators.rollup import (
+        cascade,
+        hourly_aggregate,
+        present,
+    )
+
+    e = table(spark, sf_dir, "events")
+    return present(cascade(hourly_aggregate(e), "day"))
+
+
+_ROLLUP_CASCADE_ORACLE = """
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket_start,
+       event_type,
+       count(*) AS event_cnt,
+       round(sum(value), 4) AS sum_value,
+       round(round(sum(value), 4) / count(*), 4) AS avg_value,
+       round(min(value), 4) AS min_value,
+       round(max(value), 4) AS max_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
 # --- SQL entry point: subquery forms ---------------------------------------
 # Declared through spark.sql over registered views — the engine's SQL
 # surface (the reference's query semantics all live in SQL files;
@@ -563,6 +591,7 @@ QUERIES = {
     "q_agg_rollup": q_agg_rollup,
     "q_agg_cube": q_agg_cube,
     "q_sessionize": q_sessionize,
+    "q_rollup_cascade": q_rollup_cascade,
     "q_agg_approx": q_agg_approx,
     "q_window_rank": q_window_rank,
     "q_window_frame": q_window_frame,
@@ -603,6 +632,7 @@ ORACLE = {
         GROUP BY CUBE (l_returnflag, l_linestatus)
     """,
     "q_sessionize": _SESSIONIZE_ORACLE,
+    "q_rollup_cascade": _ROLLUP_CASCADE_ORACLE,
     "q_join_asof": _ASOF_ORACLE,
     "q_join_range": _RANGE_ORACLE,
     "q_subquery_in": _SUBQ_IN,
