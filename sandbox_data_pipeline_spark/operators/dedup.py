@@ -46,16 +46,21 @@ def word_shingles(
     id_col: str = "doc_id",
     text_col: str = "text",
     df_cap: int | None = None,
+    distinct: bool = True,
 ) -> DataFrame:
-    """Distinct word n-grams per document, shuffle-free until distinct.
+    """Word n-grams per document, shuffle-free until (optional) distinct.
 
     Array-expression shingling: tokens[i..i+n-1] for i in 0..len-n via
     transform(sequence(...)) — evaluated row-local inside whole-stage
     codegen. ``df_cap`` removes shingles appearing in more than that
     many documents (computed with one extra agg) before any self-join.
+
+    ``distinct=False`` skips the per-doc dedup shuffle entirely — valid
+    for consumers whose downstream aggregate is duplicate-insensitive
+    (minhash's ``min``); set-semantics consumers (Jaccard counting)
+    keep the default.
     """
     toks = F.split(F.col(text_col), " ")
-    parts = [F.expr(f"_toks[i + {j}]") for j in range(n)]
     shingled = (
         docs.select(id_col, toks.alias("_toks"))
         .where(F.size("_toks") >= n)
@@ -70,8 +75,9 @@ def word_shingles(
                 )
             ).alias("shingle"),
         )
-        .distinct()
     )
+    if distinct:
+        shingled = shingled.distinct()
     if df_cap is not None:
         hot = (
             shingled.groupBy("shingle")
@@ -164,10 +170,15 @@ def minhash_signatures(
     with a fixed 60-bit constant (a uniform permutation of the hash
     space — the standard cheap minhash family). The per-salt
     alternative (k md5 calls per shingle) costs k× the hashing and k×
-    the codegen; XOR is one instruction. Columns h0..h{k-1}."""
-    sh = word_shingles(docs, n=n, id_col=id_col, text_col=text_col).withColumn(
-        "_h", portable_hash(F.col("shingle"))
-    )
+    the codegen; XOR is one instruction. Columns h0..h{k-1}.
+
+    Shingles are NOT deduplicated: ``min`` is duplicate-insensitive, so
+    the per-doc distinct would add a full shuffle of the shingle
+    strings for nothing — the only shuffle here is the partial-combined
+    groupBy carrying k longs per doc per task."""
+    sh = word_shingles(
+        docs, n=n, id_col=id_col, text_col=text_col, distinct=False
+    ).withColumn("_h", portable_hash(F.col("shingle")))
     aggs = [
         F.min(F.expr(f"_h ^ {c}").cast("long")).alias(f"h{j}")
         for j, c in enumerate(perm_constants(k))
