@@ -253,6 +253,71 @@ def minhash_candidate_pairs(
     )
 
 
+def duplicate_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Resolve near-duplicate PAIRS into CLUSTERS (connected
+    components): output (doc_id, cluster_id) where cluster_id is the
+    minimum doc id reachable through the pair graph — the canonical
+    survivor each member should defer to.
+
+    Iterative min-label propagation: each round, every node takes the
+    min of its own label and its neighbors' labels. Rounds needed =
+    graph diameter, and near-duplicate clusters are shallow (a dup
+    cluster's diameter is small by construction — members all resemble
+    the same content), so this converges in a handful of distributed
+    join+agg rounds; the driver only checks the changed-label count.
+    Each iteration persists its labels and unpersists the previous
+    round to keep lineage flat."""
+    edges = (
+        pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        .unionAll(pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .persist()
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.b == labels.node)
+            .groupBy("a")
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.a, "left")
+            .select(
+                F.col("node"),
+                F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias(
+                    "label"
+                ),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+def keep_canonical(
+    docs: DataFrame, clusters: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Drop every clustered doc except its cluster's canonical (minimum
+    id) member; unpaired docs pass through untouched. One anti-join."""
+    losers = clusters.where(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
+    return docs.join(losers, docs[id_col] == losers.doc_id, "left_anti")
+
+
 def simhash_fingerprints(
     docs: DataFrame,
     bits: int = 48,

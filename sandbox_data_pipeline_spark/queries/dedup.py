@@ -46,6 +46,16 @@ def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → connected components → (doc_id, cluster_id).
+    Spark: iterative min-label propagation; oracle: recursive-CTE
+    transitive closure over the same minhash pairs."""
+    from sandbox_data_pipeline_spark.operators.dedup import duplicate_clusters
+
+    pairs = q_dedup_minhash_pairs(spark, sf_dir)
+    return duplicate_clusters(pairs)
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_fingerprints(table(spark, sf_dir, "documents"), bits=SIMHASH_BITS)
 
@@ -149,6 +159,28 @@ WHERE round(({matches}) / {k}.0, 4) >= {t}
 """
 
 
+def _oracle_clusters() -> str:
+    """Connected components in SQL: undirected transitive closure
+    (recursive CTE; UNION dedup guarantees termination), then
+    cluster_id = min reachable node (including self)."""
+    return f"""
+WITH RECURSIVE
+pairs AS (SELECT doc_a, doc_b FROM ({_oracle_minhash()}) mh),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM pairs
+),
+reach (a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+)
+SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+FROM reach GROUP BY a
+"""
+
+
 def _simhash_cte(bits: int = SIMHASH_BITS) -> str:
     votes = ",\n         ".join(
         f"CAST(sum(CASE WHEN ((h >> {b}) & 1) = 1 THEN tf ELSE -tf END) AS BIGINT) AS s{b}" for b in range(bits)
@@ -194,6 +226,7 @@ QUERIES = {
     "q_dedup_exact_keep": q_dedup_exact_keep,
     "q_dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "q_dedup_minhash_pairs": q_dedup_minhash_pairs,
+    "q_dedup_clusters": q_dedup_clusters,
     "q_dedup_simhash": q_dedup_simhash,
     "q_dedup_simhash_pairs": q_dedup_simhash_pairs,
 }
@@ -203,6 +236,7 @@ ORACLE = {
     "q_dedup_exact_keep": ORACLE_DEDUP_KEEP,
     "q_dedup_ngram_jaccard": _oracle_jaccard(),
     "q_dedup_minhash_pairs": _oracle_minhash(),
+    "q_dedup_clusters": _oracle_clusters(),
     "q_dedup_simhash": _oracle_simhash(),
     "q_dedup_simhash_pairs": _oracle_simhash_pairs(),
 }

@@ -63,3 +63,23 @@ def test_simhash_hamming_ordering(spark):
     pairs = {(r.doc_a, r.doc_b): r.hamming for r in
              simhash_pairs(_docs(spark), max_hamming=3).collect()}
     assert pairs[(0, 3)] == 0
+
+
+def test_duplicate_clusters_chain_and_canonical(spark):
+    from sandbox_data_pipeline_spark.operators.dedup import (
+        duplicate_clusters,
+        keep_canonical,
+    )
+
+    # chain 1-2-3 (transitive), isolated pair 10-11
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "doc_a long, doc_b long"
+    )
+    got = {r.doc_id: r.cluster_id for r in duplicate_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+    docs = spark.createDataFrame(
+        [(i, f"t{i}") for i in (1, 2, 3, 10, 11, 99)], "doc_id long, text string"
+    )
+    kept = sorted(r.doc_id for r in keep_canonical(docs, duplicate_clusters(pairs)).collect())
+    assert kept == [1, 10, 99]  # cluster minima + the unpaired doc
