@@ -9,7 +9,7 @@ parquet read itself.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Minimal per-language stopword markers for the heuristic language ID.
@@ -124,4 +124,42 @@ def fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
         "doc_id",
         F.md5(F.concat_ws(" ", sorted_toks)).alias("fingerprint"),
         F.size(sorted_toks).alias("vocab_size"),
+    )
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k TF-IDF terms per document (smooth idf:
+    ln((N+1)/(df+1)) + 1). Three partial-combined aggregations — tf per
+    (doc, token), df per token, N — then a token-keyed join and a
+    per-doc top-k window. The df table is vocabulary-sized; at corpus
+    scale it is the natural broadcast candidate and AQE will pick that
+    up when it fits. Scores round to 6 decimals BEFORE ranking so rank
+    order is identical across engines' libm ulp differences."""
+    toks = docs.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("token")
+    ).where(F.col("token") != "")
+    tf = toks.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.round(
+                F.col("tf")
+                * (F.log((F.col("n_docs") + 1) / (F.col("df") + 1)) + 1), 6
+            ),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("score").desc(), F.col("token"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(id_col, "rank", "token", F.col("tf").alias("tf"), F.round("score", 4).alias("score"))
     )

@@ -139,3 +139,36 @@ ORACLE = {
     "q_lang_id": _oracle_lang(),
     "q_fingerprint": ORACLE_FINGERPRINT,
 }
+
+
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sandbox_data_pipeline_spark.operators.text import tfidf_top_terms
+
+    return tfidf_top_terms(table(spark, sf_dir, "documents"), k=5)
+
+
+_ORACLE_TFIDF = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_toks()}) AS token FROM documents
+),
+tf AS (
+  SELECT doc_id, token, count(*) AS tf FROM toks WHERE token <> '' GROUP BY 1, 2
+),
+df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.token, tf.tf,
+         round(tf.tf * (ln((n.n_docs + 1) / (df.df + 1)) + 1), 6) AS score
+  FROM tf JOIN df USING (token) CROSS JOIN n
+),
+ranked AS (
+  SELECT doc_id, token, tf, score,
+         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, token) AS rank
+  FROM scored
+)
+SELECT doc_id, CAST(rank AS INTEGER) AS rank, token, tf, round(score, 4) AS score
+FROM ranked WHERE rank <= 5
+"""
+
+QUERIES["q_tfidf_top_terms"] = q_tfidf_top_terms
+ORACLE["q_tfidf_top_terms"] = _ORACLE_TFIDF
