@@ -89,6 +89,82 @@ def write_raw_json(df: DataFrame, base_path: str) -> None:
     df.write.mode("overwrite").partitionBy(RUN_HR_COL).json(base_path)
 
 
+def compact_partitions(
+    spark: SparkSession,
+    base_path: str,
+    target_file_bytes: int = 128 << 20,
+    fmt: str = "parquet",
+    partition_col: str = RUN_HR_COL,
+    dst_path: str | None = None,
+) -> int:
+    """Small-file compaction for a partitioned table — the maintenance
+    operator every long-running hourly pipeline needs: each micro-batch
+    or re-run appends files, and scan task count (and NameNode/listing
+    pressure) grows with file count, not bytes.
+
+    Sizes every partition from the filesystem, computes
+    files_out = ceil(bytes / target_file_bytes), then rewrites with the
+    rows of each partition spread over that many output files via a
+    deterministic salt. Returns total output file count.
+
+    In-place (dst_path=None) materializes through localCheckpoint to
+    break lineage from the files being overwritten — fine for per-hour
+    compaction; for whole-table rewrites at 100 TB prefer dst_path +
+    atomic rename so the job stays restartable."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    root = jvm.org.apache.hadoop.fs.Path(base_path)
+    fs = root.getFileSystem(conf)
+
+    part_bytes: dict[str, int] = {}
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if not st.isDirectory() or not name.startswith(f"{partition_col}="):
+            continue
+        total = fs.getContentSummary(st.getPath()).getLength()
+        part_bytes[name.split("=", 1)[1]] = total
+    if not part_bytes:
+        return 0
+
+    n_files = {
+        v: max(1, math.ceil(b / target_file_bytes)) for v, b in part_bytes.items()
+    }
+    df = spark.read.format(fmt).load(base_path)
+    if dst_path is None:
+        df = df.localCheckpoint()
+        dst_path = base_path
+    salt_map = F.create_map(
+        *[x for v, n in n_files.items() for x in (F.lit(v), F.lit(n))]
+    )
+    salted = df.withColumn(
+        "_f",
+        F.pmod(
+            F.xxhash64(*[F.col(c) for c in df.columns]),
+            salt_map[F.col(partition_col).cast("string")],
+        ),
+    )
+    (
+        salted.repartition(F.col(partition_col), F.col("_f"))
+        .drop("_f")
+        .write.mode("overwrite")
+        .partitionBy(partition_col)
+        .format(fmt)
+        .save(dst_path)
+    )
+    out = 0
+    dst_root = jvm.org.apache.hadoop.fs.Path(dst_path)
+    for st in fs.listStatus(dst_root):
+        if st.isDirectory() and st.getPath().getName().startswith(f"{partition_col}="):
+            for f in fs.listStatus(st.getPath()):
+                if f.getPath().getName().endswith(f".{fmt}"):
+                    out += 1
+    return out
+
+
 def save_bucketed(
     df: DataFrame,
     name: str,

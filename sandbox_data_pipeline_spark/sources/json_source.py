@@ -17,21 +17,48 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructType
+from pyspark.sql.types import StringType, StructField, StructType
 
 VARIANT_COL = "json_data"
 
 
+CORRUPT_COL = "_corrupt_record"
+
+
 def read_json_declared(
-    spark: SparkSession, path: str, schema: StructType, multiline: bool = False
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    multiline: bool = False,
+    keep_corrupt: bool = False,
 ) -> DataFrame:
     """Declared-schema scan (S3): no inference pass — a single read of
     only the declared fields. At 100 TB, inference would be a second
-    full scan; never default to it."""
-    reader = spark.read.schema(schema)
+    full scan; never default to it.
+
+    ``keep_corrupt=True`` adds a ``_corrupt_record`` column (PERMISSIVE
+    mode): malformed documents land with their raw bytes there and NULL
+    typed fields instead of failing the job — at scale one bad document
+    in a billion must not kill the hour. Pair with
+    ``split_corrupt`` to route them to a quarantine sink."""
+    s = schema
+    if keep_corrupt:
+        s = StructType(schema.fields + [StructField(CORRUPT_COL, StringType())])
+    reader = spark.read.schema(s).option("mode", "PERMISSIVE")
     if multiline:
         reader = reader.option("multiLine", "true")
     return reader.json(path)
+
+
+def split_corrupt(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(clean, quarantine): rows whose ``_corrupt_record`` is NULL are
+    good; the rest carry only their raw bytes for later repair. Spark
+    requires caching the frame before filtering on the corrupt column
+    (the parser must materialize both sides consistently)."""
+    df = df.cache()
+    clean = df.where(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
+    bad = df.where(F.col(CORRUPT_COL).isNotNull()).select(CORRUPT_COL)
+    return clean, bad
 
 
 def read_json_variant(spark: SparkSession, path: str) -> DataFrame:

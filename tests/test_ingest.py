@@ -104,3 +104,24 @@ def test_weather_variant_native_matches_get_json_object_path(spark):
     b = weather_variant_publish_native(stage, fixtures.RUN_HRS[0])
     assert a.columns == b.columns
     assert sorted(map(str, a.collect())) == sorted(map(str, b.collect()))
+
+
+def test_corrupt_records_are_quarantined_not_fatal(spark, tmp_path):
+    from sandbox_data_pipeline_spark import fixtures
+    from sandbox_data_pipeline_spark.schemas import WEATHER_SCHEMA
+    from sandbox_data_pipeline_spark.sources.json_source import (
+        read_json_declared,
+        split_corrupt,
+    )
+
+    good = [body for _, _, body in fixtures.weather_json_docs()[:3]]
+    bad = ['{"location": {broken', "not json at all"]
+    src = tmp_path / "docs.json"
+    src.write_text("\n".join(good + bad))
+
+    df = read_json_declared(spark, str(src), WEATHER_SCHEMA, keep_corrupt=True)
+    clean, quarantine = split_corrupt(df)
+    assert clean.count() == 3
+    assert clean.where(F.col("location.name").isNull()).count() == 0
+    q = sorted(r[0] for r in quarantine.collect())
+    assert q == sorted(bad)  # raw bytes preserved for repair

@@ -8,9 +8,14 @@ import hashlib
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from sandbox_data_pipeline_spark import fixtures
+from sandbox_data_pipeline_spark.catalog import table
 from sandbox_data_pipeline_spark.plans.pipeline import PipelineConfig, run_pipeline
 from sandbox_data_pipeline_spark.sinks.writers import SkippedWrite, publish_run
+
+SF_DIR = "/root/testdata/sf0.001"
 
 
 def _table_hash(spark, path: str) -> str:
@@ -78,3 +83,29 @@ def test_notify_query_result_bounded_and_injected(spark):
     assert payload["row_count"] == 10 and payload["truncated"] is True
     small = notify_query_result(spark.range(3).toDF("id"), sent.append, max_rows=10)
     assert small["row_count"] == 3 and small["truncated"] is False
+
+
+def test_compact_partitions_reduces_files_preserves_rows(spark, tmp_path):
+    from sandbox_data_pipeline_spark.sinks.writers import compact_partitions
+
+    base = str(tmp_path / "t")
+    e = table(spark, SF_DIR, "events").withColumn(
+        "run_hr", F.date_format("ts", "yyyyMMddHH00").cast("long")
+    )
+    # simulate many tiny files: 20 shuffle partitions per run_hr dir
+    e.repartition(20).write.mode("overwrite").partitionBy("run_hr").parquet(base)
+
+    def nfiles():
+        import glob
+        return len(glob.glob(f"{base}/run_hr=*/*.parquet"))
+
+    before_files = nfiles()
+    before = sorted(map(str, spark.read.parquet(base).collect()))
+    out_files = compact_partitions(spark, base, target_file_bytes=512 << 20)
+    after_files = nfiles()
+    assert out_files == after_files
+    assert after_files < before_files
+    # one file per partition at this size
+    n_parts = spark.read.parquet(base).select("run_hr").distinct().count()
+    assert after_files == n_parts
+    assert sorted(map(str, spark.read.parquet(base).collect())) == before
