@@ -64,23 +64,35 @@ def publish_run(
     run_hr: int,
     skip_if_exists: bool = False,
     fmt: str = "parquet",
-) -> None:
+    observe: bool = False,
+) -> dict | None:
     """The reference's per-run publish: optional F2 existence skip,
     then K4 delete+insert of one run-hour.
 
     ``skip_if_exists=False`` reproduces the prod-table path (re-runs
     REPLACE the hour, T5 late-data semantics); ``True`` reproduces the
     raw-landing path (re-runs are suppressed entirely).
+
+    ``observe=True`` attaches an Observation so the write itself
+    reports rows/nulls published (the D1 audit numbers) — metrics ride
+    the action, no second scan of the frame. Returns the metrics dict,
+    or None when not observing.
     """
     spark = df.sparkSession
     if skip_if_exists and partition_exists(spark, base_path, run_hr):
         raise SkippedWrite(f"{base_path} run_hr={run_hr} already published")
+    from pyspark.sql import Observation
     from pyspark.sql import functions as F
 
     out = df
     if RUN_HR_COL not in df.columns:
         out = df.withColumn(RUN_HR_COL, F.lit(run_hr))  # P8 literal injection
+    obs = None
+    if observe:
+        obs = Observation(f"publish_{run_hr}")
+        out = out.observe(obs, F.count(F.lit(1)).alias("rows_published"))
     write_partitioned(out, base_path, fmt=fmt)
+    return dict(obs.get) if obs is not None else None
 
 
 def write_raw_json(df: DataFrame, base_path: str) -> None:

@@ -109,3 +109,10 @@ def test_compact_partitions_reduces_files_preserves_rows(spark, tmp_path):
     n_parts = spark.read.parquet(base).select("run_hr").distinct().count()
     assert after_files == n_parts
     assert sorted(map(str, spark.read.parquet(base).collect())) == before
+
+
+def test_publish_run_observe_reports_rows(spark, tmp_path):
+    df = spark.range(123).selectExpr("id", "id * 1.5 AS v")
+    metrics = publish_run(df, str(tmp_path / "obs"), 202401150000, observe=True)
+    assert metrics == {"rows_published": 123}
+    assert spark.read.parquet(str(tmp_path / "obs")).count() == 123
