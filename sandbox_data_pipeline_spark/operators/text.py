@@ -163,3 +163,34 @@ def tfidf_top_terms(
         .where(F.col("rank") <= k)
         .select(id_col, "rank", "token", F.col("tf").alias("tf"), F.round("score", 4).alias("score"))
     )
+
+
+def hash_split(
+    docs: DataFrame,
+    ratios: dict[str, float],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "split",
+) -> DataFrame:
+    """Deterministic dataset split (train/val/test) by CONTENT hash:
+    bucket = portable 60-bit md5 hash of (salt || text) mod 10000,
+    mapped to the named split by cumulative ratio. Reproducible across
+    runs, engines, and partitionings — unlike randomSplit, whose
+    assignment depends on partition layout — and keyed on content so
+    exact duplicates always land in the same split (no train/test
+    leakage through duplicated documents). Pure map-side; no shuffle."""
+    from sandbox_data_pipeline_spark.operators.dedup import portable_hash
+
+    assert abs(sum(ratios.values()) - 1.0) < 1e-9, "ratios must sum to 1"
+    bucket = F.pmod(portable_hash(F.col(text_col), salt=salt), F.lit(10_000))
+    # cumulative thresholds in a fixed order (largest ratio first,
+    # name as tiebreak) — the order is part of the split contract
+    cum = 0.0
+    cases: list[tuple[int, str]] = []
+    for name, frac in sorted(ratios.items(), key=lambda kv: (-kv[1], kv[0])):
+        cum += frac
+        cases.append((int(round(cum * 10_000)), name))
+    split = F.lit(cases[-1][1])
+    for threshold, name in reversed(cases[:-1]):
+        split = F.when(bucket < threshold, F.lit(name)).otherwise(split)
+    return docs.select(F.col(id_col), bucket.alias("bucket"), split.alias("split"))

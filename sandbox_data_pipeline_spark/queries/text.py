@@ -172,3 +172,64 @@ FROM ranked WHERE rank <= 5
 
 QUERIES["q_tfidf_top_terms"] = q_tfidf_top_terms
 ORACLE["q_tfidf_top_terms"] = _ORACLE_TFIDF
+
+
+SPLIT_RATIOS = {"train": 0.9, "val": 0.05, "test": 0.05}
+
+
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sandbox_data_pipeline_spark.operators.text import hash_split
+
+    return hash_split(table(spark, sf_dir, "documents"), SPLIT_RATIOS)
+
+
+def _oracle_hash_split() -> str:
+    cum = 0.0
+    cases = []
+    for name, frac in sorted(SPLIT_RATIOS.items(), key=lambda kv: (-kv[1], kv[0])):
+        cum += frac
+        cases.append((int(round(cum * 10_000)), name))
+    whens = " ".join(
+        f"WHEN bucket < {t} THEN '{n}'" for t, n in cases[:-1]
+    )
+    return f"""
+SELECT doc_id, bucket, CASE {whens} ELSE '{cases[-1][1]}' END AS split
+FROM (
+  SELECT doc_id,
+         CAST('0x' || substr(md5('split' || text), 1, 15) AS BIGINT) % 10000 AS bucket
+  FROM documents
+)
+"""
+
+
+def q_token_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language token-length distribution: exact interpolated
+    percentiles (one full-width aggregation; at 100 TB swap for
+    approx_percentile — sketch-mergeable — and drop the oracle)."""
+    d = table(spark, sf_dir, "documents").select(
+        "lang", token_count().alias("n_tokens")
+    )
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.percentile("n_tokens", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("n_tokens", F.lit(0.9)), 4).alias("p90"),
+        F.round(F.percentile("n_tokens", F.lit(0.99)), 4).alias("p99"),
+        F.max("n_tokens").alias("max_tokens"),
+    )
+
+
+_ORACLE_QUANTILES = f"""
+SELECT lang,
+       count(*) AS n_docs,
+       round(quantile_cont(n_tokens, 0.5), 4) AS p50,
+       round(quantile_cont(n_tokens, 0.9), 4) AS p90,
+       round(quantile_cont(n_tokens, 0.99), 4) AS p99,
+       max(n_tokens) AS max_tokens
+FROM (SELECT lang, {_ntok()} AS n_tokens FROM documents)
+GROUP BY lang
+"""
+
+QUERIES["q_hash_split"] = q_hash_split
+ORACLE["q_hash_split"] = _oracle_hash_split()
+QUERIES["q_token_quantiles"] = q_token_quantiles
+ORACLE["q_token_quantiles"] = _ORACLE_QUANTILES

@@ -55,3 +55,20 @@ def test_fingerprint_order_invariant(spark):
     got = {r.doc_id: r.fingerprint for r in fingerprints(df).collect()}
     assert got[0] == got[1]  # order + duplication invariant
     assert got[0] != got[2]
+
+
+def test_hash_split_deterministic_and_leak_free(spark):
+    from sandbox_data_pipeline_spark.operators.text import hash_split
+
+    docs = spark.createDataFrame(
+        [(1, "the same text"), (2, "the same text"), (3, "other text")]
+        + [(i, f"doc number {i}") for i in range(10, 210)],
+        "doc_id long, text string",
+    )
+    ratios = {"train": 0.9, "val": 0.05, "test": 0.05}
+    a = {r.doc_id: r.split for r in hash_split(docs, ratios).collect()}
+    b = {r.doc_id: r.split for r in hash_split(docs, ratios).collect()}
+    assert a == b  # reproducible
+    assert a[1] == a[2]  # exact duplicates cannot straddle splits
+    train_frac = sum(1 for s in a.values() if s == "train") / len(a)
+    assert 0.8 < train_frac < 1.0  # ratio holds approximately
