@@ -228,3 +228,31 @@ ORACLE = {
     "q_similarity_lsh_topk": _oracle_lsh_topk(),
     "q_similarity_near_dup": _oracle_near_dup(),
 }
+
+
+def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid, long form (label, dim_idx, mean): posexplode
+    puts every vector component on its own row, then one
+    partial-combined aggregation per (label, dim). Long form keeps the
+    shuffle rows fixed-width and the result engine-comparable; pivoting
+    back to array<float> is a cheap collect_list at presentation."""
+    emb = table(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", F.posexplode(F.col("embedding").cast("array<double>")))
+        .groupBy("label", F.col("pos").alias("dim_idx"))
+        .agg(F.round(F.avg("col"), 6).alias("mean_val"))
+    )
+
+
+_ORACLE_CENTROIDS = f"""
+WITH v AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+dims AS (SELECT unnest(range({DIM})) AS i)
+SELECT label,
+       CAST(i AS INTEGER) AS dim_idx,
+       round(avg(v[i + 1]), 6) AS mean_val
+FROM v CROSS JOIN dims
+GROUP BY label, i
+"""
+
+QUERIES["q_embedding_centroids"] = q_embedding_centroids
+ORACLE["q_embedding_centroids"] = _ORACLE_CENTROIDS
