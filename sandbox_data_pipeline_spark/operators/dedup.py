@@ -327,22 +327,25 @@ def simhash_fingerprints(
     """SimHash: per-token hash votes on each bit, weighted by term
     frequency (classic Charikar weighting — unweighted distinct-token
     votes degenerate when documents share most of their vocabulary);
-    fingerprint bit b is 1 iff the signed vote sum >= 0. Two chained
-    aggregations, both map-side combinable."""
-    tf = (
+    fingerprint bit b is 1 iff the signed vote sum >= 0.
+
+    tf-weighting needs NO tf table: summing ±1 per token INSTANCE
+    equals summing ±tf per distinct token, so the (doc, token) groupBy
+    — a shuffle proportional to corpus vocabulary — disappears and the
+    only shuffle is the partial-combined per-doc vote sum (`bits` longs
+    per doc per task)."""
+    hashed = (
         docs.select(id_col, F.explode(F.split(F.col(text_col), " ")).alias("token"))
         .where(F.col("token") != "")
-        .groupBy(id_col, "token")
-        .agg(F.count(F.lit(1)).alias("tf"))
         .withColumn("h", portable_hash(F.col("token")))
     )
     votes = [
         F.sum(
-            F.when(F.expr(f"(h >> {b}) & 1") == 1, F.col("tf")).otherwise(-F.col("tf"))
+            F.when(F.expr(f"(h >> {b}) & 1") == 1, F.lit(1)).otherwise(F.lit(-1))
         ).alias(f"s{b}")
         for b in range(bits)
     ]
-    summed = tf.groupBy(id_col).agg(*votes)
+    summed = hashed.groupBy(id_col).agg(*votes)
     fp = reduce(
         lambda x, y: x + y,
         [F.when(F.col(f"s{b}") >= 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long")) for b in range(bits)],
