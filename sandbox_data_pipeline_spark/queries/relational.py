@@ -803,3 +803,29 @@ ORACLE = {
     """,
     # q_agg_approx: sketch-based, no cross-engine oracle (rows-only).
 }
+
+
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with DECLARED pivot values — the scale-correct form: an
+    undeclared pivot runs an extra distinct-values job over the fact
+    table before planning; declaring them keeps it one pass."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_linestatus")
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(F.round(F.sum("l_quantity"), 4))
+        .withColumnsRenamed({"A": "qty_a", "N": "qty_n", "R": "qty_r"})
+    )
+
+
+_PIVOT_ORACLE = """
+SELECT l_linestatus,
+       round(sum(CASE WHEN l_returnflag = 'A' THEN l_quantity END), 4) AS qty_a,
+       round(sum(CASE WHEN l_returnflag = 'N' THEN l_quantity END), 4) AS qty_n,
+       round(sum(CASE WHEN l_returnflag = 'R' THEN l_quantity END), 4) AS qty_r
+FROM lineitem
+GROUP BY l_linestatus
+"""
+
+QUERIES["q_pivot"] = q_pivot
+ORACLE["q_pivot"] = _PIVOT_ORACLE
