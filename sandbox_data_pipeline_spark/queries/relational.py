@@ -829,3 +829,66 @@ GROUP BY l_linestatus
 
 QUERIES["q_pivot"] = q_pivot
 ORACLE["q_pivot"] = _PIVOT_ORACLE
+
+
+def q_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Remaining analytic window family: ntile quartiles, percent_rank,
+    cume_dist over customer balance per nation, plus lag-based delta.
+    All one window pass; shuffle key is the partition column."""
+    c = table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(F.col("c_acctbal"), F.col("c_custkey"))
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        F.round("c_acctbal", 4).alias("acctbal"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.round(F.col("c_acctbal") - F.lag("c_acctbal", 1).over(w), 4).alias("delta_prev"),
+    )
+
+
+_WINDOW_ANALYTICS_ORACLE = """
+SELECT c_custkey,
+       c_nationkey,
+       round(c_acctbal, 4) AS acctbal,
+       CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist() OVER w, 6) AS cume,
+       round(c_acctbal - lag(c_acctbal, 1) OVER w, 4) AS delta_prev
+FROM customer
+WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+"""
+
+
+def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions over embeddings: filter+size,
+    transform+aggregate (L1/L2 norms), array_max — all JVM-side lambda
+    expressions inside codegen, the idiomatic replacement for per-row
+    Python over array columns."""
+    emb = table(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    return emb.select(
+        "vec_id",
+        F.size(F.filter(v, lambda x: x > 0)).alias("n_positive"),
+        F.round(F.aggregate(v, F.lit(0.0), lambda a, x: a + F.abs(x)), 6).alias("l1_norm"),
+        F.round(
+            F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x)), 6
+        ).alias("l2_norm"),
+        F.round(F.array_max(v), 6).alias("max_val"),
+    )
+
+
+_ARRAY_FUNCS_ORACLE = """
+SELECT vec_id,
+       CAST(len(list_filter(v, x -> x > 0)) AS INTEGER) AS n_positive,
+       round(list_sum(list_transform(v, x -> abs(x))), 6) AS l1_norm,
+       round(sqrt(list_sum(list_transform(v, x -> x * x))), 6) AS l2_norm,
+       round(list_max(v), 6) AS max_val
+FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+"""
+
+QUERIES["q_window_analytics"] = q_window_analytics
+ORACLE["q_window_analytics"] = _WINDOW_ANALYTICS_ORACLE
+QUERIES["q_array_funcs"] = q_array_funcs
+ORACLE["q_array_funcs"] = _ARRAY_FUNCS_ORACLE
