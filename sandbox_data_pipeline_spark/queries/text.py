@@ -233,3 +233,48 @@ QUERIES["q_hash_split"] = q_hash_split
 ORACLE["q_hash_split"] = _oracle_hash_split()
 QUERIES["q_token_quantiles"] = q_token_quantiles
 ORACLE["q_token_quantiles"] = _ORACLE_QUANTILES
+
+
+NGRAM_N = 2
+NGRAM_TOP = 20
+
+
+def q_ngram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level n-gram frequency: top bigrams by total occurrences
+    (instance counts, not per-doc distinct) and document frequency.
+    Two partial-combined aggregations + a tiny top-k sort."""
+    from sandbox_data_pipeline_spark.operators.dedup import word_shingles
+
+    sh = word_shingles(
+        table(spark, sf_dir, "documents"), n=NGRAM_N, distinct=False
+    )
+    return (
+        sh.groupBy("shingle")
+        .agg(
+            F.count(F.lit(1)).alias("occurrences"),
+            F.countDistinct("doc_id").alias("doc_freq"),
+        )
+        .orderBy(F.col("occurrences").desc(), F.col("shingle"))
+        .limit(NGRAM_TOP)
+    )
+
+
+_ORACLE_NGRAM = f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+grams AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(t) >= {NGRAM_N}
+                THEN list_transform(range(1, len(t) - {NGRAM_N} + 2),
+                                    i -> array_to_string(t[i:i + {NGRAM_N - 1}], ' '))
+                ELSE [] END) AS shingle
+  FROM toks
+)
+SELECT shingle, count(*) AS occurrences, count(DISTINCT doc_id) AS doc_freq
+FROM grams
+GROUP BY shingle
+ORDER BY occurrences DESC, shingle
+LIMIT {NGRAM_TOP}
+"""
+
+QUERIES["q_ngram_freq"] = q_ngram_freq
+ORACLE["q_ngram_freq"] = _ORACLE_NGRAM
