@@ -892,3 +892,37 @@ QUERIES["q_window_analytics"] = q_window_analytics
 ORACLE["q_window_analytics"] = _WINDOW_ANALYTICS_ORACLE
 QUERIES["q_array_funcs"] = q_array_funcs
 ORACLE["q_array_funcs"] = _ARRAY_FUNCS_ORACLE
+
+
+def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType surface: props JSON parsed to map<string,int> (schema-on-
+    read like P3 but into a map, not a struct — right when keys are
+    dynamic), exploded to entries, aggregated per (event_type, key)."""
+    e = table(spark, sf_dir, "events")
+    m = F.from_json(F.col("props"), "map<string,int>")
+    return (
+        e.select("event_type", F.explode(m).alias("key", "val"))
+        .groupBy("event_type", "key")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("val"), 4).alias("avg_val"),
+            F.max("val").alias("max_val"),
+        )
+    )
+
+
+_MAP_FUNCS_ORACLE = """
+WITH kv AS (
+  SELECT event_type, k AS key,
+         CAST(json_extract(props, '$.' || k) AS INTEGER) AS val
+  FROM events, unnest(json_keys(props)) AS t(k)
+)
+SELECT event_type, key, count(*) AS n,
+       round(avg(val), 4) AS avg_val,
+       max(val) AS max_val
+FROM kv
+GROUP BY event_type, key
+"""
+
+QUERIES["q_map_funcs"] = q_map_funcs
+ORACLE["q_map_funcs"] = _MAP_FUNCS_ORACLE
