@@ -76,6 +76,31 @@ def run_checks(
     return metrics_row, doc
 
 
+def check_suite(df: DataFrame, checks: list[tuple[str, "F.Column"]]) -> DataFrame:
+    """Declarative rule suite: ``checks`` is (name, VIOLATION predicate)
+    pairs; output is long-form (check_name, violations, total_rows,
+    passed). Every rule is a conditional sum inside ONE aggregation
+    job — adding a rule adds an expression, never a scan — then a
+    row-local stack() unpivots the single wide row. This is the shape
+    the reference outsources to Anomalo (D1), evaluated where the data
+    already is."""
+    aggs = [F.count(F.lit(1)).alias("_total")] + [
+        F.sum(F.when(pred, 1).otherwise(0)).alias(f"_c{i}")
+        for i, (_, pred) in enumerate(checks)
+    ]
+    wide = df.agg(*aggs)
+    stack_args = ", ".join(f"'{name}', _c{i}" for i, (name, _) in enumerate(checks))
+    return wide.select(
+        F.expr(f"stack({len(checks)}, {stack_args}) AS (check_name, violations)"),
+        F.col("_total").alias("total_rows"),
+    ).select(
+        "check_name",
+        F.col("violations").cast("long").alias("violations"),
+        "total_rows",
+        (F.col("violations") == 0).alias("passed"),
+    )
+
+
 def catalog_events(table_name: str, doc: dict[str, Any]) -> list[dict[str, Any]]:
     """D3-lite: map a check document to catalog assertion events with
     the same fields DataHub receives from the reference

@@ -52,3 +52,40 @@ ORACLE = {
     FROM orders
     """,
 }
+
+
+def q_dq_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative rule suite over lineitem — one aggregation pass for
+    all rules (operators/dq.py: check_suite)."""
+    from sandbox_data_pipeline_spark.operators.dq import check_suite
+
+    li = table(spark, sf_dir, "lineitem")
+    checks = [
+        ("quantity_in_range", ~F.col("l_quantity").between(1, 50)),
+        ("positive_price", F.col("l_extendedprice") <= 0),
+        ("discount_bounds", ~F.col("l_discount").between(0.0, 1.0)),
+        ("tax_nonnegative", F.col("l_tax") < 0),
+        ("orderkey_not_null", F.col("l_orderkey").isNull()),
+    ]
+    return check_suite(li, checks)
+
+
+_DQ_SUITE_ORACLE = """
+WITH m AS (
+  SELECT count(*) AS total,
+         sum(CASE WHEN NOT (l_quantity BETWEEN 1 AND 50) THEN 1 ELSE 0 END) AS c0,
+         sum(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END) AS c1,
+         sum(CASE WHEN NOT (l_discount BETWEEN 0.0 AND 1.0) THEN 1 ELSE 0 END) AS c2,
+         sum(CASE WHEN l_tax < 0 THEN 1 ELSE 0 END) AS c3,
+         sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS c4
+  FROM lineitem
+)
+SELECT 'quantity_in_range' AS check_name, CAST(c0 AS BIGINT) AS violations, total AS total_rows, c0 = 0 AS passed FROM m
+UNION ALL SELECT 'positive_price', CAST(c1 AS BIGINT), total, c1 = 0 FROM m
+UNION ALL SELECT 'discount_bounds', CAST(c2 AS BIGINT), total, c2 = 0 FROM m
+UNION ALL SELECT 'tax_nonnegative', CAST(c3 AS BIGINT), total, c3 = 0 FROM m
+UNION ALL SELECT 'orderkey_not_null', CAST(c4 AS BIGINT), total, c4 = 0 FROM m
+"""
+
+QUERIES["q_dq_suite"] = q_dq_suite
+ORACLE["q_dq_suite"] = _DQ_SUITE_ORACLE
