@@ -44,6 +44,28 @@ def bpe_ish_token_count(text_col: str = "text") -> Column:
     return F.regexp_count(F.col(text_col), F.lit(BPE_ISH_PATTERN))
 
 
+def quality_score(text_col: str = "text") -> Column:
+    """Composite quality score in [0,1] as a single column expression:
+    rewards stopword presence and lexical diversity, penalizes
+    digit/punct noise. Usable standalone (streaming quality gates) or
+    through quality_features."""
+    n_chars = F.length(F.col(text_col))
+    n_tok = token_count(text_col)
+    n_digit = F.length(F.regexp_replace(F.col(text_col), r"[^0-9]", ""))
+    n_stop = F.size(F.filter(tokens(text_col), lambda t: t.isin(*LANG_MARKERS["en"])))
+    n_distinct = F.size(F.array_distinct(tokens(text_col)))
+    return F.round(
+        F.least(
+            F.lit(1.0),
+            F.greatest(
+                F.lit(0.0),
+                0.5 * (n_stop / n_tok) + 0.5 * (n_distinct / n_tok) - n_digit / n_chars,
+            ),
+        ),
+        4,
+    )
+
+
 def quality_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Length / punctuation / stopword / repetition features + a
     composite quality score in one projection."""
@@ -66,18 +88,7 @@ def quality_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.round(n_digit / n_chars, 4).alias("digit_ratio"),
         F.round(n_stop / n_tok, 4).alias("stopword_ratio"),
         F.round(n_distinct / n_tok, 4).alias("distinct_ratio"),
-        # Composite score in [0,1]: rewards stopword presence and
-        # lexical diversity, penalizes digit/punct noise.
-        F.round(
-            F.least(
-                F.lit(1.0),
-                F.greatest(
-                    F.lit(0.0),
-                    0.5 * (n_stop / n_tok) + 0.5 * (n_distinct / n_tok) - n_digit / n_chars,
-                ),
-            ),
-            4,
-        ).alias("quality_score"),
+        quality_score(text_col).alias("quality_score"),
     )
 
 

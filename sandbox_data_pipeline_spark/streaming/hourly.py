@@ -113,9 +113,11 @@ def start_hourly_pipeline(
     return writer.start()
 
 
-def dedup_stream(
-    events: DataFrame,
-    key_col: str = "event_id",
+def first_seen_stream(
+    df: DataFrame,
+    key_col: str,
+    output_schema: StructType,
+    ts_col: str = "ts",
     watermark: str = "2 hours",
     state_ttl_hours: int = 24,
 ) -> DataFrame:
@@ -143,7 +145,7 @@ def dedup_stream(
         max_ts_ms = 0
         for pdf in pdfs:
             if len(pdf) > 0:
-                max_ts_ms = max(max_ts_ms, int(pdf["ts"].max().value // 1_000_000))
+                max_ts_ms = max(max_ts_ms, int(pdf[ts_col].max().value // 1_000_000))
                 if first is None:
                     first = pdf.iloc[[0]]
         # TTL anchors to EVENT time (not the current watermark, which is
@@ -156,15 +158,31 @@ def dedup_stream(
             yield first
 
     return (
-        events.withWatermark("ts", watermark)
+        df.withWatermark(ts_col, watermark)
         .groupBy(F.col(key_col))
         .applyInPandasWithState(
             _first_seen,
-            outputStructType=EVENT_SCHEMA,
+            outputStructType=output_schema,
             stateStructType="seen boolean",
             outputMode="append",
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
+    )
+
+
+def dedup_stream(
+    events: DataFrame,
+    key_col: str = "event_id",
+    watermark: str = "2 hours",
+    state_ttl_hours: int = 24,
+) -> DataFrame:
+    """Event-stream first-seen dedup (see first_seen_stream)."""
+    return first_seen_stream(
+        events,
+        key_col,
+        EVENT_SCHEMA,
+        watermark=watermark,
+        state_ttl_hours=state_ttl_hours,
     )
 
 
