@@ -256,3 +256,44 @@ GROUP BY label, i
 
 QUERIES["q_embedding_centroids"] = q_embedding_centroids
 ORACLE["q_embedding_centroids"] = _ORACLE_CENTROIDS
+
+
+def q_semantic_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-shaped query: ANN top-3 per query vector joined back to
+    the matched document's metadata (embeddings.vec_id == documents
+    .doc_id). The metadata join is a broadcast of the hit set — the
+    expensive similarity work never carries the wide document columns."""
+    emb = table(spark, sf_dir, "embeddings")
+    docs = table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("cand_id"), "lang", "source"
+    )
+    hits = brute_force_topk(emb, _queries_df(spark, sf_dir), k=3)
+    return hits.join(docs, "cand_id").select(
+        "query_id", "rank", "cand_id", "cos_sim", "lang", "source"
+    )
+
+
+def _oracle_semantic_search() -> str:
+    cos = _COS.format(a="q.v", b="c.v")
+    return f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v FROM v WHERE vec_id % {QUERY_MOD} = 0),
+c AS (SELECT vec_id AS cand_id, v FROM v),
+sims AS (
+  SELECT query_id, cand_id, round({cos}, 6) AS cos_sim
+  FROM q JOIN c ON cand_id <> query_id
+),
+ranked AS (
+  SELECT query_id, cand_id, cos_sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, cand_id) AS rank
+  FROM sims
+)
+SELECT query_id, CAST(rank AS INTEGER) AS rank, cand_id,
+       round(cos_sim, 4) AS cos_sim, d.lang, d.source
+FROM ranked JOIN documents d ON d.doc_id = cand_id
+WHERE rank <= 3
+"""
+
+
+QUERIES["q_semantic_search"] = q_semantic_search
+ORACLE["q_semantic_search"] = _oracle_semantic_search()
