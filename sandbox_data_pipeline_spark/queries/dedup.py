@@ -6,6 +6,7 @@ operators/dedup.py — makes MinHash/SimHash cross-engine deterministic).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from sandbox_data_pipeline_spark.catalog import table
 from sandbox_data_pipeline_spark.operators.dedup import (
@@ -240,3 +241,57 @@ ORACLE = {
     "q_dedup_simhash": _oracle_simhash(),
     "q_dedup_simhash_pairs": _oracle_simhash_pairs(),
 }
+
+
+def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dup dedup output: minhash pairs → clusters →
+    keep the canonical member of each cluster plus every unpaired doc
+    (operators/dedup.py: keep_canonical). Returns the surviving doc ids
+    with their cluster sizes."""
+    from sandbox_data_pipeline_spark.operators.dedup import (
+        duplicate_clusters,
+        keep_canonical,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    clusters = duplicate_clusters(q_dedup_minhash_pairs(spark, sf_dir))
+    kept = keep_canonical(docs, clusters)
+    sizes = clusters.groupBy(F.col("cluster_id").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return (
+        kept.select("doc_id")
+        .join(sizes, "doc_id", "left")
+        .select("doc_id", F.coalesce("cluster_size", F.lit(1)).alias("cluster_size"))
+    )
+
+
+def _oracle_survivors() -> str:
+    return f"""
+WITH RECURSIVE
+pairs AS (SELECT doc_a, doc_b FROM ({_oracle_minhash()}) mh),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM pairs
+),
+reach (a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+clusters AS (
+  SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a
+),
+sizes AS (
+  SELECT cluster_id AS doc_id, count(*) AS cluster_size FROM clusters GROUP BY cluster_id
+)
+SELECT d.doc_id, CAST(coalesce(s.cluster_size, 1) AS BIGINT) AS cluster_size
+FROM documents d
+LEFT JOIN clusters c ON c.doc_id = d.doc_id AND c.doc_id <> c.cluster_id
+LEFT JOIN sizes s ON s.doc_id = d.doc_id
+WHERE c.doc_id IS NULL
+"""
+
+QUERIES["q_dedup_survivors"] = q_dedup_survivors
+ORACLE["q_dedup_survivors"] = _oracle_survivors()
