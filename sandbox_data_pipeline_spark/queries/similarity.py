@@ -297,3 +297,53 @@ WHERE rank <= 3
 
 QUERIES["q_semantic_search"] = q_semantic_search
 ORACLE["q_semantic_search"] = _oracle_semantic_search()
+
+
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality metric as a query: recall@k of the LSH path against
+    exact brute force, per query vector. The operational check a
+    production ANN deployment runs on a sample before trusting the
+    approximate path."""
+    emb = table(spark, sf_dir, "embeddings")
+    q = _queries_df(spark, sf_dir)
+    exact = brute_force_topk(emb, q, k=TOPK).select(
+        "query_id", F.col("cand_id").alias("exact_id")
+    )
+    approx = lsh_topk(emb, q, dim=DIM, planes=PLANES, k=TOPK).select(
+        "query_id", F.col("cand_id").alias("approx_id")
+    )
+    hits = exact.join(
+        approx,
+        (exact.query_id == approx.query_id) & (exact.exact_id == approx.approx_id),
+    ).groupBy(exact.query_id.alias("query_id")).agg(F.count(F.lit(1)).alias("hits"))
+    return (
+        exact.groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("k"))
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.round(F.coalesce(F.col("hits"), F.lit(0)) / F.col("k"), 4).alias("recall"),
+        )
+    )
+
+
+def _oracle_ann_recall() -> str:
+    exact = _oracle_topk().strip()
+    approx = _oracle_lsh_topk().strip()
+    return f"""
+WITH exact_hits AS ({exact}),
+approx_hits AS ({approx}),
+hits AS (
+  SELECT e.query_id, count(*) AS hits
+  FROM exact_hits e JOIN approx_hits a
+    ON a.query_id = e.query_id AND a.cand_id = e.cand_id
+  GROUP BY e.query_id
+),
+ks AS (SELECT query_id, count(*) AS k FROM exact_hits GROUP BY query_id)
+SELECT ks.query_id, round(coalesce(hits.hits, 0) / ks.k, 4) AS recall
+FROM ks LEFT JOIN hits ON hits.query_id = ks.query_id
+"""
+
+
+QUERIES["q_ann_recall"] = q_ann_recall
+ORACLE["q_ann_recall"] = _oracle_ann_recall()
