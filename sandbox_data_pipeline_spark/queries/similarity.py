@@ -347,3 +347,40 @@ FROM ks LEFT JOIN hits ON hits.query_id = ks.query_id
 
 QUERIES["q_ann_recall"] = q_ann_recall
 ORACLE["q_ann_recall"] = _oracle_ann_recall()
+
+
+def q_embedding_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space near-dup resolution: cosine pairs → connected
+    components (same duplicate_clusters operator as text dedup — the
+    cluster step is representation-agnostic)."""
+    from sandbox_data_pipeline_spark.operators.dedup import duplicate_clusters
+
+    pairs = q_similarity_near_dup(spark, sf_dir).select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
+    )
+    return duplicate_clusters(pairs).withColumnsRenamed(
+        {"doc_id": "vec_id", "cluster_id": "cluster_id"}
+    )
+
+
+def _oracle_embedding_clusters() -> str:
+    return f"""
+WITH RECURSIVE
+pairs AS (SELECT id_a AS doc_a, id_b AS doc_b FROM ({_oracle_near_dup()}) nd),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM pairs
+),
+reach (a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+)
+SELECT a AS vec_id, least(a, min(b)) AS cluster_id
+FROM reach GROUP BY a
+"""
+
+
+QUERIES["q_embedding_dup_clusters"] = q_embedding_dup_clusters
+ORACLE["q_embedding_dup_clusters"] = _oracle_embedding_clusters()

@@ -278,3 +278,34 @@ LIMIT {NGRAM_TOP}
 
 QUERIES["q_ngram_freq"] = q_ngram_freq
 ORACLE["q_ngram_freq"] = _ORACLE_NGRAM
+
+
+STRATA_FRAC = 0.2
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sample: a fixed fraction per language
+    via the content-hash bucket (same mechanism as hash_split), so the
+    sample is reproducible across runs/engines/partitionings and
+    documents never flip in or out between runs. Pure map-side."""
+    from sandbox_data_pipeline_spark.operators.dedup import portable_hash
+
+    d = table(spark, sf_dir, "documents")
+    bucket = F.pmod(portable_hash(F.col("text"), salt="sample"), F.lit(10_000))
+    return (
+        d.where(bucket < int(STRATA_FRAC * 10_000))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("sampled"))
+    )
+
+
+_ORACLE_STRATIFIED = f"""
+SELECT lang, count(*) AS sampled
+FROM documents
+WHERE CAST('0x' || substr(md5('sample' || text), 1, 15) AS BIGINT) % 10000
+      < {int(STRATA_FRAC * 10_000)}
+GROUP BY lang
+"""
+
+QUERIES["q_stratified_sample"] = q_stratified_sample
+ORACLE["q_stratified_sample"] = _ORACLE_STRATIFIED
