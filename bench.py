@@ -55,15 +55,23 @@ def main() -> None:
 
     timings: dict[str, float] = {}
 
-    def run(name: str, df) -> None:
-        t0 = time.time()
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+    def run(name: str, build) -> None:
+        # min of two executions: local timings swing ±15% with machine
+        # load; the min is the reproducible number (plan cost + data),
+        # the max is the noise.
+        best = None
+        for _ in range(2):
+            df = build()
+            t0 = time.time()
+            df.write.format("noop").mode("overwrite").save()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
 
-    run("flagship", flagship_query(spark, sf_dir))
+    run("flagship", lambda: flagship_query(spark, sf_dir))
     for name in HEADLINE:
         if name in queries:
-            run(name, queries[name](spark, sf_dir))
+            run(name, lambda n=name: queries[n](spark, sf_dir))
 
     total = round(sum(timings.values()), 3)
     print(

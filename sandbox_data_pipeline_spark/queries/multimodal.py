@@ -77,3 +77,27 @@ ORACLE = {
     "q_multimodal_meta": ORACLE_META,
     # q_media_features / q_media_frames: Pandas-UDF paths, rows-only.
 }
+
+
+def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize plumbing over image rows (mapInPandas rewrite of content
+    + meta). Decode is the stubbed fake, so this is rows-only like the
+    other media paths; the emitted meta is still asserted in tests."""
+    from sandbox_data_pipeline_spark.operators.multimodal import (
+        media_from_documents,
+        resize_images,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    media = media_from_documents(docs)
+    out = resize_images(media, width=64, height=32, fake=True)
+    return out.select(
+        "media_id",
+        "media_type",
+        F.col("meta.byte_len").alias("byte_len"),
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+    )
+
+
+QUERIES["q_media_resize"] = q_media_resize
