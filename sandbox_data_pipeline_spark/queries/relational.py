@@ -926,3 +926,77 @@ GROUP BY event_type, key
 
 QUERIES["q_map_funcs"] = q_map_funcs
 ORACLE["q_map_funcs"] = _MAP_FUNCS_ORACLE
+
+
+def q_agg_maxby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by/min_by selector aggregates: the single-pass 'row with the
+    extreme value' form that otherwise costs a window + filter."""
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.max_by("o_orderkey", "o_totalprice").alias("priciest_order"),
+        F.min_by("o_orderkey", "o_totalprice").alias("cheapest_order"),
+        F.round(F.max("o_totalprice"), 4).alias("max_price"),
+    )
+
+
+_MAXBY_ORACLE = """
+SELECT o_orderpriority,
+       max_by(o_orderkey, o_totalprice) AS priciest_order,
+       min_by(o_orderkey, o_totalprice) AS cheapest_order,
+       round(max(o_totalprice), 4) AS max_price
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+def q_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation: nation names per region as one
+    sorted comma-joined string (deterministic — collect then sort
+    array, never rely on aggregation order)."""
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    return (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations"),
+            F.count(F.lit(1)).alias("n_nations"),
+        )
+    )
+
+
+_STRING_AGG_ORACLE = """
+SELECT r_name,
+       array_to_string(list_sort(list(n_name)), ',') AS nations,
+       count(*) AS n_nations
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+def q_regex_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex extraction family: first word, first number-like token,
+    and a boolean rlike flag over document text."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.regexp_extract("text", r"^(\w+)", 1).alias("first_word"),
+        F.regexp_extract("text", r"(\d+)", 1).alias("first_number"),
+        F.col("text").rlike(r"\d").alias("has_digit"),
+    )
+
+
+_REGEX_ORACLE = r"""
+SELECT doc_id,
+       coalesce(regexp_extract(text, '^(\w+)', 1), '') AS first_word,
+       coalesce(regexp_extract(text, '(\d+)', 1), '') AS first_number,
+       regexp_matches(text, '\d') AS has_digit
+FROM documents
+"""
+
+QUERIES["q_agg_maxby"] = q_agg_maxby
+ORACLE["q_agg_maxby"] = _MAXBY_ORACLE
+QUERIES["q_string_agg"] = q_string_agg
+ORACLE["q_string_agg"] = _STRING_AGG_ORACLE
+QUERIES["q_regex_extract"] = q_regex_extract
+ORACLE["q_regex_extract"] = _REGEX_ORACLE
