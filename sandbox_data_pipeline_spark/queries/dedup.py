@@ -295,3 +295,27 @@ WHERE c.doc_id IS NULL
 
 QUERIES["q_dedup_survivors"] = q_dedup_survivors
 ORACLE["q_dedup_survivors"] = _oracle_survivors()
+
+
+def q_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy-exact dedup: keys on NORMALIZED content (lowercase,
+    whitespace collapsed, trimmed) — catches the trivial-variant
+    duplicates exact hashing misses while staying one hash-groupBy."""
+    d = table(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    return (
+        d.groupBy(F.md5(norm).alias("norm_fp"))
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("dup_cnt"))
+    )
+
+
+_ORACLE_NORMALIZED = r"""
+SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS norm_fp,
+       min(doc_id) AS keep_id,
+       count(*) AS dup_cnt
+FROM documents
+GROUP BY 1
+"""
+
+QUERIES["q_dedup_normalized"] = q_dedup_normalized
+ORACLE["q_dedup_normalized"] = _ORACLE_NORMALIZED

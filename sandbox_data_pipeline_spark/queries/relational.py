@@ -1000,3 +1000,30 @@ QUERIES["q_string_agg"] = q_string_agg
 ORACLE["q_string_agg"] = _STRING_AGG_ORACLE
 QUERIES["q_regex_extract"] = q_regex_extract
 ORACLE["q_regex_extract"] = _REGEX_ORACLE
+
+
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-bucket histogram via width_bucket — the single-pass
+    distribution profile (vs exact percentiles' full sort)."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.select(F.width_bucket("o_totalprice", F.lit(0.0), F.lit(600000.0), F.lit(12)).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# width_bucket semantics spelled out (this DuckDB build lacks the
+# builtin): 0 below range, n_buckets+1 at/above high, else
+# floor((x-low)/width)+1.
+_HISTOGRAM_ORACLE = """
+SELECT CAST(CASE WHEN o_totalprice < 0.0 THEN 0
+            WHEN o_totalprice >= 600000.0 THEN 13
+            ELSE CAST(floor(o_totalprice / 50000.0) AS INTEGER) + 1 END AS BIGINT) AS bucket,
+       count(*) AS n
+FROM orders
+GROUP BY bucket
+"""
+
+QUERIES["q_histogram"] = q_histogram
+ORACLE["q_histogram"] = _HISTOGRAM_ORACLE
