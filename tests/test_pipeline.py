@@ -116,3 +116,17 @@ def test_publish_run_observe_reports_rows(spark, tmp_path):
     metrics = publish_run(df, str(tmp_path / "obs"), 202401150000, observe=True)
     assert metrics == {"rows_published": 123}
     assert spark.read.parquet(str(tmp_path / "obs")).count() == 123
+
+
+def test_compact_partitions_to_destination(spark, tmp_path):
+    from sandbox_data_pipeline_spark.sinks.writers import compact_partitions
+
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    e = table(spark, SF_DIR, "events").limit(500).withColumn(
+        "run_hr", F.date_format("ts", "yyyyMMddHH00").cast("long")
+    )
+    e.repartition(10).write.mode("overwrite").partitionBy("run_hr").parquet(src)
+    n = compact_partitions(spark, src, target_file_bytes=512 << 20, dst_path=dst)
+    assert n > 0
+    assert sorted(map(str, spark.read.parquet(dst).collect())) == \
+           sorted(map(str, spark.read.parquet(src).collect()))

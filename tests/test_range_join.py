@@ -36,3 +36,19 @@ def test_range_join_matches_naive(spark):
     assert got == expect
     assert ("a", 1.0) in got and ("a", 4.0) in got and ("a", 5.0) not in got
     assert ("c", 6.0) not in got
+
+
+def test_range_join_symmetric_window(spark):
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 12:00:00", "x")], "k long, ts string, tag string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 11:30:00", 1.0),   # 30m before: inside ±1h
+         (1, "2024-01-01 12:30:00", 2.0),   # 30m after: inside
+         (1, "2024-01-01 10:59:59", 3.0),   # just outside lower
+         (1, "2024-01-01 13:00:01", 4.0)],  # just outside upper
+        "k long, ts string, v double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = {r.r_v for r in
+           range_join(left, right, by="k", lower_s=-3600, upper_s=3600).collect()}
+    assert got == {1.0, 2.0}
