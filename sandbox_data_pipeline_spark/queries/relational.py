@@ -1027,3 +1027,46 @@ GROUP BY bucket
 
 QUERIES["q_histogram"] = q_histogram
 ORACLE["q_histogram"] = _HISTOGRAM_ORACLE
+
+
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential funnel: users who signed up, then clicked AFTER the
+    signup, then purchased AFTER that click. Three chained min-ts
+    aggregations, each joined to the previous stage — stage frames are
+    per-user (small relative to events) so the joins broadcast under
+    AQE; the events table is scanned once per stage with the
+    event_type filter pushed down."""
+    e = table(spark, sf_dir, "events")
+
+    def stage(event_type: str, prev, prev_ts: str, out_ts: str):
+        ev = e.where(F.col("event_type") == event_type).select("user_id", "ts")
+        if prev is not None:
+            ev = ev.join(prev, "user_id").where(F.col("ts") > F.col(prev_ts))
+        return ev.groupBy("user_id").agg(F.min("ts").alias(out_ts))
+
+    s = stage("signup", None, "", "s_ts")
+    c = stage("click", s, "s_ts", "c_ts")
+    p = stage("purchase", c, "c_ts", "p_ts")
+    return (
+        s.agg(F.count(F.lit(1)).alias("n_signup"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_click_after")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchase_after")))
+    )
+
+
+_FUNNEL_ORACLE = """
+WITH s AS (SELECT user_id, min(ts) AS s_ts FROM events
+           WHERE event_type = 'signup' GROUP BY user_id),
+c AS (SELECT e.user_id, min(e.ts) AS c_ts FROM events e
+      JOIN s ON e.user_id = s.user_id AND e.ts > s.s_ts
+      WHERE e.event_type = 'click' GROUP BY e.user_id),
+p AS (SELECT e.user_id, min(e.ts) AS p_ts FROM events e
+      JOIN c ON e.user_id = c.user_id AND e.ts > c.c_ts
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+SELECT (SELECT count(*) FROM s) AS n_signup,
+       (SELECT count(*) FROM c) AS n_click_after,
+       (SELECT count(*) FROM p) AS n_purchase_after
+"""
+
+QUERIES["q_funnel"] = q_funnel
+ORACLE["q_funnel"] = _FUNNEL_ORACLE
