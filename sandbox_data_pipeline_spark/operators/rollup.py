@@ -28,14 +28,16 @@ def hourly_aggregate(
     key_col: str = "event_type",
     value_col: str = "value",
 ) -> DataFrame:
-    """Finest-tier aggregate. Sums stay UNROUNDED — rounding belongs at
-    presentation; rounding an intermediate would make cascaded totals
-    drift from directly-computed ones."""
+    """Finest-tier aggregate. Sums are carried as DECIMAL: decimal
+    addition is exact and associative, so a cascaded sum-of-sums is
+    bit-identical to a direct sum regardless of grouping order or
+    partition layout — double sums drift at the ulp level with
+    summation order, which flips round() at tier boundaries."""
     return events.groupBy(
         F.date_trunc("hour", F.col(ts_col)).alias("bucket_start"), F.col(key_col)
     ).agg(
         F.count(F.lit(1)).alias("event_cnt"),
-        F.sum(value_col).alias("sum_value"),
+        F.sum(F.col(value_col).cast("decimal(28,8)")).alias("sum_value"),
         F.min(value_col).alias("min_value"),
         F.max(value_col).alias("max_value"),
     )
@@ -60,12 +62,12 @@ def present(aggregated: DataFrame) -> DataFrame:
         "bucket_start",
         "event_type",
         F.col("event_cnt").cast("long").alias("event_cnt"),
-        F.round("sum_value", 4).alias("sum_value"),
-        # derive avg from the ROUNDED sum: the cascaded double-sum order
-        # differs from a direct sum at the ulp level, and dividing the
-        # rounded (decimal-exact) value keeps avg reproducible across
-        # engines and across cascade depths
-        F.round(F.round("sum_value", 4) / F.col("event_cnt"), 4).alias("avg_value"),
+        F.round("sum_value", 4).cast("double").alias("sum_value"),
+        # avg = rounded-sum / count as plain IEEE double division with NO
+        # final round: engines disagree on decimal half-way rounding
+        # (Spark HALF_UP vs DuckDB down), but the same division on the
+        # same inputs is bit-identical everywhere
+        (F.round("sum_value", 4).cast("double") / F.col("event_cnt")).alias("avg_value"),
         F.round("min_value", 4).alias("min_value"),
         F.round("max_value", 4).alias("max_value"),
     )

@@ -405,8 +405,8 @@ _ROLLUP_CASCADE_ORACLE = """
 SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket_start,
        event_type,
        count(*) AS event_cnt,
-       round(sum(value), 4) AS sum_value,
-       round(round(sum(value), 4) / count(*), 4) AS avg_value,
+       CAST(round(sum(CAST(value AS DECIMAL(28,8))), 4) AS DOUBLE) AS sum_value,
+       CAST(round(sum(CAST(value AS DECIMAL(28,8))), 4) AS DOUBLE) / count(*) AS avg_value,
        round(min(value), 4) AS min_value,
        round(max(value), 4) AS max_value
 FROM events
