@@ -412,3 +412,35 @@ def simhash_pairs(
         .distinct()
         .where(F.col("hamming") <= max_hamming)
     )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing any word
+    n-gram with an eval/benchmark set (the GPT-3/PaLM training-data
+    hygiene step). Returns one row per contaminated corpus doc with the
+    count of distinct shared n-grams and of eval docs hit.
+
+    Scale shape: the eval side is tiny relative to the corpus (benchmarks
+    are MBs against TBs), so its shingle set is broadcast — the corpus
+    shingle stream joins map-side without ever shuffling; the only
+    shuffle is the final groupBy over contaminated docs, bounded by the
+    contamination rate, not corpus size.
+    """
+    ev = word_shingles(eval_docs, n=n, id_col=id_col, text_col=text_col).select(
+        F.col(id_col).alias("_eval_id"), "shingle"
+    )
+    co = word_shingles(corpus, n=n, id_col=id_col, text_col=text_col)
+    return (
+        co.join(F.broadcast(ev), "shingle")
+        .groupBy(id_col)
+        .agg(
+            F.countDistinct("shingle").alias("n_shared_shingles"),
+            F.countDistinct("_eval_id").alias("n_eval_docs"),
+        )
+    )

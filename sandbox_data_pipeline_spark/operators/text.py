@@ -205,3 +205,57 @@ def hash_split(
     for threshold, name in reversed(cases[:-1]):
         split = F.when(bucket < threshold, F.lit(name)).otherwise(split)
     return docs.select(F.col(id_col), bucket.alias("bucket"), split.alias("split"))
+
+
+# --- PII scrubbing ----------------------------------------------------------
+
+# Patterns chosen to parse identically under Java regex (Spark) and
+# RE2 (DuckDB): character classes + bounded repetition only.
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_PATTERN = r"[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+
+def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Redact emails/phone numbers and count what was removed.
+
+    Pure regexp expressions (regexp_count + regexp_replace) — map-side,
+    codegen'd, zero shuffle; at 100 TB this is a scan-projection whose
+    cost is the parquet read. A production pipeline extends the pattern
+    table (SSNs, credit cards, IPs); the mechanism is unchanged.
+    """
+    t = F.col(text_col)
+    return docs.withColumns(
+        {
+            "n_emails": F.regexp_count(t, F.lit(EMAIL_PATTERN)),
+            "n_phones": F.regexp_count(t, F.lit(PHONE_PATTERN)),
+            text_col: F.regexp_replace(
+                F.regexp_replace(t, EMAIL_PATTERN, "<EMAIL>"),
+                PHONE_PATTERN,
+                "<PHONE>",
+            ),
+        }
+    )
+
+
+def repetition_features(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Intra-document repetition (Gopher-style boilerplate signals):
+    duplicate-token fraction and most-frequent-token share. Computed
+    entirely with nested higher-order array lambdas — row-local, no
+    explode, no shuffle; per-row cost is O(vocab x tokens), bounded by
+    document width, independent of corpus size."""
+    toks = F.filter(tokens(text_col), lambda t: t != F.lit(""))
+    n = F.size(toks)
+    dist = F.array_distinct(toks)
+    top = F.array_max(
+        F.transform(dist, lambda d: F.size(F.filter(toks, lambda t: t == d)))
+    )
+    nonempty = n > 0
+    return docs.select(
+        id_col,
+        n.alias("n_tokens"),
+        F.size(dist).alias("n_distinct"),
+        F.when(nonempty, F.round(F.lit(1.0) - F.size(dist) / n, 4)).alias("dup_ratio"),
+        F.when(nonempty, F.round(top / n, 4)).alias("top_token_ratio"),
+    )

@@ -319,3 +319,42 @@ GROUP BY 1
 
 QUERIES["q_dedup_normalized"] = q_dedup_normalized
 ORACLE["q_dedup_normalized"] = _ORACLE_NORMALIZED
+
+
+EVAL_MOD = 97
+DECONTAM_N = 5
+
+
+def q_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: corpus docs sharing any 5-gram with
+    the held-out eval slice (doc_id % 97 == 0 stands in for a benchmark
+    set)."""
+    from sandbox_data_pipeline_spark.operators.dedup import decontaminate
+
+    d = table(spark, sf_dir, "documents")
+    ev = d.where(F.col("doc_id") % EVAL_MOD == 0)
+    co = d.where(F.col("doc_id") % EVAL_MOD != 0)
+    return decontaminate(co, ev, n=DECONTAM_N)
+
+
+_ORACLE_DECONTAM = f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+grams AS (
+  SELECT doc_id,
+         unnest(list_distinct(CASE WHEN len(t) >= {DECONTAM_N}
+                THEN list_transform(range(1, len(t) - {DECONTAM_N} + 2),
+                                    i -> array_to_string(t[i:i + {DECONTAM_N - 1}], ' '))
+                ELSE [] END)) AS shingle
+  FROM toks
+),
+ev AS (SELECT doc_id AS eval_id, shingle FROM grams WHERE doc_id % {EVAL_MOD} = 0),
+co AS (SELECT doc_id, shingle FROM grams WHERE doc_id % {EVAL_MOD} <> 0)
+SELECT co.doc_id,
+       count(DISTINCT co.shingle) AS n_shared_shingles,
+       count(DISTINCT ev.eval_id) AS n_eval_docs
+FROM co JOIN ev USING (shingle)
+GROUP BY co.doc_id
+"""
+
+QUERIES["q_decontam"] = q_decontam
+ORACLE["q_decontam"] = _ORACLE_DECONTAM

@@ -309,3 +309,79 @@ GROUP BY lang
 
 QUERIES["q_stratified_sample"] = q_stratified_sample
 ORACLE["q_stratified_sample"] = _ORACLE_STRATIFIED
+
+
+PII_MOD = 3
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over deterministically seeded text: every third doc
+    gets a synthetic email + phone appended (the corpus itself is
+    PII-free), then the scrubber must find and redact exactly those."""
+    from sandbox_data_pipeline_spark.operators.text import pii_scrub
+
+    d = table(spark, sf_dir, "documents")
+    seeded = d.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % PII_MOD == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com or 555-123-"),
+                F.lpad(F.pmod(F.col("doc_id"), F.lit(10_000)).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.col("text")),
+    )
+    return pii_scrub(seeded).select(
+        "doc_id", "n_emails", "n_phones", F.md5("text").alias("scrubbed_md5")
+    )
+
+
+def _oracle_pii() -> str:
+    from sandbox_data_pipeline_spark.operators.text import EMAIL_PATTERN, PHONE_PATTERN
+
+    return f"""
+WITH seeded AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % {PII_MOD} = 0
+              THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                   || '@example.com or 555-123-'
+                   || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+              ELSE text END AS text
+  FROM documents
+)
+SELECT doc_id,
+       len(regexp_extract_all(text, '{EMAIL_PATTERN}')) AS n_emails,
+       len(regexp_extract_all(text, '{PHONE_PATTERN}')) AS n_phones,
+       md5(regexp_replace(regexp_replace(text, '{EMAIL_PATTERN}', '<EMAIL>', 'g'),
+                          '{PHONE_PATTERN}', '<PHONE>', 'g')) AS scrubbed_md5
+FROM seeded
+"""
+
+
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sandbox_data_pipeline_spark.operators.text import repetition_features
+
+    return repetition_features(table(spark, sf_dir, "documents"))
+
+
+_ORACLE_REPETITION = """
+SELECT doc_id,
+       CAST(len(l) AS INTEGER) AS n_tokens,
+       CAST(len(list_distinct(l)) AS INTEGER) AS n_distinct,
+       CASE WHEN len(l) > 0
+            THEN round(1.0 - len(list_distinct(l)) / len(l), 4) END AS dup_ratio,
+       CASE WHEN len(l) > 0
+            THEN round(list_max(list_transform(list_distinct(l),
+                       d -> len(list_filter(l, t -> t = d)))) / len(l), 4)
+            END AS top_token_ratio
+FROM (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS l
+      FROM documents)
+"""
+
+QUERIES["q_pii_scrub"] = q_pii_scrub
+ORACLE["q_pii_scrub"] = _oracle_pii()
+QUERIES["q_repetition"] = q_repetition
+ORACLE["q_repetition"] = _ORACLE_REPETITION

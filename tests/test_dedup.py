@@ -83,3 +83,19 @@ def test_duplicate_clusters_chain_and_canonical(spark):
     )
     kept = sorted(r.doc_id for r in keep_canonical(docs, duplicate_clusters(pairs)).collect())
     assert kept == [1, 10, 99]  # cluster minima + the unpaired doc
+
+
+def test_decontaminate_flags_overlap(spark):
+    from sandbox_data_pipeline_spark.operators.dedup import decontaminate
+
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
+    ev = mk([(100, "alpha beta gamma delta epsilon zeta")])
+    corpus = mk([
+        (1, "alpha beta gamma delta epsilon unrelated tail"),  # shares 2 5-grams? no: 1
+        (2, "completely different words with no overlap at all"),
+        (3, "prefix alpha beta gamma delta epsilon zeta suffix"),  # shares 2
+    ])
+    got = {r.doc_id: r for r in decontaminate(corpus, ev, n=5).collect()}
+    assert set(got) == {1, 3}
+    assert got[1].n_shared_shingles == 1 and got[1].n_eval_docs == 1
+    assert got[3].n_shared_shingles == 2 and got[3].n_eval_docs == 1

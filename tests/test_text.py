@@ -72,3 +72,34 @@ def test_hash_split_deterministic_and_leak_free(spark):
     assert a[1] == a[2]  # exact duplicates cannot straddle splits
     train_frac = sum(1 for s in a.values() if s == "train") / len(a)
     assert 0.8 < train_frac < 1.0  # ratio holds approximately
+
+
+def test_pii_scrub_redacts_and_counts(spark):
+    from sandbox_data_pipeline_spark.operators.text import pii_scrub
+
+    df = _df(spark, [
+        (0, "mail me at jane.doe+x@corp.example.org or call 555-123-4567", "en"),
+        (1, "no pii here", "en"),
+        (2, "two mails a@b.io c@d.co and 111-222-3333 999-888-7777", "en"),
+    ])
+    got = {r.doc_id: r for r in pii_scrub(df).collect()}
+    assert got[0].n_emails == 1 and got[0].n_phones == 1
+    assert got[0].text == "mail me at <EMAIL> or call <PHONE>"
+    assert got[1].n_emails == 0 and got[1].n_phones == 0
+    assert got[1].text == "no pii here"
+    assert got[2].n_emails == 2 and got[2].n_phones == 2
+
+
+def test_repetition_features(spark):
+    from sandbox_data_pipeline_spark.operators.text import repetition_features
+
+    df = _df(spark, [
+        (0, "a a a a", "en"),          # 1 distinct of 4
+        (1, "w x y z", "en"),          # all distinct
+        (2, "", "en"),                  # empty -> NULL ratios
+    ])
+    got = {r.doc_id: r for r in repetition_features(df).collect()}
+    assert got[0].n_tokens == 4 and got[0].n_distinct == 1
+    assert got[0].dup_ratio == 0.75 and got[0].top_token_ratio == 1.0
+    assert got[1].dup_ratio == 0.0 and got[1].top_token_ratio == 0.25
+    assert got[2].n_tokens == 0 and got[2].dup_ratio is None
