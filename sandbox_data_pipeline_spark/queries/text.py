@@ -385,3 +385,106 @@ QUERIES["q_pii_scrub"] = q_pii_scrub
 ORACLE["q_pii_scrub"] = _oracle_pii()
 QUERIES["q_repetition"] = q_repetition
 ORACLE["q_repetition"] = _ORACLE_REPETITION
+
+
+CASCADE_MIN_CHARS = 64
+CASCADE_MIN_TOKENS = 10
+CASCADE_LANGS = ("de", "en", "es", "fr")
+
+
+def q_filter_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation-funnel attrition report: per source, how many documents
+    survive each successive filter (length -> language -> token count ->
+    exact-dedup keep-first). The dedup flag is the only non-scan-local
+    piece — one window over the uniformly-distributed content hash; the
+    report itself is O(|sources|). The standard first chart of any
+    training-data pipeline."""
+    from pyspark.sql import Window
+
+    from sandbox_data_pipeline_spark.operators.text import token_count
+
+    d = table(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    flags = d.select(
+        "source",
+        (F.col("n_chars") >= CASCADE_MIN_CHARS).alias("len_ok"),
+        F.col("lang").isin(*CASCADE_LANGS).alias("lang_ok"),
+        (token_count() >= CASCADE_MIN_TOKENS).alias("tok_ok"),
+        (F.row_number().over(w) == 1).alias("uniq_ok"),
+    )
+
+    def survivors(*conds: str):
+        keep = F.lit(True)
+        for c in conds:
+            keep = keep & F.col(c)
+        return F.sum(F.when(keep, 1).otherwise(0))
+
+    return flags.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        survivors("len_ok").alias("after_length"),
+        survivors("len_ok", "lang_ok").alias("after_lang"),
+        survivors("len_ok", "lang_ok", "tok_ok").alias("after_tokens"),
+        survivors("len_ok", "lang_ok", "tok_ok", "uniq_ok").alias("after_dedup"),
+    )
+
+
+def _oracle_cascade() -> str:
+    inlist = ", ".join(f"'{x}'" for x in CASCADE_LANGS)
+    return f"""
+WITH flags AS (
+  SELECT source,
+         n_chars >= {CASCADE_MIN_CHARS} AS len_ok,
+         lang IN ({inlist}) AS lang_ok,
+         {_ntok()} >= {CASCADE_MIN_TOKENS} AS tok_ok,
+         row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1 AS uniq_ok
+  FROM documents
+)
+SELECT source,
+       count(*) AS n_total,
+       sum(CASE WHEN len_ok THEN 1 ELSE 0 END) AS after_length,
+       sum(CASE WHEN len_ok AND lang_ok THEN 1 ELSE 0 END) AS after_lang,
+       sum(CASE WHEN len_ok AND lang_ok AND tok_ok THEN 1 ELSE 0 END) AS after_tokens,
+       sum(CASE WHEN len_ok AND lang_ok AND tok_ok AND uniq_ok THEN 1 ELSE 0 END)
+           AS after_dedup
+FROM flags
+GROUP BY source
+"""
+
+
+def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture rebalancing: per-language sampling weight that would move
+    the corpus to a uniform language mix (weight = target_frac /
+    actual_frac). Fractions are left UNROUNDED doubles: both engines
+    divide the same exact integers, so the IEEE results are
+    bit-identical — rounding would only reintroduce half-way drift.
+    Two tiny aggregates broadcast against the per-lang counts."""
+    d = table(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    total = d.agg(F.count(F.lit(1)).alias("_total"))
+    n_langs = counts.agg(F.count(F.lit(1)).alias("_n_langs"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .crossJoin(F.broadcast(n_langs))
+        .select(
+            "lang",
+            "n_docs",
+            (F.col("n_docs") / F.col("_total")).alias("actual_frac"),
+            (F.col("_total") / (F.col("_n_langs") * F.col("n_docs"))).alias("weight"),
+        )
+    )
+
+
+_ORACLE_MIXTURE = """
+WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+t AS (SELECT count(*) AS total FROM documents),
+k AS (SELECT count(*) AS n_langs FROM c)
+SELECT lang, n_docs,
+       n_docs / total AS actual_frac,
+       total / (n_langs * n_docs) AS weight
+FROM c, t, k
+"""
+
+QUERIES["q_filter_cascade"] = q_filter_cascade
+ORACLE["q_filter_cascade"] = _oracle_cascade()
+QUERIES["q_mixture_weights"] = q_mixture_weights
+ORACLE["q_mixture_weights"] = _ORACLE_MIXTURE

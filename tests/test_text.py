@@ -103,3 +103,25 @@ def test_repetition_features(spark):
     assert got[0].dup_ratio == 0.75 and got[0].top_token_ratio == 1.0
     assert got[1].dup_ratio == 0.0 and got[1].top_token_ratio == 0.25
     assert got[2].n_tokens == 0 and got[2].dup_ratio is None
+
+
+def test_filter_cascade_monotone(spark):
+    from sandbox_data_pipeline_spark.queries.text import q_filter_cascade
+
+    rows = q_filter_cascade(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        assert (
+            r.n_total >= r.after_length >= r.after_lang
+            >= r.after_tokens >= r.after_dedup >= 0
+        )
+
+
+def test_mixture_weights_rebalance(spark):
+    from sandbox_data_pipeline_spark.queries.text import q_mixture_weights
+
+    rows = q_mixture_weights(spark, "/root/testdata/sf0.001").collect()
+    # reweighted mass is uniform: actual_frac * weight == 1 / n_langs
+    n = len(rows)
+    for r in rows:
+        assert abs(r.actual_frac * r.weight - 1.0 / n) < 1e-12
