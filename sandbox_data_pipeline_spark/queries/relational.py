@@ -1070,3 +1070,96 @@ SELECT (SELECT count(*) FROM s) AS n_signup,
 
 QUERIES["q_funnel"] = q_funnel
 ORACLE["q_funnel"] = _FUNNEL_ORACLE
+
+
+def q_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-score outlier detection per event_type (|z| > 3). Moments are
+    accumulated as DECIMAL sums — exact and associative, so mean and
+    variance are bit-identical regardless of partitioning or engine;
+    every derived scalar (mean, std, z) is then the same IEEE
+    arithmetic on the same inputs, needing no rounding at all. One
+    partial-combined aggregate + a broadcast join back to the rows."""
+    e = table(spark, sf_dir, "events")
+    dec = F.col("value").cast("decimal(28,8)")
+    dec2 = (F.col("value") * F.col("value")).cast("decimal(28,8)")
+    stats = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(dec).alias("_s"),
+        F.sum(dec2).alias("_s2"),
+    )
+    mean = F.col("_s").cast("double") / F.col("_n")
+    var = F.col("_s2").cast("double") / F.col("_n") - mean * mean
+    stats = stats.select(
+        "event_type", mean.alias("_mean"), F.sqrt(var).alias("_std")
+    )
+    z = (F.col("value") - F.col("_mean")) / F.col("_std")
+    return (
+        e.join(F.broadcast(stats), "event_type")
+        .where(F.abs(z) > 3)
+        .select("event_id", "event_type", "value", z.alias("z_score"))
+    )
+
+
+_OUTLIER_ORACLE = """
+WITH stats AS (
+  SELECT event_type,
+         CAST(sum(CAST(value AS DECIMAL(28,8))) AS DOUBLE) / count(*) AS mean,
+         sqrt(CAST(sum(CAST(value * value AS DECIMAL(28,8))) AS DOUBLE) / count(*)
+              - (CAST(sum(CAST(value AS DECIMAL(28,8))) AS DOUBLE) / count(*))
+                * (CAST(sum(CAST(value AS DECIMAL(28,8))) AS DOUBLE) / count(*)))
+           AS std
+  FROM events GROUP BY event_type
+)
+SELECT event_id, e.event_type, value, (value - mean) / std AS z_score
+FROM events e JOIN stats USING (event_type)
+WHERE abs((value - mean) / std) > 3
+"""
+
+
+def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample with gap fill: a dense hourly spine
+    (sequence + explode over the observed range, crossed with the tiny
+    event_type dimension) left-joined to hourly counts, missing hours
+    zero-filled. The spine is |hours| x |types| rows — broadcastable at
+    any corpus scale; the fact side aggregates before the join, so the
+    join input is already one row per (hour, type)."""
+    e = table(spark, sf_dir, "events")
+    bounds = e.agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("h0", "h1", F.expr("interval 1 hour"))).alias("hour_start")
+    )
+    types = e.select("event_type").distinct()
+    counts = e.groupBy(
+        F.date_trunc("hour", "ts").alias("hour_start"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    return (
+        spine.crossJoin(types)
+        .join(counts, ["hour_start", "event_type"], "left")
+        .select(
+            "hour_start",
+            "event_type",
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        )
+    )
+
+
+_GAP_FILL_ORACLE = """
+WITH b AS (SELECT date_trunc('hour', min(ts)) AS h0, date_trunc('hour', max(ts)) AS h1
+           FROM events),
+spine AS (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour_start FROM b),
+types AS (SELECT DISTINCT event_type FROM events),
+c AS (SELECT date_trunc('hour', ts) AS hour_start, event_type, count(*) AS n
+      FROM events GROUP BY 1, 2)
+SELECT s.hour_start, t.event_type, coalesce(c.n, 0) AS n_events
+FROM spine s
+CROSS JOIN types t
+LEFT JOIN c ON c.hour_start = s.hour_start AND c.event_type = t.event_type
+"""
+
+QUERIES["q_outliers"] = q_outliers
+ORACLE["q_outliers"] = _OUTLIER_ORACLE
+QUERIES["q_gap_fill"] = q_gap_fill
+ORACLE["q_gap_fill"] = _GAP_FILL_ORACLE

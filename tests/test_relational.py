@@ -89,3 +89,28 @@ def test_events_ts_is_microsecond_timestamp(spark, sf_dir):
     e = table(spark, sf_dir, "events")
     assert dict(e.dtypes)["ts"] == "timestamp"
     assert e.where(F.col("ts") < F.lit("2000-01-01")).count() == 0
+
+
+def test_outliers_zscore_threshold(spark):
+    from sandbox_data_pipeline_spark.queries.relational import q_outliers
+
+    rows = q_outliers(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        assert abs(r.z_score) > 3
+
+
+def test_gap_fill_dense_and_consistent(spark):
+    from sandbox_data_pipeline_spark.catalog import table
+    from sandbox_data_pipeline_spark.queries.relational import q_gap_fill
+
+    out = q_gap_fill(spark, "/root/testdata/sf0.001")
+    rows = out.collect()
+    hours = {r.hour_start for r in rows}
+    types = {r.event_type for r in rows}
+    # dense grid: every (hour, type) cell present exactly once
+    assert len(rows) == len(hours) * len(types)
+    # zero-filled cells exist and totals reconcile with the raw table
+    assert any(r.n_events == 0 for r in rows)
+    total = sum(r.n_events for r in rows)
+    assert total == table(spark, "/root/testdata/sf0.001", "events").count()
