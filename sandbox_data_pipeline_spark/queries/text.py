@@ -7,7 +7,7 @@ as the Spark column expression in operators/text.py.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from sandbox_data_pipeline_spark.catalog import table
@@ -488,3 +488,95 @@ QUERIES["q_filter_cascade"] = q_filter_cascade
 ORACLE["q_filter_cascade"] = _oracle_cascade()
 QUERIES["q_mixture_weights"] = q_mixture_weights
 ORACLE["q_mixture_weights"] = _ORACLE_MIXTURE
+
+
+INDEX_TOP_TOKENS = 25
+PACK_BUDGET = 256
+
+
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build: sorted posting list (doc_ids) per token,
+    restricted to the highest-document-frequency tokens to keep the
+    compared result bounded. explode -> distinct (doc,token) ->
+    collect_list is the canonical distributed index build; posting
+    lists are sort_array'd so the result is partitioning-independent.
+    At 100 TB the only guard needed is the df cap already applied here
+    (hot tokens are exactly the ones you drop as stopwords)."""
+    d = table(spark, sf_dir, "documents")
+    pairs = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .where(F.col("token") != "")
+        .distinct()
+    )
+    postings = pairs.groupBy("token").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("postings"),
+        F.count(F.lit(1)).alias("doc_freq"),
+    )
+    return (
+        postings.orderBy(F.col("doc_freq").desc(), "token")
+        .limit(INDEX_TOP_TOKENS)
+        .select("token", "doc_freq", "postings")
+    )
+
+
+_ORACLE_INVERTED = f"""
+WITH pairs AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+postings AS (
+  SELECT token, list_sort(list(doc_id)) AS postings, count(*) AS doc_freq
+  FROM pairs WHERE token <> ''
+  GROUP BY token
+)
+SELECT token, doc_freq, postings
+FROM postings
+ORDER BY doc_freq DESC, token
+LIMIT {INDEX_TOP_TOKENS}
+"""
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for LLM training: fill fixed token-budget
+    context windows by running a cumulative token count over a
+    deterministic doc order and cutting a new bin each time the budget
+    boundary is crossed (the standard approximate first-fit used at
+    corpus scale — exact bin packing is inherently sequential). The
+    window runs PER LANGUAGE partition, so at 100 TB the cumsum
+    parallelizes across partitions; reported per bin: docs and tokens."""
+    from sandbox_data_pipeline_spark.operators.text import token_count
+
+    d = table(spark, sf_dir, "documents").select(
+        "lang", "doc_id", token_count().alias("n_tokens")
+    )
+    w = Window.partitionBy("lang").orderBy("doc_id")
+    binned = d.select(
+        "lang",
+        "n_tokens",
+        F.floor(
+            (F.sum("n_tokens").over(w) - F.col("n_tokens")) / F.lit(PACK_BUDGET)
+        ).alias("bin_id"),
+    )
+    return binned.groupBy("lang", "bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("bin_tokens"),
+    )
+
+
+_ORACLE_PACK = f"""
+WITH d AS (SELECT lang, doc_id, {_ntok()} AS n_tokens FROM documents),
+binned AS (
+  SELECT lang, n_tokens,
+         CAST(floor((sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                      ROWS UNBOUNDED PRECEDING) - n_tokens)
+                    / {PACK_BUDGET}.0) AS BIGINT) AS bin_id
+  FROM d
+)
+SELECT lang, bin_id, count(*) AS n_docs, sum(n_tokens) AS bin_tokens
+FROM binned
+GROUP BY lang, bin_id
+"""
+
+QUERIES["q_inverted_index"] = q_inverted_index
+ORACLE["q_inverted_index"] = _ORACLE_INVERTED
+QUERIES["q_pack_sequences"] = q_pack_sequences
+ORACLE["q_pack_sequences"] = _ORACLE_PACK

@@ -125,3 +125,30 @@ def test_mixture_weights_rebalance(spark):
     n = len(rows)
     for r in rows:
         assert abs(r.actual_frac * r.weight - 1.0 / n) < 1e-12
+
+
+def test_inverted_index_postings_sorted(spark):
+    from sandbox_data_pipeline_spark.queries.text import q_inverted_index
+
+    rows = q_inverted_index(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        assert r.postings == sorted(r.postings)
+        assert r.doc_freq == len(r.postings)
+
+
+def test_pack_sequences_reconciles(spark):
+    from sandbox_data_pipeline_spark.queries.text import PACK_BUDGET, q_pack_sequences
+
+    rows = q_pack_sequences(spark, "/root/testdata/sf0.001").collect()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append(r)
+    for lang, bins in by_lang.items():
+        ids = sorted(b.bin_id for b in bins)
+        assert ids == list(range(len(ids)))  # contiguous bins from 0
+        # every bin except possibly the last crossed the budget boundary:
+        # cumulative fill means a bin closes only once the budget is hit
+        for b in bins:
+            if b.bin_id < len(ids) - 1:
+                assert b.bin_tokens >= 1
