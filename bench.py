@@ -35,6 +35,9 @@ HEADLINE = [
     "q_similarity_ivf_topk",
     "q_text_quality",
     "q_token_count",
+    "q_pii_scrub",
+    "q_decontam",
+    "q_pack_sequences",
 ]
 
 

@@ -435,7 +435,10 @@ def decontaminate(
     ev = word_shingles(eval_docs, n=n, id_col=id_col, text_col=text_col).select(
         F.col(id_col).alias("_eval_id"), "shingle"
     )
-    co = word_shingles(corpus, n=n, id_col=id_col, text_col=text_col)
+    # distinct=False: both output aggregates are countDistinct, which
+    # dedups on its own — the per-doc distinct would add a full shuffle
+    # of the corpus shingle stream for nothing
+    co = word_shingles(corpus, n=n, id_col=id_col, text_col=text_col, distinct=False)
     return (
         co.join(F.broadcast(ev), "shingle")
         .groupBy(id_col)
