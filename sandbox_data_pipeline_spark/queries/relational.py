@@ -1163,3 +1163,48 @@ QUERIES["q_outliers"] = q_outliers
 ORACLE["q_outliers"] = _OUTLIER_ORACLE
 QUERIES["q_gap_fill"] = q_gap_fill
 ORACLE["q_gap_fill"] = _GAP_FILL_ORACLE
+
+
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization report: exact p01/p99 clamp bounds per event_type
+    and how many rows each tail would clamp. The percentile aggregate is
+    one full-width pass (at 100 TB swap for approx_percentile, whose
+    t-digest partials merge); bounds then broadcast back onto the rows,
+    so the clamp scan itself never shuffles."""
+    e = table(spark, sf_dir, "events")
+    stats = e.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.01)).alias("_p01"),
+        F.percentile("value", F.lit(0.99)).alias("_p99"),
+    )
+    return (
+        e.join(F.broadcast(stats), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(F.when(F.col("value") < F.col("_p01"), 1).otherwise(0)).alias("n_clamped_low"),
+            F.sum(F.when(F.col("value") > F.col("_p99"), 1).otherwise(0)).alias("n_clamped_high"),
+            F.round(F.min("_p01"), 4).alias("p01"),
+            F.round(F.min("_p99"), 4).alias("p99"),
+        )
+    )
+
+
+_WINSORIZE_ORACLE = """
+WITH stats AS (
+  SELECT event_type,
+         quantile_cont(value, 0.01) AS p01,
+         quantile_cont(value, 0.99) AS p99
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type,
+       count(*) AS n_total,
+       sum(CASE WHEN value < p01 THEN 1 ELSE 0 END) AS n_clamped_low,
+       sum(CASE WHEN value > p99 THEN 1 ELSE 0 END) AS n_clamped_high,
+       round(min(p01), 4) AS p01,
+       round(min(p99), 4) AS p99
+FROM events e JOIN stats USING (event_type)
+GROUP BY e.event_type
+"""
+
+QUERIES["q_winsorize"] = q_winsorize
+ORACLE["q_winsorize"] = _WINSORIZE_ORACLE

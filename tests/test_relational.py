@@ -114,3 +114,15 @@ def test_gap_fill_dense_and_consistent(spark):
     assert any(r.n_events == 0 for r in rows)
     total = sum(r.n_events for r in rows)
     assert total == table(spark, "/root/testdata/sf0.001", "events").count()
+
+
+def test_winsorize_bounds_and_tails(spark):
+    from sandbox_data_pipeline_spark.queries.relational import q_winsorize
+
+    rows = q_winsorize(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        assert r.p01 <= r.p99
+        # each tail clamps at most ~1% of rows (interpolated bound)
+        assert r.n_clamped_low <= r.n_total * 0.011 + 1
+        assert r.n_clamped_high <= r.n_total * 0.011 + 1
