@@ -580,3 +580,58 @@ QUERIES["q_inverted_index"] = q_inverted_index
 ORACLE["q_inverted_index"] = _ORACLE_INVERTED
 QUERIES["q_pack_sequences"] = q_pack_sequences
 ORACLE["q_pack_sequences"] = _ORACLE_PACK
+
+
+def q_pack_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized packing manifest: the actual training example per
+    bin — documents concatenated in deterministic doc_id order with a
+    blank-line separator (compared by md5; the compared frame stays
+    narrow while proving byte-exact assembly). collect_list carries the
+    (doc_id, text) structs; array_sort makes the order
+    partitioning-independent."""
+    from sandbox_data_pipeline_spark.operators.text import token_count
+
+    d = table(spark, sf_dir, "documents").select(
+        "lang", "doc_id", "text", token_count().alias("n_tokens")
+    )
+    w = Window.partitionBy("lang").orderBy("doc_id")
+    binned = d.select(
+        "lang",
+        "doc_id",
+        "text",
+        "n_tokens",
+        F.floor(
+            (F.sum("n_tokens").over(w) - F.col("n_tokens")) / F.lit(PACK_BUDGET)
+        ).alias("bin_id"),
+    )
+    packed = F.concat_ws(
+        "\n\n",
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("doc_id", "text"))),
+            lambda e: e["text"],
+        ),
+    )
+    return binned.groupBy("lang", "bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("bin_tokens"),
+        F.md5(packed).alias("pack_md5"),
+    )
+
+
+_ORACLE_PACK_MANIFEST = f"""
+WITH d AS (SELECT lang, doc_id, text, {_ntok()} AS n_tokens FROM documents),
+binned AS (
+  SELECT lang, doc_id, text, n_tokens,
+         CAST(floor((sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                      ROWS UNBOUNDED PRECEDING) - n_tokens)
+                    / {PACK_BUDGET}.0) AS BIGINT) AS bin_id
+  FROM d
+)
+SELECT lang, bin_id, count(*) AS n_docs, sum(n_tokens) AS bin_tokens,
+       md5(string_agg(text, chr(10) || chr(10) ORDER BY doc_id)) AS pack_md5
+FROM binned
+GROUP BY lang, bin_id
+"""
+
+QUERIES["q_pack_manifest"] = q_pack_manifest
+ORACLE["q_pack_manifest"] = _ORACLE_PACK_MANIFEST

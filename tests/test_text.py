@@ -152,3 +152,17 @@ def test_pack_sequences_reconciles(spark):
         for b in bins:
             if b.bin_id < len(ids) - 1:
                 assert b.bin_tokens >= 1
+
+
+def test_pack_manifest_consistent_with_bins(spark):
+    from sandbox_data_pipeline_spark.queries.text import (
+        q_pack_manifest,
+        q_pack_sequences,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    bins = {(r.lang, r.bin_id): (r.n_docs, r.bin_tokens)
+            for r in q_pack_sequences(spark, sf).collect()}
+    manifest = {(r.lang, r.bin_id): (r.n_docs, r.bin_tokens)
+                for r in q_pack_manifest(spark, sf).collect()}
+    assert bins == manifest
