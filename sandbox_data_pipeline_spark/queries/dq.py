@@ -89,3 +89,37 @@ UNION ALL SELECT 'orderkey_not_null', CAST(c4 AS BIGINT), total, c4 = 0 FROM m
 
 QUERIES["q_dq_suite"] = q_dq_suite
 ORACLE["q_dq_suite"] = _DQ_SUITE_ORACLE
+
+
+def q_dq_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Freshness check: per event_type, latest event and its lag behind
+    the table-wide watermark (the check that catches a stalled source
+    branch). One partial-combined aggregate + a broadcast scalar max."""
+    e = table(spark, sf_dir, "events")
+    per_type = e.groupBy("event_type").agg(
+        F.max("ts").alias("latest_ts"), F.count(F.lit(1)).alias("n_rows")
+    )
+    overall = e.agg(F.max("ts").alias("_watermark"))
+    return per_type.crossJoin(F.broadcast(overall)).select(
+        "event_type",
+        "n_rows",
+        "latest_ts",
+        (
+            F.unix_timestamp("_watermark") - F.unix_timestamp("latest_ts")
+        ).alias("lag_seconds"),
+    )
+
+
+_DQ_FRESHNESS_ORACLE = """
+WITH per_type AS (
+  SELECT event_type, max(ts) AS latest_ts, count(*) AS n_rows
+  FROM events GROUP BY event_type
+),
+overall AS (SELECT max(ts) AS watermark FROM events)
+SELECT event_type, n_rows, latest_ts,
+       CAST(date_diff('second', latest_ts, watermark) AS BIGINT) AS lag_seconds
+FROM per_type, overall
+"""
+
+QUERIES["q_dq_freshness"] = q_dq_freshness
+ORACLE["q_dq_freshness"] = _DQ_FRESHNESS_ORACLE

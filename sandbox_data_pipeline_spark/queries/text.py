@@ -635,3 +635,40 @@ GROUP BY lang, bin_id
 
 QUERIES["q_pack_manifest"] = q_pack_manifest
 ORACLE["q_pack_manifest"] = _ORACLE_PACK_MANIFEST
+
+
+def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID evaluation: confusion matrix of declared vs guessed
+    language plus per-cell share of the declared language's documents.
+    The standard QA readout for any classifier stage in the curation
+    pipeline; two cheap aggregates over the language_id projection."""
+    d = language_id(table(spark, sf_dir, "documents")).select(
+        "lang_declared", "lang_guess"
+    )
+    w = Window.partitionBy("lang_declared")
+    return (
+        d.groupBy("lang_declared", "lang_guess")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .withColumn(
+            # raw IEEE division of exact ints — identical across engines,
+            # no round() (half-way rounding differs cross-engine)
+            "share_of_declared",
+            F.col("n_docs") / F.sum("n_docs").over(w),
+        )
+    )
+
+
+def _oracle_confusion() -> str:
+    return f"""
+WITH guessed AS ({_oracle_lang()}),
+cells AS (
+  SELECT lang_declared, lang_guess, count(*) AS n_docs
+  FROM guessed GROUP BY 1, 2
+)
+SELECT lang_declared, lang_guess, n_docs,
+       n_docs / sum(n_docs) OVER (PARTITION BY lang_declared) AS share_of_declared
+FROM cells
+"""
+
+QUERIES["q_lang_confusion"] = q_lang_confusion
+ORACLE["q_lang_confusion"] = _oracle_confusion()

@@ -166,3 +166,14 @@ def test_pack_manifest_consistent_with_bins(spark):
     manifest = {(r.lang, r.bin_id): (r.n_docs, r.bin_tokens)
                 for r in q_pack_manifest(spark, sf).collect()}
     assert bins == manifest
+
+
+def test_lang_confusion_shares_sum_to_one(spark):
+    from sandbox_data_pipeline_spark.queries.text import q_lang_confusion
+
+    rows = q_lang_confusion(spark, "/root/testdata/sf0.001").collect()
+    by_decl = {}
+    for r in rows:
+        by_decl[r.lang_declared] = by_decl.get(r.lang_declared, 0.0) + r.share_of_declared
+    for share in by_decl.values():
+        assert abs(share - 1.0) < 1e-12
