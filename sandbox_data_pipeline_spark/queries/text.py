@@ -507,14 +507,25 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
         .where(F.col("token") != "")
         .distinct()
+        .persist()
     )
-    postings = pairs.groupBy("token").agg(
-        F.sort_array(F.collect_list("doc_id")).alias("postings"),
-        F.count(F.lit(1)).alias("doc_freq"),
+    # select WHICH tokens first (tiny top-k over counts), and only then
+    # build posting lists for those — collecting a posting list per
+    # token before limiting would materialize stop-token lists that
+    # grow with the corpus
+    top = (
+        pairs.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .orderBy(F.col("doc_freq").desc(), "token")
+        .limit(INDEX_TOP_TOKENS)
     )
     return (
-        postings.orderBy(F.col("doc_freq").desc(), "token")
-        .limit(INDEX_TOP_TOKENS)
+        pairs.join(F.broadcast(top), "token")
+        .groupBy("token")
+        .agg(
+            F.min("doc_freq").alias("doc_freq"),
+            F.sort_array(F.collect_list("doc_id")).alias("postings"),
+        )
         .select("token", "doc_freq", "postings")
     )
 
