@@ -1166,15 +1166,29 @@ ORACLE["q_gap_fill"] = _GAP_FILL_ORACLE
 
 
 def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Winsorization report: exact p01/p99 clamp bounds per event_type
-    and how many rows each tail would clamp. The percentile aggregate is
-    one full-width pass (at 100 TB swap for approx_percentile, whose
+    """Winsorization report: p01/p99 clamp bounds per event_type and how
+    many rows each tail would clamp. Bounds are exact *order statistics*
+    (the actual data value at rank ceil(q*n)), not interpolated
+    percentiles — interpolation is ulp-fragile across engines (the one
+    round-1 driver hash fail), while a selected data value is
+    bit-identical everywhere, so no rounding is needed. The rank pass is
+    one sort per event_type (at 100 TB swap for approx_percentile, whose
     t-digest partials merge); bounds then broadcast back onto the rows,
     so the clamp scan itself never shuffles."""
-    e = table(spark, sf_dir, "events")
-    stats = e.groupBy("event_type").agg(
-        F.percentile("value", F.lit(0.01)).alias("_p01"),
-        F.percentile("value", F.lit(0.99)).alias("_p99"),
+    e = table(spark, sf_dir, "events").select("event_type", "value")
+    w = Window.partitionBy("event_type").orderBy("value")
+    ranked = e.withColumn("_rn", F.row_number().over(w))
+    n = e.groupBy("event_type").agg(F.count(F.lit(1)).alias("_n"))
+    lo = F.greatest(F.lit(1).cast("bigint"), F.ceil(F.col("_n") * 0.01))
+    hi = F.ceil(F.col("_n") * 0.99)
+    stats = (
+        ranked.join(F.broadcast(n), "event_type")
+        .where((F.col("_rn") == lo) | (F.col("_rn") == hi))
+        .groupBy("event_type")
+        .agg(
+            F.min(F.when(F.col("_rn") == lo, F.col("value"))).alias("_p01"),
+            F.max(F.when(F.col("_rn") == hi, F.col("value"))).alias("_p99"),
+        )
     )
     return (
         e.join(F.broadcast(stats), "event_type")
@@ -1183,25 +1197,33 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_total"),
             F.sum(F.when(F.col("value") < F.col("_p01"), 1).otherwise(0)).alias("n_clamped_low"),
             F.sum(F.when(F.col("value") > F.col("_p99"), 1).otherwise(0)).alias("n_clamped_high"),
-            F.round(F.min("_p01"), 4).alias("p01"),
-            F.round(F.min("_p99"), 4).alias("p99"),
+            F.min("_p01").alias("p01"),
+            F.min("_p99").alias("p99"),
         )
     )
 
 
 _WINSORIZE_ORACLE = """
-WITH stats AS (
+WITH ranked AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+),
+stats AS (
   SELECT event_type,
-         quantile_cont(value, 0.01) AS p01,
-         quantile_cont(value, 0.99) AS p99
-  FROM events GROUP BY event_type
+         min(CASE WHEN rn = greatest(1, CAST(ceil(n * 0.01) AS BIGINT))
+                  THEN value END) AS p01,
+         max(CASE WHEN rn = CAST(ceil(n * 0.99) AS BIGINT)
+                  THEN value END) AS p99
+  FROM ranked GROUP BY event_type
 )
 SELECT e.event_type,
        count(*) AS n_total,
        sum(CASE WHEN value < p01 THEN 1 ELSE 0 END) AS n_clamped_low,
        sum(CASE WHEN value > p99 THEN 1 ELSE 0 END) AS n_clamped_high,
-       round(min(p01), 4) AS p01,
-       round(min(p99), 4) AS p99
+       min(p01) AS p01,
+       min(p99) AS p99
 FROM events e JOIN stats USING (event_type)
 GROUP BY e.event_type
 """
