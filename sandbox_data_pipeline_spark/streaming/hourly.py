@@ -7,11 +7,12 @@ Mapping (SURVEY §2.8):
   landing prefix; no polling code exists at all.
 - T1 hourly run window → event-time tumbling window + watermark.
 - T5 late/duplicate handling (re-run replaces the hour) →
-  dropDuplicates within watermark + idempotent per-hour overwrite in
-  foreachBatch.
-- K4 publish → foreachBatch dynamic partition overwrite keyed by
-  run_hr (exactly-once per window under retries: the overwrite is
-  idempotent, the sink path is the batch's run-hours).
+  dropDuplicatesWithinWatermark + idempotent per-hour merge-overwrite
+  in foreachBatch.
+- K4 publish → foreachBatch merge + dynamic partition overwrite keyed
+  by run_hr (exactly-once per window under retries: the rewrite is
+  idempotent, the sink path is the batch's run-hours, and rows from
+  groups NOT in the batch are read back and preserved).
 
 At scale: the file source lists incrementally (maxFilesPerTrigger
 bounds a micro-batch), state for the window agg is bounded by the
@@ -59,8 +60,16 @@ def read_event_stream(
 
 def hourly_rollup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """T1: event-time tumbling hour window with late-data tolerance;
-    emits the same shape as the batch q_window_hourly plus run_hr."""
-    deduped = events.withWatermark("ts", watermark).dropDuplicates(["event_id"])
+    emits the same shape as the batch q_window_hourly plus run_hr.
+
+    Dedup uses dropDuplicatesWithinWatermark: a plain
+    dropDuplicates(["event_id"]) keyed on a non-event-time subset never
+    evicts its state (the watermark can't reason about the key), so
+    state would grow with stream lifetime. The within-watermark variant
+    expires each key once the watermark passes its event time — state
+    is bounded by the watermark horizon × arrival rate, which is the
+    bound that matters on an unbounded 100 TB/day stream."""
+    deduped = events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
     return (
         deduped.groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
         .agg(F.count(F.lit(1)).alias("event_cnt"), F.round(F.sum("value"), 4).alias("sum_value"))
@@ -83,25 +92,59 @@ def start_hourly_pipeline(
     watermark: str = "2 hours",
 ):
     """Wire source → rollup → idempotent per-hour sink. foreachBatch
-    writes each micro-batch's hours with dynamic partition overwrite —
-    a replayed batch rewrites identical partitions (exactly-once
-    publication semantics, the streaming form of K4)."""
+    MERGES each micro-batch into the touched run_hr partitions, then
+    rewrites them with dynamic partition overwrite — a replayed batch
+    rewrites identical partitions (exactly-once publication semantics,
+    the streaming form of K4).
+
+    The merge is required for correctness, not an optimization: update
+    mode emits only the (hour, event_type) groups changed in THIS
+    micro-batch, so a blind partition overwrite would delete the
+    hour's previously published rows for every other event_type. We
+    read back only the touched partitions (partition-pruned), anti-join
+    away the group keys this batch supersedes, union the batch in, and
+    overwrite — the partition is rewritten whole, other hours are never
+    touched."""
     rollup = hourly_rollup(read_event_stream(spark, source_dir), watermark=watermark)
 
     def _publish(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        from pyspark.errors import AnalysisException
+
+        session = batch_df.sparkSession
         # Pin dynamic overwrite HERE, not just in the session factory:
         # on a session without it, static overwrite would wipe every
         # hour not present in this micro-batch.
-        batch_df.sparkSession.conf.set(
-            "spark.sql.sources.partitionOverwriteMode", "dynamic"
-        )
-        (
-            batch_df.write.mode("overwrite")
-            .partitionBy("run_hr")
-            .parquet(sink_dir)
-        )
+        session.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        batch_df = batch_df.persist()
+        try:
+            merged = batch_df
+            hours = [r[0] for r in batch_df.select("run_hr").distinct().collect()]
+            try:
+                kept = (
+                    session.read.parquet(sink_dir)
+                    # touched partitions only — prunes at the scan
+                    .where(F.col("run_hr").isin(hours))
+                    # rows whose group key this batch re-emits are superseded
+                    .join(
+                        batch_df.select("hour_start", "event_type").distinct(),
+                        ["hour_start", "event_type"],
+                        "left_anti",
+                    )
+                    .select(*batch_df.columns)
+                    # break lineage from sink_dir: the overwrite below
+                    # must not be a read of the path it rewrites. The
+                    # checkpointed rows are aggregate rows for a handful
+                    # of (hour, type) groups — tiny by construction.
+                    .localCheckpoint(eager=True)
+                )
+                merged = batch_df.unionByName(kept)
+            except AnalysisException:
+                pass  # first batch: sink path does not exist yet
+            merged.write.mode("overwrite").partitionBy("run_hr").parquet(sink_dir)
+        finally:
+            batch_df.unpersist()
 
     writer = (
         rollup.writeStream.outputMode("update")

@@ -85,6 +85,35 @@ def test_stream_picks_up_new_files(spark, tmp_path):
     assert hour is not None and hour.event_cnt == 7
 
 
+def test_update_publish_preserves_other_groups_in_hour(spark, tmp_path):
+    """Regression (round-2 ADVICE high): update mode emits only the
+    groups changed in the micro-batch; the publish must MERGE into the
+    run_hr partition, not blind-overwrite it — a second file with only
+    'click' events for an hour must not erase that hour's 'view' row."""
+    src, sink, ckpt = (str(tmp_path / d) for d in ("src", "sink", "ckpt"))
+    os.makedirs(src)
+
+    def _row(eid, etype, minute):
+        return json.dumps({"event_id": eid, "ts": f"2024-02-01 10:{minute:02d}:00.000",
+                           "user_id": 1, "event_type": etype, "value": 1.0, "props": "{}"})
+
+    with open(os.path.join(src, "a.json"), "w") as f:
+        f.write("\n".join([_row(1, "view", 5), _row(2, "click", 10)]))
+    q = start_hourly_pipeline(spark, src, sink, ckpt, available_now=True)
+    q.awaitTermination(120)
+    first = {r.event_type: r.event_cnt for r in spark.read.parquet(sink).collect()}
+    assert first == {"view": 1, "click": 1}
+
+    # second arrival: clicks only, same hour — 'view' must survive and
+    # the click group must show the updated cumulative count
+    with open(os.path.join(src, "b.json"), "w") as f:
+        f.write("\n".join([_row(3, "click", 20), _row(4, "click", 25), _row(5, "click", 30)]))
+    q2 = start_hourly_pipeline(spark, src, sink, ckpt, available_now=True)
+    q2.awaitTermination(120)
+    got = {r.event_type: r.event_cnt for r in spark.read.parquet(sink).collect()}
+    assert got == {"view": 1, "click": 4}
+
+
 def test_sessionize_gap_semantics(spark):
     rows = [
         (1, "2024-01-01 10:00:00", 100, "click", 1.0, "{}"),
