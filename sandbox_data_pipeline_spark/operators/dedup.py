@@ -118,13 +118,20 @@ def ngram_jaccard_pairs(
     threshold: float = 0.2,
     id_col: str = "doc_id",
     text_col: str = "text",
-    df_cap: int | None = None,
+    df_cap: int | None = 1000,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for all colliding pairs.
 
     shingle self-join (shuffle key: shingle) → per-pair common count →
     join per-doc sizes → |A∩B| / (|A|+|B|-|A∩B|). Emits pairs with
     jaccard >= threshold, doc_a < doc_b.
+
+    ``df_cap`` is ON by default: an unguarded shingle self-join is
+    O(Σ df²) — one stop-shingle shared by 1M docs is 10¹² join rows.
+    Capping document frequency bounds per-shingle fan-out at df_cap²;
+    dropped shingles are by construction near-useless for similarity
+    (they match everything). Pass ``df_cap=None`` only on corpora known
+    to have no hot shingles.
     """
     sh = word_shingles(docs, n=n, id_col=id_col, text_col=text_col, df_cap=df_cap).persist()
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
@@ -272,14 +279,18 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     minimum doc id reachable through the pair graph — the canonical
     survivor each member should defer to.
 
-    Iterative min-label propagation: each round, every node takes the
-    min of its own label and its neighbors' labels. Rounds needed =
-    graph diameter, and near-duplicate clusters are shallow (a dup
-    cluster's diameter is small by construction — members all resemble
-    the same content), so this converges in a handful of distributed
-    join+agg rounds; the driver only checks the changed-label count.
-    Each iteration persists its labels and unpersists the previous
-    round to keep lineage flat."""
+    Min-label propagation with pointer jumping: each round every node
+    takes the min of its own, its neighbors', and its label's label —
+    the shortcut doubles propagation reach, so convergence is
+    O(log diameter) rounds instead of O(diameter) (near-dup clusters
+    are shallow anyway; the shortcut makes pathological chains cheap
+    too). The driver only checks the changed-label count per round.
+    Each iteration localCheckpoints its labels (persist alone keeps the
+    logical plan growing — with the shortcut self-join it would DOUBLE
+    per round) and the previous round is dropped, so lineage stays
+    flat. Raises RuntimeError if max_iter rounds were insufficient —
+    silently returning half-propagated labels would split one connected
+    component into several clusters."""
     edges = (
         pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
         .unionAll(pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b")))
@@ -292,13 +303,14 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         .withColumn("label", F.col("node"))
         .persist()
     )
+    changed = -1
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges.b == labels.node)
             .groupBy("a")
             .agg(F.min("label").alias("nmin"))
         )
-        new_labels = (
+        propagated = (
             labels.join(neighbor_min, labels.node == neighbor_min.a, "left")
             .select(
                 F.col("node"),
@@ -308,17 +320,38 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
             )
             .persist()
         )
+        # pointer jumping: label <- min(label, label[label]) — doubles
+        # how far a small label has spread each round
+        hop = propagated.select(
+            F.col("node").alias("_ln"), F.col("label").alias("_ll")
+        )
+        new_labels = (
+            propagated.join(hop, propagated.label == hop._ln, "left")
+            .select(
+                F.col("node"),
+                F.least(F.col("label"), F.coalesce(F.col("_ll"), F.col("label"))).alias(
+                    "label"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")
             .where(F.col("n.label") != F.col("o.label"))
             .count()
         )
+        propagated.unpersist()
         labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
     edges.unpersist()
+    if changed != 0:
+        raise RuntimeError(
+            f"duplicate_clusters did not converge within {max_iter} rounds "
+            f"({changed} labels still changing); raise max_iter"
+        )
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 

@@ -246,16 +246,36 @@ def ivf_topk(
 def near_dup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.98,
-    block_col: str = "label",
+    block_col: str | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    planes: int = 8,
+    dim: int | None = None,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs, blocked (only pairs
-    sharing ``block_col`` are compared — at scale the block key is an
-    LSH bucket; here the label column doubles as the block)."""
-    v = embeddings.select(
-        F.col(id_col), F.col(block_col).alias("_blk"), as_double_array(vec_col).alias("_v")
-    )
+    """Embedding-cosine near-duplicate pairs, blocked: only pairs
+    sharing a block key are compared.
+
+    The DEFAULT block key is the vector's sign-random-projection LSH
+    bucket — expected occupancy N/2^planes, so the within-block
+    all-pairs join is bounded by design, and true near-dups (cosine ≈
+    1) land in the same bucket with probability (1 - θ/π)^planes ≈ 1.
+    Pass ``block_col`` to block on a data column only when its
+    per-value cardinality provably bounds block size — at 100 TB a
+    popular label value is a cartesian bomb. ``dim`` (vector length) is
+    probed from the first row if not given."""
+    if block_col is None:
+        if dim is None:
+            dim = embeddings.select(F.size(vec_col).alias("d")).first()["d"]
+        blocks = lsh_buckets(
+            embeddings, dim=dim, planes=planes, id_col=id_col, vec_col=vec_col
+        ).withColumnRenamed("bucket", "_blk")
+        v = embeddings.select(
+            F.col(id_col), as_double_array(vec_col).alias("_v")
+        ).join(blocks, id_col)
+    else:
+        v = embeddings.select(
+            F.col(id_col), F.col(block_col).alias("_blk"), as_double_array(vec_col).alias("_v")
+        )
     a = v.select(F.col(id_col).alias("id_a"), F.col("_blk"), F.col("_v").alias("va"))
     b = v.select(F.col(id_col).alias("id_b"), F.col("_blk"), F.col("_v").alias("vb"))
     return (

@@ -24,6 +24,7 @@ BANDS = 4
 MINHASH_N = 3
 JACCARD_N = 5
 JACCARD_T = 0.2
+JACCARD_DF_CAP = 1000  # mirrored in the oracle; engages only on hot shingles
 MINHASH_T = 0.5
 SIMHASH_BITS = 48
 SIMHASH_MAXH = 3
@@ -38,7 +39,12 @@ def q_dedup_exact_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return ngram_jaccard_pairs(table(spark, sf_dir, "documents"), n=JACCARD_N, threshold=JACCARD_T)
+    return ngram_jaccard_pairs(
+        table(spark, sf_dir, "documents"),
+        n=JACCARD_N,
+        threshold=JACCARD_T,
+        df_cap=JACCARD_DF_CAP,
+    )
 
 
 def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -113,13 +119,17 @@ FROM documents GROUP BY 1
 
 
 def _oracle_jaccard() -> str:
-    n, t = JACCARD_N, JACCARD_T
+    n, t, cap = JACCARD_N, JACCARD_T, JACCARD_DF_CAP
     return f"""
 WITH {_shingles_cte(n)},
-sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
+kept AS (
+  SELECT doc_id, shingle FROM shingles
+  QUALIFY count(*) OVER (PARTITION BY shingle) <= {cap}
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM kept GROUP BY doc_id),
 common AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
-  FROM shingles a JOIN shingles b
+  FROM kept a JOIN kept b
     ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )

@@ -148,6 +148,25 @@ def _weather_variant_stage_oracle() -> str:
     return f"SELECT run_hr, j AS json_data FROM {_weather_values()}"
 
 
+def q_cocktails_variant_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 (cocktails): variant stage — the raw document lands as one
+    variant column per COPY INTO, run-hour keying the staged load
+    (write_cocktails_to_snowflake_stage.sql:10-12); typing deferred to
+    q_cocktails_variant_insert. Symmetric to q_weather_variant_stage."""
+    docs = docs_to_df(
+        spark, [("cocktails", fixtures.RUN_HRS[0], fixtures.cocktails_json())]
+    )
+    return docs.select("run_hr", F.col("body").alias(VARIANT_COL))
+
+
+def _cocktails_variant_stage_oracle() -> str:
+    return (
+        "SELECT run_hr, j AS json_data FROM (VALUES\n"
+        f"({_q(fixtures.cocktails_json())}, {fixtures.RUN_HRS[0]})\n"
+        ") AS t(j, run_hr)"
+    )
+
+
 # --- q_weather_insert (S3 + P1/P2/P5/P8 → flattened BQ prod shape) ---------
 
 def q_weather_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -325,6 +344,7 @@ QUERIES = {
     "q_weather_stage": q_weather_stage,
     "q_cocktails_stage": q_cocktails_stage,
     "q_weather_variant_stage": q_weather_variant_stage,
+    "q_cocktails_variant_stage": q_cocktails_variant_stage,
     "q_weather_insert": q_weather_insert,
     "q_weather_variant_insert": q_weather_variant_insert,
     "q_weather_variant_native": q_weather_variant_native,
@@ -339,6 +359,7 @@ ORACLE = {
     "q_weather_stage": _weather_stage_oracle(),
     "q_cocktails_stage": _cocktails_stage_oracle(),
     "q_weather_variant_stage": _weather_variant_stage_oracle(),
+    "q_cocktails_variant_stage": _cocktails_variant_stage_oracle(),
     "q_weather_insert": _weather_insert_oracle(),
     "q_weather_variant_insert": _weather_variant_oracle(),
     "q_weather_variant_native": _weather_variant_oracle(),

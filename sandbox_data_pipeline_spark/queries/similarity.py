@@ -51,7 +51,21 @@ def q_similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_similarity_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return near_dup_pairs(table(spark, sf_dir, "embeddings"), threshold=NEAR_T)
+    """Blocked on the label column (explicit opt-in: the synthetic
+    labels are low-cardinality but bounded here; the operator DEFAULT
+    is LSH-bucket blocking — see q_similarity_near_dup_lsh)."""
+    return near_dup_pairs(
+        table(spark, sf_dir, "embeddings"), threshold=NEAR_T, block_col="label"
+    )
+
+
+def q_similarity_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The operator's scale-safe DEFAULT path: pairs blocked on the
+    sign-random-projection bucket (expected occupancy N/2^planes), so
+    the within-block all-pairs join stays bounded at any corpus size."""
+    return near_dup_pairs(
+        table(spark, sf_dir, "embeddings"), threshold=NEAR_T, dim=DIM, planes=PLANES
+    )
 
 
 N_CENTROIDS = 16
@@ -211,11 +225,23 @@ WHERE round({cos}, 4) >= {NEAR_T}
 """
 
 
+def _oracle_near_dup_lsh() -> str:
+    cos = _COS.format(a="a.v", b="b.v")
+    return f"""
+WITH raw AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+v AS (SELECT vec_id, v, {_bucket_sql('v')} AS bucket FROM raw)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, round({cos}, 4) AS cos_sim
+FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE round({cos}, 4) >= {NEAR_T}
+"""
+
+
 QUERIES = {
     "q_similarity_topk": q_similarity_topk,
     "q_similarity_lsh_buckets": q_similarity_lsh_buckets,
     "q_similarity_lsh_topk": q_similarity_lsh_topk,
     "q_similarity_near_dup": q_similarity_near_dup,
+    "q_similarity_near_dup_lsh": q_similarity_near_dup_lsh,
     "q_similarity_ivf_lists": q_similarity_ivf_lists,
     "q_similarity_ivf_topk": q_similarity_ivf_topk,
 }
@@ -227,6 +253,7 @@ ORACLE = {
     "q_similarity_lsh_buckets": _oracle_lsh_buckets(),
     "q_similarity_lsh_topk": _oracle_lsh_topk(),
     "q_similarity_near_dup": _oracle_near_dup(),
+    "q_similarity_near_dup_lsh": _oracle_near_dup_lsh(),
 }
 
 

@@ -65,6 +65,37 @@ def test_simhash_hamming_ordering(spark):
     assert pairs[(0, 3)] == 0
 
 
+def test_ngram_df_cap_guard_engages_on_hot_shingle(spark):
+    """Scale guard: a shingle shared by every doc (boilerplate) must be
+    dropped by df_cap before the self-join — without it the join is
+    O(n_docs²) on that key alone."""
+    boiler = "copyright acme corp all"
+    rows = [(i, f"{boiler} unique{i} filler{i} tail{i}") for i in range(30)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    # cap below the hot shingle's df: no doc pair shares anything else,
+    # so the guarded join yields ZERO pairs
+    assert ngram_jaccard_pairs(docs, n=3, threshold=0.01, df_cap=10).count() == 0
+    # unguarded: the hot shingles alone produce all-pairs collisions
+    assert ngram_jaccard_pairs(docs, n=3, threshold=0.01, df_cap=None).count() == 30 * 29 // 2
+
+
+def test_duplicate_clusters_long_chain_pointer_jumping(spark):
+    """A 40-node path converges well under 40 rounds (pointer jumping
+    doubles label reach per round), and a too-small max_iter raises
+    instead of silently returning split clusters."""
+    import pytest
+
+    from sandbox_data_pipeline_spark.operators.dedup import duplicate_clusters
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "doc_a long, doc_b long"
+    )
+    got = {r.doc_id: r.cluster_id for r in duplicate_clusters(chain, max_iter=10).collect()}
+    assert set(got.values()) == {0} and len(got) == 41
+    with pytest.raises(RuntimeError, match="did not converge"):
+        duplicate_clusters(chain, max_iter=2)
+
+
 def test_duplicate_clusters_chain_and_canonical(spark):
     from sandbox_data_pipeline_spark.operators.dedup import (
         duplicate_clusters,

@@ -64,10 +64,26 @@ def test_lsh_topk_subset_of_brute_force(spark):
 
 def test_near_dup_blocked_pairs(spark):
     pairs = {(r.id_a, r.id_b): r.cos_sim for r in
-             near_dup_pairs(_emb(spark), threshold=0.9).collect()}
+             near_dup_pairs(_emb(spark), threshold=0.9, block_col="label").collect()}
     assert (0, 1) in pairs and (2, 3) in pairs
     # cross-label pairs are never compared (blocking)
     assert all(a // 2 == b // 2 for a, b in pairs)
+
+
+def test_near_dup_default_blocks_on_lsh_bucket(spark):
+    """Scale guard: the DEFAULT block key is the LSH bucket, so a hot
+    label value cannot become a cartesian bomb. Same-label antipodal
+    vectors land in different buckets and are never even compared —
+    observable with a permissive threshold that label-blocking would
+    emit."""
+    rows = [(0, [1.0, 0.0, 0.0, 0.0], 7), (1, [-1.0, 0.0, 0.0, 0.0], 7)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    by_label = near_dup_pairs(df, threshold=-1.0, block_col="label").count()
+    by_bucket = near_dup_pairs(df, threshold=-1.0).count()
+    assert by_label == 1 and by_bucket == 0
+    # and true near-dups are still found by the default path
+    found = {(r.id_a, r.id_b) for r in near_dup_pairs(_emb(spark), threshold=0.9).collect()}
+    assert (0, 1) in found and (2, 3) in found
 
 
 def test_ivf_assign_nearest_centroid(spark):
