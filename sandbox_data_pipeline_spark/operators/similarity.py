@@ -157,6 +157,37 @@ def ivf_centroids(
     return [(r[0], list(r[1])) for r in rows]
 
 
+def ivf_centroids_kmeans(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 20,
+) -> list[tuple[int, list[float]]]:
+    """Production centroids behind the same contract as
+    ``ivf_centroids``: k-means|| (Spark MLlib's distributed k-means
+    initialization + Lloyd iterations) over the corpus. Same return
+    shape — (centroid_id, vector) with ids 0..k-1 — so ``ivf_assign``
+    and ``ivf_topk`` consume either interchangeably.
+
+    Iterative float k-means is not cross-engine reproducible, so the
+    deterministic first-N pick stays the oracle-checked path; this one
+    is for recall, which tests measure against brute force (it probes
+    actual density modes instead of arbitrary vectors). At 100 TB: run
+    on a sample — centroid quality converges long before full-corpus
+    passes pay off — then one map-side assign pass over everything."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = embeddings.select(
+        array_to_vector(as_double_array(vec_col)).alias("features")
+    )
+    km = KMeans(k=n_centroids, seed=seed, maxIter=max_iter, initMode="k-means||")
+    model = km.fit(feats)
+    return [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
+
+
 def _centroid_cos(vcol: str, vnorm_col: str, cvec: list[float]) -> Column:
     """cos(v, c) with the centroid embedded as a literal array, its norm
     precomputed driver-side, and the vector norm read from an existing
@@ -196,12 +227,17 @@ def ivf_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: search only the ``nprobe`` inverted lists
     whose centroids are nearest each query. Corpus side = one map-side
     assignment pass; query side is small and broadcast after exploding
-    its probe set; exact cosine re-ranks within the probed lists."""
-    cents = ivf_centroids(embeddings, n_centroids, id_col, vec_col)
+    its probe set; exact cosine re-ranks within the probed lists.
+
+    ``centroids`` accepts any list matching the ivf_centroids contract
+    (e.g. ivf_centroids_kmeans for recall-optimal lists); defaults to
+    the deterministic oracle-checkable pick."""
+    cents = centroids or ivf_centroids(embeddings, n_centroids, id_col, vec_col)
     cand = embeddings.select(
         F.col(id_col).alias("cand_id"), as_double_array(vec_col).alias("cvec")
     ).join(

@@ -126,6 +126,66 @@ def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def language_id_model(
+    docs: DataFrame,
+    model,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Model-backed language ID: plug a REAL detector (fastText, CLD3,
+    lingua — any callable mapping a pandas Series of texts to a pandas
+    Series of language codes) into the same output contract as the
+    heuristic ``language_id``.
+
+    The model rides an Arrow-batched pandas UDF — texts cross to Python
+    in columnar batches, the model scores a whole batch per call
+    (fastText's predict is batch-native), and the operator stays a pure
+    map-side projection: no shuffle, embarrassingly parallel at 100 TB.
+    The stopword heuristic remains the dependency-free, oracle-checkable
+    default; this is the production hook it documents."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _lid_fn(texts):
+        out = model(texts)
+        if not isinstance(out, pd.Series):
+            out = pd.Series(list(out), index=texts.index)
+        return out.astype(str)
+
+    # real (non-string) annotations: this module uses `from __future__
+    # import annotations`, which would leave pandas_udf unable to infer
+    # the Series->Series eval type from stringified hints
+    _lid_fn.__annotations__ = {"texts": pd.Series, "return": pd.Series}
+    _lid = pandas_udf(_lid_fn, "string")
+
+    return docs.select(
+        id_col,
+        F.col("lang").alias("lang_declared"),
+        _lid(F.col(text_col)).alias("lang_guess"),
+    )
+
+
+def heuristic_batch_model(texts):
+    """Reference implementation of the ``language_id_model`` contract:
+    the same stopword-marker argmax as ``language_id``, vectorized in
+    pandas. Useful as a stub in tests and as the shape a fastText
+    adapter should follow (load the model once per executor at module
+    or closure scope, not per batch)."""
+    import pandas as pd
+
+    markers = {lang: set(ms) for lang, ms in LANG_MARKERS.items()}
+
+    def one(text: str) -> str:
+        toks = text.split(" ")
+        hits = {lang: sum(t in ms for t in toks) for lang, ms in markers.items()}
+        best = max(hits.values())
+        if best == 0:
+            return "und"
+        return min(lang for lang, h in hits.items() if h == best)
+
+    return pd.Series([one(t) for t in texts], index=texts.index)
+
+
 def fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Normalized document fingerprint: md5 over the sorted distinct
     token set — invariant to word order and duplication, the cheap

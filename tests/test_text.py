@@ -50,6 +50,34 @@ def test_language_id_markers(spark):
     assert got[0] == "en" and got[1] == "de" and got[2] == "und"
 
 
+def test_language_id_model_hook(spark):
+    """The pandas_udf model hook: a stub model drives the vectorized
+    path end-to-end, and the pandas reference model agrees with the
+    column-expression heuristic on real data."""
+    import pandas as pd
+
+    from sandbox_data_pipeline_spark.catalog import table
+    from sandbox_data_pipeline_spark.operators.text import (
+        heuristic_batch_model,
+        language_id_model,
+    )
+
+    df = _df(spark, [(0, "the cat and the dog is here", "en"),
+                     (1, "der hund und die katze ist hier", "de")])
+    # arbitrary stub model: proves any batch callable plugs in
+    stub = lambda texts: pd.Series(["xx"] * len(texts), index=texts.index)
+    got = language_id_model(df, stub).collect()
+    assert {r.lang_guess for r in got} == {"xx"}
+    assert {r.lang_declared for r in got} == {"en", "de"}
+
+    # the reference batch model reproduces the heuristic exactly
+    docs = table(spark, "/root/testdata/sf0.001", "documents").limit(200)
+    heur = {r.doc_id: r.lang_guess for r in language_id(docs).collect()}
+    modl = {r.doc_id: r.lang_guess
+            for r in language_id_model(docs, heuristic_batch_model).collect()}
+    assert modl == heur
+
+
 def test_fingerprint_order_invariant(spark):
     df = _df(spark, [(0, "b a c a", "en"), (1, "a b c", "en"), (2, "a b d", "en")])
     got = {r.doc_id: r.fingerprint for r in fingerprints(df).collect()}
