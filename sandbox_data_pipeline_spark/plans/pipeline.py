@@ -33,6 +33,7 @@ from sandbox_data_pipeline_spark.operators.ingest import (
     cocktails_publish,
     weather_publish,
     weather_variant_publish,
+    weather_variant_publish_native,
 )
 from sandbox_data_pipeline_spark.schemas import COCKTAILS_SCHEMA, WEATHER_SCHEMA
 from sandbox_data_pipeline_spark.sinks.writers import SkippedWrite, publish_run, write_raw_json
@@ -46,6 +47,12 @@ class PipelineConfig:
     cities: list[str] = field(default_factory=lambda: list(fixtures.CITIES))
     # X1 transform_callback: applied to each fetched document body
     transform_callback: Callable[[str], str] | None = None
+    # Variant discipline: Spark 4 native VariantType (parse_json once,
+    # typed variant_get per path) is the default — the binary form is
+    # parsed once instead of re-parsing JSON text per extracted path.
+    # False falls back to the portable get_json_object plan (pre-4.0
+    # clusters / engines without VariantType).
+    native_variant: bool = True
 
 
 def fixture_fetcher(city: str, run_hr: int) -> str:
@@ -139,8 +146,11 @@ def run_pipeline(
         cocktails_publish(cocktails_stage, run_hr), f"{cfg.base_dir}/prod/cocktails", run_hr
     )
     if cfg.write_snowflake:  # F3 branch
+        variant_publish = (
+            weather_variant_publish_native if cfg.native_variant else weather_variant_publish
+        )
         publish_run(
-            weather_variant_publish(weather_variant, run_hr),
+            variant_publish(weather_variant, run_hr),
             f"{cfg.base_dir}/prod/weather_narrow",
             run_hr,
         )

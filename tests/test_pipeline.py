@@ -55,6 +55,21 @@ def test_partition_overwrite_preserves_other_hours(spark, tmp_path):
     assert set(r.run_hr for r in df.select("run_hr").distinct().collect()) == {hr_a, hr_b}
 
 
+def test_native_and_portable_variant_publish_identical(spark, tmp_path):
+    """The default (Spark-4 native VariantType) and fallback
+    (get_json_object) variant disciplines publish byte-identical
+    narrow tables."""
+    hr = fixtures.RUN_HRS[0]
+    cfg_native = PipelineConfig(base_dir=str(tmp_path / "native"))
+    cfg_portable = PipelineConfig(base_dir=str(tmp_path / "portable"), native_variant=False)
+    run_pipeline(spark, cfg_native, hr)
+    run_pipeline(spark, cfg_portable, hr)
+    a = spark.read.parquet(str(tmp_path / "native/prod/weather_narrow"))
+    b = spark.read.parquet(str(tmp_path / "portable/prod/weather_narrow"))
+    assert a.schema == b.schema
+    assert sorted(map(str, a.collect())) == sorted(map(str, b.collect()))
+
+
 def test_snowflake_branch_skip(spark, tmp_path):
     cfg = PipelineConfig(base_dir=str(tmp_path), write_snowflake=False)
     report = run_pipeline(spark, cfg, fixtures.RUN_HRS[0])
