@@ -198,6 +198,40 @@ def fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def winnow_fingerprints(
+    docs: DataFrame,
+    k: int = 4,
+    w: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Winnowing fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
+    algorithm): hash every k-token gram, slide a window of w hashes,
+    keep each window's minimum — the selected set is position-robust
+    (guaranteed to share fingerprints with any copy that overlaps by
+    w+k-1 tokens) and ~1/w the size of the full gram set.
+
+    Entirely row-local array expressions (transform/slice/array_min)
+    inside whole-stage codegen — zero shuffle until the output
+    explode/distinct, so at 100 TB the cost is the scan. Output:
+    (doc_id, fp) one row per distinct selected fingerprint."""
+    toks = F.split(F.col(text_col), " ")
+    grams = F.expr(
+        f"transform(sequence(0, size(_toks) - {k}), i -> cast("
+        f"conv(substring(md5(concat_ws(' ', slice(_toks, i + 1, {k}))), 1, 15), 16, 10)"
+        " as bigint))"
+    )
+    wins = F.expr(
+        f"transform(sequence(0, size(_h) - {w}), j -> array_min(slice(_h, j + 1, {w})))"
+    )
+    return (
+        docs.select(F.col(id_col), toks.alias("_toks"))
+        .where(F.size("_toks") >= k + w - 1)
+        .select(id_col, grams.alias("_h"))
+        .select(id_col, F.explode(F.array_distinct(wins)).alias("fp"))
+    )
+
+
 def tfidf_top_terms(
     docs: DataFrame,
     k: int = 5,

@@ -431,3 +431,38 @@ FROM reach GROUP BY a
 
 QUERIES["q_embedding_dup_clusters"] = q_embedding_dup_clusters
 ORACLE["q_embedding_dup_clusters"] = _oracle_embedding_clusters()
+
+
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8 quantization report: per-vector scale, max reconstruction
+    error, and a code checksum (arrays don't cross the value-hash, so
+    the codes are summarized by their exact integer sum)."""
+    from sandbox_data_pipeline_spark.operators.similarity import quantize_int8
+
+    q = quantize_int8(table(spark, sf_dir, "embeddings"))
+    return q.select(
+        "vec_id",
+        "scale",
+        "max_abs_err",
+        F.expr(
+            "aggregate(codes, cast(0 as bigint), (acc, v) -> acc + cast(v as bigint))"
+        ).alias("codes_sum"),
+    )
+
+
+_ORACLE_QUANTIZE = """
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+s AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale FROM v),
+q AS (SELECT vec_id, v, scale,
+             list_transform(v, x -> CAST(round(x / scale, 0) AS INTEGER)) AS codes
+      FROM s)
+SELECT vec_id,
+       round(scale, 6) AS scale,
+       round(list_max(list_transform(range(1, len(v) + 1),
+             i -> abs(v[i] - codes[i] * scale))), 6) AS max_abs_err,
+       CAST(list_sum(codes) AS BIGINT) AS codes_sum
+FROM q
+"""
+
+QUERIES["q_embedding_quantize"] = q_embedding_quantize
+ORACLE["q_embedding_quantize"] = _ORACLE_QUANTIZE

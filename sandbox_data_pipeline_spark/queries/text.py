@@ -683,3 +683,77 @@ FROM cells
 
 QUERIES["q_lang_confusion"] = q_lang_confusion
 ORACLE["q_lang_confusion"] = _oracle_confusion()
+
+
+WINNOW_K = 4
+WINNOW_W = 5
+
+
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprinting (winnowing / MOSS): each
+    doc's selected fingerprint set — the position-robust ~1/w sample of
+    its k-gram hashes that any sufficiently long copy must share."""
+    from sandbox_data_pipeline_spark.operators.text import winnow_fingerprints
+
+    return winnow_fingerprints(
+        table(spark, sf_dir, "documents"), k=WINNOW_K, w=WINNOW_W
+    )
+
+
+def _oracle_winnow() -> str:
+    k, w = WINNOW_K, WINNOW_W
+    return f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+g AS (
+  SELECT doc_id,
+         list_transform(range(1, len(toks) - {k} + 2), i ->
+           CAST('0x' || substr(md5(array_to_string(toks[i:i + {k - 1}], ' ')), 1, 15) AS BIGINT)
+         ) AS h
+  FROM t WHERE len(toks) >= {k + w - 1}
+),
+wnd AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(h) - {w} + 2), j ->
+           list_min(h[j:j + {w - 1}]))) AS fps
+  FROM g
+)
+SELECT doc_id, unnest(fps) AS fp FROM wnd
+"""
+
+
+QUERIES["q_winnow_fingerprints"] = q_winnow_fingerprints
+ORACLE["q_winnow_fingerprints"] = _oracle_winnow()
+
+
+def q_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source curation report (the C4/RefinedWeb-style domain
+    table): volume, exact-duplicate rate, and size stats per source.
+    One hash-groupBy feeding one source-groupBy — both partial-combine;
+    at 100 TB the source table is domain-cardinality, trivially small."""
+    d = table(spark, sf_dir, "documents")
+    per_text = d.groupBy("source", F.md5("text").alias("_fp")).agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("n_chars").alias("chars")
+    )
+    return per_text.groupBy("source").agg(
+        F.sum("cnt").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_unique_texts"),
+        F.sum(F.col("cnt") - 1).alias("n_dup_docs"),
+        F.sum("chars").alias("total_chars"),
+    )
+
+
+_ORACLE_SOURCE_STATS = """
+WITH per_text AS (
+  SELECT source, md5(text) AS fp, count(*) AS cnt, sum(n_chars) AS chars
+  FROM documents GROUP BY 1, 2
+)
+SELECT source,
+       CAST(sum(cnt) AS BIGINT) AS n_docs,
+       count(*) AS n_unique_texts,
+       CAST(sum(cnt - 1) AS BIGINT) AS n_dup_docs,
+       CAST(sum(chars) AS BIGINT) AS total_chars
+FROM per_text GROUP BY source
+"""
+
+QUERIES["q_source_stats"] = q_source_stats
+ORACLE["q_source_stats"] = _ORACLE_SOURCE_STATS

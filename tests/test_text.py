@@ -78,6 +78,29 @@ def test_language_id_model_hook(spark):
     assert modl == heur
 
 
+def test_winnow_fingerprints_detect_embedded_copy(spark):
+    """Winnowing guarantee: any copied passage of >= w+k-1 tokens shares
+    at least one selected fingerprint with the original, regardless of
+    position; unrelated docs share none."""
+    from sandbox_data_pipeline_spark.operators.text import winnow_fingerprints
+
+    passage = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    df = _df(spark, [
+        (0, f"{passage} tail words here now", "en"),
+        (1, f"lead in words {passage}", "en"),          # shifted copy
+        (2, "totally unrelated content words apple pear plum fig date", "en"),
+    ])
+    fps = winnow_fingerprints(df, k=4, w=5).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r.doc_id, set()).add(r.fp)
+    assert by_doc[0] & by_doc[1]          # overlap survives the shift
+    assert not (by_doc[0] & by_doc[2])    # no spurious sharing
+    # selection compresses: far fewer fingerprints than k-grams
+    n_grams = len(df.where("doc_id = 0").first().text.split()) - 4 + 1
+    assert len(by_doc[0]) < n_grams
+
+
 def test_fingerprint_order_invariant(spark):
     df = _df(spark, [(0, "b a c a", "en"), (1, "a b c", "en"), (2, "a b d", "en")])
     got = {r.doc_id: r.fingerprint for r in fingerprints(df).collect()}
