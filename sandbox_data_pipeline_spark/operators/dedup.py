@@ -291,9 +291,20 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     flat. Raises RuntimeError if max_iter rounds were insufficient —
     silently returning half-propagated labels would split one connected
     component into several clusters."""
+    # Undirect the edges with ONE explode, not a union of two selects:
+    # Catalyst does not share common subplans across union branches, so
+    # the union form would execute the whole upstream pair pipeline
+    # (minhash signatures, band join, ...) twice.
     edges = (
-        pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
-        .unionAll(pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b")))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("doc_a").alias("a"), F.col("doc_b").alias("b")),
+                    F.struct(F.col("doc_b").alias("a"), F.col("doc_a").alias("b")),
+                )
+            ).alias("e")
+        )
+        .select("e.a", "e.b")
         .distinct()
         .persist()
     )
@@ -333,7 +344,9 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
                     "label"
                 ),
             )
-            .localCheckpoint(eager=True)
+            # lazy: the changed-count below is the action that
+            # materializes the checkpoint — one pass per round, not two
+            .localCheckpoint(eager=False)
         )
         changed = (
             new_labels.alias("n")
