@@ -493,3 +493,103 @@ def decontaminate(
             F.countDistinct("_eval_id").alias("n_eval_docs"),
         )
     )
+
+
+def passages(
+    docs: DataFrame,
+    window: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Non-overlapping ``window``-token passages per document — the
+    granularity for passage-level dedup (RefinedWeb/C4-style: drop
+    repeated spans instead of whole near-duplicate docs, and the chunk
+    unit RAG corpora dedup on before indexing).
+
+    Chunking is pure array expressions (split → filter → slice inside
+    transform), row-local in whole-stage codegen: zero shuffle, so at
+    100 TB this stage is scan-bound. The trailing partial chunk is kept
+    (dropping it would silently exempt short docs from dedup).
+
+    Output: (id, passage_idx, passage_fp, n_tokens_in_passage). The
+    fingerprint is md5 of the space-rejoined chunk — positionally exact,
+    cross-engine reproducible.
+    """
+    toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+    chunked = (
+        docs.select(F.col(id_col), toks.alias("_toks"))
+        .where(F.size("_toks") > 0)
+        .select(
+            id_col,
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(0, cast(ceil(size(_toks) / {window}.0) as int) - 1), "
+                    f"i -> concat_ws(' ', slice(_toks, i * {window} + 1, {window})))"
+                )
+            ).alias("passage_idx", "_passage"),
+        )
+    )
+    return chunked.select(
+        id_col,
+        F.col("passage_idx").cast("long").alias("passage_idx"),
+        F.md5("_passage").alias("passage_fp"),
+        (F.size(F.filter(F.split(F.col("_passage"), " "), lambda t: t != "")))
+        .cast("long")
+        .alias("passage_tokens"),
+    )
+
+
+def passage_dup_stats(
+    docs: DataFrame,
+    window: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-wide duplicate-passage inventory: one row per passage
+    fingerprint occurring more than once, with occurrence/document
+    counts and the deterministic keeper (min doc id, min index within
+    it). One hash-groupBy on the fingerprint — uniform key, map-side
+    partials, no skew hazard."""
+    p = passages(docs, window=window, id_col=id_col, text_col=text_col)
+    return (
+        p.groupBy("passage_fp")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.countDistinct(id_col).alias("n_docs"),
+            F.min(id_col).alias("keep_doc"),
+        )
+        .where(F.col("n_copies") > 1)
+    )
+
+
+def passage_dup_ratio(
+    docs: DataFrame,
+    window: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document duplicated-passage ratio — the curation signal a
+    passage-level dedup pass gates on (docs that are mostly recycled
+    spans get dropped or trimmed).
+
+    Plan: passage stream → count() window over the fingerprint (one
+    shuffle on a uniform key, no self-join, input scanned once) →
+    per-doc aggregate (second shuffle on the doc id). The ratio divides
+    two small ints, so its 4-decimal rounding is never on a half
+    boundary — cross-engine safe.
+    """
+    from pyspark.sql import Window as W
+
+    p = passages(docs, window=window, id_col=id_col, text_col=text_col)
+    counted = p.withColumn(
+        "_copies", F.count(F.lit(1)).over(W.partitionBy("passage_fp"))
+    )
+    return counted.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_passages"),
+        F.sum((F.col("_copies") > 1).cast("long")).alias("n_dup_passages"),
+        F.round(
+            F.sum((F.col("_copies") > 1).cast("long"))
+            / F.count(F.lit(1)),
+            4,
+        ).alias("dup_ratio"),
+    )

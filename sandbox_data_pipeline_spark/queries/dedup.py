@@ -368,3 +368,73 @@ GROUP BY co.doc_id
 
 QUERIES["q_decontam"] = q_decontam
 ORACLE["q_decontam"] = _ORACLE_DECONTAM
+
+
+PASSAGE_W = 16
+
+_PASSAGE_CTE = f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS t
+  FROM documents
+),
+expanded AS (
+  SELECT doc_id, t,
+         unnest(range(0, CAST(ceil(len(t) / {PASSAGE_W}.0) AS BIGINT))) AS passage_idx
+  FROM toks WHERE len(t) > 0
+),
+chunks AS (
+  SELECT doc_id, passage_idx,
+         md5(array_to_string(
+             t[(passage_idx * {PASSAGE_W} + 1):((passage_idx + 1) * {PASSAGE_W})],
+             ' ')) AS passage_fp
+  FROM expanded
+)
+"""
+
+
+def q_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-level dedup inventory: every 16-token span recycled
+    across (or within) documents, with its deterministic keeper."""
+    from sandbox_data_pipeline_spark.operators.dedup import passage_dup_stats
+
+    return passage_dup_stats(table(spark, sf_dir, "documents"), window=PASSAGE_W)
+
+
+_ORACLE_PASSAGE_DEDUP = _PASSAGE_CTE + """
+SELECT passage_fp,
+       count(*) AS n_copies,
+       count(DISTINCT doc_id) AS n_docs,
+       min(doc_id) AS keep_doc
+FROM chunks
+GROUP BY passage_fp
+HAVING count(*) > 1
+"""
+
+QUERIES["q_passage_dedup"] = q_passage_dedup
+ORACLE["q_passage_dedup"] = _ORACLE_PASSAGE_DEDUP
+
+
+def q_passage_dup_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc duplicated-passage ratio — the gate signal for dropping
+    docs that are mostly recycled spans."""
+    from sandbox_data_pipeline_spark.operators.dedup import passage_dup_ratio
+
+    return passage_dup_ratio(table(spark, sf_dir, "documents"), window=PASSAGE_W)
+
+
+_ORACLE_PASSAGE_RATIO = _PASSAGE_CTE + """
+, counted AS (
+  SELECT doc_id,
+         count(*) OVER (PARTITION BY passage_fp) AS copies
+  FROM chunks
+)
+SELECT doc_id,
+       count(*) AS n_passages,
+       sum(CASE WHEN copies > 1 THEN 1 ELSE 0 END) AS n_dup_passages,
+       round(sum(CASE WHEN copies > 1 THEN 1 ELSE 0 END) / count(*), 4) AS dup_ratio
+FROM counted
+GROUP BY doc_id
+"""
+
+QUERIES["q_passage_dup_ratio"] = q_passage_dup_ratio
+ORACLE["q_passage_dup_ratio"] = _ORACLE_PASSAGE_RATIO

@@ -130,3 +130,34 @@ def test_decontaminate_flags_overlap(spark):
     assert set(got) == {1, 3}
     assert got[1].n_shared_shingles == 1 and got[1].n_eval_docs == 1
     assert got[3].n_shared_shingles == 2 and got[3].n_eval_docs == 1
+
+
+def test_passages_chunking_and_trailing_partial(spark):
+    from sandbox_data_pipeline_spark.operators.dedup import passages
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"), (2, ""), (3, "a b c")], ["doc_id", "text"]
+    )
+    p = passages(docs, window=3).orderBy("doc_id", "passage_idx").collect()
+    # doc 1: [a b c] [d e] — trailing partial kept; doc 2 (empty) drops out
+    assert [(r["doc_id"], r["passage_idx"], r["passage_tokens"]) for r in p] == [
+        (1, 0, 3),
+        (1, 1, 2),
+        (3, 0, 3),
+    ]
+    # identical 3-token spans fingerprint identically across docs
+    assert p[0]["passage_fp"] == p[2]["passage_fp"]
+
+
+def test_passage_dup_ratio_counts_cross_doc_spans(spark):
+    from sandbox_data_pipeline_spark.operators.dedup import passage_dup_ratio
+
+    docs = spark.createDataFrame(
+        [(1, "x y z p q r"), (2, "x y z a b c"), (3, "u v w")],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: (r["n_passages"], r["n_dup_passages"], r["dup_ratio"])
+        for r in passage_dup_ratio(docs, window=3).collect()
+    }
+    assert got == {1: (2, 1, 0.5), 2: (2, 1, 0.5), 3: (1, 0, 0.0)}
