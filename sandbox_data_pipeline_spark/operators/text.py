@@ -353,3 +353,119 @@ def repetition_features(
         F.when(nonempty, F.round(F.lit(1.0) - F.size(dist) / n, 4)).alias("dup_ratio"),
         F.when(nonempty, F.round(top / n, 4)).alias("top_token_ratio"),
     )
+
+
+# --- Gopher-style quality rules --------------------------------------------
+
+# Doc-level repetition/quality thresholds from the public Gopher paper
+# (Rae et al. 2021, §A1.1): word-count band, mean-word-length band,
+# symbol-to-word ratio, alphabetic-word ratio, minimum stopword hits.
+# (The paper's line-level rules need newline structure this corpus
+# lacks; the doc-level subset is the portable core.)
+GOPHER_DEFAULTS = {
+    "min_words": 50,
+    "max_words": 100_000,
+    "min_mean_word_len": 3.0,
+    "max_mean_word_len": 10.0,
+    "max_symbol_ratio": 0.1,
+    "min_alpha_word_ratio": 0.8,
+    "min_stop_hits": 2,
+}
+
+
+def gopher_rules(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    **overrides,
+) -> DataFrame:
+    """Gopher quality-rule bundle: per-document measurements, one flag
+    per rule, and the conjunctive ``passes_gopher`` gate.
+
+    Pure column expressions (no UDF, no shuffle) so the whole bundle is
+    a codegen'd scan-projection — at 100 TB its cost is the parquet
+    read, and Catalyst prunes the scan to (id, text). Thresholds are
+    keyword overrides so a pipeline can tighten/loosen per source;
+    flags are emitted individually so the curation funnel can report
+    attrition per rule (q_filter_cascade-style) instead of one opaque
+    boolean."""
+    p = {**GOPHER_DEFAULTS, **overrides}
+    t = F.col(text_col)
+    toks = F.filter(tokens(text_col), lambda x: x != F.lit(""))
+    n_words = F.size(toks)
+    mean_wl = F.length(F.regexp_replace(t, " ", "")) / n_words
+    n_symbols = F.regexp_count(t, F.lit(r"#|\.\.\.")) 
+    symbol_ratio = n_symbols / n_words
+    n_alpha = F.size(F.filter(toks, lambda x: x.rlike("[A-Za-z]")))
+    alpha_ratio = n_alpha / n_words
+    n_stop = F.size(F.filter(toks, _in_set(LANG_MARKERS["en"])))
+
+    f_words = (n_words >= p["min_words"]) & (n_words <= p["max_words"])
+    f_wl = (mean_wl >= p["min_mean_word_len"]) & (mean_wl <= p["max_mean_word_len"])
+    f_sym = symbol_ratio <= p["max_symbol_ratio"]
+    f_alpha = alpha_ratio >= p["min_alpha_word_ratio"]
+    f_stop = n_stop >= p["min_stop_hits"]
+
+    return docs.select(
+        id_col,
+        n_words.alias("n_words"),
+        F.round(mean_wl, 4).alias("mean_word_len"),
+        F.round(symbol_ratio, 4).alias("symbol_ratio"),
+        F.round(alpha_ratio, 4).alias("alpha_word_ratio"),
+        n_stop.alias("stop_hits"),
+        f_words.alias("ok_word_count"),
+        f_wl.alias("ok_mean_word_len"),
+        f_sym.alias("ok_symbol_ratio"),
+        f_alpha.alias("ok_alpha_words"),
+        f_stop.alias("ok_stopwords"),
+        (f_words & f_wl & f_sym & f_alpha & f_stop).alias("passes_gopher"),
+    )
+
+
+def perplexity_model(
+    docs: DataFrame,
+    model,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Model-backed perplexity scoring — the CCNet/Gopher-style language
+    -model filter signal — behind the same hook contract as
+    ``language_id_model``: ``model`` maps a pandas Series of texts to a
+    Series of float perplexities (a KenLM wrapper's batch score, or any
+    LM). Arrow-batched pandas UDF, map-side only: no shuffle, and the
+    model loads once per executor when bound at closure scope.
+
+    No oracle by design (a model score has no SQL twin); tests pin the
+    contract with a deterministic stub."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _ppl_fn(texts):
+        out = model(texts)
+        if not isinstance(out, pd.Series):
+            out = pd.Series(list(out), index=texts.index)
+        return out.astype("float64")
+
+    _ppl_fn.__annotations__ = {"texts": pd.Series, "return": pd.Series}
+    _ppl = pandas_udf(_ppl_fn, "double")
+
+    return docs.select(id_col, _ppl(F.col(text_col)).alias("perplexity"))
+
+
+def heuristic_perplexity_batch(texts):
+    """Deterministic stand-in for a real LM scorer (KenLM et al.),
+    shaped like the ``perplexity_model`` contract: a crude unigram
+    surprise — mean token length divided by type/token ratio — that is
+    reproducible everywhere and monotone in the repetitiveness a real
+    perplexity filter keys on."""
+    import pandas as pd
+
+    def one(text: str) -> float:
+        toks = [t for t in text.split(" ") if t]
+        if not toks:
+            return 0.0
+        mean_len = sum(len(t) for t in toks) / len(toks)
+        ttr = len(set(toks)) / len(toks)
+        return round(mean_len / max(ttr, 1e-9), 6)
+
+    return pd.Series([one(t) for t in texts], index=texts.index)

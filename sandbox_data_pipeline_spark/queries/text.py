@@ -757,3 +757,47 @@ FROM per_text GROUP BY source
 
 QUERIES["q_source_stats"] = q_source_stats
 ORACLE["q_source_stats"] = _ORACLE_SOURCE_STATS
+
+
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher doc-level quality rules: measurements + per-rule flags +
+    the conjunctive gate."""
+    from sandbox_data_pipeline_spark.operators.text import gopher_rules
+
+    return gopher_rules(table(spark, sf_dir, "documents"))
+
+
+def _oracle_gopher() -> str:
+    stop = ", ".join(f"'{m}'" for m in LANG_MARKERS["en"])
+    return rf"""
+SELECT doc_id,
+       CAST(n_words AS INTEGER) AS n_words,
+       round(n_nonspace / n_words, 4) AS mean_word_len,
+       round(n_sym / n_words, 4) AS symbol_ratio,
+       round(n_alpha / n_words, 4) AS alpha_word_ratio,
+       CAST(stop_hits AS INTEGER) AS stop_hits,
+       n_words >= 50 AND n_words <= 100000 AS ok_word_count,
+       n_nonspace / n_words >= 3.0 AND n_nonspace / n_words <= 10.0 AS ok_mean_word_len,
+       n_sym / n_words <= 0.1 AS ok_symbol_ratio,
+       n_alpha / n_words >= 0.8 AS ok_alpha_words,
+       stop_hits >= 2 AS ok_stopwords,
+       (n_words >= 50 AND n_words <= 100000
+        AND n_nonspace / n_words >= 3.0 AND n_nonspace / n_words <= 10.0
+        AND n_sym / n_words <= 0.1
+        AND n_alpha / n_words >= 0.8
+        AND stop_hits >= 2) AS passes_gopher
+FROM (
+  SELECT doc_id,
+         len(list_filter(string_split(text, ' '), t -> t <> '')) AS n_words,
+         length(replace(text, ' ', '')) AS n_nonspace,
+         len(regexp_extract_all(text, '#|\.\.\.')) AS n_sym,
+         len(list_filter(string_split(text, ' '),
+             t -> t <> '' AND regexp_matches(t, '[A-Za-z]'))) AS n_alpha,
+         len(list_filter(string_split(text, ' '), t -> t IN ({stop}))) AS stop_hits
+  FROM documents
+)
+"""
+
+
+QUERIES["q_gopher_rules"] = q_gopher_rules
+ORACLE["q_gopher_rules"] = _oracle_gopher()

@@ -228,3 +228,48 @@ def test_lang_confusion_shares_sum_to_one(spark):
         by_decl[r.lang_declared] = by_decl.get(r.lang_declared, 0.0) + r.share_of_declared
     for share in by_decl.values():
         assert abs(share - 1.0) < 1e-12
+
+
+def test_gopher_rules_flags(spark):
+    from sandbox_data_pipeline_spark.operators.text import gopher_rules
+
+    docs = spark.createDataFrame(
+        [
+            # 50+ English-ish words: passes everything
+            (1, " ".join(["the", "quick", "brown", "fox", "and", "dog"] * 10)),
+            # too short
+            (2, "tiny doc"),
+            # long enough but all digits: fails alpha + stopwords + word len
+            (3, " ".join(["12345"] * 60)),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r for r in gopher_rules(docs).collect()}
+    assert got[1]["passes_gopher"]
+    assert not got[2]["ok_word_count"] and not got[2]["passes_gopher"]
+    assert not got[3]["ok_alpha_words"] and not got[3]["ok_stopwords"]
+    assert got[3]["ok_word_count"]  # 60 words is in band
+
+    # threshold override tightens the gate
+    strict = {r["doc_id"]: r for r in gopher_rules(docs, min_words=100).collect()}
+    assert not strict[1]["ok_word_count"]
+
+
+def test_perplexity_model_hook(spark):
+    from sandbox_data_pipeline_spark.operators.text import (
+        heuristic_perplexity_batch,
+        perplexity_model,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a a a a"), (2, "w x y z"), (3, "")], ["doc_id", "text"]
+    )
+    got = {
+        r["doc_id"]: r["perplexity"]
+        for r in perplexity_model(docs, heuristic_perplexity_batch).collect()
+    }
+    # repetitive doc scores higher (lower type/token ratio), empty → 0
+    assert got[1] == 4.0  # mean_len 1 / ttr 0.25
+    assert got[2] == 1.0  # mean_len 1 / ttr 1.0
+    assert got[3] == 0.0
+    assert got[1] > got[2]
