@@ -31,14 +31,18 @@ HEADLINE = [
     "q_gap_fill",
     "q_winsorize",
     "q_subquery_in",
+    "q_merge_upsert",
+    "q_scd2_priority",
     "q_dedup_exact",
     "q_dedup_clusters",
+    "q_passage_dedup",
     "q_dedup_minhash_pairs",
     "q_dedup_simhash_pairs",
     "q_similarity_topk",
     "q_similarity_lsh_topk",
     "q_similarity_ivf_topk",
     "q_text_quality",
+    "q_gopher_rules",
     "q_token_count",
     "q_pii_scrub",
     "q_decontam",
