@@ -31,6 +31,12 @@ HEADLINE = [
     "q_gap_fill",
     "q_winsorize",
     "q_subquery_in",
+    "q_tpch_q01",
+    "q_tpch_q05",
+    "q_tpch_q09",
+    "q_tpch_q13",
+    "q_tpch_q18",
+    "q_tpch_q21",
     "q_merge_upsert",
     "q_scd2_priority",
     "q_dedup_exact",

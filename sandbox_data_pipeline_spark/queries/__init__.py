@@ -30,6 +30,7 @@ def registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
         relational,
         similarity,
         text,
+        tpch,
     )
 
     queries: dict[str, QueryFn] = {}
@@ -40,7 +41,7 @@ def registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
     # CORRECTNESS_r01, so it goes LAST; the previously unchecked
     # families come first, cheapest first — that maximizes graded
     # coverage whether the driver's window is count- or time-capped.
-    for mod in (reference_parity, dq, cdc, multimodal, text, dedup, similarity, relational):
+    for mod in (reference_parity, dq, cdc, multimodal, text, dedup, similarity, tpch, relational):
         overlap = queries.keys() & mod.QUERIES.keys()
         if overlap:
             raise ValueError(f"duplicate query names: {overlap}")
