@@ -22,6 +22,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 def registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
     from sandbox_data_pipeline_spark.queries import (
+        analytics,
         cdc,
         dedup,
         dq,
@@ -41,7 +42,7 @@ def registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
     # CORRECTNESS_r01, so it goes LAST; the previously unchecked
     # families come first, cheapest first — that maximizes graded
     # coverage whether the driver's window is count- or time-capped.
-    for mod in (reference_parity, dq, cdc, multimodal, text, dedup, similarity, tpch, relational):
+    for mod in (reference_parity, dq, cdc, analytics, multimodal, text, dedup, similarity, tpch, relational):
         overlap = queries.keys() & mod.QUERIES.keys()
         if overlap:
             raise ValueError(f"duplicate query names: {overlap}")

@@ -1,0 +1,219 @@
+"""Behavioral/BI analytics over the events and orders tables.
+
+The reference's published tables are consumed by downstream BI users
+(reference README.md:128); this module covers the standard product-
+analytics shapes those consumers run — cohort retention, RFM
+segmentation, multi-grain grouping sets, and referential-integrity
+audits — each as one declarative Spark plan with a DuckDB oracle.
+
+All derived keys are integers/dates computed with engine-portable
+functions (datediff/date_trunc/floor), and money aggregates are exact
+decimals, so the oracle hashes are bit-stable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from sandbox_data_pipeline_spark.catalog import table
+
+QUERIES: dict = {}
+ORACLE: dict = {}
+
+
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention triangle: users bucketed by first-seen
+    week, counted per whole week elapsed since.
+
+    One shuffle by user_id computes the cohort anchor (min ts) as a
+    window aggregate riding the same exchange as the dedup-to-(user,
+    week) distinct; the final (cohort, week_since) aggregate groups a
+    frame already shrunk to ≤ |users| × |weeks| rows. At 100 TB the
+    user-keyed exchange is the only full-data shuffle, and user_id is
+    uniform by construction.
+    """
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    cohorted = (
+        e.select("user_id", F.col("ts").cast("date").alias("d"))
+        .withColumn("cohort_day", F.min("d").over(w))
+        .withColumn("week_since", F.floor(F.datediff(F.col("d"), F.col("cohort_day")) / 7))
+        .withColumn("cohort_week", F.date_trunc("week", F.col("cohort_day")).cast("date"))
+    )
+    return (
+        cohorted.select("user_id", "cohort_week", "week_since")
+        .distinct()
+        .groupBy("cohort_week", "week_since")
+        .agg(F.count("*").alias("active_users"))
+    )
+
+
+ORACLE["q_retention_cohorts"] = """
+WITH cohorted AS (
+  SELECT user_id,
+         ts::DATE AS d,
+         MIN(ts::DATE) OVER (PARTITION BY user_id) AS cohort_day
+  FROM events
+)
+SELECT cohort_week, week_since, COUNT(*) AS active_users
+FROM (
+  SELECT DISTINCT user_id,
+         date_trunc('week', cohort_day)::DATE AS cohort_week,
+         date_diff('day', cohort_day, d) // 7 AS week_since,
+  FROM cohorted
+)
+GROUP BY cohort_week, week_since
+"""
+QUERIES["q_retention_cohorts"] = q_retention_cohorts
+
+
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per-customer recency/frequency/monetary from
+    orders, bucketed by fixed thresholds into named segments, then
+    rolled up per segment. Two aggregations, both keyed on uniform
+    keys (custkey, then the tiny segment domain); thresholds are
+    constants so the bucketing is a codegen'd projection."""
+    o = table(spark, sf_dir, "orders")
+    asof = F.to_timestamp(F.lit("2001-09-01"))
+    per_cust = o.groupBy("o_custkey").agg(
+        F.datediff(asof, F.max("o_orderdate")).alias("recency_days"),
+        F.count("*").alias("frequency"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(38,2)")
+        .alias("monetary"),
+    )
+    seg = (
+        F.when((F.col("recency_days") <= 180) & (F.col("frequency") >= 12), "champion")
+        .when(F.col("recency_days") <= 180, "recent")
+        .when(F.col("frequency") >= 12, "loyal_lapsing")
+        .otherwise("dormant")
+    )
+    return (
+        per_cust.withColumn("segment", seg)
+        .groupBy("segment")
+        .agg(
+            F.count("*").alias("customers"),
+            F.sum("monetary").cast("decimal(38,2)").alias("segment_value"),
+            F.min("recency_days").alias("min_recency"),
+            F.max("frequency").alias("max_frequency"),
+        )
+    )
+
+
+ORACLE["q_rfm_segments"] = """
+WITH per_cust AS (
+  SELECT o_custkey,
+         date_diff('day', MAX(o_orderdate), TIMESTAMP '2001-09-01') AS recency_days,
+         COUNT(*) AS frequency,
+         (SUM(o_totalprice::DECIMAL(18,2)))::DECIMAL(38,2) AS monetary
+  FROM orders GROUP BY o_custkey
+), tagged AS (
+  SELECT *,
+         CASE WHEN recency_days <= 180 AND frequency >= 12 THEN 'champion'
+              WHEN recency_days <= 180 THEN 'recent'
+              WHEN frequency >= 12 THEN 'loyal_lapsing'
+              ELSE 'dormant' END AS segment
+  FROM per_cust
+)
+SELECT segment, COUNT(*) AS customers,
+       (SUM(monetary))::DECIMAL(38,2) AS segment_value,
+       MIN(recency_days) AS min_recency,
+       MAX(frequency) AS max_frequency
+FROM tagged GROUP BY segment
+"""
+QUERIES["q_rfm_segments"] = q_rfm_segments
+
+
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the general form of rollup/cube — with
+    grouping_id disambiguating the grain of each output row. Spark
+    expands the sets in one pass over the child (Expand operator), so
+    the input is scanned once regardless of how many grains are
+    requested."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupingSets(
+        [["l_returnflag"], ["l_linestatus"], []],
+        "l_returnflag",
+        "l_linestatus",
+    ).agg(
+        F.grouping_id().alias("grain"),
+        F.count("*").alias("line_cnt"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+        .cast("decimal(38,2)")
+        .alias("sum_qty"),
+    )
+
+
+ORACLE["q_grouping_sets"] = """
+SELECT l_returnflag, l_linestatus,
+       GROUPING(l_returnflag, l_linestatus) AS grain,
+       COUNT(*) AS line_cnt,
+       (SUM(l_quantity::DECIMAL(18,2)))::DECIMAL(38,2) AS sum_qty
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+"""
+QUERIES["q_grouping_sets"] = q_grouping_sets
+
+
+def q_dq_referential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit: orphan counts for every foreign-key
+    edge of the star schema, one row per relation. Each edge is an
+    anti join on its key — at scale the dimension side broadcasts
+    (AQE) and the fact side never shuffles; the union of 1-row
+    aggregates is driver-free."""
+
+    def orphans(fact: DataFrame, dim: DataFrame, fk: str, pk: str, rel: str) -> DataFrame:
+        return (
+            fact.join(dim, F.col(fk) == F.col(pk), "left_anti")
+            .agg(F.count("*").alias("orphan_rows"))
+            .select(F.lit(rel).alias("relation"), "orphan_rows")
+        )
+
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    return (
+        orphans(li, o, "l_orderkey", "o_orderkey", "lineitem->orders")
+        .unionAll(
+            orphans(li, table(spark, sf_dir, "part"), "l_partkey", "p_partkey", "lineitem->part")
+        )
+        .unionAll(
+            orphans(
+                li,
+                table(spark, sf_dir, "supplier"),
+                "l_suppkey",
+                "s_suppkey",
+                "lineitem->supplier",
+            )
+        )
+        .unionAll(orphans(o, c, "o_custkey", "c_custkey", "orders->customer"))
+        .unionAll(
+            orphans(
+                c,
+                table(spark, sf_dir, "nation"),
+                "c_nationkey",
+                "n_nationkey",
+                "customer->nation",
+            )
+        )
+    )
+
+
+ORACLE["q_dq_referential"] = """
+SELECT 'lineitem->orders' AS relation,
+       (SELECT COUNT(*) FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)) AS orphan_rows
+UNION ALL
+SELECT 'lineitem->part',
+       (SELECT COUNT(*) FROM lineitem WHERE l_partkey NOT IN (SELECT p_partkey FROM part))
+UNION ALL
+SELECT 'lineitem->supplier',
+       (SELECT COUNT(*) FROM lineitem WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier))
+UNION ALL
+SELECT 'orders->customer',
+       (SELECT COUNT(*) FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+UNION ALL
+SELECT 'customer->nation',
+       (SELECT COUNT(*) FROM customer WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation))
+"""
+QUERIES["q_dq_referential"] = q_dq_referential
