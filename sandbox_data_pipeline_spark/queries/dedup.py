@@ -438,3 +438,104 @@ GROUP BY doc_id
 
 QUERIES["q_passage_dup_ratio"] = q_passage_dup_ratio
 ORACLE["q_passage_dup_ratio"] = _ORACLE_PASSAGE_RATIO
+
+
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-vs-corpus admission: docs above the 70%-of-max id split
+    arrive as the new batch and are deduped (exact + MinHash near)
+    against the already-published corpus below it. The split scalar is
+    a bounded driver-side read (one max), mirroring the oracle's scalar
+    subquery."""
+    from sandbox_data_pipeline_spark.operators.dedup import incremental_dedup
+
+    docs = table(spark, sf_dir, "documents")
+    split = docs.agg(F.max("doc_id")).collect()[0][0] * 7 // 10
+    return incremental_dedup(
+        docs.where(F.col("doc_id") >= split),
+        docs.where(F.col("doc_id") < split),
+        k=K,
+        bands=BANDS,
+        n=MINHASH_N,
+        threshold=MINHASH_T,
+    )
+
+
+def _oracle_incremental() -> str:
+    k, bands, n, t = K, BANDS, MINHASH_N, MINHASH_T
+    r = k // bands
+    mins = ",\n         ".join(
+        f"min(xor(h, {c})) AS h{j}" for j, c in enumerate(perm_constants(k))
+    )
+    hcols = ", ".join(f"h{j}" for j in range(k))
+
+    def sh_cte(src: str, prefix: str) -> str:
+        return f"""
+{prefix}sh AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(toks) >= {n}
+                THEN list_transform(range(1, len(toks) - {n} + 2),
+                                    i -> array_to_string(toks[i:i + {n - 1}], ' '))
+                ELSE [] END) AS shingle
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM {src})
+),
+{prefix}sigs AS (
+  SELECT doc_id, {mins}
+  FROM (SELECT doc_id, {_H('shingle')} AS h FROM {prefix}sh)
+  GROUP BY doc_id
+),
+{prefix}bands AS (
+{chr(10).join(
+    "  SELECT doc_id, " + hcols + f", {bi} AS band_idx, md5(concat_ws('|', "
+    + ", ".join(f"h{j}" for j in range(bi * r, (bi + 1) * r))
+    + ")) AS band_sig FROM " + prefix + "sigs"
+    + ("  UNION ALL" if bi < bands - 1 else "")
+    for bi in range(bands)
+)}
+)"""
+
+    matches = " + ".join(
+        f"(CASE WHEN a.h{j} = b.h{j} THEN 1 ELSE 0 END)" for j in range(k)
+    )
+    return f"""
+WITH split AS (SELECT (max(doc_id) * 7) // 10 AS s FROM documents),
+corpus AS (SELECT d.* FROM documents d, split WHERE doc_id < s),
+batch AS (SELECT d.* FROM documents d, split WHERE doc_id >= s),
+corpus_fps AS (SELECT DISTINCT md5(text) AS fp FROM corpus),
+exact_stage AS (
+  SELECT doc_id, md5(text) AS fp,
+         md5(text) IN (SELECT fp FROM corpus_fps) AS is_exact_corpus,
+         md5(text) NOT IN (SELECT fp FROM corpus_fps)
+           AND doc_id > min(doc_id) OVER (PARTITION BY md5(text)) AS is_exact_batch
+  FROM batch
+),
+e_docs AS (
+  SELECT b.* FROM batch b JOIN exact_stage es USING (doc_id)
+  WHERE NOT es.is_exact_corpus AND NOT es.is_exact_batch
+),
+{sh_cte('e_docs', 'e_')},
+{sh_cte('corpus', 'c_')},
+near_corpus AS (
+  SELECT DISTINCT a.doc_id FROM e_bands a
+  JOIN c_bands b ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig
+  WHERE ({matches}) / {k}.0 >= {t}
+),
+near_batch AS (
+  SELECT DISTINCT b.doc_id FROM e_bands a
+  JOIN e_bands b ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig
+             AND a.doc_id < b.doc_id
+  WHERE ({matches}) / {k}.0 >= {t}
+)
+SELECT es.doc_id, es.fp,
+       CASE WHEN es.is_exact_corpus THEN 'exact_corpus'
+            WHEN es.is_exact_batch THEN 'exact_batch'
+            WHEN nc.doc_id IS NOT NULL THEN 'near_corpus'
+            WHEN nb.doc_id IS NOT NULL THEN 'near_batch'
+            ELSE 'admitted' END AS verdict
+FROM exact_stage es
+LEFT JOIN near_corpus nc ON es.doc_id = nc.doc_id
+LEFT JOIN near_batch nb ON es.doc_id = nb.doc_id
+"""
+
+
+QUERIES["q_incremental_dedup"] = q_incremental_dedup
+ORACLE["q_incremental_dedup"] = _oracle_incremental()

@@ -161,3 +161,43 @@ def test_passage_dup_ratio_counts_cross_doc_spans(spark):
         for r in passage_dup_ratio(docs, window=3).collect()
     }
     assert got == {1: (2, 1, 0.5), 2: (2, 1, 0.5), 3: (1, 0, 0.0)}
+
+
+def test_incremental_dedup_verdicts(spark):
+    from sandbox_data_pipeline_spark.operators.dedup import incremental_dedup
+
+    base_a = " ".join(f"alpha{i}" for i in range(30))
+    base_b = " ".join(f"beta{i}" for i in range(30))
+    corpus = spark.createDataFrame(
+        [
+            (1, base_a),
+            (2, "completely unrelated corpus document about gardening tips"),
+        ],
+        ["doc_id", "text"],
+    )
+    batch = spark.createDataFrame(
+        [
+            # exact copy of corpus doc 1
+            (10, base_a),
+            # near-dup of corpus doc 1 (last word changed)
+            (11, base_a.rsplit(" ", 1)[0] + " changed"),
+            # novel doc
+            (12, base_b),
+            # exact copy of batch doc 12 (higher id loses)
+            (13, base_b),
+            # near-dup of batch doc 12 (last word changed)
+            (14, base_b.rsplit(" ", 1)[0] + " changed"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r.doc_id: r.verdict
+        for r in incremental_dedup(batch, corpus, threshold=0.3).collect()
+    }
+    assert got == {
+        10: "exact_corpus",
+        11: "near_corpus",
+        12: "admitted",
+        13: "exact_batch",
+        14: "near_batch",
+    }
