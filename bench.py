@@ -47,6 +47,7 @@ HEADLINE = [
     "q_similarity_topk",
     "q_similarity_lsh_topk",
     "q_similarity_ivf_topk",
+    "q_knn_join",
     "q_text_quality",
     "q_gopher_rules",
     "q_token_count",

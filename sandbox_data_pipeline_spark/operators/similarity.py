@@ -347,3 +347,72 @@ def near_dup_pairs(
         .select("id_a", "id_b", F.round(cosine("va", "vb"), 4).alias("cos_sim"))
         .where(F.col("cos_sim") >= threshold)
     )
+
+
+def knn_join(
+    queries: DataFrame,
+    corpus: DataFrame,
+    dim: int,
+    planes: int = 8,
+    k: int = 5,
+    multiprobe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Distributed KNN join for LARGE query sets — neither side
+    broadcasts (brute_force_topk/lsh_topk broadcast the query side,
+    which caps it at driver/executor memory; a query set that is itself
+    a corpus-scale table needs a shuffle join).
+
+    Both sides compute their sign-random-projection bucket map-side
+    (zero shuffle, same deterministic hyperplanes as lsh_buckets); the
+    equi-join on the bucket id shuffles each side ONCE, partitioned by
+    bucket — expected occupancy N/2^planes per side, so per-bucket work
+    is bounded by design. Exact cosine re-ranks within the bucket and a
+    per-query row_number keeps k (Spark's WindowGroupLimit makes the
+    rank filter partial, before the by-query shuffle).
+
+    ``multiprobe=1`` additionally probes every Hamming-1 bucket of each
+    query (planes+1 probes/query) — the standard recall lever when a
+    near neighbor straddles one hyperplane; probe buckets are distinct,
+    so no candidate is scored twice. ``multiprobe=0`` probes only the
+    query's own bucket.
+    """
+    qv = lsh_buckets(queries, dim=dim, planes=planes, id_col=id_col, vec_col=vec_col)
+    q = (
+        queries.select(F.col(id_col).alias("query_id"), as_double_array(vec_col).alias("qv"))
+        .join(qv.select(F.col(id_col).alias("query_id"), "bucket"), "query_id")
+    )
+    if multiprobe:
+        probes = F.array(
+            F.col("bucket"), *[F.expr(f"bucket ^ {1 << p}") for p in range(planes)]
+        )
+        q = q.select("query_id", "qv", F.explode(probes).alias("bucket"))
+    cb = lsh_buckets(corpus, dim=dim, planes=planes, id_col=id_col, vec_col=vec_col)
+    c = corpus.select(
+        F.col(id_col).alias("cand_id"), as_double_array(vec_col).alias("cv")
+    ).join(cb.select(F.col(id_col).alias("cand_id"), "bucket"), "cand_id")
+
+    cos = F.expr(
+        "aggregate(zip_with(qv, cv, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"
+        " / (sqrt(aggregate(zip_with(qv, qv, (x, y) -> x * y), 0D, (acc, v) -> acc + v))"
+        "  * sqrt(aggregate(zip_with(cv, cv, (x, y) -> x * y), 0D, (acc, v) -> acc + v)))"
+    )
+    from pyspark.sql import Window as W
+
+    sims = (
+        q.join(c, "bucket")
+        .where(F.col("cand_id") != F.col("query_id"))
+        .select("query_id", "cand_id", F.round(cos, 6).alias("_cos6"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("_cos6").desc(), "cand_id")
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "rank",
+            "cand_id",
+            F.round(F.col("_cos6"), 4).alias("cos_sim"),
+        )
+    )

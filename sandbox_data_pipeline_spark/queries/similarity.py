@@ -466,3 +466,66 @@ FROM q
 
 QUERIES["q_embedding_quantize"] = q_embedding_quantize
 ORACLE["q_embedding_quantize"] = _ORACLE_QUANTIZE
+
+
+KNN_QUERY_MOD = 20  # 5% of the corpus queries — large enough to forbid broadcast
+
+
+def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-only KNN join: a corpus-scale query set (5% of vectors)
+    against the corpus, co-bucketed by SRP with Hamming-1 multiprobe.
+    Neither side broadcasts — the plan this engine runs when the
+    'queries' are themselves 100 TB of vectors."""
+    from sandbox_data_pipeline_spark.operators.similarity import knn_join
+
+    emb = table(spark, sf_dir, "embeddings")
+    out = knn_join(
+        emb.where(F.col("vec_id") % KNN_QUERY_MOD == 0),
+        emb,
+        dim=DIM,
+        planes=PLANES,
+        k=TOPK,
+        multiprobe=1,
+    )
+    # The hashed contract is the RANKING (rank breaks ties on the
+    # 6-decimal cosine + cand_id); the emitted score is coarsened to 2
+    # decimals because both engines' list-dot kernels sum in different
+    # lane orders — a 1-ulp drift at a 4-decimal half boundary is real
+    # (observed), at 2 decimals it is negligible.
+    return out.select(
+        "query_id", "rank", "cand_id", F.round("cos_sim", 2).alias("cos2")
+    )
+
+
+def _oracle_knn_join() -> str:
+    cos = _COS.format(a="q.qv", b="c.v")
+    probe_list = "[b.bucket" + "".join(
+        f", xor(b.bucket, {1 << p})" for p in range(PLANES)
+    ) + "]"
+    return f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+b AS (SELECT vec_id, {_bucket_sql('v')} AS bucket FROM v),
+q AS (
+  SELECT v.vec_id AS query_id, v.v AS qv, unnest({probe_list}) AS bucket
+  FROM v JOIN b USING (vec_id)
+  WHERE v.vec_id % {KNN_QUERY_MOD} = 0
+),
+c AS (SELECT v.vec_id AS cand_id, v, bucket FROM v JOIN b USING (vec_id)),
+sims AS (
+  SELECT query_id, cand_id, round({cos}, 6) AS cos_sim
+  FROM q JOIN c USING (bucket)
+  WHERE cand_id <> query_id
+),
+ranked AS (
+  SELECT query_id, cand_id, cos_sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, cand_id) AS rank
+  FROM sims
+)
+SELECT query_id, CAST(rank AS INTEGER) AS rank, cand_id,
+       round(round(cos_sim, 4), 2) AS cos2
+FROM ranked WHERE rank <= {TOPK}
+"""
+
+
+QUERIES["q_knn_join"] = q_knn_join
+ORACLE["q_knn_join"] = _oracle_knn_join()
