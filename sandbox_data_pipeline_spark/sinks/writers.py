@@ -17,6 +17,7 @@ include/utils/helpers.py:7-30) becomes a filesystem existence guard.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 RUN_HR_COL = "run_hr"
 
@@ -263,4 +264,67 @@ def write_clustered(
         else df.repartitionByRange(*cols)
     )
     out = out.sortWithinPartitions(*(sort_cols or cluster_cols))
+    out.write.mode("overwrite").format(fmt).save(path)
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    zorder_cols: list[str],
+    n_files: int | None = None,
+    bits: int = 8,
+    fmt: str = "parquet",
+) -> None:
+    """Multi-column layout-optimizing write: Z-order (Morton) curve
+    over ``zorder_cols``, so file-level min/max skipping works for
+    predicates on ANY of the clustered columns — the multi-key
+    complement of ``write_clustered`` (which is optimal for one key).
+
+    Each column is first mapped to a ``bits``-bit rank by quantile
+    bucketing (driver-side approxQuantile → Bucketizer; quantiles make
+    the curve skew-proof: a heavy value occupies many buckets of the
+    RANK space instead of one hot cell). The Morton value interleaves
+    the rank bits round-robin, and the write range-partitions + sorts
+    on it — every output file covers a compact hyper-rectangle of the
+    rank space, so its footer min/max is narrow in every dimension.
+
+    Scale shape: one bounded driver-side quantile sketch per column
+    (approxQuantile is a single aggregate, not a sort), one map-side
+    projection for ranks + Morton value, one range exchange. Nothing
+    grows with column cardinality or skew.
+    """
+    from pyspark.ml.feature import Bucketizer
+
+    n_buckets = 1 << bits
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    work = df
+    rank_cols: list[str] = []
+    for c in zorder_cols:
+        dcol = f"_zd_{c}"
+        rcol = f"_zr_{c}"
+        work = work.withColumn(dcol, F.col(c).cast("double"))
+        qs = work.approxQuantile(dcol, probs, 1.0 / (4 * n_buckets))
+        splits = [float("-inf")]
+        for q in qs:
+            if q > splits[-1]:
+                splits.append(q)
+        splits.append(float("inf"))
+        work = Bucketizer(splits=splits, inputCol=dcol, outputCol=rcol).transform(work)
+        rank_cols.append(rcol)
+
+    z = F.lit(0).cast("long")
+    for b in range(bits):
+        for i, rcol in enumerate(rank_cols):
+            bit = F.shiftright(F.col(rcol).cast("long"), b).bitwiseAND(F.lit(1))
+            z = z + F.shiftleft(bit, b * len(rank_cols) + i)
+    work = work.withColumn("_zval", z)
+
+    out = (
+        work.repartitionByRange(n_files, "_zval")
+        if n_files is not None
+        else work.repartitionByRange("_zval")
+    )
+    out = out.sortWithinPartitions("_zval").drop(
+        "_zval", *rank_cols, *[f"_zd_{c}" for c in zorder_cols]
+    )
     out.write.mode("overwrite").format(fmt).save(path)

@@ -61,3 +61,50 @@ def test_clustered_write_preserves_rows(spark, sf_dir, tmp_path):
     dst = str(tmp_path / "clustered2")
     write_clustered(li, dst, ["l_orderkey"], n_files=4)
     assert spark.read.parquet(dst).count() == li.count()
+
+
+def _overlap_count(path: str, col: str, probe) -> tuple[int, int]:
+    ranges = _file_ranges(path, col)
+    return len([r for r in ranges if r[0] <= probe <= r[1]]), len(ranges)
+
+
+def test_zordered_skips_on_both_dimensions(spark, sf_dir, tmp_path):
+    from sandbox_data_pipeline_spark.sinks.writers import write_zordered
+
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    dst = str(tmp_path / "zordered")
+    write_zordered(li, dst, ["l_orderkey", "l_partkey"], n_files=16)
+
+    import pyspark.sql.functions as F
+
+    mids = li.agg(
+        F.expr("percentile_approx(l_orderkey, 0.5)"),
+        F.expr("percentile_approx(l_partkey, 0.5)"),
+    ).collect()[0]
+
+    # point predicates on EITHER z-ordered column overlap only a
+    # fraction of files; a hash layout overlaps all of them
+    for col, probe in (("l_orderkey", mids[0]), ("l_partkey", mids[1])):
+        hit, total = _overlap_count(dst, col, probe)
+        assert total >= 8
+        assert hit <= total // 2, (col, hit, total)
+
+    messy = str(tmp_path / "zmessy")
+    li.repartition(16).write.mode("overwrite").parquet(messy)
+    hit, total = _overlap_count(messy, "l_orderkey", mids[0])
+    assert hit == total  # baseline: no skipping at all
+
+
+def test_zordered_preserves_rows_and_schema(spark, sf_dir, tmp_path):
+    from sandbox_data_pipeline_spark.sinks.writers import write_zordered
+
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey", "l_quantity")
+    dst = str(tmp_path / "zordered2")
+    write_zordered(li, dst, ["l_orderkey", "l_partkey"], n_files=4)
+    back = spark.read.parquet(dst)
+    assert set(back.columns) == {"l_orderkey", "l_partkey", "l_quantity"}
+    assert back.count() == li.count()
+    # no helper columns leak into the layout
+    assert not any(c.startswith("_z") for c in back.columns)
