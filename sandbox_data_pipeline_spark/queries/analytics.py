@@ -217,3 +217,175 @@ SELECT 'customer->nation',
        (SELECT COUNT(*) FROM customer WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation))
 """
 QUERIES["q_dq_referential"] = q_dq_referential
+
+
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt): wide per-customer measures → long (measure,
+    value) rows — the inverse of q_pivot. Spark's unpivot compiles to
+    an Expand (one input pass, no shuffle); values are carried as
+    exact decimals."""
+    c = table(spark, sf_dir, "customer")
+    wide = c.groupBy("c_mktsegment").agg(
+        F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+        .cast("decimal(38,2)")
+        .alias("total_bal"),
+        F.max(F.col("c_acctbal").cast("decimal(18,2)"))
+        .cast("decimal(38,2)")
+        .alias("max_bal"),
+        F.min(F.col("c_acctbal").cast("decimal(18,2)"))
+        .cast("decimal(38,2)")
+        .alias("min_bal"),
+    )
+    return wide.unpivot(
+        ["c_mktsegment"],
+        ["total_bal", "max_bal", "min_bal"],
+        "measure",
+        "value",
+    )
+
+
+ORACLE["q_unpivot"] = """
+WITH wide AS (
+  SELECT c_mktsegment,
+         (SUM(c_acctbal::DECIMAL(18,2)))::DECIMAL(38,2) AS total_bal,
+         (MAX(c_acctbal::DECIMAL(18,2)))::DECIMAL(38,2) AS max_bal,
+         (MIN(c_acctbal::DECIMAL(18,2)))::DECIMAL(38,2) AS min_bal
+  FROM customer GROUP BY c_mktsegment
+)
+SELECT c_mktsegment, measure, value
+FROM wide
+UNPIVOT (value FOR measure IN (total_bal, max_bal, min_bal))
+"""
+QUERIES["q_unpivot"] = q_unpivot
+
+
+def q_safe_casts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe ingestion: Spark 4 runs ANSI mode by default (bad
+    casts THROW), so dirty-input pipelines use try_cast/try_divide —
+    malformed values become NULLs that are then counted, the
+    quarantine-vs-crash discipline. The props JSON column provides the
+    dirty input: its 'v' path is numeric only for some rows."""
+    e = table(spark, sf_dir, "events")
+    k_num = F.get_json_object("props", "$.k").try_cast("long")
+    bogus = F.col("props").try_cast("double")  # whole JSON blob: never numeric
+    ratio = F.try_divide(F.col("value"), (k_num - 50).cast("double"))  # /0 when k=50
+    return (
+        e.select("event_type", k_num.alias("k_num"), bogus.alias("bogus"), ratio.alias("ratio"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.count("k_num").alias("n_k_parsed"),
+            F.count("bogus").alias("n_bogus_parsed"),
+            F.count("ratio").alias("n_ratio_ok"),
+            F.sum("k_num").alias("sum_k"),
+        )
+    )
+
+
+ORACLE["q_safe_casts"] = """
+WITH parsed AS (
+  SELECT event_type,
+         TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_num,
+         TRY_CAST(props AS DOUBLE) AS bogus,
+         CASE WHEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) <> 50
+              THEN value / (TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) - 50)
+         END AS ratio
+  FROM events
+)
+SELECT event_type,
+       COUNT(*) AS n_rows,
+       COUNT(k_num) AS n_k_parsed,
+       COUNT(bogus) AS n_bogus_parsed,
+       COUNT(ratio) AS n_ratio_ok,
+       SUM(k_num) AS sum_k
+FROM parsed GROUP BY event_type
+"""
+QUERIES["q_safe_casts"] = q_safe_casts
+
+
+def q_group_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group quantile summary via order statistics (discrete
+    percentiles return an actual data value — bit-identical across
+    engines, unlike interpolated percentiles; the q_winsorize lesson).
+    One shuffle on the group key; the per-group sort is the window
+    sort."""
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    ranked = o.select(
+        "o_orderpriority",
+        "o_totalprice",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("o_orderpriority")).alias("n"),
+    )
+    picks = ranked.where(
+        (F.col("rn") == F.ceil(F.col("n") * 0.25))
+        | (F.col("rn") == F.ceil(F.col("n") * 0.5))
+        | (F.col("rn") == F.ceil(F.col("n") * 0.75))
+    )
+    return (
+        picks.withColumn(
+            "q",
+            F.when(F.col("rn") == F.ceil(F.col("n") * 0.25), "p25")
+            .when(F.col("rn") == F.ceil(F.col("n") * 0.5), "p50")
+            .otherwise("p75"),
+        )
+        .groupBy("o_orderpriority")
+        # a rank can satisfy two quantile indices in tiny groups;
+        # min() per labeled bucket keeps the result single-valued
+        .pivot("q", ["p25", "p50", "p75"])
+        .agg(F.min("o_totalprice"))
+    )
+
+
+ORACLE["q_group_quantiles"] = """
+WITH ranked AS (
+  SELECT o_orderpriority, o_totalprice,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice, o_orderkey) AS rn,
+         COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+  FROM orders
+), picks AS (
+  SELECT o_orderpriority, o_totalprice,
+         CASE WHEN rn = CAST(ceil(n * 0.25) AS BIGINT) THEN 'p25'
+              WHEN rn = CAST(ceil(n * 0.5) AS BIGINT) THEN 'p50'
+              ELSE 'p75' END AS q
+  FROM ranked
+  WHERE rn = CAST(ceil(n * 0.25) AS BIGINT)
+     OR rn = CAST(ceil(n * 0.5) AS BIGINT)
+     OR rn = CAST(ceil(n * 0.75) AS BIGINT)
+)
+SELECT o_orderpriority,
+       MIN(CASE WHEN q = 'p25' THEN o_totalprice END) AS p25,
+       MIN(CASE WHEN q = 'p50' THEN o_totalprice END) AS p50,
+       MIN(CASE WHEN q = 'p75' THEN o_totalprice END) AS p75
+FROM picks GROUP BY o_orderpriority
+"""
+QUERIES["q_group_quantiles"] = q_group_quantiles
+
+
+def q_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-aggregatable distinct counts: per-(day, type) HLL sketches
+    unioned into per-type totals WITHOUT recounting the raw stream —
+    the pre-aggregation pattern that turns a 100 TB distinct-count into
+    a merge of kilobyte sketches (store the daily sketch column once;
+    every rollup grain after that is sketch algebra).
+
+    Rows-only check by design: serialized sketch estimates are
+    implementation-specific (DataSketches HLL here), so no cross-engine
+    oracle; tests/test_analytics.py bounds the merged estimate against
+    the exact distinct count instead."""
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.col("ts").cast("date").alias("d"), "event_type"
+    ).agg(F.hll_sketch_agg("user_id").alias("sketch"))
+    return (
+        daily.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_days"),
+            F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("est_users"),
+        )
+    )
+
+
+QUERIES["q_hll_rollup"] = q_hll_rollup
+# no ORACLE entry: sketch estimates are engine-specific (rows-only check)

@@ -42,3 +42,54 @@ def test_referential_integrity_clean_corpus(spark, sf_dir):
     assert len(rows) == 5
     # the synthetic star schema is referentially intact
     assert all(v == 0 for v in rows.values())
+
+
+def test_unpivot_inverts_wide(spark, sf_dir):
+    from sandbox_data_pipeline_spark.queries.analytics import q_unpivot
+
+    rows = q_unpivot(spark, sf_dir).collect()
+    segs = {r.c_mktsegment for r in rows}
+    assert all(
+        len([r for r in rows if r.c_mktsegment == s]) == 3 for s in segs
+    )  # 3 measures per segment
+    by = {(r.c_mktsegment, r.measure): r.value for r in rows}
+    for s in segs:
+        assert by[(s, "min_bal")] <= by[(s, "max_bal")]
+
+
+def test_safe_casts_quarantines_instead_of_throwing(spark, sf_dir):
+    from sandbox_data_pipeline_spark.queries.analytics import q_safe_casts
+
+    rows = q_safe_casts(spark, sf_dir).collect()
+    assert sum(r.n_bogus_parsed for r in rows) == 0  # blob never parses
+    total = sum(r.n_rows for r in rows)
+    assert sum(r.n_k_parsed for r in rows) == total  # k always parses
+    assert sum(r.n_ratio_ok for r in rows) < total  # some /0 quarantined
+
+
+def test_group_quantiles_ordered(spark, sf_dir):
+    from sandbox_data_pipeline_spark.queries.analytics import q_group_quantiles
+
+    for r in q_group_quantiles(spark, sf_dir).collect():
+        assert r.p25 <= r.p50 <= r.p75
+
+
+def test_hll_rollup_merge_matches_exact(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from sandbox_data_pipeline_spark.catalog import table
+    from sandbox_data_pipeline_spark.queries.analytics import q_hll_rollup
+
+    est = {r.event_type: r.est_users for r in q_hll_rollup(spark, sf_dir).collect()}
+    exact = {
+        r.event_type: r.n
+        for r in table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(est) == set(exact)
+    for t, n in exact.items():
+        # HLL default lgConfigK=12 → ~1.6% relative error; sketch union
+        # is lossless w.r.t. the individual sketches
+        assert abs(est[t] - n) / n < 0.05, (t, est[t], n)
