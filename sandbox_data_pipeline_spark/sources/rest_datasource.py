@@ -1,0 +1,79 @@
+"""REST documents as a first-class Spark data source (Python Data
+Source API, Spark 4).
+
+The reference fans one fetch task out per city via Airflow dynamic
+task mapping (fetch_weather.expand(city=…),
+dags/sandbox_data_pipeline.py:247). This module is the Spark-native
+form of that fan-out: each endpoint becomes an InputPartition, so the
+fetches run ON EXECUTORS, in parallel, inside a normal scan —
+
+    spark.dataSource.register(RestDocsDataSource)
+    spark.read.format("rest_docs")
+         .option("endpoints", json.dumps(urls))
+         .load()                       # endpoint string, body string
+
+and the result composes with everything downstream (parse, stage,
+publish) as an ordinary DataFrame.
+
+Transports (option "transport"): "http" (stdlib urllib, production)
+or "file" (endpoint = local path — the landed-file contract, and what
+the offline tests use). Header auth rides option "headers" as JSON,
+matching the reference's X-RapidAPI-* scheme. Options are strings by
+API contract, hence the JSON envelopes.
+
+Scale note: per-partition fetch keeps the driver out of the data path
+entirely; a 10k-endpoint crawl is 10k scan tasks with normal Spark
+scheduling/retry semantics (spark.task.maxFailures replaces the
+reference's retry loop). The driver-side shell in sources/rest.py
+remains for the KB-scale single-document case where an executor
+round-trip buys nothing.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+
+class _EndpointPartition(InputPartition):
+    def __init__(self, idx: int, endpoint: str):
+        self.idx = idx
+        self.endpoint = endpoint
+
+
+class RestDocsReader(DataSourceReader):
+    def __init__(self, options):
+        self.transport = options.get("transport", "http")
+        self.headers = json.loads(options.get("headers", "{}"))
+        self.endpoints = json.loads(options.get("endpoints", "[]"))
+        if not isinstance(self.endpoints, list):
+            raise ValueError("option 'endpoints' must be a JSON array of strings")
+
+    def partitions(self):
+        return [_EndpointPartition(i, e) for i, e in enumerate(self.endpoints)]
+
+    def read(self, partition):
+        endpoint = partition.endpoint
+        if self.transport == "file":
+            with open(endpoint, encoding="utf-8") as f:
+                body = f.read()
+        elif self.transport == "http":
+            from sandbox_data_pipeline_spark.sources.rest import http_transport
+
+            body = http_transport(endpoint, self.headers, None)
+        else:
+            raise ValueError(f"unknown transport {self.transport!r}")
+        yield (endpoint, body)
+
+
+class RestDocsDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "rest_docs"
+
+    def schema(self) -> str:
+        return "endpoint string, body string"
+
+    def reader(self, schema):
+        return RestDocsReader(self.options)
