@@ -187,3 +187,74 @@ def sample_frames(media: DataFrame, every_ms: int = 1000, fake: bool = True) -> 
             yield pd.DataFrame({"media_id": ids, "frame_idx": idxs, "frame": frames})
 
     return media.where(F.col("media_type") == "video").mapInPandas(_sample, schema)
+
+
+# --- REAL container-header probing (no codec libraries needed) -------------
+
+def probe_header(blob: bytes) -> tuple[str, int | None, int | None]:
+    """Sniff the container format and image dimensions from header
+    bytes alone. This is REAL parsing (magic numbers + PNG IHDR / JPEG
+    SOFn scan / GIF logical screen descriptor), not a stub: dimension
+    probing needs only the first KB of the file, never a codec — it is
+    how a 100 TB media crawl filters by resolution without decoding a
+    single pixel."""
+    if blob[:8] == b"\x89PNG\r\n\x1a\n" and len(blob) >= 24:
+        w = int.from_bytes(blob[16:20], "big")
+        h = int.from_bytes(blob[20:24], "big")
+        return "png", w, h
+    if blob[:2] == b"\xff\xd8":
+        i = 2
+        while i + 9 < len(blob):
+            if blob[i] != 0xFF:
+                i += 1
+                continue
+            marker = blob[i + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2
+                continue
+            seg_len = int.from_bytes(blob[i + 2 : i + 4], "big")
+            # SOF0..SOF15 except DHT(C4)/JPG(C8)/DAC(CC) carry dimensions
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                h = int.from_bytes(blob[i + 5 : i + 7], "big")
+                w = int.from_bytes(blob[i + 7 : i + 9], "big")
+                return "jpeg", w, h
+            i += 2 + seg_len
+        return "jpeg", None, None
+    if blob[:6] in (b"GIF87a", b"GIF89a") and len(blob) >= 10:
+        w = int.from_bytes(blob[6:8], "little")
+        h = int.from_bytes(blob[8:10], "little")
+        return "gif", w, h
+    if blob[4:8] == b"ftyp":
+        return "mp4", None, None
+    if blob[:4] == b"RIFF" and blob[8:12] == b"WAVE":
+        return "wav", None, None
+    return "unknown", None, None
+
+
+PROBE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("container", StringType()),
+        StructField("probed_width", IntegerType()),
+        StructField("probed_height", IntegerType()),
+    ]
+)
+
+
+def probe_media(media: DataFrame) -> DataFrame:
+    """Header probe over the binary column, Arrow-batched. Output is
+    narrow (id + format + dims), so the wide→narrow drop happens inside
+    the scan stage — the blobs never shuffle."""
+
+    def _probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "container": [], "probed_width": [], "probed_height": []}
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                fmt, w, h = probe_header(bytes(content))
+                out["media_id"].append(mid)
+                out["container"].append(fmt)
+                out["probed_width"].append(w)
+                out["probed_height"].append(h)
+            yield pd.DataFrame(out)
+
+    return media.select("media_id", "content").mapInPandas(_probe, PROBE_SCHEMA)

@@ -65,3 +65,66 @@ def test_sample_frames_cardinality(spark):
     assert got == n_videos
     r = frames.first()
     assert r.frame_idx >= 0 and bytes(r.frame)
+
+
+def _png(w: int, h: int) -> bytes:
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + (13).to_bytes(4, "big")
+        + b"IHDR"
+        + w.to_bytes(4, "big")
+        + h.to_bytes(4, "big")
+        + b"\x08\x02\x00\x00\x00"
+    )
+
+
+def _jpeg(w: int, h: int) -> bytes:
+    # SOI + APP0 stub + SOF0 carrying dimensions
+    app0 = b"\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\x00" + b"\x00" * 9
+    sof0 = (
+        b"\xff\xc0"
+        + (11).to_bytes(2, "big")
+        + b"\x08"
+        + h.to_bytes(2, "big")
+        + w.to_bytes(2, "big")
+        + b"\x01\x11\x00"
+    )
+    return b"\xff\xd8" + app0 + sof0
+
+
+def _gif(w: int, h: int) -> bytes:
+    return b"GIF89a" + w.to_bytes(2, "little") + h.to_bytes(2, "little")
+
+
+def test_probe_header_parses_real_containers():
+    from sandbox_data_pipeline_spark.operators.multimodal import probe_header
+
+    assert probe_header(_png(640, 480)) == ("png", 640, 480)
+    assert probe_header(_jpeg(1920, 1080)) == ("jpeg", 1920, 1080)
+    assert probe_header(_gif(320, 200)) == ("gif", 320, 200)
+    assert probe_header(b"\x00\x00\x00\x18ftypisom") == ("mp4", None, None)
+    assert probe_header(b"RIFF\x00\x00\x00\x00WAVEfmt ") == ("wav", None, None)
+    assert probe_header(b"not media at all") == ("unknown", None, None)
+
+
+def test_probe_media_over_binary_column(spark):
+    from sandbox_data_pipeline_spark.operators.multimodal import probe_media
+
+    rows = [
+        (1, "image", _png(64, 32)),
+        (2, "image", _jpeg(800, 600)),
+        (3, "image", _gif(10, 20)),
+        (4, "video", b"\x00\x00\x00\x18ftypisom"),
+        (5, "image", b"garbage"),
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id long, media_type string, content binary"
+    )
+    got = {r.media_id: (r.container, r.probed_width, r.probed_height) for r in probe_media(media).collect()}
+    assert got == {
+        1: ("png", 64, 32),
+        2: ("jpeg", 800, 600),
+        3: ("gif", 10, 20),
+        4: ("mp4", None, None),
+        5: ("unknown", None, None),
+    }
