@@ -42,6 +42,7 @@ HEADLINE = [
     "q_dedup_exact",
     "q_dedup_clusters",
     "q_passage_dedup",
+    "q_incremental_dedup",
     "q_dedup_minhash_pairs",
     "q_dedup_simhash_pairs",
     "q_similarity_topk",
