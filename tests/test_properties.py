@@ -58,3 +58,59 @@ def test_portable_hash_matches_duckdb(strings):
             "SELECT CAST('0x' || substr(md5(?), 1, 15) AS BIGINT)", [s]
         ).fetchone()
         assert got[s] == expect, s
+
+
+@given(
+    st.lists(
+        st.decimals(
+            min_value="-9999999999.99",
+            max_value="9999999999.99",
+            places=2,
+            allow_nan=False,
+            allow_infinity=False,
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+@settings(max_examples=10, deadline=None)
+def test_decimal_sum_matches_duckdb_exactly(values):
+    """The TPC-H numeric discipline: SUM over decimal(12,2) inputs is
+    bit-identical between DuckDB's aggregation and exact Python Decimal
+    arithmetic, regardless of input order — the invariant that lets the
+    oracle hash decimal aggregates without rounding tolerance."""
+    import duckdb
+    from decimal import Decimal
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (v DECIMAL(12,2))")
+    con.executemany("INSERT INTO t VALUES (?)", [(str(v),) for v in values])
+    (got,) = con.execute("SELECT SUM(v) FROM t").fetchone()
+    assert Decimal(str(got)) == sum(Decimal(str(v)) for v in values)
+
+
+@given(
+    st.integers(min_value=1, max_value=65535),
+    st.integers(min_value=1, max_value=65535),
+    st.sampled_from(["png", "jpeg", "gif"]),
+)
+@settings(max_examples=50, deadline=None)
+def test_probe_header_roundtrips_dimensions(w, h, fmt):
+    """Header probing recovers exactly the dimensions encoded in the
+    container header for any legal size."""
+    from sandbox_data_pipeline_spark.operators.multimodal import probe_header
+
+    if fmt == "png":
+        blob = (
+            b"\x89PNG\r\n\x1a\n" + (13).to_bytes(4, "big") + b"IHDR"
+            + w.to_bytes(4, "big") + h.to_bytes(4, "big") + b"\x08\x02\x00\x00\x00"
+        )
+    elif fmt == "jpeg":
+        sof0 = (
+            b"\xff\xc0" + (11).to_bytes(2, "big") + b"\x08"
+            + h.to_bytes(2, "big") + w.to_bytes(2, "big") + b"\x01\x11\x00"
+        )
+        blob = b"\xff\xd8" + sof0
+    else:
+        blob = b"GIF89a" + w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    assert probe_header(blob) == (fmt, w, h)
