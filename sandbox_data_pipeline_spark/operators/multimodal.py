@@ -258,3 +258,56 @@ def probe_media(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media.select("media_id", "content").mapInPandas(_probe, PROBE_SCHEMA)
+
+
+def media_with_headers(docs: DataFrame) -> DataFrame:
+    """Media table whose payloads carry REAL container headers (valid
+    PNG IHDR / WAV RIFF / MP4 ftyp bytes) followed by the text bytes as
+    body. Dimensions are the same deterministic function of doc_id that
+    media_from_documents declares in metadata — so probing the headers
+    back (probe_media) has a closed-form oracle, and the driver's gate
+    verifies the full byte-level build→parse round trip through the
+    Arrow-batched mapInPandas path."""
+
+    def _build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, types, blobs = [], [], []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                did = int(did)
+                body = str(text).encode("utf-8")
+                kind = did % 3
+                if kind == 0:
+                    w = (did % 8 + 1) * 64
+                    h = (did % 4 + 1) * 64
+                    header = (
+                        b"\x89PNG\r\n\x1a\n"
+                        + (13).to_bytes(4, "big")
+                        + b"IHDR"
+                        + w.to_bytes(4, "big")
+                        + h.to_bytes(4, "big")
+                        + b"\x08\x02\x00\x00\x00"
+                    )
+                    mtype = "image"
+                elif kind == 1:
+                    header = (
+                        b"RIFF"
+                        + (36 + len(body)).to_bytes(4, "little")
+                        + b"WAVEfmt "
+                    )
+                    mtype = "audio"
+                else:
+                    header = (24).to_bytes(4, "big") + b"ftypisom" + b"\x00" * 8
+                    mtype = "video"
+                ids.append(did)
+                types.append(mtype)
+                blobs.append(header + body)
+            yield pd.DataFrame({"media_id": ids, "media_type": types, "content": blobs})
+
+    schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("media_type", StringType()),
+            StructField("content", BinaryType()),
+        ]
+    )
+    return docs.select("doc_id", "text").mapInPandas(_build, schema)

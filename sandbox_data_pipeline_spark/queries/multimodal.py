@@ -101,3 +101,28 @@ def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["q_media_resize"] = q_media_resize
+
+
+def q_media_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-level round trip, oracle-verified: build payloads with REAL
+    container headers (PNG/WAV/MP4, dims a closed-form function of
+    doc_id), then parse them back with probe_media. The oracle computes
+    the same closed form in SQL — a hash match proves the binary
+    build→parse path (mapInPandas both ways) is exact."""
+    from sandbox_data_pipeline_spark.operators.multimodal import (
+        media_with_headers,
+        probe_media,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    return probe_media(media_with_headers(docs))
+
+
+ORACLE["q_media_probe"] = """
+SELECT doc_id AS media_id,
+       CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'wav' ELSE 'mp4' END AS container,
+       CASE WHEN doc_id % 3 = 0 THEN ((doc_id % 8 + 1) * 64)::INT END AS probed_width,
+       CASE WHEN doc_id % 3 = 0 THEN ((doc_id % 4 + 1) * 64)::INT END AS probed_height
+FROM documents
+"""
+QUERIES["q_media_probe"] = q_media_probe
