@@ -389,3 +389,35 @@ def q_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["q_hll_rollup"] = q_hll_rollup
 # no ORACLE entry: sketch estimates are engine-specific (rows-only check)
+
+
+def q_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the streaming interval join (streaming/joins.py:
+    attribute_clicks — the SAME builder compiles as a watermarked
+    stream-stream join or this batch range join): every click matched
+    to the same user's views in the preceding 30 minutes. The
+    equi-key (user_id) carries the shuffle; the time predicate filters
+    within the key group, so there is no inequality-join explosion."""
+    from sandbox_data_pipeline_spark.streaming.joins import (
+        attribute_clicks,
+        split_views_clicks,
+    )
+
+    views, clicks = split_views_clicks(table(spark, sf_dir, "events"))
+    return attribute_clicks(views, clicks, horizon_minutes=30)
+
+
+ORACLE["q_click_attribution"] = """
+SELECT v.user_id,
+       v.event_id AS view_id,
+       v.ts AS view_ts,
+       c.event_id AS click_id,
+       c.ts AS click_ts,
+       c.value AS click_value
+FROM (SELECT * FROM events WHERE event_type = 'view') v
+JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON v.user_id = c.user_id
+ AND c.ts >= v.ts
+ AND c.ts <= v.ts + INTERVAL 30 MINUTE
+"""
+QUERIES["q_click_attribution"] = q_click_attribution
