@@ -801,3 +801,48 @@ FROM (
 
 QUERIES["q_gopher_rules"] = q_gopher_rules
 ORACLE["q_gopher_rules"] = _oracle_gopher()
+
+
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized mixture rebalance: downsample every language to the
+    smallest language's size (the uniform mix q_mixture_weights prices),
+    selecting per-language by content-hash order — deterministic,
+    leak-free (no RNG), and rank-stable across engines because the hash
+    is the portable md5-prefix used everywhere else.
+
+    Plan: one window rank per language (single shuffle on lang — skew
+    bounded by the largest language, the same key the corpus is
+    naturally organized by) against a broadcast scalar min-count."""
+    d = table(spark, sf_dir, "documents")
+    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10).cast(
+        "long"
+    )
+    lang_w = Window.partitionBy("lang").orderBy(h.asc(), F.col("doc_id"))
+    ranked = d.select("doc_id", "lang").withColumn("rnk", F.row_number().over(lang_w))
+    min_count = (
+        d.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.min("n").alias("_min_n"))
+    )
+    return (
+        ranked.crossJoin(F.broadcast(min_count))
+        .where(F.col("rnk") <= F.col("_min_n"))
+        .select("doc_id", "lang")
+    )
+
+
+_ORACLE_MIXTURE_SAMPLE = """
+WITH ranked AS (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY CAST('0x' || substr(md5(doc_id::VARCHAR), 1, 15) AS BIGINT), doc_id
+         ) AS rnk
+  FROM documents
+),
+m AS (SELECT min(n) AS min_n FROM (SELECT count(*) AS n FROM documents GROUP BY lang))
+SELECT doc_id, lang FROM ranked, m WHERE rnk <= min_n
+"""
+
+QUERIES["q_mixture_sample"] = q_mixture_sample
+ORACLE["q_mixture_sample"] = _ORACLE_MIXTURE_SAMPLE
