@@ -273,3 +273,22 @@ def test_perplexity_model_hook(spark):
     assert got[2] == 1.0  # mean_len 1 / ttr 1.0
     assert got[3] == 0.0
     assert got[1] > got[2]
+
+
+def test_mixture_sample_uniform_per_lang(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from sandbox_data_pipeline_spark.catalog import table
+    from sandbox_data_pipeline_spark.queries.text import q_mixture_sample
+
+    sample = q_mixture_sample(spark, sf_dir)
+    per_lang = {r.lang: r.n for r in sample.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    source_langs = {
+        r.lang for r in table(spark, sf_dir, "documents").select("lang").distinct().collect()
+    }
+    assert set(per_lang) == source_langs  # every language survives
+    assert len(set(per_lang.values())) == 1  # exactly uniform mix
+    # sample is a subset of the corpus
+    assert sample.join(
+        table(spark, sf_dir, "documents"), "doc_id", "left_anti"
+    ).count() == 0
