@@ -7,9 +7,11 @@ decision-support surface those consumers rely on runs natively on
 Spark. Queries follow the canonical TPC-H shapes (Q1..Q22) adapted to
 the driver testdata's trimmed columns: there is no ``partsupp`` table,
 no ``l_commitdate``/``l_receiptdate``/``l_shipmode``, no ``c_phone`` —
-Q2/Q11 are dropped and Q4/Q9/Q12/Q16/Q20/Q21/Q22 are re-expressed with
-the available columns while keeping their plan shape (the join graph,
-the correlation pattern, the aggregation structure).
+Q2/Q11 run against a deterministic DERIVED partsupp (integer-arithmetic
+expansion of ``part`` × 4 modular suppliers, identical expression on
+both engines — see ``_partsupp``) and Q4/Q9/Q12/Q16/Q20/Q21/Q22 are
+re-expressed with the available columns while keeping their plan shape
+(the join graph, the correlation pattern, the aggregation structure).
 
 Numeric discipline: every money/quantity aggregate is carried as exact
 decimal — measures are cast to decimal BEFORE arithmetic, so Spark and
@@ -126,6 +128,128 @@ WHERE l_shipdate <= TIMESTAMP '2001-09-01'
 GROUP BY l_returnflag, l_linestatus
 """
 QUERIES["q_tpch_q01"] = q_tpch_q01
+
+
+# --- derived partsupp (Q2/Q11 input) ---------------------------------------
+
+def _partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic partsupp derived from ``part`` x 4 modular suppliers.
+
+    The driver testdata omits partsupp; canonical Q2/Q11 need it. This
+    derivation is pure integer arithmetic over (p_partkey, seq 0..3)
+    plus the supplier COUNT — the identical closed-form expression runs
+    on both engines, so the differential test stays exact. Supply cost
+    is carried in integer CENTS end-to-end; only the final projection
+    converts to decimal(12,2) via an exact scale-4 multiply.
+
+    Scale: a 4x map-side expansion of ``part`` (no shuffle; the
+    supplier count is a 1-row broadcast), so it behaves like a column
+    projection at 100 TB.
+    """
+    p = table(spark, sf_dir, "part").select("p_partkey")
+    s_cnt = table(spark, sf_dir, "supplier").agg(F.count("*").alias("s_cnt"))
+    return (
+        p.crossJoin(F.broadcast(s_cnt))
+        .select(
+            F.col("p_partkey").alias("ps_partkey"),
+            F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("ps_seq"),
+            F.col("s_cnt"),
+        )
+        .select(
+            "ps_partkey",
+            ((F.col("ps_partkey") * 4 + F.col("ps_seq")) % F.col("s_cnt")).alias(
+                "ps_suppkey"
+            ),
+            ((F.col("ps_partkey") * 7 + F.col("ps_seq") * 11) % 1000 + 1).alias(
+                "ps_availqty"
+            ),
+            ((F.col("ps_partkey") * 13 + F.col("ps_seq") * 17) % 90000 + 100).alias(
+                "ps_supplycost_cents"
+            ),
+        )
+    )
+
+
+# SQL twin of _partsupp, textually parallel (VALUES seq x COUNT(*)).
+_SQL_PARTSUPP = """
+  SELECT p_partkey AS ps_partkey,
+         (p_partkey * 4 + ps_seq) % s_cnt AS ps_suppkey,
+         (p_partkey * 7 + ps_seq * 11) % 1000 + 1 AS ps_availqty,
+         (p_partkey * 13 + ps_seq * 17) % 90000 + 100 AS ps_supplycost_cents
+  FROM part
+  CROSS JOIN (VALUES (0),(1),(2),(3)) seq(ps_seq)
+  CROSS JOIN (SELECT COUNT(*) AS s_cnt FROM supplier) sc
+"""
+
+# cents -> decimal(12,2): exact scale-4 multiply then narrowing cast.
+_SQL_CENTS = "(ps_supplycost_cents::DECIMAL(14,2) * 0.01::DECIMAL(4,2))::DECIMAL(12,2)"
+
+
+def _cents_to_money(col: str) -> F.Column:
+    return (
+        F.col(col).cast("decimal(14,2)") * F.lit(0.01).cast("decimal(4,2)")
+    ).cast("decimal(12,2)")
+
+
+# --- Q2: minimum-cost supplier ---------------------------------------------
+
+def q_tpch_q02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical Q2 over the derived partsupp: per-part minimum supply
+    cost among EUROPE suppliers, correlated-subquery shape expressed as
+    a min window over the region-scoped join (one shuffle by partkey;
+    the blame filter is map-side). The cost comparison is integer
+    cents, so the min tie-set is exact on both engines."""
+    ps = _partsupp(spark, sf_dir)
+    s = table(spark, sf_dir, "supplier")
+    n = F.broadcast(table(spark, sf_dir, "nation"))
+    r = F.broadcast(table(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE"))
+    p = table(spark, sf_dir, "part").where(
+        (F.col("p_size") <= 10) & (F.col("p_type") == "PROMO")
+    )
+    scoped = (
+        ps.join(s, F.col("ps_suppkey") == F.col("s_suppkey"))
+        .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(r, F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    w = Window.partitionBy("ps_partkey")
+    return (
+        scoped.withColumn("min_cost", F.min("ps_supplycost_cents").over(w))
+        .where(F.col("ps_supplycost_cents") == F.col("min_cost"))
+        .join(p, F.col("ps_partkey") == F.col("p_partkey"))
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_brand",
+            "p_type",
+            _cents_to_money("ps_supplycost_cents").alias("supplycost"),
+        )
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+ORACLE["q_tpch_q02"] = f"""
+WITH ps AS ({_SQL_PARTSUPP}),
+scoped AS (
+  SELECT ps.*, s_acctbal, s_name, n_name,
+         MIN(ps_supplycost_cents) OVER (PARTITION BY ps_partkey) AS min_cost
+  FROM ps
+  JOIN supplier ON ps_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_brand, p_type,
+       {_SQL_CENTS} AS supplycost
+FROM scoped JOIN part ON ps_partkey = p_partkey
+WHERE ps_supplycost_cents = min_cost
+  AND p_size <= 10 AND p_type = 'PROMO'
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+"""
+QUERIES["q_tpch_q02"] = q_tpch_q02
 
 
 # --- Q3: shipping priority -------------------------------------------------
@@ -467,6 +591,58 @@ ORDER BY revenue DESC, c_custkey
 LIMIT 20
 """
 QUERIES["q_tpch_q10"] = q_tpch_q10
+
+
+# --- Q11: important stock identification ------------------------------------
+
+def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical Q11 over the derived partsupp: per-part inventory value
+    held by EUROPE suppliers, keeping parts whose value exceeds 1/500 of
+    the regional total. Value is integer cents x availqty (exact bigint
+    on both engines); the fraction threshold is the cross-multiplied
+    comparison value*500 > total, so no float division ever happens.
+    Scale: one shuffle by partkey; the grand total is a 1-row broadcast
+    of the per-part rollup, never a second pass over partsupp."""
+    ps = _partsupp(spark, sf_dir)
+    s = table(spark, sf_dir, "supplier")
+    n = F.broadcast(table(spark, sf_dir, "nation"))
+    r = F.broadcast(table(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE"))
+    per_part = (
+        ps.join(s, F.col("ps_suppkey") == F.col("s_suppkey"))
+        .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(r, F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("ps_partkey")
+        .agg(
+            F.sum(F.col("ps_supplycost_cents") * F.col("ps_availqty")).alias(
+                "value_cents"
+            )
+        )
+    )
+    total = per_part.agg(F.sum("value_cents").alias("total_cents"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .where(F.col("value_cents") * 500 > F.col("total_cents"))
+        .select("ps_partkey", "value_cents")
+    )
+
+
+ORACLE["q_tpch_q11"] = f"""
+WITH ps AS ({_SQL_PARTSUPP}),
+vals AS (
+  SELECT ps_partkey,
+         SUM(ps_supplycost_cents * ps_availqty)::BIGINT AS value_cents
+  FROM ps
+  JOIN supplier ON ps_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+  GROUP BY ps_partkey
+)
+SELECT ps_partkey, value_cents
+FROM vals
+WHERE value_cents * 500 > (SELECT SUM(value_cents) FROM vals)
+"""
+QUERIES["q_tpch_q11"] = q_tpch_q11
 
 
 # --- Q12: late-shipment priority mix (adapted) -----------------------------

@@ -33,7 +33,7 @@ def test_all_queries_have_oracles():
     from sandbox_data_pipeline_spark.queries.tpch import ORACLE
 
     assert set(ORACLE) == set(QUERIES)
-    assert len(QUERIES) == 20
+    assert len(QUERIES) == 22
 
 
 def test_q01_filter_pushed_to_scan(spark, sf_dir):
@@ -91,3 +91,64 @@ def test_no_cartesian_products(spark, sf_dir):
     for name, fn in QUERIES.items():
         plan = _plan(fn(spark, sf_dir))
         assert "CartesianProduct" not in plan, name
+
+
+def test_partsupp_derivation_invariants(spark, sf_dir):
+    # 4 distinct suppliers per part, keys within the supplier domain,
+    # cost/qty strictly positive — the contract Q2/Q11 rely on
+    from sandbox_data_pipeline_spark.queries.tpch import _partsupp
+
+    ps = _partsupp(spark, sf_dir)
+    n_parts = table(spark, sf_dir, "part").count()
+    n_supps = table(spark, sf_dir, "supplier").count()
+    assert ps.count() == 4 * n_parts
+    per_part = ps.groupBy("ps_partkey").agg(
+        F.countDistinct("ps_suppkey").alias("n"),
+        F.min("ps_suppkey").alias("lo"),
+        F.max("ps_suppkey").alias("hi"),
+        F.min("ps_availqty").alias("q"),
+        F.min("ps_supplycost_cents").alias("c"),
+    )
+    bad = per_part.where(
+        (F.col("n") != 4)
+        | (F.col("lo") < 0)
+        | (F.col("hi") >= n_supps)
+        | (F.col("q") < 1)
+        | (F.col("c") < 100)
+    )
+    assert bad.count() == 0
+
+
+def test_q02_picks_regional_min_cost(spark, sf_dir):
+    from sandbox_data_pipeline_spark.queries.tpch import q_tpch_q02
+
+    rows = q_tpch_q02(spark, sf_dir).collect()
+    assert rows, "q02 empty at sf0.001"
+    # every returned supplycost has 2 decimal places and is positive
+    for r in rows:
+        assert r.supplycost == r.supplycost.quantize(Decimal("0.01"))
+        assert r.supplycost > 0
+
+
+def test_q11_threshold_is_exact(spark, sf_dir):
+    from sandbox_data_pipeline_spark.queries.tpch import q_tpch_q11
+
+    df = q_tpch_q11(spark, sf_dir)
+    rows = df.collect()
+    assert rows, "q11 empty at sf0.001"
+    # re-derive the grand total independently and re-check the cutoff
+    from sandbox_data_pipeline_spark.queries.tpch import _partsupp
+
+    ps = _partsupp(spark, sf_dir)
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    total = (
+        ps.join(s, F.col("ps_suppkey") == F.col("s_suppkey"))
+        .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(r, F.col("n_regionkey") == F.col("r_regionkey"))
+        .agg(F.sum(F.col("ps_supplycost_cents") * F.col("ps_availqty")))
+        .collect()[0][0]
+    )
+    for row in rows:
+        assert row.value_cents * 500 > total
