@@ -421,3 +421,43 @@ JOIN (SELECT * FROM events WHERE event_type = 'click') c
  AND c.ts <= v.ts + INTERVAL 30 MINUTE
 """
 QUERIES["q_click_attribution"] = q_click_attribution
+
+
+def q_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered exact semi join (operators/bloom.py): lineitem
+    rows restricted to high-value urgent orders, then rolled up. The
+    bloom pass has no false negatives and the exact semi join removes
+    false positives, so the result EQUALS the plain semi join the
+    oracle runs — only the execution cost differs (the probe-side
+    shuffle carries ~selectivity of the rows at 100 TB)."""
+    from sandbox_data_pipeline_spark.operators.bloom import bloom_semi_join
+
+    li = table(spark, sf_dir, "lineitem")
+    hot = (
+        table(spark, sf_dir, "orders")
+        .where(
+            (F.col("o_orderpriority") == "1-URGENT") & (F.col("o_totalprice") > 150000)
+        )
+        .select("o_orderkey")
+        .withColumnRenamed("o_orderkey", "l_orderkey")
+    )
+    matched = bloom_semi_join(li, hot, "l_orderkey", num_bits=1 << 20, num_hashes=5)
+    return matched.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_lines"),
+        F.sum(F.col("l_extendedprice").cast("decimal(12,2)"))
+        .cast("decimal(38,2)")
+        .alias("total_price"),
+    )
+
+
+ORACLE["q_bloom_prefilter"] = """
+SELECT l_returnflag, COUNT(*) AS n_lines,
+       (SUM(l_extendedprice::DECIMAL(12,2)))::DECIMAL(38,2) AS total_price
+FROM lineitem
+WHERE EXISTS (
+  SELECT 1 FROM orders
+  WHERE o_orderkey = l_orderkey
+    AND o_orderpriority = '1-URGENT' AND o_totalprice > 150000)
+GROUP BY l_returnflag
+"""
+QUERIES["q_bloom_prefilter"] = q_bloom_prefilter

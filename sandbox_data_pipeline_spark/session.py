@@ -27,6 +27,10 @@ SCALE_CONFS: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Catalyst-injected semi-join bloom filters: when one join side has
+    # a selective filter, probe-side rows are bloom-tested before the
+    # shuffle — the planner-automatic twin of operators/bloom.py.
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
     "spark.sql.sources.partitionOverwriteMode": "dynamic",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.session.timeZone": "UTC",
