@@ -117,3 +117,58 @@ def catalog_events(table_name: str, doc: dict[str, Any]) -> list[dict[str, Any]]
             }
         )
     return out
+
+
+def mad_anomaly_report(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: float = 3.0,
+) -> DataFrame:
+    """Robust per-group anomaly report via median absolute deviation.
+
+    Both the median and the MAD are exact ORDER STATISTICS (the data
+    value at rank ceil(n/2)) — selected values are bit-identical across
+    engines, unlike interpolated percentiles, so differential oracles
+    hash exactly. A point is anomalous when |v - median| > k * MAD.
+
+    Scale: two rank passes per group (swap row_number for
+    approx_percentile's mergeable t-digest at 100 TB); the per-group
+    scalars broadcast back, so the counting scan never shuffles rows.
+    """
+    from pyspark.sql import Window
+
+    e = df.select(F.col(group_col).alias("_g"), F.col(value_col).alias("_v"))
+    n = e.groupBy("_g").agg(F.count(F.lit(1)).alias("_n"))
+    w = Window.partitionBy("_g").orderBy("_v")
+    med = (
+        e.withColumn("_rn", F.row_number().over(w))
+        .join(F.broadcast(n), "_g")
+        .where(F.col("_rn") == F.ceil(F.col("_n") * 0.5))
+        .groupBy("_g")
+        .agg(F.min("_v").alias("_med"))
+    )
+    dev = e.join(F.broadcast(med), "_g").withColumn(
+        "_dev", F.abs(F.col("_v") - F.col("_med"))
+    )
+    wd = Window.partitionBy("_g").orderBy("_dev")
+    mad = (
+        dev.withColumn("_rn", F.row_number().over(wd))
+        .join(F.broadcast(n), "_g")
+        .where(F.col("_rn") == F.ceil(F.col("_n") * 0.5))
+        .groupBy("_g")
+        .agg(F.min("_dev").alias("_mad"))
+    )
+    return (
+        dev.join(F.broadcast(mad), "_g")
+        .groupBy("_g")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.min("_med").alias("median_value"),
+            F.min("_mad").alias("mad"),
+            F.sum(
+                F.when(F.col("_dev") > F.lit(k) * F.col("_mad"), 1).otherwise(0)
+            ).alias("n_anomalies"),
+        )
+        .withColumnRenamed("_g", group_col)
+    )

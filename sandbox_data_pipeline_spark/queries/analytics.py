@@ -461,3 +461,50 @@ WHERE EXISTS (
 GROUP BY l_returnflag
 """
 QUERIES["q_bloom_prefilter"] = q_bloom_prefilter
+
+
+def q_mad_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly detection via median absolute deviation. Both the
+    median and the MAD are exact ORDER STATISTICS (the data value at
+    rank ceil(n/2)) selected the same way on both engines — selected
+    values are bit-identical, unlike interpolated percentiles (the
+    round-1 winsorize lesson). The deviation compare |v-med| > 3*MAD is
+    a single deterministic IEEE op per row, so the anomaly counts hash
+    exactly. Scale: two rank passes per event_type (swap for
+    approx_percentile's mergeable t-digest at 100 TB); the per-group
+    scalars broadcast back, the counting scan never shuffles rows."""
+    from sandbox_data_pipeline_spark.operators.dq import mad_anomaly_report
+
+    e = table(spark, sf_dir, "events").select("event_type", "value")
+    return mad_anomaly_report(e, "event_type", "value", k=3.0)
+
+
+ORACLE["q_mad_anomalies"] = """
+WITH base AS (SELECT event_type, value FROM events),
+counts AS (SELECT event_type, COUNT(*) AS n FROM base GROUP BY event_type),
+ranked AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn
+  FROM base),
+med AS (
+  SELECT event_type, MIN(value) AS med
+  FROM ranked JOIN counts USING (event_type)
+  WHERE rn = ceil(n * 0.5) GROUP BY event_type),
+dev AS (
+  SELECT b.event_type, value, med, abs(value - med) AS d
+  FROM base b JOIN med USING (event_type)),
+dranked AS (
+  SELECT event_type, d,
+         row_number() OVER (PARTITION BY event_type ORDER BY d) AS rn
+  FROM dev),
+mad AS (
+  SELECT event_type, MIN(d) AS mad
+  FROM dranked JOIN counts USING (event_type)
+  WHERE rn = ceil(n * 0.5) GROUP BY event_type)
+SELECT event_type, COUNT(*) AS n_total, MIN(med) AS median_value,
+       MIN(mad) AS mad,
+       SUM(CASE WHEN d > 3 * mad THEN 1 ELSE 0 END) AS n_anomalies
+FROM dev JOIN mad USING (event_type)
+GROUP BY event_type
+"""
+QUERIES["q_mad_anomalies"] = q_mad_anomalies

@@ -93,3 +93,41 @@ def test_hll_rollup_merge_matches_exact(spark, sf_dir):
         # HLL default lgConfigK=12 → ~1.6% relative error; sketch union
         # is lossless w.r.t. the individual sketches
         assert abs(est[t] - n) / n < 0.05, (t, est[t], n)
+
+
+def test_mad_median_is_a_data_value(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from sandbox_data_pipeline_spark.catalog import table
+    from sandbox_data_pipeline_spark.queries.analytics import q_mad_anomalies
+
+    rows = q_mad_anomalies(spark, sf_dir).collect()
+    assert rows
+    e = table(spark, sf_dir, "events")
+    for r in rows:
+        # exact order statistic => the median is an actual data value
+        hit = e.where(
+            (F.col("event_type") == r.event_type) & (F.col("value") == r.median_value)
+        ).count()
+        assert hit >= 1, (r.event_type, r.median_value)
+        assert r.mad >= 0
+        assert 0 <= r.n_anomalies < r.n_total
+
+
+def test_mad_flags_injected_outlier(spark):
+    from pyspark.sql import functions as F
+
+    from sandbox_data_pipeline_spark.operators.dq import mad_anomaly_report
+
+    # a tight cluster plus one wild point: only the wild point is
+    # beyond 3 MAD of the median
+    base = spark.range(101).select(
+        F.lit("t").alias("g"), (F.col("id") % 11 / 10.0 + 100.0).alias("v")
+    )
+    wild = spark.range(1).select(F.lit("t").alias("g"), F.lit(1e9).alias("v"))
+    rep = mad_anomaly_report(base.union(wild), "g", "v", k=3.0).collect()
+    assert len(rep) == 1
+    r = rep[0]
+    assert r.n_total == 102
+    assert 100.0 <= r.median_value <= 101.0
+    assert r.n_anomalies == 1
