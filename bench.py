@@ -32,6 +32,7 @@ HEADLINE = [
     "q_winsorize",
     "q_subquery_in",
     "q_tpch_q01",
+    "q_tpch_q02",
     "q_tpch_q05",
     "q_tpch_q09",
     "q_tpch_q13",
@@ -39,6 +40,8 @@ HEADLINE = [
     "q_tpch_q21",
     "q_merge_upsert",
     "q_scd2_priority",
+    "q_bloom_prefilter",
+    "q_mad_anomalies",
     "q_dedup_exact",
     "q_dedup_clusters",
     "q_passage_dedup",
