@@ -74,15 +74,20 @@ def bloom_build(
         .groupBy("w")
         .agg(F.bit_or("bit").alias("bits"))
     )
-    # scatter the sparse (word, bits) rows into one dense array row
-    return words.agg(
-        F.map_from_entries(F.collect_list(F.struct("w", "bits"))).alias("wm")
-    ).select(
-        F.transform(
-            F.sequence(F.lit(0), F.lit(n_words - 1)),
-            lambda w: F.coalesce(F.element_at("wm", w), F.lit(0).cast("bigint")),
-        ).alias("bf_words")
+    # densify: union a zero row per word (so every index exists), then
+    # sort-and-project. NOT a map lookup per index — Spark MapType
+    # element_at is a linear scan, which would make this O(n_words^2).
+    zero_fill = keys.sparkSession.range(n_words).select(
+        F.col("id").cast("int").alias("w"), F.lit(0).cast("bigint").alias("bits")
     )
+    dense = (
+        words.unionByName(zero_fill)
+        .groupBy("w")
+        .agg(F.bit_or("bits").alias("bits"))
+    )
+    return dense.agg(
+        F.array_sort(F.collect_list(F.struct("w", "bits"))).alias("a")
+    ).select(F.transform("a", lambda x: x["bits"]).alias("bf_words"))
 
 
 def bloom_probe(

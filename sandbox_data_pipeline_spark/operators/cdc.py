@@ -113,3 +113,82 @@ def scd2_history(
     )
     renames = {c: f"valid_from_{c}" for c in order_cols}
     return out.withColumnsRenamed(renames)
+
+
+def table_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Snapshot diff: one row per key that changed between two table
+    versions, labeled ``added`` / ``removed`` / ``changed``.
+
+    The anti-entropy primitive behind replication checks, late-landing
+    audits, and CDC backfills: given yesterday's snapshot and today's,
+    emit exactly what a changelog should have delivered.
+
+    One full-outer join on the key (single shuffle per side; zero if
+    both snapshots are bucketed on the key — ``save_bucketed``).
+    Value comparison is null-safe column equality, evaluated
+    map-side after the join; unchanged keys are filtered before
+    anything else happens, so the output is proportional to the drift,
+    not the table.
+    """
+    compare_cols = compare_cols or [
+        c for c in old.columns if c in set(new.columns) and c not in key_cols
+    ]
+    # presence sentinels (not derived from compare cols: a row whose
+    # compare cols are all NULL still counts as present)
+    o = old.select(
+        *key_cols,
+        F.lit(True).alias("_in_old"),
+        *[F.col(c).alias(f"_old_{c}") for c in compare_cols],
+    )
+    n = new.select(
+        *key_cols,
+        F.lit(True).alias("_in_new"),
+        *[F.col(c).alias(f"_new_{c}") for c in compare_cols],
+    )
+    same = F.lit(True)
+    for c in compare_cols:
+        same = same & F.col(f"_old_{c}").eqNullSafe(F.col(f"_new_{c}"))
+    change = (
+        F.when(F.col("_in_new").isNull(), F.lit("removed"))
+        .when(F.col("_in_old").isNull(), F.lit("added"))
+        .when(~same, F.lit("changed"))
+    )
+    return (
+        o.join(n, key_cols, "full_outer")
+        .withColumn("change_type", change)
+        .where(F.col("change_type").isNotNull())
+        .select(*key_cols, "change_type")
+    )
+
+
+def merge_rollup(
+    existing: DataFrame,
+    delta: DataFrame,
+    key_cols: list[str],
+    sum_cols: list[str],
+    count_col: str = "n",
+) -> DataFrame:
+    """Incremental view maintenance for additive rollups: fold a delta
+    partial-aggregate into an existing one. Both inputs carry the same
+    shape (keys + partial sums + partial count); the merge is a union +
+    one re-aggregation — the result equals recomputing the rollup over
+    the full input, because sums and counts are associative.
+
+    At 100 TB this is the difference between touching the day's delta
+    and re-scanning the table: maintain the rollup hourly by folding
+    each hour's partial in. Exactness requires the measures be decimal
+    (float partial sums reorder under different reduction trees).
+    """
+    return (
+        existing.unionByName(delta)
+        .groupBy(*key_cols)
+        .agg(
+            *[F.sum(c).alias(c) for c in sum_cols],
+            F.sum(count_col).alias(count_col),
+        )
+    )

@@ -160,3 +160,97 @@ FROM versions
 
 QUERIES["q_scd2_priority"] = q_scd2_priority
 ORACLE["q_scd2_priority"] = _ORACLE_SCD2
+
+
+def q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff (operators/cdc.py: table_diff): the 'old' snapshot
+    is derived deterministically from orders — every 7th key missing
+    (appears as added), every 5th key's total perturbed (appears as
+    changed) — so both engines reconstruct identical snapshots and the
+    diff is exact. One full-outer join on the key; output rows ∝ drift."""
+    from sandbox_data_pipeline_spark.operators.cdc import table_diff
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    old = o.where(F.col("o_orderkey") % 7 != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 5 == 0, F.col("o_totalprice") + 1.0
+        ).otherwise(F.col("o_totalprice")),
+    )
+    diff = table_diff(old, o, ["o_orderkey"], ["o_totalprice", "o_orderstatus"])
+    return diff.groupBy("change_type").agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+    )
+
+
+ORACLE["q_table_diff"] = """
+WITH old_snap AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1.0
+              ELSE o_totalprice END AS o_totalprice,
+         o_orderstatus
+  FROM orders WHERE o_orderkey % 7 <> 0
+),
+diff AS (
+  SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+         CASE WHEN n.o_orderkey IS NULL THEN 'removed'
+              WHEN o.o_orderkey IS NULL THEN 'added'
+              WHEN o.o_totalprice IS NOT DISTINCT FROM n.o_totalprice
+               AND o.o_orderstatus IS NOT DISTINCT FROM n.o_orderstatus
+                THEN NULL
+              ELSE 'changed' END AS change_type
+  FROM old_snap o
+  FULL OUTER JOIN (SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders) n
+    ON o.o_orderkey = n.o_orderkey
+)
+SELECT change_type, COUNT(*) AS n_keys,
+       MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+FROM diff WHERE change_type IS NOT NULL
+GROUP BY change_type
+"""
+QUERIES["q_table_diff"] = q_table_diff
+
+
+def q_rollup_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance (operators/cdc.py: merge_rollup):
+    the first 80% of events by id form the maintained rollup, the rest
+    arrive as a delta; folding the delta's partial aggregate in must
+    equal the full recompute the oracle runs. Measures are exact
+    decimals so partial-sum merge order cannot drift."""
+    from sandbox_data_pipeline_spark.operators.cdc import merge_rollup
+
+    e = table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.col("value").cast("decimal(18,6)").alias("v"),
+    )
+    cut = e.agg((F.max("event_id") * 0.8).cast("long").alias("c"))
+
+    def rollup(df):
+        return df.groupBy("event_type").agg(
+            F.sum("v").cast("decimal(38,6)").alias("sum_value"),
+            F.count(F.lit(1)).alias("n"),
+        )
+
+    base = rollup(e.crossJoin(F.broadcast(cut)).where(F.col("event_id") <= F.col("c")))
+    delta = rollup(e.crossJoin(F.broadcast(cut)).where(F.col("event_id") > F.col("c")))
+    merged = merge_rollup(base, delta, ["event_type"], ["sum_value"], "n")
+    return merged.select(
+        "event_type",
+        F.col("sum_value").cast("decimal(38,6)").alias("sum_value"),
+        "n",
+    )
+
+
+ORACLE["q_rollup_ivm"] = """
+SELECT event_type,
+       (SUM(value::DECIMAL(18,6)))::DECIMAL(38,6) AS sum_value,
+       COUNT(*) AS n
+FROM events
+GROUP BY event_type
+"""
+QUERIES["q_rollup_ivm"] = q_rollup_ivm

@@ -78,3 +78,55 @@ def test_scd2_single_shuffle_plan(spark):
     changes = _df(spark, [(1, 1, "x"), (1, 2, "y")], ["k", "seq", "attr"])
     plan = scd2_history(changes, ["k"], ["seq"], ["attr"])._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_table_diff_all_three_classes(spark):
+    from pyspark.sql import functions as F
+
+    from sandbox_data_pipeline_spark.operators.cdc import table_diff
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (4, None)], ["k", "v"]
+    )
+    new = spark.createDataFrame(
+        [(2, "b"), (3, "CHANGED"), (4, None), (5, "e")], ["k", "v"]
+    )
+    got = {(r.k, r.change_type) for r in table_diff(old, new, ["k"]).collect()}
+    assert got == {(1, "removed"), (3, "changed"), (5, "added")}
+    # null-safe: key 4 (NULL == NULL) is unchanged, key 2 identical
+
+
+def test_table_diff_null_transitions(spark):
+    from sandbox_data_pipeline_spark.operators.cdc import table_diff
+
+    old = spark.createDataFrame([(1, None), (2, "x")], ["k", "v"])
+    new = spark.createDataFrame([(1, "now"), (2, None)], ["k", "v"])
+    got = {(r.k, r.change_type) for r in table_diff(old, new, ["k"]).collect()}
+    assert got == {(1, "changed"), (2, "changed")}
+
+
+def test_merge_rollup_equals_full_recompute(spark, sf_dir):
+    from decimal import Decimal
+
+    from pyspark.sql import functions as F
+
+    from sandbox_data_pipeline_spark.catalog import table
+    from sandbox_data_pipeline_spark.operators.cdc import merge_rollup
+
+    e = table(spark, sf_dir, "events").select(
+        "event_id", "event_type", F.col("value").cast("decimal(18,6)").alias("v")
+    )
+
+    def rollup(df):
+        return df.groupBy("event_type").agg(
+            F.sum("v").alias("sum_value"), F.count(F.lit(1)).alias("n")
+        )
+
+    base = rollup(e.where(F.col("event_id") % 3 != 0))
+    delta = rollup(e.where(F.col("event_id") % 3 == 0))
+    merged = {
+        r.event_type: (r.sum_value, r.n)
+        for r in merge_rollup(base, delta, ["event_type"], ["sum_value"], "n").collect()
+    }
+    full = {r.event_type: (r.sum_value, r.n) for r in rollup(e).collect()}
+    assert merged == full
