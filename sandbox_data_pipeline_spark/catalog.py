@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 TABLES: tuple[str, ...] = (
     "region",
@@ -37,10 +38,12 @@ ALWAYS_BROADCAST: frozenset[str] = frozenset({"region", "nation"})
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one table. Parquet → vectorized reader, pushdown-capable.
 
-    ``events.ts`` is physically TIMESTAMP(NANOS), which Spark's parquet
-    reader rejects; read it as raw int64 nanos (legacy conf) and convert
-    to a microsecond timestamp — same truncation DuckDB applies when
-    casting TIMESTAMP_NS → TIMESTAMP.
+    ``events.ts`` has shipped as both TIMESTAMP(MICROS) and
+    TIMESTAMP(NANOS) across corpus generations. Spark's parquet reader
+    rejects NANOS; with the legacy conf it surfaces as raw int64 nanos,
+    which we convert to a microsecond timestamp — the same truncation
+    DuckDB applies when casting TIMESTAMP_NS → TIMESTAMP. MICROS needs
+    no conversion, so branch on the read dtype, not the file vintage.
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; have {TABLES}")
@@ -48,8 +51,16 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-        # integer div: double division would lose precision at 1.7e18 ns
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if isinstance(df.schema["ts"].dataType, T.LongType):
+            # integer div: double division loses precision at 1.7e18 ns
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(df.schema["ts"].dataType, T.TimestampNTZType):
+            # MICROS files carry isAdjustedToUTC=false → TIMESTAMP_NTZ.
+            # Downstream plans use unix_micros()/window() which want the
+            # LTZ type; the session timezone is pinned to UTC, so this
+            # cast is a type change, not a wall-clock shift.
+            df = df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
+        return df
     return spark.read.parquet(path)
 
 
