@@ -349,6 +349,169 @@ def near_dup_pairs(
     )
 
 
+def semantic_dedup(
+    embeddings: DataFrame,
+    threshold: float = 0.35,
+    n_centroids: int = 16,
+    centroids: list[tuple[int, list[float]]] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication: coarse-cluster the corpus,
+    compare pairs only WITHIN a cluster, and drop every vector whose
+    rounded cosine to a lower-id vector in its cluster reaches the
+    threshold (keep-first, deterministic).
+
+    Two-stage plan: (1) map-side centroid assignment — the corpus never
+    shuffles to be clustered (centroids ride along as literal codegen'd
+    expressions); (2) within-cluster self-join keyed on the cluster id.
+    Per-cluster work is quadratic in cluster size, so n_centroids is the
+    scale knob — grow it ~√N (FAISS guidance) to keep expected occupancy
+    flat; the skew guard is the same as IVF's: a data-defined block
+    column is never used, only the centroid partition.
+
+    ``centroids`` takes any ivf_centroids-contract list (pass the
+    k-means|| pick for production recall); the default deterministic
+    pick keeps the operator oracle-checkable. Returns one row per input
+    vector: (id, list_id, is_dropped).
+    """
+    cents = centroids or ivf_centroids(embeddings, n_centroids, id_col, vec_col)
+    v = embeddings.select(
+        F.col(id_col), as_double_array(vec_col).alias("_v")
+    ).join(ivf_assign(embeddings, cents, id_col, vec_col), id_col)
+    a = v.select(F.col(id_col).alias("id_a"), "list_id", F.col("_v").alias("va"))
+    b = v.select(F.col(id_col).alias("id_b"), "list_id", F.col("_v").alias("vb"))
+    dropped = (
+        a.join(b, ["list_id"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(F.round(cosine("va", "vb"), 4) >= threshold)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+        .withColumn("_dropped", F.lit(True))
+    )
+    return v.join(dropped, id_col, "left").select(
+        F.col(id_col),
+        "list_id",
+        F.coalesce(F.col("_dropped"), F.lit(False)).alias("is_dropped"),
+    )
+
+
+# --- Product quantization ---------------------------------------------------
+
+PQ_M = 8  # subspaces
+PQ_K = 16  # codewords per subspace
+
+
+def pq_codebook(
+    embeddings: DataFrame,
+    dim: int,
+    m: int = PQ_M,
+    k: int = PQ_K,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Deterministic PQ codebook: codeword j of subspace s is the s-th
+    subvector of the j-th lowest-id vector (same contract spirit as
+    ivf_centroids — production swaps in per-subspace k-means behind the
+    identical shape, ``codebook[s][j] -> list[float]``). One bounded
+    collect of k rows; everything downstream is map-side."""
+    sub = dim // m
+    rows = (
+        embeddings.select(F.col(id_col), as_double_array(vec_col).alias("v"))
+        .orderBy(id_col)
+        .limit(k)
+        .collect()
+    )
+    return [
+        [list(r["v"])[s * sub : (s + 1) * sub] for r in rows] for s in range(m)
+    ]
+
+
+def _sq_l2(sub_expr: str, cw: list[float]) -> Column:
+    arr = "array(" + ", ".join(f"{x}D" for x in cw) + ")"
+    return F.round(
+        F.expr(
+            f"aggregate(zip_with({sub_expr}, {arr}, (x, y) -> (x - y) * (x - y)),"
+            " 0D, (acc, v) -> acc + v)"
+        ),
+        6,
+    )
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    codebook: list[list[list[float]]],
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode every vector to m PQ codes: per subspace, the argmin
+    rounded-L2² codeword (ties → lowest code). Codewords are literal
+    arrays inside whole-stage codegen — zero shuffle, zero Python; the
+    classic 32× memory cut (64 floats → 8 bytes) that makes a 100 TB
+    vector corpus fit a serving tier. Output: (id, codes array<int>)."""
+    m = len(codebook)
+    sub = dim // m
+    v = embeddings.select(F.col(id_col), as_double_array(vec_col).alias("_v"))
+    codes = []
+    for s, cws in enumerate(codebook):
+        sub_expr = f"slice(_v, {s * sub + 1}, {sub})"
+        dists = F.array(*[_sq_l2(sub_expr, cw) for cw in cws])
+        codes.append(
+            (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+        )
+    return v.select(F.col(id_col), F.array(*codes).alias("codes"))
+
+
+def pq_adc_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    codebook: list[list[list[float]]] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance top-k: queries stay exact, candidates are
+    their PQ reconstructions (codes → codeword arrays → concatenated
+    vector), scored by cosine. The reconstruction is pure expression
+    work — element_at into the literal codebook per subspace — so the
+    scan reads ONLY the 8-byte codes where a brute-force pass reads the
+    full vectors: the memory-bound regime PQ exists for. Broadcast
+    query side, per-query row_number top-k (WindowGroupLimit keeps the
+    rank partial)."""
+    cb = codebook or pq_codebook(embeddings, dim)
+    m = len(cb)
+    enc = pq_encode(embeddings, cb, dim, id_col, vec_col)
+    parts = []
+    for s, cws in enumerate(cb):
+        lit = (
+            "array("
+            + ", ".join(
+                "array(" + ", ".join(f"{x}D" for x in cw) + ")" for cw in cws
+            )
+            + ")"
+        )
+        parts.append(F.expr(f"element_at({lit}, codes[{s}] + 1)"))
+    recon = F.concat(*parts)
+    cand = enc.select(F.col(id_col).alias("cand_id"), recon.alias("cvec"))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double_array(vec_col).alias("qvec")
+    )
+    sims = (
+        cand.join(F.broadcast(q), F.col("cand_id") != F.col("query_id"))
+        .select(
+            "query_id", "cand_id", F.round(cosine("qvec", "cvec"), 6).alias("adc_sim")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("adc_sim").desc(), F.col("cand_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "cand_id", F.round("adc_sim", 4).alias("adc_sim"))
+    )
+
+
 def knn_join(
     queries: DataFrame,
     corpus: DataFrame,

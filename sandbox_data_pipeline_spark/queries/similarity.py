@@ -468,6 +468,157 @@ QUERIES["q_embedding_quantize"] = q_embedding_quantize
 ORACLE["q_embedding_quantize"] = _ORACLE_QUANTIZE
 
 
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup verdict per vector: coarse cluster (map-side centroid
+    assignment), within-cluster keep-first semantic dedup at the
+    near-dup threshold. The 100 TB path of embedding dedup — pairwise
+    work is confined to a cluster, never the corpus."""
+    from sandbox_data_pipeline_spark.operators.similarity import semantic_dedup
+
+    return semantic_dedup(
+        table(spark, sf_dir, "embeddings"),
+        threshold=NEAR_T,
+        n_centroids=N_CENTROIDS,
+    )
+
+
+def _oracle_semdedup() -> str:
+    cos = _COS.format(a="a.v", b="b.v")
+    return (
+        _IVF_BASE.format(n_centroids=N_CENTROIDS)
+        + f""",
+withv AS (SELECT v.vec_id, v.v, asg.list_id FROM v JOIN asg USING (vec_id)),
+dropped AS (
+  SELECT DISTINCT b.vec_id
+  FROM withv a JOIN withv b
+    ON a.list_id = b.list_id AND a.vec_id < b.vec_id
+  WHERE round({cos}, 4) >= {NEAR_T}
+)
+SELECT w.vec_id, w.list_id,
+       w.vec_id IN (SELECT vec_id FROM dropped) AS is_dropped
+FROM withv w
+"""
+    )
+
+
+QUERIES["q_semdedup"] = q_semdedup
+ORACLE["q_semdedup"] = _oracle_semdedup()
+
+
+def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization codes per vector (8 subspaces × 16
+    codewords → 8 small ints ≈ 32× compression). Codebook is the
+    deterministic first-K pick; encoding is argmin rounded-L2² per
+    subspace, entirely map-side. Codes are emitted as a joined string +
+    exact sum so the value-hash compares them portably."""
+    from sandbox_data_pipeline_spark.operators.similarity import pq_codebook, pq_encode
+
+    emb = table(spark, sf_dir, "embeddings")
+    enc = pq_encode(emb, pq_codebook(emb, DIM), DIM)
+    return enc.select(
+        "vec_id",
+        F.concat_ws("-", F.col("codes")).alias("code_str"),
+        F.expr("aggregate(codes, 0, (a, c) -> a + c)").alias("code_sum"),
+    )
+
+
+def _pq_oracle_cte() -> str:
+    """Shared CTE: codebook = subvectors of the 16 lowest-id vectors,
+    codes = argmin rounded-L2² per subspace (ties → lowest code)."""
+    from sandbox_data_pipeline_spark.operators.similarity import PQ_K, PQ_M
+
+    sub = DIM // PQ_M
+    return f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cb_src AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, v
+  FROM v ORDER BY vec_id LIMIT {PQ_K}
+),
+cw AS (
+  SELECT s.s, cb_src.code, list_slice(cb_src.v, s.s * {sub} + 1, (s.s + 1) * {sub}) AS cw
+  FROM cb_src CROSS JOIN (SELECT unnest(range({PQ_M})) AS s) s
+),
+dists AS (
+  SELECT a.vec_id, cw.s, cw.code,
+         round(list_sum(list_transform(range(1, {sub} + 1),
+               i -> (list_slice(a.v, cw.s * {sub} + 1, (cw.s + 1) * {sub})[i] - cw.cw[i]) ^ 2)), 6) AS d2
+  FROM v a CROSS JOIN cw
+),
+codes AS (
+  SELECT vec_id, s, code FROM (
+    SELECT vec_id, s, code,
+           row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, code) AS rn
+    FROM dists
+  ) WHERE rn = 1
+)
+"""
+
+
+def _oracle_pq_codes() -> str:
+    return (
+        _pq_oracle_cte()
+        + """
+SELECT vec_id,
+       string_agg(CAST(code AS VARCHAR), '-' ORDER BY s) AS code_str,
+       CAST(sum(code) AS INTEGER) AS code_sum
+FROM codes GROUP BY vec_id
+"""
+    )
+
+
+QUERIES["q_pq_codes"] = q_pq_codes
+ORACLE["q_pq_codes"] = _oracle_pq_codes()
+
+
+def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance top-k: exact query vector vs candidates
+    reconstructed from their 8-byte codes — the scan that reads codes,
+    not vectors (the memory-bound regime PQ exists for). Ranked by
+    6-decimal cosine; emitted score coarsened to 2 decimals (engine
+    libm lane-order drift, same policy as q_knn_join)."""
+    from sandbox_data_pipeline_spark.operators.similarity import pq_adc_topk
+
+    emb = table(spark, sf_dir, "embeddings")
+    out = pq_adc_topk(emb, _queries_df(spark, sf_dir), DIM, k=TOPK)
+    return out.select(
+        "query_id", "rank", "cand_id", F.round("adc_sim", 2).alias("adc2")
+    )
+
+
+def _oracle_pq_adc_topk() -> str:
+    from sandbox_data_pipeline_spark.operators.similarity import PQ_M
+
+    sub = DIM // PQ_M
+    cos = _COS.format(a="q.qv", b="r.rv")
+    return (
+        _pq_oracle_cte()
+        + f""",
+recon AS (
+  SELECT codes.vec_id AS cand_id, flatten(list(cw.cw ORDER BY codes.s)) AS rv
+  FROM codes JOIN cw ON cw.s = codes.s AND cw.code = codes.code
+  GROUP BY codes.vec_id
+),
+q AS (SELECT vec_id AS query_id, v AS qv FROM v WHERE vec_id % {QUERY_MOD} = 0),
+sims AS (
+  SELECT query_id, cand_id, round({cos}, 6) AS adc_sim
+  FROM q JOIN recon r ON cand_id <> query_id
+),
+ranked AS (
+  SELECT query_id, cand_id, adc_sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY adc_sim DESC, cand_id) AS rank
+  FROM sims
+)
+SELECT query_id, CAST(rank AS INTEGER) AS rank, cand_id,
+       round(round(adc_sim, 4), 2) AS adc2
+FROM ranked WHERE rank <= {TOPK}
+"""
+    )
+
+
+QUERIES["q_pq_adc_topk"] = q_pq_adc_topk
+ORACLE["q_pq_adc_topk"] = _oracle_pq_adc_topk()
+
+
 KNN_QUERY_MOD = 20  # 5% of the corpus queries — large enough to forbid broadcast
 
 

@@ -194,3 +194,52 @@ def test_knn_join_multiprobe_beats_single_probe(spark):
         return len(pairs & exact) / len(exact)
 
     assert rec(1) >= rec(0)
+
+
+def test_semantic_dedup_keep_first_within_cluster(spark):
+    from sandbox_data_pipeline_spark.operators.similarity import semantic_dedup
+
+    # one coarse cluster → all pairs compared: 1 drops against 0
+    # (cos ≈ 0.994), 3 against 2 (cos ≈ 0.999); 2 and 4 are orthogonal/
+    # antipodal to every earlier vector and survive
+    emb = _emb(spark)
+    got = {r.vec_id: r for r in semantic_dedup(emb, threshold=0.9, n_centroids=1).collect()}
+    assert len(got) == 5  # verdict for every input vector
+    assert not got[0].is_dropped  # lowest id of its similar pair survives
+    assert got[1].is_dropped  # ≥0.9 cosine to the earlier vector 0
+    assert not got[2].is_dropped
+    assert got[3].is_dropped
+    assert not got[4].is_dropped  # antipodal: similar to nothing
+    assert len({r.list_id for r in got.values()}) == 1
+
+    # with each near-parallel pair's lower id as its own centroid, the
+    # pair still co-clusters (0.994 ≫ cross-cluster cosines) and the
+    # same verdicts hold
+    got2 = {r.vec_id: r for r in semantic_dedup(emb, threshold=0.9, n_centroids=2).collect()}
+    assert not got2[0].is_dropped and not got2[2].is_dropped
+
+
+def test_pq_roundtrip_and_adc_recall(spark):
+    from sandbox_data_pipeline_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_codebook,
+        pq_encode,
+    )
+
+    emb = table(spark, "/root/testdata/sf0.001", "embeddings")
+    cb = pq_codebook(emb, dim=64)
+    assert len(cb) == 8 and len(cb[0]) == 16 and len(cb[0][0]) == 8
+    enc = pq_encode(emb, cb, dim=64)
+    rows = enc.collect()
+    assert all(len(r.codes) == 8 for r in rows)
+    assert all(0 <= c < 16 for r in rows for c in r.codes)
+    # a codebook member must encode to itself (distance 0 per subspace)
+    first = sorted(rows, key=lambda r: r.vec_id)[0]
+    assert list(first.codes) == [0] * 8
+
+    q = emb.where(F.col("vec_id") % 100 == 0)
+    adc = {(r.query_id, r.cand_id) for r in pq_adc_topk(emb, q, dim=64, k=5).collect()}
+    exact = {(r.query_id, r.cand_id) for r in brute_force_topk(emb, q, k=5).collect()}
+    # ADC on a 16-codeword deterministic codebook is coarse; require
+    # well-above-chance overlap with exact top-k (chance ≈ k/N = 1%)
+    assert len(adc & exact) / len(exact) >= 0.1
