@@ -155,6 +155,48 @@ def ngram_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    docs: DataFrame,
+    n: int = 5,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    df_cap: int | None = 1000,
+) -> DataFrame:
+    """Directed n-gram containment C(A→B) = |A∩B| / |A| for colliding
+    pairs — the asymmetric near-dup measure Jaccard misses: a short doc
+    fully quoted inside a long one has high containment but low Jaccard
+    (|A∩B|/|A∪B| shrinks with the size gap).
+
+    Same banded plan as ngram_jaccard_pairs: shingle self-join (shuffle
+    key: shingle, fan-out bounded by ``df_cap`` — ON by default, the
+    O(Σ df²) guard) → per-pair common count → per-doc set sizes. Emits
+    one row per unordered pair (doc_a < doc_b) with BOTH directions'
+    containment, filtered on the max of the two."""
+    sh = word_shingles(docs, n=n, id_col=id_col, text_col=text_col, df_cap=df_cap).persist()
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("cont_a_in_b", F.round(F.col("common") / F.col("n_a"), 4))
+        .withColumn("cont_b_in_a", F.round(F.col("common") / F.col("n_b"), 4))
+        .where(F.greatest("cont_a_in_b", "cont_b_in_a") >= threshold)
+        .select("doc_a", "doc_b", "common", "cont_a_in_b", "cont_b_in_a")
+    )
+
+
 def perm_constants(k: int) -> list[int]:
     """Deterministic 60-bit XOR constants for the K minhash
     permutations (md5-derived, reproducible in any engine)."""

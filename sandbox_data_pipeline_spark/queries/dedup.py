@@ -539,3 +539,120 @@ LEFT JOIN near_batch nb ON es.doc_id = nb.doc_id
 
 QUERIES["q_incremental_dedup"] = q_incremental_dedup
 ORACLE["q_incremental_dedup"] = _oracle_incremental()
+
+
+CONTAIN_N = 5
+CONTAIN_T = 0.3
+
+
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed n-gram containment |A∩B|/|A| — catches a short doc
+    quoted inside a long one, which symmetric Jaccard dilutes away."""
+    from sandbox_data_pipeline_spark.operators.dedup import containment_pairs
+
+    return containment_pairs(
+        table(spark, sf_dir, "documents"),
+        n=CONTAIN_N,
+        threshold=CONTAIN_T,
+        df_cap=JACCARD_DF_CAP,
+    )
+
+
+def _oracle_containment() -> str:
+    n, t, cap = CONTAIN_N, CONTAIN_T, JACCARD_DF_CAP
+    return f"""
+WITH {_shingles_cte(n)},
+kept AS (
+  SELECT doc_id, shingle FROM shingles
+  QUALIFY count(*) OVER (PARTITION BY shingle) <= {cap}
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM kept GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+  FROM kept a JOIN kept b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, common,
+       round(common / sa.n_sh, 4) AS cont_a_in_b,
+       round(common / sb.n_sh, 4) AS cont_b_in_a
+FROM common
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE greatest(round(common / sa.n_sh, 4), round(common / sb.n_sh, 4)) >= {t}
+"""
+
+
+QUERIES["q_containment_pairs"] = q_containment_pairs
+ORACLE["q_containment_pairs"] = _oracle_containment()
+
+
+# train/val/test split that cannot leak near-duplicates across splits:
+# the split key is the doc's DUP-CLUSTER representative, not the doc.
+SPLIT_MOD = 10000
+SPLIT_TRAIN = 9000  # 90% / 5% / 5%
+SPLIT_VAL = 9500
+
+
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test assignment where every member of a near-dup
+    cluster lands in the SAME split — hashing the cluster representative
+    (min doc id, from minhash-pair connected components) instead of the
+    doc. The standard guard against eval contamination via duplicates:
+    a per-doc hash split puts two near-identical docs on both sides of
+    the train/test fence. Unpaired docs are their own representative."""
+    from sandbox_data_pipeline_spark.operators.dedup import (
+        duplicate_clusters,
+        portable_hash,
+    )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    clusters = duplicate_clusters(q_dedup_minhash_pairs(spark, sf_dir))
+    rep = docs.join(clusters, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("cluster_id", "doc_id").alias("cluster_rep"),
+    )
+    bucket = (
+        portable_hash(F.col("cluster_rep").cast("string"), salt="clsplit")
+        % SPLIT_MOD
+    )
+    return rep.select(
+        "doc_id",
+        "cluster_rep",
+        F.when(bucket < SPLIT_TRAIN, "train")
+        .when(bucket < SPLIT_VAL, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+def _oracle_leakage_split() -> str:
+    h = _H("CAST(cluster_rep AS VARCHAR)", salt="clsplit")
+    return f"""
+WITH RECURSIVE
+pairs AS (SELECT doc_a, doc_b FROM ({_oracle_minhash()}) mh),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM pairs
+),
+reach (a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+clusters AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a),
+rep AS (
+  SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_rep
+  FROM documents d LEFT JOIN clusters c ON c.doc_id = d.doc_id
+)
+SELECT doc_id, cluster_rep,
+       CASE WHEN {h} % {SPLIT_MOD} < {SPLIT_TRAIN} THEN 'train'
+            WHEN {h} % {SPLIT_MOD} < {SPLIT_VAL} THEN 'val'
+            ELSE 'test' END AS split
+FROM rep
+"""
+
+
+QUERIES["q_leakage_safe_split"] = q_leakage_safe_split
+ORACLE["q_leakage_safe_split"] = _oracle_leakage_split()

@@ -201,3 +201,42 @@ def test_incremental_dedup_verdicts(spark):
         13: "exact_batch",
         14: "near_batch",
     }
+
+
+def test_containment_asymmetric_quote_inclusion(spark):
+    from sandbox_data_pipeline_spark.operators.dedup import containment_pairs
+
+    short = "alpha beta gamma delta epsilon zeta"
+    long = "intro words here " + short + " trailing filler tokens beyond"
+    docs = spark.createDataFrame(
+        [(1, short), (2, long), (3, "totally different words everywhere now")],
+        "doc_id long, text string",
+    )
+    got = {(r.doc_a, r.doc_b): r for r in containment_pairs(docs, n=3, threshold=0.5).collect()}
+    assert (1, 2) in got and len(got) == 1
+    pair = got[(1, 2)]
+    # every 3-shingle of the short doc appears in the long one
+    assert pair.cont_a_in_b == 1.0
+    # but the long doc is NOT contained in the short one
+    assert pair.cont_b_in_a < 1.0
+    # ...and symmetric jaccard would have diluted this pair
+    assert pair.common / (4 + pair.common) < 0.8
+
+
+def test_leakage_safe_split_keeps_near_dups_together(spark):
+    from sandbox_data_pipeline_spark.queries.dedup import (
+        q_dedup_minhash_pairs,
+        q_leakage_safe_split,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    split = {r.doc_id: r.split for r in q_leakage_safe_split(spark, sf).collect()}
+    pairs = q_dedup_minhash_pairs(spark, sf).collect()
+    assert pairs, "fixture corpus must contain near-dup pairs"
+    for p in pairs:
+        assert split[p.doc_a] == split[p.doc_b], (p.doc_a, p.doc_b)
+    # the split is a partition of the corpus with a dominant train share
+    from collections import Counter
+
+    c = Counter(split.values())
+    assert sum(c.values()) == len(split) and c["train"] > c["val"] + c["test"]
