@@ -469,3 +469,88 @@ def heuristic_perplexity_batch(texts):
         return round(mean_len / max(ttr, 1e-9), 6)
 
     return pd.Series([one(t) for t in texts], index=texts.index)
+
+
+# --- Source quotas ----------------------------------------------------------
+
+
+def source_quota(
+    docs: DataFrame,
+    quota: int,
+    key_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "quota",
+) -> DataFrame:
+    """Per-source document cap — the C4/RefinedWeb-style guard against
+    one domain dominating the training mix. Keeps at most ``quota``
+    docs per key, chosen by deterministic content-hash order (portable
+    md5, same mechanism as hash_split) with doc id as tiebreak, so the
+    survivor set is reproducible across runs, engines, and partition
+    layouts — unlike a per-key LIMIT, whose pick is arbitrary.
+
+    One shuffle on the key column; Spark's WindowGroupLimit pushes the
+    rank filter below the sort, so each partition retains only ``quota``
+    rows before the exchange. Skew note: the window partitions by the
+    quota key itself — a mega-domain bottlenecks its single partition;
+    at 100 TB pre-filter obvious giants or raise shuffle partitions so
+    the hot key's partition fits memory."""
+    from sandbox_data_pipeline_spark.operators.dedup import portable_hash
+
+    w = Window.partitionBy(key_col).orderBy(
+        portable_hash(F.col(text_col), salt=salt), F.col(id_col)
+    )
+    return (
+        docs.withColumn("quota_rank", F.row_number().over(w))
+        .where(F.col("quota_rank") <= quota)
+        .select(F.col(id_col), F.col(key_col), "quota_rank")
+    )
+
+
+# --- URL canonicalization ---------------------------------------------------
+
+
+def canonicalize_urls(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """URL canonicalization for crawl dedup: lowercase scheme+host,
+    strip a leading ``www.``, drop scheme-default ports (:80 http /
+    :443 https), collapse trailing path slashes, drop tracking params
+    (utm_*, fbclid, gclid), and sort the surviving query params.
+
+    Regexp-only parsing, no UDFs — every step is a codegen'd column
+    expression written to parse identically under Java regex (Spark)
+    and RE2 (DuckDB): anchored groups, no lookaround, LIKE avoided
+    (its ``_`` wildcard is an escape-dialect trap). Pure map-side.
+
+    Adds: host, canonical_url."""
+    u = F.col(url_col)
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    authority = F.lower(F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    port = F.regexp_extract(authority, r":([0-9]+)$", 1)
+    host = F.regexp_replace(
+        F.regexp_replace(authority, r":[0-9]+$", ""), r"^www\.", ""
+    )
+    keep_port = (port != "") & ~(
+        ((scheme == "https") & (port == "443")) | ((scheme == "http") & (port == "80"))
+    )
+    path = F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    canon_path = F.when(
+        F.regexp_replace(path, r"/+$", "") == "", F.lit("/")
+    ).otherwise(F.regexp_replace(path, r"/+$", ""))
+    query = F.regexp_extract(u, r"\?([^#]*)", 1)
+    params = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "")
+        & (F.substring(p, 1, 4) != "utm_")
+        & (F.substring(p, 1, 7) != "fbclid=")
+        & (F.substring(p, 1, 6) != "gclid="),
+    )
+    canon_query = F.array_join(F.array_sort(params), "&")
+    canonical = F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        F.when(keep_port, F.concat(F.lit(":"), port)).otherwise(F.lit("")),
+        canon_path,
+        F.when(canon_query != "", F.concat(F.lit("?"), canon_query)).otherwise(F.lit("")),
+    )
+    return df.withColumn("host", host).withColumn("canonical_url", canonical)

@@ -846,3 +846,141 @@ SELECT doc_id, lang FROM ranked, m WHERE rnk <= min_n
 
 QUERIES["q_mixture_sample"] = q_mixture_sample
 ORACLE["q_mixture_sample"] = _ORACLE_MIXTURE_SAMPLE
+
+
+SOURCE_QUOTA = 15
+
+
+def q_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source cap: keep ≤15 docs per source in deterministic
+    content-hash order (the anti-domain-domination curation step)."""
+    from sandbox_data_pipeline_spark.operators.text import source_quota
+
+    return source_quota(table(spark, sf_dir, "documents"), quota=SOURCE_QUOTA)
+
+
+_ORACLE_SOURCE_QUOTA = f"""
+SELECT doc_id, source, CAST(quota_rank AS INTEGER) AS quota_rank FROM (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY CAST('0x' || substr(md5('quota' || text), 1, 15) AS BIGINT), doc_id
+         ) AS quota_rank
+  FROM documents
+) WHERE quota_rank <= {SOURCE_QUOTA}
+"""
+
+QUERIES["q_source_quota"] = q_source_quota
+ORACLE["q_source_quota"] = _ORACLE_SOURCE_QUOTA
+
+
+def _synth_url() -> F.Column:
+    """Deterministic URL per document (the corpus carries no URL
+    column): scheme/www/port/trailing-slash/tracking-param variants
+    keyed off doc_id residues so canonicalization has real work to do,
+    and distinct docs can share a canonical form (crawl re-fetches)."""
+    d = F.col("doc_id")
+    return F.concat(
+        F.when(d % 2 == 0, F.lit("HTTPS")).otherwise(F.lit("http")),
+        F.lit("://"),
+        F.when(d % 3 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+        F.col("source"),
+        F.lit(".Example.COM"),
+        F.when(d % 2 == 0, F.lit(":443")).when(d % 5 == 0, F.lit(":8080")).otherwise(F.lit("")),
+        F.lit("/p/"),
+        (d % 7).cast("string"),
+        F.when(d % 4 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.lit("?utm_source=rss&page="),
+        (d % 5).cast("string"),
+        F.lit("&b=2&a=1"),
+        F.when(d % 6 == 0, F.lit("&gclid=x")).otherwise(F.lit("")),
+    )
+
+
+_SYNTH_URL_SQL = """
+(CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'http' END) || '://' ||
+(CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END) || source || '.Example.COM' ||
+(CASE WHEN doc_id % 2 = 0 THEN ':443' WHEN doc_id % 5 = 0 THEN ':8080' ELSE '' END) ||
+'/p/' || CAST(doc_id % 7 AS VARCHAR) ||
+(CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END) ||
+'?utm_source=rss&page=' || CAST(doc_id % 5 AS VARCHAR) || '&b=2&a=1' ||
+(CASE WHEN doc_id % 6 = 0 THEN '&gclid=x' ELSE '' END)
+"""
+
+_CANON_SQL = """
+parts AS (
+  SELECT doc_id,
+         lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+         lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS authority,
+         regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path,
+         regexp_extract(url, '\\?([^#]*)', 1) AS query
+  FROM urls
+),
+canon AS (
+  SELECT doc_id, scheme,
+         regexp_replace(regexp_replace(authority, ':[0-9]+$', ''), '^www\\.', '') AS host,
+         regexp_extract(authority, ':([0-9]+)$', 1) AS port,
+         CASE WHEN regexp_replace(path, '/+$', '') = '' THEN '/'
+              ELSE regexp_replace(path, '/+$', '') END AS canon_path,
+         array_to_string(list_sort(list_filter(string_split(query, '&'),
+           p -> p <> '' AND substr(p, 1, 4) <> 'utm_'
+                AND substr(p, 1, 7) <> 'fbclid=' AND substr(p, 1, 6) <> 'gclid=')), '&') AS cq
+  FROM parts
+),
+out AS (
+  SELECT doc_id, host,
+         scheme || '://' || host ||
+         (CASE WHEN port <> '' AND NOT ((scheme = 'https' AND port = '443')
+                                        OR (scheme = 'http' AND port = '80'))
+               THEN ':' || port ELSE '' END) ||
+         canon_path ||
+         (CASE WHEN cq <> '' THEN '?' || cq ELSE '' END) AS canonical_url
+  FROM canon
+)
+"""
+
+
+def q_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-style URL canonicalization over synthesized per-doc URLs:
+    case, www, default ports, trailing slashes, tracking params, and
+    query-param order all normalize away — regexp-only, map-side."""
+    from sandbox_data_pipeline_spark.operators.text import canonicalize_urls
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", "source", _synth_url().alias("url")
+    )
+    return canonicalize_urls(d).select("doc_id", "host", "canonical_url")
+
+
+_ORACLE_URL_CANONICAL = f"""
+WITH urls AS (SELECT doc_id, {_SYNTH_URL_SQL} AS url FROM documents),
+{_CANON_SQL}
+SELECT doc_id, host, canonical_url FROM out
+"""
+
+QUERIES["q_url_canonical"] = q_url_canonical
+ORACLE["q_url_canonical"] = _ORACLE_URL_CANONICAL
+
+
+def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level dedup groups: re-fetches of the same canonical URL
+    (different scheme case / www / port spellings / tracking params)
+    collapse to one group; keep-first by doc id. The crawl-frontier
+    dedup that runs BEFORE any content is fetched at 100 TB."""
+    canon = q_url_canonical(spark, sf_dir)
+    return (
+        canon.groupBy("canonical_url")
+        .agg(F.count(F.lit(1)).alias("dup_cnt"), F.min("doc_id").alias("keep_id"))
+        .where(F.col("dup_cnt") > 1)
+    )
+
+
+_ORACLE_URL_DEDUP = f"""
+WITH urls AS (SELECT doc_id, {_SYNTH_URL_SQL} AS url FROM documents),
+{_CANON_SQL}
+SELECT canonical_url, count(*) AS dup_cnt, min(doc_id) AS keep_id
+FROM out GROUP BY 1 HAVING count(*) > 1
+"""
+
+QUERIES["q_url_dedup"] = q_url_dedup
+ORACLE["q_url_dedup"] = _ORACLE_URL_DEDUP

@@ -292,3 +292,42 @@ def test_mixture_sample_uniform_per_lang(spark, sf_dir):
     assert sample.join(
         table(spark, sf_dir, "documents"), "doc_id", "left_anti"
     ).count() == 0
+
+
+def test_source_quota_caps_and_is_deterministic(spark):
+    from sandbox_data_pipeline_spark.operators.text import source_quota
+
+    docs = spark.createDataFrame(
+        [(i, "s" + str(i % 2), f"text {i}") for i in range(20)],
+        "doc_id long, source string, text string",
+    )
+    got = source_quota(docs, quota=3).collect()
+    assert len(got) == 6  # 3 per source
+    assert all(r.quota_rank <= 3 for r in got)
+    again = source_quota(docs, quota=3).collect()
+    assert sorted((r.doc_id, r.quota_rank) for r in got) == sorted(
+        (r.doc_id, r.quota_rank) for r in again
+    )
+    # survivors are hash-chosen, not just the lowest ids
+    assert {r.doc_id for r in got} != set(range(6))
+
+
+def test_canonicalize_urls_normalizations(spark):
+    from sandbox_data_pipeline_spark.operators.text import canonicalize_urls
+
+    cases = [
+        (1, "HTTPS://WWW.Ex.COM:443/a/b/?utm_source=x&b=2&a=1"),
+        (2, "https://ex.com/a/b?a=1&b=2"),
+        (3, "http://ex.com:8080/a//"),
+        (4, "http://EX.com:80/"),
+        (5, "https://ex.com/a/b?gclid=z&fbclid=y"),
+    ]
+    df = spark.createDataFrame(cases, "doc_id long, url string")
+    got = {r.doc_id: r for r in canonicalize_urls(df).collect()}
+    # case, www, default port, trailing slash, utm strip, param sort
+    assert got[1].canonical_url == "https://ex.com/a/b?a=1&b=2"
+    assert got[1].canonical_url == got[2].canonical_url  # re-fetch collapses
+    assert got[3].canonical_url == "http://ex.com:8080/a"  # non-default port kept
+    assert got[4].canonical_url == "http://ex.com/"  # default port dropped, root path
+    assert got[5].canonical_url == "https://ex.com/a/b"  # only tracking params → none
+    assert got[1].host == "ex.com"
