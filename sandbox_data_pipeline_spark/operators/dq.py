@@ -17,7 +17,7 @@ from __future__ import annotations
 
 from typing import Any
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -171,4 +171,52 @@ def mad_anomaly_report(
             ).alias("n_anomalies"),
         )
         .withColumnRenamed("_g", group_col)
+    )
+
+
+def skew_report(
+    df: DataFrame,
+    key_col: str,
+    top_n: int = 10,
+) -> DataFrame:
+    """Join/groupBy-key skew diagnostics: the per-key row counts that
+    decide whether a shuffle on ``key_col`` needs salting or AQE skew
+    handling. Emits the ``top_n`` hottest keys with each key's share of
+    the table and its ratio to the MEDIAN key's count — the number you
+    compare against your per-task memory budget before shipping a join.
+
+    Two partial-combined aggregations (key counts, then an exact
+    order-statistic median over the per-key counts — the count table is
+    |keys| rows, tiny relative to data) plus a top-N rank that compiles
+    to a WindowGroupLimit partial. Nothing here scales with row count
+    beyond the first map-side combine."""
+    counts = df.groupBy(F.col(key_col).cast("string").alias("key_value")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    total = counts.agg(
+        F.sum("cnt").alias("_total"), F.count(F.lit(1)).alias("_nkeys")
+    )
+    w = Window.orderBy("cnt", "key_value")
+    ranked = counts.withColumn("_rn", F.row_number().over(w))
+    med = (
+        ranked.join(F.broadcast(total))
+        .where(
+            (F.col("_rn") == F.floor((F.col("_nkeys") + 1) / 2))
+            | (F.col("_rn") == F.floor((F.col("_nkeys") + 2) / 2))
+        )
+        .agg(F.avg("cnt").alias("_median_cnt"))
+    )
+    topw = Window.orderBy(F.col("cnt").desc(), F.col("key_value"))
+    return (
+        counts.withColumn("rank", F.row_number().over(topw))
+        .where(F.col("rank") <= top_n)
+        .join(F.broadcast(total))
+        .join(F.broadcast(med))
+        .select(
+            "rank",
+            "key_value",
+            "cnt",
+            F.round(F.col("cnt") / F.col("_total"), 6).alias("share"),
+            F.round(F.col("cnt") / F.col("_median_cnt"), 4).alias("vs_median"),
+        )
     )

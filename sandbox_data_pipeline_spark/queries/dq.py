@@ -123,3 +123,38 @@ FROM per_type, overall
 
 QUERIES["q_dq_freshness"] = q_dq_freshness
 ORACLE["q_dq_freshness"] = _DQ_FRESHNESS_ORACLE
+
+
+def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew diagnostics on events.event_type: hottest keys
+    with share-of-table and ratio-to-median-key — the pre-flight check
+    before shipping a join/groupBy on a candidate key at 100 TB."""
+    from sandbox_data_pipeline_spark.operators.dq import skew_report
+
+    return skew_report(table(spark, sf_dir, "events"), key_col="event_type", top_n=10)
+
+
+_SKEW_ORACLE = """
+WITH counts AS (
+  SELECT CAST(event_type AS VARCHAR) AS key_value, count(*) AS cnt
+  FROM events GROUP BY 1
+),
+tot AS (SELECT sum(cnt) AS total, count(*) AS nkeys FROM counts),
+ranked AS (
+  SELECT cnt, row_number() OVER (ORDER BY cnt, key_value) AS rn FROM counts
+),
+med AS (
+  SELECT avg(cnt) AS median_cnt FROM ranked, tot
+  WHERE rn = CAST(floor((nkeys + 1) / 2.0) AS BIGINT)
+     OR rn = CAST(floor((nkeys + 2) / 2.0) AS BIGINT)
+)
+SELECT CAST(row_number() OVER (ORDER BY cnt DESC, key_value) AS INTEGER) AS rank,
+       key_value, cnt,
+       round(cnt / tot.total, 6) AS share,
+       round(cnt / med.median_cnt, 4) AS vs_median
+FROM counts, tot, med
+ORDER BY rank LIMIT 10
+"""
+
+QUERIES["q_skew_report"] = q_skew_report
+ORACLE["q_skew_report"] = _SKEW_ORACLE

@@ -984,3 +984,63 @@ FROM out GROUP BY 1 HAVING count(*) > 1
 
 QUERIES["q_url_dedup"] = q_url_dedup
 ORACLE["q_url_dedup"] = _ORACLE_URL_DEDUP
+
+
+SWEEP_THRESHOLDS = (0.2, 0.3, 0.4, 0.5, 0.6, 0.7)
+
+
+def q_quality_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention curve for the quality filter: docs and whitespace
+    tokens surviving each candidate threshold — the sweep a curator
+    reads before pinning the cutoff. One scan: thresholds ride along as
+    an exploded literal array; per-threshold aggregation partial-
+    combines, so the shuffle is |thresholds| rows per task."""
+    from sandbox_data_pipeline_spark.operators.text import quality_score
+
+    d = table(spark, sf_dir, "documents").select(
+        quality_score().alias("score"), token_count().alias("n_tokens")
+    )
+    t = F.explode(F.array(*[F.lit(x) for x in SWEEP_THRESHOLDS])).alias("threshold")
+    return (
+        d.select("score", "n_tokens", t)
+        .groupBy("threshold")
+        .agg(
+            F.sum(F.when(F.col("score") >= F.col("threshold"), 1).otherwise(0)).alias(
+                "docs_kept"
+            ),
+            F.sum(
+                F.when(F.col("score") >= F.col("threshold"), F.col("n_tokens")).otherwise(0)
+            ).alias("tokens_kept"),
+        )
+    )
+
+
+def _oracle_quality_sweep() -> str:
+    ts = ", ".join(str(x) for x in SWEEP_THRESHOLDS)
+    nstop = _stop_hits(LANG_MARKERS["en"])
+    return f"""
+WITH scored AS (
+  SELECT round(least(1.0, greatest(0.0,
+           0.5 * (n_stop / n_tok) + 0.5 * (n_distinct / n_tok) - n_digit / n_chars)), 4)
+           AS score,
+         n_tok AS n_tokens
+  FROM (
+    SELECT length(text) AS n_chars,
+           {_ntok()} AS n_tok,
+           length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit,
+           {nstop} AS n_stop,
+           len(list_distinct({_toks()})) AS n_distinct
+    FROM documents
+  )
+),
+thresholds AS (SELECT CAST(unnest([{ts}]) AS DOUBLE) AS threshold)
+SELECT threshold,
+       CAST(sum(CASE WHEN score >= threshold THEN 1 ELSE 0 END) AS BIGINT) AS docs_kept,
+       CAST(sum(CASE WHEN score >= threshold THEN n_tokens ELSE 0 END) AS BIGINT) AS tokens_kept
+FROM scored CROSS JOIN thresholds
+GROUP BY threshold
+"""
+
+
+QUERIES["q_quality_sweep"] = q_quality_sweep
+ORACLE["q_quality_sweep"] = _oracle_quality_sweep()

@@ -131,3 +131,30 @@ def test_mad_flags_injected_outlier(spark):
     assert r.n_total == 102
     assert 100.0 <= r.median_value <= 101.0
     assert r.n_anomalies == 1
+
+
+def test_skew_report_hot_key_and_median(spark):
+    from sandbox_data_pipeline_spark.operators.dq import skew_report
+
+    # keys: a×8, b×2, c×2, d×1 → median key count = 2, hot share 8/13
+    rows = [(i, "a") for i in range(8)] + [(8, "b"), (9, "b"), (10, "c"), (11, "c"), (12, "d")]
+    df = spark.createDataFrame(rows, "id long, k string")
+    got = skew_report(df, "k", top_n=2).collect()
+    assert [r.key_value for r in got] == ["a", "b"]
+    top = got[0]
+    assert top.cnt == 8 and abs(top.share - round(8 / 13, 6)) < 1e-9
+    assert top.vs_median == 4.0  # 8 / median(2)
+
+
+def test_quality_sweep_monotone_retention(spark):
+    from sandbox_data_pipeline_spark.queries.text import q_quality_sweep
+
+    rows = sorted(
+        q_quality_sweep(spark, "/root/testdata/sf0.001").collect(),
+        key=lambda r: r.threshold,
+    )
+    docs = [r.docs_kept for r in rows]
+    toks = [r.tokens_kept for r in rows]
+    assert docs == sorted(docs, reverse=True)  # higher cutoff keeps fewer docs
+    assert toks == sorted(toks, reverse=True)
+    assert docs[0] > 0
