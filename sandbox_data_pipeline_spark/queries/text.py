@@ -1044,3 +1044,64 @@ GROUP BY threshold
 
 QUERIES["q_quality_sweep"] = q_quality_sweep
 ORACLE["q_quality_sweep"] = _oracle_quality_sweep()
+
+
+TOKEN_BUDGET = 2000  # per language
+
+
+def q_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget curation: per language, admit docs in quality-score
+    order (doc id as tiebreak) until the running token total hits the
+    budget — the greedy knapsack a mixture builder runs when each
+    language gets a fixed token allowance. One window pass per
+    language; the cumulative sum is exact integer arithmetic, so the
+    admission frontier is engine-reproducible."""
+    from sandbox_data_pipeline_spark.operators.text import quality_score
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", quality_score().alias("score"), token_count().alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(F.col("score").desc(), F.col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        d.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .where(F.col("cum_tokens") <= TOKEN_BUDGET)
+        .select("doc_id", "lang", "score", F.col("cum_tokens").cast("long").alias("cum_tokens"))
+    )
+
+
+def _oracle_budget_select() -> str:
+    nstop = _stop_hits(LANG_MARKERS["en"])
+    return f"""
+WITH scored AS (
+  SELECT doc_id, lang,
+         round(least(1.0, greatest(0.0,
+           0.5 * (n_stop / n_tok) + 0.5 * (n_distinct / n_tok) - n_digit / n_chars)), 4)
+           AS score,
+         n_tok AS n_tokens
+  FROM (
+    SELECT doc_id, lang,
+           length(text) AS n_chars,
+           {_ntok()} AS n_tok,
+           length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit,
+           {nstop} AS n_stop,
+           len(list_distinct({_toks()})) AS n_distinct
+    FROM documents
+  )
+),
+ranked AS (
+  SELECT doc_id, lang, score,
+         sum(n_tokens) OVER (PARTITION BY lang ORDER BY score DESC, doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum_tokens
+  FROM scored
+)
+SELECT doc_id, lang, score, CAST(cum_tokens AS BIGINT) AS cum_tokens
+FROM ranked WHERE cum_tokens <= {TOKEN_BUDGET}
+"""
+
+
+QUERIES["q_budget_select"] = q_budget_select
+ORACLE["q_budget_select"] = _oracle_budget_select()

@@ -331,3 +331,18 @@ def test_canonicalize_urls_normalizations(spark):
     assert got[4].canonical_url == "http://ex.com/"  # default port dropped, root path
     assert got[5].canonical_url == "https://ex.com/a/b"  # only tracking params → none
     assert got[1].host == "ex.com"
+
+
+def test_budget_select_respects_budget_and_quality_order(spark):
+    from sandbox_data_pipeline_spark.queries.text import TOKEN_BUDGET, q_budget_select
+
+    rows = q_budget_select(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append(r)
+    for lang, docs in by_lang.items():
+        assert max(d.cum_tokens for d in docs) <= TOKEN_BUDGET
+        ordered = sorted(docs, key=lambda d: d.cum_tokens)
+        scores = [d.score for d in ordered]
+        assert scores == sorted(scores, reverse=True), lang
