@@ -58,6 +58,12 @@ HEADLINE = [
     "q_pii_scrub",
     "q_decontam",
     "q_pack_sequences",
+    "q_semdedup",
+    "q_pq_adc_topk",
+    "q_containment_pairs",
+    "q_url_dedup",
+    "q_source_quota",
+    "q_budget_select",
 ]
 
 
@@ -79,11 +85,11 @@ def main() -> None:
     timings: dict[str, float] = {}
 
     def run(name: str, build) -> None:
-        # min of two executions: local timings swing ±15% with machine
-        # load; the min is the reproducible number (plan cost + data),
-        # the max is the noise.
+        # min of three executions: local timings swing ±15% (and worse
+        # under co-tenant load); the min is the reproducible number
+        # (plan cost + data), the max is the noise.
         best = None
-        for _ in range(2):
+        for _ in range(3):
             # time build() + materialize: operators with eager stages
             # (iterative clustering, centroid fitting) do real work at
             # build time, and excluding it would under-report them

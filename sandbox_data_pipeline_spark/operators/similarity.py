@@ -38,6 +38,15 @@ def cosine(a: str, b: str) -> Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def cosine_pre(a: str, b: str, na: str, nb: str) -> Column:
+    """Cosine with PRE-computed norm columns: the pair stage pays one
+    dot instead of three (norms are per-vector, so every pair-join here
+    computes them per ROW at scan time, not per PAIR). Bit-identical to
+    ``cosine`` — same operand tree dot/(na·nb), norms produced by the
+    same sqrt(dot(v,v)) expression on the same values."""
+    return _dot(a, b) / (F.col(na) * F.col(nb))
+
+
 def as_double_array(col: str) -> Column:
     return F.col(col).cast("array<double>")
 
@@ -55,16 +64,18 @@ def brute_force_topk(
     pass. Ranking is row_number over (query, rounded-sim desc, id) —
     the rounding keeps ranking deterministic across float-sum orders.
     """
-    cand = embeddings.select(
-        F.col(id_col).alias("cand_id"), as_double_array(vec_col).alias("cvec")
+    cand = embeddings.withColumn("_v", as_double_array(vec_col)).select(
+        F.col(id_col).alias("cand_id"), F.col("_v").alias("cvec"), _norm("_v").alias("cn")
     )
-    q = queries.select(F.col(id_col).alias("query_id"), as_double_array(vec_col).alias("qvec"))
+    q = queries.withColumn("_v", as_double_array(vec_col)).select(
+        F.col(id_col).alias("query_id"), F.col("_v").alias("qvec"), _norm("_v").alias("qn")
+    )
     sims = (
         cand.join(F.broadcast(q), F.col("cand_id") != F.col("query_id"))
         .select(
             "query_id",
             "cand_id",
-            F.round(cosine("qvec", "cvec"), 6).alias("cos_sim"),
+            F.round(cosine_pre("qvec", "cvec", "qn", "cn"), 6).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("cand_id"))
@@ -88,6 +99,18 @@ def hyperplanes(dim: int, planes: int) -> list[list[float]]:
     return out
 
 
+def _bucket_expr(vcol: str, dim: int, planes: int) -> Column:
+    """SRP bucket as ONE column expression over an existing double-array
+    column — rides the scan that already carries the vector, so no
+    consumer ever joins the bucket back by id (a corpus self-join)."""
+    bucket = None
+    for p, plane in enumerate(hyperplanes(dim, planes)):
+        arr = "array(" + ", ".join(f"{x}D" for x in plane) + ")"
+        bit = F.when(F.expr(f"aggregate(zip_with({vcol}, {arr}, (x, y) -> x * y), 0D, (acc, v) -> acc + v)") >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    return bucket.cast("int")
+
+
 def lsh_buckets(
     embeddings: DataFrame,
     dim: int,
@@ -98,12 +121,7 @@ def lsh_buckets(
     """Sign-random-projection bucket per vector: bit p = (v·h_p >= 0).
     One narrow pass, no shuffle; bucket ids are stable across runs."""
     v = embeddings.withColumn("_v", as_double_array(vec_col))
-    bucket = None
-    for p, plane in enumerate(hyperplanes(dim, planes)):
-        arr = "array(" + ", ".join(f"{x}D" for x in plane) + ")"
-        bit = F.when(F.expr(f"aggregate(zip_with(_v, {arr}, (x, y) -> x * y), 0D, (acc, v) -> acc + v)") >= 0, F.lit(1 << p)).otherwise(F.lit(0))
-        bucket = bit if bucket is None else bucket + bit
-    return v.select(F.col(id_col), bucket.cast("int").alias("bucket"))
+    return v.select(F.col(id_col), _bucket_expr("_v", dim, planes).alias("bucket"))
 
 
 def lsh_topk(
@@ -116,18 +134,24 @@ def lsh_topk(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Approximate top-k: candidates restricted to the query's bucket,
-    then exact cosine rank inside it. Bucket join shuffles only ids +
-    buckets (narrow); vectors rejoin candidates by id."""
-    b = lsh_buckets(embeddings, dim, planes, id_col, vec_col)
-    cand = embeddings.select(F.col(id_col).alias("cand_id"), as_double_array(vec_col).alias("cvec")).join(
-        b.select(F.col(id_col).alias("cand_id"), "bucket"), "cand_id"
+    then exact cosine rank inside it. Each side computes its bucket
+    inline on the scan that carries its vector (no bucket join-back);
+    the only join is candidate×query on the bucket id, query side
+    broadcast."""
+    cand = embeddings.withColumn("_v", as_double_array(vec_col)).select(
+        F.col(id_col).alias("cand_id"),
+        F.col("_v").alias("cvec"),
+        _norm("_v").alias("cn"),
+        _bucket_expr("_v", dim, planes).alias("bucket"),
     )
-    q = (
-        queries.select(F.col(id_col).alias("query_id"), as_double_array(vec_col).alias("qvec"))
-        .join(b.select(F.col(id_col).alias("query_id"), "bucket"), "query_id")
+    q = queries.withColumn("_v", as_double_array(vec_col)).select(
+        F.col(id_col).alias("query_id"),
+        F.col("_v").alias("qvec"),
+        _norm("_v").alias("qn"),
+        _bucket_expr("_v", dim, planes).alias("bucket"),
     )
     sims = cand.join(F.broadcast(q), ["bucket"]).where(F.col("cand_id") != F.col("query_id")).select(
-        "query_id", "cand_id", F.round(cosine("qvec", "cvec"), 6).alias("cos_sim")
+        "query_id", "cand_id", F.round(cosine_pre("qvec", "cvec", "qn", "cn"), 6).alias("cos_sim")
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("cand_id"))
     return (
@@ -200,6 +224,18 @@ def _centroid_cos(vcol: str, vnorm_col: str, cvec: list[float]) -> Column:
     return F.round(dot / (F.col(vnorm_col) * F.lit(cnorm)), 6)
 
 
+def _assign_expr(
+    vcol: str, vnorm_col: str, centroids: list[tuple[int, list[float]]]
+) -> Column:
+    """Nearest-centroid id (max rounded cosine, ties → lowest centroid
+    id) as ONE expression over existing vector/norm columns — consumers
+    compute it on the scan carrying the vector instead of joining an
+    assignment frame back by id."""
+    sims = F.array(*[_centroid_cos(vcol, vnorm_col, cvec) for _, cvec in centroids])
+    ids = F.array(*[F.lit(cid) for cid, _ in centroids])
+    return F.element_at(ids, F.array_position(sims, F.array_max(sims)).cast("int"))
+
+
 def ivf_assign(
     embeddings: DataFrame,
     centroids: list[tuple[int, list[float]]],
@@ -213,10 +249,7 @@ def ivf_assign(
     v = embeddings.withColumn("_v", as_double_array(vec_col)).withColumn(
         "_vn", _norm("_v")
     )
-    sims = F.array(*[_centroid_cos("_v", "_vn", cvec) for _, cvec in centroids])
-    ids = F.array(*[F.lit(cid) for cid, _ in centroids])
-    best = F.element_at(ids, F.array_position(sims, F.array_max(sims)).cast("int"))
-    return v.select(F.col(id_col), best.alias("list_id"))
+    return v.select(F.col(id_col), _assign_expr("_v", "_vn", centroids).alias("list_id"))
 
 
 def ivf_topk(
@@ -238,13 +271,15 @@ def ivf_topk(
     (e.g. ivf_centroids_kmeans for recall-optimal lists); defaults to
     the deterministic oracle-checkable pick."""
     cents = centroids or ivf_centroids(embeddings, n_centroids, id_col, vec_col)
-    cand = embeddings.select(
-        F.col(id_col).alias("cand_id"), as_double_array(vec_col).alias("cvec")
-    ).join(
-        ivf_assign(embeddings, cents, id_col, vec_col).select(
-            F.col(id_col).alias("cand_id"), "list_id"
-        ),
-        "cand_id",
+    cand = (
+        embeddings.withColumn("_v", as_double_array(vec_col))
+        .withColumn("_vn", _norm("_v"))
+        .select(
+            F.col(id_col).alias("cand_id"),
+            F.col("_v").alias("cvec"),
+            F.col("_vn").alias("cn"),
+            _assign_expr("_v", "_vn", cents).alias("list_id"),
+        )
     )
     qv = queries.select(
         F.col(id_col).alias("query_id"), as_double_array(vec_col).alias("qvec")
@@ -260,6 +295,7 @@ def ivf_topk(
     q = qv.select(
         "query_id",
         "qvec",
+        F.col("_qn").alias("qn"),
         F.explode(
             F.transform(
                 F.slice(F.array_sort(probe_structs), 1, nprobe), lambda s: s["cid"]
@@ -269,7 +305,11 @@ def ivf_topk(
     sims = (
         cand.join(F.broadcast(q), ["list_id"])
         .where(F.col("cand_id") != F.col("query_id"))
-        .select("query_id", "cand_id", F.round(cosine("qvec", "cvec"), 6).alias("cos_sim"))
+        .select(
+            "query_id",
+            "cand_id",
+            F.round(cosine_pre("qvec", "cvec", "qn", "cn"), 6).alias("cos_sim"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("cand_id"))
     return (
@@ -329,22 +369,29 @@ def near_dup_pairs(
     if block_col is None:
         if dim is None:
             dim = embeddings.select(F.size(vec_col).alias("d")).first()["d"]
-        blocks = lsh_buckets(
-            embeddings, dim=dim, planes=planes, id_col=id_col, vec_col=vec_col
-        ).withColumnRenamed("bucket", "_blk")
-        v = embeddings.select(
-            F.col(id_col), as_double_array(vec_col).alias("_v")
-        ).join(blocks, id_col)
-    else:
-        v = embeddings.select(
-            F.col(id_col), F.col(block_col).alias("_blk"), as_double_array(vec_col).alias("_v")
+        v = embeddings.withColumn("_v0", as_double_array(vec_col)).select(
+            F.col(id_col),
+            F.col("_v0").alias("_v"),
+            _norm("_v0").alias("_n"),
+            _bucket_expr("_v0", dim, planes).alias("_blk"),
         )
-    a = v.select(F.col(id_col).alias("id_a"), F.col("_blk"), F.col("_v").alias("va"))
-    b = v.select(F.col(id_col).alias("id_b"), F.col("_blk"), F.col("_v").alias("vb"))
+    else:
+        v = embeddings.withColumn("_v0", as_double_array(vec_col)).select(
+            F.col(id_col),
+            F.col(block_col).alias("_blk"),
+            F.col("_v0").alias("_v"),
+            _norm("_v0").alias("_n"),
+        )
+    a = v.select(
+        F.col(id_col).alias("id_a"), F.col("_blk"), F.col("_v").alias("va"), F.col("_n").alias("na")
+    )
+    b = v.select(
+        F.col(id_col).alias("id_b"), F.col("_blk"), F.col("_v").alias("vb"), F.col("_n").alias("nb")
+    )
     return (
         a.join(b, ["_blk"])
         .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", F.round(cosine("va", "vb"), 4).alias("cos_sim"))
+        .select("id_a", "id_b", F.round(cosine_pre("va", "vb", "na", "nb"), 4).alias("cos_sim"))
         .where(F.col("cos_sim") >= threshold)
     )
 
@@ -376,15 +423,26 @@ def semantic_dedup(
     vector: (id, list_id, is_dropped).
     """
     cents = centroids or ivf_centroids(embeddings, n_centroids, id_col, vec_col)
-    v = embeddings.select(
-        F.col(id_col), as_double_array(vec_col).alias("_v")
-    ).join(ivf_assign(embeddings, cents, id_col, vec_col), id_col)
-    a = v.select(F.col(id_col).alias("id_a"), "list_id", F.col("_v").alias("va"))
-    b = v.select(F.col(id_col).alias("id_b"), "list_id", F.col("_v").alias("vb"))
+    v = (
+        embeddings.withColumn("_v0", as_double_array(vec_col))
+        .withColumn("_vn0", _norm("_v0"))
+        .select(
+            F.col(id_col),
+            F.col("_v0").alias("_v"),
+            F.col("_vn0").alias("_vn"),
+            _assign_expr("_v0", "_vn0", cents).alias("list_id"),
+        )
+    )
+    a = v.select(
+        F.col(id_col).alias("id_a"), "list_id", F.col("_v").alias("va"), F.col("_vn").alias("na")
+    )
+    b = v.select(
+        F.col(id_col).alias("id_b"), "list_id", F.col("_v").alias("vb"), F.col("_vn").alias("nb")
+    )
     dropped = (
         a.join(b, ["list_id"])
         .where(F.col("id_a") < F.col("id_b"))
-        .where(F.round(cosine("va", "vb"), 4) >= threshold)
+        .where(F.round(cosine_pre("va", "vb", "na", "nb"), 4) >= threshold)
         .select(F.col("id_b").alias(id_col))
         .distinct()
         .withColumn("_dropped", F.lit(True))
@@ -494,14 +552,18 @@ def pq_adc_topk(
         )
         parts.append(F.expr(f"element_at({lit}, codes[{s}] + 1)"))
     recon = F.concat(*parts)
-    cand = enc.select(F.col(id_col).alias("cand_id"), recon.alias("cvec"))
-    q = queries.select(
-        F.col(id_col).alias("query_id"), as_double_array(vec_col).alias("qvec")
+    cand = enc.select(F.col(id_col).alias("cand_id"), recon.alias("_cv")).select(
+        "cand_id", F.col("_cv").alias("cvec"), _norm("_cv").alias("cn")
+    )
+    q = queries.withColumn("_v", as_double_array(vec_col)).select(
+        F.col(id_col).alias("query_id"), F.col("_v").alias("qvec"), _norm("_v").alias("qn")
     )
     sims = (
         cand.join(F.broadcast(q), F.col("cand_id") != F.col("query_id"))
         .select(
-            "query_id", "cand_id", F.round(cosine("qvec", "cvec"), 6).alias("adc_sim")
+            "query_id",
+            "cand_id",
+            F.round(cosine_pre("qvec", "cvec", "qn", "cn"), 6).alias("adc_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("adc_sim").desc(), F.col("cand_id"))
@@ -541,32 +603,34 @@ def knn_join(
     so no candidate is scored twice. ``multiprobe=0`` probes only the
     query's own bucket.
     """
-    qv = lsh_buckets(queries, dim=dim, planes=planes, id_col=id_col, vec_col=vec_col)
-    q = (
-        queries.select(F.col(id_col).alias("query_id"), as_double_array(vec_col).alias("qv"))
-        .join(qv.select(F.col(id_col).alias("query_id"), "bucket"), "query_id")
+    q = queries.withColumn("_v", as_double_array(vec_col)).select(
+        F.col(id_col).alias("query_id"),
+        F.col("_v").alias("qv"),
+        _norm("_v").alias("qn"),
+        _bucket_expr("_v", dim, planes).alias("bucket"),
     )
     if multiprobe:
         probes = F.array(
             F.col("bucket"), *[F.expr(f"bucket ^ {1 << p}") for p in range(planes)]
         )
-        q = q.select("query_id", "qv", F.explode(probes).alias("bucket"))
-    cb = lsh_buckets(corpus, dim=dim, planes=planes, id_col=id_col, vec_col=vec_col)
-    c = corpus.select(
-        F.col(id_col).alias("cand_id"), as_double_array(vec_col).alias("cv")
-    ).join(cb.select(F.col(id_col).alias("cand_id"), "bucket"), "cand_id")
-
-    cos = F.expr(
-        "aggregate(zip_with(qv, cv, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"
-        " / (sqrt(aggregate(zip_with(qv, qv, (x, y) -> x * y), 0D, (acc, v) -> acc + v))"
-        "  * sqrt(aggregate(zip_with(cv, cv, (x, y) -> x * y), 0D, (acc, v) -> acc + v)))"
+        q = q.select("query_id", "qv", "qn", F.explode(probes).alias("bucket"))
+    c = corpus.withColumn("_v", as_double_array(vec_col)).select(
+        F.col(id_col).alias("cand_id"),
+        F.col("_v").alias("cv"),
+        _norm("_v").alias("cn"),
+        _bucket_expr("_v", dim, planes).alias("bucket"),
     )
+
     from pyspark.sql import Window as W
 
     sims = (
         q.join(c, "bucket")
         .where(F.col("cand_id") != F.col("query_id"))
-        .select("query_id", "cand_id", F.round(cos, 6).alias("_cos6"))
+        .select(
+            "query_id",
+            "cand_id",
+            F.round(cosine_pre("qv", "cv", "qn", "cn"), 6).alias("_cos6"),
+        )
     )
     w = W.partitionBy("query_id").orderBy(F.col("_cos6").desc(), "cand_id")
     return (
