@@ -497,8 +497,12 @@ def simhash_pairs(
             F.col(f"b.{id_col}").alias("doc_b"),
             F.expr("bit_count(a.simhash ^ b.simhash)").alias("hamming"),
         )
-        .distinct()
+        # hamming is functionally dependent on the pair, so filtering
+        # BEFORE the dedup is equivalent — and the distinct's shuffle
+        # then carries only pairs that can survive, not every band
+        # collision (band-heavy corpora collide far more than they match)
         .where(F.col("hamming") <= max_hamming)
+        .distinct()
     )
 
 
