@@ -33,7 +33,12 @@ from __future__ import annotations
 
 import json
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
 
 
 class _EndpointPartition(InputPartition):
@@ -77,3 +82,87 @@ class RestDocsDataSource(DataSource):
 
     def reader(self, schema):
         return RestDocsReader(self.options)
+
+
+# --- Streaming: REST poll source --------------------------------------------
+
+
+class _PollPartition(InputPartition):
+    def __init__(self, poll: int, endpoint: str):
+        self.poll = poll
+        self.endpoint = endpoint
+
+
+class RestPollStreamReader(DataSourceStreamReader):
+    """Offset-tracked polling: each micro-batch is ONE poll round over
+    every endpoint (offset = poll counter), fetched on executors with
+    one InputPartition per endpoint — the Structured-Streaming form of
+    the reference's poll sensor (T3/T4 check_* loops,
+    /root/reference/dags/sandbox_data_pipeline.py:182-198): instead of
+    a blocking DAG task re-checking a status URL, the poll is a SOURCE
+    whose rows downstream operators (parse → window → publish) consume
+    incrementally with checkpointed exactly-once offsets.
+
+    Restart contract: offsets live in the checkpoint; a fresh reader
+    instance may lag the checkpoint, so ``partitions`` fast-forwards
+    the internal counter and emits an empty round rather than
+    re-polling history (a poll is a point-in-time observation — there
+    is no history to replay; idempotent re-publish downstream covers
+    the at-least-once re-fetch of an uncommitted round)."""
+
+    def __init__(self, options):
+        self.transport = options.get("transport", "http")
+        self.headers = json.loads(options.get("headers", "{}"))
+        self.endpoints = json.loads(options.get("endpoints", "[]"))
+        if not isinstance(self.endpoints, list) or not self.endpoints:
+            raise ValueError("option 'endpoints' must be a non-empty JSON array")
+        self._poll = 0
+
+    def initialOffset(self):
+        return {"poll": 0}
+
+    def latestOffset(self):
+        self._poll += 1
+        return {"poll": self._poll}
+
+    def partitions(self, start, end):
+        lo, hi = start["poll"], end["poll"]
+        if hi <= lo:
+            # restarted reader behind the checkpoint: fast-forward
+            self._poll = lo
+            return []
+        return [
+            _PollPartition(p, e)
+            for p in range(lo + 1, hi + 1)
+            for e in self.endpoints
+        ]
+
+    def read(self, partition):
+        endpoint = partition.endpoint
+        if self.transport == "file":
+            with open(endpoint, encoding="utf-8") as f:
+                body = f.read()
+        elif self.transport == "http":
+            from sandbox_data_pipeline_spark.sources.rest import http_transport
+
+            body = http_transport(endpoint, self.headers, None)
+        else:
+            raise ValueError(f"unknown transport {self.transport!r}")
+        yield (partition.poll, endpoint, body)
+
+    def commit(self, end):
+        pass
+
+
+class RestPollStreamDataSource(DataSource):
+    """spark.readStream.format("rest_poll") — see RestPollStreamReader."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "rest_poll"
+
+    def schema(self) -> str:
+        return "poll long, endpoint string, body string"
+
+    def streamReader(self, schema):
+        return RestPollStreamReader(self.options)

@@ -79,3 +79,64 @@ def test_rest_docs_bad_transport_errors(spark, tmp_path):
 
     with pytest.raises(Exception, match="carrier_pigeon|PYTHON_DATA_SOURCE"):
         df.collect()
+
+
+def test_rest_poll_stream_rounds_and_restart(spark, tmp_path):
+    import json
+    import time
+
+    from sandbox_data_pipeline_spark.sources.rest_datasource import (
+        RestPollStreamDataSource,
+    )
+
+    spark.dataSource.register(RestPollStreamDataSource)
+    eps = []
+    for i in range(3):
+        p = tmp_path / f"doc{i}.json"
+        p.write_text(json.dumps({"i": i, "v": "first"}))
+        eps.append(str(p))
+    out = tmp_path / "out"
+    ckpt = tmp_path / "ckpt"
+
+    def run_until(n_rows, timeout=60):
+        q = (
+            spark.readStream.format("rest_poll")
+            .option("transport", "file")
+            .option("endpoints", json.dumps(eps))
+            .load()
+            .writeStream.format("parquet")
+            .option("path", str(out))
+            .option("checkpointLocation", str(ckpt))
+            .start()
+        )
+        try:
+            deadline = time.time() + timeout
+            while time.time() < deadline:
+                try:
+                    if spark.read.parquet(str(out)).count() >= n_rows:
+                        break
+                except Exception:
+                    pass
+                time.sleep(0.5)
+        finally:
+            q.stop()
+
+    run_until(3)
+    got = spark.read.parquet(str(out))
+    assert got.count() >= 3
+    first = got.where("poll = 1").collect()
+    # one row per endpoint per poll round, bodies delivered verbatim
+    assert {r.endpoint for r in first} == set(eps)
+    assert all("first" in r.body for r in first)
+
+    # new content lands; a RESTARTED query (same checkpoint) must poll
+    # fresh bodies and keep offsets moving instead of replaying history
+    for i in range(3):
+        (tmp_path / f"doc{i}.json").write_text(json.dumps({"i": i, "v": "second"}))
+    before = got.count()
+    run_until(before + 3)
+    after = spark.read.parquet(str(out))
+    polls = {r.poll for r in after.select("poll").distinct().collect()}
+    assert len(polls) >= 2
+    newest = after.where(after.poll == max(polls)).collect()
+    assert all("second" in r.body for r in newest)
