@@ -554,3 +554,48 @@ def canonicalize_urls(df: DataFrame, url_col: str = "url") -> DataFrame:
         F.when(canon_query != "", F.concat(F.lit("?"), canon_query)).otherwise(F.lit("")),
     )
     return df.withColumn("host", host).withColumn("canonical_url", canonical)
+
+
+def weighted_sample(
+    docs: DataFrame,
+    weight: Column,
+    k: int,
+    group_col: str | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "wsample",
+) -> DataFrame:
+    """Weighted sampling without replacement, deterministic: the
+    Efraimidis–Spirakis A-ES scheme with the uniform draw replaced by a
+    portable content hash — key = u^(1/w), keep the k largest keys
+    (per group when ``group_col`` is set). Higher-weight docs win
+    proportionally more often, every run/engine/partitioning picks the
+    SAME sample, and the selection is one window pass (WindowGroupLimit
+    keeps per-task state at k).
+
+    u is (hash(salt||text) % 2^20 + 0.5) / 2^20 — strictly inside
+    (0,1) so the power key is finite; the key is rounded to 6 decimals
+    with doc id as tiebreak, the same cross-engine float-drift policy
+    as the ANN rankings. Weights must be strictly positive."""
+    from sandbox_data_pipeline_spark.operators.dedup import portable_hash
+
+    u = (
+        F.pmod(portable_hash(F.col(text_col), salt=salt), F.lit(1 << 20))
+        + F.lit(0.5)
+    ) / F.lit(float(1 << 20))
+    key = F.round(F.pow(u, F.lit(1.0) / weight), 6)
+    w = (
+        Window.partitionBy(group_col)
+        if group_col
+        else Window.partitionBy(F.lit(1))
+    ).orderBy(F.col("_es_key").desc(), F.col(id_col))
+    out = (
+        docs.withColumn("_es_key", key)
+        .withColumn("sample_rank", F.row_number().over(w))
+        .where(F.col("sample_rank") <= k)
+    )
+    cols = [F.col(id_col)] + ([F.col(group_col)] if group_col else []) + [
+        F.col("_es_key").alias("es_key"),
+        "sample_rank",
+    ]
+    return out.select(*cols)

@@ -1105,3 +1105,56 @@ FROM ranked WHERE cum_tokens <= {TOKEN_BUDGET}
 
 QUERIES["q_budget_select"] = q_budget_select
 ORACLE["q_budget_select"] = _oracle_budget_select()
+
+
+WSAMPLE_K = 10
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language weighted sample: k docs per lang, selection
+    probability proportional to quality score (A-ES keys on a portable
+    content hash — deterministic across engines and partitionings)."""
+    from sandbox_data_pipeline_spark.operators.text import quality_score, weighted_sample
+
+    d = table(spark, sf_dir, "documents")
+    return weighted_sample(
+        d, weight=quality_score() + F.lit(0.05), k=WSAMPLE_K, group_col="lang"
+    )
+
+
+def _oracle_weighted_sample() -> str:
+    nstop = _stop_hits(LANG_MARKERS["en"])
+    return f"""
+WITH scored AS (
+  SELECT doc_id, lang, text,
+         round(least(1.0, greatest(0.0,
+           0.5 * (n_stop / n_tok) + 0.5 * (n_distinct / n_tok) - n_digit / n_chars)), 4)
+           + 0.05 AS w
+  FROM (
+    SELECT doc_id, lang, text,
+           length(text) AS n_chars,
+           {_ntok()} AS n_tok,
+           length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit,
+           {nstop} AS n_stop,
+           len(list_distinct({_toks()})) AS n_distinct
+    FROM documents
+  )
+),
+keyed AS (
+  SELECT doc_id, lang,
+         round(pow((CAST('0x' || substr(md5('wsample' || text), 1, 15) AS BIGINT) % 1048576 + 0.5)
+                   / 1048576.0, 1.0 / w), 6) AS es_key
+  FROM scored
+),
+ranked AS (
+  SELECT doc_id, lang, es_key,
+         row_number() OVER (PARTITION BY lang ORDER BY es_key DESC, doc_id) AS sample_rank
+  FROM keyed
+)
+SELECT doc_id, lang, es_key, CAST(sample_rank AS INTEGER) AS sample_rank
+FROM ranked WHERE sample_rank <= {WSAMPLE_K}
+"""
+
+
+QUERIES["q_weighted_sample"] = q_weighted_sample
+ORACLE["q_weighted_sample"] = _oracle_weighted_sample()

@@ -346,3 +346,26 @@ def test_budget_select_respects_budget_and_quality_order(spark):
         ordered = sorted(docs, key=lambda d: d.cum_tokens)
         scores = [d.score for d in ordered]
         assert scores == sorted(scores, reverse=True), lang
+
+
+def test_weighted_sample_favors_heavy_weights_deterministically(spark):
+    from pyspark.sql import functions as F
+
+    from sandbox_data_pipeline_spark.operators.text import weighted_sample
+
+    docs = spark.createDataFrame(
+        [(i, "g", f"document body number {i}") for i in range(100)],
+        "doc_id long, group string, text string",
+    )
+    # one dominant weight: u^(1/1000) ≈ 1 beats u^(100) for any u<1
+    w = F.when(F.col("doc_id") == 37, F.lit(1000.0)).otherwise(F.lit(0.01))
+    got = weighted_sample(docs, weight=w, k=5, group_col="group").collect()
+    assert len(got) == 5
+    assert 37 in {r.doc_id for r in got}
+    again = weighted_sample(docs, weight=w, k=5, group_col="group").collect()
+    assert sorted((r.doc_id, r.sample_rank) for r in got) == sorted(
+        (r.doc_id, r.sample_rank) for r in again
+    )
+    # ungrouped path returns a global sample of k
+    uni = weighted_sample(docs, weight=F.lit(1.0), k=7).collect()
+    assert len(uni) == 7
