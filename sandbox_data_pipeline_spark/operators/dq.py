@@ -220,3 +220,46 @@ def skew_report(
             F.round(F.col("cnt") / F.col("_median_cnt"), 4).alias("vs_median"),
         )
     )
+
+
+def profile_table(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Column profiler, long form: one row per profiled column with
+    null rate, distinct count, min/max (as strings — one schema fits
+    every column type), and the modal value with its frequency.
+
+    ONE full-width pass computes every per-column aggregate
+    (partial-combined: count/count-distinct/min/max/mode all fold
+    map-side), then a literal-array inline table unpivots the 1-row
+    result — the unpivot runs on one row, so profiling N columns costs
+    one scan regardless of N. The standard first query against an
+    unfamiliar 100 TB table."""
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__n"),
+            F.count(c).alias(f"{c}__nn"),
+            F.countDistinct(c).alias(f"{c}__nd"),
+            F.min(F.col(c).cast("string")).alias(f"{c}__min"),
+            F.max(F.col(c).cast("string")).alias(f"{c}__max"),
+            # deterministic=True → ties resolve to the lowest value,
+            # reproducible across engines (the oracle mirrors with
+            # ORDER BY cnt DESC, value LIMIT 1)
+            F.mode(F.col(c).cast("string"), True).alias(f"{c}__mode"),
+        ]
+    one = df.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.round(
+                    (F.col(f"{c}__n") - F.col(f"{c}__nn")) / F.col(f"{c}__n"), 6
+                ).alias("null_rate"),
+                F.col(f"{c}__nd").alias("n_distinct"),
+                F.col(f"{c}__min").alias("min_str"),
+                F.col(f"{c}__max").alias("max_str"),
+                F.col(f"{c}__mode").alias("mode_str"),
+            )
+            for c in cols
+        ]
+    )
+    return one.select(F.explode(rows).alias("p")).select("p.*")

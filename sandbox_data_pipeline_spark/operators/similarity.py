@@ -643,3 +643,33 @@ def knn_join(
             F.round(F.col("_cos6"), 4).alias("cos_sim"),
         )
     )
+
+
+def build_ann_index(
+    embeddings: DataFrame,
+    dim: int,
+    planes: int = 8,
+    n_centroids: int = 16,
+    centroids: list[tuple[int, list[float]]] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Materialize the ANN serving index in ONE corpus scan: per vector
+    its L2 norm (pair stages then pay a single dot), SRP bucket, and
+    IVF inverted-list id — every per-vector artifact the LSH/IVF/KNN
+    paths recompute today, written once and reused across query
+    batches. At 100 TB this is the index-build job: pure map-side
+    expressions, zero shuffle; persist with save_bucketed(by list_id
+    or bucket) and every probe join plans with no Exchange on the
+    corpus side."""
+    cents = centroids or ivf_centroids(embeddings, n_centroids, id_col, vec_col)
+    return (
+        embeddings.withColumn("_v", as_double_array(vec_col))
+        .withColumn("_vn", _norm("_v"))
+        .select(
+            F.col(id_col),
+            F.round(F.col("_vn"), 6).alias("norm"),
+            _bucket_expr("_v", dim, planes).alias("bucket"),
+            _assign_expr("_v", "_vn", cents).alias("list_id"),
+        )
+    )

@@ -508,3 +508,36 @@ FROM dev JOIN mad USING (event_type)
 GROUP BY event_type
 """
 QUERIES["q_mad_anomalies"] = q_mad_anomalies
+
+
+PROFILE_COLS = ("o_orderstatus", "o_orderpriority", "o_custkey")
+
+
+def q_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profile of orders, long form — null rate, distinct count,
+    min/max/mode (stringly typed so one schema fits every column). One
+    full-width aggregation regardless of column count; the unpivot
+    explodes a literal struct array on the single result row."""
+    from sandbox_data_pipeline_spark.operators.dq import profile_table
+
+    return profile_table(table(spark, sf_dir, "orders"), list(PROFILE_COLS))
+
+
+def _oracle_profile() -> str:
+    parts = []
+    for c in PROFILE_COLS:
+        parts.append(f"""
+SELECT '{c}' AS column,
+       round((count(*) - count({c})) / count(*), 6) AS null_rate,
+       count(DISTINCT {c}) AS n_distinct,
+       min(CAST({c} AS VARCHAR)) AS min_str,
+       max(CAST({c} AS VARCHAR)) AS max_str,
+       (SELECT v FROM (
+          SELECT CAST({c} AS VARCHAR) AS v, count(*) AS cnt FROM orders
+          WHERE {c} IS NOT NULL GROUP BY 1 ORDER BY cnt DESC, v LIMIT 1)) AS mode_str
+FROM orders""")
+    return "\nUNION ALL\n".join(parts)
+
+
+QUERIES["q_profile_orders"] = q_profile_orders
+ORACLE["q_profile_orders"] = _oracle_profile()

@@ -680,3 +680,33 @@ FROM ranked WHERE rank <= {TOPK}
 
 QUERIES["q_knn_join"] = q_knn_join
 ORACLE["q_knn_join"] = _oracle_knn_join()
+
+
+def q_ann_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANN index-build pass: norm + SRP bucket + IVF list per
+    vector in one map-side scan (see build_ann_index)."""
+    from sandbox_data_pipeline_spark.operators.similarity import build_ann_index
+
+    return build_ann_index(
+        table(spark, sf_dir, "embeddings"),
+        dim=DIM,
+        planes=PLANES,
+        n_centroids=N_CENTROIDS,
+    )
+
+
+def _oracle_ann_index() -> str:
+    return (
+        _IVF_BASE.format(n_centroids=N_CENTROIDS)
+        + f"""
+SELECT v.vec_id,
+       round(sqrt(list_dot_product(v.v, v.v)), 6) AS norm,
+       {_bucket_sql('v.v')} AS bucket,
+       asg.list_id
+FROM v JOIN asg USING (vec_id)
+"""
+    )
+
+
+QUERIES["q_ann_index"] = q_ann_index
+ORACLE["q_ann_index"] = _oracle_ann_index()

@@ -158,3 +158,15 @@ def test_quality_sweep_monotone_retention(spark):
     assert docs == sorted(docs, reverse=True)  # higher cutoff keeps fewer docs
     assert toks == sorted(toks, reverse=True)
     assert docs[0] > 0
+
+
+def test_profile_table_long_form(spark):
+    from sandbox_data_pipeline_spark.operators.dq import profile_table
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, None), (4, "b")], "id long, tag string"
+    )
+    got = {r.column: r for r in profile_table(df, ["id", "tag"]).collect()}
+    assert got["id"].null_rate == 0.0 and got["id"].n_distinct == 4
+    assert got["tag"].null_rate == 0.25 and got["tag"].n_distinct == 2
+    assert got["tag"].mode_str == "a" and got["tag"].min_str == "a" and got["tag"].max_str == "b"

@@ -243,3 +243,22 @@ def test_pq_roundtrip_and_adc_recall(spark):
     # ADC on a 16-codeword deterministic codebook is coarse; require
     # well-above-chance overlap with exact top-k (chance ≈ k/N = 1%)
     assert len(adc & exact) / len(exact) >= 0.1
+
+
+def test_build_ann_index_matches_component_operators(spark):
+    from sandbox_data_pipeline_spark.operators.similarity import (
+        build_ann_index,
+        ivf_assign,
+        ivf_centroids,
+        lsh_buckets,
+    )
+
+    emb = table(spark, "/root/testdata/sf0.001", "embeddings")
+    idx = {r.vec_id: r for r in build_ann_index(emb, dim=64, planes=8, n_centroids=16).collect()}
+    buckets = {r.vec_id: r.bucket for r in lsh_buckets(emb, dim=64, planes=8).collect()}
+    lists = {r.vec_id: r.list_id for r in ivf_assign(emb, ivf_centroids(emb, 16)).collect()}
+    assert set(idx) == set(buckets) == set(lists)
+    for vid, row in idx.items():
+        assert row.bucket == buckets[vid]
+        assert row.list_id == lists[vid]
+        assert row.norm > 0
