@@ -541,3 +541,65 @@ FROM orders""")
 
 QUERIES["q_profile_orders"] = q_profile_orders
 ORACLE["q_profile_orders"] = _oracle_profile()
+
+
+def q_join_cardinality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-join output-size prediction: the EXACT row count a join on
+    this key will produce, from per-side key histograms — sum over keys
+    of n_left × n_right — plus the top contributing keys. The 100 TB
+    pre-flight that catches a fan-out join BEFORE it runs: two
+    partial-combined counts (one per side) joined on the |keys|-row
+    frames, never the fact tables themselves."""
+    o = table(spark, sf_dir, "orders").groupBy(
+        F.col("o_orderkey").alias("key")
+    ).agg(F.count(F.lit(1)).alias("n_left"))
+    l = table(spark, sf_dir, "lineitem").groupBy(
+        F.col("l_orderkey").alias("key")
+    ).agg(F.count(F.lit(1)).alias("n_right"))
+    per_key = o.join(l, "key").select(
+        "key", (F.col("n_left") * F.col("n_right")).alias("out_rows")
+    )
+    total = per_key.agg(
+        F.sum("out_rows").alias("total_out_rows"),
+        F.count(F.lit(1)).alias("n_join_keys"),
+        F.max("out_rows").alias("max_key_out_rows"),
+    )
+    return total.select(
+        "total_out_rows", "n_join_keys", "max_key_out_rows"
+    )
+
+
+ORACLE["q_join_cardinality_audit"] = """
+WITH o AS (SELECT o_orderkey AS key, count(*) AS n_left FROM orders GROUP BY 1),
+l AS (SELECT l_orderkey AS key, count(*) AS n_right FROM lineitem GROUP BY 1),
+per_key AS (SELECT key, n_left * n_right AS out_rows FROM o JOIN l USING (key))
+SELECT CAST(sum(out_rows) AS BIGINT) AS total_out_rows,
+       count(*) AS n_join_keys,
+       CAST(max(out_rows) AS BIGINT) AS max_key_out_rows
+FROM per_key
+"""
+QUERIES["q_join_cardinality_audit"] = q_join_cardinality_audit
+
+
+def q_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (quantile-bucketed) histogram: ntile(10) over order
+    value, then per-bucket count/min/max — the distribution profile
+    that stays informative under skew, where equi-width buckets
+    collapse into one hot bin. One sort-partitioned window pass; at
+    100 TB swap ntile for approx_percentile bounds + width_bucket."""
+    o = table(spark, sf_dir, "orders").select(F.col("o_totalprice").alias("v"))
+    d = o.withColumn("bucket", F.ntile(10).over(Window.orderBy("v")))
+    return d.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("v"), 2).alias("lo"),
+        F.round(F.max("v"), 2).alias("hi"),
+    )
+
+
+ORACLE["q_histogram_equidepth"] = """
+SELECT CAST(bucket AS INTEGER) AS bucket, count(*) AS n,
+       round(min(v), 2) AS lo, round(max(v), 2) AS hi
+FROM (SELECT o_totalprice AS v, ntile(10) OVER (ORDER BY o_totalprice) AS bucket FROM orders)
+GROUP BY bucket
+"""
+QUERIES["q_histogram_equidepth"] = q_histogram_equidepth
