@@ -710,3 +710,85 @@ FROM v JOIN asg USING (vec_id)
 
 QUERIES["q_ann_index"] = q_ann_index
 ORACLE["q_ann_index"] = _oracle_ann_index()
+
+
+INCR_MOD = 10  # batch = vec_id % 10 == 0, base = the rest
+
+
+def q_ann_index_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental index maintenance report: a new vector batch is
+    assigned with the BASE corpus's frozen centroids (append-only — the
+    increment never reshuffles the existing index) and the per-list
+    occupancy growth is the drift signal a serving deployment watches
+    to schedule centroid re-training. Map-side assignment on both
+    sides; the report aggregates |lists| rows."""
+    from sandbox_data_pipeline_spark.operators.similarity import (
+        ivf_assign,
+        ivf_centroids,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    base = emb.where(F.col("vec_id") % INCR_MOD != 0)
+    batch = emb.where(F.col("vec_id") % INCR_MOD == 0)
+    cents = ivf_centroids(base, N_CENTROIDS)
+    b = ivf_assign(base, cents).groupBy("list_id").agg(
+        F.count(F.lit(1)).alias("n_base")
+    )
+    n = ivf_assign(batch, cents).groupBy("list_id").agg(
+        F.count(F.lit(1)).alias("n_new")
+    )
+    return (
+        b.join(n, "list_id", "full")
+        .select(
+            "list_id",
+            F.coalesce("n_base", F.lit(0)).alias("n_base"),
+            F.coalesce("n_new", F.lit(0)).alias("n_new"),
+            F.round(
+                F.coalesce("n_new", F.lit(0)) / F.coalesce("n_base", F.lit(1)), 6
+            ).alias("growth_ratio"),
+        )
+    )
+
+
+def _oracle_ann_drift() -> str:
+    return f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+base AS (SELECT * FROM v WHERE vec_id % {INCR_MOD} <> 0),
+batch AS (SELECT * FROM v WHERE vec_id % {INCR_MOD} = 0),
+cent AS (SELECT vec_id AS centroid_id, v AS cv FROM base ORDER BY vec_id LIMIT {N_CENTROIDS}),
+asg_base AS (
+  SELECT vec_id, centroid_id AS list_id FROM (
+    SELECT a.vec_id, c.centroid_id,
+           row_number() OVER (
+             PARTITION BY a.vec_id ORDER BY
+               round(list_dot_product(a.v, c.cv) /
+                     (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.cv, c.cv))), 6) DESC,
+               c.centroid_id
+           ) AS rn
+    FROM base a CROSS JOIN cent c
+  ) WHERE rn = 1
+),
+asg_batch AS (
+  SELECT vec_id, centroid_id AS list_id FROM (
+    SELECT a.vec_id, c.centroid_id,
+           row_number() OVER (
+             PARTITION BY a.vec_id ORDER BY
+               round(list_dot_product(a.v, c.cv) /
+                     (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.cv, c.cv))), 6) DESC,
+               c.centroid_id
+           ) AS rn
+    FROM batch a CROSS JOIN cent c
+  ) WHERE rn = 1
+),
+b AS (SELECT list_id, count(*) AS n_base FROM asg_base GROUP BY 1),
+n AS (SELECT list_id, count(*) AS n_new FROM asg_batch GROUP BY 1)
+SELECT coalesce(b.list_id, n.list_id) AS list_id,
+       coalesce(n_base, 0) AS n_base,
+       coalesce(n_new, 0) AS n_new,
+       round(coalesce(n_new, 0) / coalesce(n_base, 1), 6) AS growth_ratio
+FROM b FULL OUTER JOIN n ON b.list_id = n.list_id
+"""
+
+
+QUERIES["q_ann_index_drift"] = q_ann_index_drift
+ORACLE["q_ann_index_drift"] = _oracle_ann_drift()
