@@ -1158,3 +1158,120 @@ FROM ranked WHERE sample_rank <= {WSAMPLE_K}
 
 QUERIES["q_weighted_sample"] = q_weighted_sample
 ORACLE["q_weighted_sample"] = _oracle_weighted_sample()
+
+
+QUALITY_CUT = 0.3
+
+
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END curation funnel as ONE declared plan — quality
+    gate → exact-dedup keep-first → benchmark decontamination → per-
+    source quota → per-language token-budget admission — composed from
+    the same operators the individual queries declare, so Catalyst
+    optimizes across stage boundaries (one scan feeds the whole funnel;
+    filters push into it). This is the 'complete engine' statement: the
+    pipeline a 100 TB training-data run actually ships, with every
+    stage's shuffle already audited in isolation."""
+    from sandbox_data_pipeline_spark.operators.dedup import (
+        decontaminate,
+        portable_hash,
+    )
+    from sandbox_data_pipeline_spark.operators.text import quality_score
+    from sandbox_data_pipeline_spark.queries.dedup import DECONTAM_N, EVAL_MOD
+
+    d = table(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id", "lang", "source", "text",
+        quality_score().alias("score"),
+        token_count().alias("n_tokens"),
+    )
+    s1 = scored.where(F.col("score") >= QUALITY_CUT)
+    w_fp = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    s2 = s1.withColumn("_rn", F.row_number().over(w_fp)).where(F.col("_rn") == 1).drop("_rn")
+    ev = d.where(F.col("doc_id") % EVAL_MOD == 0)
+    corpus = s2.where(F.col("doc_id") % EVAL_MOD != 0)
+    contam = decontaminate(corpus, ev, n=DECONTAM_N).select("doc_id")
+    s3 = corpus.join(contam, "doc_id", "left_anti")
+    w_q = Window.partitionBy("source").orderBy(
+        portable_hash(F.col("text"), salt="quota"), F.col("doc_id")
+    )
+    s4 = s3.withColumn("_qr", F.row_number().over(w_q)).where(
+        F.col("_qr") <= SOURCE_QUOTA
+    ).drop("_qr")
+    w_b = (
+        Window.partitionBy("lang")
+        .orderBy(F.col("score").desc(), F.col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    s5 = s4.withColumn("cum_tokens", F.sum("n_tokens").over(w_b)).where(
+        F.col("cum_tokens") <= TOKEN_BUDGET
+    )
+    return s5.select(
+        "doc_id", "lang", "source", "score",
+        F.col("cum_tokens").cast("long").alias("cum_tokens"),
+    )
+
+
+def _oracle_curation_pipeline() -> str:
+    from sandbox_data_pipeline_spark.queries.dedup import DECONTAM_N, EVAL_MOD
+
+    nstop = _stop_hits(LANG_MARKERS["en"])
+    return f"""
+WITH scored AS (
+  SELECT doc_id, lang, source, text,
+         round(least(1.0, greatest(0.0,
+           0.5 * (n_stop / n_tok) + 0.5 * (n_distinct / n_tok) - n_digit / n_chars)), 4)
+           AS score,
+         n_tok AS n_tokens
+  FROM (
+    SELECT doc_id, lang, source, text,
+           length(text) AS n_chars,
+           {_ntok()} AS n_tok,
+           length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit,
+           {nstop} AS n_stop,
+           len(list_distinct({_toks()})) AS n_distinct
+    FROM documents
+  )
+),
+s1 AS (SELECT * FROM scored WHERE score >= {QUALITY_CUT}),
+s2 AS (
+  SELECT * FROM s1
+  QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+),
+grams AS (
+  SELECT doc_id,
+         unnest(list_distinct(CASE WHEN len(t) >= {DECONTAM_N}
+                THEN list_transform(range(1, len(t) - {DECONTAM_N} + 2),
+                                    i -> array_to_string(t[i:i + {DECONTAM_N - 1}], ' '))
+                ELSE [] END)) AS shingle
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+),
+contam AS (
+  SELECT DISTINCT g.doc_id FROM grams g
+  WHERE g.doc_id % {EVAL_MOD} <> 0
+    AND g.shingle IN (SELECT shingle FROM grams WHERE doc_id % {EVAL_MOD} = 0)
+),
+s3 AS (
+  SELECT * FROM s2
+  WHERE doc_id % {EVAL_MOD} <> 0 AND doc_id NOT IN (SELECT doc_id FROM contam)
+),
+s4 AS (
+  SELECT * FROM s3
+  QUALIFY row_number() OVER (
+    PARTITION BY source
+    ORDER BY CAST('0x' || substr(md5('quota' || text), 1, 15) AS BIGINT), doc_id
+  ) <= {SOURCE_QUOTA}
+),
+s5 AS (
+  SELECT doc_id, lang, source, score,
+         sum(n_tokens) OVER (PARTITION BY lang ORDER BY score DESC, doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum_tokens
+  FROM s4
+)
+SELECT doc_id, lang, source, score, CAST(cum_tokens AS BIGINT) AS cum_tokens
+FROM s5 WHERE cum_tokens <= {TOKEN_BUDGET}
+"""
+
+
+QUERIES["q_curation_pipeline"] = q_curation_pipeline
+ORACLE["q_curation_pipeline"] = _oracle_curation_pipeline()

@@ -369,3 +369,26 @@ def test_weighted_sample_favors_heavy_weights_deterministically(spark):
     # ungrouped path returns a global sample of k
     uni = weighted_sample(docs, weight=F.lit(1.0), k=7).collect()
     assert len(uni) == 7
+
+
+def test_curation_pipeline_stage_invariants(spark):
+    from sandbox_data_pipeline_spark.queries.dedup import EVAL_MOD
+    from sandbox_data_pipeline_spark.queries.text import (
+        QUALITY_CUT,
+        SOURCE_QUOTA,
+        TOKEN_BUDGET,
+        q_curation_pipeline,
+    )
+
+    rows = q_curation_pipeline(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    from collections import Counter
+
+    assert all(r.score >= QUALITY_CUT for r in rows)
+    assert all(r.doc_id % EVAL_MOD != 0 for r in rows)  # eval slice excluded
+    per_source = Counter(r.source for r in rows)
+    assert max(per_source.values()) <= SOURCE_QUOTA
+    per_lang_max = {}
+    for r in rows:
+        per_lang_max[r.lang] = max(per_lang_max.get(r.lang, 0), r.cum_tokens)
+    assert all(v <= TOKEN_BUDGET for v in per_lang_max.values())
