@@ -64,6 +64,12 @@ HEADLINE = [
     "q_url_dedup",
     "q_source_quota",
     "q_budget_select",
+    "q_weighted_sample",
+    "q_ann_index",
+    "q_skew_report",
+    "q_profile_orders",
+    "q_join_cardinality_audit",
+    "q_curation_pipeline",
 ]
 
 
