@@ -158,3 +158,42 @@ ORDER BY rank LIMIT 10
 
 QUERIES["q_skew_report"] = q_skew_report
 ORACLE["q_skew_report"] = _SKEW_ORACLE
+
+
+K_ANON = 5
+
+
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over a quasi-identifier set (lang, source):
+    the privacy pre-flight before releasing a derived dataset — how
+    many equivalence classes fall below k, and what fraction of rows
+    they cover. One partial-combined groupBy on the QI columns, then a
+    |classes|-row aggregate."""
+    d = table(spark, sf_dir, "documents")
+    classes = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("cls_n"))
+    return classes.agg(
+        F.count(F.lit(1)).alias("n_classes"),
+        F.min("cls_n").alias("k_min"),
+        F.sum(F.when(F.col("cls_n") < K_ANON, 1).otherwise(0)).alias("n_below_k"),
+        F.round(
+            F.sum(F.when(F.col("cls_n") < K_ANON, F.col("cls_n")).otherwise(0))
+            / F.sum("cls_n"),
+            6,
+        ).alias("rows_below_k_frac"),
+    )
+
+
+_K_ANON_ORACLE = f"""
+WITH classes AS (
+  SELECT lang, source, count(*) AS cls_n FROM documents GROUP BY 1, 2
+)
+SELECT count(*) AS n_classes,
+       min(cls_n) AS k_min,
+       CAST(sum(CASE WHEN cls_n < {K_ANON} THEN 1 ELSE 0 END) AS BIGINT) AS n_below_k,
+       round(sum(CASE WHEN cls_n < {K_ANON} THEN cls_n ELSE 0 END) / sum(cls_n), 6)
+         AS rows_below_k_frac
+FROM classes
+"""
+
+QUERIES["q_k_anonymity"] = q_k_anonymity
+ORACLE["q_k_anonymity"] = _K_ANON_ORACLE

@@ -114,3 +114,23 @@ def test_probe_header_roundtrips_dimensions(w, h, fmt):
     else:
         blob = b"GIF89a" + w.to_bytes(2, "little") + h.to_bytes(2, "little")
     assert probe_header(blob) == (fmt, w, h)
+
+
+def test_url_canonicalization_is_idempotent(spark):
+    """canonical(canonical(u)) == canonical(u) for the synthesized URL
+    family — the property that makes the canonical form a valid dedup
+    key (re-canonicalizing stored keys never splits groups)."""
+    from pyspark.sql import functions as F
+
+    from sandbox_data_pipeline_spark.catalog import table
+    from sandbox_data_pipeline_spark.operators.text import canonicalize_urls
+    from sandbox_data_pipeline_spark.queries.text import _synth_url
+
+    d = table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "source", _synth_url().alias("url")
+    )
+    once = canonicalize_urls(d).select("doc_id", F.col("canonical_url").alias("url"))
+    twice = canonicalize_urls(once).select("doc_id", "canonical_url")
+    m1 = {r.doc_id: r.url for r in once.collect()}
+    m2 = {r.doc_id: r.canonical_url for r in twice.collect()}
+    assert m1 == m2
