@@ -88,3 +88,60 @@ def start_document_ingest(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def start_dedup_admission(
+    spark: SparkSession,
+    source_dir: str,
+    admitted_dir: str,
+    checkpoint_dir: str,
+    k: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    threshold: float = 0.5,
+):
+    """Continuous near-dup ADMISSION: each micro-batch runs the
+    incremental_dedup verdict against the admitted-corpus store, then
+    appends only admitted docs to it — so batch N+1 dedups against
+    everything ever admitted (exact AND MinHash near-dup), not just
+    itself. The streaming form of the reference pipeline's publish
+    gate, with the corpus store playing the warehouse.
+
+    Replay safety WITHOUT transactional sinks: a re-run batch finds
+    its own previously-admitted docs in the store, every doc flags
+    exact_corpus, and the append is empty — the corpus store makes
+    foreachBatch idempotent by construction.
+
+    At 100 TB the store's signatures/bands are write-once artifacts
+    (see incremental_dedup's docstring); recomputing them per batch
+    here is the small-corpus test shape."""
+    from sandbox_data_pipeline_spark.operators.dedup import incremental_dedup
+
+    def _admit(batch_df: DataFrame, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        try:
+            corpus = s.read.parquet(admitted_dir).select("doc_id", "text")
+        except Exception:  # first batch: no store yet
+            corpus = s.createDataFrame([], "doc_id long, text string")
+        verdicts = incremental_dedup(
+            batch_df.select("doc_id", "text"),
+            corpus,
+            k=k,
+            bands=bands,
+            n=n,
+            threshold=threshold,
+        )
+        admitted = batch_df.join(
+            verdicts.where(F.col("verdict") == "admitted").select("doc_id"),
+            "doc_id",
+            "left_semi",
+        )
+        admitted.write.mode("append").parquet(admitted_dir)
+
+    stream = spark.readStream.schema(DOC_STREAM_SCHEMA).json(source_dir)
+    return (
+        stream.writeStream.foreachBatch(_admit)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -44,3 +44,43 @@ def test_document_ingest_quality_gate_and_dedup(spark, tmp_path):
     got2 = spark.read.parquet(sink)
     assert got2.count() == 4  # only doc 7 is new
     assert got2.where("doc_id = 6").count() == 0
+
+
+def test_dedup_admission_across_batches(spark, tmp_path):
+    import json
+
+    from sandbox_data_pipeline_spark.streaming.ingest import start_dedup_admission
+
+    src = tmp_path / "src"
+    src.mkdir()
+    admitted = str(tmp_path / "admitted")
+    ckpt = str(tmp_path / "ckpt")
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows1 = [
+        {"doc_id": 1, "text": base, "lang": "en", "source": "s", "n_chars": len(base)},
+        {"doc_id": 2, "text": base + " tail", "lang": "en", "source": "s", "n_chars": 1},
+        {"doc_id": 3, "text": "completely different words about spark shuffles here",
+         "lang": "en", "source": "s", "n_chars": 1},
+    ]
+    (src / "b1.json").write_text("\n".join(json.dumps(r) for r in rows1))
+    q = start_dedup_admission(spark, str(src), admitted, ckpt)
+    q.awaitTermination(120)
+    got1 = {r.doc_id for r in spark.read.parquet(admitted).collect()}
+    # doc 2 is a near-dup of doc 1 (keep-lowest-id); doc 3 is novel
+    assert 1 in got1 and 3 in got1 and 2 not in got1
+
+    rows2 = [
+        {"doc_id": 10, "text": base, "lang": "en", "source": "s", "n_chars": 1},  # exact dup of corpus
+        {"doc_id": 11, "text": base + " coda", "lang": "en", "source": "s", "n_chars": 1},  # near-dup of corpus
+        {"doc_id": 12, "text": "fresh unrelated content with novel vocabulary entirely",
+         "lang": "en", "source": "s", "n_chars": 1},
+    ]
+    (src / "b2.json").write_text("\n".join(json.dumps(r) for r in rows2))
+    q2 = start_dedup_admission(spark, str(src), admitted, ckpt)
+    q2.awaitTermination(120)
+    got2 = {r.doc_id for r in spark.read.parquet(admitted).collect()}
+    assert got2 >= got1
+    assert 12 in got2  # novel doc admitted
+    assert 10 not in got2  # exact dup of corpus rejected
+    assert 11 not in got2  # near-dup of corpus rejected
