@@ -99,6 +99,7 @@ def start_dedup_admission(
     bands: int = 4,
     n: int = 3,
     threshold: float = 0.5,
+    rejected_dir: str | None = None,
 ):
     """Continuous near-dup ADMISSION: each micro-batch runs the
     incremental_dedup verdict against the admitted-corpus store, then
@@ -110,7 +111,13 @@ def start_dedup_admission(
     Replay safety WITHOUT transactional sinks: a re-run batch finds
     its own previously-admitted docs in the store, every doc flags
     exact_corpus, and the append is empty — the corpus store makes
-    foreachBatch idempotent by construction.
+    foreachBatch idempotent by construction. (The quarantine sink is
+    append-only diagnostics; replays may re-log a rejection, which is
+    harmless for its audit purpose.)
+
+    ``rejected_dir`` (optional) quarantines every non-admitted doc
+    WITH its verdict — the production audit trail for 'why did my
+    document disappear', and the input to rejection-rate monitoring.
 
     At 100 TB the store's signatures/bands are write-once artifacts
     (see incremental_dedup's docstring); recomputing them per batch
@@ -130,13 +137,22 @@ def start_dedup_admission(
             bands=bands,
             n=n,
             threshold=threshold,
-        )
+        ).persist()
         admitted = batch_df.join(
             verdicts.where(F.col("verdict") == "admitted").select("doc_id"),
             "doc_id",
             "left_semi",
         )
         admitted.write.mode("append").parquet(admitted_dir)
+        if rejected_dir is not None:
+            rejected = batch_df.join(
+                verdicts.where(F.col("verdict") != "admitted").select(
+                    "doc_id", "verdict"
+                ),
+                "doc_id",
+            )
+            rejected.write.mode("append").parquet(rejected_dir)
+        verdicts.unpersist()
 
     stream = spark.readStream.schema(DOC_STREAM_SCHEMA).json(source_dir)
     return (

@@ -84,3 +84,28 @@ def test_dedup_admission_across_batches(spark, tmp_path):
     assert 12 in got2  # novel doc admitted
     assert 10 not in got2  # exact dup of corpus rejected
     assert 11 not in got2  # near-dup of corpus rejected
+
+
+def test_dedup_admission_quarantines_rejects_with_verdicts(spark, tmp_path):
+    import json
+
+    from sandbox_data_pipeline_spark.streaming.ingest import start_dedup_admission
+
+    src = tmp_path / "src"
+    src.mkdir()
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        {"doc_id": 1, "text": base, "lang": "en", "source": "s", "n_chars": 1},
+        {"doc_id": 2, "text": base, "lang": "en", "source": "s", "n_chars": 1},
+        {"doc_id": 3, "text": base + " mu", "lang": "en", "source": "s", "n_chars": 1},
+    ]
+    (src / "b1.json").write_text("\n".join(json.dumps(r) for r in rows))
+    q = start_dedup_admission(
+        spark, str(src), str(tmp_path / "adm"), str(tmp_path / "ck"),
+        rejected_dir=str(tmp_path / "rej"),
+    )
+    q.awaitTermination(120)
+    rej = {r.doc_id: r.verdict for r in spark.read.parquet(str(tmp_path / "rej")).collect()}
+    assert rej[2] == "exact_batch"  # exact dup of lower-id batch doc
+    assert rej[3] == "near_batch"  # near-dup of the batch survivor
+    assert 1 not in rej
