@@ -230,9 +230,12 @@ def profile_table(df: DataFrame, cols: list[str]) -> DataFrame:
     ONE full-width pass computes every per-column aggregate
     (partial-combined: count/count-distinct/min/max/mode all fold
     map-side), then a literal-array inline table unpivots the 1-row
-    result — the unpivot runs on one row, so profiling N columns costs
-    one scan regardless of N. The standard first query against an
-    unfamiliar 100 TB table."""
+    result — one scan regardless of N. Caveat: N exact countDistinct
+    aggregates plan through an Expand (in-flight rows multiply ~N×
+    before the partial combine); profiling MANY columns of a 100 TB
+    table wants approx_count_distinct (HLL, no Expand) — exact is kept
+    here for the differential oracle. The standard first query against
+    an unfamiliar table."""
     aggs = []
     for c in cols:
         aggs += [

@@ -1275,3 +1275,49 @@ FROM s5 WHERE cum_tokens <= {TOKEN_BUDGET}
 
 QUERIES["q_curation_pipeline"] = q_curation_pipeline
 ORACLE["q_curation_pipeline"] = _oracle_curation_pipeline()
+
+
+MIX_ALPHA = 0.7
+MIX_SAMPLE_N = 200
+
+
+def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based language rebalancing: sampling fraction ∝
+    p_lang^α (α<1 upsamples the tail without flattening it — the
+    standard multilingual mixing rule), with per-language target doc
+    counts for a fixed sample budget. All per-language scalars ride
+    broadcast 1-row aggregates over the |langs|-row count frame; the
+    corpus is scanned once for the counts."""
+    d = table(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    total = d.agg(F.count(F.lit(1)).alias("_total"))
+    pw = counts.crossJoin(F.broadcast(total)).withColumn(
+        "_w", F.round(F.pow(F.col("n_docs") / F.col("_total"), F.lit(MIX_ALPHA)), 6)
+    )
+    wsum = pw.agg(F.sum("_w").alias("_ws"))
+    return (
+        pw.crossJoin(F.broadcast(wsum))
+        .select(
+            "lang",
+            "n_docs",
+            F.round(F.col("_w") / F.col("_ws"), 6).alias("sampled_frac"),
+            F.floor(F.round(F.col("_w") / F.col("_ws"), 6) * MIX_SAMPLE_N)
+            .cast("long")
+            .alias("target_docs"),
+        )
+    )
+
+
+_ORACLE_TEMPERATURE = f"""
+WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+t AS (SELECT count(*) AS total FROM documents),
+pw AS (SELECT lang, n_docs, round(pow(n_docs / total, {MIX_ALPHA}), 6) AS w FROM c, t),
+ws AS (SELECT sum(w) AS ws FROM pw)
+SELECT lang, n_docs,
+       round(w / ws, 6) AS sampled_frac,
+       CAST(floor(round(w / ws, 6) * {MIX_SAMPLE_N}) AS BIGINT) AS target_docs
+FROM pw, ws
+"""
+
+QUERIES["q_temperature_mixture"] = q_temperature_mixture
+ORACLE["q_temperature_mixture"] = _ORACLE_TEMPERATURE
