@@ -1321,3 +1321,74 @@ FROM pw, ws
 
 QUERIES["q_temperature_mixture"] = q_temperature_mixture
 ORACLE["q_temperature_mixture"] = _ORACLE_TEMPERATURE
+
+
+def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset card, one row: the stats block of a dataset's
+    documentation page — size, source/language breadth, exact-dup
+    rate, quality mean, token-count percentiles. Two aggregation
+    passes (corpus stats + distinct-fingerprint count) joined as
+    broadcast scalars; at 100 TB both are map-side-combined
+    single-row aggregates."""
+    from sandbox_data_pipeline_spark.operators.text import quality_score
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "text",
+        quality_score().alias("score"),
+        token_count().alias("n_tokens"),
+    )
+    stats = d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.round(F.avg("score"), 4).alias("mean_quality"),
+        F.round(F.percentile("n_tokens", F.lit(0.5)), 4).alias("p50_tokens"),
+        F.round(F.percentile("n_tokens", F.lit(0.95)), 4).alias("p95_tokens"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )
+    fps = d.agg(F.countDistinct(F.md5("text")).alias("_n_fp"))
+    return stats.crossJoin(F.broadcast(fps)).select(
+        "n_docs",
+        "n_sources",
+        "n_langs",
+        F.round(F.lit(1.0) - F.col("_n_fp") / F.col("n_docs"), 6).alias("dup_rate"),
+        "mean_quality",
+        "p50_tokens",
+        "p95_tokens",
+        "total_tokens",
+    )
+
+
+def _oracle_dataset_card() -> str:
+    nstop = _stop_hits(LANG_MARKERS["en"])
+    return f"""
+WITH scored AS (
+  SELECT doc_id, lang, source, text,
+         round(least(1.0, greatest(0.0,
+           0.5 * (n_stop / n_tok) + 0.5 * (n_distinct / n_tok) - n_digit / n_chars)), 4)
+           AS score,
+         n_tok AS n_tokens
+  FROM (
+    SELECT doc_id, lang, source, text,
+           length(text) AS n_chars,
+           {_ntok()} AS n_tok,
+           length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit,
+           {nstop} AS n_stop,
+           len(list_distinct({_toks()})) AS n_distinct
+    FROM documents
+  )
+)
+SELECT count(*) AS n_docs,
+       count(DISTINCT source) AS n_sources,
+       count(DISTINCT lang) AS n_langs,
+       round(1.0 - count(DISTINCT md5(text)) / count(*), 6) AS dup_rate,
+       round(avg(score), 4) AS mean_quality,
+       round(quantile_cont(n_tokens, 0.5), 4) AS p50_tokens,
+       round(quantile_cont(n_tokens, 0.95), 4) AS p95_tokens,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+FROM scored
+"""
+
+
+QUERIES["q_dataset_card"] = q_dataset_card
+ORACLE["q_dataset_card"] = _oracle_dataset_card()
