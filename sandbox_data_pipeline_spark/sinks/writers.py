@@ -328,3 +328,42 @@ def write_zordered(
         "_zval", *rank_cols, *[f"_zd_{c}" for c in zorder_cols]
     )
     out.write.mode("overwrite").format(fmt).save(path)
+
+
+def retention_sweep(
+    spark: SparkSession,
+    base_path: str,
+    keep_from: int,
+    partition_col: str = RUN_HR_COL,
+) -> list[int]:
+    """Retention: drop every partition with value < ``keep_from`` from
+    a Hive-partitioned table root — the production generalization of
+    the reference's equality delete (F1, one run_hr) to the rolling
+    time-retention sweep every landing table eventually needs.
+
+    Operates on partition DIRECTORIES via the Hadoop FS API: no data
+    is read, no job runs — cost is one directory listing plus one
+    recursive delete per expired partition, identical on HDFS/S3A
+    committers. Returns the dropped partition values (sorted) so the
+    caller can log/audit the sweep. Partition math stays integer
+    (run_hr as yyyymmddhh), matching the layout writers."""
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    root = jvm.org.apache.hadoop.fs.Path(base_path)
+    fs = root.getFileSystem(conf)
+    if not fs.exists(root):
+        return []
+    dropped: list[int] = []
+    prefix = f"{partition_col}="
+    for status in fs.listStatus(root):
+        name = status.getPath().getName()
+        if not (status.isDirectory() and name.startswith(prefix)):
+            continue
+        try:
+            value = int(name[len(prefix):])
+        except ValueError:
+            continue
+        if value < keep_from:
+            fs.delete(status.getPath(), True)
+            dropped.append(value)
+    return sorted(dropped)

@@ -108,3 +108,30 @@ def test_zordered_preserves_rows_and_schema(spark, sf_dir, tmp_path):
     assert back.count() == li.count()
     # no helper columns leak into the layout
     assert not any(c.startswith("_z") for c in back.columns)
+
+
+def test_retention_sweep_drops_only_expired_partitions(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from sandbox_data_pipeline_spark.sinks.writers import (
+        retention_sweep,
+        write_partitioned,
+    )
+
+    base = str(tmp_path / "t")
+    df = spark.range(30).select(
+        F.col("id"), (F.lit(2024010100) + F.col("id") % 3).alias("run_hr")
+    )
+    write_partitioned(df, base)
+    dropped = retention_sweep(spark, base, keep_from=2024010101)
+    assert dropped == [2024010100]
+    left = spark.read.parquet(base)
+    assert {r.run_hr for r in left.select("run_hr").distinct().collect()} == {
+        2024010101,
+        2024010102,
+    }
+    assert left.count() == 20  # surviving partitions untouched
+    # sweeping again is a no-op (idempotent)
+    assert retention_sweep(spark, base, keep_from=2024010101) == []
+    # missing root is a no-op, not an error
+    assert retention_sweep(spark, str(tmp_path / "absent"), keep_from=0) == []
