@@ -603,3 +603,39 @@ FROM (SELECT o_totalprice AS v, ntile(10) OVER (ORDER BY o_totalprice) AS bucket
 GROUP BY bucket
 """
 QUERIES["q_histogram_equidepth"] = q_histogram_equidepth
+
+
+def q_timeseries_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive time-series decomposition of the event stream:
+    hourly counts per event type, the hour-of-day seasonal component
+    (mean across days), and the residual — the de-seasonalized signal
+    anomaly detection should run on instead of raw counts (q_mad's
+    natural upstream). One count aggregation, then a window mean over
+    the tiny (type, hour) frame."""
+    e = table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour_ts")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("event_type", F.hour("hour_ts"))
+    return hourly.select(
+        "event_type",
+        "hour_ts",
+        "n",
+        F.round(F.avg("n").over(w), 4).alias("seasonal"),
+        F.round(F.col("n") - F.avg("n").over(w), 4).alias("residual"),
+    )
+
+
+ORACLE["q_timeseries_decompose"] = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour_ts, count(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, hour_ts, n,
+       round(avg(n) OVER (PARTITION BY event_type, extract(hour FROM hour_ts)), 4)
+         AS seasonal,
+       round(n - avg(n) OVER (PARTITION BY event_type, extract(hour FROM hour_ts)), 4)
+         AS residual
+FROM hourly
+"""
+QUERIES["q_timeseries_decompose"] = q_timeseries_decompose

@@ -656,3 +656,45 @@ FROM rep
 
 QUERIES["q_leakage_safe_split"] = q_leakage_safe_split
 ORACLE["q_leakage_safe_split"] = _oracle_leakage_split()
+
+
+def q_dup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count over the near-dup pair graph — the cohesion
+    signal that separates tight duplicate cliques (transcription
+    mills, mirrored sites) from chains of borderline matches. The
+    classic two-join distributed triangle enumeration on ordered
+    edges (a<b<c), so each triangle is counted exactly once; join
+    fan-out is bounded by per-node degree, which near-dup blocking
+    already bounds."""
+    pairs = q_dedup_minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    e1 = pairs.alias("e1")
+    e2 = pairs.alias("e2")
+    e3 = pairs.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.doc_b") == F.col("e2.doc_a"))
+        .join(
+            e3,
+            (F.col("e3.doc_a") == F.col("e1.doc_a"))
+            & (F.col("e3.doc_b") == F.col("e2.doc_b")),
+        )
+        .select(
+            F.col("e1.doc_a").alias("a"),
+            F.col("e1.doc_b").alias("b"),
+            F.col("e2.doc_b").alias("c"),
+        )
+    )
+    return tri.agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+def _oracle_triangles() -> str:
+    return f"""
+WITH pairs AS (SELECT doc_a, doc_b FROM ({_oracle_minhash()}) mh)
+SELECT count(*) AS n_triangles
+FROM pairs e1
+JOIN pairs e2 ON e1.doc_b = e2.doc_a
+JOIN pairs e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
+"""
+
+
+QUERIES["q_dup_triangles"] = q_dup_triangles
+ORACLE["q_dup_triangles"] = _oracle_triangles()
