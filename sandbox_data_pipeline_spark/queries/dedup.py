@@ -698,3 +698,65 @@ JOIN pairs e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
 
 QUERIES["q_dup_triangles"] = q_dup_triangles
 ORACLE["q_dup_triangles"] = _oracle_triangles()
+
+
+def q_entity_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution match scoring: MinHash-banded candidates
+    enriched with corroborating evidence — estimated Jaccard, length
+    ratio, same-source flag, exact-content equality — and classified
+    by rule. The standard ER shape at scale: blocking bounds the pair
+    space, then per-pair features are a narrow join against doc
+    metadata (never the full text shuffling twice)."""
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.md5("text").alias("fp"), F.length("text").alias("n_chars")
+    )
+    pairs = q_dedup_minhash_pairs(spark, sf_dir)
+    a = docs.select(
+        F.col("doc_id").alias("doc_a"), F.col("source").alias("src_a"),
+        F.col("fp").alias("fp_a"), F.col("n_chars").alias("len_a"),
+    )
+    b = docs.select(
+        F.col("doc_id").alias("doc_b"), F.col("source").alias("src_b"),
+        F.col("fp").alias("fp_b"), F.col("n_chars").alias("len_b"),
+    )
+    feat = (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "est_jaccard",
+            F.round(
+                F.least("len_a", "len_b") / F.greatest("len_a", "len_b"), 4
+            ).alias("len_ratio"),
+            (F.col("src_a") == F.col("src_b")).alias("same_source"),
+            (F.col("fp_a") == F.col("fp_b")).alias("exact_equal"),
+        )
+    )
+    cls = (
+        F.when(F.col("exact_equal"), "exact")
+        .when(F.col("est_jaccard") >= 0.9, "strong")
+        .otherwise("candidate")
+    )
+    return feat.withColumn("match_class", cls)
+
+
+def _oracle_entity_matches() -> str:
+    return f"""
+WITH mh AS ({_oracle_minhash()}),
+d AS (SELECT doc_id, source, md5(text) AS fp, length(text) AS n_chars FROM documents)
+SELECT mh.doc_a, mh.doc_b, mh.est_jaccard,
+       round(least(a.n_chars, b.n_chars) / greatest(a.n_chars, b.n_chars), 4) AS len_ratio,
+       a.source = b.source AS same_source,
+       a.fp = b.fp AS exact_equal,
+       CASE WHEN a.fp = b.fp THEN 'exact'
+            WHEN mh.est_jaccard >= 0.9 THEN 'strong'
+            ELSE 'candidate' END AS match_class
+FROM mh
+JOIN d a ON a.doc_id = mh.doc_a
+JOIN d b ON b.doc_id = mh.doc_b
+"""
+
+
+QUERIES["q_entity_matches"] = q_entity_matches
+ORACLE["q_entity_matches"] = _oracle_entity_matches()

@@ -135,3 +135,23 @@ def test_retention_sweep_drops_only_expired_partitions(spark, tmp_path):
     assert retention_sweep(spark, base, keep_from=2024010101) == []
     # missing root is a no-op, not an error
     assert retention_sweep(spark, str(tmp_path / "absent"), keep_from=0) == []
+
+
+def test_schema_evolution_merge_on_read(spark, tmp_path):
+    """Append-with-new-column then mergeSchema read: the production
+    schema-evolution path for a partitioned landing table — old
+    partitions surface the new column as NULL, no rewrite."""
+    from pyspark.sql import functions as F
+
+    base = str(tmp_path / "t")
+    v1 = spark.range(5).select("id", F.lit(2024010100).alias("run_hr"))
+    v1.write.mode("overwrite").partitionBy("run_hr").parquet(base)
+    v2 = spark.range(5, 10).select(
+        "id", F.lit("en").alias("lang"), F.lit(2024010101).alias("run_hr")
+    )
+    v2.write.mode("append").partitionBy("run_hr").parquet(base)
+    merged = spark.read.option("mergeSchema", "true").parquet(base)
+    assert set(merged.columns) == {"id", "lang", "run_hr"}
+    old = merged.where("run_hr = 2024010100").select("lang").distinct().collect()
+    assert [r.lang for r in old] == [None]
+    assert merged.count() == 10
