@@ -792,3 +792,37 @@ FROM b FULL OUTER JOIN n ON b.list_id = n.list_id
 
 QUERIES["q_ann_index_drift"] = q_ann_index_drift
 ORACLE["q_ann_index_drift"] = _oracle_ann_drift()
+
+
+def q_crosslingual_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-lingual duplicate detection: embedding near-dup pairs
+    whose documents carry DIFFERENT language tags — the translated-
+    duplicate signal text shingles cannot see (no shared n-grams
+    across languages; the embedding space is the only blocker that
+    catches it). Pairs from the scale-safe LSH-blocked path, language
+    tags joined narrowly by id."""
+    pairs = q_similarity_near_dup_lsh(spark, sf_dir)
+    docs = table(spark, sf_dir, "documents").select("doc_id", "lang")
+    a = docs.select(F.col("doc_id").alias("id_a"), F.col("lang").alias("lang_a"))
+    b = docs.select(F.col("doc_id").alias("id_b"), F.col("lang").alias("lang_b"))
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .where(F.col("lang_a") != F.col("lang_b"))
+        .select("id_a", "id_b", "cos_sim", "lang_a", "lang_b")
+    )
+
+
+def _oracle_crosslingual() -> str:
+    return f"""
+WITH nd AS ({_oracle_near_dup_lsh()})
+SELECT nd.id_a, nd.id_b, nd.cos_sim, a.lang AS lang_a, b.lang AS lang_b
+FROM nd
+JOIN documents a ON a.doc_id = nd.id_a
+JOIN documents b ON b.doc_id = nd.id_b
+WHERE a.lang <> b.lang
+"""
+
+
+QUERIES["q_crosslingual_dups"] = q_crosslingual_dups
+ORACLE["q_crosslingual_dups"] = _oracle_crosslingual()

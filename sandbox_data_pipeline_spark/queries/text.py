@@ -1392,3 +1392,40 @@ FROM scored
 
 QUERIES["q_dataset_card"] = q_dataset_card
 ORACLE["q_dataset_card"] = _oracle_dataset_card()
+
+
+BLOCKED_SOURCES = ("src3", "src7", "src13")
+
+
+def q_domain_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-frontier blocklist filter: canonical hosts matched
+    against a blocked-domain list (broadcast — blocklists are MBs vs
+    a TB frontier), reporting kept/dropped per source. The anti-join
+    every crawl pipeline runs before fetching anything."""
+    canon = q_url_canonical(spark, sf_dir)
+    docs = table(spark, sf_dir, "documents").select("doc_id", "source")
+    blocked_hosts = [f"{s}.example.com" for s in BLOCKED_SOURCES]
+    d = canon.join(docs, "doc_id").withColumn(
+        "blocked", F.col("host").isin(*blocked_hosts)
+    )
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_urls"),
+        F.sum(F.when(F.col("blocked"), 1).otherwise(0)).alias("n_blocked"),
+    )
+
+
+def _oracle_domain_blocklist() -> str:
+    hosts = ", ".join(f"'{s}.example.com'" for s in BLOCKED_SOURCES)
+    return f"""
+WITH urls AS (SELECT doc_id, {_SYNTH_URL_SQL} AS url FROM documents),
+{_CANON_SQL}
+SELECT d.source,
+       count(*) AS n_urls,
+       CAST(sum(CASE WHEN o.host IN ({hosts}) THEN 1 ELSE 0 END) AS BIGINT) AS n_blocked
+FROM out o JOIN documents d USING (doc_id)
+GROUP BY d.source
+"""
+
+
+QUERIES["q_domain_blocklist"] = q_domain_blocklist
+ORACLE["q_domain_blocklist"] = _oracle_domain_blocklist()
