@@ -109,3 +109,39 @@ def test_dedup_admission_quarantines_rejects_with_verdicts(spark, tmp_path):
     assert rej[2] == "exact_batch"  # exact dup of lower-id batch doc
     assert rej[3] == "near_batch"  # near-dup of the batch survivor
     assert 1 not in rej
+
+
+def test_trending_pipeline_ranks_and_merges(spark, tmp_path):
+    import json
+
+    from sandbox_data_pipeline_spark.streaming.trending import start_trending_pipeline
+
+    src = tmp_path / "src"
+    src.mkdir()
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ck")
+
+    def doc(i, text):
+        return json.dumps(
+            {"doc_id": i, "text": text, "lang": "en", "source": "s", "n_chars": 1}
+        )
+
+    (src / "b1.json").write_text(
+        "\n".join([doc(1, "spark spark spark shuffle"), doc(2, "spark shuffle join")])
+    )
+    q = start_trending_pipeline(spark, str(src), sink, ckpt)
+    q.awaitTermination(120)
+    got = {r.token: r for r in spark.read.parquet(sink).collect()}
+    assert got["spark"].n == 4 and got["spark"].rank == 1
+    assert got["shuffle"].n == 2 and got["shuffle"].rank == 2
+    assert got["join"].n == 1
+
+    # a second batch flips the leader; counts MERGE (state truth), ranks recompute
+    (src / "b2.json").write_text(
+        "\n".join([doc(3, "join join join join join"), doc(4, "join")])
+    )
+    q2 = start_trending_pipeline(spark, str(src), sink, ckpt)
+    q2.awaitTermination(120)
+    got2 = {r.token: r for r in spark.read.parquet(sink).collect()}
+    assert got2["join"].n == 7 and got2["join"].rank == 1
+    assert got2["spark"].n == 4 and got2["spark"].rank == 2
