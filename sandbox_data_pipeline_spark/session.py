@@ -74,3 +74,31 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     return spark
+
+
+def advise_shuffle_partitions(
+    df,
+    target_partition_bytes: int = 128 * 1024 * 1024,
+    min_partitions: int | None = None,
+) -> int:
+    """Recommend ``spark.sql.shuffle.partitions`` for a plan from
+    Catalyst's own size estimate: ceil(estimated bytes / target task
+    bytes), floored at the session's parallelism (every core busy even
+    on small inputs). The sizing rule SCALE.md states, computed instead
+    of guessed — at 100 TB a wrong static setting is the one thing AQE
+    cannot fully repair (it can coalesce tiny partitions but not split
+    an undersized shuffle's map side).
+
+    Driver-only: reads the optimized plan's statistics (no job runs).
+    Estimates inherit Catalyst's accuracy — post-filter sizes are
+    heuristic unless ANALYZE/CBO stats exist; treat the answer as an
+    order-of-magnitude floor, not a precise optimum."""
+    import math
+
+    spark = df.sparkSession
+    size = int(
+        df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+    )
+    if min_partitions is None:
+        min_partitions = spark.sparkContext.defaultParallelism
+    return max(min_partitions, math.ceil(size / target_partition_bytes))

@@ -145,3 +145,18 @@ def test_compact_partitions_to_destination(spark, tmp_path):
     assert n > 0
     assert sorted(map(str, spark.read.parquet(dst).collect())) == \
            sorted(map(str, spark.read.parquet(src).collect()))
+
+
+def test_advise_shuffle_partitions_scales_with_size(spark):
+    from sandbox_data_pipeline_spark.catalog import table
+    from sandbox_data_pipeline_spark.session import advise_shuffle_partitions
+
+    small = table(spark, "/root/testdata/sf0.001", "region")
+    n_small = advise_shuffle_partitions(small)
+    # tiny input floors at the session parallelism, never below
+    assert n_small == spark.sparkContext.defaultParallelism
+
+    big = table(spark, "/root/testdata/sf0.01", "lineitem")
+    # with a 1 MB target the ~4 MB+ table must ask for more than the floor
+    n_big = advise_shuffle_partitions(big, target_partition_bytes=1 << 20)
+    assert n_big > spark.sparkContext.defaultParallelism or n_big >= 4
