@@ -126,3 +126,48 @@ SELECT doc_id AS media_id,
 FROM documents
 """
 QUERIES["q_media_probe"] = q_media_probe
+
+
+MIN_W, MIN_H = 192, 128
+
+
+def q_media_resolution_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resolution filtering WITHOUT a codec: keep/drop verdict per
+    probed image (PNG header dimensions vs a minimum), summarized per
+    container — the multimodal curation gate that runs on magic bytes
+    alone, long before any decode budget is spent. Composes the
+    oracle-verified probe; the filter itself is a codegen'd
+    projection."""
+    from sandbox_data_pipeline_spark.operators.multimodal import (
+        media_with_headers,
+        probe_media,
+    )
+
+    probed = probe_media(media_with_headers(table(spark, sf_dir, "documents")))
+    verdict = F.when(
+        F.col("probed_width").isNull(), F.lit("not_probed")
+    ).when(
+        (F.col("probed_width") >= MIN_W) & (F.col("probed_height") >= MIN_H),
+        F.lit("kept"),
+    ).otherwise(F.lit("dropped"))
+    return probed.groupBy("container", verdict.alias("verdict")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+ORACLE["q_media_resolution_filter"] = f"""
+WITH probed AS (
+  SELECT doc_id,
+         CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'wav' ELSE 'mp4' END AS container,
+         CASE WHEN doc_id % 3 = 0 THEN ((doc_id % 8 + 1) * 64)::INT END AS w,
+         CASE WHEN doc_id % 3 = 0 THEN ((doc_id % 4 + 1) * 64)::INT END AS h
+  FROM documents
+)
+SELECT container,
+       CASE WHEN w IS NULL THEN 'not_probed'
+            WHEN w >= {MIN_W} AND h >= {MIN_H} THEN 'kept'
+            ELSE 'dropped' END AS verdict,
+       count(*) AS n
+FROM probed GROUP BY 1, 2
+"""
+QUERIES["q_media_resolution_filter"] = q_media_resolution_filter
