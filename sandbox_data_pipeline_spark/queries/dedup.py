@@ -760,3 +760,32 @@ JOIN d b ON b.doc_id = mh.doc_b
 
 QUERIES["q_entity_matches"] = q_entity_matches
 ORACLE["q_entity_matches"] = _oracle_entity_matches()
+
+
+def q_dup_degree_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the near-dup graph (degree → node
+    count): the shape diagnostic read next to the triangle count —
+    a heavy tail here means hub documents (templates, boilerplate)
+    that cluster resolution will chain through. Two partial-combined
+    aggregations over the bounded pair list."""
+    pairs = q_dedup_minhash_pairs(spark, sf_dir)
+    nodes = pairs.select(F.col("doc_a").alias("doc_id")).unionAll(
+        pairs.select(F.col("doc_b").alias("doc_id"))
+    )
+    deg = nodes.groupBy("doc_id").agg(F.count(F.lit(1)).alias("degree"))
+    return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_nodes"))
+
+
+def _oracle_degree_dist() -> str:
+    return f"""
+WITH mh AS ({_oracle_minhash()}),
+nodes AS (
+  SELECT doc_a AS doc_id FROM mh UNION ALL SELECT doc_b FROM mh
+),
+deg AS (SELECT doc_id, count(*) AS degree FROM nodes GROUP BY 1)
+SELECT degree, count(*) AS n_nodes FROM deg GROUP BY 1
+"""
+
+
+QUERIES["q_dup_degree_dist"] = q_dup_degree_dist
+ORACLE["q_dup_degree_dist"] = _oracle_degree_dist()
