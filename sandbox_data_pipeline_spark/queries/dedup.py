@@ -789,3 +789,33 @@ SELECT degree, count(*) AS n_nodes FROM deg GROUP BY 1
 
 QUERIES["q_dup_degree_dist"] = q_dup_degree_dist
 ORACLE["q_dup_degree_dist"] = _oracle_degree_dist()
+
+
+def q_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate rate per source — the per-provider quality
+    scorecard that decides crawl re-prioritization: sources whose
+    content mostly collapses under content-hash grouping are paying
+    for re-fetches. Two partial-combined aggregations: (source, fp)
+    then source."""
+    d = table(spark, sf_dir, "documents")
+    groups = d.groupBy("source", F.md5("text").alias("fp")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    return groups.groupBy("source").agg(
+        F.sum("cnt").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.round(F.lit(1.0) - F.count(F.lit(1)) / F.sum("cnt"), 6).alias("dup_rate"),
+    )
+
+
+ORACLE["q_dup_rate_by_source"] = """
+WITH g AS (
+  SELECT source, md5(text) AS fp, count(*) AS cnt FROM documents GROUP BY 1, 2
+)
+SELECT source,
+       CAST(sum(cnt) AS BIGINT) AS n_docs,
+       count(*) AS n_distinct,
+       round(1.0 - count(*) / sum(cnt), 6) AS dup_rate
+FROM g GROUP BY source
+"""
+QUERIES["q_dup_rate_by_source"] = q_dup_rate_by_source
