@@ -1429,3 +1429,48 @@ GROUP BY d.source
 
 QUERIES["q_domain_blocklist"] = q_domain_blocklist
 ORACLE["q_domain_blocklist"] = _oracle_domain_blocklist()
+
+
+def q_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing QA: per-language fill-rate summary of the sequence
+    packer — bins produced, mean fill fraction against the token
+    budget, and the count of under-filled bins (<80%). The number a
+    training job reads to know how much context-window budget the
+    packer is wasting. Aggregates the |bins|-row frame of
+    q_pack_sequences."""
+    bins = q_pack_sequences(spark, sf_dir)
+    return bins.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_bins"),
+        F.round(F.avg(F.col("bin_tokens") / F.lit(PACK_BUDGET)), 4).alias("avg_fill"),
+        F.sum(
+            F.when(F.col("bin_tokens") < 0.8 * PACK_BUDGET, 1).otherwise(0)
+        ).alias("underfilled_bins"),
+    )
+
+
+def _oracle_pack_efficiency() -> str:
+    return f"""
+WITH d AS (
+  SELECT lang, doc_id, {_ntok()} AS n_tokens FROM documents
+),
+binned AS (
+  SELECT lang, n_tokens,
+         CAST(floor((sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                      ROWS UNBOUNDED PRECEDING) - n_tokens) / {PACK_BUDGET}) AS BIGINT)
+           AS bin_id
+  FROM d
+),
+bins AS (
+  SELECT lang, bin_id, count(*) AS n_docs, sum(n_tokens) AS bin_tokens
+  FROM binned GROUP BY 1, 2
+)
+SELECT lang, count(*) AS n_bins,
+       round(avg(bin_tokens / {PACK_BUDGET}), 4) AS avg_fill,
+       CAST(sum(CASE WHEN bin_tokens < 0.8 * {PACK_BUDGET} THEN 1 ELSE 0 END) AS BIGINT)
+         AS underfilled_bins
+FROM bins GROUP BY lang
+"""
+
+
+QUERIES["q_pack_efficiency"] = q_pack_efficiency
+ORACLE["q_pack_efficiency"] = _oracle_pack_efficiency()

@@ -49,3 +49,42 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_bucketed_ann_index_probe_join_has_no_exchange(spark, tmp_path):
+    """Substantiates SCALE.md: build_ann_index output saved bucketed on
+    list_id joins a same-bucketed probe table with NO Exchange on
+    either side — the pay-the-shuffle-once-at-write-time pattern
+    applied to the ANN serving index."""
+    from sandbox_data_pipeline_spark.catalog import table
+    from sandbox_data_pipeline_spark.operators.similarity import build_ann_index
+    from sandbox_data_pipeline_spark.sinks.writers import save_bucketed
+
+    emb = table(spark, "/root/testdata/sf0.001", "embeddings")
+    idx = build_ann_index(emb, dim=64, planes=8, n_centroids=8)
+    save_bucketed(idx, "ann_idx_t", "list_id", buckets=8, path=str(tmp_path / "idx"))
+    save_bucketed(
+        idx.select("list_id", "vec_id"),
+        "ann_probe_t",
+        "list_id",
+        buckets=8,
+        path=str(tmp_path / "probe"),
+    )
+    try:
+        a = spark.table("ann_idx_t")
+        b = spark.table("ann_probe_t").withColumnRenamed("vec_id", "probe_id")
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            plan = (
+                a.join(b, "list_id")
+                ._jdf.queryExecution()
+                .executedPlan()
+                .toString()
+            )
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        assert "Exchange" not in plan, plan
+    finally:
+        spark.sql("DROP TABLE IF EXISTS ann_idx_t")
+        spark.sql("DROP TABLE IF EXISTS ann_probe_t")
