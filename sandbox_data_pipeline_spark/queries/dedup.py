@@ -819,3 +819,81 @@ SELECT source,
 FROM g GROUP BY source
 """
 QUERIES["q_dup_rate_by_source"] = q_dup_rate_by_source
+
+
+def q_minhash_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimator quality, measured: every banded candidate
+    pair's estimated Jaccard against the EXACT shingle-set Jaccard of
+    the same pair — the text-dedup analogue of q_ann_recall. The exact
+    computation is restricted to the candidate pairs (shingle join
+    keyed through the pair list), so its cost scales with candidates,
+    never the corpus pair space."""
+    from sandbox_data_pipeline_spark.operators.dedup import word_shingles
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = q_dedup_minhash_pairs(spark, sf_dir)
+    sh = word_shingles(docs, n=MINHASH_N).persist()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    bsh = sh.select(
+        F.col("doc_id").alias("_db"), F.col("shingle").alias("_shb")
+    )
+    common = (
+        pairs.select("doc_a", "doc_b")
+        .join(sh.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .join(
+            bsh,
+            (F.col("doc_b") == F.col("_db")) & (F.col("shingle") == F.col("_shb")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a")
+    sb = sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b")
+    return (
+        pairs.join(common, ["doc_a", "doc_b"], "left")
+        .join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "est_jaccard",
+            F.round(
+                F.coalesce("common", F.lit(0))
+                / (F.col("n_a") + F.col("n_b") - F.coalesce("common", F.lit(0))),
+                4,
+            ).alias("exact_jaccard"),
+        )
+        .withColumn(
+            "abs_err", F.round(F.abs(F.col("est_jaccard") - F.col("exact_jaccard")), 4)
+        )
+    )
+
+
+def _oracle_minhash_precision() -> str:
+    n = MINHASH_N
+    return f"""
+WITH mh AS ({_oracle_minhash()}),
+{_shingles_cte(n).strip()},
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
+common AS (
+  SELECT mh.doc_a, mh.doc_b, count(*) AS common
+  FROM mh
+  JOIN shingles a ON a.doc_id = mh.doc_a
+  JOIN shingles b ON b.doc_id = mh.doc_b AND b.shingle = a.shingle
+  GROUP BY 1, 2
+)
+SELECT mh.doc_a, mh.doc_b, mh.est_jaccard,
+       round(coalesce(common, 0) / (sa.n_sh + sb.n_sh - coalesce(common, 0)), 4)
+         AS exact_jaccard,
+       round(abs(mh.est_jaccard -
+             round(coalesce(common, 0) / (sa.n_sh + sb.n_sh - coalesce(common, 0)), 4)), 4)
+         AS abs_err
+FROM mh
+LEFT JOIN common ON common.doc_a = mh.doc_a AND common.doc_b = mh.doc_b
+JOIN sizes sa ON sa.doc_id = mh.doc_a
+JOIN sizes sb ON sb.doc_id = mh.doc_b
+"""
+
+
+QUERIES["q_minhash_precision"] = q_minhash_precision
+ORACLE["q_minhash_precision"] = _oracle_minhash_precision()
