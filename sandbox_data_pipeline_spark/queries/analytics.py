@@ -639,3 +639,27 @@ SELECT event_type, hour_ts, n,
 FROM hourly
 """
 QUERIES["q_timeseries_decompose"] = q_timeseries_decompose
+
+
+def q_activity_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week × hour-of-day activity heatmap — the standard BI
+    readout of an event stream's rhythm. One partial-combined
+    aggregation over two codegen'd time projections (ISO weekday so
+    both engines number days identically)."""
+    e = table(spark, sf_dir, "events")
+    return e.groupBy(
+        F.dayofweek("ts").alias("dow"), F.hour("ts").alias("hod")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+    )
+
+
+ORACLE["q_activity_heatmap"] = """
+SELECT CAST(dayofweek(ts) + 1 AS INTEGER) AS dow,
+       CAST(extract(hour FROM ts) AS INTEGER) AS hod,
+       count(*) AS n_events,
+       round(avg(value), 4) AS avg_value
+FROM events GROUP BY 1, 2
+"""
+QUERIES["q_activity_heatmap"] = q_activity_heatmap
