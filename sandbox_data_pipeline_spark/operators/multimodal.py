@@ -260,6 +260,108 @@ def probe_media(media: DataFrame) -> DataFrame:
     return media.select("media_id", "content").mapInPandas(_probe, PROBE_SCHEMA)
 
 
+HEADER_FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("container", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("header_len", IntegerType()),
+        StructField("body_len", LongType()),
+        StructField("first_byte", IntegerType()),
+        StructField("last_byte", IntegerType()),
+    ]
+)
+
+
+def _parse_header_len(blob: bytes) -> tuple[str, int]:
+    """Read the container header length FROM THE BYTES (no fixed
+    constants beyond each format's fixed-size preamble): PNG = 8-byte
+    signature + IHDR chunk whose data length is the 4 bytes at offset
+    8; WAV = RIFF preamble through the 'fmt ' tag; MP4 = the ftyp box
+    size field at offset 0."""
+    if blob[:8] == b"\x89PNG\r\n\x1a\n":
+        ihdr_len = int.from_bytes(blob[8:12], "big")
+        return "png", 8 + 4 + 4 + ihdr_len
+    if blob[:4] == b"RIFF" and blob[8:12] == b"WAVE":
+        return "wav", 16  # RIFF + chunk size + WAVE + 'fmt '
+    if blob[4:8] == b"ftyp":
+        return "mp4", int.from_bytes(blob[:4], "big")
+    return "unknown", 0
+
+
+def extract_header_features(media: DataFrame) -> DataFrame:
+    """REAL feature extraction from container bytes, Arrow-batched: the
+    container, image dimensions, and header length are parsed from the
+    binary column (probe_header + the per-format length fields), and
+    the body summary (length, first/last byte) is measured from the
+    remaining payload bytes. Every output is deterministic byte
+    arithmetic, so a SQL oracle over the source text verifies the full
+    build→parse mapInPandas round trip — no fake decode involved.
+
+    Scale: same contract as probe_media — narrow output inside the
+    scan stage, blobs never shuffle."""
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k.name: [] for k in HEADER_FEATURE_SCHEMA.fields}
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                blob = bytes(content)
+                fmt, w, h = probe_header(blob)
+                _, hlen = _parse_header_len(blob)
+                body = blob[hlen:]
+                out["media_id"].append(mid)
+                out["container"].append(fmt)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["header_len"].append(hlen)
+                out["body_len"].append(len(body))
+                out["first_byte"].append(body[0] if body else None)
+                out["last_byte"].append(body[-1] if body else None)
+            yield pd.DataFrame(out)
+
+    return media.select("media_id", "content").mapInPandas(
+        _extract, HEADER_FEATURE_SCHEMA
+    )
+
+
+RESIZE_SUMMARY_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("out_len", LongType()),
+        StructField("tail_byte", IntegerType()),
+        StructField("pad_len", LongType()),
+    ]
+)
+
+
+def summarize_resized(media: DataFrame) -> DataFrame:
+    """Byte-level summary of resized image rows, measured from the
+    ACTUAL output blobs (not the declared meta): emitted length, the
+    final byte value, and the trailing-NUL pad length. Gives the
+    resize plumbing an exact SQL oracle — the numbers only match if
+    the mapInPandas rewrite really produced the bytes it claims."""
+
+    def _summ(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k.name: [] for k in RESIZE_SUMMARY_SCHEMA.fields}
+            for mid, content, meta in zip(
+                pdf["media_id"], pdf["content"], pdf["meta"]
+            ):
+                blob = bytes(content)
+                out["media_id"].append(mid)
+                out["width"].append(meta["width"])
+                out["height"].append(meta["height"])
+                out["out_len"].append(len(blob))
+                out["tail_byte"].append(blob[-1] if blob else None)
+                out["pad_len"].append(len(blob) - len(blob.rstrip(b"\x00")))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(_summ, RESIZE_SUMMARY_SCHEMA)
+
+
 def media_with_headers(docs: DataFrame) -> DataFrame:
     """Media table whose payloads carry REAL container headers (valid
     PNG IHDR / WAV RIFF / MP4 ftyp bytes) followed by the text bytes as
@@ -296,7 +398,9 @@ def media_with_headers(docs: DataFrame) -> DataFrame:
                     )
                     mtype = "audio"
                 else:
-                    header = (24).to_bytes(4, "big") + b"ftypisom" + b"\x00" * 8
+                    # size field == actual box length (20) so header-len
+                    # parsing can honestly read it back from the bytes.
+                    header = (20).to_bytes(4, "big") + b"ftypisom" + b"\x00" * 8
                     mtype = "video"
                 ids.append(did)
                 types.append(mtype)

@@ -1,6 +1,11 @@
-"""Multimodal queries: metadata projection is oracle-checked (binary
-length/md5 compute identically in DuckDB); the Pandas-UDF feature and
-frame paths are rows-only (Python-side, not SQL-expressible).
+"""Multimodal queries — every entry is oracle-checked. The decode-less
+discipline: outputs are deterministic byte arithmetic (container
+headers, blob lengths, byte values) that the Spark side PARSES from
+real binary payloads via Arrow-batched mapInPandas while the DuckDB
+oracle recomputes the same values as closed forms over the source
+text. The only remaining stub is the decode_media body (codec libs
+absent by design, operators/multimodal.py) — nothing here depends on
+it.
 """
 
 from __future__ import annotations
@@ -10,7 +15,6 @@ from pyspark.sql import functions as F
 
 from sandbox_data_pipeline_spark.catalog import table
 from sandbox_data_pipeline_spark.operators.multimodal import (
-    extract_features,
     media_from_documents,
     sample_frames,
 )
@@ -33,20 +37,27 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow-batched feature extraction (mapInPandas) — rows-only."""
-    media = media_from_documents(table(spark, sf_dir, "documents"))
-    feats = extract_features(media, fake=True)
-    return feats.select(
-        "media_id",
-        "media_type",
-        "byte_len",
-        F.round(F.element_at("feature", 1), 4).alias("f0"),
-        F.round(F.element_at("feature", 8), 4).alias("f7"),
+    """Arrow-batched feature extraction over REAL container bytes
+    (operators/multimodal.py: extract_header_features): container,
+    dimensions, header length, and body first/last bytes are all parsed
+    from the binary payload, and the oracle recomputes each as a closed
+    form over the source text — a hash match proves the byte-level
+    build→parse round trip, replacing the old fake-decode rows-only
+    path (round-2 `no_oracle` item)."""
+    from sandbox_data_pipeline_spark.operators.multimodal import (
+        extract_header_features,
+        media_with_headers,
     )
+
+    media = media_with_headers(table(spark, sf_dir, "documents"))
+    return extract_header_features(media)
 
 
 def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame-sampling plumbing (video rows → frame rows) — rows-only."""
+    """Frame-sampling plumbing (video rows → frame rows). The frame
+    manifest (index + byte count per frame) is deterministic byte
+    arithmetic over the blob length, so the oracle rebuilds it in SQL
+    with a bounded range() cross join."""
     media = media_from_documents(table(spark, sf_dir, "documents"))
     frames = sample_frames(media, every_ms=1000, fake=True)
     return frames.select(
@@ -75,32 +86,67 @@ QUERIES = {
 
 ORACLE = {
     "q_multimodal_meta": ORACLE_META,
-    # q_media_features / q_media_frames: Pandas-UDF paths, rows-only.
+    # Real-byte-arithmetic oracles (round 3): each closed form below
+    # mirrors a value the Spark side PARSES from actual payload bytes.
+    # documents.text is ASCII in the driver testdata (byte==char,
+    # asserted by the r2-green q_multimodal_meta hash), so
+    # ascii(substr(...)) equals the byte value.
+    "q_media_features": """
+SELECT doc_id AS media_id,
+       CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'wav' ELSE 'mp4' END AS container,
+       CASE WHEN doc_id % 3 = 0 THEN ((doc_id % 8 + 1) * 64)::INT END AS width,
+       CASE WHEN doc_id % 3 = 0 THEN ((doc_id % 4 + 1) * 64)::INT END AS height,
+       (CASE doc_id % 3 WHEN 0 THEN 29 WHEN 1 THEN 16 ELSE 20 END)::INT AS header_len,
+       n_chars::BIGINT AS body_len,
+       ascii(substr(text, 1, 1))::INT AS first_byte,
+       ascii(substr(text, n_chars, 1))::INT AS last_byte
+FROM documents
+""",
+    "q_media_frames": """
+WITH v AS (
+  SELECT doc_id AS media_id, n_chars,
+         greatest(1, (n_chars * 10) // 1000) AS n_frames
+  FROM documents WHERE doc_id % 3 = 2
+), f AS (
+  SELECT media_id, r.range::INT AS frame_idx, n_chars, n_frames,
+         greatest(1, n_chars // n_frames) AS step
+  FROM v CROSS JOIN range(0, 64) r
+  WHERE r.range < n_frames
+)
+SELECT media_id, frame_idx,
+       least(step, greatest(0, n_chars - frame_idx * step))::INT AS frame_bytes
+FROM f
+""",
 }
 
 
 def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Resize plumbing over image rows (mapInPandas rewrite of content
-    + meta). Decode is the stubbed fake, so this is rows-only like the
-    other media paths; the emitted meta is still asserted in tests."""
+    + meta), verified at the BYTE level: summarize_resized measures the
+    emitted blobs (length, final byte, trailing-NUL pad) and the oracle
+    recomputes those from the source text — the hash only matches if
+    the rewrite really produced the declared 64x32 payload."""
     from sandbox_data_pipeline_spark.operators.multimodal import (
         media_from_documents,
         resize_images,
+        summarize_resized,
     )
 
     docs = table(spark, sf_dir, "documents")
     media = media_from_documents(docs)
     out = resize_images(media, width=64, height=32, fake=True)
-    return out.select(
-        "media_id",
-        "media_type",
-        F.col("meta.byte_len").alias("byte_len"),
-        F.col("meta.width").alias("width"),
-        F.col("meta.height").alias("height"),
-    )
+    return summarize_resized(out)
 
 
 QUERIES["q_media_resize"] = q_media_resize
+ORACLE["q_media_resize"] = """
+SELECT doc_id AS media_id,
+       64::INT AS width, 32::INT AS height,
+       2048::BIGINT AS out_len,
+       (CASE WHEN n_chars >= 2048 THEN ascii(substr(text, 2048, 1)) ELSE 0 END)::INT AS tail_byte,
+       (CASE WHEN n_chars >= 2048 THEN 0 ELSE 2048 - n_chars END)::BIGINT AS pad_len
+FROM documents WHERE doc_id % 3 = 0
+"""
 
 
 def q_media_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
