@@ -104,11 +104,16 @@ class RestPollStreamReader(DataSourceStreamReader):
     incrementally with checkpointed exactly-once offsets.
 
     Restart contract: offsets live in the checkpoint; a fresh reader
-    instance may lag the checkpoint, so ``partitions`` fast-forwards
-    the internal counter and emits an empty round rather than
-    re-polling history (a poll is a point-in-time observation — there
-    is no history to replay; idempotent re-publish downstream covers
-    the at-least-once re-fetch of an uncommitted round)."""
+    instance may lag the checkpoint (its counter restarts at 0 while
+    the checkpoint is at N). A monotonic high-water mark over every
+    offset this instance has SEEN — not just the ones it generated —
+    makes ``partitions`` emit only rounds above it, so the
+    first-after-restart batch (N → 1) is empty AND the follow-up batch
+    (1 → N+1) cannot re-emit rounds 2..N: history is never re-polled
+    (a poll is a point-in-time observation with no history to replay).
+    The one at-least-once case that remains is Spark's own WAL replay
+    of a planned-but-uncommitted batch, where the re-fetch is correct
+    behavior and idempotent re-publish downstream absorbs it."""
 
     def __init__(self, options):
         self.transport = options.get("transport", "http")
@@ -117,6 +122,7 @@ class RestPollStreamReader(DataSourceStreamReader):
         if not isinstance(self.endpoints, list) or not self.endpoints:
             raise ValueError("option 'endpoints' must be a non-empty JSON array")
         self._poll = 0
+        self._hwm = 0
 
     def initialOffset(self):
         return {"poll": 0}
@@ -127,13 +133,17 @@ class RestPollStreamReader(DataSourceStreamReader):
 
     def partitions(self, start, end):
         lo, hi = start["poll"], end["poll"]
-        if hi <= lo:
-            # restarted reader behind the checkpoint: fast-forward
-            self._poll = lo
+        # Emit only rounds above everything already seen: `lo` alone is
+        # wrong after a restart, where the committed offset can regress
+        # below the checkpointed high water (see class docstring).
+        base = max(lo, self._hwm)
+        self._hwm = max(self._hwm, lo, hi)
+        self._poll = max(self._poll, self._hwm)
+        if hi <= base:
             return []
         return [
             _PollPartition(p, e)
-            for p in range(lo + 1, hi + 1)
+            for p in range(base + 1, hi + 1)
             for e in self.endpoints
         ]
 

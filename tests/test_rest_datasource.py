@@ -140,3 +140,13 @@ def test_rest_poll_stream_rounds_and_restart(spark, tmp_path):
     assert len(polls) >= 2
     newest = after.where(after.poll == max(polls)).collect()
     assert all("second" in r.body for r in newest)
+    # exactly-once across the restart: no (poll, endpoint) pair may be
+    # re-emitted — the restarted reader must fast-forward past the
+    # checkpointed rounds, never replay 2..N (high-water-mark contract)
+    dupes = (
+        after.groupBy("poll", "endpoint")
+        .count()
+        .where("count > 1")
+        .collect()
+    )
+    assert dupes == [], f"duplicate (poll, endpoint) rows after restart: {dupes}"
