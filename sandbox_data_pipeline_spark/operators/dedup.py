@@ -172,8 +172,14 @@ def containment_pairs(
     key: shingle, fan-out bounded by ``df_cap`` — ON by default, the
     O(Σ df²) guard) → per-pair common count → per-doc set sizes. Emits
     one row per unordered pair (doc_a < doc_b) with BOTH directions'
-    containment, filtered on the max of the two."""
-    sh = word_shingles(docs, n=n, id_col=id_col, text_col=text_col, df_cap=df_cap).persist()
+    containment, filtered on the max of the two.
+
+    No persist on the shingle frame: the function returns lazily, so a
+    persist here could never be safely unpersisted (the caller hasn't
+    consumed the result yet) and would pin executor storage for the
+    session lifetime. Recomputing shingles (map-side regex work) for
+    the size aggregate is cheaper than that leak."""
+    sh = word_shingles(docs, n=n, id_col=id_col, text_col=text_col, df_cap=df_cap)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     common = (

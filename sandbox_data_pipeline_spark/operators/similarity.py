@@ -473,6 +473,12 @@ def pq_codebook(
     ivf_centroids — production swaps in per-subspace k-means behind the
     identical shape, ``codebook[s][j] -> list[float]``). One bounded
     collect of k rows; everything downstream is map-side."""
+    if dim % m != 0:
+        raise ValueError(
+            f"PQ requires dim divisible by m: dim={dim}, m={m} — a silent "
+            f"truncation to {m * (dim // m)} dims would make every ADC "
+            "reconstruction shorter than the query and the ranking garbage"
+        )
     sub = dim // m
     rows = (
         embeddings.select(F.col(id_col), as_double_array(vec_col).alias("v"))
@@ -509,6 +515,10 @@ def pq_encode(
     classic 32× memory cut (64 floats → 8 bytes) that makes a 100 TB
     vector corpus fit a serving tier. Output: (id, codes array<int>)."""
     m = len(codebook)
+    if dim % m != 0:
+        raise ValueError(
+            f"PQ requires dim divisible by m: dim={dim}, m={m}"
+        )
     sub = dim // m
     v = embeddings.select(F.col(id_col), as_double_array(vec_col).alias("_v"))
     codes = []

@@ -832,7 +832,10 @@ def q_minhash_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, sf_dir, "documents")
     pairs = q_dedup_minhash_pairs(spark, sf_dir)
-    sh = word_shingles(docs, n=MINHASH_N).persist()
+    # No persist: the query returns lazily, so a persist here could
+    # never be safely unpersisted and would pin executor storage for
+    # the session lifetime (map-side shingle recompute is cheaper).
+    sh = word_shingles(docs, n=MINHASH_N)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     bsh = sh.select(
         F.col("doc_id").alias("_db"), F.col("shingle").alias("_shb")

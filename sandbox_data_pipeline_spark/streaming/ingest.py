@@ -125,10 +125,16 @@ def start_dedup_admission(
     from sandbox_data_pipeline_spark.operators.dedup import incremental_dedup
 
     def _admit(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.errors import AnalysisException
+
         s = batch_df.sparkSession
         try:
             corpus = s.read.parquet(admitted_dir).select("doc_id", "text")
-        except Exception:  # first batch: no store yet
+        except AnalysisException:  # first batch: no store yet
+            # Only path-missing is an empty corpus. Any OTHER read
+            # failure must raise so the checkpoint retries the batch —
+            # silently deduping against nothing would admit near-dups
+            # of previously admitted docs.
             corpus = s.createDataFrame([], "doc_id long, text string")
         verdicts = incremental_dedup(
             batch_df.select("doc_id", "text"),
