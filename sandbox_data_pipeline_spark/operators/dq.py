@@ -119,6 +119,58 @@ def catalog_events(table_name: str, doc: dict[str, Any]) -> list[dict[str, Any]]
     return out
 
 
+class CatalogStore:
+    """Institutional-memory link store with append-if-absent semantics,
+    matching the reference's DataHub emitter (`add_link`,
+    include/utils/anomalo_datahub.py:82-108): a per-table link list
+    where a link is appended only when its URL is not already present,
+    so re-emitting the same check run — retries, backfills, replayed
+    hours — never duplicates catalog entries.
+
+    JSON-file-backed when ``path`` is given (the engine's stand-in for
+    the DataHub graph aspect), in-memory otherwise."""
+
+    def __init__(self, path: str | None = None):
+        self.path = path
+        self.links: dict[str, list[dict[str, str]]] = {}
+        if path is not None:
+            import json
+            import os
+
+            if os.path.exists(path):
+                with open(path, encoding="utf-8") as f:
+                    self.links = json.load(f)
+
+    def _flush(self) -> None:
+        if self.path is not None:
+            import json
+
+            with open(self.path, "w", encoding="utf-8") as f:
+                json.dump(self.links, f, indent=1, sort_keys=True)
+
+    def add_link(self, table_name: str, url: str, description: str) -> bool:
+        """Append-if-absent; returns whether a write happened (the
+        reference's ``need_write``)."""
+        elems = self.links.setdefault(table_name, [])
+        if any(x["url"] == url for x in elems):
+            return False
+        elems.append({"url": url, "description": description})
+        self._flush()
+        return True
+
+    def emit(self, table_name: str, doc: dict[str, Any]) -> list[dict[str, Any]]:
+        """Emit assertion events for a check document AND maintain the
+        table's institutional-memory links (one per check-run URL,
+        deduped on append). Idempotent: emitting the same document
+        twice yields the same link store."""
+        events = catalog_events(table_name, doc)
+        for ev in events:
+            self.add_link(
+                table_name, ev["url"], f"{ev['assertion']} check run"
+            )
+        return events
+
+
 def mad_anomaly_report(
     df: DataFrame,
     group_col: str,

@@ -160,3 +160,45 @@ def test_advise_shuffle_partitions_scales_with_size(spark):
     # with a 1 MB target the ~4 MB+ table must ask for more than the floor
     n_big = advise_shuffle_partitions(big, target_partition_bytes=1 << 20)
     assert n_big > spark.sparkContext.defaultParallelism or n_big >= 4
+
+
+def test_catalog_store_link_dedup_on_append(tmp_path):
+    """D3: institutional-memory links are append-if-absent (reference
+    include/utils/anomalo_datahub.py:82-108) — re-emitting a check
+    document never duplicates a link, across store reloads too."""
+    from sandbox_data_pipeline_spark.operators.dq import CatalogStore
+
+    doc = {
+        "check_runs": [
+            {
+                "check_run_url": "https://dq/run/1",
+                "results": {"success": True, "evaluated_message": "ok"},
+            },
+            {
+                "check_run_url": "https://dq/run/2",
+                "results": {"success": False, "evaluated_message": "bad"},
+            },
+        ]
+    }
+    path = str(tmp_path / "catalog_links.json")
+    store = CatalogStore(path)
+    events = store.emit("weather", doc)
+    assert len(events) == 2
+    assert [x["url"] for x in store.links["weather"]] == [
+        "https://dq/run/1",
+        "https://dq/run/2",
+    ]
+
+    # replayed emission (retry / backfill): no new links
+    store.emit("weather", doc)
+    assert len(store.links["weather"]) == 2
+
+    # a RELOADED store (fresh process, same JSON file) still dedups
+    store2 = CatalogStore(path)
+    store2.emit("weather", doc)
+    assert len(store2.links["weather"]) == 2
+
+    # a genuinely new run url appends exactly once; need_write contract
+    assert store2.add_link("weather", "https://dq/run/3", "dq.weather check run")
+    assert not store2.add_link("weather", "https://dq/run/3", "dq.weather check run")
+    assert len(store2.links["weather"]) == 3
