@@ -832,10 +832,11 @@ def q_minhash_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, sf_dir, "documents")
     pairs = q_dedup_minhash_pairs(spark, sf_dir)
-    # No persist: the query returns lazily, so a persist here could
-    # never be safely unpersisted and would pin executor storage for
-    # the session lifetime (map-side shingle recompute is cheaper).
-    sh = word_shingles(docs, n=MINHASH_N)
+    # localCheckpoint, not persist: materialized once for the three
+    # consumers, released with the lineage instead of pinning executor
+    # storage for the session lifetime (the lazily-returned result
+    # could never safely unpersist).
+    sh = word_shingles(docs, n=MINHASH_N).localCheckpoint(eager=True)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     bsh = sh.select(
         F.col("doc_id").alias("_db"), F.col("shingle").alias("_shb")

@@ -34,16 +34,30 @@ QUERIES: dict = {}
 ORACLE: dict = {}
 
 
+def first_seen_plan(
+    events: DataFrame,
+    keys: tuple[str, ...] = ("user_id", "event_type"),
+    order: tuple[str, ...] = ("ts", "event_id"),
+) -> DataFrame:
+    """One row per key, the first by ``order`` — the batch form of
+    first_seen_stream's emission contract. Shared by q_first_seen_batch
+    and the stream==batch equivalence test so the oracle-verified plan
+    IS the plan the stream is checked against."""
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return (
+        events.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
 def q_first_seen_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch twin of streaming/hourly.py:first_seen_stream (keyed
     applyInPandasWithState dedup): first event per (user_id,
     event_type) by (ts, event_id)."""
     e = table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
-    return (
-        e.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("user_id", "event_type", "event_id", "ts", "value")
+    return first_seen_plan(e).select(
+        "user_id", "event_type", "event_id", "ts", "value"
     )
 
 
