@@ -72,6 +72,7 @@ HEADLINE = [
     "q_curation_pipeline",
     "q_first_seen_batch",
     "q_trending_batch",
+    "q_sessionize_batch",
 ]
 
 

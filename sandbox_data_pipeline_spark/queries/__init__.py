@@ -50,6 +50,7 @@ DRIVER_PRIORITY = (
     # new round-3 streaming batch twins
     "q_first_seen_batch",
     "q_trending_batch",
+    "q_sessionize_batch",
     # TPC-H decision-support suite, q06+ never driver-sampled
     "q_tpch_q06",
     "q_tpch_q07",

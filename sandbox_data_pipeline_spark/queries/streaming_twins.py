@@ -87,6 +87,59 @@ def q_trending_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of streaming/hourly.py:sessionize — Spark's NATIVE
+    session_window evaluated in batch mode (same expression the stream
+    plans), 30-minute gap per user. The oracle rebuilds gap-based
+    sessions from first principles (lag + strict-< gap flag + running
+    session id), so a hash match proves Spark's session semantics:
+    half-open windows, end = last event + gap, a gap-boundary event
+    starts a NEW session. Sums ride exact decimal so per-session
+    reduction order cannot drift."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), F.col("user_id")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("decimal(18,6)")
+            .alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+ORACLE["q_sessionize_batch"] = """
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   < INTERVAL 30 MINUTE
+              THEN 0 ELSE 1 END AS new_sess
+  FROM events
+), sess AS (
+  SELECT user_id, ts, value,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+       COUNT(*) AS n_events,
+       (SUM(value::DECIMAL(18,6)))::DECIMAL(18,6) AS sum_value
+FROM sess GROUP BY user_id, sid
+"""
+QUERIES["q_sessionize_batch"] = q_sessionize_batch
+
+
 ORACLE["q_trending_batch"] = """
 WITH toks AS (
   SELECT source, unnest(string_split(text, ' ')) AS token FROM documents
