@@ -73,6 +73,7 @@ HEADLINE = [
     "q_first_seen_batch",
     "q_trending_batch",
     "q_sessionize_batch",
+    "q_substring_dup_spans",
 ]
 
 

@@ -132,8 +132,14 @@ def ngram_jaccard_pairs(
     dropped shingles are by construction near-useless for similarity
     (they match everything). Pass ``df_cap=None`` only on corpora known
     to have no hot shingles.
+
+    localCheckpoint (not persist) for the triple-consumed shingle
+    frame: blocks release with the lineage instead of pinning executor
+    storage for the session lifetime — see containment_pairs.
     """
-    sh = word_shingles(docs, n=n, id_col=id_col, text_col=text_col, df_cap=df_cap).persist()
+    sh = word_shingles(
+        docs, n=n, id_col=id_col, text_col=text_col, df_cap=df_cap
+    ).localCheckpoint(eager=True)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     common = (
@@ -475,8 +481,14 @@ def simhash_pairs(
     fingerprint → candidate; with 6 bytes and hamming <= 3 at least
     three bytes must match exactly), then exact hamming filter.
     48 bits (not 32) because shared-vocabulary corpora cluster tightly
-    in simhash space — fewer bits produce quadratic candidate blowup."""
-    fps = simhash_fingerprints(docs, bits=bits, id_col=id_col, text_col=text_col).persist()
+    in simhash space — fewer bits produce quadratic candidate blowup.
+
+    localCheckpoint (not persist) on the fingerprint frame consumed by
+    both self-join sides: blocks release with the lineage instead of
+    pinning executor storage for the session — see containment_pairs."""
+    fps = simhash_fingerprints(
+        docs, bits=bits, id_col=id_col, text_col=text_col
+    ).localCheckpoint(eager=True)
     nbytes = bits // 8
     # single-pass banding (explode, not union — see minhash_bands)
     bands = fps.select(
@@ -786,4 +798,92 @@ def incremental_dedup(
         exact_stage.join(near_corpus_ids, id_col, "left")
         .join(near_batch_ids, id_col, "left")
         .select(id_col, "fp", verdict.alias("verdict"))
+    )
+
+
+def duplicated_substring_spans(
+    docs: DataFrame,
+    gram_len: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact substring deduplication: maximal character spans that are
+    duplicated ANYWHERE in the corpus (the suffix-array dedup of Lee et
+    al. 2022, "Deduplicating Training Data Makes Language Models
+    Better", re-expressed relationally).
+
+    Plan: every character ``gram_len``-gram of every doc (JVM-side
+    substring over an exploded position sequence — no Python) →
+    groupBy gram keeping grams with ≥ 2 occurrences corpus-wide →
+    per-doc gaps-and-islands merge of the surviving [pos, pos+L)
+    intervals (lag + running flag-sum window) → one row per maximal
+    duplicated span (doc_id, span_start, span_end inclusive,
+    span_len).
+
+    Scale: one shuffle keyed by the gram HASH (count partial-combines
+    map-side), one window shuffle by doc. Grams shuffle as the portable
+    60-bit hash (8 bytes), never the raw 32-char string — and because
+    DuckDB computes the identical hash, a collision (≈ n²/2⁶¹) merely
+    merges the same gram groups on both engines, so the differential
+    oracle stays exact rather than merely probable. At 100 TB add a
+    df-cap filter for runaway boilerplate grams exactly like
+    word_shingles' guard; the island merge is unchanged. Docs shorter
+    than the gram are span-free by definition (filtered before the
+    position explode, which also keeps F.sequence bounds valid)."""
+    from pyspark.sql import Window
+
+    L = gram_len
+    d = docs.where(F.length(text_col) >= L).select(
+        F.col(id_col), F.col(text_col).alias("_t")
+    )
+    # localCheckpoint: consumed by both the occurrence count and the
+    # join-back; blocks release with the lineage (see containment_pairs)
+    grams = (
+        d.select(
+            id_col,
+            F.explode(
+                F.sequence(F.lit(1), F.length("_t") - F.lit(L - 1))
+            ).alias("pos"),
+            F.col("_t"),
+        )
+        .select(
+            id_col,
+            "pos",
+            portable_hash(F.expr(f"substring(_t, pos, {L})")).alias("gkey"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    dup_grams = (
+        grams.groupBy("gkey")
+        .agg(F.count(F.lit(1)).alias("occ"))
+        .where(F.col("occ") >= 2)
+        .select("gkey")
+    )
+    dup_pos = grams.join(dup_grams, "gkey", "left_semi")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    islands = (
+        dup_pos.withColumn("prev", F.lag("pos").over(w))
+        # same-length intervals: [pos, pos+L-1] merges with the
+        # previous one iff it starts at or before prev_end + 1
+        .withColumn(
+            "new_span",
+            F.when(
+                F.col("prev").isNull() | (F.col("pos") > F.col("prev") + L),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn("span_id", F.sum("new_span").over(w))
+    )
+    return (
+        islands.groupBy(id_col, "span_id")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(L - 1)).alias("span_end"),
+        )
+        .select(
+            id_col,
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("span_len"),
+        )
     )

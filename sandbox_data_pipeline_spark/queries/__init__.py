@@ -51,6 +51,8 @@ DRIVER_PRIORITY = (
     "q_first_seen_batch",
     "q_trending_batch",
     "q_sessionize_batch",
+    # new round-3 operator: exact substring dedup (Lee et al. 2022)
+    "q_substring_dup_spans",
     # TPC-H decision-support suite, q06+ never driver-sampled
     "q_tpch_q06",
     "q_tpch_q07",

@@ -901,3 +901,52 @@ JOIN sizes sb ON sb.doc_id = mh.doc_b
 
 QUERIES["q_minhash_precision"] = q_minhash_precision
 ORACLE["q_minhash_precision"] = _oracle_minhash_precision()
+
+
+def q_substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring deduplication (operators/dedup.py:
+    duplicated_substring_spans): maximal character spans duplicated
+    anywhere in the corpus, Lee-et-al-2022 style, as one gram shuffle
+    + one per-doc island merge. The oracle rebuilds the same spans
+    from first principles (range-join grams, HAVING count>=2,
+    gaps-and-islands)."""
+    from sandbox_data_pipeline_spark.operators.dedup import (
+        duplicated_substring_spans,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    return duplicated_substring_spans(docs, gram_len=32)
+
+
+# range(1, 1024) bounds gram positions; driver testdata max n_chars is
+# ~577 at every SF, so 1023 >> the largest valid position (len - 31).
+# Grams group by the SAME portable 60-bit hash Spark shuffles on, so
+# even a hash collision merges identical groups on both engines.
+ORACLE["q_substring_dup_spans"] = f"""
+WITH grams AS (
+  SELECT doc_id, r.range::INT AS pos,
+         {_H("substr(text, r.range::INT, 32)")} AS gkey
+  FROM documents CROSS JOIN range(1, 1024) r
+  WHERE length(text) >= 32 AND r.range <= length(text) - 31
+), dup AS (
+  SELECT gkey FROM grams GROUP BY gkey HAVING count(*) >= 2
+), dp AS (
+  SELECT g.doc_id, g.pos FROM grams g JOIN dup USING (gkey)
+), flagged AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 32
+              THEN 0 ELSE 1 END AS new_span
+  FROM dp
+), sp AS (
+  SELECT doc_id, pos,
+         SUM(new_span) OVER (PARTITION BY doc_id ORDER BY pos
+                             ROWS UNBOUNDED PRECEDING) AS span_id
+  FROM flagged
+)
+SELECT doc_id,
+       MIN(pos) AS span_start,
+       MAX(pos) + 31 AS span_end,
+       MAX(pos) + 31 - MIN(pos) + 1 AS span_len
+FROM sp GROUP BY doc_id, span_id
+"""
+QUERIES["q_substring_dup_spans"] = q_substring_dup_spans

@@ -503,11 +503,14 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB the only guard needed is the df cap already applied here
     (hot tokens are exactly the ones you drop as stopwords)."""
     d = table(spark, sf_dir, "documents")
+    # localCheckpoint, not persist: consumed twice (top-k + join), and
+    # a lazily-returned query can never safely unpersist — blocks
+    # release with the lineage instead of pinning the session
     pairs = (
         d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
         .where(F.col("token") != "")
         .distinct()
-        .persist()
+        .localCheckpoint(eager=True)
     )
     # select WHICH tokens first (tiny top-k over counts), and only then
     # build posting lists for those — collecting a posting list per

@@ -240,3 +240,40 @@ def test_leakage_safe_split_keeps_near_dups_together(spark):
 
     c = Counter(split.values())
     assert sum(c.values()) == len(split) and c["train"] > c["val"] + c["test"]
+
+
+def test_duplicated_substring_spans_geometry(spark):
+    """Known geometry: a 40-char block shared by two docs must surface
+    as exactly one maximal span of length 40 in EACH doc, at its true
+    offset; a unique doc yields nothing; in-doc repetition is caught
+    corpus-wide (occurrence count, not distinct-doc count)."""
+    import random
+    import string
+
+    from sandbox_data_pipeline_spark.operators.dedup import (
+        duplicated_substring_spans,
+    )
+
+    rng = random.Random(7)
+
+    def rand(n):
+        return "".join(rng.choice(string.ascii_lowercase) for _ in range(n))
+
+    shared = "THE-QUICK-BROWN-FOX-JUMPS-OVER-LAZY-DOGS"  # 40 chars
+    assert len(shared) == 40
+    d1 = rand(20) + shared + rand(25)          # span at 21..60
+    d2 = rand(50) + shared + rand(10)          # span at 51..90
+    d3 = rand(80)                              # no duplication
+    d4 = shared + rand(40) + shared            # self-repetition
+    docs = spark.createDataFrame(
+        [(1, d1), (2, d2), (3, d3), (4, d4)], "doc_id long, text string"
+    )
+    got = {
+        (r.doc_id, r.span_start, r.span_end, r.span_len)
+        for r in duplicated_substring_spans(docs, gram_len=32).collect()
+    }
+    assert (1, 21, 60, 40) in got
+    assert (2, 51, 90, 40) in got
+    assert (4, 1, 40, 40) in got and (4, 81, 120, 40) in got
+    assert not any(d == 3 for d, *_ in got)
+    assert len(got) == 4
