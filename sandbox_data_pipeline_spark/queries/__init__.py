@@ -53,6 +53,10 @@ DRIVER_PRIORITY = (
     "q_sessionize_batch",
     # new round-3 operator: exact substring dedup (Lee et al. 2022)
     "q_substring_dup_spans",
+    # new round-3 layout engineering (Z-order skipping, compaction)
+    "q_zorder_skipping",
+    "q_compaction_plan",
+    "q_zorder_stats",
     # TPC-H decision-support suite, q06+ never driver-sampled
     "q_tpch_q06",
     "q_tpch_q07",
@@ -105,6 +109,7 @@ def registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
         cdc,
         dedup,
         dq,
+        layout,
         multimodal,
         reference_parity,
         relational,
@@ -126,6 +131,7 @@ def registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
         dq,
         cdc,
         streaming_twins,
+        layout,
         analytics,
         multimodal,
         text,

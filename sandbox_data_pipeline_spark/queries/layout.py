@@ -1,0 +1,209 @@
+"""Layout-engineering queries: Z-order clustering quality, min-max
+data-skipping effectiveness, and compaction planning — with DuckDB
+oracles running character-identical integer arithmetic (see
+operators/layout.py for the shared SQL builder).
+
+Why these earn registry rows: at 100 TB correctness is table stakes
+and layout is the throughput lever. ``q_zorder_skipping`` turns the
+"Z-ordering lets min-max stats prune on the second column too" claim
+into a measured, oracle-verified comparison between the natural
+(single-column) layout and the Morton layout over the same data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sandbox_data_pipeline_spark.catalog import table
+from sandbox_data_pipeline_spark.operators.layout import (
+    DUCK,
+    compaction_plan,
+    interleave_sql,
+    quantize_sql,
+    skipping_report,
+    skipping_stats,
+    zvalue,
+)
+
+BITS = 8  # 256 buckets per dimension; 16-bit Morton key
+COMPACT_TARGET = 2_000  # rows per merge group in the plan demo
+
+
+def q_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-Z-bucket footprint of lineitem clustered on
+    (l_orderkey, l_partkey): bucket = top 8 bits of the 16-bit Morton
+    key. Tight per-bucket min-max ranges on BOTH columns are exactly
+    what makes the layout prunable."""
+    li = table(spark, sf_dir, "lineitem")
+    z = zvalue(li, "l_orderkey", "l_partkey", bits=BITS)
+    return (
+        z.withColumn("bucket", F.expr(f"shiftright(zval, {BITS})"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("bucket_rows"),
+            F.min("l_orderkey").alias("ok_min"),
+            F.max("l_orderkey").alias("ok_max"),
+            F.min("l_partkey").alias("pk_min"),
+            F.max("l_partkey").alias("pk_max"),
+        )
+    )
+
+
+def _pk_range_mid10(d):
+    """Predicate range = middle 10% of l_partkey's span, in integer
+    arithmetic both engines reproduce exactly."""
+    lo = f"(_b_lo + {d.intdiv('(_b_hi - _b_lo) * 45', '100')})"
+    hi = f"(_b_lo + {d.intdiv('(_b_hi - _b_lo) * 55', '100')})"
+    return lo, hi
+
+
+def q_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Natural vs Z-order layout scored against the same predicate
+    (l_partkey in the middle 10% of its range): buckets whose min-max
+    footprint misses the range are never scanned. The natural layout
+    (files keyed by l_orderkey ranges) can skip almost nothing for a
+    l_partkey predicate; the Morton layout skips most buckets — the
+    measured case for OPTIMIZE ZORDER at 100 TB."""
+    li = table(spark, sf_dir, "lineitem")
+    bounds = li.agg(
+        F.min("l_orderkey").alias("_a_lo"),
+        F.max("l_orderkey").alias("_a_hi"),
+        F.min("l_partkey").alias("_b_lo"),
+        F.max("l_partkey").alias("_b_hi"),
+    )
+    from sandbox_data_pipeline_spark.operators.layout import SPARK
+
+    lo_s, hi_s = _pk_range_mid10(SPARK)
+    with_b = li.crossJoin(F.broadcast(bounds))
+    qa = quantize_sql("l_orderkey", "_a_lo", "_a_hi", BITS, SPARK)
+    qb = quantize_sql("l_partkey", "_b_lo", "_b_hi", BITS, SPARK)
+    z = interleave_sql(f"({qa})", f"({qb})", BITS, SPARK)
+    keyed = with_b.select(
+        F.col("l_partkey"),
+        F.expr(qa).alias("nat_bucket"),
+        F.expr(f"shiftright({z}, {BITS})").alias("z_bucket"),
+        F.expr(lo_s).alias("_lo"),
+        F.expr(hi_s).alias("_hi"),
+    )
+    row = keyed.select("_lo", "_hi").limit(1).collect()[0]
+    lo, hi = row["_lo"], row["_hi"]
+    nat = skipping_report(
+        skipping_stats(keyed, "nat_bucket", "l_partkey"), lo, hi, "natural"
+    )
+    zrd = skipping_report(
+        skipping_stats(keyed, "z_bucket", "l_partkey"), lo, hi, "zorder"
+    )
+    return nat.unionAll(zrd)
+
+
+def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compaction planning over the events table's hourly 'files':
+    one manifest row per hour, binned into merge groups of
+    ~COMPACT_TARGET rows by cumulative first-fit. The window runs over
+    the manifest (one row per hour), not the events."""
+    e = table(spark, sf_dir, "events")
+    files = e.groupBy(F.date_trunc("hour", "ts").alias("file_hr")).agg(
+        F.count("*").alias("file_rows")
+    )
+    return compaction_plan(files, "file_rows", "file_hr", COMPACT_TARGET).select(
+        "group_id",
+        "n_files",
+        "total_rows",
+        F.col("first_file").alias("first_hr"),
+        F.col("last_file").alias("last_hr"),
+    )
+
+
+def _zorder_stats_sql() -> str:
+    qa = quantize_sql("l_orderkey", "_a_lo", "_a_hi", BITS, DUCK)
+    qb = quantize_sql("l_partkey", "_b_lo", "_b_hi", BITS, DUCK)
+    z = interleave_sql(f"({qa})", f"({qb})", BITS, DUCK)
+    return f"""
+        WITH b AS (
+            SELECT min(l_orderkey) AS _a_lo, max(l_orderkey) AS _a_hi,
+                   min(l_partkey) AS _b_lo, max(l_partkey) AS _b_hi
+            FROM lineitem
+        )
+        SELECT ({z} >> {BITS}) AS bucket,
+               count(*) AS bucket_rows,
+               min(l_orderkey) AS ok_min, max(l_orderkey) AS ok_max,
+               min(l_partkey) AS pk_min, max(l_partkey) AS pk_max
+        FROM lineitem CROSS JOIN b
+        GROUP BY 1
+    """
+
+
+def _zorder_skipping_sql() -> str:
+    qa = quantize_sql("l_orderkey", "_a_lo", "_a_hi", BITS, DUCK)
+    qb = quantize_sql("l_partkey", "_b_lo", "_b_hi", BITS, DUCK)
+    z = interleave_sql(f"({qa})", f"({qb})", BITS, DUCK)
+    lo, hi = _pk_range_mid10(DUCK)
+    return f"""
+        WITH b AS (
+            SELECT min(l_orderkey) AS _a_lo, max(l_orderkey) AS _a_hi,
+                   min(l_partkey) AS _b_lo, max(l_partkey) AS _b_hi
+            FROM lineitem
+        ),
+        keyed AS (
+            SELECT l_partkey,
+                   ({qa}) AS nat_bucket,
+                   ({z} >> {BITS}) AS z_bucket,
+                   {lo} AS _lo, {hi} AS _hi
+            FROM lineitem CROSS JOIN b
+        ),
+        nat AS (
+            SELECT nat_bucket, count(*) AS bucket_rows,
+                   min(l_partkey) AS v_min, max(l_partkey) AS v_max,
+                   any_value(_lo) AS _lo, any_value(_hi) AS _hi
+            FROM keyed GROUP BY 1
+        ),
+        zb AS (
+            SELECT z_bucket, count(*) AS bucket_rows,
+                   min(l_partkey) AS v_min, max(l_partkey) AS v_max,
+                   any_value(_lo) AS _lo, any_value(_hi) AS _hi
+            FROM keyed GROUP BY 1
+        )
+        SELECT 'natural' AS layout, count(*) AS buckets_total,
+               sum(CASE WHEN v_max < _lo OR v_min > _hi THEN 1 ELSE 0 END) AS buckets_skipped,
+               sum(CASE WHEN v_max < _lo OR v_min > _hi THEN bucket_rows ELSE 0 END) AS rows_skipped
+        FROM nat
+        UNION ALL
+        SELECT 'zorder' AS layout, count(*) AS buckets_total,
+               sum(CASE WHEN v_max < _lo OR v_min > _hi THEN 1 ELSE 0 END) AS buckets_skipped,
+               sum(CASE WHEN v_max < _lo OR v_min > _hi THEN bucket_rows ELSE 0 END) AS rows_skipped
+        FROM zb
+    """
+
+
+QUERIES = {
+    "q_zorder_stats": q_zorder_stats,
+    "q_zorder_skipping": q_zorder_skipping,
+    "q_compaction_plan": q_compaction_plan,
+}
+
+ORACLE = {
+    "q_zorder_stats": _zorder_stats_sql(),
+    "q_zorder_skipping": _zorder_skipping_sql(),
+    "q_compaction_plan": f"""
+        WITH files AS (
+            SELECT date_trunc('hour', ts) AS file_hr, count(*) AS file_rows
+            FROM events GROUP BY 1
+        ),
+        cum AS (
+            SELECT file_hr, file_rows,
+                   coalesce(sum(file_rows) OVER (
+                       ORDER BY file_hr
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS _cum_before
+            FROM files
+        )
+        SELECT (_cum_before // {COMPACT_TARGET}) AS group_id,
+               count(*) AS n_files,
+               sum(file_rows) AS total_rows,
+               min(file_hr) AS first_hr,
+               max(file_hr) AS last_hr
+        FROM cum
+        GROUP BY 1
+    """,
+}

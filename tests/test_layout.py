@@ -155,3 +155,72 @@ def test_schema_evolution_merge_on_read(spark, tmp_path):
     old = merged.where("run_hr = 2024010100").select("lang").distinct().collect()
     assert [r.lang for r in old] == [None]
     assert merged.count() == 10
+
+
+def test_zorder_skipping_beats_natural_layout(spark, sf_dir):
+    """The oracle-verified analytic: for a predicate on the SECOND
+    z-ordered column, the natural (first-column-ranged) layout skips
+    ~nothing while the Morton layout skips most buckets."""
+    from sandbox_data_pipeline_spark.queries.layout import q_zorder_skipping
+
+    rows = {r["layout"]: r for r in q_zorder_skipping(spark, sf_dir).collect()}
+    nat, z = rows["natural"], rows["zorder"]
+    assert nat["buckets_total"] == z["buckets_total"]
+    assert z["buckets_skipped"] > nat["buckets_skipped"]
+    # z-order must prune a real majority of buckets, not a sliver
+    assert z["buckets_skipped"] * 2 > z["buckets_total"]
+
+
+def test_zvalue_matches_python_reference(spark, sf_dir):
+    """Bit-level check of the Morton interleave against a direct
+    Python reimplementation on a sample of rows."""
+    from sandbox_data_pipeline_spark.operators.layout import zvalue
+
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    sample = zvalue(li, "l_orderkey", "l_partkey", bits=8).limit(200).collect()
+    lo_a = li.agg({"l_orderkey": "min"}).collect()[0][0]
+    hi_a = li.agg({"l_orderkey": "max"}).collect()[0][0]
+    lo_b = li.agg({"l_partkey": "min"}).collect()[0][0]
+    hi_b = li.agg({"l_partkey": "max"}).collect()[0][0]
+
+    def quant(x, lo, hi):
+        return (x - lo) * 256 // (hi - lo + 1)
+
+    def morton(qa, qb):
+        out = 0
+        for i in range(8):
+            out |= ((qa >> i) & 1) << (2 * i)
+            out |= ((qb >> i) & 1) << (2 * i + 1)
+        return out
+
+    for r in sample:
+        expect = morton(
+            quant(r["l_orderkey"], lo_a, hi_a), quant(r["l_partkey"], lo_b, hi_b)
+        )
+        assert r["zval"] == expect, r
+
+
+def test_compaction_plan_invariants(spark, sf_dir):
+    """First-fit grouping: rows conserved, groups contiguous from 0,
+    and no group overshoots target by more than one file."""
+    from sandbox_data_pipeline_spark.queries.layout import (
+        COMPACT_TARGET,
+        q_compaction_plan,
+    )
+
+    e = table(spark, sf_dir, "events")
+    n_events = e.count()
+    n_hours = e.selectExpr("date_trunc('hour', ts) h").distinct().count()
+    max_file = (
+        e.selectExpr("date_trunc('hour', ts) h")
+        .groupBy("h")
+        .count()
+        .agg({"count": "max"})
+        .collect()[0][0]
+    )
+    plan = q_compaction_plan(spark, sf_dir).collect()
+    assert sum(r["total_rows"] for r in plan) == n_events
+    assert sum(r["n_files"] for r in plan) == n_hours
+    assert sorted(r["group_id"] for r in plan) == list(range(len(plan)))
+    for r in plan:
+        assert r["total_rows"] < COMPACT_TARGET + max_file
