@@ -127,28 +127,32 @@ def skipping_stats(
     df: DataFrame,
     bucket_col: str,
     value_col: str,
+    lo_col: str = "_lo",
+    hi_col: str = "_hi",
 ) -> DataFrame:
     """Per-bucket (≈ per-file) min-max footprint of ``value_col`` — the
     stats a pruner consults before deciding to open the file. One
-    partial-aggregated shuffle on the bucket id."""
+    partial-aggregated shuffle on the bucket id. The predicate bounds
+    ride along as row-constant columns (``any_value``), so no driver
+    collect is needed to score the layout afterwards."""
     return df.groupBy(bucket_col).agg(
         F.count("*").alias("bucket_rows"),
         F.min(value_col).alias("v_min"),
         F.max(value_col).alias("v_max"),
+        F.any_value(lo_col).alias("_lo"),
+        F.any_value(hi_col).alias("_hi"),
     )
 
 
 def skipping_report(
     stats: DataFrame,
-    lo,
-    hi,
     layout: str,
 ) -> DataFrame:
-    """Score a layout against the predicate ``value BETWEEN lo AND hi``:
-    a bucket whose [v_min, v_max] misses the range entirely is never
-    read. Emits one row: (layout, buckets_total, buckets_skipped,
-    rows_skipped)."""
-    skippable = (F.col("v_max") < F.lit(lo)) | (F.col("v_min") > F.lit(hi))
+    """Score a layout against the predicate ``value BETWEEN _lo AND
+    _hi`` (bound columns carried by ``skipping_stats``): a bucket whose
+    [v_min, v_max] misses the range entirely is never read. Emits one
+    row: (layout, buckets_total, buckets_skipped, rows_skipped)."""
+    skippable = (F.col("v_max") < F.col("_lo")) | (F.col("v_min") > F.col("_hi"))
     return stats.agg(
         F.lit(layout).alias("layout"),
         F.count("*").alias("buckets_total"),

@@ -86,14 +86,8 @@ def q_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(lo_s).alias("_lo"),
         F.expr(hi_s).alias("_hi"),
     )
-    row = keyed.select("_lo", "_hi").limit(1).collect()[0]
-    lo, hi = row["_lo"], row["_hi"]
-    nat = skipping_report(
-        skipping_stats(keyed, "nat_bucket", "l_partkey"), lo, hi, "natural"
-    )
-    zrd = skipping_report(
-        skipping_stats(keyed, "z_bucket", "l_partkey"), lo, hi, "zorder"
-    )
+    nat = skipping_report(skipping_stats(keyed, "nat_bucket", "l_partkey"), "natural")
+    zrd = skipping_report(skipping_stats(keyed, "z_bucket", "l_partkey"), "zorder")
     return nat.unionAll(zrd)
 
 
