@@ -74,6 +74,8 @@ HEADLINE = [
     "q_trending_batch",
     "q_sessionize_batch",
     "q_substring_dup_spans",
+    "q_zorder_skipping",
+    "q_compaction_plan",
 ]
 
 

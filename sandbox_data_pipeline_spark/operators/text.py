@@ -452,6 +452,45 @@ def perplexity_model(
     return docs.select(id_col, _ppl(F.col(text_col)).alias("perplexity"))
 
 
+def unigram_cross_entropy(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-trained unigram cross-entropy per document — the
+    oracle-verifiable core of the CCNet/Gopher LM-filter stage (CCNet
+    uses a 5-gram KenLM; ``perplexity_model`` is the hook for that —
+    this is the n=1 member of the same family whose math a SQL engine
+    can replay exactly). Score = mean over tokens of -log2 p(token),
+    p estimated from the corpus itself; high bits/token = far from the
+    corpus distribution (gibberish or rare-domain), the standard
+    filter axis.
+
+    Plan shape: explode → vocab groupBy (partial-agg'd, vocab ≪
+    corpus) → join token→probability back onto the exploded stream →
+    per-doc re-agg. Two shuffles total (vocab count, doc re-agg); the
+    token join is left to AQE — at web scale the vocab is Zipf-skewed
+    and AQE's skew-join split handles the 'the' bucket.
+    """
+    toks = docs.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("tok")
+    ).where(F.col("tok") != "")
+    vocab = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("total"))
+    scored = (
+        toks.join(vocab, "tok")
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col(id_col),
+            (-F.log2(F.col("cnt") / F.col("total"))).alias("bits"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").alias("n_tokens"),
+        F.round(F.avg("bits"), 4).alias("bits_per_token"),
+    )
+
+
 def heuristic_perplexity_batch(texts):
     """Deterministic stand-in for a real LM scorer (KenLM et al.),
     shaped like the ``perplexity_model`` contract: a crude unigram

@@ -57,6 +57,9 @@ DRIVER_PRIORITY = (
     "q_zorder_skipping",
     "q_compaction_plan",
     "q_zorder_stats",
+    # new round-3 LM-filter stage + calibration curve
+    "q_unigram_bits",
+    "q_quality_sweep",
     # TPC-H decision-support suite, q06+ never driver-sampled
     "q_tpch_q06",
     "q_tpch_q07",

@@ -392,3 +392,36 @@ def test_curation_pipeline_stage_invariants(spark):
     for r in rows:
         per_lang_max[r.lang] = max(per_lang_max.get(r.lang, 0), r.cum_tokens)
     assert all(v <= TOKEN_BUDGET for v in per_lang_max.values())
+
+
+def test_unigram_cross_entropy_orders_rarity(spark):
+    """A doc of only the corpus's commonest token scores fewer
+    bits/token than a doc holding the rarest; counts conserve."""
+    from sandbox_data_pipeline_spark.operators.text import unigram_cross_entropy
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the the the the"),
+            (2, "the the the zyx"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in unigram_cross_entropy(docs).collect()}
+    assert rows[1]["n_tokens"] == 4 and rows[2]["n_tokens"] == 4
+    # p(the)=7/8 → doc1 bits = -log2(7/8); doc2 mixes in p(zyx)=1/8
+    assert rows[1]["bits_per_token"] < rows[2]["bits_per_token"]
+    import math
+
+    assert abs(rows[1]["bits_per_token"] - (-math.log2(7 / 8))) < 1e-3
+
+
+def test_quality_sweep_monotone(spark, sf_dir):
+    from sandbox_data_pipeline_spark.queries.text import q_quality_sweep
+
+    rows = sorted(q_quality_sweep(spark, sf_dir).collect(), key=lambda r: r["decile"])
+    assert len(rows) == 10
+    n_docs = rows[0]["docs_kept"]
+    assert n_docs > 0  # decile 0 keeps every doc (score >= 0 always)
+    for a, b in zip(rows, rows[1:]):
+        assert b["docs_kept"] <= a["docs_kept"]
+        assert b["tokens_kept"] <= a["tokens_kept"]
