@@ -1508,57 +1508,3 @@ GROUP BY doc_id
 QUERIES["q_unigram_bits"] = q_unigram_bits
 ORACLE["q_unigram_bits"] = _oracle_unigram_bits()
 
-
-def q_quality_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Filter-calibration curve: for each quality-score decile
-    threshold t/10, how many documents and tokens survive
-    ``quality_score >= t/10``. The curve a curation run consults to
-    pick its cutoff — emitted as pure integers (decile, docs_kept,
-    tokens_kept) so the cross-engine hash is float-free. One scan +
-    a 10-row broadcast cross join; per-threshold aggregation is a
-    single partial-agg'd shuffle of 10 keys."""
-    from sandbox_data_pipeline_spark.operators.text import quality_score
-
-    d = table(spark, sf_dir, "documents").select(
-        quality_score().alias("score"), token_count().alias("n_tok")
-    )
-    deciles = spark.range(10).select(F.col("id").cast("int").alias("decile"))
-    kept = F.col("score") >= F.col("decile") / F.lit(10.0)
-    return (
-        d.crossJoin(F.broadcast(deciles))
-        .groupBy("decile")
-        .agg(
-            F.sum(kept.cast("long")).alias("docs_kept"),
-            F.sum(F.when(kept, F.col("n_tok")).otherwise(0)).alias("tokens_kept"),
-        )
-    )
-
-
-def _oracle_quality_sweep() -> str:
-    nstop = _stop_hits(LANG_MARKERS["en"])
-    return f"""
-WITH scored AS (
-  SELECT round(least(1.0, greatest(0.0,
-           0.5 * (n_stop / n_tok) + 0.5 * (n_distinct / n_tok) - n_digit / n_chars)), 4)
-           AS score,
-         n_tok
-  FROM (
-    SELECT length(text) AS n_chars,
-           {_ntok()} AS n_tok,
-           length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit,
-           {nstop} AS n_stop,
-           len(list_distinct({_toks()})) AS n_distinct
-    FROM documents
-  )
-),
-thresholds AS (SELECT CAST(x AS INTEGER) AS decile FROM range(10) t(x))
-SELECT decile,
-       sum(CASE WHEN score >= decile / 10.0 THEN 1 ELSE 0 END) AS docs_kept,
-       sum(CASE WHEN score >= decile / 10.0 THEN n_tok ELSE 0 END) AS tokens_kept
-FROM scored CROSS JOIN thresholds
-GROUP BY decile
-"""
-
-
-QUERIES["q_quality_sweep"] = q_quality_sweep
-ORACLE["q_quality_sweep"] = _oracle_quality_sweep()

@@ -416,12 +416,16 @@ def test_unigram_cross_entropy_orders_rarity(spark):
 
 
 def test_quality_sweep_monotone(spark, sf_dir):
-    from sandbox_data_pipeline_spark.queries.text import q_quality_sweep
+    from sandbox_data_pipeline_spark.queries.text import (
+        SWEEP_THRESHOLDS,
+        q_quality_sweep,
+    )
 
-    rows = sorted(q_quality_sweep(spark, sf_dir).collect(), key=lambda r: r["decile"])
-    assert len(rows) == 10
-    n_docs = rows[0]["docs_kept"]
-    assert n_docs > 0  # decile 0 keeps every doc (score >= 0 always)
+    rows = sorted(
+        q_quality_sweep(spark, sf_dir).collect(), key=lambda r: r["threshold"]
+    )
+    assert len(rows) == len(SWEEP_THRESHOLDS)
+    assert rows[0]["docs_kept"] > 0
     for a, b in zip(rows, rows[1:]):
         assert b["docs_kept"] <= a["docs_kept"]
         assert b["tokens_kept"] <= a["tokens_kept"]
