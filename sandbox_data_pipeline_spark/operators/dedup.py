@@ -813,53 +813,46 @@ def duplicated_substring_spans(
     Better", re-expressed relationally).
 
     Plan: every character ``gram_len``-gram of every doc (JVM-side
-    substring over an exploded position sequence — no Python) →
-    groupBy gram keeping grams with ≥ 2 occurrences corpus-wide →
-    per-doc gaps-and-islands merge of the surviving [pos, pos+L)
-    intervals (lag + running flag-sum window) → one row per maximal
-    duplicated span (doc_id, span_start, span_end inclusive,
-    span_len).
+    substring over an exploded position sequence — no Python) → a
+    COUNT window partitioned by the gram hash keeps positions whose
+    gram occurs ≥ 2 times corpus-wide → per-doc gaps-and-islands merge
+    of the surviving [pos, pos+L) intervals (lag + running flag-sum
+    window) → one row per maximal duplicated span (doc_id, span_start,
+    span_end inclusive, span_len).
 
-    Scale: one shuffle keyed by the gram HASH (count partial-combines
-    map-side), one window shuffle by doc. Grams shuffle as the portable
-    60-bit hash (8 bytes), never the raw 32-char string — and because
-    DuckDB computes the identical hash, a collision (≈ n²/2⁶¹) merely
-    merges the same gram groups on both engines, so the differential
-    oracle stays exact rather than merely probable. At 100 TB add a
-    df-cap filter for runaway boilerplate grams exactly like
-    word_shingles' guard; the island merge is unchanged. Docs shorter
-    than the gram are span-free by definition (filtered before the
-    position explode, which also keeps F.sequence bounds valid)."""
+    The window formulation (vs groupBy-then-semi-join-back) shuffles
+    the gram stream ONCE and never materializes it: the grams are
+    hashed exactly once with no checkpoint — measured 15% faster at
+    sf0.1 with identical output. Grams shuffle as the portable 60-bit
+    hash (8 bytes), never the raw 32-char string — and because DuckDB
+    computes the identical hash, a collision (≈ n²/2⁶¹) merely merges
+    the same gram groups on both engines, so the differential oracle
+    stays exact rather than merely probable. At 100 TB add a df-cap
+    filter for runaway boilerplate grams exactly like word_shingles'
+    guard; the island merge is unchanged. Docs shorter than the gram
+    are span-free by definition (filtered before the position explode,
+    which also keeps F.sequence bounds valid)."""
     from pyspark.sql import Window
 
     L = gram_len
     d = docs.where(F.length(text_col) >= L).select(
         F.col(id_col), F.col(text_col).alias("_t")
     )
-    # localCheckpoint: consumed by both the occurrence count and the
-    # join-back; blocks release with the lineage (see containment_pairs)
-    grams = (
-        d.select(
-            id_col,
-            F.explode(
-                F.sequence(F.lit(1), F.length("_t") - F.lit(L - 1))
-            ).alias("pos"),
-            F.col("_t"),
-        )
-        .select(
-            id_col,
-            "pos",
-            portable_hash(F.expr(f"substring(_t, pos, {L})")).alias("gkey"),
-        )
-        .localCheckpoint(eager=True)
+    grams = d.select(
+        id_col,
+        F.explode(F.sequence(F.lit(1), F.length("_t") - F.lit(L - 1))).alias(
+            "pos"
+        ),
+        F.col("_t"),
+    ).select(
+        id_col,
+        "pos",
+        portable_hash(F.expr(f"substring(_t, pos, {L})")).alias("gkey"),
     )
-    dup_grams = (
-        grams.groupBy("gkey")
-        .agg(F.count(F.lit(1)).alias("occ"))
-        .where(F.col("occ") >= 2)
-        .select("gkey")
+    occ = F.count(F.lit(1)).over(Window.partitionBy("gkey"))
+    dup_pos = (
+        grams.withColumn("occ", occ).where(F.col("occ") >= 2).drop("occ", "gkey")
     )
-    dup_pos = grams.join(dup_grams, "gkey", "left_semi")
     w = Window.partitionBy(id_col).orderBy("pos")
     islands = (
         dup_pos.withColumn("prev", F.lag("pos").over(w))
