@@ -76,6 +76,7 @@ HEADLINE = [
     "q_substring_dup_spans",
     "q_zorder_skipping",
     "q_compaction_plan",
+    "q_unigram_bits",
 ]
 
 

@@ -1,0 +1,78 @@
+"""Stable dense global IDs at scale.
+
+``row_number() OVER (ORDER BY ...)`` with no PARTITION BY is the
+classic 100 TB trap: Spark plans a SINGLE-partition window — one task
+sorts the world. ``monotonically_increasing_id`` is distributed but
+neither dense nor stable across runs. The standard fix is two-phase:
+
+1. range-repartition + sort locally on the (total) ordering key —
+   a distributed sort, the same machinery as ``write_clustered``;
+2. count rows per partition (a metadata-sized aggregate, one row per
+   partition), prefix-sum those counts on the driver, and broadcast
+   the offsets back;
+3. global_id = partition_offset + intra-partition row_number, where
+   the intra-partition window IS partitioned (by partition id) and
+   therefore parallel.
+
+The result is deterministic whenever the ordering key is total
+(unique, or tie-broken to unique): range boundaries may land anywhere
+between runs, but offset + local rank always reconstructs the same
+global rank of the total order. The only driver materialization is
+one row per partition — bounded by the partition count, never the
+data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def stable_global_ids(
+    df: DataFrame,
+    order_cols: list[str],
+    out: str = "global_id",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Attach a dense 0-based ``out`` column equal to the row's rank in
+    the total order of ``order_cols`` — without ever sorting in one
+    task. ``order_cols`` must be a total order (unique combination);
+    ties would make the id assignment nondeterministic, so add a
+    tie-breaker column rather than relying on input order.
+    """
+    cols = [F.col(c) for c in order_cols]
+    parted = (
+        df.repartitionByRange(num_partitions, *cols)
+        if num_partitions is not None
+        else df.repartitionByRange(*cols)
+    ).sortWithinPartitions(*cols)
+    # localCheckpoint pins ONE materialized partitioning: the range
+    # boundaries come from sampling, so the counts job and the final
+    # projection must read the SAME shuffle output, not two
+    # independently-sampled ones (ids would silently skew otherwise).
+    # At warehouse scale this is the sorted staging write a pipeline
+    # does anyway before assigning ids.
+    with_pid = parted.withColumn("_pid", F.spark_partition_id()).localCheckpoint(
+        eager=True
+    )
+    # one row per partition — metadata scale, the ONLY collect
+    counts = sorted(
+        with_pid.groupBy("_pid").count().collect(), key=lambda r: r["_pid"]
+    )
+    offsets = {}
+    acc = 0
+    for r in counts:
+        offsets[r["_pid"]] = acc
+        acc += r["count"]
+    off = F.element_at(
+        F.map_from_arrays(
+            F.array(*[F.lit(p) for p in offsets]),
+            F.array(*[F.lit(o).cast("long") for o in offsets.values()]),
+        ),
+        F.col("_pid"),
+    ) if offsets else F.lit(0).cast("long")
+    local = F.row_number().over(Window.partitionBy("_pid").orderBy(*cols))
+    return (
+        with_pid.withColumn(out, off + local.cast("long") - 1)
+        .drop("_pid")
+    )

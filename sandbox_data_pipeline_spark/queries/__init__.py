@@ -60,6 +60,8 @@ DRIVER_PRIORITY = (
     # new round-3 LM-filter stage + calibration curve
     "q_unigram_bits",
     "q_quality_sweep",
+    # new round-3 scale primitive: two-phase dense global ids
+    "q_global_ids",
     # TPC-H decision-support suite, q06+ never driver-sampled
     "q_tpch_q06",
     "q_tpch_q07",

@@ -201,3 +201,24 @@ ORACLE = {
         GROUP BY 1
     """,
 }
+
+
+def q_global_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense 0-based global ids over the total order (ts, event_id) —
+    the two-phase distributed assignment (operators/ids.py), never a
+    single-partition window. Oracle: DuckDB's row_number over the same
+    total order."""
+    from sandbox_data_pipeline_spark.operators.ids import stable_global_ids
+
+    e = table(spark, sf_dir, "events")
+    return stable_global_ids(e, ["ts", "event_id"], num_partitions=16).select(
+        "event_id", "global_id"
+    )
+
+
+QUERIES["q_global_ids"] = q_global_ids
+ORACLE["q_global_ids"] = """
+    SELECT event_id,
+           row_number() OVER (ORDER BY ts, event_id) - 1 AS global_id
+    FROM events
+"""

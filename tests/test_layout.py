@@ -10,6 +10,7 @@ from __future__ import annotations
 import glob
 
 import pyarrow.parquet as pq
+from pyspark.sql import functions as F
 
 from sandbox_data_pipeline_spark.catalog import table
 from sandbox_data_pipeline_spark.sinks.writers import write_clustered
@@ -224,3 +225,21 @@ def test_compaction_plan_invariants(spark, sf_dir):
     assert sorted(r["group_id"] for r in plan) == list(range(len(plan)))
     for r in plan:
         assert r["total_rows"] < COMPACT_TARGET + max_file
+
+
+def test_stable_global_ids_dense_and_deterministic(spark, sf_dir):
+    from sandbox_data_pipeline_spark.operators.ids import stable_global_ids
+
+    e = table(spark, sf_dir, "events")
+    n = e.count()
+    ids1 = stable_global_ids(e, ["ts", "event_id"], num_partitions=7)
+    got = ids1.select("global_id").collect()
+    vals = sorted(r["global_id"] for r in got)
+    assert vals == list(range(n))  # dense, 0-based, no gaps or dups
+    # deterministic across runs and partition counts
+    ids2 = stable_global_ids(e, ["ts", "event_id"], num_partitions=3)
+    j = (
+        ids1.select("event_id", F.col("global_id").alias("g1"))
+        .join(ids2.select("event_id", F.col("global_id").alias("g2")), "event_id")
+    )
+    assert j.where(F.col("g1") != F.col("g2")).count() == 0
