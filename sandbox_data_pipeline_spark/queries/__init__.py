@@ -28,6 +28,19 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # (b) never-yet-sampled queries, reference-parity inserts and the
 # TPC-H suite first. Everything not listed keeps the round-robin
 # family interleave below and rotates in afterwards.
+#
+# ROUND-4 ROTATION PLAN: once CORRECTNESS_r03 lands, drop its green
+# rows from this head and promote the remaining never-sampled set —
+# projected (vs r1+r2 samples and the r3 window) to be ~61 queries:
+# dedup tail (simhash_pairs, survivors, normalized, incremental,
+# containment, passage, minhash_precision, clusters-adjacent metrics),
+# similarity tail (ivf_topk/kmeans, knn_join, ann_index/_drift/recall,
+# pq_codes/adc, semantic_search, embedding_*), text/curation tail
+# (gopher, pii_scrub, repetition, pack_*, mixture_*, url_*, quotas,
+# budget/weighted selects, dataset_card, curation_pipeline), and
+# analytics tail (mad_anomalies, histogram, heatmap, timeseries,
+# cardinality_audit, profile, hll_rollup). Two more rounds of ~50
+# cover every registry row at least once.
 DRIVER_PRIORITY = (
     # fixed in round 3 — must re-prove green
     "q_tpch_q01",

@@ -1,0 +1,69 @@
+"""Pin the physical-plan shapes behind SCALE.md's headline claims, so
+an accidental regression (a broadcast silently becoming a sort-merge
+join, a filter no longer reaching the scan, a top-k window losing its
+group-limit pushdown) fails CI instead of surfacing at 100 TB.
+
+tools/explain_all.py audits every query for generic smells per run;
+these assertions bind the SPECIFIC plan features the scale notes
+promise into pytest.
+"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, ".")
+
+from tools.explain_all import audit, plan_of  # noqa: E402
+
+
+def _plan(spark, sf_dir, name):
+    from sandbox_data_pipeline_spark.queries import registry
+
+    q, _ = registry()
+    return plan_of(q[name](spark, sf_dir))
+
+
+def test_broadcast_join_stays_broadcast(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q_join_broadcast")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_filter_reaches_the_parquet_scan(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q_filter_basic")
+    assert "PushedFilters: [" in plan
+    # non-empty pushdown, not just the header
+    assert "PushedFilters: []" not in plan
+
+
+def test_latest_per_key_keeps_group_limit_pushdown(spark, sf_dir):
+    # rank-filter top-1 per key must plan a WindowGroupLimit (partial
+    # per-partition limiting), not a full window over all rows
+    plan = _plan(spark, sf_dir, "q_latest_per_key")
+    assert "WindowGroupLimit" in plan
+
+
+def test_flagship_aggregate_has_partial(spark, sf_dir):
+    from sandbox_data_pipeline_spark.plans.flagship import flagship_query
+
+    plan = plan_of(flagship_query(spark, sf_dir))
+    assert "partial_" in plan  # map-side combine present
+    assert audit("flagship", plan) == []
+
+
+def test_headline_queries_have_no_smells(spark, sf_dir):
+    from sandbox_data_pipeline_spark.queries import registry
+
+    q, _ = registry()
+    for name in (
+        "q_tpch_q01",
+        "q_dedup_minhash_pairs",
+        "q_similarity_topk",
+        "q_zorder_skipping",
+        "q_unigram_bits",
+        "q_global_ids",
+        "q_substring_dup_spans",
+    ):
+        smells = audit(name, plan_of(q[name](spark, sf_dir)))
+        assert smells == [], (name, smells)
