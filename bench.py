@@ -77,6 +77,7 @@ HEADLINE = [
     "q_zorder_skipping",
     "q_compaction_plan",
     "q_unigram_bits",
+    "q_allpairs_jaccard",
 ]
 
 

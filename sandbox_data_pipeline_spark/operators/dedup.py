@@ -880,3 +880,94 @@ def duplicated_substring_spans(
             (F.col("span_end") - F.col("span_start") + 1).alias("span_len"),
         )
     )
+
+
+def prefix_filtered_jaccard(
+    docs: DataFrame,
+    threshold: float = 0.6,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """EXACT all-pairs n-gram Jaccard join via prefix filtering — the
+    AllPairs/PPJoin family (Bayardo et al. WWW'07; Xiao et al. WWW'08)
+    re-expressed relationally. Complete by construction: every pair
+    with Jaccard >= threshold is emitted, unlike the MinHash/SimHash
+    paths which are probabilistic and the plain shingle self-join
+    (ngram_jaccard_pairs) whose df_cap trades completeness for fan-out.
+
+    Prefix theorem: order shingles globally by (document frequency,
+    shingle); for J(A,B) >= t the globally-smallest COMMON shingle must
+    sit within the first ``|x| - ceil(t*|x|) + 1`` shingles of BOTH
+    docs. So the candidate join keys on PREFIX shingles only — by
+    construction the corpus's rarest — and the quadratic fan-out
+    Σ df² runs over small df by design, which is why no df_cap is
+    needed for the guard the other paths require.
+
+    Plan: shingle df agg → per-doc rarity-sorted shingle array (one
+    groupBy-doc shuffle; arrays bounded by doc length) → prefix explode
+    → self-join on prefix shingle + size filter (t·max <= min) →
+    distinct candidate ids → exact verify via array_intersect on the
+    two docs' full shingle arrays. Output: doc_a < doc_b, sizes,
+    intersection, jaccard (rounded 4).
+    """
+    sh = word_shingles(docs, n=n, id_col=id_col, text_col=text_col, distinct=True)
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+    per_doc = (
+        sh.join(dfreq, "shingle")
+        .groupBy(id_col)
+        .agg(
+            F.expr("transform(array_sort(collect_list(struct(_df, shingle))), x -> x.shingle)").alias(
+                "_sorted"
+            )
+        )
+        .select(
+            F.col(id_col),
+            "_sorted",
+            F.size("_sorted").alias("n_sh"),
+        )
+        .withColumn(
+            "_prefix",
+            F.expr(
+                f"slice(_sorted, 1, size(_sorted) - ceil({threshold} * size(_sorted)) + 1)"
+            ),
+        )
+    )
+    pref = per_doc.select(
+        id_col, "n_sh", F.explode("_prefix").alias("shingle")
+    )
+    a = pref.select(
+        F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"), "shingle"
+    )
+    b = pref.select(
+        F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b"), "shingle"
+    )
+    cands = (
+        a.join(
+            b,
+            (a["shingle"] == b["shingle"])
+            & (F.col("doc_a") < F.col("doc_b"))
+            & (F.col("n_b") >= threshold * F.col("n_a"))
+            & (F.col("n_a") >= threshold * F.col("n_b")),
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    arr_a = per_doc.select(
+        F.col(id_col).alias("doc_a"), F.col("_sorted").alias("_arr_a"), F.col("n_sh").alias("n_a")
+    )
+    arr_b = per_doc.select(
+        F.col(id_col).alias("doc_b"), F.col("_sorted").alias("_arr_b"), F.col("n_sh").alias("n_b")
+    )
+    inter = F.size(F.array_intersect("_arr_a", "_arr_b"))
+    return (
+        cands.join(arr_a, "doc_a")
+        .join(arr_b, "doc_b")
+        .withColumn("inter", inter)
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")), 4),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "n_a", "n_b", "inter", "jaccard")
+    )

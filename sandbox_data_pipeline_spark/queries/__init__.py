@@ -75,6 +75,8 @@ DRIVER_PRIORITY = (
     "q_quality_sweep",
     # new round-3 scale primitive: two-phase dense global ids
     "q_global_ids",
+    # new round-3 exact set-similarity join (AllPairs/PPJoin)
+    "q_allpairs_jaccard",
     # TPC-H decision-support suite, q06+ never driver-sampled
     "q_tpch_q06",
     "q_tpch_q07",

@@ -950,3 +950,45 @@ SELECT doc_id,
 FROM sp GROUP BY doc_id, span_id
 """
 QUERIES["q_substring_dup_spans"] = q_substring_dup_spans
+
+
+ALLPAIRS_T = 0.6
+ALLPAIRS_N = 5
+
+
+def q_allpairs_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT all-pairs Jaccard >= 0.6 via prefix filtering (AllPairs/
+    PPJoin, operators/dedup.py: prefix_filtered_jaccard) — the complete
+    complement to the probabilistic MinHash path; the oracle is the
+    brute-force all-pairs join, so completeness itself is what the
+    hash-match proves."""
+    from sandbox_data_pipeline_spark.operators.dedup import prefix_filtered_jaccard
+
+    return prefix_filtered_jaccard(
+        table(spark, sf_dir, "documents"), threshold=ALLPAIRS_T, n=ALLPAIRS_N
+    )
+
+
+def _oracle_allpairs() -> str:
+    n, t = ALLPAIRS_N, ALLPAIRS_T
+    return f"""
+WITH {_shingles_cte(n)},
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM shingles a JOIN shingles b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       sa.n_sh AS n_a, sb.n_sh AS n_b, inter,
+       round(inter / (sa.n_sh + sb.n_sh - inter), 4) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE round(inter / (sa.n_sh + sb.n_sh - inter), 4) >= {t}
+"""
+
+
+QUERIES["q_allpairs_jaccard"] = q_allpairs_jaccard
+ORACLE["q_allpairs_jaccard"] = _oracle_allpairs()

@@ -277,3 +277,28 @@ def test_duplicated_substring_spans_geometry(spark):
     assert (4, 1, 40, 40) in got and (4, 81, 120, 40) in got
     assert not any(d == 3 for d, *_ in got)
     assert len(got) == 4
+
+
+def test_prefix_filtered_jaccard_is_complete(spark, sf_dir):
+    """The prefix-filter theorem in practice: the PPJoin-style plan
+    (candidates from rarest-prefix collisions only) must emit EXACTLY
+    the pairs the unfiltered shingle self-join finds — same pairs,
+    same jaccard values."""
+    from sandbox_data_pipeline_spark.catalog import table
+    from sandbox_data_pipeline_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        prefix_filtered_jaccard,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    t, n = 0.5, 4
+    fast = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in prefix_filtered_jaccard(docs, threshold=t, n=n).collect()
+    }
+    full = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, n=n, threshold=t, df_cap=None).collect()
+    }
+    assert fast == full
+    assert len(fast) > 0  # the fixture corpus has planted near-dups
