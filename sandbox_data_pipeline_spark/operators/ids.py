@@ -76,3 +76,53 @@ def stable_global_ids(
         with_pid.withColumn(out, off + local.cast("long") - 1)
         .drop("_pid")
     )
+
+
+def ring_negative_samples(
+    docs: DataFrame,
+    k: int = 4,
+    id_col: str = "doc_id",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: for
+    each anchor, k pseudo-random partners drawn by walking a hash ring.
+
+    Docs are ranked by md5(id) (a fixed pseudo-random global order via
+    ``stable_global_ids``); negative j of an anchor at ring position r
+    is the doc at position (r + j*step) mod N with step = max(1, N//
+    (k+1)) — spreading partners across the ring so they are unrelated
+    to the anchor by construction. Compared to per-row RNG sampling
+    this is reproducible across engines AND runs, which makes the
+    pairing auditable (the DuckDB oracle replays it exactly) and the
+    training data stable under retries.
+
+    Plan: one global-id assignment (two-phase, see stable_global_ids),
+    an explode of the k offsets (map-side), and ONE shuffle join on
+    ring position. No candidate blowup: exactly N*k output rows.
+    """
+    ranked = stable_global_ids(
+        docs.select(id_col).withColumn("_h", F.md5(F.col(id_col).cast("string"))),
+        ["_h", id_col],
+        out="_r",
+        num_partitions=num_partitions,
+    ).select(id_col, "_r")
+    n = ranked.count()
+    if n < k + 1:
+        raise ValueError(f"need at least k+1={k + 1} docs, have {n}")
+    step = n // (k + 1)
+    js = F.explode(F.array(*[F.lit(j) for j in range(1, k + 1)])).alias("neg_idx")
+    anchors = ranked.select(
+        F.col(id_col).alias("anchor_id"), F.col("_r").alias("_ra"), js
+    ).select(
+        "anchor_id",
+        "neg_idx",
+        ((F.col("_ra") + F.col("neg_idx") * F.lit(step)) % F.lit(n)).alias("_rn"),
+    )
+    partners = ranked.select(
+        F.col(id_col).alias("negative_id"), F.col("_r").alias("_rn")
+    )
+    return (
+        anchors.join(partners, "_rn")
+        .where(F.col("anchor_id") != F.col("negative_id"))
+        .select("anchor_id", "neg_idx", "negative_id")
+    )

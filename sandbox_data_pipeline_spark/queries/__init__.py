@@ -77,6 +77,8 @@ DRIVER_PRIORITY = (
     "q_global_ids",
     # new round-3 exact set-similarity join (AllPairs/PPJoin)
     "q_allpairs_jaccard",
+    # new round-3 deterministic contrastive negatives (hash ring)
+    "q_negative_samples",
     # TPC-H decision-support suite, q06+ never driver-sampled
     "q_tpch_q06",
     "q_tpch_q07",

@@ -222,3 +222,37 @@ ORACLE["q_global_ids"] = """
            row_number() OVER (ORDER BY ts, event_id) - 1 AS global_id
     FROM events
 """
+
+
+NEG_K = 4
+
+
+def q_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic contrastive negatives: k ring partners per anchor
+    on the md5 hash ring (operators/ids.py: ring_negative_samples).
+    Reproducible across engines and runs — the property per-row RNG
+    sampling cannot give — so the oracle replays the pairing exactly."""
+    from sandbox_data_pipeline_spark.operators.ids import ring_negative_samples
+
+    d = table(spark, sf_dir, "documents")
+    return ring_negative_samples(d, k=NEG_K)
+
+
+QUERIES["q_negative_samples"] = q_negative_samples
+ORACLE["q_negative_samples"] = f"""
+    WITH ranked AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1 AS r
+      FROM documents
+    ),
+    nn AS (SELECT count(*) AS n, count(*) // {NEG_K + 1} AS step FROM ranked),
+    anchors AS (
+      SELECT doc_id AS anchor_id, j AS neg_idx,
+             (r + j * step) % n AS rn
+      FROM ranked CROSS JOIN nn
+      CROSS JOIN (SELECT CAST(x AS INTEGER) AS j FROM range(1, {NEG_K + 1}) t(x))
+    )
+    SELECT anchor_id, neg_idx, p.doc_id AS negative_id
+    FROM anchors JOIN ranked p ON p.r = anchors.rn
+    WHERE anchor_id <> p.doc_id
+"""

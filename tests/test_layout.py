@@ -243,3 +243,23 @@ def test_stable_global_ids_dense_and_deterministic(spark, sf_dir):
         .join(ids2.select("event_id", F.col("global_id").alias("g2")), "event_id")
     )
     assert j.where(F.col("g1") != F.col("g2")).count() == 0
+
+
+def test_ring_negative_samples_contract(spark, sf_dir):
+    """Every anchor gets exactly k distinct negatives, none equal to
+    the anchor, and the pairing is identical across runs."""
+    from sandbox_data_pipeline_spark.operators.ids import ring_negative_samples
+
+    d = table(spark, sf_dir, "documents")
+    k = 3
+    out = ring_negative_samples(d, k=k)
+    rows = out.collect()
+    n_docs = d.count()
+    assert len(rows) == n_docs * k
+    per_anchor = {}
+    for r in rows:
+        assert r["anchor_id"] != r["negative_id"]
+        per_anchor.setdefault(r["anchor_id"], set()).add(r["negative_id"])
+    assert all(len(v) == k for v in per_anchor.values())
+    again = {(r["anchor_id"], r["neg_idx"], r["negative_id"]) for r in ring_negative_samples(d, k=k).collect()}
+    assert again == {(r["anchor_id"], r["neg_idx"], r["negative_id"]) for r in rows}
