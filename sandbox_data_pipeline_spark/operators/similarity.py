@@ -683,3 +683,50 @@ def build_ann_index(
             _assign_expr("_v", "_vn", cents).alias("list_id"),
         )
     )
+
+
+def rerank_model(
+    pairs: DataFrame,
+    model,
+    text_a_col: str = "text_a",
+    text_b_col: str = "text_b",
+    out: str = "rerank_score",
+) -> DataFrame:
+    """Cross-encoder reranking hook — the second stage of the standard
+    retrieve-then-rerank pipeline, behind the same contract as
+    ``text.language_id_model`` / ``text.perplexity_model``: ``model``
+    maps two aligned pandas Series (query text, candidate text) to a
+    Series of float scores. Arrow-batched pandas UDF, map-side only —
+    no shuffle is added on top of the candidate generation, and the
+    model loads once per executor when bound at closure scope.
+
+    No oracle by design (a cross-encoder score has no SQL twin); the
+    contract is pinned by a deterministic stub in tests."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _score(a, b):
+        res = model(a, b)
+        if not isinstance(res, pd.Series):
+            res = pd.Series(list(res), index=a.index)
+        return res.astype("float64")
+
+    _score.__annotations__ = {"a": pd.Series, "b": pd.Series, "return": pd.Series}
+    _udf = pandas_udf(_score, "double")
+    return pairs.withColumn(out, _udf(F.col(text_a_col), F.col(text_b_col)))
+
+
+def heuristic_rerank_batch(a, b):
+    """Deterministic stand-in for a real cross-encoder, shaped like the
+    rerank_model contract: token-overlap ratio between the two texts —
+    monotone in the lexical agreement a real reranker keys on."""
+    import pandas as pd
+
+    def one(x: str, y: str) -> float:
+        sx = {t for t in x.split(" ") if t}
+        sy = {t for t in y.split(" ") if t}
+        if not sx or not sy:
+            return 0.0
+        return round(len(sx & sy) / min(len(sx), len(sy)), 6)
+
+    return pd.Series([one(x, y) for x, y in zip(a, b)], index=a.index)

@@ -262,3 +262,23 @@ def test_build_ann_index_matches_component_operators(spark):
         assert row.bucket == buckets[vid]
         assert row.list_id == lists[vid]
         assert row.norm > 0
+
+
+def test_rerank_model_contract(spark):
+    """Arrow-batched rerank hook: scores land per pair, deterministic
+    stub orders higher-overlap pairs above lower-overlap ones."""
+    from sandbox_data_pipeline_spark.operators.similarity import (
+        heuristic_rerank_batch,
+        rerank_model,
+    )
+
+    pairs = spark.createDataFrame(
+        [
+            (1, "big table scan fast", "big table scan fast"),
+            (2, "big table scan fast", "small window sort slow"),
+        ],
+        ["pair_id", "text_a", "text_b"],
+    )
+    out = {r["pair_id"]: r["rerank_score"] for r in rerank_model(pairs, heuristic_rerank_batch).collect()}
+    assert out[1] == 1.0
+    assert out[2] < out[1]
