@@ -57,12 +57,18 @@ def brute_force_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    ceiling: float | None = None,
 ) -> DataFrame:
     """Exact top-k cosine neighbors per query vector.
 
     queries is expected small → broadcast; candidates stream by in one
     pass. Ranking is row_number over (query, rounded-sim desc, id) —
     the rounding keeps ranking deterministic across float-sum orders.
+
+    ``ceiling`` (exclusive) drops candidates AT OR ABOVE that cosine
+    before ranking — the hard-negative-mining mode: the closest
+    candidates that are still below the near-duplicate threshold, the
+    pairs a contrastive loss learns the most from.
     """
     cand = embeddings.withColumn("_v", as_double_array(vec_col)).select(
         F.col(id_col).alias("cand_id"), F.col("_v").alias("cvec"), _norm("_v").alias("cn")
@@ -78,6 +84,8 @@ def brute_force_topk(
             F.round(cosine_pre("qvec", "cvec", "qn", "cn"), 6).alias("cos_sim"),
         )
     )
+    if ceiling is not None:
+        sims = sims.where(F.col("cos_sim") < F.lit(ceiling))
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("cand_id"))
     return (
         sims.withColumn("rank", F.row_number().over(w))

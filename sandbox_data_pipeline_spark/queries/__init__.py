@@ -79,6 +79,7 @@ DRIVER_PRIORITY = (
     "q_allpairs_jaccard",
     # new round-3 deterministic contrastive negatives (hash ring)
     "q_negative_samples",
+    "q_hard_negatives",
     # TPC-H decision-support suite, q06+ never driver-sampled
     "q_tpch_q06",
     "q_tpch_q07",

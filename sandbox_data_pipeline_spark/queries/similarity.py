@@ -826,3 +826,42 @@ WHERE a.lang <> b.lang
 
 QUERIES["q_crosslingual_dups"] = q_crosslingual_dups
 ORACLE["q_crosslingual_dups"] = _oracle_crosslingual()
+
+
+HARD_CEIL = NEAR_T  # negatives must sit BELOW the near-dup threshold
+
+
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining: per query, the top-k most-similar
+    candidates strictly BELOW the near-duplicate ceiling — the pairs a
+    contrastive loss learns the most from, with likely-positives
+    excluded by the same threshold the near-dup detector uses
+    (operators/similarity.py: brute_force_topk(ceiling=...))."""
+    emb = table(spark, sf_dir, "embeddings")
+    return brute_force_topk(
+        emb, _queries_df(spark, sf_dir), k=TOPK, ceiling=HARD_CEIL
+    )
+
+
+def _oracle_hard_negatives() -> str:
+    cos = _COS.format(a="q.v", b="c.v")
+    return f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v FROM v WHERE vec_id % {QUERY_MOD} = 0),
+c AS (SELECT vec_id AS cand_id, v FROM v),
+sims AS (
+  SELECT query_id, cand_id, round({cos}, 6) AS cos_sim
+  FROM q JOIN c ON cand_id <> query_id
+),
+ranked AS (
+  SELECT query_id, cand_id, cos_sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, cand_id) AS rank
+  FROM sims WHERE cos_sim < {HARD_CEIL}
+)
+SELECT query_id, CAST(rank AS INTEGER) AS rank, cand_id, round(cos_sim, 4) AS cos_sim
+FROM ranked WHERE rank <= {TOPK}
+"""
+
+
+QUERIES["q_hard_negatives"] = q_hard_negatives
+ORACLE["q_hard_negatives"] = _oracle_hard_negatives()
