@@ -80,6 +80,7 @@ DRIVER_PRIORITY = (
     # new round-3 deterministic contrastive negatives (hash ring)
     "q_negative_samples",
     "q_hard_negatives",
+    "q_training_triplets",
     # TPC-H decision-support suite, q06+ never driver-sampled
     "q_tpch_q06",
     "q_tpch_q07",

@@ -865,3 +865,57 @@ FROM ranked WHERE rank <= {TOPK}
 
 QUERIES["q_hard_negatives"] = q_hard_negatives
 ORACLE["q_hard_negatives"] = _oracle_hard_negatives()
+
+
+def q_training_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive training triplets assembled end-to-end: anchors and
+    positives from the near-duplicate detector (cos >= NEAR_T, label-
+    blocked), negatives from the deterministic hash ring
+    (operators/ids.py) — one row per (anchor, positive) with its ring
+    negative. The composition query a contrastive data loader actually
+    consumes; every leg is itself oracle-verified."""
+    from sandbox_data_pipeline_spark.operators.ids import ring_negative_samples
+
+    emb = table(spark, sf_dir, "embeddings")
+    pos = near_dup_pairs(emb, threshold=NEAR_T, block_col="label").select(
+        F.col("id_a").alias("anchor_id"),
+        F.col("id_b").alias("positive_id"),
+        F.col("cos_sim").alias("pos_sim"),
+    )
+    neg = (
+        ring_negative_samples(emb, k=1, id_col="vec_id")
+        .where(F.col("neg_idx") == 1)
+        .select(F.col("anchor_id"), F.col("negative_id"))
+    )
+    return pos.join(neg, "anchor_id").select(
+        "anchor_id", "positive_id", "negative_id", "pos_sim"
+    )
+
+
+def _oracle_triplets() -> str:
+    cos = _COS.format(a="a.v", b="b.v")
+    return f"""
+WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+pos AS (
+  SELECT a.vec_id AS anchor_id, b.vec_id AS positive_id, round({cos}, 4) AS pos_sim
+  FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+  WHERE round({cos}, 4) >= {NEAR_T}
+),
+ranked AS (
+  SELECT vec_id,
+         row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS r
+  FROM embeddings
+),
+nn AS (SELECT count(*) AS n, count(*) // 2 AS step FROM ranked),
+neg AS (
+  SELECT a.vec_id AS anchor_id, p.vec_id AS negative_id
+  FROM ranked a CROSS JOIN nn JOIN ranked p ON p.r = (a.r + step) % n
+  WHERE a.vec_id <> p.vec_id
+)
+SELECT anchor_id, positive_id, negative_id, pos_sim
+FROM pos JOIN neg USING (anchor_id)
+"""
+
+
+QUERIES["q_training_triplets"] = q_training_triplets
+ORACLE["q_training_triplets"] = _oracle_triplets()
