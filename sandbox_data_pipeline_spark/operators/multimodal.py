@@ -415,3 +415,58 @@ def media_with_headers(docs: DataFrame) -> DataFrame:
         ]
     )
     return docs.select("doc_id", "text").mapInPandas(_build, schema)
+
+
+def segment_audio(
+    media: DataFrame,
+    window_ms: int = 2,
+    bytes_per_ms: int = 32,
+    header_len: int = 16,
+) -> DataFrame:
+    """Fixed-window audio segmentation manifest over WAV rows: one row
+    per window with its byte extent and start time — the scheduling
+    table a feature extractor (or ASR chunker) consumes before touching
+    samples. Offsets are computed from the REAL blob length minus the
+    RIFF preamble (``header_len``, see media_with_headers) at an
+    assumed constant byte rate — the PCM-WAV property that makes
+    seek-by-time pure arithmetic. The last window is truncated, never
+    padded, so byte accounting sums exactly to the body length.
+
+    Arrow-batched mapInPandas over audio rows only; map-side, no
+    shuffle. At 100 TB the manifest is rows ∝ total duration / window —
+    write it clustered by media_id and the extractor's scan prunes per
+    file."""
+    schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("window_idx", IntegerType()),
+            StructField("start_byte", IntegerType()),
+            StructField("n_bytes", IntegerType()),
+            StructField("start_ms", IntegerType()),
+        ]
+    )
+    wb = window_ms * bytes_per_ms
+
+    def _segment(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, starts, sizes, mss = [], [], [], [], []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                body = max(0, len(bytes(content)) - header_len)
+                n_win = max(1, (body + wb - 1) // wb)
+                for i in range(n_win):
+                    ids.append(mid)
+                    idxs.append(i)
+                    starts.append(i * wb)
+                    sizes.append(min(wb, body - i * wb))
+                    mss.append(i * window_ms)
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "window_idx": idxs,
+                    "start_byte": starts,
+                    "n_bytes": sizes,
+                    "start_ms": mss,
+                }
+            )
+
+    return media.where(F.col("media_type") == "audio").mapInPandas(_segment, schema)

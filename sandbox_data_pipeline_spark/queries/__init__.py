@@ -81,6 +81,8 @@ DRIVER_PRIORITY = (
     "q_negative_samples",
     "q_hard_negatives",
     "q_training_triplets",
+    # new round-3 audio windowing manifest (real WAV byte arithmetic)
+    "q_audio_windows",
     # TPC-H decision-support suite, q06+ never driver-sampled
     "q_tpch_q06",
     "q_tpch_q07",

@@ -217,3 +217,38 @@ SELECT container,
 FROM probed GROUP BY 1, 2
 """
 QUERIES["q_media_resolution_filter"] = q_media_resolution_filter
+
+
+def q_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio windowing manifest over REAL WAV payloads (RIFF preamble +
+    body): byte extents and start times per fixed window, computed by
+    the Arrow-batched segmenter from actual blob lengths; the oracle
+    rebuilds the same manifest in closed form from n_chars."""
+    from sandbox_data_pipeline_spark.operators.multimodal import (
+        media_with_headers,
+        segment_audio,
+    )
+
+    media = media_with_headers(table(spark, sf_dir, "documents"))
+    return segment_audio(media)
+
+
+# WAV rows are doc_id % 3 == 1; blob = 16-byte preamble + utf-8 body,
+# body bytes == n_chars (ASCII testdata). Window = 2ms * 32B/ms = 64B.
+ORACLE["q_audio_windows"] = """
+WITH a AS (
+  SELECT doc_id AS media_id, n_chars AS body,
+         greatest(1, (n_chars + 63) // 64) AS n_win
+  FROM documents WHERE doc_id % 3 = 1
+), w AS (
+  SELECT media_id, r.range::INT AS window_idx, body
+  FROM a CROSS JOIN range(0, 64) r
+  WHERE r.range < n_win
+)
+SELECT media_id, window_idx,
+       (window_idx * 64)::INT AS start_byte,
+       least(64, body - window_idx * 64)::INT AS n_bytes,
+       (window_idx * 2)::INT AS start_ms
+FROM w
+"""
+QUERIES["q_audio_windows"] = q_audio_windows

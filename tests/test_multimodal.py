@@ -128,3 +128,34 @@ def test_probe_media_over_binary_column(spark):
         4: ("mp4", None, None),
         5: ("unknown", None, None),
     }
+
+
+def test_audio_windows_byte_accounting(spark, sf_dir):
+    """Window byte extents tile the body exactly: contiguous, no
+    overlap, summing to blob length minus the RIFF preamble."""
+    from sandbox_data_pipeline_spark.catalog import table
+    from sandbox_data_pipeline_spark.operators.multimodal import (
+        media_with_headers,
+        segment_audio,
+    )
+
+    media = media_with_headers(table(spark, sf_dir, "documents"))
+    lens = {
+        r["media_id"]: r["blen"]
+        for r in media.where("media_type = 'audio'")
+        .selectExpr("media_id", "length(content) AS blen")
+        .collect()
+    }
+    by_media = {}
+    for r in segment_audio(media).collect():
+        by_media.setdefault(r["media_id"], []).append(r)
+    assert set(by_media) == set(lens)
+    for mid, rows in by_media.items():
+        rows.sort(key=lambda r: r["window_idx"])
+        assert [r["window_idx"] for r in rows] == list(range(len(rows)))
+        pos = 0
+        for r in rows:
+            assert r["start_byte"] == pos
+            assert r["start_ms"] == r["window_idx"] * 2
+            pos += r["n_bytes"]
+        assert pos == lens[mid] - 16  # body fully tiled, preamble excluded
