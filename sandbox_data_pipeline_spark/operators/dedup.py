@@ -913,6 +913,10 @@ def prefix_filtered_jaccard(
     """
     sh = word_shingles(docs, n=n, id_col=id_col, text_col=text_col, distinct=True)
     dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+    # localCheckpoint: consumed by the prefix self-join (both sides)
+    # AND both verification array joins — without it the shingle + df
+    # + sort pipeline re-runs up to 5x (same measured trade as
+    # containment_pairs; blocks release with the lineage).
     per_doc = (
         sh.join(dfreq, "shingle")
         .groupBy(id_col)
@@ -932,6 +936,7 @@ def prefix_filtered_jaccard(
                 f"slice(_sorted, 1, size(_sorted) - ceil({threshold} * size(_sorted)) + 1)"
             ),
         )
+        .localCheckpoint(eager=True)
     )
     pref = per_doc.select(
         id_col, "n_sh", F.explode("_prefix").alias("shingle")

@@ -28,17 +28,16 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def stable_global_ids(
+def stable_global_ids_with_count(
     df: DataFrame,
     order_cols: list[str],
     out: str = "global_id",
     num_partitions: int | None = None,
-) -> DataFrame:
-    """Attach a dense 0-based ``out`` column equal to the row's rank in
-    the total order of ``order_cols`` — without ever sorting in one
-    task. ``order_cols`` must be a total order (unique combination);
-    ties would make the id assignment nondeterministic, so add a
-    tie-breaker column rather than relying on input order.
+) -> tuple[DataFrame, int]:
+    """Like ``stable_global_ids`` but also returns the total row count,
+    which the offset computation derives for free from the already-
+    collected per-partition counts — callers that need N (ring
+    sampling's modulus) avoid a second full count() job.
     """
     cols = [F.col(c) for c in order_cols]
     parted = (
@@ -72,10 +71,26 @@ def stable_global_ids(
         F.col("_pid"),
     ) if offsets else F.lit(0).cast("long")
     local = F.row_number().over(Window.partitionBy("_pid").orderBy(*cols))
-    return (
-        with_pid.withColumn(out, off + local.cast("long") - 1)
-        .drop("_pid")
+    result = with_pid.withColumn(out, off + local.cast("long") - 1).drop("_pid")
+    return result, acc
+
+
+def stable_global_ids(
+    df: DataFrame,
+    order_cols: list[str],
+    out: str = "global_id",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Attach a dense 0-based ``out`` column equal to the row's rank in
+    the total order of ``order_cols`` — without ever sorting in one
+    task. ``order_cols`` must be a total order (unique combination);
+    ties would make the id assignment nondeterministic, so add a
+    tie-breaker column rather than relying on input order.
+    """
+    result, _ = stable_global_ids_with_count(
+        df, order_cols, out=out, num_partitions=num_partitions
     )
+    return result
 
 
 def ring_negative_samples(
@@ -100,13 +115,13 @@ def ring_negative_samples(
     an explode of the k offsets (map-side), and ONE shuffle join on
     ring position. No candidate blowup: exactly N*k output rows.
     """
-    ranked = stable_global_ids(
+    ranked, n = stable_global_ids_with_count(
         docs.select(id_col).withColumn("_h", F.md5(F.col(id_col).cast("string"))),
         ["_h", id_col],
         out="_r",
         num_partitions=num_partitions,
-    ).select(id_col, "_r")
-    n = ranked.count()
+    )
+    ranked = ranked.select(id_col, "_r")
     if n < k + 1:
         raise ValueError(f"need at least k+1={k + 1} docs, have {n}")
     step = n // (k + 1)

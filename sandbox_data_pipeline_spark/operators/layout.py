@@ -173,28 +173,35 @@ def compaction_plan(
     the files whose preceding cumulative size lands in
     [k*target, (k+1)*target). Deterministic first-fit — the standard
     bin-edge rule, so a file straddling an edge starts a new group's
-    overshoot rather than splitting.
+    overshoot rather than splitting. A single file >= 2x target skips
+    raw bin indices, so groups are densely renumbered at the end —
+    group ids are always contiguous from 0 (the invariant the tests
+    and PARITY claim).
 
-    The single-partition window frame is over the FILE MANIFEST
-    (metadata scale: one row per file/partition), never the data; at
-    100 TB a manifest is 10^4-10^6 rows and this stays a driver-light
-    one-task stage.
+    Both single-partition window frames run over the FILE MANIFEST
+    (metadata scale: one row per file/partition, then one per group),
+    never the data; at 100 TB a manifest is 10^4-10^6 rows and this
+    stays a driver-light one-task stage.
     """
     w = (
         Window.orderBy(order_col)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     cum = F.coalesce(F.sum(size_col).over(w), F.lit(0))
-    return (
+    grouped = (
         files.withColumn("_cum_before", cum)
         .withColumn(
-            "group_id", F.floor(F.col("_cum_before") / F.lit(target)).cast("long")
+            "_bin", F.floor(F.col("_cum_before") / F.lit(target)).cast("long")
         )
-        .groupBy("group_id")
+        .groupBy("_bin")
         .agg(
             F.count("*").alias("n_files"),
             F.sum(size_col).alias("total_rows"),
             F.min(order_col).alias("first_file"),
             F.max(order_col).alias("last_file"),
         )
+    )
+    dense = (F.dense_rank().over(Window.orderBy("_bin")) - 1).cast("long")
+    return grouped.withColumn("group_id", dense).drop("_bin").select(
+        "group_id", "n_files", "total_rows", "first_file", "last_file"
     )

@@ -436,12 +436,14 @@ def segment_audio(
     shuffle. At 100 TB the manifest is rows ∝ total duration / window —
     write it clustered by media_id and the extractor's scan prunes per
     file."""
+    # byte offsets are LongType: a 4 GiB WAV body overflows int32 and
+    # the Arrow conversion would wrap or raise depending on session conf
     schema = StructType(
         [
             StructField("media_id", LongType()),
             StructField("window_idx", IntegerType()),
-            StructField("start_byte", IntegerType()),
-            StructField("n_bytes", IntegerType()),
+            StructField("start_byte", LongType()),
+            StructField("n_bytes", LongType()),
             StructField("start_ms", IntegerType()),
         ]
     )

@@ -191,14 +191,19 @@ ORACLE = {
                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
                    ), 0) AS _cum_before
             FROM files
+        ),
+        binned AS (
+            SELECT (_cum_before // {COMPACT_TARGET}) AS _bin,
+                   count(*) AS n_files,
+                   sum(file_rows) AS total_rows,
+                   min(file_hr) AS first_hr,
+                   max(file_hr) AS last_hr
+            FROM cum
+            GROUP BY 1
         )
-        SELECT (_cum_before // {COMPACT_TARGET}) AS group_id,
-               count(*) AS n_files,
-               sum(file_rows) AS total_rows,
-               min(file_hr) AS first_hr,
-               max(file_hr) AS last_hr
-        FROM cum
-        GROUP BY 1
+        SELECT dense_rank() OVER (ORDER BY _bin) - 1 AS group_id,
+               n_files, total_rows, first_hr, last_hr
+        FROM binned
     """,
 }
 

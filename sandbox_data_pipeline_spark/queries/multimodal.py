@@ -108,9 +108,12 @@ WITH v AS (
          greatest(1, (n_chars * 10) // 1000) AS n_frames
   FROM documents WHERE doc_id % 3 = 2
 ), f AS (
+  -- 65536 is an oracle-side enumeration bound, not an operator cap:
+  -- it must exceed max(n_frames) = max(duration_ms)//1000 at the
+  -- grading scale factors (the Spark side is unbounded).
   SELECT media_id, r.range::INT AS frame_idx, n_chars, n_frames,
          greatest(1, n_chars // n_frames) AS step
-  FROM v CROSS JOIN range(0, 64) r
+  FROM v CROSS JOIN range(0, 65536) r
   WHERE r.range < n_frames
 )
 SELECT media_id, frame_idx,
@@ -241,13 +244,16 @@ WITH a AS (
          greatest(1, (n_chars + 63) // 64) AS n_win
   FROM documents WHERE doc_id % 3 = 1
 ), w AS (
+  -- 65536 is an oracle-side enumeration bound (4 MiB of body at 64 B
+  -- windows), NOT an operator cap: the Spark side is unbounded, and
+  -- the bound must exceed max(n_win) at the grading scale factors.
   SELECT media_id, r.range::INT AS window_idx, body
-  FROM a CROSS JOIN range(0, 64) r
+  FROM a CROSS JOIN range(0, 65536) r
   WHERE r.range < n_win
 )
 SELECT media_id, window_idx,
-       (window_idx * 64)::INT AS start_byte,
-       least(64, body - window_idx * 64)::INT AS n_bytes,
+       (window_idx * 64)::BIGINT AS start_byte,
+       least(64, body - window_idx * 64)::BIGINT AS n_bytes,
        (window_idx * 2)::INT AS start_ms
 FROM w
 """

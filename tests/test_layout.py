@@ -263,3 +263,20 @@ def test_ring_negative_samples_contract(spark, sf_dir):
     assert all(len(v) == k for v in per_anchor.values())
     again = {(r["anchor_id"], r["neg_idx"], r["negative_id"]) for r in ring_negative_samples(d, k=k).collect()}
     assert again == {(r["anchor_id"], r["neg_idx"], r["negative_id"]) for r in rows}
+
+
+def test_compaction_plan_renumbers_after_oversized_file(spark):
+    """A file >= 2x target skips raw bin indices; group ids must still
+    come out contiguous from 0 (the review-found latent break)."""
+    from sandbox_data_pipeline_spark.operators.layout import compaction_plan
+
+    files = spark.createDataFrame(
+        [(1, 5000), (2, 100), (3, 100)], ["f", "rows"]
+    )
+    plan = sorted(
+        compaction_plan(files, "rows", "f", target=2000).collect(),
+        key=lambda r: r["group_id"],
+    )
+    assert [r["group_id"] for r in plan] == list(range(len(plan)))
+    assert plan[0]["n_files"] == 1 and plan[0]["total_rows"] == 5000
+    assert sum(r["total_rows"] for r in plan) == 5200

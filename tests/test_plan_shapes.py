@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import sys
 
-sys.path.insert(0, ".")
+sys.path.insert(0, "/root/repo")
 
 from tools.explain_all import audit, plan_of  # noqa: E402
 
