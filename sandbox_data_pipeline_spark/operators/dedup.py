@@ -139,7 +139,7 @@ def ngram_jaccard_pairs(
     """
     sh = word_shingles(
         docs, n=n, id_col=id_col, text_col=text_col, df_cap=df_cap
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     common = (
@@ -181,15 +181,17 @@ def containment_pairs(
     containment, filtered on the max of the two.
 
     The shingle frame is consumed three times (sizes + both self-join
-    sides); ``localCheckpoint(eager=True)`` materializes it ONCE with
-    blocks that are released when the result's lineage is garbage
-    collected — unlike ``persist()``, which (returned lazily, so never
-    safely unpersistable here) pinned executor storage for the session
+    sides); ``localCheckpoint(eager=False)`` materializes it ONCE (at
+    the first action, so plan-only consumers — explain, schema checks —
+    stay free) with blocks that are released when the result's lineage
+    is garbage collected — unlike ``persist()``, which (returned
+    lazily, so never safely unpersistable here) pinned executor
+    storage for the session
     lifetime. Measured: recomputing instead costs 1.6x on the sf0.1
     bench."""
     sh = word_shingles(
         docs, n=n, id_col=id_col, text_col=text_col, df_cap=df_cap
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     common = (
@@ -488,7 +490,7 @@ def simhash_pairs(
     pinning executor storage for the session — see containment_pairs."""
     fps = simhash_fingerprints(
         docs, bits=bits, id_col=id_col, text_col=text_col
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     nbytes = bits // 8
     # single-pass banding (explode, not union — see minhash_bands)
     bands = fps.select(
@@ -936,7 +938,7 @@ def prefix_filtered_jaccard(
                 f"slice(_sorted, 1, size(_sorted) - ceil({threshold} * size(_sorted)) + 1)"
             ),
         )
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     pref = per_doc.select(
         id_col, "n_sh", F.explode("_prefix").alias("shingle")

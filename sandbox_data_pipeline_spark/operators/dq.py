@@ -142,11 +142,17 @@ class CatalogStore:
                     self.links = json.load(f)
 
     def _flush(self) -> None:
+        # temp-file + atomic rename: a crash mid-dump can never leave a
+        # truncated store that bricks the next __init__ with a
+        # JSONDecodeError — the store is either the old state or the new
         if self.path is not None:
             import json
+            import os
 
-            with open(self.path, "w", encoding="utf-8") as f:
+            tmp = f"{self.path}.tmp.{os.getpid()}"
+            with open(tmp, "w", encoding="utf-8") as f:
                 json.dump(self.links, f, indent=1, sort_keys=True)
+            os.replace(tmp, self.path)
 
     def add_link(self, table_name: str, url: str, description: str) -> bool:
         """Append-if-absent; returns whether a write happened (the

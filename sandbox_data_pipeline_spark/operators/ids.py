@@ -52,7 +52,7 @@ def stable_global_ids_with_count(
     # At warehouse scale this is the sorted staging write a pipeline
     # does anyway before assigning ids.
     with_pid = parted.withColumn("_pid", F.spark_partition_id()).localCheckpoint(
-        eager=True
+        eager=False
     )
     # one row per partition — metadata scale, the ONLY collect
     counts = sorted(

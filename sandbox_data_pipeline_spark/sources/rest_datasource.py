@@ -111,9 +111,17 @@ class RestPollStreamReader(DataSourceStreamReader):
     first-after-restart batch (N → 1) is empty AND the follow-up batch
     (1 → N+1) cannot re-emit rounds 2..N: history is never re-polled
     (a poll is a point-in-time observation with no history to replay).
-    The one at-least-once case that remains is Spark's own WAL replay
-    of a planned-but-uncommitted batch, where the re-fetch is correct
-    behavior and idempotent re-publish downstream absorbs it."""
+
+    Two at-least-once windows remain without further state: (a)
+    Spark's own WAL replay of a planned-but-uncommitted batch, where
+    the re-fetch is correct behavior; (b) a SECOND restart landing
+    between the empty fast-forward batch committing its regressed
+    offset ({poll: 1}) and the catch-up batch committing — a fresh
+    in-memory mark would then trust the regressed checkpoint and
+    replay rounds 2..N. Option "state_path" closes (b) with a
+    one-integer sidecar file (atomic rename), making the poll-id
+    uniqueness durable across any number of restarts; without it,
+    the idempotent publish downstream absorbs the rare replay."""
 
     def __init__(self, options):
         self.transport = options.get("transport", "http")
@@ -121,8 +129,41 @@ class RestPollStreamReader(DataSourceStreamReader):
         self.endpoints = json.loads(options.get("endpoints", "[]"))
         if not isinstance(self.endpoints, list) or not self.endpoints:
             raise ValueError("option 'endpoints' must be a non-empty JSON array")
+        # Optional durable high-water mark (option "state_path"): the
+        # in-memory mark alone cannot survive a DOUBLE restart — the
+        # first post-restart batch commits a regressed offset (N -> 1),
+        # and if the process dies before the catch-up batch commits, a
+        # fresh reader would trust the regressed checkpoint and replay
+        # rounds 2..N. A one-int sidecar (written atomically) closes
+        # that window; without it the guarantee degrades to
+        # at-least-once across double restarts, absorbed downstream by
+        # the idempotent publish.
+        self._state_path = options.get("state_path")
         self._poll = 0
-        self._hwm = 0
+        self._hwm = self._load_hwm()
+
+    def _load_hwm(self) -> int:
+        if not self._state_path:
+            return 0
+        import os
+
+        if not os.path.exists(self._state_path):
+            return 0
+        try:
+            with open(self._state_path, encoding="utf-8") as f:
+                return int(json.load(f)["hwm"])
+        except (ValueError, KeyError, json.JSONDecodeError):
+            return 0
+
+    def _save_hwm(self) -> None:
+        if not self._state_path:
+            return
+        import os
+
+        tmp = f"{self._state_path}.tmp.{os.getpid()}"
+        with open(tmp, "w", encoding="utf-8") as f:
+            json.dump({"hwm": self._hwm}, f)
+        os.replace(tmp, self._state_path)
 
     def initialOffset(self):
         return {"poll": 0}
@@ -137,7 +178,9 @@ class RestPollStreamReader(DataSourceStreamReader):
         # wrong after a restart, where the committed offset can regress
         # below the checkpointed high water (see class docstring).
         base = max(lo, self._hwm)
-        self._hwm = max(self._hwm, lo, hi)
+        if max(self._hwm, lo, hi) > self._hwm:
+            self._hwm = max(self._hwm, lo, hi)
+            self._save_hwm()
         self._poll = max(self._poll, self._hwm)
         if hi <= base:
             return []

@@ -175,7 +175,17 @@ def first_seen_stream(
     past the watermark, so state size is bounded by key arrival rate ×
     TTL, not by stream lifetime — the property that matters at 100 TB/day
     ingest. Arrow-batched; rows never round-trip through Python one at
-    a time."""
+    a time.
+
+    Ordering contract: WITHIN a micro-batch the emitted row is the
+    minimum by (event time, remaining columns) — independent of
+    partition/file arrival order. ACROSS batches the first-arriving
+    batch wins (append mode cannot retract an emission), so row-level
+    equivalence with the batch twin (queries/streaming_twins.py)
+    additionally requires arrivals to respect event-time order across
+    batches — true for replayed/ordered sources, not for late data,
+    which is why the oracle certifies the batch twin's semantics and
+    the stream==batch tests feed event-time-ordered waves."""
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     ttl_ms = state_ttl_hours * 3600 * 1000
@@ -184,13 +194,24 @@ def first_seen_stream(
         if state.hasTimedOut:
             state.remove()
             return
-        first = None
+        # Collect the key's rows for THIS batch and pick the minimum by
+        # (event time, then every remaining column) — a total order, so
+        # the emission is independent of file/partition arrival order
+        # within the batch. Across batches the earliest-ARRIVING batch
+        # still wins (append mode cannot retract); see docstring.
+        chunks = []
         max_ts_ms = 0
         for pdf in pdfs:
             if len(pdf) > 0:
                 max_ts_ms = max(max_ts_ms, int(pdf[ts_col].max().value // 1_000_000))
-                if first is None:
-                    first = pdf.iloc[[0]]
+                chunks.append(pdf)
+        first = None
+        if chunks:
+            import pandas as pd
+
+            allrows = pd.concat(chunks, ignore_index=True)
+            order = [ts_col] + [c for c in allrows.columns if c != ts_col]
+            first = allrows.sort_values(order, kind="mergesort").iloc[[0]]
         # TTL anchors to EVENT time (not the current watermark, which is
         # 0 in the first batch and would expire all state immediately).
         state.setTimeoutTimestamp(max(max_ts_ms, state.getCurrentWatermarkMs()) + ttl_ms)

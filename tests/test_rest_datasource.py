@@ -150,3 +150,61 @@ def test_rest_poll_stream_rounds_and_restart(spark, tmp_path):
         .collect()
     )
     assert dupes == [], f"duplicate (poll, endpoint) rows after restart: {dupes}"
+
+
+def test_rest_poll_durable_hwm_survives_double_restart(spark, tmp_path):
+    """The review-found window: restart once (the fast-forward batch
+    commits a REGRESSED offset), then restart again before any
+    catch-up commits. With option state_path the high-water mark is
+    durable, so even the double restart never re-emits an old
+    (poll, endpoint) pair."""
+    import json
+    import time
+
+    from sandbox_data_pipeline_spark.sources.rest_datasource import (
+        RestPollStreamDataSource,
+    )
+
+    spark.dataSource.register(RestPollStreamDataSource)
+    ep = tmp_path / "doc.json"
+    ep.write_text(json.dumps({"v": 1}))
+    out, ckpt = tmp_path / "out", tmp_path / "ckpt"
+    state = tmp_path / "hwm.json"
+
+    def run_until(n_rows, timeout=60):
+        q = (
+            spark.readStream.format("rest_poll")
+            .option("transport", "file")
+            .option("endpoints", json.dumps([str(ep)]))
+            .option("state_path", str(state))
+            .load()
+            .writeStream.format("parquet")
+            .option("path", str(out))
+            .option("checkpointLocation", str(ckpt))
+            .start()
+        )
+        try:
+            deadline = time.time() + timeout
+            while time.time() < deadline:
+                try:
+                    if spark.read.parquet(str(out)).count() >= n_rows:
+                        break
+                except Exception:
+                    pass
+                time.sleep(0.5)
+        finally:
+            q.stop()
+
+    run_until(3)  # several rounds committed
+    n1 = spark.read.parquet(str(out)).count()
+    assert n1 >= 3
+    # two back-to-back restarts: each new query instantiates a FRESH
+    # reader; only the sidecar mark links them
+    run_until(n1 + 1)
+    run_until(spark.read.parquet(str(out)).count() + 1)
+    after = spark.read.parquet(str(out))
+    dupes = (
+        after.groupBy("poll", "endpoint").count().where("count > 1").collect()
+    )
+    assert dupes == [], f"replayed rounds after double restart: {dupes}"
+    assert int(json.loads(state.read_text())["hwm"]) >= 3

@@ -121,3 +121,46 @@ def test_trending_stream_matches_batch_token_counts(spark, tmp_path):
         .agg(F.count(F.lit(1)).alias("n"))
     )
     assert _rows_set(streamed, ["token", "n"]) == _rows_set(batch, ["token", "n"])
+
+
+def test_first_seen_intra_batch_order_independence(spark, tmp_path):
+    """One micro-batch delivering a key's events in REVERSE event-time
+    order must still emit the event-time minimum — the emission is a
+    sort within the batch, not 'first row the runtime happened to
+    hand us' (review-found divergence from the batch twin)."""
+    from sandbox_data_pipeline_spark.streaming.hourly import (
+        EVENT_SCHEMA,
+        first_seen_stream,
+    )
+
+    src, sink, ckpt = (str(tmp_path / d) for d in ("src", "sink", "ckpt"))
+    os.makedirs(src)
+    rows = [
+        {"event_id": 3, "ts": "2024-01-01 03:00:00", "user_id": 1,
+         "event_type": "view", "value": 3.0, "props": "{}"},
+        {"event_id": 2, "ts": "2024-01-01 02:00:00", "user_id": 1,
+         "event_type": "view", "value": 2.0, "props": "{}"},
+        {"event_id": 1, "ts": "2024-01-01 01:00:00", "user_id": 1,
+         "event_type": "view", "value": 1.0, "props": "{}"},
+    ]
+    with open(os.path.join(src, "batch.json"), "w") as f:
+        f.write("\n".join(json.dumps(r) for r in rows))
+
+    schema_k = StructType(EVENT_SCHEMA.fields + [StructField("k", StringType())])
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .json(src)
+        .withColumn("k", F.concat_ws("|", "user_id", "event_type"))
+    )
+    q = (
+        first_seen_stream(stream, "k", schema_k, state_ttl_hours=24 * 365)
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(sink).collect()
+    assert len(got) == 1
+    assert got[0]["event_id"] == 1  # event-time minimum, not arrival-first
