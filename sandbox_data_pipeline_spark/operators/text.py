@@ -638,3 +638,54 @@ def weighted_sample(
         "sample_rank",
     ]
     return out.select(*cols)
+
+
+def bigram_cross_entropy(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-trained BIGRAM conditional cross-entropy per document —
+    the n=2 member of the same family as ``unigram_cross_entropy``
+    (CCNet's production filter is a 5-gram KenLM; each added order is
+    one more count-join of exactly this shape). Score = mean over
+    adjacent token pairs of -log2 p(w2 | w1), with p estimated from
+    the corpus itself: c(w1,w2) / c(w1 as a left-context). Trained and
+    applied on the same corpus, so every observed bigram has positive
+    probability — no smoothing needed for the oracle-checkable core
+    (a held-out scorer plugs in via ``perplexity_model``).
+
+    Plan shape: ONE explode producing the (w1, w2) pair stream via
+    array zip (map-side), a bigram-count groupBy and a left-context
+    groupBy (both partial-combined), then two joins back and a per-doc
+    re-agg. At web scale both count tables are Zipf-skewed — AQE's
+    skew-join split handles the hot 'the ·' context bucket.
+    """
+    pairs = (
+        docs.select(
+            F.col(id_col),
+            F.explode(
+                F.expr(
+                    f"filter(zip_with(split({text_col}, ' '), "
+                    f"slice(split({text_col}, ' '), 2, 1000000), "
+                    "(a, b) -> struct(a AS w1, b AS w2)), "
+                    "p -> p.w1 <> '' AND p.w2 IS NOT NULL AND p.w2 <> '')"
+                )
+            ).alias("p"),
+        )
+        .select(id_col, F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    )
+    big = pairs.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    ctx = pairs.groupBy("w1").agg(F.count("*").alias("c1"))
+    scored = (
+        pairs.join(big, ["w1", "w2"])
+        .join(ctx, "w1")
+        .select(
+            F.col(id_col),
+            (-F.log2(F.col("c2") / F.col("c1"))).alias("bits"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").alias("n_bigrams"),
+        F.round(F.avg("bits"), 4).alias("bits_per_bigram"),
+    )

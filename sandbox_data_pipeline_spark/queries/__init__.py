@@ -72,6 +72,7 @@ DRIVER_PRIORITY = (
     "q_zorder_stats",
     # new round-3 LM-filter stage + calibration curve
     "q_unigram_bits",
+    "q_bigram_bits",
     "q_quality_sweep",
     # new round-3 scale primitive: two-phase dense global ids
     "q_global_ids",

@@ -1508,3 +1508,39 @@ GROUP BY doc_id
 QUERIES["q_unigram_bits"] = q_unigram_bits
 ORACLE["q_unigram_bits"] = _oracle_unigram_bits()
 
+
+
+def q_bigram_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained bigram conditional cross-entropy (bits per
+    adjacent token pair) — the n=2 LM filter; see
+    operators/text.py: bigram_cross_entropy."""
+    from sandbox_data_pipeline_spark.operators.text import bigram_cross_entropy
+
+    return bigram_cross_entropy(table(spark, sf_dir, "documents"))
+
+
+def _oracle_bigram_bits() -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+pairs AS (
+  -- range(1, 100000) is an oracle-side enumeration bound for token
+  -- positions, NOT an operator cap (the Spark side zips full arrays);
+  -- it must exceed max token count at the grading scale factors.
+  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+  FROM toks CROSS JOIN range(1, 100000) r(i)
+  WHERE i < len(t) AND t[i] <> '' AND t[i + 1] <> ''
+),
+big AS (SELECT w1, w2, count(*) AS c2 FROM pairs GROUP BY 1, 2),
+ctx AS (SELECT w1, count(*) AS c1 FROM pairs GROUP BY 1)
+SELECT doc_id,
+       count(*) AS n_bigrams,
+       round(avg(-log2(c2 / c1)), 4) AS bits_per_bigram
+FROM pairs JOIN big USING (w1, w2) JOIN ctx USING (w1)
+GROUP BY doc_id
+"""
+
+
+QUERIES["q_bigram_bits"] = q_bigram_bits
+ORACLE["q_bigram_bits"] = _oracle_bigram_bits()

@@ -429,3 +429,20 @@ def test_quality_sweep_monotone(spark, sf_dir):
     for a, b in zip(rows, rows[1:]):
         assert b["docs_kept"] <= a["docs_kept"]
         assert b["tokens_kept"] <= a["tokens_kept"]
+
+
+def test_bigram_cross_entropy_contract(spark):
+    """A perfectly predictable sequence (every bigram deterministic
+    given its context) scores 0 bits; injecting an alternative
+    continuation for a context raises it above 0."""
+    from sandbox_data_pipeline_spark.operators.text import bigram_cross_entropy
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b a b"), (2, "a b a c")],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in bigram_cross_entropy(docs).collect()}
+    # doc 2 makes context 'a' ambiguous (b or c), so even doc 1 pays
+    # bits on its a->b transitions; b->a stays deterministic
+    assert rows[1]["n_bigrams"] == 5 and rows[2]["n_bigrams"] == 3
+    assert rows[2]["bits_per_bigram"] > rows[1]["bits_per_bigram"] > 0
