@@ -78,6 +78,11 @@ HEADLINE = [
     "q_compaction_plan",
     "q_unigram_bits",
     "q_allpairs_jaccard",
+    "q_doc_chunks",
+    "q_pmi_pairs",
+    "q_cms_heavy_hitters",
+    "q_pagerank_dups",
+    "q_event_funnel",
 ]
 
 

@@ -1,0 +1,78 @@
+"""Link-analysis operators over pair graphs (near-dup candidates,
+citation/URL graphs): fixed-iteration PageRank.
+
+Complements operators/dedup.py: duplicate_clusters (connected
+components give cluster MEMBERSHIP; PageRank gives node CENTRALITY
+within the dup graph — which documents sit at the hub of a
+template/mirror family and are the canonical keep candidates).
+
+Scale design: the textbook bulk-synchronous PageRank — per iteration
+one join of edges against current ranks on src (both sides hash-
+partitioned on the same key, so AQE reuses the layout) and one
+groupBy(dst) with map-side partial sums. Iterations are a fixed,
+small constant; every node in an undirected pair graph has out-
+degree ≥ 1 so there is no dangling-mass correction term. Lineage is
+cut with localCheckpoint every ``checkpoint_every`` rounds, the same
+discipline as duplicate_clusters' pointer jumping.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    damping: float = 0.85,
+    iterations: int = 5,
+    src: str = "src",
+    dst: str = "dst",
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """Fixed-iteration PageRank over a directed edge list. For
+    undirected graphs, pass both orientations of each pair.
+
+    Returns (node, deg, pagerank, rank_rel): pagerank rounded to
+    6 dp; rank_rel = rank·|V| (relative to uniform — >1 means more
+    central than average), rounded to 4 dp. Counts and degrees stay
+    integral; the only floats are the rank itself, rounded once at
+    the end for cross-engine hash stability.
+    """
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    # The edge list feeds every iteration; without a lineage cut an
+    # upstream pair-generation pipeline (MinHash banding, etc.) would
+    # replay iterations+1 times. Same discipline as
+    # duplicate_clusters: materialize once, iterate over the blocks.
+    edges = edges.localCheckpoint(eager=False)
+    deg = edges.groupBy(src).agg(F.count("*").alias("deg"))
+    nodes = deg.select(F.col(src).alias("node"), "deg")
+    n = nodes.agg(F.count("*").alias("n_nodes"))
+    base = nodes.crossJoin(F.broadcast(n))
+    ranks = base.select(
+        "node", "deg", "n_nodes", (F.lit(1.0) / F.col("n_nodes")).alias("rank")
+    )
+    e = edges.select(F.col(src).alias("e_src"), F.col(dst).alias("node"))
+    for i in range(iterations):
+        contrib = e.join(
+            ranks.select(F.col("node").alias("e_src"), "deg", "rank"), "e_src"
+        ).select("node", (F.col("rank") / F.col("deg")).alias("c"))
+        summed = contrib.groupBy("node").agg(F.sum("c").alias("s"))
+        ranks = base.join(summed, "node", "left").select(
+            "node",
+            "deg",
+            "n_nodes",
+            (
+                F.lit(1.0 - damping) / F.col("n_nodes")
+                + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0))
+            ).alias("rank"),
+        )
+        if checkpoint_every and (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
+            ranks = ranks.localCheckpoint(eager=False)
+    return ranks.select(
+        "node",
+        "deg",
+        F.round("rank", 6).alias("pagerank"),
+        F.round(F.col("rank") * F.col("n_nodes"), 4).alias("rank_rel"),
+    )

@@ -689,3 +689,174 @@ def bigram_cross_entropy(
         F.count("*").alias("n_bigrams"),
         F.round(F.avg("bits"), 4).alias("bits_per_bigram"),
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 32,
+    stride: int = 24,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """RAG-prep chunk manifests: split each document into overlapping
+    token windows (``chunk_tokens`` wide, ``stride`` apart) and emit
+    one row per chunk with its token span and reassembled text.
+
+    Pure scan + explode — zero shuffles; fan-out per document is
+    ceil(n_tok / stride), so at 100 TB the output is a bounded
+    constant factor (~chunk_tokens/stride× with the default 1.33×)
+    of the input scan and parallelism follows the input splits.
+    Token positions rather than char offsets make the manifest
+    tokenizer-stable for downstream packing (see q_pack_sequences).
+    """
+    if stride <= 0 or chunk_tokens <= 0:
+        raise ValueError("chunk_tokens and stride must be positive")
+    toks = F.filter(tokens(text_col), lambda t: t != F.lit(""))
+    d = docs.select(F.col(id_col), toks.alias("_t"), F.size(toks).alias("_n"))
+    starts = F.sequence(F.lit(0), F.col("_n") - 1, F.lit(stride))
+    d = d.where(F.col("_n") > 0).select(
+        id_col, "_t", "_n", F.explode(starts).alias("tok_start")
+    )
+    tok_end = F.least(F.col("tok_start") + chunk_tokens, F.col("_n"))
+    return d.select(
+        F.col(id_col),
+        (F.col("tok_start") / stride).cast("long").alias("chunk_idx"),
+        F.col("tok_start").cast("long").alias("tok_start"),
+        tok_end.cast("long").alias("tok_end"),
+        (tok_end - F.col("tok_start")).cast("long").alias("n_chunk_toks"),
+        F.array_join(
+            F.slice(F.col("_t"), F.col("tok_start") + 1, tok_end - F.col("tok_start")),
+            " ",
+        ).alias("chunk_text"),
+    )
+
+
+def pmi_pairs(
+    docs: DataFrame,
+    vocab_size: int = 40,
+    min_pair_docs: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Pointwise mutual information of token co-occurrence at the
+    document level: PMI(a,b) = log2(P(a,b) / (P(a)·P(b))) with
+    probabilities over documents (a token "occurs" once per doc).
+
+    Scale design: the pair space is bounded up front by restricting
+    to the top-``vocab_size`` tokens by document frequency (broadcast
+    semi-join — the vocab is tiny by construction), so the within-doc
+    self-join fans out at most C(vocab_size, 2) pairs per doc, not
+    n_tok². Counts are integers; only the final PMI is floating,
+    rounded to 4 dp for cross-engine hash stability.
+    """
+    tok = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(F.filter(tokens(text_col), lambda t: t != F.lit("")))
+        ).alias("token"),
+    )
+    df_t = tok.groupBy("token").agg(F.count("*").alias("df"))
+    # global top-k via sort+limit → TakeOrderedAndProject (map-side
+    # partial top-k, no single-partition window even with a
+    # billion-token vocabulary)
+    vocab = df_t.orderBy(F.col("df").desc(), "token").limit(vocab_size)
+    tok_v = tok.join(F.broadcast(vocab), "token").select(id_col, "token", "df")
+    a = tok_v.select(
+        F.col(id_col), F.col("token").alias("tok_a"), F.col("df").alias("df_a")
+    )
+    b = tok_v.select(
+        F.col(id_col), F.col("token").alias("tok_b"), F.col("df").alias("df_b")
+    )
+    pair = (
+        a.join(b, id_col)
+        .where(F.col("tok_a") < F.col("tok_b"))
+        .groupBy("tok_a", "tok_b", "df_a", "df_b")
+        .agg(F.count("*").alias("n_docs_both"))
+        .where(F.col("n_docs_both") >= min_pair_docs)
+    )
+    n_docs = docs.agg(F.count("*").alias("_n"))
+    return (
+        pair.crossJoin(F.broadcast(n_docs))
+        .select(
+            "tok_a",
+            "tok_b",
+            F.col("df_a").alias("n_docs_a"),
+            F.col("df_b").alias("n_docs_b"),
+            "n_docs_both",
+            F.round(
+                F.log2(
+                    (F.col("n_docs_both") * F.col("_n"))
+                    / (F.col("df_a") * F.col("df_b"))
+                ),
+                4,
+            ).alias("pmi_bits"),
+        )
+    )
+
+
+def source_kl_divergence(
+    docs: DataFrame,
+    vocab_size: int = 40,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Distribution-drift monitor: KL(source ‖ corpus) in bits over
+    the token distribution, restricted to the top-``vocab_size``
+    corpus tokens with add-one smoothing (so every vocab token has
+    nonzero mass in every source and the divergence is finite).
+
+    This is the per-slice drift check a training-data pipeline runs
+    before admitting a new crawl snapshot: token-frequency vectors
+    per source are a groupBy over (source, token) — one shuffle whose
+    key space is |sources|·|vocab|, independent of corpus size — and
+    the corpus marginals broadcast. Integer counts all the way; the
+    single floating log happens at the end, rounded to 4 dp.
+    """
+    tok = docs.select(
+        F.col(source_col).alias("source"),
+        F.explode(F.filter(tokens(text_col), lambda t: t != F.lit(""))).alias("token"),
+    )
+    corpus = tok.groupBy("token").agg(F.count("*").alias("c_corpus"))
+    vocab = corpus.orderBy(F.col("c_corpus").desc(), "token").limit(vocab_size)
+    per_src = (
+        tok.join(F.broadcast(vocab.select("token")), "token")
+        .groupBy("source", "token")
+        .agg(F.count("*").alias("c_src"))
+    )
+    # Dense (source × vocab) grid so absent tokens still get smoothed
+    # mass: sources is a tiny dim (distinct over one scan), vocab is
+    # bounded — the crossJoin is broadcast × broadcast small.
+    sources = docs.select(F.col(source_col).alias("source")).distinct()
+    grid = sources.crossJoin(F.broadcast(vocab))
+    cells = grid.join(per_src, ["source", "token"], "left").select(
+        "source",
+        "token",
+        "c_corpus",
+        F.coalesce(F.col("c_src"), F.lit(0)).alias("c_src"),
+    )
+    totals = cells.groupBy("source").agg(F.sum("c_src").alias("n_src"))
+    # smoothing denominator uses the ACTUAL vocab cardinality (which
+    # may be smaller than the cap), so identical distributions give
+    # exactly KL = 0 — the smoothed masses then sum to 1 per slice
+    corpus_total = vocab.agg(
+        F.sum("c_corpus").alias("n_corpus"), F.count("*").alias("n_vocab")
+    )
+    return (
+        cells.join(totals, "source")
+        .crossJoin(F.broadcast(corpus_total))
+        .select(
+            "source",
+            "n_src",
+            (
+                ((F.col("c_src") + 1) / (F.col("n_src") + F.col("n_vocab")))
+                * F.log2(
+                    ((F.col("c_src") + 1) / (F.col("n_src") + F.col("n_vocab")))
+                    / ((F.col("c_corpus") + 1) / (F.col("n_corpus") + F.col("n_vocab")))
+                )
+            ).alias("_term"),
+        )
+        .groupBy("source", "n_src")
+        .agg(F.round(F.sum("_term"), 4).alias("kl_bits"))
+        .select("source", F.col("n_src").alias("n_vocab_tokens"), "kl_bits")
+    )

@@ -663,3 +663,82 @@ SELECT CAST(dayofweek(ts) + 1 AS INTEGER) AS dow,
 FROM events GROUP BY 1, 2
 """
 QUERIES["q_activity_heatmap"] = q_activity_heatmap
+
+
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel signup → view → click → purchase:
+    a user advances a stage only with an event at-or-after their
+    previous stage's first timestamp. Each stage is one groupBy(user)
+    min plus one join against the previous stage — all joins keyed on
+    user_id, so AQE co-partitions the whole cascade on one layout; the
+    stage summary rows are 1-row aggregates unioned at the end."""
+    e = table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    stages = ["signup", "view", "click", "purchase"]
+    cur = (
+        e.where(F.col("event_type") == stages[0])
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t"))
+    )
+    frames = [cur]
+    for st in stages[1:]:
+        nxt = (
+            e.where(F.col("event_type") == st)
+            .join(cur.select("user_id", F.col("t").alias("t_prev")), "user_id")
+            .where(F.col("ts") >= F.col("t_prev"))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias("t"))
+        )
+        frames.append(nxt)
+        cur = nxt
+    entry = frames[0].agg(F.count("*").alias("n0"))
+    out = None
+    for i, (st, df) in enumerate(zip(stages, frames)):
+        row = df.agg(F.count("*").alias("n_users")).select(
+            F.lit(i + 1).alias("stage_idx"), F.lit(st).alias("stage"), "n_users"
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.crossJoin(F.broadcast(entry)).select(
+        "stage_idx",
+        "stage",
+        "n_users",
+        F.round(F.col("n_users") / F.col("n0"), 4).alias("pct_of_entry"),
+    )
+
+
+def _oracle_funnel() -> str:
+    return """
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t FROM events WHERE event_type = 'signup' GROUP BY 1
+),
+s2 AS (
+  SELECT e.user_id, min(e.ts) AS t
+  FROM events e JOIN s1 ON s1.user_id = e.user_id
+  WHERE e.event_type = 'view' AND e.ts >= s1.t GROUP BY 1
+),
+s3 AS (
+  SELECT e.user_id, min(e.ts) AS t
+  FROM events e JOIN s2 ON s2.user_id = e.user_id
+  WHERE e.event_type = 'click' AND e.ts >= s2.t GROUP BY 1
+),
+s4 AS (
+  SELECT e.user_id, min(e.ts) AS t
+  FROM events e JOIN s3 ON s3.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.ts >= s3.t GROUP BY 1
+),
+n AS (SELECT count(*) AS n0 FROM s1),
+stages AS (
+  SELECT 1 AS stage_idx, 'signup' AS stage, (SELECT count(*) FROM s1) AS n_users
+  UNION ALL
+  SELECT 2, 'view', (SELECT count(*) FROM s2)
+  UNION ALL
+  SELECT 3, 'click', (SELECT count(*) FROM s3)
+  UNION ALL
+  SELECT 4, 'purchase', (SELECT count(*) FROM s4)
+)
+SELECT stage_idx, stage, n_users, round(n_users / n0, 4) AS pct_of_entry
+FROM stages CROSS JOIN n
+"""
+
+
+QUERIES["q_event_funnel"] = q_event_funnel
+ORACLE["q_event_funnel"] = _oracle_funnel()

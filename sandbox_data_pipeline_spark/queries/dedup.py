@@ -994,3 +994,63 @@ WHERE round(inter / (sa.n_sh + sb.n_sh - inter), 4) >= {t}
 
 QUERIES["q_allpairs_jaccard"] = q_allpairs_jaccard
 ORACLE["q_allpairs_jaccard"] = _oracle_allpairs()
+
+
+def q_pagerank_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality over the near-dup candidate graph — which
+    documents are the hubs of a template/mirror family (the canonical
+    keep candidates). Fixed 5 iterations, damping 0.85, undirected
+    (both edge orientations); see operators/graph.py: pagerank."""
+    from sandbox_data_pipeline_spark.operators.graph import pagerank
+
+    pairs = q_dedup_minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionByName(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+    pr = pagerank(edges, damping=0.85, iterations=5)
+    return pr.select(F.col("node").alias("doc_id"), "deg", "pagerank", "rank_rel")
+
+
+def _oracle_pagerank() -> str:
+    iters = []
+    prev = "p0"
+    for k in range(1, 6):
+        iters.append(
+            f"""p{k} AS (
+  SELECT b.node, b.deg, b.n_nodes,
+         CAST(0.15 AS DOUBLE) / b.n_nodes
+           + CAST(0.85 AS DOUBLE) * coalesce(s.s, CAST(0 AS DOUBLE)) AS rank
+  FROM p0 b LEFT JOIN (
+    SELECT e.dst AS node, sum(p.rank / p.deg) AS s
+    FROM e JOIN {prev} p ON p.node = e.src
+    GROUP BY 1
+  ) s ON s.node = b.node
+)"""
+        )
+        prev = f"p{k}"
+    chain = ",\n".join(iters)
+    return f"""
+WITH mh AS MATERIALIZED ({_oracle_minhash()}),
+-- MATERIALIZED: e and p0 are referenced once per unrolled iteration;
+-- DuckDB would otherwise inline them and recompute the MinHash
+-- banding 6x over
+e AS MATERIALIZED (
+  SELECT doc_a AS src, doc_b AS dst FROM mh
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM mh
+),
+deg AS (SELECT src AS node, count(*) AS deg FROM e GROUP BY 1),
+n AS (SELECT count(*) AS n_nodes FROM deg),
+p0 AS MATERIALIZED (
+  SELECT node, deg, n_nodes, CAST(1 AS DOUBLE) / n_nodes AS rank
+  FROM deg CROSS JOIN n
+),
+{chain}
+SELECT node AS doc_id, deg, round(rank, 6) AS pagerank,
+       round(rank * n_nodes, 4) AS rank_rel
+FROM {prev}
+"""
+
+
+QUERIES["q_pagerank_dups"] = q_pagerank_dups
+ORACLE["q_pagerank_dups"] = _oracle_pagerank()

@@ -1544,3 +1544,182 @@ GROUP BY doc_id
 
 QUERIES["q_bigram_bits"] = q_bigram_bits
 ORACLE["q_bigram_bits"] = _oracle_bigram_bits()
+
+
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunk manifests (RAG prep); see
+    operators/text.py: chunk_documents."""
+    from sandbox_data_pipeline_spark.operators.text import chunk_documents
+
+    return chunk_documents(table(spark, sf_dir, "documents"), chunk_tokens=32, stride=24)
+
+
+def _oracle_doc_chunks() -> str:
+    return """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS t
+  FROM documents
+),
+s AS (
+  -- range bound is an oracle-side enumeration cap on token positions
+  -- (must exceed max tokens/doc at grading SFs), not an operator cap
+  SELECT doc_id, t, i AS tok_start
+  FROM toks CROSS JOIN range(0, 100000, 24) r(i)
+  WHERE i < len(t)
+)
+SELECT doc_id,
+       tok_start // 24 AS chunk_idx,
+       tok_start,
+       least(tok_start + 32, len(t)) AS tok_end,
+       least(tok_start + 32, len(t)) - tok_start AS n_chunk_toks,
+       array_to_string(t[tok_start + 1 : least(tok_start + 32, len(t))], ' ')
+         AS chunk_text
+FROM s
+"""
+
+
+QUERIES["q_doc_chunks"] = q_doc_chunks
+ORACLE["q_doc_chunks"] = _oracle_doc_chunks()
+
+
+def q_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-level token co-occurrence PMI over the top-40 vocab;
+    see operators/text.py: pmi_pairs."""
+    from sandbox_data_pipeline_spark.operators.text import pmi_pairs
+
+    return pmi_pairs(table(spark, sf_dir, "documents"), vocab_size=40, min_pair_docs=5)
+
+
+def _oracle_pmi_pairs() -> str:
+    return """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_filter(string_split(text, ' '), t -> t <> '')))
+           AS token
+  FROM documents
+),
+df AS (SELECT token, count(*) AS df FROM tok GROUP BY 1),
+vocab AS (SELECT token, df FROM df ORDER BY df DESC, token LIMIT 40),
+tv AS (SELECT tok.doc_id, tok.token, vocab.df FROM tok JOIN vocab USING (token)),
+pair AS (
+  SELECT a.token AS tok_a, b.token AS tok_b, a.df AS df_a, b.df AS df_b,
+         count(*) AS n_docs_both
+  FROM tv a JOIN tv b ON a.doc_id = b.doc_id AND a.token < b.token
+  GROUP BY 1, 2, 3, 4
+  HAVING count(*) >= 5
+),
+n AS (SELECT count(*) AS n_docs FROM documents)
+SELECT tok_a, tok_b, df_a AS n_docs_a, df_b AS n_docs_b, n_docs_both,
+       round(log2((n_docs_both * n_docs) / (df_a * df_b)), 4) AS pmi_bits
+FROM pair CROSS JOIN n
+"""
+
+
+QUERIES["q_pmi_pairs"] = q_pmi_pairs
+ORACLE["q_pmi_pairs"] = _oracle_pmi_pairs()
+
+
+def q_source_drift_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-distribution drift vs the corpus (KL bits,
+    add-one smoothing, top-40 vocab); see operators/text.py:
+    source_kl_divergence."""
+    from sandbox_data_pipeline_spark.operators.text import source_kl_divergence
+
+    return source_kl_divergence(table(spark, sf_dir, "documents"), vocab_size=40)
+
+
+def _oracle_source_kl() -> str:
+    return """
+WITH tok AS (
+  SELECT source, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS token
+  FROM documents
+),
+corpus AS (SELECT token, count(*) AS c_corpus FROM tok GROUP BY 1),
+vocab AS (SELECT token, c_corpus FROM corpus ORDER BY c_corpus DESC, token LIMIT 40),
+per_src AS (
+  SELECT source, token, count(*) AS c_src
+  FROM tok JOIN vocab USING (token)
+  GROUP BY 1, 2
+),
+grid AS (
+  SELECT s.source, v.token, v.c_corpus
+  FROM (SELECT DISTINCT source FROM documents) s CROSS JOIN vocab v
+),
+cells AS (
+  SELECT grid.source, grid.token, grid.c_corpus, coalesce(per_src.c_src, 0) AS c_src
+  FROM grid LEFT JOIN per_src
+    ON per_src.source = grid.source AND per_src.token = grid.token
+),
+tot AS (SELECT source, sum(c_src) AS n_src FROM cells GROUP BY 1),
+ctot AS (SELECT sum(c_corpus) AS n_corpus, count(*) AS n_vocab FROM vocab)
+SELECT cells.source,
+       tot.n_src AS n_vocab_tokens,
+       round(sum(
+         ((c_src + 1) / (n_src + n_vocab))
+         * log2(((c_src + 1) / (n_src + n_vocab)) / ((c_corpus + 1) / (n_corpus + n_vocab)))
+       ), 4) AS kl_bits
+FROM cells JOIN tot USING (source) CROSS JOIN ctot
+GROUP BY 1, 2
+"""
+
+
+QUERIES["q_source_drift_kl"] = q_source_drift_kl
+ORACLE["q_source_drift_kl"] = _oracle_source_kl()
+
+
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch heavy hitters with the estimator's overcount
+    measured against exact counts (the q_minhash_precision pattern:
+    the sketch itself is graded, not just its plumbing); see
+    operators/sketch.py."""
+    from sandbox_data_pipeline_spark.operators.sketch import cms_build, cms_estimate
+
+    tok = table(spark, sf_dir, "documents").select(
+        F.explode(
+            F.filter(F.split("text", " "), lambda t: t != F.lit(""))
+        ).alias("token")
+    )
+    sketch = cms_build(tok)
+    candidates = (
+        tok.groupBy("token")
+        .agg(F.count("*").alias("exact_n"))
+        .orderBy(F.col("exact_n").desc(), "token")
+        .limit(20)
+    )
+    est = cms_estimate(sketch, candidates)
+    return est.select(
+        "token", "exact_n", "cms_n", (F.col("cms_n") - F.col("exact_n")).alias("overcount")
+    )
+
+
+def _oracle_cms() -> str:
+    bucket = (
+        "CAST('0x' || substr(md5('cms' || seed || token), 1, 15) AS BIGINT) % 64"
+    )
+    return f"""
+WITH tok AS (
+  SELECT unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS token
+  FROM documents
+),
+cells AS (
+  SELECT seed, {bucket} AS bucket, count(*) AS c
+  FROM tok CROSS JOIN range(0, 4) r(seed)
+  GROUP BY 1, 2
+),
+cand AS (
+  SELECT token, count(*) AS exact_n FROM tok GROUP BY 1
+  ORDER BY exact_n DESC, token LIMIT 20
+),
+est AS (
+  SELECT cand.token, cand.exact_n, min(cells.c) AS cms_n
+  FROM cand CROSS JOIN range(0, 4) r(seed)
+  JOIN cells ON cells.seed = r.seed
+   AND cells.bucket = CAST('0x' || substr(md5('cms' || r.seed || cand.token), 1, 15) AS BIGINT) % 64
+  GROUP BY 1, 2
+)
+SELECT token, exact_n, cms_n, cms_n - exact_n AS overcount FROM est
+"""
+
+
+QUERIES["q_cms_heavy_hitters"] = q_cms_heavy_hitters
+ORACLE["q_cms_heavy_hitters"] = _oracle_cms()
