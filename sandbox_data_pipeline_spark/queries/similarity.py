@@ -919,3 +919,56 @@ FROM pos JOIN neg USING (anchor_id)
 
 QUERIES["q_training_triplets"] = q_training_triplets
 ORACLE["q_training_triplets"] = _oracle_triplets()
+
+
+def q_rag_index_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end retrieval index build — the RAG-prep composition:
+    overlapping chunk manifests (operators/text.py: chunk_documents)
+    joined to each document's embedding with the SRP bucket assigned
+    inline on the embedding scan (operators/similarity.py:
+    lsh_buckets), plus routing metadata. The output is the chunk-level
+    manifest a vector store ingests: (chunk span, bucket, lang,
+    source).
+
+    One Catalyst plan: the chunk explode is shuffle-free; the two
+    joins key on doc_id so AQE lays both out on one hash layout (at
+    100 TB neither side broadcasts — embeddings are corpus-sized —
+    and that single co-keyed exchange is the whole cost)."""
+    from sandbox_data_pipeline_spark.operators.similarity import lsh_buckets
+    from sandbox_data_pipeline_spark.operators.text import chunk_documents
+
+    docs = table(spark, sf_dir, "documents")
+    chunks = chunk_documents(docs, chunk_tokens=32, stride=24).select(
+        "doc_id", "chunk_idx", "tok_start", "tok_end", "n_chunk_toks"
+    )
+    buckets = lsh_buckets(table(spark, sf_dir, "embeddings"), DIM, PLANES).select(
+        F.col("vec_id").alias("doc_id"), "bucket"
+    )
+    meta = docs.select("doc_id", "lang", "source")
+    return (
+        chunks.join(buckets, "doc_id")
+        .join(meta, "doc_id")
+        .select(
+            "doc_id", "chunk_idx", "tok_start", "tok_end", "n_chunk_toks",
+            "bucket", "lang", "source",
+        )
+    )
+
+
+def _oracle_rag_index() -> str:
+    from sandbox_data_pipeline_spark.queries.text import _oracle_doc_chunks
+
+    return f"""
+WITH chunks AS ({_oracle_doc_chunks()}),
+b AS (
+  SELECT vec_id AS doc_id, {_bucket_sql('v')} AS bucket
+  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+)
+SELECT c.doc_id, c.chunk_idx, c.tok_start, c.tok_end, c.n_chunk_toks,
+       b.bucket, d.lang, d.source
+FROM chunks c JOIN b USING (doc_id) JOIN documents d USING (doc_id)
+"""
+
+
+QUERIES["q_rag_index_pipeline"] = q_rag_index_pipeline
+ORACLE["q_rag_index_pipeline"] = _oracle_rag_index()

@@ -158,3 +158,62 @@ def test_event_funnel_requires_stage_order(spark):
     assert got["click"].n_users == 2
     assert got["purchase"].n_users == 1
     assert got["purchase"].pct_of_entry == 0.5
+
+
+# --- property tests ---------------------------------------------------------
+
+from hypothesis import given, settings, strategies as st
+
+
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=200), min_size=1, max_size=8
+    ),
+    st.integers(min_value=1, max_value=5),
+)
+@settings(max_examples=10, deadline=None)
+def test_chunks_tile_every_token(lengths, ratio):
+    """Every token index of every doc falls in >= 1 chunk; chunk starts
+    are exactly the stride multiples below n_tok; spans never overrun.
+    Batched: one Spark job per example."""
+    from sandbox_data_pipeline_spark.operators.text import chunk_documents
+    from sandbox_data_pipeline_spark.session import get_spark
+
+    spark = get_spark("pytest", shuffle_partitions=8)
+    stride = 7
+    chunk = stride * ratio  # chunk >= stride → full coverage
+    rows = [(i, " ".join(f"w{j}" for j in range(n)), "s") for i, n in enumerate(lengths)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = chunk_documents(df, chunk_tokens=chunk, stride=stride).collect()
+    by_doc = {}
+    for r in got:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for i, n in enumerate(lengths):
+        spans = sorted((r.tok_start, r.tok_end) for r in by_doc.get(i, []))
+        if n == 0:
+            assert spans == []
+            continue
+        assert [s for s, _ in spans] == list(range(0, n, stride))
+        covered = set()
+        for s, e in spans:
+            assert 0 <= s < n and s < e <= n
+            covered.update(range(s, e))
+        assert covered == set(range(n))
+
+
+@given(st.lists(st.sampled_from("abcdef"), min_size=1, max_size=60))
+@settings(max_examples=10, deadline=None)
+def test_cms_estimate_dominates_exact_count(keys):
+    """CMS point estimates are ALWAYS >= the true count (one-sided
+    error), for arbitrary key multisets — including heavy repeats."""
+    from pyspark.sql import functions as F
+
+    from sandbox_data_pipeline_spark.operators.sketch import cms_build, cms_estimate
+    from sandbox_data_pipeline_spark.session import get_spark
+
+    spark = get_spark("pytest", shuffle_partitions=8)
+    tok = spark.createDataFrame([(k,) for k in keys], "token string")
+    sketch = cms_build(tok, depth=2, width=4)  # tiny grid → forced collisions
+    exact = tok.groupBy("token").agg(F.count("*").alias("exact_n"))
+    for r in cms_estimate(sketch, exact, depth=2, width=4).collect():
+        assert r.cms_n >= r.exact_n
