@@ -67,3 +67,40 @@ def test_headline_queries_have_no_smells(spark, sf_dir):
     ):
         smells = audit(name, plan_of(q[name](spark, sf_dir)))
         assert smells == [], (name, smells)
+
+
+def test_chunk_manifests_plan_is_shuffle_free(spark, sf_dir):
+    # chunk_documents promises a pure scan+explode: ZERO exchanges
+    plan = _plan(spark, sf_dir, "q_doc_chunks")
+    assert "Exchange" not in plan
+
+
+def test_cms_sketch_aggregate_has_partial_combine(spark, sf_dir):
+    # the 256-cell groupBy must partial-aggregate map-side — that IS
+    # the constant-shuffle claim in SCALE.md
+    plan = _plan(spark, sf_dir, "q_cms_heavy_hitters")
+    assert "partial_" in plan
+
+
+def test_pmi_vocab_topk_is_take_ordered(spark, sf_dir):
+    # vocab cap compiles to TakeOrderedAndProject (map-side partial
+    # top-k), never a single-partition global Window
+    plan = _plan(spark, sf_dir, "q_pmi_pairs")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_round3_queries_have_no_smells(spark, sf_dir):
+    from sandbox_data_pipeline_spark.queries import registry
+
+    q, _ = registry()
+    for name in (
+        "q_doc_chunks",
+        "q_pmi_pairs",
+        "q_source_drift_kl",
+        "q_cms_heavy_hitters",
+        "q_pagerank_dups",
+        "q_event_funnel",
+        "q_rag_index_pipeline",
+    ):
+        smells = audit(name, plan_of(q[name](spark, sf_dir)))
+        assert smells == [], (name, smells)
