@@ -812,22 +812,59 @@ def source_kl_divergence(
     key space is |sources|·|vocab|, independent of corpus size — and
     the corpus marginals broadcast. Integer counts all the way; the
     single floating log happens at the end, rounded to 4 dp.
+
+    Self-baseline case of drift_kl: marginals come from ``docs``
+    itself.
     """
-    tok = docs.select(
+    return drift_kl(
+        docs,
+        docs,
+        vocab_size=vocab_size,
+        text_col=text_col,
+        source_col=source_col,
+    )
+
+
+def drift_kl(
+    new_docs: DataFrame,
+    baseline_docs: DataFrame,
+    vocab_size: int = 40,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """KL(new-batch source ‖ baseline corpus) in bits: the vocabulary
+    and reference marginals come from ``baseline_docs`` (a frozen,
+    already-admitted snapshot); per-source counts come from
+    ``new_docs`` (the candidate batch). Add-one smoothing over the
+    ACTUAL baseline vocab cardinality, so a batch distributed exactly
+    like the baseline scores exactly 0.
+
+    This is the admission-gate form: the baseline's top-k vocab +
+    counts are a tiny write-once artifact at 100 TB (recomputed here
+    from the snapshot for the differential oracle), and the per-batch
+    cost is one token count over the batch itself.
+    """
+    tok_base = baseline_docs.select(
+        F.explode(F.filter(tokens(text_col), lambda t: t != F.lit(""))).alias("token")
+    )
+    corpus = tok_base.groupBy("token").agg(F.count("*").alias("c_corpus"))
+    # global top-k via sort+limit → TakeOrderedAndProject (map-side
+    # partial top-k, no single-partition window even with a
+    # billion-token vocabulary)
+    vocab = corpus.orderBy(F.col("c_corpus").desc(), "token").limit(vocab_size)
+    tok_new = new_docs.select(
         F.col(source_col).alias("source"),
         F.explode(F.filter(tokens(text_col), lambda t: t != F.lit(""))).alias("token"),
     )
-    corpus = tok.groupBy("token").agg(F.count("*").alias("c_corpus"))
-    vocab = corpus.orderBy(F.col("c_corpus").desc(), "token").limit(vocab_size)
     per_src = (
-        tok.join(F.broadcast(vocab.select("token")), "token")
+        tok_new.join(F.broadcast(vocab.select("token")), "token")
         .groupBy("source", "token")
         .agg(F.count("*").alias("c_src"))
     )
     # Dense (source × vocab) grid so absent tokens still get smoothed
     # mass: sources is a tiny dim (distinct over one scan), vocab is
     # bounded — the crossJoin is broadcast × broadcast small.
-    sources = docs.select(F.col(source_col).alias("source")).distinct()
+    sources = new_docs.select(F.col(source_col).alias("source")).distinct()
     grid = sources.crossJoin(F.broadcast(vocab))
     cells = grid.join(per_src, ["source", "token"], "left").select(
         "source",

@@ -127,6 +127,15 @@ DRIVER_PRIORITY = (
     "q_passage_dedup",
     "q_ann_recall",
     "q_profile_orders",
+    # round-3 session additions — never sampled; next window after the
+    # head above
+    "q_doc_chunks",
+    "q_pmi_pairs",
+    "q_source_drift_kl",
+    "q_cms_heavy_hitters",
+    "q_pagerank_dups",
+    "q_event_funnel",
+    "q_rag_index_pipeline",
 )
 
 
