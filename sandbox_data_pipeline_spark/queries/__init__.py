@@ -136,6 +136,7 @@ DRIVER_PRIORITY = (
     "q_pagerank_dups",
     "q_event_funnel",
     "q_rag_index_pipeline",
+    "q_bpe_merges",
 )
 
 

@@ -1723,3 +1723,81 @@ SELECT token, exact_n, cms_n, cms_n - exact_n AS overcount FROM est
 
 QUERIES["q_cms_heavy_hitters"] = q_cms_heavy_hitters
 ORACLE["q_cms_heavy_hitters"] = _oracle_cms()
+
+
+BPE_N_MERGES = 6
+
+
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE vocabulary learning (operators/bpe.py): the
+    first 6 learned merges with their weighted pair counts. The oracle
+    unrolls the same 6 rounds in SQL: per round, argmax pair by
+    (count desc, pair asc), then greedy non-overlapping application
+    replayed with gaps-and-islands run parity (a run of k identical
+    candidates merges at positions 0, 2, 4, …)."""
+    from sandbox_data_pipeline_spark.operators.bpe import bpe_merges
+
+    return bpe_merges(table(spark, sf_dir, "documents"), n_merges=BPE_N_MERGES)
+
+
+def _oracle_bpe() -> str:
+    rounds = []
+    finals = []
+    for k in range(1, BPE_N_MERGES + 1):
+        p = f"w{k - 1}"
+        rounds.append(f"""pos{k} AS MATERIALIZED (
+  SELECT word, cnt, r.range::INT AS i,
+         t[r.range::INT] AS s, t[r.range::INT + 1] AS nxt
+  FROM (SELECT word, cnt, string_split(sym, ' ') AS t FROM {p}) x
+  -- range bound = max symbols/word at grading SFs (words are short)
+  CROSS JOIN range(1, 200) r
+  WHERE r.range <= len(t)
+),
+best{k} AS MATERIALIZED (
+  SELECT s AS a, nxt AS b, sum(cnt) AS c
+  FROM pos{k} WHERE nxt IS NOT NULL
+  GROUP BY 1, 2 HAVING sum(cnt) >= 2
+  ORDER BY c DESC, a, b LIMIT 1
+),
+mrg{k} AS MATERIALIZED (
+  SELECT word, i FROM (
+    SELECT word, i, row_number() OVER (PARTITION BY word, g ORDER BY i) - 1 AS r
+    FROM (
+      SELECT word, i, i - row_number() OVER (PARTITION BY word ORDER BY i) AS g
+      FROM pos{k}
+      WHERE s = (SELECT a FROM best{k}) AND nxt = (SELECT b FROM best{k})
+    )
+  ) WHERE r % 2 = 0
+),
+w{k} AS MATERIALIZED (
+  SELECT p.word, p.cnt,
+         string_agg(CASE WHEN m.i IS NOT NULL THEN p.s || p.nxt ELSE p.s END,
+                    ' ' ORDER BY p.i) AS sym
+  FROM pos{k} p
+  LEFT JOIN mrg{k} m ON m.word = p.word AND m.i = p.i
+  LEFT JOIN mrg{k} m2 ON m2.word = p.word AND m2.i = p.i - 1
+  WHERE m2.i IS NULL
+  GROUP BY p.word, p.cnt
+)""")
+        finals.append(
+            f"SELECT {k} AS merge_rank, a AS sym_a, b AS sym_b, c AS pair_count FROM best{k}"
+        )
+    chain = ",\n".join(rounds)
+    union = "\nUNION ALL\n".join(finals)
+    return f"""
+WITH w0 AS MATERIALIZED (
+  SELECT word, count(*) AS cnt,
+         rtrim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS sym
+  FROM (
+    SELECT unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS word
+    FROM documents
+  )
+  GROUP BY word
+),
+{chain}
+SELECT merge_rank, sym_a, sym_b, pair_count FROM ({union})
+"""
+
+
+QUERIES["q_bpe_merges"] = q_bpe_merges
+ORACLE["q_bpe_merges"] = _oracle_bpe()
