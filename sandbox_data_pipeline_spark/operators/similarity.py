@@ -738,3 +738,119 @@ def heuristic_rerank_batch(a, b):
         return round(len(sx & sy) / min(len(sx), len(sy)), 6)
 
     return pd.Series([one(x, y) for x, y in zip(a, b)], index=a.index)
+
+
+def mmr_rerank(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    pool_k: int = 10,
+    select_k: int = 3,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    1998): retrieve a top-``pool_k`` relevance pool per query, then
+    greedily select ``select_k`` results maximizing
+    λ·relevance − (1−λ)·max-similarity-to-already-selected — the
+    diversity stage of retrieve-then-rerank.
+
+    Scale design: the expensive part is the relevance pool (the same
+    broadcast-query scan as brute_force_topk); the greedy loop then
+    runs on pool_k rows/query — ``select_k − 1`` bounded joins whose
+    both sides are (queries × pool_k)-sized, independent of corpus
+    size. Determinism: similarities round to 6 dp BEFORE every argmax
+    and ties break on cand_id, so selection is engine- and
+    partition-order-independent (the differential-oracle requirement).
+    """
+    cand = embeddings.withColumn("_v", as_double_array(vec_col)).select(
+        F.col(id_col).alias("cand_id"),
+        F.col("_v").alias("cvec"),
+        _norm("_v").alias("cn"),
+    )
+    q = queries.withColumn("_v", as_double_array(vec_col)).select(
+        F.col(id_col).alias("query_id"),
+        F.col("_v").alias("qvec"),
+        _norm("_v").alias("qn"),
+    )
+    sims = cand.join(F.broadcast(q), F.col("cand_id") != F.col("query_id")).select(
+        "query_id",
+        "cand_id",
+        F.round(cosine_pre("qvec", "cvec", "qn", "cn"), 6).alias("rel"),
+        "cvec",
+        "cn",
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("rel").desc(), F.col("cand_id"))
+    pool = (
+        sims.withColumn("_r", F.row_number().over(w))
+        .where(F.col("_r") <= pool_k)
+        .drop("_r")
+        .localCheckpoint(eager=False)  # reused select_k times below
+    )
+    first = pool.withColumn("_r", F.row_number().over(w)).where(F.col("_r") == 1)
+    selected = first.select(
+        "query_id",
+        F.lit(1).alias("mmr_rank"),
+        "cand_id",
+        "rel",
+        F.col("rel").alias("mmr_score"),
+        "cvec",
+        "cn",
+    )
+    for step in range(2, select_k + 1):
+        sel = selected.select(
+            "query_id",
+            F.col("cand_id").alias("sel_id"),
+            F.col("cvec").alias("svec"),
+            F.col("cn").alias("sn"),
+        )
+        remaining = pool.join(
+            selected.select("query_id", "cand_id"), ["query_id", "cand_id"], "left_anti"
+        )
+        scored = (
+            remaining.join(sel, "query_id")
+            .select(
+                "query_id",
+                "cand_id",
+                "rel",
+                "cvec",
+                "cn",
+                F.round(cosine_pre("cvec", "svec", "cn", "sn"), 6).alias("sim_sel"),
+            )
+            .groupBy("query_id", "cand_id", "rel", "cvec", "cn")
+            .agg(F.max("sim_sel").alias("max_sel"))
+            .select(
+                "query_id",
+                "cand_id",
+                "rel",
+                "cvec",
+                "cn",
+                F.round(
+                    F.lit(lam) * F.col("rel") - F.lit(1.0 - lam) * F.col("max_sel"), 6
+                ).alias("mmr_score"),
+            )
+        )
+        ws = Window.partitionBy("query_id").orderBy(
+            F.col("mmr_score").desc(), F.col("cand_id")
+        )
+        pick = (
+            scored.withColumn("_r", F.row_number().over(ws))
+            .where(F.col("_r") == 1)
+            .select(
+                "query_id",
+                F.lit(step).alias("mmr_rank"),
+                "cand_id",
+                "rel",
+                "mmr_score",
+                "cvec",
+                "cn",
+            )
+        )
+        selected = selected.unionByName(pick)
+    return selected.select(
+        "query_id",
+        "mmr_rank",
+        "cand_id",
+        F.round("rel", 4).alias("relevance"),
+        F.round("mmr_score", 4).alias("mmr_score"),
+    )

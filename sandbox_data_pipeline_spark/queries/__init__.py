@@ -137,6 +137,7 @@ DRIVER_PRIORITY = (
     "q_event_funnel",
     "q_rag_index_pipeline",
     "q_bpe_merges",
+    "q_mmr_rerank",
 )
 
 

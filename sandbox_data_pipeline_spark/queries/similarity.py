@@ -972,3 +972,87 @@ FROM chunks c JOIN b USING (doc_id) JOIN documents d USING (doc_id)
 
 QUERIES["q_rag_index_pipeline"] = q_rag_index_pipeline
 ORACLE["q_rag_index_pipeline"] = _oracle_rag_index()
+
+
+MMR_POOL = 10
+MMR_K = 3
+MMR_LAM = 0.7
+
+
+def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity-aware retrieval: MMR re-ranking of the top-10
+    relevance pool down to 3 diverse results per query; see
+    operators/similarity.py: mmr_rerank."""
+    from sandbox_data_pipeline_spark.operators.similarity import mmr_rerank
+
+    return mmr_rerank(
+        table(spark, sf_dir, "embeddings"),
+        _queries_df(spark, sf_dir),
+        pool_k=MMR_POOL,
+        select_k=MMR_K,
+        lam=MMR_LAM,
+    )
+
+
+def _oracle_mmr() -> str:
+    # emit the EXACT IEEE doubles the Spark side uses: lam and (1-lam)
+    # as computed in binary, not their decimal shorthand
+    lam = repr(MMR_LAM)
+    one_minus = repr(1.0 - MMR_LAM)
+    cos_qc = _COS.format(a="q.v", b="c.v")
+    cos_ss = _COS.format(a="p.cv", b="s.cv")
+    steps = []
+    for k in range(2, MMR_K + 1):
+        prev = " UNION ALL ".join(
+            f"SELECT query_id, cand_id, cv FROM s{j}" for j in range(1, k)
+        )
+        steps.append(f"""selu{k - 1} AS MATERIALIZED ({prev}),
+scored{k} AS MATERIALIZED (
+  SELECT p.query_id, p.cand_id, p.rel, p.cv,
+         round(CAST({lam} AS DOUBLE) * p.rel
+               - CAST({one_minus} AS DOUBLE) * max(round({cos_ss}, 6)), 6)
+           AS mmr_score
+  FROM pool p
+  JOIN selu{k - 1} s ON s.query_id = p.query_id
+  LEFT JOIN selu{k - 1} x ON x.query_id = p.query_id AND x.cand_id = p.cand_id
+  WHERE x.cand_id IS NULL
+  GROUP BY p.query_id, p.cand_id, p.rel, p.cv
+),
+s{k} AS MATERIALIZED (
+  SELECT query_id, {k} AS mmr_rank, cand_id, rel, mmr_score, cv
+  FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY mmr_score DESC, cand_id) AS r
+    FROM scored{k}
+  ) WHERE r = 1
+)""")
+    chain = ",\n".join(steps)
+    union = " UNION ALL ".join(
+        f"SELECT query_id, mmr_rank, cand_id, rel, mmr_score FROM s{j}"
+        for j in range(1, MMR_K + 1)
+    )
+    return f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v FROM v WHERE vec_id % {QUERY_MOD} = 0),
+c AS (SELECT vec_id AS cand_id, v FROM v),
+pool AS MATERIALIZED (
+  SELECT query_id, cand_id, rel, cv, r FROM (
+    SELECT query_id, cand_id, round({cos_qc}, 6) AS rel, c.v AS cv,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY round({cos_qc}, 6) DESC, cand_id) AS r
+    FROM q JOIN c ON cand_id <> query_id
+  ) WHERE r <= {MMR_POOL}
+),
+s1 AS MATERIALIZED (
+  SELECT query_id, 1 AS mmr_rank, cand_id, rel, rel AS mmr_score, cv
+  FROM pool WHERE r = 1
+),
+{chain}
+SELECT query_id, mmr_rank, cand_id,
+       round(rel, 4) AS relevance, round(mmr_score, 4) AS mmr_score
+FROM ({union})
+"""
+
+
+QUERIES["q_mmr_rerank"] = q_mmr_rerank
+ORACLE["q_mmr_rerank"] = _oracle_mmr()

@@ -217,3 +217,47 @@ def test_cms_estimate_dominates_exact_count(keys):
     exact = tok.groupBy("token").agg(F.count("*").alias("exact_n"))
     for r in cms_estimate(sketch, exact, depth=2, width=4).collect():
         assert r.cms_n >= r.exact_n
+
+
+# --- MMR re-ranking ---------------------------------------------------------
+
+def test_mmr_prefers_diverse_over_redundant(spark):
+    from sandbox_data_pipeline_spark.operators.similarity import mmr_rerank
+
+    # query q; a and a2 nearly identical high-relevance; b distinct,
+    # slightly lower relevance. Plain top-2 = [a, a2]; MMR = [a, b].
+    rows = [
+        (0, [1.0, 0.0, 0.0]),        # query
+        (1, [0.9, 0.1, 0.0]),        # a
+        (2, [0.9, 0.11, 0.0]),       # a2 ~ duplicate of a
+        (3, [0.6, 0.0, 0.8]),        # b: diverse
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = emb.where("vec_id = 0")
+    got = {
+        r.mmr_rank: r.cand_id
+        for r in mmr_rerank(emb, queries, pool_k=3, select_k=2, lam=0.5).collect()
+    }
+    assert got[1] == 1          # most relevant first
+    assert got[2] == 3          # diversity beats the near-duplicate
+    # and rank ordering is complete per query
+    assert sorted(got) == [1, 2]
+
+
+def test_mmr_high_lambda_recovers_pure_relevance(spark):
+    from sandbox_data_pipeline_spark.operators.similarity import mmr_rerank
+
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),
+        (2, [0.9, 0.11, 0.0]),
+        (3, [0.6, 0.0, 0.8]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = emb.where("vec_id = 0")
+    got = {
+        r.mmr_rank: r.cand_id
+        for r in mmr_rerank(emb, queries, pool_k=3, select_k=2, lam=1.0).collect()
+    }
+    # λ=1: diversity term vanishes — picks are the relevance top-2
+    assert got[1] == 1 and got[2] == 2
