@@ -30,8 +30,9 @@ def pagerank(
     dst: str = "dst",
     checkpoint_every: int = 4,
 ) -> DataFrame:
-    """Fixed-iteration PageRank over a directed edge list. For
-    undirected graphs, pass both orientations of each pair.
+    """Fixed-iteration PageRank over a directed edge list (sink-node
+    dangling mass redistributed uniformly). For undirected graphs,
+    pass both orientations of each pair.
 
     Returns (node, deg, pagerank, rank_rel): pagerank rounded to
     6 dp; rank_rel = rank·|V| (relative to uniform — >1 means more
@@ -47,7 +48,19 @@ def pagerank(
     # duplicate_clusters: materialize once, iterate over the blocks.
     edges = edges.localCheckpoint(eager=False)
     deg = edges.groupBy(src).agg(F.count("*").alias("deg"))
-    nodes = deg.select(F.col(src).alias("node"), "deg")
+    # node set = sources ∪ destinations: a genuinely directed graph
+    # has sink nodes with out-degree 0 (deg coalesced to 0); their
+    # outgoing mass is "dangling" and redistributes uniformly each
+    # round (the standard correction). Undirected pair graphs have no
+    # sinks, the dangling term is identically 0, and the arithmetic
+    # reduces to the plain update the SQL oracle replays.
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .unionByName(edges.select(F.col(dst).alias("node")))
+        .distinct()
+        .join(deg.select(F.col(src).alias("node"), "deg"), "node", "left")
+        .select("node", F.coalesce(F.col("deg"), F.lit(0)).alias("deg"))
+    )
     n = nodes.agg(F.count("*").alias("n_nodes"))
     base = nodes.crossJoin(F.broadcast(n))
     ranks = base.select(
@@ -59,14 +72,25 @@ def pagerank(
             ranks.select(F.col("node").alias("e_src"), "deg", "rank"), "e_src"
         ).select("node", (F.col("rank") / F.col("deg")).alias("c"))
         summed = contrib.groupBy("node").agg(F.sum("c").alias("s"))
-        ranks = base.join(summed, "node", "left").select(
-            "node",
-            "deg",
-            "n_nodes",
-            (
-                F.lit(1.0 - damping) / F.col("n_nodes")
-                + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0))
-            ).alias("rank"),
+        dangling = ranks.where(F.col("deg") == 0).agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("d_mass")
+        )
+        ranks = (
+            base.join(summed, "node", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                "deg",
+                "n_nodes",
+                (
+                    F.lit(1.0 - damping) / F.col("n_nodes")
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("s"), F.lit(0.0))
+                        + F.col("d_mass") / F.col("n_nodes")
+                    )
+                ).alias("rank"),
+            )
         )
         if checkpoint_every and (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
             ranks = ranks.localCheckpoint(eager=False)

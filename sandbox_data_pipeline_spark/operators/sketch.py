@@ -30,26 +30,32 @@ def _bucket(col: Column, seed: int, width: int) -> Column:
     return F.pmod(portable_hash(col, salt=f"cms{seed}"), F.lit(width))
 
 
+def _cells(key_col: str, depth: int, width: int) -> Column:
+    """The (seed, bucket) cell list for one key — the ONE definition
+    both build and estimate share, so the hashing can never drift
+    between them."""
+    return F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(d).alias("seed"),
+                    _bucket(F.col(key_col), d, width).alias("bucket"),
+                )
+                for d in range(depth)
+            ]
+        )
+    )
+
+
 def cms_build(
     items: DataFrame,
     key_col: str = "token",
     depth: int = CMS_DEPTH,
     width: int = CMS_WIDTH,
 ) -> DataFrame:
-    """Build the sketch cells: (seed, bucket, c) — depth·width rows."""
-    cells = items.select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(d).alias("seed"),
-                        _bucket(F.col(key_col), d, width).alias("bucket"),
-                    )
-                    for d in range(depth)
-                ]
-            )
-        ).alias("sb")
-    )
+    """Build the sketch cells: (seed, bucket, c) — ≤ depth·width rows
+    (cells no key hashed into are absent and mean count 0)."""
+    cells = items.select(_cells(key_col, depth, width).alias("sb"))
     return (
         cells.select(F.col("sb.seed").alias("seed"), F.col("sb.bucket").alias("bucket"))
         .groupBy("seed", "bucket")
@@ -65,24 +71,20 @@ def cms_estimate(
     width: int = CMS_WIDTH,
 ) -> DataFrame:
     """Point-estimate candidate keys against a sketch: min over the
-    key's depth cells. The sketch is depth·width rows → broadcast;
-    the probe is a map-side join however many candidates stream in."""
+    key's depth cells, where an absent cell counts as 0 — so a key
+    the build stream never saw estimates cms_n = 0 (unless every one
+    of its cells collides), and no candidate row is ever dropped.
+    The sketch is ≤ depth·width rows → broadcast; the probe is a
+    map-side join however many candidates stream in."""
     probes = candidates.select(
-        "*",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(d).alias("seed"),
-                        _bucket(F.col(key_col), d, width).alias("bucket"),
-                    )
-                    for d in range(depth)
-                ]
-            )
-        ).alias("sb"),
-    ).select(*candidates.columns, F.col("sb.seed").alias("seed"), F.col("sb.bucket").alias("bucket"))
+        "*", _cells(key_col, depth, width).alias("sb")
+    ).select(
+        *candidates.columns,
+        F.col("sb.seed").alias("seed"),
+        F.col("sb.bucket").alias("bucket"),
+    )
     return (
-        probes.join(F.broadcast(sketch), ["seed", "bucket"])
+        probes.join(F.broadcast(sketch), ["seed", "bucket"], "left")
         .groupBy(*candidates.columns)
-        .agg(F.min("c").alias("cms_n"))
+        .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias("cms_n"))
     )

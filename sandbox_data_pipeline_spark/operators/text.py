@@ -836,8 +836,12 @@ def drift_kl(
     and reference marginals come from ``baseline_docs`` (a frozen,
     already-admitted snapshot); per-source counts come from
     ``new_docs`` (the candidate batch). Add-one smoothing over the
-    ACTUAL baseline vocab cardinality, so a batch distributed exactly
-    like the baseline scores exactly 0.
+    ACTUAL baseline vocab cardinality keeps the divergence finite.
+    NOTE the smoothing bias: a batch distributed exactly like the
+    baseline scores exactly 0 only when its vocab counts EQUAL the
+    baseline's (the self-baseline case) or the distribution is
+    uniform; a smaller proportional sample scores a small positive
+    O(|V|/n) bias — set alarm thresholds above that floor.
 
     This is the admission-gate form: the baseline's top-k vocab +
     counts are a tiny write-once artifact at 100 TB (recomputed here

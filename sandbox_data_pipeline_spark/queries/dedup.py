@@ -1015,11 +1015,15 @@ def _oracle_pagerank() -> str:
     iters = []
     prev = "p0"
     for k in range(1, 6):
+        # exact-IEEE literals: the Spark side computes lit(1.0 - 0.85),
+        # which is NOT the double 0.15 — emit the binary-identical reprs
+        one_minus_d = repr(1.0 - 0.85)
+        d = repr(0.85)
         iters.append(
             f"""p{k} AS (
   SELECT b.node, b.deg, b.n_nodes,
-         CAST(0.15 AS DOUBLE) / b.n_nodes
-           + CAST(0.85 AS DOUBLE) * coalesce(s.s, CAST(0 AS DOUBLE)) AS rank
+         CAST({one_minus_d} AS DOUBLE) / b.n_nodes
+           + CAST({d} AS DOUBLE) * coalesce(s.s, CAST(0 AS DOUBLE)) AS rank
   FROM p0 b LEFT JOIN (
     SELECT e.dst AS node, sum(p.rank / p.deg) AS s
     FROM e JOIN {prev} p ON p.node = e.src

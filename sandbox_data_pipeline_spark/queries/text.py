@@ -1711,9 +1711,9 @@ cand AS (
   ORDER BY exact_n DESC, token LIMIT 20
 ),
 est AS (
-  SELECT cand.token, cand.exact_n, min(cells.c) AS cms_n
+  SELECT cand.token, cand.exact_n, min(coalesce(cells.c, 0)) AS cms_n
   FROM cand CROSS JOIN range(0, 4) r(seed)
-  JOIN cells ON cells.seed = r.seed
+  LEFT JOIN cells ON cells.seed = r.seed
    AND cells.bucket = CAST('0x' || substr(md5('cms' || r.seed || cand.token), 1, 15) AS BIGINT) % 64
   GROUP BY 1, 2
 )

@@ -143,7 +143,6 @@ def test_event_funnel_requires_stage_order(spark):
 
     from sandbox_data_pipeline_spark.queries.analytics import q_event_funnel
 
-    events.createOrReplaceTempView("_funnel_events")
     # drive the operator body directly on the crafted frame
     from sandbox_data_pipeline_spark.queries import analytics as qa
 
@@ -261,3 +260,26 @@ def test_mmr_high_lambda_recovers_pure_relevance(spark):
     }
     # λ=1: diversity term vanishes — picks are the relevance top-2
     assert got[1] == 1 and got[2] == 2
+
+
+def test_pagerank_directed_sinks_keep_mass(spark):
+    # genuinely directed: 1→2 and 3→2; node 2 is a sink (no out-edges)
+    e = spark.createDataFrame([(1, 2), (3, 2)], "src long, dst long")
+    pr = {r.node: r for r in pagerank(e).collect()}
+    assert set(pr) == {1, 2, 3}          # sink node present in output
+    assert pr[2].deg == 0
+    assert pr[2].pagerank > pr[1].pagerank  # all flow converges on the sink
+    # dangling mass redistributes: total rank still sums to 1
+    assert math.isclose(sum(r.pagerank for r in pr.values()), 1.0, abs_tol=1e-4)
+
+
+def test_cms_unseen_key_estimates_zero(spark):
+    # wide sketch + few build keys → the unseen probe's cells are empty
+    built = spark.createDataFrame([("a",), ("b",)], "token string")
+    sketch = cms_build(built, depth=4, width=64)
+    probe = spark.createDataFrame(
+        [("a", 1), ("never-seen", 0)], "token string, exact_n long"
+    )
+    got = {r.token: r.cms_n for r in cms_estimate(sketch, probe).collect()}
+    assert got["a"] >= 1
+    assert got["never-seen"] == 0       # absent cells count as 0, row kept
