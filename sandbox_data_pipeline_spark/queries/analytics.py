@@ -582,13 +582,26 @@ QUERIES["q_join_cardinality_audit"] = q_join_cardinality_audit
 
 
 def q_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Equi-depth (quantile-bucketed) histogram: ntile(10) over order
-    value, then per-bucket count/min/max — the distribution profile
-    that stays informative under skew, where equi-width buckets
-    collapse into one hot bin. One sort-partitioned window pass; at
-    100 TB swap ntile for approx_percentile bounds + width_bucket."""
-    o = table(spark, sf_dir, "orders").select(F.col("o_totalprice").alias("v"))
-    d = o.withColumn("bucket", F.ntile(10).over(Window.orderBy("v")))
+    """EXACT equi-depth (quantile-bucketed) histogram — the
+    distribution profile that stays informative under skew, where
+    equi-width buckets collapse into one hot bin — with NO
+    single-partition window at any scale: the global rank comes from
+    the two-phase range-sort machinery (operators/ids.py:
+    stable_global_ids_with_count — range repartition + per-partition
+    offsets), and bucket = rank·10 div N in pure integer arithmetic.
+    (o_orderkey tie-breaks equal prices so the bucketing is a total
+    order, engine- and partitioning-independent.)"""
+    from sandbox_data_pipeline_spark.operators.ids import (
+        stable_global_ids_with_count,
+    )
+
+    o = table(spark, sf_dir, "orders").select(
+        F.col("o_totalprice").alias("v"), "o_orderkey"
+    )
+    ranked, n = stable_global_ids_with_count(o, ["v", "o_orderkey"], out="gid")
+    d = ranked.select(
+        "v", F.expr(f"CAST((gid * 10) div {n} AS INT) + 1").alias("bucket")
+    )
     return d.groupBy("bucket").agg(
         F.count(F.lit(1)).alias("n"),
         F.round(F.min("v"), 2).alias("lo"),
@@ -597,9 +610,14 @@ def q_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE["q_histogram_equidepth"] = """
-SELECT CAST(bucket AS INTEGER) AS bucket, count(*) AS n,
+SELECT bucket, count(*) AS n,
        round(min(v), 2) AS lo, round(max(v), 2) AS hi
-FROM (SELECT o_totalprice AS v, ntile(10) OVER (ORDER BY o_totalprice) AS bucket FROM orders)
+FROM (
+  SELECT o_totalprice AS v,
+         CAST(((row_number() OVER (ORDER BY o_totalprice, o_orderkey) - 1) * 10)
+              // (count(*) OVER ()) AS INTEGER) + 1 AS bucket
+  FROM orders
+)
 GROUP BY bucket
 """
 QUERIES["q_histogram_equidepth"] = q_histogram_equidepth
