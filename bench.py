@@ -83,6 +83,11 @@ HEADLINE = [
     "q_cms_heavy_hitters",
     "q_pagerank_dups",
     "q_event_funnel",
+    "q_rag_index_pipeline",
+    "q_source_drift_kl",
+    "q_bpe_merges",
+    "q_mmr_rerank",
+    "q_histogram_equidepth",
 ]
 
 

@@ -138,6 +138,7 @@ DRIVER_PRIORITY = (
     "q_rag_index_pipeline",
     "q_bpe_merges",
     "q_mmr_rerank",
+    "q_clustering_coeff",
 )
 
 

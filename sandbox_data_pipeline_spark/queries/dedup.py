@@ -1058,3 +1058,90 @@ FROM {prev}
 
 QUERIES["q_pagerank_dups"] = q_pagerank_dups
 ORACLE["q_pagerank_dups"] = _oracle_pagerank()
+
+
+def q_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient per node of the near-dup graph:
+    triangles_at_node / C(deg, 2) — near 1 means the node sits in a
+    tight mirror clique (dedup whole group), near 0 a hub of unrelated
+    borderline matches (inspect before deleting). Reuses the ordered
+    two-join triangle enumeration (q_dup_triangles) with each triangle
+    credited to its three corners via one explode — no new join shape,
+    and the same per-node-degree fan-out bound."""
+    pairs = q_dedup_minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    pairs = pairs.localCheckpoint(eager=False)  # feeds 3 join sides + degrees
+    e1, e2, e3 = pairs.alias("e1"), pairs.alias("e2"), pairs.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.doc_b") == F.col("e2.doc_a"))
+        .join(
+            e3,
+            (F.col("e3.doc_a") == F.col("e1.doc_a"))
+            & (F.col("e3.doc_b") == F.col("e2.doc_b")),
+        )
+        .select(
+            F.col("e1.doc_a").alias("a"),
+            F.col("e1.doc_b").alias("b"),
+            F.col("e2.doc_b").alias("c"),
+        )
+    )
+    per_node = (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_tri"))
+    )
+    deg = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("deg"))
+    )
+    return (
+        deg.join(per_node, "doc_id", "left")
+        .select(
+            "doc_id",
+            "deg",
+            F.coalesce(F.col("n_tri"), F.lit(0)).alias("n_tri"),
+            F.when(F.col("deg") < 2, F.lit(0.0))
+            .otherwise(
+                F.round(
+                    F.coalesce(F.col("n_tri"), F.lit(0))
+                    * 2
+                    / (F.col("deg") * (F.col("deg") - 1)),
+                    4,
+                )
+            )
+            .alias("clustering"),
+        )
+    )
+
+
+def _oracle_clustering() -> str:
+    return f"""
+WITH mh AS MATERIALIZED ({_oracle_minhash()}),
+pairs AS MATERIALIZED (SELECT doc_a, doc_b FROM mh),
+tri AS (
+  SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
+  FROM pairs e1
+  JOIN pairs e2 ON e1.doc_b = e2.doc_a
+  JOIN pairs e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
+),
+per_node AS (
+  SELECT doc_id, count(*) AS n_tri
+  FROM (SELECT a AS doc_id FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri)
+  GROUP BY 1
+),
+deg AS (
+  SELECT doc_id, count(*) AS deg
+  FROM (SELECT doc_a AS doc_id FROM pairs UNION ALL SELECT doc_b FROM pairs)
+  GROUP BY 1
+)
+SELECT deg.doc_id, deg.deg, coalesce(per_node.n_tri, 0) AS n_tri,
+       CASE WHEN deg.deg < 2 THEN 0.0
+            ELSE round(coalesce(per_node.n_tri, 0) * 2 / (deg.deg * (deg.deg - 1)), 4)
+       END AS clustering
+FROM deg LEFT JOIN per_node ON per_node.doc_id = deg.doc_id
+"""
+
+
+QUERIES["q_clustering_coeff"] = q_clustering_coeff
+ORACLE["q_clustering_coeff"] = _oracle_clustering()
