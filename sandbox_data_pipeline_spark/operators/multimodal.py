@@ -472,3 +472,152 @@ def segment_audio(
             )
 
     return media.where(F.col("media_type") == "audio").mapInPandas(_segment, schema)
+
+
+# --- REAL image decode: 24-bit uncompressed BMP -----------------------------
+#
+# The codec-library stubs above stay stubs (PNG/JPEG need zlib/DCT),
+# but uncompressed BMP needs NOTHING beyond byte arithmetic — so this
+# family is a REAL end-to-end pixel path: build a valid BMP file,
+# parse its headers with struct, walk the padded bottom-up BGR rows,
+# and emit pixel statistics. The pixel bytes are a closed form of
+# (media_id, byte index), which is what lets DuckDB replay the decode
+# differentially without any image library.
+
+BMP_HEADER_LEN = 54  # 14-byte BITMAPFILEHEADER + 40-byte BITMAPINFOHEADER
+
+
+def _bmp_dims(doc_id: int) -> tuple[int, int]:
+    # widths 6/12/18/24: half of them force nonzero row padding
+    # (stride = ceil(3w/4)*4), so the decoder's stride math is exercised
+    return 6 * (doc_id % 4 + 1), 4 * (doc_id % 3 + 1)
+
+
+def _bmp_body_byte(doc_id: int, i: int) -> int:
+    return (doc_id * 7 + i * 13) % 256
+
+
+def build_bmp(doc_id: int) -> bytes:
+    """A fully valid 24-bit bottom-up BMP whose pixel-array bytes
+    (padding included) follow the closed form above."""
+    import struct
+
+    w, h = _bmp_dims(doc_id)
+    stride = ((3 * w + 3) // 4) * 4
+    body_len = stride * h
+    header = struct.pack(
+        "<2sIHHI" "IiiHHIIiiII",
+        b"BM",
+        BMP_HEADER_LEN + body_len,
+        0,
+        0,
+        BMP_HEADER_LEN,  # pixel-data offset
+        40,  # BITMAPINFOHEADER size
+        w,
+        h,  # positive height = bottom-up row order
+        1,  # planes
+        24,  # bits per pixel
+        0,  # BI_RGB (uncompressed)
+        body_len,
+        2835,
+        2835,  # 72 DPI
+        0,
+        0,
+    )
+    body = bytes(_bmp_body_byte(doc_id, i) for i in range(body_len))
+    return header + body
+
+
+def decode_bmp(blob: bytes) -> dict[str, Any]:
+    """REAL decode: magic check, header-declared dims/offset/bpp,
+    padded-stride walk, bottom-up row order, BGR channel order.
+    Returns dims, the top-left and bottom-right RGB pixels (the two
+    values that break if row order or stride handling is wrong — a
+    channel MEAN alone is order-invariant), and per-channel means."""
+    import struct
+
+    if blob[:2] != b"BM":
+        raise ValueError("not a BMP")
+    data_off = struct.unpack_from("<I", blob, 10)[0]
+    w, h = struct.unpack_from("<ii", blob, 18)
+    bpp = struct.unpack_from("<H", blob, 28)[0]
+    comp = struct.unpack_from("<I", blob, 30)[0]
+    if bpp != 24 or comp != 0 or h <= 0:
+        raise ValueError("only 24-bit uncompressed bottom-up BMP supported")
+    stride = ((3 * w + 3) // 4) * 4
+
+    def px(x: int, y: int) -> tuple[int, int, int]:
+        # image row y (0 = top) lives at file row h-1-y
+        o = data_off + (h - 1 - y) * stride + 3 * x
+        b, g, r = blob[o], blob[o + 1], blob[o + 2]
+        return r, g, b
+
+    sums = [0, 0, 0]  # r, g, b
+    for frow in range(h):
+        base = data_off + frow * stride
+        row = blob[base : base + 3 * w]
+        sums[2] += sum(row[0::3])
+        sums[1] += sum(row[1::3])
+        sums[0] += sum(row[2::3])
+    n = w * h
+    tl, br = px(0, 0), px(w - 1, h - 1)
+    return {
+        "width": w,
+        "height": h,
+        "tl_r": tl[0], "tl_g": tl[1], "tl_b": tl[2],
+        "br_r": br[0], "br_g": br[1], "br_b": br[2],
+        "mean_r": round(sums[0] / n, 4),
+        "mean_g": round(sums[1] / n, 4),
+        "mean_b": round(sums[2] / n, 4),
+    }
+
+
+BMP_STATS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("tl_r", IntegerType()),
+        StructField("tl_g", IntegerType()),
+        StructField("tl_b", IntegerType()),
+        StructField("br_r", IntegerType()),
+        StructField("br_g", IntegerType()),
+        StructField("br_b", IntegerType()),
+        StructField("mean_r", DoubleType()),
+        StructField("mean_g", DoubleType()),
+        StructField("mean_b", DoubleType()),
+    ]
+)
+
+
+def bmp_media(docs: DataFrame) -> DataFrame:
+    """One real BMP payload per document (Arrow-batched builder)."""
+
+    def _build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": b["doc_id"],
+                    "content": [build_bmp(int(d)) for d in b["doc_id"]],
+                }
+            )
+
+    schema = StructType(
+        [StructField("media_id", LongType()), StructField("content", BinaryType())]
+    )
+    return docs.select("doc_id").mapInPandas(_build, schema)
+
+
+def bmp_decode_stats(media: DataFrame) -> DataFrame:
+    """Arrow-batched REAL decode of BMP payloads → pixel statistics."""
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for mid, blob in zip(b["media_id"], b["content"]):
+                d = decode_bmp(bytes(blob))
+                d["media_id"] = int(mid)
+                rows.append(d)
+            yield pd.DataFrame(rows, columns=[f.name for f in BMP_STATS_SCHEMA.fields])
+
+    return media.mapInPandas(_decode, BMP_STATS_SCHEMA)

@@ -139,6 +139,7 @@ DRIVER_PRIORITY = (
     "q_bpe_merges",
     "q_mmr_rerank",
     "q_clustering_coeff",
+    "q_bmp_decode_stats",
 )
 
 

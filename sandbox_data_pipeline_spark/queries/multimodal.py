@@ -258,3 +258,58 @@ SELECT media_id, window_idx,
 FROM w
 """
 QUERIES["q_audio_windows"] = q_audio_windows
+
+
+def q_bmp_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL pixel decode, oracle-verified end-to-end: build valid
+    24-bit uncompressed BMPs (pixel-array bytes a closed form of
+    media_id), decode them with genuine struct/stride/BGR/bottom-up
+    parsing (operators/multimodal.py: decode_bmp), and emit dims,
+    corner pixels, and channel means. The oracle replays the closed
+    form through the same stride geometry in SQL — a hash match
+    proves the binary build→decode path byte-exact, including row
+    padding (half the widths force nonzero padding) and row order
+    (corner pixels are order-sensitive where means are not)."""
+    from sandbox_data_pipeline_spark.operators.multimodal import (
+        bmp_decode_stats,
+        bmp_media,
+    )
+
+    return bmp_decode_stats(bmp_media(table(spark, sf_dir, "documents")))
+
+
+ORACLE["q_bmp_decode_stats"] = """
+WITH dims AS (
+  SELECT doc_id, 6 * (doc_id % 4 + 1) AS w, 4 * (doc_id % 3 + 1) AS h,
+         ((3 * (6 * (doc_id % 4 + 1)) + 3) // 4) * 4 AS stride
+  FROM documents
+),
+px AS (
+  -- range bounds exceed max w/h; WHERE clips per image
+  SELECT d.doc_id, d.w, d.h, d.stride, fx.range AS x, fy.range AS frow
+  FROM dims d CROSS JOIN range(0, 64) fx CROSS JOIN range(0, 16) fy
+  WHERE fx.range < d.w AND fy.range < d.h
+),
+vals AS (
+  SELECT doc_id,
+         (doc_id * 7 + (frow * stride + 3 * x + 2) * 13) % 256 AS r,
+         (doc_id * 7 + (frow * stride + 3 * x + 1) * 13) % 256 AS g,
+         (doc_id * 7 + (frow * stride + 3 * x) * 13) % 256 AS b
+  FROM px
+),
+means AS (
+  SELECT doc_id, round(avg(r), 4) AS mean_r, round(avg(g), 4) AS mean_g,
+         round(avg(b), 4) AS mean_b
+  FROM vals GROUP BY 1
+)
+SELECT d.doc_id AS media_id, d.w AS width, d.h AS height,
+       (d.doc_id * 7 + ((d.h - 1) * d.stride + 2) * 13) % 256 AS tl_r,
+       (d.doc_id * 7 + ((d.h - 1) * d.stride + 1) * 13) % 256 AS tl_g,
+       (d.doc_id * 7 + ((d.h - 1) * d.stride) * 13) % 256 AS tl_b,
+       (d.doc_id * 7 + (3 * (d.w - 1) + 2) * 13) % 256 AS br_r,
+       (d.doc_id * 7 + (3 * (d.w - 1) + 1) * 13) % 256 AS br_g,
+       (d.doc_id * 7 + (3 * (d.w - 1)) * 13) % 256 AS br_b,
+       m.mean_r, m.mean_g, m.mean_b
+FROM dims d JOIN means m ON m.doc_id = d.doc_id
+"""
+QUERIES["q_bmp_decode_stats"] = q_bmp_decode_stats

@@ -159,3 +159,44 @@ def test_audio_windows_byte_accounting(spark, sf_dir):
             assert r["start_ms"] == r["window_idx"] * 2
             pos += r["n_bytes"]
         assert pos == lens[mid] - 16  # body fully tiled, preamble excluded
+
+
+def test_bmp_roundtrip_handles_padding_and_row_order():
+    from sandbox_data_pipeline_spark.operators.multimodal import (
+        _bmp_body_byte,
+        _bmp_dims,
+        build_bmp,
+        decode_bmp,
+    )
+
+    # doc_id 0 → w=6: stride 20 vs 18 raw → 2 padding bytes per row
+    blob = build_bmp(0)
+    d = decode_bmp(blob)
+    w, h = _bmp_dims(0)
+    stride = ((3 * w + 3) // 4) * 4
+    assert stride == 20 and (d["width"], d["height"]) == (w, h)
+    # top-left image pixel = FIRST 3 bytes of the LAST file row (bottom-up)
+    o = (h - 1) * stride
+    assert (d["tl_b"], d["tl_g"], d["tl_r"]) == tuple(
+        _bmp_body_byte(0, o + i) for i in range(3)
+    )
+    # bottom-right image pixel = last pixel of file row 0 — before padding
+    o = 3 * (w - 1)
+    assert (d["br_b"], d["br_g"], d["br_r"]) == tuple(
+        _bmp_body_byte(0, o + i) for i in range(3)
+    )
+    # means never include the padding bytes
+    raw = blob[54:]
+    mean_b = sum(
+        raw[r * stride + 3 * x] for r in range(h) for x in range(w)
+    ) / (w * h)
+    assert d["mean_b"] == round(mean_b, 4)
+
+
+def test_bmp_decode_rejects_non_bmp():
+    import pytest as _pytest
+
+    from sandbox_data_pipeline_spark.operators.multimodal import decode_bmp
+
+    with _pytest.raises(ValueError):
+        decode_bmp(b"\x89PNG\r\n\x1a\nnot a bmp")
