@@ -621,3 +621,55 @@ def bmp_decode_stats(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows, columns=[f.name for f in BMP_STATS_SCHEMA.fields])
 
     return media.mapInPandas(_decode, BMP_STATS_SCHEMA)
+
+
+def resize_bmp(blob: bytes, out_w: int, out_h: int) -> bytes:
+    """REAL nearest-neighbor resize on decoded BMP pixels, re-encoded
+    as a valid BMP: output image pixel (X, Y) samples source image
+    pixel (X·w // out_w, Y·h // out_h). Exercises decode (stride +
+    bottom-up) on the way in and encode on the way out."""
+    import struct
+
+    if blob[:2] != b"BM":
+        raise ValueError("not a BMP")
+    data_off = struct.unpack_from("<I", blob, 10)[0]
+    w, h = struct.unpack_from("<ii", blob, 18)
+    stride = ((3 * w + 3) // 4) * 4
+    out_stride = ((3 * out_w + 3) // 4) * 4
+    body = bytearray(out_stride * out_h)
+    for y_img in range(out_h):
+        sy = y_img * h // out_h
+        src_base = data_off + (h - 1 - sy) * stride
+        dst_base = (out_h - 1 - y_img) * out_stride
+        for x in range(out_w):
+            sx = x * w // out_w
+            body[dst_base + 3 * x : dst_base + 3 * x + 3] = blob[
+                src_base + 3 * sx : src_base + 3 * sx + 3
+            ]
+    header = struct.pack(
+        "<2sIHHI" "IiiHHIIiiII",
+        b"BM", BMP_HEADER_LEN + len(body), 0, 0, BMP_HEADER_LEN,
+        40, out_w, out_h, 1, 24, 0, len(body), 2835, 2835, 0, 0,
+    )
+    return header + bytes(body)
+
+
+def bmp_resize(media: DataFrame, out_w: int = 8, out_h: int = 8) -> DataFrame:
+    """Arrow-batched real resize over BMP payloads."""
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": b["media_id"],
+                    "content": [
+                        resize_bmp(bytes(blob), out_w, out_h)
+                        for blob in b["content"]
+                    ],
+                }
+            )
+
+    schema = StructType(
+        [StructField("media_id", LongType()), StructField("content", BinaryType())]
+    )
+    return media.mapInPandas(_resize, schema)

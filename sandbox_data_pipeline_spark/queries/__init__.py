@@ -140,6 +140,7 @@ DRIVER_PRIORITY = (
     "q_mmr_rerank",
     "q_clustering_coeff",
     "q_bmp_decode_stats",
+    "q_bmp_resize_stats",
 )
 
 

@@ -313,3 +313,64 @@ SELECT d.doc_id AS media_id, d.w AS width, d.h AS height,
 FROM dims d JOIN means m ON m.doc_id = d.doc_id
 """
 QUERIES["q_bmp_decode_stats"] = q_bmp_decode_stats
+
+
+def q_bmp_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL resize pipeline, oracle-verified: build BMP → decode →
+    8×8 nearest-neighbor resample → re-encode → decode AGAIN → pixel
+    stats. The second decode proves the re-encoded container is valid;
+    the oracle maps each output pixel through the closed-form source
+    bytes (X·w//8, Y·h//8 sampling through the padded bottom-up
+    geometry)."""
+    from sandbox_data_pipeline_spark.operators.multimodal import (
+        bmp_decode_stats,
+        bmp_media,
+        bmp_resize,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    return bmp_decode_stats(bmp_resize(bmp_media(docs), 8, 8))
+
+
+ORACLE["q_bmp_resize_stats"] = """
+WITH dims AS (
+  SELECT doc_id, 6 * (doc_id % 4 + 1) AS w, 4 * (doc_id % 3 + 1) AS h,
+         ((3 * (6 * (doc_id % 4 + 1)) + 3) // 4) * 4 AS stride
+  FROM documents
+),
+px AS (
+  SELECT d.doc_id, d.w, d.h, d.stride, fx.range AS x, fy.range AS y
+  FROM dims d CROSS JOIN range(0, 8) fx CROSS JOIN range(0, 8) fy
+),
+-- output pixel (x, y) samples source IMAGE pixel (sx, sy); its byte
+-- offset goes through the source's bottom-up padded geometry
+src AS (
+  SELECT doc_id, x, y,
+         ((h - 1 - (y * h // 8)) * stride + 3 * (x * w // 8)) AS o
+  FROM px
+),
+vals AS (
+  SELECT doc_id, x, y,
+         (doc_id * 7 + (o + 2) * 13) % 256 AS r,
+         (doc_id * 7 + (o + 1) * 13) % 256 AS g,
+         (doc_id * 7 + o * 13) % 256 AS b
+  FROM src
+),
+means AS (
+  SELECT doc_id, round(avg(r), 4) AS mean_r, round(avg(g), 4) AS mean_g,
+         round(avg(b), 4) AS mean_b
+  FROM vals GROUP BY 1
+),
+corners AS (
+  SELECT tl.doc_id,
+         tl.r AS tl_r, tl.g AS tl_g, tl.b AS tl_b,
+         br.r AS br_r, br.g AS br_g, br.b AS br_b
+  FROM (SELECT * FROM vals WHERE x = 0 AND y = 0) tl
+  JOIN (SELECT * FROM vals WHERE x = 7 AND y = 7) br ON br.doc_id = tl.doc_id
+)
+SELECT c.doc_id AS media_id, 8 AS width, 8 AS height,
+       c.tl_r, c.tl_g, c.tl_b, c.br_r, c.br_g, c.br_b,
+       m.mean_r, m.mean_g, m.mean_b
+FROM corners c JOIN means m ON m.doc_id = c.doc_id
+"""
+QUERIES["q_bmp_resize_stats"] = q_bmp_resize_stats

@@ -200,3 +200,23 @@ def test_bmp_decode_rejects_non_bmp():
 
     with _pytest.raises(ValueError):
         decode_bmp(b"\x89PNG\r\n\x1a\nnot a bmp")
+
+
+def test_bmp_resize_identity_and_downsample():
+    from sandbox_data_pipeline_spark.operators.multimodal import (
+        build_bmp,
+        decode_bmp,
+        resize_bmp,
+    )
+
+    src = build_bmp(5)
+    d0 = decode_bmp(src)
+    # identity resize preserves every statistic
+    same = decode_bmp(resize_bmp(src, d0["width"], d0["height"]))
+    assert same == d0
+    # downsample to 2x2: corners are the NN-sampled source pixels
+    small = decode_bmp(resize_bmp(src, 2, 2))
+    assert (small["width"], small["height"]) == (2, 2)
+    assert (small["tl_r"], small["tl_g"], small["tl_b"]) == (
+        d0["tl_r"], d0["tl_g"], d0["tl_b"],
+    )  # (0,0) samples source (0,0)
