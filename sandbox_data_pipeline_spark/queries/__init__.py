@@ -31,7 +31,11 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #
 # ROUND-4 ROTATION PLAN: once CORRECTNESS_r03 lands, drop its green
 # rows from this head and promote the remaining never-sampled set —
-# projected (vs r1+r2 samples and the r3 window) to be ~61 queries:
+# projected (vs r1+r2 samples and the r3 window) to be ~80 queries
+# after this round's 13 additions (chunks, PMI, KL drift, CMS,
+# PageRank, clustering coeff, funnel, RAG index, BPE, MMR, BMP
+# decode/resize — all appended to this head's tail so they fill the
+# r4 window first), plus:
 # dedup tail (simhash_pairs, survivors, normalized, incremental,
 # containment, passage, minhash_precision, clusters-adjacent metrics),
 # similarity tail (ivf_topk/kmeans, knn_join, ann_index/_drift/recall,
