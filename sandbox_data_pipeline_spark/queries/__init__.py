@@ -145,6 +145,7 @@ DRIVER_PRIORITY = (
     "q_clustering_coeff",
     "q_bmp_decode_stats",
     "q_bmp_resize_stats",
+    "q_hits_dups",
 )
 
 

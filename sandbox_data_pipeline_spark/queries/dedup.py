@@ -1145,3 +1145,61 @@ FROM deg LEFT JOIN per_node ON per_node.doc_id = deg.doc_id
 
 QUERIES["q_clustering_coeff"] = q_clustering_coeff
 ORACLE["q_clustering_coeff"] = _oracle_clustering()
+
+
+def q_hits_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS over the DIRECTED dup graph (each near-dup pair points
+    newer → older, duplicate → presumed original): authority = how
+    strongly a doc is the original other docs duplicate (canonical
+    keep score), hub = a doc aggregating many originals (content-mill
+    signal). Exact int64 arithmetic (operators/graph.py: hits) — no
+    float normalization inside the loop, so the oracle replays
+    bit-identical integer sums."""
+    from sandbox_data_pipeline_spark.operators.graph import hits
+
+    pairs = q_dedup_minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.select(
+        F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
+    )
+    return hits(edges, iterations=3).withColumnRenamed("node", "doc_id")
+
+
+def _oracle_hits() -> str:
+    rounds = []
+    prev = "s0"
+    for k in range(1, 4):
+        rounds.append(f"""sa{k} AS MATERIALIZED (
+  SELECT n.node, coalesce(ag.v, 0) AS a, n.h
+  FROM {prev} n LEFT JOIN (
+    SELECT e.dst AS node, sum(p.h) AS v
+    FROM e JOIN {prev} p ON p.node = e.src GROUP BY 1
+  ) ag ON ag.node = n.node
+),
+s{k} AS MATERIALIZED (
+  SELECT n.node, n.a, coalesce(hg.v, 0) AS h
+  FROM sa{k} n LEFT JOIN (
+    SELECT e.src AS node, sum(p.a) AS v
+    FROM e JOIN sa{k} p ON p.node = e.dst GROUP BY 1
+  ) hg ON hg.node = n.node
+)""")
+        prev = f"s{k}"
+    chain = ",\n".join(rounds)
+    return f"""
+WITH mh AS MATERIALIZED ({_oracle_minhash()}),
+e AS MATERIALIZED (SELECT doc_b AS src, doc_a AS dst FROM mh),
+s0 AS MATERIALIZED (
+  SELECT node, 1 AS a, 1 AS h FROM (
+    SELECT src AS node FROM e UNION SELECT dst FROM e
+  )
+),
+{chain},
+mx AS (SELECT max(a) AS max_a, max(h) AS max_h FROM {prev})
+SELECT node AS doc_id, a AS authority_raw, h AS hub_raw,
+       CASE WHEN max_a > 0 THEN round(a / max_a, 6) ELSE 0.0 END AS authority_rel,
+       CASE WHEN max_h > 0 THEN round(h / max_h, 6) ELSE 0.0 END AS hub_rel
+FROM {prev} CROSS JOIN mx
+"""
+
+
+QUERIES["q_hits_dups"] = q_hits_dups
+ORACLE["q_hits_dups"] = _oracle_hits()

@@ -283,3 +283,20 @@ def test_cms_unseen_key_estimates_zero(spark):
     got = {r.token: r.cms_n for r in cms_estimate(sketch, probe).collect()}
     assert got["a"] >= 1
     assert got["never-seen"] == 0       # absent cells count as 0, row kept
+
+
+def test_hits_separates_hubs_from_authorities(spark):
+    from sandbox_data_pipeline_spark.operators.graph import hits
+
+    # hub 0 points at authorities 1..3; 4 also points at 1
+    e = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3), (4, 1)], "src long, dst long"
+    )
+    got = {r.node: r for r in hits(e, iterations=3).collect()}
+    assert got[0].hub_rel == 1.0 and got[0].authority_raw == 0
+    assert got[1].authority_rel == 1.0          # most-cited authority
+    assert got[1].authority_raw > got[2].authority_raw
+    assert got[2].authority_raw == got[3].authority_raw
+    assert got[1].hub_raw == 0                   # pure authority
+    # exact integers: raw scores are reproducible sums
+    assert isinstance(got[0].hub_raw, int)
