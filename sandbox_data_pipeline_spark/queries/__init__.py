@@ -146,6 +146,7 @@ DRIVER_PRIORITY = (
     "q_bmp_decode_stats",
     "q_bmp_resize_stats",
     "q_hits_dups",
+    "q_ewma_smooth",
 )
 
 

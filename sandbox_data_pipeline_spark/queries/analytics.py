@@ -760,3 +760,83 @@ FROM stages CROSS JOIN n
 
 QUERIES["q_event_funnel"] = q_event_funnel
 ORACLE["q_event_funnel"] = _oracle_funnel()
+
+
+EWMA_ALPHA = 0.2
+
+
+def q_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA control-chart smoothing of the hourly event series per
+    type: ewma_1 = x_1, ewma_i = α·x_i + (1−α)·ewma_{i−1} — the
+    de-noised level a paging threshold should compare against
+    (q_mad_anomalies' smoothed-series companion). The recursion is
+    evaluated through its closed form Σ w_j·x_j (w_1 = (1−α)^{i−1},
+    w_j = α(1−α)^{i−j}), so both engines sum the SAME weighted terms:
+    a per-type self-join on rn ≤ i — O(len²) within each series, but
+    the series is the HOURLY aggregate (len = hours, not events), so
+    the quadratic work is metadata-scale at any corpus size, and the
+    heavy pass is the one count aggregation. Output rounded to 4 dp
+    after the final sum."""
+    e = table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour_ts")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("event_type").orderBy("hour_ts")
+    series = hourly.withColumn("rn", F.row_number().over(w))
+    a = series.select(
+        "event_type", F.col("hour_ts"), F.col("n"), F.col("rn").alias("i")
+    )
+    b = series.select(
+        F.col("event_type").alias("event_type_b"),
+        F.col("n").alias("x_j"),
+        F.col("rn").alias("j"),
+    )
+    alpha, beta = EWMA_ALPHA, 1.0 - EWMA_ALPHA
+    weight = F.when(
+        F.col("j") == 1, F.pow(F.lit(beta), F.col("i") - 1)
+    ).otherwise(F.lit(alpha) * F.pow(F.lit(beta), F.col("i") - F.col("j")))
+    joined = a.join(
+        b,
+        (F.col("event_type") == F.col("event_type_b")) & (F.col("j") <= F.col("i")),
+    )
+    return (
+        joined.groupBy("event_type", "hour_ts", "n")
+        .agg(F.round(F.sum(weight * F.col("x_j")), 4).alias("ewma"))
+        .select(
+            "event_type",
+            "hour_ts",
+            "n",
+            "ewma",
+            F.round(F.abs(F.col("n") - F.col("ewma")), 4).alias("deviation"),
+        )
+    )
+
+
+def _oracle_ewma() -> str:
+    return f"""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour_ts, count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+series AS (
+  SELECT event_type, hour_ts, n,
+         row_number() OVER (PARTITION BY event_type ORDER BY hour_ts) AS rn
+  FROM hourly
+)
+SELECT a.event_type, a.hour_ts, a.n,
+       round(sum(
+         CASE WHEN b.rn = 1 THEN pow({1.0 - EWMA_ALPHA!r}, a.rn - 1)
+              ELSE {EWMA_ALPHA!r} * pow({1.0 - EWMA_ALPHA!r}, a.rn - b.rn) END * b.n
+       ), 4) AS ewma,
+       round(abs(a.n - round(sum(
+         CASE WHEN b.rn = 1 THEN pow({1.0 - EWMA_ALPHA!r}, a.rn - 1)
+              ELSE {EWMA_ALPHA!r} * pow({1.0 - EWMA_ALPHA!r}, a.rn - b.rn) END * b.n
+       ), 4)), 4) AS deviation
+FROM series a JOIN series b
+  ON b.event_type = a.event_type AND b.rn <= a.rn
+GROUP BY 1, 2, 3
+"""
+
+
+QUERIES["q_ewma_smooth"] = q_ewma_smooth
+ORACLE["q_ewma_smooth"] = _oracle_ewma()

@@ -170,3 +170,38 @@ def test_profile_table_long_form(spark):
     assert got["id"].null_rate == 0.0 and got["id"].n_distinct == 4
     assert got["tag"].null_rate == 0.25 and got["tag"].n_distinct == 2
     assert got["tag"].mode_str == "a" and got["tag"].min_str == "a" and got["tag"].max_str == "b"
+
+
+def test_ewma_closed_form_equals_recursion(spark):
+    import datetime as dt
+
+    from sandbox_data_pipeline_spark.queries import analytics as qa
+
+    t0 = dt.datetime(2026, 1, 1)
+    xs = [10, 10, 30, 10, 10]
+    rows = []
+    eid = 0
+    for i, x in enumerate(xs):
+        for _ in range(x):
+            rows.append((eid, t0 + dt.timedelta(hours=i), 1, "a", 0.0, "{}"))
+            eid += 1
+    events = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    orig = qa.table
+    try:
+        qa.table = lambda spark, sf_dir, name: events
+        got = {r.hour_ts.hour: r for r in qa.q_ewma_smooth(spark, "unused").collect()}
+    finally:
+        qa.table = orig
+    # reference recursion
+    alpha = qa.EWMA_ALPHA
+    ew = xs[0]
+    expect = [ew]
+    for x in xs[1:]:
+        ew = alpha * x + (1 - alpha) * ew
+        expect.append(ew)
+    for i, e in enumerate(expect):
+        assert abs(got[i].ewma - round(e, 4)) < 1e-9, (i, got[i].ewma, e)
+    # the spike hour carries the largest deviation
+    assert max(range(5), key=lambda i: got[i].deviation) == 2
