@@ -75,3 +75,37 @@ def test_stream_report_equals_batch_twin(spark, tmp_path):
     got = {r.source: r for r in a}
     assert got["s0"].kl_bits == 0.0
     assert got["s1"].alarm and got["s1"].batch_id == 7
+
+
+def test_progress_frame_captures_batch_metrics(spark, tmp_path):
+    import json as _json
+    import os
+
+    from sandbox_data_pipeline_spark.streaming.ingest import start_document_ingest
+    from sandbox_data_pipeline_spark.streaming.obs import (
+        progress_frame,
+        recent_progress_frame,
+    )
+
+    src = str(tmp_path / "src"); os.makedirs(src)
+    good = "the quick brown fox and the lazy dog were of a kind in that story"
+    with open(os.path.join(src, "a.json"), "w") as f:
+        f.write("\n".join(
+            _json.dumps({"doc_id": i, "text": good + f" v{i}", "lang": "en",
+                         "source": "t", "n_chars": 1}) for i in range(5)
+        ))
+    q = start_document_ingest(
+        spark, src, str(tmp_path / "sink"), str(tmp_path / "ckpt"), available_now=True
+    )
+    q.awaitTermination(120)
+
+    got = progress_frame(spark, [q]).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r.batch_id >= 0 and r.n_sources == 1
+    assert r.sink and "FileSink" in r.sink
+    # the stateful first-seen dedup keeps one row per content hash
+    hist = recent_progress_frame(spark, q).collect()
+    assert any(h.num_input_rows > 0 for h in hist)
+    assert any(h.state_rows_total >= 5 for h in hist)
+    assert all(h.trigger_execution_ms >= 0 for h in hist)
