@@ -61,38 +61,48 @@ def pagerank(
         .join(deg.select(F.col(src).alias("node"), "deg"), "node", "left")
         .select("node", F.coalesce(F.col("deg"), F.lit(0)).alias("deg"))
     )
+    nodes = nodes.localCheckpoint(eager=False)  # reused every round
     n = nodes.agg(F.count("*").alias("n_nodes"))
     base = nodes.crossJoin(F.broadcast(n))
     ranks = base.select(
         "node", "deg", "n_nodes", (F.lit(1.0) / F.col("n_nodes")).alias("rank")
     )
+    # The sink SET is static (degrees never change), so decide ONCE
+    # whether the dangling-mass term exists at all: undirected pair
+    # graphs have no sinks and keep the plain linear-lineage loop with
+    # no extra scan/aggregate/broadcast per round.
+    has_sinks = bool(nodes.where(F.col("deg") == 0).limit(1).count())
     e = edges.select(F.col(src).alias("e_src"), F.col(dst).alias("node"))
     for i in range(iterations):
         contrib = e.join(
             ranks.select(F.col("node").alias("e_src"), "deg", "rank"), "e_src"
         ).select("node", (F.col("rank") / F.col("deg")).alias("c"))
         summed = contrib.groupBy("node").agg(F.sum("c").alias("s"))
-        dangling = ranks.where(F.col("deg") == 0).agg(
-            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("d_mass")
-        )
-        ranks = (
-            base.join(summed, "node", "left")
-            .crossJoin(F.broadcast(dangling))
-            .select(
-                "node",
-                "deg",
-                "n_nodes",
-                (
-                    F.lit(1.0 - damping) / F.col("n_nodes")
-                    + F.lit(damping)
-                    * (
-                        F.coalesce(F.col("s"), F.lit(0.0))
-                        + F.col("d_mass") / F.col("n_nodes")
-                    )
-                ).alias("rank"),
+        d_sum = F.coalesce(F.col("s"), F.lit(0.0))
+        if has_sinks:
+            dangling = ranks.where(F.col("deg") == 0).agg(
+                F.coalesce(F.sum("rank"), F.lit(0.0)).alias("d_mass")
             )
+            d_sum = d_sum + F.col("d_mass") / F.col("n_nodes")
+        ranks = base.join(summed, "node", "left")
+        if has_sinks:
+            ranks = ranks.crossJoin(F.broadcast(dangling))
+        ranks = ranks.select(
+            "node",
+            "deg",
+            "n_nodes",
+            (
+                F.lit(1.0 - damping) / F.col("n_nodes") + F.lit(damping) * d_sum
+            ).alias("rank"),
         )
-        if checkpoint_every and (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
+        # with sinks the plan references the previous ranks TWICE
+        # (contributions + dangling aggregate): lineage doubles per
+        # round, so cut it every round regardless of checkpoint_every
+        if has_sinks or (
+            checkpoint_every
+            and (i + 1) % checkpoint_every == 0
+            and i + 1 < iterations
+        ):
             ranks = ranks.localCheckpoint(eager=False)
     return ranks.select(
         "node",

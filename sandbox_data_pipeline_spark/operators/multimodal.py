@@ -528,23 +528,36 @@ def build_bmp(doc_id: int) -> bytes:
     return header + body
 
 
+def _bmp_header(blob: bytes) -> tuple[int, int, int, int]:
+    """Validated header parse shared by decode and resize: magic,
+    24-bit uncompressed bottom-up, positive dims, and a body long
+    enough for the declared geometry — malformed inputs raise instead
+    of wrapping Python's negative indices into silent garbage."""
+    import struct
+
+    if len(blob) < BMP_HEADER_LEN or blob[:2] != b"BM":
+        raise ValueError("not a BMP")
+    data_off = struct.unpack_from("<I", blob, 10)[0]
+    w, h = struct.unpack_from("<ii", blob, 18)
+    bpp = struct.unpack_from("<H", blob, 28)[0]
+    comp = struct.unpack_from("<I", blob, 30)[0]
+    if bpp != 24 or comp != 0:
+        raise ValueError("only 24-bit uncompressed BMP supported")
+    if w <= 0 or h <= 0:
+        raise ValueError("only positive-dimension bottom-up BMP supported")
+    stride = ((3 * w + 3) // 4) * 4
+    if len(blob) < data_off + stride * h:
+        raise ValueError("BMP body shorter than declared geometry")
+    return data_off, w, h, stride
+
+
 def decode_bmp(blob: bytes) -> dict[str, Any]:
     """REAL decode: magic check, header-declared dims/offset/bpp,
     padded-stride walk, bottom-up row order, BGR channel order.
     Returns dims, the top-left and bottom-right RGB pixels (the two
     values that break if row order or stride handling is wrong — a
     channel MEAN alone is order-invariant), and per-channel means."""
-    import struct
-
-    if blob[:2] != b"BM":
-        raise ValueError("not a BMP")
-    data_off = struct.unpack_from("<I", blob, 10)[0]
-    w, h = struct.unpack_from("<ii", blob, 18)
-    bpp = struct.unpack_from("<H", blob, 28)[0]
-    comp = struct.unpack_from("<I", blob, 30)[0]
-    if bpp != 24 or comp != 0 or h <= 0:
-        raise ValueError("only 24-bit uncompressed bottom-up BMP supported")
-    stride = ((3 * w + 3) // 4) * 4
+    data_off, w, h, stride = _bmp_header(blob)
 
     def px(x: int, y: int) -> tuple[int, int, int]:
         # image row y (0 = top) lives at file row h-1-y
@@ -630,11 +643,9 @@ def resize_bmp(blob: bytes, out_w: int, out_h: int) -> bytes:
     bottom-up) on the way in and encode on the way out."""
     import struct
 
-    if blob[:2] != b"BM":
-        raise ValueError("not a BMP")
-    data_off = struct.unpack_from("<I", blob, 10)[0]
-    w, h = struct.unpack_from("<ii", blob, 18)
-    stride = ((3 * w + 3) // 4) * 4
+    if out_w <= 0 or out_h <= 0:
+        raise ValueError("output dimensions must be positive")
+    data_off, w, h, stride = _bmp_header(blob)
     out_stride = ((3 * out_w + 3) // 4) * 4
     body = bytearray(out_stride * out_h)
     for y_img in range(out_h):

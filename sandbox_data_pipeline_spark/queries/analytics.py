@@ -771,7 +771,10 @@ def q_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
     de-noised level a paging threshold should compare against
     (q_mad_anomalies' smoothed-series companion). The recursion is
     evaluated through its closed form Σ w_j·x_j (w_1 = (1−α)^{i−1},
-    w_j = α(1−α)^{i−j}), so both engines sum the SAME weighted terms:
+    w_j = α(1−α)^{i−j}), so both engines evaluate the same term list
+    (pow may differ by an ulp between libms and partial-sum order is
+    partition-dependent — absorbed by the 4-dp rounding slack, a
+    probabilistic guarantee rather than int64-HITS' structural one):
     a per-type self-join on rn ≤ i — O(len²) within each series, but
     the series is the HOURLY aggregate (len = hours, not events), so
     the quadratic work is metadata-scale at any corpus size, and the

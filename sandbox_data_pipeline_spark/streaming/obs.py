@@ -76,11 +76,10 @@ def progress_frame(spark: SparkSession, queries=None) -> DataFrame:
     passed explicitly (their handle retains lastProgress)."""
     if queries is None:
         queries = list(spark.streams.active)
-    rows = [
-        _row_from_progress(q.lastProgress)
-        for q in queries
-        if q.lastProgress is not None
-    ]
+    # read lastProgress ONCE per query: each access is a JVM round
+    # trip + JSON parse, and two reads can observe different triggers
+    progresses = (q.lastProgress for q in queries)
+    rows = [_row_from_progress(p) for p in progresses if p is not None]
     return spark.createDataFrame(rows, PROGRESS_SCHEMA) if rows else (
         spark.createDataFrame([], PROGRESS_SCHEMA)
     )

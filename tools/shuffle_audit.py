@@ -72,11 +72,13 @@ def main() -> int:
     if not names:
         names = list(queries)
     total = {"shuffle_bytes": 0, "spill_bytes": 0, "exchanges": 0}
+    errors = 0
     for name in names:
         try:
             acc = audit_query(queries[name](spark, sf_dir))
         except Exception as ex:  # keep auditing the rest
             print(f"ERR   {name}: {str(ex)[:90]}")
+            errors += 1
             continue
         for k in total:
             total[k] += acc[k]
@@ -89,8 +91,9 @@ def main() -> int:
         f"\nTOTAL exchanges={total['exchanges']} "
         f"shuffle={total['shuffle_bytes'] / 1e6:.1f}MB "
         f"spill={total['spill_bytes'] / 1e6:.1f}MB over {len(names)} queries"
+        + (f" ({errors} ERRORS)" if errors else "")
     )
-    return 0
+    return 1 if errors else 0
 
 
 if __name__ == "__main__":
