@@ -88,6 +88,10 @@ HEADLINE = [
     "q_bpe_merges",
     "q_mmr_rerank",
     "q_histogram_equidepth",
+    "q_hits_dups",
+    "q_clustering_coeff",
+    "q_bmp_decode_stats",
+    "q_zipf_fit",
 ]
 
 

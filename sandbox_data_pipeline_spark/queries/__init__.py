@@ -147,6 +147,7 @@ DRIVER_PRIORITY = (
     "q_bmp_resize_stats",
     "q_hits_dups",
     "q_ewma_smooth",
+    "q_zipf_fit",
 )
 
 

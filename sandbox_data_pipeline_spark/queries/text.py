@@ -1801,3 +1801,56 @@ SELECT merge_rank, sym_a, sym_b, pair_count FROM ({union})
 
 QUERIES["q_bpe_merges"] = q_bpe_merges
 ORACLE["q_bpe_merges"] = _oracle_bpe()
+
+
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit of the corpus token distribution: least-squares
+    slope/intercept/R² of log(freq) against log(rank) — the one-row
+    corpus-statistics fingerprint (natural text ≈ −1 slope; synthetic
+    or template-heavy corpora flatten). Uses the built-in regr_*
+    aggregates over the token-frequency frame (vocab-scale, one count
+    shuffle); rank is deterministic via (count desc, token) ordering."""
+    tok = table(spark, sf_dir, "documents").select(
+        F.explode(F.filter(F.split("text", " "), lambda t: t != F.lit(""))).alias(
+            "token"
+        )
+    )
+    freq = tok.groupBy("token").agg(F.count("*").alias("c"))
+    w = Window.orderBy(F.col("c").desc(), "token")
+    # the window runs on the vocab frame — for billion-token vocabs
+    # swap in stable_global_ids; here the frame is the top-level freq
+    # table that also feeds TF-IDF
+    ranked = freq.withColumn("r", F.row_number().over(w))
+    pts = ranked.select(
+        F.log(F.col("r").cast("double")).alias("lx"),
+        F.log(F.col("c").cast("double")).alias("ly"),
+    )
+    return pts.agg(
+        F.count(F.lit(1)).alias("n_tokens_vocab"),
+        F.round(F.expr("regr_slope(ly, lx)"), 4).alias("zipf_slope"),
+        F.round(F.expr("regr_intercept(ly, lx)"), 4).alias("zipf_intercept"),
+        F.round(F.expr("regr_r2(ly, lx)"), 4).alias("r2"),
+    )
+
+
+def _oracle_zipf() -> str:
+    return """
+WITH tok AS (
+  SELECT unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS token
+  FROM documents
+),
+freq AS (SELECT token, count(*) AS c FROM tok GROUP BY 1),
+ranked AS (
+  SELECT c, row_number() OVER (ORDER BY c DESC, token) AS r FROM freq
+),
+pts AS (SELECT ln(CAST(r AS DOUBLE)) AS lx, ln(CAST(c AS DOUBLE)) AS ly FROM ranked)
+SELECT count(*) AS n_tokens_vocab,
+       round(regr_slope(ly, lx), 4) AS zipf_slope,
+       round(regr_intercept(ly, lx), 4) AS zipf_intercept,
+       round(regr_r2(ly, lx), 4) AS r2
+FROM pts
+"""
+
+
+QUERIES["q_zipf_fit"] = q_zipf_fit
+ORACLE["q_zipf_fit"] = _oracle_zipf()
