@@ -300,3 +300,27 @@ def test_hits_separates_hubs_from_authorities(spark):
     assert got[1].hub_raw == 0                   # pure authority
     # exact integers: raw scores are reproducible sums
     assert isinstance(got[0].hub_raw, int)
+
+
+def test_operator_parameter_validation(spark):
+    import pytest as _pytest
+
+    from sandbox_data_pipeline_spark.operators.bpe import bpe_merges
+    from sandbox_data_pipeline_spark.operators.graph import pagerank
+    from sandbox_data_pipeline_spark.operators.multimodal import resize_bmp, build_bmp
+    from sandbox_data_pipeline_spark.operators.text import chunk_documents
+
+    df = _docs(spark, [(1, "a b", "s")])
+    with _pytest.raises(ValueError):
+        chunk_documents(df, chunk_tokens=0, stride=8)
+    with _pytest.raises(ValueError):
+        chunk_documents(df, chunk_tokens=8, stride=0)
+    e = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with _pytest.raises(ValueError):
+        pagerank(e, iterations=0)
+    with _pytest.raises(ValueError):
+        resize_bmp(build_bmp(1), 0, 4)
+    with _pytest.raises(ValueError):
+        # truncated body: declared geometry exceeds payload
+        from sandbox_data_pipeline_spark.operators.multimodal import decode_bmp
+        decode_bmp(build_bmp(1)[:-4])
