@@ -1,0 +1,511 @@
+"""Versioned transactional table on parquet — a commit log with ACID
+semantics, time travel, optimistic concurrency, and stats-based file
+skipping.
+
+Why this belongs in the engine: the reference's publish contract is
+"delete the hour, insert the hour" against a warehouse that provides
+atomicity and history for free (BigQuery/Snowflake — e.g.
+/root/reference/dags/sandbox_data_pipeline.py:205-215 delegating to
+write_weather_to_bigquery.sql's DELETE+INSERT). ``writers.publish_run``
+reproduces the per-partition overwrite; THIS module reproduces the
+warehouse's other half: multi-writer safety, versioned reads
+("what did the table look like before that backfill?"), and row-level
+DELETE/MERGE that doesn't rewrite the whole table. The design is the
+published Delta-Lake/Iceberg commit-log protocol re-implemented small:
+
+- ``<table>/_txlog/00000000000000000042.json`` — one JSON entry per
+  commit: files added (with footer-derived column stats), files
+  removed, the operation, the snapshot version the writer READ, and an
+  optional ``(app_id, txn_version)`` application transaction id.
+- Commit atomicity on a filesystem = atomic create-if-absent of the
+  next version's log entry (``open(..., "x")``). Two writers racing to
+  version N: exactly one wins; the loser re-resolves against the new
+  log tail (retry or conflict — see below).
+- A snapshot at version V = replay of entries 0..V (from the newest
+  checkpoint ≤ V): union of adds minus removes. Reads address the
+  resulting explicit file list, never the directory — so concurrent
+  writers and un-vacuumed garbage are invisible to readers.
+
+Scale posture (100 TB): data files are immutable and written once by
+executors; the driver handles only the log entry (KBs of JSON — same
+driver-side footprint Delta's commit path has). Per-file min/max/null
+stats come from parquet FOOTERS (pyarrow metadata read — no data
+scan), and ``read(predicate=...)`` prunes the file list before Spark
+ever plans the scan, which is exactly the file-skipping layer
+``operators/layout.py`` measures. Row-level ``delete_where``/``merge``
+rewrite ONLY the files whose stats overlap the predicate/source keys —
+the rest of the table is untouched metadata. Log replay cost is bounded
+by ``checkpoint()`` (a consolidated snapshot entry every
+``CHECKPOINT_EVERY`` commits), the same O(1)-tail-read trick as
+Delta's _last_checkpoint.
+
+Local-filesystem caveat, stated honestly: ``open(mode="x")`` is atomic
+on the POSIX filesystems this runs on; on S3 the same protocol needs a
+conditional PUT (If-None-Match) or a coordination table, which is a
+transport swap, not a protocol change.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from sandbox_data_pipeline_spark.sinks.writers import SkippedWrite
+
+LOG_DIR = "_txlog"
+CHECKPOINT_EVERY = 10
+_PAD = 20  # zero-padded version width → lexicographic == numeric order
+
+
+class ConcurrentModification(Exception):
+    """Raised when optimistic concurrency detects a true conflict:
+    another commit landed after the writer's read snapshot and touched
+    files/rows the writer's operation depends on."""
+
+
+@dataclass
+class AddFile:
+    path: str  # relative to table root
+    rows: int
+    bytes: int
+    stats: dict[str, dict[str, Any]] = field(default_factory=dict)
+
+    def to_json(self) -> dict:
+        return {
+            "path": self.path,
+            "rows": self.rows,
+            "bytes": self.bytes,
+            "stats": self.stats,
+        }
+
+    @staticmethod
+    def from_json(d: dict) -> "AddFile":
+        return AddFile(d["path"], d["rows"], d["bytes"], d.get("stats", {}))
+
+
+def _collect_footer_stats(abs_path: str) -> AddFile:
+    """Per-file rows/bytes/column-min-max-nulls from the parquet FOOTER
+    only — the metadata read Delta/Iceberg do at commit time. No row is
+    scanned; cost is O(row groups), not O(rows)."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(abs_path).metadata
+    stats: dict[str, dict[str, Any]] = {}
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            col = g.column(ci)
+            s = col.statistics
+            if s is None or not s.has_min_max:
+                continue
+            name = col.path_in_schema
+            mn, mx = s.min, s.max
+            if isinstance(mn, bytes):
+                try:
+                    mn, mx = mn.decode("utf-8"), mx.decode("utf-8")
+                except UnicodeDecodeError:
+                    continue
+            if hasattr(mn, "isoformat"):
+                # ISO-8601 orders lexicographically == chronologically,
+                # so string-compare pruning on these stays correct.
+                mn, mx = mn.isoformat(), mx.isoformat()
+            if not isinstance(mn, (int, float, str)) or isinstance(mn, bool):
+                # Decimal & friends: no JSON-safe total order — record
+                # NO stats (pruning must stay conservative; a lossy
+                # float cast could prune a file that still has rows).
+                continue
+            nulls = s.null_count if s.has_null_count else None
+            cur = stats.get(name)
+            if cur is None:
+                stats[name] = {"min": mn, "max": mx, "nulls": nulls}
+            else:
+                cur["min"] = min(cur["min"], mn)
+                cur["max"] = max(cur["max"], mx)
+                if nulls is not None and cur["nulls"] is not None:
+                    cur["nulls"] += nulls
+    return AddFile(
+        path="",  # caller fills relative path
+        rows=md.num_rows,
+        bytes=os.path.getsize(abs_path),
+        stats=stats,
+    )
+
+
+class TxTable:
+    """Handle on a versioned table rooted at ``path``."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path.rstrip("/")
+        self.log_path = os.path.join(self.path, LOG_DIR)
+
+    # ---------------------------------------------------------- log IO
+
+    def _entry_path(self, version: int) -> str:
+        return os.path.join(self.log_path, f"{version:0{_PAD}d}.json")
+
+    def _versions(self) -> list[int]:
+        if not os.path.isdir(self.log_path):
+            return []
+        out = []
+        for f in os.listdir(self.log_path):
+            if f.endswith(".json") and not f.startswith("checkpoint-"):
+                out.append(int(f[: -len(".json")]))
+        return sorted(out)
+
+    def latest_version(self) -> int:
+        vs = self._versions()
+        if not vs:
+            raise FileNotFoundError(f"no transaction log at {self.log_path}")
+        return vs[-1]
+
+    def _read_entry(self, version: int) -> dict:
+        with open(self._entry_path(version), encoding="utf-8") as f:
+            return json.load(f)
+
+    def _checkpoint_path(self, version: int) -> str:
+        return os.path.join(self.log_path, f"checkpoint-{version:0{_PAD}d}.json")
+
+    def _latest_checkpoint_at_or_before(self, version: int) -> int | None:
+        if not os.path.isdir(self.log_path):
+            return None
+        best = None
+        for f in os.listdir(self.log_path):
+            if f.startswith("checkpoint-") and f.endswith(".json"):
+                v = int(f[len("checkpoint-") : -len(".json")])
+                if v <= version and (best is None or v > best):
+                    best = v
+        return best
+
+    # ------------------------------------------------------- snapshots
+
+    def snapshot(self, version: int | None = None) -> dict[str, AddFile]:
+        """Live file set at ``version`` (default: latest): replay from
+        the newest checkpoint ≤ version, so replay cost is bounded by
+        CHECKPOINT_EVERY regardless of table age."""
+        if version is None:
+            version = self.latest_version()
+        files: dict[str, AddFile] = {}
+        start = 0
+        ckpt = self._latest_checkpoint_at_or_before(version)
+        if ckpt is not None:
+            with open(self._checkpoint_path(ckpt), encoding="utf-8") as f:
+                snap = json.load(f)
+            files = {a["path"]: AddFile.from_json(a) for a in snap["add"]}
+            start = ckpt + 1
+        for v in range(start, version + 1):
+            e = self._read_entry(v)
+            for rem in e.get("remove", []):
+                files.pop(rem, None)
+            for a in e.get("add", []):
+                af = AddFile.from_json(a)
+                files[af.path] = af
+        return files
+
+    def schema_at(self, version: int | None = None) -> T.StructType:
+        if version is None:
+            version = self.latest_version()
+        for v in range(version, -1, -1):
+            e = self._read_entry(v)
+            if "schema" in e:
+                return T.StructType.fromJson(json.loads(e["schema"]))
+        raise ValueError(f"no schema recorded in log of {self.path}")
+
+    def read(
+        self,
+        version: int | None = None,
+        predicate: tuple[str, Any, Any] | None = None,
+    ) -> DataFrame:
+        """Snapshot read. ``predicate=(col, lo, hi)`` prunes the FILE
+        LIST via footer stats before Spark plans the scan (files whose
+        [min,max] misses [lo,hi] are never listed); the same predicate
+        must still be applied in the plan for row-level filtering."""
+        files = self.snapshot(version)
+        kept = list(files.values())
+        if predicate is not None:
+            col, lo, hi = predicate
+            kept = [
+                f
+                for f in kept
+                if col not in f.stats
+                or not (f.stats[col]["max"] < lo or f.stats[col]["min"] > hi)
+            ]
+        schema = self.schema_at(version)
+        if not kept:
+            return self.spark.createDataFrame([], schema)
+        paths = [os.path.join(self.path, f.path) for f in kept]
+        return self.spark.read.schema(schema).parquet(*paths)
+
+    def history(self) -> list[dict]:
+        """Commit history, oldest→newest: the warehouse's
+        INFORMATION_SCHEMA / DESCRIBE HISTORY surface."""
+        out = []
+        for v in self._versions():
+            e = self._read_entry(v)
+            out.append(
+                {
+                    "version": v,
+                    "operation": e["operation"],
+                    "read_version": e.get("read_version"),
+                    "n_add": len(e.get("add", [])),
+                    "n_remove": len(e.get("remove", [])),
+                    "rows_added": sum(a["rows"] for a in e.get("add", [])),
+                }
+            )
+        return out
+
+    # --------------------------------------------------------- commits
+
+    def _write_data(self, df: DataFrame, version_hint: int) -> list[AddFile]:
+        """Write ``df`` as immutable parquet under a unique subdir and
+        return AddFiles with footer stats. Executors write the data;
+        the driver touches only footers."""
+        sub = f"data/v{version_hint}-{uuid.uuid4().hex[:8]}"
+        abs_dir = os.path.join(self.path, sub)
+        df.write.mode("error").parquet(abs_dir)
+        adds = []
+        for name in sorted(os.listdir(abs_dir)):
+            if not name.endswith(".parquet"):
+                continue
+            af = _collect_footer_stats(os.path.join(abs_dir, name))
+            af.path = f"{sub}/{name}"
+            adds.append(af)
+        return adds
+
+    def _txn_already_applied(self, app_id: str, txn_version: int, upto: int) -> bool:
+        for v in range(upto + 1):
+            e = self._read_entry(v)
+            t = e.get("txn")
+            if t and t["app_id"] == app_id and t["txn_version"] >= txn_version:
+                return True
+        return False
+
+    def _try_commit(self, version: int, entry: dict) -> bool:
+        """Atomic create-if-absent of the version file: the whole
+        concurrency story reduces to this one filesystem primitive."""
+        os.makedirs(self.log_path, exist_ok=True)
+        tmp = self._entry_path(version) + f".tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w", encoding="utf-8") as f:
+            json.dump(entry, f)
+        try:
+            os.link(tmp, self._entry_path(version))
+            return True
+        except FileExistsError:
+            return False
+        finally:
+            os.unlink(tmp)
+
+    def _commit(
+        self,
+        operation: str,
+        adds: list[AddFile],
+        removes: list[str],
+        read_version: int | None,
+        schema_json: str | None = None,
+        txn: tuple[str, int] | None = None,
+        keys_touched: dict | None = None,
+    ) -> int:
+        """Optimistic-concurrency commit loop. Appends never conflict
+        (they are re-targeted at the new tail); operations that REMOVE
+        files conflict iff an intervening commit removed or superseded
+        any file this writer read — the writer's world changed under
+        it, so it must re-resolve (Delta's ConcurrentDeleteRead rule)."""
+        while True:
+            vs = self._versions()
+            tail = vs[-1] if vs else -1
+            if operation == "create" and tail >= 0:
+                raise FileExistsError(
+                    f"create raced another writer; table exists at v{tail}"
+                )
+            if txn is not None and tail >= 0 and self._txn_already_applied(
+                txn[0], txn[1], tail
+            ):
+                raise SkippedWrite(
+                    f"txn {txn[0]}@{txn[1]} already applied to {self.path}"
+                )
+            if read_version is not None and tail > read_version:
+                intervening_removed: set[str] = set()
+                for v in range(read_version + 1, tail + 1):
+                    intervening_removed.update(self._read_entry(v).get("remove", []))
+                if removes and (
+                    intervening_removed & set(removes)
+                    or any(
+                        self._read_entry(v)["operation"] != "append"
+                        for v in range(read_version + 1, tail + 1)
+                    )
+                ):
+                    raise ConcurrentModification(
+                        f"{operation} read v{read_version} but table is at "
+                        f"v{tail} with non-append commits in between"
+                    )
+            target = tail + 1
+            entry = {
+                "version": target,
+                "ts": time.time(),
+                "operation": operation,
+                "read_version": read_version,
+                "add": [a.to_json() for a in adds],
+                "remove": sorted(removes),
+            }
+            if schema_json is not None:
+                entry["schema"] = schema_json
+            if txn is not None:
+                entry["txn"] = {"app_id": txn[0], "txn_version": txn[1]}
+            if keys_touched:
+                entry["keys_touched"] = keys_touched
+            if self._try_commit(target, entry):
+                if target % CHECKPOINT_EVERY == 0 and target > 0:
+                    self._write_checkpoint(target)
+                return target
+            # lost the race — loop re-reads the tail and re-validates
+
+    def _write_checkpoint(self, version: int) -> None:
+        snap = self.snapshot(version)
+        tmp = self._checkpoint_path(version) + f".tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w", encoding="utf-8") as f:
+            json.dump({"version": version, "add": [a.to_json() for a in snap.values()]}, f)
+        os.replace(tmp, self._checkpoint_path(version))
+
+    # ------------------------------------------------------ operations
+
+    @staticmethod
+    def create(spark: SparkSession, path: str, df: DataFrame) -> "TxTable":
+        t = TxTable(spark, path)
+        if os.path.isdir(t.log_path) and t._versions():
+            raise FileExistsError(f"table already exists at {path}")
+        adds = t._write_data(df, 0)
+        t._commit("create", adds, [], None, schema_json=df.schema.json())
+        return t
+
+    def append(self, df: DataFrame, txn: tuple[str, int] | None = None) -> int:
+        """Blind append: writes data first, then commits at whatever
+        the tail is — never conflicts. ``txn=(app_id, version)`` makes
+        retried jobs idempotent (the reference's F2 existence-skip,
+        generalized from path-existence to transaction identity)."""
+        adds = self._write_data(df, self.latest_version() + 1)
+        return self._commit("append", adds, [], self.latest_version(), txn=txn)
+
+    def overwrite_all(self, df: DataFrame, txn: tuple[str, int] | None = None) -> int:
+        rv = self.latest_version()
+        removes = sorted(self.snapshot(rv).keys())
+        adds = self._write_data(df, rv + 1)
+        return self._commit(
+            "overwrite", adds, removes, rv, schema_json=df.schema.json(), txn=txn
+        )
+
+    def delete_where(
+        self,
+        col: str,
+        lo: Any,
+        hi: Any,
+        txn: tuple[str, int] | None = None,
+    ) -> dict:
+        """Row-level delete of ``col BETWEEN lo AND hi``: footer stats
+        split the snapshot into untouched files (kept as metadata,
+        zero IO) and overlapping files (rewritten minus matching
+        rows). At 100 TB a selective delete rewrites only the files a
+        clustered layout puts the range into — the measured win of
+        operators/layout.py's Z-ordering."""
+        rv = self.latest_version()
+        snap = self.snapshot(rv)
+        touched = [
+            f
+            for f in snap.values()
+            if col not in f.stats
+            or not (f.stats[col]["max"] < lo or f.stats[col]["min"] > hi)
+        ]
+        if not touched:
+            return {"version": rv, "files_rewritten": 0, "files_total": len(snap)}
+        paths = [os.path.join(self.path, f.path) for f in touched]
+        survivors = (
+            self.spark.read.schema(self.schema_at(rv))
+            .parquet(*paths)
+            .where(~F.col(col).between(F.lit(lo), F.lit(hi)))
+        )
+        adds = self._write_data(survivors, rv + 1)
+        v = self._commit(
+            "delete",
+            adds,
+            [f.path for f in touched],
+            rv,
+            txn=txn,
+            keys_touched={"col": col, "lo": str(lo), "hi": str(hi)},
+        )
+        return {
+            "version": v,
+            "files_rewritten": len(touched),
+            "files_total": len(snap),
+        }
+
+    def merge(
+        self,
+        source: DataFrame,
+        key: str,
+        txn: tuple[str, int] | None = None,
+    ) -> int:
+        """Upsert-by-key: files whose ``key`` range overlaps the
+        source's [min,max] are rewritten with matched rows replaced;
+        unmatched source rows are appended; every other file is
+        untouched metadata. Same shape as operators/cdc.merge_upsert,
+        here with file-level pruning instead of a full-table rewrite."""
+        rv = self.latest_version()
+        snap = self.snapshot(rv)
+        bounds = source.agg(
+            F.min(key).alias("lo"), F.max(key).alias("hi")
+        ).first()
+        lo, hi = bounds["lo"], bounds["hi"]
+        if lo is None:
+            return rv  # empty source: no-op
+        touched = [
+            f
+            for f in snap.values()
+            if key not in f.stats
+            or not (f.stats[key]["max"] < lo or f.stats[key]["min"] > hi)
+        ]
+        schema = self.schema_at(rv)
+        if touched:
+            paths = [os.path.join(self.path, f.path) for f in touched]
+            current = self.spark.read.schema(schema).parquet(*paths)
+        else:
+            current = self.spark.createDataFrame([], schema)
+        merged = current.join(source, key, "left_anti").unionByName(source)
+        adds = self._write_data(merged, rv + 1)
+        return self._commit(
+            "merge",
+            adds,
+            [f.path for f in touched],
+            rv,
+            txn=txn,
+            keys_touched={"col": key, "lo": str(lo), "hi": str(hi)},
+        )
+
+    # --------------------------------------------------------- vacuum
+
+    def vacuum(self, retain_versions: int = 1) -> list[str]:
+        """Delete data files unreachable from the last
+        ``retain_versions`` snapshots (older time travel is given up —
+        the documented Delta trade). Returns deleted relative paths."""
+        tail = self.latest_version()
+        keep: set[str] = set()
+        for v in range(max(0, tail - retain_versions + 1), tail + 1):
+            keep.update(self.snapshot(v).keys())
+        deleted = []
+        data_root = os.path.join(self.path, "data")
+        if not os.path.isdir(data_root):
+            return deleted
+        for sub in sorted(os.listdir(data_root)):
+            subdir = os.path.join(data_root, sub)
+            for name in sorted(os.listdir(subdir)):
+                rel = f"data/{sub}/{name}"
+                if name.endswith(".parquet") and rel not in keep:
+                    os.unlink(os.path.join(subdir, name))
+                    deleted.append(rel)
+        return deleted

@@ -1,0 +1,142 @@
+"""Transactional table format: atomic commits, time travel, optimistic
+concurrency, row-level delete/merge with file pruning, txn idempotence,
+checkpointing, vacuum."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from sandbox_data_pipeline_spark.sinks.txlog import (
+    CHECKPOINT_EVERY,
+    ConcurrentModification,
+    TxTable,
+)
+from sandbox_data_pipeline_spark.sinks.writers import SkippedWrite
+
+
+def _mk(spark, tmp_path, n=100, start=0):
+    df = spark.range(start, start + n).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 10).alias("v"),
+    )
+    return TxTable.create(spark, str(tmp_path / "tbl"), df)
+
+
+def test_create_and_read(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    assert t.latest_version() == 0
+    assert t.read().count() == 100
+    assert [f.name for f in t.read().schema.fields] == ["k", "v"]
+
+
+def test_append_and_time_travel(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.append(spark.range(100, 150).select(F.col("id").alias("k"), (F.col("id") * 10).alias("v")))
+    assert t.latest_version() == 1
+    assert t.read(version=0).count() == 100
+    assert t.read(version=1).count() == 150
+    # history reflects both commits
+    h = t.history()
+    assert [e["operation"] for e in h] == ["create", "append"]
+    assert h[1]["rows_added"] == 50
+
+
+def test_delete_where_rewrites_only_overlapping_files(spark, tmp_path):
+    # Write v0 as 4 disjoint ranges → 4+ files with disjoint k stats.
+    base = spark.range(0, 400).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    ).repartitionByRange(4, "k")
+    t = TxTable.create(spark, str(tmp_path / "tbl"), base)
+    res = t.delete_where("k", 10, 20)
+    assert res["files_rewritten"] < res["files_total"]
+    got = t.read()
+    assert got.where(F.col("k").between(10, 20)).count() == 0
+    assert got.count() == 400 - 11
+    # the old snapshot still shows the deleted rows
+    assert t.read(version=0).where(F.col("k").between(10, 20)).count() == 11
+
+
+def test_merge_upserts_and_appends(spark, tmp_path):
+    t = _mk(spark, tmp_path)  # k 0..99, v = 10k
+    src = spark.createDataFrame([(5, 999), (150, 111)], "k long, v long")
+    t.merge(src, "k")
+    got = {r["k"]: r["v"] for r in t.read().collect()}
+    assert got[5] == 999 and got[150] == 111 and got[6] == 60
+    assert t.read().count() == 101
+
+
+def test_stats_pruned_read(spark, tmp_path):
+    base = spark.range(0, 400).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    ).repartitionByRange(4, "k")
+    t = TxTable.create(spark, str(tmp_path / "tbl"), base)
+    all_files = len(t.snapshot())
+    pruned = t.read(predicate=("k", 0, 50))
+    # the pruned scan addresses fewer files than the snapshot holds
+    assert len(pruned.inputFiles()) < all_files
+    # and still returns every matching row once filtered
+    assert pruned.where(F.col("k").between(0, 50)).count() == 51
+
+
+def test_concurrent_append_retargets(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t2 = TxTable(spark, t.path)  # second writer handle
+    extra = spark.createDataFrame([(1000, 1)], "k long, v long")
+    t.append(extra)
+    t2.append(extra)  # saw v0 as tail candidate, lands at v2 without error
+    assert t.latest_version() == 2
+    assert t.read().count() == 102
+
+
+def test_concurrent_delete_conflicts(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    rv = t.latest_version()
+    snap = sorted(t.snapshot(rv).keys())
+    # writer A deletes (commits v1, removing v0's files)
+    t.delete_where("k", 0, 9)
+    # writer B pretends it read v0 and tries to remove the same files
+    with pytest.raises(ConcurrentModification):
+        t._commit("delete", [], snap, read_version=rv)
+
+
+def test_txn_idempotence(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    extra = spark.createDataFrame([(1000, 1)], "k long, v long")
+    t.append(extra, txn=("jobA", 7))
+    with pytest.raises(SkippedWrite):
+        t.append(extra, txn=("jobA", 7))
+    assert t.read().count() == 101  # second append suppressed
+
+
+def test_checkpoint_written_and_used(spark, tmp_path):
+    t = _mk(spark, tmp_path, n=10)
+    row = spark.createDataFrame([(1000, 1)], "k long, v long")
+    for _ in range(CHECKPOINT_EVERY):
+        t.append(row)
+    ckpts = [f for f in os.listdir(t.log_path) if f.startswith("checkpoint-")]
+    assert ckpts, "expected a checkpoint entry"
+    assert t.read().count() == 10 + CHECKPOINT_EVERY
+
+
+def test_vacuum_removes_only_unreachable(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.overwrite_all(spark.createDataFrame([(1, 1)], "k long, v long"))
+    deleted = t.vacuum(retain_versions=1)
+    assert deleted, "v0 files should be vacuumed"
+    # current snapshot unaffected; time travel to v0 is now gone
+    assert t.read().count() == 1
+    with pytest.raises(Exception):
+        t.read(version=0).count()
+
+
+def test_schema_recorded_and_enforced(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    s = t.schema_at()
+    assert [f.name for f in s.fields] == ["k", "v"]
+    t.overwrite_all(spark.createDataFrame([(1, 1, "x")], "k long, v long, tag string"))
+    assert [f.name for f in t.schema_at().fields] == ["k", "v", "tag"]
+    # old snapshot still reads with the OLD schema
+    assert [f.name for f in t.read(version=0).schema.fields] == ["k", "v"]
