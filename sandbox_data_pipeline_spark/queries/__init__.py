@@ -148,6 +148,8 @@ DRIVER_PRIORITY = (
     "q_hits_dups",
     "q_ewma_smooth",
     "q_zipf_fit",
+    # round-4 session additions
+    "q_time_travel",
 )
 
 
@@ -165,6 +167,7 @@ def registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
         streaming_twins,
         text,
         tpch,
+        txlog,
     )
 
     # Families are INTERLEAVED round-robin — any truncation window
@@ -176,6 +179,7 @@ def registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
     # fully driver-green from round 1, so it rotates in last.
     mods = (
         reference_parity,
+        txlog,
         dq,
         cdc,
         streaming_twins,

@@ -1,0 +1,101 @@
+"""Registry queries over the transactional table format
+(sinks/txlog.py): build a versioned table from lineitem, mutate it
+through delete + merge commits, and read every historical snapshot.
+
+Why this earns a registry row: the reference leans on its warehouse for
+versioned, multi-writer-safe tables (BigQuery/Snowflake behind
+dags/sandbox_data_pipeline.py:205-215); ``q_time_travel`` proves the
+engine's own commit log reproduces that surface — the per-version
+aggregates must match a DuckDB oracle that REPLAYS the same mutations
+relationally. Any bug in snapshot reconstruction, delete rewrite
+pruning, or merge key resolution shows up as a hash mismatch.
+
+Determinism note: l_quantity in this corpus is integral doubles, so
+sums are exact in IEEE double regardless of partition order; the final
+cast to DECIMAL(18,2) pins the output type on both engines.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sandbox_data_pipeline_spark.catalog import table
+from sandbox_data_pipeline_spark.sinks.txlog import TxTable
+
+_K = 2000  # base slice: l_orderkey <= K (present at every SF)
+_D1, _D2 = 5_000, 9_999  # rid range deleted in commit v1
+_U1, _U2 = 10_000, 14_999  # rid range upserted in commit v2
+_NEW_OFF = 900_000_000  # rid offset for merge-inserted rows
+
+
+def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Create → delete → merge on a TxTable, then aggregate EVERY
+    version via time-travel reads. The 3-row collect is the bounded
+    per-version summary (one row per commit), not a data read."""
+    li = table(spark, sf_dir, "lineitem")
+    base = li.where(F.col("l_orderkey") <= _K).select(
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).cast("long").alias("rid"),
+        F.col("l_quantity").alias("qty"),
+    )
+    tmp = tempfile.mkdtemp(prefix="txdemo_")
+    try:
+        t = TxTable.create(
+            spark, f"{tmp}/tbl", base.repartitionByRange(4, "rid")
+        )
+        t.delete_where("rid", _D1, _D2)
+        v1 = t.read()
+        in_upd = F.col("rid").between(_U1, _U2)
+        upd = v1.where(in_upd).select(
+            "rid", (F.col("qty") + F.lit(100.0)).alias("qty")
+        )
+        new = v1.where(in_upd).select(
+            (F.col("rid") + F.lit(_NEW_OFF)).alias("rid"),
+            F.lit(1.0).alias("qty"),
+        )
+        t.merge(upd.unionByName(new), "rid")
+        rows = []
+        for v in range(3):
+            r = (
+                t.read(version=v)
+                .agg(
+                    F.count(F.lit(1)).alias("n_rows"),
+                    F.sum("qty").cast("decimal(18,2)").alias("sum_qty"),
+                )
+                .first()
+            )
+            rows.append((v, r["n_rows"], r["sum_qty"]))
+        return spark.createDataFrame(
+            rows, "version int, n_rows long, sum_qty decimal(18,2)"
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+_TIME_TRAVEL_SQL = f"""
+WITH base AS (
+  SELECT l_orderkey * 10 + l_linenumber AS rid, l_quantity AS qty
+  FROM lineitem WHERE l_orderkey <= {_K}
+), v1 AS (
+  SELECT * FROM base WHERE rid NOT BETWEEN {_D1} AND {_D2}
+), src AS (
+  SELECT rid, qty + 100 AS qty FROM v1 WHERE rid BETWEEN {_U1} AND {_U2}
+  UNION ALL
+  SELECT rid + {_NEW_OFF}, 1.0 FROM v1 WHERE rid BETWEEN {_U1} AND {_U2}
+), v2 AS (
+  SELECT * FROM v1 WHERE rid NOT IN (SELECT rid FROM src)
+  UNION ALL SELECT * FROM src
+)
+SELECT 0 AS version, COUNT(*) AS n_rows,
+       CAST(SUM(qty) AS DECIMAL(18,2)) AS sum_qty FROM base
+UNION ALL
+SELECT 1, COUNT(*), CAST(SUM(qty) AS DECIMAL(18,2)) FROM v1
+UNION ALL
+SELECT 2, COUNT(*), CAST(SUM(qty) AS DECIMAL(18,2)) FROM v2
+"""
+
+QUERIES = {"q_time_travel": q_time_travel}
+ORACLE = {"q_time_travel": _TIME_TRAVEL_SQL}
