@@ -150,6 +150,9 @@ DRIVER_PRIORITY = (
     "q_zipf_fit",
     # round-4 session additions
     "q_time_travel",
+    "q_curriculum_shards",
+    "q_point_in_time_features",
+    "q_profile_drift",
 )
 
 

@@ -843,3 +843,55 @@ GROUP BY 1, 2, 3
 
 QUERIES["q_ewma_smooth"] = q_ewma_smooth
 ORACLE["q_ewma_smooth"] = _oracle_ewma()
+
+
+def q_point_in_time_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-store point-in-time join: for every order, the
+    customer's feature vector AS OF strictly before that order
+    (prior order count, prior lifetime spend) — the leakage-safe
+    training-set construction a feature platform does before model
+    training. The frame ends at 1 PRECEDING, so the current order can
+    never leak into its own features; ties on date break on orderkey
+    identically in both engines.
+
+    Scale: one shuffle on the entity key (o_custkey), sequential frame
+    scan within each partition; spend is summed in DECIMAL so the
+    running totals are exact and engine-independent. The output filter
+    keeps every 100th customer (bounded sample) and sits ABOVE the
+    window on the partition key, so Catalyst pushes it below the sort."""
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    feat = o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.count(F.lit(1)).over(w).alias("prior_orders"),
+        F.coalesce(F.sum("price").over(w), F.lit(0))
+        .cast("decimal(18,2)")
+        .alias("prior_spend"),
+    )
+    return feat.where(F.col("o_custkey") % 100 == 0)
+
+
+ORACLE["q_point_in_time_features"] = """
+WITH feat AS (
+  SELECT o_custkey, o_orderkey, o_orderdate,
+         count(*) OVER w AS prior_orders,
+         CAST(coalesce(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w, 0)
+              AS DECIMAL(18,2)) AS prior_spend
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+)
+SELECT * FROM feat WHERE o_custkey % 100 = 0
+"""
+QUERIES["q_point_in_time_features"] = q_point_in_time_features

@@ -197,3 +197,65 @@ FROM classes
 
 QUERIES["q_k_anonymity"] = q_k_anonymity
 ORACLE["q_k_anonymity"] = _K_ANON_ORACLE
+
+
+def q_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-over-snapshot profile drift: compare week 1 vs week 2
+    of the events stream per event_type — volumes, distinct actors,
+    and value means — plus a relative volume-drift percentage. This is
+    the D1 metric suite turned longitudinal: the check a pipeline runs
+    before trusting a new ingest window ("did checkout volume drop
+    40%?", "did the value distribution shift?").
+
+    Scale: ONE scan with conditional aggregates (map-side partials for
+    everything except the two distinct counts, which AQE shuffles on
+    event_type — ~tens of groups); the time predicate prunes the scan
+    to two weeks before any aggregation. Means are summed in decimal
+    so the comparison is exact across engines."""
+    ev = table(spark, sf_dir, "events")
+    wk1 = F.col("ts") < F.lit("2024-01-08").cast("timestamp")
+    v = F.col("value").cast("decimal(18,4)")
+    return (
+        ev.where(F.col("ts") < F.lit("2024-01-15").cast("timestamp"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.when(wk1, 1)).alias("n_wk1"),
+            F.count(F.when(~wk1, 1)).alias("n_wk2"),
+            F.countDistinct(F.when(wk1, F.col("user_id"))).alias("users_wk1"),
+            F.countDistinct(F.when(~wk1, F.col("user_id"))).alias("users_wk2"),
+            (F.sum(F.when(wk1, v)) / F.count(F.when(wk1, 1)))
+            .cast("decimal(18,4)")
+            .alias("avg_val_wk1"),
+            (F.sum(F.when(~wk1, v)) / F.count(F.when(~wk1, 1)))
+            .cast("decimal(18,4)")
+            .alias("avg_val_wk2"),
+        )
+        .withColumn(
+            "vol_drift_pct",
+            ((F.col("n_wk2") - F.col("n_wk1")) * F.lit(10000) / F.col("n_wk1"))
+            .cast("decimal(18,2)"),
+        )
+    )
+
+
+ORACLE["q_profile_drift"] = """
+SELECT event_type,
+       count(*) FILTER (WHERE wk1) AS n_wk1,
+       count(*) FILTER (WHERE NOT wk1) AS n_wk2,
+       count(DISTINCT user_id) FILTER (WHERE wk1) AS users_wk1,
+       count(DISTINCT user_id) FILTER (WHERE NOT wk1) AS users_wk2,
+       CAST(sum(CAST(value AS DECIMAL(18,4))) FILTER (WHERE wk1)
+            / count(*) FILTER (WHERE wk1) AS DECIMAL(18,4)) AS avg_val_wk1,
+       CAST(sum(CAST(value AS DECIMAL(18,4))) FILTER (WHERE NOT wk1)
+            / count(*) FILTER (WHERE NOT wk1) AS DECIMAL(18,4)) AS avg_val_wk2,
+       CAST((count(*) FILTER (WHERE NOT wk1) - count(*) FILTER (WHERE wk1))
+            * 10000 / count(*) FILTER (WHERE wk1) AS DECIMAL(18,2)) AS vol_drift_pct
+FROM (
+  SELECT event_type, user_id, value,
+         ts < TIMESTAMP '2024-01-08' AS wk1
+  FROM events
+  WHERE ts < TIMESTAMP '2024-01-15'
+)
+GROUP BY event_type
+"""
+QUERIES["q_profile_drift"] = q_profile_drift

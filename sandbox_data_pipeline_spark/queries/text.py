@@ -1854,3 +1854,62 @@ FROM pts
 
 QUERIES["q_zipf_fit"] = q_zipf_fit
 ORACLE["q_zipf_fit"] = _oracle_zipf()
+
+
+def q_curriculum_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum-ordered shard assignment: rank every document in the
+    total (difficulty, doc_id) order — difficulty proxy = n_chars, the
+    classic short-to-long curriculum axis — cut the ranking into 10
+    contiguous stages, and spread each stage across 4 shards by
+    portable content-id hash, so a trainer streaming shard files gets
+    stage-ordered data with intra-stage shuffling for free.
+
+    Scale: the global ranking is the two-phase range-partitioned id
+    assignment (operators/ids.py — no single-partition window), the
+    stage cut is integer arithmetic on the rank, and the shard hash is
+    map-side; one extra shuffle total beyond the ranking itself."""
+    from sandbox_data_pipeline_spark.operators.dedup import portable_hash
+    from sandbox_data_pipeline_spark.operators.ids import (
+        stable_global_ids_with_count,
+    )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    ranked, n = stable_global_ids_with_count(
+        docs, ["n_chars", "doc_id"], out="rank", num_partitions=8
+    )
+    return (
+        ranked.withColumn("stage", F.expr(f"(rank * 10) div {n}").cast("int"))
+        .withColumn(
+            "shard",
+            F.pmod(
+                portable_hash(F.col("doc_id").cast("string"), salt="shard"),
+                F.lit(4),
+            ).cast("int"),
+        )
+        .groupBy("stage", "shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+    )
+
+
+_ORACLE_CURRICULUM = """
+WITH ranked AS (
+  SELECT doc_id, n_chars,
+         row_number() OVER (ORDER BY n_chars, doc_id) - 1 AS r,
+         count(*) OVER () AS n
+  FROM documents
+)
+SELECT CAST((r * 10) // n AS INT) AS stage,
+       CAST(CAST('0x' || substr(md5('shard' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 4 AS INT) AS shard,
+       count(*) AS n_docs,
+       min(n_chars) AS min_chars,
+       max(n_chars) AS max_chars
+FROM ranked
+GROUP BY 1, 2
+"""
+
+QUERIES["q_curriculum_shards"] = q_curriculum_shards
+ORACLE["q_curriculum_shards"] = _ORACLE_CURRICULUM
