@@ -389,7 +389,20 @@ class TxTable:
         """Blind append: writes data first, then commits at whatever
         the tail is — never conflicts. ``txn=(app_id, version)`` makes
         retried jobs idempotent (the reference's F2 existence-skip,
-        generalized from path-existence to transaction identity)."""
+        generalized from path-existence to transaction identity).
+
+        The incoming schema must match the table's recorded schema
+        (names + types, nullability ignored): silent column drift is
+        how a 100 TB table rots. Widening is an explicit
+        ``overwrite_all``, which re-records the schema."""
+        expected = self.schema_at()
+        got = df.schema
+        exp_sig = [(f.name, f.dataType) for f in expected.fields]
+        got_sig = [(f.name, f.dataType) for f in got.fields]
+        if exp_sig != got_sig:
+            raise ValueError(
+                f"append schema mismatch: table has {exp_sig}, got {got_sig}"
+            )
         adds = self._write_data(df, self.latest_version() + 1)
         return self._commit("append", adds, [], self.latest_version(), txn=txn)
 
@@ -509,3 +522,77 @@ class TxTable:
                     os.unlink(os.path.join(subdir, name))
                     deleted.append(rel)
         return deleted
+
+
+# --- incremental materialized view over the commit log ----------------------
+
+
+def refresh_rollup(
+    t: TxTable,
+    mv: DataFrame | None,
+    last_version: int,
+    key: str,
+    val: str,
+) -> tuple[DataFrame, int]:
+    """Incrementally maintain ``SELECT key, sum(val) AS total, count(*)
+    AS n FROM table GROUP BY key`` using the commit log: aggregate ONLY
+    the files added by commits after ``last_version`` and merge the
+    delta into the previous materialization.
+
+    This is queries/cdc.py's rollup-IVM pattern driven by the log
+    instead of a CDC feed: the log tells us exactly which bytes are
+    new, so a 100 TB table with a 100 GB day of appends costs a 100 GB
+    refresh. The classic IVM constraint applies — deltas compose only
+    over monotone (append-only) history, so any intervening commit
+    that removed files raises and the caller falls back to a full
+    recompute (``mv=None, last_version=-1``).
+
+    Returns (new materialization, version it reflects). The MV frame
+    is a plan, not a table; callers persist it where they like
+    (including into another TxTable).
+    """
+    tail = t.latest_version()
+    if last_version > tail:
+        raise ValueError(f"last_version {last_version} is beyond tail {tail}")
+    new_files: list[str] = []
+    for v in range(last_version + 1, tail + 1):
+        e = t._read_entry(v)
+        if e.get("remove"):
+            raise ValueError(
+                f"commit v{v} ({e['operation']}) removed files; incremental "
+                "delta no longer composes — run a full recompute"
+            )
+        new_files.extend(a["path"] for a in e.get("add", []))
+    if not new_files and mv is not None:
+        return mv, tail
+    schema = t.schema_at(tail)
+    if new_files:
+        delta_src = t.spark.read.schema(schema).parquet(
+            *[os.path.join(t.path, p) for p in new_files]
+        )
+    else:
+        delta_src = t.spark.createDataFrame([], schema)
+    delta = delta_src.groupBy(key).agg(
+        F.sum(val).alias("total"), F.count(F.lit(1)).alias("n")
+    )
+    if mv is None:
+        return delta, tail
+    merged = (
+        mv.withColumnRenamed("total", "_t0")
+        .withColumnRenamed("n", "_n0")
+        .join(
+            delta.withColumnRenamed("total", "_t1").withColumnRenamed("n", "_n1"),
+            key,
+            "full_outer",
+        )
+        .select(
+            key,
+            (
+                F.coalesce(F.col("_t0"), F.lit(0)) + F.coalesce(F.col("_t1"), F.lit(0))
+            ).alias("total"),
+            (
+                F.coalesce(F.col("_n0"), F.lit(0)) + F.coalesce(F.col("_n1"), F.lit(0))
+            ).alias("n"),
+        )
+    )
+    return merged, tail

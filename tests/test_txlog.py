@@ -140,3 +140,127 @@ def test_schema_recorded_and_enforced(spark, tmp_path):
     assert [f.name for f in t.schema_at().fields] == ["k", "v", "tag"]
     # old snapshot still reads with the OLD schema
     assert [f.name for f in t.read(version=0).schema.fields] == ["k", "v"]
+
+
+def test_append_schema_enforced(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    bad = spark.createDataFrame([(1, "x")], "k long, v string")
+    with pytest.raises(ValueError, match="schema mismatch"):
+        t.append(bad)
+
+
+def test_refresh_rollup_incremental_matches_full(spark, tmp_path):
+    from sandbox_data_pipeline_spark.sinks.txlog import refresh_rollup
+
+    base = spark.range(0, 100).select(
+        (F.col("id") % 7).alias("k"), F.col("id").alias("v")
+    )
+    t = TxTable.create(spark, str(tmp_path / "tbl"), base)
+    mv, ver = refresh_rollup(t, None, -1, "k", "v")
+    mv = spark.createDataFrame(mv.collect(), mv.schema)  # materialize
+    t.append(spark.range(100, 180).select((F.col("id") % 7).alias("k"), F.col("id").alias("v")))
+    t.append(spark.range(180, 250).select((F.col("id") % 7).alias("k"), F.col("id").alias("v")))
+    mv2, ver2 = refresh_rollup(t, mv, ver, "k", "v")
+    assert ver2 == t.latest_version()
+    got = {r["k"]: (r["total"], r["n"]) for r in mv2.collect()}
+    full = {
+        r["k"]: (r["total"], r["n"])
+        for r in t.read()
+        .groupBy("k")
+        .agg(F.sum("v").alias("total"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == full
+    # no-op refresh returns the same mv
+    mv3, ver3 = refresh_rollup(t, mv2, ver2, "k", "v")
+    assert ver3 == ver2 and mv3 is mv2
+
+
+def test_refresh_rollup_rejects_nonmonotone_history(spark, tmp_path):
+    from sandbox_data_pipeline_spark.sinks.txlog import refresh_rollup
+
+    t = _mk(spark, tmp_path)
+    mv, ver = refresh_rollup(t, None, -1, "k", "v")
+    t.delete_where("k", 0, 9)
+    with pytest.raises(ValueError, match="full recompute"):
+        refresh_rollup(t, mv, ver, "k", "v")
+
+
+def test_txlog_stream_exactly_once(spark, tmp_path):
+    from sandbox_data_pipeline_spark.sources.txlog_stream import (
+        TxLogStreamDataSource,
+    )
+
+    try:
+        spark.dataSource.register(TxLogStreamDataSource)
+    except Exception:
+        pass  # already registered in this session
+    t = _mk(spark, tmp_path, n=10)
+    t.append(spark.range(10, 25).select(F.col("id").alias("k"), (F.col("id") * 10).alias("v")))
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def drain(name):
+        q = (
+            spark.readStream.format("txlog")
+            .option("path", t.path)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return spark.read.parquet(out).collect()
+
+    rows = drain("tx_stream_1")
+    assert len(rows) == 25
+    assert {r["_commit_version"] for r in rows} == {0, 1}
+    # new commit, restart from checkpoint: ONLY the new rows arrive
+    # (cumulative file-sink count would exceed 30 on any replay)
+    t.append(spark.range(25, 30).select(F.col("id").alias("k"), (F.col("id") * 10).alias("v")))
+    rows2 = drain("tx_stream_2")
+    assert len(rows2) == 30
+    assert sum(1 for r in rows2 if r["_commit_version"] == 2) == 5
+
+
+def test_txlog_stream_rejects_removes(spark, tmp_path):
+    from sandbox_data_pipeline_spark.sources.txlog_stream import (
+        TxLogStreamDataSource,
+    )
+
+    try:
+        spark.dataSource.register(TxLogStreamDataSource)
+    except Exception:
+        pass
+    t = _mk(spark, tmp_path)
+    t.delete_where("k", 0, 9)
+    q = (
+        spark.readStream.format("txlog")
+        .option("path", t.path)
+        .load()
+        .writeStream.format("memory")
+        .queryName("tx_stream_bad")
+        .option("checkpointLocation", str(tmp_path / "ckpt_bad"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception, match="ignoreChanges"):
+        q.awaitTermination(120)
+    # opt-in add-only semantics streams the delete's rewrite too
+    q2 = (
+        spark.readStream.format("txlog")
+        .option("path", t.path)
+        .option("ignoreChanges", "true")
+        .load()
+        .writeStream.format("memory")
+        .queryName("tx_stream_ok")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ok"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    n = spark.sql("select count(*) c from tx_stream_ok").first()["c"]
+    # v0's adds plus exactly the rows the delete's rewrite re-added
+    assert n == 100 + t.history()[1]["rows_added"]
