@@ -377,12 +377,17 @@ class TxTable:
     # ------------------------------------------------------ operations
 
     @staticmethod
-    def create(spark: SparkSession, path: str, df: DataFrame) -> "TxTable":
+    def create(
+        spark: SparkSession,
+        path: str,
+        df: DataFrame,
+        txn: tuple[str, int] | None = None,
+    ) -> "TxTable":
         t = TxTable(spark, path)
         if os.path.isdir(t.log_path) and t._versions():
             raise FileExistsError(f"table already exists at {path}")
         adds = t._write_data(df, 0)
-        t._commit("create", adds, [], None, schema_json=df.schema.json())
+        t._commit("create", adds, [], None, schema_json=df.schema.json(), txn=txn)
         return t
 
     def append(self, df: DataFrame, txn: tuple[str, int] | None = None) -> int:
@@ -596,3 +601,94 @@ def refresh_rollup(
         )
     )
     return merged, tail
+
+
+# --- OPTIMIZE: compaction + Z-order clustering ------------------------------
+
+
+def optimize(
+    t: TxTable,
+    zorder_by: tuple[str, str] | None = None,
+    num_files: int = 4,
+    zorder_bits: int = 8,
+) -> dict:
+    """Physically rewrite the CURRENT snapshot — no logical change —
+    either bin-packed into ``num_files`` range-partitioned files
+    (small-file compaction) or clustered on the Morton interleave of
+    two columns (``zorder_by``) so per-file min-max stats become tight
+    on BOTH columns and ``read(predicate=...)`` can skip files for
+    either one (the measured win in operators/layout.py, here wired
+    into the table's own skipping layer).
+
+    Committed as an ``optimize`` op that removes every rewritten file
+    and adds the clustered ones; readers of older versions still see
+    the old files (vacuum reclaims them), and the conflict rule lets
+    concurrent APPENDS land untouched — optimize only supersedes the
+    files it read. At 100 TB this runs per partition-range, not
+    whole-table; num_files scales with snapshot bytes / 128 MB."""
+    from sandbox_data_pipeline_spark.operators.layout import zvalue
+
+    rv = t.latest_version()
+    snap = t.snapshot(rv)
+    df = t.read(version=rv)
+    if zorder_by is not None:
+        a, b = zorder_by
+        df = (
+            zvalue(df, a, b, bits=zorder_bits)
+            .repartitionByRange(num_files, "zval")
+            .sortWithinPartitions("zval")
+            .drop("zval")
+        )
+    else:
+        first = t.schema_at(rv).fields[0].name
+        df = df.repartitionByRange(num_files, first).sortWithinPartitions(first)
+    adds = t._write_data(df, rv + 1)
+    v = t._commit("optimize", adds, sorted(snap.keys()), rv)
+    return {"version": v, "files_before": len(snap), "files_after": len(adds)}
+
+
+def files_skipped(t: TxTable, col: str, lo, hi, version: int | None = None) -> dict:
+    """Skipping effectiveness of the CURRENT layout for one predicate:
+    how many files the footer stats prune before Spark plans a scan."""
+    files = list(t.snapshot(version).values())
+    kept = [
+        f
+        for f in files
+        if col not in f.stats
+        or not (f.stats[col]["max"] < lo or f.stats[col]["min"] > hi)
+    ]
+    return {"files_total": len(files), "files_read": len(kept)}
+
+
+# --- exactly-once streaming sink --------------------------------------------
+
+
+def txlog_sink(path: str, app_id: str):
+    """foreachBatch writer with exactly-once semantics into a TxTable:
+    the (app_id, batch_id) transaction identity makes replayed
+    micro-batches no-ops, so a restarted query never double-appends —
+    the commit log is the dedup ledger, no external state.
+
+        query = df.writeStream.foreachBatch(
+            txlog_sink(table_path, "my-query")).start()
+
+    The first batch creates the table. Combined with the txlog STREAM
+    source, table-to-table streaming is exactly-once end to end."""
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        t = TxTable(batch_df.sparkSession, path)
+        try:
+            t.latest_version()
+        except FileNotFoundError:
+            # create carries the SAME txn identity, so a replay of the
+            # very first batch is absorbed by the append path below
+            TxTable.create(
+                batch_df.sparkSession, path, batch_df, txn=(app_id, batch_id)
+            )
+            return
+        try:
+            t.append(batch_df, txn=(app_id, batch_id))
+        except SkippedWrite:
+            pass  # replayed batch: already durable
+
+    return _write

@@ -264,3 +264,90 @@ def test_txlog_stream_rejects_removes(spark, tmp_path):
     n = spark.sql("select count(*) c from tx_stream_ok").first()["c"]
     # v0's adds plus exactly the rows the delete's rewrite re-added
     assert n == 100 + t.history()[1]["rows_added"]
+
+
+def test_optimize_zorder_improves_second_column_skipping(spark, tmp_path):
+    from sandbox_data_pipeline_spark.sinks.txlog import files_skipped, optimize
+
+    # Natural layout range-partitions on c1; c2 is decorrelated, so
+    # every file's c2 stats span the full range → zero skipping on c2.
+    base = spark.range(0, 4000).select(
+        F.col("id").alias("c1"),
+        (F.col("id") * 2654435761 % 1000).alias("c2"),
+    ).repartitionByRange(4, "c1")
+    t = TxTable.create(spark, str(tmp_path / "tbl"), base)
+    before = files_skipped(t, "c2", 0, 99)
+    assert before["files_read"] == before["files_total"]  # no pruning
+    res = optimize(t, zorder_by=("c1", "c2"), num_files=4)
+    assert res["version"] == 1
+    after = files_skipped(t, "c2", 0, 99)
+    assert after["files_read"] < after["files_total"]  # Z-order prunes
+    # logical content unchanged
+    assert t.read().count() == 4000
+    assert t.read().agg(F.sum("c2")).first()[0] == base.agg(F.sum("c2")).first()[0]
+
+
+def test_optimize_concurrent_append_survives(spark, tmp_path):
+    from sandbox_data_pipeline_spark.sinks.txlog import optimize
+
+    t = _mk(spark, tmp_path)
+    rv = t.latest_version()
+    snap = sorted(t.snapshot(rv).keys())
+    # an append lands between optimize's read and its commit
+    t.append(spark.createDataFrame([(1000, 1)], "k long, v long"))
+    adds = t._write_data(t.spark.createDataFrame([], t.schema_at(rv)), 99)
+    v = t._commit("optimize", adds, snap, read_version=rv)
+    assert v == 2  # retargeted past the append, no conflict
+    # appended row still visible (its file was not superseded)
+    assert t.read().where(F.col("k") == 1000).count() == 1
+
+
+def test_txlog_sink_exactly_once_replay(spark, tmp_path):
+    from sandbox_data_pipeline_spark.sinks.txlog import txlog_sink
+
+    path = str(tmp_path / "sink_tbl")
+    sink = txlog_sink(path, "qA")
+    b0 = spark.createDataFrame([(1, 10)], "k long, v long")
+    b1 = spark.createDataFrame([(2, 20)], "k long, v long")
+    sink(b0, 0)
+    sink(b0, 0)  # replayed first batch
+    sink(b1, 1)
+    sink(b1, 1)  # replayed later batch
+    t = TxTable(spark, path)
+    assert t.read().count() == 2
+
+
+def test_txlog_table_to_table_streaming(spark, tmp_path):
+    from sandbox_data_pipeline_spark.sinks.txlog import txlog_sink
+    from sandbox_data_pipeline_spark.sources.txlog_stream import (
+        TxLogStreamDataSource,
+    )
+
+    try:
+        spark.dataSource.register(TxLogStreamDataSource)
+    except Exception:
+        pass
+    src = _mk(spark, tmp_path, n=50)
+    dst = str(tmp_path / "dst")
+    ckpt = str(tmp_path / "ckpt_t2t")
+
+    def run():
+        q = (
+            spark.readStream.format("txlog")
+            .option("path", src.path)
+            .load()
+            .drop("_commit_version")
+            .writeStream.foreachBatch(txlog_sink(dst, "t2t"))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    assert TxTable(spark, dst).read().count() == 50
+    src.append(
+        spark.range(50, 70).select(F.col("id").alias("k"), (F.col("id") * 10).alias("v"))
+    )
+    run()
+    assert TxTable(spark, dst).read().count() == 70
