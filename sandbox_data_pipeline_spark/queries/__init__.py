@@ -153,6 +153,9 @@ DRIVER_PRIORITY = (
     "q_curriculum_shards",
     "q_point_in_time_features",
     "q_profile_drift",
+    "q_benford_audit",
+    "q_gini_concentration",
+    "q_psi_drift",
 )
 
 

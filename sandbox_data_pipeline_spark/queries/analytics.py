@@ -895,3 +895,152 @@ WITH feat AS (
 SELECT * FROM feat WHERE o_custkey % 100 = 0
 """
 QUERIES["q_point_in_time_features"] = q_point_in_time_features
+
+
+def q_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer spend — the inequality /
+    concentration audit ("do 1% of customers carry 60% of revenue?")
+    a mixture designer runs on per-source token budgets just as a
+    revenue team runs it on accounts. Exact arithmetic: spend sums in
+    decimal, ranks from the two-phase global-id assignment (no
+    single-partition window), and the closed form
+    G = 2*sum(i*s_i)/(n*sum(s_i)) - (n+1)/n evaluated in double only
+    at the last step."""
+    from sandbox_data_pipeline_spark.operators.ids import (
+        stable_global_ids_with_count,
+    )
+
+    o = table(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("spend")
+    )
+    ranked, n = stable_global_ids_with_count(
+        spend, ["spend", "o_custkey"], out="r", num_partitions=8
+    )
+    return ranked.agg(
+        F.lit(n).cast("long").alias("n_customers"),
+        F.sum("spend").cast("decimal(18,2)").alias("total_spend"),
+        F.round(
+            2.0
+            * F.sum((F.col("r") + 1) * F.col("spend")).cast("double")
+            / (F.lit(n) * F.sum("spend").cast("double"))
+            - (F.lit(n) + 1.0) / F.lit(n),
+            6,
+        ).alias("gini"),
+    )
+
+
+ORACLE["q_gini_concentration"] = """
+WITH spend AS (
+  SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+  FROM orders GROUP BY o_custkey
+), ranked AS (
+  SELECT spend, row_number() OVER (ORDER BY spend, o_custkey) AS r,
+         count(*) OVER () AS n
+  FROM spend
+)
+SELECT max(n) AS n_customers,
+       CAST(sum(spend) AS DECIMAL(18,2)) AS total_spend,
+       round(2.0 * CAST(sum(r * spend) AS DOUBLE) / (max(n) * CAST(sum(spend) AS DOUBLE))
+             - (max(n) + 1.0) / max(n), 6) AS gini
+FROM ranked
+"""
+QUERIES["q_gini_concentration"] = q_gini_concentration
+
+
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability-index drift of the order-amount
+    distribution: decile edges fitted on the BASELINE era
+    (o_orderdate < 1998), current era binned against those frozen
+    edges, PSI = sum (p-q)*ln(p/q) with +0.5 smoothing — the
+    standard model-monitoring companion to the token-level KL drift
+    check (q_source_drift_kl), here over a numeric business column.
+
+    Scale: edges come from the two-phase global ranking (no
+    single-partition window) and reduce to a 9-row broadcast; binning
+    the current era is one broadcast-nested-loop count per row — no
+    shuffle beyond the final 10-group aggregate."""
+    from sandbox_data_pipeline_spark.operators.ids import (
+        stable_global_ids_with_count,
+    )
+
+    o = table(spark, sf_dir, "orders").select(
+        F.col("o_totalprice").cast("decimal(18,2)").alias("amt"),
+        "o_orderkey",
+        "o_orderdate",
+    )
+    cut = F.lit("1998-01-01").cast("timestamp")
+    base = o.where(F.col("o_orderdate") < cut)
+    cur = o.where(F.col("o_orderdate") >= cut)
+    ranked, n1 = stable_global_ids_with_count(
+        base, ["amt", "o_orderkey"], out="r", num_partitions=8
+    )
+    tiled = ranked.withColumn("tile", F.expr(f"(r * 10) div {n1}").cast("int"))
+    # inner edges: max(amt) of tiles 0..8 → 9-row broadcast
+    edges = (
+        tiled.where(F.col("tile") < 9)
+        .groupBy("tile")
+        .agg(F.max("amt").alias("edge"))
+    )
+    p = tiled.groupBy("tile").agg(F.count(F.lit(1)).alias("n_base"))
+    q = (
+        cur.crossJoin(F.broadcast(edges.select("edge")))
+        .groupBy("o_orderkey")
+        .agg(F.sum(F.when(F.col("amt") > F.col("edge"), 1).otherwise(0)).alias("tile"))
+        .groupBy("tile")
+        .agg(F.count(F.lit(1)).alias("n_cur"))
+    )
+    n2 = cur.count()
+    joined = (
+        p.join(q, "tile", "full_outer")
+        .select(
+            "tile",
+            F.coalesce("n_base", F.lit(0)).alias("n_base"),
+            F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
+        )
+    )
+    ps = (F.col("n_base") + 0.5) / (F.lit(n1) + 5.0)
+    qs = (F.col("n_cur") + 0.5) / (F.lit(n2) + 5.0)
+    per = joined.select(
+        "tile",
+        "n_base",
+        "n_cur",
+        F.round((ps - qs) * F.log(ps / qs), 6).alias("psi_term"),
+    )
+    return per
+
+
+ORACLE["q_psi_drift"] = """
+WITH o AS (
+  SELECT CAST(o_totalprice AS DECIMAL(18,2)) AS amt, o_orderkey, o_orderdate
+  FROM orders
+), base AS (SELECT * FROM o WHERE o_orderdate < TIMESTAMP '1998-01-01'),
+cur AS (SELECT * FROM o WHERE o_orderdate >= TIMESTAMP '1998-01-01'),
+ranked AS (
+  SELECT amt, row_number() OVER (ORDER BY amt, o_orderkey) - 1 AS r,
+         count(*) OVER () AS n1
+  FROM base
+), tiled AS (SELECT amt, CAST((r * 10) // n1 AS INT) AS tile, n1 FROM ranked),
+edges AS (SELECT tile, max(amt) AS edge FROM tiled WHERE tile < 9 GROUP BY tile),
+p AS (SELECT tile, count(*) AS n_base, max(n1) AS n1 FROM tiled GROUP BY tile),
+binned AS (
+  SELECT c.o_orderkey,
+         (SELECT count(*) FROM edges e WHERE c.amt > e.edge) AS tile
+  FROM cur c
+), q AS (SELECT tile, count(*) AS n_cur FROM binned GROUP BY tile),
+n2t AS (SELECT count(*) AS n2 FROM cur),
+joined AS (
+  SELECT coalesce(p.tile, q.tile) AS tile,
+         coalesce(n_base, 0) AS n_base,
+         coalesce(n_cur, 0) AS n_cur,
+         (SELECT max(n1) FROM p) AS n1,
+         (SELECT n2 FROM n2t) AS n2
+  FROM p FULL OUTER JOIN q ON p.tile = q.tile
+)
+SELECT tile, n_base, n_cur,
+       round(((n_base + 0.5) / (n1 + 5.0) - (n_cur + 0.5) / (n2 + 5.0))
+             * ln(((n_base + 0.5) / (n1 + 5.0)) / ((n_cur + 0.5) / (n2 + 5.0))), 6)
+         AS psi_term
+FROM joined
+"""
+QUERIES["q_psi_drift"] = q_psi_drift

@@ -5,7 +5,7 @@ the pipeline's check gate (plans/pipeline.py).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from sandbox_data_pipeline_spark.catalog import table
@@ -259,3 +259,64 @@ FROM (
 GROUP BY event_type
 """
 QUERIES["q_profile_drift"] = q_profile_drift
+
+
+def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order totals — the classic
+    forensic DQ check: natural multi-scale amounts follow
+    P(d) = log10(1+1/d); fabricated or truncated feeds don't. Emits
+    per-digit observed vs expected shares and the chi-square
+    contribution, all from ONE map-side digit extraction + 9-group
+    aggregate (decimal-exact shares; only the final log is floating
+    point, rounded on both engines)."""
+    o = table(spark, sf_dir, "orders")
+    d = o.select(
+        F.substring(F.col("o_totalprice").cast("string"), 1, 1)
+        .cast("int")
+        .alias("digit")
+    ).where(F.col("digit") >= 1)
+    n = F.sum("n_obs").over(Window.partitionBy())
+    return (
+        d.groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n_obs"))
+        .withColumn("share_obs", (F.col("n_obs") * 10000 / n).cast("decimal(18,4)"))
+        .withColumn(
+            "share_benford",
+            F.round(F.log10(1 + 1 / F.col("digit")) * 10000, 4).cast(
+                "decimal(18,4)"
+            ),
+        )
+        .withColumn(
+            "chi2_x1000",
+            F.round(
+                F.pow(
+                    F.col("share_obs").cast("double")
+                    - F.col("share_benford").cast("double"),
+                    2,
+                )
+                / F.col("share_benford").cast("double")
+                * 1000,
+                2,
+            ).cast("decimal(18,2)"),
+        )
+    )
+
+
+ORACLE["q_benford_audit"] = """
+WITH d AS (
+  SELECT CAST(substr(CAST(o_totalprice AS VARCHAR), 1, 1) AS INT) AS digit
+  FROM orders
+), f AS (SELECT digit FROM d WHERE digit >= 1),
+g AS (
+  SELECT digit, count(*) AS n_obs, sum(count(*)) OVER () AS n
+  FROM f GROUP BY digit
+)
+SELECT digit, n_obs,
+       CAST(n_obs * 10000 / n AS DECIMAL(18,4)) AS share_obs,
+       CAST(round(log10(1 + 1.0 / digit) * 10000, 4) AS DECIMAL(18,4)) AS share_benford,
+       CAST(round(pow(CAST(CAST(n_obs * 10000 / n AS DECIMAL(18,4)) AS DOUBLE)
+                      - CAST(CAST(round(log10(1 + 1.0 / digit) * 10000, 4) AS DECIMAL(18,4)) AS DOUBLE), 2)
+                  / CAST(CAST(round(log10(1 + 1.0 / digit) * 10000, 4) AS DECIMAL(18,4)) AS DOUBLE) * 1000, 2) AS DECIMAL(18,2)) AS chi2_x1000
+FROM g
+"""
+QUERIES["q_benford_audit"] = q_benford_audit
