@@ -92,6 +92,15 @@ HEADLINE = [
     "q_clustering_coeff",
     "q_bmp_decode_stats",
     "q_zipf_fit",
+    # round-4 additions (q_time_travel excluded: it writes a table per
+    # run — correctness row, not a throughput probe)
+    "q_curriculum_shards",
+    "q_point_in_time_features",
+    "q_profile_drift",
+    "q_benford_audit",
+    "q_gini_concentration",
+    "q_psi_drift",
+    "q_event_transitions",
 ]
 
 

@@ -156,6 +156,7 @@ DRIVER_PRIORITY = (
     "q_benford_audit",
     "q_gini_concentration",
     "q_psi_drift",
+    "q_event_transitions",
 )
 
 

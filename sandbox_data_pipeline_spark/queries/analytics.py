@@ -1044,3 +1044,41 @@ SELECT tile, n_base, n_cur,
 FROM joined
 """
 QUERIES["q_psi_drift"] = q_psi_drift
+
+
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of user event streams:
+    P(next event type | current) from each user's time-ordered
+    sequence — the navigation-model / next-action-prediction input,
+    and the structural sibling of the bigram LM over tokens
+    (q_bigram_bits) applied to behavioral data.
+
+    Scale: one shuffle on user_id for the lead() window, then a
+    (src,dst) aggregate over at most |types|^2 groups; the per-src
+    share is a window over that tiny aggregate. Ties on ts break on
+    the unique event_id in both engines."""
+    ev = table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    ).where(F.col("dst").isNotNull())
+    counts = pairs.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("n_trans"))
+    total_src = F.sum("n_trans").over(Window.partitionBy("src"))
+    return counts.withColumn(
+        "p_x10000", (F.col("n_trans") * 10000 / total_src).cast("decimal(18,4)")
+    )
+
+
+ORACLE["q_event_transitions"] = """
+WITH seq AS (
+  SELECT event_type AS src,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+  FROM events
+), pairs AS (SELECT src, dst FROM seq WHERE dst IS NOT NULL),
+counts AS (SELECT src, dst, count(*) AS n_trans FROM pairs GROUP BY src, dst)
+SELECT src, dst, n_trans,
+       CAST(n_trans * 10000 / sum(n_trans) OVER (PARTITION BY src) AS DECIMAL(18,4)) AS p_x10000
+FROM counts
+"""
+QUERIES["q_event_transitions"] = q_event_transitions
