@@ -157,6 +157,7 @@ DRIVER_PRIORITY = (
     "q_gini_concentration",
     "q_psi_drift",
     "q_event_transitions",
+    "q_txlog_ivm",
 )
 
 

@@ -99,3 +99,54 @@ SELECT 2, COUNT(*), CAST(SUM(qty) AS DECIMAL(18,2)) FROM v2
 
 QUERIES = {"q_time_travel": q_time_travel}
 ORACLE = {"q_time_travel": _TIME_TRAVEL_SQL}
+
+
+def q_txlog_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-driven incremental materialized view, end to end under the
+    oracle gate: create a per-priority order rollup from one slice,
+    append two more slices as separate commits, refresh the MV
+    INCREMENTALLY (each refresh reads only the newly added files —
+    sinks/txlog.refresh_rollup), and emit the final MV. The oracle
+    aggregates the union of all three slices directly, so any error in
+    delta composition or the full-outer merge is a hash mismatch."""
+    from sandbox_data_pipeline_spark.sinks.txlog import TxTable, refresh_rollup
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    s0 = o.where(F.col("o_orderkey") % 3 == 0)
+    s1 = o.where(F.col("o_orderkey") % 3 == 1)
+    s2 = o.where(F.col("o_orderkey") % 3 == 2)
+    tmp = tempfile.mkdtemp(prefix="txivm_")
+    try:
+        t = TxTable.create(spark, f"{tmp}/tbl", s0)
+        mv, ver = refresh_rollup(t, None, -1, "o_orderpriority", "price")
+        # pin the first materialization (bounded: one row per priority)
+        mv = spark.createDataFrame(mv.collect(), mv.schema)
+        t.append(s1)
+        mv, ver = refresh_rollup(t, mv, ver, "o_orderpriority", "price")
+        mv = spark.createDataFrame(mv.collect(), mv.schema)
+        t.append(s2)
+        mv, ver = refresh_rollup(t, mv, ver, "o_orderpriority", "price")
+        out = mv.select(
+            "o_orderpriority",
+            F.col("total").cast("decimal(18,2)").alias("total_price"),
+            F.col("n").cast("long").alias("n_orders"),
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+_TXLOG_IVM_SQL = """
+SELECT o_orderpriority,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_price,
+       COUNT(*) AS n_orders
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+QUERIES["q_txlog_ivm"] = q_txlog_ivm
+ORACLE["q_txlog_ivm"] = _TXLOG_IVM_SQL

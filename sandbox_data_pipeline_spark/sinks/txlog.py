@@ -103,9 +103,14 @@ def _collect_footer_stats(abs_path: str) -> AddFile:
         g = md.row_group(rg)
         for ci in range(g.num_columns):
             col = g.column(ci)
-            s = col.statistics
-            if s is None or not s.has_min_max:
-                continue
+            try:
+                s = col.statistics
+                if s is None or not s.has_min_max:
+                    continue
+                s.min  # force materialization; some logical types
+                # (e.g. decimals) raise ArrowNotImplementedError here
+            except Exception:
+                continue  # no stats for this column → never pruned
             name = col.path_in_schema
             mn, mx = s.min, s.max
             if isinstance(mn, bytes):
