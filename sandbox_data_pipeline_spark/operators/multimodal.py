@@ -684,3 +684,224 @@ def bmp_resize(media: DataFrame, out_w: int = 8, out_h: int = 8) -> DataFrame:
         [StructField("media_id", LongType()), StructField("content", BinaryType())]
     )
     return media.mapInPandas(_resize, schema)
+
+
+# --- REAL compressed-image decode: PNG (stdlib zlib) ------------------------
+#
+# BMP above proves the uncompressed pixel path; PNG proves a REAL
+# compressed codec end to end with nothing beyond the standard
+# library: zlib deflate/inflate, per-chunk CRC32 validation, and all
+# five scanline filters (None/Sub/Up/Average/Paeth) — the encoder
+# cycles filters per row (row % 5) so the decoder's filter reversal,
+# including the Paeth predictor, is exercised on every image. Pixels
+# are a closed form of (media_id, x, y), which is what lets DuckDB
+# verify the decode differentially: compression changes the BYTES but
+# not the pixels, so a hash match proves deflate→filter→defilter→
+# inflate is lossless and byte-exact.
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_IDAT_SPLIT = 64  # bytes per IDAT chunk → multi-IDAT is the norm
+
+
+def _png_dims(doc_id: int) -> tuple[int, int]:
+    return 5 * (doc_id % 4 + 1), 4 * (doc_id % 3 + 1)
+
+
+def _png_px(doc_id: int, x: int, y: int) -> tuple[int, int, int]:
+    return (
+        (doc_id * 3 + x * 5 + y * 11) % 256,
+        (doc_id * 7 + x * 13 + y * 17) % 256,
+        (doc_id * 11 + x * 19 + y * 23) % 256,
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def _png_chunk(ctype: bytes, payload: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(payload))
+        + ctype
+        + payload
+        + struct.pack(">I", zlib.crc32(ctype + payload) & 0xFFFFFFFF)
+    )
+
+
+def build_png(doc_id: int) -> bytes:
+    """A fully valid 8-bit RGB PNG: real zlib stream, real CRCs, and a
+    different scanline filter on every row (row % 5)."""
+    import struct
+    import zlib
+
+    w, h = _png_dims(doc_id)
+    raw_rows = [
+        bytes(v for x in range(w) for v in _png_px(doc_id, x, y))
+        for y in range(h)
+    ]
+    filtered = bytearray()
+    prior = bytes(3 * w)
+    for y, row in enumerate(raw_rows):
+        f = y % 5
+        filtered.append(f)
+        for i, v in enumerate(row):
+            left = row[i - 3] if i >= 3 else 0
+            up = prior[i]
+            ul = prior[i - 3] if i >= 3 else 0
+            if f == 0:
+                out = v
+            elif f == 1:
+                out = (v - left) % 256
+            elif f == 2:
+                out = (v - up) % 256
+            elif f == 3:
+                out = (v - (left + up) // 2) % 256
+            else:
+                out = (v - _paeth(left, up, ul)) % 256
+            filtered.append(out)
+        prior = row
+    comp = zlib.compress(bytes(filtered), 9)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit RGB
+    blob = _PNG_SIG + _png_chunk(b"IHDR", ihdr)
+    for off in range(0, len(comp), _PNG_IDAT_SPLIT):
+        blob += _png_chunk(b"IDAT", comp[off : off + _PNG_IDAT_SPLIT])
+    return blob + _png_chunk(b"IEND", b"")
+
+
+def decode_png(blob: bytes) -> dict[str, Any]:
+    """REAL decode: signature + chunk walk with CRC32 validation,
+    multi-IDAT reassembly, zlib inflate, and reversal of all five
+    scanline filters. Returns the BMP-stats shape plus the IDAT count
+    and the number of distinct filters seen."""
+    import struct
+    import zlib
+
+    if blob[: len(_PNG_SIG)] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    pos = len(_PNG_SIG)
+    idat = b""
+    n_idat = 0
+    w = h = None
+    while pos < len(blob):
+        if pos + 8 > len(blob):
+            raise ValueError("truncated chunk header")
+        (length,) = struct.unpack_from(">I", blob, pos)
+        ctype = blob[pos + 4 : pos + 8]
+        payload = blob[pos + 8 : pos + 8 + length]
+        if len(payload) != length or pos + 12 + length > len(blob):
+            raise ValueError("truncated chunk payload")
+        (crc,) = struct.unpack_from(">I", blob, pos + 8 + length)
+        if crc != (zlib.crc32(ctype + payload) & 0xFFFFFFFF):
+            raise ValueError(f"CRC mismatch in {ctype!r}")
+        if ctype == b"IHDR":
+            w, h, depth, color, comp, filt, ilace = struct.unpack(
+                ">IIBBBBB", payload
+            )
+            if (depth, color, comp, filt, ilace) != (8, 2, 0, 0, 0):
+                raise ValueError("only 8-bit RGB non-interlaced supported")
+        elif ctype == b"IDAT":
+            idat += payload
+            n_idat += 1
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if w is None or not idat:
+        raise ValueError("missing IHDR or IDAT")
+    raw = zlib.decompress(idat)
+    if len(raw) != h * (1 + 3 * w):
+        raise ValueError("decompressed length does not match geometry")
+    rows: list[bytes] = []
+    prior = bytes(3 * w)
+    filters_seen = set()
+    for y in range(h):
+        base = y * (1 + 3 * w)
+        f = raw[base]
+        filters_seen.add(f)
+        line = raw[base + 1 : base + 1 + 3 * w]
+        out = bytearray(3 * w)
+        for i, v in enumerate(line):
+            left = out[i - 3] if i >= 3 else 0
+            up = prior[i]
+            ul = prior[i - 3] if i >= 3 else 0
+            if f == 0:
+                out[i] = v
+            elif f == 1:
+                out[i] = (v + left) % 256
+            elif f == 2:
+                out[i] = (v + up) % 256
+            elif f == 3:
+                out[i] = (v + (left + up) // 2) % 256
+            elif f == 4:
+                out[i] = (v + _paeth(left, up, ul)) % 256
+            else:
+                raise ValueError(f"unknown filter {f}")
+        rows.append(bytes(out))
+        prior = bytes(out)
+    sums = [0, 0, 0]
+    for row in rows:
+        sums[0] += sum(row[0::3])
+        sums[1] += sum(row[1::3])
+        sums[2] += sum(row[2::3])
+    n = w * h
+    tl = rows[0][0:3]
+    br = rows[h - 1][3 * (w - 1) : 3 * (w - 1) + 3]
+    return {
+        "width": w,
+        "height": h,
+        "tl_r": tl[0], "tl_g": tl[1], "tl_b": tl[2],
+        "br_r": br[0], "br_g": br[1], "br_b": br[2],
+        "mean_r": round(sums[0] / n, 4),
+        "mean_g": round(sums[1] / n, 4),
+        "mean_b": round(sums[2] / n, 4),
+        "n_idat": n_idat,
+        "n_filters": len(filters_seen),
+    }
+
+
+PNG_STATS_SCHEMA = StructType(
+    list(BMP_STATS_SCHEMA.fields)
+    + [StructField("n_filters", IntegerType())]
+)
+
+
+def png_media(docs: DataFrame) -> DataFrame:
+    """One real PNG payload per document (Arrow-batched builder)."""
+
+    def _build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": b["doc_id"],
+                    "content": [build_png(int(d)) for d in b["doc_id"]],
+                }
+            )
+
+    schema = StructType(
+        [StructField("media_id", LongType()), StructField("content", BinaryType())]
+    )
+    return docs.select("doc_id").mapInPandas(_build, schema)
+
+
+def png_decode_stats(media: DataFrame) -> DataFrame:
+    """Arrow-batched REAL PNG decode → pixel statistics. n_idat is a
+    compression artifact (zlib output size), so it stays out of the
+    oracle-facing frame; n_filters has the closed form least(h, 5)."""
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for mid, blob in zip(b["media_id"], b["content"]):
+                d = decode_png(bytes(blob))
+                d.pop("n_idat")
+                d["media_id"] = int(mid)
+                rows.append(d)
+            yield pd.DataFrame(rows, columns=[f.name for f in PNG_STATS_SCHEMA.fields])
+
+    return media.mapInPandas(_decode, PNG_STATS_SCHEMA)

@@ -158,6 +158,7 @@ DRIVER_PRIORITY = (
     "q_psi_drift",
     "q_event_transitions",
     "q_txlog_ivm",
+    "q_png_decode_stats",
 )
 
 

@@ -374,3 +374,57 @@ SELECT c.doc_id AS media_id, 8 AS width, 8 AS height,
 FROM corners c JOIN means m ON m.doc_id = c.doc_id
 """
 QUERIES["q_bmp_resize_stats"] = q_bmp_resize_stats
+
+
+def q_png_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-codec decode, oracle-verified: build valid
+    8-bit RGB PNGs (real zlib streams, per-chunk CRC32s, a different
+    scanline filter per row so None/Sub/Up/Average/Paeth all fire),
+    decode them with the stdlib-only decoder
+    (operators/multimodal.py: decode_png), and emit dims, corner
+    pixels, channel means, and the distinct-filter count. Pixels are
+    a closed form of (media_id, x, y), so the DuckDB oracle verifies
+    that deflate→filter→defilter→inflate is lossless — compression
+    changes the bytes, never the hash-checked pixels."""
+    from sandbox_data_pipeline_spark.operators.multimodal import (
+        png_decode_stats,
+        png_media,
+    )
+
+    return png_decode_stats(png_media(table(spark, sf_dir, "documents")))
+
+
+ORACLE["q_png_decode_stats"] = """
+WITH dims AS (
+  SELECT doc_id, 5 * (doc_id % 4 + 1) AS w, 4 * (doc_id % 3 + 1) AS h
+  FROM documents
+),
+px AS (
+  SELECT d.doc_id, d.w, d.h, fx.range AS x, fy.range AS y
+  FROM dims d CROSS JOIN range(0, 20) fx CROSS JOIN range(0, 12) fy
+  WHERE fx.range < d.w AND fy.range < d.h
+),
+vals AS (
+  SELECT doc_id,
+         (doc_id * 3 + x * 5 + y * 11) % 256 AS r,
+         (doc_id * 7 + x * 13 + y * 17) % 256 AS g,
+         (doc_id * 11 + x * 19 + y * 23) % 256 AS b
+  FROM px
+),
+means AS (
+  SELECT doc_id, round(avg(r), 4) AS mean_r, round(avg(g), 4) AS mean_g,
+         round(avg(b), 4) AS mean_b
+  FROM vals GROUP BY 1
+)
+SELECT d.doc_id AS media_id, d.w AS width, d.h AS height,
+       (d.doc_id * 3) % 256 AS tl_r,
+       (d.doc_id * 7) % 256 AS tl_g,
+       (d.doc_id * 11) % 256 AS tl_b,
+       (d.doc_id * 3 + (d.w - 1) * 5 + (d.h - 1) * 11) % 256 AS br_r,
+       (d.doc_id * 7 + (d.w - 1) * 13 + (d.h - 1) * 17) % 256 AS br_g,
+       (d.doc_id * 11 + (d.w - 1) * 19 + (d.h - 1) * 23) % 256 AS br_b,
+       m.mean_r, m.mean_g, m.mean_b,
+       least(d.h, 5) AS n_filters
+FROM dims d JOIN means m ON m.doc_id = d.doc_id
+"""
+QUERIES["q_png_decode_stats"] = q_png_decode_stats

@@ -220,3 +220,59 @@ def test_bmp_resize_identity_and_downsample():
     assert (small["tl_r"], small["tl_g"], small["tl_b"]) == (
         d0["tl_r"], d0["tl_g"], d0["tl_b"],
     )  # (0,0) samples source (0,0)
+
+
+class TestPngCodec:
+    def test_round_trip_matches_generator(self):
+        from sandbox_data_pipeline_spark.operators.multimodal import (
+            _png_dims,
+            _png_px,
+            build_png,
+            decode_png,
+        )
+
+        for did in (0, 3, 7, 11, 22):
+            d = decode_png(build_png(did))
+            w, h = _png_dims(did)
+            assert (d["width"], d["height"]) == (w, h)
+            assert (d["tl_r"], d["tl_g"], d["tl_b"]) == _png_px(did, 0, 0)
+            assert (d["br_r"], d["br_g"], d["br_b"]) == _png_px(did, w - 1, h - 1)
+            assert d["n_filters"] == min(h, 5)  # every filter type fired
+
+    def test_multi_idat_reassembly(self):
+        from sandbox_data_pipeline_spark.operators.multimodal import (
+            build_png,
+            decode_png,
+        )
+
+        # largest geometry → compressed stream spans several 64-byte IDATs
+        assert decode_png(build_png(23))["n_idat"] >= 2
+
+    def test_crc_corruption_raises(self):
+        import pytest
+
+        from sandbox_data_pipeline_spark.operators.multimodal import (
+            build_png,
+            decode_png,
+        )
+
+        blob = bytearray(build_png(5))
+        # flip one byte inside the first IDAT payload
+        idx = blob.index(b"IDAT") + 6
+        blob[idx] ^= 0xFF
+        with pytest.raises(ValueError, match="CRC"):
+            decode_png(bytes(blob))
+
+    def test_truncation_raises(self):
+        import pytest
+
+        from sandbox_data_pipeline_spark.operators.multimodal import (
+            build_png,
+            decode_png,
+        )
+
+        blob = build_png(5)
+        with pytest.raises(ValueError):
+            decode_png(blob[: len(blob) // 2])
+        with pytest.raises(ValueError, match="not a PNG"):
+            decode_png(b"\x00" + blob[1:])
