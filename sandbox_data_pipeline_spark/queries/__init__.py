@@ -159,6 +159,7 @@ DRIVER_PRIORITY = (
     "q_event_transitions",
     "q_txlog_ivm",
     "q_png_decode_stats",
+    "q_png_resize_stats",
 )
 
 

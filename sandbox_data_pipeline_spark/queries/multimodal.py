@@ -428,3 +428,54 @@ SELECT d.doc_id AS media_id, d.w AS width, d.h AS height,
 FROM dims d JOIN means m ON m.doc_id = d.doc_id
 """
 QUERIES["q_png_decode_stats"] = q_png_decode_stats
+
+
+def q_png_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed resize pipeline, oracle-verified: build PNG →
+    CRC-validated decode → 6×6 nearest-neighbor resample → re-encode
+    (filter + deflate + CRC) → decode AGAIN → stats. The oracle maps
+    every output pixel through the closed-form source geometry
+    (X·w//6, Y·h//6), so a hash match proves both codec directions
+    AND the resample arithmetic."""
+    from sandbox_data_pipeline_spark.operators.multimodal import (
+        png_media,
+        png_resize_stats,
+    )
+
+    return png_resize_stats(png_media(table(spark, sf_dir, "documents")))
+
+
+ORACLE["q_png_resize_stats"] = """
+WITH dims AS (
+  SELECT doc_id, 5 * (doc_id % 4 + 1) AS w, 4 * (doc_id % 3 + 1) AS h
+  FROM documents
+),
+px AS (
+  SELECT d.doc_id, d.w, d.h, fx.range AS x, fy.range AS y,
+         (fx.range * d.w) // 6 AS sx, (fy.range * d.h) // 6 AS sy
+  FROM dims d CROSS JOIN range(0, 6) fx CROSS JOIN range(0, 6) fy
+),
+vals AS (
+  SELECT doc_id,
+         (doc_id * 3 + sx * 5 + sy * 11) % 256 AS r,
+         (doc_id * 7 + sx * 13 + sy * 17) % 256 AS g,
+         (doc_id * 11 + sx * 19 + sy * 23) % 256 AS b
+  FROM px
+),
+means AS (
+  SELECT doc_id, round(avg(r), 4) AS mean_r, round(avg(g), 4) AS mean_g,
+         round(avg(b), 4) AS mean_b
+  FROM vals GROUP BY 1
+)
+SELECT d.doc_id AS media_id, 6 AS width, 6 AS height,
+       (d.doc_id * 3) % 256 AS tl_r,
+       (d.doc_id * 7) % 256 AS tl_g,
+       (d.doc_id * 11) % 256 AS tl_b,
+       (d.doc_id * 3 + ((5 * d.w) // 6) * 5 + ((5 * d.h) // 6) * 11) % 256 AS br_r,
+       (d.doc_id * 7 + ((5 * d.w) // 6) * 13 + ((5 * d.h) // 6) * 17) % 256 AS br_g,
+       (d.doc_id * 11 + ((5 * d.w) // 6) * 19 + ((5 * d.h) // 6) * 23) % 256 AS br_b,
+       m.mean_r, m.mean_g, m.mean_b,
+       5 AS n_filters
+FROM dims d JOIN means m ON m.doc_id = d.doc_id
+"""
+QUERIES["q_png_resize_stats"] = q_png_resize_stats

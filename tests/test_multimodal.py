@@ -276,3 +276,35 @@ class TestPngCodec:
             decode_png(blob[: len(blob) // 2])
         with pytest.raises(ValueError, match="not a PNG"):
             decode_png(b"\x00" + blob[1:])
+
+    def test_resize_identity_is_lossless(self):
+        from sandbox_data_pipeline_spark.operators.multimodal import (
+            _png_dims,
+            build_png,
+            decode_png,
+            resize_png,
+        )
+
+        did = 9
+        w, h = _png_dims(did)
+        orig = decode_png(build_png(did))
+        same = decode_png(resize_png(build_png(did), w, h))
+        for k in ("width", "height", "tl_r", "br_b", "mean_r", "mean_g", "mean_b"):
+            assert orig[k] == same[k]
+
+    def test_resize_corners_sample_correctly(self):
+        from sandbox_data_pipeline_spark.operators.multimodal import (
+            _png_dims,
+            _png_px,
+            build_png,
+            decode_png,
+            resize_png,
+        )
+
+        did = 14
+        w, h = _png_dims(did)
+        d = decode_png(resize_png(build_png(did), 6, 6))
+        assert (d["tl_r"], d["tl_g"], d["tl_b"]) == _png_px(did, 0, 0)
+        assert (d["br_r"], d["br_g"], d["br_b"]) == _png_px(
+            did, 5 * w // 6, 5 * h // 6
+        )
