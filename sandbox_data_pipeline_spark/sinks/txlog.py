@@ -697,3 +697,25 @@ def txlog_sink(path: str, app_id: str):
             pass  # replayed batch: already durable
 
     return _write
+
+
+def restore(t: TxTable, version: int) -> int:
+    """RESTORE TABLE TO VERSION — the bad-backfill undo: commit a new
+    entry whose file set IS the old snapshot (metadata only; no data
+    is copied or rewritten, the old files still exist unless
+    vacuumed). History is preserved — the restore is itself a commit,
+    so the mistake and its undo are both auditable."""
+    tail = t.latest_version()
+    if not 0 <= version <= tail:
+        raise ValueError(f"version {version} outside 0..{tail}")
+    target = t.snapshot(version)
+    current = t.snapshot(tail)
+    missing = [p for p in target if not os.path.exists(os.path.join(t.path, p))]
+    if missing:
+        raise FileNotFoundError(
+            f"cannot restore to v{version}: {len(missing)} files vacuumed, "
+            f"e.g. {missing[0]}"
+        )
+    adds = [target[p] for p in sorted(target.keys() - current.keys())]
+    removes = sorted(current.keys() - target.keys())
+    return t._commit("restore", adds, removes, tail)

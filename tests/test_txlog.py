@@ -351,3 +351,30 @@ def test_txlog_table_to_table_streaming(spark, tmp_path):
     )
     run()
     assert TxTable(spark, dst).read().count() == 70
+
+
+def test_restore_rolls_back_and_preserves_history(spark, tmp_path):
+    from sandbox_data_pipeline_spark.sinks.txlog import restore
+
+    t = _mk(spark, tmp_path)  # v0: 100 rows
+    t.delete_where("k", 0, 49)  # v1: 50 rows
+    t.append(spark.createDataFrame([(500, 1)], "k long, v long"))  # v2: 51
+    v = restore(t, 0)
+    assert v == 3
+    assert t.read().count() == 100  # back to v0's content
+    assert t.read(version=2).count() == 51  # history intact
+    assert [e["operation"] for e in t.history()] == [
+        "create", "delete", "append", "restore",
+    ]
+
+
+def test_restore_refuses_vacuumed_target(spark, tmp_path):
+    from sandbox_data_pipeline_spark.sinks.txlog import restore
+
+    t = _mk(spark, tmp_path)
+    t.overwrite_all(spark.createDataFrame([(1, 1)], "k long, v long"))
+    t.vacuum(retain_versions=1)
+    import pytest as _pt
+
+    with _pt.raises(FileNotFoundError, match="vacuumed"):
+        restore(t, 0)
