@@ -64,6 +64,18 @@ class TxLogStreamReader(DataSourceStreamReader):
             == "true"
         )
         self.start_version = int(options.get("startingversion", "0"))
+        # Backfill throttle: cap how many log versions one micro-batch
+        # may cover (Delta's maxFilesPerTrigger analog at version
+        # granularity). 0 = unthrottled. A fresh reader does not know
+        # the checkpointed offset, so the cap anchors on the highest
+        # version this INSTANCE has seen (updated in partitions());
+        # before the first batch the cap may undershoot the committed
+        # offset, which is safe — partitions() returns [] for an
+        # inverted range and the anchor catches up on that batch.
+        self.max_versions = int(
+            options.get("maxversionspertrigger", options.get("maxVersionsPerTrigger", "0"))
+        )
+        self._seen = self.start_version
 
     def _table(self):
         from sandbox_data_pipeline_spark.sinks.txlog import TxTable
@@ -75,12 +87,16 @@ class TxLogStreamReader(DataSourceStreamReader):
 
     def latestOffset(self):
         try:
-            return {"version": self._table().latest_version() + 1}
+            tail = self._table().latest_version() + 1
         except FileNotFoundError:
             return {"version": self.start_version}
+        if self.max_versions > 0:
+            tail = min(tail, self._seen + self.max_versions)
+        return {"version": max(tail, self._seen)}
 
     def partitions(self, start, end):
         t = self._table()
+        self._seen = max(self._seen, start["version"], end["version"])
         parts = []
         for v in range(start["version"], end["version"]):
             e = t._read_entry(v)

@@ -378,3 +378,27 @@ def test_restore_refuses_vacuumed_target(spark, tmp_path):
 
     with _pt.raises(FileNotFoundError, match="vacuumed"):
         restore(t, 0)
+
+
+def test_stream_reader_throttles_versions(spark, tmp_path):
+    from sandbox_data_pipeline_spark.sources.txlog_stream import TxLogStreamReader
+
+    t = _mk(spark, tmp_path, n=10)
+    for i in range(4):
+        t.append(spark.createDataFrame([(100 + i, 1)], "k long, v long"))
+    # 5 commits total (v0..v4); cap = 2 versions per trigger
+    r = TxLogStreamReader({"path": t.path, "maxversionspertrigger": "2"})
+    offsets = [r.initialOffset()["version"]]
+    while True:
+        nxt = r.latestOffset()["version"]
+        if nxt == offsets[-1]:
+            break
+        r.partitions({"version": offsets[-1]}, {"version": nxt})
+        offsets.append(nxt)
+    assert offsets == [0, 2, 4, 5]  # two-version steps, then the tail
+    # restart with a checkpoint beyond the fresh cap: the inverted
+    # first range yields no partitions and the anchor catches up
+    r2 = TxLogStreamReader({"path": t.path, "maxversionspertrigger": "2"})
+    assert r2.latestOffset()["version"] == 2
+    assert r2.partitions({"version": 4}, {"version": 2}) == []
+    assert r2.latestOffset()["version"] == 5  # anchored past checkpoint
