@@ -160,6 +160,7 @@ DRIVER_PRIORITY = (
     "q_txlog_ivm",
     "q_png_decode_stats",
     "q_png_resize_stats",
+    "q_simhash_quality_sweep",
 )
 
 

@@ -1203,3 +1203,95 @@ FROM {prev} CROSS JOIN mx
 
 QUERIES["q_hits_dups"] = q_hits_dups
 ORACLE["q_hits_dups"] = _oracle_hits()
+
+
+def q_simhash_quality_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash detector quality across its operating curve: for every
+    hamming threshold 0..max, the surviving candidate-pair count and
+    the mean EXACT shingle Jaccard of those pairs — the calibration a
+    dedup operator reads before picking the production threshold
+    (tighter hamming → fewer pairs, higher true similarity). The
+    simhash sibling of q_minhash_precision; exact Jaccard is computed
+    only for banded candidates, so cost scales with candidates."""
+    from sandbox_data_pipeline_spark.operators.dedup import (
+        simhash_pairs,
+        word_shingles,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = simhash_pairs(docs, bits=SIMHASH_BITS, max_hamming=SIMHASH_MAXH)
+    sh = word_shingles(docs, n=MINHASH_N).localCheckpoint(eager=False)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    bsh = sh.select(F.col("doc_id").alias("_db"), F.col("shingle").alias("_shb"))
+    common = (
+        pairs.select("doc_a", "doc_b")
+        .join(sh.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .join(bsh, (F.col("doc_b") == F.col("_db")) & (F.col("shingle") == F.col("_shb")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a")
+    sb = sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b")
+    pj = (
+        pairs.join(common, ["doc_a", "doc_b"], "left")
+        .join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "hamming",
+            F.round(
+                F.coalesce("common", F.lit(0))
+                / (F.col("n_a") + F.col("n_b") - F.coalesce("common", F.lit(0))),
+                4,
+            ).alias("exact_jaccard"),
+        )
+    )
+    swept = pj.select(
+        "hamming",
+        "exact_jaccard",
+        F.explode(
+            F.array(*[F.lit(t) for t in range(SIMHASH_MAXH + 1)])
+        ).alias("max_h"),
+    ).where(F.col("hamming") <= F.col("max_h"))
+    return swept.groupBy("max_h").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(F.avg("exact_jaccard"), 4).alias("mean_jaccard"),
+        F.sum(F.when(F.col("exact_jaccard") >= 0.5, 1).otherwise(0)).alias(
+            "n_ge_05"
+        ),
+    )
+
+
+def _oracle_simhash_sweep() -> str:
+    n = MINHASH_N
+    return f"""
+WITH sp AS ({_oracle_simhash_pairs()}),
+{_shingles_cte(n).strip()},
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
+common AS (
+  SELECT sp.doc_a, sp.doc_b, count(*) AS common
+  FROM sp
+  JOIN shingles a ON a.doc_id = sp.doc_a
+  JOIN shingles b ON b.doc_id = sp.doc_b AND b.shingle = a.shingle
+  GROUP BY 1, 2
+),
+pj AS (
+  SELECT sp.hamming,
+         round(coalesce(common, 0) / (sa.n_sh + sb.n_sh - coalesce(common, 0)), 4)
+           AS exact_jaccard
+  FROM sp
+  LEFT JOIN common ON common.doc_a = sp.doc_a AND common.doc_b = sp.doc_b
+  JOIN sizes sa ON sa.doc_id = sp.doc_a
+  JOIN sizes sb ON sb.doc_id = sp.doc_b
+)
+SELECT CAST(t.range AS INT) AS max_h,
+       count(*) AS n_pairs,
+       round(avg(exact_jaccard), 4) AS mean_jaccard,
+       sum(CASE WHEN exact_jaccard >= 0.5 THEN 1 ELSE 0 END) AS n_ge_05
+FROM range(0, {SIMHASH_MAXH + 1}) t
+JOIN pj ON pj.hamming <= t.range
+GROUP BY 1
+"""
+
+
+QUERIES["q_simhash_quality_sweep"] = q_simhash_quality_sweep
+ORACLE["q_simhash_quality_sweep"] = _oracle_simhash_sweep()
