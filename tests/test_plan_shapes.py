@@ -104,3 +104,37 @@ def test_round3_queries_have_no_smells(spark, sf_dir):
     ):
         smells = audit(name, plan_of(q[name](spark, sf_dir)))
         assert smells == [], (name, smells)
+
+
+def test_png_codec_queries_plan_no_exchange(spark, sf_dir):
+    # pure map-side codecs: scan → mapInPandas → scan output, no shuffle
+    for name in ("q_png_decode_stats", "q_png_resize_stats"):
+        plan = _plan(spark, sf_dir, name)
+        assert "Exchange" not in plan, name
+
+
+def test_pit_features_single_exchange_on_entity_key(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q_point_in_time_features")
+    assert plan.count("+- Exchange") == 1
+    assert "hashpartitioning(o_custkey" in plan
+    # the %100 sample filter sits BELOW the window (pushed through on
+    # the partition key), so the shuffle carries 1% of orders
+    assert plan.index("Filter") > plan.index("Window") or "pmod" in plan
+
+
+def test_profile_drift_filter_pushed_to_scan(spark, sf_dir):
+    # the two-week time bound must reach the parquet reader so the
+    # scan prunes before any aggregation
+    plan = _plan(spark, sf_dir, "q_profile_drift")
+    assert "PushedFilters: [" in plan
+    assert "PushedFilters: []" not in plan
+
+
+def test_psi_binning_is_broadcast_not_shuffle(spark, sf_dir):
+    # the 9-row edge frame joins the current era by broadcast nested
+    # loop; a SortMergeJoin here would shuffle the whole era on nothing
+    plan = _plan(spark, sf_dir, "q_psi_drift")
+    assert "BroadcastNestedLoopJoin" in plan
+    # (the final p⟗q merge of two ≤10-row aggregates may plan as a
+    # sort-merge full-outer — Spark does not broadcast full outers —
+    # which is fine at 10 rows; the ERA-sized join must stay broadcast)
