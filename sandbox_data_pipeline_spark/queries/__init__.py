@@ -158,6 +158,7 @@ DRIVER_PRIORITY = (
     "q_png_decode_stats",
     "q_png_resize_stats",
     "q_simhash_quality_sweep",
+    "q_restore",
 )
 
 

@@ -150,3 +150,57 @@ GROUP BY o_orderpriority
 
 QUERIES["q_txlog_ivm"] = q_txlog_ivm
 ORACLE["q_txlog_ivm"] = _TXLOG_IVM_SQL
+
+
+def q_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTORE under the oracle gate: create → ranged delete →
+    restore-to-v0, then aggregate every version. v2 must equal v0
+    exactly (metadata-only rollback) while v1 still shows the delete —
+    the oracle states all three from the base table directly."""
+    from sandbox_data_pipeline_spark.sinks.txlog import TxTable, restore
+
+    li = table(spark, sf_dir, "lineitem")
+    base = li.where(F.col("l_orderkey") <= _K).select(
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).cast("long").alias("rid"),
+        F.col("l_quantity").alias("qty"),
+    )
+    tmp = tempfile.mkdtemp(prefix="txrestore_")
+    try:
+        t = TxTable.create(spark, f"{tmp}/tbl", base.repartitionByRange(4, "rid"))
+        t.delete_where("rid", _D1, _D2)
+        restore(t, 0)
+        rows = []
+        for v in range(3):
+            r = (
+                t.read(version=v)
+                .agg(
+                    F.count(F.lit(1)).alias("n_rows"),
+                    F.sum("qty").cast("decimal(18,2)").alias("sum_qty"),
+                )
+                .first()
+            )
+            rows.append((v, r["n_rows"], r["sum_qty"]))
+        return spark.createDataFrame(
+            rows, "version int, n_rows long, sum_qty decimal(18,2)"
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+_RESTORE_SQL = f"""
+WITH base AS (
+  SELECT l_orderkey * 10 + l_linenumber AS rid, l_quantity AS qty
+  FROM lineitem WHERE l_orderkey <= {_K}
+), v1 AS (
+  SELECT * FROM base WHERE rid NOT BETWEEN {_D1} AND {_D2}
+)
+SELECT 0 AS version, COUNT(*) AS n_rows,
+       CAST(SUM(qty) AS DECIMAL(18,2)) AS sum_qty FROM base
+UNION ALL
+SELECT 1, COUNT(*), CAST(SUM(qty) AS DECIMAL(18,2)) FROM v1
+UNION ALL
+SELECT 2, COUNT(*), CAST(SUM(qty) AS DECIMAL(18,2)) FROM base
+"""
+
+QUERIES["q_restore"] = q_restore
+ORACLE["q_restore"] = _RESTORE_SQL

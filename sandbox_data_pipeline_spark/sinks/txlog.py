@@ -73,22 +73,30 @@ class ConcurrentModification(Exception):
 
 @dataclass
 class AddFile:
-    path: str  # relative to table root
+    path: str  # relative to `base` (or to the owning table's root)
     rows: int
     bytes: int
     stats: dict[str, dict[str, Any]] = field(default_factory=dict)
+    # absolute root the path resolves against when the file belongs to
+    # ANOTHER table (shallow clone); None = this table's own root
+    base: str | None = None
 
     def to_json(self) -> dict:
-        return {
+        d = {
             "path": self.path,
             "rows": self.rows,
             "bytes": self.bytes,
             "stats": self.stats,
         }
+        if self.base is not None:
+            d["base"] = self.base
+        return d
 
     @staticmethod
     def from_json(d: dict) -> "AddFile":
-        return AddFile(d["path"], d["rows"], d["bytes"], d.get("stats", {}))
+        return AddFile(
+            d["path"], d["rows"], d["bytes"], d.get("stats", {}), d.get("base")
+        )
 
 
 def _collect_footer_stats(abs_path: str) -> AddFile:
@@ -224,6 +232,9 @@ class TxTable:
                 return T.StructType.fromJson(json.loads(e["schema"]))
         raise ValueError(f"no schema recorded in log of {self.path}")
 
+    def _abs(self, f: AddFile) -> str:
+        return os.path.join(f.base or self.path, f.path)
+
     def read(
         self,
         version: int | None = None,
@@ -246,7 +257,7 @@ class TxTable:
         schema = self.schema_at(version)
         if not kept:
             return self.spark.createDataFrame([], schema)
-        paths = [os.path.join(self.path, f.path) for f in kept]
+        paths = [self._abs(f) for f in kept]
         return self.spark.read.schema(schema).parquet(*paths)
 
     def history(self) -> list[dict]:
@@ -447,7 +458,7 @@ class TxTable:
         ]
         if not touched:
             return {"version": rv, "files_rewritten": 0, "files_total": len(snap)}
-        paths = [os.path.join(self.path, f.path) for f in touched]
+        paths = [self._abs(f) for f in touched]
         survivors = (
             self.spark.read.schema(self.schema_at(rv))
             .parquet(*paths)
@@ -495,7 +506,7 @@ class TxTable:
         ]
         schema = self.schema_at(rv)
         if touched:
-            paths = [os.path.join(self.path, f.path) for f in touched]
+            paths = [self._abs(f) for f in touched]
             current = self.spark.read.schema(schema).parquet(*paths)
         else:
             current = self.spark.createDataFrame([], schema)
@@ -710,7 +721,7 @@ def restore(t: TxTable, version: int) -> int:
         raise ValueError(f"version {version} outside 0..{tail}")
     target = t.snapshot(version)
     current = t.snapshot(tail)
-    missing = [p for p in target if not os.path.exists(os.path.join(t.path, p))]
+    missing = [f.path for f in target.values() if not os.path.exists(t._abs(f))]
     if missing:
         raise FileNotFoundError(
             f"cannot restore to v{version}: {len(missing)} files vacuumed, "
@@ -719,3 +730,29 @@ def restore(t: TxTable, version: int) -> int:
     adds = [target[p] for p in sorted(target.keys() - current.keys())]
     removes = sorted(current.keys() - target.keys())
     return t._commit("restore", adds, removes, tail)
+
+
+def clone(src: TxTable, spark: SparkSession, dst_path: str) -> TxTable:
+    """Zero-copy SHALLOW CLONE: a new table whose v0 commit references
+    the source's CURRENT data files by absolute base — no bytes move.
+    The clone then evolves independently (its own commits, rewrites in
+    its own data dir); the source is never mutated, and the clone's
+    vacuum only ever touches the clone's own files. The standard
+    dev/CI pattern: test a migration against yesterday's production
+    snapshot without copying 100 TB.
+
+    Caveat, stated honestly: the clone pins source FILES, not the
+    source LOG — vacuuming the source can delete files the clone still
+    references (same liveness rule as Delta's shallow clone)."""
+    t = TxTable(spark, dst_path)
+    if os.path.isdir(t.log_path) and t._versions():
+        raise FileExistsError(f"table already exists at {dst_path}")
+    snap = src.snapshot()
+    adds = [
+        AddFile(f.path, f.rows, f.bytes, f.stats, base=f.base or src.path)
+        for f in snap.values()
+    ]
+    t._commit(
+        "clone", adds, [], None, schema_json=src.schema_at().json()
+    )
+    return t

@@ -48,9 +48,9 @@ VERSION_COL = "_commit_version"
 
 
 class _CommitFilePartition(InputPartition):
-    def __init__(self, version: int, rel_path: str):
+    def __init__(self, version: int, abs_path: str):
         self.version = version
-        self.rel_path = rel_path
+        self.abs_path = abs_path
 
 
 class TxLogStreamReader(DataSourceStreamReader):
@@ -108,14 +108,19 @@ class TxLogStreamReader(DataSourceStreamReader):
                     "re-emitted rows"
                 )
             for a in e.get("add", []):
-                parts.append(_CommitFilePartition(v, a["path"]))
+                # shallow-clone entries reference files by absolute base
+                parts.append(
+                    _CommitFilePartition(
+                        v, os.path.join(a.get("base", self.path), a["path"])
+                    )
+                )
         return parts
 
     def read(self, partition):
         import pyarrow as pa
         import pyarrow.parquet as pq
 
-        tbl = pq.read_table(os.path.join(self.path, partition.rel_path))
+        tbl = pq.read_table(partition.abs_path)
         ver = pa.array([partition.version] * tbl.num_rows, type=pa.int64())
         tbl = tbl.append_column(VERSION_COL, ver)
         yield from tbl.to_batches()

@@ -402,3 +402,22 @@ def test_stream_reader_throttles_versions(spark, tmp_path):
     assert r2.latestOffset()["version"] == 2
     assert r2.partitions({"version": 4}, {"version": 2}) == []
     assert r2.latestOffset()["version"] == 5  # anchored past checkpoint
+
+
+def test_shallow_clone_is_zero_copy_and_independent(spark, tmp_path):
+    from sandbox_data_pipeline_spark.sinks.txlog import clone
+
+    src = _mk(spark, tmp_path)  # k 0..99
+    c = clone(src, spark, str(tmp_path / "cl"))
+    # no data files were copied into the clone
+    assert not os.path.isdir(os.path.join(c.path, "data"))
+    assert c.read().count() == 100
+    # clone mutations do not touch the source
+    c.delete_where("k", 0, 49)
+    assert c.read().count() == 50
+    assert src.read().count() == 100
+    # source appends after the clone are invisible to the clone
+    src.append(spark.createDataFrame([(777, 1)], "k long, v long"))
+    assert c.read().where(F.col("k") == 777).count() == 0
+    # clone's own rewrites landed in the clone's data dir
+    assert os.path.isdir(os.path.join(c.path, "data"))
