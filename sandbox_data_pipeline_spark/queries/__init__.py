@@ -159,6 +159,7 @@ DRIVER_PRIORITY = (
     "q_png_resize_stats",
     "q_simhash_quality_sweep",
     "q_restore",
+    "q_table_changes",
 )
 
 

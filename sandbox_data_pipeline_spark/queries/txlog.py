@@ -204,3 +204,53 @@ SELECT 2, COUNT(*), CAST(SUM(qty) AS DECIMAL(18,2)) FROM base
 
 QUERIES["q_restore"] = q_restore
 ORACLE["q_restore"] = _RESTORE_SQL
+
+
+def q_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-feed under the oracle gate: create → keyed merge,
+    then summarize the row-level feed per (version, change_type). The
+    merge's rewrite touches whole files, so the feed proves the
+    exceptAll cancellation: only genuinely changed rows surface."""
+    from sandbox_data_pipeline_spark.sinks.txlog import TxTable, table_changes
+
+    li = table(spark, sf_dir, "lineitem")
+    base = li.where(F.col("l_orderkey") <= _K).select(
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).cast("long").alias("rid"),
+        F.col("l_quantity").alias("qty"),
+    )
+    tmp = tempfile.mkdtemp(prefix="txcdf_")
+    try:
+        t = TxTable.create(spark, f"{tmp}/tbl", base.repartitionByRange(4, "rid"))
+        in_upd = F.col("rid").between(_U1, _U2)
+        src = base.where(in_upd).select(
+            "rid", (F.col("qty") + F.lit(100.0)).alias("qty")
+        )
+        t.merge(src, "rid")
+        cdf = table_changes(t, 0, 1)
+        out = cdf.groupBy("_commit_version", "_change_type").agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("qty").cast("decimal(18,2)").alias("sum_qty"),
+        ).select(
+            F.col("_commit_version").alias("commit_version"),
+            F.col("_change_type").alias("change_type"),
+            "n_rows",
+            "sum_qty",
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+_TABLE_CHANGES_SQL = f"""
+WITH base AS (
+  SELECT l_orderkey * 10 + l_linenumber AS rid, l_quantity AS qty
+  FROM lineitem WHERE l_orderkey <= {_K}
+), upd AS (SELECT rid, qty FROM base WHERE rid BETWEEN {_U1} AND {_U2})
+SELECT 1 AS commit_version, 'delete' AS change_type,
+       COUNT(*) AS n_rows, CAST(SUM(qty) AS DECIMAL(18,2)) AS sum_qty FROM upd
+UNION ALL
+SELECT 1, 'insert', COUNT(*), CAST(SUM(qty + 100.0) AS DECIMAL(18,2)) FROM upd
+"""
+
+QUERIES["q_table_changes"] = q_table_changes
+ORACLE["q_table_changes"] = _TABLE_CHANGES_SQL

@@ -756,3 +756,67 @@ def clone(src: TxTable, spark: SparkSession, dst_path: str) -> TxTable:
         "clone", adds, [], None, schema_json=src.schema_at().json()
     )
     return t
+
+
+def table_changes(t: TxTable, from_version: int, to_version: int) -> DataFrame:
+    """Change data feed derived from the log: row-level +/- deltas for
+    every commit in (from_version, to_version]. Appends/creates are
+    pure inserts (their added files, no diff needed). Rewriting
+    commits (delete/merge/overwrite/optimize) are diffed file-locally:
+    removed-file rows `exceptAll` added-file rows = deletes, and the
+    reverse = inserts — rewritten-but-identical rows cancel out, so an
+    OPTIMIZE yields an EMPTY feed even though every byte moved.
+
+    Scale: the diff touches only each commit's removed+added files
+    (the delete/merge machinery already bounds those via stats
+    pruning), and exceptAll is one hash shuffle over those rows — a
+    day's CDF costs the day's rewrites, not the table. Emits
+    (_change_type, _commit_version) + the row, newest commits last.
+    """
+    tail = t.latest_version()
+    if not -1 <= from_version <= to_version <= tail:
+        raise ValueError(
+            f"need -1 <= from {from_version} <= to {to_version} <= tail {tail}"
+        )
+    schema = t.schema_at(to_version)
+    spark = t.spark
+
+    def _read_files(adds: list[dict]) -> DataFrame:
+        if not adds:
+            return spark.createDataFrame([], schema)
+        paths = [
+            os.path.join(a.get("base", t.path), a["path"]) for a in adds
+        ]
+        return spark.read.schema(schema).parquet(*paths)
+
+    out: DataFrame | None = None
+    for v in range(from_version + 1, to_version + 1):
+        e = t._read_entry(v)
+        new = _read_files(e.get("add", []))
+        if e.get("remove"):
+            # resolve removed paths against the pre-commit snapshot so
+            # clone bases survive
+            prev = t.snapshot(v - 1)
+            old_adds = [prev[p].to_json() for p in e["remove"] if p in prev]
+            old = _read_files(old_adds)
+            ins = new.exceptAll(old)
+            dels = old.exceptAll(new)
+        else:
+            ins = new
+            dels = spark.createDataFrame([], schema)
+        delta = ins.withColumn("_change_type", F.lit("insert")).unionByName(
+            dels.withColumn("_change_type", F.lit("delete"))
+        ).withColumn("_commit_version", F.lit(v).cast("long"))
+        out = delta if out is None else out.unionByName(delta)
+    if out is None:
+        return spark.createDataFrame(
+            [],
+            T.StructType(
+                list(schema.fields)
+                + [
+                    T.StructField("_change_type", T.StringType()),
+                    T.StructField("_commit_version", T.LongType()),
+                ]
+            ),
+        )
+    return out

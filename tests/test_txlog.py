@@ -421,3 +421,31 @@ def test_shallow_clone_is_zero_copy_and_independent(spark, tmp_path):
     assert c.read().where(F.col("k") == 777).count() == 0
     # clone's own rewrites landed in the clone's data dir
     assert os.path.isdir(os.path.join(c.path, "data"))
+
+
+def test_table_changes_feed(spark, tmp_path):
+    from sandbox_data_pipeline_spark.sinks.txlog import optimize, table_changes
+
+    t = _mk(spark, tmp_path)  # v0: k 0..99, v = 10k
+    t.append(spark.createDataFrame([(200, 1)], "k long, v long"))  # v1
+    t.merge(spark.createDataFrame([(5, 999), (300, 3)], "k long, v long"), "k")  # v2
+    cdf = table_changes(t, -1, t.latest_version())
+    by = {
+        (r["_commit_version"], r["_change_type"], r["k"]): r["v"]
+        for r in cdf.collect()
+    }
+    # v0 create: 100 inserts; v1 append: 1 insert
+    assert sum(1 for (v, c, _k) in by if v == 0 and c == "insert") == 100
+    assert by[(1, "insert", 200)] == 1
+    # v2 merge: k=5 rewritten (delete old 50, insert 999), k=300 new
+    assert by[(2, "delete", 5)] == 50
+    assert by[(2, "insert", 5)] == 999
+    assert by[(2, "insert", 300)] == 3
+    # untouched rewritten rows cancel: no delete for keys != 5
+    assert not any(
+        c == "delete" and k != 5 for (v, c, k) in by if v == 2
+    )
+    # OPTIMIZE is CDF-silent: every byte moves, no row changes
+    optimize(t, num_files=2)
+    silent = table_changes(t, t.latest_version() - 1, t.latest_version())
+    assert silent.count() == 0
