@@ -449,3 +449,76 @@ def test_table_changes_feed(spark, tmp_path):
     optimize(t, num_files=2)
     silent = table_changes(t, t.latest_version() - 1, t.latest_version())
     assert silent.count() == 0
+
+
+def test_streaming_rollup_into_txtable_matches_batch(spark, tmp_path):
+    """End-to-end: commit-log stream → per-batch delta aggregation →
+    transactional rollup table maintained by overwrite with txn
+    identity — the streaming IVM loop, exactly-once across restarts."""
+    from sandbox_data_pipeline_spark.sinks.txlog import SkippedWrite
+    from sandbox_data_pipeline_spark.sources.txlog_stream import (
+        TxLogStreamDataSource,
+    )
+
+    try:
+        spark.dataSource.register(TxLogStreamDataSource)
+    except Exception:
+        pass
+    src_df = spark.range(0, 60).select(
+        (F.col("id") % 5).alias("k"), F.col("id").alias("v")
+    )
+    src = TxTable.create(spark, str(tmp_path / "src"), src_df)
+    roll_path = str(tmp_path / "roll")
+    ckpt = str(tmp_path / "ck_roll")
+
+    def _roll(batch_df, batch_id):
+        s = batch_df.sparkSession
+        delta = batch_df.groupBy("k").agg(F.sum("v").alias("total"))
+        try:
+            cur = TxTable(s, roll_path)
+            cur.latest_version()
+        except FileNotFoundError:
+            TxTable.create(s, roll_path, delta, txn=("roll", batch_id))
+            return
+        merged = (
+            cur.read()
+            .withColumnRenamed("total", "_t0")
+            .join(delta.withColumnRenamed("total", "_t1"), "k", "full_outer")
+            .select(
+                "k",
+                (
+                    F.coalesce("_t0", F.lit(0)) + F.coalesce("_t1", F.lit(0))
+                ).alias("total"),
+            )
+        )
+        try:
+            cur.overwrite_all(merged, txn=("roll", batch_id))
+        except SkippedWrite:
+            pass
+
+    def run():
+        q = (
+            spark.readStream.format("txlog")
+            .option("path", src.path)
+            .load()
+            .drop("_commit_version")
+            .writeStream.foreachBatch(_roll)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    src.append(
+        spark.range(60, 100).select((F.col("id") % 5).alias("k"), F.col("id").alias("v"))
+    )
+    run()
+    got = {
+        r["k"]: r["total"] for r in TxTable(spark, roll_path).read().collect()
+    }
+    want = {
+        r["k"]: r["total"]
+        for r in src.read().groupBy("k").agg(F.sum("v").alias("total")).collect()
+    }
+    assert got == want
