@@ -88,3 +88,58 @@ def cms_estimate(
         .groupBy(*candidates.columns)
         .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias("cms_n"))
     )
+
+
+# --- KMV (k-minimum-values) distinct sketch ---------------------------------
+#
+# The theta-sketch family member whose every operation is integer
+# arithmetic on portable hashes — so unlike HLL (whose register layout
+# is engine-internal), a KMV estimate is EXACTLY replayable in SQL and
+# earns a full oracle row. Mergeable by construction: union = the k
+# smallest of the concatenation, which is how a 100 TB scan combines
+# per-partition sketches (partial TakeOrdered per partition, one tiny
+# final merge — the same two-phase shape Spark's TakeOrdered plans).
+
+KMV_K = 256
+KMV_MAX = (1 << 60) - 1  # portable_hash emits 60-bit non-negatives
+
+
+def kmv_sketch(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: int = KMV_K,
+) -> DataFrame:
+    """Per-group KMV sketch: the k smallest distinct 60-bit hashes of
+    ``value_col``. Returns (group, kth_value, n_kept) — enough for the
+    estimator and for pairwise intersections."""
+    from pyspark.sql import Window
+
+    from sandbox_data_pipeline_spark.operators.dedup import portable_hash
+
+    hashed = df.select(
+        F.col(group_col).alias("grp"),
+        portable_hash(F.col(value_col).cast("string"), salt="kmv").alias("hv"),
+    ).distinct()
+    w = Window.partitionBy("grp").orderBy("hv")
+    return (
+        hashed.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .groupBy("grp")
+        .agg(
+            F.max("hv").alias("kth_value"),
+            F.count(F.lit(1)).alias("n_kept"),
+        )
+    )
+
+
+def kmv_estimate_col(n_kept: Column, kth_value: Column) -> Column:
+    """Distinct-count estimate: exact count when the set is smaller
+    than k (kth_value is just the max then), else (k-1) / normalized
+    kth minimum — the classic KMV estimator, rounded to a stable
+    integer on both engines."""
+    full = n_kept >= F.lit(KMV_K)
+    est = (F.lit(KMV_K) - 1) * F.lit(float(KMV_MAX)) / kth_value
+    return F.when(full, F.round(est).cast("long")).otherwise(
+        n_kept.cast("long")
+    )

@@ -160,6 +160,7 @@ DRIVER_PRIORITY = (
     "q_simhash_quality_sweep",
     "q_restore",
     "q_table_changes",
+    "q_kmv_distinct",
 )
 
 

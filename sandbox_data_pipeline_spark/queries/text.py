@@ -1913,3 +1913,88 @@ GROUP BY 1, 2
 
 QUERIES["q_curriculum_shards"] = q_curriculum_shards
 ORACLE["q_curriculum_shards"] = _ORACLE_CURRICULUM
+
+
+def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-token sketch per source, with its measured error
+    against the exact count — the oracle-able member of the sketch
+    family: every step is integer arithmetic on portable 60-bit
+    hashes, so DuckDB replays the ENTIRE sketch (HLL's registers are
+    engine-internal; q_agg_approx stays rows-only for that reason).
+    Mergeable at scale: union = k smallest of concatenated sketches
+    (two-phase TakeOrdered shape), never a re-scan."""
+    from sandbox_data_pipeline_spark.operators.sketch import (
+        kmv_estimate_col,
+        kmv_sketch,
+    )
+
+    toks = (
+        table(spark, sf_dir, "documents")
+        .select("source", F.explode(F.split("text", " ")).alias("tok"))
+        .where(F.col("tok") != "")
+    )
+    sk = kmv_sketch(toks, "source", "tok")
+    exact = (
+        toks.distinct().groupBy("source").agg(F.count(F.lit(1)).alias("n_exact"))
+    )
+    return (
+        sk.withColumnRenamed("grp", "source")
+        .join(exact, "source")
+        .select(
+            "source",
+            F.col("n_kept").cast("long").alias("n_kept"),
+            kmv_estimate_col(F.col("n_kept"), F.col("kth_value")).alias(
+                "est_distinct"
+            ),
+            F.col("n_exact").cast("long").alias("n_exact"),
+            F.round(
+                F.abs(
+                    kmv_estimate_col(F.col("n_kept"), F.col("kth_value"))
+                    - F.col("n_exact")
+                )
+                * 10000.0
+                / F.col("n_exact")
+            )
+            .cast("long")
+            .alias("rel_err_x10000"),
+        )
+    )
+
+
+_ORACLE_KMV = """
+WITH toks AS (
+  SELECT source, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tok
+  FROM documents
+),
+hashed AS (
+  SELECT DISTINCT source AS grp,
+         CAST('0x' || substr(md5('kmv' || tok), 1, 15) AS BIGINT) AS hv
+  FROM toks
+),
+ranked AS (
+  SELECT grp, hv, row_number() OVER (PARTITION BY grp ORDER BY hv) AS rn
+  FROM hashed
+),
+sk AS (
+  SELECT grp, max(hv) AS kth, count(*) AS n_kept
+  FROM ranked WHERE rn <= 256 GROUP BY grp
+),
+exact AS (
+  SELECT source AS grp, count(DISTINCT tok) AS n_exact FROM toks GROUP BY 1
+),
+j AS (
+  SELECT sk.grp AS source, sk.n_kept, sk.kth, exact.n_exact,
+         CASE WHEN sk.n_kept >= 256
+              THEN CAST(round(255 * 1152921504606846975.0 / sk.kth) AS BIGINT)
+              ELSE CAST(sk.n_kept AS BIGINT) END AS est_distinct
+  FROM sk JOIN exact ON exact.grp = sk.grp
+)
+SELECT source, CAST(n_kept AS BIGINT) AS n_kept, est_distinct,
+       CAST(n_exact AS BIGINT) AS n_exact,
+       CAST(round(abs(est_distinct - n_exact) * 10000.0 / n_exact) AS BIGINT)
+         AS rel_err_x10000
+FROM j
+"""
+
+QUERIES["q_kmv_distinct"] = q_kmv_distinct
+ORACLE["q_kmv_distinct"] = _ORACLE_KMV

@@ -131,3 +131,29 @@ def test_profile_drift_weeks_partition_events(spark, sf_dir):
         .count()
     )
     assert row["a"] + row["b"] == n and row["a"] > 0 and row["b"] > 0
+
+
+def test_kmv_estimate_accuracy_and_exact_small_sets(spark):
+    from sandbox_data_pipeline_spark.operators.sketch import (
+        kmv_estimate_col,
+        kmv_sketch,
+    )
+
+    # small set (< k): estimator returns the EXACT count
+    small = spark.range(0, 100).select(
+        F.lit("s").alias("g"), F.col("id").cast("string").alias("v")
+    )
+    sk = kmv_sketch(small, "g", "v")
+    row = sk.select(
+        kmv_estimate_col(F.col("n_kept"), F.col("kth_value")).alias("e")
+    ).first()
+    assert row["e"] == 100
+    # large set (>> k): estimate within ~3/sqrt(k) ≈ 19% of truth
+    big = spark.range(0, 50_000).select(
+        F.lit("b").alias("g"), F.col("id").cast("string").alias("v")
+    )
+    skb = kmv_sketch(big, "g", "v")
+    est = skb.select(
+        kmv_estimate_col(F.col("n_kept"), F.col("kth_value")).alias("e")
+    ).first()["e"]
+    assert abs(est - 50_000) / 50_000 < 0.19
