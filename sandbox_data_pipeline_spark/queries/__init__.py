@@ -161,6 +161,7 @@ DRIVER_PRIORITY = (
     "q_restore",
     "q_table_changes",
     "q_kmv_distinct",
+    "q_replace_where",
 )
 
 

@@ -254,3 +254,65 @@ SELECT 1, 'insert', COUNT(*), CAST(SUM(qty + 100.0) AS DECIMAL(18,2)) FROM upd
 
 QUERIES["q_table_changes"] = q_table_changes
 ORACLE["q_table_changes"] = _TABLE_CHANGES_SQL
+
+
+def q_replace_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's hourly publish as ONE transactional commit
+    (sinks/txlog.replace_where — delete the hour + insert the hour,
+    atomically): partition lineitem rows into 3 pseudo-hours, replace
+    hour 1 with a recomputed frame, and emit per-(version, hour)
+    aggregates. The oracle states both snapshots directly; the hash
+    match proves untouched hours survive byte-exact while the replaced
+    hour swaps completely."""
+    from sandbox_data_pipeline_spark.sinks.txlog import TxTable, replace_where
+
+    li = table(spark, sf_dir, "lineitem")
+    base = li.where(F.col("l_orderkey") <= _K).select(
+        (F.col("l_orderkey") % 3).alias("hr"),
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).cast("long").alias("rid"),
+        F.col("l_quantity").alias("qty"),
+    )
+    tmp = tempfile.mkdtemp(prefix="txrepl_")
+    try:
+        t = TxTable.create(spark, f"{tmp}/tbl", base.repartitionByRange(3, "hr"))
+        fresh = base.where(F.col("hr") == 1).select(
+            "hr", "rid", (F.col("qty") + F.lit(1000.0)).alias("qty")
+        )
+        replace_where(t, fresh, "hr", 1, 1)
+        rows = []
+        for v in range(2):
+            for r in (
+                t.read(version=v)
+                .groupBy("hr")
+                .agg(
+                    F.count(F.lit(1)).alias("n_rows"),
+                    F.sum("qty").cast("decimal(18,2)").alias("sum_qty"),
+                )
+                .collect()
+            ):
+                rows.append((v, r["hr"], r["n_rows"], r["sum_qty"]))
+        return spark.createDataFrame(
+            rows, "version int, hr long, n_rows long, sum_qty decimal(18,2)"
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+_REPLACE_WHERE_SQL = f"""
+WITH base AS (
+  SELECT l_orderkey % 3 AS hr,
+         l_orderkey * 10 + l_linenumber AS rid,
+         l_quantity AS qty
+  FROM lineitem WHERE l_orderkey <= {_K}
+)
+SELECT 0 AS version, hr, COUNT(*) AS n_rows,
+       CAST(SUM(qty) AS DECIMAL(18,2)) AS sum_qty
+FROM base GROUP BY hr
+UNION ALL
+SELECT 1, hr, COUNT(*),
+       CAST(SUM(CASE WHEN hr = 1 THEN qty + 1000.0 ELSE qty END) AS DECIMAL(18,2))
+FROM base GROUP BY hr
+"""
+
+QUERIES["q_replace_where"] = q_replace_where
+ORACLE["q_replace_where"] = _REPLACE_WHERE_SQL

@@ -820,3 +820,56 @@ def table_changes(t: TxTable, from_version: int, to_version: int) -> DataFrame:
             ),
         )
     return out
+
+
+def replace_where(
+    t: TxTable,
+    df: DataFrame,
+    col: str,
+    lo: Any,
+    hi: Any,
+    txn: tuple[str, int] | None = None,
+) -> int:
+    """Atomic predicate replace — Delta's ``replaceWhere``, and the
+    exact transactional form of the reference's hourly publish
+    (``DELETE WHERE run_hr = X; INSERT``, write_weather_to_bigquery.sql
+    delete+insert): ONE commit removes every file overlapping
+    ``col BETWEEN lo AND hi`` (rows outside the range in those files
+    are rewritten and kept) and adds the incoming frame — readers see
+    the old hour or the new hour, never neither, which two separate
+    delete+append commits cannot guarantee.
+
+    The incoming frame is constrained to the predicate (rows outside
+    raise — silent misplaced rows are how partition contracts rot)."""
+    n_outside = df.where(~F.col(col).between(F.lit(lo), F.lit(hi))).count()
+    if n_outside:
+        raise ValueError(
+            f"replace_where data contains {n_outside} rows outside "
+            f"{col} in [{lo}, {hi}]"
+        )
+    rv = t.latest_version()
+    snap = t.snapshot(rv)
+    touched = [
+        f
+        for f in snap.values()
+        if col not in f.stats
+        or not (f.stats[col]["max"] < lo or f.stats[col]["min"] > hi)
+    ]
+    schema = t.schema_at(rv)
+    keep = t.spark.createDataFrame([], schema)
+    if touched:
+        paths = [t._abs(f) for f in touched]
+        keep = (
+            t.spark.read.schema(schema)
+            .parquet(*paths)
+            .where(~F.col(col).between(F.lit(lo), F.lit(hi)))
+        )
+    adds = t._write_data(keep.unionByName(df.select(*[f.name for f in schema.fields])), rv + 1)
+    return t._commit(
+        "replace_where",
+        adds,
+        [f.path for f in touched],
+        rv,
+        txn=txn,
+        keys_touched={"col": col, "lo": str(lo), "hi": str(hi)},
+    )

@@ -522,3 +522,32 @@ def test_streaming_rollup_into_txtable_matches_batch(spark, tmp_path):
         for r in src.read().groupBy("k").agg(F.sum("v").alias("total")).collect()
     }
     assert got == want
+
+
+def test_replace_where_is_one_atomic_commit(spark, tmp_path):
+    from sandbox_data_pipeline_spark.sinks.txlog import replace_where
+
+    base = spark.range(0, 300).select(
+        (F.col("id") % 3).alias("hr"), F.col("id").alias("v")
+    ).repartitionByRange(3, "hr")
+    t = TxTable.create(spark, str(tmp_path / "tbl"), base)
+    fresh = spark.range(1000, 1010).select(
+        F.lit(1).cast("long").alias("hr"), F.col("id").alias("v")
+    )
+    v = replace_where(t, fresh, "hr", 1, 1)
+    assert v == 1  # exactly ONE commit for delete+insert
+    got = t.read()
+    assert got.where(F.col("hr") == 1).count() == 10  # hour replaced
+    assert got.where(F.col("hr") != 1).count() == 200  # others intact
+    # time travel still shows the pre-publish hour
+    assert t.read(version=0).where(F.col("hr") == 1).count() == 100
+    # rows outside the predicate are rejected, not silently written
+    bad = spark.createDataFrame([(2, 1)], "hr long, v long")
+    with pytest.raises(ValueError, match="outside"):
+        replace_where(t, bad, "hr", 1, 1)
+    # retried publish with the same txn id is absorbed
+    from sandbox_data_pipeline_spark.sinks.writers import SkippedWrite as SW
+
+    replace_where(t, fresh, "hr", 1, 1, txn=("pub", 7))
+    with pytest.raises(SW):
+        replace_where(t, fresh, "hr", 1, 1, txn=("pub", 7))
