@@ -1013,3 +1013,236 @@ def png_resize_stats(media: DataFrame, out_w: int = 6, out_h: int = 6) -> DataFr
             yield pd.DataFrame(rows, columns=[f.name for f in PNG_STATS_SCHEMA.fields])
 
     return media.mapInPandas(_run, PNG_STATS_SCHEMA)
+
+
+# --- REAL dictionary-codec decode: GIF (LZW, pure stdlib) -------------------
+#
+# The codec trilogy's third member: BMP proved the uncompressed pixel
+# path, PNG proved a real DEFLATE stream with per-row filters, and GIF
+# proves a DICTIONARY codec — full LZW with variable code widths
+# (growing to 12 bits), LSB-first bit packing, clear/EOI control
+# codes, and the KwKwK corner case — implemented from the GIF89a spec
+# with nothing beyond bytes. Pixels are palette indices with a closed
+# form of (media_id, x, y), and the 64-entry palette is itself a
+# closed form of the index, so DuckDB replays the decoded RGB stats
+# without any image library.
+
+_GIF_PALETTE_BITS = 6  # 64-color global table → LZW min code size 6
+
+
+def _gif_dims(doc_id: int) -> tuple[int, int]:
+    return 4 * (doc_id % 5 + 1), 3 * (doc_id % 4 + 1)
+
+
+def _gif_index(doc_id: int, x: int, y: int) -> int:
+    return (doc_id * 3 + x * 5 + y * 7) % 64
+
+
+def _gif_palette(i: int) -> tuple[int, int, int]:
+    return ((i * 7 + 11) % 256, (i * 13 + 17) % 256, (i * 19 + 23) % 256)
+
+
+def _lzw_encode(indices: list[int], min_code_size: int) -> bytes:
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    table: dict[tuple[int, ...], int] = {(i,): i for i in range(clear)}
+    next_code = eoi + 1
+    width = min_code_size + 1
+    out_bits: list[int] = []
+
+    def emit(code: int, w: int) -> None:
+        for b in range(w):  # LSB first
+            out_bits.append((code >> b) & 1)
+
+    emit(clear, width)
+    buf: tuple[int, ...] = ()
+    for idx in indices:
+        cand = buf + (idx,)
+        if cand in table:
+            buf = cand
+            continue
+        emit(table[buf], width)
+        table[cand] = next_code
+        next_code += 1
+        if next_code == (1 << width) + 1 and width < 12:
+            width += 1
+        if next_code >= 4096:
+            emit(clear, width)
+            table = {(i,): i for i in range(clear)}
+            next_code = eoi + 1
+            width = min_code_size + 1
+        buf = (idx,)
+    if buf:
+        emit(table[buf], width)
+    emit(eoi, width)
+    by = bytearray()
+    for i in range(0, len(out_bits), 8):
+        v = 0
+        for j, bit in enumerate(out_bits[i : i + 8]):
+            v |= bit << j
+        by.append(v)
+    return bytes(by)
+
+
+def _lzw_decode(data: bytes, min_code_size: int, n_expected: int) -> list[int]:
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    pos = 0
+
+    def read(w: int) -> int:
+        nonlocal pos
+        v = 0
+        for b in range(w):
+            byte = data[(pos + b) >> 3] if (pos + b) >> 3 < len(data) else 0
+            v |= ((byte >> ((pos + b) & 7)) & 1) << b
+        pos += w
+        return v
+
+    table: list[list[int]] = [[i] for i in range(clear)] + [[], []]
+    width = min_code_size + 1
+    out: list[int] = []
+    prev: list[int] | None = None
+    while True:
+        code = read(width)
+        if code == clear:
+            table = [[i] for i in range(clear)] + [[], []]
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if code < len(table) and table[code]:
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + [prev[0]]  # KwKwK
+        else:
+            raise ValueError(f"bad LZW code {code}")
+        out.extend(entry)
+        if prev is not None:
+            table.append(prev + [entry[0]])
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+        if len(out) > n_expected:
+            raise ValueError("LZW produced more pixels than the geometry")
+    if len(out) != n_expected:
+        raise ValueError(f"LZW produced {len(out)} of {n_expected} pixels")
+    return out
+
+
+def build_gif(doc_id: int) -> bytes:
+    """A fully valid GIF89a: logical screen descriptor, 64-entry
+    global color table, one image with REAL LZW-compressed indices in
+    255-byte sub-blocks."""
+    import struct
+
+    w, h = _gif_dims(doc_id)
+    indices = [_gif_index(doc_id, x, y) for y in range(h) for x in range(w)]
+    blob = bytearray(b"GIF89a")
+    # packed: GCT present, color resolution 7, GCT size 2^(5+1)=64
+    blob += struct.pack("<HHBBB", w, h, 0b10100101, 0, 0)
+    for i in range(64):
+        blob += bytes(_gif_palette(i))
+    blob += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+    blob.append(_GIF_PALETTE_BITS)  # LZW min code size
+    comp = _lzw_encode(indices, _GIF_PALETTE_BITS)
+    for off in range(0, len(comp), 255):
+        chunk = comp[off : off + 255]
+        blob.append(len(chunk))
+        blob += chunk
+    blob += b"\x00\x3b"  # block terminator + trailer
+    return bytes(blob)
+
+
+def decode_gif(blob: bytes) -> dict[str, Any]:
+    """REAL decode: header/LSD/GCT parse, sub-block reassembly, full
+    LZW expansion, palette mapping → the codec-stats shape. Truncated
+    or malformed structures surface as ValueError, never as a raw
+    struct/index error from a negative-length slice."""
+    import struct
+
+    if blob[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    try:
+        return _decode_gif_body(blob)
+    except (struct.error, IndexError) as e:
+        raise ValueError(f"truncated GIF: {e}") from e
+
+
+def _decode_gif_body(blob: bytes) -> dict[str, Any]:
+    import struct
+
+    w, h, packed, _bg, _ar = struct.unpack_from("<HHBBB", blob, 6)
+    if not packed & 0x80:
+        raise ValueError("missing global color table")
+    gct_n = 2 << (packed & 0x07)
+    pos = 13
+    palette = [tuple(blob[pos + 3 * i : pos + 3 * i + 3]) for i in range(gct_n)]
+    pos += 3 * gct_n
+    if blob[pos] != 0x2C:
+        raise ValueError("expected image descriptor")
+    ix, iy, iw, ih, ipacked = struct.unpack_from("<HHHHB", blob, pos + 1)
+    if (ix, iy, iw, ih) != (0, 0, w, h) or ipacked & 0x80:
+        raise ValueError("only full-frame images with the global table")
+    pos += 10
+    min_code = blob[pos]
+    pos += 1
+    comp = bytearray()
+    while True:
+        n = blob[pos]
+        pos += 1
+        if n == 0:
+            break
+        comp += blob[pos : pos + n]
+        pos += n
+    if blob[pos] != 0x3B:
+        raise ValueError("missing trailer")
+    indices = _lzw_decode(bytes(comp), min_code, w * h)
+    if max(indices) >= gct_n:
+        raise ValueError("palette index out of range")
+    px = [palette[i] for i in indices]
+    n = w * h
+    sums = [sum(p[c] for p in px) for c in range(3)]
+    tl, br = px[0], px[-1]
+    return {
+        "width": w,
+        "height": h,
+        "tl_r": tl[0], "tl_g": tl[1], "tl_b": tl[2],
+        "br_r": br[0], "br_g": br[1], "br_b": br[2],
+        "mean_r": round(sums[0] / n, 4),
+        "mean_g": round(sums[1] / n, 4),
+        "mean_b": round(sums[2] / n, 4),
+    }
+
+
+def gif_media(docs: DataFrame) -> DataFrame:
+    """One real GIF payload per document (Arrow-batched builder)."""
+
+    def _build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": b["doc_id"],
+                    "content": [build_gif(int(d)) for d in b["doc_id"]],
+                }
+            )
+
+    schema = StructType(
+        [StructField("media_id", LongType()), StructField("content", BinaryType())]
+    )
+    return docs.select("doc_id").mapInPandas(_build, schema)
+
+
+def gif_decode_stats(media: DataFrame) -> DataFrame:
+    """Arrow-batched REAL GIF decode → pixel statistics."""
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for mid, blob in zip(b["media_id"], b["content"]):
+                d = decode_gif(bytes(blob))
+                d["media_id"] = int(mid)
+                rows.append(d)
+            yield pd.DataFrame(rows, columns=[f.name for f in BMP_STATS_SCHEMA.fields])
+
+    return media.mapInPandas(_decode, BMP_STATS_SCHEMA)

@@ -162,6 +162,7 @@ DRIVER_PRIORITY = (
     "q_table_changes",
     "q_kmv_distinct",
     "q_replace_where",
+    "q_gif_decode_stats",
 )
 
 

@@ -479,3 +479,63 @@ SELECT d.doc_id AS media_id, 6 AS width, 6 AS height,
 FROM dims d JOIN means m ON m.doc_id = d.doc_id
 """
 QUERIES["q_png_resize_stats"] = q_png_resize_stats
+
+
+def q_gif_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL dictionary-codec decode, oracle-verified: build valid
+    GIF89a files (64-color global table, genuine LZW with variable
+    code widths, LSB-first packing, clear/EOI, 255-byte sub-blocks),
+    decode them with the stdlib-only decoder
+    (operators/multimodal.py: decode_gif), and emit pixel stats. Both
+    the palette and the index plane are closed forms, so DuckDB
+    replays the decoded RGB without any image library — a hash match
+    proves the LZW round trip lossless."""
+    from sandbox_data_pipeline_spark.operators.multimodal import (
+        gif_decode_stats,
+        gif_media,
+    )
+
+    return gif_decode_stats(gif_media(table(spark, sf_dir, "documents")))
+
+
+ORACLE["q_gif_decode_stats"] = """
+WITH dims AS (
+  SELECT doc_id, 4 * (doc_id % 5 + 1) AS w, 3 * (doc_id % 4 + 1) AS h
+  FROM documents
+),
+px AS (
+  SELECT d.doc_id, d.w, d.h, fx.range AS x, fy.range AS y,
+         (d.doc_id * 3 + fx.range * 5 + fy.range * 7) % 64 AS idx
+  FROM dims d CROSS JOIN range(0, 20) fx CROSS JOIN range(0, 15) fy
+  WHERE fx.range < d.w AND fy.range < d.h
+),
+vals AS (
+  SELECT doc_id,
+         (idx * 7 + 11) % 256 AS r,
+         (idx * 13 + 17) % 256 AS g,
+         (idx * 19 + 23) % 256 AS b
+  FROM px
+),
+means AS (
+  SELECT doc_id, round(avg(r), 4) AS mean_r, round(avg(g), 4) AS mean_g,
+         round(avg(b), 4) AS mean_b
+  FROM vals GROUP BY 1
+),
+corners AS (
+  SELECT d.doc_id,
+         (d.doc_id * 3) % 64 AS tl_idx,
+         (d.doc_id * 3 + (d.w - 1) * 5 + (d.h - 1) * 7) % 64 AS br_idx,
+         d.w, d.h
+  FROM dims d
+)
+SELECT c.doc_id AS media_id, c.w AS width, c.h AS height,
+       (c.tl_idx * 7 + 11) % 256 AS tl_r,
+       (c.tl_idx * 13 + 17) % 256 AS tl_g,
+       (c.tl_idx * 19 + 23) % 256 AS tl_b,
+       (c.br_idx * 7 + 11) % 256 AS br_r,
+       (c.br_idx * 13 + 17) % 256 AS br_g,
+       (c.br_idx * 19 + 23) % 256 AS br_b,
+       m.mean_r, m.mean_g, m.mean_b
+FROM corners c JOIN means m ON m.doc_id = c.doc_id
+"""
+QUERIES["q_gif_decode_stats"] = q_gif_decode_stats

@@ -308,3 +308,54 @@ class TestPngCodec:
         assert (d["br_r"], d["br_g"], d["br_b"]) == _png_px(
             did, 5 * w // 6, 5 * h // 6
         )
+
+
+class TestGifCodec:
+    def test_round_trip_matches_generator(self):
+        from sandbox_data_pipeline_spark.operators.multimodal import (
+            _gif_dims,
+            _gif_index,
+            _gif_palette,
+            build_gif,
+            decode_gif,
+        )
+
+        for did in (0, 4, 9, 13, 19):
+            d = decode_gif(build_gif(did))
+            w, h = _gif_dims(did)
+            assert (d["width"], d["height"]) == (w, h)
+            assert (d["tl_r"], d["tl_g"], d["tl_b"]) == _gif_palette(
+                _gif_index(did, 0, 0)
+            )
+            assert (d["br_r"], d["br_g"], d["br_b"]) == _gif_palette(
+                _gif_index(did, w - 1, h - 1)
+            )
+
+    def test_lzw_width_growth_and_dictionary_reset(self):
+        from sandbox_data_pipeline_spark.operators.multimodal import (
+            _lzw_decode,
+            _lzw_encode,
+        )
+
+        # 30k pseudo-random indices: code width must grow to 12 bits
+        # and the 4096-entry dictionary must reset mid-stream
+        seq = [(i * 2654435761 >> 7) % 64 for i in range(30_000)]
+        assert _lzw_decode(_lzw_encode(seq, 6), 6, len(seq)) == seq
+        # KwKwK corner case: aaa... forces code == next_code immediately
+        runs = [5] * 500
+        assert _lzw_decode(_lzw_encode(runs, 6), 6, len(runs)) == runs
+
+    def test_corruption_raises(self):
+        import pytest
+
+        from sandbox_data_pipeline_spark.operators.multimodal import (
+            build_gif,
+            decode_gif,
+        )
+
+        blob = build_gif(7)
+        with pytest.raises(ValueError, match="not a GIF"):
+            decode_gif(b"XX" + blob[2:])
+        # truncate the pixel stream: LZW yields too few pixels
+        with pytest.raises(ValueError):
+            decode_gif(blob[:20])
