@@ -101,6 +101,10 @@ HEADLINE = [
     "q_gini_concentration",
     "q_psi_drift",
     "q_event_transitions",
+    "q_png_decode_stats",
+    "q_gif_decode_stats",
+    "q_kmv_distinct",
+    "q_simhash_quality_sweep",
 ]
 
 
