@@ -10,47 +10,13 @@ Usage: python tools/check_oracle.py [sf_dir] [query_name ...]
 
 from __future__ import annotations
 
-import hashlib
-import math
 import sys
 import time
-from datetime import date, datetime
 
 sys.path.insert(0, ".")
 
-
-def _norm(v):
-    if v is None:
-        return "NULL"
-    if isinstance(v, bool):
-        return str(int(v))
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        if v == int(v) and abs(v) < 1e15:
-            return str(int(v))
-        return f"{v:.6g}"
-    if isinstance(v, datetime):
-        return v.isoformat()
-    if isinstance(v, date):
-        return v.isoformat()
-    if isinstance(v, (list, tuple)):
-        return "[" + ",".join(_norm(x) for x in v) + "]"
-    if isinstance(v, dict):
-        return "{" + ",".join(f"{k}:{_norm(v[k])}" for k in sorted(v)) + "}"
-    if isinstance(v, (bytes, bytearray)):
-        return v.hex()
-    return str(v)
-
-
-def value_hash(cols: list[str], rows: list[tuple]) -> str:
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    lines = sorted("|".join(_norm(r[i]) for i in order) for r in rows)
-    h = hashlib.sha256()
-    for line in lines:
-        h.update(line.encode())
-        h.update(b"\n")
-    return h.hexdigest()[:16]
+from tools._normalize import norm as _norm  # noqa: E402
+from tools._normalize import value_hash  # noqa: E402
 
 
 def main() -> int:

