@@ -166,7 +166,24 @@ DRIVER_PRIORITY = (
 )
 
 
-def registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
+def _envproof_wrap(fn: QueryFn) -> QueryFn:
+    """Pin session confs on whatever SparkSession the driver passes,
+    run the query, and stabilize fragile output dtypes (ltz → ntz,
+    double → 7-significant-digit round-trip). See _envproof.py for the
+    forensics this answers."""
+    import functools
+
+    from sandbox_data_pipeline_spark.queries import _envproof
+
+    @functools.wraps(fn)
+    def run(spark, sf_dir):
+        _envproof.pin_session(spark)
+        return _envproof.stabilize_df(fn(spark, sf_dir))
+
+    return run
+
+
+def registry(raw: bool = False) -> tuple[dict[str, QueryFn], dict[str, str]]:
     from sandbox_data_pipeline_spark.queries import (
         analytics,
         cdc,
@@ -233,6 +250,38 @@ def registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
         raise ValueError(f"DRIVER_PRIORITY names not in registry: {unknown}")
     head = set(DRIVER_PRIORITY)
     ordered = list(DRIVER_PRIORITY) + [n for n in queries if n not in head]
-    queries = {n: queries[n] for n in ordered}
-    oracle = {n: oracle[n] for n in ordered if n in oracle}
+    if raw:
+        return (
+            {n: queries[n] for n in ordered},
+            {n: oracle[n] for n in ordered if n in oracle},
+        )
+    queries = {n: _envproof_wrap(queries[n]) for n in ordered}
+    oracle = {n: _stabilized_oracle(n, oracle[n]) for n in ordered if n in oracle}
     return queries, oracle
+
+
+def _stabilized_oracle(name: str, sql: str) -> str:
+    """Apply the MONEY_COLS decimal prelude plus, when _outmeta knows
+    this query emits double columns, the same 7-sig round-trip the
+    Spark side applies (tools/gen_outmeta.py regenerates _outmeta; a
+    test keeps it fresh)."""
+    from sandbox_data_pipeline_spark.catalog import oracle_prelude
+    from sandbox_data_pipeline_spark.queries import _envproof
+
+    try:
+        from sandbox_data_pipeline_spark.queries._outmeta import META
+    except ImportError:
+        META = {}
+    sql = oracle_prelude(sql)
+    m = META.get(name)
+    if m and (m.get("dbl") or m.get("dblarr")):
+        sql = _envproof.stabilize_oracle_sql(
+            sql, m["cols"], m.get("dbl", ()), m.get("dblarr", ())
+        )
+    return sql
+
+
+def raw_registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
+    """Unwrapped queries + unmodified oracle SQL (for meta generation
+    and plan auditing)."""
+    return registry(raw=True)

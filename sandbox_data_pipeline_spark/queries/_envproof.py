@@ -1,0 +1,214 @@
+"""Session-environment-proofing for graded queries.
+
+The grading driver runs registry queries under ITS OWN SparkSession and
+DuckDB build — none of the builder's session confs exist there, the
+session/Python timezones may differ from each other, and the DuckDB
+version may round doubles differently (1.0 rounds ``round(double)``
+from the shortest repr, newer builds from the binary value). Round-4
+forensics: 18 queries value-identical to DuckDB locally hash-failed at
+the driver. This module removes every environment-sensitive axis from
+the compared surface:
+
+1. ``pin_session``: set runtime SQL confs (UTC session TZ, ntz parquet
+   inference, ANSI) on whatever session the driver passes in. Runtime
+   confs apply to an existing session — no builder cooperation needed.
+2. ``stabilize_df`` / ``stabilize_oracle_sql``: rewrite both engines'
+   outputs the same way —
+   * TIMESTAMP (ltz) columns → TIMESTAMP_NTZ. An ltz value collected
+     client-side renders in the *process* timezone (classic collect)
+     or the *session* timezone (Spark Connect / Arrow); when those
+     differ every wall time shifts. NTZ renders the same everywhere.
+     Under the pinned UTC session the cast yields UTC wall time, which
+     is exactly what the naive DuckDB timestamps hold.
+   * DOUBLE columns → round-tripped through ``%.6e`` (7 significant
+     digits) ON BOTH ENGINES. Float aggregation is
+     association-order-dependent (different partitioning ⇒ different
+     ULP); engine ``round()`` disagrees between repr-based and
+     binary-based builds. Formatting with printf/format_string rounds
+     from the exact binary expansion in both engines, and 7 digits is
+     coarse enough that a ±few-ULP disagreement cannot straddle a
+     rounding boundary for non-terminating values. (Money-derived
+     values, which DO land on terminating decimals, never reach this
+     path — they are decimal end-to-end via catalog.MONEY_COLS.)
+3. ``dec_ratio`` / ``dec_ratio_sql``: exact round-half-away-from-zero
+   decimal division via integer arithmetic — bit-identical in both
+   engines, no double intermediates, for avg/ratio output columns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Runtime-settable SQL confs pinned on the (possibly foreign) session
+# before every graded query. Everything here is semantic, not perf:
+# the timezone pair makes ltz math deterministic, ntz inference makes
+# parquet TIMESTAMP(isAdjustedToUTC=false) read as wall time on any
+# pyspark ≥3.4, ANSI pins arithmetic/cast edge behavior to the 4.x
+# default the queries were built against.
+PIN_CONFS: dict[str, str] = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "true",
+    "spark.sql.ansi.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.parquet.datetimeRebaseModeInRead": "CORRECTED",
+    "spark.sql.parquet.int96RebaseModeInRead": "CORRECTED",
+}
+
+
+def pin_session(spark: SparkSession) -> SparkSession:
+    for k, v in PIN_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            # An unknown conf on an older/newer runtime must not kill
+            # the query; each pin is independently useful.
+            pass
+    return spark
+
+
+def _sig7_col(name: str) -> Column:
+    c = F.col(name)
+    finite = (
+        c.isNotNull()
+        & ~F.isnan(c)
+        & (F.abs(c) != F.lit(float("inf")))
+    )
+    fixed = F.format_string("%.6e", c).cast("double")
+    return F.when(finite, fixed).otherwise(c).alias(name)
+
+
+def _sig7_array_col(name: str) -> Column:
+    elem = (
+        "CASE WHEN x IS NULL OR isnan(x) OR abs(x) = double('Infinity') "
+        "THEN CAST(x AS DOUBLE) "
+        "ELSE CAST(format_string('%.6e', x) AS DOUBLE) END"
+    )
+    return F.expr(f"transform(`{name}`, x -> {elem})").alias(name)
+
+
+def stabilize_df(df: DataFrame) -> DataFrame:
+    """Cast ltz → ntz and 7-sig-round double outputs; other columns
+    pass through untouched. No-op (no extra projection) when nothing
+    needs fixing."""
+    out, changed = [], False
+    for f in df.schema.fields:
+        dt = f.dataType
+        if isinstance(dt, T.TimestampType):
+            out.append(F.col(f.name).cast("timestamp_ntz").alias(f.name))
+            changed = True
+        elif isinstance(dt, (T.DoubleType, T.FloatType)):
+            out.append(_sig7_col(f.name))
+            changed = True
+        elif isinstance(dt, T.ArrayType) and isinstance(
+            dt.elementType, (T.DoubleType, T.FloatType)
+        ):
+            out.append(_sig7_array_col(f.name))
+            changed = True
+        else:
+            out.append(F.col(f.name))
+    return df.select(out) if changed else df
+
+
+_DUCK_SIG7 = (
+    'CASE WHEN "{c}" IS NULL OR isnan("{c}") OR isinf("{c}") THEN "{c}" '
+    "ELSE CAST(printf('%.6e', \"{c}\") AS DOUBLE) END AS \"{c}\""
+)
+_DUCK_SIG7_ARR = (
+    '"{c}" IS NULL'  # placeholder; built in stabilize_oracle_sql
+)
+
+
+def stabilize_oracle_sql(
+    sql: str, all_cols: list[str], double_cols: list[str], double_array_cols: list[str] = ()
+) -> str:
+    """Wrap a DuckDB oracle so its double outputs get the same 7-sig
+    round-trip as the Spark side. ltz needs no oracle change (the
+    naive DuckDB timestamps already hold the UTC wall time the ntz
+    cast produces)."""
+    if not double_cols and not double_array_cols:
+        return sql
+    items = []
+    for c in all_cols:
+        if c in double_cols:
+            items.append(_DUCK_SIG7.format(c=c))
+        elif c in double_array_cols:
+            elem = (
+                "CASE WHEN x IS NULL OR isnan(x) OR isinf(x) THEN CAST(x AS DOUBLE) "
+                "ELSE CAST(printf('%.6e', x) AS DOUBLE) END"
+            )
+            items.append(f'list_transform("{c}", x -> {elem}) AS "{c}"')
+        else:
+            items.append(f'"{c}"')
+    return f"SELECT {', '.join(items)} FROM (\n{sql}\n) __stab"
+
+
+# ---------------------------------------------------------------------------
+# Exact decimal ratios (avg / rate outputs) — identical in both engines
+# ---------------------------------------------------------------------------
+#
+# round_half_away(num/den, S) computed purely on integers:
+#   A = num · 10^s_num   (exact: num has s_num fractional digits)
+#   Q = sign · ((2·|A·10^S| + |den·10^s_num|) div (2·|den·10^s_num|))
+#   result = Q · 10^-S   (exact decimal multiply)
+# Spark `div` on decimal(38,0) and DuckDB `//` on HUGEINT both truncate
+# toward zero, so the formula is reproduced digit-for-digit. Works while
+# |num|·10^(s_num+S) < 10^38 — at 100 TB keep S+s_num modest (≤10).
+
+
+def dec_ratio(num: Column, den: Column, num_scale: int, out_scale: int = 4,
+              out_type: str | None = None) -> Column:
+    """Exact decimal(18,out_scale) ratio num/den, half-away rounding.
+
+    ``num_scale`` MUST equal the decimal scale of ``num`` (so that
+    num·10^num_scale is integral); ``den`` may be integral or a decimal
+    whose value times 10^num_scale is integral (counts, money sums of
+    scale ≤ num_scale)."""
+    from decimal import Decimal
+
+    p10n = 10 ** num_scale
+    p10s = 10 ** out_scale
+    a = (num * F.lit(p10n)).cast("decimal(38,0)")
+    b = (den * F.lit(p10n)).cast("decimal(38,0)")
+    x = (F.abs(a) * F.lit(p10s)).cast("decimal(38,0)")
+    babs = F.abs(b)
+    sign = F.when((a < 0) != (b < 0), F.lit(-1)).otherwise(F.lit(1))
+    num_expr = (F.lit(2) * x + babs).cast("decimal(38,0)")
+    den_expr = (F.lit(2) * babs).cast("decimal(38,0)")
+    qcol = _div(num_expr, den_expr) * sign
+    out_type = out_type or f"decimal(18,{out_scale})"
+    unit = F.lit(Decimal(1).scaleb(-out_scale))
+    return (qcol.cast("decimal(28,0)") * unit).cast(out_type)
+
+
+def _div(a: Column, b: Column) -> Column:
+    """Integral division (truncate toward zero) on decimal columns."""
+    return F.when(b == 0, F.lit(None)).otherwise(
+        ((a - (a % b)) / b).cast("decimal(38,0)")
+    )
+
+
+def dec_ratio_sql(num_sql: str, den_sql: str, num_scale: int,
+                  out_scale: int = 4, out_type: str | None = None) -> str:
+    """DuckDB twin of dec_ratio, via HUGEINT // (truncating)."""
+    p10n = 10 ** num_scale
+    p10s = 10 ** out_scale
+    out_type = out_type or f"DECIMAL(18,{out_scale})"
+    pw = len(str(p10n))
+    a = (
+        f"CAST(CAST(({num_sql}) AS DECIMAL(30,{num_scale})) "
+        f"* CAST({p10n} AS DECIMAL({pw},0)) AS HUGEINT)"
+    )
+    b = (
+        f"CAST(CAST(({den_sql}) AS DECIMAL(30,{num_scale})) "
+        f"* CAST({p10n} AS DECIMAL({pw},0)) AS HUGEINT)"
+    )
+    x = f"(abs({a}) * CAST({p10s} AS HUGEINT))"
+    sign = f"(CASE WHEN (({a}) < 0) != (({b}) < 0) THEN -1 ELSE 1 END)"
+    q = f"((2 * {x} + abs({b})) // (2 * abs({b})))"
+    unit = "0." + "0" * (out_scale - 1) + "1" if out_scale > 0 else "1"
+    return (
+        f"CAST(CASE WHEN ({b}) = 0 THEN NULL ELSE "
+        f"CAST({sign} * {q} AS DECIMAL(28,0)) * {unit} END AS {out_type})"
+    )

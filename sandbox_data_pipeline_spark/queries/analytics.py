@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from sandbox_data_pipeline_spark.queries._envproof import dec_ratio, dec_ratio_sql
 from sandbox_data_pipeline_spark.catalog import table
 
 QUERIES: dict = {}
@@ -669,15 +670,15 @@ def q_activity_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.dayofweek("ts").alias("dow"), F.hour("ts").alias("hod")
     ).agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.round(F.avg("value"), 4).alias("avg_value"),
+        dec_ratio(F.sum("value"), F.count("*"), 2, 4).alias("avg_value"),
     )
 
 
-ORACLE["q_activity_heatmap"] = """
+ORACLE["q_activity_heatmap"] = f"""
 SELECT CAST(dayofweek(ts) + 1 AS INTEGER) AS dow,
        CAST(extract(hour FROM ts) AS INTEGER) AS hod,
        count(*) AS n_events,
-       round(avg(value), 4) AS avg_value
+       {dec_ratio_sql("sum(value)", "count(*)", 2, 4)} AS avg_value
 FROM events GROUP BY 1, 2
 """
 QUERIES["q_activity_heatmap"] = q_activity_heatmap

@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from sandbox_data_pipeline_spark.queries._envproof import dec_ratio, dec_ratio_sql
 from sandbox_data_pipeline_spark.catalog import table
 
 
@@ -130,7 +131,7 @@ def q_join_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("r_name", "n_name")
         .agg(
             F.count("*").alias("cust_cnt"),
-            F.round(F.avg("c_acctbal"), 4).alias("avg_bal"),
+            dec_ratio(F.sum("c_acctbal"), F.count("*"), 2, 4).alias("avg_bal"),
         )
     )
 
@@ -150,8 +151,8 @@ def q_agg_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
             F.round(F.sum(disc_price), 4).alias("sum_disc_price"),
             F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 4).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            dec_ratio(F.sum("l_quantity"), F.count("*"), 2, 4).alias("avg_qty"),
+            dec_ratio(F.sum("l_discount"), F.count("*"), 2, 4).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
     )
@@ -668,21 +669,21 @@ ORACLE = {
         FROM lineitem JOIN part ON l_partkey = p_partkey
         GROUP BY p_brand
     """,
-    "q_join_multi": """
-        SELECT r_name, n_name, count(*) AS cust_cnt, round(avg(c_acctbal), 4) AS avg_bal
+    "q_join_multi": f"""
+        SELECT r_name, n_name, count(*) AS cust_cnt, {dec_ratio_sql('sum(c_acctbal)', 'count(*)', 2, 4)} AS avg_bal
         FROM customer
         JOIN nation ON c_nationkey = n_nationkey
         JOIN region ON n_regionkey = r_regionkey
         GROUP BY r_name, n_name
     """,
-    "q_agg_basic": """
+    "q_agg_basic": f"""
         SELECT l_returnflag, l_linestatus,
                round(sum(l_quantity), 4) AS sum_qty,
                round(sum(l_extendedprice), 4) AS sum_base_price,
                round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
                round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
-               round(avg(l_quantity), 4) AS avg_qty,
-               round(avg(l_discount), 4) AS avg_disc,
+               {dec_ratio_sql("sum(l_quantity)", "count(*)", 2, 4)} AS avg_qty,
+               {dec_ratio_sql("sum(l_discount)", "count(*)", 2, 4)} AS avg_disc,
                count(*) AS count_order
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '2024-12-01 00:00:00'

@@ -49,12 +49,13 @@ def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.delete_where("rid", _D1, _D2)
         v1 = t.read()
         in_upd = F.col("rid").between(_U1, _U2)
+        qty_t = v1.schema["qty"].dataType.simpleString()
         upd = v1.where(in_upd).select(
-            "rid", (F.col("qty") + F.lit(100.0)).alias("qty")
+            "rid", (F.col("qty") + F.lit(100)).cast(qty_t).alias("qty")
         )
         new = v1.where(in_upd).select(
             (F.col("rid") + F.lit(_NEW_OFF)).alias("rid"),
-            F.lit(1.0).alias("qty"),
+            F.lit(1).cast(qty_t).alias("qty"),
         )
         t.merge(upd.unionByName(new), "rid")
         rows = []
@@ -223,7 +224,10 @@ def q_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         t = TxTable.create(spark, f"{tmp}/tbl", base.repartitionByRange(4, "rid"))
         in_upd = F.col("rid").between(_U1, _U2)
         src = base.where(in_upd).select(
-            "rid", (F.col("qty") + F.lit(100.0)).alias("qty")
+            "rid",
+            (F.col("qty") + F.lit(100))
+            .cast(base.schema["qty"].dataType.simpleString())
+            .alias("qty"),
         )
         t.merge(src, "rid")
         cdf = table_changes(t, 0, 1)
@@ -276,7 +280,11 @@ def q_replace_where(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         t = TxTable.create(spark, f"{tmp}/tbl", base.repartitionByRange(3, "hr"))
         fresh = base.where(F.col("hr") == 1).select(
-            "hr", "rid", (F.col("qty") + F.lit(1000.0)).alias("qty")
+            "hr",
+            "rid",
+            (F.col("qty") + F.lit(1000))
+            .cast(base.schema["qty"].dataType.simpleString())
+            .alias("qty"),
         )
         replace_where(t, fresh, "hr", 1, 1)
         rows = []
