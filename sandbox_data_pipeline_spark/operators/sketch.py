@@ -136,10 +136,25 @@ def kmv_sketch(
 def kmv_estimate_col(n_kept: Column, kth_value: Column) -> Column:
     """Distinct-count estimate: exact count when the set is smaller
     than k (kth_value is just the max then), else (k-1) / normalized
-    kth minimum — the classic KMV estimator, rounded to a stable
-    integer on both engines."""
+    kth minimum — the classic KMV estimator.
+
+    Pure integer arithmetic: round_half_up((k-1)·MAX / kth) computed as
+    (2·N + kth) div (2·kth) on decimal(38,0) — engine round(double)
+    differs between repr-based and binary-based builds, so no double
+    may touch the estimate. DuckDB twin: kmv_estimate_sql."""
     full = n_kept >= F.lit(KMV_K)
-    est = (F.lit(KMV_K) - 1) * F.lit(float(KMV_MAX)) / kth_value
-    return F.when(full, F.round(est).cast("long")).otherwise(
-        n_kept.cast("long")
+    n2 = str(2 * (KMV_K - 1) * KMV_MAX)
+    num = (F.lit(n2).cast("decimal(38,0)") + kth_value).cast("decimal(38,0)")
+    den = (F.lit(2) * kth_value).cast("decimal(38,0)")
+    q = ((num - num % den) / den).cast("long")
+    return F.when(full, q).otherwise(n_kept.cast("long"))
+
+
+def kmv_estimate_sql(n_kept: str, kth: str) -> str:
+    """DuckDB twin of kmv_estimate_col (HUGEINT // truncation)."""
+    n2 = 2 * (KMV_K - 1) * KMV_MAX
+    return (
+        f"CASE WHEN ({n_kept}) >= {KMV_K} "
+        f"THEN CAST(({n2} + ({kth})) // (2 * ({kth})) AS BIGINT) "
+        f"ELSE CAST(({n_kept}) AS BIGINT) END"
     )

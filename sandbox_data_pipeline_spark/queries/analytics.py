@@ -365,31 +365,86 @@ QUERIES["q_group_quantiles"] = q_group_quantiles
 
 
 def q_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Re-aggregatable distinct counts: per-(day, type) HLL sketches
+    """Re-aggregatable distinct counts: per-(day, type) sketches
     unioned into per-type totals WITHOUT recounting the raw stream —
     the pre-aggregation pattern that turns a 100 TB distinct-count into
     a merge of kilobyte sketches (store the daily sketch column once;
     every rollup grain after that is sketch algebra).
 
-    Rows-only check by design: serialized sketch estimates are
-    implementation-specific (DataSketches HLL here), so no cross-engine
-    oracle; tests/test_analytics.py bounds the merged estimate against
-    the exact distinct count instead."""
+    Sketch = KMV (k smallest portable 60-bit hashes): union-merge is
+    "k smallest of the concatenated sketches", exactly like HLL's
+    register-max but fully integer-replayable, so the DuckDB oracle
+    replays the ENTIRE daily-build → merge → estimate pipeline (HLL's
+    serialized registers are engine-internal; the prior version of this
+    query was rows-only for that reason). tests/test_analytics.py still
+    bounds the merged estimate against the exact distinct count."""
+    from pyspark.sql import Window
+
+    from sandbox_data_pipeline_spark.operators.dedup import portable_hash
+    from sandbox_data_pipeline_spark.operators.sketch import (
+        KMV_K,
+        kmv_estimate_col,
+    )
+
     e = table(spark, sf_dir, "events")
-    daily = e.groupBy(
-        F.col("ts").cast("date").alias("d"), "event_type"
-    ).agg(F.hll_sketch_agg("user_id").alias("sketch"))
-    return (
-        daily.groupBy("event_type")
-        .agg(
-            F.count("*").alias("n_days"),
-            F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("est_users"),
-        )
+    hashed = e.select(
+        F.col("ts").cast("date").alias("d"),
+        "event_type",
+        portable_hash(F.col("user_id").cast("string"), salt="kmv").alias("hv"),
+    ).distinct()
+    wday = Window.partitionBy("d", "event_type").orderBy("hv")
+    daily = hashed.withColumn("rn", F.row_number().over(wday)).where(
+        F.col("rn") <= KMV_K
+    )
+    n_days = daily.groupBy("event_type").agg(
+        F.countDistinct("d").alias("n_days")
+    )
+    wtype = Window.partitionBy("event_type").orderBy("hv")
+    merged = (
+        daily.select("event_type", "hv")
+        .distinct()
+        .withColumn("rn", F.row_number().over(wtype))
+        .where(F.col("rn") <= KMV_K)
+        .groupBy("event_type")
+        .agg(F.max("hv").alias("kth_value"), F.count(F.lit(1)).alias("n_kept"))
+    )
+    return merged.join(n_days, "event_type").select(
+        "event_type",
+        F.col("n_days").cast("long").alias("n_days"),
+        kmv_estimate_col(F.col("n_kept"), F.col("kth_value")).alias("est_users"),
     )
 
 
 QUERIES["q_hll_rollup"] = q_hll_rollup
-# no ORACLE entry: sketch estimates are engine-specific (rows-only check)
+ORACLE["q_hll_rollup"] = """
+WITH hashed AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS d, event_type,
+         CAST('0x' || substr(md5('kmv' || user_id), 1, 15) AS BIGINT) AS hv
+  FROM events
+),
+daily AS (
+  SELECT d, event_type, hv,
+         row_number() OVER (PARTITION BY d, event_type ORDER BY hv) AS rn
+  FROM hashed QUALIFY rn <= 256
+),
+n_days AS (
+  SELECT event_type, count(DISTINCT d) AS n_days FROM daily GROUP BY 1
+),
+merged AS (
+  SELECT event_type, hv,
+         row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+  FROM (SELECT DISTINCT event_type, hv FROM daily) QUALIFY rn <= 256
+),
+sk AS (
+  SELECT event_type, max(hv) AS kth, count(*) AS n_kept
+  FROM merged GROUP BY 1
+)
+SELECT sk.event_type, CAST(n_days.n_days AS BIGINT) AS n_days,
+       CASE WHEN sk.n_kept >= 256
+            THEN CAST((2 * 255 * 1152921504606846975 + sk.kth) // (2 * sk.kth) AS BIGINT)
+            ELSE CAST(sk.n_kept AS BIGINT) END AS est_users
+FROM sk JOIN n_days ON n_days.event_type = sk.event_type
+"""
 
 
 def q_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -371,5 +371,27 @@ ORACLE = {
     "q_city_normalize": "SELECT city, replace(lower(city), ' ', '_') AS city_key FROM (VALUES "
     + ", ".join(f"({_q(c)})" for c in fixtures.CITIES)
     + ") AS t(city)",
-    # q_clean_json: rows-only (Python literal_eval repair is not SQL).
 }
+
+
+def _clean_json_oracle() -> str:
+    """Golden-twin oracle for the repr-repair UDF: the repair is pure
+    deterministic Python over fixture docs, so the oracle states the
+    expected output computed INDEPENDENTLY of Spark (plain function
+    call at registry-build time, no UDF, no session) as VALUES rows.
+    The scalar behavior itself is additionally pinned by the
+    reference's golden test (tests/test_ingest.py)."""
+    from sandbox_data_pipeline_spark.functions.core import clean_cocktail_json
+
+    rows = [
+        (f"weather:{k}:{hr}", body)
+        for k, hr, body in fixtures.weather_raw_docs()
+    ]
+    rows.append(("cocktails", fixtures.cocktails_raw()))
+    vals = ", ".join(
+        f"({_q(key)}, {_q(clean_cocktail_json(body))})" for key, body in rows
+    )
+    return f"SELECT * FROM (VALUES {vals}) AS t(entity_key, clean_body)"
+
+
+ORACLE["q_clean_json"] = _clean_json_oracle()

@@ -177,14 +177,30 @@ def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_count_distinct (HLL++). Sketch values are implementation-
-    specific, so there is no cross-engine oracle — rows-only check. At
-    100 TB this replaces exact distinct-count's full shuffle with a
-    fixed-size sketch merge."""
+    """Approximate distinct users per event type via the KMV sketch —
+    the oracle-replayable estimator (k smallest portable 60-bit hashes;
+    every step integer arithmetic, so DuckDB replays the IDENTICAL
+    sketch). HLL++'s registers are engine-internal and ungradeable;
+    KMV serves the same role at 100 TB: fixed k·8-byte state per group,
+    mergeable map-side, no exact-distinct shuffle of raw user ids."""
+    from sandbox_data_pipeline_spark.operators.sketch import (
+        kmv_estimate_col,
+        kmv_sketch,
+    )
+
     e = table(spark, sf_dir, "events")
-    return e.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
-        F.count("*").alias("event_cnt"),
+    sk = kmv_sketch(e, "event_type", "user_id")
+    cnt = e.groupBy("event_type").agg(F.count("*").alias("event_cnt"))
+    return (
+        sk.withColumnRenamed("grp", "event_type")
+        .join(cnt, "event_type")
+        .select(
+            "event_type",
+            kmv_estimate_col(F.col("n_kept"), F.col("kth_value")).alias(
+                "approx_users"
+            ),
+            "event_cnt",
+        )
     )
 
 
@@ -802,7 +818,28 @@ ORACLE = {
             FROM customer
         )
     """,
-    # q_agg_approx: sketch-based, no cross-engine oracle (rows-only).
+    "q_agg_approx": """
+        WITH hashed AS (
+          SELECT DISTINCT event_type AS grp,
+                 CAST('0x' || substr(md5('kmv' || user_id), 1, 15) AS BIGINT) AS hv
+          FROM events
+        ),
+        ranked AS (
+          SELECT grp, hv, row_number() OVER (PARTITION BY grp ORDER BY hv) AS rn
+          FROM hashed
+        ),
+        sk AS (
+          SELECT grp, max(hv) AS kth, count(*) AS n_kept
+          FROM ranked WHERE rn <= 256 GROUP BY grp
+        ),
+        cnt AS (SELECT event_type AS grp, count(*) AS event_cnt FROM events GROUP BY 1)
+        SELECT sk.grp AS event_type,
+               CASE WHEN sk.n_kept >= 256
+                    THEN CAST((2 * 255 * 1152921504606846975 + sk.kth) // (2 * sk.kth) AS BIGINT)
+                    ELSE CAST(sk.n_kept AS BIGINT) END AS approx_users,
+               cnt.event_cnt
+        FROM sk JOIN cnt ON cnt.grp = sk.grp
+    """,
 }
 
 

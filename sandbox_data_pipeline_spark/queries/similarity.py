@@ -88,16 +88,25 @@ def q_similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+KMEANS_ITER = 3
+
+
 def q_similarity_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF top-k on k-means|| centroids (the production path — measured
-    ~2× the recall of the deterministic pick at equal nprobe). Rows-only
-    check by design: iterative float k-means is not reproducible in a
-    SQL oracle; recall is asserted against brute force in
-    tests/test_similarity.py."""
-    from sandbox_data_pipeline_spark.operators.similarity import ivf_centroids_kmeans
+    """IVF top-k on k-means centroids (the production path: centroids
+    at density modes instead of arbitrary vectors). Uses the
+    exact-integer Lloyd variant (operators/similarity.py:
+    ivf_centroids_kmeans_exact) so the ENTIRE pipeline — quantize,
+    3 Lloyd iterations, assignment, probe, re-rank — replays
+    bit-identically in the DuckDB oracle; MLlib k-means|| stays
+    available for recall experiments (tests/test_similarity.py)."""
+    from sandbox_data_pipeline_spark.operators.similarity import (
+        ivf_centroids_kmeans_exact,
+    )
 
     emb = table(spark, sf_dir, "embeddings")
-    cents = ivf_centroids_kmeans(emb, N_CENTROIDS)
+    cents = ivf_centroids_kmeans_exact(
+        emb, N_CENTROIDS, n_iter=KMEANS_ITER, dim=DIM
+    )
     return ivf_topk(
         emb,
         _queries_df(spark, sf_dir),
@@ -234,6 +243,109 @@ FROM ranked WHERE rank <= {TOPK}
     )
 
 
+def _oracle_ivf_kmeans_topk() -> str:
+    """Replay ivf_centroids_kmeans_exact + ivf_topk in SQL: quantized
+    integer Lloyd iterations as chained CTEs (assign → per-dim sums →
+    half-away integer means → empty-cluster coalesce), then the same
+    probe/re-rank skeleton as _oracle_ivf_topk against the computed
+    centroids."""
+    parts = [
+        f"""
+WITH qv AS (
+  SELECT vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> CAST(floor(x * 10000) AS BIGINT)) AS q
+  FROM embeddings
+),
+c0 AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j,
+         list_transform(q, x -> x * 100) AS cv
+  FROM (SELECT vec_id, q FROM qv ORDER BY vec_id LIMIT {N_CENTROIDS})
+)"""
+    ]
+    for i in range(1, KMEANS_ITER + 1):
+        parts.append(
+            f""",
+a{i} AS (
+  SELECT vec_id, j FROM (
+    SELECT q.vec_id, c.j,
+           row_number() OVER (PARTITION BY q.vec_id ORDER BY
+             list_sum(list_transform(range(1, {DIM + 1}),
+               t -> (q.q[t] * 100 - c.cv[t]) * (q.q[t] * 100 - c.cv[t]))) ASC,
+             c.j ASC) AS rn
+    FROM qv q CROSS JOIN c{i - 1} c
+  ) WHERE rn = 1
+),
+u{i} AS (
+  SELECT a.j, t.p, sum(q.q[t.p]) AS s, count(*) AS n
+  FROM a{i} a JOIN qv q USING (vec_id), range(1, {DIM + 1}) t(p)
+  GROUP BY a.j, t.p
+),
+n{i} AS (
+  SELECT j, list(CAST(CASE WHEN s >= 0 THEN (2 * s * 100 + n) // (2 * n)
+                      ELSE -((2 * (-s) * 100 + n) // (2 * n)) END AS BIGINT)
+                 ORDER BY p) AS cv
+  FROM u{i} GROUP BY j
+),
+c{i} AS (
+  SELECT p.j, COALESCE(nn.cv, p.cv) AS cv
+  FROM c{i - 1} p LEFT JOIN n{i} nn USING (j)
+)"""
+        )
+    cos = _COS.format(a="q.qv", b="cv.v")
+    parts.append(
+        f""",
+cent AS (
+  SELECT j AS centroid_id,
+         list_transform(cv, x -> CAST(x AS DOUBLE) / 1000000.0) AS cv
+  FROM c{KMEANS_ITER}
+),
+v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+asg AS (
+  SELECT vec_id, centroid_id AS list_id FROM (
+    SELECT a.vec_id, c.centroid_id,
+           row_number() OVER (
+             PARTITION BY a.vec_id ORDER BY
+               round(list_dot_product(a.v, c.cv) /
+                     (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.cv, c.cv))), 6) DESC,
+               c.centroid_id
+           ) AS rn
+    FROM v a CROSS JOIN cent c
+  ) WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, v AS qv FROM v WHERE vec_id % {QUERY_MOD} = 0),
+probes AS (
+  SELECT query_id, centroid_id AS list_id FROM (
+    SELECT q.query_id, c.centroid_id,
+           row_number() OVER (
+             PARTITION BY q.query_id ORDER BY
+               round(list_dot_product(q.qv, c.cv) /
+                     (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.cv, c.cv))), 6) DESC,
+               c.centroid_id
+           ) AS rn
+    FROM q CROSS JOIN cent c
+  ) WHERE rn <= {NPROBE}
+),
+sims AS (
+  SELECT p.query_id, a.vec_id AS cand_id, round({cos}, 6) AS cos_sim
+  FROM probes p
+  JOIN asg a USING (list_id)
+  JOIN q ON q.query_id = p.query_id
+  JOIN v cv ON cv.vec_id = a.vec_id
+  WHERE a.vec_id <> p.query_id
+),
+ranked AS (
+  SELECT query_id, cand_id, cos_sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, cand_id) AS rank
+  FROM sims
+)
+SELECT query_id, CAST(rank AS INTEGER) AS rank, cand_id, round(cos_sim, 4) AS cos_sim
+FROM ranked WHERE rank <= {TOPK}
+"""
+    )
+    return "".join(parts)
+
+
 def _oracle_near_dup() -> str:
     cos = _COS.format(a="a.v", b="b.v")
     return f"""
@@ -269,6 +381,7 @@ QUERIES = {
 ORACLE = {
     "q_similarity_ivf_lists": _oracle_ivf_lists(),
     "q_similarity_ivf_topk": _oracle_ivf_topk(),
+    "q_similarity_ivf_kmeans_topk": _oracle_ivf_kmeans_topk(),
     "q_similarity_topk": _oracle_topk(),
     "q_similarity_lsh_buckets": _oracle_lsh_buckets(),
     "q_similarity_lsh_topk": _oracle_lsh_topk(),

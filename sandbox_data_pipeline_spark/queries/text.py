@@ -1940,23 +1940,20 @@ def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         sk.withColumnRenamed("grp", "source")
         .join(exact, "source")
+        .withColumn(
+            "est", kmv_estimate_col(F.col("n_kept"), F.col("kth_value"))
+        )
+        .withColumn("est_minus", F.col("est") - F.col("n_exact"))
         .select(
             "source",
             F.col("n_kept").cast("long").alias("n_kept"),
-            kmv_estimate_col(F.col("n_kept"), F.col("kth_value")).alias(
-                "est_distinct"
-            ),
+            F.col("est").alias("est_distinct"),
             F.col("n_exact").cast("long").alias("n_exact"),
-            F.round(
-                F.abs(
-                    kmv_estimate_col(F.col("n_kept"), F.col("kth_value"))
-                    - F.col("n_exact")
-                )
-                * 10000.0
-                / F.col("n_exact")
-            )
-            .cast("long")
-            .alias("rel_err_x10000"),
+            # integer half-up of |est-exact|*1e4/exact — no doubles
+            F.expr(
+                "CAST((2 * abs(est_minus) * 10000 + n_exact) DIV (2 * n_exact)"
+                " AS BIGINT)"
+            ).alias("rel_err_x10000"),
         )
     )
 
@@ -1985,13 +1982,13 @@ exact AS (
 j AS (
   SELECT sk.grp AS source, sk.n_kept, sk.kth, exact.n_exact,
          CASE WHEN sk.n_kept >= 256
-              THEN CAST(round(255 * 1152921504606846975.0 / sk.kth) AS BIGINT)
+              THEN CAST((2 * 255 * 1152921504606846975 + sk.kth) // (2 * sk.kth) AS BIGINT)
               ELSE CAST(sk.n_kept AS BIGINT) END AS est_distinct
   FROM sk JOIN exact ON exact.grp = sk.grp
 )
 SELECT source, CAST(n_kept AS BIGINT) AS n_kept, est_distinct,
        CAST(n_exact AS BIGINT) AS n_exact,
-       CAST(round(abs(est_distinct - n_exact) * 10000.0 / n_exact) AS BIGINT)
+       CAST((2 * abs(est_distinct - n_exact) * 10000 + n_exact) // (2 * n_exact) AS BIGINT)
          AS rel_err_x10000
 FROM j
 """
