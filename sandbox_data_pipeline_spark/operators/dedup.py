@@ -139,7 +139,7 @@ def ngram_jaccard_pairs(
     """
     sh = word_shingles(
         docs, n=n, id_col=id_col, text_col=text_col, df_cap=df_cap
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=True)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     common = (
@@ -181,17 +181,19 @@ def containment_pairs(
     containment, filtered on the max of the two.
 
     The shingle frame is consumed three times (sizes + both self-join
-    sides); ``localCheckpoint(eager=False)`` materializes it ONCE (at
-    the first action, so plan-only consumers — explain, schema checks —
-    stay free) with blocks that are released when the result's lineage
-    is garbage collected — unlike ``persist()``, which (returned
+    sides); ``localCheckpoint(eager=True)`` materializes it ONCE, up
+    front — a lazy checkpoint only lands after the first job finishes,
+    so all three consumers inside one action would recompute the
+    lineage (measured on simhash_pairs in round 4). Blocks are released
+    when the result's lineage is garbage collected — unlike
+    ``persist()``, which (returned
     lazily, so never safely unpersistable here) pinned executor
     storage for the session
     lifetime. Measured: recomputing instead costs 1.6x on the sf0.1
     bench."""
     sh = word_shingles(
         docs, n=n, id_col=id_col, text_col=text_col, df_cap=df_cap
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=True)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     common = (
@@ -406,7 +408,7 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
             )
             # lazy: the changed-count below is the action that
             # materializes the checkpoint — one pass per round, not two
-            .localCheckpoint(eager=False)
+            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")
@@ -487,10 +489,14 @@ def simhash_pairs(
 
     localCheckpoint (not persist) on the fingerprint frame consumed by
     both self-join sides: blocks release with the lineage instead of
-    pinning executor storage for the session — see containment_pairs."""
+    pinning executor storage for the session — see containment_pairs.
+    EAGER: a lazy checkpoint materializes only after the first job
+    finishes, so within the single pair-join action BOTH self-join
+    branches recompute the fingerprints (measured 2× regression in
+    round 4); eager pays one small extra job and computes them once."""
     fps = simhash_fingerprints(
         docs, bits=bits, id_col=id_col, text_col=text_col
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=True)
     nbytes = bits // 8
     # single-pass banding (explode, not union — see minhash_bands)
     bands = fps.select(
@@ -938,7 +944,7 @@ def prefix_filtered_jaccard(
                 f"slice(_sorted, 1, size(_sorted) - ceil({threshold} * size(_sorted)) + 1)"
             ),
         )
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     pref = per_doc.select(
         id_col, "n_sh", F.explode("_prefix").alias("shingle")

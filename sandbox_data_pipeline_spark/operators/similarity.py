@@ -855,7 +855,7 @@ def mmr_rerank(
         sims.withColumn("_r", F.row_number().over(w))
         .where(F.col("_r") <= pool_k)
         .drop("_r")
-        .localCheckpoint(eager=False)  # reused select_k times below
+        .localCheckpoint(eager=True)  # reused select_k times below
     )
     first = pool.withColumn("_r", F.row_number().over(w)).where(F.col("_r") == 1)
     selected = first.select(

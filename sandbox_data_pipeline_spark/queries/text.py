@@ -510,7 +510,7 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
         .where(F.col("token") != "")
         .distinct()
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     # select WHICH tokens first (tiny top-k over counts), and only then
     # build posting lists for those — collecting a posting list per

@@ -37,9 +37,17 @@ def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     version via time-travel reads. The 3-row collect is the bounded
     per-version summary (one row per commit), not a data read."""
     li = table(spark, sf_dir, "lineitem")
-    base = li.where(F.col("l_orderkey") <= _K).select(
-        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).cast("long").alias("rid"),
-        F.col("l_quantity").alias("qty"),
+    # the synthetic corpus does NOT guarantee (orderkey, linenumber)
+    # uniqueness — dedupe to a keyed table (max qty per rid) so merge's
+    # Delta-parity contract (unique non-null source keys) holds
+    base = (
+        li.where(F.col("l_orderkey") <= _K)
+        .groupBy(
+            (F.col("l_orderkey") * 10 + F.col("l_linenumber"))
+            .cast("long")
+            .alias("rid")
+        )
+        .agg(F.max("l_quantity").alias("qty"))
     )
     tmp = tempfile.mkdtemp(prefix="txdemo_")
     try:
@@ -78,8 +86,8 @@ def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TIME_TRAVEL_SQL = f"""
 WITH base AS (
-  SELECT l_orderkey * 10 + l_linenumber AS rid, l_quantity AS qty
-  FROM lineitem WHERE l_orderkey <= {_K}
+  SELECT l_orderkey * 10 + l_linenumber AS rid, max(l_quantity) AS qty
+  FROM lineitem WHERE l_orderkey <= {_K} GROUP BY 1
 ), v1 AS (
   SELECT * FROM base WHERE rid NOT BETWEEN {_D1} AND {_D2}
 ), src AS (
@@ -161,9 +169,17 @@ def q_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sandbox_data_pipeline_spark.sinks.txlog import TxTable, restore
 
     li = table(spark, sf_dir, "lineitem")
-    base = li.where(F.col("l_orderkey") <= _K).select(
-        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).cast("long").alias("rid"),
-        F.col("l_quantity").alias("qty"),
+    # the synthetic corpus does NOT guarantee (orderkey, linenumber)
+    # uniqueness — dedupe to a keyed table (max qty per rid) so merge's
+    # Delta-parity contract (unique non-null source keys) holds
+    base = (
+        li.where(F.col("l_orderkey") <= _K)
+        .groupBy(
+            (F.col("l_orderkey") * 10 + F.col("l_linenumber"))
+            .cast("long")
+            .alias("rid")
+        )
+        .agg(F.max("l_quantity").alias("qty"))
     )
     tmp = tempfile.mkdtemp(prefix="txrestore_")
     try:
@@ -190,8 +206,8 @@ def q_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _RESTORE_SQL = f"""
 WITH base AS (
-  SELECT l_orderkey * 10 + l_linenumber AS rid, l_quantity AS qty
-  FROM lineitem WHERE l_orderkey <= {_K}
+  SELECT l_orderkey * 10 + l_linenumber AS rid, max(l_quantity) AS qty
+  FROM lineitem WHERE l_orderkey <= {_K} GROUP BY 1
 ), v1 AS (
   SELECT * FROM base WHERE rid NOT BETWEEN {_D1} AND {_D2}
 )
@@ -215,9 +231,17 @@ def q_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sandbox_data_pipeline_spark.sinks.txlog import TxTable, table_changes
 
     li = table(spark, sf_dir, "lineitem")
-    base = li.where(F.col("l_orderkey") <= _K).select(
-        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).cast("long").alias("rid"),
-        F.col("l_quantity").alias("qty"),
+    # the synthetic corpus does NOT guarantee (orderkey, linenumber)
+    # uniqueness — dedupe to a keyed table (max qty per rid) so merge's
+    # Delta-parity contract (unique non-null source keys) holds
+    base = (
+        li.where(F.col("l_orderkey") <= _K)
+        .groupBy(
+            (F.col("l_orderkey") * 10 + F.col("l_linenumber"))
+            .cast("long")
+            .alias("rid")
+        )
+        .agg(F.max("l_quantity").alias("qty"))
     )
     tmp = tempfile.mkdtemp(prefix="txcdf_")
     try:
@@ -247,8 +271,8 @@ def q_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TABLE_CHANGES_SQL = f"""
 WITH base AS (
-  SELECT l_orderkey * 10 + l_linenumber AS rid, l_quantity AS qty
-  FROM lineitem WHERE l_orderkey <= {_K}
+  SELECT l_orderkey * 10 + l_linenumber AS rid, max(l_quantity) AS qty
+  FROM lineitem WHERE l_orderkey <= {_K} GROUP BY 1
 ), upd AS (SELECT rid, qty FROM base WHERE rid BETWEEN {_U1} AND {_U2})
 SELECT 1 AS commit_version, 'delete' AS change_type,
        COUNT(*) AS n_rows, CAST(SUM(qty) AS DECIMAL(18,2)) AS sum_qty FROM upd

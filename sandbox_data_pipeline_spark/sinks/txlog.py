@@ -107,6 +107,12 @@ def _collect_footer_stats(abs_path: str) -> AddFile:
 
     md = pq.ParquetFile(abs_path).metadata
     stats: dict[str, dict[str, Any]] = {}
+    # A column's file-level min/max is sound ONLY if every row group
+    # contributed usable stats — a file whose row group 2 lacks stats
+    # could hold rows outside row group 1's range, and pruning on the
+    # partial range would skip live rows (missed deletes / dup keys
+    # after merge). Count contributions and drop incomplete columns.
+    seen: dict[str, int] = {}
     for rg in range(md.num_row_groups):
         g = md.row_group(rg)
         for ci in range(g.num_columns):
@@ -136,6 +142,7 @@ def _collect_footer_stats(abs_path: str) -> AddFile:
                 # float cast could prune a file that still has rows).
                 continue
             nulls = s.null_count if s.has_null_count else None
+            seen[name] = seen.get(name, 0) + 1
             cur = stats.get(name)
             if cur is None:
                 stats[name] = {"min": mn, "max": mx, "nulls": nulls}
@@ -144,6 +151,9 @@ def _collect_footer_stats(abs_path: str) -> AddFile:
                 cur["max"] = max(cur["max"], mx)
                 if nulls is not None and cur["nulls"] is not None:
                     cur["nulls"] += nulls
+    stats = {
+        k: v for k, v in stats.items() if seen.get(k) == md.num_row_groups
+    }
     return AddFile(
         path="",  # caller fills relative path
         rows=md.num_rows,
@@ -510,6 +520,28 @@ class TxTable:
             current = self.spark.read.schema(schema).parquet(*paths)
         else:
             current = self.spark.createDataFrame([], schema)
+        # Delta's MERGE contract: a source row must match at most one
+        # target row AND carry a non-null key. A duplicate-key source
+        # would insert multiple rows per key through the left_anti +
+        # union plan below; null keys never match the anti-join and
+        # would duplicate instead of upserting. Validate in ONE bounded
+        # aggregation (three counters, no extra shuffle of data rows).
+        chk = source.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count(key).alias("n_nonnull"),
+            F.countDistinct(key).alias("n_keys"),
+        ).first()
+        if chk["n"] != chk["n_nonnull"]:
+            raise ValueError(
+                f"merge source has {chk['n'] - chk['n_nonnull']} null "
+                f"{key!r} keys; upsert semantics require non-null keys"
+            )
+        if chk["n"] != chk["n_keys"]:
+            raise ValueError(
+                f"merge source has duplicate {key!r} keys "
+                f"({chk['n']} rows, {chk['n_keys']} distinct); "
+                "a source row must match at most one target row"
+            )
         merged = current.join(source, key, "left_anti").unionByName(source)
         adds = self._write_data(merged, rv + 1)
         return self._commit(
@@ -523,10 +555,22 @@ class TxTable:
 
     # --------------------------------------------------------- vacuum
 
-    def vacuum(self, retain_versions: int = 1) -> list[str]:
+    def vacuum(
+        self, retain_versions: int = 1, retain_seconds: float = 7 * 24 * 3600
+    ) -> list[str]:
         """Delete data files unreachable from the last
         ``retain_versions`` snapshots (older time travel is given up —
-        the documented Delta trade). Returns deleted relative paths."""
+        the documented Delta trade). Returns deleted relative paths.
+
+        ``retain_seconds`` is the Delta-style age floor (default 7
+        days, like VACUUM's retain hours): a file younger than it is
+        NEVER deleted even when unreferenced, because a concurrent
+        writer using the write-then-commit protocol may have written
+        its data files but not yet won the commit race — deleting them
+        would leave its (about-to-be-committed) version pointing at
+        nothing. Pass 0 only when no concurrent writer can exist."""
+        import time
+
         tail = self.latest_version()
         keep: set[str] = set()
         for v in range(max(0, tail - retain_versions + 1), tail + 1):
@@ -535,12 +579,18 @@ class TxTable:
         data_root = os.path.join(self.path, "data")
         if not os.path.isdir(data_root):
             return deleted
+        cutoff = time.time() - retain_seconds
         for sub in sorted(os.listdir(data_root)):
             subdir = os.path.join(data_root, sub)
             for name in sorted(os.listdir(subdir)):
                 rel = f"data/{sub}/{name}"
-                if name.endswith(".parquet") and rel not in keep:
-                    os.unlink(os.path.join(subdir, name))
+                full = os.path.join(subdir, name)
+                if (
+                    name.endswith(".parquet")
+                    and rel not in keep
+                    and os.path.getmtime(full) <= cutoff
+                ):
+                    os.unlink(full)
                     deleted.append(rel)
         return deleted
 
@@ -583,14 +633,18 @@ def refresh_rollup(
                 f"commit v{v} ({e['operation']}) removed files; incremental "
                 "delta no longer composes — run a full recompute"
             )
-        new_files.extend(a["path"] for a in e.get("add", []))
+        # honor AddFile.base: a shallow clone's v0 references files
+        # rooted at the SOURCE table, not under t.path (table_changes
+        # and the stream reader resolve the same way)
+        new_files.extend(
+            os.path.join(a.get("base") or t.path, a["path"])
+            for a in e.get("add", [])
+        )
     if not new_files and mv is not None:
         return mv, tail
     schema = t.schema_at(tail)
     if new_files:
-        delta_src = t.spark.read.schema(schema).parquet(
-            *[os.path.join(t.path, p) for p in new_files]
-        )
+        delta_src = t.spark.read.schema(schema).parquet(*new_files)
     else:
         delta_src = t.spark.createDataFrame([], schema)
     delta = delta_src.groupBy(key).agg(

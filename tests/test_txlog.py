@@ -124,7 +124,7 @@ def test_checkpoint_written_and_used(spark, tmp_path):
 def test_vacuum_removes_only_unreachable(spark, tmp_path):
     t = _mk(spark, tmp_path)
     t.overwrite_all(spark.createDataFrame([(1, 1)], "k long, v long"))
-    deleted = t.vacuum(retain_versions=1)
+    deleted = t.vacuum(retain_versions=1, retain_seconds=0)
     assert deleted, "v0 files should be vacuumed"
     # current snapshot unaffected; time travel to v0 is now gone
     assert t.read().count() == 1
@@ -373,7 +373,7 @@ def test_restore_refuses_vacuumed_target(spark, tmp_path):
 
     t = _mk(spark, tmp_path)
     t.overwrite_all(spark.createDataFrame([(1, 1)], "k long, v long"))
-    t.vacuum(retain_versions=1)
+    t.vacuum(retain_versions=1, retain_seconds=0)
     import pytest as _pt
 
     with _pt.raises(FileNotFoundError, match="vacuumed"):
@@ -551,3 +551,48 @@ def test_replace_where_is_one_atomic_commit(spark, tmp_path):
     replace_where(t, fresh, "hr", 1, 1, txn=("pub", 7))
     with pytest.raises(SW):
         replace_where(t, fresh, "hr", 1, 1, txn=("pub", 7))
+
+
+def test_vacuum_age_floor_spares_young_files(spark, tmp_path):
+    """Default retain_seconds must NOT delete a freshly-written
+    unreferenced file: a concurrent writer may have written data but
+    not yet committed (ADVICE: write-then-commit race)."""
+    t = _mk(spark, tmp_path)
+    t.overwrite_all(spark.createDataFrame([(1, 1)], "k long, v long"))
+    assert t.vacuum(retain_versions=1) == []
+    # still fully time-travelable because nothing was deleted
+    assert t.read(version=0).count() >= 1
+
+
+def test_merge_rejects_duplicate_and_null_source_keys(spark, tmp_path):
+    import pytest
+
+    t = _mk(spark, tmp_path)
+    with pytest.raises(ValueError, match="duplicate"):
+        t.merge(
+            spark.createDataFrame([(1, 10), (1, 20)], "k long, v long"), "k"
+        )
+    with pytest.raises(ValueError, match="null"):
+        t.merge(
+            spark.createDataFrame([(None, 10), (2, 20)], "k long, v long"),
+            "k",
+        )
+
+
+def test_refresh_rollup_on_shallow_clone(spark, tmp_path):
+    """Clone v0 references files rooted at the SOURCE table; the first
+    incremental refresh must resolve AddFile.base (ADVICE fix)."""
+    from sandbox_data_pipeline_spark.sinks.txlog import clone, refresh_rollup
+
+    t = _mk(spark, tmp_path)
+    t.overwrite_all(
+        spark.createDataFrame([(1, 10), (2, 20)], "k long, v long")
+    )
+    c = clone(t, spark, str(tmp_path / "cloned"))
+    mv, ver = refresh_rollup(c, None, -1, "k", "v")
+    got = {r["k"]: (r["total"], r["n"]) for r in mv.collect()}
+    assert got == {1: (10, 1), 2: (20, 1)}
+    c.append(spark.createDataFrame([(1, 5)], "k long, v long"))
+    mv2, ver2 = refresh_rollup(c, mv, ver, "k", "v")
+    got2 = {r["k"]: (r["total"], r["n"]) for r in mv2.collect()}
+    assert got2 == {1: (15, 2), 2: (20, 1)}
