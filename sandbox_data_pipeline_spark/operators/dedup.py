@@ -814,6 +814,7 @@ def duplicated_substring_spans(
     gram_len: int = 32,
     id_col: str = "doc_id",
     text_col: str = "text",
+    anchor_mod: int = 1,
 ) -> DataFrame:
     """Exact substring deduplication: maximal character spans that are
     duplicated ANYWHERE in the corpus (the suffix-array dedup of Lee et
@@ -839,7 +840,22 @@ def duplicated_substring_spans(
     filter for runaway boilerplate grams exactly like word_shingles'
     guard; the island merge is unchanged. Docs shorter than the gram
     are span-free by definition (filtered before the position explode,
-    which also keeps F.sequence bounds valid)."""
+    which also keeps F.sequence bounds valid).
+
+    ``anchor_mod`` is the 100 TB knob: the per-character gram stream is
+    8–16× corpus bytes, and shuffling all of it is the honest cost of
+    EXACT spans (default, anchor_mod=1). With anchor_mod = m > 1 only
+    grams whose hash ≡ 0 (mod m) survive to the shuffle — CONTENT-
+    DEFINED anchoring (the winnowing/CDC trick), so both copies of a
+    duplicated region keep the SAME anchors regardless of their byte
+    offsets (a fixed positional stride would misalign the copies and
+    miss every cross-offset duplicate). Shuffle volume drops ~m×;
+    detection becomes probabilistic — a duplicated region of length
+    ℓ ≥ gram_len contains an anchor with p ≈ 1 − (1−1/m)^(ℓ−gram_len+1),
+    and reported span boundaries snap to anchored positions (start may
+    move right, end left, by ~m expected). Production posture from Lee
+    et al.: exact pass per shard via suffix arrays, anchored pass for
+    the cross-shard sweep."""
     from pyspark.sql import Window
 
     L = gram_len
@@ -857,6 +873,8 @@ def duplicated_substring_spans(
         "pos",
         portable_hash(F.expr(f"substring(_t, pos, {L})")).alias("gkey"),
     )
+    if anchor_mod > 1:
+        grams = grams.where(F.pmod(F.col("gkey"), F.lit(anchor_mod)) == 0)
     occ = F.count(F.lit(1)).over(Window.partitionBy("gkey"))
     dup_pos = (
         grams.withColumn("occ", occ).where(F.col("occ") >= 2).drop("occ", "gkey")
