@@ -47,6 +47,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from sandbox_data_pipeline_spark.queries._envproof import dec_ratio, dec_ratio_sql
 from sandbox_data_pipeline_spark.catalog import table
 
 QUERIES: dict = {}
@@ -115,13 +116,16 @@ def q_tpch_q01(spark: SparkSession, sf_dir: str) -> DataFrame:
             _m(F.sum(_dec("l_extendedprice"))).alias("sum_base_price"),
             _m(F.sum(rev)).alias("sum_disc_price"),
             F.sum(rev * _one_plus("l_tax")).cast("decimal(18,6)").alias("sum_charge"),
-            F.round(F.sum(_dec("l_quantity")).cast("double") / F.count("*"), 4).alias("avg_qty"),
-            F.round(
-                F.sum(_dec("l_extendedprice")).cast("double") / F.count("*"), 4
+            dec_ratio(F.sum(_dec("l_quantity")), F.count("*"), 4, 4).alias(
+                "avg_qty"
+            ),
+            dec_ratio(
+                F.sum(_dec("l_extendedprice")), F.count("*"), 4, 4
             ).alias("avg_price"),
-            F.round(
-                F.sum(F.col("l_discount").cast("decimal(4,2)")).cast("double")
-                / F.count("*"),
+            dec_ratio(
+                F.sum(F.col("l_discount").cast("decimal(4,2)")),
+                F.count("*"),
+                2,
                 4,
             ).alias("avg_disc"),
             F.count("*").alias("count_order"),
@@ -135,9 +139,9 @@ SELECT l_returnflag, l_linestatus,
        (SUM(l_extendedprice::DECIMAL(12,2)))::DECIMAL(18,4) AS sum_base_price,
        (SUM({_SQL_REV}))::DECIMAL(18,4) AS sum_disc_price,
        (SUM({_SQL_REV} * (1::DECIMAL(4,2) + l_tax::DECIMAL(4,2))))::DECIMAL(18,6) AS sum_charge,
-       round(SUM(l_quantity::DECIMAL(12,2))::DOUBLE / COUNT(*), 4) AS avg_qty,
-       round(SUM(l_extendedprice::DECIMAL(12,2))::DOUBLE / COUNT(*), 4) AS avg_price,
-       round(SUM(l_discount::DECIMAL(4,2))::DOUBLE / COUNT(*), 4) AS avg_disc,
+       {dec_ratio_sql("SUM(l_quantity::DECIMAL(12,2))", "COUNT(*)", 4, 4)} AS avg_qty,
+       {dec_ratio_sql("SUM(l_extendedprice::DECIMAL(12,2))", "COUNT(*)", 4, 4)} AS avg_price,
+       {dec_ratio_sql("SUM(l_discount::DECIMAL(4,2))", "COUNT(*)", 2, 4)} AS avg_disc,
        COUNT(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '2001-09-01'
@@ -511,7 +515,7 @@ def q_tpch_q08(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn(
             "mkt_share",
-            F.round(F.col("nation_rev").cast("double") / F.col("total_rev").cast("double"), 4),
+            dec_ratio(F.col("nation_rev"), F.col("total_rev"), 4, 4),
         )
     )
 
@@ -533,7 +537,7 @@ WITH base AS (
   GROUP BY year(o_orderdate)::INT
 )
 SELECT o_year, nation_rev, total_rev,
-       round(nation_rev::DOUBLE / total_rev::DOUBLE, 4) AS mkt_share
+       {dec_ratio_sql("nation_rev", "total_rev", 4, 4)} AS mkt_share
 FROM base
 """
 QUERIES["q_tpch_q08"] = q_tpch_q08
@@ -746,9 +750,8 @@ def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn(
             "promo_share",
-            F.round(
-                F.lit(100.0) * F.col("promo_rev").cast("double") / F.col("total_rev").cast("double"),
-                4,
+            dec_ratio(
+                F.col("promo_rev") * F.lit(100), F.col("total_rev"), 4, 4
             ),
         )
     )
@@ -764,7 +767,7 @@ WITH base AS (
     AND l_shipdate < TIMESTAMP '1997-10-01'
 )
 SELECT promo_rev, total_rev,
-       round(100.0 * promo_rev::DOUBLE / total_rev::DOUBLE, 4) AS promo_share
+       {dec_ratio_sql("promo_rev * 100", "total_rev", 4, 4)} AS promo_share
 FROM base
 """
 QUERIES["q_tpch_q14"] = q_tpch_q14
@@ -865,14 +868,14 @@ def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(_dec("l_quantity") * F.col("cnt") * 5 < F.col("sum_qty"))
         .agg(
             _m(F.sum(_dec("l_extendedprice"))).alias("total_price"),
-            F.round(F.sum(_dec("l_extendedprice")).cast("double") / 7.0, 4).alias(
-                "avg_yearly"
-            ),
+            dec_ratio(
+                F.sum(_dec("l_extendedprice")), F.lit(7), 4, 4
+            ).alias("avg_yearly"),
         )
     )
 
 
-ORACLE["q_tpch_q17"] = """
+ORACLE["q_tpch_q17"] = f"""
 WITH brand_lines AS (
   SELECT l_partkey, l_quantity, l_extendedprice
   FROM lineitem JOIN part ON l_partkey = p_partkey
@@ -884,7 +887,7 @@ WITH brand_lines AS (
   FROM brand_lines GROUP BY l_partkey
 )
 SELECT (SUM(l_extendedprice::DECIMAL(12,2)))::DECIMAL(18,4) AS total_price,
-       round(SUM(l_extendedprice::DECIMAL(12,2))::DOUBLE / 7.0, 4) AS avg_yearly
+       {dec_ratio_sql("SUM(l_extendedprice::DECIMAL(12,2))", "7", 4, 4)} AS avg_yearly
 FROM brand_lines JOIN per_part ON l_partkey = pp_partkey
 WHERE l_quantity::DECIMAL(12,2) * cnt * 5 < sum_qty
 """

@@ -40,7 +40,12 @@ def test_stream_rollup_matches_batch(spark, tmp_path):
         table(spark, SF, "events")
         .where(F.col("event_id") < 400)
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-        .agg(F.count(F.lit(1)).alias("event_cnt"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .agg(
+            F.count(F.lit(1)).alias("event_cnt"),
+            # the stream ingests doubles (JSON contract); the catalog
+            # reads decimal — compare in double
+            F.round(F.sum("value"), 4).cast("double").alias("sum_value"),
+        )
         .select(F.col("w.start").alias("hour_start"), "event_type", "event_cnt", "sum_value")
     )
     g = {(r.hour_start, r.event_type): (r.event_cnt, r.sum_value) for r in got.collect()}

@@ -35,7 +35,9 @@ def test_first_seen_stream_matches_batch_twin(spark, tmp_path):
     )
 
     events = table(spark, SF, "events").where(F.col("event_id") < 400)
-    firsts = first_seen_plan(events).persist()
+    firsts = first_seen_plan(
+        events.withColumn("value", F.col("value").cast("double"))
+    ).persist()
     rest = events.join(
         firsts.select("event_id"), "event_id", "left_anti"
     )
