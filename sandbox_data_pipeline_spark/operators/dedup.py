@@ -28,6 +28,8 @@ from __future__ import annotations
 from functools import reduce
 
 from pyspark.sql import Column, DataFrame
+
+from sandbox_data_pipeline_spark.queries._envproof import stable_round
 from pyspark.sql import functions as F
 
 
@@ -154,7 +156,7 @@ def ngram_jaccard_pairs(
         .join(sb, "doc_b")
         .withColumn(
             "jaccard",
-            F.round(F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common")), 4),
+            stable_round(F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common")), 4),
         )
         .where(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "common", "jaccard")
@@ -210,8 +212,8 @@ def containment_pairs(
     return (
         common.join(sa, "doc_a")
         .join(sb, "doc_b")
-        .withColumn("cont_a_in_b", F.round(F.col("common") / F.col("n_a"), 4))
-        .withColumn("cont_b_in_a", F.round(F.col("common") / F.col("n_b"), 4))
+        .withColumn("cont_a_in_b", stable_round(F.col("common") / F.col("n_a"), 4))
+        .withColumn("cont_b_in_a", stable_round(F.col("common") / F.col("n_b"), 4))
         .where(F.greatest("cont_a_in_b", "cont_b_in_a") >= threshold)
         .select("doc_a", "doc_b", "common", "cont_a_in_b", "cont_b_in_a")
     )
@@ -328,7 +330,7 @@ def minhash_candidate_pairs(
         .select(
             F.col(f"a.{id_col}").alias("doc_a"),
             F.col(f"b.{id_col}").alias("doc_b"),
-            F.round(est / F.lit(float(k)), 4).alias("est_jaccard"),
+            stable_round(est / F.lit(float(k)), 4).alias("est_jaccard"),
         )
         .distinct()
         .where(F.col("est_jaccard") >= threshold)
@@ -663,7 +665,7 @@ def passage_dup_ratio(
     return counted.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_passages"),
         F.sum((F.col("_copies") > 1).cast("long")).alias("n_dup_passages"),
-        F.round(
+        stable_round(
             F.sum((F.col("_copies") > 1).cast("long"))
             / F.count(F.lit(1)),
             4,
@@ -997,7 +999,7 @@ def prefix_filtered_jaccard(
         .withColumn("inter", inter)
         .withColumn(
             "jaccard",
-            F.round(F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")), 4),
+            stable_round(F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")), 4),
         )
         .where(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "n_a", "n_b", "inter", "jaccard")

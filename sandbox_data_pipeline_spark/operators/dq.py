@@ -20,6 +20,8 @@ from typing import Any
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from sandbox_data_pipeline_spark.queries._envproof import stable_round
+
 
 def dq_metrics(df: DataFrame, key_cols: list[str] | None = None) -> DataFrame:
     """One-pass table metrics: row count, null count per column, and
@@ -274,8 +276,8 @@ def skew_report(
             "rank",
             "key_value",
             "cnt",
-            F.round(F.col("cnt") / F.col("_total"), 6).alias("share"),
-            F.round(F.col("cnt") / F.col("_median_cnt"), 4).alias("vs_median"),
+            stable_round(F.col("cnt") / F.col("_total"), 6).alias("share"),
+            stable_round(F.col("cnt") / F.col("_median_cnt"), 4).alias("vs_median"),
         )
     )
 
@@ -312,7 +314,7 @@ def profile_table(df: DataFrame, cols: list[str]) -> DataFrame:
         *[
             F.struct(
                 F.lit(c).alias("column"),
-                F.round(
+                stable_round(
                     (F.col(f"{c}__n") - F.col(f"{c}__nn")) / F.col(f"{c}__n"), 6
                 ).alias("null_rate"),
                 F.col(f"{c}__nd").alias("n_distinct"),

@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from sandbox_data_pipeline_spark.queries._envproof import stable_round
+
 # Minimal per-language stopword markers for the heuristic language ID.
 # (A real pipeline swaps in fastText or CLD3 via a pandas_udf; the
 # heuristic keeps the operator dependency-free and oracle-checkable.)
@@ -54,7 +56,7 @@ def quality_score(text_col: str = "text") -> Column:
     n_digit = F.length(F.regexp_replace(F.col(text_col), r"[^0-9]", ""))
     n_stop = F.size(F.filter(tokens(text_col), lambda t: t.isin(*LANG_MARKERS["en"])))
     n_distinct = F.size(F.array_distinct(tokens(text_col)))
-    return F.round(
+    return stable_round(
         F.least(
             F.lit(1.0),
             F.greatest(
@@ -83,11 +85,11 @@ def quality_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
         "doc_id",
         n_chars.alias("n_chars"),
         n_tok.alias("n_tokens"),
-        F.round(avg_tok_len, 4).alias("avg_token_len"),
-        F.round(n_punct / n_chars, 4).alias("punct_ratio"),
-        F.round(n_digit / n_chars, 4).alias("digit_ratio"),
-        F.round(n_stop / n_tok, 4).alias("stopword_ratio"),
-        F.round(n_distinct / n_tok, 4).alias("distinct_ratio"),
+        stable_round(avg_tok_len, 4).alias("avg_token_len"),
+        stable_round(n_punct / n_chars, 4).alias("punct_ratio"),
+        stable_round(n_digit / n_chars, 4).alias("digit_ratio"),
+        stable_round(n_stop / n_tok, 4).alias("stopword_ratio"),
+        stable_round(n_distinct / n_tok, 4).alias("distinct_ratio"),
         quality_score(text_col).alias("quality_score"),
     )
 
@@ -350,8 +352,8 @@ def repetition_features(
         id_col,
         n.alias("n_tokens"),
         F.size(dist).alias("n_distinct"),
-        F.when(nonempty, F.round(F.lit(1.0) - F.size(dist) / n, 4)).alias("dup_ratio"),
-        F.when(nonempty, F.round(top / n, 4)).alias("top_token_ratio"),
+        F.when(nonempty, stable_round(F.lit(1.0) - F.size(dist) / n, 4)).alias("dup_ratio"),
+        F.when(nonempty, stable_round(top / n, 4)).alias("top_token_ratio"),
     )
 
 
@@ -409,9 +411,9 @@ def gopher_rules(
     return docs.select(
         id_col,
         n_words.alias("n_words"),
-        F.round(mean_wl, 4).alias("mean_word_len"),
-        F.round(symbol_ratio, 4).alias("symbol_ratio"),
-        F.round(alpha_ratio, 4).alias("alpha_word_ratio"),
+        stable_round(mean_wl, 4).alias("mean_word_len"),
+        stable_round(symbol_ratio, 4).alias("symbol_ratio"),
+        stable_round(alpha_ratio, 4).alias("alpha_word_ratio"),
         n_stop.alias("stop_hits"),
         f_words.alias("ok_word_count"),
         f_wl.alias("ok_mean_word_len"),

@@ -203,6 +203,26 @@ def _div(a: Column, b: Column) -> Column:
     )
 
 
+def stable_round(c: Column, n: int) -> Column:
+    """Cross-engine-identical rounding of a DOUBLE: floor(x·10ⁿ + 0.5)
+    / 10ⁿ. Every step is an IEEE operation both engines perform
+    bit-identically on the same input, so the result cannot depend on
+    the engine's round() implementation — which differs at exact ties
+    (repr-based HALF_UP in Spark and DuckDB 1.0, binary half-even in
+    newer DuckDB). Ties are REAL for rational values: count ratios like
+    4/128 = 0.03125 sit exactly on a 4-decimal half. Use for doubles
+    whose value can terminate (ratios of counts/money); engine round is
+    fine for irrational values (cosines, logs). DuckDB twin:
+    stable_round_sql."""
+    p = float(10**n)
+    return F.floor(c * F.lit(p) + F.lit(0.5)) / F.lit(p)
+
+
+def stable_round_sql(expr: str, n: int) -> str:
+    p = float(10**n)
+    return f"(floor(({expr}) * {p} + 0.5) / {p})"
+
+
 def dec_ratio_sql(num_sql: str, den_sql: str, num_scale: int,
                   out_scale: int = 4, out_type: str | None = None) -> str:
     """DuckDB twin of dec_ratio, via HUGEINT // (truncating)."""

@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from sandbox_data_pipeline_spark.queries._envproof import dec_ratio, dec_ratio_sql
+from sandbox_data_pipeline_spark.queries._envproof import dec_ratio, dec_ratio_sql, stable_round, stable_round_sql
 from sandbox_data_pipeline_spark.catalog import table
 
 QUERIES: dict = {}
@@ -584,7 +584,7 @@ def _oracle_profile() -> str:
     for c in PROFILE_COLS:
         parts.append(f"""
 SELECT '{c}' AS column,
-       round((count(*) - count({c})) / count(*), 6) AS null_rate,
+       (floor(((count(*) - count({c})) / count(*)) * 1000000.0 + 0.5) / 1000000.0) AS null_rate,
        count(DISTINCT {c}) AS n_distinct,
        min(CAST({c} AS VARCHAR)) AS min_str,
        max(CAST({c} AS VARCHAR)) AS max_str,
@@ -695,8 +695,8 @@ def q_timeseries_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "hour_ts",
         "n",
-        F.round(F.avg("n").over(w), 4).alias("seasonal"),
-        F.round(F.col("n") - F.avg("n").over(w), 4).alias("residual"),
+        stable_round(F.avg("n").over(w), 4).alias("seasonal"),
+        stable_round(F.col("n") - F.avg("n").over(w), 4).alias("residual"),
     )
 
 
@@ -706,9 +706,9 @@ WITH hourly AS (
   FROM events GROUP BY 1, 2
 )
 SELECT event_type, hour_ts, n,
-       round(avg(n) OVER (PARTITION BY event_type, extract(hour FROM hour_ts)), 4)
+       (floor((avg(n) OVER (PARTITION BY event_type, extract(hour FROM hour_ts))) * 10000.0 + 0.5) / 10000.0)
          AS seasonal,
-       round(n - avg(n) OVER (PARTITION BY event_type, extract(hour FROM hour_ts)), 4)
+       (floor((n - avg(n) OVER (PARTITION BY event_type, extract(hour FROM hour_ts))) * 10000.0 + 0.5) / 10000.0)
          AS residual
 FROM hourly
 """
@@ -775,7 +775,7 @@ def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stage_idx",
         "stage",
         "n_users",
-        F.round(F.col("n_users") / F.col("n0"), 4).alias("pct_of_entry"),
+        stable_round(F.col("n_users") / F.col("n0"), 4).alias("pct_of_entry"),
     )
 
 
@@ -809,7 +809,7 @@ stages AS (
   UNION ALL
   SELECT 4, 'purchase', (SELECT count(*) FROM s4)
 )
-SELECT stage_idx, stage, n_users, round(n_users / n0, 4) AS pct_of_entry
+SELECT stage_idx, stage, n_users, (floor((n_users / n0) * 10000.0 + 0.5) / 10000.0) AS pct_of_entry
 FROM stages CROSS JOIN n
 """
 
@@ -860,13 +860,24 @@ def q_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         joined.groupBy("event_type", "hour_ts", "n")
-        .agg(F.round(F.sum(weight * F.col("x_j")), 4).alias("ewma"))
+        # each term cast to decimal(28,12) BEFORE the sum: the decimal
+        # sum is association-order-free (a double sum's value depends
+        # on partial-aggregation order), and the per-term cast of an
+        # irrational product never lands on a rounding tie
+        .agg(
+            F.sum((weight * F.col("x_j")).cast("decimal(28,12)"))
+            .cast("decimal(28,12)")
+            .alias("_e")
+        )
         .select(
             "event_type",
             "hour_ts",
             "n",
-            "ewma",
-            F.round(F.abs(F.col("n") - F.col("ewma")), 4).alias("deviation"),
+            stable_round(F.col("_e").cast("double"), 4).alias("ewma"),
+        )
+        .withColumn(
+            "deviation",
+            stable_round(F.abs(F.col("n") - F.col("ewma")), 4),
         )
     )
 
@@ -882,18 +893,18 @@ series AS (
          row_number() OVER (PARTITION BY event_type ORDER BY hour_ts) AS rn
   FROM hourly
 )
-SELECT a.event_type, a.hour_ts, a.n,
-       round(sum(
-         CASE WHEN b.rn = 1 THEN pow({1.0 - EWMA_ALPHA!r}, a.rn - 1)
-              ELSE {EWMA_ALPHA!r} * pow({1.0 - EWMA_ALPHA!r}, a.rn - b.rn) END * b.n
-       ), 4) AS ewma,
-       round(abs(a.n - round(sum(
-         CASE WHEN b.rn = 1 THEN pow({1.0 - EWMA_ALPHA!r}, a.rn - 1)
-              ELSE {EWMA_ALPHA!r} * pow({1.0 - EWMA_ALPHA!r}, a.rn - b.rn) END * b.n
-       ), 4)), 4) AS deviation
-FROM series a JOIN series b
-  ON b.event_type = a.event_type AND b.rn <= a.rn
-GROUP BY 1, 2, 3
+SELECT event_type, hour_ts, n, ewma,
+       (floor(abs(n - ewma) * 10000.0 + 0.5) / 10000.0) AS deviation
+FROM (
+  SELECT a.event_type, a.hour_ts, a.n,
+         (floor(CAST(sum(CAST(
+           CASE WHEN b.rn = 1 THEN pow({1.0 - EWMA_ALPHA!r}, a.rn - 1)
+                ELSE {EWMA_ALPHA!r} * pow({1.0 - EWMA_ALPHA!r}, a.rn - b.rn) END * b.n
+         AS DECIMAL(28,12))) AS DOUBLE) * 10000.0 + 0.5) / 10000.0) AS ewma
+  FROM series a JOIN series b
+    ON b.event_type = a.event_type AND b.rn <= a.rn
+  GROUP BY 1, 2, 3
+)
 """
 
 
@@ -976,17 +987,20 @@ def q_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.agg(
         F.lit(n).cast("long").alias("n_customers"),
         F.sum("spend").cast("decimal(18,2)").alias("total_spend"),
-        F.round(
-            2.0
-            * F.sum((F.col("r") + 1) * F.col("spend")).cast("double")
-            / (F.lit(n) * F.sum("spend").cast("double"))
-            - (F.lit(n) + 1.0) / F.lit(n),
+        # gini = (2A − (n+1)B) / (nB) with A = Σ rank·spend, B = Σ spend
+        # — exact rational of decimals; integer half-away division on
+        # both engines (engine round(double) ties are build-dependent)
+        dec_ratio(
+            F.lit(2) * F.sum((F.col("r") + 1) * F.col("spend"))
+            - F.lit(n + 1) * F.sum("spend"),
+            F.lit(n) * F.sum("spend"),
+            2,
             6,
         ).alias("gini"),
     )
 
 
-ORACLE["q_gini_concentration"] = """
+ORACLE["q_gini_concentration"] = f"""
 WITH spend AS (
   SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
   FROM orders GROUP BY o_custkey
@@ -997,8 +1011,8 @@ WITH spend AS (
 )
 SELECT max(n) AS n_customers,
        CAST(sum(spend) AS DECIMAL(18,2)) AS total_spend,
-       round(2.0 * CAST(sum(r * spend) AS DOUBLE) / (max(n) * CAST(sum(spend) AS DOUBLE))
-             - (max(n) + 1.0) / max(n), 6) AS gini
+       {dec_ratio_sql("2 * sum(r * spend) - (max(n) + 1) * sum(spend)",
+                      "max(n) * sum(spend)", 2, 6)} AS gini
 FROM ranked
 """
 QUERIES["q_gini_concentration"] = q_gini_concentration

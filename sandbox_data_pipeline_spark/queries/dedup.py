@@ -8,6 +8,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from sandbox_data_pipeline_spark.queries._envproof import stable_round
+
 from sandbox_data_pipeline_spark.catalog import table
 from sandbox_data_pipeline_spark.operators.dedup import (
     exact_dedup_keep,
@@ -134,11 +136,11 @@ common AS (
   GROUP BY 1, 2
 )
 SELECT doc_a, doc_b, common,
-       round(common / (sa.n_sh + sb.n_sh - common), 4) AS jaccard
+       (floor((common / (sa.n_sh + sb.n_sh - common)) * 10000.0 + 0.5) / 10000.0) AS jaccard
 FROM common
 JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b
-WHERE round(common / (sa.n_sh + sb.n_sh - common), 4) >= {t}
+WHERE (floor((common / (sa.n_sh + sb.n_sh - common)) * 10000.0 + 0.5) / 10000.0) >= {t}
 """
 
 
@@ -162,11 +164,11 @@ cand AS (
   FROM bands a JOIN bands b
     ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
 )
-SELECT doc_a, doc_b, round(({matches}) / {k}.0, 4) AS est_jaccard
+SELECT doc_a, doc_b, (floor((({matches}) / {k}.0) * 10000.0 + 0.5) / 10000.0) AS est_jaccard
 FROM cand
 JOIN sigs sa ON sa.doc_id = doc_a
 JOIN sigs sb ON sb.doc_id = doc_b
-WHERE round(({matches}) / {k}.0, 4) >= {t}
+WHERE (floor((({matches}) / {k}.0) * 10000.0 + 0.5) / 10000.0) >= {t}
 """
 
 
@@ -431,7 +433,7 @@ _ORACLE_PASSAGE_RATIO = _PASSAGE_CTE + """
 SELECT doc_id,
        count(*) AS n_passages,
        sum(CASE WHEN copies > 1 THEN 1 ELSE 0 END) AS n_dup_passages,
-       round(sum(CASE WHEN copies > 1 THEN 1 ELSE 0 END) / count(*), 4) AS dup_ratio
+       (floor((sum(CASE WHEN copies > 1 THEN 1 ELSE 0 END) / count(*)) * 10000.0 + 0.5) / 10000.0) AS dup_ratio
 FROM counted
 GROUP BY doc_id
 """
@@ -574,12 +576,12 @@ common AS (
   GROUP BY 1, 2
 )
 SELECT doc_a, doc_b, common,
-       round(common / sa.n_sh, 4) AS cont_a_in_b,
-       round(common / sb.n_sh, 4) AS cont_b_in_a
+       (floor((common / sa.n_sh) * 10000.0 + 0.5) / 10000.0) AS cont_a_in_b,
+       (floor((common / sb.n_sh) * 10000.0 + 0.5) / 10000.0) AS cont_b_in_a
 FROM common
 JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b
-WHERE greatest(round(common / sa.n_sh, 4), round(common / sb.n_sh, 4)) >= {t}
+WHERE greatest((floor((common / sa.n_sh) * 10000.0 + 0.5) / 10000.0), (floor((common / sb.n_sh) * 10000.0 + 0.5) / 10000.0)) >= {t}
 """
 
 
@@ -726,7 +728,7 @@ def q_entity_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_a",
             "doc_b",
             "est_jaccard",
-            F.round(
+            stable_round(
                 F.least("len_a", "len_b") / F.greatest("len_a", "len_b"), 4
             ).alias("len_ratio"),
             (F.col("src_a") == F.col("src_b")).alias("same_source"),
@@ -746,7 +748,7 @@ def _oracle_entity_matches() -> str:
 WITH mh AS ({_oracle_minhash()}),
 d AS (SELECT doc_id, source, md5(text) AS fp, length(text) AS n_chars FROM documents)
 SELECT mh.doc_a, mh.doc_b, mh.est_jaccard,
-       round(least(a.n_chars, b.n_chars) / greatest(a.n_chars, b.n_chars), 4) AS len_ratio,
+       (floor((least(a.n_chars, b.n_chars) / greatest(a.n_chars, b.n_chars)) * 10000.0 + 0.5) / 10000.0) AS len_ratio,
        a.source = b.source AS same_source,
        a.fp = b.fp AS exact_equal,
        CASE WHEN a.fp = b.fp THEN 'exact'
@@ -804,7 +806,7 @@ def q_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return groups.groupBy("source").agg(
         F.sum("cnt").alias("n_docs"),
         F.count(F.lit(1)).alias("n_distinct"),
-        F.round(F.lit(1.0) - F.count(F.lit(1)) / F.sum("cnt"), 6).alias("dup_rate"),
+        stable_round(F.lit(1.0) - F.count(F.lit(1)) / F.sum("cnt"), 6).alias("dup_rate"),
     )
 
 
@@ -815,7 +817,7 @@ WITH g AS (
 SELECT source,
        CAST(sum(cnt) AS BIGINT) AS n_docs,
        count(*) AS n_distinct,
-       round(1.0 - count(*) / sum(cnt), 6) AS dup_rate
+       (floor((1.0 - count(*) / sum(cnt)) * 1000000.0 + 0.5) / 1000000.0) AS dup_rate
 FROM g GROUP BY source
 """
 QUERIES["q_dup_rate_by_source"] = q_dup_rate_by_source
@@ -861,14 +863,14 @@ def q_minhash_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_a",
             "doc_b",
             "est_jaccard",
-            F.round(
+            stable_round(
                 F.coalesce("common", F.lit(0))
                 / (F.col("n_a") + F.col("n_b") - F.coalesce("common", F.lit(0))),
                 4,
             ).alias("exact_jaccard"),
         )
         .withColumn(
-            "abs_err", F.round(F.abs(F.col("est_jaccard") - F.col("exact_jaccard")), 4)
+            "abs_err", stable_round(F.abs(F.col("est_jaccard") - F.col("exact_jaccard")), 4)
         )
     )
 
@@ -887,10 +889,10 @@ common AS (
   GROUP BY 1, 2
 )
 SELECT mh.doc_a, mh.doc_b, mh.est_jaccard,
-       round(coalesce(common, 0) / (sa.n_sh + sb.n_sh - coalesce(common, 0)), 4)
+       (floor((coalesce(common, 0) / (sa.n_sh + sb.n_sh - coalesce(common, 0))) * 10000.0 + 0.5) / 10000.0)
          AS exact_jaccard,
-       round(abs(mh.est_jaccard -
-             round(coalesce(common, 0) / (sa.n_sh + sb.n_sh - coalesce(common, 0)), 4)), 4)
+       (floor((abs(mh.est_jaccard -
+             (floor((coalesce(common, 0) / (sa.n_sh + sb.n_sh - coalesce(common, 0))) * 10000.0 + 0.5) / 10000.0))) * 10000.0 + 0.5) / 10000.0)
          AS abs_err
 FROM mh
 LEFT JOIN common ON common.doc_a = mh.doc_a AND common.doc_b = mh.doc_b
@@ -984,11 +986,11 @@ common AS (
 )
 SELECT doc_a, doc_b,
        sa.n_sh AS n_a, sb.n_sh AS n_b, inter,
-       round(inter / (sa.n_sh + sb.n_sh - inter), 4) AS jaccard
+       (floor((inter / (sa.n_sh + sb.n_sh - inter)) * 10000.0 + 0.5) / 10000.0) AS jaccard
 FROM common
 JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b
-WHERE round(inter / (sa.n_sh + sb.n_sh - inter), 4) >= {t}
+WHERE (floor((inter / (sa.n_sh + sb.n_sh - inter)) * 10000.0 + 0.5) / 10000.0) >= {t}
 """
 
 
@@ -1050,8 +1052,8 @@ p0 AS MATERIALIZED (
   FROM deg CROSS JOIN n
 ),
 {chain}
-SELECT node AS doc_id, deg, round(rank, 6) AS pagerank,
-       round(rank * n_nodes, 4) AS rank_rel
+SELECT node AS doc_id, deg, (floor((rank) * 1000000.0 + 0.5) / 1000000.0) AS pagerank,
+       (floor((rank * n_nodes) * 10000.0 + 0.5) / 10000.0) AS rank_rel
 FROM {prev}
 """
 
@@ -1103,7 +1105,7 @@ def q_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("n_tri"), F.lit(0)).alias("n_tri"),
             F.when(F.col("deg") < 2, F.lit(0.0))
             .otherwise(
-                F.round(
+                stable_round(
                     F.coalesce(F.col("n_tri"), F.lit(0))
                     * 2
                     / (F.col("deg") * (F.col("deg") - 1)),
@@ -1137,7 +1139,7 @@ deg AS (
 )
 SELECT deg.doc_id, deg.deg, coalesce(per_node.n_tri, 0) AS n_tri,
        CASE WHEN deg.deg < 2 THEN 0.0
-            ELSE round(coalesce(per_node.n_tri, 0) * 2 / (deg.deg * (deg.deg - 1)), 4)
+            ELSE (floor((coalesce(per_node.n_tri, 0) * 2 / (deg.deg * (deg.deg - 1))) * 10000.0 + 0.5) / 10000.0)
        END AS clustering
 FROM deg LEFT JOIN per_node ON per_node.doc_id = deg.doc_id
 """
@@ -1195,8 +1197,8 @@ s0 AS MATERIALIZED (
 {chain},
 mx AS (SELECT max(a) AS max_a, max(h) AS max_h FROM {prev})
 SELECT node AS doc_id, a AS authority_raw, h AS hub_raw,
-       CASE WHEN max_a > 0 THEN round(a / max_a, 6) ELSE 0.0 END AS authority_rel,
-       CASE WHEN max_h > 0 THEN round(h / max_h, 6) ELSE 0.0 END AS hub_rel
+       CASE WHEN max_a > 0 THEN (floor((a / max_a) * 1000000.0 + 0.5) / 1000000.0) ELSE 0.0 END AS authority_rel,
+       CASE WHEN max_h > 0 THEN (floor((h / max_h) * 1000000.0 + 0.5) / 1000000.0) ELSE 0.0 END AS hub_rel
 FROM {prev} CROSS JOIN mx
 """
 
@@ -1238,7 +1240,7 @@ def q_simhash_quality_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(sb, "doc_b")
         .select(
             "hamming",
-            F.round(
+            stable_round(
                 F.coalesce("common", F.lit(0))
                 / (F.col("n_a") + F.col("n_b") - F.coalesce("common", F.lit(0))),
                 4,
@@ -1254,7 +1256,7 @@ def q_simhash_quality_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).where(F.col("hamming") <= F.col("max_h"))
     return swept.groupBy("max_h").agg(
         F.count(F.lit(1)).alias("n_pairs"),
-        F.round(F.avg("exact_jaccard"), 4).alias("mean_jaccard"),
+        stable_round(F.avg("exact_jaccard"), 4).alias("mean_jaccard"),
         F.sum(F.when(F.col("exact_jaccard") >= 0.5, 1).otherwise(0)).alias(
             "n_ge_05"
         ),
@@ -1276,7 +1278,7 @@ common AS (
 ),
 pj AS (
   SELECT sp.hamming,
-         round(coalesce(common, 0) / (sa.n_sh + sb.n_sh - coalesce(common, 0)), 4)
+         (floor((coalesce(common, 0) / (sa.n_sh + sb.n_sh - coalesce(common, 0))) * 10000.0 + 0.5) / 10000.0)
            AS exact_jaccard
   FROM sp
   LEFT JOIN common ON common.doc_a = sp.doc_a AND common.doc_b = sp.doc_b
@@ -1285,7 +1287,7 @@ pj AS (
 )
 SELECT CAST(t.range AS INT) AS max_h,
        count(*) AS n_pairs,
-       round(avg(exact_jaccard), 4) AS mean_jaccard,
+       (floor((avg(exact_jaccard)) * 10000.0 + 0.5) / 10000.0) AS mean_jaccard,
        sum(CASE WHEN exact_jaccard >= 0.5 THEN 1 ELSE 0 END) AS n_ge_05
 FROM range(0, {SIMHASH_MAXH + 1}) t
 JOIN pj ON pj.hamming <= t.range

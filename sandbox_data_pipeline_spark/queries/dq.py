@@ -8,6 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from sandbox_data_pipeline_spark.queries._envproof import stable_round
 from sandbox_data_pipeline_spark.catalog import table
 
 
@@ -150,8 +151,8 @@ med AS (
 )
 SELECT CAST(row_number() OVER (ORDER BY cnt DESC, key_value) AS INTEGER) AS rank,
        key_value, cnt,
-       round(cnt / tot.total, 6) AS share,
-       round(cnt / med.median_cnt, 4) AS vs_median
+       (floor((cnt / tot.total) * 1000000.0 + 0.5) / 1000000.0) AS share,
+       (floor((cnt / med.median_cnt) * 10000.0 + 0.5) / 10000.0) AS vs_median
 FROM counts, tot, med
 ORDER BY rank LIMIT 10
 """
@@ -175,7 +176,7 @@ def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_classes"),
         F.min("cls_n").alias("k_min"),
         F.sum(F.when(F.col("cls_n") < K_ANON, 1).otherwise(0)).alias("n_below_k"),
-        F.round(
+        stable_round(
             F.sum(F.when(F.col("cls_n") < K_ANON, F.col("cls_n")).otherwise(0))
             / F.sum("cls_n"),
             6,
@@ -190,7 +191,7 @@ WITH classes AS (
 SELECT count(*) AS n_classes,
        min(cls_n) AS k_min,
        CAST(sum(CASE WHEN cls_n < {K_ANON} THEN 1 ELSE 0 END) AS BIGINT) AS n_below_k,
-       round(sum(CASE WHEN cls_n < {K_ANON} THEN cls_n ELSE 0 END) / sum(cls_n), 6)
+       (floor((sum(CASE WHEN cls_n < {K_ANON} THEN cls_n ELSE 0 END) / sum(cls_n)) * 1000000.0 + 0.5) / 1000000.0)
          AS rows_below_k_frac
 FROM classes
 """

@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from sandbox_data_pipeline_spark.queries._envproof import dec_ratio, dec_ratio_sql
+from sandbox_data_pipeline_spark.queries._envproof import dec_ratio, dec_ratio_sql, stable_round
 from sandbox_data_pipeline_spark.catalog import table
 
 
@@ -880,8 +880,8 @@ def q_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_nationkey",
         F.round("c_acctbal", 4).alias("acctbal"),
         F.ntile(4).over(w).alias("quartile"),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        stable_round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        stable_round(F.cume_dist().over(w), 6).alias("cume"),
         F.round(F.col("c_acctbal") - F.lag("c_acctbal", 1).over(w), 4).alias("delta_prev"),
     )
 
@@ -891,8 +891,8 @@ SELECT c_custkey,
        c_nationkey,
        round(c_acctbal, 4) AS acctbal,
        CAST(ntile(4) OVER w AS INTEGER) AS quartile,
-       round(percent_rank() OVER w, 6) AS pct_rank,
-       round(cume_dist() OVER w, 6) AS cume,
+       (floor((percent_rank() OVER w) * 1000000.0 + 0.5) / 1000000.0) AS pct_rank,
+       (floor((cume_dist() OVER w) * 1000000.0 + 0.5) / 1000000.0) AS cume,
        round(c_acctbal - lag(c_acctbal, 1) OVER w, 4) AS delta_prev
 FROM customer
 WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)

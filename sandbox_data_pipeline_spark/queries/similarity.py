@@ -8,6 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from sandbox_data_pipeline_spark.queries._envproof import stable_round
 from sandbox_data_pipeline_spark.catalog import table
 from sandbox_data_pipeline_spark.operators.similarity import (
     brute_force_topk,
@@ -694,7 +695,7 @@ def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     out = pq_adc_topk(emb, _queries_df(spark, sf_dir), DIM, k=TOPK)
     return out.select(
-        "query_id", "rank", "cand_id", F.round("adc_sim", 2).alias("adc2")
+        "query_id", "rank", "cand_id", stable_round(F.col("adc_sim"), 2).alias("adc2")
     )
 
 
@@ -722,7 +723,7 @@ ranked AS (
   FROM sims
 )
 SELECT query_id, CAST(rank AS INTEGER) AS rank, cand_id,
-       round(round(adc_sim, 4), 2) AS adc2
+       (floor(round(adc_sim, 4) * 100.0 + 0.5) / 100.0) AS adc2
 FROM ranked WHERE rank <= {TOPK}
 """
     )
@@ -757,7 +758,7 @@ def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # lane orders — a 1-ulp drift at a 4-decimal half boundary is real
     # (observed), at 2 decimals it is negligible.
     return out.select(
-        "query_id", "rank", "cand_id", F.round("cos_sim", 2).alias("cos2")
+        "query_id", "rank", "cand_id", stable_round(F.col("cos_sim"), 2).alias("cos2")
     )
 
 
@@ -786,7 +787,7 @@ ranked AS (
   FROM sims
 )
 SELECT query_id, CAST(rank AS INTEGER) AS rank, cand_id,
-       round(round(cos_sim, 4), 2) AS cos2
+       (floor(round(cos_sim, 4) * 100.0 + 0.5) / 100.0) AS cos2
 FROM ranked WHERE rank <= {TOPK}
 """
 

@@ -10,6 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from sandbox_data_pipeline_spark.queries._envproof import stable_round
 from sandbox_data_pipeline_spark.catalog import table
 from sandbox_data_pipeline_spark.operators.text import (
     BPE_ISH_PATTERN,
@@ -75,13 +76,13 @@ def _oracle_quality() -> str:
 SELECT doc_id,
        CAST(n_chars AS INTEGER) AS n_chars,
        CAST(n_tok AS INTEGER) AS n_tokens,
-       round((n_chars - n_space) / n_tok, 4) AS avg_token_len,
-       round(n_punct / n_chars, 4) AS punct_ratio,
-       round(n_digit / n_chars, 4) AS digit_ratio,
-       round(n_stop / n_tok, 4) AS stopword_ratio,
-       round(n_distinct / n_tok, 4) AS distinct_ratio,
-       round(least(1.0, greatest(0.0,
-             0.5 * (n_stop / n_tok) + 0.5 * (n_distinct / n_tok) - n_digit / n_chars)), 4)
+       (floor(((n_chars - n_space) / n_tok) * 10000.0 + 0.5) / 10000.0) AS avg_token_len,
+       (floor((n_punct / n_chars) * 10000.0 + 0.5) / 10000.0) AS punct_ratio,
+       (floor((n_digit / n_chars) * 10000.0 + 0.5) / 10000.0) AS digit_ratio,
+       (floor((n_stop / n_tok) * 10000.0 + 0.5) / 10000.0) AS stopword_ratio,
+       (floor((n_distinct / n_tok) * 10000.0 + 0.5) / 10000.0) AS distinct_ratio,
+       (floor((least(1.0, greatest(0.0,
+             0.5 * (n_stop / n_tok) + 0.5 * (n_distinct / n_tok) - n_digit / n_chars))) * 10000.0 + 0.5) / 10000.0)
            AS quality_score
 FROM (
   SELECT doc_id,
@@ -372,10 +373,10 @@ SELECT doc_id,
        CAST(len(l) AS INTEGER) AS n_tokens,
        CAST(len(list_distinct(l)) AS INTEGER) AS n_distinct,
        CASE WHEN len(l) > 0
-            THEN round(1.0 - len(list_distinct(l)) / len(l), 4) END AS dup_ratio,
+            THEN (floor((1.0 - len(list_distinct(l)) / len(l)) * 10000.0 + 0.5) / 10000.0) END AS dup_ratio,
        CASE WHEN len(l) > 0
-            THEN round(list_max(list_transform(list_distinct(l),
-                       d -> len(list_filter(l, t -> t = d)))) / len(l), 4)
+            THEN (floor((list_max(list_transform(list_distinct(l),
+                       d -> len(list_filter(l, t -> t = d)))) / len(l)) * 10000.0 + 0.5) / 10000.0)
             END AS top_token_ratio
 FROM (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS l
       FROM documents)
@@ -775,9 +776,9 @@ def _oracle_gopher() -> str:
     return rf"""
 SELECT doc_id,
        CAST(n_words AS INTEGER) AS n_words,
-       round(n_nonspace / n_words, 4) AS mean_word_len,
-       round(n_sym / n_words, 4) AS symbol_ratio,
-       round(n_alpha / n_words, 4) AS alpha_word_ratio,
+       (floor((n_nonspace / n_words) * 10000.0 + 0.5) / 10000.0) AS mean_word_len,
+       (floor((n_sym / n_words) * 10000.0 + 0.5) / 10000.0) AS symbol_ratio,
+       (floor((n_alpha / n_words) * 10000.0 + 0.5) / 10000.0) AS alpha_word_ratio,
        CAST(stop_hits AS INTEGER) AS stop_hits,
        n_words >= 50 AND n_words <= 100000 AS ok_word_count,
        n_nonspace / n_words >= 3.0 AND n_nonspace / n_words <= 10.0 AS ok_mean_word_len,
@@ -1023,8 +1024,8 @@ def _oracle_quality_sweep() -> str:
     nstop = _stop_hits(LANG_MARKERS["en"])
     return f"""
 WITH scored AS (
-  SELECT round(least(1.0, greatest(0.0,
-           0.5 * (n_stop / n_tok) + 0.5 * (n_distinct / n_tok) - n_digit / n_chars)), 4)
+  SELECT (floor((least(1.0, greatest(0.0,
+           0.5 * (n_stop / n_tok) + 0.5 * (n_distinct / n_tok) - n_digit / n_chars))) * 10000.0 + 0.5) / 10000.0)
            AS score,
          n_tok AS n_tokens
   FROM (
@@ -1081,8 +1082,8 @@ def _oracle_budget_select() -> str:
     return f"""
 WITH scored AS (
   SELECT doc_id, lang,
-         round(least(1.0, greatest(0.0,
-           0.5 * (n_stop / n_tok) + 0.5 * (n_distinct / n_tok) - n_digit / n_chars)), 4)
+         (floor((least(1.0, greatest(0.0,
+           0.5 * (n_stop / n_tok) + 0.5 * (n_distinct / n_tok) - n_digit / n_chars))) * 10000.0 + 0.5) / 10000.0)
            AS score,
          n_tok AS n_tokens
   FROM (
@@ -1130,8 +1131,8 @@ def _oracle_weighted_sample() -> str:
     return f"""
 WITH scored AS (
   SELECT doc_id, lang, text,
-         round(least(1.0, greatest(0.0,
-           0.5 * (n_stop / n_tok) + 0.5 * (n_distinct / n_tok) - n_digit / n_chars)), 4)
+         (floor((least(1.0, greatest(0.0,
+           0.5 * (n_stop / n_tok) + 0.5 * (n_distinct / n_tok) - n_digit / n_chars))) * 10000.0 + 0.5) / 10000.0)
            + 0.05 AS w
   FROM (
     SELECT doc_id, lang, text,
@@ -1222,8 +1223,8 @@ def _oracle_curation_pipeline() -> str:
     return f"""
 WITH scored AS (
   SELECT doc_id, lang, source, text,
-         round(least(1.0, greatest(0.0,
-           0.5 * (n_stop / n_tok) + 0.5 * (n_distinct / n_tok) - n_digit / n_chars)), 4)
+         (floor((least(1.0, greatest(0.0,
+           0.5 * (n_stop / n_tok) + 0.5 * (n_distinct / n_tok) - n_digit / n_chars))) * 10000.0 + 0.5) / 10000.0)
            AS score,
          n_tok AS n_tokens
   FROM (
@@ -1344,7 +1345,7 @@ def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.countDistinct("source").alias("n_sources"),
         F.countDistinct("lang").alias("n_langs"),
-        F.round(F.avg("score"), 4).alias("mean_quality"),
+        stable_round(F.avg("score"), 4).alias("mean_quality"),
         F.round(F.percentile("n_tokens", F.lit(0.5)), 4).alias("p50_tokens"),
         F.round(F.percentile("n_tokens", F.lit(0.95)), 4).alias("p95_tokens"),
         F.sum("n_tokens").alias("total_tokens"),
@@ -1354,7 +1355,7 @@ def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_docs",
         "n_sources",
         "n_langs",
-        F.round(F.lit(1.0) - F.col("_n_fp") / F.col("n_docs"), 6).alias("dup_rate"),
+        stable_round(F.lit(1.0) - F.col("_n_fp") / F.col("n_docs"), 6).alias("dup_rate"),
         "mean_quality",
         "p50_tokens",
         "p95_tokens",
@@ -1367,8 +1368,8 @@ def _oracle_dataset_card() -> str:
     return f"""
 WITH scored AS (
   SELECT doc_id, lang, source, text,
-         round(least(1.0, greatest(0.0,
-           0.5 * (n_stop / n_tok) + 0.5 * (n_distinct / n_tok) - n_digit / n_chars)), 4)
+         (floor((least(1.0, greatest(0.0,
+           0.5 * (n_stop / n_tok) + 0.5 * (n_distinct / n_tok) - n_digit / n_chars))) * 10000.0 + 0.5) / 10000.0)
            AS score,
          n_tok AS n_tokens
   FROM (
@@ -1384,8 +1385,8 @@ WITH scored AS (
 SELECT count(*) AS n_docs,
        count(DISTINCT source) AS n_sources,
        count(DISTINCT lang) AS n_langs,
-       round(1.0 - count(DISTINCT md5(text)) / count(*), 6) AS dup_rate,
-       round(avg(score), 4) AS mean_quality,
+       (floor((1.0 - count(DISTINCT md5(text)) / count(*)) * 1000000.0 + 0.5) / 1000000.0) AS dup_rate,
+       (floor((avg(score)) * 10000.0 + 0.5) / 10000.0) AS mean_quality,
        round(quantile_cont(n_tokens, 0.5), 4) AS p50_tokens,
        round(quantile_cont(n_tokens, 0.95), 4) AS p95_tokens,
        CAST(sum(n_tokens) AS BIGINT) AS total_tokens
@@ -1444,7 +1445,7 @@ def q_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
     bins = q_pack_sequences(spark, sf_dir)
     return bins.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_bins"),
-        F.round(F.avg(F.col("bin_tokens") / F.lit(PACK_BUDGET)), 4).alias("avg_fill"),
+        stable_round(F.avg(F.col("bin_tokens") / F.lit(PACK_BUDGET)), 4).alias("avg_fill"),
         F.sum(
             F.when(F.col("bin_tokens") < 0.8 * PACK_BUDGET, 1).otherwise(0)
         ).alias("underfilled_bins"),
@@ -1468,7 +1469,7 @@ bins AS (
   FROM binned GROUP BY 1, 2
 )
 SELECT lang, count(*) AS n_bins,
-       round(avg(bin_tokens / {PACK_BUDGET}), 4) AS avg_fill,
+       (floor((avg(bin_tokens / {PACK_BUDGET})) * 10000.0 + 0.5) / 10000.0) AS avg_fill,
        CAST(sum(CASE WHEN bin_tokens < 0.8 * {PACK_BUDGET} THEN 1 ELSE 0 END) AS BIGINT)
          AS underfilled_bins
 FROM bins GROUP BY lang
