@@ -105,6 +105,10 @@ HEADLINE = [
     "q_gif_decode_stats",
     "q_kmv_distinct",
     "q_simhash_quality_sweep",
+    # round-5 additions: replayable sketches + exact-integer k-means IVF
+    "q_agg_approx",
+    "q_hll_rollup",
+    "q_similarity_ivf_kmeans_topk",
 ]
 
 

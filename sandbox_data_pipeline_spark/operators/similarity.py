@@ -255,35 +255,47 @@ def ivf_centroids_kmeans_exact(
     init = qv.orderBy("vid").limit(n_centroids).collect()
     cents: list[list[int]] = [[c * 100 for c in r["q"]] for r in init]
 
+    # (vid, pos, val) long form, materialized once and reused by every
+    # iteration's two consumers. Broadcast-join against the k·dim
+    # centroid frame keeps the whole iteration in whole-stage codegen —
+    # the literal-expression / higher-order-function formulations
+    # measured ~20 s per iteration at sf0.1 (interpreted lambdas per
+    # element); this shape runs the same arithmetic in ~1 s.
+    qe = qv.select(
+        "vid", F.posexplode("q").alias("pos", "val")
+    ).localCheckpoint(eager=True)
+
     def _half_away(num: int, den: int) -> int:
         if num >= 0:
             return (2 * num + den) // (2 * den)
         return -((2 * (-num) + den) // (2 * den))
 
+    spark = embeddings.sparkSession
     for _ in range(n_iter):
-        terms = ", ".join(
-            "named_struct('d', aggregate(zip_with(q, array("
-            + ", ".join(f"{c}L" for c in cv)
-            + "), (x, y) -> (x * 100 - y) * (x * 100 - y)),"
-            f" 0L, (acc, v) -> acc + v), 'j', {j})"
-            for j, cv in enumerate(cents)
+        cdf = spark.createDataFrame(
+            [(j, p, c) for j, cv in enumerate(cents) for p, c in enumerate(cv)],
+            "j int, pos int, cval long",
         )
-        assigned = qv.select(
-            F.expr(f"array_min(array({terms})).j").alias("j"),
-            F.posexplode("q"),
+        diff = F.col("val") * 100 - F.col("cval")
+        dists = (
+            qe.join(F.broadcast(cdf), "pos")
+            .groupBy("vid", "j")
+            .agg(F.sum(diff * diff).alias("d"))
+        )
+        asg = dists.groupBy("vid").agg(
+            F.min_by("j", F.struct("d", "j")).alias("j")
         )
         sums = (
-            assigned.groupBy("j", "pos")
-            .agg(F.sum("col").alias("s"), F.count(F.lit(1)).alias("n"))
+            qe.join(asg, "vid")
+            .groupBy("j", "pos")
+            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
             .collect()
         )
         new: dict[int, list[int]] = {}
-        cnt: dict[int, int] = {}
         for r in sums:
             new.setdefault(r["j"], [0] * dim)[r["pos"]] = _half_away(
                 int(r["s"]) * 100, int(r["n"])
             )
-            cnt[r["j"]] = int(r["n"])
         cents = [new.get(j, cents[j]) for j in range(n_centroids)]
     return [
         (j, [c / 1000000.0 for c in cv]) for j, cv in enumerate(cents)
