@@ -109,6 +109,7 @@ HEADLINE = [
     "q_agg_approx",
     "q_hll_rollup",
     "q_similarity_ivf_kmeans_topk",
+    "q_anchored_dup_spans",
 ]
 
 

@@ -96,6 +96,7 @@ DRIVER_PRIORITY = (
     "q_simhash_quality_sweep",
     "q_event_funnel",
     "q_rag_index_pipeline",
+    "q_anchored_dup_spans",
     # Overflow window: remaining never-sampled coverage
     "q_media_resolution_filter",
     "q_hash_split",

@@ -956,6 +956,54 @@ FROM sp GROUP BY doc_id, span_id
 QUERIES["q_substring_dup_spans"] = q_substring_dup_spans
 
 
+def q_anchored_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB variant of exact substring dedup under the oracle
+    gate: content-defined anchoring (anchor_mod=4 — only grams whose
+    portable hash ≡ 0 mod 4 reach the shuffle, ~4× less gram traffic;
+    winnowing/CDC-style, so both copies of a duplicate keep identical
+    anchors at any byte offset). The algorithm is deterministic, so the
+    approximation itself is oracle-exact: the SQL twin replays the
+    anchor filter and must reproduce every anchored span."""
+    from sandbox_data_pipeline_spark.operators.dedup import (
+        duplicated_substring_spans,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    return duplicated_substring_spans(docs, gram_len=32, anchor_mod=4)
+
+
+ORACLE["q_anchored_dup_spans"] = f"""
+WITH grams AS (
+  SELECT doc_id, r.range::INT AS pos,
+         {_H("substr(text, r.range::INT, 32)")} AS gkey
+  FROM documents CROSS JOIN range(1, 65536) r
+  WHERE length(text) >= 32 AND r.range <= length(text) - 31
+), anchored AS (
+  SELECT * FROM grams WHERE gkey % 4 = 0
+), dup AS (
+  SELECT gkey FROM anchored GROUP BY gkey HAVING count(*) >= 2
+), dp AS (
+  SELECT g.doc_id, g.pos FROM anchored g JOIN dup USING (gkey)
+), flagged AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 32
+              THEN 0 ELSE 1 END AS new_span
+  FROM dp
+), sp AS (
+  SELECT doc_id, pos,
+         SUM(new_span) OVER (PARTITION BY doc_id ORDER BY pos
+                             ROWS UNBOUNDED PRECEDING) AS span_id
+  FROM flagged
+)
+SELECT doc_id,
+       MIN(pos) AS span_start,
+       MAX(pos) + 31 AS span_end,
+       MAX(pos) + 31 - MIN(pos) + 1 AS span_len
+FROM sp GROUP BY doc_id, span_id
+"""
+QUERIES["q_anchored_dup_spans"] = q_anchored_dup_spans
+
+
 ALLPAIRS_T = 0.6
 ALLPAIRS_N = 5
 
