@@ -110,6 +110,7 @@ HEADLINE = [
     "q_hll_rollup",
     "q_similarity_ivf_kmeans_topk",
     "q_anchored_dup_spans",
+    "q_kmv_jaccard",
 ]
 
 

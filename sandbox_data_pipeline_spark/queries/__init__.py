@@ -97,6 +97,7 @@ DRIVER_PRIORITY = (
     "q_event_funnel",
     "q_rag_index_pipeline",
     "q_anchored_dup_spans",
+    "q_kmv_jaccard",
     # Overflow window: remaining never-sampled coverage
     "q_media_resolution_filter",
     "q_hash_split",

@@ -1995,4 +1995,118 @@ FROM j
 """
 
 QUERIES["q_kmv_distinct"] = q_kmv_distinct
+
+
+def q_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-algebra set similarity: pairwise Jaccard between the
+    sources' token VOCABULARIES estimated purely from their KMV
+    sketches — the union sketch is the k smallest hashes of the two
+    sketches' concatenation, and the estimator is the fraction of that
+    union sketch present in both sides. After the one per-source sketch
+    build (bounded k rows per source), every pairwise comparison runs
+    on k-row sketches — at 100 TB you compare 10⁴ corpus slices
+    without ever re-reading them. Estimator ratio is exact integer
+    division (dec_ratio), so the whole pipeline replays in DuckDB."""
+    from pyspark.sql import Window
+
+    from sandbox_data_pipeline_spark.operators.dedup import portable_hash
+    from sandbox_data_pipeline_spark.operators.sketch import KMV_K
+    from sandbox_data_pipeline_spark.queries._envproof import dec_ratio
+
+    toks = (
+        table(spark, sf_dir, "documents")
+        .select("source", F.explode(F.split("text", " ")).alias("tok"))
+        .where(F.col("tok") != "")
+    )
+    hashed = toks.select(
+        F.col("source").alias("grp"),
+        portable_hash(F.col("tok"), salt="kmv").alias("hv"),
+    ).distinct()
+    wg = Window.partitionBy("grp").orderBy("hv")
+    sk = hashed.withColumn("rn", F.row_number().over(wg)).where(
+        F.col("rn") <= KMV_K
+    )
+    a = sk.select(F.col("grp").alias("source_a"), "hv")
+    b = sk.select(F.col("grp").alias("source_b"), "hv")
+    # per-pair union of the two k-min sets (k rows each — all pairwise
+    # work below runs on sketches, never on token streams)
+    pairs = (
+        sk.select(F.col("grp").alias("source_a"))
+        .distinct()
+        .crossJoin(sk.select(F.col("grp").alias("source_b")).distinct())
+        .where(F.col("source_a") < F.col("source_b"))
+    )
+    av = pairs.join(a, "source_a").select("source_a", "source_b", "hv")
+    bv = pairs.join(b, "source_b").select("source_a", "source_b", "hv")
+    union = (
+        av.unionByName(bv)
+        .groupBy("source_a", "source_b", "hv")
+        .agg(F.count(F.lit(1)).alias("n_sides"))
+    )
+    wp = Window.partitionBy("source_a", "source_b").orderBy("hv")
+    kept = union.withColumn("urn", F.row_number().over(wp)).where(
+        F.col("urn") <= KMV_K
+    )
+    return (
+        kept.groupBy("source_a", "source_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_union_kept"),
+            F.sum(F.when(F.col("n_sides") == 2, 1).otherwise(0)).alias(
+                "n_both"
+            ),
+        )
+        .select(
+            "source_a",
+            "source_b",
+            F.col("n_union_kept").cast("long").alias("n_union_kept"),
+            F.col("n_both").cast("long").alias("n_both"),
+            dec_ratio(F.col("n_both"), F.col("n_union_kept"), 0, 4).alias(
+                "est_jaccard"
+            ),
+        )
+    )
+
+
+_ORACLE_KMV_JACCARD = """
+WITH toks AS (
+  SELECT source, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tok
+  FROM documents
+),
+hashed AS (
+  SELECT DISTINCT source AS grp,
+         CAST('0x' || substr(md5('kmv' || tok), 1, 15) AS BIGINT) AS hv
+  FROM toks
+),
+sk AS (
+  SELECT grp, hv FROM (
+    SELECT grp, hv, row_number() OVER (PARTITION BY grp ORDER BY hv) AS rn
+    FROM hashed) WHERE rn <= 256
+),
+pairs AS (
+  SELECT a.grp AS source_a, b.grp AS source_b
+  FROM (SELECT DISTINCT grp FROM sk) a, (SELECT DISTINCT grp FROM sk) b
+  WHERE a.grp < b.grp
+),
+u AS (
+  SELECT p.source_a, p.source_b, s.hv,
+         max(CASE WHEN s.grp = p.source_a THEN 1 ELSE 0 END)
+           + max(CASE WHEN s.grp = p.source_b THEN 1 ELSE 0 END) AS n_sides
+  FROM pairs p JOIN sk s ON s.grp IN (p.source_a, p.source_b)
+  GROUP BY p.source_a, p.source_b, s.hv
+),
+kept AS (
+  SELECT source_a, source_b, hv, n_sides,
+         row_number() OVER (PARTITION BY source_a, source_b ORDER BY hv) AS urn
+  FROM u QUALIFY urn <= 256
+)
+SELECT source_a, source_b,
+       CAST(count(*) AS BIGINT) AS n_union_kept,
+       CAST(sum(CASE WHEN n_sides = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+       CAST(CAST((2 * sum(CASE WHEN n_sides = 2 THEN 1 ELSE 0 END) * 10000 + count(*))
+                 // (2 * count(*)) AS DECIMAL(28,0)) * 0.0001 AS DECIMAL(18,4)) AS est_jaccard
+FROM kept
+GROUP BY source_a, source_b
+"""
+QUERIES["q_kmv_jaccard"] = q_kmv_jaccard
+ORACLE["q_kmv_jaccard"] = _ORACLE_KMV_JACCARD
 ORACLE["q_kmv_distinct"] = _ORACLE_KMV

@@ -157,3 +157,46 @@ def test_kmv_estimate_accuracy_and_exact_small_sets(spark):
         kmv_estimate_col(F.col("n_kept"), F.col("kth_value")).alias("e")
     ).first()["e"]
     assert abs(est - 50_000) / 50_000 < 0.19
+
+
+def test_kmv_jaccard_estimates_track_exact(spark, sf_dir):
+    """KMV pairwise Jaccard must track the exact vocab Jaccard within
+    the sketch's statistical error (k=256 → σ ≈ 1/16) for the most-
+    similar pairs, and order-of-magnitude for the rest."""
+    import pyspark.sql.functions as F
+
+    from sandbox_data_pipeline_spark.catalog import table
+    from sandbox_data_pipeline_spark.queries.text import q_kmv_jaccard
+
+    est = {
+        (r["source_a"], r["source_b"]): float(r["est_jaccard"])
+        for r in q_kmv_jaccard(spark, sf_dir).collect()
+    }
+    toks = (
+        table(spark, sf_dir, "documents")
+        .select("source", F.explode(F.split("text", " ")).alias("tok"))
+        .where(F.col("tok") != "")
+        .distinct()
+    )
+    vocab = {
+        r["source"]: r["n"]
+        for r in toks.groupBy("source").agg(F.countDistinct("tok").alias("n")).collect()
+    }
+    inter = {
+        (r["a"], r["b"]): r["n"]
+        for r in (
+            toks.alias("x")
+            .join(toks.alias("y"), "tok")
+            .where(F.col("x.source") < F.col("y.source"))
+            .groupBy(F.col("x.source").alias("a"), F.col("y.source").alias("b"))
+            .agg(F.countDistinct("tok").alias("n"))
+            .collect()
+        )
+    }
+    checked = 0
+    for (a, b), e in est.items():
+        i = inter.get((a, b), 0)
+        exact = i / (vocab[a] + vocab[b] - i)
+        assert abs(e - exact) <= 0.15, (a, b, e, exact)
+        checked += 1
+    assert checked >= 10
