@@ -132,9 +132,22 @@ def compare_block(timings: dict[str, float], threshold: float = 1.5):
     try:
         with open(path, encoding="utf-8") as f:
             doc = json.load(f)
-        if "queries" not in doc and "parsed" in doc:
+        if "queries" not in doc and isinstance(doc.get("parsed"), dict):
             doc = doc["parsed"]
-        old = doc["queries"]
+        if "queries" in doc:
+            old = doc["queries"]
+        else:
+            # driver format: {"n","rc","tail": <truncated stdout>} —
+            # the tail may cut the JSON line's front; recover the
+            # per-query pairs by pattern instead of parsing
+            old = {
+                k: float(v)
+                for k, v in re.findall(
+                    r'"(q_\w+|flagship)": ([0-9.]+)', doc.get("tail", "")
+                )
+            }
+        if not old:
+            return None
     except Exception:
         return None
     shared = sorted(set(old) & set(timings))
