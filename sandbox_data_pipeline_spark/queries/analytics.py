@@ -441,7 +441,7 @@ sk AS (
 )
 SELECT sk.event_type, CAST(n_days.n_days AS BIGINT) AS n_days,
        CASE WHEN sk.n_kept >= 256
-            THEN CAST((2 * 255 * 1152921504606846975 + sk.kth) // (2 * sk.kth) AS BIGINT)
+            THEN CAST((587989967349491957250 + sk.kth) // (2 * sk.kth) AS BIGINT)
             ELSE CAST(sk.n_kept AS BIGINT) END AS est_users
 FROM sk JOIN n_days ON n_days.event_type = sk.event_type
 """

@@ -835,7 +835,7 @@ ORACLE = {
         cnt AS (SELECT event_type AS grp, count(*) AS event_cnt FROM events GROUP BY 1)
         SELECT sk.grp AS event_type,
                CASE WHEN sk.n_kept >= 256
-                    THEN CAST((2 * 255 * 1152921504606846975 + sk.kth) // (2 * sk.kth) AS BIGINT)
+                    THEN CAST((587989967349491957250 + sk.kth) // (2 * sk.kth) AS BIGINT)
                     ELSE CAST(sk.n_kept AS BIGINT) END AS approx_users,
                cnt.event_cnt
         FROM sk JOIN cnt ON cnt.grp = sk.grp

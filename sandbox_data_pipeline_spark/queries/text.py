@@ -1983,7 +1983,7 @@ exact AS (
 j AS (
   SELECT sk.grp AS source, sk.n_kept, sk.kth, exact.n_exact,
          CASE WHEN sk.n_kept >= 256
-              THEN CAST((2 * 255 * 1152921504606846975 + sk.kth) // (2 * sk.kth) AS BIGINT)
+              THEN CAST((587989967349491957250 + sk.kth) // (2 * sk.kth) AS BIGINT)
               ELSE CAST(sk.n_kept AS BIGINT) END AS est_distinct
   FROM sk JOIN exact ON exact.grp = sk.grp
 )
