@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from sandbox_data_pipeline_spark.queries._envproof import dec_ratio, dec_ratio_sql, stable_round, stable_round_sql
+from sandbox_data_pipeline_spark.operators.sketch import kmv_estimate_sql
 from sandbox_data_pipeline_spark.catalog import table
 
 QUERIES: dict = {}
@@ -416,7 +417,7 @@ def q_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["q_hll_rollup"] = q_hll_rollup
-ORACLE["q_hll_rollup"] = """
+ORACLE["q_hll_rollup"] = f"""
 WITH hashed AS (
   SELECT DISTINCT CAST(ts AS DATE) AS d, event_type,
          CAST('0x' || substr(md5('kmv' || user_id), 1, 15) AS BIGINT) AS hv
@@ -440,9 +441,7 @@ sk AS (
   FROM merged GROUP BY 1
 )
 SELECT sk.event_type, CAST(n_days.n_days AS BIGINT) AS n_days,
-       CASE WHEN sk.n_kept >= 256
-            THEN CAST((587989967349491957250 + sk.kth) // (2 * sk.kth) AS BIGINT)
-            ELSE CAST(sk.n_kept AS BIGINT) END AS est_users
+       {kmv_estimate_sql("sk.n_kept", "sk.kth")} AS est_users
 FROM sk JOIN n_days ON n_days.event_type = sk.event_type
 """
 

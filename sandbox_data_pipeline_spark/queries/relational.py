@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from sandbox_data_pipeline_spark.queries._envproof import dec_ratio, dec_ratio_sql, stable_round
+from sandbox_data_pipeline_spark.operators.sketch import kmv_estimate_sql
 from sandbox_data_pipeline_spark.catalog import table
 
 
@@ -818,7 +819,7 @@ ORACLE = {
             FROM customer
         )
     """,
-    "q_agg_approx": """
+    "q_agg_approx": f"""
         WITH hashed AS (
           SELECT DISTINCT event_type AS grp,
                  CAST('0x' || substr(md5('kmv' || user_id), 1, 15) AS BIGINT) AS hv
@@ -834,9 +835,7 @@ ORACLE = {
         ),
         cnt AS (SELECT event_type AS grp, count(*) AS event_cnt FROM events GROUP BY 1)
         SELECT sk.grp AS event_type,
-               CASE WHEN sk.n_kept >= 256
-                    THEN CAST((587989967349491957250 + sk.kth) // (2 * sk.kth) AS BIGINT)
-                    ELSE CAST(sk.n_kept AS BIGINT) END AS approx_users,
+               {kmv_estimate_sql("sk.n_kept", "sk.kth")} AS approx_users,
                cnt.event_cnt
         FROM sk JOIN cnt ON cnt.grp = sk.grp
     """,

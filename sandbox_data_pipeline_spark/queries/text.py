@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from sandbox_data_pipeline_spark.queries._envproof import stable_round
+from sandbox_data_pipeline_spark.operators.sketch import kmv_estimate_sql
 from sandbox_data_pipeline_spark.catalog import table
 from sandbox_data_pipeline_spark.operators.text import (
     BPE_ISH_PATTERN,
@@ -1959,7 +1960,7 @@ def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_ORACLE_KMV = """
+_ORACLE_KMV = f"""
 WITH toks AS (
   SELECT source, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tok
   FROM documents
@@ -1982,9 +1983,7 @@ exact AS (
 ),
 j AS (
   SELECT sk.grp AS source, sk.n_kept, sk.kth, exact.n_exact,
-         CASE WHEN sk.n_kept >= 256
-              THEN CAST((587989967349491957250 + sk.kth) // (2 * sk.kth) AS BIGINT)
-              ELSE CAST(sk.n_kept AS BIGINT) END AS est_distinct
+         {kmv_estimate_sql("sk.n_kept", "sk.kth")} AS est_distinct
   FROM sk JOIN exact ON exact.grp = sk.grp
 )
 SELECT source, CAST(n_kept AS BIGINT) AS n_kept, est_distinct,
