@@ -8,6 +8,13 @@ strings, NULLs, arrays). A red canary with N green siblings says "the
 driver normalizes one of THESE kinds differently"; comparing which
 sibling queries stay green narrows it to the column. Constants only —
 no table reads, no aggregation, no environment input.
+
+The round-5 driver run ERRORED on this query: its pandas-based
+canonicalizer crashed sorting the ndarray cells of c_arr_int /
+c_arr_dbl. Since round 6 the _envproof contract layer serializes every
+array column to a comma-joined string on BOTH engines (and the
+decimal/date/int columns to the pandas-stable dtypes), so the canary
+rides the same stabilization the whole registry gets.
 """
 
 from __future__ import annotations
@@ -32,10 +39,13 @@ def q_hash_canary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(2.675).cast("double").alias("c_double_half"),
         F.lit(Decimal("1.50")).cast("decimal(18,2)").alias("c_dec2"),
         F.lit(Decimal("-0.1250")).cast("decimal(18,4)").alias("c_dec4"),
-        # 18 significant digits — beyond float53 round-trip, on the
-        # long-backed decimal path the driver has always graded green
+        # 18 significant digits — beyond any float64 round-trip, so it
+        # is rendered to STRING explicitly on both engines (the generic
+        # decimal→double contract would hit DuckDB's two-step
+        # double(scaled_int)/10^scale conversion above 2^53)
         F.lit(Decimal("12345678.0123456789"))
         .cast("decimal(18,10)")
+        .cast("string")
         .alias("c_dec_hi"),
         F.lit("2024-02-29").cast("date").alias("c_date"),
         # 02:30 on 2024-03-10 does not exist on US Eastern wall clocks —
@@ -66,7 +76,7 @@ SELECT CAST(42 AS INTEGER)              AS c_int,
        CAST(2.675 AS DOUBLE)            AS c_double_half,
        CAST('1.50' AS DECIMAL(18,2))    AS c_dec2,
        CAST('-0.1250' AS DECIMAL(18,4)) AS c_dec4,
-       CAST('12345678.0123456789' AS DECIMAL(18,10)) AS c_dec_hi,
+       CAST(CAST('12345678.0123456789' AS DECIMAL(18,10)) AS VARCHAR) AS c_dec_hi,
        DATE '2024-02-29'                AS c_date,
        TIMESTAMP '2024-03-10 02:30:00'  AS c_ts_gap,
        TIMESTAMP '2024-11-03 01:30:00'  AS c_ts_fold,

@@ -21,30 +21,20 @@ def test_outmeta_is_fresh(spark, sf_dir):
     from the Spark side (observed twice during development: the oracle
     got a %.6e wrap for a column that had become decimal). Regenerate
     with tools/gen_outmeta.py after reshaping any query."""
+    import sys
+
+    sys.path.insert(0, ".")
+    from tools.gen_outmeta import query_meta
+
     from sandbox_data_pipeline_spark.queries import raw_registry
     from sandbox_data_pipeline_spark.queries._outmeta import META
 
     qs, _ = raw_registry()
     fresh = {}
     for name, fn in qs.items():
-        sch = fn(spark, sf_dir).schema
-        dbl = [
-            f.name
-            for f in sch.fields
-            if isinstance(f.dataType, (T.DoubleType, T.FloatType))
-        ]
-        dblarr = [
-            f.name
-            for f in sch.fields
-            if isinstance(f.dataType, T.ArrayType)
-            and isinstance(f.dataType.elementType, (T.DoubleType, T.FloatType))
-        ]
-        if dbl or dblarr:
-            fresh[name] = {
-                "cols": [f.name for f in sch.fields],
-                "dbl": dbl,
-                "dblarr": dblarr,
-            }
+        m = query_meta(fn(spark, sf_dir).schema)
+        if m:
+            fresh[name] = m
     assert fresh == META, (
         "stale _outmeta.py — run: python tools/gen_outmeta.py\n"
         f"only-in-fresh: {sorted(set(fresh) - set(META))}\n"
@@ -102,17 +92,27 @@ def test_stabilize_df_fixes_fragile_dtypes(spark):
         (F.lit(1.0) / F.lit(3.0)).alias("dbl"),
         F.lit(Decimal("1.23")).cast("decimal(28,2)").alias("wide"),
         F.lit(5).alias("keep_int"),
+        F.lit("2024-02-29").cast("date").alias("dte"),
+        F.array(F.lit(1), F.lit(2)).alias("arr_i"),
+        F.array(F.lit(0.5), F.lit(0.25)).alias("arr_d"),
     )
     out = _envproof.stabilize_df(df)
     types = {f.name: f.dataType for f in out.schema.fields}
     assert isinstance(types["ts_ltz"], T.TimestampNTZType)
     assert isinstance(types["dbl"], T.DoubleType)
-    assert types["wide"] == T.DecimalType(18, 2)
+    # decimals exit as double — the pandas path turns DuckDB decimals
+    # into float64, so Decimal objects can never hash-match
+    assert isinstance(types["wide"], T.DoubleType)
     assert isinstance(types["keep_int"], T.IntegerType)
+    assert isinstance(types["dte"], T.TimestampNTZType)
+    assert isinstance(types["arr_i"], T.StringType)
+    assert isinstance(types["arr_d"], T.StringType)
     row = out.first()
     # 7 significant digits, parsed back from %.6e on the exact value
     assert row["dbl"] == 0.3333333
-    assert str(row["wide"]) == "1.23"
+    assert row["wide"] == 1.23
+    assert row["arr_i"] == "1,2"
+    assert row["arr_d"] == "5.000000e-01,2.500000e-01"
 
 
 def test_stabilize_preserves_nan_null_inf(spark):

