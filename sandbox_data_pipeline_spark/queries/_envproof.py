@@ -244,13 +244,22 @@ def stabilize_oracle_sql(sql: str, cols: list[str], ty: dict[str, str]) -> str:
             items.append(f'CAST("{c}" AS TIMESTAMP) AS "{c}"')
             changed = True
         elif code == "ad":
-            items.append(
+            # COALESCE inside a null-guard: DuckDB's array_to_string
+            # returns NULL for an EMPTY list where Spark's array_join
+            # returns '' — but a NULL list must stay NULL on both.
+            joined = (
                 f'array_to_string(list_transform("{c}", x -> {DUCK_ELEM_STR}), \',\')'
-                f' AS "{c}"'
+            )
+            items.append(
+                f'CASE WHEN "{c}" IS NULL THEN NULL '
+                f"ELSE COALESCE({joined}, '') END AS \"{c}\""
             )
             changed = True
         elif code in ("ai", "as"):
-            items.append(f'array_to_string("{c}", \',\') AS "{c}"')
+            items.append(
+                f'CASE WHEN "{c}" IS NULL THEN NULL '
+                f'ELSE COALESCE(array_to_string("{c}", \',\'), \'\') END AS "{c}"'
+            )
             changed = True
         else:
             items.append(f'"{c}"')
