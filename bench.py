@@ -213,7 +213,14 @@ def main() -> None:
             run(name, lambda n=name: queries[n](spark, sf_dir))
 
     total = round(sum(timings.values()), 3)
-    out = {
+    # Verbose record (full precision + round-over-round compare) goes
+    # to a file; stdout gets ONE compact line. The driver records only
+    # the LAST 2000 characters of stdout, so the line puts the
+    # per-query dict FIRST and the headline fields LAST — a truncated
+    # capture loses the earliest per-query entries, never the totals —
+    # and compact separators + 2-decimal timings keep the whole line
+    # near the capture window anyway.
+    verbose = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
@@ -222,8 +229,21 @@ def main() -> None:
     }
     cmp_block = compare_block(timings)
     if cmp_block is not None:
-        out["compare"] = cmp_block
-    print(json.dumps(out))
+        verbose["compare"] = cmp_block
+    try:
+        here = os.path.dirname(os.path.abspath(__file__))
+        with open(os.path.join(here, "BENCH_LOCAL.json"), "w") as f:
+            json.dump(verbose, f, indent=1)
+    except OSError:
+        pass
+    out = {
+        "queries": {k: round(v, 2) for k, v in timings.items()},
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+    }
+    print(json.dumps(out, separators=(",", ":")))
 
 
 if __name__ == "__main__":
