@@ -24,15 +24,18 @@ compared surface:
      binary-based builds. Formatting with printf/format_string rounds
      from the exact binary expansion in both engines, and 7 digits is
      coarse enough that a ±few-ULP disagreement cannot straddle a
-     rounding boundary for non-terminating values. RESIDUAL CHANNEL:
-     a double whose exact decimal expansion terminates at exactly 8
-     significant digits ending in 5 (dyadic values like 0.31640625 =
-     81/256) is an exact tie that Java's Formatter (HALF_UP) and
-     DuckDB's fmt (half-even) resolve differently. Queries whose
-     doubles can terminate route through ``stable_round``/``dec_ratio``
-     instead; the graded parquet is static and the full-registry
-     pandas_sim sweep is green, so no graded cell sits on that tie
-     today — revisit if data is ever regenerated.
+     rounding boundary for non-terminating values. The one remaining
+     disagreement — a double whose exact decimal expansion terminates
+     at exactly 8 significant digits ending in 5 (dyadic values like
+     0.31640625 = 81/256) is an exact tie that Java's Formatter
+     (HALF_UP) and DuckDB's fmt (half-even) resolve differently,
+     verified live on these builds — is CLOSED by nudging the
+     formatted value: both engines format x·(1+2⁻⁴⁵) (one IEEE
+     multiply, bit-identical), whose expansion can no longer
+     terminate at 8 digits, while every non-tie 7-digit rendering is
+     unchanged (tests/test_contract_random.py proves both halves).
+     Queries whose doubles can terminate still prefer
+     ``stable_round``/``dec_ratio`` — exactness beats stabilization.
    * DECIMAL columns → a single exact cast to DOUBLE on both sides
      (no %.6e: the value is exact, the correctly-rounded cast is
      deterministic, and 7-digit re-rounding could itself tie).
@@ -144,6 +147,19 @@ def spark_ty_code(dt: T.DataType) -> str:
     return "o"
 
 
+# 1 + 2^-45, exactly representable; repr round-trips identically in
+# both engines' literal parsers. Multiplying by it before %.6e kills
+# the formatter tie channel: an exact tie needs a dyadic whose decimal
+# expansion terminates at 8 significant digits (a mantissa with long
+# trailing-zero runs), and the 2^-45-relative nudge sets low mantissa
+# bits, making the expansion non-terminating — so Java's HALF_UP and
+# fmt's half-even can no longer disagree. For every non-tie value the
+# nudge is far below the 7th-digit rounding granularity and the output
+# is unchanged. Guarded to |x| < 1e300 so the multiply cannot overflow
+# (beyond that the channel is unreachable by graded data anyway).
+TIE_NUDGE = 1.0000000000000284
+
+
 def _sig7_col(name: str) -> Column:
     c = F.col(name)
     finite = (
@@ -151,7 +167,8 @@ def _sig7_col(name: str) -> Column:
         & ~F.isnan(c)
         & (F.abs(c) != F.lit(float("inf")))
     )
-    fixed = F.format_string("%.6e", c).cast("double")
+    nudged = F.when(F.abs(c) < F.lit(1e300), c * F.lit(TIE_NUDGE)).otherwise(c)
+    fixed = F.format_string("%.6e", nudged).cast("double")
     return F.when(finite, fixed).otherwise(c).alias(name)
 
 
@@ -163,7 +180,8 @@ _SPARK_ELEM_STR = (
     "WHEN isnan(x) THEN 'nan' "
     "WHEN x = double('Infinity') THEN 'inf' "
     "WHEN x = double('-Infinity') THEN '-inf' "
-    "ELSE format_string('%.6e', x) END"
+    "ELSE format_string('%.6e', CASE WHEN abs(x) < 1e300 "
+    "THEN x * 1.0000000000000284d ELSE x END) END"
 )
 # DuckDB twin (same literal outputs)
 DUCK_ELEM_STR = (
@@ -171,7 +189,8 @@ DUCK_ELEM_STR = (
     "WHEN isnan(x) THEN 'nan' "
     "WHEN x = 'infinity'::DOUBLE THEN 'inf' "
     "WHEN x = '-infinity'::DOUBLE THEN '-inf' "
-    "ELSE printf('%.6e', x) END"
+    "ELSE printf('%.6e', CASE WHEN abs(x) < 1e300 "
+    "THEN x * CAST('1.0000000000000284' AS DOUBLE) ELSE x END) END"
 )
 
 
@@ -217,7 +236,9 @@ def stabilize_df(df: DataFrame) -> DataFrame:
 _DUCK_SIG7 = (
     'CASE WHEN "{c}" IS NULL OR isnan("{c}") OR isinf("{c}") '
     'THEN CAST("{c}" AS DOUBLE) '
-    "ELSE CAST(printf('%.6e', \"{c}\") AS DOUBLE) END AS \"{c}\""
+    "ELSE CAST(printf('%.6e', CASE WHEN abs(\"{c}\") < 1e300 "
+    'THEN "{c}" * CAST(\'1.0000000000000284\' AS DOUBLE) ELSE "{c}" END) '
+    'AS DOUBLE) END AS "{c}"'
 )
 
 

@@ -37,6 +37,11 @@ def q_hash_canary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1e-300).cast("double").alias("c_double_tiny"),
         # repr-vs-binary round() canary: 2.675 is below the half in binary
         F.lit(2.675).cast("double").alias("c_double_half"),
+        # %.6e formatter-tie canary: 81/256 terminates at 8 significant
+        # digits ending in 5 — Java HALF_UP vs fmt half-even disagree on
+        # the raw format; the contract's TIE_NUDGE must keep both
+        # engines together (tests/test_contract_random.py)
+        (F.lit(81.0) / F.lit(256.0)).cast("double").alias("c_double_tie"),
         F.lit(Decimal("1.50")).cast("decimal(18,2)").alias("c_dec2"),
         F.lit(Decimal("-0.1250")).cast("decimal(18,4)").alias("c_dec4"),
         # 18 significant digits — beyond any float64 round-trip, so it
@@ -74,6 +79,7 @@ SELECT CAST(42 AS INTEGER)              AS c_int,
        CAST('-0.0' AS DOUBLE)           AS c_double_neg0,
        CAST(1e-300 AS DOUBLE)           AS c_double_tiny,
        CAST(2.675 AS DOUBLE)            AS c_double_half,
+       CAST(81.0 AS DOUBLE) / CAST(256.0 AS DOUBLE) AS c_double_tie,
        CAST('1.50' AS DECIMAL(18,2))    AS c_dec2,
        CAST('-0.1250' AS DECIMAL(18,4)) AS c_dec4,
        CAST(CAST('12345678.0123456789' AS DECIMAL(18,10)) AS VARCHAR) AS c_dec_hi,
