@@ -111,6 +111,8 @@ HEADLINE = [
     "q_similarity_ivf_kmeans_topk",
     "q_anchored_dup_spans",
     "q_kmv_jaccard",
+    # round-6 addition: grammian tree-aggregation (distributed PCA half)
+    "q_embedding_gram",
 ]
 
 

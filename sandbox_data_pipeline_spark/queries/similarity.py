@@ -1170,3 +1170,36 @@ FROM ({union})
 
 QUERIES["q_mmr_rerank"] = q_mmr_rerank
 ORACLE["q_mmr_rerank"] = _oracle_mmr()
+
+
+def q_embedding_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact corpus gram matrix (second-moment matrix) of the embedding
+    column — the distributed half of PCA/whitening. One numpy matmul
+    per Arrow batch emits d(d+1)/2 upper-triangle partials; a tiny
+    groupBy(i,j) sums them (operators/linalg.py module docstring for
+    the 100 TB budget). Graded in the quantized-exact mode: components
+    truncated at 1e-6 and summed in decimal(38,0), which both engines
+    replay bit-identically — truncating double(float32)*1e6 has no
+    round-half tie channel, and integer sums are association-free."""
+    from sandbox_data_pipeline_spark.operators.linalg import gram_matrix
+
+    emb = table(spark, sf_dir, "embeddings")
+    return gram_matrix(emb, col="embedding", dim=DIM, quantize_scale=6)
+
+
+_ORACLE_GRAM = f"""
+WITH q AS (
+  SELECT vec_id,
+         CAST(t.i AS INTEGER) AS i,
+         CAST(trunc(CAST(embedding[CAST(t.i AS INTEGER) + 1] AS DOUBLE)
+                    * 1000000.0) AS BIGINT) AS x
+  FROM embeddings, range({DIM}) t(i)
+)
+SELECT a.i AS i, b.i AS j, SUM(a.x * b.x) AS s, COUNT(*) AS n_vecs
+FROM q a JOIN q b USING (vec_id)
+WHERE a.i <= b.i
+GROUP BY 1, 2
+"""
+
+QUERIES["q_embedding_gram"] = q_embedding_gram
+ORACLE["q_embedding_gram"] = _ORACLE_GRAM
