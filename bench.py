@@ -113,6 +113,7 @@ HEADLINE = [
     "q_kmv_jaccard",
     # round-6 addition: grammian tree-aggregation (distributed PCA half)
     "q_embedding_gram",
+    "q_bpe_encode",
 ]
 
 

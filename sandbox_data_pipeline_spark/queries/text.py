@@ -10,7 +10,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from sandbox_data_pipeline_spark.queries._envproof import stable_round
+from sandbox_data_pipeline_spark.queries._envproof import (
+    dec_ratio,
+    dec_ratio_sql,
+    stable_round,
+)
 from sandbox_data_pipeline_spark.operators.sketch import kmv_estimate_sql
 from sandbox_data_pipeline_spark.catalog import table
 from sandbox_data_pipeline_spark.operators.text import (
@@ -2109,3 +2113,91 @@ GROUP BY source_a, source_b
 QUERIES["q_kmv_jaccard"] = q_kmv_jaccard
 ORACLE["q_kmv_jaccard"] = _ORACLE_KMV_JACCARD
 ORACLE["q_kmv_distinct"] = _ORACLE_KMV
+
+
+# --- BPE encode (apply a pinned tokenizer) ----------------------------------
+
+# A pinned, sf-independent merge table (rank order). Semantics of one
+# merge = ONE greedy leftmost non-overlapping pass (operators/bpe.py
+# _apply_merge); the DuckDB oracle replays each merge as ONE literal
+# replace() over bracket-delimited symbols, which has exactly the same
+# pass semantics — so the two engines agree symbol-for-symbol with no
+# tokenizer library involved. Outputs of all merges are distinct
+# strings, so rank-order application equals priority-queue BPE here.
+BPE_MERGES = [
+    ("t", "h"),
+    ("th", "e"),
+    ("e", "r"),
+    ("i", "n"),
+    ("a", "n"),
+    ("o", "r"),
+    ("s", "t"),
+    ("an", "d"),
+]
+
+
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed tokenizer application: encode every document with
+    the pinned BPE merge table and report per-language token budgets
+    (the number a training-data pipeline actually plans with). The
+    merge table compiles into a chain of aggregate() folds — pure
+    column expressions, zero shuffle until the tiny per-lang agg."""
+    from sandbox_data_pipeline_spark.operators.bpe import bpe_segment
+
+    docs = table(spark, sf_dir, "documents")
+    seg = bpe_segment(docs, BPE_MERGES, id_col="lang")
+    per_doc = seg.select(
+        "lang",
+        F.col("n_bpe_tokens").cast("long").alias("n_tok"),
+        F.length(F.concat_ws("", F.col("bpe_tokens"))).cast("long").alias("n_chr"),
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+            F.sum("n_chr").alias("n_chars"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "n_tokens",
+            "n_chars",
+            dec_ratio(
+                F.col("n_tokens").cast("decimal(18,0)"),
+                F.col("n_chars").cast("decimal(18,0)"),
+                num_scale=0,
+                out_scale=4,
+            ).alias("fertility"),
+        )
+    )
+
+
+def _oracle_bpe_encode() -> str:
+    enc = "regexp_replace(text, '(.)', '⟨\\1⟩', 'g')"
+    for a, b in BPE_MERGES:
+        enc = (
+            f"replace({enc}, '⟨{a}⟩⟨{b}⟩', "
+            f"'⟨{a}{b}⟩')"
+        )
+    fert = dec_ratio_sql("n_tokens", "n_chars", num_scale=0, out_scale=4)
+    return f"""
+WITH per AS (
+  SELECT lang,
+         (length(e) - length(replace(e, '⟨', '')))
+           - (length(text) - length(replace(text, ' ', ''))) AS n_tok,
+         length(replace(text, ' ', '')) AS n_chr
+  FROM (SELECT lang, text, {enc} AS e FROM documents)
+),
+agg AS (
+  SELECT lang, COUNT(*) AS n_docs,
+         CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+         CAST(SUM(n_chr) AS BIGINT) AS n_chars
+  FROM per GROUP BY lang
+)
+SELECT lang, n_docs, n_tokens, n_chars, {fert} AS fertility FROM agg
+"""
+
+
+QUERIES["q_bpe_encode"] = q_bpe_encode
+ORACLE["q_bpe_encode"] = _oracle_bpe_encode()

@@ -100,3 +100,47 @@ def test_segmentation_applies_merges_in_rank_order(spark):
     # recovers the original characters
     for i, text in enumerate(["low lower", "aaaa aaa"]):
         assert "".join(seg[i]) == text.replace(" ", "")
+
+
+def test_bpe_encode_matches_pure_python(spark):
+    """q_bpe_encode's per-lang token sums vs an independent pure-Python
+    BPE (greedy leftmost one pass per merge, rank order) on the same
+    parquet — guards the operator semantics beyond the SQL oracle."""
+    import pandas as pd
+
+    from sandbox_data_pipeline_spark.queries.text import BPE_MERGES, q_bpe_encode
+
+    sf = "/root/testdata/sf0.001"
+
+    def encode(word: str) -> list[str]:
+        syms = list(word)
+        for a, b in BPE_MERGES:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+
+    pdf = pd.read_parquet(f"{sf}/documents.parquet")
+    want: dict[str, list[int]] = {}
+    for lang, text in zip(pdf["lang"], pdf["text"]):
+        n_tok = sum(len(encode(w)) for w in text.split(" ") if w)
+        n_chr = len(text.replace(" ", ""))
+        acc = want.setdefault(lang, [0, 0, 0])
+        acc[0] += 1
+        acc[1] += n_tok
+        acc[2] += n_chr
+
+    got = {r["lang"]: r for r in q_bpe_encode(spark, sf).collect()}
+    assert set(got) == set(want)
+    for lang, (n_docs, n_tokens, n_chars) in want.items():
+        r = got[lang]
+        assert (r["n_docs"], r["n_tokens"], r["n_chars"]) == (
+            n_docs, n_tokens, n_chars,
+        ), lang
+        assert float(r["fertility"]) > 0
