@@ -114,6 +114,7 @@ HEADLINE = [
     # round-6 addition: grammian tree-aggregation (distributed PCA half)
     "q_embedding_gram",
     "q_bpe_encode",
+    "q_bm25_topk",
 ]
 
 

@@ -903,3 +903,64 @@ def drift_kl(
         .agg(F.round(F.sum("_term"), 4).alias("kl_bits"))
         .select("source", F.col("n_src").alias("n_vocab_tokens"), "kl_bits")
     )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Okapi BM25 retrieval scoring for a fixed query-term set; the
+    ranking function behind lexical RAG retrieval (Robertson-Walker,
+    probabilistic IDF ln((N-df+0.5)/(df+0.5)+1)).
+
+    Scale shape: document length rides along map-side (size of the
+    split array — no explode/groupBy over the corpus), so the ONLY
+    corpus-sized work is the scan; everything that shuffles is
+    postings-sized (docs containing a query term, filtered before the
+    explode). The per-term df table and the (N, avgdl) scalar
+    broadcast, and the final top-k is orderBy+limit (TakeOrdered — a
+    per-partition heap then a driver merge of k*parts rows, no global
+    sort shuffle). Scores round to 6 decimals BEFORE ranking so libm
+    ulp differences can't reorder ranks across engines."""
+    words = F.filter(F.split(F.col(text_col), " "), lambda t: t != F.lit(""))
+    base = docs.select(
+        F.col(id_col), F.size(words).alias("dl"), words.alias("_w")
+    )
+    hits = base.select(
+        id_col,
+        "dl",
+        F.explode(
+            F.filter(F.col("_w"), lambda t: t.isin(query_terms))
+        ).alias("token"),
+    )
+    # dl is functionally dependent on doc_id; keying on it avoids a
+    # separate doc-length join (the round-6 plan audit: 8 -> 4 exchanges)
+    tf = hits.groupBy(id_col, "dl", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df_t = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+    )
+    scored = tf.join(F.broadcast(df_t), "token").crossJoin(F.broadcast(stats))
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1
+    )
+    denom = F.col("tf") + k1 * (
+        1 - b + b * F.col("dl") * F.col("n_docs") / F.col("sum_dl")
+    )
+    scored = scored.withColumn(
+        "part", idf * F.col("tf") * (k1 + 1) / denom
+    )
+    agg = scored.groupBy(id_col).agg(
+        F.round(F.sum("part"), 6).alias("bm25"),
+        F.count(F.lit(1)).alias("n_terms_hit"),
+    )
+    top = agg.orderBy(F.col("bm25").desc(), F.col(id_col)).limit(k)
+    w = Window.orderBy(F.col("bm25").desc(), F.col(id_col))
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "rank", id_col, "bm25", "n_terms_hit"
+    )

@@ -2201,3 +2201,58 @@ SELECT lang, n_docs, n_tokens, n_chars, {fert} AS fertility FROM agg
 
 QUERIES["q_bpe_encode"] = q_bpe_encode
 ORACLE["q_bpe_encode"] = _oracle_bpe_encode()
+
+
+# --- BM25 retrieval scoring --------------------------------------------------
+
+BM25_TERMS = ["filter", "join", "stream"]
+BM25_K = 20
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical retrieval scoring (Okapi BM25) for a pinned query over
+    the documents corpus — the ranking half of a RAG pipeline next to
+    q_rag_index_pipeline's chunking half. operators/text.py: bm25_topk
+    for the scale shape (postings filtered pre-shuffle, broadcast df
+    and corpus scalar, TakeOrdered top-k)."""
+    from sandbox_data_pipeline_spark.operators.text import bm25_topk
+
+    return bm25_topk(table(spark, sf_dir, "documents"), BM25_TERMS, k=BM25_K)
+
+
+def _oracle_bm25() -> str:
+    terms = ", ".join(f"'{t}'" for t in BM25_TERMS)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, t.token
+  FROM documents, unnest(string_split(text, ' ')) AS t(token)
+  WHERE t.token <> ''
+),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf
+  FROM toks WHERE token IN ({terms}) GROUP BY doc_id, token
+),
+df_t AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM dl),
+scored AS (
+  SELECT tf.doc_id,
+         ln((n_docs - df + 0.5) / (df + 0.5) + 1)
+           * tf * (1.2 + 1)
+           / (tf + 1.2 * (1 - 0.75 + 0.75 * dl * n_docs / sum_dl)) AS part
+  FROM tf JOIN dl USING (doc_id) JOIN df_t USING (token) CROSS JOIN stats
+),
+agg AS (
+  SELECT doc_id, round(SUM(part), 6) AS bm25, COUNT(*) AS n_terms_hit
+  FROM scored GROUP BY doc_id
+)
+SELECT CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS INTEGER) AS rank,
+       doc_id, bm25, n_terms_hit
+FROM agg
+ORDER BY bm25 DESC, doc_id
+LIMIT {BM25_K}
+"""
+
+
+QUERIES["q_bm25_topk"] = q_bm25_topk
+ORACLE["q_bm25_topk"] = _oracle_bm25()

@@ -446,3 +446,44 @@ def test_bigram_cross_entropy_contract(spark):
     # bits on its a->b transitions; b->a stays deterministic
     assert rows[1]["n_bigrams"] == 5 and rows[2]["n_bigrams"] == 3
     assert rows[2]["bits_per_bigram"] > rows[1]["bits_per_bigram"] > 0
+
+
+def test_bm25_matches_pure_python(spark):
+    """BM25 scores vs an independent pure-Python implementation on the
+    same parquet (guards the formula beyond the SQL oracle)."""
+    import math
+
+    import pandas as pd
+
+    from sandbox_data_pipeline_spark.queries.text import BM25_TERMS, q_bm25_topk
+
+    sf = "/root/testdata/sf0.001"
+    pdf = pd.read_parquet(f"{sf}/documents.parquet")
+    docs = {r.doc_id: [w for w in r.text.split(" ") if w] for r in pdf.itertuples()}
+    n = len(docs)
+    avgdl = sum(len(v) for v in docs.values()) / n
+    df = {
+        t: sum(1 for v in docs.values() if t in v) for t in BM25_TERMS
+    }
+    k1, b = 1.2, 0.75
+
+    def score(toks):
+        s = 0.0
+        for t in BM25_TERMS:
+            tf = toks.count(t)
+            if not tf or not df[t]:
+                continue
+            idf = math.log((n - df[t] + 0.5) / (df[t] + 0.5) + 1)
+            s += idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * len(toks) / avgdl))
+        return s
+
+    want = sorted(
+        ((round(score(v), 6), d) for d, v in docs.items() if score(v) > 0),
+        key=lambda x: (-x[0], x[1]),
+    )[:20]
+    got = q_bm25_topk(spark, sf).orderBy("rank").collect()
+    assert len(got) == min(20, len(want))
+    for row, (s, d) in zip(got, want):
+        assert row["doc_id"] == d
+        assert abs(row["bm25"] - s) < 1e-9
+        assert row["n_terms_hit"] >= 1
