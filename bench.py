@@ -115,6 +115,7 @@ HEADLINE = [
     "q_embedding_gram",
     "q_bpe_encode",
     "q_bm25_topk",
+    "q_fuzzy_match",
 ]
 
 

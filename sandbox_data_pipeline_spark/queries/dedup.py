@@ -1345,3 +1345,52 @@ GROUP BY 1
 
 QUERIES["q_simhash_quality_sweep"] = q_simhash_quality_sweep
 ORACLE["q_simhash_quality_sweep"] = _oracle_simhash_sweep()
+
+
+# --- Fuzzy entity-resolution matching (blocked edit distance) ---------------
+
+FUZZY_PREFIX = 8
+FUZZY_BODY = 96
+FUZZY_MAXD = 24
+FUZZY_CAP = 1000
+
+
+def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked Levenshtein pairs over documents — the record-linkage
+    primitive (block on lang+prefix, banded edit-distance DP within
+    block, hot-block cap). operators/dedup.py: fuzzy_match_pairs."""
+    from sandbox_data_pipeline_spark.operators.dedup import fuzzy_match_pairs
+
+    return fuzzy_match_pairs(
+        table(spark, sf_dir, "documents"),
+        prefix=FUZZY_PREFIX,
+        body=FUZZY_BODY,
+        max_dist=FUZZY_MAXD,
+        block_cap=FUZZY_CAP,
+    )
+
+
+def _oracle_fuzzy() -> str:
+    return f"""
+WITH d AS (
+  SELECT doc_id, lang,
+         substr(s, 1, {FUZZY_PREFIX}) AS blk,
+         substr(s, {FUZZY_PREFIX} + 1, {FUZZY_BODY}) AS body
+  FROM (SELECT doc_id, lang,
+               regexp_replace(text, '[^\\x00-\\x7F]', '', 'g') AS s
+        FROM documents)
+),
+ok_blocks AS (
+  SELECT lang, blk FROM d GROUP BY lang, blk
+  HAVING COUNT(*) <= {FUZZY_CAP}
+),
+dd AS (SELECT d.* FROM d JOIN ok_blocks USING (lang, blk))
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.lang AS lang,
+       levenshtein(a.body, b.body) AS edit_dist
+FROM dd a JOIN dd b USING (lang, blk)
+WHERE a.doc_id < b.doc_id AND levenshtein(a.body, b.body) <= {FUZZY_MAXD}
+"""
+
+
+QUERIES["q_fuzzy_match"] = q_fuzzy_match
+ORACLE["q_fuzzy_match"] = _oracle_fuzzy()

@@ -302,3 +302,47 @@ def test_prefix_filtered_jaccard_is_complete(spark, sf_dir):
     }
     assert fast == full
     assert len(fast) > 0  # the fixture corpus has planted near-dups
+
+
+def test_fuzzy_match_pairs(spark):
+    """Blocked Levenshtein matching vs an independent pure-Python DP,
+    plus the hot-block cap guard semantics."""
+    from sandbox_data_pipeline_spark.operators.dedup import fuzzy_match_pairs
+
+    rows = [
+        # one block (same lang + 8-char prefix), small edits
+        (1, "alpha be yond the river bank today", "en"),
+        (2, "alpha be yond the river bank totay", "en"),  # 1 sub
+        (3, "alpha be completely different text here", "en"),
+        # different prefix -> different block, never compared
+        (4, "omega be yond the river bank today", "en"),
+        # same prefix, different lang -> different block
+        (5, "alpha be yond the river bank today", "fr"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {
+        (r.id_a, r.id_b): r.edit_dist
+        for r in fuzzy_match_pairs(df, prefix=8, body=96, max_dist=10).collect()
+    }
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    body = {r[0]: r[1][8 : 8 + 96] for r in rows}
+    assert (1, 2) in got and got[(1, 2)] == lev(body[1], body[2]) == 1
+    assert (1, 3) not in got and (2, 3) not in got  # above max_dist
+    assert all(4 not in p and 5 not in p for p in got)
+
+    # cap guard: a block larger than block_cap produces nothing
+    many = spark.createDataFrame(
+        [(i, "alpha be yond the river bank today", "en") for i in range(10)],
+        "doc_id long, text string, lang string",
+    )
+    assert fuzzy_match_pairs(many, block_cap=5).count() == 0
+    assert fuzzy_match_pairs(many, block_cap=50).count() == 45
