@@ -116,6 +116,7 @@ HEADLINE = [
     "q_bpe_encode",
     "q_bm25_topk",
     "q_fuzzy_match",
+    "q_numeric_corr",
 ]
 
 

@@ -1151,3 +1151,90 @@ SELECT src, dst, n_trans,
 FROM counts
 """
 QUERIES["q_event_transitions"] = q_event_transitions
+
+
+# --- Pearson correlation matrix from exact integer moments ------------------
+
+CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def q_numeric_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlations over lineitem's numeric columns —
+    the feature-audit primitive. One aggregation pass computes every
+    raw moment as an EXACT integer (values scaled to cents: decimal
+    money x 100 is integral, products sum in decimal(38,0)/HUGEINT on
+    the two engines); correlation is scale-invariant, so the cents
+    moments give the dollars answer. Each exact moment then takes ONE
+    correctly-rounded cast to double and the closed-form correlation
+    runs in IEEE doubles — every op (*,-,/,sqrt) is correctly rounded
+    on identical inputs, so the result is bit-identical cross-engine
+    (no F.corr: its streaming co-moment sums are partition-order
+    dependent)."""
+    li = table(spark, sf_dir, "lineitem")
+    cents = {c: (F.col(c) * 100).cast("decimal(14,0)") for c in CORR_COLS}
+    aggs = [F.count(F.lit(1)).cast("double").alias("n")]
+    for i, x in enumerate(CORR_COLS):
+        aggs.append(F.sum(cents[x]).cast("double").alias(f"s{i}"))
+        for j in range(i, len(CORR_COLS)):
+            aggs.append(
+                F.sum(
+                    (cents[x] * cents[CORR_COLS[j]]).cast("decimal(38,0)")
+                )
+                .cast("double")
+                .alias(f"p{i}{j}")
+            )
+    m = li.agg(*aggs)
+
+    def corr(i: int, j: int):
+        n, si, sj = F.col("n"), F.col(f"s{i}"), F.col(f"s{j}")
+        pij, pii, pjj = F.col(f"p{i}{j}"), F.col(f"p{i}{i}"), F.col(f"p{j}{j}")
+        return (n * pij - si * sj) / F.sqrt(
+            (n * pii - si * si) * (n * pjj - sj * sj)
+        )
+
+    pairs = [
+        F.struct(
+            F.lit(CORR_COLS[i]).alias("col_a"),
+            F.lit(CORR_COLS[j]).alias("col_b"),
+            corr(i, j).alias("pearson_r"),
+        )
+        for i in range(len(CORR_COLS))
+        for j in range(i + 1, len(CORR_COLS))
+    ]
+    return m.select(F.inline(F.array(*pairs)))
+
+
+def _oracle_numeric_corr() -> str:
+    cols = CORR_COLS
+    sel = ["CAST(COUNT(*) AS DOUBLE) AS n"]
+    for i, x in enumerate(cols):
+        cx = f"CAST({x} * 100 AS BIGINT)"
+        sel.append(f"CAST(SUM({cx}) AS DOUBLE) AS s{i}")
+        for j in range(i, len(cols)):
+            cy = f"CAST({cols[j]} * 100 AS BIGINT)"
+            sel.append(f"CAST(SUM({cx} * {cy}) AS DOUBLE) AS p{i}{j}")
+    moments = ",\n         ".join(sel)
+    parts = []
+    for i in range(len(cols)):
+        for j in range(i + 1, len(cols)):
+            # identical op order to the Spark expression
+            expr = (
+                f"(n * p{i}{j} - s{i} * s{j}) / "
+                f"sqrt((n * p{i}{i} - s{i} * s{i}) * (n * p{j}{j} - s{j} * s{j}))"
+            )
+            parts.append(
+                f"SELECT '{cols[i]}' AS col_a, '{cols[j]}' AS col_b, "
+                f"{expr} AS pearson_r FROM m"
+            )
+    union = "\nUNION ALL\n".join(parts)
+    return f"""
+WITH m AS (
+  SELECT {moments}
+  FROM lineitem
+)
+{union}
+"""
+
+
+QUERIES["q_numeric_corr"] = q_numeric_corr
+ORACLE["q_numeric_corr"] = _oracle_numeric_corr()

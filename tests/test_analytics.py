@@ -205,3 +205,24 @@ def test_ewma_closed_form_equals_recursion(spark):
         assert abs(got[i].ewma - round(e, 4)) < 1e-9, (i, got[i].ewma, e)
     # the spike hour carries the largest deviation
     assert max(range(5), key=lambda i: got[i].deviation) == 2
+
+
+def test_numeric_corr_matches_numpy(spark):
+    """Pearson matrix vs numpy.corrcoef on the same parquet."""
+    import numpy as np
+    import pandas as pd
+
+    from sandbox_data_pipeline_spark.queries.analytics import (
+        CORR_COLS,
+        q_numeric_corr,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    pdf = pd.read_parquet(f"{sf}/lineitem.parquet")[CORR_COLS].astype(float)
+    R = np.corrcoef(pdf.to_numpy().T)
+    got = {(r.col_a, r.col_b): r.pearson_r for r in q_numeric_corr(spark, sf).collect()}
+    assert len(got) == 6
+    for (a, b), r in got.items():
+        i, j = CORR_COLS.index(a), CORR_COLS.index(b)
+        assert abs(r - R[i, j]) < 1e-9, (a, b)
+        assert -1.0 <= r <= 1.0
