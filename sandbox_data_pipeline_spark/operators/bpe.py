@@ -166,3 +166,33 @@ def bpe_segment(
         F.flatten(col).alias("bpe_tokens"),
         F.size(F.flatten(col)).alias("n_bpe_tokens"),
     )
+
+
+def bpe_token_counts(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document BPE token/char counts WITHOUT materializing token
+    arrays: the text is rewritten to bracket-delimited symbols
+    (``⟨c⟩`` per char) and each merge is ONE literal replace — the
+    same greedy leftmost non-overlapping pass as _apply_merge, but in
+    codegen'd string ops instead of interpreted aggregate() folds
+    (13.7 s -> ~1 s at sf0.1 for the counting query). Word boundaries
+    need no special casing: space symbols ``⟨ ⟩`` never match a merge,
+    and the token count subtracts them at the end.
+
+    Returns docs plus (n_tok bigint, n_chr bigint)."""
+    enc = F.regexp_replace(F.col(text_col), r"(.)", r"⟨$1⟩")
+    for a, b in merges:
+        enc = F.replace(enc, F.lit(f"⟨{a}⟩⟨{b}⟩"), F.lit(f"⟨{a}{b}⟩"))
+    n_spaces = F.length(text_col) - F.length(
+        F.replace(F.col(text_col), F.lit(" "), F.lit(""))
+    )
+    n_sym = F.length(enc) - F.length(F.replace(enc, F.lit("⟨"), F.lit("")))
+    return docs.withColumns(
+        {
+            "n_tok": (n_sym - n_spaces).cast("long"),
+            "n_chr": (F.length(text_col) - n_spaces).cast("long"),
+        }
+    )
