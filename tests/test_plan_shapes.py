@@ -138,3 +138,22 @@ def test_psi_binning_is_broadcast_not_shuffle(spark, sf_dir):
     # (the final p⟗q merge of two ≤10-row aggregates may plan as a
     # sort-merge full-outer — Spark does not broadcast full outers —
     # which is fine at 10 rows; the ERA-sized join must stay broadcast)
+
+
+def test_bm25_plan_takeordered_and_broadcast(spark):
+    """BM25's top-k must be TakeOrderedAndProject (per-partition heap,
+    no global sort Exchange) and its df/scalar sides must broadcast —
+    the 100 TB contract of operators/text.py: bm25_topk."""
+    import io
+    from contextlib import redirect_stdout
+
+    from sandbox_data_pipeline_spark.queries.text import q_bm25_topk
+
+    df = q_bm25_topk(spark, "/root/testdata/sf0.001")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
