@@ -117,6 +117,7 @@ HEADLINE = [
     "q_bm25_topk",
     "q_fuzzy_match",
     "q_numeric_corr",
+    "q_hybrid_rrf",
 ]
 
 

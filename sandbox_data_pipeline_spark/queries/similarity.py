@@ -5,7 +5,7 @@ deterministic md5-derived hyperplanes make LSH cross-engine exact).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from sandbox_data_pipeline_spark.queries._envproof import stable_round
@@ -1203,3 +1203,94 @@ GROUP BY 1, 2
 
 QUERIES["q_embedding_gram"] = q_embedding_gram
 ORACLE["q_embedding_gram"] = _ORACLE_GRAM
+
+
+# --- Hybrid retrieval: reciprocal-rank fusion --------------------------------
+
+RRF_K = 60
+RRF_DEPTH = 20
+RRF_TOP = 10
+RRF_QUERY_VEC = 0  # the pinned semantic query: embeddings row vec_id 0
+
+
+def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: fuse the lexical BM25 list and the semantic
+    cosine list with reciprocal-rank fusion (score = Σ 1/(k + rank)).
+    Ranks are exact integers, each 1/(k+r) is one correctly-rounded
+    IEEE division and the fusion is one fixed-order addition — so the
+    fused scores are bit-identical cross-engine and the ordering is
+    deterministic (ties break on id). Both input lists are top-DEPTH
+    only, so fusion runs on 2·DEPTH rows regardless of corpus size —
+    the production shape: retrieval prunes, fusion is free."""
+    from sandbox_data_pipeline_spark.operators.similarity import brute_force_topk
+    from sandbox_data_pipeline_spark.operators.text import bm25_topk
+    from sandbox_data_pipeline_spark.queries.text import BM25_TERMS
+
+    docs = table(spark, sf_dir, "documents")
+    emb = table(spark, sf_dir, "embeddings")
+    lex = bm25_topk(docs, BM25_TERMS, k=RRF_DEPTH).select(
+        F.col("doc_id").alias("id"), F.col("rank").alias("lex_rank")
+    )
+    qv = emb.where(F.col("vec_id") == RRF_QUERY_VEC)
+    sem = brute_force_topk(emb, qv, k=RRF_DEPTH).select(
+        F.col("cand_id").alias("id"), F.col("rank").alias("sem_rank")
+    )
+    one = F.lit(1.0)
+    zero = F.lit(0.0)
+    fused = lex.join(sem, "id", "full_outer").select(
+        "id",
+        "lex_rank",
+        "sem_rank",
+        (
+            F.coalesce(one / (F.lit(RRF_K) + F.col("lex_rank")), zero)
+            + F.coalesce(one / (F.lit(RRF_K) + F.col("sem_rank")), zero)
+        ).alias("rrf"),
+    )
+    w = Window.orderBy(F.col("rrf").desc(), F.col("id"))
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(w))
+        .where(F.col("fused_rank") <= RRF_TOP)
+        .select("fused_rank", "id", "lex_rank", "sem_rank", "rrf")
+    )
+
+
+def _oracle_hybrid_rrf() -> str:
+    from sandbox_data_pipeline_spark.queries.text import _oracle_bm25
+
+    cos = _COS.format(a="q.v", b="c.v")
+    return f"""
+WITH lex AS (
+  SELECT doc_id AS id, rank AS lex_rank FROM ({_oracle_bm25()}) WHERE rank <= {RRF_DEPTH}
+),
+v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v FROM v WHERE vec_id = {RRF_QUERY_VEC}),
+c AS (SELECT vec_id AS cand_id, v FROM v),
+sims AS (
+  SELECT cand_id, round({cos}, 6) AS cos_sim
+  FROM q JOIN c ON cand_id <> query_id
+),
+sem AS (
+  SELECT id, sem_rank FROM (
+    SELECT cand_id AS id,
+           CAST(row_number() OVER (ORDER BY cos_sim DESC, cand_id) AS INTEGER)
+             AS sem_rank
+    FROM sims
+  ) WHERE sem_rank <= {RRF_DEPTH}
+),
+fused AS (
+  SELECT id, lex_rank, sem_rank,
+         coalesce(CAST(1 AS DOUBLE) / ({RRF_K} + lex_rank), CAST(0 AS DOUBLE))
+           + coalesce(CAST(1 AS DOUBLE) / ({RRF_K} + sem_rank), CAST(0 AS DOUBLE))
+           AS rrf
+  FROM lex FULL OUTER JOIN sem USING (id)
+)
+SELECT CAST(row_number() OVER (ORDER BY rrf DESC, id) AS INTEGER) AS fused_rank,
+       id, lex_rank, sem_rank, rrf
+FROM fused
+ORDER BY rrf DESC, id
+LIMIT {RRF_TOP}
+"""
+
+
+QUERIES["q_hybrid_rrf"] = q_hybrid_rrf
+ORACLE["q_hybrid_rrf"] = _oracle_hybrid_rrf()

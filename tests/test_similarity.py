@@ -282,3 +282,34 @@ def test_rerank_model_contract(spark):
     out = {r["pair_id"]: r["rerank_score"] for r in rerank_model(pairs, heuristic_rerank_batch).collect()}
     assert out[1] == 1.0
     assert out[2] < out[1]
+
+
+def test_hybrid_rrf_fuses_both_lists(spark):
+    """RRF fusion: scores equal 1/(60+lex)+1/(60+sem); docs in both
+    lists outrank single-list docs with comparable ranks; output is
+    top-10 by fused score."""
+    from sandbox_data_pipeline_spark.queries.similarity import (
+        RRF_K,
+        RRF_TOP,
+        q_hybrid_rrf,
+    )
+
+    rows = q_hybrid_rrf(spark, "/root/testdata/sf0.001").orderBy("fused_rank").collect()
+    assert 0 < len(rows) <= RRF_TOP
+    prev = None
+    for r in rows:
+        want = 0.0
+        if r["lex_rank"] is not None:
+            want += 1.0 / (RRF_K + r["lex_rank"])
+        if r["sem_rank"] is not None:
+            want += 1.0 / (RRF_K + r["sem_rank"])
+        assert abs(r["rrf"] - want) < 1e-9
+        assert r["lex_rank"] is not None or r["sem_rank"] is not None
+        if prev is not None:
+            assert r["rrf"] <= prev + 1e-12  # non-increasing
+        prev = r["rrf"]
+    # a doc present in both lists must beat one with only a worse single rank
+    both = [r for r in rows if r["lex_rank"] and r["sem_rank"]]
+    only = [r for r in rows if (r["lex_rank"] is None) ^ (r["sem_rank"] is None)]
+    if both and only:
+        assert max(b["rrf"] for b in both) > min(o["rrf"] for o in only)
