@@ -112,3 +112,25 @@ def test_gram_plan_is_partial_agg_over_batch_partials(spark):
     plan = buf.getvalue()
     assert plan.count("HashAggregate") >= 2  # partial + final
     assert "Exchange" in plan
+
+
+def test_integer_moments_augmented_gram(spark):
+    """integer_moments returns n, linear sums, and product sums of the
+    augmented [1|X] matrix — exact, partition-independent."""
+    from sandbox_data_pipeline_spark.operators.linalg import integer_moments
+
+    rows = [(2, 10), (3, -4), (5, 7), (-1, 0)]
+    df = spark.createDataFrame(rows, "a long, b long")
+    for parts in (1, 3):
+        got = {
+            (r["i"], r["j"]): int(r["s"])
+            for r in integer_moments(df.repartition(parts), ["a", "b"]).collect()
+        }
+        a = [r[0] for r in rows]
+        b = [r[1] for r in rows]
+        assert got[(0, 0)] == len(rows)
+        assert got[(0, 1)] == sum(a)
+        assert got[(0, 2)] == sum(b)
+        assert got[(1, 1)] == sum(x * x for x in a)
+        assert got[(1, 2)] == sum(x * y for x, y in rows)
+        assert got[(2, 2)] == sum(y * y for y in b)
