@@ -348,3 +348,82 @@ FROM base GROUP BY hr
 
 QUERIES["q_replace_where"] = q_replace_where
 ORACLE["q_replace_where"] = _REPLACE_WHERE_SQL
+
+
+# --- Schema evolution (widen-only ADD COLUMNS) -------------------------------
+
+_SE_B1, _SE_B2 = 1500, 1800  # base slice / appended slice orderkey bounds
+
+
+def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADD COLUMNS evolution proved relationally: create a 2-column
+    table, widen it with a metadata-only commit, append 3-column rows,
+    then aggregate (a) the v0 snapshot — time travel must resolve the
+    PRE-evolution schema — and (b) the final snapshot split into
+    backfilled (new column IS NULL — rows from files written before
+    the evolution) vs appended rows. The oracle replays the same
+    slices straight from lineitem; equality proves the declared-schema
+    read fills exactly the old files' rows with NULL and none of the
+    new ones."""
+    li = table(spark, sf_dir, "lineitem")
+
+    def keyed(lo: int, hi: int) -> DataFrame:
+        return (
+            li.where((F.col("l_orderkey") > lo) & (F.col("l_orderkey") <= hi))
+            .groupBy(
+                (F.col("l_orderkey") * 10 + F.col("l_linenumber"))
+                .cast("long")
+                .alias("rid")
+            )
+            .agg(F.max("l_quantity").alias("qty"))
+        )
+
+    base = keyed(-1, _SE_B1)  # corpus has l_orderkey = 0 rows
+    extra = keyed(_SE_B1, _SE_B2).withColumn("src", F.lit("evolved"))
+    tmp = tempfile.mkdtemp(prefix="txevo_")
+    try:
+        t = TxTable.create(spark, f"{tmp}/tbl", base.repartitionByRange(4, "rid"))
+        t.add_columns([("src", "string")])
+        t.append(extra.select("rid", "qty", "src"))
+        v0 = t.read(version=0)
+        final = t.read().localCheckpoint(eager=True)  # temp dir dies with fn
+
+        def summarize(df: DataFrame, phase: str) -> DataFrame:
+            return df.agg(
+                F.lit(phase).alias("phase"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("qty").cast("decimal(18,2)").alias("sum_qty"),
+            )
+
+        out = (
+            summarize(v0.localCheckpoint(eager=True), "v0")
+            .unionAll(summarize(final.where(F.col("src").isNull()), "final_backfilled"))
+            .unionAll(summarize(final.where(F.col("src").isNotNull()), "final_appended"))
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+_SCHEMA_EVOLUTION_SQL = f"""
+WITH base AS (
+  SELECT CAST(l_orderkey * 10 + l_linenumber AS BIGINT) AS rid,
+         MAX(l_quantity) AS qty
+  FROM lineitem WHERE l_orderkey <= {_SE_B1} GROUP BY 1
+),
+extra AS (
+  SELECT CAST(l_orderkey * 10 + l_linenumber AS BIGINT) AS rid,
+         MAX(l_quantity) AS qty
+  FROM lineitem
+  WHERE l_orderkey > {_SE_B1} AND l_orderkey <= {_SE_B2} GROUP BY 1
+)
+SELECT 'v0' AS phase, COUNT(*) AS n_rows,
+       CAST(SUM(qty) AS DECIMAL(18,2)) AS sum_qty FROM base
+UNION ALL
+SELECT 'final_backfilled', COUNT(*), CAST(SUM(qty) AS DECIMAL(18,2)) FROM base
+UNION ALL
+SELECT 'final_appended', COUNT(*), CAST(SUM(qty) AS DECIMAL(18,2)) FROM extra
+"""
+
+QUERIES["q_schema_evolution"] = q_schema_evolution
+ORACLE["q_schema_evolution"] = _SCHEMA_EVOLUTION_SQL

@@ -445,6 +445,31 @@ class TxTable:
             "overwrite", adds, removes, rv, schema_json=df.schema.json(), txn=txn
         )
 
+    def add_columns(self, new_cols: list[tuple[str, str]]) -> int:
+        """ALTER TABLE ... ADD COLUMNS — widen-only schema evolution as
+        a METADATA-ONLY commit (Delta's schema-update semantics): no
+        data file is touched; existing parquet simply lacks the new
+        columns and the declared-schema snapshot read fills them with
+        NULL. Time travel keeps working both ways because schema_at()
+        resolves the schema recorded at-or-before the read version.
+        New columns are always nullable; duplicate names are rejected
+        (the append() drift guard then enforces the widened schema on
+        every later write)."""
+        current = self.schema_at()
+        have = {f.name for f in current.fields}
+        fields = list(current.fields)
+        for name, ty in new_cols:
+            if name in have:
+                raise ValueError(f"add_columns: column {name!r} already exists")
+            dt = self.spark.sql(f"SELECT CAST(NULL AS {ty})").schema[0].dataType
+            fields.append(T.StructField(name, dt, True))
+            have.add(name)
+        widened = T.StructType(fields)
+        return self._commit(
+            "add_columns", [], [], self.latest_version(),
+            schema_json=widened.json(),
+        )
+
     def delete_where(
         self,
         col: str,

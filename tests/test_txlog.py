@@ -596,3 +596,39 @@ def test_refresh_rollup_on_shallow_clone(spark, tmp_path):
     mv2, ver2 = refresh_rollup(c, mv, ver, "k", "v")
     got2 = {r["k"]: (r["total"], r["n"]) for r in mv2.collect()}
     assert got2 == {1: (15, 2), 2: (20, 1)}
+
+
+def test_add_columns_schema_evolution(spark, tmp_path):
+    """Widen-only evolution: metadata-only commit, NULL backfill on old
+    files, time travel resolves the pre-evolution schema, append drift
+    guard enforces the widened schema, duplicates rejected."""
+    import pytest
+
+    from sandbox_data_pipeline_spark.sinks.txlog import TxTable
+
+    t = TxTable.create(
+        spark, str(tmp_path / "evo"),
+        spark.createDataFrame([(1, 10.0), (2, 20.0)], "id long, v double"),
+    )
+    v = t.add_columns([("note", "string"), ("w", "int")])
+    h = t.history()[v]
+    assert h["operation"] == "add_columns"
+    assert h["n_add"] == 0 and h["n_remove"] == 0  # metadata-only commit
+
+    # old snapshot keeps the narrow schema
+    assert [f.name for f in t.read(version=0).schema.fields] == ["id", "v"]
+    # widened read backfills NULLs for pre-evolution files
+    rows = {r["id"]: r for r in t.read().collect()}
+    assert rows[1]["note"] is None and rows[1]["w"] is None
+
+    # appends must now match the widened schema
+    with pytest.raises(ValueError):
+        t.append(spark.createDataFrame([(3, 30.0)], "id long, v double"))
+    t.append(
+        spark.createDataFrame([(3, 30.0, "x", 7)], "id long, v double, note string, w int")
+    )
+    got = sorted((r["id"], r["note"], r["w"]) for r in t.read().collect())
+    assert got == [(1, None, None), (2, None, None), (3, "x", 7)]
+
+    with pytest.raises(ValueError):
+        t.add_columns([("note", "string")])
