@@ -427,3 +427,73 @@ SELECT 'final_appended', COUNT(*), CAST(SUM(qty) AS DECIMAL(18,2)) FROM extra
 
 QUERIES["q_schema_evolution"] = q_schema_evolution
 ORACLE["q_schema_evolution"] = _SCHEMA_EVOLUTION_SQL
+
+
+# --- CHECK constraints (write-time enforcement) ------------------------------
+
+_CC_B1, _CC_B2 = 1200, 1500  # base / attempted-append orderkey bounds
+_CC_MAXQ = 30  # constraint: qty <= 30 (some rows in the append slice violate)
+
+
+def q_check_constraint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHECK constraint enforcement proved relationally: add
+    qty <= MAXQ to a table whose base slice satisfies it, attempt an
+    append containing violating rows (the whole batch must reject
+    atomically — nothing lands), then append the compliant subset.
+    The oracle replays base + compliant subset straight from lineitem;
+    equality proves the rejected batch left zero rows behind and the
+    accepted one landed exactly once."""
+    li = table(spark, sf_dir, "lineitem")
+
+    def keyed(lo: int, hi: int) -> DataFrame:
+        return (
+            li.where((F.col("l_orderkey") > lo) & (F.col("l_orderkey") <= hi))
+            .groupBy(
+                (F.col("l_orderkey") * 10 + F.col("l_linenumber"))
+                .cast("long")
+                .alias("rid")
+            )
+            .agg(F.min("l_quantity").alias("qty"))
+        )
+
+    base = keyed(-1, _CC_B1).where(F.col("qty") <= _CC_MAXQ)
+    incoming = keyed(_CC_B1, _CC_B2)
+    tmp = tempfile.mkdtemp(prefix="txcc_")
+    try:
+        t = TxTable.create(spark, f"{tmp}/tbl", base.repartitionByRange(4, "rid"))
+        t.add_constraint("qty_cap", f"qty <= {_CC_MAXQ}")
+        rejected = False
+        try:
+            t.append(incoming)  # contains rows above the cap → must reject
+        except ValueError:
+            rejected = True
+        t.append(incoming.where(F.col("qty") <= _CC_MAXQ))
+        final = t.read()
+        out = final.agg(
+            F.lit(bool(rejected)).alias("batch_rejected"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.max("qty").cast("decimal(18,2)").alias("max_qty"),
+            F.sum("qty").cast("decimal(18,2)").alias("sum_qty"),
+        )
+        return out.localCheckpoint(eager=True)  # temp dir dies with fn
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+_CHECK_CONSTRAINT_SQL = f"""
+WITH keyed AS (
+  SELECT CAST(l_orderkey * 10 + l_linenumber AS BIGINT) AS rid,
+         MIN(l_quantity) AS qty, MIN(l_orderkey) AS ok
+  FROM lineitem WHERE l_orderkey <= {_CC_B2} GROUP BY 1
+),
+kept AS (
+  SELECT qty FROM keyed WHERE qty <= {_CC_MAXQ}
+)
+SELECT TRUE AS batch_rejected, COUNT(*) AS n_rows,
+       CAST(MAX(qty) AS DECIMAL(18,2)) AS max_qty,
+       CAST(SUM(qty) AS DECIMAL(18,2)) AS sum_qty
+FROM kept
+"""
+
+QUERIES["q_check_constraint"] = q_check_constraint
+ORACLE["q_check_constraint"] = _CHECK_CONSTRAINT_SQL

@@ -338,6 +338,7 @@ class TxTable:
         schema_json: str | None = None,
         txn: tuple[str, int] | None = None,
         keys_touched: dict | None = None,
+        constraint: dict | None = None,
     ) -> int:
         """Optimistic-concurrency commit loop. Appends never conflict
         (they are re-targeted at the new tail); operations that REMOVE
@@ -383,6 +384,8 @@ class TxTable:
             }
             if schema_json is not None:
                 entry["schema"] = schema_json
+            if constraint is not None:
+                entry["constraint"] = constraint
             if txn is not None:
                 entry["txn"] = {"app_id": txn[0], "txn_version": txn[1]}
             if keys_touched:
@@ -434,16 +437,57 @@ class TxTable:
             raise ValueError(
                 f"append schema mismatch: table has {exp_sig}, got {got_sig}"
             )
+        self._enforce_constraints(df)
         adds = self._write_data(df, self.latest_version() + 1)
         return self._commit("append", adds, [], self.latest_version(), txn=txn)
 
     def overwrite_all(self, df: DataFrame, txn: tuple[str, int] | None = None) -> int:
+        self._enforce_constraints(df)
         rv = self.latest_version()
         removes = sorted(self.snapshot(rv).keys())
         adds = self._write_data(df, rv + 1)
         return self._commit(
             "overwrite", adds, removes, rv, schema_json=df.schema.json(), txn=txn
         )
+
+    def add_constraint(self, name: str, predicate_sql: str) -> int:
+        """ALTER TABLE ... ADD CONSTRAINT (CHECK) — a metadata-only
+        commit recording a SQL predicate every FUTURE write must
+        satisfy row-wise (Delta's CHECK semantics: existing data is
+        validated once at add time; later appends/overwrites reject
+        atomically BEFORE any commit if any row violates). Constraint
+        evaluation is one aggregate over the incoming batch — the
+        same job Delta runs for its write metrics."""
+        if name in self.constraints_at():
+            raise ValueError(f"constraint {name!r} already exists")
+        bad = self.read().where(f"NOT ({predicate_sql})").limit(1).count()
+        if bad:
+            raise ValueError(
+                f"constraint {name!r} violated by existing rows"
+            )
+        return self._commit(
+            "add_constraint", [], [], self.latest_version(),
+            constraint={"name": name, "sql": predicate_sql},
+        )
+
+    def constraints_at(self, version: int | None = None) -> dict[str, str]:
+        """All CHECK constraints in force at ``version`` (name → SQL)."""
+        if version is None:
+            version = self.latest_version()
+        out: dict[str, str] = {}
+        for v in range(version + 1):
+            c = self._read_entry(v).get("constraint")
+            if c:
+                out[c["name"]] = c["sql"]
+        return out
+
+    def _enforce_constraints(self, df: DataFrame) -> None:
+        for name, sql in self.constraints_at().items():
+            if df.where(f"NOT ({sql})").limit(1).count():
+                raise ValueError(
+                    f"write rejected: CHECK constraint {name!r} ({sql}) "
+                    "violated by incoming rows"
+                )
 
     def add_columns(self, new_cols: list[tuple[str, str]]) -> int:
         """ALTER TABLE ... ADD COLUMNS — widen-only schema evolution as

@@ -632,3 +632,34 @@ def test_add_columns_schema_evolution(spark, tmp_path):
 
     with pytest.raises(ValueError):
         t.add_columns([("note", "string")])
+
+
+def test_check_constraints(spark, tmp_path):
+    """CHECK constraints: metadata commit, atomic batch rejection,
+    existing-data validation at add time, overwrite enforcement."""
+    import pytest
+
+    from sandbox_data_pipeline_spark.sinks.txlog import TxTable
+
+    t = TxTable.create(
+        spark, str(tmp_path / "cc"),
+        spark.createDataFrame([(1, 10.0)], "id long, qty double"),
+    )
+    t.add_constraint("cap", "qty <= 100")
+    assert t.constraints_at() == {"cap": "qty <= 100"}
+
+    before = t.latest_version()
+    with pytest.raises(ValueError, match="cap"):
+        t.append(spark.createDataFrame([(2, 50.0), (3, 500.0)], "id long, qty double"))
+    # atomic: nothing from the rejected batch landed, no commit happened
+    assert t.latest_version() == before
+    assert sorted(r.id for r in t.read().collect()) == [1]
+
+    with pytest.raises(ValueError, match="cap"):
+        t.overwrite_all(spark.createDataFrame([(9, 101.0)], "id long, qty double"))
+
+    with pytest.raises(ValueError, match="existing"):
+        TxTable.create(
+            spark, str(tmp_path / "cc2"),
+            spark.createDataFrame([(1, -1.0)], "id long, qty double"),
+        ).add_constraint("pos", "qty >= 0")
