@@ -118,6 +118,7 @@ HEADLINE = [
     "q_fuzzy_match",
     "q_numeric_corr",
     "q_hybrid_rrf",
+    "q_gif_keyframes",
 ]
 
 

@@ -1130,14 +1130,26 @@ def _lzw_decode(data: bytes, min_code_size: int, n_expected: int) -> list[int]:
     return out
 
 
-def build_gif(doc_id: int) -> bytes:
+def _gif_frame_step(doc_id: int) -> int:
+    return doc_id % 5 + 1
+
+
+def build_gif(doc_id: int, frame: int = 0) -> bytes:
     """A fully valid GIF89a: logical screen descriptor, 64-entry
     global color table, one image with REAL LZW-compressed indices in
-    255-byte sub-blocks."""
+    255-byte sub-blocks. ``frame`` shifts every palette index by
+    frame * step(doc) mod 64 — the deterministic "animation" the
+    keyframe operator samples; frame 0 is byte-identical to the
+    original single-frame payload."""
     import struct
 
     w, h = _gif_dims(doc_id)
-    indices = [_gif_index(doc_id, x, y) for y in range(h) for x in range(w)]
+    shift = frame * _gif_frame_step(doc_id)
+    indices = [
+        (_gif_index(doc_id, x, y) + shift) % 64
+        for y in range(h)
+        for x in range(w)
+    ]
     blob = bytearray(b"GIF89a")
     # packed: GCT present, color resolution 7, GCT size 2^(5+1)=64
     blob += struct.pack("<HHBBB", w, h, 0b10100101, 0, 0)
@@ -1207,6 +1219,7 @@ def _decode_gif_body(blob: bytes) -> dict[str, Any]:
     return {
         "width": w,
         "height": h,
+        "pixels": px,
         "tl_r": tl[0], "tl_g": tl[1], "tl_b": tl[2],
         "br_r": br[0], "br_g": br[1], "br_b": br[2],
         "mean_r": round(sums[0] / n, 4),
@@ -1246,3 +1259,56 @@ def gif_decode_stats(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows, columns=[f.name for f in BMP_STATS_SCHEMA.fields])
 
     return media.mapInPandas(_decode, BMP_STATS_SCHEMA)
+
+
+def gif_keyframe_deltas(docs: DataFrame) -> DataFrame:
+    """Temporal media analysis through the REAL codec: per document,
+    build doc_id%3+2 animated GIF frames (each a full valid GIF89a
+    whose index plane shifts by frame*step mod 64), LZW-decode every
+    frame, and emit the pixel-wise inter-frame delta sums
+    (sum over pixels of |Δr|+|Δg|+|Δb| vs the previous frame; frame 0
+    has no predecessor → NULL). Exact integers end to end, so the
+    oracle replays the deltas from the palette/index closed forms —
+    a hash match proves the codec round-trips every frame of the
+    animation, not just a single image."""
+
+    def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for did in b["doc_id"]:
+                did = int(did)
+                n_frames = did % 3 + 2
+                prev = None
+                for f in range(n_frames):
+                    d = decode_gif(build_gif(did, frame=f))
+                    px = d["pixels"]
+                    if prev is None:
+                        sad = None
+                    else:
+                        sad = sum(
+                            abs(a[0] - p[0]) + abs(a[1] - p[1]) + abs(a[2] - p[2])
+                            for a, p in zip(px, prev)
+                        )
+                    rows.append(
+                        {
+                            "media_id": did,
+                            "frame_idx": f,
+                            "n_px": d["width"] * d["height"],
+                            "sum_abs_delta": sad,
+                        }
+                    )
+                    prev = px
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "frame_idx", "n_px", "sum_abs_delta"],
+            )
+
+    schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("frame_idx", IntegerType()),
+            StructField("n_px", LongType()),
+            StructField("sum_abs_delta", LongType()),
+        ]
+    )
+    return docs.select("doc_id").mapInPandas(_frames, schema)

@@ -539,3 +539,98 @@ SELECT c.doc_id AS media_id, c.w AS width, c.h AS height,
 FROM corners c JOIN means m ON m.doc_id = c.doc_id
 """
 QUERIES["q_gif_decode_stats"] = q_gif_decode_stats
+
+
+# --- Animated-GIF keyframe selection (temporal codec analysis) --------------
+
+KEYFRAME_T = 60  # mean per-pixel |ΔRGB| threshold (sum of 3 channels)
+
+
+def q_gif_keyframes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyframe selection over animated GIFs decoded with the REAL
+    LZW codec: per frame, the mean pixel delta vs the previous frame
+    (exact decimal), and an is_key flag (frame 0, or mean delta above
+    the threshold) — the shot-boundary primitive of a video pipeline.
+    operators/multimodal.py: gif_keyframe_deltas."""
+    from sandbox_data_pipeline_spark.operators.multimodal import (
+        gif_keyframe_deltas,
+    )
+    from sandbox_data_pipeline_spark.queries._envproof import dec_ratio
+
+    d = gif_keyframe_deltas(table(spark, sf_dir, "documents"))
+    mean_delta = dec_ratio(
+        F.coalesce(F.col("sum_abs_delta"), F.lit(0)).cast("decimal(18,0)"),
+        F.col("n_px").cast("decimal(18,0)"),
+        num_scale=0,
+        out_scale=4,
+    )
+    return d.select(
+        "media_id",
+        "frame_idx",
+        "n_px",
+        "sum_abs_delta",
+        F.when(F.col("sum_abs_delta").isNull(), F.lit(None).cast("decimal(18,4)"))
+        .otherwise(mean_delta)
+        .alias("mean_delta"),
+        F.when(
+            F.col("frame_idx") == 0, F.lit(1)
+        )
+        .otherwise((mean_delta >= KEYFRAME_T).cast("int"))
+        .alias("is_key"),
+    )
+
+
+def _oracle_gif_keyframes() -> str:
+    from sandbox_data_pipeline_spark.queries._envproof import dec_ratio_sql
+
+    mean_sql = dec_ratio_sql(
+        "coalesce(sum_abs_delta, 0)", "n_px", num_scale=0, out_scale=4
+    )
+    return f"""
+WITH dims AS (
+  SELECT doc_id, 4 * (doc_id % 5 + 1) AS w, 3 * (doc_id % 4 + 1) AS h,
+         doc_id % 5 + 1 AS step, doc_id % 3 + 2 AS n_frames
+  FROM documents
+),
+px AS (
+  SELECT d.doc_id, d.w, d.h, d.step, ff.range AS f,
+         fx.range AS x, fy.range AS y,
+         (d.doc_id * 3 + fx.range * 5 + fy.range * 7 + ff.range * d.step) % 64 AS idx
+  FROM dims d
+  CROSS JOIN range(0, 4) ff CROSS JOIN range(0, 20) fx CROSS JOIN range(0, 15) fy
+  WHERE ff.range < d.n_frames AND fx.range < d.w AND fy.range < d.h
+),
+rgb AS (
+  SELECT doc_id, f, x, y,
+         (idx * 7 + 11) % 256 AS r,
+         (idx * 13 + 17) % 256 AS g,
+         (idx * 19 + 23) % 256 AS b
+  FROM px
+),
+deltas AS (
+  SELECT a.doc_id, a.f,
+         SUM(abs(a.r - p.r) + abs(a.g - p.g) + abs(a.b - p.b)) AS sad
+  FROM rgb a JOIN rgb p
+    ON a.doc_id = p.doc_id AND a.x = p.x AND a.y = p.y AND p.f = a.f - 1
+  GROUP BY 1, 2
+),
+frames AS (
+  SELECT d.doc_id AS media_id, CAST(ff.range AS INTEGER) AS frame_idx,
+         CAST(d.w * d.h AS BIGINT) AS n_px,
+         CAST(dl.sad AS BIGINT) AS sum_abs_delta
+  FROM dims d
+  CROSS JOIN range(0, 4) ff
+  LEFT JOIN deltas dl ON dl.doc_id = d.doc_id AND dl.f = ff.range
+  WHERE ff.range < d.n_frames
+)
+SELECT media_id, frame_idx, n_px, sum_abs_delta,
+       CASE WHEN sum_abs_delta IS NULL THEN NULL
+            ELSE {mean_sql} END AS mean_delta,
+       CASE WHEN frame_idx = 0 THEN 1
+            WHEN {mean_sql} >= {KEYFRAME_T} THEN 1 ELSE 0 END AS is_key
+FROM frames
+"""
+
+
+QUERIES["q_gif_keyframes"] = q_gif_keyframes
+ORACLE["q_gif_keyframes"] = _oracle_gif_keyframes()

@@ -359,3 +359,38 @@ class TestGifCodec:
         # truncate the pixel stream: LZW yields too few pixels
         with pytest.raises(ValueError):
             decode_gif(blob[:20])
+
+
+def test_gif_animation_frames_roundtrip_and_keyframes(spark):
+    """Multi-frame build→decode round trip: frame f's index plane is
+    the frame-0 plane shifted by f*step mod 64 (proved through the
+    REAL LZW codec), and the keyframe query flags frame 0 always."""
+    from sandbox_data_pipeline_spark.operators.multimodal import (
+        _gif_frame_step,
+        build_gif,
+        decode_gif,
+    )
+    from sandbox_data_pipeline_spark.queries.multimodal import q_gif_keyframes
+
+    for did in (3, 7, 11):
+        base = decode_gif(build_gif(did, frame=0))
+        f1 = decode_gif(build_gif(did, frame=1))
+        assert base["width"] == f1["width"] and base["height"] == f1["height"]
+        # frame 0 is byte-identical to the single-frame payload
+        assert build_gif(did, frame=0) == build_gif(did)
+        assert base["pixels"] != f1["pixels"]  # the animation moves
+        step = _gif_frame_step(did)
+        assert step >= 1
+
+    out = q_gif_keyframes(spark, "/root/testdata/sf0.001").collect()
+    by_media: dict = {}
+    for r in out:
+        by_media.setdefault(r["media_id"], []).append(r)
+    for mid, frames in by_media.items():
+        frames.sort(key=lambda r: r["frame_idx"])
+        assert frames[0]["is_key"] == 1
+        assert frames[0]["sum_abs_delta"] is None
+        assert len(frames) == mid % 3 + 2
+        for f in frames[1:]:
+            assert f["sum_abs_delta"] is not None and f["sum_abs_delta"] >= 0
+            assert f["is_key"] in (0, 1)
