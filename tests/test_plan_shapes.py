@@ -157,3 +157,39 @@ def test_bm25_plan_takeordered_and_broadcast(spark):
     assert "TakeOrderedAndProject" in plan
     assert "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_dynamic_partition_pruning_on_star_join(spark, tmp_path):
+    """A fact table partitioned on the join key + a filtered dimension
+    must plan a DynamicPruning subquery — at 100 TB this is what keeps
+    a star-schema scan from reading every partition (the runtime twin
+    of the static pruning q_zorder_skipping proves)."""
+    import io
+    from contextlib import redirect_stdout
+
+    from pyspark.sql import functions as F
+
+    from sandbox_data_pipeline_spark.catalog import table
+
+    sf = "/root/testdata/sf0.001"
+    o = table(spark, sf, "orders").withColumn(
+        "od_month", F.date_format("o_orderdate", "yyyy-MM")
+    )
+    o.write.partitionBy("od_month").mode("overwrite").parquet(str(tmp_path / "fact"))
+    fact = spark.read.parquet(str(tmp_path / "fact"))
+    dim = (
+        fact.select("od_month").distinct()
+        .withColumn("yr", F.substring("od_month", 1, 4))
+    )
+    j = fact.join(dim.where(F.col("yr") == "1995"), "od_month").agg(
+        F.sum("o_totalprice").alias("s")
+    )
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        j.explain("formatted")
+    assert "dynamicpruning" in buf.getvalue().lower()
+    # and the pruned result matches the statically-filtered one
+    want = fact.where(F.col("od_month").startswith("1995")).agg(
+        F.sum("o_totalprice").alias("s")
+    ).collect()[0]["s"]
+    assert j.collect()[0]["s"] == want
