@@ -118,7 +118,11 @@ HEADLINE = [
     "q_fuzzy_match",
     "q_numeric_corr",
     "q_hybrid_rrf",
-    "q_gif_keyframes",
+    # q_gif_keyframes excluded: it LZW-encodes AND decodes 2-4 full
+    # frames per doc in stdlib Python by design (codec-stress
+    # correctness row, ~5.5 s at sf0.1 — not a throughput probe);
+    # q_schema_evolution / q_check_constraint excluded: they write a
+    # table per run, like q_time_travel
 ]
 
 
