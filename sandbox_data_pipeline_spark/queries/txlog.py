@@ -497,3 +497,78 @@ FROM kept
 
 QUERIES["q_check_constraint"] = q_check_constraint
 ORACLE["q_check_constraint"] = _CHECK_CONSTRAINT_SQL
+
+
+# --- Position deletes (deletion vectors) ------------------------------------
+
+_PD_B1 = 1000  # base slice bound
+_PD_D1, _PD_D2 = 3_000, 7_999  # rid range deleted positionally
+
+
+def q_position_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deletion-vector semantics proved relationally: a positional
+    delete must (a) remove exactly the predicate's rows from the
+    current snapshot, (b) leave time travel intact, and (c) add ZERO
+    data files (the commit is markers only — the whole point at
+    100 TB: point deletes cost positions, not file rewrites). The
+    rewrite-free property rides the output as the pdelete commit's
+    added-file count, which the oracle pins to 0."""
+    li = table(spark, sf_dir, "lineitem")
+    base = (
+        li.where(F.col("l_orderkey") <= _PD_B1)
+        .groupBy(
+            (F.col("l_orderkey") * 10 + F.col("l_linenumber"))
+            .cast("long")
+            .alias("rid")
+        )
+        .agg(F.max("l_quantity").alias("qty"))
+    )
+    tmp = tempfile.mkdtemp(prefix="txpd_")
+    try:
+        t = TxTable.create(spark, f"{tmp}/tbl", base.repartitionByRange(4, "rid"))
+        res = t.delete_where_positional("rid", _PD_D1, _PD_D2)
+        rewrite_adds = t.history()[res["version"]]["n_add"]
+        v0 = t.read(version=0).localCheckpoint(eager=True)
+        final = t.read().localCheckpoint(eager=True)
+
+        def summarize(df: DataFrame, phase: str) -> DataFrame:
+            return df.agg(
+                F.lit(phase).alias("phase"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("qty").cast("decimal(18,2)").alias("sum_qty"),
+                F.lit(int(res["n_deleted"])).alias("n_deleted"),
+                F.lit(int(rewrite_adds)).alias("rewrite_adds"),
+            )
+
+        return (
+            summarize(v0, "v0")
+            .unionAll(summarize(final, "final"))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+_POSITION_DELETE_SQL = f"""
+WITH base AS (
+  SELECT CAST(l_orderkey * 10 + l_linenumber AS BIGINT) AS rid,
+         MAX(l_quantity) AS qty
+  FROM lineitem WHERE l_orderkey <= {_PD_B1} GROUP BY 1
+),
+dels AS (
+  SELECT COUNT(*) AS n_deleted FROM base
+  WHERE rid BETWEEN {_PD_D1} AND {_PD_D2}
+)
+SELECT 'v0' AS phase, COUNT(*) AS n_rows,
+       CAST(SUM(qty) AS DECIMAL(18,2)) AS sum_qty,
+       (SELECT n_deleted FROM dels) AS n_deleted,
+       0 AS rewrite_adds
+FROM base
+UNION ALL
+SELECT 'final', COUNT(*), CAST(SUM(qty) AS DECIMAL(18,2)),
+       (SELECT n_deleted FROM dels), 0
+FROM base WHERE rid NOT BETWEEN {_PD_D1} AND {_PD_D2}
+"""
+
+QUERIES["q_position_delete"] = q_position_delete
+ORACLE["q_position_delete"] = _POSITION_DELETE_SQL

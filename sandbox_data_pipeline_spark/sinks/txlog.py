@@ -268,7 +268,8 @@ class TxTable:
         if not kept:
             return self.spark.createDataFrame([], schema)
         paths = [self._abs(f) for f in kept]
-        return self.spark.read.schema(schema).parquet(*paths)
+        scan = self.spark.read.schema(schema).parquet(*paths)
+        return self._apply_pdels(scan, version)
 
     def history(self) -> list[dict]:
         """Commit history, oldest→newest: the warehouse's
@@ -339,6 +340,8 @@ class TxTable:
         txn: tuple[str, int] | None = None,
         keys_touched: dict | None = None,
         constraint: dict | None = None,
+        pdel: list[str] | None = None,
+        pdel_files: list[str] | None = None,
     ) -> int:
         """Optimistic-concurrency commit loop. Appends never conflict
         (they are re-targeted at the new tail); operations that REMOVE
@@ -386,6 +389,10 @@ class TxTable:
                 entry["schema"] = schema_json
             if constraint is not None:
                 entry["constraint"] = constraint
+            if pdel:
+                entry["pdel"] = pdel
+            if pdel_files:
+                entry["pdel_files"] = pdel_files
             if txn is not None:
                 entry["txn"] = {"app_id": txn[0], "txn_version": txn[1]}
             if keys_touched:
@@ -514,6 +521,92 @@ class TxTable:
             schema_json=widened.json(),
         )
 
+    def _pdel_dirs_at(self, version: int | None = None) -> list[str]:
+        """Position-delete directories committed at or before
+        ``version`` (relative paths). Rows whose data file has since
+        left the snapshot are inert — the anti-join matches nothing —
+        so rewriting commits never need to edit them."""
+        if version is None:
+            version = self.latest_version()
+        out: list[str] = []
+        for v in range(version + 1):
+            out.extend(self._read_entry(v).get("pdel", []))
+        return out
+
+    def _file_prefix(self) -> str:
+        return "file:" + os.path.abspath(self.path) + "/"
+
+    def _apply_pdels(self, scan: DataFrame, version: int | None) -> DataFrame:
+        dirs = self._pdel_dirs_at(version)
+        if not dirs:
+            return scan
+        dv = self.spark.read.parquet(
+            *[os.path.join(self.path, d) for d in dirs]
+        )
+        pre = F.lit(self._file_prefix())
+        return (
+            scan.withColumn(
+                "__fp", F.replace(F.col("_metadata.file_path"), pre, F.lit(""))
+            )
+            .withColumn("__ri", F.col("_metadata.row_index"))
+            .join(
+                dv,
+                (F.col("__fp") == dv["fp"]) & (F.col("__ri") == dv["ri"]),
+                "left_anti",
+            )
+            .drop("__fp", "__ri")
+        )
+
+    def delete_where_positional(
+        self,
+        col: str,
+        lo: Any,
+        hi: Any,
+        txn: tuple[str, int] | None = None,
+    ) -> dict:
+        """Row-level delete WITHOUT rewriting any data file: matching
+        (file, row_index) pairs are written as a position-delete file
+        (Iceberg position deletes / Delta deletion vectors) and every
+        snapshot read anti-joins them out. The write cost is the size
+        of the DELETED rows' positions, not the touched files — at
+        100 TB a point delete costs KBs instead of rewriting GBs; the
+        read cost is one broadcast-sized anti join until ``optimize``
+        (which reads through the DV layer, so it compacts the deletes
+        away and leaves the markers inert). ``clone``, ``restore`` and
+        ``table_changes`` refuse while DVs are active — compact first.
+        """
+        rv = self.latest_version()
+        snap = self.snapshot(rv)
+        touched = [
+            f
+            for f in snap.values()
+            if col not in f.stats
+            or not (f.stats[col]["max"] < lo or f.stats[col]["min"] > hi)
+        ]
+        if not touched:
+            return {"version": rv, "n_deleted": 0, "files_touched": 0}
+        paths = [self._abs(f) for f in touched]
+        pre = F.lit(self._file_prefix())
+        matches = (
+            self.spark.read.schema(self.schema_at(rv))
+            .parquet(*paths)
+            .where(F.col(col).between(F.lit(lo), F.lit(hi)))
+            .select(
+                F.replace(F.col("_metadata.file_path"), pre, F.lit("")).alias("fp"),
+                F.col("_metadata.row_index").alias("ri"),
+            )
+        )
+        sub = f"pdel/v{rv + 1}-{uuid.uuid4().hex[:8]}"
+        abs_dir = os.path.join(self.path, sub)
+        matches.write.mode("error").parquet(abs_dir)
+        n = self.spark.read.parquet(abs_dir).count()
+        v = self._commit(
+            "pdelete", [], [], rv,
+            keys_touched={"col": col, "lo": str(lo), "hi": str(hi)},
+            txn=txn, pdel=[sub], pdel_files=[f.path for f in touched],
+        )
+        return {"version": v, "n_deleted": int(n), "files_touched": len(touched)}
+
     def delete_where(
         self,
         col: str,
@@ -538,11 +631,12 @@ class TxTable:
         if not touched:
             return {"version": rv, "files_rewritten": 0, "files_total": len(snap)}
         paths = [self._abs(f) for f in touched]
-        survivors = (
-            self.spark.read.schema(self.schema_at(rv))
-            .parquet(*paths)
-            .where(~F.col(col).between(F.lit(lo), F.lit(hi)))
-        )
+        # read through the DV layer: rewriting a file that carries
+        # position deletes must NOT resurrect its deleted rows (the
+        # rewrite then supersedes the file and the markers go inert)
+        survivors = self._apply_pdels(
+            self.spark.read.schema(self.schema_at(rv)).parquet(*paths), rv
+        ).where(~F.col(col).between(F.lit(lo), F.lit(hi)))
         adds = self._write_data(survivors, rv + 1)
         v = self._commit(
             "delete",
@@ -586,7 +680,10 @@ class TxTable:
         schema = self.schema_at(rv)
         if touched:
             paths = [self._abs(f) for f in touched]
-            current = self.spark.read.schema(schema).parquet(*paths)
+            # DV layer: never resurrect positionally-deleted rows
+            current = self._apply_pdels(
+                self.spark.read.schema(schema).parquet(*paths), rv
+            )
         else:
             current = self.spark.createDataFrame([], schema)
         # Delta's MERGE contract: a source row must match at most one
@@ -745,6 +842,27 @@ def refresh_rollup(
 # --- OPTIMIZE: compaction + Z-order clustering ------------------------------
 
 
+def _refuse_active_pdels(t: "TxTable", op: str) -> None:
+    """A position-delete commit is ACTIVE while any data file it
+    touched is still in the current snapshot (metadata-only check —
+    the touched paths are recorded in the commit); once a rewrite
+    (optimize) supersedes those files the markers are inert and every
+    operation composes again."""
+    live = set(t.snapshot().keys())
+    active = False
+    for v in range(t.latest_version() + 1):
+        e = t._read_entry(v)
+        if e.get("pdel") and live & set(e.get("pdel_files", [])):
+            active = True
+            break
+    if active:
+        raise ValueError(
+            f"{op} with active position deletes would silently drop or "
+            "resurrect rows; run optimize(t) first (it reads through the "
+            "DV layer, compacting the deletes into clean files)"
+        )
+
+
 def optimize(
     t: TxTable,
     zorder_by: tuple[str, str] | None = None,
@@ -839,6 +957,7 @@ def restore(t: TxTable, version: int) -> int:
     is copied or rewritten, the old files still exist unless
     vacuumed). History is preserved — the restore is itself a commit,
     so the mistake and its undo are both auditable."""
+    _refuse_active_pdels(t, "restore")
     tail = t.latest_version()
     if not 0 <= version <= tail:
         raise ValueError(f"version {version} outside 0..{tail}")
@@ -867,6 +986,7 @@ def clone(src: TxTable, spark: SparkSession, dst_path: str) -> TxTable:
     Caveat, stated honestly: the clone pins source FILES, not the
     source LOG — vacuuming the source can delete files the clone still
     references (same liveness rule as Delta's shallow clone)."""
+    _refuse_active_pdels(src, "clone")
     t = TxTable(spark, dst_path)
     if os.path.isdir(t.log_path) and t._versions():
         raise FileExistsError(f"table already exists at {dst_path}")
@@ -896,6 +1016,7 @@ def table_changes(t: TxTable, from_version: int, to_version: int) -> DataFrame:
     day's CDF costs the day's rewrites, not the table. Emits
     (_change_type, _commit_version) + the row, newest commits last.
     """
+    _refuse_active_pdels(t, "table_changes")
     tail = t.latest_version()
     if not -1 <= from_version <= to_version <= tail:
         raise ValueError(

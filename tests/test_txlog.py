@@ -663,3 +663,56 @@ def test_check_constraints(spark, tmp_path):
             spark, str(tmp_path / "cc2"),
             spark.createDataFrame([(1, -1.0)], "id long, qty double"),
         ).add_constraint("pos", "qty >= 0")
+
+
+def test_position_deletes(spark, tmp_path):
+    """Deletion vectors: rewrite-free delete, DV-aware reads everywhere
+    (snapshot, time travel, rewriting delete, merge, optimize), the
+    active/inert guard lifecycle, and idempotent txn suppression."""
+    from sandbox_data_pipeline_spark.sinks.txlog import (
+        TxTable,
+        clone,
+        optimize,
+        restore,
+        table_changes,
+    )
+
+    base = spark.range(0, 100).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    ).repartitionByRange(4, "k")
+    t = TxTable.create(spark, str(tmp_path / "tbl"), base)
+    res = t.delete_where_positional("k", 10, 19)
+    assert res["n_deleted"] == 10
+    h = t.history()[res["version"]]
+    assert h["operation"] == "pdelete" and h["n_add"] == 0 and h["n_remove"] == 0
+    assert t.read().count() == 90
+    assert t.read().where(F.col("k").between(10, 19)).count() == 0
+    assert t.read(version=0).count() == 100  # time travel unaffected
+
+    # guard: active while the DV'd files are in the snapshot
+    with pytest.raises(ValueError, match="position deletes"):
+        clone(t, spark, str(tmp_path / "c1"))
+    with pytest.raises(ValueError, match="position deletes"):
+        restore(t, 0)
+    with pytest.raises(ValueError, match="position deletes"):
+        table_changes(t, 0, t.latest_version())
+
+    # rewriting ops read THROUGH the DV layer — no resurrection
+    t.delete_where("k", 15, 24)  # overlaps the DV'd file
+    assert t.read().count() == 85  # 10 DV'd + 5 more (15..19 already gone)
+    assert t.read().where(F.col("k").between(10, 24)).count() == 0
+    src = spark.createDataFrame([(11, 999)], "k long, v long")
+    t.merge(src, "k")  # k=11 was deleted: merge must INSERT, not revive
+    got = t.read()
+    assert got.where(F.col("k") == 11).count() == 1
+    assert got.count() == 86
+
+    # the rewriting delete superseded the DV'd files -> markers went
+    # inert and every operation composes again (optimize also works)
+    optimize(t)
+    assert t.read().count() == 86
+    assert clone(t, spark, str(tmp_path / "c2")).read().count() == 86
+
+    # second positional delete hitting nothing
+    res2 = t.delete_where_positional("k", 5000, 6000)
+    assert res2["n_deleted"] == 0
