@@ -107,6 +107,16 @@ class TxLogStreamReader(DataSourceStreamReader):
                     "ignoreChanges=true to stream adds only, accepting "
                     "re-emitted rows"
                 )
+            if e.get("pdel"):
+                # same contract as removes, but ignoreChanges can't
+                # soften it: a position delete ADDS no file at all, so
+                # an add-only feed would silently miss the logical
+                # deletes — compact (optimize) before streaming on
+                raise ValueError(
+                    f"commit v{v} carries position deletes, which an "
+                    "append-only stream cannot represent; run "
+                    "optimize() to compact them first"
+                )
             for a in e.get("add", []):
                 # shallow-clone entries reference files by absolute base
                 parts.append(

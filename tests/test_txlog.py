@@ -716,3 +716,32 @@ def test_position_deletes(spark, tmp_path):
     # second positional delete hitting nothing
     res2 = t.delete_where_positional("k", 5000, 6000)
     assert res2["n_deleted"] == 0
+
+
+def test_txlog_stream_refuses_position_deletes(spark, tmp_path):
+    """An append-only stream cannot represent a markers-only delete —
+    even under ignoreChanges — so the source must fail loudly."""
+    from sandbox_data_pipeline_spark.sources.txlog_stream import (
+        TxLogStreamDataSource,
+    )
+
+    try:
+        spark.dataSource.register(TxLogStreamDataSource)
+    except Exception:
+        pass
+    t = _mk(spark, tmp_path, n=20)
+    t.delete_where_positional("k", 0, 4)
+    out = str(tmp_path / "out")
+    q = (
+        spark.readStream.format("txlog")
+        .option("path", t.path)
+        .option("ignoreChanges", "true")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception, match="position deletes"):
+        q.awaitTermination()
