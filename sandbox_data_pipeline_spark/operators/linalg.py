@@ -174,7 +174,9 @@ def pca_project(
     )
 
 
-def integer_moments(df: DataFrame, cols: list[str]) -> DataFrame:
+def integer_moments(
+    df: DataFrame, cols: list[str], by: str | None = None
+) -> DataFrame:
     """Exact raw moments of already-integer columns via the AUGMENTED
     gram trick: per Arrow batch, one int64 matmul over X' = [1 | X]
     yields count (0,0), linear sums (0,j) and product sums (i,j) in a
@@ -187,30 +189,50 @@ def integer_moments(df: DataFrame, cols: list[str]) -> DataFrame:
     Per-batch int64 overflow budget: |x|·|y|·batch_rows must stay
     below 2^63 — for money cents (≤1e7) and 10k-row batches that is
     1e18 vs 9.2e18; larger domains should pre-scale down or shrink
-    ``spark.sql.execution.arrow.maxRecordsPerBatch``."""
+    ``spark.sql.execution.arrow.maxRecordsPerBatch``.
+
+    ``by`` groups the moments: one matmul per (batch, group) —
+    group-count x d(d+1)/2 partial rows, the grouped-statistics
+    primitive behind per-segment regression/correlation audits."""
     d = len(cols) + 1
     iu0, iu1 = (x.astype(np.int32) for x in np.triu_indices(d))
 
-    def part(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            X = np.empty((len(pdf), d), dtype=np.int64)
-            X[:, 0] = 1
-            for k, c in enumerate(cols):
-                X[:, k + 1] = pdf[c].to_numpy(dtype=np.int64)
-            G = X.T @ X
-            yield pd.DataFrame(
-                {
-                    "i": iu0,
-                    "j": iu1,
-                    "s": pd.Series(
-                        [Decimal(int(v)) for v in G[iu0, iu1]], dtype="object"
-                    ),
-                }
-            )
+    def gram_rows(pdf: pd.DataFrame) -> pd.DataFrame:
+        X = np.empty((len(pdf), d), dtype=np.int64)
+        X[:, 0] = 1
+        for k, c in enumerate(cols):
+            X[:, k + 1] = pdf[c].to_numpy(dtype=np.int64)
+        G = X.T @ X
+        return pd.DataFrame(
+            {
+                "i": iu0,
+                "j": iu1,
+                "s": pd.Series(
+                    [Decimal(int(v)) for v in G[iu0, iu1]], dtype="object"
+                ),
+            }
+        )
 
-    partials = df.select(*cols).mapInPandas(
-        part, schema="i int, j int, s decimal(38,0)"
+    if by is None:
+
+        def part(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                if len(pdf):
+                    yield gram_rows(pdf)
+
+        partials = df.select(*cols).mapInPandas(
+            part, schema="i int, j int, s decimal(38,0)"
+        )
+        return partials.groupBy("i", "j").agg(F.sum("s").alias("s"))
+
+    def part_by(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for key, grp in pdf.groupby(by, sort=False):
+                out = gram_rows(grp)
+                out.insert(0, by, key)
+                yield out
+
+    partials = df.select(by, *cols).mapInPandas(
+        part_by, schema=f"{by} string, i int, j int, s decimal(38,0)"
     )
-    return partials.groupBy("i", "j").agg(F.sum("s").alias("s"))
+    return partials.groupBy(by, "i", "j").agg(F.sum("s").alias("s"))

@@ -1251,3 +1251,75 @@ WITH m AS (
 
 QUERIES["q_numeric_corr"] = q_numeric_corr
 ORACLE["q_numeric_corr"] = _oracle_numeric_corr()
+
+
+def q_linear_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment OLS regression audit: extendedprice-cents ~
+    quantity-cents within each l_returnflag, from the SAME exact
+    grouped integer moments as q_numeric_corr (one matmul per batch
+    per group). Slope/intercept/r² are IEEE closed forms over
+    correctly-rounded casts of exact integers — bit-identical
+    cross-engine. The regression-coefficients-per-segment shape is the
+    drift detector a feature platform runs nightly."""
+    from sandbox_data_pipeline_spark.operators.linalg import integer_moments
+
+    li = table(spark, sf_dir, "lineitem")
+    cents = li.select(
+        F.col("l_returnflag").alias("seg"),
+        (F.col("l_quantity") * 100).cast("long").alias("c0"),
+        (F.col("l_extendedprice") * 100).cast("long").alias("c1"),
+    )
+    mom = integer_moments(cents, ["c0", "c1"], by="seg")
+
+    def _cell(a: int, b: int, alias: str):
+        return (
+            F.sum(F.when((F.col("i") == a) & (F.col("j") == b), F.col("s")))
+            .cast("double")
+            .alias(alias)
+        )
+
+    m = mom.groupBy("seg").agg(
+        _cell(0, 0, "n"), _cell(0, 1, "sx"), _cell(0, 2, "sy"),
+        _cell(1, 1, "sxx"), _cell(1, 2, "sxy"), _cell(2, 2, "syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, sxy, syy = F.col("sxx"), F.col("sxy"), F.col("syy")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - slope * sx) / n
+    r = (n * sxy - sx * sy) / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    return m.select(
+        "seg",
+        n.cast("long").alias("n_rows"),
+        slope.alias("slope"),
+        intercept.alias("intercept"),
+        (r * r).alias("r2"),
+    )
+
+
+def _oracle_linear_fit() -> str:
+    return """
+WITH m AS (
+  SELECT l_returnflag AS seg,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(CAST(l_quantity * 100 AS BIGINT)) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(l_extendedprice * 100 AS BIGINT)) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(l_quantity * 100 AS BIGINT)
+                  * CAST(l_quantity * 100 AS BIGINT)) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(l_quantity * 100 AS BIGINT)
+                  * CAST(l_extendedprice * 100 AS BIGINT)) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(l_extendedprice * 100 AS BIGINT)
+                  * CAST(l_extendedprice * 100 AS BIGINT)) AS DOUBLE) AS syy
+  FROM lineitem GROUP BY 1
+)
+SELECT seg, CAST(n AS BIGINT) AS n_rows,
+       (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+       (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n AS intercept,
+       ((n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)))
+         * ((n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)))
+         AS r2
+FROM m
+"""
+
+
+QUERIES["q_linear_fit"] = q_linear_fit
+ORACLE["q_linear_fit"] = _oracle_linear_fit()

@@ -226,3 +226,26 @@ def test_numeric_corr_matches_numpy(spark):
         i, j = CORR_COLS.index(a), CORR_COLS.index(b)
         assert abs(r - R[i, j]) < 1e-9, (a, b)
         assert -1.0 <= r <= 1.0
+
+
+def test_linear_fit_matches_numpy(spark):
+    """Per-segment OLS vs numpy.polyfit on the same parquet (in cents,
+    matching the operator's scale-invariant contract)."""
+    import numpy as np
+    import pandas as pd
+
+    from sandbox_data_pipeline_spark.queries.analytics import q_linear_fit
+
+    sf = "/root/testdata/sf0.001"
+    pdf = pd.read_parquet(f"{sf}/lineitem.parquet")
+    got = {r["seg"]: r for r in q_linear_fit(spark, sf).collect()}
+    for seg, grp in pdf.groupby("l_returnflag"):
+        x = (grp["l_quantity"].astype(float) * 100).to_numpy()
+        y = (grp["l_extendedprice"].astype(float) * 100).to_numpy()
+        slope, intercept = np.polyfit(x, y, 1)
+        r = np.corrcoef(x, y)[0, 1]
+        row = got[seg]
+        assert row["n_rows"] == len(grp)
+        assert abs(row["slope"] - slope) < abs(slope) * 1e-6 + 1e-9
+        assert abs(row["intercept"] - intercept) < abs(intercept) * 1e-6 + 1e-6
+        assert abs(row["r2"] - r * r) < 1e-9
