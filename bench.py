@@ -119,6 +119,7 @@ HEADLINE = [
     "q_numeric_corr",
     "q_hybrid_rrf",
     "q_linear_fit",
+    "q_audio_onsets",
     # q_gif_keyframes excluded: it LZW-encodes AND decodes 2-4 full
     # frames per doc in stdlib Python by design (codec-stress
     # correctness row, ~5.5 s at sf0.1 — not a throughput probe);

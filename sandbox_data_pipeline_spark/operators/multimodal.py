@@ -23,6 +23,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 from typing import Any
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
@@ -1312,3 +1313,58 @@ def gif_keyframe_deltas(docs: DataFrame) -> DataFrame:
         ]
     )
     return docs.select("doc_id").mapInPandas(_frames, schema)
+
+
+def audio_onsets(media: DataFrame, window_bytes: int = 64, threshold: int = 20000) -> DataFrame:
+    """Onset detection over the WAV payloads: per fixed window, the
+    exact integer energy (sum of squared byte samples, decoded from
+    the REAL blob past the 16-byte RIFF preamble) and its jump vs the
+    previous window; a window is an onset when the jump exceeds the
+    threshold (window 0 always). The audio sibling of the GIF keyframe
+    operator — exact integers end to end, so the oracle replays the
+    energies from ascii() closed forms over the text body."""
+
+    def _onsets(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for mid, mtype, blob in zip(
+                b["media_id"], b["media_type"], b["content"]
+            ):
+                if mtype != "audio":
+                    continue
+                body = np.frombuffer(bytes(blob)[16:], dtype=np.uint8).astype(
+                    np.int64
+                )
+                n_win = max(1, (len(body) + window_bytes - 1) // window_bytes)
+                prev = None
+                for w in range(n_win):
+                    seg = body[w * window_bytes : (w + 1) * window_bytes]
+                    energy = int((seg * seg).sum())
+                    delta = None if prev is None else energy - prev
+                    rows.append(
+                        {
+                            "media_id": int(mid),
+                            "window_idx": w,
+                            "energy": energy,
+                            "delta": delta,
+                            "is_onset": 1
+                            if delta is None or delta > threshold
+                            else 0,
+                        }
+                    )
+                    prev = energy
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "window_idx", "energy", "delta", "is_onset"],
+            )
+
+    schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("window_idx", IntegerType()),
+            StructField("energy", LongType()),
+            StructField("delta", LongType()),
+            StructField("is_onset", IntegerType()),
+        ]
+    )
+    return media.mapInPandas(_onsets, schema)

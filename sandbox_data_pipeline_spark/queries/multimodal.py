@@ -634,3 +634,48 @@ FROM frames
 
 QUERIES["q_gif_keyframes"] = q_gif_keyframes
 ORACLE["q_gif_keyframes"] = _oracle_gif_keyframes()
+
+
+ONSET_T = 20000
+
+
+def q_audio_onsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio onset detection (energy-jump segmentation) over the REAL
+    WAV payloads — the temporal sibling of q_gif_keyframes on the
+    audio axis. operators/multimodal.py: audio_onsets."""
+    from sandbox_data_pipeline_spark.operators.multimodal import (
+        audio_onsets,
+        media_with_headers,
+    )
+
+    media = media_with_headers(table(spark, sf_dir, "documents"))
+    return audio_onsets(media, window_bytes=64, threshold=ONSET_T)
+
+
+ORACLE["q_audio_onsets"] = f"""
+WITH a AS (
+  SELECT doc_id AS media_id, text, n_chars FROM documents WHERE doc_id % 3 = 1
+),
+pos AS (
+  -- 65536 enumeration bound as in q_audio_windows (not an operator cap)
+  SELECT media_id, r.range AS p,
+         ascii(substr(text, CAST(r.range AS INTEGER) + 1, 1)) AS v
+  FROM a CROSS JOIN range(0, 65536) r WHERE r.range < n_chars
+),
+win AS (
+  SELECT media_id, CAST(p // 64 AS INTEGER) AS window_idx,
+         SUM(v * v) AS energy
+  FROM pos GROUP BY 1, 2
+),
+d AS (
+  SELECT media_id, window_idx, CAST(energy AS BIGINT) AS energy,
+         CAST(energy - lag(energy) OVER (
+           PARTITION BY media_id ORDER BY window_idx) AS BIGINT) AS delta
+  FROM win
+)
+SELECT media_id, window_idx, energy, delta,
+       CASE WHEN delta IS NULL THEN 1
+            WHEN delta > {ONSET_T} THEN 1 ELSE 0 END AS is_onset
+FROM d
+"""
+QUERIES["q_audio_onsets"] = q_audio_onsets

@@ -394,3 +394,41 @@ def test_gif_animation_frames_roundtrip_and_keyframes(spark):
         for f in frames[1:]:
             assert f["sum_abs_delta"] is not None and f["sum_abs_delta"] >= 0
             assert f["is_key"] in (0, 1)
+
+
+def test_audio_onsets_match_pure_python(spark):
+    """Onset energies vs a pure-Python byte walk over the same text
+    bodies (REAL blob decode on the Spark side)."""
+    import pandas as pd
+
+    from sandbox_data_pipeline_spark.queries.multimodal import (
+        ONSET_T,
+        q_audio_onsets,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    pdf = pd.read_parquet(f"{sf}/documents.parquet")
+    got: dict = {}
+    for r in q_audio_onsets(spark, sf).collect():
+        got[(r["media_id"], r["window_idx"])] = r
+
+    n_checked = 0
+    for row in pdf.itertuples():
+        if row.doc_id % 3 != 1:
+            continue
+        body = row.text.encode()
+        n_win = max(1, (len(body) + 63) // 64)
+        prev = None
+        for w in range(n_win):
+            seg = body[w * 64 : (w + 1) * 64]
+            e = sum(b * b for b in seg)
+            r = got[(row.doc_id, w)]
+            assert r["energy"] == e
+            if prev is None:
+                assert r["delta"] is None and r["is_onset"] == 1
+            else:
+                assert r["delta"] == e - prev
+                assert r["is_onset"] == (1 if e - prev > ONSET_T else 0)
+            prev = e
+            n_checked += 1
+    assert n_checked == len(got)  # nothing extra emitted
