@@ -572,3 +572,153 @@ FROM base WHERE rid NOT BETWEEN {_PD_D1} AND {_PD_D2}
 
 QUERIES["q_position_delete"] = q_position_delete
 ORACLE["q_position_delete"] = _POSITION_DELETE_SQL
+
+
+# --- Named refs: tags + write-audit-publish branches -------------------------
+
+_BR_A, _BR_B, _BR_C = 1000, 1300, 1600  # slice bounds (orderkey)
+
+
+def q_table_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tags + WAP branches under the oracle gate (sinks/txlog.py:
+    create_tag/create_branch/publish_branch): tag the created table,
+    fork a branch, stage an append on the branch while the MAIN table
+    takes an independent append, then publish the branch — one atomic
+    commit whose net delta composes with the parent's appends (the
+    disjoint-file OCC rule). The oracle states all three reads
+    directly from lineitem: tag = slice A frozen forever, branch =
+    A+B (never sees the parent's C), published main = A+C+B."""
+    from sandbox_data_pipeline_spark.sinks.txlog import (
+        TxTable,
+        create_branch,
+        create_tag,
+        publish_branch,
+        read_tag,
+    )
+
+    li = table(spark, sf_dir, "lineitem")
+
+    def keyed(lo: int, hi: int) -> DataFrame:
+        return (
+            li.where((F.col("l_orderkey") > lo) & (F.col("l_orderkey") <= hi))
+            .groupBy(
+                (F.col("l_orderkey") * 10 + F.col("l_linenumber"))
+                .cast("long")
+                .alias("rid")
+            )
+            .agg(F.max("l_quantity").alias("qty"))
+        )
+
+    a = keyed(-1, _BR_A)
+    b = keyed(_BR_A, _BR_B)
+    c = keyed(_BR_B, _BR_C)
+    tmp = tempfile.mkdtemp(prefix="txbr_")
+    try:
+        t = TxTable.create(spark, f"{tmp}/tbl", a.repartitionByRange(4, "rid"))
+        create_tag(t, "initial")
+        br = create_branch(t, "wap")
+        br.append(b)
+        t.append(c)  # parent advances independently (append-only)
+        publish_branch(t, "wap")
+
+        def summarize(df: DataFrame, phase: str) -> DataFrame:
+            return df.agg(
+                F.lit(phase).alias("phase"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("qty").cast("decimal(18,2)").alias("sum_qty"),
+            )
+
+        out = (
+            summarize(read_tag(t, "initial"), "tag_initial")
+            .unionAll(summarize(br.read(), "branch"))
+            .unionAll(summarize(t.read(), "main_published"))
+        )
+        return out.localCheckpoint(eager=True)  # temp dir dies with fn
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+_TABLE_BRANCH_SQL = f"""
+WITH keyed AS (
+  SELECT CAST(l_orderkey * 10 + l_linenumber AS BIGINT) AS rid,
+         MAX(l_quantity) AS qty, MIN(l_orderkey) AS ok
+  FROM lineitem WHERE l_orderkey <= {_BR_C} GROUP BY 1
+)
+SELECT 'tag_initial' AS phase, COUNT(*) AS n_rows,
+       CAST(SUM(qty) AS DECIMAL(18,2)) AS sum_qty
+FROM keyed WHERE ok <= {_BR_A}
+UNION ALL
+SELECT 'branch', COUNT(*), CAST(SUM(qty) AS DECIMAL(18,2))
+FROM keyed WHERE ok <= {_BR_B}
+UNION ALL
+SELECT 'main_published', COUNT(*), CAST(SUM(qty) AS DECIMAL(18,2))
+FROM keyed
+"""
+
+QUERIES["q_table_branch"] = q_table_branch
+ORACLE["q_table_branch"] = _TABLE_BRANCH_SQL
+
+
+# --- CDF-driven incremental JOIN-view maintenance ----------------------------
+
+_JI_D1, _JI_D2 = 100, 3000  # o_orderkey range deleted in the final commit
+
+
+def q_join_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental JOIN-view maintenance across non-monotone history
+    (sinks/txlog.py:refresh_join_rollup): a per-market-segment revenue
+    mart over fact ⋈ customer is refreshed from the fact table's
+    row-level change feed — an append (+delta) AND a ranged delete
+    (−delta), which the append-only rollup IVM cannot compose. Each
+    refresh reads only the commits since the last one; the pinned MV
+    between steps proves the final frame came from delta folding, not
+    recompute. The oracle joins the surviving fact rows directly."""
+    from sandbox_data_pipeline_spark.sinks.txlog import (
+        TxTable,
+        refresh_join_rollup,
+    )
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    dim = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    s0 = o.where(F.col("o_orderkey") % 3 == 0)
+    s1 = o.where(F.col("o_orderkey") % 3 == 1)
+    tmp = tempfile.mkdtemp(prefix="txjivm_")
+    try:
+        t = TxTable.create(
+            spark, f"{tmp}/tbl", s0.repartitionByRange(4, "o_orderkey")
+        )
+        args = ("o_custkey", "c_custkey", "c_mktsegment", "price")
+        mv, ver = refresh_join_rollup(t, dim, *args, mv=None, last_version=-1)
+        mv = spark.createDataFrame(mv.collect(), mv.schema)
+        t.append(s1)
+        mv, ver = refresh_join_rollup(t, dim, *args, mv=mv, last_version=ver)
+        mv = spark.createDataFrame(mv.collect(), mv.schema)
+        t.delete_where("o_orderkey", _JI_D1, _JI_D2)
+        mv, ver = refresh_join_rollup(t, dim, *args, mv=mv, last_version=ver)
+        out = mv.select(
+            "c_mktsegment",
+            F.col("total").cast("decimal(18,2)").alias("total_price"),
+            F.col("n").cast("long").alias("n_orders"),
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+_JOIN_IVM_SQL = f"""
+SELECT c_mktsegment,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
+         AS total_price,
+       COUNT(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE o_orderkey % 3 IN (0, 1)
+  AND o_orderkey NOT BETWEEN {_JI_D1} AND {_JI_D2}
+GROUP BY c_mktsegment
+"""
+
+QUERIES["q_join_ivm"] = q_join_ivm
+ORACLE["q_join_ivm"] = _JOIN_IVM_SQL

@@ -1117,3 +1117,247 @@ def replace_where(
         txn=txn,
         keys_touched={"col": col, "lo": str(lo), "hi": str(hi)},
     )
+
+
+# --- Named refs: tags + write-audit-publish branches -------------------------
+#
+# The reference treats the warehouse as the arbiter of "what the
+# pipeline published" (dags/sandbox_data_pipeline.py:275-286 publishes
+# straight into the serving table). Named refs add the missing safety
+# layer a 100 TB lakehouse needs: TAGS pin auditable versions
+# ("training-run-2024-07"), and BRANCHES stage multi-commit writes that
+# land on the main table as ONE atomic publish (Iceberg's refs + the
+# WAP pattern). A branch is a real table (its own log, its own data
+# dir) whose v0 references the parent's files zero-copy, so staging a
+# day of commits costs the day's bytes — never a table copy.
+
+
+def _refs_dir(t: TxTable) -> str:
+    return os.path.join(t.log_path, "refs")
+
+
+def _ref_path(t: TxTable, name: str) -> str:
+    if not name or "/" in name or name.startswith("."):
+        raise ValueError(f"bad ref name {name!r}")
+    return os.path.join(_refs_dir(t), f"{name}.json")
+
+
+def create_tag(t: TxTable, name: str, version: int | None = None) -> dict:
+    """Immutable named pointer to a version. Atomic create-if-absent
+    (same os.link primitive as commits) — two writers racing the same
+    tag name: exactly one wins, the other gets FileExistsError."""
+    tail = t.latest_version()
+    if version is None:
+        version = tail
+    if not 0 <= version <= tail:
+        raise ValueError(f"version {version} outside 0..{tail}")
+    ref = {"name": name, "type": "tag", "version": version}
+    os.makedirs(_refs_dir(t), exist_ok=True)
+    tmp = _ref_path(t, name) + f".tmp.{uuid.uuid4().hex}"
+    with open(tmp, "w", encoding="utf-8") as f:
+        json.dump(ref, f)
+    try:
+        os.link(tmp, _ref_path(t, name))
+    except FileExistsError:
+        raise FileExistsError(f"ref {name!r} already exists on {t.path}")
+    finally:
+        os.unlink(tmp)
+    return ref
+
+
+def read_ref(t: TxTable, name: str) -> dict:
+    with open(_ref_path(t, name), encoding="utf-8") as f:
+        return json.load(f)
+
+
+def list_refs(t: TxTable) -> list[dict]:
+    d = _refs_dir(t)
+    if not os.path.isdir(d):
+        return []
+    out = []
+    for fn in sorted(os.listdir(d)):
+        if fn.endswith(".json") and ".tmp." not in fn:
+            with open(os.path.join(d, fn), encoding="utf-8") as f:
+                out.append(json.load(f))
+    return out
+
+
+def read_tag(t: TxTable, name: str) -> DataFrame:
+    ref = read_ref(t, name)
+    return t.read(version=ref["version"])
+
+
+def create_branch(parent: TxTable, name: str) -> TxTable:
+    """Fork a branch at the parent's current version: a real TxTable
+    under ``<parent>/branches/<name>`` whose v0 references the parent's
+    live files by absolute base (zero-copy, exactly clone()'s
+    mechanism) plus a ref recording the fork point for publish-time
+    conflict detection. Branch commits write into the branch's own
+    data dir; the parent is never touched until publish."""
+    _refuse_active_pdels(parent, "create_branch")
+    fork_version = parent.latest_version()
+    ref = {
+        "name": name,
+        "type": "branch",
+        "fork_version": fork_version,
+        "path": f"branches/{name}",
+    }
+    os.makedirs(_refs_dir(parent), exist_ok=True)
+    tmp = _ref_path(parent, name) + f".tmp.{uuid.uuid4().hex}"
+    with open(tmp, "w", encoding="utf-8") as f:
+        json.dump(ref, f)
+    try:
+        os.link(tmp, _ref_path(parent, name))
+    except FileExistsError:
+        raise FileExistsError(f"ref {name!r} already exists on {parent.path}")
+    finally:
+        os.unlink(tmp)
+    b = TxTable(parent.spark, os.path.join(parent.path, "branches", name))
+    snap = parent.snapshot(fork_version)
+    adds = [
+        AddFile(f.path, f.rows, f.bytes, f.stats, base=f.base or parent.path)
+        for f in snap.values()
+    ]
+    b._commit(
+        "branch_fork",
+        adds,
+        [],
+        None,
+        schema_json=parent.schema_at(fork_version).json(),
+    )
+    return b
+
+
+def branch_table(parent: TxTable, name: str) -> TxTable:
+    ref = read_ref(parent, name)
+    if ref["type"] != "branch":
+        raise ValueError(f"ref {name!r} is a {ref['type']}, not a branch")
+    return TxTable(parent.spark, os.path.join(parent.path, ref["path"]))
+
+
+def publish_branch(parent: TxTable, name: str) -> int:
+    """Land the branch's NET file delta since its fork on the parent as
+    ONE commit (write-audit-publish): readers of the parent see none of
+    the branch's commits or all of them, atomically, and the branch's
+    data files are referenced in place — publish moves zero bytes.
+
+    Conflict rule (inherited from _commit's OCC loop): removes-vs-
+    removes and any non-append parent commit since the fork abort with
+    ConcurrentModification; parent APPENDS compose freely with the
+    delta, exactly Delta/Iceberg's disjoint-file rule. The branch's
+    schema must still match the parent's — a branch that widened its
+    schema must be published through an explicit overwrite instead."""
+    ref = read_ref(parent, name)
+    if ref["type"] != "branch":
+        raise ValueError(f"ref {name!r} is a {ref['type']}, not a branch")
+    b = branch_table(parent, name)
+    fork_version = ref["fork_version"]
+    p_sig = [(f.name, f.dataType) for f in parent.schema_at().fields]
+    b_sig = [(f.name, f.dataType) for f in b.schema_at().fields]
+    if p_sig != b_sig:
+        raise ValueError(
+            f"branch {name!r} schema diverged from parent; publish via "
+            f"overwrite_all instead"
+        )
+    _refuse_active_pdels(b, "publish_branch")
+    fork_snap = parent.snapshot(fork_version)
+    b_snap = b.snapshot()
+
+    def _key(f: AddFile, owner: TxTable) -> tuple[str, str]:
+        return (f.base or owner.path, f.path)
+
+    fork_keys = {_key(f, parent) for f in fork_snap.values()}
+    adds = []
+    for f in b_snap.values():
+        if _key(f, b) not in fork_keys:
+            adds.append(
+                AddFile(f.path, f.rows, f.bytes, f.stats, base=f.base or b.path)
+            )
+    b_keys = {_key(f, b) for f in b_snap.values()}
+    removes = [
+        p for p, f in fork_snap.items() if _key(f, parent) not in b_keys
+    ]
+    return parent._commit(
+        "publish_branch",
+        adds,
+        sorted(removes),
+        fork_version,
+        keys_touched={"branch": name, "fork_version": fork_version},
+    )
+
+
+# --- Log-driven incremental JOIN-view maintenance ----------------------------
+
+
+def refresh_join_rollup(
+    fact: TxTable,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    group_col: str,
+    val: str,
+    mv: DataFrame | None,
+    last_version: int,
+) -> tuple[DataFrame, int]:
+    """Incrementally maintain the aggregated join view
+
+        SELECT d.group_col, sum(f.val) AS total, count(*) AS n
+        FROM fact f JOIN dim d ON f.fact_key = d.dim_key
+        GROUP BY d.group_col
+
+    from the fact table's commit log. Unlike refresh_rollup (append-
+    only), this composes over ARBITRARY commits — deletes, merges,
+    replace_where — by consuming the row-level change feed
+    (table_changes): inserts contribute +val/+1, deletes -val/-1, the
+    signed delta joins the (broadcastable) dimension, and a full-outer
+    merge folds it into the previous materialization; groups whose
+    count reaches 0 drop out. This is the textbook SPJA delta rule
+    (dV = dF ⋈ D aggregated with signs), which is exactly what keeps a
+    100 TB fact table's downstream marts refreshable for the cost of a
+    day's rewrites instead of a full recompute.
+
+    ``dim`` is treated as static (a changed dimension does not compose
+    incrementally for grouped views — recompute instead)."""
+    tail = fact.latest_version()
+    if last_version > tail:
+        raise ValueError(f"last_version {last_version} is beyond tail {tail}")
+    if last_version == tail and mv is not None:
+        return mv, tail
+    if mv is None:
+        full = fact.read(version=tail).join(
+            F.broadcast(dim), F.col(fact_key) == F.col(dim_key)
+        )
+        out = full.groupBy(group_col).agg(
+            F.sum(val).alias("total"), F.count(F.lit(1)).alias("n")
+        )
+        return out, tail
+    feed = table_changes(fact, last_version, tail)
+    sign = F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(
+        F.lit(-1)
+    )
+    delta = (
+        feed.join(F.broadcast(dim), F.col(fact_key) == F.col(dim_key))
+        .groupBy(group_col)
+        .agg(
+            F.sum(F.col(val) * sign).alias("_t1"),
+            F.sum(sign).alias("_n1"),
+        )
+    )
+    merged = (
+        mv.withColumnRenamed("total", "_t0")
+        .withColumnRenamed("n", "_n0")
+        .join(delta, group_col, "full_outer")
+        .select(
+            group_col,
+            (
+                F.coalesce(F.col("_t0"), F.lit(0))
+                + F.coalesce(F.col("_t1"), F.lit(0))
+            ).alias("total"),
+            (
+                F.coalesce(F.col("_n0"), F.lit(0))
+                + F.coalesce(F.col("_n1"), F.lit(0))
+            ).alias("n"),
+        )
+        .where(F.col("n") > 0)
+    )
+    return merged, tail
