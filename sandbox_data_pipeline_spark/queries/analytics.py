@@ -1323,3 +1323,47 @@ FROM m
 
 QUERIES["q_linear_fit"] = q_linear_fit
 ORACLE["q_linear_fit"] = _oracle_linear_fit()
+
+
+def q_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day seasonal index of event spend — the time-series
+    profile a backfill scheduler and an anomaly detector both consume:
+    index_h = mean(value | hour h) / mean(value), computed from EXACT
+    integer moments (value truncated to cents — trunc(double*100) is
+    tie-free and bit-identical cross-engine; sums of int64 are
+    association-free) so the only floating-point op is ONE correctly-
+    rounded division of two exact int64 products. One shuffle to 24
+    groups, broadcast-free; the global totals ride a window over the
+    24-row aggregate."""
+    ev = table(spark, sf_dir, "events").select(
+        F.hour("ts").alias("hr"),
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    byh = ev.groupBy("hr").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("cents").alias("sum_cents"),
+    )
+    w = Window.partitionBy()
+    return byh.select(
+        "hr",
+        "n_events",
+        "sum_cents",
+        (
+            (F.col("sum_cents") * F.sum("n_events").over(w))
+            / (F.col("n_events") * F.sum("sum_cents").over(w))
+        ).cast("decimal(18,4)").alias("index_x"),
+    )
+
+
+ORACLE["q_seasonal_index"] = """
+WITH byh AS (
+  SELECT EXTRACT(hour FROM ts) AS hr, COUNT(*) AS n_events,
+         CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+  FROM events GROUP BY 1
+)
+SELECT CAST(hr AS INT) AS hr, n_events, sum_cents,
+       CAST((sum_cents * SUM(n_events) OVER ())
+            / (n_events * SUM(sum_cents) OVER ()) AS DECIMAL(18,4)) AS index_x
+FROM byh
+"""
+QUERIES["q_seasonal_index"] = q_seasonal_index

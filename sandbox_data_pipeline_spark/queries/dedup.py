@@ -1394,3 +1394,61 @@ WHERE a.doc_id < b.doc_id AND levenshtein(a.body, b.body) <= {FUZZY_MAXD}
 
 QUERIES["q_fuzzy_match"] = q_fuzzy_match
 ORACLE["q_fuzzy_match"] = _oracle_fuzzy()
+
+
+# --- Entity resolution: fuzzy pairs → connected components -------------------
+
+
+def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record linkage end-to-end: blocked-Levenshtein match pairs
+    (operators/dedup.py: fuzzy_match_pairs) resolved into ENTITIES via
+    min-label connected components (duplicate_clusters — O(log d)
+    pointer-jumping rounds), then summarized per entity. The oracle
+    replays the same pairs through a recursive-CTE transitive closure,
+    so a wrong edge, a half-propagated label, or a split component all
+    hash-mismatch. Scale: the closure work is bounded by match-pair
+    count (block-capped), never corpus size squared."""
+    from sandbox_data_pipeline_spark.operators.dedup import (
+        duplicate_clusters,
+        fuzzy_match_pairs,
+    )
+
+    pairs = fuzzy_match_pairs(
+        table(spark, sf_dir, "documents"),
+        prefix=FUZZY_PREFIX,
+        body=FUZZY_BODY,
+        max_dist=FUZZY_MAXD,
+        block_cap=FUZZY_CAP,
+    ).select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
+    cc = duplicate_clusters(pairs)
+    return cc.groupBy(F.col("cluster_id").alias("entity_id")).agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.max("doc_id").alias("max_member"),
+    )
+
+
+def _oracle_entity_resolution() -> str:
+    return f"""
+WITH RECURSIVE
+fp AS ({_oracle_fuzzy()}),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM fp
+  UNION
+  SELECT id_b AS a, id_a AS b FROM fp
+),
+reach (a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+labels AS (
+  SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a
+)
+SELECT cluster_id AS entity_id, count(*) AS n_members,
+       max(doc_id) AS max_member
+FROM labels GROUP BY 1
+"""
+
+
+QUERIES["q_entity_resolution"] = q_entity_resolution
+ORACLE["q_entity_resolution"] = _oracle_entity_resolution()

@@ -321,3 +321,49 @@ SELECT digit, n_obs,
 FROM g
 """
 QUERIES["q_benford_audit"] = q_benford_audit
+
+
+# --- Governed export: masking / pseudonymization -----------------------------
+
+_MASK_SALT = "exp2024"
+_MASK_MAXK = 2000  # export slice bound (custkey)
+
+
+def q_masked_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-masking policy applied at export time — the governance
+    twin of q_pii_scrub (which regex-scrubs free text): direct
+    identifiers are PSEUDONYMIZED with a salted-hash token (stable
+    joins across exports without exposing the key — sha2 is identical
+    hex on both engines), the display name is dropped to a token, and
+    the quasi-identifier account balance is GENERALIZED to $1000 bands
+    so the export composes with the k-anonymity audit
+    (q_k_anonymity). Pure built-in expressions — the masking is one
+    narrow projection, no shuffle at any scale."""
+    c = table(spark, sf_dir, "customer").where(F.col("c_custkey") < _MASK_MAXK)
+    return c.select(
+        F.substring(
+            F.sha2(F.concat(F.lit(_MASK_SALT), F.col("c_custkey").cast("string")), 256),
+            1,
+            16,
+        ).alias("cust_token"),
+        F.substring(
+            F.sha2(F.concat(F.lit(_MASK_SALT), F.col("c_name")), 256), 1, 16
+        ).alias("name_token"),
+        F.col("c_nationkey").cast("int").alias("nation"),
+        F.col("c_mktsegment").alias("segment"),
+        F.floor(F.col("c_acctbal").cast("double") / 1000.0)
+        .cast("long")
+        .alias("bal_band_k"),
+    )
+
+
+ORACLE["q_masked_export"] = f"""
+SELECT substr(sha256('{_MASK_SALT}' || CAST(c_custkey AS VARCHAR)), 1, 16)
+         AS cust_token,
+       substr(sha256('{_MASK_SALT}' || c_name), 1, 16) AS name_token,
+       c_nationkey AS nation,
+       c_mktsegment AS segment,
+       CAST(floor(CAST(c_acctbal AS DOUBLE) / 1000.0) AS BIGINT) AS bal_band_k
+FROM customer WHERE c_custkey < {_MASK_MAXK}
+"""
+QUERIES["q_masked_export"] = q_masked_export
