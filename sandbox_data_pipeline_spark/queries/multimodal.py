@@ -679,3 +679,121 @@ SELECT media_id, window_idx, energy, delta,
 FROM d
 """
 QUERIES["q_audio_onsets"] = q_audio_onsets
+
+
+def q_jpeg_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline-JPEG decode, oracle-verified end-to-end
+    (operators/jpeg.py): build valid JFIF payloads whose 8x8-tile
+    values are a closed form of (media_id, block index), decode them
+    with the genuine marker/DHT/Huffman/dezigzag/dequant/IDCT
+    machinery, and emit dims, corner pixels, and the exact pixel sum.
+    Quantization is chosen so DC-only blocks reconstruct exactly
+    (module docstring), which is what makes a closed-form SQL oracle
+    possible even though every payload went through real entropy
+    coding, DC difference prediction across blocks, and byte
+    stuffing. Completes the codec family: JPEG is the format that
+    dominates any web-scraped multimodal corpus."""
+    from sandbox_data_pipeline_spark.operators.jpeg import (
+        jpeg_decode_stats,
+        jpeg_media,
+    )
+
+    stats = jpeg_decode_stats(jpeg_media(table(spark, sf_dir, "documents")))
+    # scan_bytes (entropy-coded length) is not closed-form in SQL; it
+    # stays on the operator output for tests but out of the oracle row
+    return stats.select(
+        "media_id", "width", "height", "n_blocks", "tl_px", "br_px", "sum_px"
+    )
+
+
+ORACLE["q_jpeg_decode_stats"] = """
+WITH dims AS (
+  SELECT doc_id, 8 * (doc_id % 4 + 2) AS w, 8 * (doc_id % 3 + 2) AS h,
+         (doc_id % 4 + 2) * (doc_id % 3 + 2) AS nb
+  FROM documents
+),
+tiles AS (
+  SELECT doc_id, r.range AS i
+  FROM dims CROSS JOIN range(0, 20) r WHERE r.range < nb
+),
+sums AS (
+  SELECT doc_id, SUM((doc_id * 11 + i * 37) % 256) AS sv
+  FROM tiles GROUP BY 1
+)
+SELECT d.doc_id AS media_id,
+       CAST(d.w AS INT) AS width, CAST(d.h AS INT) AS height,
+       CAST(d.nb AS INT) AS n_blocks,
+       CAST((d.doc_id * 11) % 256 AS INT) AS tl_px,
+       CAST((d.doc_id * 11 + (d.nb - 1) * 37) % 256 AS INT) AS br_px,
+       CAST(64 * s.sv AS BIGINT) AS sum_px
+FROM dims d JOIN sums s USING (doc_id)
+"""
+QUERIES["q_jpeg_decode_stats"] = q_jpeg_decode_stats
+
+
+def q_video_keyframes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video decode end-to-end (operators/video.py): build valid
+    Motion-JPEG AVI containers (RIFF hdrl/movi/idx1 per the public AVI
+    RIFF layout), decode every '00dc' frame through the genuine
+    baseline-JPEG codec, and emit per-frame exact pixel sums plus the
+    inter-frame |delta| — the shot-boundary primitive behind frame
+    dedup in a web-video corpus. is_cut flags frame 0 and any frame
+    whose mean per-pixel delta clears 84 (between the no-wrap 53 and
+    full-wrap 203 levels of the builder's closed form, so both
+    outcomes occur). The delta is computed inside the decode map task:
+    the whole path is one narrow stage, zero shuffle."""
+    from sandbox_data_pipeline_spark.operators.video import (
+        avi_media,
+        video_frame_stats,
+    )
+
+    stats = video_frame_stats(avi_media(table(spark, sf_dir, "documents")))
+    return stats.select(
+        "media_id",
+        "frame_idx",
+        "n_frames",
+        "sum_px",
+        "delta_px",
+        F.when(
+            (F.col("frame_idx") == 0)
+            | (F.col("delta_px") >= 84 * F.col("width") * F.col("height")),
+            1,
+        )
+        .otherwise(0)
+        .cast("int")
+        .alias("is_cut"),
+    )
+
+
+ORACLE["q_video_keyframes"] = """
+WITH dims AS (
+  SELECT doc_id, 8 * (doc_id % 4 + 2) AS w, 8 * (doc_id % 3 + 2) AS h,
+         (doc_id % 4 + 2) * (doc_id % 3 + 2) AS nb, doc_id % 3 + 2 AS nf
+  FROM documents
+),
+cells AS (
+  SELECT doc_id, f.range AS fi, b.range AS bi, w, h, nb, nf
+  FROM dims CROSS JOIN range(0, 4) f CROSS JOIN range(0, 20) b
+  WHERE f.range < nf AND b.range < nb
+),
+vals AS (
+  SELECT doc_id, fi, w, h, nf,
+         (doc_id * 11 + fi * 53 + bi * 37) % 256 AS v,
+         (doc_id * 11 + (fi - 1) * 53 + bi * 37) % 256 AS pv
+  FROM cells
+),
+frames AS (
+  SELECT doc_id, fi, w, h, nf,
+         64 * SUM(v) AS sum_px,
+         CASE WHEN fi = 0 THEN 0 ELSE 64 * SUM(ABS(v - pv)) END AS delta_px
+  FROM vals GROUP BY 1, 2, 3, 4, 5
+)
+SELECT doc_id AS media_id, CAST(fi AS INT) AS frame_idx,
+       CAST(nf AS INT) AS n_frames,
+       CAST(sum_px AS BIGINT) AS sum_px,
+       CAST(delta_px AS BIGINT) AS delta_px,
+       CAST(CASE WHEN fi = 0 OR delta_px >= 84 * w * h THEN 1 ELSE 0 END
+            AS INT) AS is_cut
+FROM frames
+"""
+QUERIES["q_video_keyframes"] = q_video_keyframes
