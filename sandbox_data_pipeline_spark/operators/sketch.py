@@ -158,3 +158,100 @@ def kmv_estimate_sql(n_kept: str, kth: str) -> str:
         f"THEN CAST(({n2} + ({kth})) // (2 * ({kth})) AS BIGINT) "
         f"ELSE CAST(({n_kept}) AS BIGINT) END"
     )
+
+
+# --- DD-style mergeable quantile sketch (base-2 log buckets) ------------------
+#
+# Completes the sketch family's third leg (KMV = distinct counts,
+# CMS = heavy hitters, DD = quantiles). Same shape as DDSketch
+# (Masson, Rim & Lee, VLDB 2019) but with base-2 octaves and LINEAR
+# sub-buckets computed in pure integer arithmetic: for value v >= 1,
+#   e   = bit length of v           (octave; length(bin(v)) both engines)
+#   p   = 2^(e-1)                   (octave lower bound)
+#   s   = ((v - p) * SUB) div p     (linear sub-bucket, 0..SUB-1)
+# The bucket's lower bound p + (s*p div SUB) under-estimates its
+# members by at most p/SUB, so any quantile estimate is within 1/SUB
+# (6.25% at SUB=16) relative error — with NO floats anywhere, which is
+# what makes the whole sketch (and estimator) bit-identically
+# replayable by the DuckDB oracle.
+#
+# Scale design: the sketch IS a groupBy over (group, e, s) — at most
+# SUB * 63 cells per group regardless of row count, so map-side
+# partial aggregation collapses 100 TB of rows into a few hundred
+# counters per group before any shuffle; merging shards = adding
+# counters (the same associative agg). Quantile extraction runs on
+# the tiny bucket table: a per-group cumulative-sum window over
+# <= ~400 rows.
+
+DD_SUB = 16
+
+
+def dd_sketch(df: DataFrame, group_col: str, cents_col: str) -> DataFrame:
+    """Per-group quantile sketch over positive integer ``cents_col``:
+    one row per occupied (octave, sub-bucket) with its count and exact
+    integer lower bound."""
+    b = (
+        df.select(F.col(group_col).alias("grp"), F.col(cents_col).alias("v"))
+        .where(F.col("v") >= 1)
+        .selectExpr("grp", "v", "CAST(length(bin(v)) AS INT) AS e")
+        .selectExpr(
+            "grp",
+            "e",
+            "shiftleft(CAST(1 AS BIGINT), e - 1) AS p",
+            "v",
+        )
+        .selectExpr("grp", "e", "p", f"CAST(((v - p) * {DD_SUB}) DIV p AS INT) AS s")
+    )
+    return (
+        b.groupBy("grp", "e", "s")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.first("p").alias("p"))
+        .selectExpr("grp", "e", "s", "cnt", f"p + (s * p) DIV {DD_SUB} AS lb")
+    )
+
+
+def dd_quantiles(sketch: DataFrame, qs: list[tuple[int, int]]) -> DataFrame:
+    """Extract quantiles from a dd_sketch: for q = qn/qd the estimate
+    is the lower bound of the first bucket whose cumulative count
+    reaches rank ceil(q*n) — all integer, so both engines agree on
+    every tie. Output: grp, n_rows, n_buckets, q_<qn>_<qd> columns."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("grp")
+        .orderBy("e", "s")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = sketch.withColumn("cum", F.sum("cnt").over(w)).withColumn(
+        "n", F.sum("cnt").over(Window.partitionBy("grp"))
+    )
+    aggs = [
+        F.sum("cnt").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_buckets"),
+    ]
+    for qn, qd in qs:
+        rank = F.expr(f"(n * {qn} + {qd} - 1) DIV {qd}")
+        aggs.append(
+            F.min(F.when(F.col("cum") >= rank, F.col("lb"))).alias(
+                f"q_{qn}_{qd}"
+            )
+        )
+    return cum.groupBy("grp").agg(*aggs)
+
+
+def dd_sketch_sql(table_expr: str, group_col: str, cents_expr: str) -> str:
+    """DuckDB twin of dd_sketch — structurally identical bucket math."""
+    return f"""
+SELECT grp, e, s, COUNT(*) AS cnt, ANY_VALUE(p) + (s * ANY_VALUE(p)) // {DD_SUB} AS lb
+FROM (
+  SELECT grp, e, p, ((v - p) * {DD_SUB}) // p AS s
+  FROM (
+    SELECT grp, v, e, (1::BIGINT << (e - 1)) AS p
+    FROM (
+      SELECT {group_col} AS grp, {cents_expr} AS v,
+             CAST(length(bin({cents_expr})) AS INT) AS e
+      FROM {table_expr} WHERE {cents_expr} >= 1
+    )
+  )
+)
+GROUP BY grp, e, s
+"""

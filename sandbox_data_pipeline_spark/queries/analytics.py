@@ -1367,3 +1367,74 @@ SELECT CAST(hr AS INT) AS hr, n_events, sum_cents,
 FROM byh
 """
 QUERIES["q_seasonal_index"] = q_seasonal_index
+
+
+def q_dd_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile sketch (DD-style, base-2 octaves + linear
+    sub-buckets — operators/sketch.py: dd_sketch) over lineitem price
+    cents per return flag: p50/p95/p99 within a guaranteed 1/16 relative
+    error, from a sketch of at most 16*63 integer counters per group.
+    The third leg of the sketch family (KMV = distinct, CMS = heavy
+    hitters); at 100 TB this is THE latency/price-percentile primitive
+    — map-side partials collapse every partition to a few hundred
+    counters before the only shuffle, merging shards is counter
+    addition, and n_buckets in the output IS the bounded-state proof.
+    All bucket math is integer (bit lengths, shifts, floor division),
+    so the DuckDB oracle replays the sketch AND the rank-selection
+    estimator bit-identically."""
+    from sandbox_data_pipeline_spark.operators.sketch import (
+        dd_quantiles,
+        dd_sketch,
+    )
+
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.expr("CAST(l_extendedprice * 100 AS BIGINT)").alias("cents"),
+    )
+    out = dd_quantiles(
+        dd_sketch(li, "l_returnflag", "cents"), [(1, 2), (19, 20), (99, 100)]
+    )
+    return out.select(
+        F.col("grp").alias("l_returnflag"),
+        F.col("n_rows"),
+        F.col("n_buckets").cast("int").alias("n_buckets"),
+        F.col("q_1_2").alias("p50_cents"),
+        F.col("q_19_20").alias("p95_cents"),
+        F.col("q_99_100").alias("p99_cents"),
+    )
+
+
+ORACLE["q_dd_quantiles"] = """
+WITH sk AS (
+  SELECT grp, e, s, COUNT(*) AS cnt,
+         ANY_VALUE(p) + (s * ANY_VALUE(p)) // 16 AS lb
+  FROM (
+    SELECT grp, e, p, ((v - p) * 16) // p AS s
+    FROM (
+      SELECT grp, v, (1::BIGINT << (e - 1)) AS p, e
+      FROM (
+        SELECT l_returnflag AS grp,
+               CAST(l_extendedprice * 100 AS BIGINT) AS v,
+               CAST(length(bin(CAST(l_extendedprice * 100 AS BIGINT))) AS INT) AS e
+        FROM lineitem
+        WHERE CAST(l_extendedprice * 100 AS BIGINT) >= 1
+      )
+    )
+  )
+  GROUP BY grp, e, s
+),
+cum AS (
+  SELECT grp, e, s, cnt, lb,
+         SUM(cnt) OVER (PARTITION BY grp ORDER BY e, s) AS cum,
+         SUM(cnt) OVER (PARTITION BY grp) AS n
+  FROM sk
+)
+SELECT grp AS l_returnflag,
+       CAST(MAX(n) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) AS INT) AS n_buckets,
+       CAST(MIN(CASE WHEN cum >= (n * 1 + 1) // 2 THEN lb END) AS BIGINT) AS p50_cents,
+       CAST(MIN(CASE WHEN cum >= (n * 19 + 19) // 20 THEN lb END) AS BIGINT) AS p95_cents,
+       CAST(MIN(CASE WHEN cum >= (n * 99 + 99) // 100 THEN lb END) AS BIGINT) AS p99_cents
+FROM cum GROUP BY grp
+"""
+QUERIES["q_dd_quantiles"] = q_dd_quantiles

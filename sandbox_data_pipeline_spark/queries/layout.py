@@ -261,3 +261,96 @@ ORACLE["q_negative_samples"] = f"""
     FROM anchors JOIN ranked p ON p.r = anchors.rn
     WHERE anchor_id <> p.doc_id
 """
+
+
+def q_csv_interchange(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-format interchange proof: export documents to CSV with a
+    deliberately hostile synthesized column (embedded commas AND
+    double quotes), read it back through a DECLARED schema (the
+    reference's discipline — SURVEY §1.2: inference is never used,
+    FAILFAST so a parse slip is an error, not a silent null), and
+    aggregate the round-tripped rows. The oracle computes the same
+    aggregates straight from parquet, so a hash match proves the
+    writer's quoting/escaping and the reader's parsing are lossless
+    for every value that made the trip — the ingest contract a 100 TB
+    pipeline needs before trusting CSV landing zones. Distinct-count
+    and length sums over the hostile column pin string fidelity;
+    a derived DATE column pins temporal round-tripping.
+
+    Scale note: single-line CSV stays splittable (embedded newlines
+    would force multiLine=true, which makes files non-splittable —
+    the reason the hostile column stops at commas/quotes); the
+    writer/reader plumbing here is the per-partition production
+    path."""
+    import shutil
+    import tempfile
+
+    slice_df = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        F.expr("""concat(source, ',', '"', lang, '"')""").alias("tricky"),
+        F.expr("date_add(DATE'2020-01-01', CAST(doc_id % 1000 AS INT))").alias(
+            "d"
+        ),
+    )
+    tmp = tempfile.mkdtemp(prefix="csvx_")
+    try:
+        path = f"{tmp}/documents_csv"
+        (
+            slice_df.write.mode("overwrite")
+            .option("header", True)
+            .option("quote", '"')
+            .option("escape", '"')
+            .option("ignoreLeadingWhiteSpace", False)
+            .option("ignoreTrailingWhiteSpace", False)
+            .csv(path)
+        )
+        schema = (
+            "doc_id BIGINT, lang STRING, source STRING, n_chars BIGINT,"
+            " tricky STRING, d DATE"
+        )
+        back = (
+            spark.read.schema(schema)
+            .option("header", True)
+            .option("quote", '"')
+            .option("escape", '"')
+            .option("mode", "FAILFAST")
+            .csv(path)
+        )
+        out = back.groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.countDistinct("tricky").alias("n_tricky"),
+            F.sum(F.length("tricky")).alias("tricky_chars"),
+            F.min("d").cast("timestamp_ntz").alias("min_d"),
+            F.max("d").cast("timestamp_ntz").alias("max_d"),
+            F.max("doc_id").alias("max_id"),
+        )
+        # localCheckpoint RETURNS the materialized frame — the temp
+        # CSV dir is gone once this function exits
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+ORACLE["q_csv_interchange"] = """
+WITH src AS (
+  SELECT doc_id, lang, source, n_chars,
+         source || ',' || '"' || lang || '"' AS tricky,
+         DATE '2020-01-01' + CAST(doc_id % 1000 AS INT) AS d
+  FROM documents
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       CAST(COUNT(DISTINCT tricky) AS BIGINT) AS n_tricky,
+       CAST(SUM(length(tricky)) AS BIGINT) AS tricky_chars,
+       CAST(MIN(d) AS TIMESTAMP) AS min_d,
+       CAST(MAX(d) AS TIMESTAMP) AS max_d,
+       CAST(MAX(doc_id) AS BIGINT) AS max_id
+FROM src
+GROUP BY lang
+"""
+QUERIES["q_csv_interchange"] = q_csv_interchange

@@ -280,3 +280,59 @@ def test_compaction_plan_renumbers_after_oversized_file(spark):
     assert [r["group_id"] for r in plan] == list(range(len(plan)))
     assert plan[0]["n_files"] == 1 and plan[0]["total_rows"] == 5000
     assert sum(r["total_rows"] for r in plan) == 5200
+
+
+def test_csv_interchange_roundtrip_lossless(spark, tmp_path):
+    """Write→read through the quoting config used by
+    q_csv_interchange: hostile strings (commas, quotes, leading/
+    trailing spaces) and dates survive bit-exactly."""
+    rows = [
+        (1, 'plain', None),
+        (2, 'a,b', '2020-05-01'),
+        (3, 'say "hi"', '2021-12-31'),
+        (4, ' lead and trail ', '2019-02-28'),
+        (5, 'mix,"of,both"', '2020-02-29'),
+        (6, '', '2020-01-01'),
+    ]
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(rows, "id BIGINT, s STRING, ds STRING").select(
+        "id", "s", F.col("ds").cast("date").alias("d")
+    )
+    path = str(tmp_path / "csvx")
+    (
+        df.write.mode("overwrite")
+        .option("header", True)
+        .option("quote", '"')
+        .option("escape", '"')
+        .option("ignoreLeadingWhiteSpace", False)
+        .option("ignoreTrailingWhiteSpace", False)
+        .csv(path)
+    )
+    back = (
+        spark.read.schema("id BIGINT, s STRING, d DATE")
+        .option("header", True)
+        .option("quote", '"')
+        .option("escape", '"')
+        .option("mode", "FAILFAST")
+        .csv(path)
+    )
+    want = {(r["id"], r["s"], r["d"]) for r in df.collect()}
+    got = {(r["id"], r["s"], r["d"]) for r in back.collect()}
+    # Spark's CSV writer emits empty string as empty field, which the
+    # reader hands back as NULL — the documented boundary; everything
+    # else must be identical.
+    want = {(i, None if s == "" else s, d) for i, s, d in want}
+    assert got == want
+
+
+def test_csv_interchange_query_groups(spark, sf_dir):
+    from sandbox_data_pipeline_spark.queries.layout import q_csv_interchange
+
+    rows = q_csv_interchange(spark, sf_dir).collect()
+    assert rows
+    langs = {r["lang"] for r in rows}
+    assert len(langs) == len(rows)
+    for r in rows:
+        assert r["n_rows"] >= 1
+        assert r["tricky_chars"] > r["n_rows"] * 3  # quotes+comma rode along
