@@ -354,3 +354,90 @@ FROM src
 GROUP BY lang
 """
 QUERIES["q_csv_interchange"] = q_csv_interchange
+
+
+def q_ingest_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERMISSIVE-mode ingest with a corrupt-record quarantine — the
+    other half of the landing-zone contract (q_csv_interchange proves
+    the FAILFAST path; real feeds are never 100% clean and a 100 TB
+    ingest must quarantine bad lines without losing good ones, the
+    same discipline as the reference's repr-repair ingest,
+    dags/sandbox_data_pipeline.py:123-126). Builds a JSONL landing
+    file where every doc_id % 7 == 0 line is deterministic garbage,
+    reads it back through a DECLARED schema with
+    columnNameOfCorruptRecord, and aggregates valid rows per lang
+    alongside the quarantine bucket. The oracle replays the corruption
+    rule straight from parquet — a hash match proves the reader
+    salvaged every valid line, nulled no good field, and captured
+    every bad line in _corrupt_record."""
+    import shutil
+    import tempfile
+
+    docs = table(spark, sf_dir, "documents")
+    lines = docs.select(
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.lit("{oops not json "), F.col("source")),
+        )
+        .otherwise(
+            F.concat(
+                F.lit('{"doc_id": '),
+                F.col("doc_id").cast("string"),
+                F.lit(', "lang": "'),
+                F.col("lang"),
+                F.lit('", "n_chars": '),
+                F.col("n_chars").cast("string"),
+                F.lit("}"),
+            )
+        )
+        .alias("value")
+    )
+    tmp = tempfile.mkdtemp(prefix="jsonq_")
+    try:
+        path = f"{tmp}/landing"
+        lines.write.mode("overwrite").text(path)
+        back = (
+            spark.read.schema(
+                "doc_id BIGINT, lang STRING, n_chars BIGINT,"
+                " _corrupt_record STRING"
+            )
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", "_corrupt_record")
+            .json(path)
+        )
+        out = (
+            back.groupBy(
+                F.coalesce(F.col("lang"), F.lit("__quarantine__")).alias("grp")
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(
+                    F.when(F.col("_corrupt_record").isNotNull(), 1).otherwise(0)
+                ).alias("n_corrupt"),
+                F.sum("n_chars").alias("sum_chars"),
+                F.sum(F.length("_corrupt_record")).alias("quarantine_chars"),
+            )
+        )
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+ORACLE["q_ingest_quarantine"] = """
+WITH cls AS (
+  SELECT CASE WHEN doc_id % 7 = 0 THEN '__quarantine__' ELSE lang END AS grp,
+         CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END AS corrupt,
+         CASE WHEN doc_id % 7 = 0 THEN NULL ELSE n_chars END AS nc,
+         CASE WHEN doc_id % 7 = 0
+              THEN length('{oops not json ' || source) ELSE NULL END AS qc
+  FROM documents
+)
+SELECT grp,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(corrupt) AS BIGINT) AS n_corrupt,
+       CAST(SUM(nc) AS BIGINT) AS sum_chars,
+       CAST(SUM(qc) AS BIGINT) AS quarantine_chars
+FROM cls
+GROUP BY grp
+"""
+QUERIES["q_ingest_quarantine"] = q_ingest_quarantine

@@ -336,3 +336,22 @@ def test_csv_interchange_query_groups(spark, sf_dir):
     for r in rows:
         assert r["n_rows"] >= 1
         assert r["tricky_chars"] > r["n_rows"] * 3  # quotes+comma rode along
+
+
+def test_ingest_quarantine_salvages_and_captures(spark, sf_dir):
+    """Valid lines parse fully; garbage lines land verbatim in
+    _corrupt_record; nothing is dropped."""
+    from sandbox_data_pipeline_spark.catalog import table
+    from sandbox_data_pipeline_spark.queries.layout import q_ingest_quarantine
+
+    docs = table(spark, sf_dir, "documents")
+    n_total = docs.count()
+    n_bad = docs.where("doc_id % 7 = 0").count()
+    rows = {r["grp"]: r for r in q_ingest_quarantine(spark, sf_dir).collect()}
+    q = rows.pop("__quarantine__")
+    assert q["n_rows"] == n_bad == q["n_corrupt"]
+    assert q["sum_chars"] is None  # no declared field salvaged from garbage
+    assert q["quarantine_chars"] is not None  # raw lines captured
+    assert sum(r["n_rows"] for r in rows.values()) == n_total - n_bad
+    assert all(r["n_corrupt"] == 0 for r in rows.values())
+    assert all(r["quarantine_chars"] is None for r in rows.values())
