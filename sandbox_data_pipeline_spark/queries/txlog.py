@@ -722,3 +722,91 @@ GROUP BY c_mktsegment
 
 QUERIES["q_join_ivm"] = q_join_ivm
 ORACLE["q_join_ivm"] = _JOIN_IVM_SQL
+
+
+def q_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg-style partition evolution (sinks/txlog.py:
+    set_partition_spec): create an UNPARTITIONED table from half the
+    documents, evolve the spec to partition by a derived language
+    column — a metadata-only commit, zero files rewritten — then
+    append the other half, which lands hive-partitioned. The output is
+    the per-spec physical story, straight from commit-log metadata:
+    file counts (old spec: the pinned 2 range files; new spec: exactly
+    one file per language, because _write_data repartitions on the
+    spec columns), row counts, and the pruning effect of a
+    lang = 'en' predicate — old files are scanned (their footer lang
+    range spans 'en'), new files prune to exactly the 'en' partition.
+    The oracle states every number in closed form, so a hash match
+    proves the spec bookkeeping, the partition-value stats injection,
+    and the pruning arithmetic all at once. The language is DERIVED
+    (doc_id mod 5) rather than the corpus lang so every per-file
+    min/max claim is structural, not distributional.
+
+    Scale: evolving the partitioning of a 100 TB table is one log
+    entry; old data keeps serving under footer-stats pruning, new data
+    gets exact partition pruning — no rewrite, which is the entire
+    reason Iceberg made specs per-file."""
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(
+            "CASE CAST(doc_id % 5 AS INT) WHEN 0 THEN 'de' WHEN 1 THEN 'en'"
+            " WHEN 2 THEN 'fr' WHEN 3 THEN 'ja' ELSE 'zh' END"
+        ).alias("plang"),
+        "n_chars",
+    )
+    old = docs.where("doc_id % 2 = 0")
+    new = docs.where("doc_id % 2 = 1")
+    tmp = tempfile.mkdtemp(prefix="pevo_")
+    try:
+        t = TxTable.create(spark, f"{tmp}/t", old.repartitionByRange(2, "doc_id"))
+        t.set_partition_spec(["plang"])
+        t.append(new)
+        per_spec: dict[int, dict[str, int]] = {}
+        for f in t.snapshot().values():
+            s = per_spec.setdefault(
+                f.spec_id,
+                {"n_files": 0, "n_rows": 0, "files_read_en": 0, "rows_scanned_en": 0},
+            )
+            s["n_files"] += 1
+            s["n_rows"] += f.rows
+            st = f.stats.get("plang")
+            kept = st is None or not (st["max"] < "en" or st["min"] > "en")
+            if kept:
+                s["files_read_en"] += 1
+                s["rows_scanned_en"] += f.rows
+        rows = [
+            (sid, v["n_files"], v["n_rows"], v["files_read_en"], v["rows_scanned_en"])
+            for sid, v in sorted(per_spec.items())
+        ]
+        return spark.createDataFrame(
+            rows,
+            "spec_id INT, n_files INT, n_rows BIGINT,"
+            " files_read_en INT, rows_scanned_en BIGINT",
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+_PARTITION_EVOLUTION_SQL = """
+WITH src AS (
+  SELECT doc_id,
+         CASE CAST(doc_id % 5 AS INT) WHEN 0 THEN 'de' WHEN 1 THEN 'en'
+              WHEN 2 THEN 'fr' WHEN 3 THEN 'ja' ELSE 'zh' END AS plang
+  FROM documents
+),
+old AS (SELECT * FROM src WHERE doc_id % 2 = 0),
+new AS (SELECT * FROM src WHERE doc_id % 2 = 1)
+SELECT CAST(0 AS INT) AS spec_id,
+       CAST(2 AS INT) AS n_files,
+       CAST((SELECT COUNT(*) FROM old) AS BIGINT) AS n_rows,
+       CAST(2 AS INT) AS files_read_en,
+       CAST((SELECT COUNT(*) FROM old) AS BIGINT) AS rows_scanned_en
+UNION ALL
+SELECT CAST(1 AS INT),
+       CAST((SELECT COUNT(DISTINCT plang) FROM new) AS INT),
+       CAST((SELECT COUNT(*) FROM new) AS BIGINT),
+       CAST(1 AS INT),
+       CAST((SELECT COUNT(*) FROM new WHERE plang = 'en') AS BIGINT)
+"""
+QUERIES["q_partition_evolution"] = q_partition_evolution
+ORACLE["q_partition_evolution"] = _PARTITION_EVOLUTION_SQL

@@ -80,6 +80,11 @@ class AddFile:
     # absolute root the path resolves against when the file belongs to
     # ANOTHER table (shallow clone); None = this table's own root
     base: str | None = None
+    # hive-style partition values the file was written under (Iceberg
+    # semantics: each file remembers ITS spec — evolution never
+    # rewrites old files) and the spec id that produced them
+    partition: dict[str, Any] | None = None
+    spec_id: int = 0
 
     def to_json(self) -> dict:
         d = {
@@ -90,12 +95,22 @@ class AddFile:
         }
         if self.base is not None:
             d["base"] = self.base
+        if self.partition is not None:
+            d["partition"] = self.partition
+        if self.spec_id:
+            d["spec_id"] = self.spec_id
         return d
 
     @staticmethod
     def from_json(d: dict) -> "AddFile":
         return AddFile(
-            d["path"], d["rows"], d["bytes"], d.get("stats", {}), d.get("base")
+            d["path"],
+            d["rows"],
+            d["bytes"],
+            d.get("stats", {}),
+            d.get("base"),
+            d.get("partition"),
+            d.get("spec_id", 0),
         )
 
 
@@ -267,9 +282,70 @@ class TxTable:
         schema = self.schema_at(version)
         if not kept:
             return self.spark.createDataFrame([], schema)
-        paths = [self._abs(f) for f in kept]
-        scan = self.spark.read.schema(schema).parquet(*paths)
+        with_meta = bool(self._pdel_dirs_at(version))
+        scan = self._scan_adds(kept, schema, with_meta=with_meta)
         return self._apply_pdels(scan, version)
+
+    def _scan_adds(
+        self,
+        adds: list[AddFile],
+        schema: T.StructType,
+        with_meta: bool = False,
+    ) -> DataFrame:
+        """Scan a mixed file set: unpartitioned files read directly;
+        hive-partitioned files read per commit-subdir with ``basePath``
+        so Spark restores the partition columns from the paths (they
+        are not stored in the file payloads), then cast to the table
+        schema. One distributed scan per commit-subdir — bounded by
+        commit count, never by partition-value count. ``with_meta``
+        attaches the (__fp, __ri) position columns INSIDE each scan
+        (per-scan _metadata cannot be resolved through a union)."""
+        spark = self.spark
+
+        def _meta(s: DataFrame) -> DataFrame:
+            if not with_meta:
+                return s
+            pre = F.lit(self._file_prefix())
+            return s.withColumn(
+                "__fp", F.replace(F.col("_metadata.file_path"), pre, F.lit(""))
+            ).withColumn("__ri", F.col("_metadata.row_index"))
+
+        meta_cols = ["__fp", "__ri"] if with_meta else []
+        plain = [self._abs(f) for f in adds if not f.partition]
+        scans: list[DataFrame] = []
+        if plain:
+            scans.append(
+                _meta(spark.read.schema(schema).parquet(*plain)).select(
+                    *[f.name for f in schema.fields], *meta_cols
+                )
+            )
+        groups: dict[str, list[str]] = {}
+        for f in adds:
+            if not f.partition:
+                continue
+            absp = self._abs(f)
+            # strip "<kv dirs>/<filename>" to recover the commit subdir
+            prefix = absp.rsplit("/", len(f.partition) + 1)[0]
+            groups.setdefault(prefix, []).append(absp)
+        for prefix in sorted(groups):
+            s = _meta(
+                spark.read.option("basePath", prefix).parquet(
+                    *sorted(groups[prefix])
+                )
+            )
+            scans.append(
+                s.select(
+                    *[
+                        F.col(f.name).cast(f.dataType).alias(f.name)
+                        for f in schema.fields
+                    ],
+                    *meta_cols,
+                )
+            )
+        out = scans[0]
+        for s in scans[1:]:
+            out = out.unionByName(s)
+        return out
 
     def history(self) -> list[dict]:
         """Commit history, oldest→newest: the warehouse's
@@ -294,18 +370,94 @@ class TxTable:
     def _write_data(self, df: DataFrame, version_hint: int) -> list[AddFile]:
         """Write ``df`` as immutable parquet under a unique subdir and
         return AddFiles with footer stats. Executors write the data;
-        the driver touches only footers."""
+        the driver touches only footers. When a partition spec is
+        active (Iceberg-style; see set_partition_spec), the write is
+        hive-partitioned on the spec columns — a repartition on those
+        columns first, so every value lands in exactly ONE task and
+        the file count is value count, not value count × tasks — and
+        each AddFile records its partition values, both as a
+        ``partition`` dict and as min=max footer-style stats so the
+        existing predicate-pruning path skips partitions with zero
+        extra machinery."""
+        from urllib.parse import unquote
+
         sub = f"data/v{version_hint}-{uuid.uuid4().hex[:8]}"
         abs_dir = os.path.join(self.path, sub)
-        df.write.mode("error").parquet(abs_dir)
+        spec = self._spec_at_tail()
+        cols = spec["cols"] if spec else []
+        if cols:
+            df.repartition(*cols).write.mode("error").partitionBy(*cols).parquet(
+                abs_dir
+            )
+        else:
+            df.write.mode("error").parquet(abs_dir)
         adds = []
-        for name in sorted(os.listdir(abs_dir)):
-            if not name.endswith(".parquet"):
-                continue
-            af = _collect_footer_stats(os.path.join(abs_dir, name))
-            af.path = f"{sub}/{name}"
-            adds.append(af)
+        for root, _dirs, names in sorted(os.walk(abs_dir)):
+            for name in sorted(names):
+                if not name.endswith(".parquet"):
+                    continue
+                full = os.path.join(root, name)
+                af = _collect_footer_stats(full)
+                rel_in_sub = os.path.relpath(full, abs_dir)
+                af.path = f"{sub}/{rel_in_sub}"
+                if cols:
+                    part: dict[str, Any] = {}
+                    for seg in rel_in_sub.split(os.sep)[:-1]:
+                        k, _, v = seg.partition("=")
+                        val: Any = unquote(v)
+                        try:
+                            val = int(val)
+                        except ValueError:
+                            pass
+                        part[k] = val
+                    af.partition = part
+                    af.spec_id = spec["id"]
+                    for k, v in part.items():
+                        af.stats[k] = {"min": v, "max": v, "nulls": 0}
+                adds.append(af)
         return adds
+
+    # ------------------------------------------------- partition spec
+
+    def _spec_at_tail(self) -> dict | None:
+        vs = self._versions()
+        return self.partition_spec_at(vs[-1]) if vs else None
+
+    def partition_spec_at(self, version: int | None = None) -> dict | None:
+        """Latest partition spec committed at-or-before ``version``
+        (None = table is unpartitioned / spec 0)."""
+        if version is None:
+            version = self.latest_version()
+        for v in range(version, -1, -1):
+            e = self._read_entry(v)
+            if "spec" in e:
+                return e["spec"]
+        return None
+
+    def set_partition_spec(self, cols: list[str]) -> int:
+        """Iceberg-style partition evolution: a METADATA-ONLY commit
+        that changes how FUTURE writes are laid out. No existing file
+        is rewritten — old files keep their old spec (or none) and are
+        pruned by footer stats as before; new files get hive layout +
+        exact partition-value pruning. At 100 TB this is the whole
+        point: re-partitioning a table is a log entry, not a rewrite.
+
+        Identity transforms only; derived partitions (day(ts), bucket)
+        are expressed by materializing the derived column first —
+        explicit beats a hidden transform registry."""
+        schema_cols = {f.name for f in self.schema_at().fields}
+        missing = [c for c in cols if c not in schema_cols]
+        if missing:
+            raise ValueError(f"partition columns not in schema: {missing}")
+        cur = self._spec_at_tail()
+        next_id = (cur["id"] + 1) if cur else 1
+        return self._commit(
+            "set_partition_spec",
+            [],
+            [],
+            self.latest_version(),
+            spec={"id": next_id, "cols": list(cols)},
+        )
 
     def _txn_already_applied(self, app_id: str, txn_version: int, upto: int) -> bool:
         for v in range(upto + 1):
@@ -342,6 +494,7 @@ class TxTable:
         constraint: dict | None = None,
         pdel: list[str] | None = None,
         pdel_files: list[str] | None = None,
+        spec: dict | None = None,
     ) -> int:
         """Optimistic-concurrency commit loop. Appends never conflict
         (they are re-targeted at the new tail); operations that REMOVE
@@ -389,6 +542,8 @@ class TxTable:
                 entry["schema"] = schema_json
             if constraint is not None:
                 entry["constraint"] = constraint
+            if spec is not None:
+                entry["spec"] = spec
             if pdel:
                 entry["pdel"] = pdel
             if pdel_files:
@@ -538,18 +693,19 @@ class TxTable:
 
     def _apply_pdels(self, scan: DataFrame, version: int | None) -> DataFrame:
         dirs = self._pdel_dirs_at(version)
+        has_meta = "__fp" in scan.columns
         if not dirs:
-            return scan
+            return scan.drop("__fp", "__ri") if has_meta else scan
         dv = self.spark.read.parquet(
             *[os.path.join(self.path, d) for d in dirs]
         )
-        pre = F.lit(self._file_prefix())
-        return (
-            scan.withColumn(
+        if not has_meta:
+            pre = F.lit(self._file_prefix())
+            scan = scan.withColumn(
                 "__fp", F.replace(F.col("_metadata.file_path"), pre, F.lit(""))
-            )
-            .withColumn("__ri", F.col("_metadata.row_index"))
-            .join(
+            ).withColumn("__ri", F.col("_metadata.row_index"))
+        return (
+            scan.join(
                 dv,
                 (F.col("__fp") == dv["fp"]) & (F.col("__ri") == dv["ri"]),
                 "left_anti",
@@ -585,16 +741,10 @@ class TxTable:
         ]
         if not touched:
             return {"version": rv, "n_deleted": 0, "files_touched": 0}
-        paths = [self._abs(f) for f in touched]
-        pre = F.lit(self._file_prefix())
         matches = (
-            self.spark.read.schema(self.schema_at(rv))
-            .parquet(*paths)
+            self._scan_adds(touched, self.schema_at(rv), with_meta=True)
             .where(F.col(col).between(F.lit(lo), F.lit(hi)))
-            .select(
-                F.replace(F.col("_metadata.file_path"), pre, F.lit("")).alias("fp"),
-                F.col("_metadata.row_index").alias("ri"),
-            )
+            .select(F.col("__fp").alias("fp"), F.col("__ri").alias("ri"))
         )
         sub = f"pdel/v{rv + 1}-{uuid.uuid4().hex[:8]}"
         abs_dir = os.path.join(self.path, sub)
@@ -630,12 +780,13 @@ class TxTable:
         ]
         if not touched:
             return {"version": rv, "files_rewritten": 0, "files_total": len(snap)}
-        paths = [self._abs(f) for f in touched]
         # read through the DV layer: rewriting a file that carries
         # position deletes must NOT resurrect its deleted rows (the
         # rewrite then supersedes the file and the markers go inert)
+        with_meta = bool(self._pdel_dirs_at(rv))
         survivors = self._apply_pdels(
-            self.spark.read.schema(self.schema_at(rv)).parquet(*paths), rv
+            self._scan_adds(touched, self.schema_at(rv), with_meta=with_meta),
+            rv,
         ).where(~F.col(col).between(F.lit(lo), F.lit(hi)))
         adds = self._write_data(survivors, rv + 1)
         v = self._commit(
@@ -679,10 +830,10 @@ class TxTable:
         ]
         schema = self.schema_at(rv)
         if touched:
-            paths = [self._abs(f) for f in touched]
             # DV layer: never resurrect positionally-deleted rows
+            wm = bool(self._pdel_dirs_at(rv))
             current = self._apply_pdels(
-                self.spark.read.schema(schema).parquet(*paths), rv
+                self._scan_adds(touched, schema, with_meta=wm), rv
             )
         else:
             current = self.spark.createDataFrame([], schema)
@@ -746,16 +897,13 @@ class TxTable:
         if not os.path.isdir(data_root):
             return deleted
         cutoff = time.time() - retain_seconds
-        for sub in sorted(os.listdir(data_root)):
-            subdir = os.path.join(data_root, sub)
-            for name in sorted(os.listdir(subdir)):
-                rel = f"data/{sub}/{name}"
-                full = os.path.join(subdir, name)
-                if (
-                    name.endswith(".parquet")
-                    and rel not in keep
-                    and os.path.getmtime(full) <= cutoff
-                ):
+        for root, _dirs, names in sorted(os.walk(data_root)):
+            for name in sorted(names):
+                if not name.endswith(".parquet"):
+                    continue
+                full = os.path.join(root, name)
+                rel = os.path.relpath(full, self.path)
+                if rel not in keep and os.path.getmtime(full) <= cutoff:
                     os.unlink(full)
                     deleted.append(rel)
         return deleted
@@ -802,15 +950,12 @@ def refresh_rollup(
         # honor AddFile.base: a shallow clone's v0 references files
         # rooted at the SOURCE table, not under t.path (table_changes
         # and the stream reader resolve the same way)
-        new_files.extend(
-            os.path.join(a.get("base") or t.path, a["path"])
-            for a in e.get("add", [])
-        )
+        new_files.extend(AddFile.from_json(a) for a in e.get("add", []))
     if not new_files and mv is not None:
         return mv, tail
     schema = t.schema_at(tail)
     if new_files:
-        delta_src = t.spark.read.schema(schema).parquet(*new_files)
+        delta_src = t._scan_adds(new_files, schema)
     else:
         delta_src = t.spark.createDataFrame([], schema)
     delta = delta_src.groupBy(key).agg(
@@ -992,11 +1137,24 @@ def clone(src: TxTable, spark: SparkSession, dst_path: str) -> TxTable:
         raise FileExistsError(f"table already exists at {dst_path}")
     snap = src.snapshot()
     adds = [
-        AddFile(f.path, f.rows, f.bytes, f.stats, base=f.base or src.path)
+        AddFile(
+            f.path,
+            f.rows,
+            f.bytes,
+            f.stats,
+            base=f.base or src.path,
+            partition=f.partition,
+            spec_id=f.spec_id,
+        )
         for f in snap.values()
     ]
     t._commit(
-        "clone", adds, [], None, schema_json=src.schema_at().json()
+        "clone",
+        adds,
+        [],
+        None,
+        schema_json=src.schema_at().json(),
+        spec=src.partition_spec_at(),
     )
     return t
 
@@ -1028,10 +1186,7 @@ def table_changes(t: TxTable, from_version: int, to_version: int) -> DataFrame:
     def _read_files(adds: list[dict]) -> DataFrame:
         if not adds:
             return spark.createDataFrame([], schema)
-        paths = [
-            os.path.join(a.get("base", t.path), a["path"]) for a in adds
-        ]
-        return spark.read.schema(schema).parquet(*paths)
+        return t._scan_adds([AddFile.from_json(a) for a in adds], schema)
 
     out: DataFrame | None = None
     for v in range(from_version + 1, to_version + 1):
@@ -1102,11 +1257,8 @@ def replace_where(
     schema = t.schema_at(rv)
     keep = t.spark.createDataFrame([], schema)
     if touched:
-        paths = [t._abs(f) for f in touched]
-        keep = (
-            t.spark.read.schema(schema)
-            .parquet(*paths)
-            .where(~F.col(col).between(F.lit(lo), F.lit(hi)))
+        keep = t._scan_adds(touched, schema).where(
+            ~F.col(col).between(F.lit(lo), F.lit(hi))
         )
     adds = t._write_data(keep.unionByName(df.select(*[f.name for f in schema.fields])), rv + 1)
     return t._commit(

@@ -48,9 +48,20 @@ VERSION_COL = "_commit_version"
 
 
 class _CommitFilePartition(InputPartition):
-    def __init__(self, version: int, abs_path: str):
+    def __init__(
+        self,
+        version: int,
+        abs_path: str,
+        partition: dict | None = None,
+        cols: list | None = None,
+    ):
         self.version = version
         self.abs_path = abs_path
+        # hive partition values for files written under a partition
+        # spec: the values are NOT in the file payload and must be
+        # re-attached as constant columns, in declared-schema order
+        self.partition = partition
+        self.cols = cols
 
 
 class TxLogStreamReader(DataSourceStreamReader):
@@ -121,7 +132,10 @@ class TxLogStreamReader(DataSourceStreamReader):
                 # shallow-clone entries reference files by absolute base
                 parts.append(
                     _CommitFilePartition(
-                        v, os.path.join(a.get("base", self.path), a["path"])
+                        v,
+                        os.path.join(a.get("base", self.path), a["path"]),
+                        a.get("partition"),
+                        [f.name for f in t.schema_at(v).fields],
                     )
                 )
         return parts
@@ -131,6 +145,12 @@ class TxLogStreamReader(DataSourceStreamReader):
         import pyarrow.parquet as pq
 
         tbl = pq.read_table(partition.abs_path)
+        if partition.partition:
+            for k, v in partition.partition.items():
+                tbl = tbl.append_column(
+                    k, pa.array([v] * tbl.num_rows)
+                )
+            tbl = tbl.select(partition.cols)
         ver = pa.array([partition.version] * tbl.num_rows, type=pa.int64())
         tbl = tbl.append_column(VERSION_COL, ver)
         yield from tbl.to_batches()

@@ -745,3 +745,128 @@ def test_txlog_stream_refuses_position_deletes(spark, tmp_path):
     )
     with pytest.raises(Exception, match="position deletes"):
         q.awaitTermination()
+
+
+class TestPartitionEvolution:
+    def _mk(self, spark, tmp_path, n=200):
+        from pyspark.sql import functions as F
+
+        from sandbox_data_pipeline_spark.sinks.txlog import TxTable
+
+        docs = spark.range(0, n).select(
+            F.col("id").alias("doc_id"),
+            F.element_at(
+                F.array(*[F.lit(x) for x in ["de", "en", "fr", "ja", "zh"]]),
+                (F.col("id") % 5 + 1).cast("int"),
+            ).alias("lang"),
+            (F.col("id") * 7 % 100).alias("n_chars"),
+        )
+        old = docs.where("doc_id % 2 = 0")
+        new = docs.where("doc_id % 2 = 1")
+        t = TxTable.create(
+            spark, str(tmp_path / "t"), old.repartitionByRange(2, "doc_id")
+        )
+        return t, old, new
+
+    def test_spec_is_metadata_only_and_files_remember_theirs(
+        self, spark, tmp_path
+    ):
+        t, old, new = self._mk(spark, tmp_path)
+        files_before = set(t.snapshot().keys())
+        v = t.set_partition_spec(["lang"])
+        assert set(t.snapshot().keys()) == files_before  # nothing rewritten
+        assert t._read_entry(v)["add"] == [] and t._read_entry(v)["remove"] == []
+        t.append(new)
+        by_spec = {}
+        for f in t.snapshot().values():
+            by_spec.setdefault(f.spec_id, []).append(f)
+        assert len(by_spec[0]) == 2 and all(
+            f.partition is None for f in by_spec[0]
+        )
+        assert len(by_spec[1]) == 5  # one file per language
+        assert all(f.partition == {"lang": f.partition["lang"]} for f in by_spec[1])
+
+    def test_read_restores_partition_columns_exactly(self, spark, tmp_path):
+        t, old, new = self._mk(spark, tmp_path)
+        t.set_partition_spec(["lang"])
+        t.append(new)
+        want = {
+            (r["doc_id"], r["lang"], r["n_chars"])
+            for r in old.unionByName(new).collect()
+        }
+        got = {
+            (r["doc_id"], r["lang"], r["n_chars"]) for r in t.read().collect()
+        }
+        assert got == want
+        # time travel to the pre-spec version still works
+        assert t.read(version=0).count() == old.count()
+
+    def test_partition_pruning_via_stats(self, spark, tmp_path):
+        from sandbox_data_pipeline_spark.sinks.txlog import files_skipped
+
+        t, old, new = self._mk(spark, tmp_path)
+        t.set_partition_spec(["lang"])
+        t.append(new)
+        r = files_skipped(t, "lang", "en", "en")
+        assert r == {"files_total": 7, "files_read": 3}  # 2 old + 1 'en'
+
+    def test_rewrites_and_pdels_compose_with_spec(self, spark, tmp_path):
+        t, old, new = self._mk(spark, tmp_path)
+        t.set_partition_spec(["lang"])
+        t.append(new)
+        n = t.read().count()
+        t.delete_where("doc_id", 0, 9)
+        assert t.read().count() == n - 10
+        d = t.delete_where_positional("doc_id", 10, 19)
+        assert d["n_deleted"] == 10
+        assert t.read().count() == n - 20
+
+    def test_invalid_spec_column_rejected(self, spark, tmp_path):
+        import pytest
+
+        t, _old, _new = self._mk(spark, tmp_path)
+        with pytest.raises(ValueError):
+            t.set_partition_spec(["nope"])
+
+
+def test_txlog_stream_restores_partition_columns(spark, tmp_path):
+    """Streaming from a table with an active partition spec must
+    re-attach the hive partition values (they are not in the file
+    payloads) in declared-schema order."""
+    from pyspark.sql import functions as F
+
+    from sandbox_data_pipeline_spark.sinks.txlog import TxTable
+    from sandbox_data_pipeline_spark.sources.txlog_stream import (
+        TxLogStreamDataSource,
+    )
+
+    try:
+        spark.dataSource.register(TxLogStreamDataSource)
+    except Exception:
+        pass
+    docs = spark.range(0, 40).select(
+        F.col("id").alias("doc_id"),
+        F.element_at(
+            F.array(F.lit("de"), F.lit("en")), (F.col("id") % 2 + 1).cast("int")
+        ).alias("lang"),
+    )
+    t = TxTable.create(spark, str(tmp_path / "t"), docs.where("doc_id < 20"))
+    t.set_partition_spec(["lang"])
+    t.append(docs.where("doc_id >= 20"))
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = (
+        spark.readStream.format("txlog")
+        .option("path", t.path)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 40
+    got = {(r["doc_id"], r["lang"]) for r in rows}
+    want = {(r["doc_id"], r["lang"]) for r in docs.collect()}
+    assert got == want
