@@ -125,6 +125,12 @@ HEADLINE = [
     # correctness row, ~5.5 s at sf0.1 — not a throughput probe);
     # q_schema_evolution / q_check_constraint excluded: they write a
     # table per run, like q_time_travel
+    # round-6 session-3 additions (q_jpeg_decode_stats /
+    # q_video_keyframes excluded: codec-stress rows, same policy as
+    # q_gif_keyframes; q_csv_interchange / q_ingest_quarantine /
+    # q_partition_evolution excluded: they write landing files or a
+    # table per run, same policy as q_time_travel)
+    "q_dd_quantiles",
 ]
 
 

@@ -1013,6 +1013,7 @@ def optimize(
     zorder_by: tuple[str, str] | None = None,
     num_files: int = 4,
     zorder_bits: int = 8,
+    where: tuple[str, Any, Any] | None = None,
 ) -> dict:
     """Physically rewrite the CURRENT snapshot — no logical change —
     either bin-packed into ``num_files`` range-partitioned files
@@ -1027,12 +1028,36 @@ def optimize(
     the old files (vacuum reclaims them), and the conflict rule lets
     concurrent APPENDS land untouched — optimize only supersedes the
     files it read. At 100 TB this runs per partition-range, not
-    whole-table; num_files scales with snapshot bytes / 128 MB."""
+    whole-table — that is what ``where=(col, lo, hi)`` does: compact
+    ONLY the files whose stats overlap the range (for a partitioned
+    table, one partition's files — partition values are stats) and
+    leave every other file untouched metadata. Because the rewrite is
+    spec-aware, a scoped optimize also MIGRATES overlapping old-spec
+    files into the current partition layout — incremental re-layout
+    after partition evolution, one predicate range at a time, no
+    full-table rewrite ever. num_files scales with snapshot bytes /
+    128 MB."""
     from sandbox_data_pipeline_spark.operators.layout import zvalue
 
     rv = t.latest_version()
     snap = t.snapshot(rv)
-    df = t.read(version=rv)
+    if where is not None:
+        wcol, wlo, whi = where
+        snap = {
+            p: f
+            for p, f in snap.items()
+            if wcol not in f.stats
+            or not (f.stats[wcol]["max"] < wlo or f.stats[wcol]["min"] > whi)
+        }
+        if not snap:
+            return {"version": rv, "files_before": 0, "files_after": 0}
+        wm = bool(t._pdel_dirs_at(rv))
+        df = t._apply_pdels(
+            t._scan_adds(list(snap.values()), t.schema_at(rv), with_meta=wm),
+            rv,
+        )
+    else:
+        df = t.read(version=rv)
     if zorder_by is not None:
         a, b = zorder_by
         df = (

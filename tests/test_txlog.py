@@ -870,3 +870,53 @@ def test_txlog_stream_restores_partition_columns(spark, tmp_path):
     got = {(r["doc_id"], r["lang"]) for r in rows}
     want = {(r["doc_id"], r["lang"]) for r in docs.collect()}
     assert got == want
+
+
+def test_optimize_scoped_by_predicate(spark, tmp_path):
+    """where=(col,lo,hi) compacts ONLY the overlapping files; every
+    other file survives the commit untouched (same path, same bytes)."""
+    from sandbox_data_pipeline_spark.sinks.txlog import TxTable, optimize
+
+    base = spark.range(0, 400).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    ).repartitionByRange(4, "k")
+    t = TxTable.create(spark, str(tmp_path / "tbl"), base)
+    before = t.snapshot()
+    untouched_before = {
+        p: f.bytes
+        for p, f in before.items()
+        if f.stats["k"]["max"] < 0 or f.stats["k"]["min"] > 99
+    }
+    assert untouched_before  # some files lie wholly outside the range
+    r = optimize(t, where=("k", 0, 99), num_files=1)
+    assert r["files_before"] < len(before)
+    after = t.snapshot()
+    for p, b in untouched_before.items():
+        assert p in after and after[p].bytes == b
+    assert t.read().count() == 400  # no logical change
+    # scoped optimize on a partitioned table compacts one partition
+    docs = spark.range(0, 100).select(
+        F.col("doc_id").alias("doc_id") if False else F.col("id").alias("doc_id"),
+        F.element_at(
+            F.array(F.lit("de"), F.lit("en")), (F.col("id") % 2 + 1).cast("int")
+        ).alias("lang"),
+    )
+    t2 = TxTable.create(spark, str(tmp_path / "t2"), docs.where("doc_id < 50"))
+    t2.set_partition_spec(["lang"])
+    t2.append(docs.where("doc_id >= 50"))
+    t2.append(docs.where("doc_id >= 50"))  # duplicate appends → small files
+    n_en_before = sum(
+        1 for f in t2.snapshot().values() if (f.partition or {}).get("lang") == "en"
+    )
+    assert n_en_before == 2
+    optimize(t2, where=("lang", "en", "en"), num_files=1)
+    snap = t2.snapshot()
+    # the 'en' partition files AND the pre-spec create file (its lang
+    # stats span 'en') were compacted — and the spec-aware rewrite
+    # MIGRATES the old-spec rows into the current layout: one 'en'
+    # file, the create file's 'de' rows land as a third 'de' file,
+    # no unpartitioned file remains
+    assert sum(1 for f in snap.values() if (f.partition or {}).get("lang") == "en") == 1
+    assert sum(1 for f in snap.values() if (f.partition or {}).get("lang") == "de") == 3
+    assert sum(1 for f in snap.values() if f.partition is None) == 0
+    assert t2.read().count() == 150
