@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from sandbox_data_pipeline_spark.catalog import table
-from sandbox_data_pipeline_spark.sinks.txlog import TxTable
+from sandbox_data_pipeline_spark.sinks.txlog import TxTable, refresh_dd_sketch
 
 _K = 2000  # base slice: l_orderkey <= K (present at every SF)
 _D1, _D2 = 5_000, 9_999  # rid range deleted in commit v1
@@ -118,7 +118,7 @@ def q_txlog_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
     sinks/txlog.refresh_rollup), and emit the final MV. The oracle
     aggregates the union of all three slices directly, so any error in
     delta composition or the full-outer merge is a hash mismatch."""
-    from sandbox_data_pipeline_spark.sinks.txlog import TxTable, refresh_rollup
+    from sandbox_data_pipeline_spark.sinks.txlog import TxTable, refresh_dd_sketch, refresh_rollup
 
     o = table(spark, sf_dir, "orders").select(
         "o_orderkey",
@@ -166,7 +166,7 @@ def q_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
     restore-to-v0, then aggregate every version. v2 must equal v0
     exactly (metadata-only rollback) while v1 still shows the delete —
     the oracle states all three from the base table directly."""
-    from sandbox_data_pipeline_spark.sinks.txlog import TxTable, restore
+    from sandbox_data_pipeline_spark.sinks.txlog import TxTable, refresh_dd_sketch, restore
 
     li = table(spark, sf_dir, "lineitem")
     # the synthetic corpus does NOT guarantee (orderkey, linenumber)
@@ -228,7 +228,7 @@ def q_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     then summarize the row-level feed per (version, change_type). The
     merge's rewrite touches whole files, so the feed proves the
     exceptAll cancellation: only genuinely changed rows surface."""
-    from sandbox_data_pipeline_spark.sinks.txlog import TxTable, table_changes
+    from sandbox_data_pipeline_spark.sinks.txlog import TxTable, refresh_dd_sketch, table_changes
 
     li = table(spark, sf_dir, "lineitem")
     # the synthetic corpus does NOT guarantee (orderkey, linenumber)
@@ -292,7 +292,7 @@ def q_replace_where(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregates. The oracle states both snapshots directly; the hash
     match proves untouched hours survive byte-exact while the replaced
     hour swaps completely."""
-    from sandbox_data_pipeline_spark.sinks.txlog import TxTable, replace_where
+    from sandbox_data_pipeline_spark.sinks.txlog import TxTable, refresh_dd_sketch, replace_where
 
     li = table(spark, sf_dir, "lineitem")
     base = li.where(F.col("l_orderkey") <= _K).select(
@@ -810,3 +810,84 @@ SELECT CAST(1 AS INT),
 """
 QUERIES["q_partition_evolution"] = q_partition_evolution
 ORACLE["q_partition_evolution"] = _PARTITION_EVOLUTION_SQL
+
+
+def q_sketch_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-driven incremental quantile-sketch maintenance
+    (sinks/txlog.py: refresh_dd_sketch): build a TxTable from a third
+    of lineitem, append the other two thirds as separate commits, and
+    maintain the DD quantile sketch INCREMENTALLY — each refresh
+    sketches only that commit's files and merges by counter addition.
+    The output quantiles come from the incrementally-merged sketch; the
+    oracle re-sketches the WHOLE data in one pass — a hash match proves
+    the sketch algebra is exactly associative end-to-end (the
+    percentile-dashboard pattern: a day of appends costs a day's
+    sketch, never a rescan). Sketches are localCheckpoint-pinned
+    between refreshes, mirroring a real MV materialization."""
+    from sandbox_data_pipeline_spark.operators.sketch import dd_quantiles
+
+    li = table(spark, sf_dir, "lineitem").select(
+        F.col("l_linestatus").alias("grp"),
+        F.expr("CAST(l_quantity * 100 AS BIGINT)").alias("cents"),
+        F.col("l_orderkey"),
+    )
+    tmp = tempfile.mkdtemp(prefix="skivm_")
+    try:
+        t = TxTable.create(
+            spark, f"{tmp}/t", li.where("l_orderkey % 3 = 0").drop("l_orderkey")
+        )
+        sk, ver = refresh_dd_sketch(t, None, -1, "grp", "cents")
+        sk = sk.localCheckpoint()
+        t.append(li.where("l_orderkey % 3 = 1").drop("l_orderkey"))
+        sk, ver = refresh_dd_sketch(t, sk, ver, "grp", "cents")
+        sk = sk.localCheckpoint()
+        t.append(li.where("l_orderkey % 3 = 2").drop("l_orderkey"))
+        sk, ver = refresh_dd_sketch(t, sk, ver, "grp", "cents")
+        out = dd_quantiles(sk, [(1, 2), (9, 10), (99, 100)])
+        return out.select(
+            F.col("grp").alias("l_linestatus"),
+            "n_rows",
+            F.col("n_buckets").cast("int").alias("n_buckets"),
+            F.col("q_1_2").alias("p50_cents"),
+            F.col("q_9_10").alias("p90_cents"),
+            F.col("q_99_100").alias("p99_cents"),
+        ).localCheckpoint()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+_SKETCH_IVM_SQL = """
+WITH sk AS (
+  SELECT grp, e, s, COUNT(*) AS cnt,
+         ANY_VALUE(p) + (s * ANY_VALUE(p)) // 16 AS lb
+  FROM (
+    SELECT grp, e, p, ((v - p) * 16) // p AS s
+    FROM (
+      SELECT grp, v, (1::BIGINT << (e - 1)) AS p, e
+      FROM (
+        SELECT l_linestatus AS grp,
+               CAST(l_quantity * 100 AS BIGINT) AS v,
+               CAST(length(bin(CAST(l_quantity * 100 AS BIGINT))) AS INT) AS e
+        FROM lineitem
+        WHERE CAST(l_quantity * 100 AS BIGINT) >= 1
+      )
+    )
+  )
+  GROUP BY grp, e, s
+),
+cum AS (
+  SELECT grp, e, s, cnt, lb,
+         SUM(cnt) OVER (PARTITION BY grp ORDER BY e, s) AS cum,
+         SUM(cnt) OVER (PARTITION BY grp) AS n
+  FROM sk
+)
+SELECT grp AS l_linestatus,
+       CAST(MAX(n) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) AS INT) AS n_buckets,
+       CAST(MIN(CASE WHEN cum >= (n * 1 + 1) // 2 THEN lb END) AS BIGINT) AS p50_cents,
+       CAST(MIN(CASE WHEN cum >= (n * 9 + 9) // 10 THEN lb END) AS BIGINT) AS p90_cents,
+       CAST(MIN(CASE WHEN cum >= (n * 99 + 99) // 100 THEN lb END) AS BIGINT) AS p99_cents
+FROM cum GROUP BY grp
+"""
+QUERIES["q_sketch_ivm"] = q_sketch_ivm
+ORACLE["q_sketch_ivm"] = _SKETCH_IVM_SQL

@@ -984,6 +984,70 @@ def refresh_rollup(
     return merged, tail
 
 
+def refresh_dd_sketch(
+    t: TxTable,
+    sk: DataFrame | None,
+    last_version: int,
+    group_col: str,
+    cents_col: str,
+) -> tuple[DataFrame, int]:
+    """Incrementally maintain a DD-style quantile sketch
+    (operators/sketch.py: dd_sketch) from the commit log: sketch ONLY
+    the files added after ``last_version`` and MERGE by counter
+    addition — the sketch algebra is associative, so the incremental
+    result is BIT-IDENTICAL to re-sketching the whole table. This is
+    the production percentile-dashboard pattern at 100 TB: a day of
+    appends costs a day's sketch, never a rescan, and the state being
+    merged is <= 16*63 counters per group. Same monotone-history
+    contract as refresh_rollup: an intervening remove raises and the
+    caller falls back to a full recompute."""
+    from sandbox_data_pipeline_spark.operators.sketch import dd_sketch
+
+    tail = t.latest_version()
+    if last_version > tail:
+        raise ValueError(f"last_version {last_version} is beyond tail {tail}")
+    new_files: list[AddFile] = []
+    for v in range(last_version + 1, tail + 1):
+        e = t._read_entry(v)
+        if e.get("remove"):
+            raise ValueError(
+                f"commit v{v} ({e['operation']}) removed files; incremental "
+                "delta no longer composes — run a full recompute"
+            )
+        new_files.extend(AddFile.from_json(a) for a in e.get("add", []))
+    if not new_files and sk is not None:
+        return sk, tail
+    schema = t.schema_at(tail)
+    if new_files:
+        delta_src = t._scan_adds(new_files, schema)
+    else:
+        delta_src = t.spark.createDataFrame([], schema)
+    delta = dd_sketch(delta_src, group_col, cents_col)
+    if sk is None:
+        return delta, tail
+    merged = (
+        sk.withColumnRenamed("cnt", "_c0")
+        .withColumnRenamed("lb", "_l0")
+        .join(
+            delta.withColumnRenamed("cnt", "_c1").withColumnRenamed("lb", "_l1"),
+            ["grp", "e", "s"],
+            "full_outer",
+        )
+        .select(
+            "grp",
+            "e",
+            "s",
+            (
+                F.coalesce(F.col("_c0"), F.lit(0))
+                + F.coalesce(F.col("_c1"), F.lit(0))
+            ).alias("cnt"),
+            # lb is a pure function of (e, s) — either side carries it
+            F.coalesce(F.col("_l0"), F.col("_l1")).alias("lb"),
+        )
+    )
+    return merged, tail
+
+
 # --- OPTIMIZE: compaction + Z-order clustering ------------------------------
 
 

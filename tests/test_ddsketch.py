@@ -92,3 +92,44 @@ def test_graded_query_bounded_state(spark, sf_dir):
     for r in rows:
         assert r["n_buckets"] <= DD_SUB * 63
         assert 1 <= r["p50_cents"] <= r["p95_cents"] <= r["p99_cents"]
+
+
+def test_log_driven_incremental_sketch_matches_full(spark, tmp_path):
+    """refresh_dd_sketch over 3 commits must equal one whole-table
+    sketch, bucket for bucket (counter addition is associative)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from sandbox_data_pipeline_spark.operators.sketch import dd_sketch
+    from sandbox_data_pipeline_spark.sinks.txlog import (
+        TxTable,
+        refresh_dd_sketch,
+    )
+
+    rng = random.Random(5)
+    rows = [
+        ("a" if i % 3 else "b", rng.randrange(1, 1_000_000))
+        for i in range(900)
+    ]
+    df = spark.createDataFrame(rows, "grp: string, cents: long")
+    t = TxTable.create(spark, str(tmp_path / "t"), df.where("cents % 3 = 0"))
+    sk, ver = refresh_dd_sketch(t, None, -1, "grp", "cents")
+    sk = sk.localCheckpoint()
+    t.append(df.where("cents % 3 = 1"))
+    sk, ver = refresh_dd_sketch(t, sk, ver, "grp", "cents")
+    sk = sk.localCheckpoint()
+    t.append(df.where("cents % 3 = 2"))
+    sk, ver = refresh_dd_sketch(t, sk, ver, "grp", "cents")
+    got = {(r["grp"], r["e"], r["s"]): (r["cnt"], r["lb"]) for r in sk.collect()}
+    want = {
+        (r["grp"], r["e"], r["s"]): (r["cnt"], r["lb"])
+        for r in dd_sketch(t.read(), "grp", "cents").collect()
+    }
+    assert got == want
+    # removes break monotonicity → loud refusal
+    t.delete_where("cents", 0, 100_000)
+    import pytest
+
+    with pytest.raises(ValueError, match="full recompute"):
+        refresh_dd_sketch(t, sk, ver, "grp", "cents")
