@@ -63,6 +63,10 @@ PIN_CONFS: dict[str, str] = {
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.parquet.datetimeRebaseModeInRead": "CORRECTED",
     "spark.sql.parquet.int96RebaseModeInRead": "CORRECTED",
+    # INT96 (Spark's default timestamp encoding) carries NO usable
+    # footer statistics — any query that WRITES timestamped data and
+    # then relies on stats pruning (txlog tables) needs INT64 micros
+    "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
 }
 
 

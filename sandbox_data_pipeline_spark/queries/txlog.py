@@ -891,3 +891,70 @@ FROM cum GROUP BY grp
 """
 QUERIES["q_sketch_ivm"] = q_sketch_ivm
 ORACLE["q_sketch_ivm"] = _SKETCH_IVM_SQL
+
+
+def q_hidden_partitioning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HIDDEN partitioning (Iceberg's day-transform, sinks/txlog.py:
+    set_partition_spec with a generated column): build a TxTable from
+    the first half-month of events, evolve the spec to partition by
+    CAST(date_trunc('day', ts) AS DATE) — a column that exists ONLY in
+    the layout, never in the table schema — and append the second
+    half-month, which lands one file per day. A one-day predicate on
+    the SOURCE column ts then prunes through ordinary footer stats
+    (day-clustering makes per-file ts ranges tight and disjoint;
+    INT64-micros timestamps carry real min/max, which is why the
+    session pins parquet outputTimestampType) down to exactly one
+    file; the pre-evolution files prune structurally because every
+    row in them predates the probed day. Readers never see the
+    partition column — the layout is an implementation detail, which
+    is the entire point of hidden partitioning at 100 TB: users query
+    ts, storage answers in days."""
+    ev = table(spark, sf_dir, "events").select("event_id", "ts", "user_id")
+    a = ev.where("ts < TIMESTAMP '2024-01-16'")
+    b = ev.where("ts >= TIMESTAMP '2024-01-16'")
+    tmp = tempfile.mkdtemp(prefix="hpart_")
+    try:
+        t = TxTable.create(spark, f"{tmp}/t", a.repartitionByRange(2, "event_id"))
+        t.set_partition_spec(
+            [{"name": "pday", "expr": "CAST(date_trunc('day', ts) AS DATE)"}]
+        )
+        t.append(b)
+        snap = t.snapshot().values()
+        lo, hi = "2024-01-20T00:00:00", "2024-01-20T23:59:59.999999"
+        kept = [
+            f
+            for f in snap
+            if "ts" not in f.stats
+            or not (f.stats["ts"]["max"] < lo or f.stats["ts"]["min"] > hi)
+        ]
+        row = (
+            sum(1 for f in snap if f.partition is None),
+            sum(1 for f in snap if f.partition is not None),
+            len(t.read().schema.fields),
+            sum(f.rows for f in snap),
+            len(kept),
+            sum(f.rows for f in kept),
+        )
+        return spark.createDataFrame(
+            [row],
+            "n_files_pre INT, n_files_post INT, n_schema_cols INT,"
+            " n_rows BIGINT, files_read_day INT, rows_scanned_day BIGINT",
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+_HIDDEN_PARTITIONING_SQL = """
+SELECT CAST(2 AS INT) AS n_files_pre,
+       CAST(COUNT(DISTINCT date_trunc('day', ts))
+            FILTER (ts >= TIMESTAMP '2024-01-16') AS INT) AS n_files_post,
+       CAST(3 AS INT) AS n_schema_cols,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(1 AS INT) AS files_read_day,
+       CAST(COUNT(*) FILTER (ts >= TIMESTAMP '2024-01-20'
+                             AND ts < TIMESTAMP '2024-01-21') AS BIGINT)
+           AS rows_scanned_day
+FROM events
+"""
+QUERIES["q_hidden_partitioning"] = q_hidden_partitioning
+ORACLE["q_hidden_partitioning"] = _HIDDEN_PARTITIONING_SQL

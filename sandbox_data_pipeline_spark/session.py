@@ -36,6 +36,9 @@ SCALE_CONFS: dict[str, str] = {
     "spark.sql.session.timeZone": "UTC",
     "spark.ui.showConsoleProgress": "false",
     "spark.sql.parquet.compression.codec": "snappy",
+    # INT64 micros instead of INT96: footer min/max stats survive,
+    # which the txlog file-skipping layer depends on for timestamps
+    "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
     # At 100 TB files should split into ~128 MB tasks (default); keep
     # explicit so the intent is visible and tunable per deployment.
     "spark.sql.files.maxPartitionBytes": "134217728",

@@ -384,7 +384,19 @@ class TxTable:
         sub = f"data/v{version_hint}-{uuid.uuid4().hex[:8]}"
         abs_dir = os.path.join(self.path, sub)
         spec = self._spec_at_tail()
-        cols = spec["cols"] if spec else []
+        entries = spec["cols"] if spec else []
+        cols: list[str] = []
+        for c in entries:
+            if isinstance(c, str):
+                cols.append(c)
+            else:
+                # HIDDEN partitioning (Iceberg transforms): a generated
+                # column drives the layout but is NOT in the table
+                # schema — readers drop it after path restoration, and
+                # predicates on the SOURCE column prune via the tight
+                # per-file footer stats the clustering produces
+                df = df.withColumn(c["name"], F.expr(c["expr"]))
+                cols.append(c["name"])
         if cols:
             df.repartition(*cols).write.mode("error").partitionBy(*cols).parquet(
                 abs_dir
@@ -434,7 +446,7 @@ class TxTable:
                 return e["spec"]
         return None
 
-    def set_partition_spec(self, cols: list[str]) -> int:
+    def set_partition_spec(self, cols: list[str | dict]) -> int:
         """Iceberg-style partition evolution: a METADATA-ONLY commit
         that changes how FUTURE writes are laid out. No existing file
         is rewritten — old files keep their old spec (or none) and are
@@ -442,13 +454,31 @@ class TxTable:
         exact partition-value pruning. At 100 TB this is the whole
         point: re-partitioning a table is a log entry, not a rewrite.
 
-        Identity transforms only; derived partitions (day(ts), bucket)
-        are expressed by materializing the derived column first —
-        explicit beats a hidden transform registry."""
-        schema_cols = {f.name for f in self.schema_at().fields}
-        missing = [c for c in cols if c not in schema_cols]
+        Entries are either a schema column name (identity transform)
+        or ``{"name": ..., "expr": ...}`` — a GENERATED column (hidden
+        partitioning, Iceberg's day(ts)/truncate transforms as explicit
+        SQL): the expression drives the physical layout but never
+        appears in the table schema, so readers see the declared
+        columns only while predicates on the source column prune via
+        the tight footer stats the clustering produces."""
+        schema = self.schema_at()
+        schema_cols = {f.name for f in schema.fields}
+        idents = [c for c in cols if isinstance(c, str)]
+        missing = [c for c in idents if c not in schema_cols]
         if missing:
             raise ValueError(f"partition columns not in schema: {missing}")
+        for c in cols:
+            if isinstance(c, dict):
+                if c["name"] in schema_cols:
+                    raise ValueError(
+                        f"generated partition column {c['name']!r} collides "
+                        "with a schema column — use the identity form"
+                    )
+                # resolve the expression against the schema NOW, not at
+                # first write: a typo'd transform must fail the commit
+                self.spark.createDataFrame([], schema).select(
+                    F.expr(c["expr"])
+                )
         cur = self._spec_at_tail()
         next_id = (cur["id"] + 1) if cur else 1
         return self._commit(

@@ -920,3 +920,31 @@ def test_optimize_scoped_by_predicate(spark, tmp_path):
     assert sum(1 for f in snap.values() if (f.partition or {}).get("lang") == "de") == 3
     assert sum(1 for f in snap.values() if f.partition is None) == 0
     assert t2.read().count() == 150
+
+
+def test_hidden_partitioning_generated_column(spark, tmp_path):
+    """A generated partition column drives the layout but never leaks
+    into the schema; reads are exact; a typo'd transform fails at
+    set_partition_spec time, not first write."""
+    from sandbox_data_pipeline_spark.sinks.txlog import TxTable
+
+    df = spark.range(0, 100).select(
+        F.col("id").alias("k"), (F.col("id") % 10).alias("v")
+    )
+    t = TxTable.create(spark, str(tmp_path / "t"), df.where("k < 50"))
+    with pytest.raises(Exception):
+        t.set_partition_spec([{"name": "bad", "expr": "nope(k)"}])
+    with pytest.raises(ValueError, match="collides"):
+        t.set_partition_spec([{"name": "v", "expr": "k % 3"}])
+    t.set_partition_spec([{"name": "kbucket", "expr": "CAST(k DIV 25 AS INT)"}])
+    t.append(df.where("k >= 50"))
+    assert [f.name for f in t.read().schema.fields] == ["k", "v"]
+    got = {(r["k"], r["v"]) for r in t.read().collect()}
+    assert got == {(r["k"], r["v"]) for r in df.collect()}
+    parted = [f for f in t.snapshot().values() if f.partition]
+    assert {f.partition["kbucket"] for f in parted} == {2, 3}
+    # source-column pruning through the clustered footer stats
+    from sandbox_data_pipeline_spark.sinks.txlog import files_skipped
+
+    r = files_skipped(t, "k", 80, 90)
+    assert r["files_read"] < r["files_total"]
