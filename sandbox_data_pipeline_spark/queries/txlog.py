@@ -958,3 +958,88 @@ FROM events
 """
 QUERIES["q_hidden_partitioning"] = q_hidden_partitioning
 ORACLE["q_hidden_partitioning"] = _HIDDEN_PARTITIONING_SQL
+
+
+def q_bloom_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-file BLOOM index for point lookups (sinks/txlog.py:
+    build_bloom_index): an identity-partitioned table whose lookup key
+    u is deliberately uncorrelated with the layout — every file spans
+    u's whole range, so min/max stats prune NOTHING — and a 256-bit/
+    3-hash bloom per file prunes present keys to their single home
+    file and absent keys to whatever false positives the bits admit.
+    The bloom hash is the portable md5 family, so the DuckDB oracle
+    REBUILDS every file's bit set and replays each probe bit-exactly:
+    a hash match proves the index construction, the pruning rule, and
+    the false-positive arithmetic all at once. u values are all even;
+    absent probes are odd — structurally absent at every SF."""
+    from sandbox_data_pipeline_spark.sinks.txlog import (
+        build_bloom_index,
+        files_skipped_bloom,
+    )
+
+    src = table(spark, sf_dir, "documents").select(
+        (F.col("doc_id") % 8).alias("fb"),
+        (F.lit(2) * ((F.col("doc_id") * 2654435761) % 1073741824))
+        .cast("long")
+        .alias("u"),
+    )
+    tmp = tempfile.mkdtemp(prefix="bloom_")
+    try:
+        t = TxTable.create(spark, f"{tmp}/t", src)
+        t.set_partition_spec(["fb"])
+        t.overwrite_all(src)
+        build_bloom_index(t, "u")
+        rows = []
+        for d in (7, 13, 99, 123, 456):
+            u = 2 * ((d * 2654435761) % 1073741824)
+            for kind, probe in (("present", u), ("absent", u + 1)):
+                r = files_skipped_bloom(t, "u", probe)
+                rows.append((d, kind, r["files_total"], r["files_read"]))
+        return spark.createDataFrame(
+            rows,
+            "probe_doc INT, kind STRING, files_total INT, files_read INT",
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+_BLOOM_INDEX_SQL = """
+WITH src AS (
+  SELECT doc_id % 8 AS fb,
+         CAST(2 * ((doc_id * 2654435761) % 1073741824) AS BIGINT) AS u
+  FROM documents
+),
+bits AS (
+  SELECT DISTINCT fb,
+         ('0x' || substr(md5('bloom' || CAST(i.range AS VARCHAR)
+                              || CAST(u AS VARCHAR)), 1, 15))::BIGINT % 256 AS b
+  FROM src CROSS JOIN range(0, 3) i
+),
+probes AS (
+  SELECT d.probe_doc, k.kind,
+         CAST(2 * ((d.probe_doc * 2654435761) % 1073741824)
+              + CASE WHEN k.kind = 'absent' THEN 1 ELSE 0 END AS BIGINT) AS p
+  FROM (VALUES (7), (13), (99), (123), (456)) d(probe_doc)
+  CROSS JOIN (VALUES ('present'), ('absent')) k(kind)
+),
+need AS (
+  SELECT probe_doc, kind, i.range AS i,
+         ('0x' || substr(md5('bloom' || CAST(i.range AS VARCHAR)
+                              || CAST(p AS VARCHAR)), 1, 15))::BIGINT % 256 AS b
+  FROM probes CROSS JOIN range(0, 3) i
+),
+hits AS (
+  SELECT n.probe_doc, n.kind, bt.fb, COUNT(DISTINCT n.i) AS got
+  FROM need n JOIN bits bt ON bt.b = n.b
+  GROUP BY 1, 2, 3
+)
+SELECT p.probe_doc, p.kind,
+       CAST(8 AS INT) AS files_total,
+       CAST(COALESCE(SUM(CASE WHEN h.got = 3 THEN 1 ELSE 0 END), 0) AS INT)
+           AS files_read
+FROM (SELECT DISTINCT probe_doc, kind FROM probes) p
+LEFT JOIN hits h ON h.probe_doc = p.probe_doc AND h.kind = p.kind
+GROUP BY 1, 2
+"""
+QUERIES["q_bloom_index"] = q_bloom_index
+ORACLE["q_bloom_index"] = _BLOOM_INDEX_SQL

@@ -1181,6 +1181,95 @@ def files_skipped(t: TxTable, col: str, lo, hi, version: int | None = None) -> d
     return {"files_total": len(files), "files_read": len(kept)}
 
 
+# --- per-file bloom index (point-lookup pruning) -----------------------------
+
+
+def _bloom_positions_py(value, m: int, k: int) -> list[int]:
+    """Pure-Python twin of the Spark/DuckDB bloom hash: bit i =
+    ('0x'||substr(md5('bloom<i>'||str(value)),1,15)) % m — the same
+    portable 60-bit md5 family every replayable sketch here uses."""
+    import hashlib
+
+    return [
+        int(hashlib.md5(f"bloom{i}{value}".encode()).hexdigest()[:15], 16) % m
+        for i in range(k)
+    ]
+
+
+def build_bloom_index(t: TxTable, col: str, m: int = 256, k: int = 3) -> int:
+    """Index the CURRENT snapshot's files with per-file bloom filters
+    over ``col`` — the point-lookup complement of min/max stats, which
+    are useless when a high-cardinality key is uncorrelated with the
+    layout (every file spans the whole range). One distributed pass
+    computes each file's bit set (grouped by the scan's own file
+    position column, so partitioned files index correctly); the commit
+    is metadata-only (<= m bits per file). Files added AFTER the index
+    commit have no bloom and are conservatively read — re-index on
+    whatever cadence compaction runs.
+
+    Scale: m=256/k=3 is 32 bytes/file — a million-file table carries a
+    32 MB index in its log, and a point lookup touches only the files
+    whose bloom passes (expected false-positive rate at n distinct
+    values/file: (1-e^(-kn/m))^k)."""
+    rv = t.latest_version()
+    snap = t.snapshot(rv)
+    scan = t._scan_adds(list(snap.values()), t.schema_at(rv), with_meta=True)
+    from sandbox_data_pipeline_spark.operators.dedup import portable_hash
+
+    pos = [
+        F.pmod(
+            portable_hash(F.col(col).cast("string"), salt=f"bloom{i}"),
+            F.lit(m),
+        ).cast("int")
+        for i in range(k)
+    ]
+    bits = (
+        scan.select(F.col("__fp").alias("fp"), F.explode(F.array(*pos)).alias("b"))
+        .distinct()
+        .groupBy("fp")
+        .agg(F.sort_array(F.collect_set("b")).alias("bits"))
+    )
+    files = {r["fp"]: [int(x) for x in r["bits"]] for r in bits.collect()}
+    return t._commit(
+        "bloom_index",
+        [],
+        [],
+        rv,
+        keys_touched={"bloom": {"col": col, "m": m, "k": k, "files": files}},
+    )
+
+
+def _bloom_entry_at(t: TxTable, col: str, version: int) -> dict | None:
+    for v in range(version, -1, -1):
+        e = t._read_entry(v)
+        b = (e.get("keys_touched") or {}).get("bloom")
+        if b and b["col"] == col:
+            return b
+    return None
+
+
+def files_skipped_bloom(
+    t: TxTable, col: str, value, version: int | None = None
+) -> dict:
+    """Point-lookup pruning: a file is read iff it has no bloom for
+    ``col`` (conservative) or every probe bit is set in its bloom.
+    Never a false negative — a bloom's bits are a superset of its
+    rows' bits by construction."""
+    if version is None:
+        version = t.latest_version()
+    entry = _bloom_entry_at(t, col, version)
+    files = t.snapshot(version)
+    if entry is None:
+        return {"files_total": len(files), "files_read": len(files)}
+    probe = set(_bloom_positions_py(value, entry["m"], entry["k"]))
+    kept = 0
+    for p in files:
+        bl = entry["files"].get(p)
+        if bl is None or probe <= set(bl):
+            kept += 1
+    return {"files_total": len(files), "files_read": kept}
+
+
 # --- exactly-once streaming sink --------------------------------------------
 
 

@@ -948,3 +948,40 @@ def test_hidden_partitioning_generated_column(spark, tmp_path):
 
     r = files_skipped(t, "k", 80, 90)
     assert r["files_read"] < r["files_total"]
+
+
+def test_bloom_index_no_false_negatives_and_conservative_appends(
+    spark, tmp_path
+):
+    import random
+
+    from sandbox_data_pipeline_spark.sinks.txlog import (
+        TxTable,
+        _bloom_positions_py,
+        build_bloom_index,
+        files_skipped_bloom,
+    )
+
+    rng = random.Random(3)
+    vals = [rng.randrange(0, 1 << 40) for _ in range(400)]
+    df = spark.createDataFrame(
+        [(i % 4, v) for i, v in enumerate(vals)], "fb: int, u: long"
+    )
+    t = TxTable.create(spark, str(tmp_path / "t"), df)
+    t.set_partition_spec(["fb"])
+    t.overwrite_all(df)
+    build_bloom_index(t, "u")
+    # NO false negative: every present value keeps >= its home file,
+    # and filtering the kept files still finds the row
+    for v in rng.sample(vals, 25):
+        r = files_skipped_bloom(t, "u", v)
+        assert r["files_read"] >= 1
+        assert t.read().where(F.col("u") == v).count() >= 1
+    # pure-Python probe positions == the Spark-side md5 family
+    pos = _bloom_positions_py(vals[0], 256, 3)
+    assert len(pos) == 3 and all(0 <= p < 256 for p in pos)
+    # files added AFTER the index have no bloom → conservatively read
+    t.append(spark.createDataFrame([(9, 424242)], "fb: int, u: long"))
+    r = files_skipped_bloom(t, "u", 424242)
+    assert r["files_read"] >= 1  # the un-indexed file is never pruned
+    assert t.read().where("u = 424242").count() == 1
