@@ -922,6 +922,15 @@ class TxTable:
         keep: set[str] = set()
         for v in range(max(0, tail - retain_versions + 1), tail + 1):
             keep.update(self.snapshot(v).keys())
+        # Named refs PIN their snapshots: a tag's version and a
+        # branch's fork point stay readable until the ref is dropped —
+        # refs are retention policy, not just pointers (Iceberg's
+        # tag/branch retention rule). Without this, vacuum silently
+        # breaks read_tag() and every un-published branch.
+        for ref in list_refs(self):
+            pin = ref.get("version", ref.get("fork_version"))
+            if pin is not None and 0 <= pin <= tail:
+                keep.update(self.snapshot(pin).keys())
         deleted = []
         data_root = os.path.join(self.path, "data")
         if not os.path.isdir(data_root):
@@ -1575,7 +1584,15 @@ def create_branch(parent: TxTable, name: str) -> TxTable:
     b = TxTable(parent.spark, os.path.join(parent.path, "branches", name))
     snap = parent.snapshot(fork_version)
     adds = [
-        AddFile(f.path, f.rows, f.bytes, f.stats, base=f.base or parent.path)
+        AddFile(
+            f.path,
+            f.rows,
+            f.bytes,
+            f.stats,
+            base=f.base or parent.path,
+            partition=f.partition,
+            spec_id=f.spec_id,
+        )
         for f in snap.values()
     ]
     b._commit(
@@ -1584,8 +1601,16 @@ def create_branch(parent: TxTable, name: str) -> TxTable:
         [],
         None,
         schema_json=parent.schema_at(fork_version).json(),
+        spec=parent.partition_spec_at(fork_version),
     )
     return b
+
+
+def drop_ref(t: TxTable, name: str) -> None:
+    """Delete a named ref, releasing its vacuum pin. Dropping a branch
+    ref abandons the branch (its own data dir remains until manually
+    removed — branches are directories, not log entries)."""
+    os.unlink(_ref_path(t, name))
 
 
 def branch_table(parent: TxTable, name: str) -> TxTable:
@@ -1631,7 +1656,15 @@ def publish_branch(parent: TxTable, name: str) -> int:
     for f in b_snap.values():
         if _key(f, b) not in fork_keys:
             adds.append(
-                AddFile(f.path, f.rows, f.bytes, f.stats, base=f.base or b.path)
+                AddFile(
+                    f.path,
+                    f.rows,
+                    f.bytes,
+                    f.stats,
+                    base=f.base or b.path,
+                    partition=f.partition,
+                    spec_id=f.spec_id,
+                )
             )
     b_keys = {_key(f, b) for f in b_snap.values()}
     removes = [

@@ -220,3 +220,28 @@ def test_join_ivm_noop_refresh_returns_same_mv(spark, tmp_path):
     mv = spark.createDataFrame(mv.collect(), mv.schema)
     mv2, ver2 = refresh_join_rollup(t, dim, mv=mv, last_version=ver, **args)
     assert mv2 is mv and ver2 == ver
+
+
+def test_vacuum_honors_ref_pins(spark, tmp_path):
+    """A tag's version and a branch's fork point survive vacuum until
+    the ref is dropped — refs are retention policy, not just pointers."""
+    from pyspark.sql import functions as F
+
+    from sandbox_data_pipeline_spark.sinks.txlog import (
+        TxTable,
+        create_tag,
+        drop_ref,
+        read_tag,
+    )
+
+    df = spark.range(0, 50).select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+    t = TxTable.create(spark, str(tmp_path / "t"), df)
+    create_tag(t, "snap0")
+    t.overwrite_all(spark.createDataFrame([(1, 1)], "k long, v long"))
+    deleted = t.vacuum(retain_versions=1, retain_seconds=0)
+    assert deleted == []  # v0 files pinned by the tag
+    assert read_tag(t, "snap0").count() == 50
+    drop_ref(t, "snap0")
+    deleted = t.vacuum(retain_versions=1, retain_seconds=0)
+    assert deleted  # pin released → v0 reclaimed
+    assert t.read().count() == 1
