@@ -1043,3 +1043,84 @@ GROUP BY 1, 2
 """
 QUERIES["q_bloom_index"] = q_bloom_index
 ORACLE["q_bloom_index"] = _BLOOM_INDEX_SQL
+
+
+def q_merge_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta's full MERGE clause surface on the txlog table
+    (sinks/txlog.py: merge): WHEN MATCHED AND s.qty > t.qty THEN
+    UPDATE (non-qualifying matches keep the target row), then a second
+    commit with WHEN MATCHED AND t.qty >= 30 THEN DELETE — both with
+    WHEN NOT MATCHED suppressed. The oracle replays both clause
+    evaluations relationally; a hash match proves the gating predicate
+    is applied per-pair (source AND target columns in scope), not
+    per-side. File-level pruning still bounds every rewrite to the
+    key-overlapping files."""
+    li = table(spark, sf_dir, "lineitem")
+    base = (
+        li.where(F.col("l_orderkey") <= _K)
+        .groupBy(
+            (F.col("l_orderkey") * 10 + F.col("l_linenumber"))
+            .cast("long")
+            .alias("rid")
+        )
+        .agg(F.max("l_quantity").alias("qty"))
+    )
+    tmp = tempfile.mkdtemp(prefix="mc_")
+    try:
+        t = TxTable.create(spark, f"{tmp}/t", base.repartitionByRange(4, "rid"))
+        qty_t = base.schema["qty"].dataType.simpleString()
+        src1 = base.where("rid % 4 = 0").select(
+            "rid",
+            F.when(F.col("rid") % 8 == 0, F.col("qty") + 10)
+            .otherwise(F.col("qty") - 10)
+            .cast(qty_t)
+            .alias("qty"),
+        )
+        t.merge(
+            src1, "rid", matched_condition="s.qty > t.qty", insert_unmatched=False
+        )
+        src2 = t.read().where("rid % 5 = 0")
+        t.merge(
+            src2,
+            "rid",
+            when_matched="delete",
+            matched_condition="t.qty >= 30",
+            insert_unmatched=False,
+        )
+        out = t.read().agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("qty").cast("decimal(18,2)").alias("sum_qty"),
+            F.min("rid").alias("min_rid"),
+            F.max("rid").alias("max_rid"),
+        )
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+_MERGE_CONDITIONAL_SQL = f"""
+WITH base AS (
+  SELECT CAST(l_orderkey * 10 + l_linenumber AS BIGINT) AS rid,
+         MAX(l_quantity) AS qty
+  FROM lineitem WHERE l_orderkey <= {_K} GROUP BY 1
+),
+m1 AS (
+  -- WHEN MATCHED AND s.qty > t.qty THEN UPDATE: source = rid%4=0 rows
+  -- carrying qty+10 (rid%8=0) or qty-10 (else); only the +10 branch
+  -- passes the gate
+  SELECT rid,
+         CASE WHEN rid % 8 = 0 THEN qty + 10 ELSE qty END AS qty
+  FROM base
+),
+m2 AS (
+  -- WHEN MATCHED AND t.qty >= 30 THEN DELETE over keys rid%5=0
+  SELECT * FROM m1 WHERE NOT (rid % 5 = 0 AND qty >= 30)
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(qty) AS DECIMAL(18,2)) AS sum_qty,
+       CAST(MIN(rid) AS BIGINT) AS min_rid,
+       CAST(MAX(rid) AS BIGINT) AS max_rid
+FROM m2
+"""
+QUERIES["q_merge_conditional"] = q_merge_conditional
+ORACLE["q_merge_conditional"] = _MERGE_CONDITIONAL_SQL

@@ -838,12 +838,26 @@ class TxTable:
         source: DataFrame,
         key: str,
         txn: tuple[str, int] | None = None,
+        when_matched: str = "update",
+        matched_condition: str | None = None,
+        insert_unmatched: bool = True,
     ) -> int:
-        """Upsert-by-key: files whose ``key`` range overlaps the
-        source's [min,max] are rewritten with matched rows replaced;
-        unmatched source rows are appended; every other file is
-        untouched metadata. Same shape as operators/cdc.merge_upsert,
-        here with file-level pruning instead of a full-table rewrite."""
+        """MERGE with Delta's full clause surface. Default = plain
+        upsert-by-key: files whose ``key`` range overlaps the source's
+        [min,max] are rewritten with matched rows replaced; unmatched
+        source rows are appended; every other file is untouched
+        metadata (same shape as operators/cdc.merge_upsert, with
+        file-level pruning instead of a full-table rewrite).
+
+        Clauses: ``when_matched`` is "update" (take the source row) or
+        "delete" (drop the target row); ``matched_condition`` is a SQL
+        predicate over the aliases ``s`` (source) and ``t`` (target) —
+        e.g. "s.qty > t.qty" — gating the matched action, with
+        non-qualifying matches keeping the target row (Delta's
+        WHEN MATCHED AND <cond> THEN ...); ``insert_unmatched=False``
+        drops WHEN NOT MATCHED entirely (update/delete-only merge)."""
+        if when_matched not in ("update", "delete"):
+            raise ValueError(f"when_matched must be update|delete, got {when_matched!r}")
         rv = self.latest_version()
         snap = self.snapshot(rv)
         bounds = source.agg(
@@ -889,7 +903,37 @@ class TxTable:
                 f"({chk['n']} rows, {chk['n_keys']} distinct); "
                 "a source row must match at most one target row"
             )
-        merged = current.join(source, key, "left_anti").unionByName(source)
+        cols = [f.name for f in schema.fields]
+        if when_matched == "update" and matched_condition is None and insert_unmatched:
+            # fast path: the classic upsert plan (one anti join)
+            merged = current.join(source, key, "left_anti").unionByName(
+                source.select(*cols)
+            )
+        else:
+            t_side = current.alias("t")
+            s_side = source.select(*cols).alias("s")
+            cond = (
+                F.expr(matched_condition)
+                if matched_condition is not None
+                else F.lit(True)
+            )
+            joined = t_side.join(
+                s_side, F.col(f"t.{key}") == F.col(f"s.{key}"), "full_outer"
+            )
+            is_m = F.col(f"t.{key}").isNotNull() & F.col(f"s.{key}").isNotNull()
+            s_only = F.col(f"t.{key}").isNull()
+            take_s = (is_m & cond & F.lit(when_matched == "update")) | s_only
+            keep = ~(is_m & cond & F.lit(when_matched == "delete"))
+            if not insert_unmatched:
+                keep = keep & ~s_only
+            merged = joined.where(keep).select(
+                *[
+                    F.when(take_s, F.col(f"s.{c}"))
+                    .otherwise(F.col(f"t.{c}"))
+                    .alias(c)
+                    for c in cols
+                ]
+            )
         adds = self._write_data(merged, rv + 1)
         return self._commit(
             "merge",

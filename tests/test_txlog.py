@@ -985,3 +985,38 @@ def test_bloom_index_no_false_negatives_and_conservative_appends(
     r = files_skipped_bloom(t, "u", 424242)
     assert r["files_read"] >= 1  # the un-indexed file is never pruned
     assert t.read().where("u = 424242").count() == 1
+
+
+def test_merge_conditional_clauses(spark, tmp_path):
+    """WHEN MATCHED AND cond THEN UPDATE/DELETE + insert gating —
+    Delta's clause surface on the txlog merge."""
+    t = _mk(spark, tmp_path)  # k 0..99, v = 10k
+    src = spark.createDataFrame(
+        [(5, 999), (6, 1), (150, 111)], "k long, v long"
+    )
+    # update only when the source value is LARGER; no inserts
+    t.merge(
+        src,
+        "k",
+        matched_condition="s.v > t.v",
+        insert_unmatched=False,
+    )
+    got = {r["k"]: r["v"] for r in t.read().collect()}
+    assert got[5] == 999  # 999 > 50 → updated
+    assert got[6] == 60  # 1 < 60 → target kept
+    assert 150 not in got  # insert suppressed
+    assert len(got) == 100
+    # conditional DELETE of matched rows
+    t.merge(
+        spark.createDataFrame([(5, 0), (7, 0)], "k long, v long"),
+        "k",
+        when_matched="delete",
+        matched_condition="t.v >= 500",
+        insert_unmatched=False,
+    )
+    got = {r["k"]: r["v"] for r in t.read().collect()}
+    assert 5 not in got  # v=999 >= 500 → deleted
+    assert got[7] == 70  # condition false → kept
+    assert len(got) == 99
+    with pytest.raises(ValueError, match="update|delete"):
+        t.merge(src, "k", when_matched="upsert")
