@@ -260,15 +260,35 @@ class TxTable:
     def _abs(self, f: AddFile) -> str:
         return os.path.join(f.base or self.path, f.path)
 
+    def version_at_timestamp(self, ts: float) -> int:
+        """Latest committed version whose commit time is <= ``ts``
+        (epoch seconds) — Delta's timestampAsOf resolution rule."""
+        best = None
+        for v in self._versions():
+            if self._read_entry(v)["ts"] <= ts:
+                best = v
+        if best is None:
+            raise ValueError(
+                f"no commit at or before timestamp {ts} on {self.path}"
+            )
+        return best
+
     def read(
         self,
         version: int | None = None,
         predicate: tuple[str, Any, Any] | None = None,
+        as_of_ts: float | None = None,
     ) -> DataFrame:
         """Snapshot read. ``predicate=(col, lo, hi)`` prunes the FILE
         LIST via footer stats before Spark plans the scan (files whose
         [min,max] misses [lo,hi] are never listed); the same predicate
-        must still be applied in the plan for row-level filtering."""
+        must still be applied in the plan for row-level filtering.
+        ``as_of_ts`` (epoch seconds) resolves to the latest commit at
+        or before that wall time — timestampAsOf."""
+        if as_of_ts is not None:
+            if version is not None:
+                raise ValueError("pass version OR as_of_ts, not both")
+            version = self.version_at_timestamp(as_of_ts)
         files = self.snapshot(version)
         kept = list(files.values())
         if predicate is not None:

@@ -1020,3 +1020,19 @@ def test_merge_conditional_clauses(spark, tmp_path):
     assert len(got) == 99
     with pytest.raises(ValueError, match="update|delete"):
         t.merge(src, "k", when_matched="upsert")
+
+
+def test_time_travel_by_timestamp(spark, tmp_path):
+    import time as _time
+
+    t = _mk(spark, tmp_path, n=10)
+    ts_after_v0 = _time.time()
+    _time.sleep(0.05)
+    t.append(spark.createDataFrame([(1000, 1)], "k long, v long"))
+    assert t.read(as_of_ts=ts_after_v0).count() == 10
+    assert t.read(as_of_ts=_time.time()).count() == 11
+    assert t.version_at_timestamp(_time.time()) == 1
+    with pytest.raises(ValueError, match="no commit"):
+        t.version_at_timestamp(0.0)
+    with pytest.raises(ValueError, match="not both"):
+        t.read(version=0, as_of_ts=_time.time())
