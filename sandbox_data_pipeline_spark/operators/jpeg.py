@@ -662,3 +662,54 @@ def encode_jpeg_gray(
     out += scan
     out += b"\xff\xd9"
     return bytes(out)
+
+
+# --- perceptual hash (dHash) over REAL decoded rasters ------------------------
+
+
+def dhash_halves(px: list[int], w: int, h: int) -> tuple[int, int]:
+    """Difference hash on a 9x8 nearest-neighbor sample grid: bit
+    (i, j) = 1 iff the sampled pixel right of (i, j) is brighter. The
+    standard near-dup image fingerprint — resilient to re-encoding and
+    resizing because it compares a fixed coarse grid, not raw bytes.
+    Returned as two 32-bit halves (rows 0-3, rows 4-7) so both engines
+    can XOR + popcount in plain signed 64-bit arithmetic."""
+    vals = [
+        [px[((j * h) // 8) * w + ((i * w) // 9)] for i in range(9)]
+        for j in range(8)
+    ]
+    h1 = h2 = 0
+    for j in range(8):
+        for i in range(8):
+            bit = 1 if vals[j][i + 1] > vals[j][i] else 0
+            if j < 4:
+                h1 |= bit << (j * 8 + i)
+            else:
+                h2 |= bit << ((j - 4) * 8 + i)
+    return h1, h2
+
+
+def jpeg_dhash(media: DataFrame) -> DataFrame:
+    """REAL decode → perceptual fingerprint, Arrow-batched: one narrow
+    stage, zero shuffle — the 100 TB image-dedup front end."""
+    import pandas as pd
+
+    def _hash(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for b in batches:
+            rows = []
+            for mid, blob in zip(b["media_id"], b["content"]):
+                d = decode_jpeg(bytes(blob))
+                h1, h2 = dhash_halves(d["pixels"], d["width"], d["height"])
+                rows.append({"media_id": int(mid), "h1": h1, "h2": h2})
+            yield pd.DataFrame(
+                rows, columns=["media_id", "h1", "h2"]
+            )
+
+    schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("h1", LongType()),
+            StructField("h2", LongType()),
+        ]
+    )
+    return media.mapInPandas(_hash, schema)

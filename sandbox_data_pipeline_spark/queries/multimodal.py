@@ -797,3 +797,113 @@ SELECT doc_id AS media_id, CAST(fi AS INT) AS frame_idx,
 FROM frames
 """
 QUERIES["q_video_keyframes"] = q_video_keyframes
+
+
+def q_image_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image dedup over REAL decoded JPEGs
+    (operators/jpeg.py: jpeg_dhash): every payload runs the genuine
+    Huffman/IDCT decode, a 9x8 difference hash (dHash — the standard
+    near-dup image fingerprint, robust to re-encode/resize) is split
+    into four 16-bit bands, and candidate pairs come from a banded
+    LSH join — never all-pairs; the only quadratic work is within a
+    band bucket, exactly the MinHash-LSH shape the text side uses.
+    Output is the hamming-distance histogram of candidates at <= 16
+    bits, the tuning curve an image-dedup operator is configured
+    from. The oracle recomputes every hash from the builder's
+    closed-form pixels and replays the banding + XOR/popcount
+    arithmetic — a hash match proves decode, fingerprint, banding,
+    and distance all at once."""
+    from sandbox_data_pipeline_spark.operators.jpeg import (
+        jpeg_dhash,
+        jpeg_media,
+    )
+
+    hashes = jpeg_dhash(
+        jpeg_media(table(spark, sf_dir, "documents"))
+    ).localCheckpoint(eager=False)
+    bands = hashes.selectExpr(
+        "media_id",
+        "h1",
+        "h2",
+        "stack(4, 0, h1 >> 16, 1, h1 & 65535, 2, h2 >> 16, 3, h2 & 65535)"
+        " AS (band_idx, band_val)",
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .select(
+            F.col("a.media_id").alias("ma"),
+            F.col("b.media_id").alias("mb"),
+            F.col("a.h1").alias("ah1"),
+            F.col("a.h2").alias("ah2"),
+            F.col("b.h1").alias("bh1"),
+            F.col("b.h2").alias("bh2"),
+        )
+        .distinct()
+    )
+    return (
+        cand.select(
+            (
+                F.expr("bit_count(ah1 ^ bh1)") + F.expr("bit_count(ah2 ^ bh2)")
+            ).alias("hamming")
+        )
+        .where(F.col("hamming") <= 16)
+        .groupBy("hamming")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+ORACLE["q_image_dhash_dedup"] = """
+WITH dims AS (
+  SELECT doc_id, 8 * (doc_id % 4 + 2) AS w, 8 * (doc_id % 3 + 2) AS h
+  FROM documents
+),
+grid AS (
+  SELECT doc_id, j.range AS j, i.range AS i,
+         (doc_id * 11
+          + ((((j.range * h) // 8) // 8) * (w // 8)
+             + (((i.range * w) // 9) // 8)) * 37) % 256 AS v
+  FROM dims CROSS JOIN range(0, 8) j CROSS JOIN range(0, 9) i
+),
+bits AS (
+  SELECT g0.doc_id, g0.j, g0.i,
+         CASE WHEN g1.v > g0.v THEN 1 ELSE 0 END AS b
+  FROM grid g0
+  JOIN grid g1 ON g1.doc_id = g0.doc_id AND g1.j = g0.j AND g1.i = g0.i + 1
+  WHERE g0.i < 8
+),
+hashes AS (
+  SELECT doc_id,
+         SUM(CASE WHEN j < 4 THEN b << (j * 8 + i) ELSE 0 END) AS h1,
+         SUM(CASE WHEN j >= 4 THEN b << ((j - 4) * 8 + i) ELSE 0 END) AS h2
+  FROM bits GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, h1, h2, 0 AS band_idx, h1 >> 16 AS band_val FROM hashes
+  UNION ALL
+  SELECT doc_id, h1, h2, 1, h1 & 65535 FROM hashes
+  UNION ALL
+  SELECT doc_id, h1, h2, 2, h2 >> 16 FROM hashes
+  UNION ALL
+  SELECT doc_id, h1, h2, 3, h2 & 65535 FROM hashes
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS ma, b.doc_id AS mb,
+         a.h1 AS ah1, a.h2 AS ah2, b.h1 AS bh1, b.h2 AS bh2
+  FROM bands a
+  JOIN bands b ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+              AND a.doc_id < b.doc_id
+)
+SELECT CAST(bit_count(xor(ah1, bh1)) + bit_count(xor(ah2, bh2)) AS INT)
+           AS hamming,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM cand
+WHERE bit_count(xor(ah1, bh1)) + bit_count(xor(ah2, bh2)) <= 16
+GROUP BY 1
+"""
+QUERIES["q_image_dhash_dedup"] = q_image_dhash_dedup

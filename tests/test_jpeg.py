@@ -126,3 +126,38 @@ def test_spark_stats_match_closed_form(spark, sf_dir):
         assert r["sum_px"] == 64 * sum(
             jpeg_tile_value(did, i) for i in range(nb)
         )
+
+
+def test_dhash_matches_pure_python_and_survives_reencode(spark, sf_dir):
+    from sandbox_data_pipeline_spark.catalog import table
+    from sandbox_data_pipeline_spark.operators.jpeg import (
+        dhash_halves,
+        jpeg_dhash,
+        jpeg_media,
+    )
+
+    docs = table(spark, sf_dir, "documents").limit(16)
+    got = {
+        r["media_id"]: (r["h1"], r["h2"])
+        for r in jpeg_dhash(jpeg_media(docs)).collect()
+    }
+    for did, (h1, h2) in got.items():
+        d = decode_jpeg(build_jpeg(did))
+        assert (h1, h2) == dhash_halves(d["pixels"], d["width"], d["height"])
+        assert 0 <= h1 < (1 << 32) and 0 <= h2 < (1 << 32)
+
+    def ham(a, b):
+        return bin(a[0] ^ b[0]).count("1") + bin(a[1] ^ b[1]).count("1")
+
+    # robustness: a lossy RE-ENCODE of the same raster keeps the
+    # fingerprint close (the reason dHash beats byte hashing for
+    # near-dup images), while byte equality is destroyed
+    d = decode_jpeg(build_jpeg(7))
+    blob2 = encode_jpeg_gray(d["pixels"], d["width"], d["height"])
+    assert blob2 != build_jpeg(7)
+    d2 = decode_jpeg(blob2)
+    h_orig = dhash_halves(d["pixels"], d["width"], d["height"])
+    h_re = dhash_halves(d2["pixels"], d2["width"], d2["height"])
+    assert ham(h_orig, h_re) <= 8
+    # identical image → identical fingerprint
+    assert ham(h_orig, h_orig) == 0
