@@ -907,3 +907,119 @@ WHERE bit_count(xor(ah1, bh1)) + bit_count(xor(ah2, bh2)) <= 16
 GROUP BY 1
 """
 QUERIES["q_image_dhash_dedup"] = q_image_dhash_dedup
+
+
+def q_video_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clip-level video near-dup (operators/video.py:
+    video_frame_dhash): every AVI's frames run the REAL container +
+    JPEG decode, each frame gets the 9x8 dHash, and frame fingerprints
+    meet through the same banded 16-bit LSH join as the image side —
+    two videos are near-dup clips in proportion to how many of their
+    frame pairs land within 10 bits. Output is the histogram of
+    matched-frame-pair counts per video pair — the knob a clip-dedup
+    admission rule is tuned from. Everything downstream of the decode
+    is bounded by band-bucket collisions, never all frame pairs; the
+    oracle recomputes every frame hash from the closed-form tile
+    pixels and replays banding, hamming, and the per-pair rollup."""
+    from sandbox_data_pipeline_spark.operators.video import (
+        avi_media,
+        video_frame_dhash,
+    )
+
+    hashes = video_frame_dhash(
+        avi_media(table(spark, sf_dir, "documents"))
+    ).localCheckpoint(eager=False)
+    bands = hashes.selectExpr(
+        "media_id",
+        "frame_idx",
+        "h1",
+        "h2",
+        "stack(4, 0, h1 >> 16, 1, h1 & 65535, 2, h2 >> 16, 3, h2 & 65535)"
+        " AS (band_idx, band_val)",
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .select(
+            F.col("a.media_id").alias("ma"),
+            F.col("a.frame_idx").alias("fa"),
+            F.col("b.media_id").alias("mb"),
+            F.col("b.frame_idx").alias("fb"),
+            F.col("a.h1").alias("ah1"),
+            F.col("a.h2").alias("ah2"),
+            F.col("b.h1").alias("bh1"),
+            F.col("b.h2").alias("bh2"),
+        )
+        .distinct()
+    )
+    matched = cand.where(
+        F.expr("bit_count(ah1 ^ bh1) + bit_count(ah2 ^ bh2)") <= 10
+    )
+    per_pair = matched.groupBy("ma", "mb").agg(
+        F.count(F.lit(1)).alias("n_matched")
+    )
+    return per_pair.groupBy("n_matched").agg(
+        F.count(F.lit(1)).alias("n_video_pairs")
+    )
+
+
+ORACLE["q_video_near_dup"] = """
+WITH dims AS (
+  SELECT doc_id, 8 * (doc_id % 4 + 2) AS w, 8 * (doc_id % 3 + 2) AS h,
+         doc_id % 3 + 2 AS nf
+  FROM documents
+),
+grid AS (
+  SELECT doc_id, f.range AS fi, j.range AS j, i.range AS i,
+         (doc_id * 11 + f.range * 53
+          + ((((j.range * h) // 8) // 8) * (w // 8)
+             + (((i.range * w) // 9) // 8)) * 37) % 256 AS v
+  FROM dims
+  CROSS JOIN range(0, 4) f
+  CROSS JOIN range(0, 8) j
+  CROSS JOIN range(0, 9) i
+  WHERE f.range < nf
+),
+bits AS (
+  SELECT g0.doc_id, g0.fi, g0.j, g0.i,
+         CASE WHEN g1.v > g0.v THEN 1 ELSE 0 END AS b
+  FROM grid g0
+  JOIN grid g1 ON g1.doc_id = g0.doc_id AND g1.fi = g0.fi
+              AND g1.j = g0.j AND g1.i = g0.i + 1
+  WHERE g0.i < 8
+),
+hashes AS (
+  SELECT doc_id, fi,
+         SUM(CASE WHEN j < 4 THEN b << (j * 8 + i) ELSE 0 END) AS h1,
+         SUM(CASE WHEN j >= 4 THEN b << ((j - 4) * 8 + i) ELSE 0 END) AS h2
+  FROM bits GROUP BY doc_id, fi
+),
+bands AS (
+  SELECT doc_id, fi, h1, h2, 0 AS band_idx, h1 >> 16 AS band_val FROM hashes
+  UNION ALL SELECT doc_id, fi, h1, h2, 1, h1 & 65535 FROM hashes
+  UNION ALL SELECT doc_id, fi, h1, h2, 2, h2 >> 16 FROM hashes
+  UNION ALL SELECT doc_id, fi, h1, h2, 3, h2 & 65535 FROM hashes
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS ma, a.fi AS fa, b.doc_id AS mb, b.fi AS fb,
+         a.h1 AS ah1, a.h2 AS ah2, b.h1 AS bh1, b.h2 AS bh2
+  FROM bands a
+  JOIN bands b ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+              AND a.doc_id < b.doc_id
+),
+per_pair AS (
+  SELECT ma, mb, COUNT(*) AS n_matched
+  FROM cand
+  WHERE bit_count(xor(ah1, bh1)) + bit_count(xor(ah2, bh2)) <= 10
+  GROUP BY ma, mb
+)
+SELECT CAST(n_matched AS BIGINT) AS n_matched,
+       CAST(COUNT(*) AS BIGINT) AS n_video_pairs
+FROM per_pair GROUP BY 1
+"""
+QUERIES["q_video_near_dup"] = q_video_near_dup

@@ -110,3 +110,25 @@ def test_spark_frame_stats_match_closed_form(spark, sf_dir):
     assert all(
         cnt == video_n_frames(mid) for mid, cnt in by_media.items()
     )
+
+
+def test_frame_dhash_matches_pure_python(spark, sf_dir):
+    from sandbox_data_pipeline_spark.catalog import table
+    from sandbox_data_pipeline_spark.operators.jpeg import dhash_halves
+    from sandbox_data_pipeline_spark.operators.video import video_frame_dhash
+
+    docs = table(spark, sf_dir, "documents").limit(8)
+    got = {
+        (r["media_id"], r["frame_idx"]): (r["h1"], r["h2"])
+        for r in video_frame_dhash(avi_media(docs)).collect()
+    }
+    assert got
+    for (did, fi), h in got.items():
+        d = decode_avi(build_avi(did))
+        assert h == dhash_halves(d["frames"][fi], d["width"], d["height"])
+    # frame counts line up with the builder
+    by_media = {}
+    for (did, fi) in got:
+        by_media.setdefault(did, set()).add(fi)
+    for did, fis in by_media.items():
+        assert fis == set(range(video_n_frames(did)))
