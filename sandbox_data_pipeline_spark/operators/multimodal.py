@@ -1368,3 +1368,43 @@ def audio_onsets(media: DataFrame, window_bytes: int = 64, threshold: int = 2000
         ]
     )
     return media.mapInPandas(_onsets, schema)
+
+
+def audio_fingerprint(media: DataFrame, window_bytes: int = 16, n_bits: int = 32) -> DataFrame:
+    """Energy-trend audio fingerprint over the REAL WAV payloads: the
+    sign of consecutive window-energy deltas, packed into ``n_bits``
+    bits — the miniature of Shazam-style spectral-trend hashing, here
+    on exact integer energies so the DuckDB oracle replays every bit.
+    Clips shorter than n_bits+1 windows pad with zero-energy windows
+    (a deterministic rule both engines state identically). Zero
+    shuffle: one fingerprint per clip, computed in the decode task."""
+
+    def _fp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for mid, mtype, blob in zip(
+                b["media_id"], b["media_type"], b["content"]
+            ):
+                if mtype != "audio":
+                    continue
+                body = np.frombuffer(bytes(blob)[16:], dtype=np.uint8).astype(
+                    np.int64
+                )
+                energies = []
+                for w in range(n_bits + 1):
+                    seg = body[w * window_bytes : (w + 1) * window_bytes]
+                    energies.append(int((seg * seg).sum()))
+                fp = 0
+                for w in range(n_bits):
+                    if energies[w + 1] > energies[w]:
+                        fp |= 1 << w
+                rows.append({"media_id": int(mid), "fp": fp})
+            yield pd.DataFrame(rows, columns=["media_id", "fp"])
+
+    schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("fp", LongType()),
+        ]
+    )
+    return media.mapInPandas(_fp, schema)

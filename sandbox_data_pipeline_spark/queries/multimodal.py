@@ -1023,3 +1023,99 @@ SELECT CAST(n_matched AS BIGINT) AS n_matched,
 FROM per_pair GROUP BY 1
 """
 QUERIES["q_video_near_dup"] = q_video_near_dup
+
+
+def q_audio_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-dup admission (operators/multimodal.py:
+    audio_fingerprint): every real WAV clip gets a 32-bit
+    energy-trend fingerprint (sign of consecutive 16-byte-window
+    energy deltas — the miniature of spectral-trend hashing, on exact
+    integers), candidates meet through two 16-bit LSH bands, and the
+    output is the hamming histogram at <= 6 bits — completing the
+    tri-modal dedup story: MinHash text, dHash images/video frames,
+    trend-hash audio, all the same banded shape that never goes
+    all-pairs. The oracle replays window energies from ascii() closed
+    forms, packs the same bits, and re-runs the banding."""
+    from sandbox_data_pipeline_spark.operators.multimodal import (
+        audio_fingerprint,
+        media_with_headers,
+    )
+
+    fps = audio_fingerprint(
+        media_with_headers(table(spark, sf_dir, "documents"))
+    ).localCheckpoint(eager=False)
+    bands = fps.selectExpr(
+        "media_id",
+        "fp",
+        "stack(2, 0, fp >> 16, 1, fp & 65535) AS (band_idx, band_val)",
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .select(
+            F.col("a.media_id").alias("ma"),
+            F.col("b.media_id").alias("mb"),
+            F.col("a.fp").alias("afp"),
+            F.col("b.fp").alias("bfp"),
+        )
+        .distinct()
+    )
+    return (
+        cand.select(F.expr("bit_count(afp ^ bfp)").alias("hamming"))
+        .where(F.col("hamming") <= 6)
+        .groupBy("hamming")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+ORACLE["q_audio_near_dup"] = """
+WITH a AS (
+  SELECT doc_id AS media_id, text, n_chars FROM documents WHERE doc_id % 3 = 1
+),
+pos AS (
+  SELECT media_id, r.range AS p,
+         ascii(substr(text, CAST(r.range AS INTEGER) + 1, 1)) AS v
+  FROM a CROSS JOIN range(0, 65536) r WHERE r.range < n_chars
+),
+win AS (
+  SELECT media_id, CAST(p // 16 AS INTEGER) AS w, SUM(v * v) AS energy
+  FROM pos GROUP BY 1, 2
+),
+slots AS (
+  SELECT a.media_id, s.range AS w,
+         COALESCE(win.energy, 0) AS energy
+  FROM a CROSS JOIN range(0, 33) s
+  LEFT JOIN win ON win.media_id = a.media_id AND win.w = s.range
+),
+fp AS (
+  SELECT s0.media_id,
+         SUM(CASE WHEN s1.energy > s0.energy
+                  THEN 1::BIGINT << s0.w ELSE 0 END) AS fp
+  FROM slots s0
+  JOIN slots s1 ON s1.media_id = s0.media_id AND s1.w = s0.w + 1
+  WHERE s0.w < 32
+  GROUP BY 1
+),
+bands AS (
+  SELECT media_id, fp, 0 AS band_idx, fp >> 16 AS band_val FROM fp
+  UNION ALL SELECT media_id, fp, 1, fp & 65535 FROM fp
+),
+cand AS (
+  SELECT DISTINCT a.media_id AS ma, b.media_id AS mb,
+         a.fp AS afp, b.fp AS bfp
+  FROM bands a
+  JOIN bands b ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+              AND a.media_id < b.media_id
+)
+SELECT CAST(bit_count(xor(afp, bfp)) AS INT) AS hamming,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM cand
+WHERE bit_count(xor(afp, bfp)) <= 6
+GROUP BY 1
+"""
+QUERIES["q_audio_near_dup"] = q_audio_near_dup

@@ -432,3 +432,33 @@ def test_audio_onsets_match_pure_python(spark):
             prev = e
             n_checked += 1
     assert n_checked == len(got)  # nothing extra emitted
+
+
+def test_audio_fingerprint_matches_pure_python(spark, sf_dir):
+    from sandbox_data_pipeline_spark.catalog import table
+    from sandbox_data_pipeline_spark.operators.multimodal import (
+        audio_fingerprint,
+        media_with_headers,
+    )
+
+    docs = table(spark, sf_dir, "documents").limit(30)
+    got = {
+        r["media_id"]: r["fp"]
+        for r in audio_fingerprint(media_with_headers(docs)).collect()
+    }
+    assert got  # audio docs exist in the slice
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in docs.where("doc_id % 3 = 1").collect()
+    }
+    for mid, fp in got.items():
+        body = texts[mid].encode()
+        energies = [
+            sum(c * c for c in body[w * 16 : (w + 1) * 16]) for w in range(33)
+        ]
+        want = 0
+        for w in range(32):
+            if energies[w + 1] > energies[w]:
+                want |= 1 << w
+        assert fp == want
+        assert 0 <= fp < (1 << 32)
