@@ -142,6 +142,21 @@ DRIVER_PRIORITY = (
     "q_domain_blocklist",
     "q_pack_efficiency",
     "q_embedding_quantize",
+    # Round-6 session-3 additions (never sampled; rotate into the
+    # graded head in round 7 once the current head confirms green)
+    "q_dd_quantiles",
+    "q_sketch_ivm",
+    "q_partition_evolution",
+    "q_hidden_partitioning",
+    "q_bloom_index",
+    "q_merge_conditional",
+    "q_csv_interchange",
+    "q_ingest_quarantine",
+    "q_jpeg_decode_stats",
+    "q_video_keyframes",
+    "q_image_dhash_dedup",
+    "q_video_near_dup",
+    "q_audio_near_dup",
 )
 
 
