@@ -152,20 +152,20 @@ def compare_block(timings: dict[str, float], threshold: float = 1.5):
     try:
         with open(path, encoding="utf-8") as f:
             doc = json.load(f)
-        if "queries" not in doc and isinstance(doc.get("parsed"), dict):
-            doc = doc["parsed"]
+        # Merge every available source: the parsed final line carries a
+        # BUDGETED per-query subset (slowest-first), while the raw tail
+        # may hold extra pairs from the full first line — regex the
+        # tail, then let parsed values win.
+        old = {
+            k: float(v)
+            for k, v in re.findall(
+                r'"(q_\w+|flagship)":\s?([0-9.]+)', doc.get("tail", "")
+            )
+        }
+        if isinstance(doc.get("parsed"), dict):
+            old.update(doc["parsed"].get("queries") or {})
         if "queries" in doc:
-            old = doc["queries"]
-        else:
-            # driver format: {"n","rc","tail": <truncated stdout>} —
-            # the tail may cut the JSON line's front; recover the
-            # per-query pairs by pattern instead of parsing
-            old = {
-                k: float(v)
-                for k, v in re.findall(
-                    r'"(q_\w+|flagship)": ([0-9.]+)', doc.get("tail", "")
-                )
-            }
+            old.update(doc["queries"])
         if not old:
             return None
     except Exception:
@@ -234,12 +234,15 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     # Verbose record (full precision + round-over-round compare) goes
-    # to a file; stdout gets ONE compact line. The driver records only
-    # the LAST 2000 characters of stdout, so the line puts the
-    # per-query dict FIRST and the headline fields LAST — a truncated
-    # capture loses the earliest per-query entries, never the totals —
-    # and compact separators + 2-decimal timings keep the whole line
-    # near the capture window anyway.
+    # to a file; stdout's LAST line is the formal artifact. The driver
+    # records only the LAST 2000 characters of stdout and parses the
+    # final line — r04-r06 all came back "parsed": null because the
+    # 98-query dict pushed the line past 2000 chars and the capture
+    # cut off its FRONT. So: (1) the complete per-query line prints
+    # FIRST (for humans reading the raw run), (2) the final line is
+    # budgeted to ≤1900 chars — headline fields always present, then
+    # as many per-query entries as fit (overflow names live in
+    # BENCH_LOCAL.json, pointed to by "full").
     verbose = {
         "metric": "headline_queries_total",
         "value": total,
@@ -256,14 +259,41 @@ def main() -> None:
             json.dump(verbose, f, indent=1)
     except OSError:
         pass
-    out = {
+    full_line = {
         "queries": {k: round(v, 2) for k, v in timings.items()},
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
         "sf": sf,
     }
-    print(json.dumps(out, separators=(",", ":")))
+    print(json.dumps(full_line, separators=(",", ":")))
+    # Stop Spark BEFORE the final line so no JVM/py4j shutdown output
+    # can trail it on stdout.
+    spark.stop()
+    budget = 1900
+    base = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(timings),
+        "full": "BENCH_LOCAL.json",
+        "queries": {},
+    }
+    line = json.dumps(base, separators=(",", ":"))
+    fitted: dict[str, float] = {}
+    # slowest-first: the entries that matter for a perf read survive
+    for k in sorted(timings, key=lambda k: -timings[k]):
+        trial = dict(fitted)
+        trial[k] = round(timings[k], 2)
+        cand = dict(base, queries=trial)
+        s = json.dumps(cand, separators=(",", ":"))
+        if len(s) > budget:
+            break
+        fitted = trial
+        line = s
+    sys.stdout.flush()
+    print(line, flush=True)
 
 
 if __name__ == "__main__":

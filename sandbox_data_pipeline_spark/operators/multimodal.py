@@ -1335,7 +1335,10 @@ def audio_onsets(media: DataFrame, window_bytes: int = 64, threshold: int = 2000
                 body = np.frombuffer(bytes(blob)[16:], dtype=np.uint8).astype(
                     np.int64
                 )
-                n_win = max(1, (len(body) + window_bytes - 1) // window_bytes)
+                # No floor: an empty audio body yields ZERO windows —
+                # the oracle enumerates existing characters only, so a
+                # synthetic window-0 row would be a Spark-only row.
+                n_win = (len(body) + window_bytes - 1) // window_bytes
                 prev = None
                 for w in range(n_win):
                     seg = body[w * window_bytes : (w + 1) * window_bytes]

@@ -347,16 +347,42 @@ class TxTable:
             # strip "<kv dirs>/<filename>" to recover the commit subdir
             prefix = absp.rsplit("/", len(f.partition) + 1)[0]
             groups.setdefault(prefix, []).append(absp)
-        for prefix in sorted(groups):
-            s = _meta(
-                spark.read.option("basePath", prefix).parquet(
-                    *sorted(groups[prefix])
+        # Partition values come back from the PATH as strings, then
+        # cast to the table schema below — type INFERENCE would turn a
+        # STRING partition value like '01' into int 1 (silent value
+        # corruption). It is a session conf, and partition discovery
+        # runs eagerly inside .parquet(), so toggle it just around the
+        # scan construction.
+        infer_key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+        infer_was = spark.conf.get(infer_key, "true")
+        if groups:
+            spark.conf.set(infer_key, "false")
+        try:
+            part_scans = {
+                prefix: _meta(
+                    spark.read.option("basePath", prefix).parquet(
+                        *sorted(groups[prefix])
+                    )
                 )
-            )
+                for prefix in sorted(groups)
+            }
+        finally:
+            if groups:
+                spark.conf.set(infer_key, infer_was)
+        for prefix in sorted(groups):
+            s = part_scans[prefix]
+            # Schema-evolution backfill, mirroring the .schema(schema)
+            # read on the plain-file path: hive-partitioned files
+            # written BEFORE an add_columns() lack the new field, and
+            # selecting it would raise unresolved-column. NULL-backfill
+            # any schema field absent from the scanned files.
+            present = set(s.columns)
             scans.append(
                 s.select(
                     *[
                         F.col(f.name).cast(f.dataType).alias(f.name)
+                        if f.name in present
+                        else F.lit(None).cast(f.dataType).alias(f.name)
                         for f in schema.fields
                     ],
                     *meta_cols,
@@ -417,6 +443,29 @@ class TxTable:
                 # per-file footer stats the clustering produces
                 df = df.withColumn(c["name"], F.expr(c["expr"]))
                 cols.append(c["name"])
+        # Partition values are recovered from hive directory NAMES as
+        # strings; parse them with the column's DECLARED type (from the
+        # write schema, which includes generated hidden-partition cols)
+        # — numeric-looking STRING values like '01' must stay strings,
+        # or pruning compares str-vs-int and the value silently mutates.
+        part_parse: dict[str, Any] = {}
+        if cols:
+            from pyspark.sql import types as T
+
+            for sf_field in df.schema.fields:
+                if sf_field.name not in cols:
+                    continue
+                dt = sf_field.dataType
+                if isinstance(
+                    dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+                ):
+                    part_parse[sf_field.name] = int
+                elif isinstance(dt, (T.FloatType, T.DoubleType)):
+                    part_parse[sf_field.name] = float
+                elif isinstance(dt, T.BooleanType):
+                    part_parse[sf_field.name] = lambda v: v == "true"
+                else:
+                    part_parse[sf_field.name] = str
         if cols:
             df.repartition(*cols).write.mode("error").partitionBy(*cols).parquet(
                 abs_dir
@@ -436,11 +485,12 @@ class TxTable:
                     part: dict[str, Any] = {}
                     for seg in rel_in_sub.split(os.sep)[:-1]:
                         k, _, v = seg.partition("=")
-                        val: Any = unquote(v)
+                        raw = unquote(v)
+                        parse = part_parse.get(k, str)
                         try:
-                            val = int(val)
+                            val: Any = parse(raw)
                         except ValueError:
-                            pass
+                            val = raw
                         part[k] = val
                     af.partition = part
                     af.spec_id = spec["id"]
@@ -930,8 +980,17 @@ class TxTable:
                 source.select(*cols)
             )
         else:
-            t_side = current.alias("t")
-            s_side = source.select(*cols).alias("s")
+            # Side-presence indicators, NOT key-null tests: a target
+            # row whose key IS NULL never joins (null != anything) and
+            # must classify as target-only, but `t.key IS NULL` would
+            # read it as source-only — dropping it (insert_unmatched=
+            # False) or overwriting every column with the all-NULL
+            # source side (insert_unmatched=True). The lit(1) markers
+            # are null exactly when the row has no counterpart.
+            t_side = current.withColumn("__t_present", F.lit(1)).alias("t")
+            s_side = (
+                source.select(*cols).withColumn("__s_present", F.lit(1)).alias("s")
+            )
             cond = (
                 F.expr(matched_condition)
                 if matched_condition is not None
@@ -940,8 +999,11 @@ class TxTable:
             joined = t_side.join(
                 s_side, F.col(f"t.{key}") == F.col(f"s.{key}"), "full_outer"
             )
-            is_m = F.col(f"t.{key}").isNotNull() & F.col(f"s.{key}").isNotNull()
-            s_only = F.col(f"t.{key}").isNull()
+            is_m = (
+                F.col("t.__t_present").isNotNull()
+                & F.col("s.__s_present").isNotNull()
+            )
+            s_only = F.col("t.__t_present").isNull()
             take_s = (is_m & cond & F.lit(when_matched == "update")) | s_only
             keep = ~(is_m & cond & F.lit(when_matched == "delete"))
             if not insert_unmatched:
@@ -954,6 +1016,11 @@ class TxTable:
                     for c in cols
                 ]
             )
+        # Delta enforces CHECK constraints on ALL write paths,
+        # including MERGE — an updated/inserted row must not land a
+        # violation. One bounded aggregate over the rewritten frame
+        # (scoped to touched files + source, not the table).
+        self._enforce_constraints(merged)
         adds = self._write_data(merged, rv + 1)
         return self._commit(
             "merge",
@@ -1527,6 +1594,9 @@ def replace_where(
             f"replace_where data contains {n_outside} rows outside "
             f"{col} in [{lo}, {hi}]"
         )
+    # CHECK constraints bind on every write path (Delta semantics);
+    # replacement rows are new data and must validate like an append.
+    t._enforce_constraints(df)
     rv = t.latest_version()
     snap = t.snapshot(rv)
     touched = [

@@ -54,14 +54,21 @@ class _CommitFilePartition(InputPartition):
         abs_path: str,
         partition: dict | None = None,
         cols: list | None = None,
+        col_types: dict | None = None,
     ):
         self.version = version
         self.abs_path = abs_path
         # hive partition values for files written under a partition
         # spec: the values are NOT in the file payload and must be
         # re-attached as constant columns, in declared-schema order
+        # and with the DECLARED type (col_types: name -> Spark
+        # simpleString) — letting Arrow infer would hand a pa.int64
+        # column to a declared int32 schema slot, or re-int a STRING
+        # partition value, and the batch would not match the source
+        # schema the driver promised
         self.partition = partition
         self.cols = cols
+        self.col_types = col_types or {}
 
 
 class TxLogStreamReader(DataSourceStreamReader):
@@ -128,6 +135,7 @@ class TxLogStreamReader(DataSourceStreamReader):
                     "append-only stream cannot represent; run "
                     "optimize() to compact them first"
                 )
+            schema_v = t.schema_at(v)
             for a in e.get("add", []):
                 # shallow-clone entries reference files by absolute base
                 parts.append(
@@ -135,7 +143,11 @@ class TxLogStreamReader(DataSourceStreamReader):
                         v,
                         os.path.join(a.get("base", self.path), a["path"]),
                         a.get("partition"),
-                        [f.name for f in t.schema_at(v).fields],
+                        [f.name for f in schema_v.fields],
+                        {
+                            f.name: f.dataType.simpleString()
+                            for f in schema_v.fields
+                        },
                     )
                 )
         return parts
@@ -144,11 +156,23 @@ class TxLogStreamReader(DataSourceStreamReader):
         import pyarrow as pa
         import pyarrow.parquet as pq
 
+        arrow_of = {
+            "tinyint": pa.int8(),
+            "smallint": pa.int16(),
+            "int": pa.int32(),
+            "bigint": pa.int64(),
+            "float": pa.float32(),
+            "double": pa.float64(),
+            "boolean": pa.bool_(),
+            "string": pa.string(),
+            "date": pa.date32(),
+        }
         tbl = pq.read_table(partition.abs_path)
         if partition.partition:
             for k, v in partition.partition.items():
+                ty = arrow_of.get(partition.col_types.get(k))
                 tbl = tbl.append_column(
-                    k, pa.array([v] * tbl.num_rows)
+                    k, pa.array([v] * tbl.num_rows, type=ty)
                 )
             tbl = tbl.select(partition.cols)
         ver = pa.array([partition.version] * tbl.num_rows, type=pa.int64())
