@@ -3,11 +3,14 @@ metadata, with decode / feature-extract / resize / frame-sample as
 Arrow-batched Pandas UDFs over mapInPandas.
 
 The Spark-side plumbing — schemas, partitioning, UDF signatures, batch
-shapes — is real and tested. The actual media decoding is STUBBED: the
-container has no image/audio libraries, so ``decode_media`` raises
-NotImplementedError unless ``fake=True``, in which case a clearly-marked
+shapes — is real and tested, and the package now ships REAL pure-stdlib
+decoders for BMP/PNG/GIF/WAV here, baseline JPEG in operators/jpeg.py,
+and Motion-JPEG AVI in operators/video.py (rounds 4-6). The ONE
+remaining stub is the generic ``decode_media(fake=)`` hook for formats
+outside that set (no Pillow/librosa/pyav in the container): it raises
+NotImplementedError unless ``fake=True``, whose clearly-marked
 deterministic fake derives "pixels" from the content bytes. Swapping in
-Pillow/librosa/pyav means replacing ONE function body; every plan
+a library codec there means replacing one function body; every plan
 around it is unchanged.
 
 Scale notes: media blobs ride in parquet binary columns; mapInPandas

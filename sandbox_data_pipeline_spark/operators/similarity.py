@@ -822,6 +822,92 @@ def heuristic_rerank_batch(a, b):
     return pd.Series([one(x, y) for x, y in zip(a, b)], index=a.index)
 
 
+def _mmr_greedy_pandas(pool: DataFrame, select_k: int, lam: float) -> DataFrame:
+    """Greedy MMR selection per query group over the bounded relevance
+    pool (pool_k rows/query): ONE shuffle on query_id, then the exact
+    sequential algorithm in Python. Arithmetic replicates the JVM plan
+    bit-for-bit: dot products fold left-to-right like aggregate(), and
+    round-to-6dp converts through repr(x) — the shortest round-trip
+    decimal, the same value java BigDecimal(Double.toString(x)) sees —
+    then HALF_UP, so argmax inputs are identical doubles."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import pandas as pd
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    one_minus = 1.0 - lam
+    q6 = Decimal("0.000001")
+
+    def _round(x: float, q: Decimal) -> float:
+        return float(Decimal(repr(x)).quantize(q, rounding=ROUND_HALF_UP))
+
+    def _dot_fold(a, b) -> float:
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        return acc
+
+    def _select(pdf: pd.DataFrame) -> pd.DataFrame:
+        rows = sorted(
+            pdf.itertuples(index=False), key=lambda r: (-r.rel, r.cand_id)
+        )
+        out = []
+        qid = rows[0].query_id
+        first = rows[0]
+        selected = [first]
+        out.append((qid, 1, first.cand_id, first.rel, first.rel))
+        for step in range(2, select_k + 1):
+            best = None
+            for r in rows:
+                if any(s.cand_id == r.cand_id for s in selected):
+                    continue
+                max_sel = max(
+                    _round(
+                        _dot_fold(r.cvec, s.cvec) / (r.cn * s.cn), q6
+                    )
+                    for s in selected
+                )
+                score = _round(lam * r.rel - one_minus * max_sel, q6)
+                key = (-score, r.cand_id)
+                if best is None or key < best[0]:
+                    best = (key, r, score)
+            if best is None:
+                break
+            _, pick, score = best
+            selected.append(pick)
+            out.append((qid, step, pick.cand_id, pick.rel, score))
+        return pd.DataFrame(
+            out,
+            columns=["query_id", "mmr_rank", "cand_id", "relevance", "mmr_score"],
+        )
+
+    id_types = dict(pool.dtypes)
+    id_t = lambda c: LongType() if id_types[c] == "bigint" else IntegerType()
+    schema = StructType(
+        [
+            StructField("query_id", id_t("query_id")),
+            StructField("mmr_rank", IntegerType()),
+            StructField("cand_id", id_t("cand_id")),
+            StructField("relevance", DoubleType()),
+            StructField("mmr_score", DoubleType()),
+        ]
+    )
+    res = pool.groupBy("query_id").applyInPandas(_select, schema)
+    return res.select(
+        "query_id",
+        "mmr_rank",
+        "cand_id",
+        F.round("relevance", 4).alias("relevance"),
+        F.round("mmr_score", 4).alias("mmr_score"),
+    )
+
+
 def mmr_rerank(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -830,6 +916,7 @@ def mmr_rerank(
     lam: float = 0.7,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    impl: str = "pandas",
 ) -> DataFrame:
     """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
     1998): retrieve a top-``pool_k`` relevance pool per query, then
@@ -838,11 +925,17 @@ def mmr_rerank(
     diversity stage of retrieve-then-rerank.
 
     Scale design: the expensive part is the relevance pool (the same
-    broadcast-query scan as brute_force_topk); the greedy loop then
-    runs on pool_k rows/query — ``select_k − 1`` bounded joins whose
-    both sides are (queries × pool_k)-sized, independent of corpus
-    size. Determinism: similarities round to 6 dp BEFORE every argmax
-    and ties break on cand_id, so selection is engine- and
+    broadcast-query scan as brute_force_topk); the greedy selection
+    then touches only pool_k rows/query, independent of corpus size.
+    ``impl="pandas"`` (default) runs it per-query via applyInPandas —
+    ONE shuffle of the tiny pool, sequential greedy loop per group
+    (every per-pair double op replicated bit-for-bit: products/sums in
+    IEEE order, 6-dp HALF_UP rounding via decimal on the exact binary
+    value, exactly java.math.BigDecimal's ROUND on a double).
+    ``impl="joins"`` is the original select_k−1 bounded-join plan —
+    same results (tests pin equivalence); kept as the all-JVM path.
+    Determinism: similarities round to 6 dp BEFORE every argmax and
+    ties break on cand_id, so selection is engine- and
     partition-order-independent (the differential-oracle requirement).
     """
     cand = embeddings.withColumn("_v", as_double_array(vec_col)).select(
@@ -867,8 +960,10 @@ def mmr_rerank(
         sims.withColumn("_r", F.row_number().over(w))
         .where(F.col("_r") <= pool_k)
         .drop("_r")
-        .localCheckpoint(eager=True)  # reused select_k times below
     )
+    if impl == "pandas":
+        return _mmr_greedy_pandas(pool, select_k, lam)
+    pool = pool.localCheckpoint(eager=True)  # reused select_k times below
     first = pool.withColumn("_r", F.row_number().over(w)).where(F.col("_r") == 1)
     selected = first.select(
         "query_id",

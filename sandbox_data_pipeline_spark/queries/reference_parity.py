@@ -330,9 +330,10 @@ def q_city_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_clean_json(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X2/P11: python-repr repair UDF over raw fixture docs — not
-    SQL-expressible (ast.literal_eval), rows-only check; the scalar
-    behavior is pinned by the reference's golden test in
+    """X2/P11: python-repr repair UDF over raw fixture docs. Oracle-
+    backed since round 5 (_clean_json_oracle precomputes the repaired
+    strings driver-side, so DuckDB checks the full output); the scalar
+    behavior is also pinned by the reference's golden test in
     tests/test_ingest.py."""
     raw = [(f"weather:{k}:{hr}", hr, body) for k, hr, body in fixtures.weather_raw_docs()]
     raw.append(("cocktails", fixtures.RUN_HRS[0], fixtures.cocktails_raw()))

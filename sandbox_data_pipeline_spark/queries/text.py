@@ -1926,7 +1926,8 @@ def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the exact count — the oracle-able member of the sketch
     family: every step is integer arithmetic on portable 60-bit
     hashes, so DuckDB replays the ENTIRE sketch (HLL's registers are
-    engine-internal; q_agg_approx stays rows-only for that reason).
+    engine-internal; q_agg_approx is likewise KMV-replayable and
+    oracle-backed since round 5 for the same reason).
     Mergeable at scale: union = k smallest of concatenated sketches
     (two-phase TakeOrdered shape), never a re-scan."""
     from sandbox_data_pipeline_spark.operators.sketch import (

@@ -1336,7 +1336,13 @@ def _bloom_positions_py(value, m: int, k: int) -> list[int]:
     ]
 
 
-def build_bloom_index(t: TxTable, col: str, m: int = 256, k: int = 3) -> int:
+def build_bloom_index(
+    t: TxTable,
+    col: str,
+    m: int = 256,
+    k: int = 3,
+    inline_max_files: int = 10_000,
+) -> int:
     """Index the CURRENT snapshot's files with per-file bloom filters
     over ``col`` — the point-lookup complement of min/max stats, which
     are useless when a high-cardinality key is uncorrelated with the
@@ -1347,10 +1353,17 @@ def build_bloom_index(t: TxTable, col: str, m: int = 256, k: int = 3) -> int:
     commit have no bloom and are conservatively read — re-index on
     whatever cadence compaction runs.
 
-    Scale: m=256/k=3 is 32 bytes/file — a million-file table carries a
-    32 MB index in its log, and a point lookup touches only the files
-    whose bloom passes (expected false-positive rate at n distinct
-    values/file: (1-e^(-kn/m))^k)."""
+    Scale: m=256/k=3 is 32 bytes/file — but a million-file table would
+    still mean a driver-side dict and ONE multi-MB JSON log entry, so
+    above ``inline_max_files`` the per-file bitmaps SPILL to a sidecar
+    parquet under the log dir (outside data/, so vacuum never touches
+    it) and the commit records only the pointer: the log entry stays
+    O(1) and the bitmaps never pass through the driver (executors
+    write the sidecar). Point lookups against a sidecar'd index run as
+    one broadcast-probe aggregation over the sidecar instead of a
+    driver loop. Below the threshold the bitmaps inline in the entry
+    as before (expected false-positive rate at n distinct values/file:
+    (1-e^(-kn/m))^k)."""
     rv = t.latest_version()
     snap = t.snapshot(rv)
     scan = t._scan_adds(list(snap.values()), t.schema_at(rv), with_meta=True)
@@ -1369,14 +1382,16 @@ def build_bloom_index(t: TxTable, col: str, m: int = 256, k: int = 3) -> int:
         .groupBy("fp")
         .agg(F.sort_array(F.collect_set("b")).alias("bits"))
     )
-    files = {r["fp"]: [int(x) for x in r["bits"]] for r in bits.collect()}
-    return t._commit(
-        "bloom_index",
-        [],
-        [],
-        rv,
-        keys_touched={"bloom": {"col": col, "m": m, "k": k, "files": files}},
-    )
+    entry: dict[str, Any] = {"col": col, "m": m, "k": k}
+    if len(snap) > inline_max_files:
+        ref = f"bloom/{uuid.uuid4().hex[:12]}"
+        bits.write.mode("error").parquet(os.path.join(t.log_path, ref))
+        entry["files_ref"] = ref
+    else:
+        entry["files"] = {
+            r["fp"]: [int(x) for x in r["bits"]] for r in bits.collect()
+        }
+    return t._commit("bloom_index", [], [], rv, keys_touched={"bloom": entry})
 
 
 def _bloom_entry_at(t: TxTable, col: str, version: int) -> dict | None:
@@ -1402,6 +1417,23 @@ def files_skipped_bloom(
     if entry is None:
         return {"files_total": len(files), "files_read": len(files)}
     probe = set(_bloom_positions_py(value, entry["m"], entry["k"]))
+    if "files_ref" in entry:
+        # sidecar'd index (large table): probe distributedly — one
+        # aggregation over the sidecar parquet, never a driver dict.
+        # Files missing from the sidecar (added after indexing, or
+        # sidecar rows for since-removed files) resolve via an inner
+        # join against the snapshot's path list.
+        side = t.spark.read.parquet(os.path.join(t.log_path, entry["files_ref"]))
+        snap_df = t.spark.createDataFrame(
+            [(p,) for p in files], "fp string"
+        )
+        probe_arr = F.array(*[F.lit(int(b)) for b in sorted(probe)])
+        joined = snap_df.join(side, "fp", "left")
+        kept = joined.where(
+            F.col("bits").isNull()
+            | (F.size(F.array_except(probe_arr, F.col("bits"))) == 0)
+        ).count()
+        return {"files_total": len(files), "files_read": kept}
     kept = 0
     for p in files:
         bl = entry["files"].get(p)

@@ -177,3 +177,54 @@ def test_audio_corpus_within_oracle_enumeration_bound(spark):
         docs = spark.read.parquet(p).where("doc_id % 3 = 1")
         bad = docs.where("n_chars <= 0 OR n_chars > 65536").count()
         assert bad == 0, f"{sf}: {bad} audio docs outside (0, 65536]"
+
+
+def test_bloom_index_sidecar_above_threshold(spark, tmp_path):
+    """Above inline_max_files the per-file bitmaps spill to a sidecar
+    parquet under the log dir (never the vacuumable data dir) and the
+    commit entry carries only the pointer; point lookups give the same
+    answer through the distributed probe as through the inline dict."""
+    import os
+
+    from sandbox_data_pipeline_spark.sinks.txlog import (
+        build_bloom_index,
+        files_skipped_bloom,
+    )
+
+    df = (
+        spark.range(0, 400)
+        .select(F.col("id").alias("u"), (F.col("id") * 3).alias("v"))
+        .repartitionByRange(4, "u")
+    )
+    t = TxTable.create(spark, str(tmp_path / "tbl"), df)
+    n_files = len(t.snapshot())
+    assert n_files >= 2
+
+    # force the sidecar path with a tiny threshold
+    build_bloom_index(t, "u", inline_max_files=1)
+    entry = t._read_entry(t.latest_version())["keys_touched"]["bloom"]
+    assert "files_ref" in entry and "files" not in entry
+    side_dir = os.path.join(t.log_path, entry["files_ref"])
+    assert os.path.isdir(side_dir)
+    # log entry stays O(1): no bitmap payload inline
+    assert len(str(entry)) < 200
+
+    r_hit = files_skipped_bloom(t, "u", 7)
+    r_miss = files_skipped_bloom(t, "u", 424242)
+    assert r_hit["files_total"] == n_files
+    assert 1 <= r_hit["files_read"] <= n_files
+    # a never-present key prunes at least as hard as a present one
+    assert r_miss["files_read"] <= r_hit["files_read"]
+
+    # inline path on an identical table agrees
+    t2 = TxTable.create(spark, str(tmp_path / "tbl2"), df)
+    build_bloom_index(t2, "u")  # default threshold -> inline
+    e2 = t2._read_entry(t2.latest_version())["keys_touched"]["bloom"]
+    assert "files" in e2
+    assert files_skipped_bloom(t2, "u", 7) == r_hit
+    assert files_skipped_bloom(t2, "u", 424242) == r_miss
+
+    # vacuum must never delete the sidecar (it lives under the log dir)
+    t.vacuum(retain_versions=1, retain_seconds=0)
+    assert os.path.isdir(side_dir)
+    assert files_skipped_bloom(t, "u", 7) == r_hit

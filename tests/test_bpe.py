@@ -144,3 +144,45 @@ def test_bpe_encode_matches_pure_python(spark):
             n_docs, n_tokens, n_chars,
         ), lang
         assert float(r["fertility"]) > 0
+
+
+def test_local_and_distributed_learners_agree(spark, sf_dir):
+    """bpe_merges has two execution paths — driver-side learning on the
+    collected vocab (default, vocab fits) and the fully distributed
+    per-round loop (driver_vocab_max=0 forces it). Same corpus, same
+    merge table, byte for byte."""
+    from sandbox_data_pipeline_spark.catalog import table
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    local = bpe_merges(docs, n_merges=5).collect()
+    dist = bpe_merges(docs, n_merges=5, driver_vocab_max=0).collect()
+    as_tuples = lambda rows: [
+        (r["merge_rank"], r["sym_a"], r["sym_b"], r["pair_count"]) for r in rows
+    ]
+    assert as_tuples(local) == as_tuples(dist)
+    assert len(local) == 5
+
+
+def test_pandas_segmentation_matches_expr_chain(spark, sf_dir):
+    """impl='pandas' (iterative lowest-rank encode, the k≈50k
+    production knob) must produce the identical segmentation to the
+    literal expression chain on a LEARNED merge table — the case where
+    the two procedures are provably equivalent."""
+    from sandbox_data_pipeline_spark.catalog import table
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text").limit(50)
+    merges = [
+        (r["sym_a"], r["sym_b"])
+        for r in bpe_merges(docs, n_merges=8).orderBy("merge_rank").collect()
+    ]
+    assert merges
+    a = {
+        r["doc_id"]: (list(r["bpe_tokens"]), r["n_bpe_tokens"])
+        for r in bpe_segment(docs, merges, impl="expr").collect()
+    }
+    b = {
+        r["doc_id"]: (list(r["bpe_tokens"]), r["n_bpe_tokens"])
+        for r in bpe_segment(docs, merges, impl="pandas").collect()
+    }
+    assert a == b
+    assert len(a) == 50

@@ -313,3 +313,27 @@ def test_hybrid_rrf_fuses_both_lists(spark):
     only = [r for r in rows if (r["lex_rank"] is None) ^ (r["sem_rank"] is None)]
     if both and only:
         assert max(b["rrf"] for b in both) > min(o["rrf"] for o in only)
+
+
+def test_mmr_pandas_and_joins_paths_agree(spark, sf_dir):
+    """mmr_rerank has two selection backends — applyInPandas greedy
+    (default; one shuffle of the bounded pool) and the original
+    bounded-join plan. Same pool, same selections, same rounded
+    scores: the pandas path replicates the JVM double arithmetic
+    (left-fold dots, repr-based HALF_UP rounding) exactly."""
+    from sandbox_data_pipeline_spark.catalog import table
+    from sandbox_data_pipeline_spark.operators.similarity import mmr_rerank
+    from sandbox_data_pipeline_spark.queries.similarity import _queries_df
+
+    emb = table(spark, sf_dir, "embeddings")
+    qd = _queries_df(spark, sf_dir)
+    a = {
+        tuple(r)
+        for r in mmr_rerank(emb, qd, 10, 3, 0.7, impl="joins").collect()
+    }
+    b = {
+        tuple(r)
+        for r in mmr_rerank(emb, qd, 10, 3, 0.7, impl="pandas").collect()
+    }
+    assert a == b
+    assert len(a) > 0
