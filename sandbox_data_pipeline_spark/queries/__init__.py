@@ -93,6 +93,7 @@ DRIVER_PRIORITY = (
     # ---- end of graded head (50) ----
     # Remaining never-driver-sampled queries, next in line if the
     # driver grades past 50 (and round 8's head if it does not):
+    "q_orc_interchange",
     "q_activity_heatmap",
     "q_bloom_prefilter",
     "q_budget_select",

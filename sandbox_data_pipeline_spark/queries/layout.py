@@ -441,3 +441,99 @@ FROM cls
 GROUP BY grp
 """
 QUERIES["q_ingest_quarantine"] = q_ingest_quarantine
+
+
+def q_orc_interchange(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Columnar-format interchange proof, the ORC sibling of
+    q_csv_interchange: synthesize every rich type a warehouse handoff
+    carries — array<double>, nested struct, decimal(18,4), binary,
+    timestamp_ntz — write it to ORC (Spark's second built-in columnar
+    format), read it back through a DECLARED schema, and aggregate the
+    round-tripped values. The oracle computes identical aggregates
+    straight from parquet, so a hash match proves ORC's type mapping
+    is lossless end to end — the check a 100 TB migration between ORC
+    and parquet estates needs before trusting the copy. Array sums are
+    dyadic rationals (k/4 + k/8), so double addition is exact and
+    association-independent on both engines; the decimal column pins
+    exact fixed-point transport; binary length pins byte fidelity."""
+    import shutil
+    import tempfile
+
+    docs = table(spark, sf_dir, "documents")
+    slice_df = docs.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.expr(
+            "array(CAST(doc_id % 7 AS DOUBLE)/4, CAST(doc_id % 11 AS DOUBLE)/8)"
+        ).alias("vec"),
+        F.struct(
+            F.col("source").alias("s"),
+            (F.col("doc_id") % 5).alias("b"),
+        ).alias("meta"),
+        F.expr(
+            "CAST(doc_id % 10000 AS DECIMAL(18,4)) + CAST(0.1234 AS DECIMAL(18,4))"
+        ).alias("price"),
+        F.encode(F.col("source"), "UTF-8").alias("bin"),
+        F.expr(
+            "timestamp_ntz'2021-01-01 00:00:00'"
+            " + make_dt_interval(0, 0, 0, CAST(doc_id % 86400 AS INT))"
+        ).alias("ts"),
+    )
+    tmp = tempfile.mkdtemp(prefix="orcx_")
+    try:
+        path = f"{tmp}/documents_orc"
+        slice_df.write.mode("overwrite").orc(path)
+        schema = (
+            "doc_id BIGINT, lang STRING, n_chars BIGINT,"
+            " vec ARRAY<DOUBLE>, meta STRUCT<s: STRING, b: BIGINT>,"
+            " price DECIMAL(19,4), bin BINARY, ts TIMESTAMP_NTZ"
+        )
+        back = spark.read.schema(schema).orc(path)
+        out = back.groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.sum(
+                F.expr("aggregate(vec, 0D, (acc, v) -> acc + v)")
+            ).alias("vec_sum"),
+            F.sum("meta.b").alias("meta_b_sum"),
+            F.countDistinct("meta.s").alias("n_meta_s"),
+            F.sum("price").alias("price_sum"),
+            F.sum(F.length("bin")).alias("bin_bytes"),
+            F.min("ts").alias("min_ts"),
+            F.max("ts").alias("max_ts"),
+        )
+        # localCheckpoint RETURNS the materialized frame — the temp
+        # ORC dir is gone once this function exits
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+ORACLE["q_orc_interchange"] = """
+WITH src AS (
+  SELECT doc_id, lang, n_chars,
+         CAST(doc_id % 7 AS DOUBLE)/4 + CAST(doc_id % 11 AS DOUBLE)/8 AS vsum,
+         doc_id % 5 AS mb,
+         source AS ms,
+         CAST(doc_id % 10000 AS DECIMAL(18,4))
+           + CAST(0.1234 AS DECIMAL(18,4)) AS price,
+         octet_length(encode(source)) AS bl,
+         TIMESTAMP '2021-01-01 00:00:00'
+           + (doc_id % 86400) * INTERVAL 1 SECOND AS ts
+  FROM documents
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       SUM(vsum) AS vec_sum,
+       CAST(SUM(mb) AS BIGINT) AS meta_b_sum,
+       CAST(COUNT(DISTINCT ms) AS BIGINT) AS n_meta_s,
+       SUM(price) AS price_sum,
+       CAST(SUM(bl) AS BIGINT) AS bin_bytes,
+       MIN(ts) AS min_ts,
+       MAX(ts) AS max_ts
+FROM src
+GROUP BY lang
+"""
+QUERIES["q_orc_interchange"] = q_orc_interchange
