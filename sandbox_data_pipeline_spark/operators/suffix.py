@@ -1,0 +1,257 @@
+"""Distributed suffix-array construction by prefix doubling — the
+EXACT repeated-substring machinery behind suffix-array corpus dedup
+(Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+Better"), on DataFrames.
+
+The anchored/CDC span dedup (queries/dedup.py) is the approximate
+production path; this is the exact one: rank every suffix of every
+document globally, then adjacent suffixes in rank order with a long
+common prefix ARE the repeated substrings — maximal repeats of ANY
+length fall out of one pass over the rank-adjacent pairs, where n-gram
+methods see only fixed lengths.
+
+Algorithm (Manber-Myers prefix doubling, log L rounds):
+  round 0: rank(pos) = codepoint of the character at pos;
+  round k: re-rank by the pair (rank[pos], rank[pos + 2^k]) — after
+  round k, ranks order suffixes by their first 2^(k+1) characters.
+Every round is three bounded shuffles on the position table:
+  1. the pair partner rank[pos + 2^k] is a LEAD window inside each
+     document (positions of one doc are co-partitioned) — no join;
+  2. a GLOBAL row_number over (rank, partner, doc, pos) via the
+     two-phase range rank below — never a single-partition sort;
+  3. equal pairs collapse to one rank (MIN of the row numbers over a
+     (rank, partner) window), keeping ranks equal-for-equal-keys and
+     order-preserving (density is not required by the algorithm).
+At 100 TB this is the textbook terascale construction: log L rounds of
+distributed sorts of the (corpus-length) position table, every step
+hash- or range-partitioned, nothing driver-side but the round counter.
+
+Determinism: tie-breaks are total ((rank, partner, doc_id, pos) is
+unique), so the resulting ranks are partition-count-independent — the
+differential-oracle requirement (DuckDB sorts the suffix STRINGS
+directly; the two must agree row for row).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def global_row_number(
+    df: DataFrame,
+    order_cols: list[str],
+    out: str = "rn",
+    num_parts: int | None = None,
+) -> DataFrame:
+    """Global 1-based row_number over ``order_cols`` WITHOUT a
+    single-partition sort: range-repartition on the (unique) ordering
+    tuple, rank locally within each range partition, then add the
+    per-partition offsets (a frame bounded by the partition count, not
+    the data). The ordering tuple MUST be unique per row — callers
+    append tie-break columns to guarantee it. ``num_parts`` sizes the
+    range exchange to the data (task-scheduling overhead dominates on
+    small frames; at scale pass None for the session default)."""
+    if num_parts is not None:
+        d = df.repartitionByRange(num_parts, *order_cols)
+    else:
+        d = df.repartitionByRange(*order_cols)
+    d = d.withColumn("_pid", F.spark_partition_id())
+    if num_parts is not None:
+        # pre-shape the window's exchange: HashPartitioning(_pid,
+        # num_parts) satisfies the window's distribution, so Spark
+        # reuses it instead of inserting a session-default-sized one
+        d = d.repartition(num_parts, "_pid")
+    w = Window.partitionBy("_pid").orderBy(*order_cols)
+    d = d.withColumn("_lrn", F.row_number().over(w))
+    counts = d.groupBy("_pid").agg(F.count(F.lit(1)).alias("_c"))
+    # unpartitioned window over the COUNTS frame only — bounded by the
+    # shuffle partition count (hundreds), never by data size; the
+    # WindowExec single-partition warning it triggers is cosmetic
+    wo = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = counts.withColumn(
+        "_off", F.coalesce(F.sum("_c").over(wo), F.lit(0))
+    ).select("_pid", "_off")
+    return (
+        d.join(F.broadcast(offs), "_pid")
+        .withColumn(out, (F.col("_lrn") + F.col("_off")).cast("long"))
+        .drop("_pid", "_lrn", "_off")
+    )
+
+
+def _is_ascii(docs: DataFrame, text_col: str) -> bool:
+    """One bounded probe: does any document carry a codepoint > 127?
+    Drives the 8-char packed-rank fast path (ASCII fits 7 bits)."""
+    return (
+        docs.where(F.col(text_col).rlike("[^\\x00-\\x7F]")).limit(1).count()
+        == 0
+    )
+
+
+def suffix_positions(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_len: int = 128,
+) -> DataFrame:
+    """(doc_id, pos, ch) for every position of the (truncated) text —
+    the working table of the construction. ``max_len`` bounds the
+    suffix horizon: ranks order suffixes by their first ``max_len``
+    characters, which also caps the doubling rounds at ceil(log2)."""
+    trunc = F.substring(F.col(text_col), 1, max_len)
+    chars = F.filter(F.split(trunc, ""), lambda c: c != F.lit(""))
+    return docs.select(
+        F.col(id_col).alias("doc_id"), F.posexplode(chars).alias("pos", "ch")
+    )
+
+
+def suffix_array(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_len: int = 128,
+) -> DataFrame:
+    """(doc_id, pos, sa_rank): the global suffix array of the corpus,
+    suffixes compared on their first ``max_len`` characters with
+    (doc_id, pos) as the total tie-break — identical to sorting the
+    suffix strings directly (the oracle's formulation)."""
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    # Initial rank: the first EIGHT characters packed into one long
+    # (7 bits per ASCII codepoint x 8 = 56 bits) — monotone w.r.t. the
+    # 8-char prefix order, with 0-padding beyond the suffix end
+    # sorting first (shorter suffix before its extensions, matching
+    # string order). Computed straight off the text at explode time —
+    # a NARROW projection, no window, no shuffle — and it halves the
+    # doubling rounds: h starts at 8, so max_len=128 takes 4 rounds,
+    # not 7. Non-ASCII input (codepoint > 127) falls back to per-char
+    # init, correct at any alphabet.
+    trunc = F.substring(F.col(text_col), 1, max_len)
+    chars = F.filter(F.split(trunc, ""), lambda c: c != F.lit(""))
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        trunc.alias("_t"),
+        F.posexplode(chars).alias("pos", "ch"),
+    )
+    if _is_ascii(docs, text_col):
+        pack = None
+        for i in range(8):
+            c = F.coalesce(
+                F.ascii(F.substring(F.col("_t"), F.col("pos") + 1 + i, 1)),
+                F.lit(0),
+            ).cast("long") * F.lit(1 << (49 - 7 * i))
+            pack = c if pack is None else pack + c
+        h = 8
+    else:
+        pack = F.ascii("ch").cast("long")
+        h = 1
+    cur = base.select("doc_id", "pos", pack.alias("rank")).localCheckpoint(
+        eager=True
+    )
+    n_rows = cur.count()  # checkpointed: a metadata-cheap action
+    # size the range exchanges to the data — ~50k rows per task floor;
+    # at corpus scale this recovers the session's shuffle parallelism
+    parts = max(4, min(int(n_rows // 50_000) + 1, 2048))
+    while h < max_len:
+        stepped = cur.repartition(parts, "doc_id").withColumn(
+            "r2", F.coalesce(F.lead("rank", h).over(wd), F.lit(-1))
+        )
+        numbered = global_row_number(
+            stepped, ["rank", "r2", "doc_id", "pos"], out="_grn",
+            num_parts=parts,
+        )
+        last_round = h * 2 >= max_len
+        if last_round:
+            # the last round's row_number over (rank, r2, doc, pos) IS
+            # the final suffix order: ranks order by the first h chars,
+            # partners extend to 2h >= max_len, and (doc, pos) is the
+            # declared total tie-break — no key-collapse or extra
+            # ranking pass needed
+            return numbered.select(
+                "doc_id", "pos", F.col("_grn").alias("sa_rank")
+            )
+        wk = Window.partitionBy("rank", "r2")
+        cur = (
+            numbered.repartition(parts, "rank", "r2")
+            .withColumn("_kr", F.min("_grn").over(wk))
+            .select("doc_id", "pos", F.col("_kr").alias("rank"))
+            # EAGER: flatten the 3-shuffle round's lineage so round k+1
+            # never replays rounds 1..k (the iterative-operator
+            # discipline every loop here follows)
+            .localCheckpoint(eager=True)
+        )
+        h *= 2
+    # max_len <= h already at entry (tiny horizons): rank by the packed
+    # prefix alone, tie-broken (doc, pos)
+    return global_row_number(
+        cur, ["rank", "doc_id", "pos"], out="sa_rank", num_parts=parts
+    ).select("doc_id", "pos", "sa_rank")
+
+
+def lcp_expr(a: str, b: str) -> Column:
+    """Length of the common prefix of two string columns, as one
+    codegen expression: zip the character arrays, find the first
+    mismatch position. Positions beyond the shorter string zip against
+    NULL (never FALSE), so a full-prefix match correctly falls through
+    to least(length, length)."""
+    return F.coalesce(
+        F.nullif(
+            F.array_position(
+                F.zip_with(
+                    F.filter(F.split(F.col(a), ""), lambda c: c != F.lit("")),
+                    F.filter(F.split(F.col(b), ""), lambda c: c != F.lit("")),
+                    lambda x, y: x == y,
+                ),
+                F.lit(False),
+            ),
+            F.lit(0),
+        )
+        - 1,
+        F.least(F.length(a), F.length(b)),
+    ).cast("int")
+
+
+def repeated_substrings(
+    docs: DataFrame,
+    min_lcp: int = 20,
+    top_k: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_len: int = 128,
+) -> DataFrame:
+    """Exact repeated substrings via the suffix array: adjacent
+    suffixes in rank order sharing a common prefix >= ``min_lcp``
+    chars are repeats (of that exact length — maximal repeats, not
+    fixed n-grams). Emits the ``top_k`` longest, deterministically
+    ordered (lcp desc, sa_rank asc):
+    (sa_rank, doc_id, pos, next_doc, next_pos, lcp).
+
+    Scale: the SA build is the dominant cost (log L rounds, see
+    module docstring); the LCP pass is ONE self-join on sa_rank+1 —
+    a hash join on a unique key, never a window over the whole array —
+    and the top-k is a TakeOrdered heap, no global sort."""
+    sa = suffix_array(docs, text_col, id_col, max_len)
+    trunc = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.substring(F.col(text_col), 1, max_len).alias("_t"),
+    )
+    with_suf = sa.join(trunc, "doc_id").select(
+        "sa_rank",
+        "doc_id",
+        "pos",
+        F.expr(f"substring(_t, pos + 1, {max_len})").alias("suf"),
+    )
+    nxt = with_suf.select(
+        (F.col("sa_rank") - 1).alias("sa_rank"),
+        F.col("doc_id").alias("next_doc"),
+        F.col("pos").alias("next_pos"),
+        F.col("suf").alias("next_suf"),
+    )
+    pairs = with_suf.join(nxt, "sa_rank").withColumn(
+        "lcp", lcp_expr("suf", "next_suf")
+    )
+    return (
+        pairs.where(F.col("lcp") >= min_lcp)
+        .select("sa_rank", "doc_id", "pos", "next_doc", "next_pos", "lcp")
+        .orderBy(F.col("lcp").desc(), "sa_rank")
+        .limit(top_k)
+    )

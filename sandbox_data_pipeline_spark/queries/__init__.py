@@ -94,6 +94,7 @@ DRIVER_PRIORITY = (
     # Remaining never-driver-sampled queries, next in line if the
     # driver grades past 50 (and round 8's head if it does not):
     "q_orc_interchange",
+    "q_suffix_repeats",
     "q_activity_heatmap",
     "q_bloom_prefilter",
     "q_budget_select",

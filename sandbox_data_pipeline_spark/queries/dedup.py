@@ -1452,3 +1452,89 @@ FROM labels GROUP BY 1
 
 QUERIES["q_entity_resolution"] = q_entity_resolution
 ORACLE["q_entity_resolution"] = _oracle_entity_resolution()
+
+
+SUFFIX_DOC_MOD = 5  # deterministic corpus subset: doc_id % 5 = 0
+SUFFIX_MAX_LEN = 128
+SUFFIX_MIN_LCP = 20
+SUFFIX_TOP_K = 50
+
+
+def q_suffix_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT repeated-substring detection via a distributed suffix
+    array (Manber-Myers prefix doubling, log L rounds of bounded
+    shuffles — operators/suffix.py): adjacent suffixes in global rank
+    order with a common prefix >= 20 chars ARE the corpus's maximal
+    repeats, of any length — the exact method behind suffix-array
+    training-data dedup (Lee et al. 2022), where the anchored-CDC
+    span query is the approximate production path. The oracle sorts
+    the suffix STRINGS directly, so a hash match proves the doubling
+    construction reproduces the true lexicographic suffix order rank
+    for rank."""
+    from sandbox_data_pipeline_spark.operators.suffix import (
+        repeated_substrings,
+    )
+
+    docs = (
+        table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % SUFFIX_DOC_MOD == 0)
+        .select("doc_id", "text")
+    )
+    return repeated_substrings(
+        docs,
+        min_lcp=SUFFIX_MIN_LCP,
+        top_k=SUFFIX_TOP_K,
+        max_len=SUFFIX_MAX_LEN,
+    )
+
+
+ORACLE["q_suffix_repeats"] = f"""
+WITH d AS (
+  SELECT doc_id, substr(text, 1, {SUFFIX_MAX_LEN}) AS t
+  FROM documents WHERE doc_id % {SUFFIX_DOC_MOD} = 0
+),
+pos AS (
+  SELECT doc_id, CAST(r.range AS INTEGER) AS p,
+         substr(t, CAST(r.range AS INTEGER) + 1) AS suf
+  FROM d CROSS JOIN range(0, {SUFFIX_MAX_LEN}) r
+  WHERE r.range < length(t)
+),
+ranked AS (
+  SELECT doc_id, p, suf,
+         row_number() OVER (ORDER BY suf, doc_id, p) AS sa_rank
+  FROM pos
+),
+pairs AS (
+  SELECT a.sa_rank, a.doc_id, a.p AS pos,
+         b.doc_id AS next_doc, b.p AS next_pos,
+         -- nullif: DuckDB list_position returns 0 (not NULL) when the
+         -- element is absent — i.e. when one suffix is a full prefix
+         -- of the other, exactly the longest repeats
+         CAST(coalesce(
+           nullif(
+             list_position(
+               list_transform(
+                 range(1, least(length(a.suf), length(b.suf)) + 1),
+                 i -> substr(a.suf, CAST(i AS INTEGER), 1)
+                      = substr(b.suf, CAST(i AS INTEGER), 1)
+               ),
+               false
+             ),
+             0
+           ) - 1,
+           least(length(a.suf), length(b.suf))
+         ) AS INTEGER) AS lcp
+  FROM ranked a JOIN ranked b ON b.sa_rank = a.sa_rank + 1
+)
+SELECT CAST(sa_rank AS BIGINT) AS sa_rank,
+       CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(pos AS INTEGER) AS pos,
+       CAST(next_doc AS BIGINT) AS next_doc,
+       CAST(next_pos AS INTEGER) AS next_pos,
+       lcp
+FROM pairs
+WHERE lcp >= {SUFFIX_MIN_LCP}
+ORDER BY lcp DESC, sa_rank
+LIMIT {SUFFIX_TOP_K}
+"""
+QUERIES["q_suffix_repeats"] = q_suffix_repeats
