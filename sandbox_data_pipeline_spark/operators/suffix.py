@@ -255,3 +255,90 @@ def repeated_substrings(
         .orderBy(F.col("lcp").desc(), "sa_rank")
         .limit(top_k)
     )
+
+
+def duplicate_spans(
+    docs: DataFrame,
+    min_len: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_len: int = 128,
+) -> DataFrame:
+    """Per-document EXACT duplicate spans — the actionable dedup
+    surface of the suffix array (what Lee et al. cut from training
+    corpora): every position covered by a substring of >= ``min_len``
+    chars that occurs elsewhere in the corpus, merged into maximal
+    (doc_id, span_start, span_end, span_len) intervals.
+
+    Rank-adjacent suffix pairs with lcp >= min_len mark BOTH sides'
+    intervals [pos, pos+lcp); a run of k equal-prefix suffixes chains
+    through adjacency, so every occurrence is marked. Interval merge
+    is the gaps-and-islands pattern per document: running max of span
+    ends (window ordered by start), island starts where a span begins
+    past it, islands aggregated to maximal spans — all windows
+    partitioned by doc_id, no global sort."""
+    sa = suffix_array(docs, text_col, id_col, max_len)
+    trunc = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.substring(F.col(text_col), 1, max_len).alias("_t"),
+    )
+    with_suf = sa.join(trunc, "doc_id").select(
+        "sa_rank",
+        "doc_id",
+        "pos",
+        F.expr(f"substring(_t, pos + 1, {max_len})").alias("suf"),
+    )
+    nxt = with_suf.select(
+        (F.col("sa_rank") - 1).alias("sa_rank"),
+        F.col("doc_id").alias("next_doc"),
+        F.col("pos").alias("next_pos"),
+        F.col("suf").alias("next_suf"),
+    )
+    pairs = (
+        with_suf.join(nxt, "sa_rank")
+        .withColumn("lcp", lcp_expr("suf", "next_suf"))
+        .where(F.col("lcp") >= min_len)
+    )
+    ivals = (
+        pairs.select(
+            "doc_id", F.col("pos").alias("s"), (F.col("pos") + F.col("lcp")).alias("e")
+        )
+        .unionByName(
+            pairs.select(
+                F.col("next_doc").alias("doc_id"),
+                F.col("next_pos").alias("s"),
+                (F.col("next_pos") + F.col("lcp")).alias("e"),
+            )
+        )
+        .distinct()
+    )
+    wo = (
+        Window.partitionBy("doc_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wi = Window.partitionBy("doc_id").orderBy("s", "e")
+    spans = (
+        ivals.withColumn("_pm", F.max("e").over(wo))
+        .withColumn(
+            "_new",
+            F.when(
+                F.col("_pm").isNull() | (F.col("s") > F.col("_pm")), 1
+            ).otherwise(0),
+        )
+        .withColumn("_gid", F.sum("_new").over(wi))
+        .groupBy("doc_id", "_gid")
+        .agg(
+            F.min("s").alias("span_start"),
+            F.max("e").alias("span_end"),
+        )
+        .select(
+            "doc_id",
+            F.col("span_start").cast("int").alias("span_start"),
+            F.col("span_end").cast("int").alias("span_end"),
+            (F.col("span_end") - F.col("span_start"))
+            .cast("int")
+            .alias("span_len"),
+        )
+    )
+    return spans

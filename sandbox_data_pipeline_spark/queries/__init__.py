@@ -95,6 +95,7 @@ DRIVER_PRIORITY = (
     # driver grades past 50 (and round 8's head if it does not):
     "q_orc_interchange",
     "q_suffix_repeats",
+    "q_suffix_dedup_spans",
     "q_activity_heatmap",
     "q_bloom_prefilter",
     "q_budget_select",

@@ -1538,3 +1538,91 @@ ORDER BY lcp DESC, sa_rank
 LIMIT {SUFFIX_TOP_K}
 """
 QUERIES["q_suffix_repeats"] = q_suffix_repeats
+
+
+def q_suffix_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The actionable dedup surface of the suffix array: per-document
+    maximal spans covered by >= 20-char substrings that occur
+    elsewhere in the corpus (what suffix-array dedup cuts from
+    training text). operators/suffix.py: duplicate_spans."""
+    from sandbox_data_pipeline_spark.operators.suffix import duplicate_spans
+
+    docs = (
+        table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % SUFFIX_DOC_MOD == 0)
+        .select("doc_id", "text")
+    )
+    return duplicate_spans(
+        docs, min_len=SUFFIX_MIN_LCP, max_len=SUFFIX_MAX_LEN
+    )
+
+
+ORACLE["q_suffix_dedup_spans"] = f"""
+WITH d AS (
+  SELECT doc_id, substr(text, 1, {SUFFIX_MAX_LEN}) AS t
+  FROM documents WHERE doc_id % {SUFFIX_DOC_MOD} = 0
+),
+pos AS (
+  SELECT doc_id, CAST(r.range AS INTEGER) AS p,
+         substr(t, CAST(r.range AS INTEGER) + 1) AS suf
+  FROM d CROSS JOIN range(0, {SUFFIX_MAX_LEN}) r
+  WHERE r.range < length(t)
+),
+ranked AS (
+  SELECT doc_id, p, suf,
+         row_number() OVER (ORDER BY suf, doc_id, p) AS sa_rank
+  FROM pos
+),
+pairs AS (
+  SELECT a.doc_id, a.p AS pos, b.doc_id AS next_doc, b.p AS next_pos,
+         CAST(coalesce(
+           nullif(
+             list_position(
+               list_transform(
+                 range(1, least(length(a.suf), length(b.suf)) + 1),
+                 i -> substr(a.suf, CAST(i AS INTEGER), 1)
+                      = substr(b.suf, CAST(i AS INTEGER), 1)
+               ),
+               false
+             ),
+             0
+           ) - 1,
+           least(length(a.suf), length(b.suf))
+         ) AS INTEGER) AS lcp
+  FROM ranked a JOIN ranked b ON b.sa_rank = a.sa_rank + 1
+),
+ivals AS (
+  SELECT DISTINCT doc_id, s, e FROM (
+    SELECT doc_id, pos AS s, pos + lcp AS e FROM pairs
+    WHERE lcp >= {SUFFIX_MIN_LCP}
+    UNION ALL
+    SELECT next_doc AS doc_id, next_pos AS s, next_pos + lcp AS e
+    FROM pairs WHERE lcp >= {SUFFIX_MIN_LCP}
+  )
+),
+ord AS (
+  SELECT doc_id, s, e,
+         max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS pm
+  FROM ivals
+),
+isl AS (
+  SELECT doc_id, s, e,
+         CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END AS new_i
+  FROM ord
+),
+grp AS (
+  SELECT doc_id, s, e,
+         sum(new_i) OVER (PARTITION BY doc_id ORDER BY s, e
+                          ROWS UNBOUNDED PRECEDING) AS gid
+  FROM isl
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(MIN(s) AS INTEGER) AS span_start,
+       CAST(MAX(e) AS INTEGER) AS span_end,
+       CAST(MAX(e) - MIN(s) AS INTEGER) AS span_len
+FROM grp
+GROUP BY doc_id, gid
+"""
+QUERIES["q_suffix_dedup_spans"] = q_suffix_dedup_spans

@@ -98,3 +98,35 @@ def test_suffix_array_partition_independent(spark):
         for r in suffix_array(docs.repartition(7), max_len=16).collect()
     }
     assert a == b
+
+
+def test_duplicate_spans_merge_and_cover(spark):
+    from sandbox_data_pipeline_spark.operators.suffix import duplicate_spans
+
+    # doc 0 and doc 1 share a 27-char substring (the alphabet plus the
+    # following space, present in both); doc 2 is unique
+    shared = "abcdefghijklmnopqrstuvwxyz"
+    texts = [
+        "PREFIX " + shared + " TAIL0",
+        shared + " other words here",
+        "completely different content",
+    ]
+    spans = duplicate_spans(
+        _docs(spark, texts), min_len=20, max_len=64
+    ).collect()
+    by_doc = {}
+    for r in spans:
+        by_doc.setdefault(r["doc_id"], []).append(
+            (r["span_start"], r["span_end"], r["span_len"])
+        )
+    # the shared block is covered in both docs, nothing in doc 2
+    assert 2 not in by_doc
+    (s0,) = by_doc[0]
+    (s1,) = by_doc[1]
+    assert s0 == (7, 7 + 27, 27)
+    assert s1 == (0, 27, 27)
+    # spans are disjoint and sorted per doc by construction
+    for doc, sp in by_doc.items():
+        sp = sorted(sp)
+        for (a1, b1, _), (a2, b2, _) in zip(sp, sp[1:]):
+            assert b1 < a2
