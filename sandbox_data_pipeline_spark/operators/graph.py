@@ -112,6 +112,104 @@ def pagerank(
     )
 
 
+def label_propagation(
+    edges: DataFrame,
+    iterations: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Fixed-iteration synchronous label propagation (Raghavan et al.
+    2007) — community detection on a pair graph. Each node starts
+    labeled with its own id; per round every node adopts the most
+    frequent label among its neighbors PLUS its own current label
+    (the self-vote damps the 2-cycle oscillation synchronous LPA is
+    known for), ties broken on the smallest label. Fully integer
+    arithmetic, so the result is bit-identical across engines and
+    partitionings.
+
+    Scale: one edge-vs-labels join (both hash-partitioned on the node
+    id) and one (node, label) groupBy per round; iterations are a
+    small fixed constant. The labels frame is referenced twice per
+    round (neighbor votes + self vote), so lineage is cut every
+    round — the pagerank/hits discipline.
+
+    Returns (node, label) after ``iterations`` rounds.
+    """
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    edges = edges.localCheckpoint(eager=False)
+    e = edges.select(F.col(src).alias("e_src"), F.col(dst).alias("node"))
+    labels = (
+        edges.select(F.col(src).alias("node"))
+        .unionByName(edges.select(F.col(dst).alias("node")))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(iterations):
+        votes = (
+            e.join(
+                labels.select(F.col("node").alias("e_src"), "label"), "e_src"
+            )
+            .select("node", "label")
+            .unionByName(labels.select("node", "label"))
+            .groupBy("node", "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        # argmax label per node, ties -> smallest label: min over the
+        # lexicographic struct (-count, label); exact integers only
+        labels = (
+            votes.groupBy("node")
+            .agg(
+                F.min(
+                    F.struct((-F.col("c")).alias("nc"), F.col("label"))
+                ).alias("w")
+            )
+            .select("node", F.col("w.label").alias("label"))
+            .localCheckpoint(eager=False)
+        )
+    return labels
+
+
+def bfs_distances(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Bounded-hop BFS from a seed set: min-plus relaxation, one round
+    per hop — dist(v) after round k is the length of the shortest
+    path from any seed within k hops (nodes unreached in ``max_hops``
+    hops are absent from the result).
+
+    Per round: one edge-vs-frontier join + one min-groupBy, both
+    keyed on the node id — the same BSP shape as pagerank. All
+    integer, deterministic under any partitioning.
+
+    Returns (node, dist).
+    """
+    if max_hops < 1:
+        raise ValueError("max_hops must be >= 1")
+    edges = edges.localCheckpoint(eager=False)
+    e = edges.select(F.col(src).alias("e_src"), F.col(dst).alias("node"))
+    dist = seeds.select(
+        F.col(seeds.columns[0]).alias("node"),
+        F.lit(0).cast("int").alias("dist"),
+    ).localCheckpoint(eager=False)
+    for _ in range(max_hops):
+        relaxed = e.join(
+            dist.select(F.col("node").alias("e_src"), "dist"), "e_src"
+        ).select("node", (F.col("dist") + F.lit(1)).alias("dist"))
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").cast("int").alias("dist"))
+            .localCheckpoint(eager=False)
+        )
+    return dist
+
+
 def hits(
     edges: DataFrame,
     iterations: int = 3,

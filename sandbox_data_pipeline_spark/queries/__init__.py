@@ -96,6 +96,11 @@ DRIVER_PRIORITY = (
     "q_orc_interchange",
     "q_suffix_repeats",
     "q_suffix_dedup_spans",
+    "q_lpa_communities",
+    "q_graph_bfs",
+    "q_ks_drift",
+    "q_skyline",
+    "q_l_diversity",
     "q_activity_heatmap",
     "q_bloom_prefilter",
     "q_budget_select",

@@ -1438,3 +1438,157 @@ SELECT grp AS l_returnflag,
 FROM cum GROUP BY grp
 """
 QUERIES["q_dd_quantiles"] = q_dd_quantiles
+
+
+def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov statistic between the
+    doc-length distributions of two source cohorts (single-digit
+    sources src0-src9 vs double-digit src10-src19) — the
+    distribution-free drift test completing the drift family
+    (q_psi_drift bins against frozen edges, q_source_drift_kl is
+    token-level KL; KS needs no binning choice at all).
+
+    D = max over values of |F_a(v) - F_b(v)| from cumulative counts.
+    Scale: one partial-combined groupBy collapses the corpus to the
+    distinct-VALUE frame (bounded by the length domain, not the
+    corpus), so the single-partition ordered window and the top-1
+    pick run on a domain-bounded frame. All counts integral; the two
+    CDF divisions see identical integer operands on both engines."""
+    d = table(spark, sf_dir, "documents").select(
+        "n_chars", (F.length("source") == 4).alias("in_a")
+    )
+    per_v = d.groupBy("n_chars").agg(
+        F.sum(F.when(F.col("in_a"), 1).otherwise(0)).alias("c1"),
+        F.sum(F.when(F.col("in_a"), 0).otherwise(1)).alias("c2"),
+    )
+    tot = per_v.agg(
+        F.sum("c1").alias("n_a"), F.sum("c2").alias("n_b")
+    )
+    w = Window.orderBy("n_chars").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per_v.select(
+        "n_chars",
+        F.sum("c1").over(w).alias("cum1"),
+        F.sum("c2").over(w).alias("cum2"),
+    )
+    diffs = cum.crossJoin(F.broadcast(tot)).select(
+        "n_a",
+        "n_b",
+        F.abs(
+            F.col("cum1") / F.col("n_a") - F.col("cum2") / F.col("n_b")
+        ).alias("diff"),
+        F.col("n_chars").alias("at_value"),
+    )
+    return (
+        diffs.orderBy(F.col("diff").desc(), "at_value")
+        .limit(1)
+        .select(
+            "n_a",
+            "n_b",
+            stable_round(F.col("diff"), 6).alias("ks_d"),
+            "at_value",
+        )
+    )
+
+
+ORACLE["q_ks_drift"] = f"""
+WITH d AS (
+  SELECT n_chars, (length(source) = 4) AS in_a FROM documents
+),
+per_v AS (
+  SELECT n_chars,
+         CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+         CAST(sum(CASE WHEN in_a THEN 0 ELSE 1 END) AS BIGINT) AS c2
+  FROM d GROUP BY 1
+),
+tot AS (
+  SELECT CAST(sum(c1) AS BIGINT) AS n_a, CAST(sum(c2) AS BIGINT) AS n_b
+  FROM per_v
+),
+cum AS (
+  SELECT n_chars,
+         CAST(sum(c1) OVER (ORDER BY n_chars ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum1,
+         CAST(sum(c2) OVER (ORDER BY n_chars ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum2
+  FROM per_v
+),
+diffs AS (
+  SELECT n_a, n_b,
+         abs(cum1 / n_a - cum2 / n_b) AS diff,
+         n_chars AS at_value
+  FROM cum CROSS JOIN tot
+)
+SELECT n_a, n_b,
+       {stable_round_sql("diff", 6)} AS ks_d,
+       at_value
+FROM diffs
+ORDER BY diff DESC, at_value
+LIMIT 1
+"""
+QUERIES["q_ks_drift"] = q_ks_drift
+
+
+def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D Pareto frontier (skyline) of the corpus over (doc length,
+    avg word length x1000) — the documents no other doc beats on both
+    axes at once; the multi-criteria "best of corpus" curation pick
+    where a single weighted score would hide the trade-off curve.
+
+    Sort-based skyline: collapse to distinct-x groups (ymax per x),
+    then one running-max window DESCENDING over x — a frontier group
+    is one whose ymax exceeds every ymax at larger x. The window runs
+    on the distinct-length frame (domain-bounded, not corpus-bounded);
+    the corpus-sized work is one groupBy + one join back. Integer
+    metrics only (floor-scaled ratio), so cross-engine exact."""
+    docs = table(spark, sf_dir, "documents")
+    # y = floor(1000 * nonspace_chars / (spaces + 1)): avg word length
+    # scaled to an exact integer (spaces+1 approximates word count;
+    # both engines apply the identical formula, so exactness is what
+    # matters, not linguistic precision)
+    nonspace = F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+    n_spaces = F.length("text") - nonspace
+    pts = docs.select(
+        "doc_id",
+        F.col("n_chars").alias("x"),
+        F.floor(nonspace * 1000 / (n_spaces + F.lit(1))).alias("y"),
+    )
+    xg = pts.groupBy("x").agg(F.max("y").alias("ymax"))
+    w = (
+        Window.orderBy(F.col("x").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    fx = xg.withColumn("prev_max", F.max("ymax").over(w)).where(
+        F.col("prev_max").isNull() | (F.col("ymax") > F.col("prev_max"))
+    )
+    return pts.join(
+        fx.select("x", F.col("ymax").alias("y")), ["x", "y"]
+    ).select(
+        "doc_id",
+        F.col("x").alias("n_chars"),
+        F.col("y").alias("awl_x1000"),
+    )
+
+
+ORACLE["q_skyline"] = """
+WITH pts AS (
+  SELECT doc_id, n_chars AS x,
+         CAST(floor(
+           length(replace(text, ' ', '')) * 1000
+             / (length(text) - length(replace(text, ' ', '')) + 1)
+         ) AS BIGINT) AS y
+  FROM documents
+),
+xg AS (
+  SELECT x, max(y) AS ymax FROM pts GROUP BY 1
+),
+fx AS (
+  SELECT x, ymax,
+         max(ymax) OVER (ORDER BY x DESC
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prev_max
+  FROM xg
+)
+SELECT p.doc_id, p.x AS n_chars, p.y AS awl_x1000
+FROM pts p
+JOIN fx ON fx.x = p.x AND fx.ymax = p.y
+WHERE fx.prev_max IS NULL OR fx.ymax > fx.prev_max
+"""
+QUERIES["q_skyline"] = q_skyline

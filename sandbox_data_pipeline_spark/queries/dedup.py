@@ -1626,3 +1626,135 @@ FROM grp
 GROUP BY doc_id, gid
 """
 QUERIES["q_suffix_dedup_spans"] = q_suffix_dedup_spans
+
+
+def q_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-propagation communities over the near-dup candidate graph
+    (the template/mirror-family detector): 4 synchronous rounds with a
+    self-vote, most-frequent neighbor label, ties -> smallest label.
+    Complements q_dedup_clusters (connected components = reachability;
+    LPA splits a component into densely-linked families). All-integer
+    arithmetic; see operators/graph.py: label_propagation."""
+    from sandbox_data_pipeline_spark.operators.graph import label_propagation
+
+    pairs = q_dedup_minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    labels = label_propagation(edges, iterations=4)
+    sizes = labels.groupBy("label").agg(
+        F.count(F.lit(1)).alias("community_size")
+    )
+    return labels.join(sizes, "label").select(
+        F.col("node").alias("doc_id"),
+        F.col("label").alias("community"),
+        "community_size",
+    )
+
+
+def _oracle_lpa() -> str:
+    rounds = []
+    prev = "l0"
+    for k in range(1, 5):
+        rounds.append(f"""v{k} AS (
+  SELECT node, label, count(*) AS c FROM (
+    SELECT e.dst AS node, p.label AS label FROM e JOIN {prev} p ON p.node = e.src
+    UNION ALL
+    SELECT node, label FROM {prev}
+  ) GROUP BY 1, 2
+),
+l{k} AS MATERIALIZED (
+  SELECT node, label FROM (
+    SELECT node, label,
+           row_number() OVER (PARTITION BY node ORDER BY c DESC, label) AS rn
+    FROM v{k}
+  ) WHERE rn = 1
+)""")
+        prev = f"l{k}"
+    chain = ",\n".join(rounds)
+    return f"""
+WITH mh AS MATERIALIZED ({_oracle_minhash()}),
+e AS MATERIALIZED (
+  SELECT doc_a AS src, doc_b AS dst FROM mh
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM mh
+),
+l0 AS MATERIALIZED (
+  SELECT node, node AS label FROM (
+    SELECT src AS node FROM e UNION SELECT dst FROM e
+  )
+),
+{chain},
+sizes AS (SELECT label, count(*) AS community_size FROM {prev} GROUP BY 1)
+SELECT l.node AS doc_id, l.label AS community, s.community_size
+FROM {prev} l JOIN sizes s ON s.label = l.label
+"""
+
+
+QUERIES["q_lpa_communities"] = q_lpa_communities
+ORACLE["q_lpa_communities"] = _oracle_lpa()
+
+
+BFS_SEED_MOD = 10
+BFS_MAX_HOPS = 4
+
+
+def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-hop BFS distance from a seed set over the near-dup
+    graph — "how far is every document from a known-bad seed"
+    (contamination blast-radius analysis). Seeds = graph nodes with
+    doc_id % 10 == 0; 4 hops of min-plus relaxation; unreached nodes
+    are absent. operators/graph.py: bfs_distances."""
+    from sandbox_data_pipeline_spark.operators.graph import bfs_distances
+
+    pairs = q_dedup_minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    seeds = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .where(F.col("node") % BFS_SEED_MOD == 0)
+    )
+    return bfs_distances(edges, seeds, max_hops=BFS_MAX_HOPS).select(
+        F.col("node").alias("doc_id"), "dist"
+    )
+
+
+def _oracle_bfs() -> str:
+    rounds = []
+    prev = "d0"
+    for k in range(1, BFS_MAX_HOPS + 1):
+        rounds.append(f"""d{k} AS MATERIALIZED (
+  SELECT node, min(dist) AS dist FROM (
+    SELECT node, dist FROM {prev}
+    UNION ALL
+    SELECT e.dst AS node, p.dist + 1 AS dist FROM e JOIN {prev} p ON p.node = e.src
+  ) GROUP BY 1
+)""")
+        prev = f"d{k}"
+    chain = ",\n".join(rounds)
+    return f"""
+WITH mh AS MATERIALIZED ({_oracle_minhash()}),
+e AS MATERIALIZED (
+  SELECT doc_a AS src, doc_b AS dst FROM mh
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM mh
+),
+d0 AS MATERIALIZED (
+  SELECT node, 0 AS dist FROM (
+    SELECT src AS node FROM e UNION SELECT dst FROM e
+  ) WHERE node % {BFS_SEED_MOD} = 0
+),
+{chain}
+SELECT node AS doc_id, CAST(dist AS INTEGER) AS dist FROM {prev}
+"""
+
+
+QUERIES["q_graph_bfs"] = q_graph_bfs
+ORACLE["q_graph_bfs"] = _oracle_bfs()

@@ -367,3 +367,60 @@ SELECT substr(sha256('{_MASK_SALT}' || CAST(c_custkey AS VARCHAR)), 1, 16)
 FROM customer WHERE c_custkey < {_MASK_MAXK}
 """
 QUERIES["q_masked_export"] = q_masked_export
+
+
+L_DIVERSITY = 3
+L_DIV_BUCKET = 200
+
+
+def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit extending q_k_anonymity: within each
+    quasi-identifier class (lang, source), how many DISTINCT values
+    of the sensitive attribute (doc-length bucket, width 200) exist —
+    a class that is k-anonymous but 1-diverse still leaks the
+    sensitive value. Per-class report with a below-l flag.
+
+    One partial-combined groupBy on (QI, sensitive bucket), then a
+    class-level count — both shrink monotonically; no window."""
+    d = table(spark, sf_dir, "documents").select(
+        "lang",
+        "source",
+        F.floor(F.col("n_chars") / L_DIV_BUCKET).alias("sens"),
+    )
+    per_sens = d.groupBy("lang", "source", "sens").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return (
+        per_sens.groupBy("lang", "source")
+        .agg(
+            F.sum("n").alias("cls_n"),
+            F.count(F.lit(1)).alias("l_distinct"),
+        )
+        .select(
+            "lang",
+            "source",
+            "cls_n",
+            "l_distinct",
+            F.when(F.col("l_distinct") < L_DIVERSITY, 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("below_l"),
+        )
+    )
+
+
+_L_DIV_ORACLE = f"""
+WITH per_sens AS (
+  SELECT lang, source, CAST(floor(n_chars / {L_DIV_BUCKET}) AS BIGINT) AS sens,
+         count(*) AS n
+  FROM documents GROUP BY 1, 2, 3
+)
+SELECT lang, source,
+       CAST(sum(n) AS BIGINT) AS cls_n,
+       count(*) AS l_distinct,
+       CAST(CASE WHEN count(*) < {L_DIVERSITY} THEN 1 ELSE 0 END AS INTEGER) AS below_l
+FROM per_sens GROUP BY 1, 2
+"""
+
+QUERIES["q_l_diversity"] = q_l_diversity
+ORACLE["q_l_diversity"] = _L_DIV_ORACLE

@@ -1,0 +1,77 @@
+"""Round-7 graph operators: label propagation + bounded-hop BFS."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sandbox_data_pipeline_spark.operators.graph import (
+    bfs_distances,
+    label_propagation,
+)
+
+
+def _edges(spark, pairs):
+    df = spark.createDataFrame(pairs, "src long, dst long")
+    return df.unionByName(
+        df.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+
+
+def test_lpa_two_cliques_bridge(spark):
+    # two triangles joined by one bridge edge: LPA should assign each
+    # clique one community, and the communities differ
+    tri1 = [(0, 1), (1, 2), (0, 2)]
+    tri2 = [(10, 11), (11, 12), (10, 12)]
+    bridge = [(2, 10)]
+    labels = {
+        r.node: r.label
+        for r in label_propagation(
+            _edges(spark, tri1 + tri2 + bridge), iterations=4
+        ).collect()
+    }
+    assert labels[0] == labels[1] == labels[2]
+    assert labels[10] == labels[11] == labels[12]
+    assert labels[0] != labels[10]
+
+
+def test_lpa_deterministic_min_label(spark):
+    # a single clique converges to its smallest node id as the label
+    labels = {
+        r.node: r.label
+        for r in label_propagation(
+            _edges(spark, [(3, 7), (7, 9), (3, 9)]), iterations=4
+        ).collect()
+    }
+    assert set(labels.values()) == {3}
+
+
+def test_lpa_partition_independent(spark):
+    pairs = [(i, (i * 3 + 1) % 20) for i in range(20) if i != (i * 3 + 1) % 20]
+    e = _edges(spark, pairs)
+    a = sorted(map(tuple, label_propagation(e, iterations=3).collect()))
+    b = sorted(
+        map(tuple, label_propagation(e.repartition(7), iterations=3).collect())
+    )
+    assert a == b
+
+
+def test_bfs_path_graph_distances(spark):
+    # path 0-1-2-3-4-5 with seed {0}: dist == node index, capped at 4 hops
+    e = _edges(spark, [(i, i + 1) for i in range(5)])
+    seeds = spark.createDataFrame([(0,)], "node long")
+    d = {r.node: r.dist for r in bfs_distances(e, seeds, max_hops=4).collect()}
+    assert d == {0: 0, 1: 1, 2: 2, 3: 3, 4: 4}  # node 5 unreached in 4 hops
+
+
+def test_bfs_multi_seed_takes_min(spark):
+    e = _edges(spark, [(i, i + 1) for i in range(6)])
+    seeds = spark.createDataFrame([(0,), (6,)], "node long")
+    d = {r.node: r.dist for r in bfs_distances(e, seeds, max_hops=3).collect()}
+    assert d[3] == 3 and d[4] == 2 and d[5] == 1 and d[6] == 0
+
+
+def test_bfs_disconnected_absent(spark):
+    e = _edges(spark, [(0, 1), (10, 11)])
+    seeds = spark.createDataFrame([(0,)], "node long")
+    d = {r.node: r.dist for r in bfs_distances(e, seeds, max_hops=4).collect()}
+    assert 10 not in d and 11 not in d and d == {0: 0, 1: 1}
