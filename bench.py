@@ -131,6 +131,16 @@ HEADLINE = [
     # q_partition_evolution excluded: they write landing files or a
     # table per run, same policy as q_time_travel)
     "q_dd_quantiles",
+    # round-7 additions: suffix-array dedup + graph/drift/curation ops
+    # (q_orc_interchange excluded: writes interchange files per run,
+    # same policy as q_csv_interchange)
+    "q_suffix_repeats",
+    "q_suffix_dedup_spans",
+    "q_lpa_communities",
+    "q_graph_bfs",
+    "q_ks_drift",
+    "q_skyline",
+    "q_l_diversity",
 ]
 
 

@@ -130,3 +130,29 @@ def test_duplicate_spans_merge_and_cover(spark):
         sp = sorted(sp)
         for (a1, b1, _), (a2, b2, _) in zip(sp, sp[1:]):
             assert b1 < a2
+
+
+def test_direct_and_doubling_paths_agree(spark):
+    # force each physical strategy; same logical result required
+    docs = _docs(spark)
+    direct = {
+        (r["doc_id"], r["pos"]): r["sa_rank"]
+        for r in suffix_array(docs, max_len=32, direct_horizon=256).collect()
+    }
+    doubling = {
+        (r["doc_id"], r["pos"]): r["sa_rank"]
+        for r in suffix_array(docs, max_len=32, direct_horizon=0).collect()
+    }
+    assert direct == doubling
+
+
+def test_doubling_path_matches_reference(spark):
+    # the asymptotic path stays covered now that small horizons
+    # default to the direct sort
+    sa = {
+        (r["doc_id"], r["pos"]): r["sa_rank"]
+        for r in suffix_array(
+            _docs(spark), max_len=16, direct_horizon=0
+        ).collect()
+    }
+    assert sa == _ref_sa(TEXTS, 16)
