@@ -141,6 +141,8 @@ HEADLINE = [
     "q_ks_drift",
     "q_skyline",
     "q_l_diversity",
+    "q_auc_score",
+    "q_calibration_bins",
 ]
 
 

@@ -101,6 +101,8 @@ DRIVER_PRIORITY = (
     "q_ks_drift",
     "q_skyline",
     "q_l_diversity",
+    "q_auc_score",
+    "q_calibration_bins",
     "q_activity_heatmap",
     "q_bloom_prefilter",
     "q_budget_select",

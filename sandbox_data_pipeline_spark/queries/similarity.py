@@ -8,7 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from sandbox_data_pipeline_spark.queries._envproof import stable_round
+from sandbox_data_pipeline_spark.queries._envproof import stable_round, stable_round_sql
 from sandbox_data_pipeline_spark.catalog import table
 from sandbox_data_pipeline_spark.operators.similarity import (
     brute_force_topk,
@@ -1294,3 +1294,137 @@ LIMIT {RRF_TOP}
 
 QUERIES["q_hybrid_rrf"] = q_hybrid_rrf
 ORACLE["q_hybrid_rrf"] = _oracle_hybrid_rrf()
+
+
+def q_auc_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC AUC of a scoring function against binary labels via
+    the Mann-Whitney rank statistic — the classifier-quality metric a
+    quality-filter training pipeline reports (score = first embedding
+    component, positive = label < 5; the VALUE is incidental, the
+    exact distributed computation is the product).
+
+    Tie-safe: per distinct score, the doubled average 1-based rank is
+    min_rank + max_rank + 2 (exact integers), so
+    AUC = (2*ranksum - 2*n_pos*(n_pos+1)/2) / (2*n_pos*n_neg) computes
+    from integer sums with ONE final division. Ranks come from the
+    two-phase range ranking (operators/ids.py) — no single-partition
+    sort; the per-score collapse is a groupBy (partial-combined), not
+    a window, so nothing scales past the range exchange."""
+    from sandbox_data_pipeline_spark.operators.ids import stable_global_ids
+
+    rows = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.col("embedding")[0].cast("double").alias("score"),
+        (F.col("label") < 5).alias("pos"),
+    )
+    ranked = stable_global_ids(rows, ["score", "vec_id"], out="r")
+    grp = ranked.groupBy("score").agg(
+        F.min("r").alias("mn"),
+        F.max("r").alias("mx"),
+        F.sum(F.when(F.col("pos"), 1).otherwise(0)).alias("np"),
+    )
+    rs = grp.agg(
+        F.sum(F.col("np") * (F.col("mn") + F.col("mx") + 2)).alias("ranksum2")
+    )
+    tot = rows.agg(
+        F.sum(F.when(F.col("pos"), 1).otherwise(0)).alias("n_pos"),
+        F.sum(F.when(F.col("pos"), 0).otherwise(1)).alias("n_neg"),
+    )
+    return tot.crossJoin(F.broadcast(rs)).select(
+        "n_pos",
+        "n_neg",
+        stable_round(
+            (F.col("ranksum2") - F.col("n_pos") * (F.col("n_pos") + 1))
+            / (2 * F.col("n_pos") * F.col("n_neg")),
+            6,
+        ).alias("auc"),
+    )
+
+
+ORACLE["q_auc_score"] = f"""
+WITH rows_ AS (
+  SELECT vec_id, CAST(embedding[1] AS DOUBLE) AS score, (label < 5) AS pos FROM embeddings
+),
+ranked AS (
+  SELECT score, pos,
+         row_number() OVER (ORDER BY score, vec_id) - 1 AS r
+  FROM rows_
+),
+grp AS (
+  SELECT score, min(r) AS mn, max(r) AS mx,
+         CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS np
+  FROM ranked GROUP BY 1
+),
+rs AS (
+  SELECT CAST(sum(np * (mn + mx + 2)) AS BIGINT) AS ranksum2 FROM grp
+),
+tot AS (
+  SELECT CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+         CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS n_neg
+  FROM rows_
+)
+SELECT n_pos, n_neg,
+       {stable_round_sql("(ranksum2 - n_pos * (n_pos + 1)) / (2 * n_pos * n_neg)", 6)} AS auc
+FROM tot CROSS JOIN rs
+"""
+QUERIES["q_auc_score"] = q_auc_score
+
+
+def q_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration table of the same score/label pair: 10 equal-width
+    score bins between the global min and max, positive rate per bin
+    — the reliability-diagram input. Bin edges derive from one
+    2-value broadcast aggregate; binning is a scan-side expression;
+    the result is a 10-row groupBy. Bin ids and counts are exact
+    integers; the only float is the final rate (identical operands
+    both engines; the bin-assignment division sees the same global
+    min/max on both sides)."""
+    rows = table(spark, sf_dir, "embeddings").select(
+        F.col("embedding")[0].cast("double").alias("score"),
+        (F.col("label") < 5).alias("pos"),
+    )
+    mm = rows.agg(F.min("score").alias("lo"), F.max("score").alias("hi"))
+    binned = rows.crossJoin(F.broadcast(mm)).select(
+        F.least(
+            F.lit(9),
+            F.floor(
+                (F.col("score") - F.col("lo"))
+                / (F.col("hi") - F.col("lo"))
+                * 10
+            ),
+        )
+        .cast("int")
+        .alias("bin"),
+        "pos",
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("pos"), 1).otherwise(0)).alias("n_pos"),
+        )
+        .select(
+            "bin",
+            "n",
+            "n_pos",
+            stable_round(F.col("n_pos") / F.col("n"), 6).alias("pos_rate"),
+        )
+    )
+
+
+ORACLE["q_calibration_bins"] = f"""
+WITH rows_ AS (
+  SELECT CAST(embedding[1] AS DOUBLE) AS score, (label < 5) AS pos FROM embeddings
+),
+mm AS (SELECT min(score) AS lo, max(score) AS hi FROM rows_),
+binned AS (
+  SELECT CAST(least(9, floor((score - lo) / (hi - lo) * 10)) AS INTEGER) AS bin,
+         pos
+  FROM rows_ CROSS JOIN mm
+)
+SELECT bin, count(*) AS n,
+       CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+       {stable_round_sql("sum(CASE WHEN pos THEN 1 ELSE 0 END) / count(*)", 6)} AS pos_rate
+FROM binned GROUP BY 1
+"""
+QUERIES["q_calibration_bins"] = q_calibration_bins
