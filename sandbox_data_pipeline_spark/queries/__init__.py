@@ -135,6 +135,14 @@ DRIVER_PRIORITY = (
     "q_token_quantiles",
     "q_url_canonical",
     "q_url_dedup",
+    # Round-7 second-wave additions (never sampled, newest last):
+    "q_cusum_changepoints",
+    "q_association_rules",
+    "q_target_encode",
+    "q_best_split",
+    "q_pr_curve",
+    "q_chi2_terms",
+    "q_kcore_peel",
 )
 
 

@@ -1592,3 +1592,242 @@ JOIN fx ON fx.x = p.x AND fx.ymax = p.y
 WHERE fx.prev_max IS NULL OR fx.ymax > fx.prev_max
 """
 QUERIES["q_skyline"] = q_skyline
+
+
+# --- CUSUM changepoint detection over per-type daily volumes ----------------
+
+
+def q_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM changepoint detection on each event type's
+    daily volume series — the drift alarm a pipeline runs on its own
+    ingest counters (a sustained upward shift accumulates past the
+    threshold even when no single day is an outlier, which is exactly
+    what per-day z-score monitors miss).
+
+    The textbook recursion S_t = max(0, S_{t-1} + (x_t - mean)) is NOT
+    a window function, but its closed form is: with P_t the prefix sum
+    of (x_t - mean), S_t = P_t - min(0, min_{j<=t} P_j) — a running
+    sum plus a running min, both single-pass window aggregates. To
+    stay in exact integers the deviation is scaled by the series
+    length: z_t = n_days*x_t - total (so S is the CUSUM times n_days),
+    and the alarm threshold lambda = total (i.e. one mean-day's worth
+    of accumulated excess, in the same scaled units: S_t > n*mean*c
+    with c = mean... concretely S_t > total <=> CUSUM > mean).
+
+    Scale: the only full-data shuffle is the (type, day) count; the
+    per-type totals broadcast (|types| rows), and the window runs over
+    the post-aggregate frame (|types| x |days| rows), partitioned by
+    type — no global single-partition ordering anywhere."""
+    e = table(spark, sf_dir, "events")
+    daily = (
+        e.select("event_type", F.col("ts").cast("date").alias("d"))
+        .groupBy("event_type", "d")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    per_type = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"), F.sum("x").alias("total")
+    )
+    z = daily.join(F.broadcast(per_type), "event_type").select(
+        "event_type",
+        "d",
+        "x",
+        "total",
+        (F.col("n_days") * F.col("x") - F.col("total")).alias("z"),
+    )
+    w = Window.partitionBy("event_type").orderBy("d")
+    cum = z.select(
+        "event_type",
+        "d",
+        "x",
+        "total",
+        F.sum("z").over(w).alias("p"),
+    )
+    run_min = F.min("p").over(w)
+    return cum.select(
+        "event_type",
+        "d",
+        "x",
+        (F.col("p") - F.least(F.lit(0), run_min)).alias("s"),
+        F.when(
+            F.col("p") - F.least(F.lit(0), run_min) > F.col("total"), 1
+        )
+        .otherwise(0)
+        .alias("is_change"),
+    )
+
+
+ORACLE["q_cusum_changepoints"] = """
+WITH daily AS (
+  SELECT event_type, ts::DATE AS d, count(*) AS x
+  FROM events GROUP BY 1, 2
+),
+per_type AS (
+  SELECT event_type, count(*) AS n_days, CAST(sum(x) AS BIGINT) AS total
+  FROM daily GROUP BY 1
+),
+cum AS (
+  SELECT daily.event_type, d, x, total,
+         CAST(sum(n_days * x - total) OVER (
+           PARTITION BY daily.event_type ORDER BY d) AS BIGINT) AS p
+  FROM daily JOIN per_type USING (event_type)
+),
+s AS (
+  SELECT event_type, d, x, total,
+         p - least(0, min(p) OVER (
+           PARTITION BY event_type ORDER BY d)) AS s
+  FROM cum
+)
+SELECT event_type, d, CAST(x AS BIGINT) AS x, CAST(s AS BIGINT) AS s,
+       CASE WHEN s > total THEN 1 ELSE 0 END AS is_change
+FROM s
+"""
+QUERIES["q_cusum_changepoints"] = q_cusum_changepoints
+
+
+# --- Association-rule mining over order baskets -----------------------------
+
+
+def q_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over order baskets (basket =
+    order, item = part): every unordered part pair co-purchased in
+    >= 3 baskets, with exact support counts and decimal confidence /
+    lift — the classic a-priori shape, mined the way a distributed
+    engine should.
+
+    Scale: the a-priori monotonicity prefilter (items in >= MINSUP_I
+    baskets) is a broadcast semi-join applied BEFORE pair generation,
+    and pairs are generated per-basket by the equi-self-join on the
+    basket key — fan-out bounded by basket size squared (TPC-H
+    baskets are <= ~15 items), never all-pairs across the catalog.
+    The pair aggregate shuffles on (part_a, part_b), uniform by
+    construction; the two scalar totals broadcast. FP-growth saves
+    the candidate pass at very low minsup, but at minsup where the
+    output is human-sized the pair join IS the cheap plan."""
+    li = table(spark, sf_dir, "lineitem")
+    bi = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    item = bi.groupBy("p").agg(F.count(F.lit(1)).alias("n_i"))
+    frequent = item.where(F.col("n_i") >= 20)
+    fb = bi.join(F.broadcast(frequent.select("p")), "p", "semi")
+    a = fb.select("o", F.col("p").alias("p_a"))
+    b = fb.select("o", F.col("p").alias("p_b"))
+    pairs = (
+        a.join(b, "o")
+        .where(F.col("p_a") < F.col("p_b"))
+        .groupBy("p_a", "p_b")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .where(F.col("n_pair") >= 3)
+    )
+    n_baskets = bi.agg(F.countDistinct("o").alias("n_baskets"))
+    out = (
+        pairs.join(
+            F.broadcast(item.select(F.col("p").alias("p_a"), F.col("n_i").alias("n_a"))),
+            "p_a",
+        )
+        .join(
+            F.broadcast(item.select(F.col("p").alias("p_b"), F.col("n_i").alias("n_b"))),
+            "p_b",
+        )
+        .crossJoin(F.broadcast(n_baskets))
+    )
+    return out.select(
+        "p_a",
+        "p_b",
+        "n_pair",
+        "n_a",
+        "n_b",
+        dec_ratio(F.col("n_pair"), F.col("n_a"), 0, 4).alias("conf_ab"),
+        dec_ratio(F.col("n_pair"), F.col("n_b"), 0, 4).alias("conf_ba"),
+        dec_ratio(
+            (F.col("n_pair").cast("decimal(38,0)") * F.col("n_baskets")),
+            (F.col("n_a").cast("decimal(38,0)") * F.col("n_b")),
+            0,
+            4,
+        ).alias("lift"),
+    )
+
+
+ORACLE["q_association_rules"] = f"""
+WITH bi AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+),
+item AS (SELECT p, count(*) AS n_i FROM bi GROUP BY 1),
+fb AS (
+  SELECT o, p FROM bi WHERE p IN (SELECT p FROM item WHERE n_i >= 20)
+),
+pairs AS (
+  SELECT a.p AS p_a, b.p AS p_b, count(*) AS n_pair
+  FROM fb a JOIN fb b ON a.o = b.o AND a.p < b.p
+  GROUP BY 1, 2 HAVING count(*) >= 3
+),
+nb AS (SELECT count(DISTINCT o) AS n_baskets FROM bi)
+SELECT p_a, p_b, CAST(n_pair AS BIGINT) AS n_pair,
+       CAST(ia.n_i AS BIGINT) AS n_a, CAST(ib.n_i AS BIGINT) AS n_b,
+       {dec_ratio_sql("n_pair", "ia.n_i", 0, 4)} AS conf_ab,
+       {dec_ratio_sql("n_pair", "ib.n_i", 0, 4)} AS conf_ba,
+       {dec_ratio_sql("n_pair * n_baskets", "ia.n_i * ib.n_i", 0, 4)} AS lift
+FROM pairs
+JOIN item ia ON ia.p = pairs.p_a
+JOIN item ib ON ib.p = pairs.p_b
+CROSS JOIN nb
+"""
+QUERIES["q_association_rules"] = q_association_rules
+
+
+# --- Smoothed mean target encoding ------------------------------------------
+
+
+def q_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smoothed mean target encoding of a categorical feature
+    (p_brand) against a money target (l_extendedprice) — the standard
+    leakage-averse categorical featurizer: enc_c = (sum_c + m*global
+    mean) / (n_c + m), shrinking rare categories toward the prior.
+
+    Kept exact by clearing denominators: enc_c = (N*sum_c + m*T) /
+    (N*(n_c + m)) with T/N the global money total/count — every
+    operand an exact decimal/integer, ONE rounded division at the
+    end (dec_ratio). Scale: lineitem pre-aggregates by part key
+    before touching the part dim... here the dim join IS the
+    aggregation input, so the plan broadcasts part (bounded dim) into
+    the lineitem scan and partial-combines the brand aggregate; the
+    global totals are a 1-row broadcast."""
+    li = table(spark, sf_dir, "lineitem").select("l_partkey", "l_extendedprice")
+    pt = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    j = li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+    brand = j.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_c"), F.sum("l_extendedprice").alias("sum_c")
+    )
+    tot = j.agg(
+        F.count(F.lit(1)).alias("n_g"), F.sum("l_extendedprice").alias("t_g")
+    )
+    m = 10
+    out = brand.crossJoin(F.broadcast(tot))
+    return out.select(
+        "p_brand",
+        "n_c",
+        "sum_c",
+        dec_ratio(
+            F.col("n_g") * F.col("sum_c") + F.lit(m) * F.col("t_g"),
+            (F.col("n_g").cast("decimal(38,0)") * (F.col("n_c") + F.lit(m))),
+            2,
+            4,
+        ).alias("enc"),
+    )
+
+
+ORACLE["q_target_encode"] = f"""
+WITH j AS (
+  SELECT p_brand, l_extendedprice
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+),
+brand AS (
+  SELECT p_brand, count(*) AS n_c, sum(l_extendedprice) AS sum_c
+  FROM j GROUP BY 1
+),
+tot AS (SELECT count(*) AS n_g, sum(l_extendedprice) AS t_g FROM j)
+SELECT p_brand, n_c, sum_c,
+       {dec_ratio_sql("n_g * sum_c + 10 * t_g", "n_g * (n_c + 10)", 2, 4)} AS enc
+FROM brand CROSS JOIN tot
+"""
+QUERIES["q_target_encode"] = q_target_encode

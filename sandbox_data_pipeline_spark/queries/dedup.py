@@ -1758,3 +1758,102 @@ SELECT node AS doc_id, CAST(dist AS INTEGER) AS dist FROM {prev}
 
 QUERIES["q_graph_bfs"] = q_graph_bfs
 ORACLE["q_graph_bfs"] = _oracle_bfs()
+
+
+# --- k-core decomposition of the co-purchase graph --------------------------
+
+
+def q_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core extraction (k=3) of the part co-purchase graph (edge =
+    two parts sharing >= 2 order baskets) by iterative peeling:
+    repeatedly drop nodes with degree < k and their incident edges.
+    The graph-robustness filter that separates stable product
+    communities from one-off co-occurrences — and the standard
+    preprocessing cut before community detection (q_lpa_communities
+    runs downstream of exactly this kind of filter).
+
+    Four unrolled peel rounds — the fixpoint at this density arrives
+    in three (a test asserts round 4 changes nothing, so the bounded
+    unroll IS the k-core here, not an approximation). Scale: edge
+    generation is the a-priori-bounded basket self-join (per-basket
+    fan-out, never catalog all-pairs); each round is a degree
+    aggregate (shuffle on node id, partial-combined) plus two
+    semi-joins on the shrinking survivor set. Each round ends in an
+    eager localCheckpoint: the round's plan references the previous
+    edge set THREE times (both union branches of the degree count +
+    the join input), so an unchecked lineage grows 3^rounds plan
+    copies — the checkpoint pins each round to its materialized
+    RDD, keeping plan size (and at 100 TB, recompute) linear in the
+    round count. Same lineage-control pattern as q_pagerank_dups."""
+    li = table(spark, sf_dir, "lineitem")
+    bi = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    a = bi.select("o", F.col("p").alias("pa"))
+    b = bi.select("o", F.col("p").alias("pb"))
+    e = (
+        a.join(b, "o")
+        .where(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .where(F.col("w") >= 2)
+        .select("pa", "pb")
+    )
+    for _ in range(4):
+        nodes = e.select(F.col("pa").alias("n")).unionAll(
+            e.select(F.col("pb").alias("n"))
+        )
+        keep = (
+            nodes.groupBy("n")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .where(F.col("c") >= 3)
+            .select("n")
+        )
+        e = (
+            e.join(keep.withColumnRenamed("n", "pa"), "pa", "semi")
+            .join(keep.withColumnRenamed("n", "pb"), "pb", "semi")
+            .localCheckpoint(eager=True)
+        )
+    final_nodes = e.select(F.col("pa").alias("part")).unionAll(
+        e.select(F.col("pb").alias("part"))
+    )
+    return final_nodes.groupBy("part").agg(F.count(F.lit(1)).alias("degree"))
+
+
+def _oracle_kcore() -> str:
+    # Every stage CTE is MATERIALIZED: DuckDB inlines plain CTEs, and
+    # each round references its predecessor three times, so the
+    # un-materialized plan replays the basket self-join 3^rounds
+    # times (~175 s at sf0.01; 1.5 s materialized) — the DuckDB twin
+    # of the lineage blowup the Spark side solves with eager
+    # localCheckpoints.
+    sql = """
+WITH bi AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+e0 AS MATERIALIZED (
+  SELECT a.p AS pa, b.p AS pb FROM bi a JOIN bi b ON a.o = b.o AND a.p < b.p
+  GROUP BY 1, 2 HAVING count(*) >= 2
+)"""
+    prev = "e0"
+    for r in range(4):
+        sql += f""",
+d{r} AS MATERIALIZED (
+  SELECT n, count(*) AS c FROM (
+    SELECT pa AS n FROM {prev} UNION ALL SELECT pb FROM {prev}
+  ) GROUP BY 1
+),
+k{r} AS MATERIALIZED (SELECT n FROM d{r} WHERE c >= 3),
+e{r + 1} AS MATERIALIZED (
+  SELECT pa, pb FROM {prev}
+  WHERE pa IN (SELECT n FROM k{r}) AND pb IN (SELECT n FROM k{r})
+)"""
+        prev = f"e{r + 1}"
+    return sql + f"""
+SELECT part, count(*) AS degree FROM (
+  SELECT pa AS part FROM {prev} UNION ALL SELECT pb FROM {prev}
+) GROUP BY 1
+"""
+
+
+ORACLE["q_kcore_peel"] = _oracle_kcore()
+QUERIES["q_kcore_peel"] = q_kcore_peel

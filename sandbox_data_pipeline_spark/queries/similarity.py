@@ -1428,3 +1428,175 @@ SELECT bin, count(*) AS n,
 FROM binned GROUP BY 1
 """
 QUERIES["q_calibration_bins"] = q_calibration_bins
+
+
+# --- Histogram-based decision-stump split finding ---------------------------
+
+
+def q_best_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram-based best-split search for a decision stump on one
+    embedding feature against a binary label — the inner loop of
+    gradient-boosted-tree training, done the way LightGBM does it at
+    scale: bin the feature ONCE (here fixed-width bins, floor(f*32)),
+    reduce to per-bin class counts, and scan split candidates over
+    the tiny histogram instead of sorting raw rows.
+
+    Every candidate boundary b (left = bins <= b) gets the exact stump
+    accuracy: max(posL + negR, negL + posR) — pure integers from
+    cumulative sums over the ordered histogram. Scale: ONE full-data
+    shuffle (the per-bin aggregate, bounded at |bins| groups); the
+    boundary scan is a window over the <= 64-row histogram. No global
+    row sort ever happens — that is the point."""
+    from sandbox_data_pipeline_spark.queries._envproof import dec_ratio
+
+    rows = table(spark, sf_dir, "embeddings").select(
+        F.floor(F.col("embedding")[0].cast("double") * 32).cast("int").alias("bin"),
+        (F.col("label") < 5).alias("pos"),
+    )
+    hist = rows.groupBy("bin").agg(
+        F.sum(F.when(F.col("pos"), 1).otherwise(0)).alias("n_pos"),
+        F.sum(F.when(F.col("pos"), 0).otherwise(1)).alias("n_neg"),
+    )
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    tot = hist.agg(
+        F.sum("n_pos").alias("tp"), F.sum("n_neg").alias("tn")
+    )
+    cum = hist.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        F.sum("n_pos").over(w).alias("pos_l"),
+        F.sum("n_neg").over(w).alias("neg_l"),
+        "tp",
+        "tn",
+    )
+    return cum.select(
+        "bin",
+        "pos_l",
+        "neg_l",
+        F.greatest(
+            F.col("pos_l") + F.col("tn") - F.col("neg_l"),
+            F.col("neg_l") + F.col("tp") - F.col("pos_l"),
+        ).alias("acc"),
+        dec_ratio(
+            F.greatest(
+                F.col("pos_l") + F.col("tn") - F.col("neg_l"),
+                F.col("neg_l") + F.col("tp") - F.col("pos_l"),
+            ),
+            F.col("tp") + F.col("tn"),
+            0,
+            4,
+        ).alias("acc_rate"),
+    )
+
+
+def _oracle_best_split() -> str:
+    from sandbox_data_pipeline_spark.queries._envproof import dec_ratio_sql
+
+    acc = (
+        "greatest(pos_l + tn - neg_l, neg_l + tp - pos_l)"
+    )
+    return f"""
+WITH rows_ AS (
+  SELECT CAST(floor(CAST(embedding[1] AS DOUBLE) * 32) AS INTEGER) AS bin,
+         (label < 5) AS pos
+  FROM embeddings
+),
+hist AS (
+  SELECT bin,
+         CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+         CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS n_neg
+  FROM rows_ GROUP BY 1
+),
+tot AS (SELECT sum(n_pos) AS tp, sum(n_neg) AS tn FROM hist),
+cum AS (
+  SELECT bin,
+         CAST(sum(n_pos) OVER (ORDER BY bin) AS BIGINT) AS pos_l,
+         CAST(sum(n_neg) OVER (ORDER BY bin) AS BIGINT) AS neg_l,
+         CAST(tp AS BIGINT) AS tp, CAST(tn AS BIGINT) AS tn
+  FROM hist CROSS JOIN tot
+)
+SELECT bin, pos_l, neg_l,
+       {acc} AS acc,
+       {dec_ratio_sql(acc, "tp + tn", 0, 4)} AS acc_rate
+FROM cum
+"""
+
+
+ORACLE["q_best_split"] = _oracle_best_split()
+QUERIES["q_best_split"] = q_best_split
+
+
+# --- Binned precision-recall curve ------------------------------------------
+
+
+def q_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned precision-recall curve for the same score/label pair as
+    q_auc_score — one (precision, recall) operating point per score
+    bin, sweeping the threshold from the highest bin down. The
+    ranking-quality diagnostic read next to the scalar AUC.
+
+    Same scale shape as q_best_split: one bounded-cardinality bin
+    aggregate is the only full-data shuffle; the threshold sweep is a
+    descending cumulative window over the <= 64-row histogram, and
+    the class totals broadcast. Exact integers into dec_ratio."""
+    from sandbox_data_pipeline_spark.queries._envproof import dec_ratio
+
+    rows = table(spark, sf_dir, "embeddings").select(
+        F.floor(F.col("embedding")[0].cast("double") * 32).cast("int").alias("bin"),
+        (F.col("label") < 5).alias("pos"),
+    )
+    hist = rows.groupBy("bin").agg(
+        F.sum(F.when(F.col("pos"), 1).otherwise(0)).alias("n_pos"),
+        F.sum(F.when(F.col("pos"), 0).otherwise(1)).alias("n_neg"),
+    )
+    tot = hist.agg(F.sum("n_pos").alias("tp_all"))
+    w = (
+        Window.orderBy(F.col("bin").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = hist.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        F.sum("n_pos").over(w).alias("tp"),
+        F.sum("n_neg").over(w).alias("fp"),
+        "tp_all",
+    )
+    return cum.select(
+        "bin",
+        "tp",
+        "fp",
+        dec_ratio(F.col("tp"), F.col("tp") + F.col("fp"), 0, 4).alias("precision_d"),
+        dec_ratio(F.col("tp"), F.col("tp_all"), 0, 4).alias("recall_d"),
+    )
+
+
+def _oracle_pr_curve() -> str:
+    from sandbox_data_pipeline_spark.queries._envproof import dec_ratio_sql
+
+    return f"""
+WITH rows_ AS (
+  SELECT CAST(floor(CAST(embedding[1] AS DOUBLE) * 32) AS INTEGER) AS bin,
+         (label < 5) AS pos
+  FROM embeddings
+),
+hist AS (
+  SELECT bin,
+         CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+         CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS n_neg
+  FROM rows_ GROUP BY 1
+),
+tot AS (SELECT CAST(sum(n_pos) AS BIGINT) AS tp_all FROM hist),
+cum AS (
+  SELECT bin,
+         CAST(sum(n_pos) OVER (ORDER BY bin DESC) AS BIGINT) AS tp,
+         CAST(sum(n_neg) OVER (ORDER BY bin DESC) AS BIGINT) AS fp,
+         tp_all
+  FROM hist CROSS JOIN tot
+)
+SELECT bin, tp, fp,
+       {dec_ratio_sql("tp", "tp + fp", 0, 4)} AS precision_d,
+       {dec_ratio_sql("tp", "tp_all", 0, 4)} AS recall_d
+FROM cum
+"""
+
+
+ORACLE["q_pr_curve"] = _oracle_pr_curve()
+QUERIES["q_pr_curve"] = q_pr_curve

@@ -2255,3 +2255,117 @@ LIMIT {BM25_K}
 
 QUERIES["q_bm25_topk"] = q_bm25_topk
 ORACLE["q_bm25_topk"] = _oracle_bm25()
+
+
+# --- Chi-square term-language association (feature selection) ---------------
+
+
+def q_chi2_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square feature selection: the 10 tokens most associated
+    with each language by the 2x2 contingency chi-square between
+    token presence and language membership — the classic supervised
+    vocabulary selector (and the lang-ID feature auditor: its output
+    IS the marker list a q_lang_id-style classifier should be using).
+
+    chi2 = N*(ad-bc)^2 / ((a+b)(c+d)(a+c)(b+d)) computes entirely
+    from integer document counts; products go through decimal(38,0)
+    so the numerator survives web-scale N, and ONE dec_ratio lands
+    the statistic as an exact decimal both engines order identically
+    (ties break on the token string). Scale: the doc-token distinct
+    is the standard inverted-index shuffle (explode, then (token,
+    doc) dedup); everything after runs on (token) and (token, lang)
+    aggregates — bounded by vocabulary size, not corpus size. The
+    df >= 5 prefilter drops the hapax tail before the join."""
+    d = table(spark, sf_dir, "documents")
+    toks = (
+        d.select(
+            "doc_id",
+            "lang",
+            F.explode(
+                F.filter(F.split("text", " "), lambda t: t != F.lit(""))
+            ).alias("tok"),
+        )
+        .distinct()
+    )
+    n_docs = d.agg(F.count(F.lit(1)).alias("n"))
+    lang_sz = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_l"))
+    df_t = toks.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    df_t = df_t.where(F.col("df") >= 5)
+    lt = toks.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("a"))
+    j = (
+        lt.join(df_t, "tok")
+        .join(F.broadcast(lang_sz), "lang")
+        .crossJoin(F.broadcast(n_docs))
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    b_ = F.col("df") - F.col("a")
+    c_ = F.col("n_l") - F.col("a")
+    d_ = F.col("n") - F.col("df") - c_
+    num = dec(F.col("n")) * dec(F.col("a") * d_ - b_ * c_) * dec(
+        F.col("a") * d_ - b_ * c_
+    )
+    den = (
+        dec(F.col("df"))
+        * dec(F.col("n") - F.col("df"))
+        * dec(F.col("n_l"))
+        * dec(F.col("n") - F.col("n_l"))
+    )
+    scored = j.select(
+        "lang",
+        "tok",
+        "a",
+        "df",
+        dec_ratio(num, den, 0, 4).alias("chi2"),
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.col("chi2").desc(), F.col("tok").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 10)
+        .select("lang", "tok", "a", "df", "chi2", "rn")
+    )
+
+
+def _oracle_chi2() -> str:
+    num = "n * CAST(a*dd - b*c AS HUGEINT) * CAST(a*dd - b*c AS HUGEINT)"
+    den = "CAST(df AS HUGEINT) * (n - df) * n_l * (n - n_l)"
+    return f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, lang, tok
+  FROM (
+    SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+    FROM documents
+  ) WHERE tok <> ''
+),
+nd AS (SELECT count(*) AS n FROM documents),
+lang_sz AS (SELECT lang, count(*) AS n_l FROM documents GROUP BY 1),
+df_t AS (
+  SELECT tok, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1
+  HAVING count(DISTINCT doc_id) >= 5
+),
+lt AS (SELECT lang, tok, count(*) AS a FROM toks GROUP BY 1, 2),
+j AS (
+  SELECT lt.lang, lt.tok, a, df, n_l, n,
+         df - a AS b, n_l - a AS c, n - df - (n_l - a) AS dd
+  FROM lt JOIN df_t USING (tok) JOIN lang_sz ON lt.lang = lang_sz.lang
+  CROSS JOIN nd
+),
+scored AS (
+  SELECT lang, tok, CAST(a AS BIGINT) AS a, CAST(df AS BIGINT) AS df,
+         {dec_ratio_sql(num, den, 0, 4)} AS chi2
+  FROM j
+),
+ranked AS (
+  SELECT lang, tok, a, df, chi2,
+         row_number() OVER (PARTITION BY lang ORDER BY chi2 DESC, tok)
+           AS rn
+  FROM scored
+)
+SELECT lang, tok, a, df, chi2, CAST(rn AS BIGINT) AS rn
+FROM ranked WHERE rn <= 10
+"""
+
+
+ORACLE["q_chi2_terms"] = _oracle_chi2()
+QUERIES["q_chi2_terms"] = q_chi2_terms
