@@ -143,6 +143,14 @@ HEADLINE = [
     "q_l_diversity",
     "q_auc_score",
     "q_calibration_bins",
+    # round-7 second wave: monitoring, basket mining, feature eng
+    "q_cusum_changepoints",
+    "q_association_rules",
+    "q_target_encode",
+    "q_best_split",
+    "q_pr_curve",
+    "q_chi2_terms",
+    "q_kcore_peel",
 ]
 
 
