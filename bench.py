@@ -151,6 +151,9 @@ HEADLINE = [
     "q_pr_curve",
     "q_chi2_terms",
     "q_kcore_peel",
+    "q_t_closeness",
+    "q_feature_hashing",
+    "q_group_ttest",
 ]
 
 

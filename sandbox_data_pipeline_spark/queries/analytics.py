@@ -1831,3 +1831,87 @@ SELECT p_brand, n_c, sum_c,
 FROM brand CROSS JOIN tot
 """
 QUERIES["q_target_encode"] = q_target_encode
+
+
+# --- Welch two-sample t-test per group --------------------------------------
+
+
+def q_group_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's two-sample t statistic per event type, week 1 vs week 2
+    of the events stream — the inferential upgrade of
+    q_profile_drift's raw mean deltas: "did the value distribution
+    move MORE than its own variance explains?".
+
+    All moments (n, Σv, Σv²) accumulate as exact decimals in ONE
+    conditional-aggregate scan (map-side partials, |types| groups);
+    the t statistic is assembled from those exact operands in a fixed
+    double expression tree ending in one irrational sqrt, so both
+    engines run identical IEEE ops on identical inputs. Means are
+    exact dec_ratio decimals."""
+    ev = table(spark, sf_dir, "events")
+    wk1 = F.col("ts") < F.lit("2024-01-08").cast("timestamp")
+    in2 = F.col("ts") < F.lit("2024-01-15").cast("timestamp")
+    v = F.col("value").cast("decimal(18,4)")
+    v2 = (v * v).alias("v2")
+    g = (
+        ev.where(in2)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.when(wk1, 1)).alias("n1"),
+            F.count(F.when(~wk1, 1)).alias("n2"),
+            F.sum(F.when(wk1, v).otherwise(F.lit(0).cast("decimal(18,4)"))).alias("s1"),
+            F.sum(F.when(~wk1, v).otherwise(F.lit(0).cast("decimal(18,4)"))).alias("s2"),
+            F.sum(F.when(wk1, v2).otherwise(F.lit(0).cast("decimal(38,8)"))).alias("q1"),
+            F.sum(F.when(~wk1, v2).otherwise(F.lit(0).cast("decimal(38,8)"))).alias("q2"),
+        )
+    )
+    dn1 = F.col("n1").cast("double")
+    dn2 = F.col("n2").cast("double")
+    ds1 = F.col("s1").cast("double")
+    ds2 = F.col("s2").cast("double")
+    var1 = (F.col("q1").cast("double") - ds1 * ds1 / dn1) / (dn1 - 1)
+    var2 = (F.col("q2").cast("double") - ds2 * ds2 / dn2) / (dn2 - 1)
+    t = (ds1 / dn1 - ds2 / dn2) / F.sqrt(var1 / dn1 + var2 / dn2)
+    return g.select(
+        "event_type",
+        "n1",
+        "n2",
+        dec_ratio(F.col("s1"), F.col("n1"), 4, 4).alias("mean1"),
+        dec_ratio(F.col("s2"), F.col("n2"), 4, 4).alias("mean2"),
+        stable_round(t, 6).alias("t_stat"),
+    )
+
+
+def _oracle_group_ttest() -> str:
+    var1 = "(CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE)*CAST(s1 AS DOUBLE)/CAST(n1 AS DOUBLE)) / (CAST(n1 AS DOUBLE) - 1)"
+    var2 = "(CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE)*CAST(s2 AS DOUBLE)/CAST(n2 AS DOUBLE)) / (CAST(n2 AS DOUBLE) - 1)"
+    t = (
+        f"(CAST(s1 AS DOUBLE)/CAST(n1 AS DOUBLE) - CAST(s2 AS DOUBLE)/CAST(n2 AS DOUBLE))"
+        f" / sqrt(({var1})/CAST(n1 AS DOUBLE) + ({var2})/CAST(n2 AS DOUBLE))"
+    )
+    return f"""
+WITH g AS (
+  SELECT event_type,
+         count(CASE WHEN ts < TIMESTAMP '2024-01-08' THEN 1 END) AS n1,
+         count(CASE WHEN ts >= TIMESTAMP '2024-01-08' THEN 1 END) AS n2,
+         COALESCE(sum(CASE WHEN ts < TIMESTAMP '2024-01-08'
+             THEN CAST(value AS DECIMAL(18,4)) END), 0) AS s1,
+         COALESCE(sum(CASE WHEN ts >= TIMESTAMP '2024-01-08'
+             THEN CAST(value AS DECIMAL(18,4)) END), 0) AS s2,
+         COALESCE(sum(CASE WHEN ts < TIMESTAMP '2024-01-08'
+             THEN CAST(value AS DECIMAL(18,4)) * CAST(value AS DECIMAL(18,4)) END), 0) AS q1,
+         COALESCE(sum(CASE WHEN ts >= TIMESTAMP '2024-01-08'
+             THEN CAST(value AS DECIMAL(18,4)) * CAST(value AS DECIMAL(18,4)) END), 0) AS q2
+  FROM events WHERE ts < TIMESTAMP '2024-01-15'
+  GROUP BY 1
+)
+SELECT event_type, n1, n2,
+       {dec_ratio_sql("s1", "n1", 4, 4)} AS mean1,
+       {dec_ratio_sql("s2", "n2", 4, 4)} AS mean2,
+       {stable_round_sql(t, 6)} AS t_stat
+FROM g
+"""
+
+
+ORACLE["q_group_ttest"] = _oracle_group_ttest()
+QUERIES["q_group_ttest"] = q_group_ttest

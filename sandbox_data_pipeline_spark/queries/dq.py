@@ -424,3 +424,110 @@ FROM per_sens GROUP BY 1, 2
 
 QUERIES["q_l_diversity"] = q_l_diversity
 ORACLE["q_l_diversity"] = _L_DIV_ORACLE
+
+
+# --- t-closeness (completes the k-anon / l-div / t-close triad) -------------
+
+T_CLOSE_X10000 = 3000  # flag classes with TV distance > 0.30
+
+
+def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit completing the privacy triad: per
+    quasi-identifier class (lang, source), the total-variation
+    distance between the class's sensitive-attribute distribution
+    (doc-length bucket, as in q_l_diversity) and the GLOBAL
+    distribution — a class can be k-anonymous and l-diverse while its
+    sensitive distribution still leaks (all its lengths in one tail).
+
+    Exact arithmetic by clearing denominators: TV = (1/2)·Σ_s
+    |n_cs/n_c − N_s/N| = Σ_s |n_cs·N − N_s·n_c| / (2·n_c·N), an
+    integer numerator summed over the full sensitive domain (absent
+    buckets contribute N_s·n_c) and ONE dec_ratio. Scale: one
+    partial-combined groupBy onto (QI, bucket); the global bucket
+    distribution is a broadcast (|buckets| rows); the class×bucket
+    completion is a broadcast cross join bounded by |classes|×
+    |buckets|, never corpus-sized."""
+    from sandbox_data_pipeline_spark.queries._envproof import dec_ratio
+
+    d = table(spark, sf_dir, "documents").select(
+        "lang",
+        "source",
+        F.floor(F.col("n_chars") / L_DIV_BUCKET).alias("sens"),
+    )
+    per = d.groupBy("lang", "source", "sens").agg(
+        F.count(F.lit(1)).alias("n_cs")
+    )
+    cls = per.groupBy("lang", "source").agg(F.sum("n_cs").alias("n_c"))
+    glob = per.groupBy("sens").agg(F.sum("n_cs").alias("n_s"))
+    n_tot = per.agg(F.sum("n_cs").alias("n_tot"))
+    full = (
+        cls.crossJoin(F.broadcast(glob))
+        .crossJoin(F.broadcast(n_tot))
+        .join(per, ["lang", "source", "sens"], "left")
+        .select(
+            "lang",
+            "source",
+            "n_c",
+            "n_tot",
+            F.abs(
+                F.coalesce(F.col("n_cs"), F.lit(0)) * F.col("n_tot")
+                - F.col("n_s") * F.col("n_c")
+            ).alias("dev"),
+        )
+    )
+    agg = full.groupBy("lang", "source").agg(
+        F.max("n_c").alias("cls_n"),
+        F.sum("dev").alias("num"),
+        F.max("n_tot").alias("n_tot"),
+    )
+    t = dec_ratio(
+        F.col("num"),
+        F.lit(2) * F.col("cls_n").cast("decimal(38,0)") * F.col("n_tot"),
+        0,
+        4,
+    )
+    return agg.select(
+        "lang",
+        "source",
+        "cls_n",
+        t.alias("t_close"),
+        F.when(t * 10000 > T_CLOSE_X10000, 1).otherwise(0).cast("int").alias("above_t"),
+    )
+
+
+def _oracle_t_closeness() -> str:
+    from sandbox_data_pipeline_spark.queries._envproof import dec_ratio_sql
+
+    t = dec_ratio_sql("num", "2 * cls_n * n_tot", 0, 4)
+    return f"""
+WITH per AS (
+  SELECT lang, source, CAST(floor(n_chars / {L_DIV_BUCKET}) AS BIGINT) AS sens,
+         count(*) AS n_cs
+  FROM documents GROUP BY 1, 2, 3
+),
+cls AS (SELECT lang, source, sum(n_cs) AS n_c FROM per GROUP BY 1, 2),
+gl AS (SELECT sens, sum(n_cs) AS n_s FROM per GROUP BY 1),
+nt AS (SELECT sum(n_cs) AS n_tot FROM per),
+full_ AS (
+  SELECT cls.lang, cls.source, n_c, n_tot,
+         abs(COALESCE(per.n_cs, 0) * n_tot - gl.n_s * n_c) AS dev
+  FROM cls CROSS JOIN gl CROSS JOIN nt
+  LEFT JOIN per ON per.lang = cls.lang AND per.source = cls.source
+               AND per.sens = gl.sens
+),
+agg AS (
+  SELECT lang, source, CAST(max(n_c) AS BIGINT) AS cls_n,
+         CAST(sum(dev) AS BIGINT) AS num,
+         CAST(max(n_tot) AS BIGINT) AS n_tot
+  FROM full_ GROUP BY 1, 2
+)
+SELECT lang, source, cls_n,
+       {t} AS t_close,
+       CAST(CASE WHEN {t} * 10000 > {T_CLOSE_X10000} THEN 1 ELSE 0 END
+            AS INTEGER) AS above_t
+FROM agg
+"""
+
+
+QUERIES["q_t_closeness"] = q_t_closeness
+ORACLE["q_t_closeness"] = _oracle_t_closeness()

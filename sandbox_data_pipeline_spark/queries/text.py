@@ -2369,3 +2369,65 @@ FROM ranked WHERE rn <= 10
 
 ORACLE["q_chi2_terms"] = _oracle_chi2()
 QUERIES["q_chi2_terms"] = q_chi2_terms
+
+
+# --- Hashing-trick feature vectors ------------------------------------------
+
+FH_BUCKETS = 16
+
+
+def q_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick featurization (Weinberger et al.): each token
+    instance hashes to one of 16 buckets with a ±1 sign drawn from a
+    second hash bit, summed per (doc, bucket) — the fixed-width
+    bag-of-words featurizer that needs NO vocabulary pass, which is
+    the whole point at 100 TB (one scan, no dictionary shuffle, no
+    driver-side vocab). Long-form output (doc_id, bucket, val): the
+    dense-vector pivot is a row-local reshape downstream.
+
+    The hash is the portable 60-bit md5 (operators/dedup.py:
+    portable_hash) so the oracle replays bucket AND sign bit-for-bit;
+    sign comes from bit 4 (the bucket uses bits 0-3 via pmod 16).
+    ONE shuffle: the (doc, bucket) aggregate, ≤16 groups per doc."""
+    from sandbox_data_pipeline_spark.operators.dedup import portable_hash
+
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split("text", " "), lambda t: t != F.lit(""))
+        ).alias("tok"),
+    )
+    h = portable_hash(F.col("tok"), salt="fh")
+    signed = toks.select(
+        "doc_id",
+        F.pmod(h, F.lit(FH_BUCKETS)).cast("int").alias("bucket"),
+        # shiftright, NOT floor(h/16): h is 60-bit and double division
+        # rounds past 2^53, silently corrupting the sign bit
+        (F.lit(1) - F.lit(2) * F.pmod(F.shiftright(h, 4), F.lit(2))).alias(
+            "sign"
+        ),
+    )
+    return signed.groupBy("doc_id", "bucket").agg(
+        F.sum("sign").alias("val")
+    )
+
+
+_ORACLE_FEATURE_HASHING = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+t2 AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+h AS (
+  SELECT doc_id,
+         CAST('0x' || substr(md5('fh' || tok), 1, 15) AS BIGINT) AS hv
+  FROM t2
+)
+SELECT doc_id,
+       CAST(hv % {FH_BUCKETS} AS INTEGER) AS bucket,
+       CAST(sum(1 - 2 * ((hv // {FH_BUCKETS}) % 2)) AS BIGINT) AS val
+FROM h GROUP BY 1, 2
+"""
+
+QUERIES["q_feature_hashing"] = q_feature_hashing
+ORACLE["q_feature_hashing"] = _ORACLE_FEATURE_HASHING

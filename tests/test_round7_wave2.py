@@ -267,3 +267,104 @@ def test_chi2_ranking_matches_numpy(spark):
         assert isinstance(r["chi2"], Decimal)
     for lang, toks in got.items():
         assert [t for _, t in sorted(toks)] == ref[lang], lang
+
+
+def test_t_closeness_brute_force(spark):
+    """q_t_closeness vs a direct float TV computation on sf0.001."""
+    from sandbox_data_pipeline_spark.queries.dq import (
+        L_DIV_BUCKET,
+        q_t_closeness,
+    )
+
+    out = {
+        (r["lang"], r["source"]): (r["cls_n"], float(r["t_close"]))
+        for r in q_t_closeness(spark, "/root/testdata/sf0.001").collect()
+    }
+    import duckdb
+
+    con = duckdb.connect()
+    rows = con.sql(
+        "SELECT lang, source, floor(n_chars / %d) FROM "
+        "'/root/testdata/sf0.001/documents.parquet'" % L_DIV_BUCKET
+    ).fetchall()
+    from collections import Counter
+
+    glob = Counter(s for _, _, s in rows)
+    n = len(rows)
+    per: dict[tuple[str, str], Counter] = {}
+    for lang, src, s in rows:
+        per.setdefault((lang, src), Counter())[s] += 1
+    for key, cnt in per.items():
+        n_c = sum(cnt.values())
+        tv = 0.5 * sum(
+            abs(cnt.get(s, 0) / n_c - glob[s] / n) for s in glob
+        )
+        got_n, got_t = out[key]
+        assert got_n == n_c
+        assert abs(got_t - tv) < 5e-5, (key, got_t, tv)
+
+
+def test_feature_hashing_sign_bit_exact(spark):
+    """The sign bit must be bit 4 of the 60-bit portable hash —
+    computed by shiftright, since floor(h/16) in doubles corrupts
+    hashes past 2^53 (regression for the bug the oracle caught)."""
+    import hashlib
+
+    from sandbox_data_pipeline_spark.queries.text import (
+        FH_BUCKETS,
+        q_feature_hashing,
+    )
+
+    out = {
+        (r["doc_id"], r["bucket"]): r["val"]
+        for r in q_feature_hashing(spark, "/root/testdata/sf0.001").collect()
+    }
+    import duckdb
+
+    con = duckdb.connect()
+    docs = con.sql(
+        "SELECT doc_id, text FROM '/root/testdata/sf0.001/documents.parquet'"
+    ).fetchall()
+    want: dict[tuple[int, int], int] = {}
+    for doc_id, text in docs:
+        for tok in text.split(" "):
+            if not tok:
+                continue
+            h = int(hashlib.md5(("fh" + tok).encode()).hexdigest()[:15], 16)
+            b = h % FH_BUCKETS
+            sign = 1 - 2 * ((h >> 4) & 1)
+            want[(doc_id, b)] = want.get((doc_id, b), 0) + sign
+    assert out == want
+
+
+def test_group_ttest_moment_assembly(spark):
+    """Welch t from the query vs numpy-free direct computation."""
+    from sandbox_data_pipeline_spark.queries.analytics import q_group_ttest
+
+    out = {
+        r["event_type"]: (r["n1"], r["n2"], r["t_stat"])
+        for r in q_group_ttest(spark, "/root/testdata/sf0.001").collect()
+    }
+    import datetime
+
+    import duckdb
+
+    con = duckdb.connect()
+    rows = con.sql(
+        "SELECT event_type, ts, CAST(CAST(value AS DECIMAL(18,4)) AS DOUBLE)"
+        " FROM '/root/testdata/sf0.001/events.parquet'"
+        " WHERE ts < TIMESTAMP '2024-01-15'"
+    ).fetchall()
+    cut = datetime.datetime(2024, 1, 8)
+    groups: dict[str, tuple[list, list]] = {}
+    for et, ts, v in rows:
+        groups.setdefault(et, ([], []))[0 if ts < cut else 1].append(v)
+    for et, (a, b) in groups.items():
+        n1, n2 = len(a), len(b)
+        m1, m2 = sum(a) / n1, sum(b) / n2
+        v1 = (sum(x * x for x in a) - sum(a) ** 2 / n1) / (n1 - 1)
+        v2 = (sum(x * x for x in b) - sum(b) ** 2 / n2) / (n2 - 1)
+        t = (m1 - m2) / (v1 / n1 + v2 / n2) ** 0.5
+        gn1, gn2, gt = out[et]
+        assert (gn1, gn2) == (n1, n2)
+        assert abs(gt - t) < 5e-5, (et, gt, t)
