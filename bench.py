@@ -154,6 +154,8 @@ HEADLINE = [
     "q_t_closeness",
     "q_feature_hashing",
     "q_group_ttest",
+    "q_lof_outliers",
+    "q_link_prediction",
 ]
 
 

@@ -741,6 +741,12 @@ def knn_join(
             "rank",
             "cand_id",
             F.round(F.col("_cos6"), 4).alias("cos_sim"),
+            # the ranking-resolution score, for consumers (LOF) that
+            # integerize distances: re-rounding cos6 to 4 decimals
+            # lands on EXACT decimal ties (x.xxxx50) where the
+            # engines' round modes split — cos6 itself never ties
+            # (the raw cosine is irrational)
+            F.col("_cos6").alias("cos6"),
         )
     )
 

@@ -1857,3 +1857,108 @@ SELECT part, count(*) AS degree FROM (
 
 ORACLE["q_kcore_peel"] = _oracle_kcore()
 QUERIES["q_kcore_peel"] = q_kcore_peel
+
+
+# --- Common-neighbor link prediction on the co-purchase graph ---------------
+
+
+def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbor link prediction over the part co-purchase
+    graph: for every NON-edge pair sharing >= 2 neighbors, the
+    common-neighbor count and neighborhood Jaccard — the classic
+    'products likely to be co-purchased next' / recommendation-recall
+    candidate generator, and the second consumer of the same edge
+    list q_kcore_peel peels.
+
+    Scale: the wedge join (adj ⋈ adj on the middle node) is the
+    triangle-counting shape — fan-out Σ_w deg(w)², bounded in
+    production by a hub-degree cap on w (the standard mitigation;
+    at this corpus's density no cap is needed). The (u,v) aggregate
+    shuffles on the candidate pair; the existing-edge anti-join and
+    the two degree joins run on the bounded edge/node lists. Exact
+    integers into ONE dec_ratio."""
+    from sandbox_data_pipeline_spark.queries._envproof import dec_ratio
+
+    li = table(spark, sf_dir, "lineitem")
+    bi = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    a = bi.select("o", F.col("p").alias("pa"))
+    b = bi.select("o", F.col("p").alias("pb"))
+    e = (
+        a.join(b, "o")
+        .where(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .where(F.col("w") >= 2)
+        .select("pa", "pb")
+    )
+    adj = e.select(F.col("pa").alias("u"), F.col("pb").alias("w")).unionAll(
+        e.select(F.col("pb").alias("u"), F.col("pa").alias("w"))
+    )
+    deg = adj.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    wedges = (
+        adj.select(F.col("u"), F.col("w"))
+        .join(adj.select(F.col("u").alias("v"), F.col("w")), "w")
+        .where(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("cn"))
+        .where(F.col("cn") >= 2)
+    )
+    non_edges = wedges.join(
+        e.select(F.col("pa").alias("u"), F.col("pb").alias("v")),
+        ["u", "v"],
+        "anti",
+    )
+    out = (
+        non_edges.join(deg.select(F.col("u"), F.col("deg").alias("deg_u")), "u")
+        .join(deg.select(F.col("u").alias("v"), F.col("deg").alias("deg_v")), "v")
+    )
+    return out.select(
+        "u",
+        "v",
+        "cn",
+        "deg_u",
+        "deg_v",
+        dec_ratio(
+            F.col("cn"),
+            F.col("deg_u") + F.col("deg_v") - F.col("cn"),
+            0,
+            4,
+        ).alias("jacc"),
+    )
+
+
+def _oracle_link_prediction() -> str:
+    from sandbox_data_pipeline_spark.queries._envproof import dec_ratio_sql
+
+    return f"""
+WITH bi AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+e AS MATERIALIZED (
+  SELECT a.p AS pa, b.p AS pb FROM bi a JOIN bi b ON a.o = b.o AND a.p < b.p
+  GROUP BY 1, 2 HAVING count(*) >= 2
+),
+adj AS MATERIALIZED (
+  SELECT pa AS u, pb AS w FROM e UNION ALL SELECT pb, pa FROM e
+),
+deg AS (SELECT u, count(*) AS deg FROM adj GROUP BY 1),
+wedges AS (
+  SELECT x.u AS u, y.u AS v, count(*) AS cn
+  FROM adj x JOIN adj y ON x.w = y.w AND x.u < y.u
+  GROUP BY 1, 2 HAVING count(*) >= 2
+),
+non_edges AS (
+  SELECT u, v, cn FROM wedges
+  WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.pa = u AND e.pb = v)
+)
+SELECT ne.u, ne.v, CAST(cn AS BIGINT) AS cn,
+       CAST(du.deg AS BIGINT) AS deg_u, CAST(dv.deg AS BIGINT) AS deg_v,
+       {dec_ratio_sql("cn", "du.deg + dv.deg - cn", 0, 4)} AS jacc
+FROM non_edges ne
+JOIN deg du ON du.u = ne.u
+JOIN deg dv ON dv.u = ne.v
+"""
+
+
+QUERIES["q_link_prediction"] = q_link_prediction
+ORACLE["q_link_prediction"] = _oracle_link_prediction()

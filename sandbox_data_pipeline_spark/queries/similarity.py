@@ -1600,3 +1600,160 @@ FROM cum
 
 ORACLE["q_pr_curve"] = _oracle_pr_curve()
 QUERIES["q_pr_curve"] = q_pr_curve
+
+
+# --- Local Outlier Factor over the SRP-KNN graph ----------------------------
+
+LOF_FLAG_X1E6 = 1_300_000  # flag lof > 1.3
+
+
+def q_lof_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local Outlier Factor (Breunig et al.) over the embedding
+    corpus: each point's density relative to its neighbors' — the
+    density-adaptive outlier detector that a global distance cutoff
+    can't replicate (a point at cluster's edge and a point in a
+    sparse region have the same kNN radius but very different LOF).
+
+    The kNN graph comes from the SAME shuffle-only SRP-bucketed KNN
+    join the retrieval family uses (neither side broadcasts, per-
+    bucket work bounded by 2^planes occupancy) — LOF at 100 TB is
+    exactly 'ANN graph + three bounded joins', and the graph is the
+    expensive part, already paid. Distances integerize from the
+    ranked 4-decimal cosine (d = 10^4 − cos·10^4), so reach-dist,
+    k-dist, and the density sums are EXACT integers; the two
+    divisions per term go through dec_ratio. Neighborhood sizes vary
+    with bucket occupancy, so the variable-n LOF form is used:
+    LOF(p) = Σ_o (n_o·R_p)/(R_o·n_p²), each term one exact decimal.
+    R=0 (an all-duplicate neighborhood) clamps to 1 — the point is
+    infinitely dense; its LOF terms carry R_p=0 and emit 0."""
+    from sandbox_data_pipeline_spark.operators.similarity import knn_join
+    from sandbox_data_pipeline_spark.queries._envproof import dec_ratio
+
+    emb = table(spark, sf_dir, "embeddings")
+    edges = knn_join(
+        emb, emb, dim=DIM, planes=PLANES, k=TOPK, multiprobe=1
+    ).select(
+        F.col("query_id").alias("p"),
+        F.col("cand_id").alias("o"),
+        # integerize from the 6-decimal RANKING score (cos6), not the
+        # 4-decimal display score: re-rounding cos6 to 4 lands on
+        # exact decimal ties where Spark (HALF_UP) and DuckDB
+        # (half-even) split — observed as ±1e-4 distance flips
+        (F.lit(1000000) - F.floor(F.col("cos6") * 1000000 + F.lit(0.5)))
+        .cast("long")
+        .alias("d"),
+    )
+    kd = edges.groupBy("p").agg(
+        F.max("d").alias("kdist"), F.count(F.lit(1)).alias("n_nb")
+    )
+    reach = edges.join(
+        kd.select(F.col("p").alias("o"), F.col("kdist").alias("kdist_o")),
+        "o",
+    ).select("p", "o", F.greatest(F.col("kdist_o"), F.col("d")).alias("rd"))
+    r = reach.groupBy("p").agg(F.sum("rd").alias("r_raw"))
+    r = r.join(kd, "p").select(
+        "p", "n_nb", "kdist", F.greatest(F.col("r_raw"), F.lit(1)).alias("r")
+    )
+    terms = (
+        edges.join(r.select("p", "n_nb", "r"), "p")
+        .join(
+            r.select(
+                F.col("p").alias("o"),
+                F.col("n_nb").alias("n_o"),
+                F.col("r").alias("r_o"),
+            ),
+            "o",
+        )
+        .select(
+            "p",
+            dec_ratio(
+                F.col("n_o").cast("decimal(38,0)") * F.col("r"),
+                F.col("r_o").cast("decimal(38,0)")
+                * F.col("n_nb")
+                * F.col("n_nb"),
+                0,
+                6,
+            ).alias("term"),
+        )
+    )
+    lof = terms.groupBy("p").agg(F.sum("term").alias("lof_raw"))
+    return (
+        lof.join(r, "p")
+        .select(
+            F.col("p").alias("vec_id"),
+            "n_nb",
+            "kdist",
+            F.col("lof_raw").cast("decimal(18,6)").alias("lof"),
+            F.when(
+                F.col("lof_raw") * 1000000 > LOF_FLAG_X1E6, 1
+            )
+            .otherwise(0)
+            .cast("int")
+            .alias("is_outlier"),
+        )
+    )
+
+
+def _oracle_lof() -> str:
+    from sandbox_data_pipeline_spark.queries._envproof import dec_ratio_sql
+
+    cos = _COS.format(a="q.qv", b="c.v")
+    probe_list = "[b.bucket" + "".join(
+        f", xor(b.bucket, {1 << p})" for p in range(PLANES)
+    ) + "]"
+    term = dec_ratio_sql("ro.n_nb * rp.r", "ro.r * rp.n_nb * rp.n_nb", 0, 6)
+    return f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+b AS MATERIALIZED (SELECT vec_id, {_bucket_sql('v')} AS bucket FROM v),
+q AS (
+  SELECT v.vec_id AS query_id, v.v AS qv, unnest({probe_list}) AS bucket
+  FROM v JOIN b USING (vec_id)
+),
+c AS (SELECT v.vec_id AS cand_id, v, bucket FROM v JOIN b USING (vec_id)),
+sims AS (
+  SELECT query_id, cand_id, round({cos}, 6) AS cos_sim
+  FROM q JOIN c USING (bucket)
+  WHERE cand_id <> query_id
+),
+ranked AS (
+  SELECT query_id, cand_id, cos_sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, cand_id) AS rank
+  FROM sims
+),
+edges AS MATERIALIZED (
+  SELECT query_id AS p, cand_id AS o,
+         CAST(1000000 - floor(cos_sim * 1000000 + 0.5) AS BIGINT) AS d
+  FROM ranked WHERE rank <= {TOPK}
+),
+kd AS MATERIALIZED (
+  SELECT p, max(d) AS kdist, count(*) AS n_nb FROM edges GROUP BY 1
+),
+reach AS (
+  SELECT e.p, e.o, greatest(ko.kdist, e.d) AS rd
+  FROM edges e JOIN kd ko ON ko.p = e.o
+),
+r AS MATERIALIZED (
+  SELECT reach.p, kd.n_nb, kd.kdist,
+         greatest(sum(rd), 1) AS r
+  FROM reach JOIN kd ON kd.p = reach.p
+  GROUP BY 1, 2, 3
+),
+terms AS (
+  SELECT e.p, {term} AS term
+  FROM edges e
+  JOIN r rp ON rp.p = e.p
+  JOIN r ro ON ro.p = e.o
+),
+lof AS (SELECT p, sum(term) AS lof_raw FROM terms GROUP BY 1)
+SELECT r.p AS vec_id, CAST(r.n_nb AS BIGINT) AS n_nb,
+       CAST(r.kdist AS BIGINT) AS kdist,
+       CAST(lof_raw AS DECIMAL(18,6)) AS lof,
+       CAST(CASE WHEN lof_raw * 1000000 > {LOF_FLAG_X1E6} THEN 1 ELSE 0 END
+            AS INTEGER) AS is_outlier
+FROM lof JOIN r ON r.p = lof.p
+"""
+
+
+QUERIES["q_lof_outliers"] = q_lof_outliers
+ORACLE["q_lof_outliers"] = _oracle_lof()

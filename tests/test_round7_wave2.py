@@ -368,3 +368,56 @@ def test_group_ttest_moment_assembly(spark):
         gn1, gn2, gt = out[et]
         assert (gn1, gn2) == (n1, n2)
         assert abs(gt - t) < 5e-5, (et, gt, t)
+
+
+def test_lof_matches_python_reference(spark):
+    """q_lof_outliers vs a direct Python LOF on the same SRP-kNN
+    graph (sf0.001): identical integer distances, reach sums, and
+    per-term exact-decimal assembly."""
+    from sandbox_data_pipeline_spark.operators.similarity import knn_join
+    from sandbox_data_pipeline_spark.catalog import table
+    from sandbox_data_pipeline_spark.queries.similarity import (
+        DIM,
+        PLANES,
+        TOPK,
+        q_lof_outliers,
+    )
+
+    emb = table(spark, "/root/testdata/sf0.001", "embeddings")
+    edges = [
+        (r["query_id"], r["cand_id"], int(1000000 - (r["cos6"] * 1000000 + 0.5) // 1))
+        for r in knn_join(
+            emb, emb, dim=DIM, planes=PLANES, k=TOPK, multiprobe=1
+        ).collect()
+    ]
+    nb: dict[int, list[tuple[int, int]]] = {}
+    for p, o, d in edges:
+        nb.setdefault(p, []).append((o, d))
+    kdist = {p: max(d for _, d in os) for p, os in nb.items()}
+    n_nb = {p: len(os) for p, os in nb.items()}
+    r_sum = {
+        p: max(1, sum(max(kdist[o], d) for o, d in os))
+        for p, os in nb.items()
+    }
+
+    def dr(num, den, scale):  # dec_ratio: round-half-away on integers
+        q, rm = divmod(abs(num) * 10**scale * 2 + abs(den), 2 * abs(den))
+        sign = -1 if (num < 0) != (den < 0) else 1
+        return sign * q
+
+    want = {}
+    for p, os in nb.items():
+        terms = [
+            dr(n_nb[o] * r_sum[p], r_sum[o] * n_nb[p] * n_nb[p], 6)
+            for o, _ in os
+        ]
+        want[p] = (n_nb[p], kdist[p], sum(terms))
+    got = {
+        r["vec_id"]: (
+            r["n_nb"],
+            r["kdist"],
+            int(r["lof"].scaleb(6)),
+        )
+        for r in q_lof_outliers(spark, "/root/testdata/sf0.001").collect()
+    }
+    assert got == want
