@@ -148,6 +148,9 @@ DRIVER_PRIORITY = (
     "q_group_ttest",
     "q_lof_outliers",
     "q_link_prediction",
+    "q_ndcg_at_k",
+    "q_event_trigrams",
+    "q_kaplan_meier",
 )
 
 

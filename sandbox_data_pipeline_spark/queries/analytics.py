@@ -1915,3 +1915,187 @@ FROM g
 
 ORACLE["q_group_ttest"] = _oracle_group_ttest()
 QUERIES["q_group_ttest"] = q_group_ttest
+
+
+# --- Third-order sequential patterns ----------------------------------------
+
+
+def q_event_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent length-3 event sequences per user stream (the
+    PrefixSpan-lite sequential-pattern miner): two stacked lead()
+    windows over each user's time-ordered events, one (a,b,c)
+    aggregate — the n=3 extension of q_event_transitions' Markov
+    matrix, catching patterns the bigram factorization misses
+    (view→cart→purchase vs view→cart→abandon).
+
+    Scale: ONE shuffle on user_id for the windows (both leads ride
+    the same sort), then a ≤|types|³ aggregate with map-side
+    partials. Ties on ts break on the unique event_id."""
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tri = ev.select(
+        F.col("event_type").alias("a"),
+        F.lead("event_type", 1).over(w).alias("b"),
+        F.lead("event_type", 2).over(w).alias("c"),
+    ).where(F.col("c").isNotNull())
+    counts = tri.groupBy("a", "b", "c").agg(F.count(F.lit(1)).alias("n_seq"))
+    total = Window.partitionBy(F.lit(1))
+    return counts.select(
+        "a",
+        "b",
+        "c",
+        "n_seq",
+        dec_ratio(
+            F.col("n_seq"), F.sum("n_seq").over(total), 0, 6
+        ).alias("share"),
+    )
+
+
+ORACLE["q_event_trigrams"] = f"""
+WITH seq AS (
+  SELECT event_type AS a,
+         lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS b,
+         lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS c
+  FROM events
+),
+counts AS (
+  SELECT a, b, c, count(*) AS n_seq FROM seq WHERE c IS NOT NULL
+  GROUP BY 1, 2, 3
+)
+SELECT a, b, c, CAST(n_seq AS BIGINT) AS n_seq,
+       {dec_ratio_sql("n_seq", "sum(n_seq) OVER ()", 0, 6)} AS share
+FROM counts
+"""
+QUERIES["q_event_trigrams"] = q_event_trigrams
+
+
+# --- Kaplan-Meier survival curve --------------------------------------------
+
+KM_HORIZON = "2024-01-31"
+
+
+def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve for time-to-first-purchase: per
+    user, hours from first-seen to first 'purchase' event (censored
+    at the horizon for users who never buy) — the right-censoring-
+    aware conversion curve that a naive 'mean time to purchase over
+    converters' biases optimistic.
+
+    The risk table is exact integers end to end: per distinct event
+    time, d (events) and the at-risk count as N minus the running
+    count of users LEAVING before t (window over the ≤|distinct
+    durations| aggregate). The survival product Π(1−d/n) is the one
+    genuinely irrational output, computed as exp of the ordered
+    cumulative sum of ln terms — frame-ordered window sums are
+    sequential in both engines, and the KL-divergence family set the
+    precedent that one libm call per term is hash-stable at 6
+    decimals. Scale: one user_id shuffle for the per-user reduce;
+    everything after is domain-bounded (distinct durations)."""
+    ev = table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min("ts").alias("t0"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("tp"),
+    )
+    horizon = F.lit(KM_HORIZON).cast("timestamp")
+    durs = per_user.select(
+        F.when(
+            F.col("tp").isNotNull(),
+            F.floor(
+                (F.col("tp").cast("double") - F.col("t0").cast("double")) / 3600
+            ),
+        )
+        .otherwise(
+            F.floor(
+                (horizon.cast("double") - F.col("t0").cast("double")) / 3600
+            )
+        )
+        .cast("long")
+        .alias("dur_h"),
+        F.col("tp").isNotNull().cast("int").alias("ev"),
+    )
+    per_t = durs.groupBy("dur_h").agg(
+        F.sum("ev").alias("d"),
+        F.count(F.lit(1)).alias("leaving"),
+    )
+    n_total = durs.agg(F.count(F.lit(1)).alias("n_tot"))
+    w = Window.orderBy("dur_h")
+    risk = per_t.crossJoin(F.broadcast(n_total)).select(
+        "dur_h",
+        "d",
+        (
+            F.col("n_tot")
+            - F.coalesce(
+                F.sum("leaving").over(
+                    w.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            )
+        ).alias("n_risk"),
+    )
+    events_only = risk.where(F.col("d") > 0)
+    # a fully-converting risk set (n_risk == d) drives S to exactly 0;
+    # ln(0) must not reach either engine (DuckDB raises) — zero terms
+    # are excluded from the log-sum and tracked with a cumulative flag
+    lnterm = F.when(
+        F.col("n_risk") > F.col("d"),
+        F.log(
+            (F.col("n_risk") - F.col("d")).cast("double")
+            / F.col("n_risk").cast("double")
+        ),
+    ).otherwise(F.lit(0.0))
+    cum = w.rowsBetween(Window.unboundedPreceding, 0)
+    hit_zero = F.max(
+        F.when(F.col("n_risk") == F.col("d"), 1).otherwise(0)
+    ).over(cum)
+    return events_only.select(
+        "dur_h",
+        "d",
+        "n_risk",
+        F.when(hit_zero == 1, F.lit(0.0))
+        .otherwise(stable_round(F.exp(F.sum(lnterm).over(cum)), 6))
+        .alias("surv"),
+    )
+
+
+ORACLE["q_kaplan_meier"] = f"""
+WITH per_user AS (
+  SELECT user_id, min(ts) AS t0,
+         min(CASE WHEN event_type = 'purchase' THEN ts END) AS tp
+  FROM events GROUP BY 1
+),
+durs AS (
+  SELECT CAST(floor((epoch(COALESCE(tp, TIMESTAMP '{KM_HORIZON}'))
+                     - epoch(t0)) / 3600) AS BIGINT) AS dur_h,
+         CAST(tp IS NOT NULL AS INTEGER) AS ev
+  FROM per_user
+),
+per_t AS (
+  SELECT dur_h, sum(ev) AS d, count(*) AS leaving FROM durs GROUP BY 1
+),
+risk AS (
+  SELECT dur_h, CAST(d AS BIGINT) AS d,
+         CAST((SELECT count(*) FROM durs)
+              - COALESCE(sum(leaving) OVER (
+                  ORDER BY dur_h ROWS BETWEEN UNBOUNDED PRECEDING
+                  AND 1 PRECEDING), 0) AS BIGINT) AS n_risk
+  FROM per_t
+)
+SELECT dur_h, d, n_risk,
+       CASE WHEN max(CASE WHEN n_risk = d THEN 1 ELSE 0 END)
+                 OVER (ORDER BY dur_h ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) = 1
+            THEN 0.0
+            ELSE {stable_round_sql(
+                "exp(sum(CASE WHEN n_risk > d THEN"
+                " ln(CAST(n_risk - d AS DOUBLE) / CAST(n_risk AS DOUBLE))"
+                " ELSE 0.0 END)"
+                " OVER (ORDER BY dur_h ROWS BETWEEN UNBOUNDED PRECEDING"
+                " AND CURRENT ROW))", 6)}
+       END AS surv
+FROM (SELECT * FROM risk WHERE d > 0)
+"""
+QUERIES["q_kaplan_meier"] = q_kaplan_meier

@@ -1757,3 +1757,104 @@ FROM lof JOIN r ON r.p = lof.p
 
 QUERIES["q_lof_outliers"] = q_lof_outliers
 ORACLE["q_lof_outliers"] = _oracle_lof()
+
+
+# --- nDCG@k retrieval evaluation --------------------------------------------
+
+# 1/log2(rank+1) discounts and their prefix sums, precomputed ONCE in
+# Python and embedded as IDENTICAL double literals in both engines —
+# the discounts are irrational, but a shared literal cannot drift.
+_DCG_DISCOUNT = {r: 1.0 / __import__("math").log2(r + 1) for r in range(1, TOPK + 1)}
+_IDCG_PREFIX = {0: 0.0}
+for _r in range(1, TOPK + 1):
+    _IDCG_PREFIX[_r] = _IDCG_PREFIX[_r - 1] + _DCG_DISCOUNT[_r]
+del _r
+
+
+def q_ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nDCG@k of the SRP-bucketed KNN retrieval against the label
+    column (relevant = neighbor shares the query's label) — the
+    ranking-quality metric that, unlike q_ann_recall's set overlap,
+    penalizes putting the relevant neighbors LOW. Closes the
+    retrieval-eval loop: recall (set), AUC (global order), nDCG
+    (per-query order).
+
+    The log2 discounts are per-rank constants, so DCG is a sum of
+    shared double literals gated by integer relevance flags, and IDCG
+    is a 6-way CASE on the relevant count — no engine libm call
+    anywhere. One broadcast label join onto the bounded KNN edge
+    list; the per-query aggregate rides the edge list's existing
+    (query) partitioning."""
+    emb = table(spark, sf_dir, "embeddings")
+    edges = q_knn_join(spark, sf_dir)
+    labels = emb.select("vec_id", "label")
+    j = (
+        edges.join(
+            F.broadcast(labels.select(F.col("vec_id").alias("query_id"),
+                                      F.col("label").alias("q_label"))),
+            "query_id",
+        )
+        .join(
+            F.broadcast(labels.select(F.col("vec_id").alias("cand_id"),
+                                      F.col("label").alias("c_label"))),
+            "cand_id",
+        )
+        .select(
+            "query_id",
+            "rank",
+            (F.col("q_label") == F.col("c_label")).cast("int").alias("rel"),
+        )
+    )
+    disc = F.lit(0.0)
+    for r, d in _DCG_DISCOUNT.items():
+        disc = F.when(F.col("rank") == r, F.lit(d)).otherwise(disc)
+    per_q = j.groupBy("query_id").agg(
+        F.sum("rel").alias("n_rel"),
+        F.sum(F.col("rel") * disc).alias("dcg"),
+    )
+    idcg = F.lit(0.0)
+    for n, v in _IDCG_PREFIX.items():
+        idcg = F.when(F.col("n_rel") == n, F.lit(v)).otherwise(idcg)
+    return per_q.select(
+        "query_id",
+        "n_rel",
+        F.when(F.col("n_rel") == 0, F.lit(0.0))
+        .otherwise(stable_round(F.col("dcg") / idcg, 6))
+        .alias("ndcg"),
+    )
+
+
+def _oracle_ndcg() -> str:
+    disc = " ".join(
+        f"WHEN {r} THEN {d!r}" for r, d in _DCG_DISCOUNT.items()
+    )
+    idcg = " ".join(
+        f"WHEN {n} THEN {v!r}" for n, v in _IDCG_PREFIX.items()
+    )
+    knn = _oracle_knn_join().replace("cos2", "cos2_ignored")
+    return f"""
+WITH knn AS ({knn}),
+lab AS (SELECT vec_id, label FROM embeddings),
+j AS (
+  SELECT knn.query_id, knn.rank,
+         CAST(ql.label = cl.label AS INTEGER) AS rel
+  FROM knn
+  JOIN lab ql ON ql.vec_id = knn.query_id
+  JOIN lab cl ON cl.vec_id = knn.cand_id
+),
+per_q AS (
+  SELECT query_id,
+         CAST(sum(rel) AS BIGINT) AS n_rel,
+         sum(rel * (CASE rank {disc} ELSE 0.0 END)) AS dcg
+  FROM j GROUP BY 1
+)
+SELECT query_id, n_rel,
+       CASE WHEN n_rel = 0 THEN 0.0
+            ELSE {stable_round_sql("dcg / (CASE n_rel " + idcg + " ELSE 1.0 END)", 6)}
+       END AS ndcg
+FROM per_q
+"""
+
+
+QUERIES["q_ndcg_at_k"] = q_ndcg_at_k
+ORACLE["q_ndcg_at_k"] = _oracle_ndcg()

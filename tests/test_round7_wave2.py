@@ -421,3 +421,46 @@ def test_lof_matches_python_reference(spark):
         for r in q_lof_outliers(spark, "/root/testdata/sf0.001").collect()
     }
     assert got == want
+
+
+def test_kaplan_meier_python_reference(spark):
+    """q_kaplan_meier vs a direct KM computation on sf0.001."""
+    import datetime
+    import math
+
+    import duckdb
+
+    from sandbox_data_pipeline_spark.queries.analytics import (
+        KM_HORIZON,
+        q_kaplan_meier,
+    )
+
+    rows = duckdb.sql(
+        "SELECT user_id, min(ts), min(CASE WHEN event_type='purchase'"
+        " THEN ts END) FROM '/root/testdata/sf0.001/events.parquet'"
+        " GROUP BY 1"
+    ).fetchall()
+    horizon = datetime.datetime.fromisoformat(KM_HORIZON)
+    durs = []
+    for _, t0, tp in rows:
+        if tp is not None:
+            durs.append((int((tp - t0).total_seconds() // 3600), 1))
+        else:
+            durs.append((int((horizon - t0).total_seconds() // 3600), 0))
+    times = sorted({t for t, _ in durs})
+    n = len(durs)
+    surv, want = 1.0, {}
+    left = 0
+    for t in times:
+        at_risk = n - left
+        d = sum(1 for tt, e in durs if tt == t and e == 1)
+        leaving = sum(1 for tt, _ in durs if tt == t)
+        if d > 0:
+            surv *= (at_risk - d) / at_risk
+            want[t] = (d, at_risk, round(surv, 4))
+        left += leaving
+    got = {
+        r["dur_h"]: (r["d"], r["n_risk"], round(r["surv"], 4))
+        for r in q_kaplan_meier(spark, "/root/testdata/sf0.001").collect()
+    }
+    assert got == want
