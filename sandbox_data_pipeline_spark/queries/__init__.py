@@ -22,14 +22,13 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 # The driver's CORRECTNESS run grades the FIRST ~50 entries of this
 # tuple each round (r4-r6 samples were exactly positions 1-50).
-# Round-7 rotation policy: after r6 closed the driver-environment saga
-# (50/50 green, every previously-red slot re-proven), the graded window
-# is the scarce resource — holding long-green slots in it wastes the
-# round. The head is therefore the canary + 49 NEVER-driver-sampled
-# queries (all of the round-6 additions: lakehouse/txlog, codecs +
-# media near-dup, retrieval/linalg, sketches, and the never-graded
-# dedup/similarity tail), then the remaining 32 never-sampled, then
-# everything long-green via registry interleave order.
+# Rotation policy: the graded window is the scarce resource — after an
+# all-green round, holding long-green slots in it wastes the round, so
+# the head is always the canary + the never-driver-sampled queries
+# (after a red round, the reds rotate back in first instead). Round 8:
+# CORRECTNESS_r07 was 50/50 green, so the head is the 57 queries never
+# sampled through r7; cumulative formal coverage after this window is
+# 282/290 (the 8 past position 50 lead round 9 if ungraded).
 # tests/test_registry_hygiene.py encodes this policy so it survives
 # context loss between rounds.
 DRIVER_PRIORITY = (
@@ -37,62 +36,11 @@ DRIVER_PRIORITY = (
     # slot 1 every round (a canary regression means the comparator
     # environment moved again, not the queries).
     "q_hash_canary",
-    # Lakehouse / transactional-table family (round-6 flagships)
-    "q_partition_evolution",
-    "q_hidden_partitioning",
-    "q_bloom_index",
-    "q_merge_conditional",
-    "q_schema_evolution",
-    "q_check_constraint",
-    "q_position_delete",
-    "q_table_branch",
-    "q_csv_interchange",
-    "q_ingest_quarantine",
-    "q_sketch_ivm",
-    "q_join_ivm",
-    "q_masked_export",
-    # Real-codec media + perceptual near-dup family
-    "q_jpeg_decode_stats",
-    "q_video_keyframes",
-    "q_gif_keyframes",
-    "q_audio_onsets",
-    "q_image_dhash_dedup",
-    "q_video_near_dup",
-    "q_audio_near_dup",
-    "q_media_resolution_filter",
-    # Retrieval / linear algebra / tokenizer family
-    "q_bm25_topk",
-    "q_hybrid_rrf",
-    "q_embedding_gram",
-    "q_numeric_corr",
-    "q_linear_fit",
-    "q_bpe_encode",
-    "q_fuzzy_match",
-    "q_entity_resolution",
-    "q_dd_quantiles",
-    # Never-graded dedup / similarity tail
-    "q_anchored_dup_spans",
-    "q_winnow_fingerprints",
-    "q_crosslingual_dups",
-    "q_embedding_dup_clusters",
-    "q_dup_triangles",
-    "q_dup_degree_dist",
-    "q_dup_rate_by_source",
-    "q_leakage_safe_split",
-    "q_passage_dup_ratio",
-    "q_similarity_ivf_lists",
-    "q_similarity_ivf_topk",
-    "q_ann_index",
-    "q_ann_index_drift",
-    "q_pq_codes",
-    "q_embedding_quantize",
-    "q_embedding_centroids",
-    "q_inverted_index",
-    "q_ngram_freq",
-    "q_lang_confusion",
-    # ---- end of graded head (50) ----
-    # Remaining never-driver-sampled queries, next in line if the
-    # driver grades past 50 (and round 8's head if it does not):
+    # Round-8 graded head: the 57 queries never driver-sampled as of
+    # CORRECTNESS_r07 (the pre-r7 overflow, then the 25 round-7
+    # additions), in the order round 7 queued them. The driver grades
+    # ~50 per round, so the first 49 here land in round 8; the rest
+    # lead round 9 if ungraded.
     "q_orc_interchange",
     "q_suffix_repeats",
     "q_suffix_dedup_spans",
@@ -135,7 +83,6 @@ DRIVER_PRIORITY = (
     "q_token_quantiles",
     "q_url_canonical",
     "q_url_dedup",
-    # Round-7 second-wave additions (never sampled, newest last):
     "q_cusum_changepoints",
     "q_association_rules",
     "q_target_encode",
@@ -143,6 +90,7 @@ DRIVER_PRIORITY = (
     "q_pr_curve",
     "q_chi2_terms",
     "q_kcore_peel",
+    # ---- end of graded head (50) ----
     "q_t_closeness",
     "q_feature_hashing",
     "q_group_ttest",
@@ -151,6 +99,57 @@ DRIVER_PRIORITY = (
     "q_ndcg_at_k",
     "q_event_trigrams",
     "q_kaplan_meier",
+    # Round-7 graded head (all green in CORRECTNESS_r07), rotated to
+    # the back; everything long-green follows via registry interleave.
+    "q_partition_evolution",
+    "q_hidden_partitioning",
+    "q_bloom_index",
+    "q_merge_conditional",
+    "q_schema_evolution",
+    "q_check_constraint",
+    "q_position_delete",
+    "q_table_branch",
+    "q_csv_interchange",
+    "q_ingest_quarantine",
+    "q_sketch_ivm",
+    "q_join_ivm",
+    "q_masked_export",
+    "q_jpeg_decode_stats",
+    "q_video_keyframes",
+    "q_gif_keyframes",
+    "q_audio_onsets",
+    "q_image_dhash_dedup",
+    "q_video_near_dup",
+    "q_audio_near_dup",
+    "q_media_resolution_filter",
+    "q_bm25_topk",
+    "q_hybrid_rrf",
+    "q_embedding_gram",
+    "q_numeric_corr",
+    "q_linear_fit",
+    "q_bpe_encode",
+    "q_fuzzy_match",
+    "q_entity_resolution",
+    "q_dd_quantiles",
+    "q_anchored_dup_spans",
+    "q_winnow_fingerprints",
+    "q_crosslingual_dups",
+    "q_embedding_dup_clusters",
+    "q_dup_triangles",
+    "q_dup_degree_dist",
+    "q_dup_rate_by_source",
+    "q_leakage_safe_split",
+    "q_passage_dup_ratio",
+    "q_similarity_ivf_lists",
+    "q_similarity_ivf_topk",
+    "q_ann_index",
+    "q_ann_index_drift",
+    "q_pq_codes",
+    "q_embedding_quantize",
+    "q_embedding_centroids",
+    "q_inverted_index",
+    "q_ngram_freq",
+    "q_lang_confusion",
 )
 
 
