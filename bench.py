@@ -136,6 +136,7 @@ HEADLINE = [
     # same policy as q_csv_interchange)
     "q_suffix_repeats",
     "q_suffix_dedup_spans",
+    "q_suffix_dedup_apply",
     "q_lpa_communities",
     "q_graph_bfs",
     "q_ks_drift",

@@ -289,26 +289,18 @@ def repeated_substrings(
     )
 
 
-def duplicate_spans(
+def _adjacent_lcp_pairs(
     docs: DataFrame,
-    min_len: int = 20,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    max_len: int = 128,
+    min_len: int,
+    text_col: str,
+    id_col: str,
+    max_len: int,
 ) -> DataFrame:
-    """Per-document EXACT duplicate spans — the actionable dedup
-    surface of the suffix array (what Lee et al. cut from training
-    corpora): every position covered by a substring of >= ``min_len``
-    chars that occurs elsewhere in the corpus, merged into maximal
-    (doc_id, span_start, span_end, span_len) intervals.
-
-    Rank-adjacent suffix pairs with lcp >= min_len mark BOTH sides'
-    intervals [pos, pos+lcp); a run of k equal-prefix suffixes chains
-    through adjacency, so every occurrence is marked. Interval merge
-    is the gaps-and-islands pattern per document: running max of span
-    ends (window ordered by start), island starts where a span begins
-    past it, islands aggregated to maximal spans — all windows
-    partitioned by doc_id, no global sort."""
+    """Rank-adjacent suffix pairs with lcp >= min_len:
+    (doc_id, pos, next_doc, next_pos, lcp). The shared detection core
+    of duplicate_spans / canonical_duplicate_spans — one hash self-join
+    on sa_rank+1 over the suffix array, never a window over the whole
+    array."""
     sa = suffix_array(docs, text_col, id_col, max_len)
     trunc = docs.select(
         F.col(id_col).alias("doc_id"),
@@ -326,31 +318,27 @@ def duplicate_spans(
         F.col("pos").alias("next_pos"),
         F.col("suf").alias("next_suf"),
     )
-    pairs = (
+    return (
         with_suf.join(nxt, "sa_rank")
         .withColumn("lcp", lcp_expr("suf", "next_suf"))
         .where(F.col("lcp") >= min_len)
+        .select("doc_id", "pos", "next_doc", "next_pos", "lcp")
     )
-    ivals = (
-        pairs.select(
-            "doc_id", F.col("pos").alias("s"), (F.col("pos") + F.col("lcp")).alias("e")
-        )
-        .unionByName(
-            pairs.select(
-                F.col("next_doc").alias("doc_id"),
-                F.col("next_pos").alias("s"),
-                (F.col("next_pos") + F.col("lcp")).alias("e"),
-            )
-        )
-        .distinct()
-    )
+
+
+def merge_intervals(ivals: DataFrame) -> DataFrame:
+    """Merge (doc_id, s, e) intervals into maximal disjoint spans
+    (doc_id, span_start, span_end, span_len) — the gaps-and-islands
+    pattern: running max of ends (window ordered by start), island
+    starts where an interval begins past it. All windows partitioned
+    by doc_id; no global sort."""
     wo = (
         Window.partitionBy("doc_id")
         .orderBy("s", "e")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     wi = Window.partitionBy("doc_id").orderBy("s", "e")
-    spans = (
+    return (
         ivals.withColumn("_pm", F.max("e").over(wo))
         .withColumn(
             "_new",
@@ -373,4 +361,133 @@ def duplicate_spans(
             .alias("span_len"),
         )
     )
-    return spans
+
+
+def duplicate_spans(
+    docs: DataFrame,
+    min_len: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_len: int = 128,
+) -> DataFrame:
+    """Per-document EXACT duplicate spans — the actionable dedup
+    surface of the suffix array (what Lee et al. cut from training
+    corpora): every position covered by a substring of >= ``min_len``
+    chars that occurs elsewhere in the corpus, merged into maximal
+    (doc_id, span_start, span_end, span_len) intervals.
+
+    Rank-adjacent suffix pairs with lcp >= min_len mark BOTH sides'
+    intervals [pos, pos+lcp); a run of k equal-prefix suffixes chains
+    through adjacency, so every occurrence is marked. Interval merge:
+    merge_intervals above."""
+    pairs = _adjacent_lcp_pairs(docs, min_len, text_col, id_col, max_len)
+    ivals = (
+        pairs.select(
+            "doc_id", F.col("pos").alias("s"), (F.col("pos") + F.col("lcp")).alias("e")
+        )
+        .unionByName(
+            pairs.select(
+                F.col("next_doc").alias("doc_id"),
+                F.col("next_pos").alias("s"),
+                (F.col("next_pos") + F.col("lcp")).alias("e"),
+            )
+        )
+        .distinct()
+    )
+    return merge_intervals(ivals)
+
+
+def canonical_duplicate_spans(
+    docs: DataFrame,
+    min_len: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_len: int = 128,
+) -> DataFrame:
+    """duplicate_spans' keep-first twin: each rank-adjacent pair with
+    lcp >= min_len marks ONLY the occurrence that comes later in
+    (doc_id, pos) order, so the earliest occurrence of a repeated run
+    stays canonical. For a run of k identical prefixes, rank order IS
+    (doc_id, pos) order (the suffix array's declared tie-break), so
+    occurrences 2..k are marked and the first survives — the
+    "remove all but one copy" policy of near-dup pipelines, at exact
+    substring granularity. Same shuffle shape as duplicate_spans."""
+    pairs = _adjacent_lcp_pairs(docs, min_len, text_col, id_col, max_len)
+    later_is_next = (F.col("next_doc") > F.col("doc_id")) | (
+        (F.col("next_doc") == F.col("doc_id"))
+        & (F.col("next_pos") > F.col("pos"))
+    )
+    ivals = pairs.select(
+        F.when(later_is_next, F.col("next_doc"))
+        .otherwise(F.col("doc_id"))
+        .alias("doc_id"),
+        F.when(later_is_next, F.col("next_pos"))
+        .otherwise(F.col("pos"))
+        .alias("s"),
+        (
+            F.when(later_is_next, F.col("next_pos")).otherwise(F.col("pos"))
+            + F.col("lcp")
+        ).alias("e"),
+    ).distinct()
+    return merge_intervals(ivals)
+
+
+def apply_span_removal(
+    docs: DataFrame,
+    spans: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Emit the CLEANED corpus — the final step of suffix-array dedup
+    (Lee et al. 2022 cut the detected byte ranges from the training
+    text): every (span_start, span_end) character range of ``spans``
+    excised from the document, in one pass.
+
+    (doc_id, cleaned_text, n_chars_removed) for EVERY input document
+    (unspanned docs pass through with 0 removed).
+
+    Physical plan: ONE groupBy on the span table (tiny next to the
+    corpus — only spanned docs appear) collecting each doc's disjoint
+    spans into a sorted array, one join back to the corpus, then the
+    surgery is a single JVM-side higher-order ``aggregate`` over that
+    array (accumulator = (chars consumed, kept prefix)) — no Python
+    UDF, no explode of the corpus, no per-span self-join. At 100 TB
+    the cost is the corpus scan + a shuffle of the span table keyed by
+    doc; span arrays are bounded by max_len/min_len spans per doc."""
+    sp = spans.groupBy(F.col("doc_id").alias(id_col)).agg(
+        F.sort_array(
+            F.collect_list(F.struct("span_start", "span_end"))
+        ).alias("_sp"),
+        F.sum(F.col("span_end") - F.col("span_start"))
+        .cast("int")
+        .alias("_removed"),
+    )
+    joined = docs.join(sp, id_col, "left")
+    text = F.col(text_col)
+    stitched = F.aggregate(
+        F.col("_sp"),
+        F.struct(
+            F.lit(0).alias("last"), F.lit("").cast("string").alias("acc")
+        ),
+        lambda acc, s: F.struct(
+            s["span_end"].alias("last"),
+            F.concat(
+                acc["acc"],
+                text.substr(
+                    acc["last"] + F.lit(1), s["span_start"] - acc["last"]
+                ),
+            ).alias("acc"),
+        ),
+        lambda acc: F.concat(
+            acc["acc"], text.substr(acc["last"] + F.lit(1), F.length(text))
+        ),
+    )
+    return joined.select(
+        F.col(id_col).alias("doc_id"),
+        F.when(F.col("_sp").isNull(), text)
+        .otherwise(stitched)
+        .alias("cleaned_text"),
+        F.coalesce(F.col("_removed"), F.lit(0))
+        .cast("int")
+        .alias("n_chars_removed"),
+    )

@@ -99,6 +99,9 @@ DRIVER_PRIORITY = (
     "q_ndcg_at_k",
     "q_event_trigrams",
     "q_kaplan_meier",
+    # Round-8 additions (never sampled):
+    "q_suffix_dedup_apply",
+    "q_suffix_dedup_apply_keep_first",
     # Round-7 graded head (all green in CORRECTNESS_r07), rotated to
     # the back; everything long-green follows via registry interleave.
     "q_partition_evolution",

@@ -1628,6 +1628,175 @@ GROUP BY doc_id, gid
 QUERIES["q_suffix_dedup_spans"] = q_suffix_dedup_spans
 
 
+def q_suffix_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MISSING-until-now final step of the Lee et al. 2022
+    suffix-array dedup pipeline: emit the CLEANED corpus. Every
+    character range marked by q_suffix_dedup_spans (all occurrences of
+    every >= 20-char repeat) is excised; every sampled document comes
+    back as (doc_id, cleaned_text, n_chars_removed), unspanned docs
+    untouched with 0 removed. operators/suffix.py:
+    duplicate_spans + apply_span_removal (single higher-order
+    ``aggregate`` stitch, no UDF, no corpus explode)."""
+    from sandbox_data_pipeline_spark.operators.suffix import (
+        apply_span_removal,
+        duplicate_spans,
+    )
+
+    docs = (
+        table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % SUFFIX_DOC_MOD == 0)
+        .select("doc_id", "text")
+    )
+    spans = duplicate_spans(
+        docs, min_len=SUFFIX_MIN_LCP, max_len=SUFFIX_MAX_LEN
+    )
+    return apply_span_removal(docs, spans)
+
+
+def q_suffix_dedup_apply_keep_first(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Keep-first variant of q_suffix_dedup_apply: each rank-adjacent
+    repeat pair marks only its later occurrence ((doc_id, pos) order),
+    so the earliest copy of every repeated run survives as canonical —
+    content is deduplicated, never destroyed. operators/suffix.py:
+    canonical_duplicate_spans."""
+    from sandbox_data_pipeline_spark.operators.suffix import (
+        apply_span_removal,
+        canonical_duplicate_spans,
+    )
+
+    docs = (
+        table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % SUFFIX_DOC_MOD == 0)
+        .select("doc_id", "text")
+    )
+    spans = canonical_duplicate_spans(
+        docs, min_len=SUFFIX_MIN_LCP, max_len=SUFFIX_MAX_LEN
+    )
+    return apply_span_removal(docs, spans)
+
+
+def _oracle_suffix_apply(keep_first: bool) -> str:
+    """Span CTE chain (the q_suffix_dedup_spans formulation) + pure-SQL
+    string surgery: kept text = ordered string_agg of the gap segments
+    between consecutive merged spans plus the tail after the last one."""
+    if keep_first:
+        later = "(next_doc > doc_id OR (next_doc = doc_id AND next_pos > pos))"
+        ivals = f"""
+  SELECT DISTINCT
+    CASE WHEN {later} THEN next_doc ELSE doc_id END AS doc_id,
+    CASE WHEN {later} THEN next_pos ELSE pos END AS s,
+    CASE WHEN {later} THEN next_pos ELSE pos END + lcp AS e
+  FROM pairs WHERE lcp >= {SUFFIX_MIN_LCP}"""
+    else:
+        ivals = f"""
+  SELECT DISTINCT doc_id, s, e FROM (
+    SELECT doc_id, pos AS s, pos + lcp AS e FROM pairs
+    WHERE lcp >= {SUFFIX_MIN_LCP}
+    UNION ALL
+    SELECT next_doc AS doc_id, next_pos AS s, next_pos + lcp AS e
+    FROM pairs WHERE lcp >= {SUFFIX_MIN_LCP}
+  )"""
+    return f"""
+WITH d AS (
+  SELECT doc_id, text, substr(text, 1, {SUFFIX_MAX_LEN}) AS t
+  FROM documents WHERE doc_id % {SUFFIX_DOC_MOD} = 0
+),
+pos AS (
+  SELECT doc_id, CAST(r.range AS INTEGER) AS p,
+         substr(t, CAST(r.range AS INTEGER) + 1) AS suf
+  FROM d CROSS JOIN range(0, {SUFFIX_MAX_LEN}) r
+  WHERE r.range < length(t)
+),
+ranked AS (
+  SELECT doc_id, p, suf,
+         row_number() OVER (ORDER BY suf, doc_id, p) AS sa_rank
+  FROM pos
+),
+pairs AS (
+  SELECT a.doc_id, a.p AS pos, b.doc_id AS next_doc, b.p AS next_pos,
+         CAST(coalesce(
+           nullif(
+             list_position(
+               list_transform(
+                 range(1, least(length(a.suf), length(b.suf)) + 1),
+                 i -> substr(a.suf, CAST(i AS INTEGER), 1)
+                      = substr(b.suf, CAST(i AS INTEGER), 1)
+               ),
+               false
+             ),
+             0
+           ) - 1,
+           least(length(a.suf), length(b.suf))
+         ) AS INTEGER) AS lcp
+  FROM ranked a JOIN ranked b ON b.sa_rank = a.sa_rank + 1
+),
+ivals AS ({ivals}
+),
+ord AS (
+  SELECT doc_id, s, e,
+         max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS pm
+  FROM ivals
+),
+isl AS (
+  SELECT doc_id, s, e,
+         CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END AS new_i
+  FROM ord
+),
+grp AS (
+  SELECT doc_id, s, e,
+         sum(new_i) OVER (PARTITION BY doc_id ORDER BY s, e
+                          ROWS UNBOUNDED PRECEDING) AS gid
+  FROM isl
+),
+spans AS (
+  SELECT doc_id, MIN(s) AS s, MAX(e) AS e FROM grp GROUP BY doc_id, gid
+),
+withspans AS (
+  SELECT d.doc_id, d.text, sp.s, sp.e
+  FROM d JOIN spans sp ON sp.doc_id = d.doc_id
+),
+segs AS (
+  SELECT doc_id, text,
+         coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 0) AS gs,
+         s AS ge
+  FROM withspans
+  UNION ALL
+  SELECT doc_id, text, max(e) AS gs, length(text) AS ge
+  FROM withspans GROUP BY doc_id, text
+),
+stitched AS (
+  SELECT doc_id,
+         string_agg(substr(text, gs + 1, ge - gs), '' ORDER BY gs)
+           AS cleaned_text
+  FROM segs WHERE ge > gs GROUP BY doc_id
+),
+rm AS (
+  SELECT doc_id, CAST(SUM(e - s) AS INTEGER) AS removed
+  FROM spans GROUP BY doc_id
+)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       coalesce(st.cleaned_text,
+                CASE WHEN rm.doc_id IS NOT NULL THEN '' ELSE d.text END)
+         AS cleaned_text,
+       CAST(coalesce(rm.removed, 0) AS INTEGER) AS n_chars_removed
+FROM d
+LEFT JOIN stitched st ON st.doc_id = d.doc_id
+LEFT JOIN rm ON rm.doc_id = d.doc_id
+"""
+
+
+QUERIES["q_suffix_dedup_apply"] = q_suffix_dedup_apply
+ORACLE["q_suffix_dedup_apply"] = _oracle_suffix_apply(keep_first=False)
+QUERIES["q_suffix_dedup_apply_keep_first"] = q_suffix_dedup_apply_keep_first
+ORACLE["q_suffix_dedup_apply_keep_first"] = _oracle_suffix_apply(
+    keep_first=True
+)
+
+
 def q_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Label-propagation communities over the near-dup candidate graph
     (the template/mirror-family detector): 4 synchronous rounds with a

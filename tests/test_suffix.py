@@ -156,3 +156,99 @@ def test_doubling_path_matches_reference(spark):
         ).collect()
     }
     assert sa == _ref_sa(TEXTS, 16)
+
+
+# ---- span removal (the Lee et al. final step) ----
+
+# Planted-repeat fixture: docs short enough to fit entirely inside the
+# suffix horizon (no text slides into the window after removal), with a
+# diverse alphabet so splicing kept segments cannot mint new >=20-char
+# repeats. REP appears three times across two docs.
+REP = "0123456789abcdefghijklmnop"  # 26 chars, once-only alphabet
+CLEAN_TEXTS = [
+    "AAA " + REP + " BBB",
+    "CCC " + REP + " DDD " + REP,
+    "totally unrelated text w/ no repeats at all",
+]
+
+
+def _py_remove(text, spans):
+    kept, last = [], 0
+    for s, e in sorted(spans):
+        kept.append(text[last:s])
+        last = e
+    kept.append(text[last:])
+    return "".join(kept)
+
+
+def test_apply_span_removal_reconstruction(spark):
+    """cleaned_text is exactly the original with the reported spans
+    excised (pure-Python surgery over the operator's own span table),
+    and n_chars_removed is their total length — on the real corpus."""
+    from sandbox_data_pipeline_spark.operators.suffix import (
+        apply_span_removal,
+        duplicate_spans,
+    )
+
+    docs = _docs(spark, CLEAN_TEXTS)
+    spans = duplicate_spans(docs, min_len=20, max_len=128)
+    by_doc = {}
+    for r in spans.collect():
+        by_doc.setdefault(r["doc_id"], []).append(
+            (r["span_start"], r["span_end"])
+        )
+    got = {
+        r["doc_id"]: (r["cleaned_text"], r["n_chars_removed"])
+        for r in apply_span_removal(docs, spans).collect()
+    }
+    assert set(got) == set(range(len(CLEAN_TEXTS)))  # every doc returned
+    for d, text in enumerate(CLEAN_TEXTS):
+        sp = by_doc.get(d, [])
+        assert got[d][0] == _py_remove(text, sp)
+        assert got[d][1] == sum(e - s for s, e in sp)
+
+
+def test_full_removal_rerun_finds_nothing(spark):
+    """Re-running detection on the fully-cleaned corpus finds no spans
+    above threshold: every position of every >=min_len repeat was cut.
+    (Holds when docs fit the horizon; on horizon-truncated corpora,
+    post-removal text slides into the window — by design.)"""
+    from sandbox_data_pipeline_spark.operators.suffix import (
+        apply_span_removal,
+        duplicate_spans,
+    )
+
+    docs = _docs(spark, CLEAN_TEXTS)
+    spans = duplicate_spans(docs, min_len=20, max_len=128)
+    assert spans.count() > 0  # the fixture really plants repeats
+    cleaned = apply_span_removal(docs, spans).select(
+        "doc_id", F.col("cleaned_text").alias("text")
+    )
+    assert duplicate_spans(cleaned, min_len=20, max_len=128).count() == 0
+
+
+def test_keep_first_keeps_exactly_one_copy(spark):
+    """Keep-first marks all but the earliest (doc_id, pos) occurrence:
+    the planted repeat survives exactly once across the corpus, and
+    per-doc removal never exceeds the full-removal policy's."""
+    from sandbox_data_pipeline_spark.operators.suffix import (
+        apply_span_removal,
+        canonical_duplicate_spans,
+        duplicate_spans,
+    )
+
+    docs = _docs(spark, CLEAN_TEXTS)
+    keep = apply_span_removal(
+        docs, canonical_duplicate_spans(docs, min_len=20, max_len=128)
+    ).collect()
+    texts = {r["doc_id"]: r["cleaned_text"] for r in keep}
+    assert sum(t.count(REP) for t in texts.values()) == 1
+    assert REP in texts[0]  # doc 0 pos 4 is the earliest occurrence
+    full = {
+        r["doc_id"]: r["n_chars_removed"]
+        for r in apply_span_removal(
+            docs, duplicate_spans(docs, min_len=20, max_len=128)
+        ).collect()
+    }
+    for r in keep:
+        assert r["n_chars_removed"] <= full[r["doc_id"]]
