@@ -286,3 +286,47 @@ def hits(
         .otherwise(F.lit(0.0))
         .alias("hub_rel"),
     )
+
+
+def wedge_pairs(
+    adj: DataFrame,
+    min_common: int = 1,
+    max_degree: int | None = None,
+) -> DataFrame:
+    """Common-neighbor pairs via the wedge join: for every unordered
+    node pair (u, v) reachable through >= ``min_common`` shared
+    middle nodes of the (src=u, dst=w) adjacency list, emit
+    (u, v, cn). The shape behind triangle counting, clustering
+    coefficients and common-neighbor link prediction.
+
+    Scale: the self-join on the middle node fans out Σ_w deg(w)² — a
+    single hub w of degree d contributes d² candidate rows to ONE
+    join key, the stage-killing skew at web-graph densities.
+    ``max_degree`` is the standard production mitigation: middle
+    nodes with deg(w) > max_degree are dropped BEFORE the join (a
+    broadcast anti-join against the short hub list), trading
+    recall on hub-mediated pairs for a hard per-key fan-out bound of
+    max_degree². Capped counts are a LOWER bound of the uncapped
+    ones (each surviving wedge exists uncapped), so downstream
+    thresholds (cn >= k) only shrink the candidate set — the safe
+    direction for candidate generation. Default None = exact, right
+    at bench SF; set it when deg² skew shows up in the shuffle-read
+    tail at corpus scale."""
+    if max_degree is not None:
+        # hubs (deg > cap) are FEW by definition — broadcast the hub
+        # list and anti-join, never the (node-count-sized) keep list
+        hubs = (
+            adj.groupBy("w")
+            .agg(F.count(F.lit(1)).alias("_d"))
+            .where(F.col("_d") > max_degree)
+            .select("w")
+        )
+        adj = adj.join(F.broadcast(hubs), "w", "anti")
+    return (
+        adj.select("u", "w")
+        .join(adj.select(F.col("u").alias("v"), "w"), "w")
+        .where(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("cn"))
+        .where(F.col("cn") >= min_common)
+    )

@@ -2031,7 +2031,9 @@ QUERIES["q_kcore_peel"] = q_kcore_peel
 # --- Common-neighbor link prediction on the co-purchase graph ---------------
 
 
-def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_link_prediction(
+    spark: SparkSession, sf_dir: str, max_degree: int | None = None
+) -> DataFrame:
     """Common-neighbor link prediction over the part co-purchase
     graph: for every NON-edge pair sharing >= 2 neighbors, the
     common-neighbor count and neighborhood Jaccard — the classic
@@ -2039,13 +2041,18 @@ def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate generator, and the second consumer of the same edge
     list q_kcore_peel peels.
 
-    Scale: the wedge join (adj ⋈ adj on the middle node) is the
-    triangle-counting shape — fan-out Σ_w deg(w)², bounded in
-    production by a hub-degree cap on w (the standard mitigation;
-    at this corpus's density no cap is needed). The (u,v) aggregate
-    shuffles on the candidate pair; the existing-edge anti-join and
-    the two degree joins run on the bounded edge/node lists. Exact
-    integers into ONE dec_ratio."""
+    Scale: the wedge join (adj ⋈ adj on the middle node,
+    operators/graph.py: wedge_pairs) is the triangle-counting shape —
+    fan-out Σ_w deg(w)². ``max_degree`` is the production knob: drop
+    hub middle-nodes before the join (broadcast anti-join on the
+    short hub list), bounding per-key fan-out at max_degree²; capped
+    output is a subset of exact (tests pin it). Default off — exact
+    is right at bench SF (measured fan-out sf0.1: Σdeg(w)² = 9,938
+    wedge rows off 7,146 adjacency rows, max deg(w) = 6). The (u,v)
+    aggregate shuffles on the candidate pair; the existing-edge
+    anti-join and the two degree joins run on the bounded edge/node
+    lists. Exact integers into ONE dec_ratio."""
+    from sandbox_data_pipeline_spark.operators.graph import wedge_pairs
     from sandbox_data_pipeline_spark.queries._envproof import dec_ratio
 
     li = table(spark, sf_dir, "lineitem")
@@ -2066,14 +2073,7 @@ def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.select(F.col("pb").alias("u"), F.col("pa").alias("w"))
     )
     deg = adj.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
-    wedges = (
-        adj.select(F.col("u"), F.col("w"))
-        .join(adj.select(F.col("u").alias("v"), F.col("w")), "w")
-        .where(F.col("u") < F.col("v"))
-        .groupBy("u", "v")
-        .agg(F.count(F.lit(1)).alias("cn"))
-        .where(F.col("cn") >= 2)
-    )
+    wedges = wedge_pairs(adj, min_common=2, max_degree=max_degree)
     non_edges = wedges.join(
         e.select(F.col("pa").alias("u"), F.col("pb").alias("v")),
         ["u", "v"],

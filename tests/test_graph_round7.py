@@ -75,3 +75,51 @@ def test_bfs_disconnected_absent(spark):
     seeds = spark.createDataFrame([(0,)], "node long")
     d = {r.node: r.dist for r in bfs_distances(e, seeds, max_hops=4).collect()}
     assert 10 not in d and 11 not in d and d == {0: 0, 1: 1}
+
+
+def test_wedge_pairs_hub_cap_is_subset(spark):
+    """The max_degree production knob: capped wedge counts exist in
+    the exact output with cn_capped <= cn_exact (dropping hub middles
+    only removes wedges), and a hub-mediated-only pair disappears."""
+    from sandbox_data_pipeline_spark.operators.graph import wedge_pairs
+
+    # star: hub 100 connects 1..5 (deg 5); plus a private middle 200
+    # shared only by (1, 2)
+    edges = [(n, 100) for n in range(1, 6)] + [(1, 200), (2, 200)]
+    adj = spark.createDataFrame(
+        [(u, w) for u, w in edges] + [(w, u) for u, w in edges],
+        "u long, w long",
+    )
+    exact = {
+        (r["u"], r["v"]): r["cn"] for r in wedge_pairs(adj).collect()
+    }
+    capped = {
+        (r["u"], r["v"]): r["cn"]
+        for r in wedge_pairs(adj, max_degree=4).collect()
+    }
+    assert set(capped) <= set(exact)
+    for k, cn in capped.items():
+        assert cn <= exact[k]
+    # (1,2) had wedges through both 100 and 200: survives with cn=1
+    assert exact[(1, 2)] == 2 and capped[(1, 2)] == 1
+    # (3,4) was hub-mediated only: gone under the cap
+    assert (3, 4) in exact and (3, 4) not in capped
+
+
+def test_link_prediction_cap_subset_on_corpus(spark, sf_dir):
+    """q_link_prediction(max_degree=...) output rows are a subset of
+    the exact run's on the real corpus (candidate-generation safety:
+    thresholds only shrink)."""
+    from sandbox_data_pipeline_spark.queries.dedup import q_link_prediction
+
+    exact = {
+        (r["u"], r["v"]): r["cn"]
+        for r in q_link_prediction(spark, sf_dir).collect()
+    }
+    capped = {
+        (r["u"], r["v"]): r["cn"]
+        for r in q_link_prediction(spark, sf_dir, max_degree=3).collect()
+    }
+    assert set(capped) <= set(exact)
+    for k, cn in capped.items():
+        assert cn <= exact[k]
