@@ -16,13 +16,19 @@ SparkSession built them or in what order the builder chained equivalent
 calls that analyze identically.
 
 Scope (documented, not hidden): ``MaterializedViewCatalog`` does
-EXACT-match rewrite; ``RollupRewriteCatalog`` adds the classic
-subsumption case for decomposable aggregates (a query grouping by a
-SUBSET of the view's keys over the same child plan re-aggregates the
-tiny materialized result — sum/count/min/max only; avg must be
-declared as sum+count). Filter subsumption stays out of scope.
-Staleness is the caller's contract (refresh() after base-table
-writes), matching the manual-refresh mode of warehouse MVs.
+EXACT-match rewrite; ``RollupRewriteCatalog`` adds the two classic
+subsumption cases — (a) decomposable-aggregate rollup (a query
+grouping by a SUBSET of the view's keys over the same child plan
+re-aggregates the tiny materialized result; sum/count/min/max only,
+avg must be declared as sum+count), and (b) filter subsumption for
+single-column range/equality predicates (a query Filter over a view's
+child whose predicate IMPLIES the view's — e.g. ds >= 7 under a view
+of ds >= 5 — re-filters the materialized rows). Compound (AND/OR),
+multi-column, and expression predicates are out of scope — parts
+parsers return None and the rewrite degrades to no-hit, never to a
+wrong substitution. Staleness is the caller's contract (refresh()
+after base-table writes), matching the manual-refresh mode of
+warehouse MVs.
 
 At 100 TB the payoff is the usual one: the fingerprint comparison is
 driver-side string work (milliseconds, zero cluster cost), and a hit
@@ -166,14 +172,105 @@ def aggregate_parts(df: DataFrame):
     return groups, aggs, child_fp
 
 
+# --- Filter subsumption rewrite ----------------------------------------------
+#
+# A query Filter(pred_q) over a view's child where pred_q implies the
+# view's pred_v answers from the materialized rows re-filtered by
+# pred_q. Honest subset: ONE comparison of ONE named column against ONE
+# literal (numeric ranges/equality; string equality). Anything else —
+# compound predicates, expressions, unparseable literals — returns
+# None from filter_parts and the rewrite degrades to no-hit.
+
+_FILTER_HEAD = re.compile(r"^Filter \((\w+)#\d*L? (>=|<=|>|<|=) (.+)\)$")
+_CAST_LIT = re.compile(r"^cast\((-?\d+(?:\.\d+)?) as \w+\)$")
+_NUM_LIT = re.compile(r"^-?\d+(?:\.\d+)?$")
+_STR_LIT = re.compile(r"^[\w.:-]+$")  # no spaces/parens: unambiguous
+
+
+def filter_parts(df: DataFrame):
+    """(col, op, literal, child_fingerprint) when the analyzed plan is
+    a single Filter comparing one named column to one literal; None
+    otherwise (the degrade-to-no-rewrite contract)."""
+    s = df._jdf.queryExecution().analyzed().toString()
+    head, _, child = s.partition("\n")
+    m = _FILTER_HEAD.match(head)
+    if not m:
+        return None
+    col, op, lit_s = m.groups()
+    cm = _CAST_LIT.match(lit_s)
+    if cm:
+        lit_s = cm.group(1)
+    if _NUM_LIT.match(lit_s):
+        lit: int | float | str = float(lit_s) if "." in lit_s else int(lit_s)
+    elif _STR_LIT.match(lit_s) and op == "=":
+        # bare string literal (the analyzed printer quotes nothing);
+        # only a restricted charset is unambiguous, only for equality
+        lit = lit_s
+    else:
+        return None
+    child_fp = _PLAN_ID.sub("plan_id=", _EXPR_ID.sub("#", child))
+    return col, op, lit, child_fp
+
+
+def _interval(op: str, lit):
+    """(lo, lo_open, hi, hi_open) of the satisfying set."""
+    inf = float("inf")
+    if op == ">":
+        return (lit, True, inf, True)
+    if op == ">=":
+        return (lit, False, inf, True)
+    if op == "<":
+        return (-inf, True, lit, True)
+    if op == "<=":
+        return (-inf, True, lit, False)
+    return (lit, False, lit, False)  # "="
+
+
+def predicate_implies(q: tuple, v: tuple) -> bool:
+    """Does (col, op, lit) ``q`` imply ``v``? Same column only;
+    numeric predicates by interval containment, strings only by
+    equality of equalities (lexicographic string ranges are NOT
+    attempted — collation subtleties are not worth the hit rate)."""
+    qc, qo, ql = q
+    vc, vo, vl = v
+    if qc != vc:
+        return False
+    if isinstance(ql, str) or isinstance(vl, str):
+        return (
+            isinstance(ql, str)
+            and isinstance(vl, str)
+            and qo == vo == "="
+            and ql == vl
+        )
+    qlo, qloo, qhi, qhio = _interval(qo, ql)
+    vlo, vloo, vhi, vhio = _interval(vo, vl)
+    lo_ok = qlo > vlo or (qlo == vlo and (qloo or not vloo))
+    hi_ok = qhi < vhi or (qhi == vhi and (qhio or not vhio))
+    return lo_ok and hi_ok
+
+
 class RollupRewriteCatalog(MaterializedViewCatalog):
-    """MV catalog that additionally derives subset-grouping rollups.
-    create() records the aggregate decomposition when the view IS a
-    supported aggregate; rewrite() falls back from exact match to
-    subsumption."""
+    """MV catalog that additionally derives subset-grouping rollups
+    and filter-subsumed scans. create() records the aggregate
+    decomposition / filter predicate when the view's plan parses as
+    one; rewrite() falls back from exact match to subsumption."""
 
     def create(self, name: str, df: DataFrame) -> None:
         super().create(name, df)
+        fparts = filter_parts(df)
+        if fparts:
+            col, op, lit, child_fp = fparts
+            meta_path = self._meta_path(name)
+            with open(meta_path, encoding="utf-8") as f:
+                meta = json.load(f)
+            meta["filter"] = {
+                "col": col,
+                "op": op,
+                "lit": lit,
+                "child_fp": child_fp,
+            }
+            with open(meta_path, "w", encoding="utf-8") as f:
+                json.dump(meta, f)
         parts = aggregate_parts(df)
         if parts:
             groups, aggs, child_fp = parts
@@ -195,6 +292,9 @@ class RollupRewriteCatalog(MaterializedViewCatalog):
         out, hit = super().rewrite(df)
         if hit is not None:
             return out, hit
+        fhit = self._filter_rewrite(df)
+        if fhit is not None:
+            return fhit
         parts = aggregate_parts(df)
         if not parts:
             return df, None
@@ -240,3 +340,43 @@ class RollupRewriteCatalog(MaterializedViewCatalog):
             derived = mv.groupBy(*sel_groups).agg(*agg_cols)
             return derived.select(*df.columns), meta["name"]
         return df, None
+
+    def _filter_rewrite(
+        self, df: DataFrame
+    ) -> tuple[DataFrame, str] | None:
+        """Filter subsumption: query = Filter(pred_q) over a view's
+        child with pred_q ⇒ pred_v answers as MV-scan + re-filter.
+        Re-applying pred_q over the (pred_v-satisfying) materialized
+        rows selects exactly {child | pred_q} because pred_q ⇒ pred_v
+        means no pred_q row was filtered away at materialization."""
+        import operator
+
+        qparts = filter_parts(df)
+        if qparts is None:
+            return None
+        qcol, qop, qlit, qchild = qparts
+        ops = {
+            ">": operator.gt,
+            ">=": operator.ge,
+            "<": operator.lt,
+            "<=": operator.le,
+            "=": operator.eq,
+        }
+        for fn in os.listdir(self.store):
+            if not fn.endswith(".mv.json"):
+                continue
+            with open(os.path.join(self.store, fn), encoding="utf-8") as f:
+                meta = json.load(f)
+            v = meta.get("filter")
+            if not v or v["child_fp"] != qchild:
+                continue
+            if not predicate_implies(
+                (qcol, qop, qlit), (v["col"], v["op"], v["lit"])
+            ):
+                continue
+            from pyspark.sql import functions as F
+
+            mv = self.spark.read.parquet(self._data_path(meta["name"]))
+            pred = ops[qop](F.col(qcol), F.lit(qlit))
+            return mv.where(pred).select(*df.columns), meta["name"]
+        return None
