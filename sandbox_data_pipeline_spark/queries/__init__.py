@@ -102,6 +102,7 @@ DRIVER_PRIORITY = (
     # Round-8 additions (never sampled):
     "q_suffix_dedup_apply",
     "q_suffix_dedup_apply_keep_first",
+    "q_column_mapping",
     # Round-7 graded head (all green in CORRECTNESS_r07), rotated to
     # the back; everything long-green follows via registry interleave.
     "q_partition_evolution",

@@ -429,6 +429,127 @@ QUERIES["q_schema_evolution"] = q_schema_evolution
 ORACLE["q_schema_evolution"] = _SCHEMA_EVOLUTION_SQL
 
 
+# --- column mapping (rename/drop without rewrite) ----------------------------
+
+_CM_B1, _CM_B2, _CM_B3 = 1400, 1700, 2000  # three disjoint orderkey slices
+
+
+def q_column_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column mapping proved relationally (Delta's 'name' mode,
+    sinks/txlog.py: rename_column/drop_column): create (rid, qty,
+    src), RENAME qty→quantity (metadata-only — the time-travel read at
+    v0 still resolves 'qty'), append under the new name, DROP src,
+    re-ADD src and append again. The summary splits the final snapshot
+    into src-IS-NULL rows (both pre-drop slices: the re-added column
+    must NOT resurrect their dropped values — fresh physical name) vs
+    the post-re-add slice. The oracle replays the same slices straight
+    from lineitem; equality proves rename preserved every value, the
+    renamed reads cover both old-name and new-name files, and dropped
+    bytes stayed dead."""
+    li = table(spark, sf_dir, "lineitem")
+
+    def keyed(lo: int, hi: int) -> DataFrame:
+        return (
+            li.where((F.col("l_orderkey") > lo) & (F.col("l_orderkey") <= hi))
+            .groupBy(
+                (F.col("l_orderkey") * 10 + F.col("l_linenumber"))
+                .cast("long")
+                .alias("rid")
+            )
+            .agg(F.max("l_quantity").alias("qty"))
+        )
+
+    s1 = keyed(-1, _CM_B1).withColumn("src", F.lit("base"))
+    s2 = keyed(_CM_B1, _CM_B2)
+    s3 = keyed(_CM_B2, _CM_B3)
+    tmp = tempfile.mkdtemp(prefix="txcolmap_")
+    try:
+        t = TxTable.create(spark, f"{tmp}/tbl", s1.repartitionByRange(4, "rid"))
+        t.rename_column("qty", "quantity")
+        t.append(
+            s2.select(
+                "rid",
+                F.col("qty").alias("quantity"),
+                F.lit("extra").alias("src"),
+            )
+        )
+        post_rename = t.read().localCheckpoint(eager=True)
+        t.drop_column("src")
+        t.add_columns([("src", "string")])
+        t.append(
+            s3.select(
+                "rid",
+                F.col("qty").alias("quantity"),
+                F.lit("readd").alias("src"),
+            )
+        )
+        v0 = t.read(version=0).localCheckpoint(eager=True)
+        final = t.read().localCheckpoint(eager=True)
+
+        def summarize(df: DataFrame, phase: str, qcol: str) -> DataFrame:
+            return df.agg(
+                F.lit(phase).alias("phase"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(qcol).cast("decimal(18,2)").alias("sum_qty"),
+            )
+
+        return (
+            summarize(v0, "v0", "qty")  # pre-rename name time-travels
+            .unionAll(summarize(post_rename, "post_rename", "quantity"))
+            .unionAll(
+                summarize(
+                    final.where(F.col("src").isNull()),
+                    "final_src_null",
+                    "quantity",
+                )
+            )
+            .unionAll(
+                summarize(
+                    final.where(F.col("src") == "readd"),
+                    "final_src_readd",
+                    "quantity",
+                )
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+_COLUMN_MAPPING_SQL = f"""
+WITH s1 AS (
+  SELECT CAST(l_orderkey * 10 + l_linenumber AS BIGINT) AS rid,
+         MAX(l_quantity) AS qty
+  FROM lineitem WHERE l_orderkey <= {_CM_B1} GROUP BY 1
+),
+s2 AS (
+  SELECT CAST(l_orderkey * 10 + l_linenumber AS BIGINT) AS rid,
+         MAX(l_quantity) AS qty
+  FROM lineitem
+  WHERE l_orderkey > {_CM_B1} AND l_orderkey <= {_CM_B2} GROUP BY 1
+),
+s3 AS (
+  SELECT CAST(l_orderkey * 10 + l_linenumber AS BIGINT) AS rid,
+         MAX(l_quantity) AS qty
+  FROM lineitem
+  WHERE l_orderkey > {_CM_B2} AND l_orderkey <= {_CM_B3} GROUP BY 1
+)
+SELECT 'v0' AS phase, COUNT(*) AS n_rows,
+       CAST(SUM(qty) AS DECIMAL(18,2)) AS sum_qty FROM s1
+UNION ALL
+SELECT 'post_rename', COUNT(*), CAST(SUM(qty) AS DECIMAL(18,2))
+FROM (SELECT qty FROM s1 UNION ALL SELECT qty FROM s2)
+UNION ALL
+SELECT 'final_src_null', COUNT(*), CAST(SUM(qty) AS DECIMAL(18,2))
+FROM (SELECT qty FROM s1 UNION ALL SELECT qty FROM s2)
+UNION ALL
+SELECT 'final_src_readd', COUNT(*), CAST(SUM(qty) AS DECIMAL(18,2)) FROM s3
+"""
+
+QUERIES["q_column_mapping"] = q_column_mapping
+ORACLE["q_column_mapping"] = _COLUMN_MAPPING_SQL
+
+
 # --- CHECK constraints (write-time enforcement) ------------------------------
 
 _CC_B1, _CC_B2 = 1200, 1500  # base / attempted-append orderkey bounds

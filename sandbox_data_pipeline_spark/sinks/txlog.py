@@ -291,19 +291,26 @@ class TxTable:
             version = self.version_at_timestamp(as_of_ts)
         files = self.snapshot(version)
         kept = list(files.values())
+        mapping = self.column_mapping_at(version)
         if predicate is not None:
             col, lo, hi = predicate
+            # footer stats are keyed by PHYSICAL names
+            pcol = (mapping or {}).get(col, col)
             kept = [
                 f
                 for f in kept
-                if col not in f.stats
-                or not (f.stats[col]["max"] < lo or f.stats[col]["min"] > hi)
+                if pcol not in f.stats
+                or not (
+                    f.stats[pcol]["max"] < lo or f.stats[pcol]["min"] > hi
+                )
             ]
         schema = self.schema_at(version)
         if not kept:
             return self.spark.createDataFrame([], schema)
         with_meta = bool(self._pdel_dirs_at(version))
-        scan = self._scan_adds(kept, schema, with_meta=with_meta)
+        scan = self._scan_adds(
+            kept, schema, with_meta=with_meta, mapping=mapping
+        )
         return self._apply_pdels(scan, version)
 
     def _scan_adds(
@@ -311,6 +318,7 @@ class TxTable:
         adds: list[AddFile],
         schema: T.StructType,
         with_meta: bool = False,
+        mapping: dict | None = None,
     ) -> DataFrame:
         """Scan a mixed file set: unpartitioned files read directly;
         hive-partitioned files read per commit-subdir with ``basePath``
@@ -331,12 +339,22 @@ class TxTable:
             ).withColumn("__ri", F.col("_metadata.row_index"))
 
         meta_cols = ["__fp", "__ri"] if with_meta else []
+        # files carry PHYSICAL names once column mapping is active;
+        # scan with the physical schema, project back to logical
+        phys = self._physical_schema(schema, mapping)
+        p_of = {
+            f.name: p.name for f, p in zip(schema.fields, phys.fields)
+        }
         plain = [self._abs(f) for f in adds if not f.partition]
         scans: list[DataFrame] = []
         if plain:
             scans.append(
-                _meta(spark.read.schema(schema).parquet(*plain)).select(
-                    *[f.name for f in schema.fields], *meta_cols
+                _meta(spark.read.schema(phys).parquet(*plain)).select(
+                    *[
+                        F.col(p_of[f.name]).alias(f.name)
+                        for f in schema.fields
+                    ],
+                    *meta_cols,
                 )
             )
         groups: dict[str, list[str]] = {}
@@ -380,8 +398,8 @@ class TxTable:
             scans.append(
                 s.select(
                     *[
-                        F.col(f.name).cast(f.dataType).alias(f.name)
-                        if f.name in present
+                        F.col(p_of[f.name]).cast(f.dataType).alias(f.name)
+                        if p_of[f.name] in present
                         else F.lit(None).cast(f.dataType).alias(f.name)
                         for f in schema.fields
                     ],
@@ -427,6 +445,18 @@ class TxTable:
         extra machinery."""
         from urllib.parse import unquote
 
+        mapping = self._current_mapping()
+        if mapping:
+            # column-mapping active: files carry PHYSICAL names (the
+            # rename/drop guards keep partition-layout columns at
+            # logical == physical, so the spec machinery below is
+            # unaffected)
+            df = df.select(
+                *[
+                    F.col(f.name).alias(mapping.get(f.name, f.name))
+                    for f in df.schema.fields
+                ]
+            )
         sub = f"data/v{version_hint}-{uuid.uuid4().hex[:8]}"
         abs_dir = os.path.join(self.path, sub)
         spec = self._spec_at_tail()
@@ -498,6 +528,159 @@ class TxTable:
                         af.stats[k] = {"min": v, "max": v, "nulls": 0}
                 adds.append(af)
         return adds
+
+    # ------------------------------------------------ column mapping
+
+    def column_mapping_at(self, version: int | None = None) -> dict | None:
+        """Logical→physical column-name map in force at ``version``
+        (None = mapping never enabled; names are identical). Delta's
+        column-mapping "name" mode: once enabled, data files carry
+        PHYSICAL names forever — RENAME swaps the logical key over the
+        same physical column (metadata-only, zero rewrite) and DROP
+        removes the key while the bytes stay in old files, invisible.
+        Latest-entry-wins replay, exactly like schema_at()."""
+        if version is None:
+            version = self.latest_version()
+        for v in range(version, -1, -1):
+            e = self._read_entry(v)
+            if "column_mapping" in e:
+                return dict(e["column_mapping"])
+        return None
+
+    def _current_mapping(self) -> dict | None:
+        vs = self._versions()
+        return self.column_mapping_at(vs[-1]) if vs else None
+
+    @staticmethod
+    def _physical_schema(
+        schema: T.StructType, mapping: dict | None
+    ) -> T.StructType:
+        if not mapping:
+            return schema
+        return T.StructType(
+            [
+                T.StructField(
+                    mapping.get(f.name, f.name), f.dataType, f.nullable
+                )
+                for f in schema.fields
+            ]
+        )
+
+    def _guard_mapping_target(self, name: str) -> None:
+        """Rename/drop of partition-layout columns is refused: their
+        PHYSICAL name is baked into hive directory paths and partition
+        stats; remapping them silently breaks pruning. Generated-
+        transform SOURCE columns are refused by token match on the
+        spec expressions (cheap and conservative)."""
+        import re as _re
+
+        spec = self._spec_at_tail()
+        for c in spec["cols"] if spec else []:
+            if isinstance(c, str):
+                if c == name:
+                    raise ValueError(
+                        f"cannot rename/drop partition column {name!r}"
+                    )
+            else:
+                if c["name"] == name or _re.search(
+                    rf"\b{_re.escape(name)}\b", c["expr"]
+                ):
+                    raise ValueError(
+                        f"cannot rename/drop {name!r}: referenced by "
+                        f"partition transform {c['expr']!r}"
+                    )
+
+    def _seed_mapping(self, schema: T.StructType) -> dict:
+        """First mapping commit: identity over the current logical
+        schema (existing files already carry these names)."""
+        cur = self._current_mapping()
+        return dict(cur) if cur is not None else {
+            f.name: f.name for f in schema.fields
+        }
+
+    def _physical_names_ever(self) -> set[str]:
+        """Every physical column name any committed file may carry:
+        each recorded schema, projected through the mapping in force
+        at its commit. Fresh physical names for re-added columns must
+        avoid ALL of these, or a dropped column's bytes resurrect."""
+        used: set[str] = set()
+        for v in self._versions():
+            e = self._read_entry(v)
+            if "schema" not in e:
+                continue
+            sch = T.StructType.fromJson(json.loads(e["schema"]))
+            m = self.column_mapping_at(v) or {}
+            for f in sch.fields:
+                used.add(m.get(f.name, f.name))
+        return used
+
+    def rename_column(self, old: str, new: str) -> int:
+        """ALTER TABLE ... RENAME COLUMN — metadata-only via column
+        mapping: the logical name changes, the physical parquet column
+        keeps its name, no data file is touched. Time travel resolves
+        per-version: reads at pre-rename versions see the old name
+        (schema_at + column_mapping_at are both latest-at-or-before)."""
+        schema = self.schema_at()
+        names = [f.name for f in schema.fields]
+        if old not in names:
+            raise ValueError(f"rename_column: no column {old!r}")
+        if new in names:
+            raise ValueError(f"rename_column: column {new!r} already exists")
+        self._guard_mapping_target(old)
+        mapping = self._seed_mapping(schema)
+        mapping[new] = mapping.pop(old)
+        renamed = T.StructType(
+            [
+                T.StructField(
+                    new if f.name == old else f.name, f.dataType, f.nullable
+                )
+                for f in schema.fields
+            ]
+        )
+        return self._commit(
+            "rename_column",
+            [],
+            [],
+            self.latest_version(),
+            schema_json=renamed.json(),
+            column_mapping=mapping,
+        )
+
+    def drop_column(self, name: str) -> int:
+        """ALTER TABLE ... DROP COLUMN — metadata-only: the column
+        leaves the logical schema and the mapping; its bytes stay in
+        existing files (never read at this version or later), and time
+        travel before the drop still surfaces them. A later
+        add_columns() with the same logical name gets a FRESH physical
+        name, so the dropped data cannot resurrect."""
+        schema = self.schema_at()
+        names = [f.name for f in schema.fields]
+        if name not in names:
+            raise ValueError(f"drop_column: no column {name!r}")
+        if len(names) == 1:
+            raise ValueError("drop_column: cannot drop the only column")
+        self._guard_mapping_target(name)
+        for cname, sql in self.constraints_at().items():
+            import re as _re
+
+            if _re.search(rf"\b{_re.escape(name)}\b", sql):
+                raise ValueError(
+                    f"drop_column: {name!r} referenced by CHECK "
+                    f"constraint {cname!r}"
+                )
+        mapping = self._seed_mapping(schema)
+        mapping.pop(name, None)
+        remaining = T.StructType(
+            [f for f in schema.fields if f.name != name]
+        )
+        return self._commit(
+            "drop_column",
+            [],
+            [],
+            self.latest_version(),
+            schema_json=remaining.json(),
+            column_mapping=mapping,
+        )
 
     # ------------------------------------------------- partition spec
 
@@ -595,6 +778,7 @@ class TxTable:
         pdel: list[str] | None = None,
         pdel_files: list[str] | None = None,
         spec: dict | None = None,
+        column_mapping: dict | None = None,
     ) -> int:
         """Optimistic-concurrency commit loop. Appends never conflict
         (they are re-targeted at the new tail); operations that REMOVE
@@ -644,6 +828,8 @@ class TxTable:
                 entry["constraint"] = constraint
             if spec is not None:
                 entry["spec"] = spec
+            if column_mapping is not None:
+                entry["column_mapping"] = column_mapping
             if pdel:
                 entry["pdel"] = pdel
             if pdel_files:
@@ -764,16 +950,28 @@ class TxTable:
         current = self.schema_at()
         have = {f.name for f in current.fields}
         fields = list(current.fields)
+        mapping = self._current_mapping()
+        used = self._physical_names_ever() if mapping is not None else set()
         for name, ty in new_cols:
             if name in have:
                 raise ValueError(f"add_columns: column {name!r} already exists")
             dt = self.spark.sql(f"SELECT CAST(NULL AS {ty})").schema[0].dataType
             fields.append(T.StructField(name, dt, True))
             have.add(name)
+            if mapping is not None:
+                # fresh physical name: a re-added logical name must not
+                # collide with ANY physical name ever written, or a
+                # dropped column's bytes resurrect on old files
+                phys = name
+                while phys in used:
+                    phys += "_p"
+                mapping[name] = phys
+                used.add(phys)
         widened = T.StructType(fields)
         return self._commit(
             "add_columns", [], [], self.latest_version(),
             schema_json=widened.json(),
+            column_mapping=mapping,
         )
 
     def _pdel_dirs_at(self, version: int | None = None) -> list[str]:
@@ -833,16 +1031,22 @@ class TxTable:
         """
         rv = self.latest_version()
         snap = self.snapshot(rv)
+        pcol = (self.column_mapping_at(rv) or {}).get(col, col)
         touched = [
             f
             for f in snap.values()
-            if col not in f.stats
-            or not (f.stats[col]["max"] < lo or f.stats[col]["min"] > hi)
+            if pcol not in f.stats
+            or not (f.stats[pcol]["max"] < lo or f.stats[pcol]["min"] > hi)
         ]
         if not touched:
             return {"version": rv, "n_deleted": 0, "files_touched": 0}
         matches = (
-            self._scan_adds(touched, self.schema_at(rv), with_meta=True)
+            self._scan_adds(
+                touched,
+                self.schema_at(rv),
+                with_meta=True,
+                mapping=self.column_mapping_at(rv),
+            )
             .where(F.col(col).between(F.lit(lo), F.lit(hi)))
             .select(F.col("__fp").alias("fp"), F.col("__ri").alias("ri"))
         )
@@ -872,11 +1076,12 @@ class TxTable:
         operators/layout.py's Z-ordering."""
         rv = self.latest_version()
         snap = self.snapshot(rv)
+        pcol = (self.column_mapping_at(rv) or {}).get(col, col)
         touched = [
             f
             for f in snap.values()
-            if col not in f.stats
-            or not (f.stats[col]["max"] < lo or f.stats[col]["min"] > hi)
+            if pcol not in f.stats
+            or not (f.stats[pcol]["max"] < lo or f.stats[pcol]["min"] > hi)
         ]
         if not touched:
             return {"version": rv, "files_rewritten": 0, "files_total": len(snap)}
@@ -885,7 +1090,12 @@ class TxTable:
         # rewrite then supersedes the file and the markers go inert)
         with_meta = bool(self._pdel_dirs_at(rv))
         survivors = self._apply_pdels(
-            self._scan_adds(touched, self.schema_at(rv), with_meta=with_meta),
+            self._scan_adds(
+                touched,
+                self.schema_at(rv),
+                with_meta=with_meta,
+                mapping=self.column_mapping_at(rv),
+            ),
             rv,
         ).where(~F.col(col).between(F.lit(lo), F.lit(hi)))
         adds = self._write_data(survivors, rv + 1)
@@ -947,7 +1157,13 @@ class TxTable:
             # DV layer: never resurrect positionally-deleted rows
             wm = bool(self._pdel_dirs_at(rv))
             current = self._apply_pdels(
-                self._scan_adds(touched, schema, with_meta=wm), rv
+                self._scan_adds(
+                    touched,
+                    schema,
+                    with_meta=wm,
+                    mapping=self.column_mapping_at(rv),
+                ),
+                rv
             )
         else:
             current = self.spark.createDataFrame([], schema)
@@ -1125,7 +1341,9 @@ def refresh_rollup(
         return mv, tail
     schema = t.schema_at(tail)
     if new_files:
-        delta_src = t._scan_adds(new_files, schema)
+        delta_src = t._scan_adds(
+            new_files, schema, mapping=t.column_mapping_at(tail)
+        )
     else:
         delta_src = t.spark.createDataFrame([], schema)
     delta = delta_src.groupBy(key).agg(
@@ -1189,7 +1407,9 @@ def refresh_dd_sketch(
         return sk, tail
     schema = t.schema_at(tail)
     if new_files:
-        delta_src = t._scan_adds(new_files, schema)
+        delta_src = t._scan_adds(
+            new_files, schema, mapping=t.column_mapping_at(tail)
+        )
     else:
         delta_src = t.spark.createDataFrame([], schema)
     delta = dd_sketch(delta_src, group_col, cents_col)
@@ -1287,7 +1507,12 @@ def optimize(
             return {"version": rv, "files_before": 0, "files_after": 0}
         wm = bool(t._pdel_dirs_at(rv))
         df = t._apply_pdels(
-            t._scan_adds(list(snap.values()), t.schema_at(rv), with_meta=wm),
+            t._scan_adds(
+                list(snap.values()),
+                t.schema_at(rv),
+                with_meta=wm,
+                mapping=t.column_mapping_at(rv),
+            ),
             rv,
         )
     else:
@@ -1312,6 +1537,9 @@ def files_skipped(t: TxTable, col: str, lo, hi, version: int | None = None) -> d
     """Skipping effectiveness of the CURRENT layout for one predicate:
     how many files the footer stats prune before Spark plans a scan."""
     files = list(t.snapshot(version).values())
+    col = (t.column_mapping_at(version or t.latest_version()) or {}).get(
+        col, col
+    )  # footer stats carry PHYSICAL names
     kept = [
         f
         for f in files
@@ -1366,7 +1594,12 @@ def build_bloom_index(
     (1-e^(-kn/m))^k)."""
     rv = t.latest_version()
     snap = t.snapshot(rv)
-    scan = t._scan_adds(list(snap.values()), t.schema_at(rv), with_meta=True)
+    scan = t._scan_adds(
+        list(snap.values()),
+        t.schema_at(rv),
+        with_meta=True,
+        mapping=t.column_mapping_at(rv),
+    )
     from sandbox_data_pipeline_spark.operators.dedup import portable_hash
 
     pos = [
@@ -1535,6 +1768,7 @@ def clone(src: TxTable, spark: SparkSession, dst_path: str) -> TxTable:
         None,
         schema_json=src.schema_at().json(),
         spec=src.partition_spec_at(),
+        column_mapping=src._current_mapping(),
     )
     return t
 
@@ -1566,7 +1800,11 @@ def table_changes(t: TxTable, from_version: int, to_version: int) -> DataFrame:
     def _read_files(adds: list[dict]) -> DataFrame:
         if not adds:
             return spark.createDataFrame([], schema)
-        return t._scan_adds([AddFile.from_json(a) for a in adds], schema)
+        return t._scan_adds(
+            [AddFile.from_json(a) for a in adds],
+            schema,
+            mapping=t.column_mapping_at(to_version),
+        )
 
     out: DataFrame | None = None
     for v in range(from_version + 1, to_version + 1):
@@ -1640,7 +1878,9 @@ def replace_where(
     schema = t.schema_at(rv)
     keep = t.spark.createDataFrame([], schema)
     if touched:
-        keep = t._scan_adds(touched, schema).where(
+        keep = t._scan_adds(
+            touched, schema, mapping=t.column_mapping_at(rv)
+        ).where(
             ~F.col(col).between(F.lit(lo), F.lit(hi))
         )
     adds = t._write_data(keep.unionByName(df.select(*[f.name for f in schema.fields])), rv + 1)
@@ -1768,6 +2008,7 @@ def create_branch(parent: TxTable, name: str) -> TxTable:
         None,
         schema_json=parent.schema_at(fork_version).json(),
         spec=parent.partition_spec_at(fork_version),
+        column_mapping=parent.column_mapping_at(fork_version),
     )
     return b
 
