@@ -167,3 +167,92 @@ def start_dedup_admission(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def start_passage_admission(
+    spark: SparkSession,
+    source_dir: str,
+    admitted_dir: str,
+    checkpoint_dir: str,
+    window: int = 16,
+    max_dup_ratio: float = 0.5,
+    rejected_dir: str | None = None,
+):
+    """Continuous SPAN-LEVEL admission — the streaming twin of the
+    batch passage gate (q_passage_dup_ratio): each micro-batch computes
+    every incoming doc's duplicated-passage ratio against the union of
+    the admitted-corpus store and the batch itself — the EXACT batch
+    rule (an occurrence is duplicated iff its passage fingerprint
+    appears more than once in store ∪ batch), so for any prefix of
+    batches the stream's verdicts equal passage_dup_ratio() run on
+    store + batch (the twin test pins this). Docs at or under
+    ``max_dup_ratio`` append to the store; later batches then gate
+    against every span ever admitted.
+
+    Replay safety, same construction as start_dedup_admission: a
+    re-run batch finds its own admitted docs' passages in the store,
+    every passage flags duplicated, ratios hit 1, and the re-append is
+    empty.
+
+    At 100 TB the store's passage fingerprints are write-once
+    artifacts keyed uniformly by md5 (store them alongside the docs
+    and semi-join instead of recomputing); recomputing per batch here
+    is the small-corpus test shape, the same documented caveat as the
+    doc-level gate above."""
+    from pyspark.sql import Window as W
+
+    from sandbox_data_pipeline_spark.operators.dedup import passages
+
+    def _admit(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.errors import AnalysisException
+
+        s = batch_df.sparkSession
+        batch_docs = batch_df.select("doc_id", "text")
+        try:
+            store = s.read.parquet(admitted_dir).select("doc_id", "text")
+        except AnalysisException:  # first batch: no store yet
+            store = s.createDataFrame([], "doc_id long, text string")
+        p = passages(store.unionByName(batch_docs), window=window)
+        counted = p.withColumn(
+            "_copies", F.count(F.lit(1)).over(W.partitionBy("passage_fp"))
+        )
+        ratios = counted.groupBy("doc_id").agg(
+            F.count(F.lit(1)).alias("n_passages"),
+            F.sum((F.col("_copies") > 1).cast("long")).alias(
+                "n_dup_passages"
+            ),
+        )
+        verdicts = (
+            batch_docs.select("doc_id")
+            .join(ratios, "doc_id")
+            .withColumn(
+                "dup_ratio",
+                F.col("n_dup_passages") / F.col("n_passages"),
+            )
+            .persist()
+        )
+        admitted = batch_df.join(
+            verdicts.where(F.col("dup_ratio") <= max_dup_ratio).select(
+                "doc_id"
+            ),
+            "doc_id",
+            "left_semi",
+        )
+        admitted.write.mode("append").parquet(admitted_dir)
+        if rejected_dir is not None:
+            rejected = batch_df.join(
+                verdicts.where(F.col("dup_ratio") > max_dup_ratio).select(
+                    "doc_id", "n_passages", "n_dup_passages", "dup_ratio"
+                ),
+                "doc_id",
+            )
+            rejected.write.mode("append").parquet(rejected_dir)
+        verdicts.unpersist()
+
+    stream = spark.readStream.schema(DOC_STREAM_SCHEMA).json(source_dir)
+    return (
+        stream.writeStream.foreachBatch(_admit)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

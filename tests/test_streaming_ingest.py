@@ -145,3 +145,110 @@ def test_trending_pipeline_ranks_and_merges(spark, tmp_path):
     got2 = {r.token: r for r in spark.read.parquet(sink).collect()}
     assert got2["join"].n == 7 and got2["join"].rank == 1
     assert got2["spark"].n == 4 and got2["spark"].rank == 2
+
+
+def test_passage_admission_stream_equals_batch_twin(spark, tmp_path):
+    """Span-level admission: the stream's per-batch verdicts must equal
+    the BATCH passage_dup_ratio rule computed over store ∪ batch, and
+    the store accumulates spans across batches."""
+    import json
+
+    from sandbox_data_pipeline_spark.operators.dedup import passage_dup_ratio
+    from sandbox_data_pipeline_spark.streaming.ingest import (
+        start_passage_admission,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    adm = str(tmp_path / "adm")
+    ckpt = str(tmp_path / "ck")
+    W = 4  # 4-token passages
+
+    A = "a1 a2 a3 a4 a5 a6 a7 a8"          # passages: (a1..a4), (a5..a8)
+    B = "b1 b2 b3 b4 b5 b6 b7 b8"
+    MIX = "a1 a2 a3 a4 n1 n2 n3 n4"         # half recycled from A
+
+    def doc(i, text):
+        return json.dumps(
+            {"doc_id": i, "text": text, "lang": "en", "source": "s",
+             "n_chars": len(text)}
+        )
+
+    (src / "b1.json").write_text("\n".join([doc(1, A), doc(2, B), doc(3, MIX)]))
+    q = start_passage_admission(
+        spark, str(src), adm, ckpt, window=W, max_dup_ratio=0.6,
+        rejected_dir=str(tmp_path / "rej"),
+    )
+    q.awaitTermination(120)
+    got1 = {r.doc_id for r in spark.read.parquet(adm).collect()}
+    # batch twin (empty store): verdict == q_passage_dup_ratio's rule
+    fixture1 = spark.createDataFrame(
+        [(1, A), (2, B), (3, MIX)], "doc_id long, text string"
+    )
+    want1 = {
+        r["doc_id"]
+        for r in passage_dup_ratio(fixture1, window=W).collect()
+        if r["dup_ratio"] <= 0.6
+    }
+    assert got1 == want1
+    assert got1 == {1, 2, 3}  # A/MIX share one passage: ratio 0.5 each
+
+    # batch 2: exact recycle of A (ratio 1), quarter-recycle, novel
+    QTR = "a1 a2 a3 a4 c1 c2 c3 c4 c5 c6 c7 c8"  # 1 of 3 passages recycled
+    NEW = "d1 d2 d3 d4 d5 d6 d7 d8"
+    (src / "b2.json").write_text(
+        "\n".join([doc(10, A), doc(11, QTR), doc(12, NEW)])
+    )
+    q2 = start_passage_admission(
+        spark, str(src), adm, ckpt, window=W, max_dup_ratio=0.6,
+        rejected_dir=str(tmp_path / "rej"),
+    )
+    q2.awaitTermination(120)
+    got2 = {r.doc_id for r in spark.read.parquet(adm).collect()}
+    # batch twin for batch 2: ratio over (admitted store ∪ batch),
+    # restricted to batch docs
+    store_docs = [(r.doc_id, r.text) for r in spark.read.parquet(adm)
+                  .where("doc_id < 10").select("doc_id", "text").collect()]
+    fixture2 = spark.createDataFrame(
+        store_docs + [(10, A), (11, QTR), (12, NEW)],
+        "doc_id long, text string",
+    )
+    want2_batch = {
+        r["doc_id"]
+        for r in passage_dup_ratio(fixture2, window=W).collect()
+        if r["dup_ratio"] <= 0.6 and r["doc_id"] >= 10
+    }
+    assert got2 - got1 == want2_batch
+    assert 10 not in got2          # full span recycle rejected
+    assert 11 in got2 and 12 in got2
+    rej = {r.doc_id: r.dup_ratio for r in
+           spark.read.parquet(str(tmp_path / "rej")).collect()}
+    assert rej[10] == 1.0
+
+
+def test_passage_admission_replay_is_idempotent(spark, tmp_path):
+    import json
+
+    from sandbox_data_pipeline_spark.streaming.ingest import (
+        start_passage_admission,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    adm = str(tmp_path / "adm")
+    text = "w1 w2 w3 w4 w5 w6 w7 w8"
+    (src / "b1.json").write_text(json.dumps(
+        {"doc_id": 1, "text": text, "lang": "en", "source": "s", "n_chars": 1}
+    ))
+    q = start_passage_admission(
+        spark, str(src), adm, str(tmp_path / "ck1"), window=4
+    )
+    q.awaitTermination(120)
+    assert spark.read.parquet(adm).count() == 1
+    # replay the SAME batch with a fresh checkpoint (worst case):
+    # the doc's own spans are in the store, ratio 1, append empty
+    q2 = start_passage_admission(
+        spark, str(src), adm, str(tmp_path / "ck2"), window=4
+    )
+    q2.awaitTermination(120)
+    assert spark.read.parquet(adm).count() == 1
