@@ -160,6 +160,18 @@ HEADLINE = [
     "q_ndcg_at_k",
     "q_event_trigrams",
     "q_kaplan_meier",
+    # round-8 additions: span-removal apply, classifier QA, diversity,
+    # keyword extraction, time-series + resampling diagnostics
+    # (q_column_mapping excluded: writes a table per run, same policy
+    # as q_time_travel)
+    "q_suffix_dedup_apply_keep_first",
+    "q_cohen_kappa",
+    "q_class_f1",
+    "q_token_entropy",
+    "q_burstiness",
+    "q_textrank_keywords",
+    "q_autocorrelation",
+    "q_jackknife_ci",
 ]
 
 

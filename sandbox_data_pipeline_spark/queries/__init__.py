@@ -103,6 +103,13 @@ DRIVER_PRIORITY = (
     "q_suffix_dedup_apply",
     "q_suffix_dedup_apply_keep_first",
     "q_column_mapping",
+    "q_cohen_kappa",
+    "q_class_f1",
+    "q_token_entropy",
+    "q_burstiness",
+    "q_textrank_keywords",
+    "q_autocorrelation",
+    "q_jackknife_ci",
     # Round-7 graded head (all green in CORRECTNESS_r07), rotated to
     # the back; everything long-green follows via registry interleave.
     "q_partition_evolution",

@@ -2099,3 +2099,199 @@ SELECT dur_h, d, n_risk,
 FROM (SELECT * FROM risk WHERE d > 0)
 """
 QUERIES["q_kaplan_meier"] = q_kaplan_meier
+
+
+# --- round-8 wave: time-series diagnostics + resampling inference -----------
+
+ACF_MAX_LAG = 7
+
+
+def q_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of the daily event-count series at lags 1..7 —
+    the seasonality/memory diagnostic behind every forecasting and
+    anomaly stage (a weekly cycle shows as a lag-7 peak). Pairs are
+    matched by CALENDAR day arithmetic (day, day+lag), so gaps are
+    honest misses, not silently skipped positions. Pearson r per lag
+    from exact integer moments only (n, Σx, Σy, Σxy, Σx², Σy² are all
+    int64); the finishing formula is a fixed double expression tree on
+    those exact operands, floor-rounded once. Shuffle: one groupBy to
+    the day table, then a 7-way broadcast-lag self-join of a
+    days-sized frame — negligible against the scan at any SF."""
+    ev = table(spark, sf_dir, "events").select(F.to_date("ts").alias("d"))
+    days = ev.groupBy("d").agg(F.count(F.lit(1)).alias("x"))
+    lags = spark.range(1, ACF_MAX_LAG + 1).select(
+        F.col("id").cast("int").alias("lag")
+    )
+    a = days.crossJoin(F.broadcast(lags))
+    b = days.select(F.col("d").alias("d2"), F.col("x").alias("y"))
+    pairs = a.join(
+        b, F.col("d2") == F.date_add(F.col("d"), F.col("lag"))
+    )
+    m = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = m["n_pairs"] * m["sxy"] - m["sx"] * m["sy"]
+    vx = (m["n_pairs"] * m["sxx"] - m["sx"] * m["sx"]).cast("double")
+    vy = (m["n_pairs"] * m["syy"] - m["sy"] * m["sy"]).cast("double")
+    den = F.sqrt(vx * vy)
+    return m.select(
+        "lag",
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+        stable_round(
+            F.when(den == 0.0, F.lit(0.0)).otherwise(num / den), 6
+        ).alias("acf"),
+    )
+
+
+ORACLE["q_autocorrelation"] = f"""
+WITH days AS (
+  SELECT CAST(ts AS DATE) AS d, count(*) AS x FROM events GROUP BY 1
+),
+lags AS (SELECT CAST(r.range AS INTEGER) AS lag FROM range(1, {ACF_MAX_LAG + 1}) r),
+pairs AS (
+  SELECT l.lag, a.x AS x, b.x AS y
+  FROM days a CROSS JOIN lags l
+  JOIN days b ON b.d = a.d + l.lag
+),
+m AS (
+  SELECT lag, count(*) AS n_pairs,
+         sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+         sum(x * x) AS sxx, sum(y * y) AS syy
+  FROM pairs GROUP BY 1
+)
+SELECT lag, CAST(n_pairs AS BIGINT) AS n_pairs,
+       (floor((CASE WHEN sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE)
+                         * CAST(n_pairs * syy - sy * sy AS DOUBLE)) = 0.0
+                    THEN 0.0
+                    ELSE (n_pairs * sxy - sx * sy)
+                         / sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE)
+                                * CAST(n_pairs * syy - sy * sy AS DOUBLE))
+               END) * 1000000.0 + 0.5) / 1000000.0) AS acf
+FROM m
+"""
+QUERIES["q_autocorrelation"] = q_autocorrelation
+
+
+JK_GROUPS = 8
+
+
+def q_jackknife_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete-one-group jackknife standard error and 95% CI for the
+    mean order value — resampling inference with NO randomness: the g
+    groups are orderkey % g, every leave-one-out mean is exact-decimal
+    sums in one division, and the two small Σs over the g=8 leave-out
+    means (their mean, then squared deviations) run as ORDERED
+    cumulative windows (group id asc) — sequential in both engines,
+    never an order-free double sum. One groupBy to g rows; everything
+    after is on an 8-row frame."""
+    o = table(spark, sf_dir, "orders").select(
+        (F.col("o_orderkey") % JK_GROUPS).alias("g"),
+        F.col("o_totalprice").alias("price"),
+    )
+    per = o.groupBy("g").agg(
+        F.sum("price").alias("s_i"), F.count(F.lit(1)).alias("n_i")
+    )
+    w_all = Window.partitionBy()
+    per = per.select(
+        "g",
+        "s_i",
+        "n_i",
+        F.sum("s_i").over(w_all).alias("s_tot"),
+        F.sum("n_i").over(w_all).alias("n_tot"),
+    )
+    loo = per.select(
+        "g",
+        "n_tot",
+        "s_tot",
+        # cast the EXACT decimal numerator to double BEFORE dividing:
+        # decimal-division intermediate scales differ across engines,
+        # double/int64 division does not
+        (
+            (F.col("s_tot") - F.col("s_i")).cast("double")
+            / (F.col("n_tot") - F.col("n_i"))
+        ).alias("mean_i"),
+    )
+    w_ord = Window.orderBy("g").rowsBetween(Window.unboundedPreceding, 0)
+    loo = loo.withColumn("cum_mean", F.sum("mean_i").over(w_ord))
+    g = float(JK_GROUPS)
+    bar = loo.groupBy("n_tot", "s_tot").agg(
+        (F.max("cum_mean") / F.lit(g)).alias("mean_bar")
+    )
+    dev = loo.join(F.broadcast(bar.select("mean_bar")), how="cross").select(
+        "g",
+        "n_tot",
+        "s_tot",
+        (
+            (F.col("mean_i") - F.col("mean_bar"))
+            * (F.col("mean_i") - F.col("mean_bar"))
+        ).alias("dev2"),
+        "mean_bar",
+    )
+    dev = dev.withColumn("cum_dev", F.sum("dev2").over(w_ord))
+    out = dev.groupBy("n_tot", "s_tot", "mean_bar").agg(
+        F.max("cum_dev").alias("ss")
+    )
+    mean = F.col("s_tot").cast("double") / F.col("n_tot")
+    se = F.sqrt(F.lit((g - 1.0) / g) * F.col("ss"))
+    return out.select(
+        F.col("n_tot").cast("long").alias("n_orders"),
+        stable_round(mean, 4).alias("mean_price"),
+        stable_round(se, 6).alias("jk_se"),
+        stable_round(mean - F.lit(1.96) * se, 4).alias("ci_lo"),
+        stable_round(mean + F.lit(1.96) * se, 4).alias("ci_hi"),
+    )
+
+
+ORACLE["q_jackknife_ci"] = f"""
+WITH per AS (
+  SELECT o_orderkey % {JK_GROUPS} AS g, sum(o_totalprice) AS s_i,
+         count(*) AS n_i
+  FROM orders GROUP BY 1
+),
+tot AS (SELECT sum(s_i) AS s_tot, sum(n_i) AS n_tot FROM per),
+loo AS (
+  SELECT g, CAST(s_tot - s_i AS DOUBLE) / (n_tot - n_i) AS mean_i,
+         s_tot, n_tot
+  FROM per CROSS JOIN tot
+),
+cum AS (
+  SELECT g, mean_i, s_tot, n_tot,
+         sum(mean_i) OVER (ORDER BY g ROWS UNBOUNDED PRECEDING) AS cum_mean
+  FROM loo
+),
+bar AS (
+  SELECT s_tot, n_tot, max(cum_mean) / {float(JK_GROUPS)} AS mean_bar
+  FROM cum GROUP BY 1, 2
+),
+dev AS (
+  SELECT c.g, c.s_tot, c.n_tot, b.mean_bar,
+         (c.mean_i - b.mean_bar) * (c.mean_i - b.mean_bar) AS dev2
+  FROM cum c CROSS JOIN bar b
+),
+dcum AS (
+  SELECT g, s_tot, n_tot,
+         sum(dev2) OVER (ORDER BY g ROWS UNBOUNDED PRECEDING) AS cum_dev
+  FROM dev
+),
+agg AS (
+  SELECT s_tot, n_tot, max(cum_dev) AS ss FROM dcum GROUP BY 1, 2
+)
+SELECT CAST(n_tot AS BIGINT) AS n_orders,
+       (floor((CAST(s_tot AS DOUBLE) / n_tot) * 10000.0 + 0.5) / 10000.0)
+         AS mean_price,
+       (floor(sqrt(0.875 * ss) * 1000000.0 + 0.5) / 1000000.0)
+         AS jk_se,
+       (floor((CAST(s_tot AS DOUBLE) / n_tot
+               - 1.96 * sqrt(0.875 * ss)) * 10000.0 + 0.5) / 10000.0)
+         AS ci_lo,
+       (floor((CAST(s_tot AS DOUBLE) / n_tot
+               + 1.96 * sqrt(0.875 * ss)) * 10000.0 + 0.5) / 10000.0)
+         AS ci_hi
+FROM agg
+"""
+QUERIES["q_jackknife_ci"] = q_jackknife_ci

@@ -2431,3 +2431,402 @@ FROM h GROUP BY 1, 2
 
 QUERIES["q_feature_hashing"] = q_feature_hashing
 ORACLE["q_feature_hashing"] = _ORACLE_FEATURE_HASHING
+
+
+# --- round-8 wave: classifier QA, diversity, and keyword extraction ---------
+
+_TOK_SPLIT_SQL = "list_filter(string_split(text, ' '), x -> x <> '')"
+
+
+def q_cohen_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa for the language-ID stage — chance-corrected
+    agreement between declared and guessed language, the single-number
+    companion of q_lang_confusion's matrix. All counts exact integers:
+    po = diag/N, pe = Σ_c row_c·col_c / N², kappa = (po-pe)/(1-pe);
+    the three divisions run on identical exact operands in both
+    engines, floor-rounded once. One groupBy over the confusion cells
+    — the cell table is |langs|² rows, driver-negligible at any
+    corpus size."""
+    d = language_id(table(spark, sf_dir, "documents")).select(
+        "lang_declared", "lang_guess"
+    )
+    cells = d.groupBy("lang_declared", "lang_guess").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    rows = cells.groupBy(F.col("lang_declared").alias("cls")).agg(
+        F.sum("n").alias("row_n")
+    )
+    cols = cells.groupBy(F.col("lang_guess").alias("cls")).agg(
+        F.sum("n").alias("col_n")
+    )
+    margins = rows.join(cols, "cls", "full").select(
+        (
+            F.coalesce(F.col("row_n"), F.lit(0))
+            * F.coalesce(F.col("col_n"), F.lit(0))
+        ).alias("rc")
+    )
+    totals = cells.agg(
+        F.sum("n").alias("n_docs"),
+        F.sum(
+            F.when(F.col("lang_declared") == F.col("lang_guess"), F.col("n"))
+            .otherwise(F.lit(0))
+        ).alias("n_agree"),
+    )
+    pe_num = margins.agg(F.sum("rc").alias("pe_num"))
+    j = totals.crossJoin(pe_num)
+    po = F.col("n_agree") / F.col("n_docs")
+    pe = F.col("pe_num") / (F.col("n_docs") * F.col("n_docs"))
+    return j.select(
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_agree").cast("long").alias("n_agree"),
+        stable_round(po, 6).alias("po"),
+        stable_round(pe, 6).alias("pe"),
+        stable_round((po - pe) / (F.lit(1.0) - pe), 6).alias("kappa"),
+    )
+
+
+def _oracle_kappa() -> str:
+    return f"""
+WITH guessed AS ({_oracle_lang()}),
+cells AS (
+  SELECT lang_declared, lang_guess, count(*) AS n FROM guessed GROUP BY 1, 2
+),
+r AS (SELECT lang_declared AS cls, sum(n) AS row_n FROM cells GROUP BY 1),
+c AS (SELECT lang_guess AS cls, sum(n) AS col_n FROM cells GROUP BY 1),
+margins AS (
+  SELECT coalesce(row_n, 0) * coalesce(col_n, 0) AS rc
+  FROM r FULL JOIN c USING (cls)
+),
+tot AS (
+  SELECT sum(n) AS n_docs,
+         sum(CASE WHEN lang_declared = lang_guess THEN n ELSE 0 END) AS n_agree
+  FROM cells
+),
+pe_n AS (SELECT sum(rc) AS pe_num FROM margins)
+SELECT CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_agree AS BIGINT) AS n_agree,
+       (floor((n_agree / n_docs) * 1000000.0 + 0.5) / 1000000.0) AS po,
+       (floor((pe_num / (n_docs * n_docs)) * 1000000.0 + 0.5) / 1000000.0) AS pe,
+       (floor((((n_agree / n_docs) - (pe_num / (n_docs * n_docs)))
+               / (1.0 - (pe_num / (n_docs * n_docs)))) * 1000000.0 + 0.5)
+        / 1000000.0) AS kappa
+FROM tot CROSS JOIN pe_n
+"""
+
+
+QUERIES["q_cohen_kappa"] = q_cohen_kappa
+ORACLE["q_cohen_kappa"] = _oracle_kappa()
+
+
+def q_class_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class precision/recall/F1 of the language-ID stage over the
+    same confusion cells — the per-class view kappa summarizes. tp/fp/
+    fn are exact integers; the ratios are identical IEEE expressions
+    both engines evaluate on them, floor-rounded once; zero
+    denominators short-circuit to 0.0 before any division."""
+    d = language_id(table(spark, sf_dir, "documents")).select(
+        "lang_declared", "lang_guess"
+    )
+    cells = d.groupBy("lang_declared", "lang_guess").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    rows = cells.groupBy(F.col("lang_declared").alias("cls")).agg(
+        F.sum("n").alias("row_n")
+    )
+    cols = cells.groupBy(F.col("lang_guess").alias("cls")).agg(
+        F.sum("n").alias("col_n")
+    )
+    diag = cells.where(F.col("lang_declared") == F.col("lang_guess")).select(
+        F.col("lang_declared").alias("cls"), F.col("n").alias("tp")
+    )
+    m = (
+        rows.join(cols, "cls", "full")
+        .join(diag, "cls", "left")
+        .select(
+            "cls",
+            F.coalesce(F.col("tp"), F.lit(0)).cast("long").alias("tp"),
+            (
+                F.coalesce(F.col("col_n"), F.lit(0))
+                - F.coalesce(F.col("tp"), F.lit(0))
+            ).cast("long").alias("fp"),
+            (
+                F.coalesce(F.col("row_n"), F.lit(0))
+                - F.coalesce(F.col("tp"), F.lit(0))
+            ).cast("long").alias("fn"),
+        )
+    )
+    prec = F.when(F.col("tp") + F.col("fp") == 0, F.lit(0.0)).otherwise(
+        F.col("tp") / (F.col("tp") + F.col("fp"))
+    )
+    rec = F.when(F.col("tp") + F.col("fn") == 0, F.lit(0.0)).otherwise(
+        F.col("tp") / (F.col("tp") + F.col("fn"))
+    )
+    f1 = F.when(prec + rec == 0.0, F.lit(0.0)).otherwise(
+        F.lit(2.0) * prec * rec / (prec + rec)
+    )
+    return m.select(
+        "cls",
+        "tp",
+        "fp",
+        "fn",
+        stable_round(prec, 6).alias("precision"),
+        stable_round(rec, 6).alias("recall"),
+        stable_round(f1, 6).alias("f1"),
+    )
+
+
+def _oracle_class_f1() -> str:
+    p = "CASE WHEN tp + fp = 0 THEN 0.0 ELSE tp / (tp + fp) END"
+    r = "CASE WHEN tp + fn = 0 THEN 0.0 ELSE tp / (tp + fn) END"
+    f1 = (
+        f"CASE WHEN ({p}) + ({r}) = 0.0 THEN 0.0 "
+        f"ELSE 2.0 * ({p}) * ({r}) / (({p}) + ({r})) END"
+    )
+    return f"""
+WITH guessed AS ({_oracle_lang()}),
+cells AS (
+  SELECT lang_declared, lang_guess, count(*) AS n FROM guessed GROUP BY 1, 2
+),
+r AS (SELECT lang_declared AS cls, sum(n) AS row_n FROM cells GROUP BY 1),
+c AS (SELECT lang_guess AS cls, sum(n) AS col_n FROM cells GROUP BY 1),
+d AS (
+  SELECT lang_declared AS cls, n AS tp FROM cells
+  WHERE lang_declared = lang_guess
+),
+m AS (
+  SELECT cls,
+         CAST(coalesce(tp, 0) AS BIGINT) AS tp,
+         CAST(coalesce(col_n, 0) - coalesce(tp, 0) AS BIGINT) AS fp,
+         CAST(coalesce(row_n, 0) - coalesce(tp, 0) AS BIGINT) AS fn
+  FROM r FULL JOIN c USING (cls) LEFT JOIN d USING (cls)
+)
+SELECT cls, tp, fp, fn,
+       (floor(({p}) * 1000000.0 + 0.5) / 1000000.0) AS precision,
+       (floor(({r}) * 1000000.0 + 0.5) / 1000000.0) AS recall,
+       (floor(({f1}) * 1000000.0 + 0.5) / 1000000.0) AS f1
+FROM m
+"""
+
+
+QUERIES["q_class_f1"] = q_class_f1
+ORACLE["q_class_f1"] = _oracle_class_f1()
+
+
+def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document unigram Shannon entropy — the classic low-diversity
+    quality filter (boilerplate and keyword-stuffed docs score low).
+    H = log2(T) - (Σ c·log2 c)/T from exact counts; the Σ over a doc's
+    token types runs as an ORDERED cumulative window (token asc), which
+    both engines evaluate sequentially (the KL-drift precedent), never
+    an order-free double groupBy sum. One explode + two shuffles
+    (token counts, per-doc aggregate), both on uniform keys."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), " "), lambda t: t != F.lit(""))
+    cnt = (
+        d.select("doc_id", F.explode(toks).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("tok")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = cnt.withColumn(
+        "sl", F.sum(F.col("c") * F.log2("c")).over(w)
+    )
+    agg = cum.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.max("sl").alias("slogs"),  # cumulative terms are >= 0: max = last
+    )
+    return agg.select(
+        "doc_id",
+        "n_tokens",
+        "n_types",
+        stable_round(
+            F.log2("n_tokens") - F.col("slogs") / F.col("n_tokens"), 6
+        ).alias("entropy"),
+    )
+
+
+ORACLE["q_token_entropy"] = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOK_SPLIT_SQL}) AS tok FROM documents
+),
+cnt AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2),
+cum AS (
+  SELECT doc_id, tok, c,
+         sum(c * log2(c)) OVER (PARTITION BY doc_id ORDER BY tok
+                                ROWS UNBOUNDED PRECEDING) AS sl
+  FROM cnt
+),
+agg AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+         CAST(count(*) AS BIGINT) AS n_types, max(sl) AS slogs
+  FROM cum GROUP BY 1
+)
+SELECT doc_id, n_tokens, n_types,
+       (floor((log2(n_tokens) - slogs / n_tokens) * 1000000.0 + 0.5)
+        / 1000000.0) AS entropy
+FROM agg
+"""
+QUERIES["q_token_entropy"] = q_token_entropy
+
+
+BURST_TOP = 20
+
+
+def q_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token burstiness (Fano factor: variance/mean of the per-document
+    count, zeros included) for the corpus's top terms — bursty terms
+    concentrate in few docs (topical), Fano≈dispersion 1 means
+    Poisson-like background. From exact moments only: with N docs,
+    S1 = Σc, S2 = Σc², fano = (N·S2 − S1²)/(N·S1) — ONE double
+    division of exact bigints, cross-engine identical. Two uniform-key
+    shuffles; the top-k is a rounded-value sort with a token tiebreak."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), " "), lambda t: t != F.lit(""))
+    cnt = (
+        d.select("doc_id", F.explode(toks).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    per_tok = cnt.groupBy("token").agg(
+        F.sum("c").cast("long").alias("total_cnt"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("s2"),
+        F.count(F.lit(1)).cast("long").alias("n_docs_with"),
+    )
+    j = per_tok.crossJoin(F.broadcast(n_docs))
+    return (
+        j.select(
+            "token",
+            "total_cnt",
+            "n_docs_with",
+            stable_round(
+                (F.col("n_docs") * F.col("s2") - F.col("total_cnt") * F.col("total_cnt"))
+                / (F.col("n_docs") * F.col("total_cnt")),
+                6,
+            ).alias("fano"),
+        )
+        .orderBy(F.col("total_cnt").desc(), "token")
+        .limit(BURST_TOP)
+    )
+
+
+ORACLE["q_burstiness"] = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOK_SPLIT_SQL}) AS token FROM documents
+),
+cnt AS (SELECT doc_id, token, count(*) AS c FROM toks GROUP BY 1, 2),
+n AS (SELECT count(*) AS n_docs FROM documents),
+per_tok AS (
+  SELECT token, CAST(sum(c) AS BIGINT) AS total_cnt,
+         CAST(sum(c * c) AS BIGINT) AS s2,
+         CAST(count(*) AS BIGINT) AS n_docs_with
+  FROM cnt GROUP BY 1
+)
+SELECT token, total_cnt, n_docs_with,
+       (floor(((n_docs * s2 - total_cnt * total_cnt)
+               / (n_docs * total_cnt)) * 1000000.0 + 0.5)
+        / 1000000.0) AS fano
+FROM per_tok CROSS JOIN n
+ORDER BY total_cnt DESC, token
+LIMIT {BURST_TOP}
+"""
+QUERIES["q_burstiness"] = q_burstiness
+
+
+TEXTRANK_TOP = 30
+
+
+def q_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau 2004): PageRank
+    over the corpus word-co-occurrence graph — nodes are tokens, edges
+    connect adjacent tokens (window 2), undirected, deduplicated. The
+    top-scoring nodes are the corpus keywords. Reuses the exact
+    operators/graph.py PageRank (5 iterations, d=0.85, 6-dp rounding);
+    the bigram edge list is one lead() window per doc (one shuffle) +
+    a distinct. Deterministic top-k: rounded score desc, token asc."""
+    from sandbox_data_pipeline_spark.operators.graph import pagerank
+
+    d = table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), " "), lambda t: t != F.lit(""))
+    pos = d.select("doc_id", F.posexplode(toks).alias("p", "tok"))
+    w = Window.partitionBy("doc_id").orderBy("p")
+    big = (
+        pos.withColumn("nxt", F.lead("tok").over(w))
+        .where(F.col("nxt").isNotNull() & (F.col("nxt") != F.col("tok")))
+        .select("tok", "nxt")
+    )
+    edges = (
+        big.select(F.col("tok").alias("src"), F.col("nxt").alias("dst"))
+        .unionByName(
+            big.select(F.col("nxt").alias("src"), F.col("tok").alias("dst"))
+        )
+        .distinct()
+    )
+    pr = pagerank(edges, damping=0.85, iterations=5)
+    return (
+        pr.select(F.col("node").alias("token"), "deg", "pagerank")
+        .orderBy(F.col("pagerank").desc(), "token")
+        .limit(TEXTRANK_TOP)
+    )
+
+
+def _oracle_textrank() -> str:
+    iters = []
+    prev = "p0"
+    one_minus_d = repr(1.0 - 0.85)
+    dd = repr(0.85)
+    for k in range(1, 6):
+        iters.append(
+            f"""p{k} AS (
+  SELECT b.node, b.deg, b.n_nodes,
+         CAST({one_minus_d} AS DOUBLE) / b.n_nodes
+           + CAST({dd} AS DOUBLE) * coalesce(s.s, CAST(0 AS DOUBLE)) AS rank
+  FROM p0 b LEFT JOIN (
+    SELECT e.dst AS node, sum(p.rank / p.deg) AS s
+    FROM e JOIN {prev} p ON p.node = e.src
+    GROUP BY 1
+  ) s ON s.node = b.node
+)"""
+        )
+        prev = f"p{k}"
+    chain = ",\n".join(iters)
+    return f"""
+WITH lists AS (
+  SELECT doc_id, {_TOK_SPLIT_SQL} AS l FROM documents
+),
+big AS MATERIALIZED (
+  SELECT l[CAST(i.range AS INTEGER)] AS tok,
+         l[CAST(i.range AS INTEGER) + 1] AS nxt
+  FROM lists CROSS JOIN range(1, 4096) i
+  WHERE i.range < len(l)
+    AND l[CAST(i.range AS INTEGER)] <> l[CAST(i.range AS INTEGER) + 1]
+),
+e AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM (
+    SELECT tok AS src, nxt AS dst FROM big
+    UNION ALL
+    SELECT nxt AS src, tok AS dst FROM big
+  )
+),
+deg AS (SELECT src AS node, count(*) AS deg FROM e GROUP BY 1),
+n AS (SELECT count(*) AS n_nodes FROM deg),
+p0 AS MATERIALIZED (
+  SELECT node, deg, n_nodes, CAST(1 AS DOUBLE) / n_nodes AS rank
+  FROM deg CROSS JOIN n
+),
+{chain}
+SELECT node AS token, CAST(deg AS BIGINT) AS deg,
+       (floor((rank) * 1000000.0 + 0.5) / 1000000.0) AS pagerank
+FROM {prev}
+ORDER BY (floor((rank) * 1000000.0 + 0.5) / 1000000.0) DESC, node
+LIMIT {TEXTRANK_TOP}
+"""
+
+
+QUERIES["q_textrank_keywords"] = q_textrank_keywords
+ORACLE["q_textrank_keywords"] = _oracle_textrank()

@@ -1,0 +1,168 @@
+"""Round-8 wave: pinned-value unit tests on tiny fixtures for the
+classifier-QA / diversity / time-series / resampling queries (the
+DuckDB oracle gate covers the corpus; these pin the math itself)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+
+def test_cohen_kappa_known_matrix(spark, monkeypatch):
+    """Classic worked example: 2x2 with po=0.7, pe=0.52, kappa=0.375."""
+    from sandbox_data_pipeline_spark.queries import text as text_mod
+
+    pairs = (
+        [("a", "a")] * 45
+        + [("a", "b")] * 15
+        + [("b", "a")] * 15
+        + [("b", "b")] * 25
+    )
+    fake = spark.createDataFrame(
+        pairs, "lang_declared string, lang_guess string"
+    )
+    monkeypatch.setattr(
+        text_mod, "language_id", lambda df: fake.withColumn("doc_id", F.lit(0))
+    )
+    monkeypatch.setattr(text_mod, "table", lambda s, d, n: fake)
+    r = text_mod.q_cohen_kappa(spark, "unused").collect()[0]
+    assert r["n_docs"] == 100 and r["n_agree"] == 70
+    assert r["po"] == 0.7
+    # pe = (60*60 + 40*40) / 100^2 = 0.52
+    assert r["pe"] == 0.52
+    assert abs(r["kappa"] - (0.7 - 0.52) / (1 - 0.52)) < 1e-6
+
+
+def test_class_f1_known_matrix(spark, monkeypatch):
+    from sandbox_data_pipeline_spark.queries import text as text_mod
+
+    pairs = [("a", "a")] * 8 + [("a", "b")] * 2 + [("b", "b")] * 5 + [
+        ("b", "a")
+    ] * 5
+    fake = spark.createDataFrame(
+        pairs, "lang_declared string, lang_guess string"
+    )
+    monkeypatch.setattr(
+        text_mod, "language_id", lambda df: fake.withColumn("doc_id", F.lit(0))
+    )
+    monkeypatch.setattr(text_mod, "table", lambda s, d, n: fake)
+    got = {r["cls"]: r for r in text_mod.q_class_f1(spark, "unused").collect()}
+    a = got["a"]
+    assert (a["tp"], a["fp"], a["fn"]) == (8, 5, 2)
+    assert abs(a["precision"] - 8 / 13) < 1e-6
+    assert abs(a["recall"] - 0.8) < 1e-6
+    p, r_ = 8 / 13, 0.8
+    assert abs(a["f1"] - 2 * p * r_ / (p + r_)) < 1e-6
+
+
+def test_token_entropy_extremes(spark, monkeypatch):
+    from sandbox_data_pipeline_spark.queries import text as text_mod
+
+    docs = spark.createDataFrame(
+        [
+            (1, "x x x x"),          # zero entropy
+            (2, "a b c d"),          # uniform over 4: entropy 2 bits
+        ],
+        "doc_id long, text string",
+    )
+    monkeypatch.setattr(text_mod, "table", lambda s, d, n: docs)
+    got = {
+        r["doc_id"]: r
+        for r in text_mod.q_token_entropy(spark, "unused").collect()
+    }
+    assert got[1]["entropy"] == 0.0 and got[1]["n_types"] == 1
+    assert got[2]["entropy"] == 2.0 and got[2]["n_tokens"] == 4
+
+
+def test_burstiness_poisson_vs_bursty(spark, monkeypatch):
+    from sandbox_data_pipeline_spark.queries import text as text_mod
+
+    # 'flat' appears once in each of 4 docs (fano < 1: regular);
+    # 'hot' appears 4 times in one doc (fano > 1: bursty)
+    docs = spark.createDataFrame(
+        [
+            (1, "flat hot hot hot hot"),
+            (2, "flat pad1"),
+            (3, "flat pad2"),
+            (4, "flat pad3"),
+        ],
+        "doc_id long, text string",
+    )
+    monkeypatch.setattr(text_mod, "table", lambda s, d, n: docs)
+    got = {
+        r["token"]: r["fano"]
+        for r in text_mod.q_burstiness(spark, "unused").collect()
+    }
+    # flat: N=4, S1=4, S2=4 → (16-16)/16 = 0
+    assert got["flat"] == 0.0
+    # hot: N=4, S1=4, S2=16 → (64-16)/16 = 3
+    assert got["hot"] == 3.0
+
+
+def test_textrank_hub_outranks_leaf(spark, monkeypatch):
+    from sandbox_data_pipeline_spark.queries import text as text_mod
+
+    docs = spark.createDataFrame(
+        [
+            (1, "hub a hub b hub c"),
+            (2, "hub d leaf e"),
+        ],
+        "doc_id long, text string",
+    )
+    monkeypatch.setattr(text_mod, "table", lambda s, d, n: docs)
+    got = {
+        r["token"]: r["pagerank"]
+        for r in text_mod.q_textrank_keywords(spark, "unused").collect()
+    }
+    assert got["hub"] > got["leaf"]
+    assert got["hub"] == max(got.values())
+
+
+def test_autocorrelation_alternating_series(spark, monkeypatch):
+    """Perfectly alternating daily counts: lag-1 ACF = -1, lag-2 = +1."""
+    import datetime
+
+    from sandbox_data_pipeline_spark.queries import analytics as a_mod
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for day in range(10):
+        n = 10 if day % 2 == 0 else 2
+        for _ in range(n):
+            rows.append((eid, base + datetime.timedelta(days=day)))
+            eid += 1
+    ev = spark.createDataFrame(rows, "event_id long, ts timestamp")
+    monkeypatch.setattr(a_mod, "table", lambda s, d, n: ev)
+    got = {
+        r["lag"]: r for r in a_mod.q_autocorrelation(spark, "unused").collect()
+    }
+    assert got[1]["acf"] == -1.0 and got[1]["n_pairs"] == 9
+    assert got[2]["acf"] == 1.0 and got[2]["n_pairs"] == 8
+
+
+def test_jackknife_matches_reference(spark, monkeypatch):
+    """Jackknife SE against a from-scratch Python reference on the
+    same grouping."""
+    from sandbox_data_pipeline_spark.queries import analytics as a_mod
+
+    rows = [(k, float(100 + (k * 37) % 59)) for k in range(200)]
+    o = spark.createDataFrame(rows, "o_orderkey long, o_totalprice double")
+    monkeypatch.setattr(a_mod, "table", lambda s, d, n: o)
+    got = a_mod.q_jackknife_ci(spark, "unused").collect()[0]
+
+    g = a_mod.JK_GROUPS
+    sums = [0.0] * g
+    cnts = [0] * g
+    for k, v in rows:
+        sums[k % g] += v
+        cnts[k % g] += 1
+    S, N = sum(sums), sum(cnts)
+    loo = [(S - sums[i]) / (N - cnts[i]) for i in range(g)]
+    bar = sum(loo) / g
+    se = math.sqrt((g - 1) / g * sum((m - bar) ** 2 for m in loo))
+    assert got["n_orders"] == N
+    assert abs(got["mean_price"] - S / N) < 1e-3
+    assert abs(got["jk_se"] - se) < 1e-5
+    assert got["ci_lo"] < got["mean_price"] < got["ci_hi"]
