@@ -330,3 +330,77 @@ def wedge_pairs(
         .agg(F.count(F.lit(1)).alias("cn"))
         .where(F.col("cn") >= min_common)
     )
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    damping: float = 0.85,
+    iterations: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Personalized PageRank: random walk with restart onto ``seeds``
+    (one column ``node``) — influence/contamination mass flowing FROM
+    the seed set, where plain PageRank measures global centrality and
+    BFS only hop distance. r₀ = uniform over seeds;
+    r_{k+1}(v) = (1-d)·e(v) + d·Σ_{u→v} r_k(u)/deg(u), e = the seed
+    restart vector. Undirected pair graphs have no sinks, so no
+    dangling term (same reduction the PageRank oracle replays).
+
+    Returns (node, deg, is_seed, ppr): ppr rounded to 6 dp once at the
+    end. Same bulk-synchronous shape and lineage discipline as
+    pagerank(): per round one edges⋈ranks join + one groupBy(dst) with
+    map-side partials; the seed vector is a broadcast-sized column."""
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    edges = edges.localCheckpoint(eager=False)
+    deg = edges.groupBy(src).agg(F.count("*").alias("deg"))
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .unionByName(edges.select(F.col(dst).alias("node")))
+        .distinct()
+        .join(deg.select(F.col(src).alias("node"), "deg"), "node", "left")
+        .select("node", F.coalesce(F.col("deg"), F.lit(0)).alias("deg"))
+    )
+    seed_nodes = seeds.select("node").distinct()
+    base = (
+        nodes.join(
+            seed_nodes.withColumn("_s", F.lit(1)), "node", "left"
+        )
+        .select(
+            "node", "deg", F.coalesce(F.col("_s"), F.lit(0)).alias("is_seed")
+        )
+        .localCheckpoint(eager=False)
+    )
+    n_seeds = base.agg(F.sum("is_seed").alias("n_seeds"))
+    base = base.crossJoin(F.broadcast(n_seeds))
+    restart = F.col("is_seed").cast("double") / F.col("n_seeds")
+    ranks = base.select("node", "deg", "is_seed", "n_seeds", restart.alias("rank"))
+    e = edges.select(F.col(src).alias("e_src"), F.col(dst).alias("node"))
+    for _ in range(iterations):
+        contrib = e.join(
+            ranks.select(F.col("node").alias("e_src"), "deg", "rank"), "e_src"
+        ).select("node", (F.col("rank") / F.col("deg")).alias("c"))
+        summed = contrib.groupBy("node").agg(F.sum("c").alias("s"))
+        ranks = (
+            base.join(summed, "node", "left")
+            .select(
+                "node",
+                "deg",
+                "is_seed",
+                "n_seeds",
+                (
+                    F.lit(1.0 - damping) * restart
+                    + F.lit(damping)
+                    * F.coalesce(F.col("s"), F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks.select(
+        "node",
+        "deg",
+        "is_seed",
+        F.round("rank", 6).alias("ppr"),
+    )

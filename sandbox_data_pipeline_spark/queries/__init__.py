@@ -110,6 +110,8 @@ DRIVER_PRIORITY = (
     "q_textrank_keywords",
     "q_autocorrelation",
     "q_jackknife_ci",
+    "q_ppr_influence",
+    "q_theilsen_trend",
     # Round-7 graded head (all green in CORRECTNESS_r07), rotated to
     # the back; everything long-green follows via registry interleave.
     "q_partition_evolution",

@@ -2295,3 +2295,92 @@ SELECT CAST(n_tot AS BIGINT) AS n_orders,
 FROM agg
 """
 QUERIES["q_jackknife_ci"] = q_jackknife_ci
+
+
+def q_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend of the daily event-count series: the
+    slope is the MEDIAN of all pairwise slopes (breakdown point ~29% —
+    one bad backfill day cannot bend it, unlike OLS in q_linear_fit),
+    intercept = median of (x_i − slope·d_i). Medians are ORDER
+    STATISTICS — a deterministic element selection, no float
+    accumulation at all, so cross-engine equality needs only the
+    identical (slope, d1, d2) sort both engines perform. Lower median
+    (position ⌊(n+1)/2⌋) by definition. Scale: the pair set is
+    days², bounded by the calendar (≈130k pairs/year-of-days), ranked
+    by the range-partitioned two-phase global row number
+    (operators/suffix.py: global_row_number) — no single-partition
+    sort of the pair frame."""
+    from sandbox_data_pipeline_spark.operators.suffix import global_row_number
+
+    ev = table(spark, sf_dir, "events").select(F.to_date("ts").alias("d"))
+    days = ev.groupBy("d").agg(F.count(F.lit(1)).alias("x"))
+    days = days.select(
+        F.datediff(F.col("d"), F.lit("1970-01-01").cast("date")).alias("dn"),
+        "x",
+    )
+    b = days.select(F.col("dn").alias("dn2"), F.col("x").alias("x2"))
+    pairs = days.join(b, F.col("dn2") > F.col("dn")).select(
+        "dn",
+        "dn2",
+        (
+            (F.col("x2") - F.col("x")).cast("double")
+            / (F.col("dn2") - F.col("dn"))
+        ).alias("slope"),
+    )
+    n_pairs = pairs.count()
+    mid = (n_pairs + 1) // 2
+    ranked = global_row_number(pairs, ["slope", "dn", "dn2"], out="rn")
+    slope_row = ranked.where(F.col("rn") == mid).select("slope")
+    resid = days.crossJoin(F.broadcast(slope_row)).select(
+        "dn",
+        (F.col("x") - F.col("slope") * F.col("dn")).alias("resid"),
+        "slope",
+    )
+    n_days = days.count()
+    midd = (n_days + 1) // 2
+    resid_ranked = global_row_number(resid, ["resid", "dn"], out="rn")
+    out = resid_ranked.where(F.col("rn") == midd)
+    return out.select(
+        F.lit(n_days).cast("long").alias("n_days"),
+        F.lit(n_pairs).cast("long").alias("n_pairs"),
+        stable_round(F.col("slope"), 6).alias("slope"),
+        stable_round(F.col("resid"), 4).alias("intercept"),
+    )
+
+
+ORACLE["q_theilsen_trend"] = """
+WITH days AS (
+  SELECT CAST(ts AS DATE) - DATE '1970-01-01' AS dn, count(*) AS x
+  FROM events GROUP BY 1
+),
+pairs AS (
+  SELECT a.dn AS dn, b.dn AS dn2,
+         CAST(b.x - a.x AS DOUBLE) / (b.dn - a.dn) AS slope
+  FROM days a JOIN days b ON b.dn > a.dn
+),
+np AS (SELECT count(*) AS n_pairs FROM pairs),
+ranked AS (
+  SELECT slope, row_number() OVER (ORDER BY slope, dn, dn2) AS rn
+  FROM pairs
+),
+med AS (
+  SELECT slope FROM ranked CROSS JOIN np
+  WHERE rn = (n_pairs + 1) // 2
+),
+nd AS (SELECT count(*) AS n_days FROM days),
+resid AS (
+  SELECT d.dn, d.x - m.slope * d.dn AS resid, m.slope
+  FROM days d CROSS JOIN med m
+),
+rranked AS (
+  SELECT resid, slope, row_number() OVER (ORDER BY resid, dn) AS rn
+  FROM resid
+)
+SELECT CAST(nd.n_days AS BIGINT) AS n_days,
+       CAST(np.n_pairs AS BIGINT) AS n_pairs,
+       (floor((r.slope) * 1000000.0 + 0.5) / 1000000.0) AS slope,
+       (floor((r.resid) * 10000.0 + 0.5) / 10000.0) AS intercept
+FROM rranked r CROSS JOIN nd CROSS JOIN np
+WHERE r.rn = (nd.n_days + 1) // 2
+"""
+QUERIES["q_theilsen_trend"] = q_theilsen_trend

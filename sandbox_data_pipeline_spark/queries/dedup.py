@@ -2131,3 +2131,94 @@ JOIN deg dv ON dv.u = ne.v
 
 QUERIES["q_link_prediction"] = q_link_prediction
 ORACLE["q_link_prediction"] = _oracle_link_prediction()
+
+
+PPR_SEED_MOD = 10
+PPR_ITER = 4
+PPR_D = 0.85
+
+
+def q_ppr_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank from the known-bad seed set over the
+    near-dup graph — contamination INFLUENCE mass, where q_graph_bfs
+    gives only hop distance (a doc two hops away through many paths
+    outranks one two hops away through one). Seeds = graph nodes with
+    doc_id % 10 == 0 (the BFS seed rule); 4 iterations, d = 0.85.
+    operators/graph.py: personalized_pagerank."""
+    from sandbox_data_pipeline_spark.operators.graph import (
+        personalized_pagerank,
+    )
+
+    pairs = q_dedup_minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    seeds = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .where(F.col("node") % PPR_SEED_MOD == 0)
+    )
+    ppr = personalized_pagerank(
+        edges, seeds, damping=PPR_D, iterations=PPR_ITER
+    )
+    return ppr.select(
+        F.col("node").alias("doc_id"),
+        "deg",
+        F.col("is_seed").cast("int").alias("is_seed"),
+        "ppr",
+    )
+
+
+def _oracle_ppr() -> str:
+    one_minus_d = repr(1.0 - PPR_D)
+    dd = repr(PPR_D)
+    iters = []
+    prev = "r0"
+    for k in range(1, PPR_ITER + 1):
+        iters.append(
+            f"""r{k} AS (
+  SELECT b.node, b.deg, b.is_seed, b.n_seeds,
+         CAST({one_minus_d} AS DOUBLE)
+           * (CAST(b.is_seed AS DOUBLE) / b.n_seeds)
+           + CAST({dd} AS DOUBLE) * coalesce(s.s, CAST(0 AS DOUBLE)) AS rank
+  FROM r0 b LEFT JOIN (
+    SELECT e.dst AS node, sum(p.rank / p.deg) AS s
+    FROM e JOIN {prev} p ON p.node = e.src
+    GROUP BY 1
+  ) s ON s.node = b.node
+)"""
+        )
+        prev = f"r{k}"
+    chain = ",\n".join(iters)
+    return f"""
+WITH mh AS MATERIALIZED ({_oracle_minhash()}),
+e AS MATERIALIZED (
+  SELECT doc_a AS src, doc_b AS dst FROM mh
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM mh
+),
+deg AS (SELECT src AS node, count(*) AS deg FROM e GROUP BY 1),
+base AS MATERIALIZED (
+  SELECT node, deg,
+         CASE WHEN node % {PPR_SEED_MOD} = 0 THEN 1 ELSE 0 END AS is_seed
+  FROM deg
+),
+ns AS (SELECT sum(is_seed) AS n_seeds FROM base),
+r0 AS MATERIALIZED (
+  SELECT node, deg, is_seed, n_seeds,
+         CAST(is_seed AS DOUBLE) / n_seeds AS rank
+  FROM base CROSS JOIN ns
+),
+{chain}
+SELECT node AS doc_id, CAST(deg AS BIGINT) AS deg,
+       CAST(is_seed AS INTEGER) AS is_seed,
+       (floor((rank) * 1000000.0 + 0.5) / 1000000.0) AS ppr
+FROM {prev}
+"""
+
+
+QUERIES["q_ppr_influence"] = q_ppr_influence
+ORACLE["q_ppr_influence"] = _oracle_ppr()

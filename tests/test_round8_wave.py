@@ -166,3 +166,62 @@ def test_jackknife_matches_reference(spark, monkeypatch):
     assert abs(got["mean_price"] - S / N) < 1e-3
     assert abs(got["jk_se"] - se) < 1e-5
     assert got["ci_lo"] < got["mean_price"] < got["ci_hi"]
+
+
+def test_personalized_pagerank_matches_reference(spark):
+    """Exact 4-step synchronous-walk replica in pure Python over a
+    path graph plus a disconnected pair, seed {1}: every value must
+    match (to the 6-dp rounding); the disconnected component gets
+    zero seed mass."""
+    from sandbox_data_pipeline_spark.operators.graph import (
+        personalized_pagerank,
+    )
+
+    pairs = [(1, 2), (2, 3), (3, 4), (10, 11)]  # 10-11 disconnected
+    und = pairs + [(b, a) for a, b in pairs]
+    edges = spark.createDataFrame(und, "src long, dst long")
+    seeds = spark.createDataFrame([(1,)], "node long")
+    got = {
+        r["node"]: r
+        for r in personalized_pagerank(edges, seeds, iterations=4).collect()
+    }
+
+    nbrs: dict[int, list[int]] = {}
+    for a, b in und:
+        nbrs.setdefault(a, []).append(b)
+    nodes = sorted(nbrs)
+    r = {v: (1.0 if v == 1 else 0.0) for v in nodes}
+    for _ in range(4):
+        r = {
+            v: (1.0 - 0.85) * (1.0 if v == 1 else 0.0)
+            + 0.85 * sum(r[u] / len(nbrs[u]) for u in nbrs[v])
+            for v in nodes
+        }
+    assert got[1]["is_seed"] == 1
+    for v in nodes:
+        assert abs(got[v]["ppr"] - r[v]) < 1e-6, (v, got[v]["ppr"], r[v])
+    assert got[10]["ppr"] == 0.0 and got[11]["ppr"] == 0.0
+    # mass is conserved up to the rounding: sum <= 1
+    assert 0.9 < sum(x["ppr"] for x in got.values()) <= 1.0 + 1e-9
+
+
+def test_theilsen_resists_outlier(spark, monkeypatch):
+    """Linear series with one wild outlier day: Theil-Sen slope stays
+    at the true slope 5 while OLS would bend."""
+    import datetime
+
+    from sandbox_data_pipeline_spark.queries import analytics as a_mod
+
+    base = datetime.datetime(2024, 3, 1)
+    rows = []
+    eid = 0
+    for day in range(9):
+        n = 10 + 5 * day if day != 4 else 500  # outlier on day 4
+        for _ in range(n):
+            rows.append((eid, base + datetime.timedelta(days=day)))
+            eid += 1
+    ev = spark.createDataFrame(rows, "event_id long, ts timestamp")
+    monkeypatch.setattr(a_mod, "table", lambda s, d, n: ev)
+    r = a_mod.q_theilsen_trend(spark, "unused").collect()[0]
+    assert r["n_days"] == 9 and r["n_pairs"] == 36
+    assert r["slope"] == 5.0
