@@ -174,6 +174,8 @@ HEADLINE = [
     "q_jackknife_ci",
     "q_ppr_influence",
     "q_theilsen_trend",
+    "q_rolling_median",
+    "q_assortativity",
 ]
 
 

@@ -112,6 +112,8 @@ DRIVER_PRIORITY = (
     "q_jackknife_ci",
     "q_ppr_influence",
     "q_theilsen_trend",
+    "q_rolling_median",
+    "q_assortativity",
     # Round-7 graded head (all green in CORRECTNESS_r07), rotated to
     # the back; everything long-green follows via registry interleave.
     "q_partition_evolution",

@@ -2384,3 +2384,49 @@ FROM rranked r CROSS JOIN nd CROSS JOIN np
 WHERE r.rn = (nd.n_days + 1) // 2
 """
 QUERIES["q_theilsen_trend"] = q_theilsen_trend
+
+
+def q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day rolling MEDIAN of daily event counts per type — the
+    robust smoother ops dashboards use where a rolling mean chases
+    spikes (q_ewma_smooth is the mean-family twin). The median is an
+    order statistic: element at index ⌊(n−1)/2⌋ of the sorted trailing
+    window (lower median — exactly DuckDB's quantile_disc(0.5),
+    probed, and Spark's sorted-array pick below), so there is NO float
+    arithmetic at all. Frames are ROWS BETWEEN 6 PRECEDING AND
+    CURRENT, per-type windows only — the frame is days-bounded and
+    the collect_list array is ≤7 longs."""
+    ev = table(spark, sf_dir, "events").select(
+        "event_type", F.to_date("ts").alias("d")
+    )
+    days = ev.groupBy("event_type", "d").agg(F.count(F.lit(1)).alias("x"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(-6, 0)
+    )
+    arr = F.sort_array(F.collect_list("x").over(w))
+    med = F.element_at(
+        arr, (F.floor((F.size(arr) - 1) / 2) + 1).cast("int")
+    )
+    return days.select(
+        "event_type",
+        "d",
+        F.col("x").cast("long").alias("n_events"),
+        med.cast("long").alias("rolling_median7"),
+    )
+
+
+ORACLE["q_rolling_median"] = """
+WITH days AS (
+  SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS x
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, d, CAST(x AS BIGINT) AS n_events,
+       CAST(quantile_disc(x, 0.5) OVER (
+         PARTITION BY event_type ORDER BY d
+         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS rolling_median7
+FROM days
+"""
+QUERIES["q_rolling_median"] = q_rolling_median

@@ -2222,3 +2222,87 @@ FROM {prev}
 
 QUERIES["q_ppr_influence"] = q_ppr_influence
 ORACLE["q_ppr_influence"] = _oracle_ppr()
+
+
+def q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the near-dup graph (Newman 2002):
+    Pearson correlation of endpoint degrees over the directed edge
+    list — positive means hubs link hubs (template families chaining),
+    negative means hub-and-spoke mirror sites. All six moments are
+    exact int64 sums over the edge list (two broadcast degree joins,
+    shuffle bounded by the edge list); the finishing r is one fixed
+    double expression tree, floor-rounded once — the exact
+    q_autocorrelation recipe on graph structure."""
+    pairs = q_dedup_minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    e = (
+        edges.join(
+            F.broadcast(deg.select(F.col("node").alias("src"), F.col("deg").alias("dx"))),
+            "src",
+        )
+        .join(
+            F.broadcast(deg.select(F.col("node").alias("dst"), F.col("deg").alias("dy"))),
+            "dst",
+        )
+    )
+    m = e.agg(
+        F.count(F.lit(1)).alias("n_edges"),
+        F.sum("dx").alias("sx"),
+        F.sum("dy").alias("sy"),
+        F.sum(F.col("dx") * F.col("dy")).alias("sxy"),
+        F.sum(F.col("dx") * F.col("dx")).alias("sxx"),
+        F.sum(F.col("dy") * F.col("dy")).alias("syy"),
+    )
+    num = m["n_edges"] * m["sxy"] - m["sx"] * m["sy"]
+    vx = (m["n_edges"] * m["sxx"] - m["sx"] * m["sx"]).cast("double")
+    vy = (m["n_edges"] * m["syy"] - m["sy"] * m["sy"]).cast("double")
+    den = F.sqrt(vx * vy)
+    from sandbox_data_pipeline_spark.queries._envproof import stable_round
+
+    return m.select(
+        F.col("n_edges").cast("long").alias("n_edges"),
+        stable_round(
+            F.when(den == 0.0, F.lit(0.0)).otherwise(num / den), 6
+        ).alias("assortativity"),
+    )
+
+
+def _oracle_assortativity() -> str:
+    return f"""
+WITH mh AS MATERIALIZED ({_oracle_minhash()}),
+e AS MATERIALIZED (
+  SELECT doc_a AS src, doc_b AS dst FROM mh
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM mh
+),
+deg AS (SELECT src AS node, count(*) AS deg FROM e GROUP BY 1),
+j AS (
+  SELECT dx.deg AS dx, dy.deg AS dy
+  FROM e JOIN deg dx ON dx.node = e.src JOIN deg dy ON dy.node = e.dst
+),
+m AS (
+  SELECT count(*) AS n_edges, sum(dx) AS sx, sum(dy) AS sy,
+         sum(dx * dy) AS sxy, sum(dx * dx) AS sxx, sum(dy * dy) AS syy
+  FROM j
+)
+SELECT CAST(n_edges AS BIGINT) AS n_edges,
+       (floor((CASE WHEN sqrt(CAST(n_edges * sxx - sx * sx AS DOUBLE)
+                         * CAST(n_edges * syy - sy * sy AS DOUBLE)) = 0.0
+                    THEN 0.0
+                    ELSE (n_edges * sxy - sx * sy)
+                         / sqrt(CAST(n_edges * sxx - sx * sx AS DOUBLE)
+                                * CAST(n_edges * syy - sy * sy AS DOUBLE))
+               END) * 1000000.0 + 0.5) / 1000000.0) AS assortativity
+FROM m
+"""
+
+
+QUERIES["q_assortativity"] = q_assortativity
+ORACLE["q_assortativity"] = _oracle_assortativity()

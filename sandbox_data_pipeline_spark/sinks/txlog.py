@@ -1121,6 +1121,7 @@ class TxTable:
         when_matched: str = "update",
         matched_condition: str | None = None,
         insert_unmatched: bool = True,
+        evolve_schema: bool = False,
     ) -> int:
         """MERGE with Delta's full clause surface. Default = plain
         upsert-by-key: files whose ``key`` range overlaps the source's
@@ -1135,7 +1136,15 @@ class TxTable:
         e.g. "s.qty > t.qty" — gating the matched action, with
         non-qualifying matches keeping the target row (Delta's
         WHEN MATCHED AND <cond> THEN ...); ``insert_unmatched=False``
-        drops WHEN NOT MATCHED entirely (update/delete-only merge)."""
+        drops WHEN NOT MATCHED entirely (update/delete-only merge).
+
+        ``evolve_schema=True`` is Delta's MERGE autoMerge: source
+        columns absent from the table auto-widen it first (one
+        metadata-only add_columns commit, NULL on all existing rows —
+        fresh physical names under column mapping), and table columns
+        absent from the source are NULL-filled on the source side.
+        Default False keeps the historical behavior (extra source
+        columns are projected away)."""
         if when_matched not in ("update", "delete"):
             raise ValueError(f"when_matched must be update|delete, got {when_matched!r}")
         rv = self.latest_version()
@@ -1146,13 +1155,37 @@ class TxTable:
         lo, hi = bounds["lo"], bounds["hi"]
         if lo is None:
             return rv  # empty source: no-op
+        schema = self.schema_at(rv)
+        if evolve_schema:
+            have = {f.name for f in schema.fields}
+            extra = [f for f in source.schema.fields if f.name not in have]
+            if extra:
+                # widen FIRST (metadata-only commit, fresh physical
+                # names under column mapping), then merge against the
+                # widened schema — existing files NULL-backfill the new
+                # columns through the declared-schema scan
+                self.add_columns(
+                    [(f.name, f.dataType.simpleString()) for f in extra]
+                )
+                rv = self.latest_version()
+                snap = self.snapshot(rv)
+                schema = self.schema_at(rv)
+            s_have = set(source.columns)
+            source = source.select(
+                *[
+                    F.col(f.name)
+                    if f.name in s_have
+                    else F.lit(None).cast(f.dataType).alias(f.name)
+                    for f in schema.fields
+                ]
+            )
+        pkey = (self.column_mapping_at(rv) or {}).get(key, key)
         touched = [
             f
             for f in snap.values()
-            if key not in f.stats
-            or not (f.stats[key]["max"] < lo or f.stats[key]["min"] > hi)
+            if pkey not in f.stats
+            or not (f.stats[pkey]["max"] < lo or f.stats[pkey]["min"] > hi)
         ]
-        schema = self.schema_at(rv)
         if touched:
             # DV layer: never resurrect positionally-deleted rows
             wm = bool(self._pdel_dirs_at(rv))

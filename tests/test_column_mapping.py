@@ -130,3 +130,68 @@ def test_predicate_pruning_uses_physical_stats(spark, tmp_path):
     assert skipped["files_read"] < skipped["files_total"]
     got = {r["id"] for r in t.read(predicate=("quantity", 85, 95)).collect()}
     assert 9 in got
+
+
+def test_merge_schema_evolution(spark, tmp_path):
+    """MERGE autoMerge: an extra source column widens the table
+    (NULL on pre-merge rows); a missing source column NULL-fills."""
+    t = _mk(spark, tmp_path)
+    src = spark.createDataFrame(
+        [(2, 25, "b2", "eu"), (5, 50, "e", "us")],
+        "id long, qty long, tag string, region string",
+    )
+    t.merge(src, "id", evolve_schema=True)
+    got = {
+        (r["id"], r["qty"], r["region"]) for r in t.read().collect()
+    }
+    assert got == {(1, 10, None), (2, 25, "eu"), (5, 50, "us")}
+    # default stays historical: extra source columns projected away
+    t2 = _mk(spark, tmp_path / "b")
+    t2.merge(src, "id")
+    assert "region" not in t2.read().columns
+    # evolution + missing source column: NULL-filled source side
+    src2 = spark.createDataFrame([(7, 70)], "id long, qty long")
+    t.merge(src2, "id", evolve_schema=True)
+    r7 = [r for r in t.read().collect() if r["id"] == 7][0]
+    assert r7["qty"] == 70 and r7["tag"] is None and r7["region"] is None
+
+
+def test_merge_schema_evolution_under_mapping(spark, tmp_path):
+    """autoMerge through a rename: the new column gets a fresh
+    physical name and the renamed key still prunes/merges."""
+    t = _mk(spark, tmp_path)
+    t.rename_column("qty", "quantity")
+    src = spark.createDataFrame(
+        [(1, 11, "a1", 99)], "id long, quantity long, tag string, score long"
+    )
+    t.merge(src, "id", evolve_schema=True)
+    got = {(r["id"], r["quantity"], r["score"]) for r in t.read().collect()}
+    assert got == {(1, 11, 99), (2, 20, None)}
+
+
+def test_streaming_sink_through_rename(spark, tmp_path):
+    """txlog_sink appends keep working after a rename: the foreachBatch
+    write resolves the mapping at write time."""
+    import json as _json
+
+    from sandbox_data_pipeline_spark.sinks.txlog import txlog_sink
+
+    t = _mk(spark, tmp_path)
+    t.rename_column("qty", "quantity")
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "b1.json").write_text(
+        _json.dumps({"id": 3, "quantity": 30, "tag": "c"})
+    )
+    stream = spark.readStream.schema(
+        "id long, quantity long, tag string"
+    ).json(str(src))
+    q = (
+        stream.writeStream.foreachBatch(txlog_sink(t.path, "cmtest"))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {(r["id"], r["quantity"]) for r in t.read().collect()}
+    assert got == {(1, 10), (2, 20), (3, 30)}
