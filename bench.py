@@ -176,6 +176,7 @@ HEADLINE = [
     "q_theilsen_trend",
     "q_rolling_median",
     "q_assortativity",
+    "q_matryoshka_recall",
 ]
 
 

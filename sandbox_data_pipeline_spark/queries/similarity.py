@@ -1858,3 +1858,103 @@ FROM per_q
 
 QUERIES["q_ndcg_at_k"] = q_ndcg_at_k
 ORACLE["q_ndcg_at_k"] = _oracle_ndcg()
+
+
+MATRYOSHKA_DIM = 16
+
+
+def q_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style truncation evaluation: recall@k of exact
+    search on the FIRST 16 of 64 embedding dimensions against exact
+    full-dimension search — the measurement behind serving truncated
+    (MRL) embeddings at a fraction of the memory/compute. Same
+    brute-force operator on a sliced vector column; the prefix slice
+    is a narrow projection, so the cost is two broadcast scans, not a
+    new index."""
+    emb = table(spark, sf_dir, "embeddings")
+    q = _queries_df(spark, sf_dir)
+    exact = brute_force_topk(emb, q, k=TOPK).select(
+        "query_id", F.col("cand_id").alias("exact_id")
+    )
+    pre = emb.select(
+        "vec_id", F.slice("embedding", 1, MATRYOSHKA_DIM).alias("embedding")
+    )
+    pre_q = q.select(
+        "vec_id", F.slice("embedding", 1, MATRYOSHKA_DIM).alias("embedding")
+    )
+    approx = brute_force_topk(pre, pre_q, k=TOPK).select(
+        "query_id", F.col("cand_id").alias("approx_id")
+    )
+    hits = (
+        exact.join(
+            approx,
+            (exact.query_id == approx.query_id)
+            & (exact.exact_id == approx.approx_id),
+        )
+        .groupBy(exact.query_id.alias("query_id"))
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    return (
+        exact.groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("k"))
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.round(
+                F.coalesce(F.col("hits"), F.lit(0)) / F.col("k"), 4
+            ).alias("recall_prefix"),
+        )
+    )
+
+
+def _oracle_matryoshka() -> str:
+    cos = _COS.format(a="q.v", b="c.v")
+    return f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v FROM v WHERE vec_id % {QUERY_MOD} = 0),
+c AS (SELECT vec_id AS cand_id, v FROM v),
+sims AS (
+  SELECT query_id, cand_id, round({cos}, 6) AS cos_sim
+  FROM q JOIN c ON cand_id <> query_id
+),
+exact_hits AS (
+  SELECT query_id, cand_id FROM (
+    SELECT query_id, cand_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos_sim DESC, cand_id) AS rank
+    FROM sims
+  ) WHERE rank <= {TOPK}
+),
+vp AS (
+  SELECT vec_id, CAST(embedding[1:{MATRYOSHKA_DIM}] AS DOUBLE[]) AS v
+  FROM embeddings
+),
+qp AS (SELECT vec_id AS query_id, v FROM vp WHERE vec_id % {QUERY_MOD} = 0),
+cp AS (SELECT vec_id AS cand_id, v FROM vp),
+simsp AS (
+  SELECT query_id, cand_id, round({cos}, 6) AS cos_sim
+  FROM qp q JOIN cp c ON cand_id <> query_id
+),
+approx_hits AS (
+  SELECT query_id, cand_id FROM (
+    SELECT query_id, cand_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos_sim DESC, cand_id) AS rank
+    FROM simsp
+  ) WHERE rank <= {TOPK}
+),
+hits AS (
+  SELECT e.query_id, count(*) AS hits
+  FROM exact_hits e JOIN approx_hits a
+    ON a.query_id = e.query_id AND a.cand_id = e.cand_id
+  GROUP BY e.query_id
+),
+ks AS (SELECT query_id, count(*) AS k FROM exact_hits GROUP BY query_id)
+SELECT ks.query_id,
+       round(coalesce(hits.hits, 0) / ks.k, 4) AS recall_prefix
+FROM ks LEFT JOIN hits ON hits.query_id = ks.query_id
+"""
+
+
+QUERIES["q_matryoshka_recall"] = q_matryoshka_recall
+ORACLE["q_matryoshka_recall"] = _oracle_matryoshka()
