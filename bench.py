@@ -177,6 +177,7 @@ HEADLINE = [
     "q_rolling_median",
     "q_assortativity",
     "q_matryoshka_recall",
+    "q_heaps_law",
 ]
 
 

@@ -2830,3 +2830,82 @@ LIMIT {TEXTRANK_TOP}
 
 QUERIES["q_textrank_keywords"] = q_textrank_keywords
 ORACLE["q_textrank_keywords"] = _oracle_textrank()
+
+
+def q_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law fit of vocabulary growth: V(N) = k·N^β over the
+    corpus read in doc_id order — the companion fingerprint to
+    q_zipf_fit (natural text: β ≈ 0.4–0.6; template spam saturates,
+    random noise stays near 1). The prefix curve needs NO sequential
+    scan: a token's contribution to V starts at its FIRST-appearance
+    doc (min doc_id containing it), so cumulative vocabulary is one
+    ordered cumulative window over the per-doc new-type counts —
+    exact integers — and the fit is the regr_* pattern q_zipf_fit
+    proved cross-engine."""
+    toks = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split("text", " "), lambda t: t != F.lit(""))
+        ).alias("token"),
+    )
+    per_doc = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_toks"))
+    firsts = (
+        toks.groupBy("token")
+        .agg(F.min("doc_id").alias("first_doc"))
+        .groupBy(F.col("first_doc").alias("doc_id"))
+        .agg(F.count(F.lit(1)).alias("new_types"))
+    )
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    curve = (
+        per_doc.join(firsts, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_toks",
+            F.coalesce(F.col("new_types"), F.lit(0)).alias("new_types"),
+        )
+        .withColumn("cum_n", F.sum("n_toks").over(w))
+        .withColumn("cum_v", F.sum("new_types").over(w))
+    )
+    pts = curve.select(
+        F.log(F.col("cum_n").cast("double")).alias("lx"),
+        F.log(F.col("cum_v").cast("double")).alias("ly"),
+    )
+    return pts.agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.round(F.expr("regr_slope(ly, lx)"), 4).alias("heaps_beta"),
+        F.round(F.expr("exp(regr_intercept(ly, lx))"), 4).alias("heaps_k"),
+        F.round(F.expr("regr_r2(ly, lx)"), 4).alias("r2"),
+    )
+
+
+ORACLE["q_heaps_law"] = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS token
+  FROM documents
+),
+per_doc AS (SELECT doc_id, count(*) AS n_toks FROM toks GROUP BY 1),
+firsts AS (
+  SELECT first_doc AS doc_id, count(*) AS new_types FROM (
+    SELECT token, min(doc_id) AS first_doc FROM toks GROUP BY 1
+  ) GROUP BY 1
+),
+curve AS (
+  SELECT p.doc_id, p.n_toks, coalesce(f.new_types, 0) AS new_types,
+         sum(p.n_toks) OVER (ORDER BY p.doc_id ROWS UNBOUNDED PRECEDING)
+           AS cum_n,
+         sum(coalesce(f.new_types, 0))
+           OVER (ORDER BY p.doc_id ROWS UNBOUNDED PRECEDING) AS cum_v
+  FROM per_doc p LEFT JOIN firsts f ON f.doc_id = p.doc_id
+),
+pts AS (
+  SELECT ln(CAST(cum_n AS DOUBLE)) AS lx, ln(CAST(cum_v AS DOUBLE)) AS ly
+  FROM curve
+)
+SELECT count(*) AS n_points,
+       round(regr_slope(ly, lx), 4) AS heaps_beta,
+       round(exp(regr_intercept(ly, lx)), 4) AS heaps_k,
+       round(regr_r2(ly, lx), 4) AS r2
+FROM pts
+"""
+QUERIES["q_heaps_law"] = q_heaps_law
