@@ -178,6 +178,7 @@ HEADLINE = [
     "q_assortativity",
     "q_matryoshka_recall",
     "q_heaps_law",
+    "q_bigram_perplexity",
 ]
 
 

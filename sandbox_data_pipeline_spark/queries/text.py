@@ -2909,3 +2909,105 @@ SELECT count(*) AS n_points,
 FROM pts
 """
 QUERIES["q_heaps_law"] = q_heaps_law
+
+
+def q_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document perplexity under a Laplace-smoothed corpus bigram
+    LM trained on the corpus itself — the EXACT, model-free twin of
+    the `perplexity_model` scorer hook: the classic quality filter
+    (template spam scores low, noise scores high) with every count an
+    exact integer. p(w₂|w₁) = (c₁₂+1)/(c₁+V); per-doc cross-entropy
+    is the mean of −ln p over the doc's bigrams, summed as an ORDERED
+    cumulative window by position (−ln p ≥ 0, so the cumulant is
+    monotone and MAX = last — the q_token_entropy discipline), then
+    ONE exp. Shuffles: bigram counts + prefix counts (uniform token
+    keys, map-side partials) joined back to the positional bigram
+    stream; V is a broadcast scalar."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), " "), lambda t: t != F.lit(""))
+    pos = d.select("doc_id", F.posexplode(toks).alias("p", "w1"))
+    wnext = Window.partitionBy("doc_id").orderBy("p")
+    big = (
+        pos.withColumn("w2", F.lead("w1").over(wnext))
+        .where(F.col("w2").isNotNull())
+        .select("doc_id", "p", "w1", "w2")
+    )
+    c12 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = big.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = d.select(F.explode(toks).alias("t")).agg(
+        F.countDistinct("t").alias("v")
+    )
+    scored = (
+        big.join(c12, ["w1", "w2"])
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .withColumn(
+            "nll",
+            -F.log(
+                (F.col("c12") + F.lit(1)).cast("double")
+                / (F.col("c1") + F.col("v"))
+            ),
+        )
+    )
+    wcum = (
+        Window.partitionBy("doc_id")
+        .orderBy("p")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = scored.withColumn("cnll", F.sum("nll").over(wcum))
+    agg = cum.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.max("cnll").alias("snll"),
+    )
+    h = F.col("snll") / F.col("n_bigrams")
+    return agg.select(
+        "doc_id",
+        "n_bigrams",
+        stable_round(h, 6).alias("cross_entropy"),
+        stable_round(F.exp(h), 4).alias("ppl"),
+    )
+
+
+ORACLE["q_bigram_perplexity"] = f"""
+WITH lists AS (
+  SELECT doc_id, {_TOK_SPLIT_SQL} AS l FROM documents
+),
+big AS (
+  SELECT doc_id, CAST(i.range AS INTEGER) AS p,
+         l[CAST(i.range AS INTEGER)] AS w1,
+         l[CAST(i.range AS INTEGER) + 1] AS w2
+  FROM lists CROSS JOIN range(1, 4096) i
+  WHERE i.range < len(l)
+),
+c12 AS (SELECT w1, w2, count(*) AS c12 FROM big GROUP BY 1, 2),
+c1 AS (SELECT w1, count(*) AS c1 FROM big GROUP BY 1),
+vocab AS (
+  SELECT count(DISTINCT t) AS v FROM (
+    SELECT unnest(l) AS t FROM lists
+  )
+),
+scored AS (
+  SELECT b.doc_id, b.p,
+         -ln(CAST(x.c12 + 1 AS DOUBLE) / (y.c1 + vocab.v)) AS nll
+  FROM big b
+  JOIN c12 x ON x.w1 = b.w1 AND x.w2 = b.w2
+  JOIN c1 y ON y.w1 = b.w1
+  CROSS JOIN vocab
+),
+cum AS (
+  SELECT doc_id,
+         sum(nll) OVER (PARTITION BY doc_id ORDER BY p
+                        ROWS UNBOUNDED PRECEDING) AS cnll
+  FROM scored
+),
+agg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams, max(cnll) AS snll
+  FROM cum GROUP BY 1
+)
+SELECT doc_id, n_bigrams,
+       (floor((snll / n_bigrams) * 1000000.0 + 0.5) / 1000000.0)
+         AS cross_entropy,
+       (floor(exp(snll / n_bigrams) * 10000.0 + 0.5) / 10000.0) AS ppl
+FROM agg
+"""
+QUERIES["q_bigram_perplexity"] = q_bigram_perplexity
