@@ -602,14 +602,20 @@ class TxTable:
         """Every physical column name any committed file may carry:
         each recorded schema, projected through the mapping in force
         at its commit. Fresh physical names for re-added columns must
-        avoid ALL of these, or a dropped column's bytes resurrect."""
+        avoid ALL of these, or a dropped column's bytes resurrect.
+        ONE forward pass over the log (the mapping is carried
+        incrementally), not a column_mapping_at() backward scan per
+        version — O(versions), which matters on a long-lived table."""
         used: set[str] = set()
+        mapping: dict | None = None
         for v in self._versions():
             e = self._read_entry(v)
+            if "column_mapping" in e:
+                mapping = dict(e["column_mapping"])
             if "schema" not in e:
                 continue
             sch = T.StructType.fromJson(json.loads(e["schema"]))
-            m = self.column_mapping_at(v) or {}
+            m = mapping or {}
             for f in sch.fields:
                 used.add(m.get(f.name, f.name))
         return used
