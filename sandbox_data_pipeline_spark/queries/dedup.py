@@ -1634,9 +1634,13 @@ def q_suffix_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     character range marked by q_suffix_dedup_spans (all occurrences of
     every >= 20-char repeat) is excised; every sampled document comes
     back as (doc_id, cleaned_text, n_chars_removed), unspanned docs
-    untouched with 0 removed. operators/suffix.py:
-    duplicate_spans + apply_span_removal (single higher-order
-    ``aggregate`` stitch, no UDF, no corpus explode)."""
+    untouched with 0 removed. Detection (and therefore removal)
+    covers the SA horizon — the first SUFFIX_MAX_LEN chars of each
+    doc, the same bound q_suffix_dedup_spans declares; production runs
+    raise max_len (doubling's shuffle width is horizon-independent)
+    or chunk documents. operators/suffix.py: duplicate_spans +
+    apply_span_removal (single higher-order ``aggregate`` stitch, no
+    UDF, no corpus explode)."""
     from sandbox_data_pipeline_spark.operators.suffix import (
         apply_span_removal,
         duplicate_spans,

@@ -2481,7 +2481,14 @@ def q_cohen_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_agree").cast("long").alias("n_agree"),
         stable_round(po, 6).alias("po"),
         stable_round(pe, 6).alias("pe"),
-        stable_round((po - pe) / (F.lit(1.0) - pe), 6).alias("kappa"),
+        # pe = 1 (degenerate single-class marginals) leaves kappa
+        # undefined; report 0.0 instead of inf/nan
+        stable_round(
+            F.when(pe == 1.0, F.lit(0.0)).otherwise(
+                (po - pe) / (F.lit(1.0) - pe)
+            ),
+            6,
+        ).alias("kappa"),
     )
 
 
@@ -2507,8 +2514,10 @@ SELECT CAST(n_docs AS BIGINT) AS n_docs,
        CAST(n_agree AS BIGINT) AS n_agree,
        (floor((n_agree / n_docs) * 1000000.0 + 0.5) / 1000000.0) AS po,
        (floor((pe_num / (n_docs * n_docs)) * 1000000.0 + 0.5) / 1000000.0) AS pe,
-       (floor((((n_agree / n_docs) - (pe_num / (n_docs * n_docs)))
-               / (1.0 - (pe_num / (n_docs * n_docs)))) * 1000000.0 + 0.5)
+       (floor((CASE WHEN pe_num / (n_docs * n_docs) = 1.0 THEN 0.0
+                    ELSE ((n_agree / n_docs) - (pe_num / (n_docs * n_docs)))
+                         / (1.0 - (pe_num / (n_docs * n_docs)))
+               END) * 1000000.0 + 0.5)
         / 1000000.0) AS kappa
 FROM tot CROSS JOIN pe_n
 """
