@@ -179,6 +179,7 @@ HEADLINE = [
     "q_matryoshka_recall",
     "q_heaps_law",
     "q_bigram_perplexity",
+    "q_conformal_interval",
 ]
 
 

@@ -2430,3 +2430,92 @@ SELECT event_type, d, CAST(x AS BIGINT) AS n_events,
 FROM days
 """
 QUERIES["q_rolling_median"] = q_rolling_median
+
+
+CONF_ALPHA_NUM, CONF_ALPHA_DEN = 9, 10  # 90% nominal coverage
+
+
+def q_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction interval for order value under a
+    per-priority group-mean model: calibrate |y − ŷ| on even order
+    keys, take q̂ = the ⌈0.9·(n+1)⌉-th smallest calibration residual
+    (a pure ORDER STATISTIC — the conformal guarantee needs exactly
+    this rank, and order statistics need no float accumulation), and
+    report empirical coverage of ŷ ± q̂ on the held-out odd keys —
+    guaranteed ≥ 90% marginally, the distribution-free eval modern ML
+    QA gates on. Ranking uses the range-partitioned global row number
+    (no single-partition sort); the final coverage is ONE division of
+    exact counts."""
+    from sandbox_data_pipeline_spark.operators.suffix import global_row_number
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        (F.col("o_orderkey") % 2 == 0).alias("is_cal"),
+        F.col("o_totalprice").alias("y"),
+    )
+    means = (
+        o.where("is_cal")
+        .groupBy("o_orderpriority")
+        .agg(
+            (F.sum("y").cast("double") / F.count(F.lit(1))).alias("yhat")
+        )
+    )
+    scored = o.join(F.broadcast(means), "o_orderpriority").select(
+        "is_cal", F.abs(F.col("y").cast("double") - F.col("yhat")).alias("r")
+    )
+    cal = scored.where("is_cal")
+    n_cal = cal.count()
+    rank = min(
+        n_cal, -(-(CONF_ALPHA_NUM * (n_cal + 1)) // CONF_ALPHA_DEN)
+    )  # ceil(0.9*(n+1)), clamped
+    ranked = global_row_number(cal.select("r"), ["r"], out="rn")
+    qhat_row = ranked.where(F.col("rn") == rank).select(
+        F.col("r").alias("qhat")
+    )
+    test = scored.where(~F.col("is_cal"))
+    cov = test.crossJoin(F.broadcast(qhat_row)).agg(
+        F.count(F.lit(1)).alias("n_test"),
+        F.sum((F.col("r") <= F.col("qhat")).cast("long")).alias("n_in"),
+        F.max("qhat").alias("qhat"),
+    )
+    return cov.select(
+        F.lit(n_cal).cast("long").alias("n_cal"),
+        F.col("n_test").cast("long").alias("n_test"),
+        stable_round(F.col("qhat"), 4).alias("qhat"),
+        stable_round(F.col("n_in") / F.col("n_test"), 6).alias("coverage"),
+    )
+
+
+ORACLE["q_conformal_interval"] = f"""
+WITH o AS (
+  SELECT o_orderpriority, o_orderkey % 2 = 0 AS is_cal, o_totalprice AS y
+  FROM orders
+),
+means AS (
+  SELECT o_orderpriority, CAST(sum(y) AS DOUBLE) / count(*) AS yhat
+  FROM o WHERE is_cal GROUP BY 1
+),
+scored AS (
+  SELECT o.is_cal, abs(CAST(o.y AS DOUBLE) - m.yhat) AS r
+  FROM o JOIN means m USING (o_orderpriority)
+),
+cal AS (SELECT r FROM scored WHERE is_cal),
+nc AS (SELECT count(*) AS n_cal FROM cal),
+ranked AS (SELECT r, row_number() OVER (ORDER BY r) AS rn FROM cal),
+qh AS (
+  SELECT r AS qhat FROM ranked CROSS JOIN nc
+  WHERE rn = least(n_cal,
+                   CAST(ceil({CONF_ALPHA_NUM} * (n_cal + 1)
+                             / {CONF_ALPHA_DEN}.0) AS BIGINT))
+),
+test AS (SELECT r FROM scored WHERE NOT is_cal)
+SELECT CAST(nc.n_cal AS BIGINT) AS n_cal,
+       CAST(count(*) AS BIGINT) AS n_test,
+       (floor(qh.qhat * 10000.0 + 0.5) / 10000.0) AS qhat,
+       (floor((sum(CASE WHEN test.r <= qh.qhat THEN 1 ELSE 0 END)
+               / CAST(count(*) AS DOUBLE)) * 1000000.0 + 0.5)
+        / 1000000.0) AS coverage
+FROM test CROSS JOIN qh CROSS JOIN nc
+GROUP BY nc.n_cal, qh.qhat
+"""
+QUERIES["q_conformal_interval"] = q_conformal_interval

@@ -225,3 +225,33 @@ def test_theilsen_resists_outlier(spark, monkeypatch):
     r = a_mod.q_theilsen_trend(spark, "unused").collect()[0]
     assert r["n_days"] == 9 and r["n_pairs"] == 36
     assert r["slope"] == 5.0
+
+
+def test_conformal_coverage_guarantee(spark, monkeypatch):
+    """Split-conformal marginal guarantee: empirical coverage on the
+    held-out split is >= the nominal 90% (exchangeable synthetic
+    data), and qhat is exactly the ceil(0.9*(n+1))-th calibration
+    residual."""
+    from sandbox_data_pipeline_spark.queries import analytics as a_mod
+
+    rows = [
+        (k, "P%d" % (k % 3), float(100 + (k * 37) % 59)) for k in range(400)
+    ]
+    o = spark.createDataFrame(
+        rows, "o_orderkey long, o_orderpriority string, o_totalprice double"
+    )
+    monkeypatch.setattr(a_mod, "table", lambda s, d, n: o)
+    r = a_mod.q_conformal_interval(spark, "unused").collect()[0]
+    assert r["n_cal"] == 200 and r["n_test"] == 200
+    assert r["coverage"] >= 0.9
+    # reference qhat from scratch
+    means = {}
+    for k, g, y in rows:
+        if k % 2 == 0:
+            means.setdefault(g, []).append(y)
+    gm = {g: sum(v) / len(v) for g, v in means.items()}
+    cal = sorted(abs(y - gm[g]) for k, g, y in rows if k % 2 == 0)
+    import math
+
+    qhat = cal[min(len(cal), math.ceil(0.9 * (len(cal) + 1))) - 1]
+    assert abs(r["qhat"] - qhat) < 1e-3
