@@ -180,6 +180,7 @@ HEADLINE = [
     "q_heaps_law",
     "q_bigram_perplexity",
     "q_conformal_interval",
+    "q_pair_bleu",
 ]
 
 

@@ -118,6 +118,7 @@ DRIVER_PRIORITY = (
     "q_heaps_law",
     "q_bigram_perplexity",
     "q_conformal_interval",
+    "q_pair_bleu",
     # Round-7 graded head (all green in CORRECTNESS_r07), rotated to
     # the back; everything long-green follows via registry interleave.
     "q_partition_evolution",

@@ -2310,3 +2310,169 @@ FROM m
 
 QUERIES["q_assortativity"] = q_assortativity
 ORACLE["q_assortativity"] = _oracle_assortativity()
+
+
+def q_pair_bleu(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BLEU-2 over the MinHash near-dup candidate pairs — the quote/
+    overlap REFINEMENT eval: banded LSH proposes pairs, BLEU grades
+    how much of the later doc is clipped n-gram overlap with the
+    earlier one (hypothesis = doc_b, reference = doc_a). Clipped
+    precisions are exact integers (Σ min(c_hyp, c_ref) per n ∈ {1,2});
+    brevity penalty and the geometric mean are a fixed double
+    expression over those exact operands, floor-rounded once; a zero
+    clipped count short-circuits BLEU to 0 before any log. Work is
+    bounded by the CANDIDATE pairs (never all pairs) × per-doc gram
+    counts, joined on uniform (doc, gram) keys."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.filter(F.split(F.col("text"), " "), lambda t: t != F.lit(""))
+    pos = docs.select("doc_id", F.posexplode(toks).alias("p", "w"))
+    from pyspark.sql import Window as W
+
+    wnext = W.partitionBy("doc_id").orderBy("p")
+    uni = pos.select("doc_id", F.col("w").alias("gram"), F.lit(1).alias("n"))
+    bi = (
+        pos.withColumn("w2", F.lead("w").over(wnext))
+        .where(F.col("w2").isNotNull())
+        .select(
+            "doc_id",
+            F.concat_ws(" ", "w", "w2").alias("gram"),
+            F.lit(2).alias("n"),
+        )
+    )
+    grams = (
+        uni.unionByName(bi)
+        .groupBy("doc_id", "n", "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    lens = pos.groupBy("doc_id").agg(F.count(F.lit(1)).alias("len"))
+    pairs = q_dedup_minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    hyp = pairs.join(
+        grams.select(
+            F.col("doc_id").alias("doc_b"), "n", "gram", F.col("c").alias("ch")
+        ),
+        "doc_b",
+    )
+    both = hyp.join(
+        grams.select(
+            F.col("doc_id").alias("doc_a"), "n", "gram", F.col("c").alias("cr")
+        ),
+        ["doc_a", "n", "gram"],
+        "left",
+    )
+    prec = both.groupBy("doc_a", "doc_b", "n").agg(
+        F.sum(F.least(F.col("ch"), F.coalesce(F.col("cr"), F.lit(0)))).alias(
+            "clip"
+        ),
+        F.sum("ch").alias("tot"),
+    )
+    wide = prec.groupBy("doc_a", "doc_b").agg(
+        F.max(F.when(F.col("n") == 1, F.col("clip"))).alias("clip1"),
+        F.max(F.when(F.col("n") == 1, F.col("tot"))).alias("tot1"),
+        F.max(F.when(F.col("n") == 2, F.col("clip"))).alias("clip2"),
+        F.max(F.when(F.col("n") == 2, F.col("tot"))).alias("tot2"),
+    )
+    out = (
+        wide.join(
+            lens.select(F.col("doc_id").alias("doc_a"), F.col("len").alias("len_ref")),
+            "doc_a",
+        )
+        .join(
+            lens.select(F.col("doc_id").alias("doc_b"), F.col("len").alias("len_hyp")),
+            "doc_b",
+        )
+    )
+    p1 = F.col("clip1").cast("double") / F.col("tot1")
+    p2 = F.col("clip2").cast("double") / F.col("tot2")
+    bp = F.when(F.col("len_hyp") > F.col("len_ref"), F.lit(1.0)).otherwise(
+        F.exp(
+            F.lit(1.0)
+            - F.col("len_ref").cast("double") / F.col("len_hyp")
+        )
+    )
+    bleu = F.when(
+        (F.col("clip1") == 0) | (F.col("clip2") == 0) | F.col("clip2").isNull(),
+        F.lit(0.0),
+    ).otherwise(bp * F.exp((F.log(p1) + F.log(p2)) / F.lit(2.0)))
+    from sandbox_data_pipeline_spark.queries._envproof import stable_round
+
+    return out.select(
+        "doc_a",
+        "doc_b",
+        F.col("len_ref").cast("long").alias("len_ref"),
+        F.col("len_hyp").cast("long").alias("len_hyp"),
+        F.coalesce(F.col("clip1"), F.lit(0)).cast("long").alias("clip1"),
+        F.coalesce(F.col("tot1"), F.lit(0)).cast("long").alias("tot1"),
+        F.coalesce(F.col("clip2"), F.lit(0)).cast("long").alias("clip2"),
+        F.coalesce(F.col("tot2"), F.lit(0)).cast("long").alias("tot2"),
+        stable_round(bleu, 6).alias("bleu2"),
+    )
+
+
+def _oracle_pair_bleu() -> str:
+    return f"""
+WITH mh AS MATERIALIZED ({_oracle_minhash()}),
+lists AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS l
+  FROM documents
+),
+uni AS (
+  SELECT doc_id, unnest(l) AS gram, 1 AS n FROM lists
+),
+bi AS (
+  SELECT doc_id,
+         l[CAST(i.range AS INTEGER)] || ' ' ||
+         l[CAST(i.range AS INTEGER) + 1] AS gram,
+         2 AS n
+  FROM lists CROSS JOIN range(1, 4096) i
+  WHERE i.range < len(l)
+),
+grams AS (
+  SELECT doc_id, n, gram, count(*) AS c
+  FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi) GROUP BY 1, 2, 3
+),
+lens AS (SELECT doc_id, len(l) AS len FROM lists),
+prec AS (
+  SELECT p.doc_a, p.doc_b, h.n,
+         sum(least(h.c, coalesce(r.c, 0))) AS clip,
+         sum(h.c) AS tot
+  FROM mh p
+  JOIN grams h ON h.doc_id = p.doc_b
+  LEFT JOIN grams r
+    ON r.doc_id = p.doc_a AND r.n = h.n AND r.gram = h.gram
+  GROUP BY 1, 2, 3
+),
+wide AS (
+  SELECT doc_a, doc_b,
+         max(CASE WHEN n = 1 THEN clip END) AS clip1,
+         max(CASE WHEN n = 1 THEN tot END) AS tot1,
+         max(CASE WHEN n = 2 THEN clip END) AS clip2,
+         max(CASE WHEN n = 2 THEN tot END) AS tot2
+  FROM prec GROUP BY 1, 2
+),
+j AS (
+  SELECT w.*, la.len AS len_ref, lb.len AS len_hyp
+  FROM wide w
+  JOIN lens la ON la.doc_id = w.doc_a
+  JOIN lens lb ON lb.doc_id = w.doc_b
+)
+SELECT doc_a, doc_b,
+       CAST(len_ref AS BIGINT) AS len_ref,
+       CAST(len_hyp AS BIGINT) AS len_hyp,
+       CAST(coalesce(clip1, 0) AS BIGINT) AS clip1,
+       CAST(coalesce(tot1, 0) AS BIGINT) AS tot1,
+       CAST(coalesce(clip2, 0) AS BIGINT) AS clip2,
+       CAST(coalesce(tot2, 0) AS BIGINT) AS tot2,
+       (floor((CASE WHEN coalesce(clip1, 0) = 0 OR coalesce(clip2, 0) = 0
+                    THEN 0.0
+                    ELSE (CASE WHEN len_hyp > len_ref THEN 1.0
+                               ELSE exp(1.0 - CAST(len_ref AS DOUBLE) / len_hyp)
+                          END)
+                         * exp((ln(CAST(clip1 AS DOUBLE) / tot1)
+                                + ln(CAST(clip2 AS DOUBLE) / tot2)) / 2.0)
+               END) * 1000000.0 + 0.5) / 1000000.0) AS bleu2
+FROM j
+"""
+
+
+QUERIES["q_pair_bleu"] = q_pair_bleu
+ORACLE["q_pair_bleu"] = _oracle_pair_bleu()
