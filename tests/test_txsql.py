@@ -1,0 +1,81 @@
+"""SQL facade over TxTable: every statement routes to the already-
+tested operation; unparseable statements raise, never half-run."""
+
+from __future__ import annotations
+
+import pytest
+
+from sandbox_data_pipeline_spark.sinks.txsql import TxSql, TxSqlError
+
+
+@pytest.fixture()
+def tx(spark, tmp_path):
+    spark.range(0, 10).selectExpr(
+        "id", "id * 10 AS qty", "CAST(id % 2 AS STRING) AS tag"
+    ).createOrReplaceTempView("src10")
+    return TxSql(spark, str(tmp_path))
+
+
+def test_create_insert_select_roundtrip(tx):
+    tx.sql("CREATE TABLE t AS SELECT * FROM src10 WHERE id < 5")
+    tx.sql("INSERT INTO t SELECT * FROM src10 WHERE id >= 5")
+    assert tx.sql("SELECT * FROM t").count() == 10
+    # time travel reads the pre-insert snapshot
+    assert tx.sql("SELECT * FROM t VERSION AS OF 0").count() == 5
+
+
+def test_delete_and_history(tx):
+    tx.sql("CREATE TABLE t AS SELECT * FROM src10")
+    res = tx.sql("DELETE FROM t WHERE qty BETWEEN 20 AND 40")
+    assert res["files_rewritten"] >= 1
+    assert tx.sql("SELECT * FROM t").count() == 7
+    h = tx.sql("DESCRIBE HISTORY t")
+    ops = [r["operation"] for r in h.collect()]
+    assert ops == ["create", "delete"]
+
+
+def test_merge_with_evolution(tx, spark):
+    tx.sql("CREATE TABLE t AS SELECT * FROM src10 WHERE id < 3")
+    spark.range(2, 5).selectExpr(
+        "id", "id * 100 AS qty", "CAST('x' AS STRING) AS tag",
+        "CAST('eu' AS STRING) AS region",
+    ).createOrReplaceTempView("delta_src")
+    tx.sql("MERGE INTO t USING (SELECT * FROM delta_src) ON KEY id EVOLVE SCHEMA")
+    got = {(r["id"], r["qty"], r["region"]) for r in tx.sql("SELECT * FROM t").collect()}
+    assert (2, 200, "eu") in got and (0, 0, None) in got and len(got) == 5
+
+
+def test_alter_statements(tx):
+    tx.sql("CREATE TABLE t AS SELECT * FROM src10")
+    tx.sql("ALTER TABLE t RENAME COLUMN qty TO quantity")
+    assert "quantity" in tx.sql("SELECT * FROM t").columns
+    tx.sql("ALTER TABLE t DROP COLUMN tag")
+    assert "tag" not in tx.sql("SELECT * FROM t").columns
+    tx.sql("ALTER TABLE t ADD COLUMNS (score double, note string)")
+    cols = tx.sql("SELECT * FROM t").columns
+    assert "score" in cols and "note" in cols
+    tx.sql("ALTER TABLE t ADD CONSTRAINT q_pos CHECK (quantity >= 0)")
+    with pytest.raises(ValueError, match="CHECK"):
+        tx.sql("INSERT INTO t SELECT CAST(-1 AS BIGINT) AS id, CAST(-5 AS BIGINT) AS quantity, "
+               "CAST(NULL AS DOUBLE) AS score, CAST(NULL AS STRING) AS note")
+
+
+def test_restore_optimize_vacuum(tx):
+    tx.sql("CREATE TABLE t AS SELECT * FROM src10 WHERE id < 5")
+    tx.sql("INSERT INTO t SELECT * FROM src10 WHERE id >= 5")
+    tx.sql("RESTORE TABLE t TO VERSION AS OF 0")
+    assert tx.sql("SELECT * FROM t").count() == 5
+    stats = tx.sql("OPTIMIZE t")
+    assert isinstance(stats, dict)
+    deleted = tx.sql("VACUUM t RETAIN 1 VERSIONS")
+    assert isinstance(deleted, list)
+
+
+def test_unsupported_statement_raises(tx):
+    tx.sql("CREATE TABLE t AS SELECT * FROM src10")
+    with pytest.raises(TxSqlError, match="unsupported"):
+        tx.sql("UPDATE t SET qty = 0")  # not in the surface
+    with pytest.raises(TxSqlError, match="unsupported"):
+        tx.sql("DELETE FROM t WHERE qty > 5")  # only BETWEEN form
+    with pytest.raises(TxSqlError):
+        tx.sql("DELETE FROM t WHERE qty BETWEEN abc AND def")
