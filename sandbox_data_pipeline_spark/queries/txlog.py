@@ -550,6 +550,86 @@ QUERIES["q_column_mapping"] = q_column_mapping
 ORACLE["q_column_mapping"] = _COLUMN_MAPPING_SQL
 
 
+# --- copy-on-write UPDATE -----------------------------------------------------
+
+_UW_B1 = 1600   # base slice orderkey bound
+_UW_LO, _UW_HI = 3000, 9000  # rid update range
+
+
+def q_update_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy-on-write UPDATE proved relationally (sinks/txlog.py:
+    update_where — Delta's UPDATE with file-level pruning): create a
+    range-partitioned table, double qty where rid BETWEEN lo AND hi,
+    then summarize the in-range and out-of-range slices at v0 and at
+    the updated version. The oracle replays both versions straight
+    from lineitem; equality proves exactly the in-range rows mutated,
+    out-of-range rows copied byte-identically through the rewrite, and
+    time travel still reads the pre-update values."""
+    li = table(spark, sf_dir, "lineitem")
+    base = (
+        li.where(F.col("l_orderkey") <= _UW_B1)
+        .groupBy(
+            (F.col("l_orderkey") * 10 + F.col("l_linenumber"))
+            .cast("long")
+            .alias("rid")
+        )
+        .agg(F.max("l_quantity").cast("long").alias("qty"))
+    )
+    tmp = tempfile.mkdtemp(prefix="txupd_")
+    try:
+        t = TxTable.create(spark, f"{tmp}/tbl", base.repartitionByRange(4, "rid"))
+        t.update_where("qty", "qty * 2", "rid", _UW_LO, _UW_HI)
+        v0 = t.read(version=0).localCheckpoint(eager=True)
+        v1 = t.read().localCheckpoint(eager=True)
+
+        def summarize(df: DataFrame, phase: str) -> DataFrame:
+            inr = F.col("rid").between(_UW_LO, _UW_HI)
+            return df.agg(
+                F.lit(phase).alias("phase"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.when(inr, F.col("qty")).otherwise(0)).alias(
+                    "sum_in_range"
+                ),
+                F.sum(F.when(~inr, F.col("qty")).otherwise(0)).alias(
+                    "sum_out_range"
+                ),
+            )
+
+        return (
+            summarize(v0, "v0")
+            .unionAll(summarize(v1, "updated"))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+_UPDATE_WHERE_SQL = f"""
+WITH base AS (
+  SELECT CAST(l_orderkey * 10 + l_linenumber AS BIGINT) AS rid,
+         CAST(MAX(l_quantity) AS BIGINT) AS qty
+  FROM lineitem WHERE l_orderkey <= {_UW_B1} GROUP BY 1
+),
+phases AS (
+  SELECT 'v0' AS phase, rid, qty FROM base
+  UNION ALL
+  SELECT 'updated', rid,
+         CASE WHEN rid BETWEEN {_UW_LO} AND {_UW_HI} THEN qty * 2
+              ELSE qty END
+  FROM base
+)
+SELECT phase, COUNT(*) AS n_rows,
+       SUM(CASE WHEN rid BETWEEN {_UW_LO} AND {_UW_HI} THEN qty ELSE 0 END)
+         AS sum_in_range,
+       SUM(CASE WHEN NOT (rid BETWEEN {_UW_LO} AND {_UW_HI}) THEN qty
+                ELSE 0 END) AS sum_out_range
+FROM phases GROUP BY phase
+"""
+
+QUERIES["q_update_where"] = q_update_where
+ORACLE["q_update_where"] = _UPDATE_WHERE_SQL
+
+
 # --- CHECK constraints (write-time enforcement) ------------------------------
 
 _CC_B1, _CC_B2 = 1200, 1500  # base / attempted-append orderkey bounds

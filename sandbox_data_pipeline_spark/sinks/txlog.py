@@ -1119,6 +1119,72 @@ class TxTable:
             "files_total": len(snap),
         }
 
+    def update_where(
+        self,
+        set_col: str,
+        set_expr: str,
+        col: str,
+        lo,
+        hi,
+        txn: tuple[str, int] | None = None,
+    ) -> dict:
+        """UPDATE ... SET set_col = <expr> WHERE col BETWEEN lo AND hi
+        — Delta's copy-on-write UPDATE with file-level pruning: only
+        footer-stat-overlapping files rewrite; in-range rows evaluate
+        ``set_expr`` (SQL over the row's columns), out-of-range rows
+        copy through byte-identical. The result casts back to the
+        column's declared type (an UPDATE must not drift the schema),
+        CHECK constraints run on the rewritten frame, and the commit
+        carries the same OCC conflict rule as delete_where."""
+        rv = self.latest_version()
+        snap = self.snapshot(rv)
+        pcol = (self.column_mapping_at(rv) or {}).get(col, col)
+        touched = [
+            f
+            for f in snap.values()
+            if pcol not in f.stats
+            or not (f.stats[pcol]["max"] < lo or f.stats[pcol]["min"] > hi)
+        ]
+        schema = self.schema_at(rv)
+        names = [f.name for f in schema.fields]
+        if set_col not in names:
+            raise ValueError(f"update_where: no column {set_col!r}")
+        if not touched:
+            return {"version": rv, "files_rewritten": 0, "files_total": len(snap)}
+        dt = next(f.dataType for f in schema.fields if f.name == set_col)
+        wm = bool(self._pdel_dirs_at(rv))
+        current = self._apply_pdels(
+            self._scan_adds(
+                touched,
+                schema,
+                with_meta=wm,
+                mapping=self.column_mapping_at(rv),
+            ),
+            rv,
+        )
+        updated = current.withColumn(
+            set_col,
+            F.when(
+                F.col(col).between(F.lit(lo), F.lit(hi)),
+                F.expr(set_expr).cast(dt),
+            ).otherwise(F.col(set_col)),
+        )
+        self._enforce_constraints(updated)
+        adds = self._write_data(updated, rv + 1)
+        v = self._commit(
+            "update",
+            adds,
+            [f.path for f in touched],
+            rv,
+            txn=txn,
+            keys_touched={"col": col, "lo": str(lo), "hi": str(hi)},
+        )
+        return {
+            "version": v,
+            "files_rewritten": len(touched),
+            "files_total": len(snap),
+        }
+
     def merge(
         self,
         source: DataFrame,

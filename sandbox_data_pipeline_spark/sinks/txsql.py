@@ -23,6 +23,7 @@ Statement surface (one line each):
   CREATE TABLE t AS <select>
   INSERT INTO t <select>
   DELETE FROM t WHERE col BETWEEN lo AND hi
+  UPDATE t SET col = <expr> WHERE col2 BETWEEN lo AND hi
   MERGE INTO t USING (<select>) ON KEY col [EVOLVE SCHEMA]
   ALTER TABLE t RENAME COLUMN a TO b
   ALTER TABLE t DROP COLUMN a
@@ -80,6 +81,14 @@ _STMTS: list[tuple[re.Pattern, str]] = [
             re.I,
         ),
         "delete",
+    ),
+    (
+        re.compile(
+            r"^UPDATE\s+(\w+)\s+SET\s+(\w+)\s*=\s*(.+?)\s+WHERE\s+(\w+)"
+            r"\s+BETWEEN\s+(\S+)\s+AND\s+(\S+)$",
+            re.I | re.S,
+        ),
+        "update",
     ),
     (
         re.compile(
@@ -173,6 +182,11 @@ class TxSql:
 
     def _do_delete(self, name: str, col: str, lo: str, hi: str):
         return self._t(name).delete_where(col, _lit(lo), _lit(hi))
+
+    def _do_update(
+        self, name: str, set_col: str, expr: str, col: str, lo: str, hi: str
+    ):
+        return self._t(name).update_where(set_col, expr, col, _lit(lo), _lit(hi))
 
     def _do_merge(self, name: str, select: str, key: str, evolve: str | None):
         return self._t(name).merge(

@@ -1036,3 +1036,30 @@ def test_time_travel_by_timestamp(spark, tmp_path):
         t.version_at_timestamp(0.0)
     with pytest.raises(ValueError, match="not both"):
         t.read(version=0, as_of_ts=_time.time())
+
+
+def test_update_where_prunes_and_mutates(spark, tmp_path):
+    from sandbox_data_pipeline_spark.sinks.txlog import TxTable
+
+    df = spark.range(0, 100).selectExpr("id AS k", "id * 2 AS v")
+    t = TxTable.create(
+        spark, str(tmp_path / "u"), df.repartitionByRange(4, "k")
+    )
+    res = t.update_where("v", "v + 1000", "k", 10, 19)
+    assert res["files_rewritten"] < res["files_total"]  # pruning engaged
+    got = {r["k"]: r["v"] for r in t.read().collect()}
+    assert got[10] == 1020 and got[19] == 1038
+    assert got[9] == 18 and got[20] == 40
+    # time travel reads pre-update values
+    v0 = {r["k"]: r["v"] for r in t.read(version=0).collect()}
+    assert v0[10] == 20
+    # CHECK constraints veto a violating update atomically
+    t.add_constraint("v_cap", "v < 100000")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="CHECK"):
+        t.update_where("v", "v + 1000000", "k", 0, 5)
+    assert {r["k"]: r["v"] for r in t.read().collect()} == got
+    # unknown column refused
+    with _pytest.raises(ValueError, match="no column"):
+        t.update_where("nope", "1", "k", 0, 1)

@@ -71,10 +71,19 @@ def test_restore_optimize_vacuum(tx):
     assert isinstance(deleted, list)
 
 
+def test_update_statement(tx):
+    tx.sql("CREATE TABLE t AS SELECT * FROM src10")
+    res = tx.sql("UPDATE t SET qty = qty * 2 WHERE id BETWEEN 3 AND 5")
+    assert res["files_rewritten"] >= 1
+    got = {r["id"]: r["qty"] for r in tx.sql("SELECT * FROM t").collect()}
+    assert got[3] == 60 and got[4] == 80 and got[5] == 100
+    assert got[2] == 20 and got[6] == 60  # out of range untouched
+
+
 def test_unsupported_statement_raises(tx):
     tx.sql("CREATE TABLE t AS SELECT * FROM src10")
     with pytest.raises(TxSqlError, match="unsupported"):
-        tx.sql("UPDATE t SET qty = 0")  # not in the surface
+        tx.sql("TRUNCATE TABLE t")  # not in the surface
     with pytest.raises(TxSqlError, match="unsupported"):
         tx.sql("DELETE FROM t WHERE qty > 5")  # only BETWEEN form
     with pytest.raises(TxSqlError):
