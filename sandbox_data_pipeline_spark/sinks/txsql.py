@@ -31,6 +31,7 @@ Statement surface (one line each):
   ALTER TABLE t ADD CONSTRAINT name CHECK (<predicate>)
   SELECT * FROM t [VERSION AS OF k]
   DESCRIBE HISTORY t
+  DESCRIBE DETAIL t
   RESTORE TABLE t TO VERSION AS OF k
   OPTIMIZE t [ZORDER BY (a, b)]
   VACUUM t [RETAIN k VERSIONS]
@@ -125,6 +126,7 @@ _STMTS: list[tuple[re.Pattern, str]] = [
         "select",
     ),
     (re.compile(r"^DESCRIBE\s+HISTORY\s+(\w+)$", re.I), "history"),
+    (re.compile(r"^DESCRIBE\s+DETAIL\s+(\w+)$", re.I), "detail"),
     (
         re.compile(
             r"^RESTORE\s+TABLE\s+(\w+)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)$", re.I
@@ -230,6 +232,30 @@ class TxSql:
                 for h in rows
             ],
             "version int, operation string, n_add int, n_remove int, rows_added long",
+        )
+
+    def _do_detail(self, name: str) -> DataFrame:
+        t = self._t(name)
+        v = t.latest_version()
+        snap = t.snapshot(v)
+        spec = t.partition_spec_at(v)
+        mapping = t.column_mapping_at(v)
+        return self.spark.createDataFrame(
+            [
+                (
+                    v,
+                    len(snap),
+                    int(sum(f.bytes for f in snap.values())),
+                    int(sum(f.rows for f in snap.values())),
+                    ",".join(f.name for f in t.schema_at(v).fields),
+                    str(spec["cols"]) if spec else None,
+                    ",".join(sorted(t.constraints_at(v))) or None,
+                    str(mapping) if mapping else None,
+                )
+            ],
+            "version int, n_files int, size_bytes long, n_rows long, "
+            "columns string, partition_spec string, constraints string, "
+            "column_mapping string",
         )
 
     def _do_restore(self, name: str, version: str):

@@ -88,3 +88,14 @@ def test_unsupported_statement_raises(tx):
         tx.sql("DELETE FROM t WHERE qty > 5")  # only BETWEEN form
     with pytest.raises(TxSqlError):
         tx.sql("DELETE FROM t WHERE qty BETWEEN abc AND def")
+
+
+def test_describe_detail(tx):
+    tx.sql("CREATE TABLE t AS SELECT * FROM src10")
+    tx.sql("ALTER TABLE t RENAME COLUMN qty TO quantity")
+    tx.sql("ALTER TABLE t ADD CONSTRAINT pos CHECK (quantity >= 0)")
+    d = tx.sql("DESCRIBE DETAIL t").collect()[0]
+    assert d["n_rows"] == 10 and d["n_files"] >= 1
+    assert "quantity" in d["columns"]
+    assert d["constraints"] == "pos"
+    assert "quantity" in (d["column_mapping"] or "")
