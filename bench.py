@@ -181,6 +181,7 @@ HEADLINE = [
     "q_bigram_perplexity",
     "q_conformal_interval",
     "q_pair_bleu",
+    "q_runs_test",
 ]
 
 

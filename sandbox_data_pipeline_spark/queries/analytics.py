@@ -2519,3 +2519,92 @@ FROM test CROSS JOIN qh CROSS JOIN nc
 GROUP BY nc.n_cal, qh.qhat
 """
 QUERIES["q_conformal_interval"] = q_conformal_interval
+
+
+def q_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald–Wolfowitz runs test for randomness of the daily event-count
+    series — the monitoring diagnostic that catches autocorrelated
+    drift (too FEW runs) or oscillating instrumentation (too MANY)
+    that a mean-based monitor misses. Binarize against the lower-median
+    day (an order statistic), count runs R with one lag() over the
+    day-ordered frame, and z-score from the exact integer (n₁, n₂, R)
+    through the closed-form moments — a fixed double tree over exact
+    operands, floor-rounded once. Everything after the daily groupBy
+    runs on the calendar-bounded day frame."""
+    ev = table(spark, sf_dir, "events").select(F.to_date("ts").alias("d"))
+    days = ev.groupBy("d").agg(F.count(F.lit(1)).alias("x"))
+    w_rank = Window.orderBy("x", "d")
+    ranked = days.withColumn("rn", F.row_number().over(w_rank))
+    n_days = days.count()
+    mid = (n_days + 1) // 2
+    med_row = ranked.where(F.col("rn") == mid).select(
+        F.col("x").alias("med")
+    )
+    b = days.crossJoin(F.broadcast(med_row)).select(
+        "d", (F.col("x") > F.col("med")).cast("int").alias("b")
+    )
+    w_ord = Window.orderBy("d")
+    flips = b.withColumn("prev", F.lag("b").over(w_ord)).agg(
+        F.sum(
+            (F.col("prev").isNotNull() & (F.col("b") != F.col("prev"))).cast(
+                "long"
+            )
+        ).alias("n_flips"),
+        F.sum("b").alias("n1"),
+        F.sum(F.lit(1) - F.col("b")).alias("n2"),
+    )
+    n1, n2 = F.col("n1").cast("double"), F.col("n2").cast("double")
+    n = n1 + n2
+    r = (F.col("n_flips") + F.lit(1)).cast("double")
+    e_r = F.lit(1.0) + F.lit(2.0) * n1 * n2 / n
+    var_r = (
+        F.lit(2.0) * n1 * n2 * (F.lit(2.0) * n1 * n2 - n)
+        / (n * n * (n - F.lit(1.0)))
+    )
+    z = F.when(var_r <= 0.0, F.lit(0.0)).otherwise(
+        (r - e_r) / F.sqrt(var_r)
+    )
+    return flips.select(
+        F.col("n1").cast("long").alias("n_above"),
+        F.col("n2").cast("long").alias("n_below"),
+        (F.col("n_flips") + 1).cast("long").alias("n_runs"),
+        stable_round(e_r, 6).alias("expected_runs"),
+        stable_round(z, 6).alias("z"),
+    )
+
+
+ORACLE["q_runs_test"] = """
+WITH days AS (
+  SELECT CAST(ts AS DATE) AS d, count(*) AS x FROM events GROUP BY 1
+),
+nd AS (SELECT count(*) AS n_days FROM days),
+ranked AS (
+  SELECT x, row_number() OVER (ORDER BY x, d) AS rn FROM days
+),
+med AS (
+  SELECT x AS med FROM ranked CROSS JOIN nd WHERE rn = (n_days + 1) // 2
+),
+b AS (
+  SELECT d, CAST(x > med AS INTEGER) AS b FROM days CROSS JOIN med
+),
+flips AS (
+  SELECT sum(CASE WHEN prev IS NOT NULL AND b <> prev THEN 1 ELSE 0 END)
+           AS n_flips,
+         sum(b) AS n1, sum(1 - b) AS n2
+  FROM (SELECT b, lag(b) OVER (ORDER BY d) AS prev FROM b)
+)
+SELECT CAST(n1 AS BIGINT) AS n_above,
+       CAST(n2 AS BIGINT) AS n_below,
+       CAST(n_flips + 1 AS BIGINT) AS n_runs,
+       (floor((1.0 + 2.0 * n1 * n2 / (n1 + n2)) * 1000000.0 + 0.5)
+        / 1000000.0) AS expected_runs,
+       (floor((CASE WHEN 2.0 * n1 * n2 * (2.0 * n1 * n2 - (n1 + n2))
+                         / ((n1 + n2) * (n1 + n2) * ((n1 + n2) - 1.0)) <= 0.0
+                    THEN 0.0
+                    ELSE ((n_flips + 1) - (1.0 + 2.0 * n1 * n2 / (n1 + n2)))
+                         / sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - (n1 + n2))
+                                / ((n1 + n2) * (n1 + n2) * ((n1 + n2) - 1.0)))
+               END) * 1000000.0 + 0.5) / 1000000.0) AS z
+FROM flips
+"""
+QUERIES["q_runs_test"] = q_runs_test

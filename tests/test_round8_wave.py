@@ -255,3 +255,31 @@ def test_conformal_coverage_guarantee(spark, monkeypatch):
 
     qhat = cal[min(len(cal), math.ceil(0.9 * (len(cal) + 1))) - 1]
     assert abs(r["qhat"] - qhat) < 1e-3
+
+
+def test_runs_test_alternating_vs_blocked(spark, monkeypatch):
+    """Alternating series → many runs (z > 0); blocked series → few
+    runs (z < 0); both against hand-counted run totals."""
+    import datetime
+
+    from sandbox_data_pipeline_spark.queries import analytics as a_mod
+
+    base = datetime.datetime(2024, 5, 1)
+
+    def series(pattern):
+        rows, eid = [], 0
+        for day, n in enumerate(pattern):
+            for _ in range(n):
+                rows.append((eid, base + datetime.timedelta(days=day)))
+                eid += 1
+        return spark.createDataFrame(rows, "event_id long, ts timestamp")
+
+    alt = series([10, 2] * 6)  # 12 days, strict alternation
+    monkeypatch.setattr(a_mod, "table", lambda s, d, n: alt)
+    r = a_mod.q_runs_test(spark, "unused").collect()[0]
+    assert r["n_runs"] == 12 and r["z"] > 0
+
+    blk = series([10] * 6 + [2] * 6)  # two blocks
+    monkeypatch.setattr(a_mod, "table", lambda s, d, n: blk)
+    r2 = a_mod.q_runs_test(spark, "unused").collect()[0]
+    assert r2["n_runs"] == 2 and r2["z"] < 0
