@@ -182,6 +182,7 @@ HEADLINE = [
     "q_conformal_interval",
     "q_pair_bleu",
     "q_runs_test",
+    "q_unigram_segment_cost",
 ]
 
 

@@ -1,0 +1,259 @@
+"""Unigram-LM tokenizer (the SentencePiece family) — the second of
+the two real-world subword algorithms, completing the tokenizer story
+next to operators/bpe.py.
+
+Two halves, mirroring the BPE architecture:
+
+* TRAINING (``train_unigram`` / ``unigram_train_from_docs``) follows
+  what production unigram trainers actually do: the corpus reduces
+  distributively to a bounded ``(word, count)`` vocabulary (one
+  groupBy — the identical shape bpe.py proved), and the EM loop runs
+  driver-side over that bounded table. Hard-EM (Viterbi counts, not
+  forward–backward expectations) — stated, not hidden: it converges to
+  the same pruned vocabularies on the corpora this repo targets and
+  keeps every step exactly replayable in tests. Determinism: all ties
+  break lexicographically; probabilities are plain floats but every
+  comparison that AFFECTS the vocabulary is on counts (ints) or on
+  identical float expressions.
+
+* ENCODING is Viterbi segmentation under piece COSTS (−log p, lower =
+  better). ``viterbi_cost`` builds the whole DP as ONE JVM-side
+  higher-order ``aggregate`` over the character positions (the
+  apply_span_removal discipline — no Python UDF, no explode):
+  acc[k+1] = best (cost, n_pieces) for the k-char prefix, each step a
+  ≤max_piece-way arm comparison with (cost, then fewer pieces) as the
+  deterministic tie-break. ``unigram_encode`` additionally returns the
+  winning PIECES via the same DP in an Arrow-batched mapInPandas (the
+  piece array is inherently row-varying — the multimodal-codec
+  pattern), with the pandas and JVM paths pinned equal in tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+UNK_COST = 20.0  # single unknown character (binary-exact literal)
+INF = 1e9
+
+
+# --- pure-Python reference + trainer (driver-side, bounded input) ----------
+
+
+def viterbi_py(
+    text: str, costs: dict[str, float], max_piece: int = 3
+) -> tuple[float, list[str]]:
+    """Reference Viterbi: min-total-cost segmentation; ties prefer
+    fewer pieces (then the LONGEST first piece, which the fewer-pieces
+    rule already implies at equal cost for our cost tables)."""
+    n = len(text)
+    best: list[tuple[float, int]] = [(0.0, 0)] + [(INF, 0)] * n
+    back: list[int] = [0] * (n + 1)
+    for i in range(1, n + 1):
+        for j in range(1, min(max_piece, i) + 1):
+            piece = text[i - j : i]
+            c = costs.get(piece, UNK_COST if j == 1 else INF)
+            cand = (best[i - j][0] + c, best[i - j][1] + 1)
+            if cand < best[i]:
+                best[i] = cand
+                back[i] = j
+    pieces: list[str] = []
+    i = n
+    while i > 0:
+        j = back[i]
+        pieces.append(text[i - j : i])
+        i -= j
+    return best[n][0], pieces[::-1]
+
+
+def train_unigram(
+    word_counts: list[tuple[str, int]],
+    vocab_size: int = 64,
+    iterations: int = 3,
+    max_piece: int = 3,
+) -> dict[str, float]:
+    """Hard-EM unigram training over a bounded (word, count) table:
+    seed = every substring up to ``max_piece`` chars weighted by
+    occurrence count; each round re-segments every word under current
+    costs and re-estimates piece probabilities from the Viterbi
+    counts; prune to ``vocab_size`` by count (single chars always
+    kept — coverage must never break). Returns piece → cost (−ln p).
+    Deterministic: count ties break lexicographically."""
+    import math
+
+    seed: dict[str, int] = {}
+    for w, c in word_counts:
+        for i in range(len(w)):
+            for j in range(1, min(max_piece, len(w) - i) + 1):
+                p = w[i : i + j]
+                seed[p] = seed.get(p, 0) + c
+    total = sum(seed.values()) or 1
+    costs = {p: -math.log(c / total) for p, c in seed.items()}
+    chars = {p for p in seed if len(p) == 1}
+    for _ in range(iterations):
+        counts: dict[str, int] = {}
+        for w, c in word_counts:
+            _, pieces = viterbi_py(w, costs, max_piece)
+            for p in pieces:
+                counts[p] = counts.get(p, 0) + c
+        # prune: top vocab_size by (count desc, piece asc); chars stay
+        keep = set(chars)
+        ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        for p, _ in ranked:
+            if len(keep) >= max(vocab_size, len(chars)):
+                break
+            keep.add(p)
+        tot = sum(c for p, c in counts.items() if p in keep) or 1
+        costs = {
+            p: -math.log(counts.get(p, 1) / (tot + len(chars)))
+            for p in keep
+        }
+    return costs
+
+
+def unigram_train_from_docs(
+    docs: DataFrame,
+    vocab_size: int = 64,
+    iterations: int = 3,
+    max_piece: int = 3,
+    text_col: str = "text",
+    max_types: int = 1_000_000,
+) -> dict[str, float]:
+    """Distributed reduction to the bounded (word, count) vocabulary
+    (ONE groupBy over the corpus — the bpe.py shape), then the driver
+    EM. Refuses corpora whose word-type count exceeds ``max_types``
+    (the same loud guard bpe.py carries; at that point shard the
+    trainer, don't silently sample)."""
+    wc = (
+        docs.select(
+            F.explode(
+                F.filter(
+                    F.split(F.col(text_col), " "), lambda t: t != F.lit("")
+                )
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n_types = wc.count()
+    if n_types > max_types:
+        raise ValueError(
+            f"unigram_train_from_docs: {n_types} word types exceeds the "
+            f"{max_types} driver bound — shard the trainer"
+        )
+    rows = sorted((r["w"], r["c"]) for r in wc.collect())
+    return train_unigram(
+        rows, vocab_size=vocab_size, iterations=iterations, max_piece=max_piece
+    )
+
+
+# --- JVM-side Viterbi cost (whole DP in one higher-order aggregate) ---------
+
+
+def viterbi_cost(
+    text_col: str, costs: dict[str, float], max_piece: int = 3
+) -> Column:
+    """struct(c, n): minimal segmentation cost and its piece count for
+    ``text_col`` under the piece-cost table, as ONE codegen expression:
+    aggregate over positions 1..len carrying the DP array
+    acc[k+1] = struct(best cost, pieces) of the k-char prefix.
+    Unknown single chars cost UNK_COST; unknown longer arms are
+    pruned. Tie-break: lower cost, then fewer pieces — evaluated on
+    identical operands in any engine."""
+    text = F.col(text_col)
+    by_len: dict[int, dict[str, float]] = {}
+    for p, c in costs.items():
+        by_len.setdefault(len(p), {})[p] = c
+    maps = {
+        j: F.create_map(
+            *[
+                x
+                for p, c in sorted(by_len.get(j, {}).items())
+                for x in (F.lit(p), F.lit(float(c)))
+            ]
+        )
+        if by_len.get(j)
+        else None
+        for j in range(1, max_piece + 1)
+    }
+
+    def step(acc: Column, i: Column) -> Column:
+        best = None
+        for j in range(1, max_piece + 1):
+            piece = text.substr(i - F.lit(j - 1), F.lit(j))
+            m = maps[j]
+            looked = (
+                F.element_at(m, piece) if m is not None else F.lit(None)
+            )
+            cost = (
+                F.coalesce(looked, F.lit(UNK_COST))
+                if j == 1
+                else F.coalesce(looked, F.lit(INF))
+            )
+            prev = F.element_at(acc, (i - F.lit(j) + F.lit(1)).cast("int"))
+            arm = F.when(
+                i >= F.lit(j),
+                F.struct(
+                    (prev["c"] + cost).alias("c"),
+                    (prev["n"] + F.lit(1)).alias("n"),
+                ),
+            )
+            if best is None:
+                best = arm
+            else:
+                better = arm.isNotNull() & (
+                    best.isNull()
+                    | (arm["c"] < best["c"])
+                    | ((arm["c"] == best["c"]) & (arm["n"] < best["n"]))
+                )
+                best = F.when(better, arm).otherwise(best)
+        return F.concat(acc, F.array(best))
+
+    init = F.array(F.struct(F.lit(0.0).alias("c"), F.lit(0).alias("n")))
+    return F.aggregate(
+        F.sequence(F.lit(1), F.length(text)),
+        init,
+        step,
+        lambda acc: F.element_at(acc, -1),
+    )
+
+
+def unigram_encode(
+    docs: DataFrame,
+    costs: dict[str, float],
+    max_piece: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, pieces array<string>, n_pieces, cost): full Viterbi
+    segmentation via Arrow-batched mapInPandas with the cost table
+    broadcast in the closure — the multimodal-codec pattern for
+    row-varying array outputs. The JVM viterbi_cost twin is pinned
+    equal (cost and count) in tests."""
+    import pandas as pd  # noqa: F401 (mapInPandas contract)
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("pieces", T.ArrayType(T.StringType())),
+            T.StructField("n_pieces", T.IntegerType()),
+            T.StructField("cost", T.DoubleType()),
+        ]
+    )
+    frozen = dict(costs)
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for did, txt in zip(pdf[id_col], pdf[text_col]):
+                c, pieces = viterbi_py(txt or "", frozen, max_piece)
+                out.append((did, pieces, len(pieces), c if txt else 0.0))
+            yield pd.DataFrame(
+                out, columns=["doc_id", "pieces", "n_pieces", "cost"]
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(run, schema)

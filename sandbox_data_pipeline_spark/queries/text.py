@@ -3020,3 +3020,97 @@ SELECT doc_id, n_bigrams,
 FROM agg
 """
 QUERIES["q_bigram_perplexity"] = q_bigram_perplexity
+
+
+# Fixed unigram cost table for the oracle-backed segmentation query —
+# the q_bpe_encode precedent: a DECLARED constant both engines embed,
+# so the DP itself is what the gate proves (training is driver-side,
+# operators/unigram.py + tests). All costs are binary-exact literals
+# (x.0 / x.5), so every path cost is an EXACT double in both engines.
+UNIGRAM_PIECES2 = (
+    "th he lo ow ue an ta al ne er ar in st re ey".split()
+)
+UNIGRAM_PIECES3 = (
+    "the val row key tab sca fas joi agg mer fil win ord dat col vec "
+    "bat spa gro sma lin cus que str has par slo".split()
+)
+UNIGRAM_VOCAB = {
+    **{c: 3.0 for c in " abcdefghijklmnopqrstuvwxyz0123456789"},
+    **{p: 4.5 for p in UNIGRAM_PIECES2},
+    **{p: 5.5 for p in UNIGRAM_PIECES3},
+}
+
+
+def q_unigram_segment_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM (SentencePiece-family) Viterbi segmentation of every
+    document under the declared piece-cost table: minimal total cost
+    and its piece count. The ENTIRE DP runs as one JVM-side
+    higher-order aggregate over character positions
+    (operators/unigram.py: viterbi_cost — no UDF, no explode); the
+    oracle replays it with a recursive CTE carrying the same DP array.
+    Costs are binary-exact literals, so path sums are exact doubles —
+    a hash match proves the dynamic program, arm pruning, and
+    (cost, fewer-pieces) tie-break step for step."""
+    from sandbox_data_pipeline_spark.operators.unigram import viterbi_cost
+
+    d = table(spark, sf_dir, "documents")
+    v = viterbi_cost("text", UNIGRAM_VOCAB, max_piece=3)
+    return d.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars"),
+        F.round(v["c"], 2).alias("seg_cost"),
+        v["n"].cast("int").alias("n_pieces"),
+    )
+
+
+def _oracle_unigram() -> str:
+    def case_for(j: int, start: str) -> str:
+        items = sorted(
+            (p, c) for p, c in UNIGRAM_VOCAB.items() if len(p) == j
+        )
+        whens = " ".join(
+            f"WHEN '{p}' THEN {c!r}" for p, c in items
+        )
+        default = "20.0" if j == 1 else "1000000000.0"
+        return f"CASE substr(text, {start}, {j}) {whens} ELSE {default} END"
+
+    def arm(j: int) -> str:
+        start = {1: "i + 1", 2: "i", 3: "i - 1"}[j]
+        return (
+            f"CASE WHEN i + 1 >= {j} THEN struct_pack("
+            f"c := best[i + 2 - {j}].c + CAST(({case_for(j, start)}) AS DOUBLE), "
+            f"n := best[i + 2 - {j}].n + 1) END"
+        )
+
+    a1, a2, a3 = arm(1), arm(2), arm(3)
+    b2 = (
+        f"CASE WHEN ({a2}) IS NOT NULL AND (({a2}).c < ({a1}).c OR "
+        f"(({a2}).c = ({a1}).c AND ({a2}).n < ({a1}).n)) "
+        f"THEN ({a2}) ELSE ({a1}) END"
+    )
+    b3 = (
+        f"CASE WHEN ({a3}) IS NOT NULL AND (({a3}).c < ({b2}).c OR "
+        f"(({a3}).c = ({b2}).c AND ({a3}).n < ({b2}).n)) "
+        f"THEN ({a3}) ELSE ({b2}) END"
+    )
+    return f"""
+WITH RECURSIVE d AS (
+  SELECT doc_id, text, length(text) AS L FROM documents
+),
+vit AS (
+  SELECT doc_id, text, L, 0 AS i,
+         [struct_pack(c := CAST(0.0 AS DOUBLE), n := 0)] AS best
+  FROM d
+  UNION ALL
+  SELECT doc_id, text, L, i + 1, list_append(best, {b3})
+  FROM vit WHERE i < L
+)
+SELECT doc_id, CAST(L AS BIGINT) AS n_chars,
+       round(best[L + 1].c, 2) AS seg_cost,
+       CAST(best[L + 1].n AS INTEGER) AS n_pieces
+FROM vit WHERE i = L
+"""
+
+
+QUERIES["q_unigram_segment_cost"] = q_unigram_segment_cost
+ORACLE["q_unigram_segment_cost"] = _oracle_unigram()
