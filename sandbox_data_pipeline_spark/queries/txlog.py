@@ -630,6 +630,140 @@ QUERIES["q_update_where"] = q_update_where
 ORACLE["q_update_where"] = _UPDATE_WHERE_SQL
 
 
+# --- full lifecycle integration (the interactions gate) ----------------------
+
+_LC_B1 = 1500
+_LC_LO, _LC_HI = 2000, 8000   # update range on rid
+_LC_M1, _LC_M2 = 9000, 12000  # merge-source rid range
+_LC_OFF = 800_000_000         # merge-inserted rid offset
+
+
+def q_lakehouse_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The INTERACTIONS gate: one table driven through the full ALTER
+    surface in sequence — create → RENAME COLUMN → copy-on-write
+    UPDATE (through the mapping) → DROP COLUMN → MERGE with schema
+    evolution (fresh physical name after the drop) → OPTIMIZE
+    (physical rewrite through the mapping, logical no-op) — with
+    version summaries at each stage. Every feature passes its own
+    gate; this row fails if any PAIR interacts wrongly (update after
+    rename, evolution after drop, optimize over mapped+widened
+    files). The oracle replays the whole lifecycle relationally."""
+    li = table(spark, sf_dir, "lineitem")
+    base = (
+        li.where(F.col("l_orderkey") <= _LC_B1)
+        .groupBy(
+            (F.col("l_orderkey") * 10 + F.col("l_linenumber"))
+            .cast("long")
+            .alias("rid")
+        )
+        .agg(F.max("l_quantity").cast("long").alias("qty"))
+        .withColumn("src", F.lit("base"))
+    )
+    tmp = tempfile.mkdtemp(prefix="txlife_")
+    try:
+        t = TxTable.create(spark, f"{tmp}/tbl", base.repartitionByRange(4, "rid"))
+        t.rename_column("qty", "quantity")
+        t.update_where("quantity", "quantity + 5", "rid", _LC_LO, _LC_HI)
+        v_upd = t.latest_version()
+        t.drop_column("src")
+        msrc = (
+            base.where(F.col("rid").between(_LC_M1, _LC_M2))
+            .select(
+                "rid",
+                (F.col("qty") * 10).alias("quantity"),
+                F.lit("gold").alias("grade"),
+            )
+            .unionByName(
+                base.where(F.col("rid").between(_LC_M1, _LC_M2)).select(
+                    (F.col("rid") + _LC_OFF).alias("rid"),
+                    F.lit(1).cast("long").alias("quantity"),
+                    F.lit("new").alias("grade"),
+                )
+            )
+        )
+        t.merge(msrc, "rid", evolve_schema=True)
+        v_merged = t.latest_version()
+        from sandbox_data_pipeline_spark.sinks.txlog import optimize
+
+        optimize(t, num_files=2)
+
+        v0 = t.read(version=0).localCheckpoint(eager=True)
+        vu = t.read(version=v_upd).localCheckpoint(eager=True)
+        vm = t.read(version=v_merged).localCheckpoint(eager=True)
+        vf = t.read().localCheckpoint(eager=True)  # post-optimize
+
+        def tot(df: DataFrame, phase: str, qcol: str, extra=None) -> DataFrame:
+            g = df
+            if extra is not None:
+                g = df.where(extra)
+            return g.agg(
+                F.lit(phase).alias("phase"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(qcol).cast("long").alias("sum_q"),
+            )
+
+        return (
+            tot(v0, "v0", "qty")
+            .unionAll(tot(vu, "updated", "quantity"))
+            .unionAll(tot(vm, "merged_all", "quantity"))
+            .unionAll(
+                tot(vm, "merged_gold", "quantity", F.col("grade") == "gold")
+            )
+            .unionAll(
+                tot(vm, "merged_nullgrade", "quantity", F.col("grade").isNull())
+            )
+            .unionAll(tot(vf, "post_optimize", "quantity"))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+_LIFECYCLE_SQL = f"""
+WITH base AS (
+  SELECT CAST(l_orderkey * 10 + l_linenumber AS BIGINT) AS rid,
+         CAST(MAX(l_quantity) AS BIGINT) AS qty
+  FROM lineitem WHERE l_orderkey <= {_LC_B1} GROUP BY 1
+),
+updated AS (
+  SELECT rid,
+         CASE WHEN rid BETWEEN {_LC_LO} AND {_LC_HI} THEN qty + 5
+              ELSE qty END AS quantity
+  FROM base
+),
+msrc AS (
+  SELECT rid, qty * 10 AS quantity, 'gold' AS grade
+  FROM base WHERE rid BETWEEN {_LC_M1} AND {_LC_M2}
+  UNION ALL
+  SELECT rid + {_LC_OFF}, 1, 'new'
+  FROM base WHERE rid BETWEEN {_LC_M1} AND {_LC_M2}
+),
+merged AS (
+  SELECT u.rid, u.quantity, CAST(NULL AS VARCHAR) AS grade
+  FROM updated u WHERE u.rid NOT IN (SELECT rid FROM msrc)
+  UNION ALL
+  SELECT rid, quantity, grade FROM msrc
+)
+SELECT 'v0' AS phase, COUNT(*) AS n_rows,
+       CAST(SUM(qty) AS BIGINT) AS sum_q FROM base
+UNION ALL
+SELECT 'updated', COUNT(*), CAST(SUM(quantity) AS BIGINT) FROM updated
+UNION ALL
+SELECT 'merged_all', COUNT(*), CAST(SUM(quantity) AS BIGINT) FROM merged
+UNION ALL
+SELECT 'merged_gold', COUNT(*), CAST(SUM(quantity) AS BIGINT)
+FROM merged WHERE grade = 'gold'
+UNION ALL
+SELECT 'merged_nullgrade', COUNT(*), CAST(SUM(quantity) AS BIGINT)
+FROM merged WHERE grade IS NULL
+UNION ALL
+SELECT 'post_optimize', COUNT(*), CAST(SUM(quantity) AS BIGINT) FROM merged
+"""
+
+QUERIES["q_lakehouse_lifecycle"] = q_lakehouse_lifecycle
+ORACLE["q_lakehouse_lifecycle"] = _LIFECYCLE_SQL
+
+
 # --- CHECK constraints (write-time enforcement) ------------------------------
 
 _CC_B1, _CC_B2 = 1200, 1500  # base / attempted-append orderkey bounds
