@@ -3044,23 +3044,21 @@ UNIGRAM_VOCAB = {
 def q_unigram_segment_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram-LM (SentencePiece-family) Viterbi segmentation of every
     document under the declared piece-cost table: minimal total cost
-    and its piece count. The ENTIRE DP runs as one JVM-side
-    higher-order aggregate over character positions
-    (operators/unigram.py: viterbi_cost — no UDF, no explode); the
-    oracle replays it with a recursive CTE carrying the same DP array.
-    Costs are binary-exact literals, so path sums are exact doubles —
-    a hash match proves the dynamic program, arm pruning, and
-    (cost, fewer-pieces) tie-break step for step."""
-    from sandbox_data_pipeline_spark.operators.unigram import viterbi_cost
+    and its piece count, via the VECTORIZED batch DP
+    (operators/unigram.py: viterbi_cost_df — position-stepped numpy
+    over Arrow batches, the batch-decoder shape; the exact pure-JVM
+    aggregate twin exists as viterbi_cost and is pinned equal in
+    tests, but Spark interprets higher-order lambdas per character:
+    41 s vs ~3 s at sf0.1). The oracle replays the DP with a
+    recursive CTE. Costs are binary-exact literals, so path sums are
+    exact doubles — a hash match proves the dynamic program, arm
+    pruning, and (cost, fewer-pieces) tie-break step for step."""
+    from sandbox_data_pipeline_spark.operators.unigram import (
+        viterbi_cost_df,
+    )
 
     d = table(spark, sf_dir, "documents")
-    v = viterbi_cost("text", UNIGRAM_VOCAB, max_piece=3)
-    return d.select(
-        "doc_id",
-        F.length("text").cast("long").alias("n_chars"),
-        F.round(v["c"], 2).alias("seg_cost"),
-        v["n"].cast("int").alias("n_pieces"),
-    )
+    return viterbi_cost_df(d, UNIGRAM_VOCAB, max_piece=3)
 
 
 def _oracle_unigram() -> str:

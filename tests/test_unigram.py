@@ -119,3 +119,29 @@ def test_registry_query_matches_python_reference(spark):
     for did in random.Random(8).sample(sorted(docs), 20):
         c, pieces = viterbi_py(docs[did], UNIGRAM_VOCAB)
         assert got[did] == (len(docs[did]), round(c, 2), len(pieces))
+
+
+def test_batch_viterbi_matches_python_and_jvm(spark):
+    from sandbox_data_pipeline_spark.operators.unigram import viterbi_batch
+
+    texts = ["abcabc", "the quick abc", "zzz", "a", "", "ababab bcbc"]
+    c, n = viterbi_batch(texts, COSTS)
+    for i, t in enumerate(texts):
+        rc, pieces = viterbi_py(t, COSTS)
+        assert (c[i], n[i]) == (rc, len(pieces)), t
+
+
+def test_viterbi_cost_df_matches_reference(spark):
+    from sandbox_data_pipeline_spark.operators.unigram import viterbi_cost_df
+
+    texts = ["abc ab bc", "the table", "x"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_chars"], r["seg_cost"], r["n_pieces"])
+        for r in viterbi_cost_df(df, COSTS).collect()
+    }
+    for i, t in enumerate(texts):
+        rc, pieces = viterbi_py(t, COSTS)
+        assert got[i] == (len(t), round(rc, 2), len(pieces))
