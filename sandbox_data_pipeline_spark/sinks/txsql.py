@@ -269,3 +269,45 @@ class TxSql:
         return self._t(name).vacuum(
             retain_versions=int(retain) if retain else 1, retain_seconds=0
         )
+
+
+def split_statements(script: str) -> list[str]:
+    """Split a multi-statement script on semicolons OUTSIDE quotes
+    (single or double) — embedded SELECT literals keep their ';'.
+    Comments: whole lines starting with -- are dropped."""
+    lines = [
+        ln for ln in script.splitlines() if not ln.lstrip().startswith("--")
+    ]
+    text = "\n".join(lines)
+    out: list[str] = []
+    cur: list[str] = []
+    quote: str | None = None
+    for ch in text:
+        if quote:
+            cur.append(ch)
+            if ch == quote:
+                quote = None
+            continue
+        if ch in "'\"":
+            quote = ch
+            cur.append(ch)
+        elif ch == ";":
+            stmt = "".join(cur).strip()
+            if stmt:
+                out.append(stmt)
+            cur = []
+        else:
+            cur.append(ch)
+    tail = "".join(cur).strip()
+    if tail:
+        out.append(tail)
+    return out
+
+
+def run_script(tx: "TxSql", script: str) -> list:
+    """Execute a statement sequence (the reference's DAG shape: each
+    task is one templated statement). FAILS FAST: the first error
+    aborts the remainder — each statement is individually atomic
+    through the commit log, so a fail-stop leaves the table at the
+    last committed version, never half-applied."""
+    return [tx.sql(stmt) for stmt in split_statements(script)]

@@ -99,3 +99,35 @@ def test_describe_detail(tx):
     assert "quantity" in d["columns"]
     assert d["constraints"] == "pos"
     assert "quantity" in (d["column_mapping"] or "")
+
+
+def test_run_script_sequences_and_fails_fast(tx):
+    from sandbox_data_pipeline_spark.sinks.txsql import (
+        run_script,
+        split_statements,
+    )
+
+    results = run_script(
+        tx,
+        """
+        -- build and mutate in one scripted sequence
+        CREATE TABLE s AS SELECT * FROM src10 WHERE id < 6;
+        INSERT INTO s SELECT * FROM src10 WHERE id >= 6;
+        UPDATE s SET qty = qty + 1 WHERE id BETWEEN 0 AND 1;
+        """,
+    )
+    assert len(results) == 3
+    got = {r["id"]: r["qty"] for r in tx.sql("SELECT * FROM s").collect()}
+    assert got[0] == 1 and got[1] == 11 and got[9] == 90
+    # quoted semicolons don't split
+    stmts = split_statements("CREATE TABLE z AS SELECT ';' AS c; VACUUM z")
+    assert len(stmts) == 2 and "';'" in stmts[0]
+    # fail-fast: bad third statement leaves the first two applied
+    import pytest as _p
+
+    with _p.raises(TxSqlError):
+        run_script(
+            tx,
+            "DELETE FROM s WHERE qty BETWEEN 50 AND 60; TRUNCATE TABLE s",
+        )
+    assert tx.sql("SELECT * FROM s").count() == 8  # delete (qty 50,60) landed, no more
