@@ -183,6 +183,7 @@ HEADLINE = [
     "q_pair_bleu",
     "q_runs_test",
     "q_unigram_segment_cost",
+    "q_brier_score",
 ]
 
 

@@ -1958,3 +1958,111 @@ FROM ks LEFT JOIN hits ON hits.query_id = ks.query_id
 
 QUERIES["q_matryoshka_recall"] = q_matryoshka_recall
 ORACLE["q_matryoshka_recall"] = _oracle_matryoshka()
+
+
+def q_brier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brier score of the histogram-binned calibrated classifier (the
+    q_calibration_bins predictor: p̂ = its bin's positive rate) plus
+    the Murphy decomposition terms — with p̂ = the empirical bin rate,
+    reliability is identically 0, so Brier = uncertainty − resolution,
+    and the output cross-checks itself. Everything reduces on the
+    10-row bin table: per-bin (p − y)² mass is a fixed double tree on
+    exact integer counts, and the two Σs over bins run as ordered
+    cumulative windows (bin asc; non-negative terms, MAX = last) —
+    never an order-free double sum. One corpus scan total."""
+    rows = table(spark, sf_dir, "embeddings").select(
+        F.col("embedding")[0].cast("double").alias("score"),
+        (F.col("label") < 5).alias("pos"),
+    )
+    mm = rows.agg(F.min("score").alias("lo"), F.max("score").alias("hi"))
+    binned = rows.crossJoin(F.broadcast(mm)).select(
+        F.least(
+            F.lit(9),
+            F.floor(
+                (F.col("score") - F.col("lo"))
+                / (F.col("hi") - F.col("lo"))
+                * 10
+            ),
+        )
+        .cast("int")
+        .alias("bin"),
+        "pos",
+    )
+    bins = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("pos"), 1).otherwise(0)).alias("n_pos"),
+    )
+    p = F.col("n_pos").cast("double") / F.col("n")
+    terms = bins.select(
+        "bin",
+        "n",
+        "n_pos",
+        (
+            F.col("n_pos") * (F.lit(1.0) - p) * (F.lit(1.0) - p)
+            + (F.col("n") - F.col("n_pos")) * p * p
+        ).alias("sq_mass"),
+    )
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = terms.withColumn("cum_sq", F.sum("sq_mass").over(w))
+    agg = cum.groupBy().agg(
+        F.sum("n").alias("n_items"),
+        F.sum("n_pos").alias("n_pos"),
+        F.max("cum_sq").alias("sq_total"),
+    )
+    pbar = F.col("n_pos").cast("double") / F.col("n_items")
+    brier = F.col("sq_total") / F.col("n_items")
+    unc = pbar * (F.lit(1.0) - pbar)
+    return agg.select(
+        F.col("n_items").cast("long").alias("n_items"),
+        stable_round(brier, 6).alias("brier"),
+        stable_round(unc, 6).alias("uncertainty"),
+        stable_round(unc - brier, 6).alias("resolution"),
+    )
+
+
+ORACLE["q_brier_score"] = """
+WITH rows_ AS (
+  SELECT CAST(embedding[1] AS DOUBLE) AS score, (label < 5) AS pos
+  FROM embeddings
+),
+mm AS (SELECT min(score) AS lo, max(score) AS hi FROM rows_),
+binned AS (
+  SELECT CAST(least(9, floor((score - lo) / (hi - lo) * 10)) AS INTEGER)
+           AS bin,
+         pos
+  FROM rows_ CROSS JOIN mm
+),
+bins AS (
+  SELECT bin, count(*) AS n,
+         sum(CASE WHEN pos THEN 1 ELSE 0 END) AS n_pos
+  FROM binned GROUP BY 1
+),
+terms AS (
+  SELECT bin, n, n_pos,
+         n_pos * (1.0 - CAST(n_pos AS DOUBLE) / n)
+               * (1.0 - CAST(n_pos AS DOUBLE) / n)
+         + (n - n_pos) * (CAST(n_pos AS DOUBLE) / n)
+                       * (CAST(n_pos AS DOUBLE) / n) AS sq_mass
+  FROM bins
+),
+cum AS (
+  SELECT n, n_pos,
+         sum(sq_mass) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cum_sq
+  FROM terms
+),
+agg AS (
+  SELECT sum(n) AS n_items, sum(n_pos) AS n_pos, max(cum_sq) AS sq_total
+  FROM cum
+)
+SELECT CAST(n_items AS BIGINT) AS n_items,
+       (floor((sq_total / n_items) * 1000000.0 + 0.5) / 1000000.0) AS brier,
+       (floor(((CAST(n_pos AS DOUBLE) / n_items)
+               * (1.0 - CAST(n_pos AS DOUBLE) / n_items)) * 1000000.0 + 0.5)
+        / 1000000.0) AS uncertainty,
+       (floor((((CAST(n_pos AS DOUBLE) / n_items)
+                * (1.0 - CAST(n_pos AS DOUBLE) / n_items))
+               - (sq_total / n_items)) * 1000000.0 + 0.5)
+        / 1000000.0) AS resolution
+FROM agg
+"""
+QUERIES["q_brier_score"] = q_brier_score
