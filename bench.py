@@ -184,6 +184,7 @@ HEADLINE = [
     "q_runs_test",
     "q_unigram_segment_cost",
     "q_brier_score",
+    "q_mase_forecast_eval",
 ]
 
 

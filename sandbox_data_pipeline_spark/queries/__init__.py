@@ -124,6 +124,7 @@ DRIVER_PRIORITY = (
     "q_unigram_segment_cost",
     "q_lakehouse_lifecycle",
     "q_brier_score",
+    "q_mase_forecast_eval",
     # Round-7 graded head (all green in CORRECTNESS_r07), rotated to
     # the back; everything long-green follows via registry interleave.
     "q_partition_evolution",

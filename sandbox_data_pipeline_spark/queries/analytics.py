@@ -2608,3 +2608,70 @@ SELECT CAST(n1 AS BIGINT) AS n_above,
 FROM flips
 """
 QUERIES["q_runs_test"] = q_runs_test
+
+
+def q_mase_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MASE of the seasonal-naive forecast (x̂_t = x_{t−7}) against
+    the naive benchmark (x̂_t = x_{t−1}) on daily event counts — the
+    scale-free forecast-accuracy gate (MASE < 1 ⇒ weekly seasonality
+    carries real signal; ≥ 1 ⇒ a seasonal model earns nothing here).
+    Pairs match by calendar arithmetic (the q_autocorrelation rule —
+    gaps are honest misses); both absolute-error sums are EXACT
+    integers, each MAE is one division, and MASE is one division of
+    those two doubles, floor-rounded once. All post-groupBy work runs
+    on the calendar-bounded day frame."""
+    ev = table(spark, sf_dir, "events").select(F.to_date("ts").alias("d"))
+    days = ev.groupBy("d").agg(F.count(F.lit(1)).alias("x"))
+
+    def lag_err(k: int, tag: str) -> DataFrame:
+        b = days.select(
+            F.col("d").alias("d2"), F.col("x").alias("x_prev")
+        )
+        return (
+            days.join(b, F.col("d") == F.date_add(F.col("d2"), k))
+            .agg(
+                F.count(F.lit(1)).alias(f"n_{tag}"),
+                F.sum(F.abs(F.col("x") - F.col("x_prev"))).alias(
+                    f"ae_{tag}"
+                ),
+            )
+        )
+    j = lag_err(7, "seasonal").crossJoin(lag_err(1, "naive"))
+    mae_s = F.col("ae_seasonal").cast("double") / F.col("n_seasonal")
+    mae_n = F.col("ae_naive").cast("double") / F.col("n_naive")
+    return j.select(
+        F.col("n_seasonal").cast("long").alias("n_seasonal"),
+        F.col("n_naive").cast("long").alias("n_naive"),
+        stable_round(mae_s, 6).alias("mae_seasonal"),
+        stable_round(mae_n, 6).alias("mae_naive"),
+        stable_round(
+            F.when(mae_n == 0.0, F.lit(0.0)).otherwise(mae_s / mae_n), 6
+        ).alias("mase"),
+    )
+
+
+ORACLE["q_mase_forecast_eval"] = """
+WITH days AS (
+  SELECT CAST(ts AS DATE) AS d, count(*) AS x FROM events GROUP BY 1
+),
+s AS (
+  SELECT count(*) AS n_seasonal, sum(abs(a.x - b.x)) AS ae_seasonal
+  FROM days a JOIN days b ON a.d = b.d + 7
+),
+nv AS (
+  SELECT count(*) AS n_naive, sum(abs(a.x - b.x)) AS ae_naive
+  FROM days a JOIN days b ON a.d = b.d + 1
+)
+SELECT CAST(n_seasonal AS BIGINT) AS n_seasonal,
+       CAST(n_naive AS BIGINT) AS n_naive,
+       (floor((CAST(ae_seasonal AS DOUBLE) / n_seasonal) * 1000000.0 + 0.5)
+        / 1000000.0) AS mae_seasonal,
+       (floor((CAST(ae_naive AS DOUBLE) / n_naive) * 1000000.0 + 0.5)
+        / 1000000.0) AS mae_naive,
+       (floor((CASE WHEN CAST(ae_naive AS DOUBLE) / n_naive = 0.0 THEN 0.0
+                    ELSE (CAST(ae_seasonal AS DOUBLE) / n_seasonal)
+                         / (CAST(ae_naive AS DOUBLE) / n_naive)
+               END) * 1000000.0 + 0.5) / 1000000.0) AS mase
+FROM s CROSS JOIN nv
+"""
+QUERIES["q_mase_forecast_eval"] = q_mase_forecast_eval
