@@ -25,10 +25,10 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # Rotation policy: the graded window is the scarce resource — after an
 # all-green round, holding long-green slots in it wastes the round, so
 # the head is always the canary + the never-driver-sampled queries
-# (after a red round, the reds rotate back in first instead). Round 8:
-# CORRECTNESS_r07 was 50/50 green, so the head is the 57 queries never
-# sampled through r7; cumulative formal coverage after this window is
-# 282/290 (the 8 past position 50 lead round 9 if ungraded).
+# (after a red round, the reds rotate back in first instead). Round 9:
+# CORRECTNESS_r08 was 50/50 green, so the head is the 33 queries never
+# sampled through r8 plus 16 oldest-graded refreshers; cumulative
+# formal coverage after this window is 315/315.
 # tests/test_registry_hygiene.py encodes this policy so it survives
 # context loss between rounds.
 DRIVER_PRIORITY = (
@@ -36,11 +36,65 @@ DRIVER_PRIORITY = (
     # slot 1 every round (a canary regression means the comparator
     # environment moved again, not the queries).
     "q_hash_canary",
-    # Round-8 graded head: the 57 queries never driver-sampled as of
-    # CORRECTNESS_r07 (the pre-r7 overflow, then the 25 round-7
-    # additions), in the order round 7 queued them. The driver grades
-    # ~50 per round, so the first 49 here land in round 8; the rest
-    # lead round 9 if ungraded.
+    # Round-9 graded head: CORRECTNESS_r08 was 50/50 green, so per the
+    # rotation policy the head is the 33 queries never driver-sampled
+    # through r8 (8 pre-r8 overflow, then the 25 round-8 additions),
+    # followed by 16 oldest-graded (r01) refreshers to fill the ~50
+    # window. After this window formal coverage is 315/315.
+    "q_t_closeness",
+    "q_feature_hashing",
+    "q_group_ttest",
+    "q_lof_outliers",
+    "q_link_prediction",
+    "q_ndcg_at_k",
+    "q_event_trigrams",
+    "q_kaplan_meier",
+    "q_suffix_dedup_apply",
+    "q_suffix_dedup_apply_keep_first",
+    "q_column_mapping",
+    "q_cohen_kappa",
+    "q_class_f1",
+    "q_token_entropy",
+    "q_burstiness",
+    "q_textrank_keywords",
+    "q_autocorrelation",
+    "q_jackknife_ci",
+    "q_ppr_influence",
+    "q_theilsen_trend",
+    "q_rolling_median",
+    "q_assortativity",
+    "q_matryoshka_recall",
+    "q_heaps_law",
+    "q_bigram_perplexity",
+    "q_conformal_interval",
+    "q_pair_bleu",
+    "q_update_where",
+    "q_runs_test",
+    "q_unigram_segment_cost",
+    "q_lakehouse_lifecycle",
+    "q_brier_score",
+    "q_mase_forecast_eval",
+    # 16 refreshers: last formally graded in CORRECTNESS_r01.
+    "q_agg_basic",
+    "q_agg_cube",
+    "q_agg_distinct",
+    "q_agg_maxby",
+    "q_agg_rollup",
+    "q_array_funcs",
+    "q_date_funcs",
+    "q_exists_correlated",
+    "q_explode",
+    "q_funnel",
+    "q_gap_fill",
+    "q_histogram",
+    "q_join_anti",
+    "q_join_asof",
+    "q_join_broadcast",
+    "q_join_multi",
+    # ---- end of graded head (50) ----
+    # Round-8 graded head (all green in CORRECTNESS_r08), then the
+    # round-7 head; everything long-green follows via the registry
+    # interleave.
     "q_orc_interchange",
     "q_suffix_repeats",
     "q_suffix_dedup_spans",
@@ -90,43 +144,6 @@ DRIVER_PRIORITY = (
     "q_pr_curve",
     "q_chi2_terms",
     "q_kcore_peel",
-    # ---- end of graded head (50) ----
-    "q_t_closeness",
-    "q_feature_hashing",
-    "q_group_ttest",
-    "q_lof_outliers",
-    "q_link_prediction",
-    "q_ndcg_at_k",
-    "q_event_trigrams",
-    "q_kaplan_meier",
-    # Round-8 additions (never sampled):
-    "q_suffix_dedup_apply",
-    "q_suffix_dedup_apply_keep_first",
-    "q_column_mapping",
-    "q_cohen_kappa",
-    "q_class_f1",
-    "q_token_entropy",
-    "q_burstiness",
-    "q_textrank_keywords",
-    "q_autocorrelation",
-    "q_jackknife_ci",
-    "q_ppr_influence",
-    "q_theilsen_trend",
-    "q_rolling_median",
-    "q_assortativity",
-    "q_matryoshka_recall",
-    "q_heaps_law",
-    "q_bigram_perplexity",
-    "q_conformal_interval",
-    "q_pair_bleu",
-    "q_update_where",
-    "q_runs_test",
-    "q_unigram_segment_cost",
-    "q_lakehouse_lifecycle",
-    "q_brier_score",
-    "q_mase_forecast_eval",
-    # Round-7 graded head (all green in CORRECTNESS_r07), rotated to
-    # the back; everything long-green follows via registry interleave.
     "q_partition_evolution",
     "q_hidden_partitioning",
     "q_bloom_index",
