@@ -93,6 +93,63 @@ def stable_global_ids(
     return result
 
 
+def global_cumsum(
+    df: DataFrame,
+    order_cols: list[str],
+    sum_cols: list[str],
+    num_partitions: int | None = None,
+    prefix: str = "cum_",
+) -> DataFrame:
+    """Running totals of ``sum_cols`` over the global ``order_cols``
+    order WITHOUT a single-partition window — the same two-phase range
+    exchange as ``stable_global_ids``: range-repartition on the
+    ordering tuple, cumulate locally within each range partition, then
+    add each partition's broadcast prefix offset. The only
+    unpartitioned window runs over the per-partition TOTALS frame
+    (bounded by the partition count, never the data).
+
+    ``order_cols`` must be a total order (unique tuple) so results are
+    partition-count-independent. Output adds ``{prefix}{col}`` per sum
+    column; input columns pass through unchanged.
+    """
+    d = (
+        df.repartitionByRange(num_partitions, *order_cols)
+        if num_partitions is not None
+        else df.repartitionByRange(*order_cols)
+    ).withColumn("_pid", F.spark_partition_id())
+    if num_partitions is not None:
+        # pre-shape the window's exchange so Spark reuses it rather
+        # than inserting a session-default-sized one (see
+        # operators/suffix.py: global_row_number)
+        d = d.repartition(num_partitions, "_pid")
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    for c in sum_cols:
+        d = d.withColumn(f"_l_{c}", F.sum(c).over(w))
+    totals = d.groupBy("_pid").agg(
+        *[F.sum(c).alias(f"_t_{c}") for c in sum_cols]
+    )
+    # unpartitioned window over the TOTALS frame only — one row per
+    # range partition, metadata scale; the WindowExec warning it
+    # triggers is cosmetic (same note as global_row_number)
+    wo = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = totals.select(
+        "_pid",
+        *[
+            F.coalesce(F.sum(f"_t_{c}").over(wo), F.lit(0)).alias(f"_o_{c}")
+            for c in sum_cols
+        ],
+    )
+    out = d.join(F.broadcast(offs), "_pid")
+    for c in sum_cols:
+        out = out.withColumn(prefix + c, F.col(f"_l_{c}") + F.col(f"_o_{c}"))
+    drop = ["_pid"] + [f"_l_{c}" for c in sum_cols] + [f"_o_{c}" for c in sum_cols]
+    return out.drop(*drop)
+
+
 def ring_negative_samples(
     docs: DataFrame,
     k: int = 4,

@@ -2847,10 +2847,13 @@ def q_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_zipf_fit (natural text: β ≈ 0.4–0.6; template spam saturates,
     random noise stays near 1). The prefix curve needs NO sequential
     scan: a token's contribution to V starts at its FIRST-appearance
-    doc (min doc_id containing it), so cumulative vocabulary is one
-    ordered cumulative window over the per-doc new-type counts —
-    exact integers — and the fit is the regr_* pattern q_zipf_fit
-    proved cross-engine."""
+    doc (min doc_id containing it), so cumulative vocabulary is a
+    running total over the per-doc new-type counts — exact integers —
+    and the fit is the regr_* pattern q_zipf_fit proved cross-engine.
+    The running totals use the two-phase range prefix sum
+    (operators/ids.py: global_cumsum), NOT an unpartitioned window:
+    the per-doc frame is corpus-cardinality, and a single-partition
+    WindowExec over it is the classic 100 TB scale-killer."""
     toks = table(spark, sf_dir, "documents").select(
         "doc_id",
         F.explode(
@@ -2864,17 +2867,17 @@ def q_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("first_doc").alias("doc_id"))
         .agg(F.count(F.lit(1)).alias("new_types"))
     )
-    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
-    curve = (
-        per_doc.join(firsts, "doc_id", "left")
-        .select(
+    from sandbox_data_pipeline_spark.operators.ids import global_cumsum
+
+    curve = global_cumsum(
+        per_doc.join(firsts, "doc_id", "left").select(
             "doc_id",
             "n_toks",
             F.coalesce(F.col("new_types"), F.lit(0)).alias("new_types"),
-        )
-        .withColumn("cum_n", F.sum("n_toks").over(w))
-        .withColumn("cum_v", F.sum("new_types").over(w))
-    )
+        ),
+        order_cols=["doc_id"],
+        sum_cols=["n_toks", "new_types"],
+    ).withColumnsRenamed({"cum_n_toks": "cum_n", "cum_new_types": "cum_v"})
     pts = curve.select(
         F.log(F.col("cum_n").cast("double")).alias("lx"),
         F.log(F.col("cum_v").cast("double")).alias("ly"),
