@@ -297,10 +297,10 @@ def _adjacent_lcp_pairs(
     max_len: int,
 ) -> DataFrame:
     """Rank-adjacent suffix pairs with lcp >= min_len:
-    (doc_id, pos, next_doc, next_pos, lcp). The shared detection core
-    of duplicate_spans / canonical_duplicate_spans — one hash self-join
-    on sa_rank+1 over the suffix array, never a window over the whole
-    array."""
+    (sa_rank, doc_id, pos, next_doc, next_pos, lcp). The shared
+    detection core of duplicate_spans / canonical_duplicate_spans —
+    one hash self-join on sa_rank+1 over the suffix array, never a
+    window over the whole array."""
     sa = suffix_array(docs, text_col, id_col, max_len)
     trunc = docs.select(
         F.col(id_col).alias("doc_id"),
@@ -322,7 +322,7 @@ def _adjacent_lcp_pairs(
         with_suf.join(nxt, "sa_rank")
         .withColumn("lcp", lcp_expr("suf", "next_suf"))
         .where(F.col("lcp") >= min_len)
-        .select("doc_id", "pos", "next_doc", "next_pos", "lcp")
+        .select("sa_rank", "doc_id", "pos", "next_doc", "next_pos", "lcp")
     )
 
 
@@ -404,20 +404,77 @@ def canonical_duplicate_spans(
     id_col: str = "doc_id",
     max_len: int = 128,
 ) -> DataFrame:
-    """duplicate_spans' keep-first twin: each rank-adjacent pair with
-    lcp >= min_len marks ONLY the occurrence that comes later in
-    (doc_id, pos) order, so the earliest occurrence of a repeated run
-    stays canonical. For a run of k identical prefixes, rank order IS
-    (doc_id, pos) order (the suffix array's declared tie-break), so
-    occurrences 2..k are marked and the first survives — the
-    "remove all but one copy" policy of near-dup pipelines, at exact
-    substring granularity. Same shuffle shape as duplicate_spans."""
+    """duplicate_spans' keep-first twin: within every maximal RUN of
+    rank-consecutive suffixes whose adjacent lcps are all >= min_len
+    (so every member shares a >= min_len prefix with every other —
+    the run lcp is the min of the chain), every occurrence except the
+    (doc_id, pos)-minimum is marked and exactly that earliest one
+    survives — the "remove all but one copy" policy of near-dup
+    pipelines, at exact substring granularity.
+
+    Pairwise-later marking alone is NOT enough: rank order only equals
+    (doc_id, pos) order for fully identical suffixes, and a run whose
+    rank order permutes its occurrences (e.g. O2, O3, O1) leaves two
+    copies unmarked. Runs are grouped explicitly instead: a qualifying
+    pair is a run START iff no qualifying pair sits at sa_rank - 1 (a
+    hash anti-lookup, not a window), run ids are the running count of
+    starts in rank order via the two-phase range prefix sum
+    (operators/ids.py: global_cumsum — never a single-partition
+    window), and the run minimum falls out of a partial-aggregating
+    min(struct). Marked extents: the pairwise lcp where a pair marks
+    its later element (same as duplicate_spans), plus the run lcp for
+    every other non-minimum member — so the survivor keeps the
+    run-shared prefix intact, and every marked span is a real
+    duplicate of its rank-neighbor at marking time."""
+    from sandbox_data_pipeline_spark.operators.ids import global_cumsum
+
     pairs = _adjacent_lcp_pairs(docs, min_len, text_col, id_col, max_len)
+    prev = pairs.select(
+        (F.col("sa_rank") + 1).alias("sa_rank"), F.lit(1).alias("_hp")
+    )
+    flagged = (
+        pairs.join(prev, "sa_rank", "left")
+        .withColumn(
+            "_start", F.when(F.col("_hp").isNull(), 1).otherwise(0)
+        )
+        .drop("_hp")
+    )
+    runs = global_cumsum(
+        flagged, order_cols=["sa_rank"], sum_cols=["_start"]
+    ).withColumnRenamed("cum__start", "run_id")
+    members = (
+        runs.select("run_id", "doc_id", "pos")
+        .unionByName(
+            runs.select(
+                "run_id",
+                F.col("next_doc").alias("doc_id"),
+                F.col("next_pos").alias("pos"),
+            )
+        )
+        .distinct()
+    )
+    run_meta = runs.groupBy("run_id").agg(F.min("lcp").alias("_rl"))
+    run_min = members.groupBy("run_id").agg(
+        F.min(F.struct("doc_id", "pos")).alias("_m")
+    )
+    extra = (
+        members.join(run_min, "run_id")
+        .join(run_meta, "run_id")
+        .where(
+            (F.col("doc_id") != F.col("_m.doc_id"))
+            | (F.col("pos") != F.col("_m.pos"))
+        )
+        .select(
+            "doc_id",
+            F.col("pos").alias("s"),
+            (F.col("pos") + F.col("_rl")).alias("e"),
+        )
+    )
     later_is_next = (F.col("next_doc") > F.col("doc_id")) | (
         (F.col("next_doc") == F.col("doc_id"))
         & (F.col("next_pos") > F.col("pos"))
     )
-    ivals = pairs.select(
+    pairwise = runs.select(
         F.when(later_is_next, F.col("next_doc"))
         .otherwise(F.col("doc_id"))
         .alias("doc_id"),
@@ -428,7 +485,8 @@ def canonical_duplicate_spans(
             F.when(later_is_next, F.col("next_pos")).otherwise(F.col("pos"))
             + F.col("lcp")
         ).alias("e"),
-    ).distinct()
+    )
+    ivals = pairwise.unionByName(extra).distinct()
     return merge_intervals(ivals)
 
 

@@ -221,11 +221,19 @@ def viterbi_cost(
         *([pad] * (W - 1)),
         F.struct(F.lit(0.0).alias("c"), F.lit(0).alias("n")),
     )
-    return F.aggregate(
-        F.sequence(F.lit(1), F.length(text)),
-        init,
-        step,
-        lambda acc: F.element_at(acc, -1),
+    # Spark's sequence(1, 0) auto-steps -1 and yields [1, 0], so an
+    # empty text would run bogus DP steps and return NULL — guard to
+    # the (0 cost, 0 pieces) base case the python twin returns.
+    return F.when(
+        F.length(text) == 0,
+        F.struct(F.lit(0.0).alias("c"), F.lit(0).alias("n")),
+    ).otherwise(
+        F.aggregate(
+            F.sequence(F.lit(1), F.length(text)),
+            init,
+            step,
+            lambda acc: F.element_at(acc, -1),
+        )
     )
 
 

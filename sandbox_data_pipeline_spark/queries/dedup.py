@@ -1686,13 +1686,51 @@ def _oracle_suffix_apply(keep_first: bool) -> str:
     string surgery: kept text = ordered string_agg of the gap segments
     between consecutive merged spans plus the tail after the last one."""
     if keep_first:
+        # Run grouping (operators/suffix.py: canonical_duplicate_spans):
+        # maximal rank-consecutive chains of qualifying pairs; every
+        # member but the (doc_id, pos) minimum is marked — pairwise-lcp
+        # extents where a pair marks its later element, run-lcp extents
+        # for the rest.
         later = "(next_doc > doc_id OR (next_doc = doc_id AND next_pos > pos))"
         ivals = f"""
-  SELECT DISTINCT
-    CASE WHEN {later} THEN next_doc ELSE doc_id END AS doc_id,
-    CASE WHEN {later} THEN next_pos ELSE pos END AS s,
-    CASE WHEN {later} THEN next_pos ELSE pos END + lcp AS e
-  FROM pairs WHERE lcp >= {SUFFIX_MIN_LCP}"""
+  WITH q AS (
+    SELECT *, CASE WHEN lag(sa_rank) OVER (ORDER BY sa_rank)
+                        = sa_rank - 1
+              THEN 0 ELSE 1 END AS new_run
+    FROM pairs WHERE lcp >= {SUFFIX_MIN_LCP}
+  ),
+  r AS (
+    SELECT *, sum(new_run) OVER (ORDER BY sa_rank ROWS UNBOUNDED PRECEDING)
+                AS run_id
+    FROM q
+  ),
+  members AS (
+    SELECT DISTINCT run_id, doc_id, pos FROM (
+      SELECT run_id, doc_id, pos FROM r
+      UNION ALL
+      SELECT run_id, next_doc AS doc_id, next_pos AS pos FROM r
+    )
+  ),
+  rmin AS (
+    SELECT run_id, doc_id AS mdoc, pos AS mpos FROM (
+      SELECT run_id, doc_id, pos,
+             row_number() OVER (PARTITION BY run_id
+                                ORDER BY doc_id, pos) AS rn
+      FROM members
+    ) WHERE rn = 1
+  ),
+  rlcp AS (SELECT run_id, min(lcp) AS rl FROM r GROUP BY 1)
+  SELECT DISTINCT doc_id, s, e FROM (
+    SELECT CASE WHEN {later} THEN next_doc ELSE doc_id END AS doc_id,
+           CASE WHEN {later} THEN next_pos ELSE pos END AS s,
+           CASE WHEN {later} THEN next_pos ELSE pos END + lcp AS e
+    FROM r
+    UNION ALL
+    SELECT m.doc_id, m.pos AS s, m.pos + x.rl AS e
+    FROM members m
+    JOIN rmin USING (run_id) JOIN rlcp x USING (run_id)
+    WHERE NOT (m.doc_id = rmin.mdoc AND m.pos = rmin.mpos)
+  )"""
     else:
         ivals = f"""
   SELECT DISTINCT doc_id, s, e FROM (
@@ -1719,7 +1757,8 @@ ranked AS (
   FROM pos
 ),
 pairs AS (
-  SELECT a.doc_id, a.p AS pos, b.doc_id AS next_doc, b.p AS next_pos,
+  SELECT a.sa_rank, a.doc_id, a.p AS pos,
+         b.doc_id AS next_doc, b.p AS next_pos,
          CAST(coalesce(
            nullif(
              list_position(

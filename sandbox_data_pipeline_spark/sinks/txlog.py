@@ -625,7 +625,14 @@ class TxTable:
         mapping: the logical name changes, the physical parquet column
         keeps its name, no data file is touched. Time travel resolves
         per-version: reads at pre-rename versions see the old name
-        (schema_at + column_mapping_at are both latest-at-or-before)."""
+        (schema_at + column_mapping_at are both latest-at-or-before).
+
+        Refuses when a CHECK constraint references the column (same
+        guard as drop_column): the stored constraint SQL is keyed to
+        logical names, so after a rename every later append/update/
+        merge would fail constraint resolution — the table would be
+        effectively write-locked. Drop the constraint, rename, re-add
+        it under the new name."""
         schema = self.schema_at()
         names = [f.name for f in schema.fields]
         if old not in names:
@@ -633,6 +640,15 @@ class TxTable:
         if new in names:
             raise ValueError(f"rename_column: column {new!r} already exists")
         self._guard_mapping_target(old)
+        for cname, sql in self.constraints_at().items():
+            import re as _re
+
+            if _re.search(rf"\b{_re.escape(old)}\b", sql):
+                raise ValueError(
+                    f"rename_column: {old!r} referenced by CHECK "
+                    f"constraint {cname!r}; drop the constraint first, "
+                    "then re-add it against the new name"
+                )
         mapping = self._seed_mapping(schema)
         mapping[new] = mapping.pop(old)
         renamed = T.StructType(
@@ -924,15 +940,31 @@ class TxTable:
             constraint={"name": name, "sql": predicate_sql},
         )
 
+    def drop_constraint(self, name: str) -> int:
+        """ALTER TABLE ... DROP CONSTRAINT — metadata-only commit that
+        removes a CHECK from this version forward (time travel still
+        sees it in force at older versions). The unblock step of the
+        rename/drop-column guards."""
+        if name not in self.constraints_at():
+            raise ValueError(f"drop_constraint: no constraint {name!r}")
+        return self._commit(
+            "drop_constraint", [], [], self.latest_version(),
+            constraint={"name": name, "sql": None},
+        )
+
     def constraints_at(self, version: int | None = None) -> dict[str, str]:
-        """All CHECK constraints in force at ``version`` (name → SQL)."""
+        """All CHECK constraints in force at ``version`` (name → SQL;
+        a drop_constraint entry retires the name from there on)."""
         if version is None:
             version = self.latest_version()
         out: dict[str, str] = {}
         for v in range(version + 1):
             c = self._read_entry(v).get("constraint")
             if c:
-                out[c["name"]] = c["sql"]
+                if c["sql"] is None:
+                    out.pop(c["name"], None)
+                else:
+                    out[c["name"]] = c["sql"]
         return out
 
     def _enforce_constraints(self, df: DataFrame) -> None:
@@ -1602,6 +1634,11 @@ def optimize(
     snap = t.snapshot(rv)
     if where is not None:
         wcol, wlo, whi = where
+        # stats are keyed by PHYSICAL names once column mapping is
+        # active — map the logical predicate column first (same as
+        # delete_where / update_where / files_skipped), or a scoped
+        # optimize after a rename silently degrades to whole-table
+        wcol = (t.column_mapping_at(rv) or {}).get(wcol, wcol)
         snap = {
             p: f
             for p, f in snap.items()

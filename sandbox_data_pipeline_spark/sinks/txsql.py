@@ -29,6 +29,7 @@ Statement surface (one line each):
   ALTER TABLE t DROP COLUMN a
   ALTER TABLE t ADD COLUMNS (a TYPE[, ...])
   ALTER TABLE t ADD CONSTRAINT name CHECK (<predicate>)
+  ALTER TABLE t DROP CONSTRAINT name
   SELECT * FROM t [VERSION AS OF k]
   DESCRIBE HISTORY t
   DESCRIBE DETAIL t
@@ -117,6 +118,12 @@ _STMTS: list[tuple[re.Pattern, str]] = [
             re.I | re.S,
         ),
         "add_constraint",
+    ),
+    (
+        re.compile(
+            r"^ALTER\s+TABLE\s+(\w+)\s+DROP\s+CONSTRAINT\s+(\w+)$", re.I
+        ),
+        "drop_constraint",
     ),
     (
         re.compile(
@@ -213,6 +220,9 @@ class TxSql:
     def _do_add_constraint(self, name: str, cname: str, pred: str):
         return self._t(name).add_constraint(cname, pred)
 
+    def _do_drop_constraint(self, name: str, cname: str):
+        return self._t(name).drop_constraint(cname)
+
     def _do_select(self, name: str, version: str | None) -> DataFrame:
         return self._t(name).read(
             version=int(version) if version is not None else None
@@ -266,8 +276,15 @@ class TxSql:
         return optimize(self._t(name), zorder_by=zorder)
 
     def _do_vacuum(self, name: str, retain: str | None):
+        # Bare VACUUM keeps vacuum()'s own safe defaults (head snapshot
+        # + the 7-day age floor for concurrent write-then-commit
+        # writers), matching Delta's bare-VACUUM retention. Only an
+        # explicit RETAIN clause — the user naming a version horizon —
+        # drops the age floor to reclaim immediately.
+        if retain is None:
+            return self._t(name).vacuum()
         return self._t(name).vacuum(
-            retain_versions=int(retain) if retain else 1, retain_seconds=0
+            retain_versions=int(retain), retain_seconds=0
         )
 
 

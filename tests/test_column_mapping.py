@@ -195,3 +195,47 @@ def test_streaming_sink_through_rename(spark, tmp_path):
     q.awaitTermination(120)
     got = {(r["id"], r["quantity"]) for r in t.read().collect()}
     assert got == {(1, 10), (2, 20), (3, 30)}
+
+
+def test_rename_refuses_constraint_referenced_column(spark, tmp_path):
+    """A rename under an active CHECK constraint would leave the stored
+    constraint SQL pointing at a missing logical name — every later
+    write would fail resolution. The guard refuses up front (same as
+    drop_column); dropping the constraint unblocks the rename."""
+    t = _mk(spark, tmp_path)
+    t.add_constraint("qty_cap", "qty <= 100")
+    with pytest.raises(ValueError, match="constraint"):
+        t.rename_column("qty", "quantity")
+    # table is still writable (the failed rename committed nothing)
+    t.append(spark.createDataFrame([(3, 30, "c")], "id long, qty long, tag string"))
+    assert t.read().count() == 3
+    t.drop_constraint("qty_cap")
+    t.rename_column("qty", "quantity")
+    assert t.read().columns == ["id", "quantity", "tag"]
+
+
+def test_scoped_optimize_prunes_through_renamed_column(spark, tmp_path):
+    """optimize(where=) maps the logical predicate column to its
+    physical stats key: after a rename, a scoped optimize still
+    compacts ONLY the overlapping files instead of silently degrading
+    to a whole-table rewrite."""
+    from sandbox_data_pipeline_spark.sinks.txlog import optimize
+
+    base = spark.range(0, 400).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    ).repartitionByRange(4, "k")
+    t = TxTable.create(spark, str(tmp_path / "opt"), base)
+    t.rename_column("k", "key")
+    before = t.snapshot()
+    untouched = {
+        p: f.bytes
+        for p, f in before.items()
+        if f.stats["k"]["max"] < 0 or f.stats["k"]["min"] > 99
+    }
+    assert untouched  # files wholly outside the range exist
+    r = optimize(t, where=("key", 0, 99), num_files=1)
+    assert r["files_before"] < len(before)  # pruning actually fired
+    after = t.snapshot()
+    for p, b in untouched.items():
+        assert p in after and after[p].bytes == b
+    assert t.read().count() == 400

@@ -252,3 +252,30 @@ def test_keep_first_keeps_exactly_one_copy(spark):
     }
     for r in keep:
         assert r["n_chars_removed"] <= full[r["doc_id"]]
+
+
+def test_keep_first_survives_rank_permuted_runs(spark):
+    """A run whose suffix-rank order permutes its (doc_id, pos) order:
+    the shared 24-char block is followed by 'aa' in doc 1, 'mm' in
+    doc 2, 'zz' in doc 0, so rank order is (doc1, doc2, doc0) while
+    the earliest occurrence is doc 0. Pairwise-later marking alone
+    leaves doc 0 AND doc 1 unmarked (two survivors); run grouping must
+    keep exactly the (doc_id, pos) minimum — doc 0."""
+    from sandbox_data_pipeline_spark.operators.suffix import (
+        apply_span_removal,
+        canonical_duplicate_spans,
+    )
+
+    block = "the shared repeated block"  # 25 chars >= min_len 20
+    docs = _docs(
+        spark,
+        [block + " zz", block + " aa", block + " mm"],
+    )
+    cleaned = {
+        r["doc_id"]: r["cleaned_text"]
+        for r in apply_span_removal(
+            docs, canonical_duplicate_spans(docs, min_len=20, max_len=128)
+        ).collect()
+    }
+    assert sum(t.count(block) for t in cleaned.values()) == 1
+    assert block in cleaned[0]  # the (doc_id, pos) minimum survives

@@ -131,3 +131,27 @@ def test_run_script_sequences_and_fails_fast(tx):
             "DELETE FROM s WHERE qty BETWEEN 50 AND 60; TRUNCATE TABLE s",
         )
     assert tx.sql("SELECT * FROM s").count() == 8  # delete (qty 50,60) landed, no more
+
+
+def test_bare_vacuum_keeps_safe_retention(tx):
+    """Bare VACUUM uses vacuum()'s own defaults — the 7-day age floor
+    protects freshly-written (possibly uncommitted-concurrent) files
+    and history stays time-travelable; only an explicit RETAIN clause
+    reclaims immediately."""
+    tx.sql("CREATE TABLE vt AS SELECT * FROM src10 WHERE id < 5")
+    tx.sql("INSERT INTO vt SELECT * FROM src10 WHERE id >= 5")
+    assert tx.sql("VACUUM vt") == []  # age floor spares young files
+    assert tx.sql("SELECT * FROM vt VERSION AS OF 0").count() == 5
+    deleted = tx.sql("VACUUM vt RETAIN 2 VERSIONS")
+    assert deleted == []  # both versions retained explicitly
+    assert tx.sql("SELECT * FROM vt").count() == 10
+
+
+def test_drop_constraint_statement(tx):
+    tx.sql("CREATE TABLE ct AS SELECT * FROM src10")
+    tx.sql("ALTER TABLE ct ADD CONSTRAINT qcap CHECK (qty <= 1000)")
+    with pytest.raises(ValueError, match="constraint"):
+        tx.sql("ALTER TABLE ct RENAME COLUMN qty TO quantity")
+    tx.sql("ALTER TABLE ct DROP CONSTRAINT qcap")
+    tx.sql("ALTER TABLE ct RENAME COLUMN qty TO quantity")
+    assert "quantity" in tx.sql("SELECT * FROM ct").columns

@@ -41,6 +41,7 @@ def test_jvm_viterbi_matches_python(spark):
         "zzz",
         "a",
         "ababab bcbc",
+        "",  # sequence(1,0) yields [1,0] — the guarded base case
     ]
     df = spark.createDataFrame(
         [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
