@@ -89,9 +89,12 @@ DRIVER_PRIORITY = (
     "q_histogram",
     "q_join_anti",
     "q_join_asof",
+    # Round-9 additions (never sampled):
+    "q_quality_classifier",
+    "q_doremi_weights",
+    # ---- end of graded head (50) ----
     "q_join_broadcast",
     "q_join_multi",
-    # ---- end of graded head (50) ----
     # Round-8 graded head (all green in CORRECTNESS_r08), then the
     # round-7 head; everything long-green follows via the registry
     # interleave.

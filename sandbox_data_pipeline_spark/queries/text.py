@@ -3115,3 +3115,186 @@ FROM vit WHERE i = L
 
 QUERIES["q_unigram_segment_cost"] = q_unigram_segment_cost
 ORACLE["q_unigram_segment_cost"] = _oracle_unigram()
+
+
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-shaped quality classifier, trained DISTRIBUTED with 16
+    fixed diagonally-preconditioned gradient steps in exact 2^-20
+    fixed-point arithmetic (operators/quality.py): hashed-token count
+    features (portable md5 buckets — no vocabulary pass), stopword-
+    density rule labels, hard-sigmoid residuals, integer gradient sums
+    (association-free), ONE bounded (J+2)-row collect per step for the
+    driver weight fold. Output: the per-source integer confusion of
+    the trained scorer vs the rule labels. The oracle replays the
+    identical 16-step iteration as an unrolled CTE chain — exactness
+    is the point: floats would drift across engines; integers cannot."""
+    from sandbox_data_pipeline_spark.operators.quality import (
+        quality_classifier_report,
+    )
+
+    return quality_classifier_report(table(spark, sf_dir, "documents"))
+
+
+def _oracle_quality_classifier(iters: int = 16) -> str:
+    from sandbox_data_pipeline_spark.operators.quality import (
+        Q_BIAS,
+        Q_BUCKETS,
+        Q_HALF,
+        Q_LABEL_NUM,
+        Q_NFEATS,
+        Q_NTOK,
+        Q_SCALE,
+        Q_STEP_NUM,
+    )
+
+    steps = []
+    prev = "w0"
+    for k in range(1, iters + 1):
+        steps.append(
+            f"""z{k} AS (
+  SELECT f.doc_id, sum(w.w * f.cnt) AS z
+  FROM feats f JOIN {prev} w USING (j) GROUP BY 1
+),
+r{k} AS MATERIALIZED (
+  SELECT z.doc_id,
+         GREATEST(CAST(0 AS BIGINT),
+                  LEAST(CAST({Q_SCALE} AS BIGINT),
+                        {Q_HALF} + CAST(floor(z / 4.0) AS BIGINT)))
+           - l.y * {Q_SCALE} AS r
+  FROM z{k} z JOIN lab l USING (doc_id)
+),
+g{k} AS (
+  SELECT f.j, sum(r.r * f.cnt) AS g
+  FROM feats f JOIN r{k} r USING (doc_id) GROUP BY 1
+),
+w{k} AS MATERIALIZED (
+  SELECT w.j,
+         w.w - CAST(floor(CAST(coalesce(g.g, 0) AS DOUBLE) * {Q_STEP_NUM}
+                          / coalesce(s.ss, 1)) AS BIGINT) AS w
+  FROM {prev} w
+  LEFT JOIN g{k} g USING (j)
+  LEFT JOIN ssq s USING (j)
+)"""
+        )
+        prev = f"w{k}"
+    chain = ",\n".join(steps)
+    return f"""
+WITH d AS MATERIALIZED (
+  SELECT doc_id, source,
+         list_filter(string_split(text, ' '), t -> t <> '') AS t
+  FROM documents
+),
+tok AS (SELECT doc_id, unnest(t) AS tk FROM d),
+fh AS (
+  SELECT doc_id,
+         CAST(CAST('0x' || substr(md5('qc' || tk), 1, 15) AS BIGINT)
+              % {Q_BUCKETS} AS INTEGER) AS j,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM tok GROUP BY 1, 2
+),
+feats AS MATERIALIZED (
+  SELECT * FROM fh
+  UNION ALL
+  SELECT doc_id, {Q_NTOK}, CAST(len(t) AS BIGINT) FROM d
+  UNION ALL
+  SELECT doc_id, {Q_BIAS}, CAST(1 AS BIGINT) FROM d
+),
+lab AS MATERIALIZED (
+  SELECT doc_id,
+         CASE WHEN len(list_filter(t, x -> x = 'the')) * {Q_LABEL_NUM}
+                   >= len(t)
+              THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS y
+  FROM d
+),
+ssq AS MATERIALIZED (
+  SELECT j,
+         GREATEST(CAST(1 AS BIGINT), CAST(sum(cnt * cnt) AS BIGINT)) AS ss
+  FROM feats GROUP BY 1
+),
+w0 AS (
+  SELECT CAST(r.range AS INTEGER) AS j, CAST(0 AS BIGINT) AS w
+  FROM range(0, {Q_NFEATS}) r
+),
+{chain},
+scored AS (
+  SELECT f.doc_id, CASE WHEN sum(w.w * f.cnt) >= 0 THEN 1 ELSE 0 END AS pred
+  FROM feats f JOIN {prev} w USING (j) GROUP BY 1
+)
+SELECT d.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(l.y) AS BIGINT) AS n_label_pos,
+       CAST(sum(s.pred) AS BIGINT) AS n_pred_pos,
+       CAST(sum(CASE WHEN s.pred = l.y THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_correct
+FROM d
+JOIN lab l USING (doc_id)
+JOIN scored s USING (doc_id)
+GROUP BY 1
+"""
+
+
+QUERIES["q_quality_classifier"] = q_quality_classifier
+ORACLE["q_quality_classifier"] = _oracle_quality_classifier()
+
+
+def q_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi-style per-source mixture reweighting (Xie et al. 2023,
+    simplified): 5 fixed multiplicative-weights iterations driven by
+    per-source EXCESS unigram cross-entropy over the current weighted
+    mixture average (operators/quality.py: doremi_weights). The proxy
+    loss is quantized to integer 1e-4 bits once; from there every
+    update is exact integer / power-of-two-double arithmetic, so the
+    oracle's unrolled CTE replay matches hash-for-hash. Driver state:
+    one integer per source. Extends q_mixture_weights /
+    q_temperature_mixture with the excess-loss feedback loop."""
+    from sandbox_data_pipeline_spark.operators.quality import doremi_weights
+
+    return doremi_weights(table(spark, sf_dir, "documents"))
+
+
+def _oracle_doremi(iters: int = 5) -> str:
+    steps = []
+    prev = "m0"
+    for k in range(1, iters + 1):
+        steps.append(
+            f"""a{k} AS (
+  SELECT CAST(floor(CAST(sum(m * loss_e4) AS DOUBLE) / sum(m)) AS BIGINT)
+           AS avgl
+  FROM {prev}
+),
+m{k} AS MATERIALIZED (
+  SELECT source, loss_e4,
+         CAST(floor(m * (1048576 +
+                         GREATEST(CAST(0 AS BIGINT), loss_e4 - a.avgl))
+                    / 1048576.0) AS BIGINT) AS m
+  FROM {prev} CROSS JOIN a{k} a
+)"""
+        )
+        prev = f"m{k}"
+    chain = ",\n".join(steps)
+    return f"""
+WITH d AS MATERIALIZED (
+  SELECT source, list_filter(string_split(text, ' '), t -> t <> '') AS t
+  FROM documents
+),
+tok AS MATERIALIZED (SELECT source, unnest(t) AS tok FROM d),
+vocab AS MATERIALIZED (SELECT tok, count(*) AS cnt FROM tok GROUP BY 1),
+tot AS (SELECT sum(cnt) AS total FROM vocab),
+m0 AS MATERIALIZED (
+  SELECT source,
+         CAST(round(avg(-log2(cnt / total)) * 10000) AS BIGINT) AS loss_e4,
+         CAST(1048576 AS BIGINT) AS m
+  FROM tok JOIN vocab USING (tok) CROSS JOIN tot
+  GROUP BY source
+),
+{chain}
+SELECT source, loss_e4,
+       CAST(floor(CAST(m AS DOUBLE) * 1000000.0 / t.total_m) AS BIGINT)
+         AS weight_ppm
+FROM {prev}
+CROSS JOIN (SELECT sum(m) AS total_m FROM {prev}) t
+"""
+
+
+QUERIES["q_doremi_weights"] = q_doremi_weights
+ORACLE["q_doremi_weights"] = _oracle_doremi()
