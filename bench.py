@@ -18,173 +18,182 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-# Headline set: one per operator family. Names must exist in queries().
+# Headline set — ROTATED per round like DRIVER_PRIORITY: after round
+# 8's 144-query run came back regression-free, round 9 measures the
+# ~149 registry queries never benched before (so a hidden slow query
+# in the unbenched tail gets caught), keeping the 10 slowest round-8
+# queries for round-over-round continuity (flagship always runs).
+# Excluded by standing policy: table/file writers (q_time_travel,
+# the txlog lifecycle rows, the interchange writers) and the
+# stdlib-Python codec-stress rows (q_gif_keyframes,
+# q_jpeg_decode_stats, q_video_keyframes) — correctness rows, not
+# throughput probes. Names must exist in queries().
 HEADLINE = [
-    "q_agg_basic",
-    "q_join_broadcast",
-    "q_join_inner",
-    "q_join_asof",
-    "q_window_rank",
-    "q_latest_per_key",
-    "q_explode",
-    "q_window_hourly",
-    "q_gap_fill",
-    "q_winsorize",
-    "q_subquery_in",
-    "q_tpch_q01",
-    "q_tpch_q02",
-    "q_tpch_q05",
-    "q_tpch_q09",
-    "q_tpch_q13",
-    "q_tpch_q18",
-    "q_tpch_q21",
-    "q_merge_upsert",
-    "q_scd2_priority",
-    "q_bloom_prefilter",
-    "q_mad_anomalies",
-    "q_dedup_exact",
-    "q_dedup_clusters",
-    "q_passage_dedup",
-    "q_incremental_dedup",
-    "q_dedup_minhash_pairs",
-    "q_dedup_simhash_pairs",
-    "q_similarity_topk",
-    "q_similarity_lsh_topk",
-    "q_similarity_ivf_topk",
-    "q_knn_join",
-    "q_text_quality",
-    "q_gopher_rules",
-    "q_token_count",
-    "q_pii_scrub",
-    "q_decontam",
-    "q_pack_sequences",
-    "q_semdedup",
-    "q_pq_adc_topk",
-    "q_containment_pairs",
-    "q_url_dedup",
-    "q_source_quota",
-    "q_budget_select",
-    "q_weighted_sample",
-    "q_ann_index",
-    "q_skew_report",
-    "q_profile_orders",
-    "q_join_cardinality_audit",
-    "q_curation_pipeline",
-    "q_first_seen_batch",
-    "q_trending_batch",
-    "q_sessionize_batch",
-    "q_substring_dup_spans",
-    "q_zorder_skipping",
-    "q_compaction_plan",
-    "q_unigram_bits",
-    "q_allpairs_jaccard",
-    "q_doc_chunks",
-    "q_pmi_pairs",
-    "q_cms_heavy_hitters",
-    "q_pagerank_dups",
-    "q_event_funnel",
-    "q_rag_index_pipeline",
-    "q_source_drift_kl",
-    "q_bpe_merges",
-    "q_mmr_rerank",
-    "q_histogram_equidepth",
-    "q_hits_dups",
-    "q_clustering_coeff",
-    "q_bmp_decode_stats",
-    "q_zipf_fit",
-    # round-4 additions (q_time_travel excluded: it writes a table per
-    # run — correctness row, not a throughput probe)
-    "q_curriculum_shards",
-    "q_point_in_time_features",
-    "q_profile_drift",
-    "q_benford_audit",
-    "q_gini_concentration",
-    "q_psi_drift",
-    "q_event_transitions",
-    "q_png_decode_stats",
-    "q_gif_decode_stats",
-    "q_kmv_distinct",
-    "q_simhash_quality_sweep",
-    # round-5 additions: replayable sketches + exact-integer k-means IVF
-    "q_agg_approx",
-    "q_hll_rollup",
-    "q_similarity_ivf_kmeans_topk",
-    "q_anchored_dup_spans",
-    "q_kmv_jaccard",
-    # round-6 addition: grammian tree-aggregation (distributed PCA half)
-    "q_embedding_gram",
-    "q_bpe_encode",
-    "q_bm25_topk",
-    "q_fuzzy_match",
-    "q_numeric_corr",
-    "q_hybrid_rrf",
-    "q_linear_fit",
-    "q_audio_onsets",
-    # q_gif_keyframes excluded: it LZW-encodes AND decodes 2-4 full
-    # frames per doc in stdlib Python by design (codec-stress
-    # correctness row, ~5.5 s at sf0.1 — not a throughput probe);
-    # q_schema_evolution / q_check_constraint excluded: they write a
-    # table per run, like q_time_travel
-    # round-6 session-3 additions (q_jpeg_decode_stats /
-    # q_video_keyframes excluded: codec-stress rows, same policy as
-    # q_gif_keyframes; q_csv_interchange / q_ingest_quarantine /
-    # q_partition_evolution excluded: they write landing files or a
-    # table per run, same policy as q_time_travel)
-    "q_dd_quantiles",
-    # round-7 additions: suffix-array dedup + graph/drift/curation ops
-    # (q_orc_interchange excluded: writes interchange files per run,
-    # same policy as q_csv_interchange)
-    "q_suffix_repeats",
-    "q_suffix_dedup_spans",
+    # continuity: round-8 top-10 slowest
     "q_suffix_dedup_apply",
-    "q_lpa_communities",
-    "q_graph_bfs",
-    "q_ks_drift",
-    "q_skyline",
-    "q_l_diversity",
-    "q_auc_score",
-    "q_calibration_bins",
-    # round-7 second wave: monitoring, basket mining, feature eng
-    "q_cusum_changepoints",
-    "q_association_rules",
-    "q_target_encode",
-    "q_best_split",
-    "q_pr_curve",
-    "q_chi2_terms",
-    "q_kcore_peel",
-    "q_t_closeness",
-    "q_feature_hashing",
-    "q_group_ttest",
-    "q_lof_outliers",
-    "q_link_prediction",
-    "q_ndcg_at_k",
-    "q_event_trigrams",
-    "q_kaplan_meier",
-    # round-8 additions: span-removal apply, classifier QA, diversity,
-    # keyword extraction, time-series + resampling diagnostics
-    # (q_column_mapping excluded: writes a table per run, same policy
-    # as q_time_travel)
-    "q_suffix_dedup_apply_keep_first",
-    "q_cohen_kappa",
-    "q_class_f1",
-    "q_token_entropy",
-    "q_burstiness",
-    "q_textrank_keywords",
-    "q_autocorrelation",
-    "q_jackknife_ci",
+    "q_anchored_dup_spans",
+    "q_substring_dup_spans",
+    "q_pagerank_dups",
     "q_ppr_influence",
-    "q_theilsen_trend",
-    "q_rolling_median",
-    "q_assortativity",
-    "q_matryoshka_recall",
-    "q_heaps_law",
-    "q_bigram_perplexity",
-    "q_conformal_interval",
-    "q_pair_bleu",
-    "q_runs_test",
-    "q_unigram_segment_cost",
-    "q_brier_score",
-    "q_mase_forecast_eval",
+    "q_similarity_ivf_kmeans_topk",
+    "q_suffix_dedup_apply_keep_first",
+    "q_suffix_dedup_spans",
+    "q_simhash_quality_sweep",
+    "q_dedup_clusters",
+    # first-time coverage: never benched through round 8
+    "q_agg_cube",
+    "q_agg_distinct",
+    "q_agg_maxby",
+    "q_agg_rollup",
+    "q_array_funcs",
+    "q_date_funcs",
+    "q_exists_correlated",
+    "q_funnel",
+    "q_histogram",
+    "q_join_anti",
+    "q_quality_classifier",
+    "q_doremi_weights",
+    "q_join_multi",
+    "q_activity_heatmap",
+    "q_click_attribution",
+    "q_dataset_card",
+    "q_domain_blocklist",
+    "q_entity_matches",
+    "q_ewma_smooth",
+    "q_filter_cascade",
+    "q_group_quantiles",
+    "q_hash_split",
+    "q_mixture_sample",
+    "q_pack_efficiency",
+    "q_pack_manifest",
+    "q_repetition",
+    "q_seasonal_index",
+    "q_source_stats",
+    "q_stratified_sample",
+    "q_temperature_mixture",
+    "q_timeseries_decompose",
+    "q_token_quantiles",
+    "q_url_canonical",
+    "q_masked_export",
+    # q_image_dhash_dedup / q_video_near_dup excluded: stdlib-Python
+    # JPEG/MJPEG decode per doc (23s / 35s at sf0.1) — codec-stress
+    # correctness rows, same policy as q_jpeg_decode_stats. Round 9
+    # DID first-bench them once: the video banded join OOMed the JVM
+    # until the hot-band cap landed (see q_video_near_dup docstring);
+    # the residual cost is decode, not the join.
+    "q_audio_near_dup",
+    "q_media_resolution_filter",
+    "q_entity_resolution",
+    "q_winnow_fingerprints",
+    "q_crosslingual_dups",
+    "q_embedding_dup_clusters",
+    "q_dup_triangles",
+    "q_dup_degree_dist",
+    "q_dup_rate_by_source",
+    "q_leakage_safe_split",
+    "q_passage_dup_ratio",
+    "q_similarity_ivf_lists",
+    "q_ann_index_drift",
+    "q_pq_codes",
+    "q_embedding_quantize",
+    "q_embedding_centroids",
+    "q_inverted_index",
+    "q_ngram_freq",
+    "q_lang_confusion",
+    "q_weather_stage",
+    "q_dq_report",
+    "q_zorder_stats",
+    "q_retention_cohorts",
+    "q_multimodal_meta",
+    "q_filter_basic",
+    "q_cocktails_stage",
+    "q_dq_suite",
+    "q_merge_delete",
+    "q_rfm_segments",
+    "q_media_features",
+    "q_dedup_exact_keep",
+    "q_similarity_lsh_buckets",
+    "q_delete_run_hr",
+    "q_weather_variant_stage",
+    "q_dq_freshness",
+    "q_grouping_sets",
+    "q_media_frames",
+    "q_lang_id",
+    "q_dedup_ngram_jaccard",
+    "q_tpch_q03",
+    "q_cocktails_variant_stage",
+    "q_table_diff",
+    "q_global_ids",
+    "q_dq_referential",
+    "q_media_resize",
+    "q_fingerprint",
+    "q_similarity_near_dup",
+    "q_tpch_q04",
+    "q_join_left",
+    "q_weather_insert",
+    "q_k_anonymity",
+    "q_rollup_ivm",
+    "q_negative_samples",
+    "q_unpivot",
+    "q_media_probe",
+    "q_tfidf_top_terms",
+    "q_similarity_near_dup_lsh",
+    "q_join_semi",
+    "q_weather_variant_insert",
+    "q_safe_casts",
+    "q_dedup_simhash",
+    "q_tpch_q06",
+    "q_weather_variant_native",
+    "q_audio_windows",
+    "q_tpch_q07",
+    "q_cocktails_insert",
+    "q_dedup_survivors",
+    "q_tpch_q08",
+    "q_cocktails_variant_insert",
+    "q_bmp_resize_stats",
+    "q_dedup_normalized",
+    "q_join_salted",
+    "q_cities_source",
+    "q_semantic_search",
+    "q_tpch_q10",
+    "q_city_normalize",
+    "q_png_resize_stats",
+    "q_ann_recall",
+    "q_tpch_q11",
+    "q_join_range",
+    "q_clean_json",
+    "q_tpch_q12",
+    "q_mixture_weights",
+    "q_tpch_q14",
+    "q_tpch_q15",
+    "q_tpch_q16",
+    "q_sessionize",
+    "q_tpch_q17",
+    "q_rollup_cascade",
+    "q_tpch_q19",
+    "q_minhash_precision",
+    "q_tpch_q20",
+    "q_window_frame",
+    "q_hard_negatives",
+    "q_training_triplets",
+    "q_tpch_q22",
+    "q_sort_limit",
+    "q_top5",
+    "q_union_all",
+    "q_quality_sweep",
+    "q_scalar_subquery",
+    "q_set_ops",
+    "q_string_funcs",
+    "q_json_funcs",
+    "q_run_hr_derive",
+    "q_bigram_bits",
+    "q_nested_struct",
+    "q_pivot",
+    "q_window_analytics",
+    "q_map_funcs",
+    "q_string_agg",
+    "q_regex_extract",
+    "q_outliers",
 ]
 
 
@@ -264,6 +273,7 @@ def main() -> None:
     flagship_query(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
 
     def release_storage() -> None:
         """Unpersist every cached/localCheckpointed RDD between
@@ -280,20 +290,26 @@ def main() -> None:
             it.next()._2().unpersist(False)
 
     def run(name: str, build) -> None:
+        print(f"[bench] {name}", file=sys.stderr, flush=True)
         # min of three executions: local timings swing ±15% (and worse
         # under co-tenant load); the min is the reproducible number
         # (plan cost + data), the max is the noise.
         best = None
-        for _ in range(3):
-            # time build() + materialize: operators with eager stages
-            # (iterative clustering, centroid fitting) do real work at
-            # build time, and excluding it would under-report them
-            t0 = time.time()
-            df = build()
-            df.write.format("noop").mode("overwrite").save()
-            dt = time.time() - t0
-            best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 3)
+        try:
+            for _ in range(3):
+                # time build() + materialize: operators with eager
+                # stages (iterative clustering, centroid fitting) do
+                # real work at build time, and excluding it would
+                # under-report them
+                t0 = time.time()
+                df = build()
+                df.write.format("noop").mode("overwrite").save()
+                dt = time.time() - t0
+                best = dt if best is None else min(best, dt)
+            timings[name] = round(best, 3)
+        except Exception as e:  # noqa: BLE001 — one bad query must
+            # not sink the whole run; the error is the measurement
+            errors[name] = f"{type(e).__name__}: {e}"[:200]
         release_storage()
 
     run("flagship", lambda: flagship_query(spark, sf_dir))
@@ -319,6 +335,8 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
     }
+    if errors:
+        verbose["errors"] = errors
     cmp_block = compare_block(timings)
     if cmp_block is not None:
         verbose["compare"] = cmp_block
@@ -346,6 +364,7 @@ def main() -> None:
         "unit": "sec",
         "sf": sf,
         "n_queries": len(timings),
+        "n_errors": len(errors),
         "full": "BENCH_LOCAL.json",
         "queries": {},
     }

@@ -323,6 +323,12 @@ def _adjacent_lcp_pairs(
         .withColumn("lcp", lcp_expr("suf", "next_suf"))
         .where(F.col("lcp") >= min_len)
         .select("sa_rank", "doc_id", "pos", "next_doc", "next_pos", "lcp")
+        # both consumers fan this table out into several branches
+        # (duplicate_spans unions it twice; canonical_duplicate_spans'
+        # run grouping reads it 5+ ways) — without the lineage cut the
+        # whole log-L suffix-array construction re-executes per branch
+        # (measured 8x wall on the keep-first apply at sf0.1)
+        .localCheckpoint(eager=False)
     )
 
 
@@ -439,9 +445,13 @@ def canonical_duplicate_spans(
         )
         .drop("_hp")
     )
-    runs = global_cumsum(
-        flagged, order_cols=["sa_rank"], sum_cols=["_start"]
-    ).withColumnRenamed("cum__start", "run_id")
+    runs = (
+        global_cumsum(flagged, order_cols=["sa_rank"], sum_cols=["_start"])
+        .withColumnRenamed("cum__start", "run_id")
+        # members / run_meta / run_min / pairwise all read this frame —
+        # cut lineage once so the range prefix sum runs once
+        .localCheckpoint(eager=False)
+    )
     members = (
         runs.select("run_id", "doc_id", "pos")
         .unionByName(

@@ -909,6 +909,9 @@ GROUP BY 1
 QUERIES["q_image_dhash_dedup"] = q_image_dhash_dedup
 
 
+VIDEO_BAND_CAP = 128  # max frames per band bucket before it is dropped
+
+
 def q_video_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Clip-level video near-dup (operators/video.py:
     video_frame_dhash): every AVI's frames run the REAL container +
@@ -920,7 +923,18 @@ def q_video_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     admission rule is tuned from. Everything downstream of the decode
     is bounded by band-bucket collisions, never all frame pairs; the
     oracle recomputes every frame hash from the closed-form tile
-    pixels and replays banding, hamming, and the per-pair rollup."""
+    pixels and replays banding, hamming, and the per-pair rollup.
+
+    Hot-bucket guard (the text-shingle df_cap pattern, operators/
+    dedup.py): a band value shared by more than VIDEO_BAND_CAP frames
+    is non-discriminative — low-entropy frames (test patterns, black
+    frames, slates) collapse onto a handful of dHash bands, and one
+    such bucket goes quadratic (measured: the top bucket at sf0.1
+    holds 3.2k of 15k frames → ~40M candidate pairs → bench JVM OOM).
+    Dropping capped buckets bounds every bucket's pair count by
+    CAP²/2; frames similar through a degenerate band alone are
+    matched by their other, discriminative bands or not at all —
+    the standard LSH trade, replayed identically by the oracle."""
     from sandbox_data_pipeline_spark.operators.video import (
         avi_media,
         video_frame_dhash,
@@ -936,6 +950,15 @@ def q_video_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "h2",
         "stack(4, 0, h1 >> 16, 1, h1 & 65535, 2, h2 >> 16, 3, h2 & 65535)"
         " AS (band_idx, band_val)",
+    )
+    hot = (
+        bands.groupBy("band_idx", "band_val")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .where(F.col("_c") > VIDEO_BAND_CAP)
+        .select("band_idx", "band_val")
+    )
+    bands = bands.join(
+        F.broadcast(hot), ["band_idx", "band_val"], "left_anti"
     )
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
@@ -999,11 +1022,17 @@ hashes AS (
          SUM(CASE WHEN j >= 4 THEN b << ((j - 4) * 8 + i) ELSE 0 END) AS h2
   FROM bits GROUP BY doc_id, fi
 ),
-bands AS (
+bands0 AS (
   SELECT doc_id, fi, h1, h2, 0 AS band_idx, h1 >> 16 AS band_val FROM hashes
   UNION ALL SELECT doc_id, fi, h1, h2, 1, h1 & 65535 FROM hashes
   UNION ALL SELECT doc_id, fi, h1, h2, 2, h2 >> 16 FROM hashes
   UNION ALL SELECT doc_id, fi, h1, h2, 3, h2 & 65535 FROM hashes
+),
+-- hot-bucket guard: band values shared by > 128 frames are
+-- non-discriminative and dropped (mirrors VIDEO_BAND_CAP)
+bands AS (
+  SELECT * FROM bands0
+  QUALIFY count(*) OVER (PARTITION BY band_idx, band_val) <= 128
 ),
 cand AS (
   SELECT DISTINCT a.doc_id AS ma, a.fi AS fa, b.doc_id AS mb, b.fi AS fb,
