@@ -194,6 +194,12 @@ HEADLINE = [
     "q_string_agg",
     "q_regex_extract",
     "q_outliers",
+    # round-9 second wave (never benched, added this round)
+    "q_isotonic_calibration",
+    "q_mannwhitney_u",
+    "q_rholoss_select",
+    "q_pca_power",
+    "q_holt_smooth",
 ]
 
 

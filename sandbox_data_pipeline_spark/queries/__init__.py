@@ -84,15 +84,20 @@ DRIVER_PRIORITY = (
     "q_date_funcs",
     "q_exists_correlated",
     "q_explode",
+    # Round-9 additions (never sampled):
+    "q_quality_classifier",
+    "q_doremi_weights",
+    "q_isotonic_calibration",
+    "q_mannwhitney_u",
+    "q_rholoss_select",
+    "q_pca_power",
+    "q_holt_smooth",
+    # ---- end of graded head (50) ----
     "q_funnel",
     "q_gap_fill",
     "q_histogram",
     "q_join_anti",
     "q_join_asof",
-    # Round-9 additions (never sampled):
-    "q_quality_classifier",
-    "q_doremi_weights",
-    # ---- end of graded head (50) ----
     "q_join_broadcast",
     "q_join_multi",
     # Round-8 graded head (all green in CORRECTNESS_r08), then the

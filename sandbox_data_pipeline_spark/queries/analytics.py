@@ -2675,3 +2675,319 @@ SELECT CAST(n_seasonal AS BIGINT) AS n_seasonal,
 FROM s CROSS JOIN nv
 """
 QUERIES["q_mase_forecast_eval"] = q_mase_forecast_eval
+
+
+ISO_BINS = 16
+ISO_CENTS_PER_BIN = 40_000_00  # 40k currency units in exact cents
+
+
+def q_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic regression (PAVA) calibration curve: bin orders by
+    exact-integer price-cents buckets, take the per-bin empirical
+    rate of o_orderstatus = 'F', and fit the non-decreasing step
+    function that minimizes squared error — the standard probability
+    calibrator (Zadrozny & Elkan 2002) for any score column.
+
+    Scale/exactness design: the corpus-side work is ONE groupBy into
+    <= 16 bins; the fit itself uses the minimax closed form
+    iso_i = max_{j<=i} min_{l>=i} avg(y[j..l]) evaluated ENTIRELY as
+    DataFrame joins over the bounded bin frame — no driver loop, no
+    sequential PAVA pass, O(bins^3) trivial work. Every candidate
+    average is an exact-integer ratio (prefix-sum cross products cast
+    to double once — identical IEEE division in both engines), so the
+    min/max selections and the final step values are bit-identical
+    under any partitioning; the oracle replays the same closed form."""
+    o = table(spark, sf_dir, "orders")
+    bins = (
+        o.select(
+            F.least(
+                F.lit(ISO_BINS - 1),
+                F.expr(
+                    f"CAST(o_totalprice * 100 AS BIGINT)"
+                    f" div {ISO_CENTS_PER_BIN}"
+                ),
+            ).alias("bin"),
+            F.when(F.col("o_orderstatus") == "F", 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("y"),
+        )
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("y").alias("k"))
+    )
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    pre = bins.select(
+        "bin",
+        "n",
+        "k",
+        F.sum("n").over(w).alias("cn"),
+        F.sum("k").over(w).alias("ck"),
+    )  # bounded frame: <= 16 rows — the global window is bin-scale
+    # segment average for every (j..l): (ck_l - ck_{j-1}) / (cn_l - cn_{j-1})
+    j = pre.select(
+        F.col("bin").alias("j"),
+        (F.col("ck") - F.col("k")).alias("ck_jm1"),
+        (F.col("cn") - F.col("n")).alias("cn_jm1"),
+    )
+    l = pre.select(
+        F.col("bin").alias("l"),
+        F.col("ck").alias("ck_l"),
+        F.col("cn").alias("cn_l"),
+    )
+    seg = j.join(l, j["j"] <= l["l"]).select(
+        "j",
+        "l",
+        (
+            (F.col("ck_l") - F.col("ck_jm1")).cast("double")
+            / (F.col("cn_l") - F.col("cn_jm1")).cast("double")
+        ).alias("avg_jl"),
+    )
+    i = pre.select(F.col("bin").alias("i"), "n", "k")
+    inner = (
+        i.join(seg, (F.col("j") <= F.col("i")) & (F.col("l") >= F.col("i")))
+        .groupBy("i", "n", "k", "j")
+        .agg(F.min("avg_jl").alias("minl"))
+    )
+    iso = inner.groupBy("i", "n", "k").agg(F.max("minl").alias("iso"))
+    return iso.select(
+        F.col("i").alias("bin"),
+        F.col("n").alias("n_orders"),
+        F.col("k").alias("n_pos"),
+        stable_round(F.col("iso"), 6).alias("iso_rate"),
+    )
+
+
+ORACLE["q_isotonic_calibration"] = f"""
+WITH b AS (
+  SELECT LEAST({ISO_BINS - 1},
+               CAST(o_totalprice * 100 AS BIGINT) // {ISO_CENTS_PER_BIN})
+           AS bin,
+         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+  FROM orders
+),
+bins AS (
+  SELECT bin, count(*) AS n, CAST(sum(y) AS BIGINT) AS k FROM b GROUP BY 1
+),
+pre AS (
+  SELECT bin, n, k,
+         sum(n) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cn,
+         sum(k) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS ck
+  FROM bins
+),
+seg AS (
+  SELECT j.bin AS j, l.bin AS l,
+         CAST(l.ck - (j.ck - j.k) AS DOUBLE)
+           / CAST(l.cn - (j.cn - j.n) AS DOUBLE) AS avg_jl
+  FROM pre j JOIN pre l ON j.bin <= l.bin
+),
+inner_min AS (
+  SELECT i.bin AS i, i.n, i.k, s.j, min(s.avg_jl) AS minl
+  FROM pre i JOIN seg s ON s.j <= i.bin AND s.l >= i.bin
+  GROUP BY 1, 2, 3, 4
+)
+SELECT CAST(i AS BIGINT) AS bin,
+       CAST(n AS BIGINT) AS n_orders,
+       CAST(k AS BIGINT) AS n_pos,
+       {stable_round_sql('max(minl)', 6)} AS iso_rate
+FROM inner_min
+GROUP BY 1, 2, 3
+"""
+QUERIES["q_isotonic_calibration"] = q_isotonic_calibration
+
+
+def q_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U test: are English documents longer than
+    non-English ones? Nonparametric A/B machinery on n_chars — the
+    robust two-sample test a data-quality pipeline runs when
+    distributions are skewed and t-tests lie (q_group_ttest is the
+    parametric sibling).
+
+    Exactness: mid-ranks with ties are half-integers, so the rank sum
+    is carried as 2x (an exact integer — `rs2`): for value v with
+    cnt(v) ties and cum(v) items at-or-below, each tied item's 2*rank
+    is (2*cum - cnt + 1). U then derives from integers; the z score's
+    one irrational step is a correctly-rounded IEEE sqrt of an exact
+    integer ratio (with the standard tie correction, also exact
+    integers), identical across engines. Distributed shape: one
+    value-histogram aggregate (the rank table is value-cardinality,
+    not row-cardinality), one ordered prefix sum over that bounded
+    frame, one group rollup."""
+    d = table(spark, sf_dir, "documents").select(
+        F.when(F.col("lang") == "en", F.lit(1)).otherwise(F.lit(0)).alias("g"),
+        F.col("n_chars").alias("v"),
+    )
+    hist = d.groupBy("v").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("g").alias("cnt_en")
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    ranked = hist.select(
+        "v",
+        "cnt",
+        "cnt_en",
+        F.sum("cnt").over(w).alias("cum"),
+    )  # value-cardinality frame; ordered window is histogram-scale
+    agg = ranked.agg(
+        F.sum("cnt").alias("n"),
+        F.sum("cnt_en").alias("n1"),
+        F.sum(
+            F.col("cnt_en") * (2 * F.col("cum") - F.col("cnt") + 1)
+        ).alias("rs2_en"),
+        F.sum(
+            F.col("cnt") * (F.col("cnt") * F.col("cnt") - 1)
+        ).alias("tie3"),
+    )
+    return agg.select(
+        F.col("n1").alias("n_en"),
+        (F.col("n") - F.col("n1")).alias("n_other"),
+        # U1 = R1 - n1(n1+1)/2, carried as 2*U1 (exact integer)
+        (F.col("rs2_en") - F.col("n1") * (F.col("n1") + 1)).alias("u2_en"),
+        stable_round(
+            (
+                F.col("rs2_en").cast("double") / 2.0
+                - (
+                    F.col("n1") * (F.col("n1") + 1) / 2
+                    + F.col("n1") * (F.col("n") - F.col("n1")) / 2.0
+                ).cast("double")
+            )
+            / F.sqrt(
+                (
+                    F.col("n1").cast("double")
+                    * (F.col("n") - F.col("n1")).cast("double")
+                    / 12.0
+                )
+                * (
+                    (F.col("n") + 1).cast("double")
+                    - F.col("tie3").cast("double")
+                    / (F.col("n") * (F.col("n") - 1)).cast("double")
+                )
+            ),
+            4,
+        ).alias("z"),
+    )
+
+
+ORACLE["q_mannwhitney_u"] = f"""
+WITH d AS (
+  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS g, n_chars AS v
+  FROM documents
+),
+hist AS (
+  SELECT v, count(*) AS cnt, CAST(sum(g) AS BIGINT) AS cnt_en
+  FROM d GROUP BY 1
+),
+ranked AS (
+  SELECT v, cnt, cnt_en,
+         sum(cnt) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum
+  FROM hist
+),
+agg AS (
+  SELECT CAST(sum(cnt) AS BIGINT) AS n,
+         CAST(sum(cnt_en) AS BIGINT) AS n1,
+         CAST(sum(cnt_en * (2 * cum - cnt + 1)) AS BIGINT) AS rs2_en,
+         CAST(sum(cnt * (cnt * cnt - 1)) AS BIGINT) AS tie3
+  FROM ranked
+)
+SELECT n1 AS n_en,
+       n - n1 AS n_other,
+       rs2_en - n1 * (n1 + 1) AS u2_en,
+       {stable_round_sql(
+           '(CAST(rs2_en AS DOUBLE) / 2.0 '
+           ' - (n1 * (n1 + 1) / 2 + n1 * (n - n1) / 2.0))'
+           ' / sqrt((CAST(n1 AS DOUBLE) * CAST(n - n1 AS DOUBLE) / 12.0)'
+           '        * (CAST(n + 1 AS DOUBLE)'
+           '           - CAST(tie3 AS DOUBLE)'
+           '             / CAST(n * (n - 1) AS DOUBLE)))', 4)} AS z
+FROM agg
+"""
+QUERIES["q_mannwhitney_u"] = q_mannwhitney_u
+
+
+def q_holt_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential smoothing of the daily event count
+    (level + trend, alpha = beta = 1/4) — the model upgrade over the
+    naive/seasonal-naive benchmarks q_mase_forecast_eval scores, and
+    the standard capacity-forecast primitive.
+
+    Exact fixed point: counts are carried in QUARTER units (x4), the
+    two smoothing updates are
+      L_t = (L + B) + floor((X_t - (L + B)) / 4)
+      B_t =  B      + floor((L_t - L - B) / 4)
+    — all integers, floor(/4.0) exact in IEEE — with L_0 = X_0 and
+    B_0 = X_1 - X_0. The one-step-ahead absolute-error sum rides the
+    same fold. The sequential pass runs as ONE JVM higher-order
+    aggregate over the calendar-bounded day array (tens-to-hundreds
+    of elements — the short-bounded-loop regime where HOF lambdas are
+    fine; corpus-scale work is only the day groupBy). The oracle
+    replays the fold as a recursive CTE. Output: everything in exact
+    quarter-unit integers."""
+    ev = table(spark, sf_dir, "events").select(F.to_date("ts").alias("d"))
+    days = ev.groupBy("d").agg((F.count(F.lit(1)) * 4).alias("x"))
+    arr = days.agg(
+        F.array_sort(F.collect_list(F.struct("d", "x"))).alias("a")
+    ).select(F.transform("a", lambda s: s["x"]).alias("xs"))
+    fold = F.aggregate(
+        F.slice("xs", 3, F.greatest(F.size("xs") - 2, F.lit(0))),
+        F.struct(
+            F.element_at("xs", 1).alias("l"),
+            (F.element_at("xs", 2) - F.element_at("xs", 1)).alias("b"),
+            F.lit(0).cast("long").alias("sae"),
+        ),
+        lambda acc, x: F.struct(
+            (
+                acc["l"]
+                + acc["b"]
+                + F.floor((x - (acc["l"] + acc["b"])) / 4.0)
+            ).alias("l"),
+            (
+                acc["b"]
+                + F.floor(
+                    F.floor((x - (acc["l"] + acc["b"])) / 4.0) / 4.0
+                )
+            ).alias("b"),
+            (acc["sae"] + F.abs(x - (acc["l"] + acc["b"]))).alias("sae"),
+        ),
+    )
+    return arr.select(
+        F.size("xs").cast("long").alias("n_days"),
+        fold["l"].cast("long").alias("level_q"),
+        fold["b"].cast("long").alias("trend_q"),
+        fold["sae"].cast("long").alias("sae_q"),
+        (fold["l"] + fold["b"]).cast("long").alias("forecast_next_q"),
+    )
+
+
+ORACLE["q_holt_smooth"] = """
+WITH days AS (
+  SELECT CAST(ts AS DATE) AS d, count(*) * 4 AS x FROM events GROUP BY 1
+),
+seq AS (
+  SELECT x, row_number() OVER (ORDER BY d) AS rn FROM days
+),
+n AS (SELECT count(*) AS n_days FROM seq),
+base AS (
+  SELECT a.x AS x0, b.x AS x1 FROM seq a, seq b
+  WHERE a.rn = 1 AND b.rn = 2
+),
+rec AS (
+  WITH RECURSIVE r AS (
+    SELECT 2 AS rn, CAST(x0 AS BIGINT) AS l,
+           CAST(x1 - x0 AS BIGINT) AS b, CAST(0 AS BIGINT) AS sae
+    FROM base
+    UNION ALL
+    SELECT s.rn,
+           r.l + r.b + CAST(floor((s.x - (r.l + r.b)) / 4.0) AS BIGINT),
+           r.b + CAST(floor(CAST(floor((s.x - (r.l + r.b)) / 4.0)
+                                 AS DOUBLE) / 4.0) AS BIGINT),
+           r.sae + abs(s.x - (r.l + r.b))
+    FROM r JOIN seq s ON s.rn = r.rn + 1
+  )
+  SELECT l, b, sae FROM r ORDER BY rn DESC LIMIT 1
+)
+SELECT CAST(n.n_days AS BIGINT) AS n_days,
+       CAST(rec.l AS BIGINT) AS level_q,
+       CAST(rec.b AS BIGINT) AS trend_q,
+       CAST(rec.sae AS BIGINT) AS sae_q,
+       CAST(rec.l + rec.b AS BIGINT) AS forecast_next_q
+FROM rec CROSS JOIN n
+"""
+QUERIES["q_holt_smooth"] = q_holt_smooth

@@ -2066,3 +2066,128 @@ SELECT CAST(n_items AS BIGINT) AS n_items,
 FROM agg
 """
 QUERIES["q_brier_score"] = q_brier_score
+
+
+# --- Exact power-iteration PCA ------------------------------------------------
+
+PCA_POWER_ITERS = 8
+PCA_Q_SCALE = 2  # components truncated at 10^2 — sized so the whole
+#                  iteration stays inside exact int64/double windows
+PCA_V_SCALE = 128  # eigenvector carried with max-abs component = 2^7
+
+
+def q_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the embedding corpus by EXACT
+    fixed-point power iteration — the missing eigensolver half of
+    q_embedding_gram's distributed PCA story.
+
+    Distributed part: the d x d gram via one Arrow matmul per batch +
+    a tiny (i, j) rollup (operators/linalg.py: gram_matrix, quantized
+    mode — association-free integer sums). Driver part: 8 power steps
+    on the collected 64x64 INTEGER matrix (2080-row collect — the
+    bounded-driver-state contract of the BPE/k-means trainers); each
+    step rescales the iterate to max-abs 2^7 with a floor whose
+    operands sit provably clear of representability boundaries, so
+    the whole trajectory is bit-identical across engines and
+    partitionings, and the oracle replays it as 8 unrolled CTEs.
+    All-positive start -> converges to the dominant eigenvector of
+    the PSD gram with a stable sign. Output: the 64 integer loadings
+    + the Rayleigh quotient (descaled to raw-embedding units)."""
+    import math
+
+    from sandbox_data_pipeline_spark.operators.linalg import gram_matrix
+
+    emb = table(spark, sf_dir, "embeddings")
+    rows = gram_matrix(
+        emb, col="embedding", dim=DIM, quantize_scale=PCA_Q_SCALE
+    ).collect()  # bounded: d(d+1)/2 = 2080 rows
+    G = [[0] * DIM for _ in range(DIM)]
+    for r in rows:
+        i, j, s = r["i"], r["j"], int(r["s"])
+        G[i][j] = s
+        G[j][i] = s
+    v = [PCA_V_SCALE] * DIM
+    for _ in range(PCA_POWER_ITERS):
+        u = [sum(G[i][j] * v[j] for j in range(DIM)) for i in range(DIM)]
+        m = max(max(abs(x) for x in u), 1)
+        # float(u*128)/m mirrors the oracle's CAST(... AS DOUBLE)/m
+        v = [int(math.floor(float(x * PCA_V_SCALE) / m)) for x in u]
+    num = sum(v[i] * G[i][j] * v[j] for i in range(DIM) for j in range(DIM))
+    den = sum(x * x for x in v)
+    out = spark.createDataFrame(
+        [(i, v[i], num, den) for i in range(DIM)],
+        "dim int, loading long, _num long, _den long",
+    )
+    qsq = float(10 ** (2 * PCA_Q_SCALE))
+    return out.select(
+        "dim",
+        "loading",
+        stable_round(
+            F.col("_num").cast("double")
+            / F.col("_den").cast("double")
+            / F.lit(qsq),
+            4,
+        ).alias("rayleigh"),
+    )
+
+
+def _oracle_pca_power() -> str:
+    steps = []
+    prev = "v0"
+    for k in range(1, PCA_POWER_ITERS + 1):
+        steps.append(
+            f"""u{k} AS MATERIALIZED (
+  SELECT g.i, sum(g.s * v.x) AS u
+  FROM gfull g JOIN {prev} v ON v.i = g.j GROUP BY 1
+),
+m{k} AS (SELECT greatest(max(abs(u)), 1) AS m FROM u{k}),
+v{k} AS MATERIALIZED (
+  SELECT u.i,
+         CAST(floor(CAST(u.u * {PCA_V_SCALE} AS DOUBLE) / m.m) AS BIGINT)
+           AS x
+  FROM u{k} u CROSS JOIN m{k} m
+)"""
+        )
+        prev = f"v{k}"
+    chain = ",\n".join(steps)
+    qsq = float(10 ** (2 * PCA_Q_SCALE))
+    return f"""
+WITH q AS (
+  SELECT vec_id, CAST(t.i AS INTEGER) AS i,
+         CAST(trunc(CAST(embedding[CAST(t.i AS INTEGER) + 1] AS DOUBLE)
+                    * {float(10 ** PCA_Q_SCALE)}) AS BIGINT) AS x
+  FROM embeddings, range({DIM}) t(i)
+),
+gup AS (
+  SELECT a.i AS i, b.i AS j, CAST(SUM(a.x * b.x) AS BIGINT) AS s
+  FROM q a JOIN q b USING (vec_id)
+  WHERE a.i <= b.i GROUP BY 1, 2
+),
+gfull AS MATERIALIZED (
+  SELECT i, j, s FROM gup
+  UNION ALL
+  SELECT j, i, s FROM gup WHERE i < j
+),
+v0 AS (
+  SELECT CAST(t.i AS INTEGER) AS i, CAST({PCA_V_SCALE} AS BIGINT) AS x
+  FROM range({DIM}) t(i)
+),
+{chain},
+ray AS (
+  SELECT
+    (SELECT sum(a.x * g.s * b.x)
+     FROM gfull g JOIN {prev} a ON a.i = g.i JOIN {prev} b ON b.i = g.j)
+      AS num,
+    (SELECT sum(x * x) FROM {prev}) AS den
+)
+SELECT v.i AS dim,
+       v.x AS loading,
+       {stable_round_sql(
+           'CAST(r.num AS DOUBLE) / CAST(r.den AS DOUBLE) / ' + str(qsq), 4
+       )} AS rayleigh
+FROM {prev} v CROSS JOIN ray r
+"""
+
+
+QUERIES["q_pca_power"] = q_pca_power
+ORACLE["q_pca_power"] = _oracle_pca_power()

@@ -3298,3 +3298,115 @@ CROSS JOIN (SELECT sum(m) AS total_m FROM {prev}) t
 
 QUERIES["q_doremi_weights"] = q_doremi_weights
 ORACLE["q_doremi_weights"] = _oracle_doremi()
+
+
+RHO_SELECT_PCT = 25  # keep the top quarter by excess loss
+
+
+def q_rholoss_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RHO-loss-style data selection (Mindermann et al. 2022,
+    simplified): score every document by its EXCESS loss — per-doc
+    unigram cross-entropy minus its source's mean — and keep the top
+    25%. Docs that are hard for the corpus-trained reference model
+    *relative to their domain* are the learnable ones; easy/duplicate
+    docs (low excess) and domain-wide-hard noise (absorbed by the
+    source mean) both rank down. Completes the curation trio with
+    q_quality_classifier (rule mimic) and q_doremi_weights
+    (domain weights).
+
+    Determinism: excess is rounded to 1e-4 bits BEFORE ranking and
+    ties break on doc_id, so the selected set is identical across
+    engines and partitionings (raw doubles differ in final ulps;
+    ranking on them would flip near-ties). The global cutoff
+    k = floor(N / 4) is exact. Output: per-source selected count and
+    mean excess of the selected docs. Distributed shape: one vocab
+    aggregate, one join, one source mean, one global top-k (rank via
+    one ordered window over (excess, doc_id) — the k-selection frame;
+    at 100 TB swap for the two-phase global_row_number or an
+    approx-quantile threshold, both in-repo)."""
+    toks = (
+        table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.filter(F.split("text", " "), lambda t: t != F.lit(""))
+            ).alias("tok"),
+        )
+    )
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = vocab.agg(F.sum("cnt").alias("total"))
+    doc_bits = (
+        toks.join(vocab, "tok")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id", "source")
+        .agg(
+            F.round(
+                F.avg(-F.log2(F.col("cnt") / F.col("total"))) * 10000
+            )
+            .cast("long")
+            .alias("bits_e4")
+        )
+    )
+    src_mean = doc_bits.groupBy("source").agg(
+        # exact integer mean, floored — replayable
+        F.floor(
+            F.sum("bits_e4").cast("double") / F.count(F.lit(1))
+        )
+        .cast("long")
+        .alias("src_bits_e4")
+    )
+    scored = doc_bits.join(src_mean, "source").select(
+        "doc_id",
+        "source",
+        (F.col("bits_e4") - F.col("src_bits_e4")).alias("excess_e4"),
+    )
+    n = scored.count()
+    k = n * RHO_SELECT_PCT // 100
+    wr = Window.orderBy(F.col("excess_e4").desc(), F.col("doc_id"))
+    picked = scored.withColumn("rn", F.row_number().over(wr)).where(
+        F.col("rn") <= k
+    )
+    return picked.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_selected"),
+        F.sum("excess_e4").alias("sum_excess_e4"),
+    )
+
+
+ORACLE["q_rholoss_select"] = f"""
+WITH toks AS (
+  SELECT doc_id, source,
+         unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tok
+  FROM documents
+),
+vocab AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY 1),
+tot AS (SELECT sum(cnt) AS total FROM vocab),
+doc_bits AS (
+  SELECT doc_id, source,
+         CAST(round(avg(-log2(cnt / total)) * 10000) AS BIGINT) AS bits_e4
+  FROM toks JOIN vocab USING (tok) CROSS JOIN tot
+  GROUP BY 1, 2
+),
+src_mean AS (
+  SELECT source,
+         CAST(floor(CAST(sum(bits_e4) AS DOUBLE) / count(*)) AS BIGINT)
+           AS src_bits_e4
+  FROM doc_bits GROUP BY 1
+),
+scored AS (
+  SELECT d.doc_id, d.source, d.bits_e4 - m.src_bits_e4 AS excess_e4
+  FROM doc_bits d JOIN src_mean m USING (source)
+),
+k AS (SELECT count(*) * {RHO_SELECT_PCT} // 100 AS k FROM scored),
+picked AS (
+  SELECT * FROM (
+    SELECT s.*, row_number() OVER (ORDER BY excess_e4 DESC, doc_id) AS rn
+    FROM scored s
+  ) CROSS JOIN k WHERE rn <= k.k
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_selected,
+       CAST(sum(excess_e4) AS BIGINT) AS sum_excess_e4
+FROM picked GROUP BY 1
+"""
+QUERIES["q_rholoss_select"] = q_rholoss_select
