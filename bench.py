@@ -200,6 +200,8 @@ HEADLINE = [
     "q_rholoss_select",
     "q_pca_power",
     "q_holt_smooth",
+    "q_wasserstein_drift",
+    "q_cuped_adjust",
 ]
 
 

@@ -82,8 +82,6 @@ DRIVER_PRIORITY = (
     "q_agg_rollup",
     "q_array_funcs",
     "q_date_funcs",
-    "q_exists_correlated",
-    "q_explode",
     # Round-9 additions (never sampled):
     "q_quality_classifier",
     "q_doremi_weights",
@@ -92,7 +90,11 @@ DRIVER_PRIORITY = (
     "q_rholoss_select",
     "q_pca_power",
     "q_holt_smooth",
+    "q_wasserstein_drift",
+    "q_cuped_adjust",
     # ---- end of graded head (50) ----
+    "q_exists_correlated",
+    "q_explode",
     "q_funnel",
     "q_gap_fill",
     "q_histogram",

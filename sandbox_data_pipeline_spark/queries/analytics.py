@@ -2991,3 +2991,187 @@ SELECT CAST(n.n_days AS BIGINT) AS n_days,
 FROM rec CROSS JOIN n
 """
 QUERIES["q_holt_smooth"] = q_holt_smooth
+
+
+def q_wasserstein_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wasserstein-1 (earth-mover) distance between the English and
+    non-English document-length distributions — the drift metric that
+    reports HOW FAR apart two distributions sit in the metric of the
+    value axis (KS gives the max CDF gap, PSI/KL need binning; W1 is
+    the area between CDFs and is what a data-mixture SLO should
+    track). Complements q_mannwhitney_u on the same split: U says
+    "is there a shift", W1 says "how many characters of shift".
+
+    Exact: on a discrete value histogram, W1 = sum_k |F_A(v_k) -
+    F_B(v_k)| * (v_{k+1} - v_k); each |CDF gap| is the exact integer
+    cross-product |cumA*nB - cumB*nA| over the common denominator
+    nA*nB, so the whole sum is ONE exact integer numerator and one
+    final division. The histogram frame is value-cardinality (not row
+    cardinality); its ordered window is histogram-scale."""
+    d = table(spark, sf_dir, "documents").select(
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("g"),
+        F.col("n_chars").alias("v"),
+    )
+    hist = d.groupBy("v").agg(
+        F.sum("g").alias("ca"),
+        F.sum(F.lit(1) - F.col("g")).alias("cb"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    lead = Window.orderBy("v")
+    cum = hist.select(
+        "v",
+        F.sum("ca").over(w).alias("cuma"),
+        F.sum("cb").over(w).alias("cumb"),
+        (F.lead("v").over(lead) - F.col("v")).alias("gap"),
+    )
+    tot = hist.agg(
+        F.sum("ca").alias("na"), F.sum("cb").alias("nb")
+    )
+    agg = cum.where(F.col("gap").isNotNull()).crossJoin(
+        F.broadcast(tot)
+    ).agg(
+        F.sum(
+            F.abs(
+                F.col("cuma") * F.col("nb") - F.col("cumb") * F.col("na")
+            )
+            * F.col("gap")
+        ).alias("num"),
+        F.first("na").alias("na"),
+        F.first("nb").alias("nb"),
+    )
+    return agg.select(
+        F.col("na").cast("long").alias("n_en"),
+        F.col("nb").cast("long").alias("n_other"),
+        F.col("num").cast("long").alias("w1_num"),
+        stable_round(
+            F.col("num").cast("double")
+            / (F.col("na") * F.col("nb")).cast("double"),
+            6,
+        ).alias("w1_chars"),
+    )
+
+
+ORACLE["q_wasserstein_drift"] = f"""
+WITH d AS (
+  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS g, n_chars AS v
+  FROM documents
+),
+hist AS (
+  SELECT v, CAST(sum(g) AS BIGINT) AS ca,
+         CAST(sum(1 - g) AS BIGINT) AS cb
+  FROM d GROUP BY 1
+),
+cum AS (
+  SELECT v,
+         sum(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cuma,
+         sum(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cumb,
+         lead(v) OVER (ORDER BY v) - v AS gap
+  FROM hist
+),
+tot AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM hist),
+agg AS (
+  SELECT CAST(sum(abs(cuma * nb - cumb * na) * gap) AS BIGINT) AS num,
+         CAST(max(na) AS BIGINT) AS na, CAST(max(nb) AS BIGINT) AS nb
+  FROM cum CROSS JOIN tot WHERE gap IS NOT NULL
+)
+SELECT na AS n_en, nb AS n_other, num AS w1_num,
+       {stable_round_sql(
+           'CAST(num AS DOUBLE) / CAST(na * nb AS DOUBLE)', 6)} AS w1_chars
+FROM agg
+"""
+QUERIES["q_wasserstein_drift"] = q_wasserstein_drift
+
+
+def q_cuped_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction (Deng et al. 2013): per-customer
+    pre-period spend (orders before 1998) as the covariate for the
+    post-period metric — theta = cov(x, y)/var(x) and the variance a
+    controlled experiment saves is exactly corr(x, y)^2. The standard
+    pre-experiment-data trick every A/B platform implements.
+
+    Exact: spend is quantized to whole currency units by integer
+    division of exact cents; the five moments are association-free
+    integer sums (each < 2^53, so the one cast to double per moment
+    is exact); the closed-form theta / corr^2 are then the SAME
+    sequence of IEEE ops on identical inputs in both engines.
+    Distributed shape: one conditional-sum groupBy per customer, one
+    five-moment rollup."""
+    o = table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.sum(
+            F.when(
+                F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"),
+                F.expr("CAST(o_totalprice * 100 AS BIGINT) div 100"),
+            ).otherwise(F.lit(0))
+        ).alias("x"),
+        F.sum(
+            F.when(
+                F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp"),
+                F.expr("CAST(o_totalprice * 100 AS BIGINT) div 100"),
+            ).otherwise(F.lit(0))
+        ).alias("y"),
+    )
+    m = per_cust.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    syy = F.col("syy").cast("double")
+    cov = n * sxy - sx * sy
+    varx = n * sxx - sx * sx
+    vary = n * syy - sy * sy
+    return m.select(
+        F.col("n").alias("n_customers"),
+        stable_round(cov / varx, 6).alias("theta"),
+        stable_round(cov * cov / (varx * vary), 6).alias(
+            "var_reduction"
+        ),
+    )
+
+
+ORACLE["q_cuped_adjust"] = f"""
+WITH per_cust AS (
+  SELECT o_custkey,
+         CAST(sum(CASE WHEN o_orderdate < TIMESTAMP '1998-01-01'
+                       THEN CAST(o_totalprice * 100 AS BIGINT) // 100
+                       ELSE 0 END) AS BIGINT) AS x,
+         CAST(sum(CASE WHEN o_orderdate >= TIMESTAMP '1998-01-01'
+                       THEN CAST(o_totalprice * 100 AS BIGINT) // 100
+                       ELSE 0 END) AS BIGINT) AS y
+  FROM orders GROUP BY 1
+),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(y * y) AS BIGINT) AS syy
+  FROM per_cust
+)
+SELECT n AS n_customers,
+       {stable_round_sql(
+           '(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)'
+           ' - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))'
+           ' / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)'
+           '    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))', 6)} AS theta,
+       {stable_round_sql(
+           '(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)'
+           ' - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))'
+           ' * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)'
+           '    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))'
+           ' / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)'
+           '     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))'
+           '    * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)'
+           '       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))', 6)}
+         AS var_reduction
+FROM m
+"""
+QUERIES["q_cuped_adjust"] = q_cuped_adjust
