@@ -202,6 +202,15 @@ HEADLINE = [
     "q_holt_smooth",
     "q_wasserstein_drift",
     "q_cuped_adjust",
+    # round-9 wave-2 additions (never benched)
+    "q_hill_tail",
+    "q_eb_shrinkage",
+    "q_ips_eval",
+    "q_kneser_ney_bits",
+    "q_naive_bayes",
+    "q_dbscan_grid",
+    "q_item_cooccurrence",
+    "q_rbo_rankings",
 ]
 
 

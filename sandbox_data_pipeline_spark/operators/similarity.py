@@ -1037,3 +1037,121 @@ def mmr_rerank(
         F.round("rel", 4).alias("relevance"),
         F.round("mmr_score", 4).alias("mmr_score"),
     )
+
+
+def grid_dbscan(
+    pts: DataFrame,
+    eps: float,
+    min_pts: int,
+    id_col: str = "vec_id",
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """Density-based clustering (DBSCAN, Ester et al. 1996) over a 2-D
+    feature space, distributed via grid partitioning — the standard
+    scale-out strategy (RP-DBSCAN / DBSCAN-on-Spark): bucket points
+    into eps-sided grid cells, generate candidate pairs ONLY between a
+    point and the 3x3 cell neighborhood (every true eps-neighbor pair
+    lands in some shared neighborhood by construction, so the grid is
+    exact, not approximate), then one shuffle join on the cell key.
+
+    Returns (id, role 'core'|'border'|'noise', cluster_id) where
+    cluster_id is the min core id reachable through core-core edges
+    (connected components via min-label propagation with pointer
+    jumping, operators/dedup.duplicate_clusters) and NULL for noise.
+
+    Scale: candidate generation is a key-equi join on cell ids (9
+    copies of one side — constant fan-out, no cartesian); per-cell
+    density bounds candidates the way LSH bands bound near-dup pairs.
+    Hot cells (degenerate density) would concentrate a key, exactly
+    the skew AQE's skew-join split handles (see SCALE.md).
+    """
+    eps2 = eps * eps
+    p = pts.select(
+        F.col(id_col).alias("pid"),
+        F.col(x_col).cast("double").alias("x"),
+        F.col(y_col).cast("double").alias("y"),
+    )
+    cell = p.select(
+        "pid", "x", "y",
+        F.floor(F.col("x") / F.lit(eps)).alias("cx"),
+        F.floor(F.col("y") / F.lit(eps)).alias("cy"),
+    )
+    # left side replicated into its 9 neighbor cells; right side keyed
+    # by its own cell -> every eps-pair meets on exactly one key.
+    nine = cell.select(
+        "pid", "x", "y",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    (F.col("cx") + F.lit(dx)).alias("cx"),
+                    (F.col("cy") + F.lit(dy)).alias("cy"),
+                )
+                for dx in (-1, 0, 1)
+                for dy in (-1, 0, 1)
+            ])
+        ).alias("c"),
+    ).select("pid", "x", "y", F.col("c.cx").alias("cx"), F.col("c.cy").alias("cy"))
+    b = cell.select(
+        F.col("pid").alias("qid"),
+        F.col("x").alias("bx"),
+        F.col("y").alias("by"),
+        "cx", "cy",
+    )
+    pairs = (
+        nine.join(b, ["cx", "cy"])
+        .where(F.col("pid") != F.col("qid"))
+        .where(
+            (F.col("x") - F.col("bx")) * (F.col("x") - F.col("bx"))
+            + (F.col("y") - F.col("by")) * (F.col("y") - F.col("by"))
+            <= F.lit(eps2)
+        )
+        .select("pid", "qid")
+    )
+    deg = pairs.groupBy("pid").agg(F.count(F.lit(1)).alias("n_nbrs"))
+    roles = cell.select("pid").join(deg, "pid", "left").select(
+        "pid",
+        (F.coalesce(F.col("n_nbrs"), F.lit(0)) + 1 >= min_pts).alias("is_core"),
+    )
+    core_ids = roles.where("is_core").select("pid")
+    core_edges = (
+        pairs.join(core_ids.withColumnRenamed("pid", "qid"), "qid")
+        .join(core_ids, "pid")
+        .where(F.col("pid") < F.col("qid"))
+        .select(F.col("pid").alias("doc_a"), F.col("qid").alias("doc_b"))
+    )
+    from sandbox_data_pipeline_spark.operators.dedup import duplicate_clusters
+
+    labels = duplicate_clusters(core_edges).select(
+        F.col("doc_id").alias("pid"), F.col("cluster_id").alias("cl")
+    )
+    core_lab = core_ids.join(labels, "pid", "left").select(
+        "pid", F.coalesce(F.col("cl"), F.col("pid")).alias("cluster_id")
+    )
+    border = (
+        pairs.join(roles.where(~F.col("is_core")).select("pid"), "pid")
+        .join(
+            core_lab.select(
+                F.col("pid").alias("qid"), F.col("cluster_id").alias("qcl")
+            ),
+            "qid",
+        )
+        .groupBy("pid")
+        .agg(F.min("qcl").alias("cluster_id"))
+    )
+    out = (
+        roles.join(core_lab.withColumnRenamed("cluster_id", "ccl"), "pid", "left")
+        .join(border.withColumnRenamed("cluster_id", "bcl"), "pid", "left")
+        .select(
+            F.col("pid").alias(id_col),
+            F.when(F.col("is_core"), F.lit("core"))
+            .when(F.col("bcl").isNotNull(), F.lit("border"))
+            .otherwise(F.lit("noise"))
+            .alias("role"),
+            F.when(F.col("is_core"), F.col("ccl"))
+            .otherwise(F.col("bcl"))
+            .cast("long")
+            .alias("cluster_id"),
+        )
+    )
+    return out

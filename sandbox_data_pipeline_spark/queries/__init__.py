@@ -27,8 +27,8 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # the head is always the canary + the never-driver-sampled queries
 # (after a red round, the reds rotate back in first instead). Round 9:
 # CORRECTNESS_r08 was 50/50 green, so the head is the 33 queries never
-# sampled through r8 plus 16 oldest-graded refreshers; cumulative
-# formal coverage after this window is 315/315.
+# sampled through r8 plus the 17 round-9 additions (wave 2 displaced
+# the r01 refreshers that briefly filled the window).
 # tests/test_registry_hygiene.py encodes this policy so it survives
 # context loss between rounds.
 DRIVER_PRIORITY = (
@@ -39,8 +39,7 @@ DRIVER_PRIORITY = (
     # Round-9 graded head: CORRECTNESS_r08 was 50/50 green, so per the
     # rotation policy the head is the 33 queries never driver-sampled
     # through r8 (8 pre-r8 overflow, then the 25 round-8 additions),
-    # followed by 16 oldest-graded (r01) refreshers to fill the ~50
-    # window. After this window formal coverage is 315/315.
+    # followed by the round-9 additions (all never sampled).
     "q_t_closeness",
     "q_feature_hashing",
     "q_group_ttest",
@@ -74,14 +73,16 @@ DRIVER_PRIORITY = (
     "q_lakehouse_lifecycle",
     "q_brier_score",
     "q_mase_forecast_eval",
-    # 16 refreshers: last formally graded in CORRECTNESS_r01.
-    "q_agg_basic",
-    "q_agg_cube",
-    "q_agg_distinct",
-    "q_agg_maxby",
-    "q_agg_rollup",
-    "q_array_funcs",
-    "q_date_funcs",
+    # Round-9 wave-2 additions (never sampled) — these displaced the
+    # r01 refreshers per the rotation policy (never-sampled first):
+    "q_hill_tail",
+    "q_eb_shrinkage",
+    "q_ips_eval",
+    "q_kneser_ney_bits",
+    "q_naive_bayes",
+    "q_dbscan_grid",
+    "q_item_cooccurrence",
+    "q_rbo_rankings",
     # Round-9 additions (never sampled):
     "q_quality_classifier",
     "q_doremi_weights",
@@ -92,7 +93,8 @@ DRIVER_PRIORITY = (
     "q_holt_smooth",
     "q_wasserstein_drift",
     "q_cuped_adjust",
-    # ---- end of graded head (50) ----
+    # ---- end of graded head (~50: canary + 49 never-sampled;
+    # the driver's window cuts at 50, q_cuped_adjust is slot 51) ----
     "q_exists_correlated",
     "q_explode",
     "q_funnel",

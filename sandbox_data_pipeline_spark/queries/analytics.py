@@ -3175,3 +3175,339 @@ SELECT n AS n_customers,
 FROM m
 """
 QUERIES["q_cuped_adjust"] = q_cuped_adjust
+
+
+def q_hill_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill tail-index estimator over the top-k order statistics of
+    order totals — the standard heavy-tail diagnostic (alpha < 2 means
+    infinite variance; capacity planning and skew-mitigation choices
+    hinge on it, and it is the principled twin of q_zipf_fit's
+    regression slope).
+
+    alpha_hat = k / sum_{i=1..k} ln(x_(i) / x_(k+1)) over the k
+    largest values. Scale: the ONLY full-data operator is a top-(k+1)
+    sort-limit, which Spark executes as TakeOrderedAndProject
+    (per-partition top-k, merge of k-row heaps — no global sort, no
+    full shuffle). Everything after runs on a k+1-row frame; its
+    single-partition ordered window is k-bounded by construction.
+    Determinism: values are exact cents, ties broken by o_orderkey,
+    and the log-sum is an ordered cumulative fold (left-to-right in
+    both engines) read at row k."""
+    k = 200
+    cents = table(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("v"),
+        "o_orderkey",
+    )
+    top = cents.orderBy(F.desc("v"), F.asc("o_orderkey")).limit(k + 1)
+    w = Window.orderBy(F.desc("v"), F.asc("o_orderkey"))
+    ranked = top.select(
+        "v",
+        F.row_number().over(w).alias("rn"),
+        F.sum(F.log(F.col("v").cast("double")))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cln"),
+    )
+    at_k = ranked.where(F.col("rn") == k).select(F.col("cln").alias("sln"))
+    thr = ranked.where(F.col("rn") == k + 1).select(F.col("v").alias("thr"))
+    excess = F.col("sln") - F.lit(float(k)) * F.log(F.col("thr").cast("double"))
+    return at_k.crossJoin(F.broadcast(thr)).select(
+        F.lit(k).cast("long").alias("k"),
+        F.col("thr").cast("long").alias("threshold_cents"),
+        stable_round(excess / F.lit(float(k)), 6).alias("mean_log_excess"),
+        stable_round(F.lit(float(k)) / excess, 6).alias("hill_alpha"),
+    )
+
+
+ORACLE["q_hill_tail"] = f"""
+WITH cents AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v, o_orderkey
+  FROM orders
+),
+top AS (SELECT v, o_orderkey FROM cents ORDER BY v DESC, o_orderkey LIMIT 201),
+ranked AS (
+  SELECT v,
+         row_number() OVER (ORDER BY v DESC, o_orderkey) AS rn,
+         sum(ln(CAST(v AS DOUBLE)))
+           OVER (ORDER BY v DESC, o_orderkey ROWS UNBOUNDED PRECEDING) AS cln
+  FROM top
+),
+at_k AS (SELECT cln AS sln FROM ranked WHERE rn = 200),
+thr AS (SELECT v AS thr FROM ranked WHERE rn = 201)
+SELECT CAST(200 AS BIGINT) AS k,
+       CAST(thr AS BIGINT) AS threshold_cents,
+       {stable_round_sql('(sln - 200.0 * ln(CAST(thr AS DOUBLE))) / 200.0', 6)}
+         AS mean_log_excess,
+       {stable_round_sql('200.0 / (sln - 200.0 * ln(CAST(thr AS DOUBLE)))', 6)}
+         AS hill_alpha
+FROM at_k CROSS JOIN thr
+"""
+QUERIES["q_hill_tail"] = q_hill_tail
+
+
+def q_eb_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical-Bayes (beta-binomial) shrinkage of per-source
+    short-document rates — the estimator a curation pipeline should
+    rank sources by instead of raw rates, because a source with 3/5
+    short docs is weaker evidence than 120/200. Method-of-moments
+    prior from the per-source rate spread (m1, m2 over sources), then
+    posterior mean (alpha + k) / (alpha + beta + n) per source.
+
+    Scale: one corpus-wide groupBy(source) is the only full-data
+    shuffle; the moment fold runs on the source-cardinality frame
+    (thousands at 100 TB) as an ordered cumulative window — the
+    left-fold both engines evaluate identically — read at its MAX,
+    which equals the last row because every term is nonnegative."""
+    T = 300
+    d = table(spark, sf_dir, "documents")
+    per = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("n_chars") < T, 1).otherwise(0)).alias("k_short"),
+    )
+    p = F.col("k_short").cast("double") / F.col("n_docs").cast("double")
+    wc = Window.orderBy("source").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per.select(
+        "source", "n_docs", "k_short",
+        F.sum(p).over(wc).alias("cp"),
+        F.sum(p * p).over(wc).alias("cp2"),
+        F.count(F.lit(1)).over(
+            Window.orderBy("source").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("s"),
+    )
+    moments = cum.agg(
+        F.max("cp").alias("sp"),
+        F.max("cp2").alias("sp2"),
+        F.max("s").alias("s"),
+    )
+    m1 = F.col("sp") / F.col("s").cast("double")
+    m2 = F.col("sp2") / F.col("s").cast("double")
+    mm = m1 * (F.lit(1.0) - m1) / (m2 - m1 * m1) - F.lit(1.0)
+    pri = moments.select(
+        (m1 * mm).alias("alpha"),
+        ((F.lit(1.0) - m1) * mm).alias("beta"),
+    )
+    return per.crossJoin(F.broadcast(pri)).select(
+        "source",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("k_short").cast("long").alias("k_short"),
+        stable_round(p, 6).alias("raw_rate"),
+        stable_round(
+            (F.col("alpha") + F.col("k_short").cast("double"))
+            / (F.col("alpha") + F.col("beta") + F.col("n_docs").cast("double")),
+            6,
+        ).alias("shrunk_rate"),
+    )
+
+
+ORACLE["q_eb_shrinkage"] = f"""
+WITH per AS (
+  SELECT source, count(*) AS n_docs,
+         sum(CASE WHEN n_chars < 300 THEN 1 ELSE 0 END) AS k_short
+  FROM documents GROUP BY 1
+),
+cum AS (
+  SELECT source, n_docs, k_short,
+         sum(CAST(k_short AS DOUBLE) / CAST(n_docs AS DOUBLE))
+           OVER (ORDER BY source ROWS UNBOUNDED PRECEDING) AS cp,
+         sum((CAST(k_short AS DOUBLE) / CAST(n_docs AS DOUBLE))
+             * (CAST(k_short AS DOUBLE) / CAST(n_docs AS DOUBLE)))
+           OVER (ORDER BY source ROWS UNBOUNDED PRECEDING) AS cp2,
+         count(*) OVER () AS s
+  FROM per
+),
+mom AS (SELECT max(cp) AS sp, max(cp2) AS sp2, max(s) AS s FROM cum),
+pri AS (
+  SELECT (sp / s) * ((sp / s) * (1.0 - (sp / s)) / ((sp2 / s) - (sp / s) * (sp / s)) - 1.0) AS alpha,
+         (1.0 - (sp / s)) * ((sp / s) * (1.0 - (sp / s)) / ((sp2 / s) - (sp / s) * (sp / s)) - 1.0) AS beta
+  FROM mom
+)
+SELECT source,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(k_short AS BIGINT) AS k_short,
+       {stable_round_sql('CAST(k_short AS DOUBLE) / CAST(n_docs AS DOUBLE)', 6)}
+         AS raw_rate,
+       {stable_round_sql(
+           '(alpha + CAST(k_short AS DOUBLE)) '
+           '/ (alpha + beta + CAST(n_docs AS DOUBLE))', 6)} AS shrunk_rate
+FROM per CROSS JOIN pri
+"""
+QUERIES["q_eb_shrinkage"] = q_eb_shrinkage
+
+
+def q_ips_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Off-policy evaluation by inverse propensity scoring: estimate
+    the value of a DETERMINISTIC target policy (even users get
+    'click', odd users get 'purchase') from the logged event stream,
+    using the empirical logging propensities pi_b(a) = c_a / N. IPS =
+    mean(matched reward / propensity); SNIPS normalizes by the summed
+    weights (Swaminathan & Joachims 2015) — the estimator pair every
+    ranking/recommendation platform runs before an online test.
+
+    Exactness: rewards are exact cents, propensities are count
+    ratios, so each per-action term s_a / (100 c_a) is one IEEE
+    division; the action frame is policy-cardinality (5 rows) and its
+    ordered cumulative fold is read at MAX (terms nonnegative). ONE
+    full-data aggregate (by event_type) — no shuffle wider than the
+    action vocabulary."""
+    e = table(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("r_cents"),
+        F.when(F.col("user_id") % 2 == 0, F.lit("click"))
+        .otherwise(F.lit("purchase"))
+        .alias("target"),
+    )
+    per = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("c_a"),
+        F.sum(F.when(F.col("event_type") == F.col("target"), 1).otherwise(0)).alias("m_a"),
+        F.sum(
+            F.when(F.col("event_type") == F.col("target"), F.col("r_cents")).otherwise(0)
+        ).alias("s_a"),
+        F.sum("r_cents").alias("r_all"),
+    )
+    ips_term = F.col("s_a").cast("double") / (F.lit(100.0) * F.col("c_a").cast("double"))
+    w_term = F.col("m_a").cast("double") / F.col("c_a").cast("double")
+    wc = Window.orderBy("event_type").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per.select(
+        F.sum(ips_term).over(wc).alias("cips"),
+        F.sum(w_term).over(wc).alias("cw"),
+        F.sum("c_a").over(wc).alias("cn"),
+        F.sum("m_a").over(wc).alias("cm"),
+        F.sum("r_all").over(wc).alias("cr"),
+    )
+    agg = cum.agg(
+        F.max("cips").alias("ips"),
+        F.max("cw").alias("w"),
+        F.max("cn").alias("n"),
+        F.max("cm").alias("m"),
+        F.max("cr").alias("r"),
+    )
+    return agg.select(
+        F.col("n").cast("long").alias("n_events"),
+        F.col("m").cast("long").alias("n_matched"),
+        stable_round(
+            F.col("r").cast("double") / (F.lit(100.0) * F.col("n").cast("double")), 6
+        ).alias("logged_mean"),
+        stable_round(F.col("ips"), 6).alias("ips_value"),
+        stable_round(F.col("ips") / F.col("w"), 6).alias("snips_value"),
+    )
+
+
+ORACLE["q_ips_eval"] = f"""
+WITH e AS (
+  SELECT event_type,
+         CAST(round(value * 100) AS BIGINT) AS r_cents,
+         CASE WHEN user_id % 2 = 0 THEN 'click' ELSE 'purchase' END AS target
+  FROM events
+),
+per AS (
+  SELECT event_type,
+         count(*) AS c_a,
+         sum(CASE WHEN event_type = target THEN 1 ELSE 0 END) AS m_a,
+         sum(CASE WHEN event_type = target THEN r_cents ELSE 0 END) AS s_a,
+         sum(r_cents) AS r_all
+  FROM e GROUP BY 1
+),
+cum AS (
+  SELECT
+    sum(CAST(s_a AS DOUBLE) / (100.0 * CAST(c_a AS DOUBLE)))
+      OVER (ORDER BY event_type ROWS UNBOUNDED PRECEDING) AS cips,
+    sum(CAST(m_a AS DOUBLE) / CAST(c_a AS DOUBLE))
+      OVER (ORDER BY event_type ROWS UNBOUNDED PRECEDING) AS cw,
+    sum(c_a) OVER (ORDER BY event_type ROWS UNBOUNDED PRECEDING) AS cn,
+    sum(m_a) OVER (ORDER BY event_type ROWS UNBOUNDED PRECEDING) AS cm,
+    sum(r_all) OVER (ORDER BY event_type ROWS UNBOUNDED PRECEDING) AS cr
+  FROM per
+),
+agg AS (
+  SELECT max(cips) AS ips, max(cw) AS w, max(cn) AS n, max(cm) AS m,
+         max(cr) AS r
+  FROM cum
+)
+SELECT CAST(n AS BIGINT) AS n_events,
+       CAST(m AS BIGINT) AS n_matched,
+       {stable_round_sql('CAST(r AS DOUBLE) / (100.0 * CAST(n AS DOUBLE))', 6)}
+         AS logged_mean,
+       {stable_round_sql('ips', 6)} AS ips_value,
+       {stable_round_sql('ips / w', 6)} AS snips_value
+FROM agg
+"""
+QUERIES["q_ips_eval"] = q_ips_eval
+
+
+def q_item_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item co-occurrence similarity from user behavior — the
+    classic collaborative-filtering building block ("users who did A
+    also did B"): distinct (user, item) pairs, a user-keyed self-join
+    for co-occurring item pairs, then cosine = c_ab / sqrt(c_a * c_b)
+    and lift = c_ab * N / (c_a * c_b) per ordered pair.
+
+    Scale: the self-join is keyed by user_id (uniform); its fan-out is
+    (items-per-user choose 2), bounded by per-user catalog breadth,
+    never |users| x |items|. Counts are exact integers; cosine is one
+    sqrt of an integer product (correctly-rounded IEEE on both
+    engines), lift is an exact integer ratio."""
+    e = table(spark, sf_dir, "events")
+    ui = e.select("user_id", F.col("event_type").alias("item")).distinct()
+    n_users = ui.select("user_id").distinct().agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    c_item = ui.groupBy("item").agg(F.count(F.lit(1)).alias("c"))
+    a = ui.select("user_id", F.col("item").alias("item_a"))
+    b = ui.select("user_id", F.col("item").alias("item_b"))
+    pairs = (
+        a.join(b, "user_id")
+        .where(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+    )
+    out = (
+        pairs.join(c_item.select(F.col("item").alias("item_a"), F.col("c").alias("c_a")), "item_a")
+        .join(c_item.select(F.col("item").alias("item_b"), F.col("c").alias("c_b")), "item_b")
+        .crossJoin(F.broadcast(n_users))
+    )
+    return out.select(
+        "item_a", "item_b",
+        F.col("c_a").cast("long").alias("n_a"),
+        F.col("c_b").cast("long").alias("n_b"),
+        F.col("c_ab").cast("long").alias("n_ab"),
+        stable_round(
+            F.col("c_ab").cast("double")
+            / F.sqrt((F.col("c_a") * F.col("c_b")).cast("double")),
+            6,
+        ).alias("cosine"),
+        stable_round(
+            (F.col("c_ab") * F.col("n")).cast("double")
+            / (F.col("c_a") * F.col("c_b")).cast("double"),
+            6,
+        ).alias("lift"),
+    )
+
+
+ORACLE["q_item_cooccurrence"] = f"""
+WITH ui AS (
+  SELECT DISTINCT user_id, event_type AS item FROM events
+),
+n_users AS (SELECT count(DISTINCT user_id) AS n FROM ui),
+c_item AS (SELECT item, count(*) AS c FROM ui GROUP BY 1),
+pairs AS (
+  SELECT a.item AS item_a, b.item AS item_b, count(*) AS c_ab
+  FROM ui a JOIN ui b ON a.user_id = b.user_id AND a.item < b.item
+  GROUP BY 1, 2
+)
+SELECT p.item_a, p.item_b,
+       CAST(ca.c AS BIGINT) AS n_a,
+       CAST(cb.c AS BIGINT) AS n_b,
+       CAST(p.c_ab AS BIGINT) AS n_ab,
+       {stable_round_sql(
+           'CAST(p.c_ab AS DOUBLE) / sqrt(CAST(ca.c * cb.c AS DOUBLE))', 6)}
+         AS cosine,
+       {stable_round_sql(
+           'CAST(p.c_ab * n_users.n AS DOUBLE) / CAST(ca.c * cb.c AS DOUBLE)',
+           6)} AS lift
+FROM pairs p
+JOIN c_item ca ON ca.item = p.item_a
+JOIN c_item cb ON cb.item = p.item_b
+CROSS JOIN n_users
+"""
+QUERIES["q_item_cooccurrence"] = q_item_cooccurrence

@@ -2191,3 +2191,89 @@ FROM {prev} v CROSS JOIN ray r
 
 QUERIES["q_pca_power"] = q_pca_power
 ORACLE["q_pca_power"] = _oracle_pca_power()
+
+
+DBSCAN_EPS = 0.02
+DBSCAN_MINPTS = 5
+
+
+def q_dbscan_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-partitioned DBSCAN over the embeddings' first two
+    coordinates (the 2-D spatial regime grid DBSCAN is built for) —
+    density clustering that finds arbitrary-shape clusters AND labels
+    noise, which the k-means/IVF family cannot. Candidates come only
+    from eps-grid 3x3 neighborhoods (exact by construction — see
+    operators/similarity.grid_dbscan), cores are minPts-dense points,
+    clusters are core-graph connected components, borders attach to
+    their min core cluster. The oracle replays eps-neighborhoods
+    brute-force + a recursive-CTE closure, so the hash match proves
+    the grid candidate generation loses no pair."""
+    from sandbox_data_pipeline_spark.operators.similarity import grid_dbscan
+
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.col("embedding")[0].alias("x"),
+        F.col("embedding")[1].alias("y"),
+    )
+    return grid_dbscan(emb, eps=DBSCAN_EPS, min_pts=DBSCAN_MINPTS)
+
+
+def _oracle_dbscan() -> str:
+    eps2 = repr(DBSCAN_EPS * DBSCAN_EPS)
+    return f"""
+WITH RECURSIVE
+p AS (
+  SELECT vec_id AS pid, CAST(embedding[1] AS DOUBLE) AS x,
+         CAST(embedding[2] AS DOUBLE) AS y
+  FROM embeddings
+),
+pairs AS (
+  SELECT a.pid AS pid, b.pid AS qid
+  FROM p a JOIN p b
+    ON a.pid <> b.pid
+   AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= {eps2}
+),
+deg AS (SELECT pid, count(*) AS n_nbrs FROM pairs GROUP BY 1),
+roles AS (
+  SELECT p.pid, coalesce(d.n_nbrs, 0) + 1 >= {DBSCAN_MINPTS} AS is_core
+  FROM p LEFT JOIN deg d ON d.pid = p.pid
+),
+core_pairs AS (
+  SELECT pr.pid AS a, pr.qid AS b FROM pairs pr
+  JOIN roles r1 ON r1.pid = pr.pid AND r1.is_core
+  JOIN roles r2 ON r2.pid = pr.qid AND r2.is_core
+),
+reach (a, b) AS (
+  SELECT a, b FROM core_pairs
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN core_pairs e ON r.b = e.a
+),
+core_lab AS (
+  SELECT r.pid,
+         coalesce(
+           (SELECT least(r.pid, min(rc.b)) FROM reach rc WHERE rc.a = r.pid),
+           r.pid
+         ) AS cluster_id
+  FROM roles r WHERE r.is_core
+),
+border AS (
+  SELECT pr.pid, min(cl.cluster_id) AS cluster_id
+  FROM pairs pr
+  JOIN roles r ON r.pid = pr.pid AND NOT r.is_core
+  JOIN core_lab cl ON cl.pid = pr.qid
+  GROUP BY 1
+)
+SELECT r.pid AS vec_id,
+       CASE WHEN r.is_core THEN 'core'
+            WHEN b.pid IS NOT NULL THEN 'border'
+            ELSE 'noise' END AS role,
+       CAST(CASE WHEN r.is_core THEN c.cluster_id
+                 ELSE b.cluster_id END AS BIGINT) AS cluster_id
+FROM roles r
+LEFT JOIN core_lab c ON c.pid = r.pid
+LEFT JOIN border b ON b.pid = r.pid
+"""
+
+
+QUERIES["q_dbscan_grid"] = q_dbscan_grid
+ORACLE["q_dbscan_grid"] = _oracle_dbscan()

