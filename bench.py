@@ -211,6 +211,8 @@ HEADLINE = [
     "q_dbscan_grid",
     "q_item_cooccurrence",
     "q_rbo_rankings",
+    "q_fellegi_sunter",
+    "q_holt_winters",
 ]
 
 

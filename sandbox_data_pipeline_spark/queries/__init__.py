@@ -83,6 +83,8 @@ DRIVER_PRIORITY = (
     "q_dbscan_grid",
     "q_item_cooccurrence",
     "q_rbo_rankings",
+    "q_fellegi_sunter",
+    "q_holt_winters",
     # Round-9 additions (never sampled):
     "q_quality_classifier",
     "q_doremi_weights",

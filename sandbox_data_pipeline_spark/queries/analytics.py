@@ -3511,3 +3511,150 @@ JOIN c_item cb ON cb.item = p.item_b
 CROSS JOIN n_users
 """
 QUERIES["q_item_cooccurrence"] = q_item_cooccurrence
+
+
+def q_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive Holt-Winters (triple exponential smoothing, period
+    m=7) of the daily event count — the seasonal upgrade over
+    q_holt_smooth that a weekly-cycled capacity forecast actually
+    needs (q_seasonal_index shows the cycle exists; HW folds it into
+    the forecast). alpha = beta = gamma = 1/4.
+
+    Exact fixed point, same discipline as q_holt_smooth: counts in
+    QUARTER units, every update an integer + floor(integer / 4.0)
+    (exact in IEEE), seasonal state as a 7-slot integer array updated
+    in place via an indexed transform. Init: level = floor(mean of
+    week 1), trend = 0, seasonals = week-1 deviations. The whole
+    sequential pass is ONE JVM higher-order fold over the calendar-
+    bounded day array (30..36500 elements at any corpus size — the
+    bounded-loop regime); corpus-scale work is only the day groupBy.
+    The oracle replays the fold as a recursive CTE with the seasonal
+    slots as 7 columns. Output: all state in exact quarter units plus
+    the one-step forecast for day n+1."""
+    ev = table(spark, sf_dir, "events").select(F.to_date("ts").alias("d"))
+    days = ev.groupBy("d").agg((F.count(F.lit(1)) * 4).alias("x"))
+    arr = days.agg(
+        F.array_sort(F.collect_list(F.struct("d", "x"))).alias("a")
+    ).select(F.transform("a", lambda s: s["x"]).alias("xs"))
+    n = F.size("xs")
+    l0 = F.floor(
+        F.aggregate(
+            F.slice("xs", 1, 7),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        / 7.0
+    )
+    s_init = F.transform(F.slice("xs", 1, 7), lambda v: v - l0)
+    idxs = F.when(n >= 8, F.sequence(F.lit(8), n)).otherwise(
+        F.array().cast("array<int>")
+    )
+
+    def step(acc, i):
+        x = F.element_at("xs", i)
+        slot0 = (i - 1) % 7
+        s_cur = F.element_at(acc["s"], slot0 + 1)
+        lb = acc["l"] + acc["b"]
+        dl = F.floor((x - s_cur - lb) / 4.0)
+        return F.struct(
+            (lb + dl).alias("l"),
+            (acc["b"] + F.floor(dl / 4.0)).alias("b"),
+            F.transform(
+                acc["s"],
+                lambda v, idx: F.when(
+                    idx == slot0,
+                    s_cur + F.floor((x - (lb + dl) - s_cur) / 4.0),
+                ).otherwise(v),
+            ).alias("s"),
+            (acc["sae"] + F.abs(x - (lb + s_cur))).alias("sae"),
+        )
+
+    fold = F.aggregate(
+        idxs,
+        F.struct(
+            l0.alias("l"),
+            F.lit(0).cast("long").alias("b"),
+            s_init.alias("s"),
+            F.lit(0).cast("long").alias("sae"),
+        ),
+        step,
+    )
+    fc = fold["l"] + fold["b"] + F.element_at(fold["s"], (n % 7) + 1)
+    return arr.select(
+        n.cast("long").alias("n_days"),
+        fold["l"].cast("long").alias("level_q"),
+        fold["b"].cast("long").alias("trend_q"),
+        fold["sae"].cast("long").alias("sae_q"),
+        fc.cast("long").alias("forecast_next_q"),
+        *[
+            F.element_at(fold["s"], j + 1).cast("long").alias(f"season_q{j}")
+            for j in range(7)
+        ],
+    )
+
+
+def _oracle_holt_winters() -> str:
+    scur = (
+        "CASE (s.rn - 1) % 7 "
+        + " ".join(f"WHEN {j} THEN r.s{j}" for j in range(7))
+        + " END"
+    )
+    dl = f"CAST(floor((s.x - {scur} - (r.l + r.b)) / 4.0) AS BIGINT)"
+    snew = ", ".join(
+        f"CASE WHEN (s.rn - 1) % 7 = {j} THEN {scur} + "
+        f"CAST(floor((s.x - (r.l + r.b + {dl}) - {scur}) / 4.0) AS BIGINT) "
+        f"ELSE r.s{j} END"
+        for j in range(7)
+    )
+    s_init = ", ".join(
+        f"(SELECT x FROM seq WHERE rn = {j + 1}) - base.l0 AS s{j}"
+        for j in range(7)
+    )
+    fc_slot = (
+        "CASE (n.n_days % 7) "
+        + " ".join(f"WHEN {j} THEN rec.s{j}" for j in range(7))
+        + " END"
+    )
+    season_cols = ", ".join(
+        f"CAST(rec.s{j} AS BIGINT) AS season_q{j}" for j in range(7)
+    )
+    return f"""
+WITH days AS (
+  SELECT CAST(ts AS DATE) AS d, count(*) * 4 AS x FROM events GROUP BY 1
+),
+seq AS (
+  SELECT x, row_number() OVER (ORDER BY d) AS rn FROM days
+),
+n AS (SELECT count(*) AS n_days FROM seq),
+base AS (
+  SELECT CAST(floor(CAST((SELECT sum(x) FROM seq WHERE rn <= 7) AS DOUBLE)
+                    / 7.0) AS BIGINT) AS l0
+),
+rec AS (
+  WITH RECURSIVE r AS (
+    SELECT 7 AS rn, base.l0 AS l, CAST(0 AS BIGINT) AS b,
+           {s_init},
+           CAST(0 AS BIGINT) AS sae
+    FROM base
+    UNION ALL
+    SELECT CAST(s.rn AS INTEGER),
+           r.l + r.b + {dl},
+           r.b + CAST(floor(CAST({dl} AS DOUBLE) / 4.0) AS BIGINT),
+           {snew},
+           r.sae + abs(s.x - (r.l + r.b + {scur}))
+    FROM r JOIN seq s ON s.rn = r.rn + 1
+  )
+  SELECT * FROM r ORDER BY rn DESC LIMIT 1
+)
+SELECT CAST(n.n_days AS BIGINT) AS n_days,
+       CAST(rec.l AS BIGINT) AS level_q,
+       CAST(rec.b AS BIGINT) AS trend_q,
+       CAST(rec.sae AS BIGINT) AS sae_q,
+       CAST(rec.l + rec.b + {fc_slot} AS BIGINT) AS forecast_next_q,
+       {season_cols}
+FROM rec CROSS JOIN n
+"""
+
+
+ORACLE["q_holt_winters"] = _oracle_holt_winters()
+QUERIES["q_holt_winters"] = q_holt_winters

@@ -2515,3 +2515,249 @@ FROM j
 
 QUERIES["q_pair_bleu"] = q_pair_bleu
 ORACLE["q_pair_bleu"] = _oracle_pair_bleu()
+
+
+FS_ITERS = 5
+FS_INIT = (0.25, 0.8, 0.3)  # lambda0, m_j0, u_j0
+
+
+def q_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter probabilistic record linkage (1969), EM-trained
+    (Winkler 1988) — the Splink-style upgrade over q_entity_matches's
+    fixed rules: blocked candidate pairs are reduced to their field-
+    agreement PATTERNS, and EM estimates per-field match/unmatch
+    probabilities m_j, u_j and the match prevalence lambda on the
+    8-row pattern frame. Output per pattern: EM posterior P(match) and
+    the FS log match weight ln(P(pattern|M)/P(pattern|U)).
+
+    Scale: the pair generation is the standard linkage shape — a
+    blocked self-join (block key = nation); everything after the ONE
+    pattern groupBy runs on the 2^|fields|-row frame, so EM cost is
+    independent of corpus size. Determinism: EM uses only +,-,*,/
+    (correctly-rounded IEEE, bit-identical cross-engine) with every
+    pattern-frame sum an ordered cumulative fold read at MAX (terms
+    nonnegative); only the final reported weight takes a log. The
+    oracle replays the identical 5-step EM as an unrolled CTE chain.
+    """
+    from pyspark.sql import Window
+
+    c = table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        "c_mktsegment",
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("bal_cents"),
+    ).withColumn(
+        "bal_bucket",
+        F.floor(F.col("bal_cents").cast("double") / F.lit(100000.0)),
+    )
+    a = c.select(*[F.col(x).alias("a_" + x) for x in c.columns])
+    b = c.select(*[F.col(x).alias("b_" + x) for x in c.columns])
+    pairs = a.join(
+        b,
+        (F.col("a_c_nationkey") == F.col("b_c_nationkey"))
+        & (F.col("a_c_custkey") < F.col("b_c_custkey")),
+    ).select(
+        F.when(F.col("a_c_mktsegment") == F.col("b_c_mktsegment"), 1)
+        .otherwise(0)
+        .alias("a1"),
+        F.when(F.col("a_bal_bucket") == F.col("b_bal_bucket"), 1)
+        .otherwise(0)
+        .alias("a2"),
+        F.when(
+            F.abs(F.col("a_bal_cents") - F.col("b_bal_cents")) <= 10000, 1
+        )
+        .otherwise(0)
+        .alias("a3"),
+    )
+    pat = pairs.groupBy("a1", "a2", "a3").agg(
+        F.count(F.lit(1)).alias("n")
+    ).withColumn(
+        "pid", F.col("a1") * 4 + F.col("a2") * 2 + F.col("a3")
+    )
+    consts = pat.agg(
+        F.sum("n").alias("nn"),
+        F.sum(F.col("n") * F.col("a1")).alias("ag1"),
+        F.sum(F.col("n") * F.col("a2")).alias("ag2"),
+        F.sum(F.col("n") * F.col("a3")).alias("ag3"),
+    )
+    lam0, m0, u0 = FS_INIT
+    params = spark.range(1).select(
+        F.lit(lam0).alias("lam"),
+        *[F.lit(m0).alias(f"m{j}") for j in (1, 2, 3)],
+        *[F.lit(u0).alias(f"u{j}") for j in (1, 2, 3)],
+    )
+
+    def _prod(prefix: str):
+        out = None
+        for j in (1, 2, 3):
+            t = F.when(F.col(f"a{j}") == 1, F.col(f"{prefix}{j}")).otherwise(
+                F.lit(1.0) - F.col(f"{prefix}{j}")
+            )
+            out = t if out is None else out * t
+        return out
+
+    wc = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, 0)
+    for _ in range(FS_ITERS):
+        scored = pat.crossJoin(F.broadcast(params)).withColumn(
+            "g",
+            (F.col("lam") * _prod("m"))
+            / (
+                F.col("lam") * _prod("m")
+                + (F.lit(1.0) - F.col("lam")) * _prod("u")
+            ),
+        )
+        cum = scored.select(
+            F.sum(F.col("n").cast("double") * F.col("g")).over(wc).alias("csg"),
+            *[
+                F.sum(
+                    (F.col("n").cast("double") * F.col("g")) * F.col(f"a{j}")
+                )
+                .over(wc)
+                .alias(f"csga{j}")
+                for j in (1, 2, 3)
+            ],
+        )
+        folds = cum.agg(
+            F.max("csg").alias("sg"),
+            *[F.max(f"csga{j}").alias(f"sga{j}") for j in (1, 2, 3)],
+        )
+        params = folds.crossJoin(F.broadcast(consts)).select(
+            (F.col("sg") / F.col("nn").cast("double")).alias("lam"),
+            *[
+                (F.col(f"sga{j}") / F.col("sg")).alias(f"m{j}")
+                for j in (1, 2, 3)
+            ],
+            *[
+                (
+                    (F.col(f"ag{j}").cast("double") - F.col(f"sga{j}"))
+                    / (F.col("nn").cast("double") - F.col("sg"))
+                ).alias(f"u{j}")
+                for j in (1, 2, 3)
+            ],
+        )
+    final = pat.crossJoin(F.broadcast(params))
+    return final.select(
+        F.col("pid").cast("long").alias("pid"),
+        F.col("a1").cast("long").alias("a1"),
+        F.col("a2").cast("long").alias("a2"),
+        F.col("a3").cast("long").alias("a3"),
+        F.col("n").cast("long").alias("n_pairs"),
+        stable_round(
+            (F.col("lam") * _prod("m"))
+            / (
+                F.col("lam") * _prod("m")
+                + (F.lit(1.0) - F.col("lam")) * _prod("u")
+            ),
+            6,
+        ).alias("posterior_match"),
+        stable_round(F.log(_prod("m") / _prod("u")), 6).alias("match_weight"),
+        stable_round(F.col("lam"), 6).alias("lambda_est"),
+    )
+
+
+def _oracle_fellegi_sunter() -> str:
+    lam0, m0, u0 = FS_INIT
+
+    def prod(prefix: str, src: str) -> str:
+        terms = [
+            f"(CASE WHEN a{j} = 1 THEN {src}.{prefix}{j} "
+            f"ELSE 1.0 - {src}.{prefix}{j} END)"
+            for j in (1, 2, 3)
+        ]
+        return " * ".join(terms)
+
+    steps = []
+    prev = "p0"
+    for k in range(1, FS_ITERS + 1):
+        steps.append(
+            f"""g{k} AS (
+  SELECT pat.pid, pat.n, pat.a1, pat.a2, pat.a3,
+         ({prev}.lam * {prod('m', prev)})
+         / ({prev}.lam * {prod('m', prev)}
+            + (1.0 - {prev}.lam) * {prod('u', prev)}) AS g
+  FROM pat CROSS JOIN {prev}
+),
+c{k} AS (
+  SELECT
+    sum(CAST(n AS DOUBLE) * g)
+      OVER (ORDER BY pid ROWS UNBOUNDED PRECEDING) AS csg,
+    sum((CAST(n AS DOUBLE) * g) * a1)
+      OVER (ORDER BY pid ROWS UNBOUNDED PRECEDING) AS csga1,
+    sum((CAST(n AS DOUBLE) * g) * a2)
+      OVER (ORDER BY pid ROWS UNBOUNDED PRECEDING) AS csga2,
+    sum((CAST(n AS DOUBLE) * g) * a3)
+      OVER (ORDER BY pid ROWS UNBOUNDED PRECEDING) AS csga3
+  FROM g{k}
+),
+f{k} AS (
+  SELECT max(csg) AS sg, max(csga1) AS sga1, max(csga2) AS sga2,
+         max(csga3) AS sga3
+  FROM c{k}
+),
+p{k} AS (
+  SELECT sg / CAST(consts.nn AS DOUBLE) AS lam,
+         sga1 / sg AS m1, sga2 / sg AS m2, sga3 / sg AS m3,
+         (CAST(consts.ag1 AS DOUBLE) - sga1)
+           / (CAST(consts.nn AS DOUBLE) - sg) AS u1,
+         (CAST(consts.ag2 AS DOUBLE) - sga2)
+           / (CAST(consts.nn AS DOUBLE) - sg) AS u2,
+         (CAST(consts.ag3 AS DOUBLE) - sga3)
+           / (CAST(consts.nn AS DOUBLE) - sg) AS u3
+  FROM f{k} CROSS JOIN consts
+)"""
+        )
+        prev = f"p{k}"
+    chain = ",\n".join(steps)
+    last = prev
+    return f"""
+WITH cust AS (
+  SELECT c_custkey, c_nationkey, c_mktsegment,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents,
+         floor(CAST(CAST(round(c_acctbal * 100) AS BIGINT) AS DOUBLE)
+               / 100000.0) AS bal_bucket
+  FROM customer
+),
+pairs AS (
+  SELECT CASE WHEN a.c_mktsegment = b.c_mktsegment THEN 1 ELSE 0 END AS a1,
+         CASE WHEN a.bal_bucket = b.bal_bucket THEN 1 ELSE 0 END AS a2,
+         CASE WHEN abs(a.bal_cents - b.bal_cents) <= 10000
+              THEN 1 ELSE 0 END AS a3
+  FROM cust a JOIN cust b
+    ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+),
+pat AS (
+  SELECT a1, a2, a3, count(*) AS n, a1 * 4 + a2 * 2 + a3 AS pid
+  FROM pairs GROUP BY 1, 2, 3
+),
+consts AS (
+  SELECT sum(n) AS nn, sum(n * a1) AS ag1, sum(n * a2) AS ag2,
+         sum(n * a3) AS ag3
+  FROM pat
+),
+p0 AS (
+  -- CAST: a bare 0.8 literal is DECIMAL in DuckDB; the EM must run in
+  -- IEEE doubles to match Spark bit-for-bit.
+  SELECT CAST({lam0} AS DOUBLE) AS lam,
+         CAST({m0} AS DOUBLE) AS m1, CAST({m0} AS DOUBLE) AS m2,
+         CAST({m0} AS DOUBLE) AS m3,
+         CAST({u0} AS DOUBLE) AS u1, CAST({u0} AS DOUBLE) AS u2,
+         CAST({u0} AS DOUBLE) AS u3
+),
+{chain}
+SELECT CAST(pid AS BIGINT) AS pid,
+       CAST(a1 AS BIGINT) AS a1, CAST(a2 AS BIGINT) AS a2,
+       CAST(a3 AS BIGINT) AS a3,
+       CAST(n AS BIGINT) AS n_pairs,
+       (floor((({last}.lam * {prod('m', last)})
+               / ({last}.lam * {prod('m', last)}
+                  + (1.0 - {last}.lam) * {prod('u', last)}))
+              * 1000000.0 + 0.5) / 1000000.0) AS posterior_match,
+       (floor(ln(({prod('m', last)}) / ({prod('u', last)}))
+              * 1000000.0 + 0.5) / 1000000.0) AS match_weight,
+       (floor({last}.lam * 1000000.0 + 0.5) / 1000000.0) AS lambda_est
+FROM pat CROSS JOIN {last}
+"""
+
+
+QUERIES["q_fellegi_sunter"] = q_fellegi_sunter
+ORACLE["q_fellegi_sunter"] = _oracle_fellegi_sunter()

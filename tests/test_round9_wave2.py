@@ -223,3 +223,79 @@ def test_rbo_curve_properties(spark):
         assert r["rbo_partial"] >= prev_rbo
         prev_common, prev_rbo = r["n_common"], r["rbo_partial"]
     assert rows[-1]["rbo_partial"] <= 1.0 + 1e-9
+
+
+def test_fellegi_sunter_em_properties(spark):
+    """EM must produce a proper mixture: lambda in (0,1); the
+    all-agree pattern gets the highest posterior and the all-disagree
+    pattern the lowest; match weights increase with agreement count on
+    comparable patterns (adding an agreement on any field while
+    holding the others raises the weight, since m_j > u_j after EM on
+    this data); posteriors in [0,1]."""
+    from sandbox_data_pipeline_spark.queries.dedup import QUERIES
+
+    rows = {r["pid"]: r for r in QUERIES["q_fellegi_sunter"](spark, SF).collect()}
+    assert rows, "no patterns"
+    any_row = next(iter(rows.values()))
+    assert 0.0 < any_row["lambda_est"] < 1.0
+    for r in rows.values():
+        assert 0.0 <= r["posterior_match"] <= 1.0
+    if 7 in rows and 0 in rows:
+        assert rows[7]["posterior_match"] > rows[0]["posterior_match"]
+        assert rows[7]["match_weight"] > rows[0]["match_weight"]
+    # superset-agreement monotonicity for every comparable pair
+    for pid, r in rows.items():
+        for j, bit in ((0, 4), (1, 2), (2, 1)):
+            sup = pid | bit
+            if sup != pid and sup in rows:
+                assert rows[sup]["match_weight"] > r["match_weight"] - 1e-9, (
+                    pid,
+                    sup,
+                )
+
+
+def test_holt_winters_seasonal_consistency(spark):
+    """The fold must satisfy the model identities: seasonal slots sum
+    near zero is NOT guaranteed (additive HW drifts), but the one-step
+    forecast must equal level + trend + the next slot, and replaying
+    the recurrence in python over the same day counts must reproduce
+    the Spark state exactly."""
+    from pyspark.sql import functions as F
+
+    from sandbox_data_pipeline_spark.queries.analytics import QUERIES
+
+    out = QUERIES["q_holt_winters"](spark, SF).collect()[0]
+    s = [out[f"season_q{j}"] for j in range(7)]
+    assert out["forecast_next_q"] == out["level_q"] + out["trend_q"] + s[
+        out["n_days"] % 7
+    ]
+
+    days = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .select(F.to_date(F.col("ts").cast("timestamp_ntz")).alias("d"))
+        .groupBy("d")
+        .agg((F.count(F.lit(1)) * 4).alias("x"))
+        .orderBy("d")
+        .collect()
+    )
+    xs = [r["x"] for r in days]
+    import math
+
+    l = math.floor(sum(xs[:7]) / 7.0)
+    b = 0
+    sv = [x - l for x in xs[:7]]
+    sae = 0
+    for i in range(8, len(xs) + 1):
+        x = xs[i - 1]
+        slot = (i - 1) % 7
+        lb = l + b
+        dl = math.floor((x - sv[slot] - lb) / 4.0)
+        sae += abs(x - (lb + sv[slot]))
+        new_l = lb + dl
+        b = b + math.floor(dl / 4.0)
+        sv[slot] = sv[slot] + math.floor((x - new_l - sv[slot]) / 4.0)
+        l = new_l
+    assert out["level_q"] == l
+    assert out["trend_q"] == b
+    assert out["sae_q"] == sae
+    assert s == sv
