@@ -213,6 +213,11 @@ HEADLINE = [
     "q_rbo_rankings",
     "q_fellegi_sunter",
     "q_holt_winters",
+    "q_phrase_search",
+    "q_quantile_normalize",
+    "q_coverage_greedy",
+    "q_diff_in_diff",
+    "q_sinkhorn_ot",
 ]
 
 

@@ -1107,12 +1107,15 @@ def grid_dbscan(
             <= F.lit(eps2)
         )
         .select("pid", "qid")
+        # reused by degree counting, core-edge extraction, AND border
+        # attachment — without this the 9-cell candidate join runs 3x.
+        .persist()
     )
     deg = pairs.groupBy("pid").agg(F.count(F.lit(1)).alias("n_nbrs"))
     roles = cell.select("pid").join(deg, "pid", "left").select(
         "pid",
         (F.coalesce(F.col("n_nbrs"), F.lit(0)) + 1 >= min_pts).alias("is_core"),
-    )
+    ).persist()
     core_ids = roles.where("is_core").select("pid")
     core_edges = (
         pairs.join(core_ids.withColumnRenamed("pid", "qid"), "qid")

@@ -85,6 +85,11 @@ DRIVER_PRIORITY = (
     "q_rbo_rankings",
     "q_fellegi_sunter",
     "q_holt_winters",
+    "q_phrase_search",
+    "q_quantile_normalize",
+    "q_coverage_greedy",
+    "q_diff_in_diff",
+    "q_sinkhorn_ot",
     # Round-9 additions (never sampled):
     "q_quality_classifier",
     "q_doremi_weights",

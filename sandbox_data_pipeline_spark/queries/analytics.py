@@ -3658,3 +3658,353 @@ FROM rec CROSS JOIN n
 
 ORACLE["q_holt_winters"] = _oracle_holt_winters()
 QUERIES["q_holt_winters"] = q_holt_winters
+
+
+def q_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-period difference-in-differences: treated = BUILDING-
+    segment customers, pre/post split at 1998-01-01 (the q_cuped_adjust
+    period split), outcome = mean order value. DiD = (treat_post -
+    treat_pre) - (ctrl_post - ctrl_pre) — the workhorse quasi-
+    experimental estimator when randomization isn't available; CUPED
+    (variance) and DiD (identification) are the two sides of the same
+    pre-period data.
+
+    Exact: the four cell means are exact integer cent-ratios; the DiD
+    combines the four correctly-rounded doubles in one fixed
+    expression. One join (orders->customer segment, broadcastable
+    dim at any scale) + one 4-cell aggregate."""
+    o = table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        (F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        (F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp"))
+        .cast("int")
+        .alias("post"),
+    )
+    c = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"),
+        (F.col("c_mktsegment") == "BUILDING").cast("int").alias("treat"),
+    )
+    cells = o.join(c, "o_custkey").groupBy("treat", "post").agg(
+        F.sum("cents").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    m = cells.agg(
+        *[
+            F.sum(
+                F.when(
+                    (F.col("treat") == t) & (F.col("post") == p), F.col("s")
+                )
+            ).alias(f"s{t}{p}")
+            for t in (0, 1)
+            for p in (0, 1)
+        ],
+        *[
+            F.sum(
+                F.when(
+                    (F.col("treat") == t) & (F.col("post") == p), F.col("n")
+                )
+            ).alias(f"n{t}{p}")
+            for t in (0, 1)
+            for p in (0, 1)
+        ],
+    )
+
+    def mean(t, p):
+        return F.col(f"s{t}{p}").cast("double") / (
+            F.lit(100.0) * F.col(f"n{t}{p}").cast("double")
+        )
+
+    return m.select(
+        *[F.col(f"n{t}{p}").cast("long").alias(f"n{t}{p}") for t in (0, 1) for p in (0, 1)],
+        stable_round(mean(0, 0), 4).alias("ctrl_pre"),
+        stable_round(mean(0, 1), 4).alias("ctrl_post"),
+        stable_round(mean(1, 0), 4).alias("treat_pre"),
+        stable_round(mean(1, 1), 4).alias("treat_post"),
+        stable_round(
+            (mean(1, 1) - mean(1, 0)) - (mean(0, 1) - mean(0, 0)), 4
+        ).alias("did"),
+    )
+
+
+def _did_mean_sql(t: int, p: int) -> str:
+    return f"CAST(s{t}{p} AS DOUBLE) / (100.0 * CAST(n{t}{p} AS DOUBLE))"
+
+
+ORACLE["q_diff_in_diff"] = f"""
+WITH o AS (
+  SELECT o_custkey,
+         CAST(o_totalprice * 100 AS BIGINT) AS cents,
+         CASE WHEN o_orderdate >= TIMESTAMP '1998-01-01' THEN 1 ELSE 0 END
+           AS post
+  FROM orders
+),
+c AS (
+  SELECT c_custkey AS o_custkey,
+         CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS treat
+  FROM customer
+),
+cells AS (
+  SELECT treat, post, sum(cents) AS s, count(*) AS n
+  FROM o JOIN c USING (o_custkey) GROUP BY 1, 2
+),
+m AS (
+  SELECT
+    sum(CASE WHEN treat = 0 AND post = 0 THEN s END) AS s00,
+    sum(CASE WHEN treat = 0 AND post = 1 THEN s END) AS s01,
+    sum(CASE WHEN treat = 1 AND post = 0 THEN s END) AS s10,
+    sum(CASE WHEN treat = 1 AND post = 1 THEN s END) AS s11,
+    sum(CASE WHEN treat = 0 AND post = 0 THEN n END) AS n00,
+    sum(CASE WHEN treat = 0 AND post = 1 THEN n END) AS n01,
+    sum(CASE WHEN treat = 1 AND post = 0 THEN n END) AS n10,
+    sum(CASE WHEN treat = 1 AND post = 1 THEN n END) AS n11
+  FROM cells
+)
+SELECT CAST(n00 AS BIGINT) AS n00, CAST(n01 AS BIGINT) AS n01,
+       CAST(n10 AS BIGINT) AS n10, CAST(n11 AS BIGINT) AS n11,
+       {stable_round_sql(_did_mean_sql(0, 0), 4)} AS ctrl_pre,
+       {stable_round_sql(_did_mean_sql(0, 1), 4)} AS ctrl_post,
+       {stable_round_sql(_did_mean_sql(1, 0), 4)} AS treat_pre,
+       {stable_round_sql(_did_mean_sql(1, 1), 4)} AS treat_post,
+       {stable_round_sql(
+           '(' + _did_mean_sql(1, 1) + ' - ' + _did_mean_sql(1, 0) + ')'
+           ' - (' + _did_mean_sql(0, 1) + ' - ' + _did_mean_sql(0, 0) + ')',
+           4)} AS did
+FROM m
+"""
+QUERIES["q_diff_in_diff"] = q_diff_in_diff
+
+
+SINKHORN_BINS = 20
+SINKHORN_ITERS = 10
+
+
+def q_sinkhorn_ot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entropic optimal transport (Sinkhorn-Knopp, Cuturi 2013)
+    between the English and non-English document-length histograms —
+    the regularized OT distance that complements q_wasserstein_drift
+    (W1 is the exact unregularized 1-D case; Sinkhorn generalizes to
+    any cost and is THE dataset-distance primitive in data-centric
+    ML). 20 equi-width bins, cost = bin distance, 10 alternating
+    scaling iterations.
+
+    Bit-exact across engines BY CONSTRUCTION: the Gibbs kernel is
+    2^-|i-j| (one integer shift + one exact division — no libm exp
+    inside the iteration), marginals are exact count ratios, and
+    every matrix-vector product is an ordered cumulative fold over
+    the 400-cell grid. Scale: the corpus is touched by ONE histogram
+    aggregate; the iteration runs on bin-cardinality frames
+    (localCheckpointed per round to keep lineage flat). Output per
+    bin: marginal counts, the dual scalings u, v, the transported row
+    mass, and the total OT cost."""
+    d = table(spark, sf_dir, "documents").select(
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("g"),
+        F.col("n_chars").alias("v"),
+    )
+    rng = d.agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+    binned = d.crossJoin(F.broadcast(rng)).select(
+        "g",
+        F.floor(
+            ((F.col("v") - F.col("mn")) * SINKHORN_BINS).cast("double")
+            / (F.col("mx") - F.col("mn") + 1).cast("double")
+        )
+        .cast("int")
+        .alias("i"),
+    )
+    counts = binned.groupBy("i").agg(
+        F.sum("g").alias("ca"),
+        F.sum(F.lit(1) - F.col("g")).alias("cb"),
+    )
+    tot = counts.agg(F.sum("ca").alias("na"), F.sum("cb").alias("nb"))
+    bins = (
+        spark.range(SINKHORN_BINS)
+        .select(F.col("id").cast("int").alias("i"))
+        .join(counts, "i", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "i",
+            F.coalesce("ca", F.lit(0)).alias("ca"),
+            F.coalesce("cb", F.lit(0)).alias("cb"),
+            (
+                F.coalesce("ca", F.lit(0)).cast("double")
+                / F.col("na").cast("double")
+            ).alias("pa"),
+            (
+                F.coalesce("cb", F.lit(0)).cast("double")
+                / F.col("nb").cast("double")
+            ).alias("pb"),
+        )
+        .localCheckpoint()
+    )
+    a = bins.select("i", "ca", "pa")
+    b = bins.select(F.col("i").alias("j"), "cb", "pb")
+    grid = (
+        a.crossJoin(b)
+        .select(
+            "i", "j", "pa", "pb",
+            F.expr(
+                "1.0 / cast(shiftleft(1, abs(i - j)) as double)"
+            ).alias("kij"),
+        )
+        .localCheckpoint()
+    )
+    v = bins.select(F.col("i").alias("j"), F.lit(1.0).alias("vv"))
+    wi = Window.partitionBy("i").orderBy("j").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wj = Window.partitionBy("j").orderBy("i").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    u = None
+    for _ in range(SINKHORN_ITERS):
+        kv = (
+            grid.join(v, "j")
+            .select("i", "pa", F.sum(F.col("kij") * F.col("vv")).over(wi).alias("c"))
+            .groupBy("i")
+            .agg(F.max("pa").alias("pa"), F.max("c").alias("kv"))
+        )
+        u = kv.select(
+            "i", (F.col("pa") / F.col("kv")).alias("uu")
+        ).localCheckpoint()
+        ku = (
+            grid.join(u, "i")
+            .select("j", "pb", F.sum(F.col("kij") * F.col("uu")).over(wj).alias("c"))
+            .groupBy("j")
+            .agg(F.max("pb").alias("pb"), F.max("c").alias("ku"))
+        )
+        v = ku.select(
+            "j", (F.col("pb") / F.col("ku")).alias("vv")
+        ).localCheckpoint()
+    plan = (
+        grid.join(u, "i")
+        .join(v, "j")
+        .select(
+            "i", "j",
+            (F.col("uu") * F.col("kij") * F.col("vv")).alias("p"),
+        )
+    )
+    row_mass = plan.select(
+        "i", F.sum("p").over(wi).alias("cm")
+    ).groupBy("i").agg(F.max("cm").alias("mass"))
+    wg = Window.orderBy("i", "j").rowsBetween(Window.unboundedPreceding, 0)
+    cost = (
+        plan.select(
+            F.sum(F.col("p") * F.abs(F.col("i") - F.col("j")).cast("double"))
+            .over(wg)
+            .alias("cc")
+        )
+        .agg(F.max("cc").alias("ot_cost"))
+    )
+    return (
+        bins.join(u, "i")
+        .join(v.withColumnRenamed("j", "i"), "i")
+        .join(row_mass, "i")
+        .crossJoin(F.broadcast(cost))
+        .select(
+            F.col("i").cast("long").alias("bin"),
+            F.col("ca").cast("long").alias("n_en"),
+            F.col("cb").cast("long").alias("n_other"),
+            stable_round(F.col("uu"), 6).alias("u_scale"),
+            stable_round(F.col("vv"), 6).alias("v_scale"),
+            stable_round(F.col("mass"), 6).alias("row_mass"),
+            stable_round(F.col("ot_cost"), 6).alias("ot_cost_bins"),
+        )
+    )
+
+
+def _oracle_sinkhorn() -> str:
+    m = SINKHORN_BINS
+    steps = []
+    prev_v = "v0"
+    last_u = None
+    for k in range(1, SINKHORN_ITERS + 1):
+        steps.append(
+            f"""kv{k} AS (
+  SELECT i, max(pa) AS pa, max(c) AS kv FROM (
+    SELECT g.i, g.pa,
+           sum(g.kij * v.vv) OVER (PARTITION BY g.i ORDER BY g.j
+                                   ROWS UNBOUNDED PRECEDING) AS c
+    FROM grid g JOIN {prev_v} v ON v.j = g.j
+  ) GROUP BY 1
+),
+u{k} AS (SELECT i, pa / kv AS uu FROM kv{k}),
+ku{k} AS (
+  SELECT j, max(pb) AS pb, max(c) AS ku FROM (
+    SELECT g.j, g.pb,
+           sum(g.kij * u.uu) OVER (PARTITION BY g.j ORDER BY g.i
+                                   ROWS UNBOUNDED PRECEDING) AS c
+    FROM grid g JOIN u{k} u ON u.i = g.i
+  ) GROUP BY 1
+),
+v{k} AS (SELECT j, pb / ku AS vv FROM ku{k})"""
+        )
+        prev_v = f"v{k}"
+        last_u = f"u{k}"
+    chain = ",\n".join(steps)
+    return f"""
+WITH d AS (
+  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS g, n_chars AS v
+  FROM documents
+),
+rng AS (SELECT min(v) AS mn, max(v) AS mx FROM d),
+binned AS (
+  SELECT g,
+         CAST(floor(CAST((v - mn) * {m} AS DOUBLE)
+                    / CAST(mx - mn + 1 AS DOUBLE)) AS INTEGER) AS i
+  FROM d CROSS JOIN rng
+),
+counts AS (
+  SELECT i, sum(g) AS ca, sum(1 - g) AS cb FROM binned GROUP BY 1
+),
+tot AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM counts),
+bins AS MATERIALIZED (
+  SELECT CAST(r.range AS INTEGER) AS i,
+         coalesce(c.ca, 0) AS ca, coalesce(c.cb, 0) AS cb,
+         CAST(coalesce(c.ca, 0) AS DOUBLE) / CAST(t.na AS DOUBLE) AS pa,
+         CAST(coalesce(c.cb, 0) AS DOUBLE) / CAST(t.nb AS DOUBLE) AS pb
+  FROM range(0, {m}) r
+  LEFT JOIN counts c ON c.i = CAST(r.range AS INTEGER)
+  CROSS JOIN tot t
+),
+grid AS MATERIALIZED (
+  SELECT a.i AS i, b.i AS j, a.pa, b.pb,
+         1.0 / CAST(1 << abs(a.i - b.i) AS DOUBLE) AS kij
+  FROM bins a CROSS JOIN bins b
+),
+v0 AS (SELECT i AS j, CAST(1.0 AS DOUBLE) AS vv FROM bins),
+{chain},
+plan AS MATERIALIZED (
+  SELECT g.i, g.j, u.uu * g.kij * v.vv AS p
+  FROM grid g
+  JOIN {last_u} u ON u.i = g.i
+  JOIN {prev_v} v ON v.j = g.j
+),
+row_mass AS (
+  SELECT i, max(cm) AS mass FROM (
+    SELECT i, sum(p) OVER (PARTITION BY i ORDER BY j
+                           ROWS UNBOUNDED PRECEDING) AS cm
+    FROM plan
+  ) GROUP BY 1
+),
+cost AS (
+  SELECT max(cc) AS ot_cost FROM (
+    SELECT sum(p * CAST(abs(i - j) AS DOUBLE))
+             OVER (ORDER BY i, j ROWS UNBOUNDED PRECEDING) AS cc
+    FROM plan
+  )
+)
+SELECT CAST(b.i AS BIGINT) AS bin,
+       CAST(b.ca AS BIGINT) AS n_en,
+       CAST(b.cb AS BIGINT) AS n_other,
+       (floor(u.uu * 1000000.0 + 0.5) / 1000000.0) AS u_scale,
+       (floor(v.vv * 1000000.0 + 0.5) / 1000000.0) AS v_scale,
+       (floor(r.mass * 1000000.0 + 0.5) / 1000000.0) AS row_mass,
+       (floor(c.ot_cost * 1000000.0 + 0.5) / 1000000.0) AS ot_cost_bins
+FROM bins b
+JOIN {last_u} u ON u.i = b.i
+JOIN {prev_v} v ON v.j = b.i
+JOIN row_mass r ON r.i = b.i
+CROSS JOIN cost c
+"""
+
+
+ORACLE["q_sinkhorn_ot"] = _oracle_sinkhorn()
+QUERIES["q_sinkhorn_ot"] = q_sinkhorn_ot

@@ -3757,3 +3757,237 @@ SELECT CAST(d AS BIGINT) AS depth,
 FROM ov
 """
 QUERIES["q_rbo_rankings"] = q_rbo_rankings
+
+
+PHRASE = ("table", "hash")
+
+
+def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional-index phrase query — the exact-phrase AND that a
+    bag-of-words inverted index (q_inverted_index) cannot answer:
+    intersect the two terms' posting lists on (doc_id, position+1).
+    Output per matching doc: occurrence count and first hit position.
+
+    Scale: each posting list is one filtered projection of the
+    positional token stream (predicate pushed to the scan of the
+    term column after the explode); the intersection is an equi-join
+    keyed by (doc_id, position) — posting-list-sized, never
+    corpus-sized. This is how a distributed search engine executes
+    phrase queries over a positional index."""
+    w1, w2 = PHRASE
+    d = table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), " "), lambda t: t != F.lit(""))
+    pos = d.select("doc_id", F.posexplode(toks).alias("p", "t"))
+    p1 = pos.where(F.col("t") == w1).select("doc_id", F.col("p").alias("p1"))
+    p2 = pos.where(F.col("t") == w2).select("doc_id", F.col("p").alias("p2"))
+    hits = p1.join(
+        p2,
+        (p1.doc_id == p2.doc_id) & (F.col("p2") == F.col("p1") + 1),
+    ).select(p1.doc_id, "p1")
+    return hits.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hits"),
+        # 1-based position to match the oracle's range() indexing
+        (F.min("p1") + 1).cast("long").alias("first_pos"),
+    )
+
+
+ORACLE["q_phrase_search"] = f"""
+WITH lists AS (
+  SELECT doc_id, {_TOK_SPLIT_SQL} AS l FROM documents
+),
+pos AS (
+  SELECT doc_id, CAST(i.range AS INTEGER) AS p,
+         l[CAST(i.range AS INTEGER)] AS t
+  FROM lists CROSS JOIN range(1, 4096) i
+  WHERE i.range <= len(l)
+),
+p1 AS (SELECT doc_id, p AS p1 FROM pos WHERE t = '{PHRASE[0]}'),
+p2 AS (SELECT doc_id, p AS p2 FROM pos WHERE t = '{PHRASE[1]}')
+SELECT p1.doc_id,
+       CAST(count(*) AS BIGINT) AS n_hits,
+       CAST(min(p1.p1) AS BIGINT) AS first_pos
+FROM p1 JOIN p2 ON p2.doc_id = p1.doc_id AND p2.p2 = p1.p1 + 1
+GROUP BY 1
+"""
+QUERIES["q_phrase_search"] = q_phrase_search
+
+
+def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source quantile normalization of document lengths — the
+    batch-effect correction (Bolstad et al. 2003, expression arrays;
+    the same trick normalizes per-source length distributions before
+    mixing training data): rank within source, replace each value
+    with the cross-source mean at that rank.
+
+    One window rank per source (partitioned — no global window), one
+    rank-keyed aggregate; rank keys are uniform by construction.
+    Exact: ranks are integers (ties broken by doc_id), the rank mean
+    is an exact integer ratio (dec_ratio)."""
+    d = table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    ranked = d.select(
+        "doc_id", "source", "n_chars", F.row_number().over(w).alias("rk")
+    )
+    means = ranked.groupBy("rk").agg(
+        F.sum("n_chars").alias("s"), F.count(F.lit(1)).alias("c")
+    )
+    return ranked.join(means, "rk").select(
+        "doc_id",
+        "source",
+        F.col("rk").cast("long").alias("rk"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+        dec_ratio(F.col("s").cast("decimal(18,0)"), F.col("c"), 0, 4).alias(
+            "norm_chars"
+        ),
+    )
+
+
+ORACLE["q_quantile_normalize"] = f"""
+WITH ranked AS (
+  SELECT doc_id, source, n_chars,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_chars, doc_id) AS rk
+  FROM documents
+),
+means AS (
+  SELECT rk, sum(n_chars) AS s, count(*) AS c FROM ranked GROUP BY 1
+)
+SELECT r.doc_id, r.source,
+       CAST(r.rk AS BIGINT) AS rk,
+       CAST(r.n_chars AS BIGINT) AS n_chars,
+       {dec_ratio_sql('m.s', 'm.c', 0, 4)} AS norm_chars
+FROM ranked r JOIN means m ON m.rk = r.rk
+"""
+QUERIES["q_quantile_normalize"] = q_quantile_normalize
+
+
+COVERAGE_K = 10
+
+
+def q_coverage_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy maximum-coverage data selection: pick K documents that
+    together cover the most vocabulary, one greedy argmax at a time —
+    the classic (1-1/e)-approximate facility-location selector used
+    for diversity-driven training-data curation (coreset/submodular
+    selection). Output: selection order, the chosen doc, its marginal
+    gain (newly covered types), and the running coverage.
+
+    Scale: per round, ONE token-keyed anti-join against the covered
+    set (bounded by K x doc length — broadcastable at any corpus
+    size) + ONE TakeOrdered(1) argmax; driver state is the covered
+    token list (bounded, the bpe.py trainer contract). K rounds =
+    K bounded collects, corpus touched only through the distinct
+    (doc, token) frame. The oracle replays the identical K unrolled
+    greedy rounds. Docs whose tokens are fully covered cannot be
+    re-picked (they leave the gain frame); ties break on min doc_id."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), " "), lambda t: t != F.lit(""))
+    # coverage universe = word BIGRAMS: the synthetic corpus has a
+    # ~31-word vocabulary, so unigram coverage saturates in one pick;
+    # bigram types (~|V|^2 realized) keep the greedy non-degenerate,
+    # and bigram coverage is the better curation signal anyway.
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    tok = (
+        d.select("doc_id", F.explode(bigrams).alias("t")).distinct().persist()
+    )
+    covered: set = set()
+    selected: list = []
+    rows = []
+    coverage = 0
+    for r in range(1, COVERAGE_K + 1):
+        cand = tok
+        if selected:
+            cand = cand.where(~F.col("doc_id").isin(selected))
+        if covered:
+            cand = cand.where(~F.col("t").isin(list(covered)))
+        top = (
+            cand.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("g"))
+            .orderBy(F.desc("g"), F.asc("doc_id"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        doc, gain = top[0]["doc_id"], top[0]["g"]
+        new_toks = [
+            x["t"] for x in tok.where(F.col("doc_id") == doc).select("t").collect()
+        ]
+        covered.update(new_toks)
+        coverage = len(covered)
+        selected.append(doc)
+        rows.append((r, doc, gain, coverage))
+    return spark.createDataFrame(
+        rows, "sel_order: long, doc_id: long, gain: long, cum_coverage: long"
+    )
+
+
+def _oracle_coverage_greedy() -> str:
+    parts = [
+        """lists AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS l
+  FROM documents
+),
+tok AS MATERIALIZED (
+  SELECT DISTINCT doc_id,
+         l[CAST(i.range AS INTEGER)] || ' '
+           || l[CAST(i.range AS INTEGER) + 1] AS t
+  FROM lists CROSS JOIN range(1, 4096) i
+  WHERE i.range < len(l)
+)"""
+    ]
+    sel_union = []
+    prev_cov = None
+    prev_sels = []
+    for r in range(1, COVERAGE_K + 1):
+        conds = []
+        if prev_sels:
+            sel_list = " UNION ALL ".join(
+                f"SELECT doc_id FROM r{k}" for k in prev_sels
+            )
+            conds.append(f"doc_id NOT IN ({sel_list})")
+        if prev_cov:
+            conds.append(f"t NOT IN (SELECT t FROM {prev_cov})")
+        where = ("WHERE " + " AND ".join(conds)) if conds else ""
+        parts.append(
+            f"""r{r} AS MATERIALIZED (
+  SELECT doc_id, count(*) AS g FROM tok {where}
+  GROUP BY 1 ORDER BY g DESC, doc_id LIMIT 1
+)"""
+        )
+        cov_prev_sel = (
+            f"SELECT t FROM {prev_cov} UNION " if prev_cov else ""
+        )
+        parts.append(
+            f"""cov{r} AS MATERIALIZED (
+  {cov_prev_sel}SELECT DISTINCT tok.t FROM tok JOIN r{r} USING (doc_id)
+)"""
+        )
+        sel_union.append(
+            f"SELECT {r} AS sel_order, doc_id, g AS gain, "
+            f"(SELECT count(*) FROM cov{r}) AS cum_coverage FROM r{r}"
+        )
+        prev_cov = f"cov{r}"
+        prev_sels.append(r)
+    chain = ",\n".join(parts)
+    union = "\nUNION ALL\n".join(sel_union)
+    return f"""
+WITH {chain}
+SELECT CAST(sel_order AS BIGINT) AS sel_order,
+       CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(gain AS BIGINT) AS gain,
+       CAST(cum_coverage AS BIGINT) AS cum_coverage
+FROM ({union})
+"""
+
+
+ORACLE["q_coverage_greedy"] = _oracle_coverage_greedy()
+QUERIES["q_coverage_greedy"] = q_coverage_greedy

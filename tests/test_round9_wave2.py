@@ -299,3 +299,93 @@ def test_holt_winters_seasonal_consistency(spark):
     assert out["trend_q"] == b
     assert out["sae_q"] == sae
     assert s == sv
+
+
+def test_phrase_search_matches_python_replay(spark):
+    """Recount phrase hits by scanning every doc's token list in
+    python — grid for the posting-list join."""
+    from sandbox_data_pipeline_spark.queries.text import PHRASE, QUERIES
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text"
+    ).collect()
+    w1, w2 = PHRASE
+    ref = {}
+    for r in docs:
+        toks = [t for t in r["text"].split(" ") if t]
+        hits = [
+            i for i in range(len(toks) - 1)
+            if toks[i] == w1 and toks[i + 1] == w2
+        ]
+        if hits:
+            ref[r["doc_id"]] = (len(hits), hits[0] + 1)
+    got = {
+        r["doc_id"]: (r["n_hits"], r["first_pos"])
+        for r in QUERIES["q_phrase_search"](spark, SF).collect()
+    }
+    assert got == ref
+    assert ref, "phrase never occurs — pick a phrase that exercises the join"
+
+
+def test_quantile_normalize_equalizes_distributions(spark):
+    """After quantile normalization every source must carry the SAME
+    multiset of normalized values — that is the definition."""
+    from collections import defaultdict
+
+    from sandbox_data_pipeline_spark.queries.text import QUERIES
+
+    rows = QUERIES["q_quantile_normalize"](spark, SF).collect()
+    per_source = defaultdict(list)
+    for r in rows:
+        per_source[r["source"]].append(float(r["norm_chars"]))
+    dists = {s: sorted(v) for s, v in per_source.items()}
+    first = next(iter(dists.values()))
+    assert all(v == first for v in dists.values())
+
+
+def test_coverage_greedy_diminishing_returns(spark):
+    """Greedy max-coverage gains are non-increasing (submodularity +
+    greedy order) and coverage is the running sum of gains; all K
+    selections are distinct docs."""
+    from sandbox_data_pipeline_spark.queries.text import COVERAGE_K, QUERIES
+
+    rows = sorted(
+        QUERIES["q_coverage_greedy"](spark, SF).collect(),
+        key=lambda r: r["sel_order"],
+    )
+    assert len(rows) == COVERAGE_K
+    assert len({r["doc_id"] for r in rows}) == COVERAGE_K
+    cum = 0
+    prev_gain = None
+    for r in rows:
+        cum += r["gain"]
+        assert r["cum_coverage"] == cum
+        if prev_gain is not None:
+            assert r["gain"] <= prev_gain
+        prev_gain = r["gain"]
+
+
+def test_diff_in_diff_cell_identity(spark):
+    from sandbox_data_pipeline_spark.queries.analytics import QUERIES
+
+    r = QUERIES["q_diff_in_diff"](spark, SF).collect()[0]
+    manual = (r["treat_post"] - r["treat_pre"]) - (
+        r["ctrl_post"] - r["ctrl_pre"]
+    )
+    assert abs(r["did"] - manual) < 5e-4  # four independently rounded cells
+    for c in ("n00", "n01", "n10", "n11"):
+        assert r[c] > 0
+
+
+def test_sinkhorn_marginal_fit(spark):
+    """After 10 scalings the transport plan's row marginals must be
+    close to the source histogram and total mass ~1; cost >= 0."""
+    from sandbox_data_pipeline_spark.queries.analytics import QUERIES
+
+    rows = QUERIES["q_sinkhorn_ot"](spark, SF).collect()
+    na = sum(r["n_en"] for r in rows)
+    total = sum(r["row_mass"] for r in rows)
+    assert abs(total - 1.0) < 0.02
+    for r in rows:
+        assert abs(r["row_mass"] - r["n_en"] / na) < 0.02
+        assert r["ot_cost_bins"] >= 0
