@@ -3788,13 +3788,21 @@ def q_sinkhorn_ot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Bit-exact across engines BY CONSTRUCTION: the Gibbs kernel is
     2^-|i-j| (one integer shift + one exact division — no libm exp
-    inside the iteration), marginals are exact count ratios, and
-    every matrix-vector product is an ordered cumulative fold over
-    the 400-cell grid. Scale: the corpus is touched by ONE histogram
-    aggregate; the iteration runs on bin-cardinality frames
-    (localCheckpointed per round to keep lineage flat). Output per
-    bin: marginal counts, the dual scalings u, v, the transported row
-    mass, and the total OT cost."""
+    anywhere), marginals are exact count ratios, and every sum is a
+    left fold in ascending bin order — the same fold the oracle's
+    ordered cumulative windows replay, so driver-python and DuckDB
+    produce identical IEEE doubles.
+
+    Scale: the corpus is touched by ONE distributed histogram
+    aggregate; the iteration state is 2 x SINKHORN_BINS doubles, so it
+    runs on the driver under the bounded-collect trainer contract
+    (bpe/unigram/k-means/pca precedent). A DataFrame-resident variant
+    was measured first: per-round frames cost 20 AQE stage latencies
+    (17-44 s at sf0.1) to move 40 doubles — driver math is the honest
+    plan at ANY corpus size because the state does not grow with the
+    data."""
+    import math
+
     d = table(spark, sf_dir, "documents").select(
         F.when(F.col("lang") == "en", 1).otherwise(0).alias("g"),
         F.col("n_chars").alias("v"),
@@ -3813,100 +3821,49 @@ def q_sinkhorn_ot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("g").alias("ca"),
         F.sum(F.lit(1) - F.col("g")).alias("cb"),
     )
-    tot = counts.agg(F.sum("ca").alias("na"), F.sum("cb").alias("nb"))
-    bins = (
-        spark.range(SINKHORN_BINS)
-        .select(F.col("id").cast("int").alias("i"))
-        .join(counts, "i", "left")
-        .crossJoin(F.broadcast(tot))
-        .select(
-            "i",
-            F.coalesce("ca", F.lit(0)).alias("ca"),
-            F.coalesce("cb", F.lit(0)).alias("cb"),
-            (
-                F.coalesce("ca", F.lit(0)).cast("double")
-                / F.col("na").cast("double")
-            ).alias("pa"),
-            (
-                F.coalesce("cb", F.lit(0)).cast("double")
-                / F.col("nb").cast("double")
-            ).alias("pb"),
-        )
-        .localCheckpoint()
-    )
-    a = bins.select("i", "ca", "pa")
-    b = bins.select(F.col("i").alias("j"), "cb", "pb")
-    grid = (
-        a.crossJoin(b)
-        .select(
-            "i", "j", "pa", "pb",
-            F.expr(
-                "1.0 / cast(shiftleft(1, abs(i - j)) as double)"
-            ).alias("kij"),
-        )
-        .localCheckpoint()
-    )
-    v = bins.select(F.col("i").alias("j"), F.lit(1.0).alias("vv"))
-    wi = Window.partitionBy("i").orderBy("j").rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    wj = Window.partitionBy("j").orderBy("i").rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    u = None
+    got = {r["i"]: (r["ca"], r["cb"]) for r in counts.collect()}
+    m = SINKHORN_BINS
+    ca = [int(got.get(i, (0, 0))[0]) for i in range(m)]
+    cb = [int(got.get(i, (0, 0))[1]) for i in range(m)]
+    na, nb = sum(ca), sum(cb)
+    pa = [c / na for c in ca]
+    pb = [c / nb for c in cb]
+    kij = [[1.0 / (1 << abs(i - j)) for j in range(m)] for i in range(m)]
+    v = [1.0] * m
+    u = [0.0] * m
     for _ in range(SINKHORN_ITERS):
-        kv = (
-            grid.join(v, "j")
-            .select("i", "pa", F.sum(F.col("kij") * F.col("vv")).over(wi).alias("c"))
-            .groupBy("i")
-            .agg(F.max("pa").alias("pa"), F.max("c").alias("kv"))
-        )
-        u = kv.select(
-            "i", (F.col("pa") / F.col("kv")).alias("uu")
-        ).localCheckpoint()
-        ku = (
-            grid.join(u, "i")
-            .select("j", "pb", F.sum(F.col("kij") * F.col("uu")).over(wj).alias("c"))
-            .groupBy("j")
-            .agg(F.max("pb").alias("pb"), F.max("c").alias("ku"))
-        )
-        v = ku.select(
-            "j", (F.col("pb") / F.col("ku")).alias("vv")
-        ).localCheckpoint()
-    plan = (
-        grid.join(u, "i")
-        .join(v, "j")
-        .select(
-            "i", "j",
-            (F.col("uu") * F.col("kij") * F.col("vv")).alias("p"),
-        )
-    )
-    row_mass = plan.select(
-        "i", F.sum("p").over(wi).alias("cm")
-    ).groupBy("i").agg(F.max("cm").alias("mass"))
-    wg = Window.orderBy("i", "j").rowsBetween(Window.unboundedPreceding, 0)
-    cost = (
-        plan.select(
-            F.sum(F.col("p") * F.abs(F.col("i") - F.col("j")).cast("double"))
-            .over(wg)
-            .alias("cc")
-        )
-        .agg(F.max("cc").alias("ot_cost"))
-    )
-    return (
-        bins.join(u, "i")
-        .join(v.withColumnRenamed("j", "i"), "i")
-        .join(row_mass, "i")
-        .crossJoin(F.broadcast(cost))
-        .select(
-            F.col("i").cast("long").alias("bin"),
-            F.col("ca").cast("long").alias("n_en"),
-            F.col("cb").cast("long").alias("n_other"),
-            stable_round(F.col("uu"), 6).alias("u_scale"),
-            stable_round(F.col("vv"), 6).alias("v_scale"),
-            stable_round(F.col("mass"), 6).alias("row_mass"),
-            stable_round(F.col("ot_cost"), 6).alias("ot_cost_bins"),
-        )
+        for i in range(m):
+            kv = 0.0
+            for j in range(m):  # ascending j == the oracle's ordered fold
+                kv += kij[i][j] * v[j]
+            u[i] = pa[i] / kv
+        for j in range(m):
+            ku = 0.0
+            for i in range(m):
+                ku += kij[i][j] * u[i]
+            v[j] = pb[j] / ku
+    mass = []
+    for i in range(m):
+        acc = 0.0
+        for j in range(m):
+            acc += u[i] * kij[i][j] * v[j]
+        mass.append(acc)
+    cost = 0.0
+    for i in range(m):
+        for j in range(m):
+            cost += (u[i] * kij[i][j] * v[j]) * float(abs(i - j))
+
+    def sr(x: float) -> float:
+        return math.floor(x * 1000000.0 + 0.5) / 1000000.0
+
+    rows = [
+        (i, ca[i], cb[i], sr(u[i]), sr(v[i]), sr(mass[i]), sr(cost))
+        for i in range(m)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "bin: long, n_en: long, n_other: long, u_scale: double, "
+        "v_scale: double, row_mass: double, ot_cost_bins: double",
     )
 
 

@@ -3913,15 +3913,19 @@ def q_coverage_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("g"))
             .orderBy(F.desc("g"), F.asc("doc_id"))
             .limit(1)
+        )
+        # ONE action per round: broadcast the 1-row argmax back onto
+        # the token frame so the winner's gain AND its bigrams arrive
+        # in the same bounded collect (2 jobs/round -> 1).
+        picked = (
+            tok.join(F.broadcast(top), "doc_id")
+            .select("doc_id", "g", "t")
             .collect()
         )
-        if not top:
+        if not picked:
             break
-        doc, gain = top[0]["doc_id"], top[0]["g"]
-        new_toks = [
-            x["t"] for x in tok.where(F.col("doc_id") == doc).select("t").collect()
-        ]
-        covered.update(new_toks)
+        doc, gain = picked[0]["doc_id"], picked[0]["g"]
+        covered.update(x["t"] for x in picked)
         coverage = len(covered)
         selected.append(doc)
         rows.append((r, doc, gain, coverage))
