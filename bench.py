@@ -218,6 +218,9 @@ HEADLINE = [
     "q_coverage_greedy",
     "q_diff_in_diff",
     "q_sinkhorn_ot",
+    "q_shapley_attribution",
+    "q_sprt_ab",
+    "q_map_mrr_eval",
 ]
 
 

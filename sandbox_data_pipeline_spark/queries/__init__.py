@@ -90,6 +90,9 @@ DRIVER_PRIORITY = (
     "q_coverage_greedy",
     "q_diff_in_diff",
     "q_sinkhorn_ot",
+    "q_shapley_attribution",
+    "q_sprt_ab",
+    "q_map_mrr_eval",
     # Round-9 additions (never sampled):
     "q_quality_classifier",
     "q_doremi_weights",

@@ -3965,3 +3965,258 @@ CROSS JOIN cost c
 
 ORACLE["q_sinkhorn_ot"] = _oracle_sinkhorn()
 QUERIES["q_sinkhorn_ot"] = q_sinkhorn_ot
+
+
+SHAPLEY_CHANNELS = (("click", 1), ("error", 2), ("signup", 4), ("view", 8))
+
+
+def q_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Shapley-value channel attribution (Shapley 1953; the
+    data-driven attribution model, e.g. Zhao et al. 2018): the
+    characteristic function is the empirical conversion rate of each
+    exposure SET (which non-purchase channels a user touched), and
+    each channel's credit is its exact Shapley value over the 2^4
+    subset lattice — the principled upgrade over q_click_attribution's
+    last-touch window.
+
+    Scale: ONE user-keyed aggregate reduces the corpus to 16
+    exposure-set rows; the Shapley sum runs on the channels x subsets
+    frame (64 rows). Exact: v(S) are count ratios, the factorial
+    weights are fixed literal doubles (identical in the oracle), the
+    signed subset sum is an ordered cumulative fold read at the last
+    subset via max_by."""
+    import math
+
+    c = len(SHAPLEY_CHANNELS)
+    w = [
+        math.factorial(s) * math.factorial(c - 1 - s) / math.factorial(c)
+        for s in range(c)
+    ]
+    e = table(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        *[
+            F.max((F.col("event_type") == name).cast("int")).alias(f"has_{name}")
+            for name, _ in SHAPLEY_CHANNELS
+        ],
+        F.max((F.col("event_type") == "purchase").cast("int")).alias("conv"),
+    )
+    mask = None
+    for name, bit in SHAPLEY_CHANNELS:
+        t = F.col(f"has_{name}") * bit
+        mask = t if mask is None else mask + t
+    seg = per_user.select(mask.alias("mask"), "conv").groupBy("mask").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("conv").alias("k")
+    )
+    subs = (
+        spark.range(1 << c)
+        .select(F.col("id").cast("int").alias("smask"))
+        .join(seg.withColumnRenamed("mask", "smask"), "smask", "left")
+        .select(
+            "smask",
+            F.coalesce("n", F.lit(0)).alias("n"),
+            F.when(
+                F.coalesce("n", F.lit(0)) > 0,
+                F.col("k").cast("double") / F.col("n").cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("v"),
+        )
+    )
+    chan = spark.createDataFrame(
+        list(SHAPLEY_CHANNELS), "channel: string, bit: int"
+    )
+    wexpr = None
+    pc = F.bit_count(F.col("smask"))
+    for s in range(c):
+        t = F.when(pc == s, F.lit(w[s]))
+        wexpr = t if wexpr is None else wexpr.when(pc == s, F.lit(w[s]))
+    pairs = (
+        chan.crossJoin(subs.select("smask"))
+        .where(F.col("smask").bitwiseAND(F.col("bit")) == 0)
+        .join(subs.select(F.col("smask"), F.col("v").alias("vs")), "smask")
+        .join(
+            subs.select(
+                F.col("smask").alias("smask_i"), F.col("v").alias("vsi")
+            ),
+            F.col("smask_i") == F.col("smask") + F.col("bit"),
+        )
+        .select(
+            "channel", "bit", "smask",
+            (wexpr * (F.col("vsi") - F.col("vs"))).alias("term"),
+        )
+    )
+    wc = Window.partitionBy("channel").orderBy("smask").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    shap = (
+        pairs.select("channel", "smask", F.sum("term").over(wc).alias("cum"))
+        .groupBy("channel")
+        .agg(F.max_by("cum", "smask").alias("shapley"))
+    )
+    exposed = (
+        chan.crossJoin(subs.select("smask", "n"))
+        .where(F.col("smask").bitwiseAND(F.col("bit")) != 0)
+        .groupBy("channel")
+        .agg(F.sum("n").alias("n_exposed"))
+    )
+    return shap.join(exposed, "channel").select(
+        "channel",
+        F.col("n_exposed").cast("long").alias("n_exposed"),
+        stable_round(F.col("shapley"), 6).alias("shapley"),
+    )
+
+
+def _oracle_shapley() -> str:
+    import math
+
+    c = len(SHAPLEY_CHANNELS)
+    w = [
+        math.factorial(s) * math.factorial(c - 1 - s) / math.factorial(c)
+        for s in range(c)
+    ]
+    mask_expr = " + ".join(
+        f"max(CASE WHEN event_type = '{n}' THEN 1 ELSE 0 END) * {b}"
+        for n, b in SHAPLEY_CHANNELS
+    )
+    chan_rows = " UNION ALL ".join(
+        f"SELECT '{n}' AS channel, {b} AS bit" for n, b in SHAPLEY_CHANNELS
+    )
+    wcase = (
+        "CASE bit_count(s.smask) "
+        + " ".join(f"WHEN {s} THEN {w[s]!r}" for s in range(c))
+        + " END"
+    )
+    return f"""
+WITH per_user AS (
+  SELECT user_id, {mask_expr} AS mask,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+  FROM events GROUP BY 1
+),
+seg AS (
+  SELECT mask, count(*) AS n, sum(conv) AS k FROM per_user GROUP BY 1
+),
+subs AS MATERIALIZED (
+  SELECT CAST(r.range AS INTEGER) AS smask,
+         coalesce(seg.n, 0) AS n,
+         CASE WHEN coalesce(seg.n, 0) > 0
+              THEN CAST(seg.k AS DOUBLE) / CAST(seg.n AS DOUBLE)
+              ELSE 0.0 END AS v
+  FROM range(0, {1 << c}) r
+  LEFT JOIN seg ON seg.mask = CAST(r.range AS INTEGER)
+),
+chan AS ({chan_rows}),
+pairs AS (
+  SELECT chan.channel, chan.bit, s.smask,
+         ({wcase}) * (si.v - s.v) AS term
+  FROM chan
+  JOIN subs s ON (s.smask & chan.bit) = 0
+  JOIN subs si ON si.smask = s.smask + chan.bit
+),
+shap AS (
+  SELECT channel, max_by(cum, smask) AS shapley FROM (
+    SELECT channel, smask,
+           sum(term) OVER (PARTITION BY channel ORDER BY smask
+                           ROWS UNBOUNDED PRECEDING) AS cum
+    FROM pairs
+  ) GROUP BY 1
+),
+exposed AS (
+  SELECT chan.channel, sum(s.n) AS n_exposed
+  FROM chan JOIN subs s ON (s.smask & chan.bit) <> 0
+  GROUP BY 1
+)
+SELECT s.channel,
+       CAST(e.n_exposed AS BIGINT) AS n_exposed,
+       {stable_round_sql('s.shapley', 6)} AS shapley
+FROM shap s JOIN exposed e ON e.channel = s.channel
+"""
+
+
+ORACLE["q_shapley_attribution"] = _oracle_shapley()
+QUERIES["q_shapley_attribution"] = q_shapley_attribution
+
+
+SPRT_P0 = 0.19
+SPRT_P1 = 0.21
+SPRT_ALPHA = 0.05
+SPRT_BETA = 0.05
+
+
+def q_sprt_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald's sequential probability ratio test on the daily purchase
+    share — the always-valid sequential monitor an experimentation
+    platform runs instead of a fixed-horizon test (q_group_ttest) so
+    it can stop early: cumulative Bernoulli log-likelihood ratio of
+    H1: p=0.21 vs H0: p=0.19 per day, against the Wald boundaries
+    ln((1-b)/a) and ln(b/(1-a)).
+
+    The four log constants are computed ONCE in python and embedded
+    as identical literal doubles in both engines (no engine libm
+    inside the fold); daily (n, x) are exact integers, so the
+    cumulative LLR is a deterministic ordered fold and the per-day
+    decision state is engine-identical. One day-grain aggregate
+    touches the corpus; the fold runs on the calendar frame."""
+    import math
+
+    l1 = math.log(SPRT_P1 / SPRT_P0)
+    l0 = math.log((1.0 - SPRT_P1) / (1.0 - SPRT_P0))
+    upper = math.log((1.0 - SPRT_BETA) / SPRT_ALPHA)
+    lower = math.log(SPRT_BETA / (1.0 - SPRT_ALPHA))
+    e = table(spark, sf_dir, "events")
+    days = e.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("event_type") == "purchase").cast("int")).alias("x"),
+    )
+    wc = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    llr = (
+        F.col("x").cast("double") * F.lit(l1)
+        + (F.col("n") - F.col("x")).cast("double") * F.lit(l0)
+    )
+    cum = days.select(
+        "d", "n", "x", F.sum(llr).over(wc).alias("cum_llr")
+    )
+    return cum.select(
+        "d",
+        F.col("n").cast("long").alias("n_events"),
+        F.col("x").cast("long").alias("n_purchases"),
+        stable_round(F.col("cum_llr"), 6).alias("cum_llr"),
+        F.when(F.col("cum_llr") >= upper, F.lit("accept_h1"))
+        .when(F.col("cum_llr") <= lower, F.lit("accept_h0"))
+        .otherwise(F.lit("continue"))
+        .alias("decision"),
+    )
+
+
+def _oracle_sprt() -> str:
+    import math
+
+    l1 = math.log(SPRT_P1 / SPRT_P0)
+    l0 = math.log((1.0 - SPRT_P1) / (1.0 - SPRT_P0))
+    upper = math.log((1.0 - SPRT_BETA) / SPRT_ALPHA)
+    lower = math.log(SPRT_BETA / (1.0 - SPRT_ALPHA))
+    return f"""
+WITH days AS (
+  SELECT CAST(ts AS DATE) AS d, count(*) AS n,
+         sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS x
+  FROM events GROUP BY 1
+),
+cum AS (
+  SELECT d, n, x,
+         sum(CAST(x AS DOUBLE) * {l1!r}
+             + CAST(n - x AS DOUBLE) * {l0!r})
+           OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS cum_llr
+  FROM days
+)
+SELECT d,
+       CAST(n AS BIGINT) AS n_events,
+       CAST(x AS BIGINT) AS n_purchases,
+       {stable_round_sql('cum_llr', 6)} AS cum_llr,
+       CASE WHEN cum_llr >= {upper!r} THEN 'accept_h1'
+            WHEN cum_llr <= {lower!r} THEN 'accept_h0'
+            ELSE 'continue' END AS decision
+FROM cum
+"""
+
+
+ORACLE["q_sprt_ab"] = _oracle_sprt()
+QUERIES["q_sprt_ab"] = q_sprt_ab

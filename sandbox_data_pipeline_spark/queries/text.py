@@ -3995,3 +3995,154 @@ FROM ({union})
 
 ORACLE["q_coverage_greedy"] = _oracle_coverage_greedy()
 QUERIES["q_coverage_greedy"] = q_coverage_greedy
+
+
+MAP_QUERIES = ("scan", "merge", "sort")  # ranking signal terms
+MAP_REL_TERM = "join"  # relevance ground-truth term
+MAP_K = 20
+
+
+def q_map_mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAP@k and MRR — the two rank-eval metrics q_ndcg_at_k doesn't
+    cover (binary-relevance mean precision and first-hit reciprocal
+    rank). Three retrieval runs (rank docs by tf of a signal term,
+    ties by doc_id) are scored against one binary relevance oracle
+    (docs with >= 2 occurrences of a held-out term) — deliberately
+    decorrelated signals so AP lands strictly inside (0, 1).
+
+    AP@k = sum_j rel_j * (cum_rel_j / j) / min(R, k); MRR = 1 / rank
+    of first relevant. Scale: per run, a token-count aggregate + a
+    TakeOrdered top-k; scoring folds run on k-bounded frames. All
+    inputs are exact integer counts and ratios of them."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), " "), lambda t: t != F.lit(""))
+    def _tf(term: str):
+        # NOTE: a closure via `def`, not a default-arg lambda — a
+        # two-parameter lambda would bind Spark's (element, index)
+        # HOF signature.
+        return F.size(F.filter(toks, lambda t: t == F.lit(term)))
+
+    base = d.select(
+        "doc_id",
+        *[_tf(q).alias(f"tf_{q}") for q in MAP_QUERIES],
+        (
+            F.size(F.filter(toks, lambda t: t == F.lit(MAP_REL_TERM))) >= 2
+        )
+        .cast("int")
+        .alias("rel"),
+    )
+    rtot = base.agg(F.sum("rel").alias("r_tot"))
+    outs = []
+    for q in MAP_QUERIES:
+        topk = (
+            base.select("doc_id", F.col(f"tf_{q}").alias("tf"), "rel")
+            .orderBy(F.desc("tf"), F.asc("doc_id"))
+            .limit(MAP_K)
+        )
+        wr = Window.orderBy(F.desc("tf"), F.asc("doc_id"))
+        ranked = topk.select(
+            "rel",
+            F.row_number().over(wr).alias("rk"),
+        )
+        wc = Window.orderBy("rk").rowsBetween(Window.unboundedPreceding, 0)
+        with_cum = ranked.select(
+            "rk", "rel", F.sum("rel").over(wc).alias("cum_rel")
+        )
+        scored = with_cum.select(
+            "rk", "rel", "cum_rel",
+            F.sum(
+                F.col("rel").cast("double")
+                * (F.col("cum_rel").cast("double") / F.col("rk"))
+            )
+            .over(wc)
+            .alias("cum_ap"),
+            F.min(F.when(F.col("rel") == 1, F.col("rk")))
+            .over(wc)
+            .alias("first_rel"),
+        )
+        agg = scored.agg(
+            F.max("cum_rel").alias("rel_at_k"),
+            F.max("cum_ap").alias("ap_num"),
+            F.min("first_rel").alias("first_rel"),
+        )
+        outs.append(
+            agg.crossJoin(F.broadcast(rtot)).select(
+                F.lit(q).alias("query_term"),
+                F.col("r_tot").cast("long").alias("n_relevant"),
+                F.col("rel_at_k").cast("long").alias("rel_at_k"),
+                stable_round(
+                    F.col("ap_num")
+                    / F.least(F.col("r_tot"), F.lit(MAP_K)).cast("double"),
+                    6,
+                ).alias("ap_at_k"),
+                stable_round(
+                    F.coalesce(
+                        F.lit(1.0) / F.col("first_rel").cast("double"),
+                        F.lit(0.0),
+                    ),
+                    6,
+                ).alias("rr"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out
+
+
+def _oracle_map_mrr() -> str:
+    runs = []
+    for q in MAP_QUERIES:
+        runs.append(
+            f"""(
+  WITH topk AS (
+    SELECT rel, row_number() OVER (ORDER BY tf_{q} DESC, doc_id) AS rk
+    FROM base ORDER BY tf_{q} DESC, doc_id LIMIT {MAP_K}
+  ),
+  with_cum AS (
+    SELECT rk, rel,
+           sum(rel) OVER (ORDER BY rk ROWS UNBOUNDED PRECEDING) AS cum_rel
+    FROM topk
+  ),
+  scored AS (
+    SELECT rk, rel, cum_rel,
+           sum(CAST(rel AS DOUBLE) * (CAST(cum_rel AS DOUBLE) / rk))
+             OVER (ORDER BY rk ROWS UNBOUNDED PRECEDING) AS cum_ap,
+           min(CASE WHEN rel = 1 THEN rk END)
+             OVER (ORDER BY rk ROWS UNBOUNDED PRECEDING) AS first_rel
+    FROM with_cum
+  )
+  SELECT '{q}' AS query_term,
+         CAST(rtot.r_tot AS BIGINT) AS n_relevant,
+         CAST(max(cum_rel) AS BIGINT) AS rel_at_k,
+         {stable_round_sql(
+             'max(cum_ap) / CAST(least(rtot.r_tot, ' + str(MAP_K)
+             + ') AS DOUBLE)', 6)} AS ap_at_k,
+         {stable_round_sql(
+             'coalesce(1.0 / CAST(min(first_rel) AS DOUBLE), 0.0)', 6)} AS rr
+  FROM scored CROSS JOIN rtot
+  GROUP BY rtot.r_tot
+)"""
+        )
+    union = "\nUNION ALL\n".join(runs)
+    tf_cols = ",\n         ".join(
+        f"len(list_filter(l, x -> x = '{q}')) AS tf_{q}" for q in MAP_QUERIES
+    )
+    return f"""
+WITH lists AS (
+  SELECT doc_id, {_TOK_SPLIT_SQL} AS l FROM documents
+),
+base AS MATERIALIZED (
+  SELECT doc_id,
+         {tf_cols},
+         CASE WHEN len(list_filter(l, x -> x = '{MAP_REL_TERM}')) >= 2
+              THEN 1 ELSE 0 END AS rel
+  FROM lists
+),
+rtot AS (SELECT sum(rel) AS r_tot FROM base)
+{union}
+"""
+
+
+ORACLE["q_map_mrr_eval"] = _oracle_map_mrr()
+QUERIES["q_map_mrr_eval"] = q_map_mrr_eval

@@ -389,3 +389,108 @@ def test_sinkhorn_marginal_fit(spark):
     for r in rows:
         assert abs(r["row_mass"] - r["n_en"] / na) < 0.02
         assert r["ot_cost_bins"] >= 0
+
+
+def test_shapley_efficiency_axiom(spark):
+    """Shapley values must satisfy efficiency: they sum to
+    v(grand coalition) - v(empty set). Recompute both sides from the
+    raw exposure segments."""
+    from pyspark.sql import functions as F
+
+    from sandbox_data_pipeline_spark.queries.analytics import (
+        SHAPLEY_CHANNELS,
+        QUERIES,
+    )
+
+    rows = QUERIES["q_shapley_attribution"](spark, SF).collect()
+    assert {r["channel"] for r in rows} == {n for n, _ in SHAPLEY_CHANNELS}
+    total = sum(r["shapley"] for r in rows)
+
+    e = spark.read.parquet(f"{SF}/events.parquet")
+    per_user = e.groupBy("user_id").agg(
+        *[
+            F.max((F.col("event_type") == n).cast("int")).alias(f"h_{n}")
+            for n, _ in SHAPLEY_CHANNELS
+        ],
+        F.max((F.col("event_type") == "purchase").cast("int")).alias("conv"),
+    )
+    full_mask = sum(b for _, b in SHAPLEY_CHANNELS)
+    mask_col = None
+    for n, b in SHAPLEY_CHANNELS:
+        t = F.col(f"h_{n}") * b
+        mask_col = t if mask_col is None else mask_col + t
+    seg = (
+        per_user.select(mask_col.alias("mask"), "conv")
+        .groupBy("mask")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("conv").alias("k"))
+        .collect()
+    )
+    v = {r["mask"]: r["k"] / r["n"] for r in seg}
+    expect = v.get(full_mask, 0.0) - v.get(0, 0.0)
+    assert abs(total - expect) < 5e-5, (total, expect)
+
+
+def test_sprt_decision_matches_boundaries(spark):
+    import math
+
+    from sandbox_data_pipeline_spark.queries.analytics import (
+        SPRT_ALPHA,
+        SPRT_BETA,
+        QUERIES,
+    )
+
+    upper = math.log((1.0 - SPRT_BETA) / SPRT_ALPHA)
+    lower = math.log(SPRT_BETA / (1.0 - SPRT_ALPHA))
+    rows = QUERIES["q_sprt_ab"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        if r["cum_llr"] >= upper + 1e-5:
+            assert r["decision"] == "accept_h1"
+        elif r["cum_llr"] <= lower - 1e-5:
+            assert r["decision"] == "accept_h0"
+
+
+def test_map_mrr_bounds_and_python_replay(spark):
+    """Replay AP@k/MRR in python from raw token counts for one run."""
+    from sandbox_data_pipeline_spark.queries.text import (
+        MAP_K,
+        MAP_QUERIES,
+        MAP_REL_TERM,
+        QUERIES,
+    )
+
+    got = {r["query_term"]: r for r in QUERIES["q_map_mrr_eval"](spark, SF).collect()}
+    assert set(got) == set(MAP_QUERIES)
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text"
+    ).collect()
+    feats = []
+    for r in docs:
+        toks = [t for t in r["text"].split(" ") if t]
+        feats.append(
+            (
+                r["doc_id"],
+                toks.count(MAP_QUERIES[0]),
+                1 if toks.count(MAP_REL_TERM) >= 2 else 0,
+            )
+        )
+    r_tot = sum(f[2] for f in feats)
+    top = sorted(feats, key=lambda f: (-f[1], f[0]))[:MAP_K]
+    cum = 0
+    ap_num = 0.0
+    first = None
+    for j, f in enumerate(top, start=1):
+        if f[2]:
+            cum += 1
+            ap_num += cum / j
+            if first is None:
+                first = j
+    ap = ap_num / min(r_tot, MAP_K)
+    rr = 1.0 / first if first else 0.0
+    g = got[MAP_QUERIES[0]]
+    assert g["n_relevant"] == r_tot
+    assert abs(g["ap_at_k"] - ap) < 5e-6
+    assert abs(g["rr"] - rr) < 5e-6
+    for r in got.values():
+        assert 0.0 <= r["ap_at_k"] <= 1.0
+        assert 0.0 <= r["rr"] <= 1.0
