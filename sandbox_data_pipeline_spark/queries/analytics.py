@@ -4004,65 +4004,40 @@ def q_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     for name, bit in SHAPLEY_CHANNELS:
         t = F.col(f"has_{name}") * bit
         mask = t if mask is None else mask + t
-    seg = per_user.select(mask.alias("mask"), "conv").groupBy("mask").agg(
-        F.count(F.lit(1)).alias("n"), F.sum("conv").alias("k")
+    seg_rows = (
+        per_user.select(mask.alias("mask"), "conv")
+        .groupBy("mask")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("conv").alias("k"))
+        .collect()
     )
-    subs = (
-        spark.range(1 << c)
-        .select(F.col("id").cast("int").alias("smask"))
-        .join(seg.withColumnRenamed("mask", "smask"), "smask", "left")
-        .select(
-            "smask",
-            F.coalesce("n", F.lit(0)).alias("n"),
-            F.when(
-                F.coalesce("n", F.lit(0)) > 0,
-                F.col("k").cast("double") / F.col("n").cast("double"),
+    # ONE corpus-scale job; the 2^4 lattice state is bounded, so the
+    # Shapley fold runs on the driver (sinkhorn/bpe trainer contract;
+    # a frame-resident variant paid ~6.7 s of AQE stage latency at
+    # sf0.1 to move 16 rows). Ascending-smask folds replay the
+    # oracle's ordered cumulative windows exactly.
+    import math as _math
+
+    nseg = {r["mask"]: r["n"] for r in seg_rows}
+    vseg = {r["mask"]: r["k"] / r["n"] for r in seg_rows}
+
+    def sr(x: float) -> float:
+        return _math.floor(x * 1000000.0 + 0.5) / 1000000.0
+
+    out_rows = []
+    for name, bit in SHAPLEY_CHANNELS:
+        shap = 0.0
+        for smask in range(1 << c):
+            if smask & bit:
+                continue
+            shap += w[bin(smask).count("1")] * (
+                vseg.get(smask + bit, 0.0) - vseg.get(smask, 0.0)
             )
-            .otherwise(F.lit(0.0))
-            .alias("v"),
+        n_exposed = sum(
+            n for m, n in nseg.items() if m & bit
         )
-    )
-    chan = spark.createDataFrame(
-        list(SHAPLEY_CHANNELS), "channel: string, bit: int"
-    )
-    wexpr = None
-    pc = F.bit_count(F.col("smask"))
-    for s in range(c):
-        t = F.when(pc == s, F.lit(w[s]))
-        wexpr = t if wexpr is None else wexpr.when(pc == s, F.lit(w[s]))
-    pairs = (
-        chan.crossJoin(subs.select("smask"))
-        .where(F.col("smask").bitwiseAND(F.col("bit")) == 0)
-        .join(subs.select(F.col("smask"), F.col("v").alias("vs")), "smask")
-        .join(
-            subs.select(
-                F.col("smask").alias("smask_i"), F.col("v").alias("vsi")
-            ),
-            F.col("smask_i") == F.col("smask") + F.col("bit"),
-        )
-        .select(
-            "channel", "bit", "smask",
-            (wexpr * (F.col("vsi") - F.col("vs"))).alias("term"),
-        )
-    )
-    wc = Window.partitionBy("channel").orderBy("smask").rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    shap = (
-        pairs.select("channel", "smask", F.sum("term").over(wc).alias("cum"))
-        .groupBy("channel")
-        .agg(F.max_by("cum", "smask").alias("shapley"))
-    )
-    exposed = (
-        chan.crossJoin(subs.select("smask", "n"))
-        .where(F.col("smask").bitwiseAND(F.col("bit")) != 0)
-        .groupBy("channel")
-        .agg(F.sum("n").alias("n_exposed"))
-    )
-    return shap.join(exposed, "channel").select(
-        "channel",
-        F.col("n_exposed").cast("long").alias("n_exposed"),
-        stable_round(F.col("shapley"), 6).alias("shapley"),
+        out_rows.append((name, n_exposed, sr(shap)))
+    return spark.createDataFrame(
+        out_rows, "channel: string, n_exposed: long, shapley: double"
     )
 
 
