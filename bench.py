@@ -221,6 +221,8 @@ HEADLINE = [
     "q_shapley_attribution",
     "q_sprt_ab",
     "q_map_mrr_eval",
+    "q_kruskal_wallis",
+    "q_cramers_v",
 ]
 
 

@@ -93,6 +93,8 @@ DRIVER_PRIORITY = (
     "q_shapley_attribution",
     "q_sprt_ab",
     "q_map_mrr_eval",
+    "q_kruskal_wallis",
+    "q_cramers_v",
     # Round-9 additions (never sampled):
     "q_quality_classifier",
     "q_doremi_weights",

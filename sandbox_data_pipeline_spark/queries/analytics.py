@@ -4195,3 +4195,213 @@ FROM cum
 
 ORACLE["q_sprt_ab"] = _oracle_sprt()
 QUERIES["q_sprt_ab"] = q_sprt_ab
+
+
+def q_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H: do document lengths differ across the FIVE
+    languages? The K-group generalization of q_mannwhitney_u — the
+    omnibus nonparametric ANOVA a data-quality pipeline runs before
+    drilling into pairwise tests. Same exact-midrank discipline: 2x
+    mid-ranks are integers via the value histogram, per-group rank
+    sums are exact, and H with the standard tie correction takes one
+    division chain over exact integers; the only cross-group fold
+    runs ordered over the 5-language frame (terms nonnegative, read
+    at MAX).
+
+    Output per language: group size, exact 2x rank sum, mean rank,
+    and the tie-corrected H (constant across rows, like lambda_est in
+    q_fellegi_sunter)."""
+    d = table(spark, sf_dir, "documents").select(
+        "lang", F.col("n_chars").alias("v")
+    )
+    hist = d.groupBy("v").agg(F.count(F.lit(1)).alias("cnt"))
+    wv = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    ranked = hist.select(
+        "v", "cnt", F.sum("cnt").over(wv).alias("cum")
+    )
+    per_lv = d.groupBy("lang", "v").agg(F.count(F.lit(1)).alias("cnt_g"))
+    grp = (
+        per_lv.join(ranked, "v")
+        .groupBy("lang")
+        .agg(
+            F.sum("cnt_g").alias("n_g"),
+            F.sum(
+                F.col("cnt_g") * (2 * F.col("cum") - F.col("cnt") + 1)
+            ).alias("rs2_g"),
+        )
+    )
+    tots = ranked.agg(
+        F.sum("cnt").alias("n"),
+        F.sum(F.col("cnt") * (F.col("cnt") * F.col("cnt") - 1)).alias("tie3"),
+    )
+    wl = Window.orderBy("lang").rowsBetween(Window.unboundedPreceding, 0)
+    term = (
+        (F.col("rs2_g").cast("double") / 2.0)
+        * (F.col("rs2_g").cast("double") / 2.0)
+        / F.col("n_g").cast("double")
+    )
+    cum = grp.select(
+        F.sum(term).over(wl).alias("cs")
+    ).agg(F.max("cs").alias("s"))
+    h_raw = (
+        F.lit(12.0)
+        / (F.col("n").cast("double") * (F.col("n") + 1).cast("double"))
+        * F.col("s")
+        - 3.0 * (F.col("n") + 1).cast("double")
+    )
+    corr = F.lit(1.0) - F.col("tie3").cast("double") / (
+        F.col("n").cast("double") * F.col("n").cast("double")
+        * F.col("n").cast("double")
+        - F.col("n").cast("double")
+    )
+    hfr = cum.crossJoin(F.broadcast(tots)).select(
+        (h_raw / corr).alias("h_adj")
+    )
+    return grp.crossJoin(F.broadcast(hfr)).select(
+        "lang",
+        F.col("n_g").cast("long").alias("n_docs"),
+        F.col("rs2_g").cast("long").alias("rank_sum_x2"),
+        stable_round(
+            F.col("rs2_g").cast("double") / (2.0 * F.col("n_g").cast("double")),
+            4,
+        ).alias("mean_rank"),
+        stable_round(F.col("h_adj"), 4).alias("h_adj"),
+    )
+
+
+ORACLE["q_kruskal_wallis"] = f"""
+WITH d AS (SELECT lang, n_chars AS v FROM documents),
+hist AS (SELECT v, count(*) AS cnt FROM d GROUP BY 1),
+ranked AS (
+  SELECT v, cnt,
+         sum(cnt) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum
+  FROM hist
+),
+per_lv AS (SELECT lang, v, count(*) AS cnt_g FROM d GROUP BY 1, 2),
+grp AS (
+  SELECT lang, sum(cnt_g) AS n_g,
+         sum(cnt_g * (2 * cum - cnt + 1)) AS rs2_g
+  FROM per_lv JOIN ranked USING (v) GROUP BY 1
+),
+tots AS (
+  SELECT sum(cnt) AS n, sum(cnt * (cnt * cnt - 1)) AS tie3 FROM ranked
+),
+cum AS (
+  SELECT max(cs) AS s FROM (
+    SELECT sum((CAST(rs2_g AS DOUBLE) / 2.0)
+               * (CAST(rs2_g AS DOUBLE) / 2.0)
+               / CAST(n_g AS DOUBLE))
+             OVER (ORDER BY lang ROWS UNBOUNDED PRECEDING) AS cs
+    FROM grp
+  )
+),
+hfr AS (
+  SELECT (12.0 / (CAST(n AS DOUBLE) * CAST(n + 1 AS DOUBLE)) * s
+          - 3.0 * CAST(n + 1 AS DOUBLE))
+         / (1.0 - CAST(tie3 AS DOUBLE)
+                  / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                     * CAST(n AS DOUBLE) - CAST(n AS DOUBLE))) AS h_adj
+  FROM cum CROSS JOIN tots
+)
+SELECT g.lang,
+       CAST(g.n_g AS BIGINT) AS n_docs,
+       CAST(g.rs2_g AS BIGINT) AS rank_sum_x2,
+       {stable_round_sql(
+           'CAST(g.rs2_g AS DOUBLE) / (2.0 * CAST(g.n_g AS DOUBLE))', 4)}
+         AS mean_rank,
+       {stable_round_sql('h.h_adj', 4)} AS h_adj
+FROM grp g CROSS JOIN hfr h
+"""
+QUERIES["q_kruskal_wallis"] = q_kruskal_wallis
+
+
+def q_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V association between language and source — the
+    normalized effect size a drift monitor should report next to
+    q_chi2_terms' raw statistic (chi-square grows with N; V stays in
+    [0,1]). chi2 = sum (O - N*p_r*p_c)^2 / (N*p_r*p_c) over the
+    r x c contingency frame; V = sqrt(chi2 / (N * min(r-1, c-1))).
+
+    Exact: observed counts and marginals are integers; each cell term
+    is a fixed IEEE expression; the cell fold runs ordered over the
+    contingency frame (category-cardinality, terms nonnegative, read
+    at MAX). One corpus-scale groupBy."""
+    d = table(spark, sf_dir, "documents")
+    cell = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("o"))
+    row_m = cell.groupBy("lang").agg(F.sum("o").alias("rn"))
+    col_m = cell.groupBy("source").agg(F.sum("o").alias("cn"))
+    tot = cell.agg(
+        F.sum("o").alias("n"),
+        F.countDistinct("lang").alias("r"),
+        F.countDistinct("source").alias("c"),
+    )
+    wcell = Window.orderBy("lang", "source").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    e = (
+        F.col("rn").cast("double")
+        * F.col("cn").cast("double")
+        / F.col("n").cast("double")
+    )
+    term = (F.col("o").cast("double") - e) * (F.col("o").cast("double") - e) / e
+    chi = (
+        cell.join(row_m, "lang")
+        .join(col_m, "source")
+        .crossJoin(F.broadcast(tot))
+        .select(F.sum(term).over(wcell).alias("cchi"))
+        .agg(F.max("cchi").alias("chi2"))
+    )
+    return chi.crossJoin(F.broadcast(tot)).select(
+        F.col("n").cast("long").alias("n_docs"),
+        F.col("r").cast("long").alias("n_langs"),
+        F.col("c").cast("long").alias("n_sources"),
+        stable_round(F.col("chi2"), 4).alias("chi2"),
+        stable_round(
+            F.sqrt(
+                F.col("chi2")
+                / (
+                    F.col("n").cast("double")
+                    * F.least(F.col("r") - 1, F.col("c") - 1).cast("double")
+                )
+            ),
+            6,
+        ).alias("cramers_v"),
+    )
+
+
+ORACLE["q_cramers_v"] = f"""
+WITH cell AS (
+  SELECT lang, source, count(*) AS o FROM documents GROUP BY 1, 2
+),
+row_m AS (SELECT lang, sum(o) AS rn FROM cell GROUP BY 1),
+col_m AS (SELECT source, sum(o) AS cn FROM cell GROUP BY 1),
+tot AS (
+  SELECT sum(o) AS n, count(DISTINCT lang) AS r,
+         count(DISTINCT source) AS c
+  FROM cell
+),
+chi AS (
+  SELECT max(cchi) AS chi2 FROM (
+    SELECT sum(
+             (CAST(o AS DOUBLE)
+              - CAST(rn AS DOUBLE) * CAST(cn AS DOUBLE) / CAST(n AS DOUBLE))
+             * (CAST(o AS DOUBLE)
+                - CAST(rn AS DOUBLE) * CAST(cn AS DOUBLE) / CAST(n AS DOUBLE))
+             / (CAST(rn AS DOUBLE) * CAST(cn AS DOUBLE) / CAST(n AS DOUBLE)))
+             OVER (ORDER BY lang, source ROWS UNBOUNDED PRECEDING) AS cchi
+    FROM cell
+    JOIN row_m USING (lang)
+    JOIN col_m USING (source)
+    CROSS JOIN tot
+  )
+)
+SELECT CAST(t.n AS BIGINT) AS n_docs,
+       CAST(t.r AS BIGINT) AS n_langs,
+       CAST(t.c AS BIGINT) AS n_sources,
+       {stable_round_sql('chi.chi2', 4)} AS chi2,
+       {stable_round_sql(
+           'sqrt(chi.chi2 / (CAST(t.n AS DOUBLE) '
+           '* CAST(least(t.r - 1, t.c - 1) AS DOUBLE)))', 6)} AS cramers_v
+FROM chi CROSS JOIN tot t
+"""
+QUERIES["q_cramers_v"] = q_cramers_v

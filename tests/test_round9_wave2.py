@@ -494,3 +494,49 @@ def test_map_mrr_bounds_and_python_replay(spark):
     for r in got.values():
         assert 0.0 <= r["ap_at_k"] <= 1.0
         assert 0.0 <= r["rr"] <= 1.0
+
+
+def test_kruskal_wallis_against_python_replay(spark):
+    """Replay tie-corrected H from raw values in python."""
+    from collections import Counter, defaultdict
+
+    from sandbox_data_pipeline_spark.queries.analytics import QUERIES
+
+    rows = QUERIES["q_kruskal_wallis"](spark, SF).collect()
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "lang", "n_chars"
+    ).collect()
+    vals = sorted(r["n_chars"] for r in docs)
+    n = len(vals)
+    # mid-rank per value
+    c = Counter(vals)
+    cum = 0
+    midrank = {}
+    for v in sorted(c):
+        cum += c[v]
+        midrank[v] = (2 * cum - c[v] + 1) / 2.0
+    sums = defaultdict(float)
+    counts = defaultdict(int)
+    for r in docs:
+        sums[r["lang"]] += midrank[r["n_chars"]]
+        counts[r["lang"]] += 1
+    s = sum(sums[g] ** 2 / counts[g] for g in sorted(sums))
+    h = 12.0 / (n * (n + 1)) * s - 3 * (n + 1)
+    tie3 = sum(t * (t * t - 1) for t in c.values())
+    h_adj = h / (1 - tie3 / (n**3 - n))
+    got = rows[0]["h_adj"]
+    assert abs(got - h_adj) < 5e-3, (got, h_adj)
+    for r in rows:
+        assert abs(
+            r["mean_rank"] - sums[r["lang"]] / counts[r["lang"]]
+        ) < 1e-3
+        assert r["n_docs"] == counts[r["lang"]]
+
+
+def test_cramers_v_bounds(spark):
+    from sandbox_data_pipeline_spark.queries.analytics import QUERIES
+
+    r = QUERIES["q_cramers_v"](spark, SF).collect()[0]
+    assert 0.0 <= r["cramers_v"] <= 1.0
+    assert r["chi2"] >= 0.0
+    assert r["n_langs"] == 5 and r["n_sources"] == 20
