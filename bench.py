@@ -223,6 +223,7 @@ HEADLINE = [
     "q_map_mrr_eval",
     "q_kruskal_wallis",
     "q_cramers_v",
+    "q_wordpiece_encode",
 ]
 
 

@@ -95,6 +95,7 @@ DRIVER_PRIORITY = (
     "q_map_mrr_eval",
     "q_kruskal_wallis",
     "q_cramers_v",
+    "q_wordpiece_encode",
     # Round-9 additions (never sampled):
     "q_quality_classifier",
     "q_doremi_weights",

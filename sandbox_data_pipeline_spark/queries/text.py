@@ -4146,3 +4146,184 @@ rtot AS (SELECT sum(rel) AS r_tot FROM base)
 
 ORACLE["q_map_mrr_eval"] = _oracle_map_mrr()
 QUERIES["q_map_mrr_eval"] = q_map_mrr_eval
+
+
+WP_TOPK = 64  # learned multi-char pieces per class (start / continuation)
+WP_MAXLEN = 4
+WP_MAX_TYPES = 200_000  # driver vocab guard (bpe.py trainer contract)
+WP_MAXW = 16  # unrolled greedy steps in the oracle = max word length
+
+
+def q_wordpiece_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece greedy longest-match segmentation (Wu et al. 2016 —
+    the BERT tokenizer family), completing the tokenizer triad next
+    to BPE (`operators/bpe.py`) and unigram-LM (`operators/
+    unigram.py`). Vocabulary = every character plus the top-K most
+    frequent multi-char substrings per position class (word-start vs
+    '##'-continuation), counted over the corpus word types weighted
+    by frequency; encoding = greedy max-munch per position class.
+
+    Distribution contract (the bpe.py driver-trainer shape): the
+    corpus is reduced by ONE distinct (word, count) aggregate to the
+    word-TYPE frame, guarded by WP_MAX_TYPES (raises loudly rather
+    than silently scaling); vocabulary induction and per-type
+    encoding run on the driver over that bounded frame; the
+    type->piece-count map is broadcast back and every doc is scored
+    map-side. The oracle replays the same induction (QUALIFY top-K)
+    and the same greedy scan as a recursive CTE with a correlated
+    max-match subquery."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), " "), lambda t: t != F.lit(""))
+    doc_words = d.select(
+        "doc_id", F.explode(toks).alias("word")
+    ).groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("cnt"))
+    types = (
+        doc_words.groupBy("word").agg(F.sum("cnt").alias("wc")).collect()
+    )
+    if len(types) > WP_MAX_TYPES:
+        raise RuntimeError(
+            f"word-type count {len(types)} exceeds WP_MAX_TYPES="
+            f"{WP_MAX_TYPES}; raise the guard deliberately for corpora "
+            "this wide"
+        )
+    wc = {r["word"]: r["wc"] for r in types}
+    too_long = [w for w in wc if len(w) > WP_MAXW]
+    if too_long:
+        raise RuntimeError(
+            f"words longer than WP_MAXW={WP_MAXW} chars (e.g. "
+            f"{too_long[0]!r}) — raise the oracle unroll bound with them"
+        )
+    counts: dict = {0: {}, 1: {}}
+    chars: dict = {0: set(), 1: set()}
+    for w, c in wc.items():
+        for p in range(len(w)):
+            cls = 0 if p == 0 else 1
+            chars[cls].add(w[p])
+            for L in range(2, WP_MAXLEN + 1):
+                if p + L <= len(w):
+                    piece = w[p : p + L]
+                    counts[cls][piece] = counts[cls].get(piece, 0) + c
+    vocab: dict = {}
+    for cls in (0, 1):
+        top = sorted(counts[cls].items(), key=lambda kv: (-kv[1], kv[0]))[
+            :WP_TOPK
+        ]
+        vocab[cls] = chars[cls] | {p for p, _ in top}
+
+    def encode_len(w: str) -> int:
+        pos, n = 0, 0
+        while pos < len(w):
+            cls = 0 if pos == 0 else 1
+            match = 1
+            for L in range(2, WP_MAXLEN + 1):
+                if pos + L <= len(w) and w[pos : pos + L] in vocab[cls]:
+                    match = L
+            # single chars are always present, so match >= 1 holds
+            pos += match
+            n += 1
+        return n
+
+    mapping = spark.createDataFrame(
+        [(w, encode_len(w)) for w in sorted(wc)], "word: string, np: long"
+    )
+    per_doc = (
+        doc_words.join(F.broadcast(mapping), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_tokens"),
+            F.sum(F.col("cnt") * F.col("np")).alias("n_pieces"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_pieces").cast("long").alias("n_pieces"),
+        dec_ratio(
+            F.col("n_pieces").cast("decimal(18,0)"), F.col("n_tokens"), 0, 4
+        ).alias("pieces_per_token"),
+    )
+
+
+def _oracle_wordpiece() -> str:
+    # The greedy scan unrolls to WP_MAXW join+GROUP BY steps (DuckDB's
+    # recursive terms cannot aggregate over the recursive relation, so
+    # a recursive max-match formulation silently yields NULL). Each
+    # step consumes >= 1 character, so WP_MAXW bounds any word up to
+    # that many characters; the Spark side guards the bound loudly.
+    steps = []
+    prev = "w0"
+    for k in range(1, WP_MAXW + 1):
+        steps.append(
+            f"""w{k} AS (
+  SELECT w.word, w.pos + max(len(v.piece)) AS pos, w.np + 1 AS np
+  FROM {prev} w JOIN vocab v
+    ON v.cls = CASE WHEN w.pos = 1 THEN 0 ELSE 1 END
+   AND substr(w.word, w.pos, len(v.piece)) = v.piece
+  WHERE w.pos <= len(w.word)
+  GROUP BY w.word, w.pos, w.np
+)"""
+        )
+        prev = f"w{k}"
+    chain = ",\n".join(steps)
+    states = "\nUNION ALL\n".join(
+        f"SELECT * FROM w{k}" for k in range(WP_MAXW + 1)
+    )
+    return f"""
+WITH doc_words AS MATERIALIZED (
+  SELECT doc_id, t AS word, count(*) AS cnt FROM (
+    SELECT doc_id, unnest({_TOK_SPLIT_SQL}) AS t FROM documents
+  ) GROUP BY 1, 2
+),
+types AS MATERIALIZED (
+  SELECT word, sum(cnt) AS wc FROM doc_words GROUP BY 1
+),
+subs AS (
+  SELECT CASE WHEN CAST(p.range AS INTEGER) = 1 THEN 0 ELSE 1 END AS cls,
+         substr(word, CAST(p.range AS INTEGER), CAST(l.range AS INTEGER))
+           AS piece,
+         sum(wc) AS c
+  FROM types
+  CROSS JOIN range(1, 64) p
+  CROSS JOIN range(2, {WP_MAXLEN + 1}) l
+  WHERE CAST(p.range AS INTEGER) + CAST(l.range AS INTEGER) - 1
+          <= len(word)
+  GROUP BY 1, 2
+),
+topk AS (
+  SELECT cls, piece FROM subs
+  QUALIFY row_number() OVER (PARTITION BY cls ORDER BY c DESC, piece)
+            <= {WP_TOPK}
+),
+chars AS (
+  SELECT DISTINCT CASE WHEN CAST(p.range AS INTEGER) = 1 THEN 0 ELSE 1 END
+           AS cls,
+         substr(word, CAST(p.range AS INTEGER), 1) AS piece
+  FROM types CROSS JOIN range(1, 64) p
+  WHERE CAST(p.range AS INTEGER) <= len(word)
+),
+vocab AS MATERIALIZED (
+  SELECT DISTINCT cls, piece FROM (
+    SELECT * FROM topk UNION ALL SELECT * FROM chars
+  )
+),
+w0 AS (SELECT word, 1 AS pos, 0 AS np FROM types),
+{chain},
+enc AS (
+  SELECT word, np FROM ({states}) WHERE pos = len(word) + 1
+),
+per_doc AS (
+  SELECT dw.doc_id, sum(dw.cnt) AS n_tokens,
+         sum(dw.cnt * e.np) AS n_pieces
+  FROM doc_words dw JOIN enc e ON e.word = dw.word
+  GROUP BY 1
+)
+SELECT doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_pieces AS BIGINT) AS n_pieces,
+       {dec_ratio_sql('n_pieces', 'n_tokens', 0, 4)} AS pieces_per_token
+FROM per_doc
+"""
+
+
+ORACLE["q_wordpiece_encode"] = _oracle_wordpiece()
+QUERIES["q_wordpiece_encode"] = q_wordpiece_encode

@@ -540,3 +540,68 @@ def test_cramers_v_bounds(spark):
     assert 0.0 <= r["cramers_v"] <= 1.0
     assert r["chi2"] >= 0.0
     assert r["n_langs"] == 5 and r["n_sources"] == 20
+
+
+def test_wordpiece_bounds_and_greedy_replay(spark):
+    """Piece counts are bounded by [n_tokens, n_chars-of-words]; the
+    per-word greedy matches an independent python replay that builds
+    the vocab from scratch."""
+    from sandbox_data_pipeline_spark.queries.text import (
+        WP_MAXLEN,
+        WP_TOPK,
+        QUERIES,
+    )
+
+    rows = QUERIES["q_wordpiece_encode"](spark, SF).collect()
+    assert rows
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text"
+    ).collect()
+    words_of = {
+        r["doc_id"]: [t for t in r["text"].split(" ") if t] for r in docs
+    }
+    # independent vocab induction
+    wc: dict = {}
+    for ws in words_of.values():
+        for w in ws:
+            wc[w] = wc.get(w, 0) + 1
+    counts: dict = {0: {}, 1: {}}
+    chars: dict = {0: set(), 1: set()}
+    for w, c in wc.items():
+        for p in range(len(w)):
+            cls = 0 if p == 0 else 1
+            chars[cls].add(w[p])
+            for L in range(2, WP_MAXLEN + 1):
+                if p + L <= len(w):
+                    counts[cls][w[p : p + L]] = (
+                        counts[cls].get(w[p : p + L], 0) + c
+                    )
+    vocab = {
+        cls: chars[cls]
+        | {
+            p
+            for p, _ in sorted(
+                counts[cls].items(), key=lambda kv: (-kv[1], kv[0])
+            )[:WP_TOPK]
+        }
+        for cls in (0, 1)
+    }
+
+    def enc(w: str) -> int:
+        pos, n = 0, 0
+        while pos < len(w):
+            cls = 0 if pos == 0 else 1
+            m = 1
+            for L in range(2, WP_MAXLEN + 1):
+                if pos + L <= len(w) and w[pos : pos + L] in vocab[cls]:
+                    m = L
+            pos += m
+            n += 1
+        return n
+
+    for r in rows:
+        ws = words_of[r["doc_id"]]
+        assert r["n_tokens"] == len(ws)
+        expect = sum(enc(w) for w in ws)
+        assert r["n_pieces"] == expect, (r["doc_id"], r["n_pieces"], expect)
+        assert len(ws) <= r["n_pieces"] <= sum(len(w) for w in ws)
