@@ -27,8 +27,9 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # the head is always the canary + the never-driver-sampled queries
 # (after a red round, the reds rotate back in first instead). Round 9:
 # CORRECTNESS_r08 was 50/50 green, so the head is the 33 queries never
-# sampled through r8 plus the 17 round-9 additions (wave 2 displaced
-# the r01 refreshers that briefly filled the window).
+# sampled through r8 plus the 30 round-9 additions (wave 2+ displaced
+# the r01 refreshers; the head now overflows the ~50 window, so the
+# overflow rolls into the round-10 rotation).
 # tests/test_registry_hygiene.py encodes this policy so it survives
 # context loss between rounds.
 DRIVER_PRIORITY = (
@@ -106,8 +107,9 @@ DRIVER_PRIORITY = (
     "q_holt_smooth",
     "q_wasserstein_drift",
     "q_cuped_adjust",
-    # ---- end of graded head (~50: canary + 49 never-sampled;
-    # the driver's window cuts at 50, q_cuped_adjust is slot 51) ----
+    # ---- the driver's graded window cuts at ~50: every slot above
+    # is never-sampled (canary excepted); entries past 50 are the
+    # round-10 rotation's natural head ----
     "q_exists_correlated",
     "q_explode",
     "q_funnel",
