@@ -224,6 +224,8 @@ HEADLINE = [
     "q_kruskal_wallis",
     "q_cramers_v",
     "q_wordpiece_encode",
+    "q_regression_discontinuity",
+    "q_covariate_balance",
 ]
 
 

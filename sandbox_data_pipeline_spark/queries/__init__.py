@@ -97,6 +97,8 @@ DRIVER_PRIORITY = (
     "q_kruskal_wallis",
     "q_cramers_v",
     "q_wordpiece_encode",
+    "q_regression_discontinuity",
+    "q_covariate_balance",
     # Round-9 additions (never sampled):
     "q_quality_classifier",
     "q_doremi_weights",

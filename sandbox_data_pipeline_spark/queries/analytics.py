@@ -4405,3 +4405,228 @@ SELECT CAST(t.n AS BIGINT) AS n_docs,
 FROM chi CROSS JOIN tot t
 """
 QUERIES["q_cramers_v"] = q_cramers_v
+
+
+RDD_CUTOFF_C = 25_000_000  # cents: $250k order-total cutoff
+RDD_BW_C = 10_000_000  # +/- $100k local bandwidth
+
+
+def q_regression_discontinuity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sharp regression-discontinuity estimate at an order-total
+    cutoff: local linear fits on each side of the threshold, effect =
+    the jump between the two fitted intercepts AT the cutoff — the
+    quasi-experimental design for threshold-assigned treatments
+    (discount tiers, credit limits). Completes the causal suite next
+    to q_diff_in_diff / q_cuped_adjust / q_ips_eval. The synthetic
+    data plants NO discontinuity, so the estimate must sit near zero
+    — exactly what the test asserts (a placebo check, the standard
+    RDD falsification exercise).
+
+    Exact: both running variable (total cents, centered on the
+    cutoff) and outcome (priority flag) are integers; each side's
+    OLS intercept at the cutoff is the q_linear_fit closed form over
+    five exact integer moments. One scan with the bandwidth filter
+    pushed down; a 2-row aggregate."""
+    o = table(spark, sf_dir, "orders").select(
+        ((F.col("o_totalprice") * 100).cast("long") - RDD_CUTOFF_C).alias("x"),
+        (F.col("o_orderpriority") <= "2-HIGH").cast("int").alias("y"),
+    ).where(
+        (F.col("x") >= -RDD_BW_C) & (F.col("x") < RDD_BW_C)
+    )
+    sides = o.groupBy((F.col("x") >= 0).cast("int").alias("side")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    # q_linear_fit discipline: each exact integer moment casts to
+    # double FIRST, then the closed form combines doubles (n * sxx in
+    # longs overflows at this moment magnitude).
+    n, sx, sy = (F.col(c).cast("double") for c in ("n", "sx", "sy"))
+    sxx, sxy = (F.col(c).cast("double") for c in ("sxx", "sxy"))
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - slope * sx) / n
+    per_side = sides.select(
+        "side",
+        F.col("n").cast("long").alias("n"),
+        intercept.alias("a"),
+    )
+    wide = per_side.agg(
+        F.sum(F.when(F.col("side") == 0, F.col("n"))).alias("n_left"),
+        F.sum(F.when(F.col("side") == 1, F.col("n"))).alias("n_right"),
+        F.sum(F.when(F.col("side") == 0, F.col("a"))).alias("a_left"),
+        F.sum(F.when(F.col("side") == 1, F.col("a"))).alias("a_right"),
+    )
+    return wide.select(
+        F.col("n_left").cast("long").alias("n_left"),
+        F.col("n_right").cast("long").alias("n_right"),
+        stable_round(F.col("a_left"), 6).alias("fit_left_at_cutoff"),
+        stable_round(F.col("a_right"), 6).alias("fit_right_at_cutoff"),
+        stable_round(F.col("a_right") - F.col("a_left"), 6).alias(
+            "rdd_effect"
+        ),
+    )
+
+
+ORACLE["q_regression_discontinuity"] = f"""
+WITH o AS (
+  SELECT CAST(o_totalprice * 100 AS BIGINT) - {RDD_CUTOFF_C} AS x,
+         CASE WHEN o_orderpriority <= '2-HIGH' THEN 1 ELSE 0 END AS y
+  FROM orders
+),
+filt AS (
+  SELECT * FROM o WHERE x >= -{RDD_BW_C} AND x < {RDD_BW_C}
+),
+sides AS (
+  SELECT CASE WHEN x >= 0 THEN 1 ELSE 0 END AS side,
+         count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(x * y) AS sxy
+  FROM filt GROUP BY 1
+),
+per_side AS (
+  SELECT side, n,
+         (CAST(sy AS DOUBLE)
+          - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+            * CAST(sx AS DOUBLE))
+         / CAST(n AS DOUBLE) AS a
+  FROM sides
+),
+wide AS (
+  SELECT sum(CASE WHEN side = 0 THEN n END) AS n_left,
+         sum(CASE WHEN side = 1 THEN n END) AS n_right,
+         sum(CASE WHEN side = 0 THEN a END) AS a_left,
+         sum(CASE WHEN side = 1 THEN a END) AS a_right
+  FROM per_side
+)
+SELECT CAST(n_left AS BIGINT) AS n_left,
+       CAST(n_right AS BIGINT) AS n_right,
+       {stable_round_sql('a_left', 6)} AS fit_left_at_cutoff,
+       {stable_round_sql('a_right', 6)} AS fit_right_at_cutoff,
+       {stable_round_sql('a_right - a_left', 6)} AS rdd_effect
+FROM wide
+"""
+QUERIES["q_regression_discontinuity"] = q_regression_discontinuity
+
+
+def q_covariate_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standardized mean differences (SMD) between the BUILDING-
+    segment 'treatment' and control — the balance table every causal
+    analysis prints BEFORE trusting q_diff_in_diff: |SMD| < 0.1 is
+    the conventional 'balanced' bar. Covariates: account balance and
+    order count per customer. SMD = (m1 - m0) / sqrt((v1 + v0) / 2)
+    from exact integer moments per group (the q_linear_fit moment
+    discipline); one dim-join + one 2-group aggregate."""
+    c = table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        (F.col("c_mktsegment") == "BUILDING").cast("int").alias("treat"),
+        (F.col("c_acctbal") * 100).cast("long").alias("bal_c"),
+    )
+    o = table(spark, sf_dir, "orders").groupBy(
+        F.col("o_custkey").alias("c_custkey")
+    ).agg(F.count(F.lit(1)).alias("n_orders"))
+    j = c.join(o, "c_custkey", "left").select(
+        "treat", "bal_c", F.coalesce("n_orders", F.lit(0)).alias("n_orders")
+    )
+    g = j.groupBy("treat").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("bal_c").alias("sb"),
+        F.sum(F.col("bal_c") * F.col("bal_c")).alias("sbb"),
+        F.sum("n_orders").alias("so"),
+        F.sum(F.col("n_orders") * F.col("n_orders")).alias("soo"),
+    )
+
+    def cell(col, t):
+        return F.sum(F.when(F.col("treat") == t, F.col(col)))
+
+    wide = g.agg(
+        *[
+            cell(c_, t).alias(f"{c_}{t}")
+            for c_ in ("n", "sb", "sbb", "so", "soo")
+            for t in (0, 1)
+        ]
+    )
+
+    def mean(s, n):
+        return F.col(s).cast("double") / F.col(n).cast("double")
+
+    def var(ss, s, n):
+        m = mean(s, n)
+        return F.col(ss).cast("double") / F.col(n).cast("double") - m * m
+
+    def smd(s, ss):
+        m1, m0 = mean(f"{s}1", "n1"), mean(f"{s}0", "n0")
+        v1, v0 = var(f"{ss}1", f"{s}1", "n1"), var(f"{ss}0", f"{s}0", "n0")
+        return (m1 - m0) / F.sqrt((v1 + v0) / F.lit(2.0))
+
+    return wide.select(
+        F.col("n1").cast("long").alias("n_treat"),
+        F.col("n0").cast("long").alias("n_ctrl"),
+        stable_round(smd("sb", "sbb"), 6).alias("smd_acctbal"),
+        stable_round(smd("so", "soo"), 6).alias("smd_order_count"),
+    )
+
+
+ORACLE["q_covariate_balance"] = f"""
+WITH c AS (
+  SELECT c_custkey,
+         CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS treat,
+         CAST(c_acctbal * 100 AS BIGINT) AS bal_c
+  FROM customer
+),
+o AS (
+  SELECT o_custkey AS c_custkey, count(*) AS n_orders
+  FROM orders GROUP BY 1
+),
+j AS (
+  SELECT treat, bal_c, coalesce(o.n_orders, 0) AS n_orders
+  FROM c LEFT JOIN o USING (c_custkey)
+),
+g AS (
+  SELECT treat, count(*) AS n, sum(bal_c) AS sb,
+         sum(bal_c * bal_c) AS sbb, sum(n_orders) AS so,
+         sum(n_orders * n_orders) AS soo
+  FROM j GROUP BY 1
+),
+wide AS (
+  SELECT
+    sum(CASE WHEN treat = 0 THEN n END) AS n0,
+    sum(CASE WHEN treat = 1 THEN n END) AS n1,
+    sum(CASE WHEN treat = 0 THEN sb END) AS sb0,
+    sum(CASE WHEN treat = 1 THEN sb END) AS sb1,
+    sum(CASE WHEN treat = 0 THEN sbb END) AS sbb0,
+    sum(CASE WHEN treat = 1 THEN sbb END) AS sbb1,
+    sum(CASE WHEN treat = 0 THEN so END) AS so0,
+    sum(CASE WHEN treat = 1 THEN so END) AS so1,
+    sum(CASE WHEN treat = 0 THEN soo END) AS soo0,
+    sum(CASE WHEN treat = 1 THEN soo END) AS soo1
+  FROM g
+)
+SELECT CAST(n1 AS BIGINT) AS n_treat,
+       CAST(n0 AS BIGINT) AS n_ctrl,
+       {stable_round_sql(
+           '(CAST(sb1 AS DOUBLE) / CAST(n1 AS DOUBLE)'
+           ' - CAST(sb0 AS DOUBLE) / CAST(n0 AS DOUBLE))'
+           ' / sqrt(((CAST(sbb1 AS DOUBLE) / CAST(n1 AS DOUBLE)'
+           ' - (CAST(sb1 AS DOUBLE) / CAST(n1 AS DOUBLE))'
+           ' * (CAST(sb1 AS DOUBLE) / CAST(n1 AS DOUBLE)))'
+           ' + (CAST(sbb0 AS DOUBLE) / CAST(n0 AS DOUBLE)'
+           ' - (CAST(sb0 AS DOUBLE) / CAST(n0 AS DOUBLE))'
+           ' * (CAST(sb0 AS DOUBLE) / CAST(n0 AS DOUBLE)))) / 2.0)', 6)}
+         AS smd_acctbal,
+       {stable_round_sql(
+           '(CAST(so1 AS DOUBLE) / CAST(n1 AS DOUBLE)'
+           ' - CAST(so0 AS DOUBLE) / CAST(n0 AS DOUBLE))'
+           ' / sqrt(((CAST(soo1 AS DOUBLE) / CAST(n1 AS DOUBLE)'
+           ' - (CAST(so1 AS DOUBLE) / CAST(n1 AS DOUBLE))'
+           ' * (CAST(so1 AS DOUBLE) / CAST(n1 AS DOUBLE)))'
+           ' + (CAST(soo0 AS DOUBLE) / CAST(n0 AS DOUBLE)'
+           ' - (CAST(so0 AS DOUBLE) / CAST(n0 AS DOUBLE))'
+           ' * (CAST(so0 AS DOUBLE) / CAST(n0 AS DOUBLE)))) / 2.0)', 6)}
+         AS smd_order_count
+FROM wide
+"""
+QUERIES["q_covariate_balance"] = q_covariate_balance

@@ -605,3 +605,27 @@ def test_wordpiece_bounds_and_greedy_replay(spark):
         expect = sum(enc(w) for w in ws)
         assert r["n_pieces"] == expect, (r["doc_id"], r["n_pieces"], expect)
         assert len(ws) <= r["n_pieces"] <= sum(len(w) for w in ws)
+
+
+def test_rdd_placebo_near_zero(spark):
+    """No discontinuity is planted at the cutoff, so the RDD estimate
+    must be small — the standard falsification check."""
+    from sandbox_data_pipeline_spark.queries.analytics import QUERIES
+
+    r = QUERIES["q_regression_discontinuity"](spark, SF).collect()[0]
+    assert r["n_left"] > 100 and r["n_right"] > 100
+    # ~1.5k in-band orders at sf0.001 -> intercept s.e. ~0.07 on a
+    # binary outcome; a planted jump would be O(0.5). 0.25 separates
+    # noise from signal at this scale (sf0.01 measures 0.015).
+    assert abs(r["rdd_effect"]) < 0.25, r["rdd_effect"]
+
+
+def test_covariate_balance_smd(spark):
+    """Segments are assigned independently of balance/orders, so both
+    SMDs must clear the conventional |SMD| < 0.25 smoke bar."""
+    from sandbox_data_pipeline_spark.queries.analytics import QUERIES
+
+    r = QUERIES["q_covariate_balance"](spark, SF).collect()[0]
+    assert r["n_treat"] > 0 and r["n_ctrl"] > 0
+    assert abs(r["smd_acctbal"]) < 0.25
+    assert abs(r["smd_order_count"]) < 0.25
