@@ -214,3 +214,46 @@ def test_heaps_law_cumsum_is_range_partitioned_not_global_window(spark, sf_dir):
     for m in re.finditer(r"\(\d+\) Window\n(?:.*\n){0,4}?.*?Arguments: \[(.*)\]", plan):
         args = m.group(1)
         assert "_pid" in args, f"unpartitioned corpus window: {args[:120]}"
+
+
+def test_hill_tail_uses_takeordered_not_global_sort(spark, sf_dir):
+    """The top-201 must plan as TakeOrderedAndProject (per-partition
+    heaps), never a full Sort+Exchange of the orders table."""
+    plan = _plan(spark, sf_dir, "q_hill_tail")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_rbo_rankings_uses_takeordered(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q_rbo_rankings")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_dbscan_grid_no_cartesian(spark, sf_dir):
+    """Candidate generation must be the cell-keyed equi-join — a
+    cartesian/BNLJ would mean the grid key was lost."""
+    plan = _plan(spark, sf_dir, "q_dbscan_grid")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_quantile_normalize_window_is_partitioned(spark, sf_dir):
+    """The rank window must be partitioned by source — a global
+    orderBy window here is the q_heaps_law bug class."""
+    from pyspark.sql import functions as F
+
+    from sandbox_data_pipeline_spark.queries import registry
+
+    q, _ = registry()
+    df = q["q_quantile_normalize"](spark, sf_dir)
+    plan = plan_of(df)
+    import re
+
+    specs = re.findall(r"windowspecdefinition\(([^)]*)", plan)
+    assert specs, "no window in plan?"
+    for spec in specs:
+        assert spec.startswith("source#"), f"unpartitioned window: {spec}"
+
+
+def test_diff_in_diff_broadcasts_the_dim(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q_diff_in_diff")
+    assert "BroadcastHashJoin" in plan
