@@ -226,6 +226,8 @@ HEADLINE = [
     "q_wordpiece_encode",
     "q_regression_discontinuity",
     "q_covariate_balance",
+    "q_mutual_information",
+    "q_hodges_lehmann",
 ]
 
 

@@ -99,6 +99,8 @@ DRIVER_PRIORITY = (
     "q_wordpiece_encode",
     "q_regression_discontinuity",
     "q_covariate_balance",
+    "q_mutual_information",
+    "q_hodges_lehmann",
     # Round-9 additions (never sampled):
     "q_quality_classifier",
     "q_doremi_weights",

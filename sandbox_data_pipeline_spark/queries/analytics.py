@@ -4630,3 +4630,99 @@ SELECT CAST(n1 AS BIGINT) AS n_treat,
 FROM wide
 """
 QUERIES["q_covariate_balance"] = q_covariate_balance
+
+
+def q_hodges_lehmann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hodges-Lehmann shift estimator between English and non-English
+    document lengths — the median of all pairwise differences, i.e.
+    the LOCATION answer to q_mannwhitney_u's yes/no (U says "shifted",
+    HL says "by how many characters", robustly). Exact on integers:
+    the pairwise-difference distribution is the cross product of the
+    two VALUE HISTOGRAMS (value-cardinality squared, never row-
+    cardinality squared), weights are count products, and the
+    weighted lower/upper medians come from one ordered prefix sum
+    over the distinct-difference frame (value-range bounded). The
+    estimate is their exact half-sum (decimal, no doubles).
+
+    Scale: one histogram aggregate per group, one broadcast cross of
+    two bounded histograms, one histogram-scale ordered window."""
+    d = table(spark, sf_dir, "documents").select(
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("g"),
+        F.col("n_chars").alias("v"),
+    )
+    h1 = d.where(F.col("g") == 1).groupBy("v").agg(
+        F.count(F.lit(1)).alias("c1")
+    )
+    h0 = d.where(F.col("g") == 0).groupBy(
+        F.col("v").alias("w")
+    ).agg(F.count(F.lit(1)).alias("c0"))
+    diffs = (
+        h1.crossJoin(F.broadcast(h0))
+        .select(
+            (F.col("v") - F.col("w")).alias("diff"),
+            (F.col("c1") * F.col("c0")).alias("wt"),
+        )
+        .groupBy("diff")
+        .agg(F.sum("wt").alias("wt"))
+    )
+    wd = Window.orderBy("diff").rowsBetween(Window.unboundedPreceding, 0)
+    cum = diffs.select(
+        "diff", F.sum("wt").over(wd).alias("cw")
+    )
+    tot = diffs.agg(F.sum("wt").alias("t"))
+    k = cum.crossJoin(F.broadcast(tot))
+    m1 = k.where(
+        F.col("cw") >= (F.col("t") + 1) / 2
+    ).agg(F.min("diff").alias("m1"))
+    m2 = k.where(
+        F.col("cw") >= F.floor(F.col("t") / 2) + 1
+    ).agg(F.min("diff").alias("m2"))
+    return (
+        m1.crossJoin(F.broadcast(m2))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("t").cast("long").alias("n_pairs"),
+            F.col("m1").cast("long").alias("hl_lower"),
+            F.col("m2").cast("long").alias("hl_upper"),
+            dec_ratio(
+                (F.col("m1") + F.col("m2")).cast("decimal(18,0)"),
+                F.lit(2),
+                0,
+                4,
+            ).alias("hl_shift"),
+        )
+    )
+
+
+ORACLE["q_hodges_lehmann"] = f"""
+WITH d AS (
+  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS g, n_chars AS v
+  FROM documents
+),
+h1 AS (SELECT v, count(*) AS c1 FROM d WHERE g = 1 GROUP BY 1),
+h0 AS (SELECT v AS w, count(*) AS c0 FROM d WHERE g = 0 GROUP BY 1),
+diffs AS (
+  SELECT v - w AS diff, sum(c1 * c0) AS wt
+  FROM h1 CROSS JOIN h0 GROUP BY 1
+),
+cum AS (
+  SELECT diff,
+         sum(wt) OVER (ORDER BY diff ROWS UNBOUNDED PRECEDING) AS cw
+  FROM diffs
+),
+tot AS (SELECT sum(wt) AS t FROM diffs),
+m1 AS (
+  SELECT min(diff) AS m1 FROM cum CROSS JOIN tot
+  WHERE cw >= (t + 1) / 2
+),
+m2 AS (
+  SELECT min(diff) AS m2 FROM cum CROSS JOIN tot
+  WHERE cw >= CAST(floor(t / 2) AS BIGINT) + 1
+)
+SELECT CAST(t AS BIGINT) AS n_pairs,
+       CAST(m1 AS BIGINT) AS hl_lower,
+       CAST(m2 AS BIGINT) AS hl_upper,
+       {dec_ratio_sql('(m1 + m2)', '2', 0, 4)} AS hl_shift
+FROM m1 CROSS JOIN m2 CROSS JOIN tot
+"""
+QUERIES["q_hodges_lehmann"] = q_hodges_lehmann

@@ -4327,3 +4327,118 @@ FROM per_doc
 
 ORACLE["q_wordpiece_encode"] = _oracle_wordpiece()
 QUERIES["q_wordpiece_encode"] = q_wordpiece_encode
+
+
+MI_TOPK = 20
+
+
+def q_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information I(token presence; label) over documents —
+    the feature-selection ranking that q_chi2_terms approximates with
+    a test statistic; label = the planted >= 2 'join'-token concept
+    (shared with q_naive_bayes, so the MI ranking is exactly the
+    feature view of that classifier). MI per token derives from its
+    own four contingency cells (no cross-row folds): sum over the 2x2
+    table of (n_ab/N) ln(n_ab N / (n_a. n_.b)), empty cells
+    contributing zero.
+
+    Scale: one doc-level presence aggregate (token-keyed, uniform),
+    one corpus-constant broadcast, TakeOrdered top-k on MI. Counts
+    are exact integers; each MI is one fixed IEEE expression."""
+    d = table(spark, sf_dir, "documents")
+    toks_arr = F.filter(F.split(F.col("text"), " "), lambda t: t != F.lit(""))
+    y = (
+        F.size(F.filter(toks_arr, lambda t: t == F.lit("join"))) >= 2
+    ).cast("int")
+    docs = d.select("doc_id", y.alias("y"), toks_arr.alias("toks"))
+    pres = docs.select(
+        "doc_id", "y", F.explode(F.array_distinct("toks")).alias("t")
+    )
+    per_tok = pres.groupBy("t").agg(
+        F.count(F.lit(1)).alias("n1x"),
+        F.sum("y").alias("n11"),
+    )
+    tot = docs.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").alias("ny")
+    )
+
+    def cell_term(n_ab, n_a, n_b):
+        p = n_ab.cast("double")
+        return F.when(
+            n_ab > 0,
+            (p / F.col("n"))
+            * F.log(
+                p * F.col("n").cast("double")
+                / (n_a.cast("double") * n_b.cast("double"))
+            ),
+        ).otherwise(F.lit(0.0))
+
+    n11 = F.col("n11")
+    n10 = F.col("n1x") - F.col("n11")
+    n01 = F.col("ny") - F.col("n11")
+    n00 = F.col("n") - F.col("n1x") - F.col("ny") + F.col("n11")
+    scored = per_tok.crossJoin(F.broadcast(tot)).select(
+        "t",
+        F.col("n1x").cast("long").alias("n_docs_with"),
+        F.col("n11").cast("long").alias("n_pos_with"),
+        stable_round(
+            cell_term(n11, F.col("n1x"), F.col("ny"))
+            + cell_term(n10, F.col("n1x"), F.col("n") - F.col("ny"))
+            + cell_term(n01, F.col("n") - F.col("n1x"), F.col("ny"))
+            + cell_term(
+                n00, F.col("n") - F.col("n1x"), F.col("n") - F.col("ny")
+            ),
+            6,
+        ).alias("mi"),
+    )
+    return scored.orderBy(F.desc("mi"), F.asc("t")).limit(MI_TOPK)
+
+
+def _oracle_mi() -> str:
+    def term(nab, na, nb):
+        return (
+            f"CASE WHEN {nab} > 0 THEN "
+            f"(CAST({nab} AS DOUBLE) / n) "
+            f"* ln(CAST({nab} AS DOUBLE) * CAST(n AS DOUBLE) "
+            f"/ (CAST({na} AS DOUBLE) * CAST({nb} AS DOUBLE))) "
+            f"ELSE 0.0 END"
+        )
+
+    n11, n10 = "n11", "(n1x - n11)"
+    n01, n00 = "(ny - n11)", "(n - n1x - ny + n11)"
+    mi = " + ".join(
+        [
+            term(n11, "n1x", "ny"),
+            term(n10, "n1x", "(n - ny)"),
+            term(n01, "(n - n1x)", "ny"),
+            term(n00, "(n - n1x)", "(n - ny)"),
+        ]
+    )
+    return f"""
+WITH docs AS (
+  SELECT doc_id,
+         CASE WHEN len(list_filter({_TOK_SPLIT_SQL}, x -> x = 'join')) >= 2
+              THEN 1 ELSE 0 END AS y,
+         {_TOK_SPLIT_SQL} AS toks
+  FROM documents
+),
+pres AS (
+  SELECT DISTINCT doc_id, y, unnest(toks) AS t FROM docs
+),
+per_tok AS (
+  SELECT t, count(*) AS n1x, sum(y) AS n11 FROM pres GROUP BY 1
+),
+tot AS (SELECT count(*) AS n, sum(y) AS ny FROM docs)
+SELECT t,
+       CAST(n1x AS BIGINT) AS n_docs_with,
+       CAST(n11 AS BIGINT) AS n_pos_with,
+       {{mi_rounded}} AS mi
+FROM per_tok CROSS JOIN tot
+ORDER BY mi DESC, t LIMIT {MI_TOPK}
+""".replace(
+        "{mi_rounded}", f"(floor(({mi}) * 1000000.0 + 0.5) / 1000000.0)"
+    )
+
+
+ORACLE["q_mutual_information"] = _oracle_mi()
+QUERIES["q_mutual_information"] = q_mutual_information

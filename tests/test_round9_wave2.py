@@ -629,3 +629,35 @@ def test_covariate_balance_smd(spark):
     assert r["n_treat"] > 0 and r["n_ctrl"] > 0
     assert abs(r["smd_acctbal"]) < 0.25
     assert abs(r["smd_order_count"]) < 0.25
+
+
+def test_mutual_information_planted_token_ranks_first(spark):
+    """The label IS defined by the 'join' token, so 'join' must carry
+    the highest MI by a wide margin."""
+    from sandbox_data_pipeline_spark.queries.text import QUERIES
+
+    rows = QUERIES["q_mutual_information"](spark, SF).collect()
+    assert rows[0]["t"] == "join"
+    assert rows[0]["mi"] > 2 * rows[1]["mi"]
+    assert all(r["mi"] >= 0 for r in rows)
+
+
+def test_hodges_lehmann_matches_python_replay(spark):
+    from sandbox_data_pipeline_spark.queries.analytics import QUERIES
+
+    r = QUERIES["q_hodges_lehmann"](spark, SF).collect()[0]
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "lang", "n_chars"
+    ).collect()
+    a = sorted(x["n_chars"] for x in docs if x["lang"] == "en")
+    b = sorted(x["n_chars"] for x in docs if x["lang"] != "en")
+    diffs = sorted(x - y for x in a for y in b)
+    t = len(diffs)
+    assert r["n_pairs"] == t
+    lower = diffs[(t + 1) // 2 - 1] if t % 2 else diffs[t // 2 - 1]
+    upper = diffs[t // 2]
+    if t % 2:
+        upper = diffs[(t + 1) // 2 - 1]
+    assert r["hl_lower"] == lower, (r["hl_lower"], lower)
+    assert r["hl_upper"] == upper, (r["hl_upper"], upper)
+    assert float(r["hl_shift"]) == (lower + upper) / 2
