@@ -228,6 +228,7 @@ HEADLINE = [
     "q_covariate_balance",
     "q_mutual_information",
     "q_hodges_lehmann",
+    "q_sequence_mining",
 ]
 
 

@@ -101,6 +101,7 @@ DRIVER_PRIORITY = (
     "q_covariate_balance",
     "q_mutual_information",
     "q_hodges_lehmann",
+    "q_sequence_mining",
     # Round-9 additions (never sampled):
     "q_quality_classifier",
     "q_doremi_weights",

@@ -661,3 +661,52 @@ def test_hodges_lehmann_matches_python_replay(spark):
     assert r["hl_lower"] == lower, (r["hl_lower"], lower)
     assert r["hl_upper"] == upper, (r["hl_upper"], upper)
     assert float(r["hl_shift"]) == (lower + upper) / 2
+
+
+def test_sequence_mining_matches_subsequence_replay(spark):
+    """Replay subsequence support in python with the naive O(n^2)
+    definition — proves the min/max-position compression is exact."""
+    from collections import defaultdict
+
+    from sandbox_data_pipeline_spark.queries.analytics import QUERIES
+
+    got = {
+        (r["pattern"], r["length"]): r["support"]
+        for r in QUERIES["q_sequence_mining"](spark, SF).collect()
+    }
+    assert got
+    ev = spark.read.parquet(f"{SF}/events.parquet").select(
+        "user_id", "ts", "event_id", "event_type"
+    ).collect()
+    seqs = defaultdict(list)
+    for r in ev:
+        seqs[r["user_id"]].append((r["ts"], r["event_id"], r["event_type"]))
+    sup2: dict = defaultdict(int)
+    sup3: dict = defaultdict(int)
+    for u, rows in seqs.items():
+        types = [t for _, _, t in sorted(rows)]
+        pairs = set()
+        trips = set()
+        n = len(types)
+        for i in range(n):
+            for j in range(i + 1, n):
+                pairs.add((types[i], types[j]))
+                for k in range(j + 1, n):
+                    trips.add((types[i], types[j], types[k]))
+        for p in pairs:
+            sup2[p] += 1
+        for p in trips:
+            sup3[p] += 1
+    n_users = len(seqs)
+    minsup = max(1, (n_users * 5) // 100)
+    expect = {
+        (f"{a}>{b}", 2): c for (a, b), c in sup2.items() if c >= minsup
+    }
+    expect.update(
+        {
+            (f"{a}>{b}>{c_}", 3): c
+            for (a, b, c_), c in sup3.items()
+            if c >= minsup
+        }
+    )
+    assert got == expect
