@@ -45,8 +45,14 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
         control = _plan(l.join(o, l.l_orderkey == o.o_orderkey))
         assert "Exchange" in control and "hashpartitioning" in control
     finally:
+        # conf.get(key, None) returns None when the conf was never
+        # explicitly set — restoring must UNSET in that case, or the
+        # "-1" leaks into every later test on the shared session
+        # (caught by test_plan_shapes.test_diff_in_diff_broadcasts).
         if prev is not None:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        else:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
 
