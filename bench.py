@@ -229,6 +229,8 @@ HEADLINE = [
     "q_mutual_information",
     "q_hodges_lehmann",
     "q_sequence_mining",
+    "q_power_analysis",
+    "q_srm_check",
 ]
 
 

@@ -116,6 +116,8 @@ DRIVER_PRIORITY = (
     "q_mutual_information",
     "q_hodges_lehmann",
     "q_sequence_mining",
+    "q_power_analysis",
+    "q_srm_check",
     "q_exists_correlated",
     "q_explode",
     "q_funnel",

@@ -4840,3 +4840,178 @@ CROSS JOIN ms WHERE support >= minsup
 
 ORACLE["q_sequence_mining"] = _oracle_sequence_mining()
 QUERIES["q_sequence_mining"] = q_sequence_mining
+
+
+POWER_MDE_PCT = 5  # minimum detectable effect: 5% of the metric mean
+# z_{0.025} and z_{0.2} to 9 dp — fixed literals embedded in BOTH
+# engines (no inverse-CDF exists in either).
+POWER_Z_ALPHA = 1.959963985
+POWER_Z_BETA = 0.841621234
+
+
+def q_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B sample-size (power) calculation from observed metric
+    moments: n per arm = 2 sigma^2 (z_a/2 + z_b)^2 / delta^2 for 95%
+    confidence / 80% power at a 5%-of-mean MDE — the pre-experiment
+    companion to q_sprt_ab (monitoring) and q_group_ttest (analysis).
+    Variance comes from exact cent moments (one aggregate); the two
+    z constants are fixed literals identical in both engines. Output
+    also reports the days of event volume needed at the observed
+    daily user rate."""
+    e = table(spark, sf_dir, "events").select(
+        F.round(F.col("value") * 100).cast("long").alias("c"),
+        "user_id",
+        F.to_date("ts").alias("d"),
+    )
+    m = e.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("s"),
+        F.sum(F.col("c") * F.col("c")).alias("ss"),
+        F.countDistinct("user_id").alias("users"),
+        F.countDistinct("d").alias("days"),
+    )
+    nn = F.col("n").cast("double")
+    mean = F.col("s").cast("double") / nn
+    var = F.col("ss").cast("double") / nn - mean * mean
+    delta = mean * F.lit(POWER_MDE_PCT / 100.0)
+    z = F.lit(POWER_Z_ALPHA) + F.lit(POWER_Z_BETA)
+    n_arm = F.ceil(F.lit(2.0) * var * z * z / (delta * delta))
+    return m.select(
+        F.col("n").cast("long").alias("n_events"),
+        stable_round(mean / F.lit(100.0), 4).alias("metric_mean"),
+        stable_round(F.sqrt(var) / F.lit(100.0), 4).alias("metric_sd"),
+        n_arm.cast("long").alias("n_per_arm"),
+        F.ceil(
+            F.lit(2.0) * n_arm.cast("double")
+            / (nn / F.col("days").cast("double"))
+        )
+        .cast("long")
+        .alias("days_needed"),
+    )
+
+
+ORACLE["q_power_analysis"] = f"""
+WITH e AS (
+  SELECT CAST(round(value * 100) AS BIGINT) AS c, user_id,
+         CAST(ts AS DATE) AS d
+  FROM events
+),
+m AS (
+  SELECT count(*) AS n, sum(c) AS s, sum(c * c) AS ss,
+         count(DISTINCT user_id) AS users, count(DISTINCT d) AS days
+  FROM e
+)
+SELECT CAST(n AS BIGINT) AS n_events,
+       {stable_round_sql('(CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) / 100.0', 4)}
+         AS metric_mean,
+       {stable_round_sql(
+           'sqrt(CAST(ss AS DOUBLE) / CAST(n AS DOUBLE)'
+           ' - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))'
+           ' * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))) / 100.0', 4)}
+         AS metric_sd,
+       CAST(ceil(
+         2.0 * (CAST(ss AS DOUBLE) / CAST(n AS DOUBLE)
+                - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                  * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))
+         * ({POWER_Z_ALPHA!r} + {POWER_Z_BETA!r})
+         * ({POWER_Z_ALPHA!r} + {POWER_Z_BETA!r})
+         / (((CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) * {POWER_MDE_PCT / 100.0!r})
+            * ((CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) * {POWER_MDE_PCT / 100.0!r}))
+       ) AS BIGINT) AS n_per_arm,
+       CAST(ceil(
+         2.0 * CAST(ceil(
+           2.0 * (CAST(ss AS DOUBLE) / CAST(n AS DOUBLE)
+                  - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                    * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))
+           * ({POWER_Z_ALPHA!r} + {POWER_Z_BETA!r})
+           * ({POWER_Z_ALPHA!r} + {POWER_Z_BETA!r})
+           / (((CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) * {POWER_MDE_PCT / 100.0!r})
+              * ((CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) * {POWER_MDE_PCT / 100.0!r}))
+         ) AS DOUBLE)
+         / (CAST(n AS DOUBLE) / CAST(days AS DOUBLE))
+       ) AS BIGINT) AS days_needed
+FROM m
+"""
+QUERIES["q_power_analysis"] = q_power_analysis
+
+
+def q_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch health check on a deterministic 50/50
+    hash split of users: chi-square GOF of observed arm counts vs the
+    designed ratio — the first thing an experimentation platform
+    validates before reading ANY metric (an SRM invalidates the
+    experiment). Arms come from the same portable 60-bit md5 bucket
+    the dataset splitter uses (operators/dedup.portable_hash — engine-
+    portable, partition-independent), so the oracle replays the split
+    bit-for-bit; chi2 is two exact-integer cells against E = N/2."""
+    from sandbox_data_pipeline_spark.operators.dedup import portable_hash
+
+    e = table(spark, sf_dir, "events")
+    arms = (
+        e.select(F.col("user_id").cast("string").alias("uid"))
+        .distinct()
+        .select(
+            F.pmod(portable_hash(F.col("uid"), salt="srm"), F.lit(2)).alias(
+                "arm"
+            )
+        )
+        .groupBy("arm")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = arms.agg(
+        F.sum(F.when(F.col("arm") == 0, F.col("n"))).alias("n0"),
+        F.sum(F.when(F.col("arm") == 1, F.col("n"))).alias("n1"),
+    )
+    ex = (F.col("n0") + F.col("n1")).cast("double") / F.lit(2.0)
+    chi = (
+        (F.col("n0").cast("double") - ex) * (F.col("n0").cast("double") - ex)
+        / ex
+        + (F.col("n1").cast("double") - ex) * (F.col("n1").cast("double") - ex)
+        / ex
+    )
+    return w.select(
+        F.col("n0").cast("long").alias("n_arm0"),
+        F.col("n1").cast("long").alias("n_arm1"),
+        stable_round(chi, 6).alias("chi2"),
+        # chi2_1df > 3.841 ~ p < 0.05: the SRM alarm threshold
+        (chi > 3.841).cast("int").cast("long").alias("srm_flag"),
+    )
+
+
+ORACLE["q_srm_check"] = f"""
+WITH u AS (
+  SELECT DISTINCT CAST(user_id AS VARCHAR) AS uid FROM events
+),
+arms AS (
+  SELECT CAST('0x' || substr(md5('srm' || uid), 1, 15) AS BIGINT) % 2 AS arm,
+         count(*) AS n
+  FROM u GROUP BY 1
+),
+w AS (
+  SELECT sum(CASE WHEN arm = 0 THEN n END) AS n0,
+         sum(CASE WHEN arm = 1 THEN n END) AS n1
+  FROM arms
+)
+SELECT CAST(n0 AS BIGINT) AS n_arm0,
+       CAST(n1 AS BIGINT) AS n_arm1,
+       {{chi_r}} AS chi2,
+       CAST(CASE WHEN {{chi}} > 3.841 THEN 1 ELSE 0 END AS BIGINT) AS srm_flag
+FROM w
+""".replace(
+    "{chi}",
+    "((CAST(n0 AS DOUBLE) - CAST(n0 + n1 AS DOUBLE) / 2.0)"
+    " * (CAST(n0 AS DOUBLE) - CAST(n0 + n1 AS DOUBLE) / 2.0)"
+    " / (CAST(n0 + n1 AS DOUBLE) / 2.0)"
+    " + (CAST(n1 AS DOUBLE) - CAST(n0 + n1 AS DOUBLE) / 2.0)"
+    " * (CAST(n1 AS DOUBLE) - CAST(n0 + n1 AS DOUBLE) / 2.0)"
+    " / (CAST(n0 + n1 AS DOUBLE) / 2.0))",
+).replace(
+    "{chi_r}",
+    "(floor(((CAST(n0 AS DOUBLE) - CAST(n0 + n1 AS DOUBLE) / 2.0)"
+    " * (CAST(n0 AS DOUBLE) - CAST(n0 + n1 AS DOUBLE) / 2.0)"
+    " / (CAST(n0 + n1 AS DOUBLE) / 2.0)"
+    " + (CAST(n1 AS DOUBLE) - CAST(n0 + n1 AS DOUBLE) / 2.0)"
+    " * (CAST(n1 AS DOUBLE) - CAST(n0 + n1 AS DOUBLE) / 2.0)"
+    " / (CAST(n0 + n1 AS DOUBLE) / 2.0)) * 1000000.0 + 0.5) / 1000000.0)",
+)
+QUERIES["q_srm_check"] = q_srm_check

@@ -710,3 +710,36 @@ def test_sequence_mining_matches_subsequence_replay(spark):
         }
     )
     assert got == expect
+
+
+def test_power_analysis_identity(spark):
+    import math
+
+    from sandbox_data_pipeline_spark.queries.analytics import (
+        POWER_MDE_PCT,
+        POWER_Z_ALPHA,
+        POWER_Z_BETA,
+        QUERIES,
+    )
+
+    r = QUERIES["q_power_analysis"](spark, SF).collect()[0]
+    delta = r["metric_mean"] * POWER_MDE_PCT / 100.0
+    approx = (
+        2.0
+        * r["metric_sd"] ** 2
+        * (POWER_Z_ALPHA + POWER_Z_BETA) ** 2
+        / delta**2
+    )
+    # rounded moments make this approximate; the oracle pins exactness
+    assert abs(r["n_per_arm"] - approx) / approx < 0.01
+    assert r["days_needed"] >= 1
+
+
+def test_srm_check_balanced(spark):
+    from sandbox_data_pipeline_spark.queries.analytics import QUERIES
+
+    r = QUERIES["q_srm_check"](spark, SF).collect()[0]
+    assert r["n_arm0"] + r["n_arm1"] > 0
+    assert r["chi2"] >= 0
+    # the split is a hash of user ids — designed 50/50, so no alarm
+    assert r["srm_flag"] == 0
