@@ -4670,12 +4670,17 @@ def q_hodges_lehmann(spark: SparkSession, sf_dir: str) -> DataFrame:
         "diff", F.sum("wt").over(wd).alias("cw")
     )
     tot = diffs.agg(F.sum("wt").alias("t"))
+    # Median ranks in INTEGER arithmetic: lower = ceil(t/2) =
+    # (t+1) div 2, upper = floor(t/2) + 1. Float division here
+    # ((t+1)/2.0) silently shifts the lower rank to t/2+1 for even t
+    # (picking the upper median twice), and double-rounded ranks go
+    # wrong past 2^53 pairs anyway.
     k = cum.crossJoin(F.broadcast(tot))
     m1 = k.where(
-        F.col("cw") >= (F.col("t") + 1) / 2
+        F.col("cw") >= F.expr("(t + 1) div 2")
     ).agg(F.min("diff").alias("m1"))
     m2 = k.where(
-        F.col("cw") >= F.floor(F.col("t") / 2) + 1
+        F.col("cw") >= F.expr("(t div 2) + 1")
     ).agg(F.min("diff").alias("m2"))
     return (
         m1.crossJoin(F.broadcast(m2))
@@ -4713,11 +4718,11 @@ cum AS (
 tot AS (SELECT sum(wt) AS t FROM diffs),
 m1 AS (
   SELECT min(diff) AS m1 FROM cum CROSS JOIN tot
-  WHERE cw >= (t + 1) / 2
+  WHERE cw >= (t + 1) // 2
 ),
 m2 AS (
   SELECT min(diff) AS m2 FROM cum CROSS JOIN tot
-  WHERE cw >= CAST(floor(t / 2) AS BIGINT) + 1
+  WHERE cw >= (t // 2) + 1
 )
 SELECT CAST(t AS BIGINT) AS n_pairs,
        CAST(m1 AS BIGINT) AS hl_lower,

@@ -743,3 +743,23 @@ def test_srm_check_balanced(spark):
     assert r["chi2"] >= 0
     # the split is a hash of user ids — designed 50/50, so no alarm
     assert r["srm_flag"] == 0
+
+
+def test_hodges_lehmann_even_pair_count(spark, tmp_path):
+    """ADVICE r9: the lower-median rank must be ceil(t/2), in INTEGER
+    arithmetic. With float division (cw >= (t+1)/2.0) an even pair
+    count silently picks the upper median twice. Data is built so the
+    two middle pairwise differences DIFFER: en={10,20}, other={1,3}
+    -> diffs sorted [7,9,17,19], t=4, lower=9, upper=17, shift=13."""
+    from sandbox_data_pipeline_spark.queries.analytics import QUERIES
+
+    docs = spark.createDataFrame(
+        [("en", 10), ("en", 20), ("de", 1), ("de", 3)],
+        "lang string, n_chars int",
+    )
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    r = QUERIES["q_hodges_lehmann"](spark, str(tmp_path)).collect()[0]
+    assert r["n_pairs"] == 4
+    assert r["hl_lower"] == 9
+    assert r["hl_upper"] == 17
+    assert float(r["hl_shift"]) == 13.0
