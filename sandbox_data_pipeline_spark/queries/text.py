@@ -3321,10 +3321,13 @@ def q_rholoss_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranking on them would flip near-ties). The global cutoff
     k = floor(N / 4) is exact. Output: per-source selected count and
     mean excess of the selected docs. Distributed shape: one vocab
-    aggregate, one join, one source mean, one global top-k (rank via
-    one ordered window over (excess, doc_id) — the k-selection frame;
-    at 100 TB swap for the two-phase global_row_number or an
-    approx-quantile threshold, both in-repo)."""
+    aggregate, one join, one source mean, then the top-k selection via
+    the TWO-PHASE range rank (stable_global_ids_with_count: range
+    repartition on (-excess, doc_id), partition-local row_number +
+    broadcast prefix offsets — no single-partition window anywhere;
+    N falls out of the offsets collect for free, so the cutoff costs
+    no extra job). The oracle keeps plain row_number: DuckDB sorts a
+    test-scale frame, this plan must survive a 100 TB one."""
     toks = (
         table(spark, sf_dir, "documents")
         .select(
@@ -3362,12 +3365,17 @@ def q_rholoss_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         (F.col("bits_e4") - F.col("src_bits_e4")).alias("excess_e4"),
     )
-    n = scored.count()
-    k = n * RHO_SELECT_PCT // 100
-    wr = Window.orderBy(F.col("excess_e4").desc(), F.col("doc_id"))
-    picked = scored.withColumn("rn", F.row_number().over(wr)).where(
-        F.col("rn") <= k
+    from sandbox_data_pipeline_spark.operators.ids import (
+        stable_global_ids_with_count,
     )
+
+    ranked, n = stable_global_ids_with_count(
+        scored.withColumn("_neg_excess", -F.col("excess_e4")),
+        ["_neg_excess", "doc_id"],
+        out="_rn",
+    )
+    k = n * RHO_SELECT_PCT // 100
+    picked = ranked.where(F.col("_rn") < k)
     return picked.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_selected"),
         F.sum("excess_e4").alias("sum_excess_e4"),

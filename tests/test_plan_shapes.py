@@ -257,3 +257,23 @@ def test_quantile_normalize_window_is_partitioned(spark, sf_dir):
 def test_diff_in_diff_broadcasts_the_dim(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q_diff_in_diff")
     assert "BroadcastHashJoin" in plan
+
+
+def test_rholoss_select_rank_is_range_partitioned_not_global_window(spark, sf_dir):
+    """The top-k excess-loss cut must run through the two-phase range
+    rank (operators/ids.py: stable_global_ids_with_count): a range
+    exchange on (-excess, doc_id) + a window PARTITIONED by _pid —
+    never an unpartitioned row_number over the corpus-cardinality
+    scored frame (the round-9 verdict's one weak flag). The range
+    exchange itself sits behind the operator's localCheckpoint, so the
+    visible plan check is: every Window node partitioned by _pid, and
+    the rank sort local (global=false), never a global Sort."""
+    plan = _plan(spark, sf_dir, "q_rholoss_select")
+    import re
+
+    specs = re.findall(r"windowspecdefinition\(([^)]*)", plan)
+    assert specs, "no window in plan?"
+    for spec in specs:
+        assert spec.startswith("_pid#"), f"unpartitioned window: {spec}"
+    for m in re.finditer(r"\(\d+\) Sort\n(?:.*\n){0,2}?.*Arguments: .*?\], (\w+),", plan):
+        assert m.group(1) == "false", "global sort in rank stage"
