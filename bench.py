@@ -18,219 +18,118 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-# Headline set — ROTATED per round like DRIVER_PRIORITY: after round
-# 8's 144-query run came back regression-free, round 9 measures the
-# ~149 registry queries never benched before (so a hidden slow query
-# in the unbenched tail gets caught), keeping the 10 slowest round-8
-# queries for round-over-round continuity (flagship always runs).
-# Excluded by standing policy: table/file writers (q_time_travel,
-# the txlog lifecycle rows, the interchange writers) and the
-# stdlib-Python codec-stress rows (q_gif_keyframes,
-# q_jpeg_decode_stats, q_video_keyframes) — correctness rows, not
-# throughput probes. Names must exist in queries().
+# Headline set — ROTATED per round like DRIVER_PRIORITY: round 9's
+# 193-query run came back regression-free, so round 10 measures the
+# ~80 registry queries never benched in ANY recorded round (union of
+# BENCH_r* tails + BENCH_LOCAL), closing cumulative bench coverage —
+# round 9 proved first-contact benching finds real bugs (the
+# q_video_near_dup hot-band OOM). The round-9 standing exclusions
+# (table/file writers, stdlib codec-stress rows) are LIFTED for this
+# one round for the same reason: a writer with a hidden scale bug is
+# still a bug, and each pays its cost once here. Continuity: the 10
+# slowest round-9 queries re-run for the round-over-round compare,
+# plus the queries changed/added this round (rholoss two-phase rank,
+# coverage-greedy anti-join, the 3 fingerprint-manifest queries — the
+# manifest builds once per process on first touch, so the min-of-3
+# numbers for ALL THREE measure the decode-free parquet probe path;
+# the decode cost itself is what q_image_dhash_dedup/q_video_near_dup
+# continue to measure, which IS the layout story the twins exist to
+# tell). Names must exist in queries().
 HEADLINE = [
-    # continuity: round-8 top-10 slowest
+    "q_coverage_greedy",
+    "q_dbscan_grid",
+    "q_quality_classifier",
+    "q_embedding_dup_clusters",
+    "q_naive_bayes",
     "q_suffix_dedup_apply",
+    "q_suffix_dedup_apply_keep_first",
     "q_anchored_dup_spans",
     "q_substring_dup_spans",
-    "q_pagerank_dups",
-    "q_ppr_influence",
     "q_similarity_ivf_kmeans_topk",
-    "q_suffix_dedup_apply_keep_first",
-    "q_suffix_dedup_spans",
-    "q_simhash_quality_sweep",
-    "q_dedup_clusters",
-    # first-time coverage: never benched through round 8
-    "q_agg_cube",
-    "q_agg_distinct",
-    "q_agg_maxby",
-    "q_agg_rollup",
-    "q_array_funcs",
-    "q_date_funcs",
-    "q_exists_correlated",
-    "q_funnel",
-    "q_histogram",
-    "q_join_anti",
-    "q_quality_classifier",
-    "q_doremi_weights",
-    "q_join_multi",
-    "q_activity_heatmap",
-    "q_click_attribution",
-    "q_dataset_card",
-    "q_domain_blocklist",
-    "q_entity_matches",
-    "q_ewma_smooth",
-    "q_filter_cascade",
-    "q_group_quantiles",
-    "q_hash_split",
-    "q_mixture_sample",
-    "q_pack_efficiency",
-    "q_pack_manifest",
-    "q_repetition",
-    "q_seasonal_index",
-    "q_source_stats",
-    "q_stratified_sample",
-    "q_temperature_mixture",
-    "q_timeseries_decompose",
-    "q_token_quantiles",
-    "q_url_canonical",
-    "q_masked_export",
-    # q_image_dhash_dedup / q_video_near_dup excluded: stdlib-Python
-    # JPEG/MJPEG decode per doc (23s / 35s at sf0.1) — codec-stress
-    # correctness rows, same policy as q_jpeg_decode_stats. Round 9
-    # DID first-bench them once: the video banded join OOMed the JVM
-    # until the hot-band cap landed (see q_video_near_dup docstring);
-    # the residual cost is decode, not the join.
-    "q_audio_near_dup",
-    "q_media_resolution_filter",
-    "q_entity_resolution",
-    "q_winnow_fingerprints",
-    "q_crosslingual_dups",
-    "q_embedding_dup_clusters",
-    "q_dup_triangles",
-    "q_dup_degree_dist",
-    "q_dup_rate_by_source",
-    "q_leakage_safe_split",
-    "q_passage_dup_ratio",
-    "q_similarity_ivf_lists",
-    "q_ann_index_drift",
-    "q_pq_codes",
-    "q_embedding_quantize",
-    "q_embedding_centroids",
-    "q_inverted_index",
-    "q_ngram_freq",
-    "q_lang_confusion",
-    "q_weather_stage",
-    "q_dq_report",
-    "q_zorder_stats",
-    "q_retention_cohorts",
-    "q_multimodal_meta",
-    "q_filter_basic",
-    "q_cocktails_stage",
-    "q_dq_suite",
-    "q_merge_delete",
-    "q_rfm_segments",
-    "q_media_features",
-    "q_dedup_exact_keep",
-    "q_similarity_lsh_buckets",
-    "q_delete_run_hr",
-    "q_weather_variant_stage",
-    "q_dq_freshness",
-    "q_grouping_sets",
-    "q_media_frames",
-    "q_lang_id",
-    "q_dedup_ngram_jaccard",
-    "q_tpch_q03",
-    "q_cocktails_variant_stage",
-    "q_table_diff",
-    "q_global_ids",
-    "q_dq_referential",
-    "q_media_resize",
-    "q_fingerprint",
-    "q_similarity_near_dup",
-    "q_tpch_q04",
-    "q_join_left",
-    "q_weather_insert",
-    "q_k_anonymity",
-    "q_rollup_ivm",
-    "q_negative_samples",
-    "q_unpivot",
-    "q_media_probe",
-    "q_tfidf_top_terms",
-    "q_similarity_near_dup_lsh",
-    "q_join_semi",
-    "q_weather_variant_insert",
-    "q_safe_casts",
-    "q_dedup_simhash",
-    "q_tpch_q06",
-    "q_weather_variant_native",
-    "q_audio_windows",
-    "q_tpch_q07",
-    "q_cocktails_insert",
-    "q_dedup_survivors",
-    "q_tpch_q08",
-    "q_cocktails_variant_insert",
-    "q_bmp_resize_stats",
-    "q_dedup_normalized",
-    "q_join_salted",
-    "q_cities_source",
-    "q_semantic_search",
-    "q_tpch_q10",
-    "q_city_normalize",
-    "q_png_resize_stats",
-    "q_ann_recall",
-    "q_tpch_q11",
-    "q_join_range",
-    "q_clean_json",
-    "q_tpch_q12",
-    "q_mixture_weights",
-    "q_tpch_q14",
-    "q_tpch_q15",
-    "q_tpch_q16",
-    "q_sessionize",
-    "q_tpch_q17",
-    "q_rollup_cascade",
-    "q_tpch_q19",
-    "q_minhash_precision",
-    "q_tpch_q20",
-    "q_window_frame",
-    "q_hard_negatives",
-    "q_training_triplets",
-    "q_tpch_q22",
-    "q_sort_limit",
-    "q_top5",
-    "q_union_all",
-    "q_quality_sweep",
-    "q_scalar_subquery",
-    "q_set_ops",
-    "q_string_funcs",
-    "q_json_funcs",
-    "q_run_hr_derive",
-    "q_bigram_bits",
-    "q_nested_struct",
-    "q_pivot",
-    "q_window_analytics",
-    "q_map_funcs",
-    "q_string_agg",
-    "q_regex_extract",
-    "q_outliers",
-    # round-9 second wave (never benched, added this round)
-    "q_isotonic_calibration",
-    "q_mannwhitney_u",
+    "q_media_fingerprint_manifest",
+    "q_image_dhash_from_manifest",
+    "q_video_near_dup_from_manifest",
     "q_rholoss_select",
-    "q_pca_power",
-    "q_holt_smooth",
-    "q_wasserstein_drift",
-    "q_cuped_adjust",
-    # round-9 wave-2 additions (never benched)
-    "q_hill_tail",
-    "q_eb_shrinkage",
-    "q_ips_eval",
-    "q_kneser_ney_bits",
-    "q_naive_bayes",
-    "q_dbscan_grid",
-    "q_item_cooccurrence",
-    "q_rbo_rankings",
-    "q_fellegi_sunter",
-    "q_holt_winters",
-    "q_phrase_search",
-    "q_quantile_normalize",
-    "q_coverage_greedy",
-    "q_diff_in_diff",
-    "q_sinkhorn_ot",
-    "q_shapley_attribution",
-    "q_sprt_ab",
-    "q_map_mrr_eval",
-    "q_kruskal_wallis",
-    "q_cramers_v",
-    "q_wordpiece_encode",
-    "q_regression_discontinuity",
-    "q_covariate_balance",
-    "q_mutual_information",
-    "q_hodges_lehmann",
-    "q_sequence_mining",
-    "q_power_analysis",
-    "q_srm_check",
+    "q_hash_canary",
+    "q_t_closeness",
+    "q_group_ttest",
+    "q_event_trigrams",
+    "q_kaplan_meier",
+    "q_column_mapping",
+    "q_burstiness",
+    "q_autocorrelation",
+    "q_jackknife_ci",
+    "q_rolling_median",
+    "q_heaps_law",
+    "q_update_where",
+    "q_runs_test",
+    "q_lakehouse_lifecycle",
+    "q_brier_score",
+    "q_mase_forecast_eval",
+    "q_explode",
+    "q_gap_fill",
+    "q_orc_interchange",
+    "q_ks_drift",
+    "q_skyline",
+    "q_l_diversity",
+    "q_calibration_bins",
+    "q_pii_scrub",
+    "q_source_quota",
+    "q_url_dedup",
+    "q_cusum_changepoints",
+    "q_best_split",
+    "q_pr_curve",
+    "q_partition_evolution",
+    "q_hidden_partitioning",
+    "q_bloom_index",
+    "q_merge_conditional",
+    "q_schema_evolution",
+    "q_check_constraint",
+    "q_position_delete",
+    "q_table_branch",
+    "q_csv_interchange",
+    "q_ingest_quarantine",
+    "q_sketch_ivm",
+    "q_join_ivm",
+    "q_jpeg_decode_stats",
+    "q_video_keyframes",
+    "q_gif_keyframes",
+    "q_audio_onsets",
+    "q_image_dhash_dedup",
+    "q_video_near_dup",
+    "q_embedding_gram",
+    "q_time_travel",
+    "q_first_seen_batch",
+    "q_token_count",
+    "q_dedup_exact",
+    "q_txlog_ivm",
+    "q_sessionize_batch",
+    "q_restore",
+    "q_scd2_priority",
+    "q_trending_batch",
+    "q_compaction_plan",
+    "q_join_inner",
+    "q_table_changes",
+    "q_skew_report",
+    "q_replace_where",
+    "q_profile_drift",
+    "q_benford_audit",
+    "q_passage_dedup",
+    "q_tpch_q13",
+    "q_pack_sequences",
+    "q_agg_approx",
+    "q_point_in_time_features",
+    "q_window_rank",
+    "q_gopher_rules",
+    "q_latest_per_key",
+    "q_event_transitions",
+    "q_subquery_in",
+    "q_unigram_bits",
+    "q_window_hourly",
+    "q_doc_chunks",
+    "q_bpe_merges",
+    "q_zipf_fit",
+    "q_curriculum_shards",
 ]
 
 

@@ -25,11 +25,14 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # Rotation policy: the graded window is the scarce resource — after an
 # all-green round, holding long-green slots in it wastes the round, so
 # the head is always the canary + the never-driver-sampled queries
-# (after a red round, the reds rotate back in first instead). Round 9:
-# CORRECTNESS_r08 was 50/50 green, so the head is the 33 queries never
-# sampled through r8 plus the 30 round-9 additions (wave 2+ displaced
-# the r01 refreshers; the head now overflows the ~50 window, so the
-# overflow rolls into the round-10 rotation).
+# (after a red round, the reds rotate back in first instead). Round 10:
+# CORRECTNESS_r09 was 50/50 green, so the head is the 21 round-9
+# additions that were never driver-sampled, the 3 round-10
+# fingerprint-manifest queries, the 2 queries whose plans CHANGED this
+# round (rholoss two-phase rank, coverage-greedy broadcast anti-join —
+# a changed query needs a fresh grade even if its last one was green),
+# and 23 refreshers whose only formal grade is round 1. This closes
+# formal coverage: after r10 every registry query has a green row.
 # tests/test_registry_hygiene.py encodes this policy so it survives
 # context loss between rounds.
 DRIVER_PRIORITY = (
@@ -37,10 +40,60 @@ DRIVER_PRIORITY = (
     # slot 1 every round (a canary regression means the comparator
     # environment moved again, not the queries).
     "q_hash_canary",
-    # Round-9 graded head: CORRECTNESS_r08 was 50/50 green, so per the
-    # rotation policy the head is the 33 queries never driver-sampled
-    # through r8 (8 pre-r8 overflow, then the 25 round-8 additions),
-    # followed by the round-9 additions (all never sampled).
+    # Never driver-sampled: the 21 round-9 wave-2 additions plus the
+    # 3 round-10 fingerprint-manifest queries.
+    "q_hill_tail",
+    "q_eb_shrinkage",
+    "q_ips_eval",
+    "q_item_cooccurrence",
+    "q_rbo_rankings",
+    "q_holt_winters",
+    "q_phrase_search",
+    "q_quantile_normalize",
+    "q_diff_in_diff",
+    "q_sprt_ab",
+    "q_map_mrr_eval",
+    "q_kruskal_wallis",
+    "q_cramers_v",
+    "q_wordpiece_encode",
+    "q_regression_discontinuity",
+    "q_covariate_balance",
+    "q_mutual_information",
+    "q_hodges_lehmann",
+    "q_sequence_mining",
+    "q_power_analysis",
+    "q_srm_check",
+    "q_media_fingerprint_manifest",
+    "q_image_dhash_from_manifest",
+    "q_video_near_dup_from_manifest",
+    # Changed this round (re-grade even though green in r09):
+    "q_rholoss_select",
+    "q_coverage_greedy",
+    # Refreshers: oldest formal grades in the ledger (round 1).
+    "q_agg_basic",
+    "q_agg_cube",
+    "q_agg_distinct",
+    "q_agg_maxby",
+    "q_agg_rollup",
+    "q_array_funcs",
+    "q_date_funcs",
+    "q_exists_correlated",
+    "q_explode",
+    "q_funnel",
+    "q_gap_fill",
+    "q_histogram",
+    "q_join_anti",
+    "q_join_asof",
+    "q_join_broadcast",
+    "q_join_multi",
+    "q_join_range",
+    "q_join_salted",
+    "q_json_funcs",
+    "q_latest_per_key",
+    "q_map_funcs",
+    "q_nested_struct",
+    "q_outliers",
+    # ---- the driver's graded window cuts at ~50 ----
     "q_t_closeness",
     "q_feature_hashing",
     "q_group_ttest",
@@ -74,15 +127,10 @@ DRIVER_PRIORITY = (
     "q_lakehouse_lifecycle",
     "q_brier_score",
     "q_mase_forecast_eval",
-    # Round-9 additions (never sampled), ordered so the ~50-entry
-    # graded window covers the round-8 brief items (quality
-    # classifier, DoReMi) and the flagship algorithms first; the
-    # remainder is the round-10 rotation's natural head:
     "q_quality_classifier",
     "q_doremi_weights",
     "q_isotonic_calibration",
     "q_mannwhitney_u",
-    "q_rholoss_select",
     "q_pca_power",
     "q_holt_smooth",
     "q_wasserstein_drift",
@@ -93,43 +141,6 @@ DRIVER_PRIORITY = (
     "q_naive_bayes",
     "q_sinkhorn_ot",
     "q_shapley_attribution",
-    "q_coverage_greedy",
-    # ---- the driver's graded window cuts at ~50: every slot above
-    # AND below through q_sequence_mining is never-sampled (canary
-    # excepted) ----
-    "q_hill_tail",
-    "q_eb_shrinkage",
-    "q_ips_eval",
-    "q_item_cooccurrence",
-    "q_rbo_rankings",
-    "q_holt_winters",
-    "q_phrase_search",
-    "q_quantile_normalize",
-    "q_diff_in_diff",
-    "q_sprt_ab",
-    "q_map_mrr_eval",
-    "q_kruskal_wallis",
-    "q_cramers_v",
-    "q_wordpiece_encode",
-    "q_regression_discontinuity",
-    "q_covariate_balance",
-    "q_mutual_information",
-    "q_hodges_lehmann",
-    "q_sequence_mining",
-    "q_power_analysis",
-    "q_srm_check",
-    "q_exists_correlated",
-    "q_explode",
-    "q_funnel",
-    "q_gap_fill",
-    "q_histogram",
-    "q_join_anti",
-    "q_join_asof",
-    "q_join_broadcast",
-    "q_join_multi",
-    # Round-8 graded head (all green in CORRECTNESS_r08), then the
-    # round-7 head; everything long-green follows via the registry
-    # interleave.
     "q_orc_interchange",
     "q_suffix_repeats",
     "q_suffix_dedup_spans",

@@ -821,6 +821,15 @@ def q_image_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashes = jpeg_dhash(
         jpeg_media(table(spark, sf_dir, "documents"))
     ).localCheckpoint(eager=False)
+    return _dhash_pair_hist(hashes)
+
+
+def _dhash_pair_hist(hashes: DataFrame) -> DataFrame:
+    """Banded 16-bit LSH join + hamming histogram over per-image
+    (media_id, h1, h2) fingerprints — shared verbatim by the decode
+    path (q_image_dhash_dedup) and the manifest probe path
+    (q_image_dhash_from_manifest), so both provably run the same
+    candidate generation."""
     bands = hashes.selectExpr(
         "media_id",
         "h1",
@@ -943,6 +952,15 @@ def q_video_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashes = video_frame_dhash(
         avi_media(table(spark, sf_dir, "documents"))
     ).localCheckpoint(eager=False)
+    return _frame_pair_hist(hashes)
+
+
+def _frame_pair_hist(hashes: DataFrame) -> DataFrame:
+    """Hot-bucket-guarded banded LSH join + matched-frame-pair
+    histogram over per-frame (media_id, frame_idx, h1, h2)
+    fingerprints — shared verbatim by the decode path
+    (q_video_near_dup) and the manifest probe path
+    (q_video_near_dup_from_manifest)."""
     bands = hashes.selectExpr(
         "media_id",
         "frame_idx",
@@ -1148,3 +1166,217 @@ WHERE bit_count(xor(afp, bfp)) <= 6
 GROUP BY 1
 """
 QUERIES["q_audio_near_dup"] = q_audio_near_dup
+
+
+# ---- fingerprint manifest: decode once, probe many ---------------------
+#
+# q_image_dhash_dedup / q_video_near_dup pay the full stdlib codec
+# decode on EVERY run — correct as codec-stress tests, but a real
+# pipeline decodes each media object once and serves every downstream
+# near-dup / retrieval query from a persisted fingerprint table. This
+# is that layout split, mirroring the ANN build/probe precedent
+# (operators/similarity.py: build_ann_index): one decode pass writes a
+# unified per-modality fingerprint manifest (partitioned by kind so a
+# probe prunes to its modality at the scan), and the *_from_manifest
+# twins run the IDENTICAL banded joins against the parquet — no
+# mapInPandas anywhere in their plans.
+
+_MANIFEST_PATHS: dict[str, str] = {}
+
+
+def fingerprint_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE decode pass over all three modalities → unified fingerprint
+    rows (kind, media_id, frame_idx, h1, h2): image dHash halves,
+    per-frame video dHash halves, and the 32-bit audio energy-trend
+    fingerprint in h1 (h2 = 0, frame_idx = 0 for whole-object
+    fingerprints). Pure map-side Arrow stages unioned — zero shuffle;
+    at 100 TB this is the index-build job that runs once per ingest
+    batch."""
+    from sandbox_data_pipeline_spark.operators.jpeg import (
+        jpeg_dhash,
+        jpeg_media,
+    )
+    from sandbox_data_pipeline_spark.operators.multimodal import (
+        audio_fingerprint,
+        media_with_headers,
+    )
+    from sandbox_data_pipeline_spark.operators.video import (
+        avi_media,
+        video_frame_dhash,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    img = jpeg_dhash(jpeg_media(docs)).select(
+        F.lit("image").alias("kind"),
+        "media_id",
+        F.lit(0).cast("int").alias("frame_idx"),
+        "h1",
+        "h2",
+    )
+    vid = video_frame_dhash(avi_media(docs)).select(
+        F.lit("video").alias("kind"), "media_id", "frame_idx", "h1", "h2"
+    )
+    aud = audio_fingerprint(media_with_headers(docs)).select(
+        F.lit("audio").alias("kind"),
+        "media_id",
+        F.lit(0).cast("int").alias("frame_idx"),
+        F.col("fp").alias("h1"),
+        F.lit(0).cast("long").alias("h2"),
+    )
+    return img.unionByName(vid).unionByName(aud)
+
+
+def fingerprint_manifest_path(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once per (process, corpus): write the manifest through the
+    K4 dynamic-partition sink (sinks/writers.py: write_partitioned),
+    partitioned by kind, and reuse the path across every probe query —
+    the decode runs once no matter how many near-dup queries follow."""
+    if sf_dir not in _MANIFEST_PATHS:
+        import os
+        import tempfile
+
+        from sandbox_data_pipeline_spark.sinks.writers import write_partitioned
+
+        base = os.path.join(
+            tempfile.mkdtemp(prefix="fp_manifest_"), "media_fingerprints"
+        )
+        write_partitioned(
+            fingerprint_manifest(spark, sf_dir), base, partition_col="kind"
+        )
+        _MANIFEST_PATHS[sf_dir] = base
+    return _MANIFEST_PATHS[sf_dir]
+
+
+def q_media_fingerprint_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The manifest build pass itself, read back from the parquet it
+    wrote — grading this row proves decode, fingerprinting, the
+    3-modality union, AND the partitioned round-trip in one hash
+    match. The oracle recomputes every fingerprint from the builders'
+    closed-form byte arithmetic (the image/video tile pixels, the
+    audio window energies) and unions the three modalities."""
+    return spark.read.parquet(fingerprint_manifest_path(spark, sf_dir)).select(
+        "kind", "media_id", "frame_idx", "h1", "h2"
+    )
+
+
+def q_image_dhash_from_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probe twin of q_image_dhash_dedup: identical banded join +
+    hamming histogram (_dhash_pair_hist — literally the same function)
+    but reading the decode-once manifest, partition-pruned to
+    kind=image, instead of re-decoding every JPEG. Same oracle as the
+    decode path: a hash match proves the manifest round-trip preserved
+    every fingerprint bit."""
+    mf = spark.read.parquet(fingerprint_manifest_path(spark, sf_dir))
+    return _dhash_pair_hist(
+        mf.where(F.col("kind") == "image").select("media_id", "h1", "h2")
+    )
+
+
+def q_video_near_dup_from_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probe twin of q_video_near_dup: identical hot-bucket-guarded
+    banded join (_frame_pair_hist — the same function) over the
+    manifest's kind=video partition. Same oracle as the decode path."""
+    mf = spark.read.parquet(fingerprint_manifest_path(spark, sf_dir))
+    return _frame_pair_hist(
+        mf.where(F.col("kind") == "video").select(
+            "media_id", "frame_idx", "h1", "h2"
+        )
+    )
+
+
+ORACLE["q_media_fingerprint_manifest"] = """
+WITH dims AS (
+  SELECT doc_id, 8 * (doc_id % 4 + 2) AS w, 8 * (doc_id % 3 + 2) AS h,
+         doc_id % 3 + 2 AS nf
+  FROM documents
+),
+igrid AS (
+  SELECT doc_id, j.range AS j, i.range AS i,
+         (doc_id * 11
+          + ((((j.range * h) // 8) // 8) * (w // 8)
+             + (((i.range * w) // 9) // 8)) * 37) % 256 AS v
+  FROM dims CROSS JOIN range(0, 8) j CROSS JOIN range(0, 9) i
+),
+ibits AS (
+  SELECT g0.doc_id, g0.j, g0.i,
+         CASE WHEN g1.v > g0.v THEN 1 ELSE 0 END AS b
+  FROM igrid g0
+  JOIN igrid g1 ON g1.doc_id = g0.doc_id AND g1.j = g0.j AND g1.i = g0.i + 1
+  WHERE g0.i < 8
+),
+ihashes AS (
+  SELECT doc_id,
+         SUM(CASE WHEN j < 4 THEN b << (j * 8 + i) ELSE 0 END) AS h1,
+         SUM(CASE WHEN j >= 4 THEN b << ((j - 4) * 8 + i) ELSE 0 END) AS h2
+  FROM ibits GROUP BY doc_id
+),
+vgrid AS (
+  SELECT doc_id, f.range AS fi, j.range AS j, i.range AS i,
+         (doc_id * 11 + f.range * 53
+          + ((((j.range * h) // 8) // 8) * (w // 8)
+             + (((i.range * w) // 9) // 8)) * 37) % 256 AS v
+  FROM dims
+  CROSS JOIN range(0, 4) f
+  CROSS JOIN range(0, 8) j
+  CROSS JOIN range(0, 9) i
+  WHERE f.range < nf
+),
+vbits AS (
+  SELECT g0.doc_id, g0.fi, g0.j, g0.i,
+         CASE WHEN g1.v > g0.v THEN 1 ELSE 0 END AS b
+  FROM vgrid g0
+  JOIN vgrid g1 ON g1.doc_id = g0.doc_id AND g1.fi = g0.fi
+              AND g1.j = g0.j AND g1.i = g0.i + 1
+  WHERE g0.i < 8
+),
+vhashes AS (
+  SELECT doc_id, fi,
+         SUM(CASE WHEN j < 4 THEN b << (j * 8 + i) ELSE 0 END) AS h1,
+         SUM(CASE WHEN j >= 4 THEN b << ((j - 4) * 8 + i) ELSE 0 END) AS h2
+  FROM vbits GROUP BY doc_id, fi
+),
+aud AS (
+  SELECT doc_id AS media_id, text, n_chars FROM documents WHERE doc_id % 3 = 1
+),
+apos AS (
+  SELECT media_id, r.range AS p,
+         ascii(substr(text, CAST(r.range AS INTEGER) + 1, 1)) AS v
+  FROM aud CROSS JOIN range(0, 65536) r WHERE r.range < n_chars
+),
+awin AS (
+  SELECT media_id, CAST(p // 16 AS INTEGER) AS w, SUM(v * v) AS energy
+  FROM apos GROUP BY 1, 2
+),
+aslots AS (
+  SELECT aud.media_id, s.range AS w,
+         COALESCE(awin.energy, 0) AS energy
+  FROM aud CROSS JOIN range(0, 33) s
+  LEFT JOIN awin ON awin.media_id = aud.media_id AND awin.w = s.range
+),
+afp AS (
+  SELECT s0.media_id,
+         SUM(CASE WHEN s1.energy > s0.energy
+                  THEN 1::BIGINT << s0.w ELSE 0 END) AS fp
+  FROM aslots s0
+  JOIN aslots s1 ON s1.media_id = s0.media_id AND s1.w = s0.w + 1
+  WHERE s0.w < 32
+  GROUP BY 1
+)
+SELECT 'image' AS kind, CAST(doc_id AS BIGINT) AS media_id,
+       CAST(0 AS INT) AS frame_idx,
+       CAST(h1 AS BIGINT) AS h1, CAST(h2 AS BIGINT) AS h2
+FROM ihashes
+UNION ALL
+SELECT 'video', CAST(doc_id AS BIGINT), CAST(fi AS INT),
+       CAST(h1 AS BIGINT), CAST(h2 AS BIGINT)
+FROM vhashes
+UNION ALL
+SELECT 'audio', CAST(media_id AS BIGINT), CAST(0 AS INT),
+       CAST(fp AS BIGINT), CAST(0 AS BIGINT)
+FROM afp
+"""
+ORACLE["q_image_dhash_from_manifest"] = ORACLE["q_image_dhash_dedup"]
+ORACLE["q_video_near_dup_from_manifest"] = ORACLE["q_video_near_dup"]
+QUERIES["q_media_fingerprint_manifest"] = q_media_fingerprint_manifest
+QUERIES["q_image_dhash_from_manifest"] = q_image_dhash_from_manifest
+QUERIES["q_video_near_dup_from_manifest"] = q_video_near_dup_from_manifest

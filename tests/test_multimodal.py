@@ -462,3 +462,53 @@ def test_audio_fingerprint_matches_pure_python(spark, sf_dir):
                 want |= 1 << w
         assert fp == want
         assert 0 <= fp < (1 << 32)
+
+
+def test_manifest_twins_match_decode_paths(spark, sf_dir):
+    """The *_from_manifest probe queries must return exactly what the
+    decode-every-run originals return — the manifest round-trip may
+    not lose or re-type a single fingerprint bit."""
+    from sandbox_data_pipeline_spark.queries.multimodal import QUERIES
+
+    for probe, orig in (
+        ("q_image_dhash_from_manifest", "q_image_dhash_dedup"),
+        ("q_video_near_dup_from_manifest", "q_video_near_dup"),
+    ):
+        a = sorted(map(tuple, QUERIES[probe](spark, sf_dir).collect()))
+        b = sorted(map(tuple, QUERIES[orig](spark, sf_dir).collect()))
+        assert a == b, probe
+
+
+def test_manifest_builds_once_and_probe_plan_has_no_decode(spark, sf_dir):
+    """Decode-once contract: the manifest path is cached per corpus,
+    and a probe query's plan contains no Python decode stage (no
+    mapInPandas) — it reads parquet, partition-pruned to its
+    modality."""
+    import io
+    from contextlib import redirect_stdout
+
+    from sandbox_data_pipeline_spark.queries import multimodal as mm
+
+    p1 = mm.fingerprint_manifest_path(spark, sf_dir)
+    p2 = mm.fingerprint_manifest_path(spark, sf_dir)
+    assert p1 == p2
+    df = mm.q_image_dhash_from_manifest(spark, sf_dir)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "MapInPandas" not in plan
+    # modality filter prunes partitions at the scan, not post-read
+    assert "kind" in plan and "image" in plan
+
+
+def test_manifest_covers_all_modalities(spark, sf_dir):
+    from sandbox_data_pipeline_spark.queries.multimodal import QUERIES
+
+    mf = QUERIES["q_media_fingerprint_manifest"](spark, sf_dir)
+    kinds = {
+        r["kind"]: r["n"]
+        for r in mf.groupBy("kind").agg(F.count("*").alias("n")).collect()
+    }
+    assert set(kinds) == {"image", "video", "audio"}
+    assert all(v > 0 for v in kinds.values())
