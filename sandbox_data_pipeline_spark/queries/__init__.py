@@ -66,9 +66,10 @@ DRIVER_PRIORITY = (
     "q_media_fingerprint_manifest",
     "q_image_dhash_from_manifest",
     "q_video_near_dup_from_manifest",
-    # Changed this round (re-grade even though green in r09):
+    # Changed this round (re-grade even though green before):
     "q_rholoss_select",
     "q_coverage_greedy",
+    "q_image_dhash_dedup",
     # Refreshers: oldest formal grades in the ledger (round 1).
     "q_agg_basic",
     "q_agg_cube",
@@ -92,8 +93,8 @@ DRIVER_PRIORITY = (
     "q_latest_per_key",
     "q_map_funcs",
     "q_nested_struct",
-    "q_outliers",
     # ---- the driver's graded window cuts at ~50 ----
+    "q_outliers",
     "q_t_closeness",
     "q_feature_hashing",
     "q_group_ttest",
@@ -207,7 +208,6 @@ DRIVER_PRIORITY = (
     "q_video_keyframes",
     "q_gif_keyframes",
     "q_audio_onsets",
-    "q_image_dhash_dedup",
     "q_video_near_dup",
     "q_audio_near_dup",
     "q_media_resolution_filter",

@@ -799,6 +799,9 @@ FROM frames
 QUERIES["q_video_keyframes"] = q_video_keyframes
 
 
+IMAGE_BAND_CAP = 96  # max images per band bucket before it is dropped
+
+
 def q_image_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual image dedup over REAL decoded JPEGs
     (operators/jpeg.py: jpeg_dhash): every payload runs the genuine
@@ -829,13 +832,34 @@ def _dhash_pair_hist(hashes: DataFrame) -> DataFrame:
     (media_id, h1, h2) fingerprints — shared verbatim by the decode
     path (q_image_dhash_dedup) and the manifest probe path
     (q_image_dhash_from_manifest), so both provably run the same
-    candidate generation."""
+    candidate generation.
+
+    Hot-bucket guard (round 10, the video path's df_cap pattern): a
+    band value shared by more than IMAGE_BAND_CAP images is
+    non-discriminative — measured at sf0.1, the top dHash band bucket
+    held ~1,000 of 6.2k images (~500k candidate pairs in ONE bucket);
+    at 100x that is the exact q_video_near_dup OOM class round 9 hit.
+    Capped buckets are dropped, bounding every bucket's pair count by
+    CAP²/2; images similar through a degenerate band alone are matched
+    by their other bands or not at all — the standard LSH trade. The
+    cap is sized to BITE at the sf0.01 grade scale (top bucket there
+    is 108), so the oracle hash-match proves the cap replay, not just
+    the happy path."""
     bands = hashes.selectExpr(
         "media_id",
         "h1",
         "h2",
         "stack(4, 0, h1 >> 16, 1, h1 & 65535, 2, h2 >> 16, 3, h2 & 65535)"
         " AS (band_idx, band_val)",
+    )
+    hot = (
+        bands.groupBy("band_idx", "band_val")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .where(F.col("_c") > IMAGE_BAND_CAP)
+        .select("band_idx", "band_val")
+    )
+    bands = bands.join(
+        F.broadcast(hot), ["band_idx", "band_val"], "left_anti"
     )
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
@@ -892,7 +916,7 @@ hashes AS (
          SUM(CASE WHEN j >= 4 THEN b << ((j - 4) * 8 + i) ELSE 0 END) AS h2
   FROM bits GROUP BY doc_id
 ),
-bands AS (
+bands0 AS (
   SELECT doc_id, h1, h2, 0 AS band_idx, h1 >> 16 AS band_val FROM hashes
   UNION ALL
   SELECT doc_id, h1, h2, 1, h1 & 65535 FROM hashes
@@ -900,6 +924,12 @@ bands AS (
   SELECT doc_id, h1, h2, 2, h2 >> 16 FROM hashes
   UNION ALL
   SELECT doc_id, h1, h2, 3, h2 & 65535 FROM hashes
+),
+-- hot-bucket guard: band values shared by > 96 images are
+-- non-discriminative and dropped (mirrors IMAGE_BAND_CAP)
+bands AS (
+  SELECT * FROM bands0
+  QUALIFY count(*) OVER (PARTITION BY band_idx, band_val) <= 96
 ),
 cand AS (
   SELECT DISTINCT a.doc_id AS ma, b.doc_id AS mb,
