@@ -28,10 +28,11 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # (after a red round, the reds rotate back in first instead). Round 10:
 # CORRECTNESS_r09 was 50/50 green, so the head is the 21 round-9
 # additions that were never driver-sampled, the 3 round-10
-# fingerprint-manifest queries, the 2 queries whose plans CHANGED this
-# round (rholoss two-phase rank, coverage-greedy broadcast anti-join —
-# a changed query needs a fresh grade even if its last one was green),
-# and 23 refreshers whose only formal grade is round 1. This closes
+# fingerprint-manifest queries, the 4 queries whose plans CHANGED this
+# round (rholoss + zipf two-phase ranks, coverage-greedy broadcast
+# anti-join, image-dhash hot-band cap — a changed query needs a fresh
+# grade even if its last one was green), and 21 refreshers whose only
+# formal grade is round 1. This closes
 # formal coverage: after r10 every registry query has a green row.
 # tests/test_registry_hygiene.py encodes this policy so it survives
 # context loss between rounds.
@@ -70,6 +71,7 @@ DRIVER_PRIORITY = (
     "q_rholoss_select",
     "q_coverage_greedy",
     "q_image_dhash_dedup",
+    "q_zipf_fit",
     # Refreshers: oldest formal grades in the ledger (round 1).
     "q_agg_basic",
     "q_agg_cube",
@@ -92,8 +94,8 @@ DRIVER_PRIORITY = (
     "q_json_funcs",
     "q_latest_per_key",
     "q_map_funcs",
-    "q_nested_struct",
     # ---- the driver's graded window cuts at ~50 ----
+    "q_nested_struct",
     "q_outliers",
     "q_t_closeness",
     "q_feature_hashing",

@@ -1816,18 +1816,22 @@ def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-statistics fingerprint (natural text ≈ −1 slope; synthetic
     or template-heavy corpora flatten). Uses the built-in regr_*
     aggregates over the token-frequency frame (vocab-scale, one count
-    shuffle); rank is deterministic via (count desc, token) ordering."""
+    shuffle); rank is deterministic via (count desc, token) ordering
+    and computed with the TWO-PHASE range rank (stable_global_ids —
+    the vocab frame grows with the corpus under Heaps' law, so a
+    global row_number here was the q_heaps_law/q_rholoss single-task
+    window class; fixed round 10)."""
+    from sandbox_data_pipeline_spark.operators.ids import stable_global_ids
+
     tok = table(spark, sf_dir, "documents").select(
         F.explode(F.filter(F.split("text", " "), lambda t: t != F.lit(""))).alias(
             "token"
         )
     )
     freq = tok.groupBy("token").agg(F.count("*").alias("c"))
-    w = Window.orderBy(F.col("c").desc(), "token")
-    # the window runs on the vocab frame — for billion-token vocabs
-    # swap in stable_global_ids; here the frame is the top-level freq
-    # table that also feeds TF-IDF
-    ranked = freq.withColumn("r", F.row_number().over(w))
+    ranked = stable_global_ids(
+        freq.withColumn("_negc", -F.col("c")), ["_negc", "token"], out="_r0"
+    ).withColumn("r", F.col("_r0") + 1)
     pts = ranked.select(
         F.log(F.col("r").cast("double")).alias("lx"),
         F.log(F.col("c").cast("double")).alias("ly"),

@@ -25,6 +25,57 @@ sys.path.insert(0, ".")
 ROW_UDF_OK = {"q_clean_json"}  # X2: ast.literal_eval repair, inherently Python
 
 
+def _unpartitioned_windows(plan: str) -> int:
+    """Count Window specs with NO partition columns. In the formatted
+    plan a windowspecdefinition lists partition cols first (bare
+    column refs), then order cols (suffixed ASC/DESC), then the frame
+    — so a spec whose FIRST argument is an order col or the frame
+    itself is a global window: all rows in one task."""
+    import re
+
+    n = 0
+    for m in re.finditer(r"windowspecdefinition\(([^()]*(?:\([^()]*\))?[^()]*)", plan):
+        first = m.group(1).split(",")[0].strip()
+        if (
+            " ASC" in first
+            or " DESC" in first
+            or first.startswith("specifiedwindowframe")
+        ):
+            n += 1
+    return n
+
+
+# Queries ALLOWED to run a global (unpartitioned) window, because the
+# windowed frame is provably bounded — value-histogram, calendar,
+# pattern-lattice, post-limit(k), or per-partition-totals scale — never
+# corpus-cardinality. Every entry's docstring documents which bounded
+# frame it is. Adding a query here requires that documentation; the
+# q_heaps_law (round 8) and q_rholoss_select (round 9) scale bugs were
+# exactly global windows over per-document frames that a list like
+# this would have flagged mechanically.
+GLOBAL_WINDOW_OK: set[str] = {
+    # digit/key/value-histogram or domain-bounded frames:
+    "q_benford_audit", "q_skew_report", "q_ks_drift", "q_mannwhitney_u",
+    "q_kruskal_wallis", "q_hodges_lehmann", "q_wasserstein_drift",
+    "q_best_split", "q_pr_curve", "q_brier_score", "q_skyline",
+    "q_isotonic_calibration",
+    # calendar / day-grain frames:
+    "q_seasonal_index", "q_sprt_ab", "q_runs_test", "q_theilsen_trend",
+    "q_kaplan_meier",
+    # pattern-lattice / bounded-group frames (2^fields patterns,
+    # trigram types, group/source counts):
+    "q_fellegi_sunter", "q_event_trigrams", "q_eb_shrinkage",
+    "q_jackknife_ci", "q_ips_eval", "q_cramers_v",
+    # post-limit(k) / TakeOrdered-bounded frames:
+    "q_bm25_topk", "q_hybrid_rrf", "q_map_mrr_eval", "q_rbo_rankings",
+    "q_hill_tail",
+    # per-partition-totals offsets frames (bounded by the partition
+    # count — the two-phase rank's own metadata window):
+    "q_heaps_law", "q_conformal_interval", "q_suffix_repeats",
+    "q_compaction_plan",
+}
+
+
 def plan_of(df) -> str:
     buf = io.StringIO()
     with redirect_stdout(buf):
@@ -49,6 +100,12 @@ def audit(name: str, plan: str) -> list[str]:
         and "partial_" not in plan
     ):
         smells.append("aggregate without partial (map-side combine missing)")
+    k = _unpartitioned_windows(plan)
+    if k and name not in GLOBAL_WINDOW_OK:
+        smells.append(
+            f"{k} unpartitioned window(s) — bounded-frame queries belong "
+            "in GLOBAL_WINDOW_OK with the boundedness documented"
+        )
     return smells
 
 
