@@ -50,7 +50,6 @@ HEADLINE = [
     "q_image_dhash_from_manifest",
     "q_video_near_dup_from_manifest",
     "q_rholoss_select",
-    "q_zipf_fit",
     "q_hash_canary",
     "q_t_closeness",
     "q_group_ttest",

@@ -112,3 +112,21 @@ def test_rotation_policy_head_grades_never_sampled_first():
         f"needs >= {want}: {len(never)} queries have never been "
         "driver-graded — rotate them into DRIVER_PRIORITY[:50]"
     )
+
+
+def test_bench_headline_names_resolve():
+    """bench.py silently skips HEADLINE names missing from the
+    registry (`if name in queries`), so a renamed query would
+    quietly shrink the benchmark — pin membership here."""
+    import sys
+
+    sys.path.insert(0, str(QUERY_DIR.parent.parent))
+    import bench
+
+    from sandbox_data_pipeline_spark.queries import registry
+
+    q, _ = registry(raw=True)
+    missing = [n for n in bench.HEADLINE if n not in q]
+    assert not missing, f"HEADLINE names not in registry: {missing}"
+    dups = sorted({n for n in bench.HEADLINE if bench.HEADLINE.count(n) > 1})
+    assert not dups, f"duplicate HEADLINE names: {dups}"
