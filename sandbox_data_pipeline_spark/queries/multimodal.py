@@ -10,6 +10,8 @@ it.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -1211,7 +1213,45 @@ QUERIES["q_audio_near_dup"] = q_audio_near_dup
 # twins run the IDENTICAL banded joins against the parquet — no
 # mapInPandas anywhere in their plans.
 
-_MANIFEST_PATHS: dict[str, str] = {}
+_MANIFEST_PATHS: dict[tuple, str] = {}
+
+
+def _corpus_fingerprint(sf_dir: str) -> tuple:
+    """Cache key for the manifest: (sf_dir, mtime, size) of the source
+    documents parquet — if the corpus at a reused path is regenerated
+    mid-process, the probe queries must rebuild rather than silently
+    serve fingerprints of the OLD corpus (review finding, round 10).
+    documents.parquet may be a file or a directory of part files; fold
+    the directory listing's stats either way."""
+    import os
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    try:
+        if os.path.isdir(path):
+            stats = tuple(
+                sorted(
+                    (e.name, e.stat().st_mtime_ns, e.stat().st_size)
+                    for e in os.scandir(path)
+                    if e.is_file()
+                )
+            )
+        else:
+            st = os.stat(path)
+            stats = ((st.st_mtime_ns, st.st_size),)
+    except OSError:
+        stats = ()
+    return (sf_dir, stats)
+
+
+def _cleanup_manifests() -> None:
+    """atexit: remove the per-process manifest trees — without this,
+    every pytest/bench/driver process leaks a parquet tree under /tmp
+    and repeated rounds accumulate unbounded disk (review finding)."""
+    import shutil
+
+    for p in _MANIFEST_PATHS.values():
+        shutil.rmtree(os.path.dirname(p), ignore_errors=True)
+    _MANIFEST_PATHS.clear()
 
 
 def fingerprint_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1261,8 +1301,9 @@ def fingerprint_manifest_path(spark: SparkSession, sf_dir: str) -> str:
     K4 dynamic-partition sink (sinks/writers.py: write_partitioned),
     partitioned by kind, and reuse the path across every probe query —
     the decode runs once no matter how many near-dup queries follow."""
-    if sf_dir not in _MANIFEST_PATHS:
-        import os
+    key = _corpus_fingerprint(sf_dir)
+    if key not in _MANIFEST_PATHS:
+        import atexit
         import tempfile
 
         from sandbox_data_pipeline_spark.sinks.writers import write_partitioned
@@ -1273,8 +1314,10 @@ def fingerprint_manifest_path(spark: SparkSession, sf_dir: str) -> str:
         write_partitioned(
             fingerprint_manifest(spark, sf_dir), base, partition_col="kind"
         )
-        _MANIFEST_PATHS[sf_dir] = base
-    return _MANIFEST_PATHS[sf_dir]
+        if not _MANIFEST_PATHS:
+            atexit.register(_cleanup_manifests)
+        _MANIFEST_PATHS[key] = base
+    return _MANIFEST_PATHS[key]
 
 
 def q_media_fingerprint_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -538,3 +538,26 @@ def test_image_band_cap_drops_hot_buckets(spark):
     )
     rows = _dhash_pair_hist(cold).collect()
     assert sum(r["n_pairs"] for r in rows) == 1
+
+
+def test_manifest_rebuilds_when_corpus_changes(spark, tmp_path):
+    """Round-10 review finding: the manifest cache must key on the
+    SOURCE corpus state, not just the path — a regenerated corpus at a
+    reused path must trigger a rebuild, never serve stale
+    fingerprints."""
+    import shutil
+    import time
+
+    from sandbox_data_pipeline_spark.queries import multimodal as mm
+
+    src = "/root/testdata/sf0.001/documents.parquet"
+    dst = str(tmp_path / "documents.parquet")
+    shutil.copy(src, dst)
+    p1 = mm.fingerprint_manifest_path(spark, str(tmp_path))
+    assert p1 == mm.fingerprint_manifest_path(spark, str(tmp_path))  # cached
+    # regenerate the corpus in place (same bytes, fresh mtime — the
+    # minimal "rewritten at the same path" signal the key must catch)
+    time.sleep(0.01)
+    shutil.copy(src, dst)
+    p2 = mm.fingerprint_manifest_path(spark, str(tmp_path))
+    assert p2 != p1, "stale manifest served after corpus regeneration"

@@ -30,19 +30,41 @@ def _unpartitioned_windows(plan: str) -> int:
     plan a windowspecdefinition lists partition cols first (bare
     column refs), then order cols (suffixed ASC/DESC), then the frame
     — so a spec whose FIRST argument is an order col or the frame
-    itself is a global window: all rows in one task."""
-    import re
-
+    itself is a global window: all rows in one task. The first
+    argument is extracted with a paren-balancing scan, not a regex —
+    an order EXPRESSION can nest arbitrarily (coalesce(cast(x as
+    bigint), y) ASC ...) and a bounded regex would truncate it and
+    misclassify the global window as partitioned."""
     n = 0
-    for m in re.finditer(r"windowspecdefinition\(([^()]*(?:\([^()]*\))?[^()]*)", plan):
-        first = m.group(1).split(",")[0].strip()
+    start = 0
+    needle = "windowspecdefinition("
+    while True:
+        i = plan.find(needle, start)
+        if i < 0:
+            return n
+        j = i + len(needle)
+        depth = 0
+        first = []
+        while j < len(plan):
+            ch = plan[j]
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                if depth == 0:
+                    break
+                depth -= 1
+            elif ch == "," and depth == 0:
+                break
+            first.append(ch)
+            j += 1
+        arg = "".join(first).strip()
         if (
-            " ASC" in first
-            or " DESC" in first
-            or first.startswith("specifiedwindowframe")
+            " ASC" in arg
+            or " DESC" in arg
+            or arg.startswith("specifiedwindowframe")
         ):
             n += 1
-    return n
+        start = j
 
 
 # Queries ALLOWED to run a global (unpartitioned) window, because the
