@@ -130,3 +130,74 @@ def test_bench_headline_names_resolve():
     assert not missing, f"HEADLINE names not in registry: {missing}"
     dups = sorted({n for n in bench.HEADLINE if bench.HEADLINE.count(n) > 1})
     assert not dups, f"duplicate HEADLINE names: {dups}"
+
+
+def test_collect_sites_are_allowlisted():
+    """Every driver-side .collect() in product code is an AUDITED
+    bounded collect (metadata scale, k-bounded, or a loud-guarded
+    trainer fold — see SCALE.md and each site's docstring). A new
+    collect site fails here until it is reviewed and added: an
+    unreviewed collect is the #1 way a distributed operator silently
+    becomes a driver loop. Keyed on (file, enclosing function), not
+    line numbers, so refactors don't churn it."""
+    import ast
+    from collections import Counter
+
+    allow = {
+        ("operators/bpe.py", "bpe_merges"): 2,  # per-merge argmax, vocab-capped
+        ("operators/dq.py", "run_checks"): 1,  # one row per DQ check
+        ("operators/ids.py", "stable_global_ids_with_count"): 1,  # per-partition counts
+        ("operators/linalg.py", "pca_components"): 1,  # d x d Gram fold
+        ("operators/quality.py", "doremi_weights"): 1,  # J-row domain weights
+        ("operators/quality.py", "train_quality_lr"): 2,  # (J+2)-row per GD step
+        ("operators/similarity.py", "ivf_centroids"): 1,  # n_centroids rows
+        ("operators/similarity.py", "ivf_centroids_kmeans_exact"): 2,  # k rows/round
+        ("operators/similarity.py", "pq_codebook"): 1,  # codebook rows
+        ("operators/unigram.py", "unigram_train_from_docs"): 1,  # capped vocab
+        ("queries/analytics.py", "q_shapley_attribution"): 1,  # 2^4 lattice
+        ("queries/analytics.py", "q_sinkhorn_ot"): 1,  # bin histogram
+        ("queries/dedup.py", "q_incremental_dedup"): 1,  # admitted-batch ids
+        ("queries/similarity.py", "q_pca_power"): 1,  # d x d Gram
+        ("queries/text.py", "q_coverage_greedy"): 1,  # 1-row argmax + winner bigrams
+        ("queries/text.py", "q_wordpiece_encode"): 1,  # WP_MAX_TYPES-guarded vocab
+        ("queries/txlog.py", "q_join_ivm"): 3,  # txlog metadata frames
+        ("queries/txlog.py", "q_replace_where"): 1,  # txlog metadata
+        ("queries/txlog.py", "q_table_changes"): 1,  # txlog metadata
+        ("queries/txlog.py", "q_txlog_ivm"): 3,  # txlog metadata frames
+        ("sinks/txlog.py", "build_bloom_index"): 1,  # per-file bloom rows
+        ("sinks/writers.py", "notify_query_result"): 1,  # bounded limit() collect
+        ("streaming/cdc.py", "_apply"): 1,  # touched key-buckets per batch
+        ("streaming/hourly.py", "_publish"): 1,  # per-trigger hour rows
+        ("streaming/trending.py", "_publish"): 1,  # top-k per trigger
+    }
+    pkg = QUERY_DIR.parent
+    got: Counter = Counter()
+    for p in sorted(pkg.rglob("*.py")):
+        tree = ast.parse(p.read_text())
+        rel = str(p.relative_to(pkg))
+        stack: list[str] = []
+
+        class V(ast.NodeVisitor):
+            def visit_FunctionDef(self, n):
+                stack.append(n.name)
+                self.generic_visit(n)
+                stack.pop()
+
+            visit_AsyncFunctionDef = visit_FunctionDef
+
+            def visit_Call(self, n):
+                f = n.func
+                if (
+                    isinstance(f, ast.Attribute)
+                    and f.attr == "collect"
+                    and not n.args
+                    and not n.keywords
+                ):
+                    got[(rel, stack[-1] if stack else "<module>")] += 1
+                self.generic_visit(n)
+
+        V().visit(tree)
+    assert dict(got) == allow, (
+        f"unreviewed collect sites: {dict(got.items() - allow.items())}; "
+        f"stale allowlist rows: {dict(allow.items() - got.items())}"
+    )
