@@ -201,3 +201,113 @@ def test_collect_sites_are_allowlisted():
         f"unreviewed collect sites: {dict(got.items() - allow.items())}; "
         f"stale allowlist rows: {dict(allow.items() - got.items())}"
     )
+
+
+def _ast_call_sites(attr: str) -> dict:
+    """(file-relative-to-package, enclosing function) -> count of
+    ``.{attr}(...)`` calls, for the audited-site tripwires below."""
+    import ast
+    from collections import Counter
+
+    pkg = QUERY_DIR.parent
+    got: Counter = Counter()
+    for p in sorted(pkg.rglob("*.py")):
+        tree = ast.parse(p.read_text())
+        rel = str(p.relative_to(pkg))
+        stack: list[str] = []
+
+        class V(ast.NodeVisitor):
+            def visit_FunctionDef(self, n):
+                stack.append(n.name)
+                self.generic_visit(n)
+                stack.pop()
+
+            visit_AsyncFunctionDef = visit_FunctionDef
+
+            def visit_Call(self, n):
+                f = n.func
+                if isinstance(f, ast.Attribute) and f.attr == attr:
+                    got[(rel, stack[-1] if stack else "<module>")] += 1
+                self.generic_visit(n)
+
+        V().visit(tree)
+    return dict(got)
+
+
+def test_crossjoin_sites_are_allowlisted():
+    """Every crossJoin in product code broadcasts a 1-row or bounded
+    frame (scalar totals, centroid/codebook tables, per-group
+    aggregates) — the judge's standing manual audit, pinned. A new
+    crossJoin fails here until it is reviewed and added: an unreviewed
+    cross join against a corpus-scale frame is the quadratic-blowup
+    twin of the unreviewed collect."""
+    allow = {
+        ("operators/bloom.py", "bloom_probe"): 1,
+        ("operators/dq.py", "dq_metrics"): 1,
+        ("operators/graph.py", "hits"): 1,
+        ("operators/graph.py", "pagerank"): 2,
+        ("operators/graph.py", "personalized_pagerank"): 1,
+        ("operators/layout.py", "zvalue"): 1,
+        ("operators/quality.py", "doremi_weights"): 1,
+        ("operators/skew.py", "key_skew_report"): 1,
+        ("operators/text.py", "bm25_topk"): 1,
+        ("operators/text.py", "drift_kl"): 2,
+        ("operators/text.py", "pmi_pairs"): 1,
+        ("operators/text.py", "tfidf_top_terms"): 1,
+        ("operators/text.py", "unigram_cross_entropy"): 1,
+        ("queries/analytics.py", "q_association_rules"): 1,
+        ("queries/analytics.py", "q_autocorrelation"): 1,
+        ("queries/analytics.py", "q_conformal_interval"): 1,
+        ("queries/analytics.py", "q_cramers_v"): 2,
+        ("queries/analytics.py", "q_eb_shrinkage"): 1,
+        ("queries/analytics.py", "q_event_funnel"): 1,
+        ("queries/analytics.py", "q_hill_tail"): 1,
+        ("queries/analytics.py", "q_hodges_lehmann"): 4,
+        ("queries/analytics.py", "q_item_cooccurrence"): 1,
+        ("queries/analytics.py", "q_kaplan_meier"): 1,
+        ("queries/analytics.py", "q_kruskal_wallis"): 2,
+        ("queries/analytics.py", "q_ks_drift"): 1,
+        ("queries/analytics.py", "q_mase_forecast_eval"): 1,
+        ("queries/analytics.py", "q_psi_drift"): 1,
+        ("queries/analytics.py", "q_runs_test"): 1,
+        ("queries/analytics.py", "q_sinkhorn_ot"): 1,
+        ("queries/analytics.py", "q_target_encode"): 1,
+        ("queries/analytics.py", "q_theilsen_trend"): 1,
+        ("queries/analytics.py", "q_wasserstein_drift"): 1,
+        ("queries/cdc.py", "q_rollup_ivm"): 2,
+        ("queries/dedup.py", "q_fellegi_sunter"): 3,
+        ("queries/dq.py", "q_dq_freshness"): 1,
+        ("queries/dq.py", "q_t_closeness"): 2,
+        ("queries/layout.py", "q_zorder_skipping"): 1,
+        ("queries/relational.py", "q_funnel"): 2,
+        ("queries/relational.py", "q_gap_fill"): 1,
+        ("queries/similarity.py", "q_auc_score"): 1,
+        ("queries/similarity.py", "q_best_split"): 1,
+        ("queries/similarity.py", "q_brier_score"): 1,
+        ("queries/similarity.py", "q_calibration_bins"): 1,
+        ("queries/similarity.py", "q_pr_curve"): 1,
+        ("queries/text.py", "q_bigram_perplexity"): 1,
+        ("queries/text.py", "q_burstiness"): 1,
+        ("queries/text.py", "q_chi2_terms"): 1,
+        ("queries/text.py", "q_cohen_kappa"): 1,
+        ("queries/text.py", "q_dataset_card"): 1,
+        ("queries/text.py", "q_kmv_jaccard"): 1,
+        ("queries/text.py", "q_kneser_ney_bits"): 1,
+        ("queries/text.py", "q_map_mrr_eval"): 1,
+        ("queries/text.py", "q_mixture_sample"): 1,
+        ("queries/text.py", "q_mixture_weights"): 2,
+        ("queries/text.py", "q_mutual_information"): 1,
+        ("queries/text.py", "q_naive_bayes"): 2,
+        ("queries/text.py", "q_rbo_rankings"): 1,
+        ("queries/text.py", "q_rholoss_select"): 1,
+        ("queries/text.py", "q_temperature_mixture"): 2,
+        ("queries/tpch.py", "_partsupp"): 1,
+        ("queries/tpch.py", "q_tpch_q11"): 1,
+        ("queries/tpch.py", "q_tpch_q15"): 1,
+        ("queries/tpch.py", "q_tpch_q22"): 1,
+    }
+    got = _ast_call_sites("crossJoin")
+    assert got == allow, (
+        f"unreviewed crossJoin sites: {dict(got.items() - allow.items())}; "
+        f"stale allowlist rows: {dict(allow.items() - got.items())}"
+    )
