@@ -11,6 +11,7 @@ it.
 from __future__ import annotations
 
 import os
+import threading
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -893,7 +894,7 @@ def _dhash_pair_hist(hashes: DataFrame) -> DataFrame:
     )
 
 
-ORACLE["q_image_dhash_dedup"] = """
+ORACLE["q_image_dhash_dedup"] = f"""
 WITH dims AS (
   SELECT doc_id, 8 * (doc_id % 4 + 2) AS w, 8 * (doc_id % 3 + 2) AS h
   FROM documents
@@ -927,11 +928,12 @@ bands0 AS (
   UNION ALL
   SELECT doc_id, h1, h2, 3, h2 & 65535 FROM hashes
 ),
--- hot-bucket guard: band values shared by > 96 images are
--- non-discriminative and dropped (mirrors IMAGE_BAND_CAP)
+-- hot-bucket guard: band values shared by > IMAGE_BAND_CAP images
+-- are non-discriminative and dropped (interpolated so the oracle
+-- can never silently diverge from the Python constant)
 bands AS (
   SELECT * FROM bands0
-  QUALIFY count(*) OVER (PARTITION BY band_idx, band_val) <= 96
+  QUALIFY count(*) OVER (PARTITION BY band_idx, band_val) <= {IMAGE_BAND_CAP}
 ),
 cand AS (
   SELECT DISTINCT a.doc_id AS ma, b.doc_id AS mb,
@@ -1041,7 +1043,7 @@ def _frame_pair_hist(hashes: DataFrame) -> DataFrame:
     )
 
 
-ORACLE["q_video_near_dup"] = """
+ORACLE["q_video_near_dup"] = f"""
 WITH dims AS (
   SELECT doc_id, 8 * (doc_id % 4 + 2) AS w, 8 * (doc_id % 3 + 2) AS h,
          doc_id % 3 + 2 AS nf
@@ -1078,11 +1080,12 @@ bands0 AS (
   UNION ALL SELECT doc_id, fi, h1, h2, 2, h2 >> 16 FROM hashes
   UNION ALL SELECT doc_id, fi, h1, h2, 3, h2 & 65535 FROM hashes
 ),
--- hot-bucket guard: band values shared by > 128 frames are
--- non-discriminative and dropped (mirrors VIDEO_BAND_CAP)
+-- hot-bucket guard: band values shared by > VIDEO_BAND_CAP frames
+-- are non-discriminative and dropped (interpolated so the oracle
+-- can never silently diverge from the Python constant)
 bands AS (
   SELECT * FROM bands0
-  QUALIFY count(*) OVER (PARTITION BY band_idx, band_val) <= 128
+  QUALIFY count(*) OVER (PARTITION BY band_idx, band_val) <= {VIDEO_BAND_CAP}
 ),
 cand AS (
   SELECT DISTINCT a.doc_id AS ma, a.fi AS fa, b.doc_id AS mb, b.fi AS fb,
@@ -1214,6 +1217,7 @@ QUERIES["q_audio_near_dup"] = q_audio_near_dup
 # mapInPandas anywhere in their plans.
 
 _MANIFEST_PATHS: dict[tuple, str] = {}
+_MANIFEST_LOCK = threading.Lock()
 
 
 def _corpus_fingerprint(sf_dir: str) -> tuple:
@@ -1302,21 +1306,33 @@ def fingerprint_manifest_path(spark: SparkSession, sf_dir: str) -> str:
     partitioned by kind, and reuse the path across every probe query —
     the decode runs once no matter how many near-dup queries follow."""
     key = _corpus_fingerprint(sf_dir)
+    # Build under a lock: two concurrent first-touch probes (parallel
+    # test workers, threaded drivers) would otherwise BOTH run the
+    # full decode build, and the loser's tmpdir would be dropped from
+    # _MANIFEST_PATHS so the atexit cleanup leaked it (review
+    # finding). Double-checked so steady-state probes never contend.
     if key not in _MANIFEST_PATHS:
-        import atexit
-        import tempfile
+        with _MANIFEST_LOCK:
+            if key not in _MANIFEST_PATHS:
+                import atexit
+                import tempfile
 
-        from sandbox_data_pipeline_spark.sinks.writers import write_partitioned
+                from sandbox_data_pipeline_spark.sinks.writers import (
+                    write_partitioned,
+                )
 
-        base = os.path.join(
-            tempfile.mkdtemp(prefix="fp_manifest_"), "media_fingerprints"
-        )
-        write_partitioned(
-            fingerprint_manifest(spark, sf_dir), base, partition_col="kind"
-        )
-        if not _MANIFEST_PATHS:
-            atexit.register(_cleanup_manifests)
-        _MANIFEST_PATHS[key] = base
+                base = os.path.join(
+                    tempfile.mkdtemp(prefix="fp_manifest_"),
+                    "media_fingerprints",
+                )
+                write_partitioned(
+                    fingerprint_manifest(spark, sf_dir),
+                    base,
+                    partition_col="kind",
+                )
+                if not _MANIFEST_PATHS:
+                    atexit.register(_cleanup_manifests)
+                _MANIFEST_PATHS[key] = base
     return _MANIFEST_PATHS[key]
 
 

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import os
+
 import pytest
 
 from pyspark.sql import functions as F
@@ -540,7 +542,7 @@ def test_image_band_cap_drops_hot_buckets(spark):
     assert sum(r["n_pairs"] for r in rows) == 1
 
 
-def test_manifest_rebuilds_when_corpus_changes(spark, tmp_path):
+def test_manifest_rebuilds_when_corpus_changes(spark, tmp_path, sf_dir):
     """Round-10 review finding: the manifest cache must key on the
     SOURCE corpus state, not just the path — a regenerated corpus at a
     reused path must trigger a rebuild, never serve stale
@@ -550,7 +552,7 @@ def test_manifest_rebuilds_when_corpus_changes(spark, tmp_path):
 
     from sandbox_data_pipeline_spark.queries import multimodal as mm
 
-    src = "/root/testdata/sf0.001/documents.parquet"
+    src = os.path.join(sf_dir, "documents.parquet")
     dst = str(tmp_path / "documents.parquet")
     shutil.copy(src, dst)
     p1 = mm.fingerprint_manifest_path(spark, str(tmp_path))

@@ -203,9 +203,12 @@ def test_collect_sites_are_allowlisted():
     )
 
 
-def _ast_call_sites(attr: str) -> dict:
+def _ast_call_sites(attr: str, skip_receivers: frozenset = frozenset()) -> dict:
     """(file-relative-to-package, enclosing function) -> count of
-    ``.{attr}(...)`` calls, for the audited-site tripwires below."""
+    ``.{attr}(...)`` calls, for the audited-site tripwires below.
+    ``skip_receivers`` drops calls whose receiver is a bare name in
+    the set (e.g. ``F`` — ``F.first(...)`` is the SQL aggregate, not
+    a driver materialization)."""
     import ast
     from collections import Counter
 
@@ -226,7 +229,14 @@ def _ast_call_sites(attr: str) -> dict:
 
             def visit_Call(self, n):
                 f = n.func
-                if isinstance(f, ast.Attribute) and f.attr == attr:
+                if (
+                    isinstance(f, ast.Attribute)
+                    and f.attr == attr
+                    and not (
+                        isinstance(f.value, ast.Name)
+                        and f.value.id in skip_receivers
+                    )
+                ):
                     got[(rel, stack[-1] if stack else "<module>")] += 1
                 self.generic_visit(n)
 
@@ -310,4 +320,63 @@ def test_crossjoin_sites_are_allowlisted():
     assert got == allow, (
         f"unreviewed crossJoin sites: {dict(got.items() - allow.items())}; "
         f"stale allowlist rows: {dict(allow.items() - got.items())}"
+    )
+
+
+def test_other_materialization_sites_are_allowlisted():
+    """Review finding (round 10): the collect tripwire above counts
+    only zero-argument .collect() — toPandas / take / head /
+    collectAsList / first / show / collect(*args) escaped it, so its
+    'every unreviewed driver collect fails here' guarantee was
+    narrower than advertised. Close the gap: EVERY driver-side
+    materialization spelling is now audited. Product code currently
+    has zero toPandas/take/head/show sites (a new one fails here until
+    reviewed) and five DataFrame.first() sites, each a bounded
+    metadata probe (1-row dimension lookup, txlog snapshot metadata).
+    ``F.first`` is the SQL aggregate, executor-side, excluded by
+    receiver."""
+    empty_attrs = ["toPandas", "take", "head", "collectAsList", "show"]
+    for attr in empty_attrs:
+        got = _ast_call_sites(attr)
+        assert got == {}, f"unreviewed driver-side .{attr}() sites: {got}"
+
+    first_allow = {
+        # 1-row probe of the embedding dimensionality before planning
+        ("operators/similarity.py", "near_dup_pairs"): 1,
+        # txlog snapshot/version metadata — bounded by commit count
+        ("queries/txlog.py", "q_time_travel"): 1,
+        ("queries/txlog.py", "q_restore"): 1,
+        ("sinks/txlog.py", "merge"): 2,
+    }
+    got_first = _ast_call_sites("first", skip_receivers=frozenset({"F"}))
+    assert got_first == first_allow, (
+        f"unreviewed DataFrame.first() sites: "
+        f"{dict(got_first.items() - first_allow.items())}; stale rows: "
+        f"{dict(first_allow.items() - got_first.items())}"
+    )
+
+    # collect WITH arguments (the zero-arg form is pinned above)
+    import ast
+    from collections import Counter
+
+    pkg = QUERY_DIR.parent
+    got_args: Counter = Counter()
+    for p in sorted(pkg.rglob("*.py")):
+        tree = ast.parse(p.read_text())
+        rel = str(p.relative_to(pkg))
+
+        class V(ast.NodeVisitor):
+            def visit_Call(self, n):
+                f = n.func
+                if (
+                    isinstance(f, ast.Attribute)
+                    and f.attr == "collect"
+                    and (n.args or n.keywords)
+                ):
+                    got_args[rel] += 1
+                self.generic_visit(n)
+
+        V().visit(tree)
+    assert dict(got_args) == {}, (
+        f"unreviewed collect(*args) sites: {dict(got_args)}"
     )
