@@ -185,6 +185,17 @@ HEADLINE = [
 # from BENCH_r09.json / BENCH_r10.json.
 FLAGGED_R10 = {
     "flagship": {"r9": 1.03, "r10": 1.52},
+    # q_coverage_greedy was the ONE reproduced regression (1.347
+    # normalized on the round-11 quiet re-run): root cause = round
+    # 10's covered-set rework added a per-round driver round-trip
+    # (collect the winner's ~90 bigrams, re-ship via createDataFrame)
+    # on top of the broadcast anti-join. Fixed in round 11 by keeping
+    # covered entirely executor-side as the broadcast subquery `tok
+    # where doc_id in selected` (plan still constant-size: only the
+    # <= K literal ids) — identical selection, 1-row argmax is now the
+    # only per-round transfer. Re-measured min-of-3 after a flagship
+    # calibration: 10.585s vs flagship 1.223s -> normalized-vs-r9
+    # (10.585/8.77)/(1.223/1.03) = 1.02 — discharged.
     "q_coverage_greedy": {"r9": 8.77, "r10": 17.09},
     "q_similarity_ivf_kmeans_topk": {"r9": 3.67, "r10": 7.00},
     "q_quality_classifier": {"r9": 7.71, "r10": 13.71},

@@ -3876,25 +3876,24 @@ QUERIES["q_quantile_normalize"] = q_quantile_normalize
 COVERAGE_K = 10
 
 
-def _coverage_candidates(
-    spark: SparkSession, tok: DataFrame, selected: list, covered: set
-) -> DataFrame:
+def _coverage_candidates(tok: DataFrame, selected: list) -> DataFrame:
     """One greedy round's gain frame: drop already-picked docs (K ids
     max — a literal predicate stays tiny forever) and already-covered
-    tokens. The covered set ships as BROADCAST DATA via a left-anti
-    join, never as an in-plan literal list: after K rounds the set is
-    K x doc-length strings, which as an `isin` literal would bloat
-    every serialized task binary (the round-9 verdict's improvement
-    note); as a broadcast it costs one constant-size plan node."""
-    cand = tok
-    if selected:
-        cand = cand.where(~F.col("doc_id").isin(selected))
-    if covered:
-        cov_df = spark.createDataFrame(
-            [(t,) for t in sorted(covered)], "t string"
-        )
-        cand = cand.join(F.broadcast(cov_df), "t", "left_anti")
-    return cand
+    tokens. The covered set never touches the driver AT ALL (round-11
+    rework): it is the broadcast SUBQUERY `tok where doc_id in
+    selected` over the cached token frame — the same constant-size
+    plan the round-9 verdict asked for (no K x doc-length literal
+    list), minus round 10's per-round driver round-trip (collect the
+    winner's tokens, re-ship them via createDataFrame), which the
+    round-11 re-bench root-caused as the 1.35x flagship-normalized
+    regression. Executor-side covered + 1-row argmax collect measured
+    7.5s vs 10.2s for the K rounds at sf0.1, identical selection."""
+    if not selected:
+        return tok
+    covered = tok.where(F.col("doc_id").isin(selected)).select("t")
+    return tok.where(~F.col("doc_id").isin(selected)).join(
+        F.broadcast(covered), "t", "left_anti"
+    )
 
 
 def q_coverage_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3906,12 +3905,15 @@ def q_coverage_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     gain (newly covered types), and the running coverage.
 
     Scale: per round, ONE broadcast LEFT ANTI join against the
-    covered-tokens frame (bounded by K x doc length — broadcastable at
-    any corpus size; shipped as broadcast DATA, not as an in-plan
-    literal list, so the serialized plan stays constant-size at any
-    K x doc length) + ONE TakeOrdered(1) argmax; driver state is the
-    covered token list (bounded, the bpe.py trainer contract).
-    K rounds = K bounded collects, corpus touched only through the
+    covered-tokens frame — the broadcast SUBQUERY `tok where doc_id in
+    selected` over the cached token frame (bounded by K x doc length,
+    broadcastable at any corpus size; the plan carries only the <= K
+    literal doc ids, so it stays constant-size) + ONE TakeOrdered(1)
+    argmax whose single row is the ONLY per-round driver transfer.
+    Driver state is just the selected ids and the running coverage
+    (cum_coverage = running sum of gains — each gain IS the newly
+    covered count, so no token ever crosses to the driver).
+    K rounds = K 1-row collects, corpus touched only through the
     distinct (doc, token) frame. The oracle replays the identical K
     unrolled greedy rounds. Docs whose tokens are fully covered cannot
     be re-picked (they leave the gain frame); ties break on min
@@ -3934,31 +3936,22 @@ def q_coverage_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = (
         d.select("doc_id", F.explode(bigrams).alias("t")).distinct().persist()
     )
-    covered: set = set()
     selected: list = []
     rows = []
     coverage = 0
     for r in range(1, COVERAGE_K + 1):
-        cand = _coverage_candidates(spark, tok, selected, covered)
         top = (
-            cand.groupBy("doc_id")
+            _coverage_candidates(tok, selected)
+            .groupBy("doc_id")
             .agg(F.count(F.lit(1)).alias("g"))
             .orderBy(F.desc("g"), F.asc("doc_id"))
             .limit(1)
+            .collect()  # 1-row argmax — the only per-round transfer
         )
-        # ONE action per round: broadcast the 1-row argmax back onto
-        # the token frame so the winner's gain AND its bigrams arrive
-        # in the same bounded collect (2 jobs/round -> 1).
-        picked = (
-            tok.join(F.broadcast(top), "doc_id")
-            .select("doc_id", "g", "t")
-            .collect()
-        )
-        if not picked:
+        if not top:
             break
-        doc, gain = picked[0]["doc_id"], picked[0]["g"]
-        covered.update(x["t"] for x in picked)
-        coverage = len(covered)
+        doc, gain = top[0]["doc_id"], top[0]["g"]
+        coverage += gain  # marginal gain IS the newly covered count
         selected.append(doc)
         rows.append((r, doc, gain, coverage))
     return spark.createDataFrame(

@@ -281,15 +281,16 @@ def test_rholoss_select_rank_is_range_partitioned_not_global_window(spark, sf_di
 
 def test_coverage_greedy_covered_set_is_broadcast_anti_join(spark, sf_dir):
     """The covered-tokens exclusion must plan as a broadcast left-anti
-    join (covered set ships as broadcast data), never as a growing
-    in-plan `isin` literal — K rounds x doc-length strings serialized
-    into every task binary."""
+    join against the executor-side covered subquery (tok where doc_id
+    in selected), never as a growing in-plan `isin` literal — K rounds
+    x doc-length strings serialized into every task binary. Only the
+    <= K selected doc ids may appear as literals."""
     from sandbox_data_pipeline_spark.queries.text import _coverage_candidates
 
     tok = spark.createDataFrame(
         [(1, "a b"), (1, "b c"), (2, "a b")], "doc_id long, t string"
     )
-    cand = _coverage_candidates(spark, tok, [7], {"a b", "x y"})
+    cand = _coverage_candidates(tok, [1])
     plan = plan_of(cand)
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
     assert "a b" not in plan  # covered tokens must NOT appear as literals

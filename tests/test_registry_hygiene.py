@@ -191,7 +191,7 @@ def test_collect_sites_are_allowlisted():
         ("queries/analytics.py", "q_sinkhorn_ot"): 1,  # bin histogram
         ("queries/dedup.py", "q_incremental_dedup"): 1,  # admitted-batch ids
         ("queries/similarity.py", "q_pca_power"): 1,  # d x d Gram
-        ("queries/text.py", "q_coverage_greedy"): 1,  # 1-row argmax + winner bigrams
+        ("queries/text.py", "q_coverage_greedy"): 1,  # 1-row argmax per round
         ("queries/text.py", "q_wordpiece_encode"): 1,  # WP_MAX_TYPES-guarded vocab
         ("queries/txlog.py", "q_join_ivm"): 3,  # txlog metadata frames
         ("queries/txlog.py", "q_replace_where"): 1,  # txlog metadata

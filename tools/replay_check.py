@@ -1,0 +1,237 @@
+"""Run the third-implementation replays (tools/replays.py) against the
+live Spark registry queries and report mismatches.
+
+This is the defense against the shared-expression bug class the
+Spark-vs-DuckDB hash gate cannot catch (both engines running the same
+wrong algorithm — the round-9 Hodges-Lehmann case): the replay derives
+the expected output from the algorithm's published definition in
+numpy/plain Python, importing NOTHING from the engine package.
+
+Usage: python tools/replay_check.py [sf_dir] [query_name ...]
+Exit code = number of failures.
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, ".")
+sys.path.insert(0, "tools")
+
+from replays import REPLAYS, Tables  # noqa: E402
+
+# Float comparison: engine outputs are stabilized (doubles to 7
+# significant digits via %.6e, many metrics rounded to 4 decimals), so
+# an independently-associated replay may differ by one final-digit
+# step. 1.5e-4 absolute covers a 4-decimal rounding straddle, 2e-6
+# relative covers a 7-sig-digit one. An algorithmic bug moves values
+# by orders of magnitude more than either.
+ABS_TOL = 1.5e-4
+REL_TOL = 2e-6
+
+
+def _is_na(v) -> bool:
+    try:
+        return v is None or (isinstance(v, float) and math.isnan(v)) or pd.isna(v)
+    except (TypeError, ValueError):
+        return False
+
+
+def _cell_match(a, b) -> bool:
+    if _is_na(a) and _is_na(b):
+        return True
+    if _is_na(a) or _is_na(b):
+        return False
+    if isinstance(a, (bool, np.bool_)) or isinstance(b, (bool, np.bool_)):
+        return bool(a) == bool(b)
+    an = isinstance(a, (int, float, np.integer, np.floating))
+    bn = isinstance(b, (int, float, np.integer, np.floating))
+    if an and bn:
+        af, bf = float(a), float(b)
+        ai = isinstance(a, (int, np.integer)) or af.is_integer()
+        bi = isinstance(b, (int, np.integer)) or bf.is_integer()
+        if ai and bi and isinstance(a, (int, np.integer)) and isinstance(
+            b, (int, np.integer)
+        ):
+            return int(a) == int(b)
+        d = abs(af - bf)
+        return d <= ABS_TOL or d <= REL_TOL * max(abs(af), abs(bf))
+    return str(a) == str(b)
+
+
+def _sort_key_frame(df: pd.DataFrame) -> pd.DataFrame:
+    """Row ordering must agree on both sides even when float cells
+    differ in the last stabilized digit: sort on floats ROUNDED to 3
+    decimals (coarser than the tolerance) alongside the exact
+    non-float columns."""
+    key = {}
+    for c in df.columns:
+        col = df[c]
+        if col.dtype.kind == "f":
+            key[c] = col.round(3)
+        else:
+            key[c] = col.astype(str)
+    return pd.DataFrame(key)
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            # decimals / dates fetched as objects -> normalize
+            df[c] = df[c].map(
+                lambda v: float(v)
+                if type(v).__name__ == "Decimal"
+                else v
+            )
+    if len(df):
+        order = _sort_key_frame(df).sort_values(
+            by=sorted(df.columns), kind="mergesort"
+        ).index
+        df = df.loc[order]
+    return df.reset_index(drop=True)
+
+
+def compare(name: str, spark_df: pd.DataFrame, rep_df: pd.DataFrame) -> list[str]:
+    errs = []
+    sc, rc = sorted(spark_df.columns), sorted(rep_df.columns)
+    if sc != rc:
+        return [f"columns differ: spark={sc} replay={rc}"]
+    if len(spark_df) != len(rep_df):
+        errs.append(f"rows differ: spark={len(spark_df)} replay={len(rep_df)}")
+    s, r = canon(spark_df), canon(rep_df)
+    n = min(len(s), len(r))
+    bad = 0
+    for i in range(n):
+        for c in s.columns:
+            if not _cell_match(s[c].iloc[i], r[c].iloc[i]):
+                if bad < 5:
+                    errs.append(
+                        f"row {i} col {c}: spark={s[c].iloc[i]!r} "
+                        f"replay={r[c].iloc[i]!r}"
+                    )
+                bad += 1
+    if bad:
+        errs.append(f"{bad} mismatched cells total")
+    return errs
+
+
+def check_constants() -> list[str]:
+    """The replays redeclare production constants literally; a drifted
+    constant must fail loudly, not silently diverge the comparison."""
+    import replays as R
+
+    from sandbox_data_pipeline_spark.queries import analytics as qana
+    from sandbox_data_pipeline_spark.queries import text as qtext
+
+    pairs = [
+        ("COVERAGE_K", qtext),
+        ("RHO_SELECT_PCT", qtext),
+        ("ACF_MAX_LAG", qana),
+        ("KM_HORIZON", qana),
+        ("JK_GROUPS", qana),
+        ("SINKHORN_BINS", qana),
+        ("SINKHORN_ITERS", qana),
+        ("SHAPLEY_CHANNELS", qana),
+    ]
+    from sandbox_data_pipeline_spark.operators import similarity as osim
+    from sandbox_data_pipeline_spark.operators import sketch as osk
+    from sandbox_data_pipeline_spark.queries import similarity as qsim
+    from sandbox_data_pipeline_spark.queries import text as qt2
+
+    pairs += [
+        ("BURST_TOP", qt2),
+        ("KMV_K", osk),
+        ("DIM", qsim),
+        ("TOPK", qsim),
+        ("QUERY_MOD", qsim),
+        ("N_CENTROIDS", qsim),
+        ("NPROBE", qsim),
+        ("KMEANS_ITER", qsim),
+        ("NEAR_T", qsim),
+        ("PQ_M", osim),
+        ("PQ_K", osim),
+    ]
+    from sandbox_data_pipeline_spark.queries import dedup as qd
+
+    for rname, pname, mod in [
+        ("MINHASH_K", "K", qd),
+        ("MINHASH_BANDS", "BANDS", qd),
+        ("MINHASH_N", "MINHASH_N", qd),
+        ("MINHASH_T", "MINHASH_T", qd),
+        ("SIMHASH_BITS", "SIMHASH_BITS", qd),
+        ("ALLPAIRS_T", "ALLPAIRS_T", qd),
+        ("ALLPAIRS_N", "ALLPAIRS_N", qd),
+        ("SPLIT_MOD", "SPLIT_MOD", qd),
+        ("SPLIT_TRAIN", "SPLIT_TRAIN", qd),
+        ("SPLIT_VAL", "SPLIT_VAL", qd),
+        ("DBSCAN_EPS", "DBSCAN_EPS", qsim),
+        ("DBSCAN_MINPTS", "DBSCAN_MINPTS", qsim),
+    ]:
+        pairs.append((rname, (mod, pname)))
+    errs = []
+    for cname, mod in pairs:
+        if isinstance(mod, tuple):
+            mod, pname = mod
+        else:
+            pname = cname
+        if getattr(R, cname) != getattr(mod, pname):
+            errs.append(
+                f"constant drift: replays.{cname}={getattr(R, cname)} "
+                f"!= production {getattr(mod, pname)}"
+            )
+    return errs
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    from __spark_entry__ import queries
+    from sandbox_data_pipeline_spark.session import get_spark
+
+    cerrs = check_constants()
+    for e in cerrs:
+        print(f"FAIL  <constants>: {e}")
+
+    spark = get_spark("replay-check")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = queries()
+    t = Tables(sf_dir)
+    failed = list(cerrs)
+    n_ok = 0
+    import time
+
+    for name, fn in sorted(REPLAYS.items()):
+        if only and name not in only:
+            continue
+        if name not in qs:
+            print(f"FAIL  {name}: replay has no registry query")
+            failed.append(name)
+            continue
+        t0 = time.time()
+        try:
+            spark_pd = qs[name](spark, sf_dir).toPandas()
+            rep_pd = fn(t)
+            errs = compare(name, spark_pd, rep_pd)
+        except Exception as e:  # noqa: BLE001
+            errs = [f"{type(e).__name__}: {e}"]
+        dt = time.time() - t0
+        if errs:
+            print(f"FAIL  {name} ({dt:.1f}s)")
+            for e in errs:
+                print(f"      {e}")
+            failed.append(name)
+        else:
+            n_ok += 1
+            print(f"ok    {name} ({dt:.1f}s)")
+    print(f"\n{n_ok} ok, {len(failed)} failures")
+    return len(failed)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,1386 @@
+"""Third-implementation replays: expected outputs re-derived from
+FIRST PRINCIPLES in pandas/numpy, independent of both engines.
+
+Why this exists (VERDICT.md round 10): for algorithmic queries the
+DuckDB oracle replays the builder's own algorithm, so a bug in a
+SHARED expression passes the hash gate — exactly how the
+Hodges-Lehmann lower-median bug survived until round 9. The hash gate
+proves Spark == DuckDB; these replays prove Spark == the algorithm's
+published definition, computed a third way (numpy vectorization /
+plain Python loops, never SQL, never Spark expressions).
+
+Ground rules:
+* No imports from sandbox_data_pipeline_spark — the replay must not
+  share code with the implementation under test.
+* Inputs come straight from the parquet via pandas.read_parquet.
+* Each replay returns a pandas DataFrame with the SAME column names
+  as the registry query; tools/replay_check.py canonicalizes both
+  sides and compares (exact for ints/strings/bools, tolerant for
+  floats — the engines' stabilization rounds doubles to 7 significant
+  digits / 4 decimals, so a replay computed in a different association
+  order may differ by one final-digit step; an algorithmic bug moves
+  values by far more).
+* Constants (K, caps, percentages) are REDECLARED literally here with
+  a comment naming the production constant; tools/replay_check.py
+  asserts they still match the production values, so a drifting
+  constant fails loudly instead of silently diverging.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from typing import Callable
+
+import numpy as np
+import pandas as pd
+
+REPLAYS: dict[str, Callable[["Tables"], pd.DataFrame]] = {}
+
+
+def replay(name: str):
+    def deco(fn):
+        REPLAYS[name] = fn
+        return fn
+
+    return deco
+
+
+class Tables:
+    """Lazy parquet loader: t.documents, t.embeddings, t.lineitem, ..."""
+
+    def __init__(self, sf_dir: str):
+        self.sf_dir = sf_dir
+        self._cache: dict[str, pd.DataFrame] = {}
+
+    def __getattr__(self, name: str) -> pd.DataFrame:
+        if name.startswith("_"):
+            raise AttributeError(name)
+        if name not in self._cache:
+            self._cache[name] = pd.read_parquet(
+                os.path.join(self.sf_dir, f"{name}.parquet")
+            )
+        return self._cache[name]
+
+
+# Production constants redeclared (checked against the real module by
+# tools/replay_check.py — see REPLAY_CONSTANTS there).
+COVERAGE_K = 10  # queries/text.py COVERAGE_K
+RHO_SELECT_PCT = 25  # queries/text.py RHO_SELECT_PCT
+
+
+def _tokens(text: str) -> list[str]:
+    return [t for t in text.split(" ") if t != ""]
+
+
+# ---------------------------------------------------------------------------
+# analytics
+# ---------------------------------------------------------------------------
+
+
+@replay("q_hodges_lehmann")
+def r_hodges_lehmann(t: Tables) -> pd.DataFrame:
+    """Median of ALL pairwise differences (en n_chars − non-en
+    n_chars), by brute force on the value arrays — the textbook
+    definition, no histograms, no prefix sums."""
+    d = t.documents
+    a = d.loc[d["lang"] == "en", "n_chars"].to_numpy(np.int64)
+    b = d.loc[d["lang"] != "en", "n_chars"].to_numpy(np.int64)
+    diffs = np.sort((a[:, None] - b[None, :]).ravel())
+    n = diffs.size
+    lower = int(diffs[(n + 1) // 2 - 1])  # 1-based rank ceil(n/2)
+    upper = int(diffs[n // 2 + 1 - 1])  # 1-based rank floor(n/2)+1
+    return pd.DataFrame(
+        {
+            "n_pairs": [n],
+            "hl_lower": [lower],
+            "hl_upper": [upper],
+            "hl_shift": [(lower + upper) / 2.0],
+        }
+    )
+
+
+@replay("q_coverage_greedy")
+def r_coverage_greedy(t: Tables) -> pd.DataFrame:
+    """Greedy max-coverage over distinct (doc, word-bigram) sets, the
+    literal textbook loop over Python sets."""
+    doc_sets: dict[int, set] = {}
+    for doc_id, text in zip(t.documents["doc_id"], t.documents["text"]):
+        toks = _tokens(text)
+        doc_sets[int(doc_id)] = {
+            f"{toks[i]} {toks[i + 1]}" for i in range(len(toks) - 1)
+        }
+    covered: set = set()
+    rows = []
+    remaining = dict(doc_sets)
+    for r in range(1, COVERAGE_K + 1):
+        best_doc, best_gain = None, 0
+        for doc_id in sorted(remaining):
+            gain = len(remaining[doc_id] - covered)
+            if gain > best_gain:  # ties break on min doc_id via sort
+                best_doc, best_gain = doc_id, gain
+        if best_doc is None:
+            break
+        covered |= remaining.pop(best_doc)
+        rows.append((r, best_doc, best_gain, len(covered)))
+    return pd.DataFrame(
+        rows, columns=["sel_order", "doc_id", "gain", "cum_coverage"]
+    )
+
+
+@replay("q_zipf_fit")
+def r_zipf_fit(t: Tables) -> pd.DataFrame:
+    """OLS of log(freq) on log(rank) via numpy polyfit-free closed
+    form; rank = position in (freq desc, token asc) order."""
+    counts: dict[str, int] = {}
+    for text in t.documents["text"]:
+        for tok in _tokens(text):
+            counts[tok] = counts.get(tok, 0) + 1
+    items = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    c = np.array([v for _, v in items], dtype=np.float64)
+    r = np.arange(1, len(items) + 1, dtype=np.float64)
+    lx, ly = np.log(r), np.log(c)
+    mx, my = lx.mean(), ly.mean()
+    sxx = ((lx - mx) ** 2).sum()
+    sxy = ((lx - mx) * (ly - my)).sum()
+    syy = ((ly - my) ** 2).sum()
+    slope = sxy / sxx
+    intercept = my - slope * mx
+    r2 = (sxy * sxy) / (sxx * syy)
+    return pd.DataFrame(
+        {
+            "n_tokens_vocab": [len(items)],
+            "zipf_slope": [round(slope, 4)],
+            "zipf_intercept": [round(intercept, 4)],
+            "r2": [round(r2, 4)],
+        }
+    )
+
+
+@replay("q_rholoss_select")
+def r_rholoss_select(t: Tables) -> pd.DataFrame:
+    """RHO-loss-style selection: per-doc unigram cross-entropy (bits,
+    corpus-unigram reference model), excess over the source mean,
+    keep the global top 25% by (excess desc, doc_id asc)."""
+    docs = t.documents
+    doc_toks = {
+        int(i): _tokens(s) for i, s in zip(docs["doc_id"], docs["text"])
+    }
+    counts: dict[str, int] = {}
+    for toks in doc_toks.values():
+        for tok in toks:
+            counts[tok] = counts.get(tok, 0) + 1
+    total = float(sum(counts.values()))
+    src = dict(zip(docs["doc_id"].astype(int), docs["source"]))
+    bits_e4: dict[int, int] = {}
+    for doc_id, toks in doc_toks.items():
+        if not toks:
+            continue
+        s = sum(-math.log2(counts[tok] / total) for tok in toks)
+        v = (s / len(toks)) * 10000
+        bits_e4[doc_id] = int(math.floor(v + 0.5))  # HALF_UP, values > 0
+    by_src: dict[str, list[int]] = {}
+    for doc_id, b in bits_e4.items():
+        by_src.setdefault(src[doc_id], []).append(b)
+    src_mean = {
+        s: int(math.floor(sum(v) / len(v))) for s, v in by_src.items()
+    }
+    scored = sorted(
+        (
+            (doc_id, src[doc_id], b - src_mean[src[doc_id]])
+            for doc_id, b in bits_e4.items()
+        ),
+        key=lambda x: (-x[2], x[0]),
+    )
+    k = len(scored) * RHO_SELECT_PCT // 100
+    picked = scored[:k]
+    out: dict[str, list[int]] = {}
+    for _, s, e in picked:
+        out.setdefault(s, []).append(e)
+    return pd.DataFrame(
+        sorted((s, len(v), sum(v)) for s, v in out.items()),
+        columns=["source", "n_selected", "sum_excess_e4"],
+    )
+
+
+ACF_MAX_LAG = 7  # queries/analytics.py ACF_MAX_LAG
+KM_HORIZON = "2024-01-31"  # queries/analytics.py KM_HORIZON
+HILL_K = 200  # queries/analytics.py q_hill_tail local k
+EB_SHORT_T = 300  # queries/analytics.py q_eb_shrinkage local T
+
+
+def _money(col: pd.Series) -> np.ndarray:
+    """Parquet money columns arrive as Decimal objects or float64."""
+    return np.array([float(v) for v in col], dtype=np.float64)
+
+
+@replay("q_hill_tail")
+def r_hill_tail(t: Tables) -> pd.DataFrame:
+    """Hill estimator, textbook form: alpha = k / sum ln(x_(i)/x_(k+1))
+    over the k largest order totals (in exact cents, ties by
+    o_orderkey ascending)."""
+    o = t.orders
+    cents = np.rint(_money(o["o_totalprice"]) * 100).astype(np.int64)
+    keys = o["o_orderkey"].to_numpy(np.int64)
+    order = np.lexsort((keys, -cents))[: HILL_K + 1]
+    v = cents[order]
+    thr = int(v[HILL_K])
+    excess = float(np.log(v[:HILL_K].astype(np.float64)).sum()) - HILL_K * math.log(
+        thr
+    )
+    return pd.DataFrame(
+        {
+            "k": [HILL_K],
+            "threshold_cents": [thr],
+            "mean_log_excess": [excess / HILL_K],
+            "hill_alpha": [HILL_K / excess],
+        }
+    )
+
+
+@replay("q_eb_shrinkage")
+def r_eb_shrinkage(t: Tables) -> pd.DataFrame:
+    """Beta-binomial empirical Bayes: method-of-moments prior from the
+    per-source short-doc rates, posterior mean per source."""
+    d = t.documents
+    g = d.assign(short=(d["n_chars"] < EB_SHORT_T).astype(int)).groupby(
+        "source"
+    )
+    per = g.agg(n_docs=("short", "size"), k_short=("short", "sum"))
+    p = per["k_short"] / per["n_docs"]
+    m1, m2 = p.mean(), (p * p).mean()
+    mm = m1 * (1 - m1) / (m2 - m1 * m1) - 1
+    alpha, beta = m1 * mm, (1 - m1) * mm
+    return pd.DataFrame(
+        {
+            "source": per.index,
+            "n_docs": per["n_docs"].to_numpy(np.int64),
+            "k_short": per["k_short"].to_numpy(np.int64),
+            "raw_rate": p.to_numpy(np.float64),
+            "shrunk_rate": (
+                (alpha + per["k_short"]) / (alpha + beta + per["n_docs"])
+            ).to_numpy(np.float64),
+        }
+    )
+
+
+def _daily_counts(t: Tables) -> pd.DataFrame:
+    ev = t.events
+    d = pd.to_datetime(ev["ts"]).dt.normalize()
+    return (
+        d.groupby(d).size().rename("x").reset_index().rename(columns={"ts": "d"})
+    )
+
+
+@replay("q_theilsen_trend")
+def r_theilsen_trend(t: Tables) -> pd.DataFrame:
+    """Theil-Sen: slope = lower median of all pairwise slopes,
+    intercept = lower median of residuals x - slope*day."""
+    days = _daily_counts(t)
+    dn = (
+        (days["d"] - pd.Timestamp("1970-01-01")).dt.days.to_numpy(np.int64)
+    )
+    x = days["x"].to_numpy(np.int64)
+    i, j = np.triu_indices(len(dn), k=1)
+    # pairs ordered (dn_i < dn_j) to mirror the dn2 > dn join
+    slopes = (x[j] - x[i]).astype(np.float64) / (dn[j] - dn[i])
+    order = np.lexsort((dn[j], dn[i], slopes))
+    mid = (slopes.size + 1) // 2  # 1-based lower median
+    slope = float(slopes[order[mid - 1]])
+    resid = x.astype(np.float64) - slope * dn
+    ro = np.lexsort((dn, resid))
+    midd = (len(dn) + 1) // 2
+    intercept = float(resid[ro[midd - 1]])
+    return pd.DataFrame(
+        {
+            "n_days": [len(dn)],
+            "n_pairs": [slopes.size],
+            "slope": [slope],
+            "intercept": [intercept],
+        }
+    )
+
+
+@replay("q_kaplan_meier")
+def r_kaplan_meier(t: Tables) -> pd.DataFrame:
+    """Kaplan-Meier product-limit estimator, computed as the literal
+    running product of (1 - d_t/n_t) — not the log-sum form the
+    engines use."""
+    ev = t.events
+    ts = pd.to_datetime(ev["ts"])
+    g = pd.DataFrame(
+        {"user_id": ev["user_id"], "ts": ts, "p": ev["event_type"] == "purchase"}
+    )
+    per = g.groupby("user_id").agg(
+        t0=("ts", "min"),
+        tp=("ts", lambda s: s[g.loc[s.index, "p"]].min()),
+    )
+    horizon = pd.Timestamp(KM_HORIZON)
+    end = per["tp"].fillna(horizon)
+    dur = np.floor(
+        (end - per["t0"]).dt.total_seconds().to_numpy() / 3600
+    ).astype(np.int64)
+    event = per["tp"].notna().to_numpy()
+    n_total = len(per)
+    rows = []
+    surv = 1.0
+    hit_zero = False
+    at_risk = n_total
+    for dt in np.sort(np.unique(dur)):
+        mask = dur == dt
+        d = int(event[mask].sum())
+        leaving = int(mask.sum())
+        if d > 0:
+            if at_risk == d:
+                hit_zero = True
+            else:
+                surv *= (at_risk - d) / at_risk
+            rows.append((int(dt), d, at_risk, 0.0 if hit_zero else surv))
+        at_risk -= leaving
+    return pd.DataFrame(rows, columns=["dur_h", "d", "n_risk", "surv"])
+
+
+@replay("q_ks_drift")
+def r_ks_drift(t: Tables) -> pd.DataFrame:
+    """Two-sample KS statistic: max |F_a - F_b| over observed values,
+    tie on the smallest value attaining the max."""
+    d = t.documents
+    in_a = d["source"].str.len() == 4
+    va = np.sort(d.loc[in_a, "n_chars"].to_numpy(np.int64))
+    vb = np.sort(d.loc[~in_a, "n_chars"].to_numpy(np.int64))
+    values = np.unique(np.concatenate([va, vb]))
+    fa = np.searchsorted(va, values, side="right") / va.size
+    fb = np.searchsorted(vb, values, side="right") / vb.size
+    diff = np.abs(fa - fb)
+    best = int(np.argmax(diff))  # argmax returns FIRST max = smallest value
+    return pd.DataFrame(
+        {
+            "n_a": [va.size],
+            "n_b": [vb.size],
+            "ks_d": [float(diff[best])],
+            "at_value": [int(values[best])],
+        }
+    )
+
+
+def _midranks(v: np.ndarray) -> np.ndarray:
+    """Average ranks with ties (1-based), scipy-rankdata equivalent."""
+    order = np.argsort(v, kind="mergesort")
+    ranks = np.empty(v.size, dtype=np.float64)
+    sv = v[order]
+    i = 0
+    while i < v.size:
+        j = i
+        while j + 1 < v.size and sv[j + 1] == sv[i]:
+            j += 1
+        ranks[order[i : j + 1]] = (i + j) / 2 + 1
+        i = j + 1
+    return ranks
+
+
+@replay("q_mannwhitney_u")
+def r_mannwhitney_u(t: Tables) -> pd.DataFrame:
+    """Mann-Whitney via textbook midranks over the pooled sample."""
+    d = t.documents
+    v = d["n_chars"].to_numpy(np.int64)
+    en = (d["lang"] == "en").to_numpy()
+    ranks = _midranks(v)
+    n, n1 = v.size, int(en.sum())
+    r1 = float(ranks[en].sum())
+    rs2 = int(round(2 * r1))
+    u2_en = rs2 - n1 * (n1 + 1)
+    _, cnt = np.unique(v, return_counts=True)
+    tie3 = int((cnt.astype(np.int64) ** 3 - cnt).sum())
+    mean_r = n1 * (n1 + 1) / 2 + n1 * (n - n1) / 2
+    var = (n1 * (n - n1) / 12.0) * ((n + 1) - tie3 / (n * (n - 1)))
+    z = (r1 - mean_r) / math.sqrt(var)
+    return pd.DataFrame(
+        {
+            "n_en": [n1],
+            "n_other": [n - n1],
+            "u2_en": [u2_en],
+            "z": [z],
+        }
+    )
+
+
+@replay("q_kruskal_wallis")
+def r_kruskal_wallis(t: Tables) -> pd.DataFrame:
+    """Kruskal-Wallis H with tie correction, textbook midranks."""
+    d = t.documents
+    v = d["n_chars"].to_numpy(np.int64)
+    lang = d["lang"].to_numpy()
+    ranks = _midranks(v)
+    n = v.size
+    _, cnt = np.unique(v, return_counts=True)
+    tie3 = int((cnt.astype(np.int64) ** 3 - cnt).sum())
+    rows = []
+    s = 0.0
+    for lg in np.unique(lang):
+        m = lang == lg
+        n_g = int(m.sum())
+        r_g = float(ranks[m].sum())
+        s += r_g * r_g / n_g
+        rows.append((lg, n_g, int(round(2 * r_g)), r_g / n_g))
+    h_raw = 12.0 / (n * (n + 1)) * s - 3.0 * (n + 1)
+    h_adj = h_raw / (1.0 - tie3 / (float(n) ** 3 - n))
+    return pd.DataFrame(
+        [(lg, n_g, rs2, mr, h_adj) for lg, n_g, rs2, mr in rows],
+        columns=["lang", "n_docs", "rank_sum_x2", "mean_rank", "h_adj"],
+    )
+
+
+@replay("q_runs_test")
+def r_runs_test(t: Tables) -> pd.DataFrame:
+    """Wald-Wolfowitz runs test on the day-ordered binarized series."""
+    days = _daily_counts(t).sort_values("d")
+    x = days["x"].to_numpy(np.int64)
+    dn = days["d"].to_numpy()
+    order = np.lexsort((dn, x))
+    med = int(x[order[(x.size + 1) // 2 - 1]])
+    b = (x > med).astype(int)  # already day-ordered
+    runs = 1 + int((b[1:] != b[:-1]).sum())
+    n1, n2 = int(b.sum()), int((1 - b).sum())
+    n = n1 + n2
+    e_r = 1.0 + 2.0 * n1 * n2 / n
+    var_r = 2.0 * n1 * n2 * (2.0 * n1 * n2 - n) / (n * n * (n - 1.0))
+    z = 0.0 if var_r <= 0 else (runs - e_r) / math.sqrt(var_r)
+    return pd.DataFrame(
+        {
+            "n_above": [n1],
+            "n_below": [n2],
+            "n_runs": [runs],
+            "expected_runs": [e_r],
+            "z": [z],
+        }
+    )
+
+
+@replay("q_autocorrelation")
+def r_autocorrelation(t: Tables) -> pd.DataFrame:
+    """Pearson ACF at calendar lags 1..7, pairing day d with d+lag."""
+    days = _daily_counts(t)
+    by_day = dict(zip(days["d"], days["x"].astype(np.int64)))
+    rows = []
+    for lag in range(1, ACF_MAX_LAG + 1):
+        xs, ys = [], []
+        off = pd.Timedelta(days=lag)
+        for d, x in by_day.items():
+            y = by_day.get(d + off)
+            if y is not None:
+                xs.append(x)
+                ys.append(y)
+        xa = np.array(xs, dtype=np.float64)
+        ya = np.array(ys, dtype=np.float64)
+        npair = xa.size
+        num = npair * (xa * ya).sum() - xa.sum() * ya.sum()
+        vx = npair * (xa * xa).sum() - xa.sum() ** 2
+        vy = npair * (ya * ya).sum() - ya.sum() ** 2
+        den = math.sqrt(vx * vy)
+        rows.append((lag, npair, 0.0 if den == 0 else num / den))
+    return pd.DataFrame(rows, columns=["lag", "n_pairs", "acf"])
+
+
+JK_GROUPS = 8  # queries/analytics.py JK_GROUPS
+SINKHORN_BINS = 20  # queries/analytics.py SINKHORN_BINS
+SINKHORN_ITERS = 10  # queries/analytics.py SINKHORN_ITERS
+SHAPLEY_CHANNELS = (("click", 1), ("error", 2), ("signup", 4), ("view", 8))
+
+
+@replay("q_jackknife_ci")
+def r_jackknife_ci(t: Tables) -> pd.DataFrame:
+    """Delete-one-group jackknife over g = orderkey % 8 groups."""
+    o = t.orders
+    price = _money(o["o_totalprice"])
+    g = (o["o_orderkey"].to_numpy(np.int64) % JK_GROUPS)
+    s_tot, n_tot = price.sum(), price.size
+    means = np.array(
+        [
+            (s_tot - price[g == i].sum()) / (n_tot - (g == i).sum())
+            for i in range(JK_GROUPS)
+        ]
+    )
+    bar = means.mean()
+    ss = ((means - bar) ** 2).sum()
+    se = math.sqrt((JK_GROUPS - 1.0) / JK_GROUPS * ss)
+    mean = s_tot / n_tot
+    return pd.DataFrame(
+        {
+            "n_orders": [n_tot],
+            "mean_price": [mean],
+            "jk_se": [se],
+            "ci_lo": [mean - 1.96 * se],
+            "ci_hi": [mean + 1.96 * se],
+        }
+    )
+
+
+@replay("q_wasserstein_drift")
+def r_wasserstein_drift(t: Tables) -> pd.DataFrame:
+    """W1 between discrete distributions = integral of |CDF gap|,
+    computed here directly on the sorted distinct values."""
+    d = t.documents
+    en = d["lang"] == "en"
+    a = d.loc[en, "n_chars"].to_numpy(np.int64)
+    b = d.loc[~en, "n_chars"].to_numpy(np.int64)
+    values = np.unique(np.concatenate([a, b]))
+    ca = np.searchsorted(np.sort(a), values, side="right").astype(object)
+    cb = np.searchsorted(np.sort(b), values, side="right").astype(object)
+    na, nb = int(a.size), int(b.size)
+    gaps = np.diff(values).astype(object)
+    num = sum(
+        abs(int(ca[k]) * nb - int(cb[k]) * na) * int(gaps[k])
+        for k in range(len(gaps))
+    )
+    return pd.DataFrame(
+        {
+            "n_en": [na],
+            "n_other": [nb],
+            "w1_num": [num],
+            "w1_chars": [num / (na * nb)],
+        }
+    )
+
+
+@replay("q_sinkhorn_ot")
+def r_sinkhorn_ot(t: Tables) -> pd.DataFrame:
+    """Sinkhorn-Knopp scaling with Gibbs kernel 2^-|i-j| over 20
+    equi-width doc-length bins, 10 iterations — numpy matrix form
+    (the engines unroll the folds)."""
+    d = t.documents
+    v = d["n_chars"].to_numpy(np.int64)
+    en = (d["lang"] == "en").to_numpy()
+    mn, mx = int(v.min()), int(v.max())
+    i = np.floor((v - mn) * SINKHORN_BINS / float(mx - mn + 1)).astype(int)
+    m = SINKHORN_BINS
+    ca = np.bincount(i[en], minlength=m).astype(np.int64)
+    cb = np.bincount(i[~en], minlength=m).astype(np.int64)
+    pa, pb = ca / ca.sum(), cb / cb.sum()
+    idx = np.arange(m)
+    K = 1.0 / (1 << np.abs(idx[:, None] - idx[None, :]))
+    vvec = np.ones(m)
+    for _ in range(SINKHORN_ITERS):
+        u = pa / (K @ vvec)
+        vvec = pb / (K.T @ u)
+    plan = u[:, None] * K * vvec[None, :]
+    mass = plan.sum(axis=1)
+    cost = float((plan * np.abs(idx[:, None] - idx[None, :])).sum())
+    return pd.DataFrame(
+        {
+            "bin": idx.astype(np.int64),
+            "n_en": ca,
+            "n_other": cb,
+            "u_scale": u,
+            "v_scale": vvec,
+            "row_mass": mass,
+            "ot_cost_bins": np.full(m, cost),
+        }
+    )
+
+
+@replay("q_shapley_attribution")
+def r_shapley_attribution(t: Tables) -> pd.DataFrame:
+    """Exact Shapley over the 2^4 exposure-set lattice; v(S) =
+    empirical conversion rate of users whose exposure set is S."""
+    ev = t.events
+    c = len(SHAPLEY_CHANNELS)
+    w = [
+        math.factorial(s) * math.factorial(c - 1 - s) / math.factorial(c)
+        for s in range(c)
+    ]
+    df = pd.DataFrame({"user_id": ev["user_id"], "et": ev["event_type"]})
+    masks: dict = {}
+    convs: dict = {}
+    bit_of = dict(SHAPLEY_CHANNELS)
+    for uid, et in zip(df["user_id"], df["et"]):
+        if et == "purchase":
+            convs[uid] = 1
+        masks[uid] = masks.get(uid, 0) | bit_of.get(et, 0)
+    nseg: dict[int, int] = {}
+    kseg: dict[int, int] = {}
+    for uid, mk in masks.items():
+        nseg[mk] = nseg.get(mk, 0) + 1
+        kseg[mk] = kseg.get(mk, 0) + convs.get(uid, 0)
+    vseg = {mk: kseg[mk] / nseg[mk] for mk in nseg}
+    rows = []
+    for name, bit in SHAPLEY_CHANNELS:
+        shap = 0.0
+        for smask in range(1 << c):
+            if smask & bit:
+                continue
+            shap += w[bin(smask).count("1")] * (
+                vseg.get(smask + bit, 0.0) - vseg.get(smask, 0.0)
+            )
+        n_exposed = sum(n for mk, n in nseg.items() if mk & bit)
+        rows.append((name, n_exposed, shap))
+    return pd.DataFrame(rows, columns=["channel", "n_exposed", "shapley"])
+
+
+@replay("q_holt_winters")
+def r_holt_winters(t: Tables) -> pd.DataFrame:
+    """Additive Holt-Winters m=7, alpha=beta=gamma=1/4, exact quarter
+    units — plain Python loop over the day-ordered series."""
+    days = _daily_counts(t).sort_values("d")
+    xs = (days["x"].to_numpy(np.int64) * 4).tolist()
+    n = len(xs)
+    l = math.floor(sum(xs[:7]) / 7.0)
+    b = 0
+    s = [x - l for x in xs[:7]]
+    sae = 0
+    for i in range(8, n + 1):  # 1-based day index
+        x = xs[i - 1]
+        slot = (i - 1) % 7
+        s_cur = s[slot]
+        lb = l + b
+        dl = math.floor((x - s_cur - lb) / 4.0)
+        l = lb + dl
+        b = b + math.floor(dl / 4.0)
+        s[slot] = s_cur + math.floor((x - l - s_cur) / 4.0)
+        sae += abs(x - (lb + s_cur))
+    fc = l + b + s[n % 7]
+    out = {
+        "n_days": [n],
+        "level_q": [l],
+        "trend_q": [b],
+        "sae_q": [sae],
+        "forecast_next_q": [fc],
+    }
+    for j in range(7):
+        out[f"season_q{j}"] = [s[j]]
+    return pd.DataFrame(out)
+
+
+# ---------------------------------------------------------------------------
+# text
+# ---------------------------------------------------------------------------
+
+BURST_TOP = 20  # queries/text.py BURST_TOP
+KMV_K = 256  # operators/sketch.py KMV_K
+
+
+def _portable_hash(s: str, salt: str = "") -> int:
+    """60-bit md5 prefix hash — reimplemented from the documented
+    contract (operators/dedup.py docstring), not imported."""
+    import hashlib
+
+    return int(hashlib.md5((salt + s).encode()).hexdigest()[:15], 16)
+
+
+@replay("q_heaps_law")
+def r_heaps_law(t: Tables) -> pd.DataFrame:
+    """Heaps' law: V(N) over the doc_id-ordered prefix curve, then OLS
+    of log V on log N."""
+    docs = t.documents.sort_values("doc_id")
+    seen: set = set()
+    ns, vs = [], []
+    cum_n = 0
+    for text in docs["text"]:
+        toks = _tokens(text)
+        cum_n += len(toks)
+        seen.update(toks)
+        ns.append(cum_n)
+        vs.append(len(seen))
+    lx = np.log(np.array(ns, dtype=np.float64))
+    ly = np.log(np.array(vs, dtype=np.float64))
+    mx, my = lx.mean(), ly.mean()
+    sxx = ((lx - mx) ** 2).sum()
+    sxy = ((lx - mx) * (ly - my)).sum()
+    syy = ((ly - my) ** 2).sum()
+    slope = sxy / sxx
+    return pd.DataFrame(
+        {
+            "n_points": [len(ns)],
+            "heaps_beta": [round(slope, 4)],
+            "heaps_k": [round(math.exp(my - slope * mx), 4)],
+            "r2": [round(sxy * sxy / (sxx * syy), 4)],
+        }
+    )
+
+
+@replay("q_burstiness")
+def r_burstiness(t: Tables) -> pd.DataFrame:
+    """Fano factor (variance/mean over per-doc counts, zeros included)
+    for the top-20 tokens by total count."""
+    docs = t.documents
+    n_docs = len(docs)
+    per_tok: dict[str, list[int]] = {}
+    for text in docs["text"]:
+        c: dict[str, int] = {}
+        for tok in _tokens(text):
+            c[tok] = c.get(tok, 0) + 1
+        for tok, k in c.items():
+            per_tok.setdefault(tok, []).append(k)
+    rows = []
+    for tok, cs in per_tok.items():
+        s1 = sum(cs)
+        s2 = sum(k * k for k in cs)
+        fano = (n_docs * s2 - s1 * s1) / (n_docs * s1)
+        rows.append((tok, s1, len(cs), fano))
+    rows.sort(key=lambda r: (-r[1], r[0]))
+    return pd.DataFrame(
+        rows[:BURST_TOP],
+        columns=["token", "total_cnt", "n_docs_with", "fano"],
+    )
+
+
+@replay("q_naive_bayes")
+def r_naive_bayes(t: Tables) -> pd.DataFrame:
+    """Multinomial NB with add-one smoothing; label = planted concept
+    (>= 2 'join' tokens). Confusion matrix over docs with tokens."""
+    docs = t.documents
+    doc_toks = [_tokens(s) for s in docs["text"]]
+    ys = [int(toks.count("join") >= 2) for toks in doc_toks]
+    ct1: dict[str, int] = {}
+    ct0: dict[str, int] = {}
+    for toks, y in zip(doc_toks, ys):
+        d = ct1 if y else ct0
+        for tok in toks:
+            d[tok] = d.get(tok, 0) + 1
+    vocab = set(ct1) | set(ct0)
+    t1, t0, v = sum(ct1.values()), sum(ct0.values()), len(vocab)
+    d1, d0 = sum(ys), len(ys) - sum(ys)
+    prior = math.log(d1 / d0)
+    conf: dict[tuple[int, int], int] = {}
+    for toks, y in zip(doc_toks, ys):
+        if not toks:
+            continue  # token-join drops empty docs in the engines too
+        s = sum(
+            math.log((ct1.get(tok, 0) + 1) / (t1 + v))
+            - math.log((ct0.get(tok, 0) + 1) / (t0 + v))
+            for tok in toks
+        )
+        pred = int(s + prior > 0)
+        conf[(y, pred)] = conf.get((y, pred), 0) + 1
+    return pd.DataFrame(
+        [(y, p, n) for (y, p), n in sorted(conf.items())],
+        columns=["label", "pred", "n_docs"],
+    )
+
+
+@replay("q_token_entropy")
+def r_token_entropy(t: Tables) -> pd.DataFrame:
+    """Per-doc unigram Shannon entropy H = log2(T) - sum(c log2 c)/T."""
+    docs = t.documents
+    rows = []
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        toks = _tokens(text)
+        if not toks:
+            continue
+        c: dict[str, int] = {}
+        for tok in toks:
+            c[tok] = c.get(tok, 0) + 1
+        tcount = len(toks)
+        slogs = sum(k * math.log2(k) for k in c.values())
+        rows.append(
+            (int(doc_id), tcount, len(c), math.log2(tcount) - slogs / tcount)
+        )
+    return pd.DataFrame(
+        rows, columns=["doc_id", "n_tokens", "n_types", "entropy"]
+    )
+
+
+@replay("q_kmv_jaccard")
+def r_kmv_jaccard(t: Tables) -> pd.DataFrame:
+    """KMV sketch Jaccard between source vocabularies: k smallest
+    distinct md5-prefix hashes per source; estimator = |both| / |union
+    sketch| on the k smallest of the merged sketches."""
+    docs = t.documents
+    sketches: dict[str, list[int]] = {}
+    vocab: dict[str, set] = {}
+    for src, text in zip(docs["source"], docs["text"]):
+        vocab.setdefault(src, set()).update(_tokens(text))
+    for src, toks in vocab.items():
+        hs = sorted({_portable_hash(tok, salt="kmv") for tok in toks})
+        sketches[src] = hs[:KMV_K]
+    rows = []
+    for a in sorted(sketches):
+        for b in sorted(sketches):
+            if a >= b:
+                continue
+            sa, sb = set(sketches[a]), set(sketches[b])
+            union_sorted = sorted(sa | sb)[:KMV_K]
+            n_both = sum(1 for h in union_sorted if h in sa and h in sb)
+            n_kept = len(union_sorted)
+            rows.append((a, b, n_kept, n_both, n_both / n_kept))
+    return pd.DataFrame(
+        rows,
+        columns=[
+            "source_a",
+            "source_b",
+            "n_union_kept",
+            "n_both",
+            "est_jaccard",
+        ],
+    )
+
+
+@replay("q_mixture_weights")
+def r_mixture_weights(t: Tables) -> pd.DataFrame:
+    d = t.documents
+    counts = d.groupby("lang").size()
+    total, n_langs = len(d), len(counts)
+    return pd.DataFrame(
+        {
+            "lang": counts.index,
+            "n_docs": counts.to_numpy(np.int64),
+            "actual_frac": (counts / total).to_numpy(np.float64),
+            "weight": (total / (n_langs * counts)).to_numpy(np.float64),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# similarity (embeddings table)
+# ---------------------------------------------------------------------------
+
+DIM = 64  # queries/similarity.py DIM
+TOPK = 5  # queries/similarity.py TOPK
+QUERY_MOD = 100  # queries/similarity.py QUERY_MOD
+N_CENTROIDS = 16  # queries/similarity.py N_CENTROIDS
+NPROBE = 2  # queries/similarity.py NPROBE
+KMEANS_ITER = 3  # queries/similarity.py KMEANS_ITER
+NEAR_T = 0.35  # queries/similarity.py NEAR_T
+PQ_M = 8  # operators/similarity.py PQ_M
+PQ_K = 16  # operators/similarity.py PQ_K
+
+
+def _spark_round(x: float, d: int) -> float:
+    """HALF_UP decimal rounding (Spark's round()) in floor form."""
+    p = 10.0**d
+    if x >= 0:
+        return math.floor(x * p + 0.5) / p
+    return -math.floor(-x * p + 0.5) / p
+
+
+def _emb_matrix(t: Tables) -> tuple[np.ndarray, np.ndarray]:
+    e = t.embeddings.sort_values("vec_id")
+    ids = e["vec_id"].to_numpy(np.int64)
+    m = np.stack([np.asarray(v, dtype=np.float64) for v in e["embedding"]])
+    return ids, m
+
+
+def _rounded_cos(q: np.ndarray, c: np.ndarray, d: int = 6) -> np.ndarray:
+    """cos(q, rows of c), each value HALF_UP-rounded to d decimals."""
+    qn = math.sqrt(float(q @ q))
+    cn = np.sqrt((c * c).sum(axis=1))
+    sims = (c @ q) / (qn * cn)
+    p = 10.0**d
+    return np.where(
+        sims >= 0,
+        np.floor(sims * p + 0.5) / p,
+        -(np.floor(-sims * p + 0.5)) / p,
+    )
+
+
+def _topk_frame(
+    ids: np.ndarray,
+    m: np.ndarray,
+    score_of,
+    k: int,
+    out_col: str,
+    out_decimals: int = 4,
+) -> pd.DataFrame:
+    """Per query (vec_id % QUERY_MOD == 0): rank candidates by
+    (rounded score desc, cand_id asc), keep top k."""
+    rows = []
+    for qi in np.nonzero(ids % QUERY_MOD == 0)[0]:
+        sims = score_of(qi)
+        mask = np.ones(len(ids), dtype=bool)
+        mask[ids == ids[qi]] = False
+        order = np.lexsort((ids[mask], -sims[mask]))
+        cand_ids = ids[mask][order][:k]
+        cand_sims = sims[mask][order][:k]
+        for r, (cid, s) in enumerate(zip(cand_ids, cand_sims), start=1):
+            rows.append(
+                (int(ids[qi]), r, int(cid), _spark_round(float(s), out_decimals))
+            )
+    return pd.DataFrame(rows, columns=["query_id", "rank", "cand_id", out_col])
+
+
+@replay("q_similarity_topk")
+def r_similarity_topk(t: Tables) -> pd.DataFrame:
+    ids, m = _emb_matrix(t)
+    return _topk_frame(
+        ids, m, lambda qi: _rounded_cos(m[qi], m), TOPK, "cos_sim"
+    )
+
+
+def _ivf_first_centroids(ids: np.ndarray, m: np.ndarray) -> list[tuple[int, np.ndarray]]:
+    order = np.argsort(ids)[:N_CENTROIDS]
+    return [(int(ids[i]), m[i]) for i in order]
+
+
+def _assign(ids: np.ndarray, m: np.ndarray, cents) -> np.ndarray:
+    """Nearest centroid by max 6-decimal-rounded cosine, first wins."""
+    sims = np.stack([_rounded_cos(cv, m) for _, cv in cents])  # (C, N)
+    best = sims.argmax(axis=0)  # first occurrence of max
+    cids = np.array([cid for cid, _ in cents])
+    return cids[best]
+
+
+def _ivf_topk_replay(t: Tables, cents) -> pd.DataFrame:
+    ids, m = _emb_matrix(t)
+    list_id = _assign(ids, m, cents)
+    cvecs = np.stack([cv for _, cv in cents])
+    cids = np.array([cid for cid, _ in cents])
+    rows = []
+    for qi in np.nonzero(ids % QUERY_MOD == 0)[0]:
+        csims = _rounded_cos(m[qi], cvecs)
+        probe_order = np.lexsort((cids, -csims))[:NPROBE]
+        probes = set(cids[probe_order].tolist())
+        mask = np.isin(list_id, list(probes)) & (ids != ids[qi])
+        sims = _rounded_cos(m[qi], m[mask])
+        order = np.lexsort((ids[mask], -sims))[:TOPK]
+        for r, oi in enumerate(order, start=1):
+            rows.append(
+                (
+                    int(ids[qi]),
+                    r,
+                    int(ids[mask][oi]),
+                    _spark_round(float(sims[oi]), 4),
+                )
+            )
+    return pd.DataFrame(rows, columns=["query_id", "rank", "cand_id", "cos_sim"])
+
+
+@replay("q_similarity_ivf_topk")
+def r_similarity_ivf_topk(t: Tables) -> pd.DataFrame:
+    ids, m = _emb_matrix(t)
+    return _ivf_topk_replay(t, _ivf_first_centroids(ids, m))
+
+
+def _half_away(num: int, den: int) -> int:
+    if num >= 0:
+        return (2 * num + den) // (2 * den)
+    return -((2 * (-num) + den) // (2 * den))
+
+
+@replay("q_similarity_ivf_kmeans_topk")
+def r_similarity_ivf_kmeans_topk(t: Tables) -> pd.DataFrame:
+    """Exact-integer Lloyd (quantize 1e4, centroid scale 1e6), then the
+    same IVF probe path."""
+    ids, m = _emb_matrix(t)
+    q = np.floor(m * 10000).astype(np.int64)  # (N, D)
+    order = np.argsort(ids)[:N_CENTROIDS]
+    cents = [q[i] * 100 for i in order]  # int64 arrays, scale 1e6
+    for _ in range(KMEANS_ITER):
+        c = np.stack(cents)  # (C, D) scale 1e6
+        # dist(v, j) = sum over coords of (val*100 - cval)^2
+        d = ((q[:, None, :] * 100 - c[None, :, :]).astype(np.float64) ** 2).sum(
+            axis=2
+        )
+        # exact integers would overflow float? values ~1e6, squared 1e12,
+        # * 64 coords ~ 6e13 — exact in float64 (< 2^53), argmin ties ->
+        # lowest j via argmin's first-occurrence rule
+        asg = d.argmin(axis=1)
+        new = []
+        for j in range(N_CENTROIDS):
+            members = q[asg == j]
+            if len(members) == 0:
+                new.append(cents[j])
+            else:
+                s = members.sum(axis=0)
+                n = len(members)
+                new.append(
+                    np.array(
+                        [_half_away(int(x) * 100, n) for x in s], dtype=np.int64
+                    )
+                )
+        cents = new
+    cent_list = [
+        (j, cents[j].astype(np.float64) / 1e6) for j in range(N_CENTROIDS)
+    ]
+    return _ivf_topk_replay(t, cent_list)
+
+
+def _pq_codebook_replay(ids: np.ndarray, m: np.ndarray) -> np.ndarray:
+    """(M, K, sub): codeword j of subspace s = slice of j-th lowest-id
+    vector."""
+    sub = DIM // PQ_M
+    order = np.argsort(ids)[:PQ_K]
+    cb = np.empty((PQ_M, PQ_K, sub))
+    for s in range(PQ_M):
+        for j, oi in enumerate(order):
+            cb[s, j] = m[oi, s * sub : (s + 1) * sub]
+    return cb
+
+
+def _pq_encode_replay(m: np.ndarray, cb: np.ndarray) -> np.ndarray:
+    """argmin 6-decimal-rounded L2^2 per subspace, ties -> lowest code."""
+    sub = DIM // PQ_M
+    n = m.shape[0]
+    codes = np.empty((n, PQ_M), dtype=np.int64)
+    for s in range(PQ_M):
+        seg = m[:, s * sub : (s + 1) * sub]
+        d = ((seg[:, None, :] - cb[s][None, :, :]) ** 2).sum(axis=2)
+        p = 1e6
+        d = np.floor(d * p + 0.5) / p  # d >= 0 always
+        codes[:, s] = d.argmin(axis=1)
+    return codes
+
+
+@replay("q_pq_codes")
+def r_pq_codes(t: Tables) -> pd.DataFrame:
+    ids, m = _emb_matrix(t)
+    codes = _pq_encode_replay(m, _pq_codebook_replay(ids, m))
+    return pd.DataFrame(
+        {
+            "vec_id": ids,
+            "code_str": ["-".join(str(c) for c in row) for row in codes],
+            "code_sum": codes.sum(axis=1),
+        }
+    )
+
+
+@replay("q_pq_adc_topk")
+def r_pq_adc_topk(t: Tables) -> pd.DataFrame:
+    ids, m = _emb_matrix(t)
+    cb = _pq_codebook_replay(ids, m)
+    codes = _pq_encode_replay(m, cb)
+    sub = DIM // PQ_M
+    recon = np.empty_like(m)
+    for s in range(PQ_M):
+        recon[:, s * sub : (s + 1) * sub] = cb[s][codes[:, s]]
+    rows = []
+    for qi in np.nonzero(ids % QUERY_MOD == 0)[0]:
+        qv = m[qi]
+        qn = math.sqrt(float(qv @ qv))
+        cn = np.sqrt((recon * recon).sum(axis=1))
+        sims = (recon @ qv) / (qn * cn)
+        p = 1e6
+        sims = np.where(
+            sims >= 0, np.floor(sims * p + 0.5) / p, -(np.floor(-sims * p + 0.5)) / p
+        )
+        mask = ids != ids[qi]
+        order = np.lexsort((ids[mask], -sims[mask]))[:TOPK]
+        for r, oi in enumerate(order, start=1):
+            s4 = _spark_round(float(sims[mask][oi]), 4)
+            rows.append((int(ids[qi]), r, int(ids[mask][oi]), _spark_round(s4, 2)))
+    return pd.DataFrame(rows, columns=["query_id", "rank", "cand_id", "adc2"])
+
+
+@replay("q_semdedup")
+def r_semdedup(t: Tables) -> pd.DataFrame:
+    """Keep-first semantic dedup within coarse clusters: drop a vector
+    iff a lower-id vector in its cluster has rounded cosine >= 0.35."""
+    ids, m = _emb_matrix(t)
+    cents = _ivf_first_centroids(ids, m)
+    list_id = _assign(ids, m, cents)
+    order = np.argsort(ids)
+    dropped = set()
+    for lid in np.unique(list_id):
+        idx = order[list_id[order] == lid]
+        for ai in range(len(idx)):
+            for bi in range(ai + 1, len(idx)):
+                a, b = idx[ai], idx[bi]
+                cos = float(m[a] @ m[b]) / (
+                    math.sqrt(float(m[a] @ m[a])) * math.sqrt(float(m[b] @ m[b]))
+                )
+                if _spark_round(cos, 4) >= NEAR_T:
+                    dropped.add(int(ids[b]))
+    return pd.DataFrame(
+        {
+            "vec_id": ids,
+            "list_id": list_id,
+            "is_dropped": [int(i) in dropped for i in ids],
+        }
+    )
+
+
+@replay("q_auc_score")
+def r_auc_score(t: Tables) -> pd.DataFrame:
+    """Exact AUC via the probability interpretation: mean over all
+    (pos, neg) pairs of [score_p > score_n] + 0.5 [ties] — NOT the
+    rank-sum shortcut the engines use."""
+    e = t.embeddings
+    score = np.array([float(v[0]) for v in e["embedding"]])
+    pos = (e["label"].to_numpy() < 5)
+    sp, sn = np.sort(score[pos]), np.sort(score[~pos])
+    gt = np.searchsorted(sn, sp, side="left").sum()  # n_neg strictly below
+    eqs = (
+        np.searchsorted(sn, sp, side="right") - np.searchsorted(sn, sp, side="left")
+    ).sum()
+    auc = (gt + 0.5 * eqs) / (sp.size * sn.size)
+    return pd.DataFrame(
+        {"n_pos": [sp.size], "n_neg": [sn.size], "auc": [auc]}
+    )
+
+
+def _cal_bins(t: Tables) -> pd.DataFrame:
+    e = t.embeddings
+    score = np.array([float(v[0]) for v in e["embedding"]])
+    pos = (e["label"].to_numpy() < 5).astype(np.int64)
+    lo, hi = score.min(), score.max()
+    b = np.minimum(9, np.floor((score - lo) / (hi - lo) * 10)).astype(np.int64)
+    return pd.DataFrame({"bin": b, "pos": pos})
+
+
+@replay("q_calibration_bins")
+def r_calibration_bins(t: Tables) -> pd.DataFrame:
+    df = _cal_bins(t)
+    g = df.groupby("bin").agg(n=("pos", "size"), n_pos=("pos", "sum"))
+    return pd.DataFrame(
+        {
+            "bin": g.index.to_numpy(np.int64),
+            "n": g["n"].to_numpy(np.int64),
+            "n_pos": g["n_pos"].to_numpy(np.int64),
+            "pos_rate": (g["n_pos"] / g["n"]).to_numpy(np.float64),
+        }
+    )
+
+
+@replay("q_brier_score")
+def r_brier_score(t: Tables) -> pd.DataFrame:
+    """Brier of the bin-rate predictor, computed the direct way: mean
+    over items of (p_bin - y)^2; uncertainty/resolution from the
+    Murphy decomposition definitions."""
+    df = _cal_bins(t)
+    g = df.groupby("bin").agg(n=("pos", "size"), n_pos=("pos", "sum"))
+    p_of = (g["n_pos"] / g["n"]).to_dict()
+    p = df["bin"].map(p_of).to_numpy(np.float64)
+    y = df["pos"].to_numpy(np.float64)
+    brier = float(((p - y) ** 2).mean())
+    pbar = float(y.mean())
+    unc = pbar * (1 - pbar)
+    return pd.DataFrame(
+        {
+            "n_items": [len(df)],
+            "brier": [brier],
+            "uncertainty": [unc],
+            "resolution": [unc - brier],
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup
+# ---------------------------------------------------------------------------
+
+MINHASH_K = 16  # queries/dedup.py K
+MINHASH_BANDS = 4  # queries/dedup.py BANDS
+MINHASH_N = 3  # queries/dedup.py MINHASH_N
+MINHASH_T = 0.5  # queries/dedup.py MINHASH_T
+SIMHASH_BITS = 48  # queries/dedup.py SIMHASH_BITS
+ALLPAIRS_T = 0.6  # queries/dedup.py ALLPAIRS_T
+ALLPAIRS_N = 5  # queries/dedup.py ALLPAIRS_N
+SPLIT_MOD = 10000  # queries/dedup.py SPLIT_MOD
+SPLIT_TRAIN = 9000  # queries/dedup.py SPLIT_TRAIN
+SPLIT_VAL = 9500  # queries/dedup.py SPLIT_VAL
+DBSCAN_EPS = 0.02  # queries/similarity.py DBSCAN_EPS
+DBSCAN_MINPTS = 5  # queries/similarity.py DBSCAN_MINPTS
+
+
+def _perm_constants(k: int) -> list[int]:
+    import hashlib
+
+    return [
+        int(hashlib.md5(f"perm|{j}".encode()).hexdigest()[:15], 16)
+        for j in range(k)
+    ]
+
+
+def _shingles(text: str, n: int) -> list[str]:
+    """Word n-grams over the RAW split (empty tokens kept — the
+    operator splits without filtering); docs shorter than n have
+    none."""
+    toks = text.split(" ")
+    if len(toks) < n:
+        return []
+    return [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+
+
+def _minhash_sig(text: str, k: int, n: int) -> list[int] | None:
+    sh = _shingles(text, n)
+    if not sh:
+        return None
+    hs = [_portable_hash(s) for s in sh]
+    return [min(h ^ c for h in hs) for c in _perm_constants(k)]
+
+
+def _minhash_pairs_replay(t: Tables) -> list[tuple[int, int, float]]:
+    """(doc_a, doc_b, est_jaccard) for every banded candidate pair with
+    est >= MINHASH_T; est = matching minhashes / k, HALF_UP 4dp."""
+    docs = t.documents
+    sigs: dict[int, list[int]] = {}
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        s = _minhash_sig(text, MINHASH_K, MINHASH_N)
+        if s is not None:
+            sigs[int(doc_id)] = s
+    r = MINHASH_K // MINHASH_BANDS
+    buckets: dict[tuple[int, tuple], list[int]] = {}
+    for doc_id, s in sigs.items():
+        for bi in range(MINHASH_BANDS):
+            key = (bi, tuple(s[bi * r : (bi + 1) * r]))
+            buckets.setdefault(key, []).append(doc_id)
+    pairs: set[tuple[int, int]] = set()
+    for ids in buckets.values():
+        ids.sort()
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                pairs.add((ids[i], ids[j]))
+    out = []
+    for a, b in sorted(pairs):
+        match = sum(1 for x, y in zip(sigs[a], sigs[b]) if x == y)
+        est = _spark_round(match / MINHASH_K, 4)
+        if est >= MINHASH_T:
+            out.append((a, b, est))
+    return out
+
+
+@replay("q_dedup_minhash_pairs")
+def r_dedup_minhash_pairs(t: Tables) -> pd.DataFrame:
+    return pd.DataFrame(
+        _minhash_pairs_replay(t), columns=["doc_a", "doc_b", "est_jaccard"]
+    )
+
+
+def _components(pairs: list[tuple[int, int]]) -> dict[int, int]:
+    """Union-find connected components; label = min member id."""
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in parent}
+
+
+@replay("q_dedup_clusters")
+def r_dedup_clusters(t: Tables) -> pd.DataFrame:
+    comp = _components([(a, b) for a, b, _ in _minhash_pairs_replay(t)])
+    return pd.DataFrame(
+        sorted(comp.items()), columns=["doc_id", "cluster_id"]
+    )
+
+
+@replay("q_leakage_safe_split")
+def r_leakage_safe_split(t: Tables) -> pd.DataFrame:
+    comp = _components([(a, b) for a, b, _ in _minhash_pairs_replay(t)])
+    rows = []
+    for doc_id in t.documents["doc_id"].astype(int):
+        rep = comp.get(doc_id, doc_id)
+        bucket = _portable_hash(str(rep), salt="clsplit") % SPLIT_MOD
+        split = (
+            "train"
+            if bucket < SPLIT_TRAIN
+            else ("val" if bucket < SPLIT_VAL else "test")
+        )
+        rows.append((doc_id, rep, split))
+    return pd.DataFrame(rows, columns=["doc_id", "cluster_rep", "split"])
+
+
+@replay("q_dedup_simhash")
+def r_dedup_simhash(t: Tables) -> pd.DataFrame:
+    docs = t.documents
+    rows = []
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        toks = _tokens(text)
+        if not toks:
+            continue
+        votes = [0] * SIMHASH_BITS
+        for tok in toks:
+            h = _portable_hash(tok)
+            for b in range(SIMHASH_BITS):
+                votes[b] += 1 if (h >> b) & 1 else -1
+        fp = sum(1 << b for b in range(SIMHASH_BITS) if votes[b] >= 0)
+        rows.append((int(doc_id), fp))
+    return pd.DataFrame(rows, columns=["doc_id", "simhash"])
+
+
+@replay("q_allpairs_jaccard")
+def r_allpairs_jaccard(t: Tables) -> pd.DataFrame:
+    """Brute-force exact all-pairs Jaccard over distinct 5-gram sets —
+    the completeness standard the prefix-filtered operator must
+    reproduce."""
+    docs = t.documents
+    sets: dict[int, set] = {}
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        sh = set(_shingles(text, ALLPAIRS_N))
+        if sh:
+            sets[int(doc_id)] = sh
+    ids = sorted(sets)
+    rows = []
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            a, b = ids[i], ids[j]
+            inter = len(sets[a] & sets[b])
+            if inter == 0:
+                continue
+            jac = _spark_round(inter / (len(sets[a]) + len(sets[b]) - inter), 4)
+            if jac >= ALLPAIRS_T:
+                rows.append((a, b, len(sets[a]), len(sets[b]), inter, jac))
+    return pd.DataFrame(
+        rows, columns=["doc_a", "doc_b", "n_a", "n_b", "inter", "jaccard"]
+    )
+
+
+@replay("q_dbscan_grid")
+def r_dbscan_grid(t: Tables) -> pd.DataFrame:
+    """Textbook DBSCAN on (x, y) = first two embedding coords:
+    brute-force eps-neighborhoods, core = (|N_eps| + self) >= minPts,
+    clusters = components of the core graph labeled by min core id,
+    borders attach to their min core cluster."""
+    e = t.embeddings
+    ids = e["vec_id"].to_numpy(np.int64)
+    x = np.array([float(v[0]) for v in e["embedding"]])
+    y = np.array([float(v[1]) for v in e["embedding"]])
+    eps2 = DBSCAN_EPS * DBSCAN_EPS
+    n = len(ids)
+    d2 = (x[:, None] - x[None, :]) ** 2 + (y[:, None] - y[None, :]) ** 2
+    nbr = (d2 <= eps2) & ~np.eye(n, dtype=bool)
+    is_core = (nbr.sum(axis=1) + 1) >= DBSCAN_MINPTS
+    core_idx = np.nonzero(is_core)[0]
+    core_pairs = [
+        (int(ids[i]), int(ids[j]))
+        for i in core_idx
+        for j in core_idx
+        if i < j and nbr[i, j]
+    ]
+    comp = _components(core_pairs)
+    rows = []
+    for i in range(n):
+        vid = int(ids[i])
+        if is_core[i]:
+            rows.append((vid, "core", comp.get(vid, vid)))
+        else:
+            core_nbrs = [
+                comp.get(int(ids[j]), int(ids[j]))
+                for j in np.nonzero(nbr[i] & is_core)[0]
+            ]
+            if core_nbrs:
+                rows.append((vid, "border", min(core_nbrs)))
+            else:
+                rows.append((vid, "noise", None))
+    return pd.DataFrame(rows, columns=["vec_id", "role", "cluster_id"])
+
+
+@replay("q_dedup_exact")
+def r_dedup_exact(t: Tables) -> pd.DataFrame:
+    g = t.documents.groupby("text").size()
+    return pd.DataFrame(
+        {
+            "n_distinct_texts": [len(g)],
+            "n_docs": [int(g.sum())],
+            "n_dup_docs": [int((g - 1).sum())],
+        }
+    )
+
+
+@replay("q_dedup_exact_keep")
+def r_dedup_exact_keep(t: Tables) -> pd.DataFrame:
+    import hashlib
+
+    d = t.documents
+    g = d.assign(fp=d["text"].map(lambda s: hashlib.md5(s.encode()).hexdigest()))
+    agg = g.groupby("fp").agg(
+        keep_id=("doc_id", "min"), dup_cnt=("doc_id", "size")
+    )
+    return agg.reset_index()
