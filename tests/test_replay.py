@@ -1,0 +1,51 @@
+"""Third-implementation replay gate (tools/replays.py).
+
+The Spark-vs-DuckDB hash gate proves the two engines agree; it cannot
+catch a bug in a SHARED expression (both engines running the same
+wrong algorithm — the round-9 Hodges-Lehmann lower-median case). Every
+test here re-derives the expected output from the algorithm's
+published definition in pandas/numpy — importing nothing from the
+engine package — and compares it to the live Spark query.
+
+Runs the FULL replay registry at sf0.001 (a few seconds per query);
+`python tools/replay_check.py` runs the same comparisons standalone at
+any SF (recorded green registry-wide at sf0.001 and sf0.01 in round
+11)."""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from replays import REPLAYS, Tables  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def tables(sf_dir):
+    return Tables(sf_dir)
+
+
+def test_replay_constants_match_production():
+    """Replays redeclare production constants literally; drift must
+    fail loudly, not silently diverge the comparison."""
+    import replay_check
+
+    assert replay_check.check_constants() == []
+
+
+@pytest.mark.parametrize("name", sorted(REPLAYS))
+def test_replay(name, spark, sf_dir, tables):
+    import replay_check
+
+    from sandbox_data_pipeline_spark.queries import registry
+
+    qs, _ = registry()
+    spark_pd = qs[name](spark, sf_dir).toPandas()
+    rep_pd = REPLAYS[name](tables)
+    errs = replay_check.compare(name, spark_pd, rep_pd)
+    assert not errs, f"{name}: " + "; ".join(errs)

@@ -1306,17 +1306,24 @@ def r_allpairs_jaccard(t: Tables) -> pd.DataFrame:
         sh = set(_shingles(text, ALLPAIRS_N))
         if sh:
             sets[int(doc_id)] = sh
-    ids = sorted(sets)
+    # exactness-preserving candidate index: a pair with inter > 0
+    # shares at least one shingle, so enumerating co-occurring doc
+    # pairs per shingle loses nothing (pure speedup over the N^2 loop)
+    by_sh: dict[str, list[int]] = {}
+    for doc_id in sorted(sets):
+        for sh in sets[doc_id]:
+            by_sh.setdefault(sh, []).append(doc_id)
+    cand: set[tuple[int, int]] = set()
+    for ds in by_sh.values():
+        for i in range(len(ds)):
+            for j in range(i + 1, len(ds)):
+                cand.add((ds[i], ds[j]))
     rows = []
-    for i in range(len(ids)):
-        for j in range(i + 1, len(ids)):
-            a, b = ids[i], ids[j]
-            inter = len(sets[a] & sets[b])
-            if inter == 0:
-                continue
-            jac = _spark_round(inter / (len(sets[a]) + len(sets[b]) - inter), 4)
-            if jac >= ALLPAIRS_T:
-                rows.append((a, b, len(sets[a]), len(sets[b]), inter, jac))
+    for a, b in sorted(cand):
+        inter = len(sets[a] & sets[b])
+        jac = _spark_round(inter / (len(sets[a]) + len(sets[b]) - inter), 4)
+        if jac >= ALLPAIRS_T:
+            rows.append((a, b, len(sets[a]), len(sets[b]), inter, jac))
     return pd.DataFrame(
         rows, columns=["doc_a", "doc_b", "n_a", "n_b", "inter", "jaccard"]
     )
