@@ -74,7 +74,12 @@ def _unpartitioned_windows(plan: str) -> int:
 # frame it is. Adding a query here requires that documentation; the
 # q_heaps_law (round 8) and q_rholoss_select (round 9) scale bugs were
 # exactly global windows over per-document frames that a list like
-# this would have flagged mechanically.
+# this would have flagged mechanically. Every entry's bound is now
+# MEASURED, not argued: tests/test_window_bounds.py runs each query,
+# reads the rows entering every unpartitioned Window from the executed
+# plan's exchange metrics, and asserts them under a documented ceiling
+# (one line per entry in its BOUNDS table — adding a query here
+# without a bound there fails test_bounds_cover_allowlist_exactly).
 GLOBAL_WINDOW_OK: set[str] = {
     # digit/key/value-histogram or domain-bounded frames:
     "q_benford_audit", "q_skew_report", "q_ks_drift", "q_mannwhitney_u",
