@@ -49,6 +49,7 @@ HEADLINE = [
     "q_rholoss_select",
     "q_lakehouse_lifecycle",
     "q_media_fingerprint_manifest",
+    "q_media_manifest_ivm",
     "q_image_dhash_from_manifest",
     "q_video_near_dup_from_manifest",
     "q_hash_canary",

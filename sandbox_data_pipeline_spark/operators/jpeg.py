@@ -519,8 +519,14 @@ def jpeg_media(docs: DataFrame) -> DataFrame:
     """One real JPEG payload per document (Arrow-batched builder)."""
     import pandas as pd
 
+    from sandbox_data_pipeline_spark.operators.multimodal import (
+        chunked_pdfs,
+        spread_for_expansion,
+    )
+
     def _build(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-        for b in batches:
+        # chunked: bounded payload frames per yield (see chunked_pdfs)
+        for b in chunked_pdfs(batches):
             yield pd.DataFrame(
                 {
                     "media_id": b["doc_id"],
@@ -531,7 +537,9 @@ def jpeg_media(docs: DataFrame) -> DataFrame:
     schema = StructType(
         [StructField("media_id", LongType()), StructField("content", BinaryType())]
     )
-    return docs.select("doc_id").mapInPandas(_build, schema)
+    return spread_for_expansion(docs.select("doc_id")).mapInPandas(
+        _build, schema
+    )
 
 
 def jpeg_decode_stats(media: DataFrame) -> DataFrame:

@@ -72,6 +72,38 @@ FEATURE_SCHEMA = StructType(
 )
 
 
+MEDIA_BUILD_CHUNK = 256  # max payload rows per yielded Arrow frame
+
+
+def spread_for_expansion(thin: DataFrame) -> DataFrame:
+    """Media builders are EXPANSION operators: input rows are
+    bytes-thin (ids/text) while output payloads are ~10³× bigger, so
+    the SCAN's split count is the wrong parallelism for the build —
+    a small parquet of ids arrives as ONE split (measured: the whole
+    sf0.1 documents table scans as 1 partition, i.e. every decode
+    query ran serial until round 11), and a single task then
+    materializes the entire corpus's payloads in its Arrow batches
+    (the round-11 10× blow-up stress OOMed a default-heap JVM exactly
+    there). Repartitioning the THIN side to the session parallelism
+    costs a shuffle of ids only — negligible against the decode it
+    parallelizes — and bounds every task's payload working set to
+    corpus/parallelism. The same rule a 100 TB cluster needs: size
+    expansion-stage tasks by their OUTPUT bytes, not their input."""
+    sc = thin.sparkSession.sparkContext
+    return thin.repartition(sc.defaultParallelism)
+
+
+def chunked_pdfs(batches, rows: int = MEDIA_BUILD_CHUNK):
+    """Re-slice incoming Arrow batches into ≤``rows``-row pandas
+    frames so a builder's YIELDED payload frames stay bounded even
+    under a foreign session's 10k-row default Arrow batch size —
+    executor memory then holds ~rows payloads per in-flight frame,
+    not a whole input batch's worth."""
+    for b in batches:
+        for start in range(0, len(b), rows):
+            yield b.iloc[start : start + rows]
+
+
 def media_from_documents(docs: DataFrame) -> DataFrame:
     """Build a media table from the documents corpus: text bytes stand
     in for encoded media (deterministic, schema-faithful). Metadata is
@@ -376,7 +408,8 @@ def media_with_headers(docs: DataFrame) -> DataFrame:
     Arrow-batched mapInPandas path."""
 
     def _build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
+        # chunked: bounded payload frames per yield (chunked_pdfs)
+        for pdf in chunked_pdfs(batches):
             ids, types, blobs = [], [], []
             for did, text in zip(pdf["doc_id"], pdf["text"]):
                 did = int(did)
@@ -418,7 +451,9 @@ def media_with_headers(docs: DataFrame) -> DataFrame:
             StructField("content", BinaryType()),
         ]
     )
-    return docs.select("doc_id", "text").mapInPandas(_build, schema)
+    return spread_for_expansion(docs.select("doc_id", "text")).mapInPandas(
+        _build, schema
+    )
 
 
 def segment_audio(
@@ -611,7 +646,8 @@ def bmp_media(docs: DataFrame) -> DataFrame:
     """One real BMP payload per document (Arrow-batched builder)."""
 
     def _build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for b in batches:
+        # chunked: bounded payload frames per yield (chunked_pdfs)
+        for b in chunked_pdfs(batches):
             yield pd.DataFrame(
                 {
                     "media_id": b["doc_id"],
@@ -622,7 +658,9 @@ def bmp_media(docs: DataFrame) -> DataFrame:
     schema = StructType(
         [StructField("media_id", LongType()), StructField("content", BinaryType())]
     )
-    return docs.select("doc_id").mapInPandas(_build, schema)
+    return spread_for_expansion(docs.select("doc_id")).mapInPandas(
+        _build, schema
+    )
 
 
 def bmp_decode_stats(media: DataFrame) -> DataFrame:
@@ -879,7 +917,8 @@ def png_media(docs: DataFrame) -> DataFrame:
     """One real PNG payload per document (Arrow-batched builder)."""
 
     def _build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for b in batches:
+        # chunked: bounded payload frames per yield (chunked_pdfs)
+        for b in chunked_pdfs(batches):
             yield pd.DataFrame(
                 {
                     "media_id": b["doc_id"],
@@ -890,7 +929,9 @@ def png_media(docs: DataFrame) -> DataFrame:
     schema = StructType(
         [StructField("media_id", LongType()), StructField("content", BinaryType())]
     )
-    return docs.select("doc_id").mapInPandas(_build, schema)
+    return spread_for_expansion(docs.select("doc_id")).mapInPandas(
+        _build, schema
+    )
 
 
 def png_decode_stats(media: DataFrame) -> DataFrame:
@@ -1236,7 +1277,8 @@ def gif_media(docs: DataFrame) -> DataFrame:
     """One real GIF payload per document (Arrow-batched builder)."""
 
     def _build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for b in batches:
+        # chunked: bounded payload frames per yield (chunked_pdfs)
+        for b in chunked_pdfs(batches):
             yield pd.DataFrame(
                 {
                     "media_id": b["doc_id"],
@@ -1247,7 +1289,9 @@ def gif_media(docs: DataFrame) -> DataFrame:
     schema = StructType(
         [StructField("media_id", LongType()), StructField("content", BinaryType())]
     )
-    return docs.select("doc_id").mapInPandas(_build, schema)
+    return spread_for_expansion(docs.select("doc_id")).mapInPandas(
+        _build, schema
+    )
 
 
 def gif_decode_stats(media: DataFrame) -> DataFrame:
@@ -1277,7 +1321,8 @@ def gif_keyframe_deltas(docs: DataFrame) -> DataFrame:
     animation, not just a single image."""
 
     def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for b in batches:
+        # chunked: bounded payload frames per yield (chunked_pdfs)
+        for b in chunked_pdfs(batches):
             rows = []
             for did in b["doc_id"]:
                 did = int(did)
@@ -1315,7 +1360,9 @@ def gif_keyframe_deltas(docs: DataFrame) -> DataFrame:
             StructField("sum_abs_delta", LongType()),
         ]
     )
-    return docs.select("doc_id").mapInPandas(_frames, schema)
+    return spread_for_expansion(docs.select("doc_id")).mapInPandas(
+        _frames, schema
+    )
 
 
 def audio_onsets(media: DataFrame, window_bytes: int = 64, threshold: int = 20000) -> DataFrame:
@@ -1414,3 +1461,43 @@ def audio_fingerprint(media: DataFrame, window_bytes: int = 16, n_bits: int = 32
         ]
     )
     return media.mapInPandas(_fp, schema)
+
+
+def fingerprint_frame(docs: DataFrame) -> DataFrame:
+    """ONE decode pass over all three modalities for the given docs
+    frame -> unified fingerprint rows (kind, media_id, frame_idx, h1,
+    h2): image dHash halves, per-frame video dHash halves, and the
+    32-bit audio energy-trend fingerprint in h1 (h2 = 0, frame_idx = 0
+    for whole-object fingerprints). Pure map-side Arrow stages unioned
+    — zero shuffle. Shared by the full manifest build
+    (queries/multimodal.py: fingerprint_manifest) and the log-driven
+    incremental refresh (sinks/txlog.py: refresh_media_fingerprints),
+    which feeds it ONLY the files appended since the last refresh —
+    at 100 TB an ingest batch pays its own decode, never a rescan."""
+    from sandbox_data_pipeline_spark.operators.jpeg import (
+        jpeg_dhash,
+        jpeg_media,
+    )
+    from sandbox_data_pipeline_spark.operators.video import (
+        avi_media,
+        video_frame_dhash,
+    )
+
+    img = jpeg_dhash(jpeg_media(docs)).select(
+        F.lit("image").alias("kind"),
+        "media_id",
+        F.lit(0).cast("int").alias("frame_idx"),
+        "h1",
+        "h2",
+    )
+    vid = video_frame_dhash(avi_media(docs)).select(
+        F.lit("video").alias("kind"), "media_id", "frame_idx", "h1", "h2"
+    )
+    aud = audio_fingerprint(media_with_headers(docs)).select(
+        F.lit("audio").alias("kind"),
+        "media_id",
+        F.lit(0).cast("int").alias("frame_idx"),
+        F.col("fp").alias("h1"),
+        F.lit(0).cast("long").alias("h2"),
+    )
+    return img.unionByName(vid).unionByName(aud)

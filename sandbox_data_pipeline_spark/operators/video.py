@@ -228,8 +228,14 @@ def avi_media(docs: DataFrame) -> DataFrame:
     """One real Motion-JPEG AVI payload per document (Arrow-batched)."""
     import pandas as pd
 
+    from sandbox_data_pipeline_spark.operators.multimodal import (
+        chunked_pdfs,
+        spread_for_expansion,
+    )
+
     def _build(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-        for b in batches:
+        # chunked: bounded payload frames per yield (see chunked_pdfs)
+        for b in chunked_pdfs(batches):
             yield pd.DataFrame(
                 {
                     "media_id": b["doc_id"],
@@ -240,7 +246,9 @@ def avi_media(docs: DataFrame) -> DataFrame:
     schema = StructType(
         [StructField("media_id", LongType()), StructField("content", BinaryType())]
     )
-    return docs.select("doc_id").mapInPandas(_build, schema)
+    return spread_for_expansion(docs.select("doc_id")).mapInPandas(
+        _build, schema
+    )
 
 
 def video_frame_stats(media: DataFrame) -> DataFrame:

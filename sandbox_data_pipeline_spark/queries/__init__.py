@@ -41,6 +41,11 @@ DRIVER_PRIORITY = (
     # slot 1 every round (a canary regression means the comparator
     # environment moved again, not the queries).
     "q_hash_canary",
+    # Round 11: the one new query (incremental media-fingerprint MV —
+    # never driver-sampled) and the one changed plan (coverage-greedy
+    # covered-set rework) lead the graded head; everything else was
+    # green in r10's all-green window and the cumulative ledger.
+    "q_media_manifest_ivm",
     # Never driver-sampled: the 21 round-9 wave-2 additions plus the
     # 3 round-10 fingerprint-manifest queries.
     "q_hill_tail",

@@ -1260,44 +1260,17 @@ def _cleanup_manifests() -> None:
 
 def fingerprint_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ONE decode pass over all three modalities → unified fingerprint
-    rows (kind, media_id, frame_idx, h1, h2): image dHash halves,
-    per-frame video dHash halves, and the 32-bit audio energy-trend
-    fingerprint in h1 (h2 = 0, frame_idx = 0 for whole-object
-    fingerprints). Pure map-side Arrow stages unioned — zero shuffle;
-    at 100 TB this is the index-build job that runs once per ingest
-    batch."""
-    from sandbox_data_pipeline_spark.operators.jpeg import (
-        jpeg_dhash,
-        jpeg_media,
-    )
+    rows (kind, media_id, frame_idx, h1, h2) for the full corpus —
+    operators/multimodal.py: fingerprint_frame over the documents
+    table. Pure map-side Arrow stages unioned — zero shuffle; at
+    100 TB this is the index-build job that runs once per ingest
+    batch (and the INCREMENTAL path, q_media_manifest_ivm, decodes
+    only each batch's new files via the commit log)."""
     from sandbox_data_pipeline_spark.operators.multimodal import (
-        audio_fingerprint,
-        media_with_headers,
-    )
-    from sandbox_data_pipeline_spark.operators.video import (
-        avi_media,
-        video_frame_dhash,
+        fingerprint_frame,
     )
 
-    docs = table(spark, sf_dir, "documents")
-    img = jpeg_dhash(jpeg_media(docs)).select(
-        F.lit("image").alias("kind"),
-        "media_id",
-        F.lit(0).cast("int").alias("frame_idx"),
-        "h1",
-        "h2",
-    )
-    vid = video_frame_dhash(avi_media(docs)).select(
-        F.lit("video").alias("kind"), "media_id", "frame_idx", "h1", "h2"
-    )
-    aud = audio_fingerprint(media_with_headers(docs)).select(
-        F.lit("audio").alias("kind"),
-        "media_id",
-        F.lit(0).cast("int").alias("frame_idx"),
-        F.col("fp").alias("h1"),
-        F.lit(0).cast("long").alias("h2"),
-    )
-    return img.unionByName(vid).unionByName(aud)
+    return fingerprint_frame(table(spark, sf_dir, "documents"))
 
 
 def fingerprint_manifest_path(spark: SparkSession, sf_dir: str) -> str:
@@ -1371,6 +1344,50 @@ def q_video_near_dup_from_manifest(spark: SparkSession, sf_dir: str) -> DataFram
             "media_id", "frame_idx", "h1", "h2"
         )
     )
+
+
+def q_media_manifest_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-driven INCREMENTAL media-fingerprint maintenance (round-11
+    verdict item 5), end to end under the oracle gate: commit a third
+    of the documents to a TxTable, append the other two thirds as
+    separate commits, and maintain the tri-modal fingerprint manifest
+    incrementally (sinks/txlog.py: refresh_media_fingerprints) — each
+    refresh DECODES ONLY that commit's files and unions the new rows
+    in. The oracle recomputes every fingerprint of the whole corpus
+    from the closed-form byte arithmetic (the same SQL as
+    q_media_fingerprint_manifest), so the hash match proves
+    full-rebuild equivalence of the incremental composition. At
+    100 TB this is the path that makes media dedup affordable: decode
+    dominates everything, and an ingest batch pays exactly its own
+    decode, never a rescan. Refreshes are localCheckpoint-pinned
+    between commits, mirroring a real MV materialization (the
+    q_txlog_ivm / q_sketch_ivm discipline)."""
+    import shutil
+    import tempfile
+
+    from sandbox_data_pipeline_spark.sinks.txlog import (
+        TxTable,
+        refresh_media_fingerprints,
+    )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    tmp = tempfile.mkdtemp(prefix="mediaivm_")
+    try:
+        t = TxTable.create(
+            spark, f"{tmp}/docs", docs.where(F.col("doc_id") % 3 == 0)
+        )
+        mv, ver = refresh_media_fingerprints(t, None, -1)
+        mv = mv.localCheckpoint()
+        t.append(docs.where(F.col("doc_id") % 3 == 1))
+        mv, ver = refresh_media_fingerprints(t, mv, ver)
+        mv = mv.localCheckpoint()
+        t.append(docs.where(F.col("doc_id") % 3 == 2))
+        mv, ver = refresh_media_fingerprints(t, mv, ver)
+        return mv.select(
+            "kind", "media_id", "frame_idx", "h1", "h2"
+        ).localCheckpoint()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 ORACLE["q_media_fingerprint_manifest"] = """
@@ -1466,6 +1483,8 @@ FROM afp
 """
 ORACLE["q_image_dhash_from_manifest"] = ORACLE["q_image_dhash_dedup"]
 ORACLE["q_video_near_dup_from_manifest"] = ORACLE["q_video_near_dup"]
+ORACLE["q_media_manifest_ivm"] = ORACLE["q_media_fingerprint_manifest"]
 QUERIES["q_media_fingerprint_manifest"] = q_media_fingerprint_manifest
 QUERIES["q_image_dhash_from_manifest"] = q_image_dhash_from_manifest
 QUERIES["q_video_near_dup_from_manifest"] = q_video_near_dup_from_manifest
+QUERIES["q_media_manifest_ivm"] = q_media_manifest_ivm

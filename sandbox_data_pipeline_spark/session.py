@@ -42,6 +42,13 @@ SCALE_CONFS: dict[str, str] = {
     # At 100 TB files should split into ~128 MB tasks (default); keep
     # explicit so the intent is visible and tunable per deployment.
     "spark.sql.files.maxPartitionBytes": "134217728",
+    # Arrow batches must be bounded by BYTES, not the 10k-row default:
+    # media rows carry binary payloads (KB-MB each), so a 10k-row batch
+    # is GBs in flight per task — the round-11 10x blow-up stress OOMed
+    # a default-heap JVM exactly there. 512 rows keeps worst-case media
+    # batches ~tens of MB while costing text/scalar exchanges nothing
+    # measurable (they stream batch-after-batch either way).
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "512",
 }
 
 
