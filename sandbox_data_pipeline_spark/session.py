@@ -71,6 +71,13 @@ def get_spark(
         master = f"local[{cpus}]"
     if master:
         builder = builder.master(master)
+    # Local-mode heap: Spark's default driver memory is 1g, which in
+    # local mode is the ENTIRE executor heap too — two orders below
+    # any production executor. Only effective before the JVM starts
+    # (an existing session keeps its heap); unset leaves the default.
+    mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM")
+    if mem:
+        builder = builder.config("spark.driver.memory", mem)
     if shuffle_partitions is None:
         # Local mode: one shuffle partition per core keeps every stage
         # fully parallel without tiny-task overhead. On a cluster this

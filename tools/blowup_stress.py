@@ -177,6 +177,14 @@ def main() -> None:
 
     from sandbox_data_pipeline_spark.session import get_spark
 
+    # Model a production executor's heap (8g), not Spark's 1g local
+    # default: the stress asks "do the caps bound the quadratic paths
+    # on a sanely-sized executor at 10x", not "does 10x the corpus fit
+    # in 1 GB". The first run under the 1g default was itself useful —
+    # it exposed the unbounded media Arrow batches (fixed: builders
+    # chunk + maxRecordsPerBatch=512) before OOMing in the legitimately
+    # 100x-bigger duplicated-corpus shingle join.
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "8g")
     spark = get_spark("blowup-stress")
     spark.sparkContext.setLogLevel("ERROR")
     t0 = time.time()

@@ -1391,3 +1391,161 @@ def r_dedup_exact_keep(t: Tables) -> pd.DataFrame:
         keep_id=("doc_id", "min"), dup_cnt=("doc_id", "size")
     )
     return agg.reset_index()
+
+
+# ---------------------------------------------------------------------------
+# multimodal: dHash banding from the closed-form media contract
+# ---------------------------------------------------------------------------
+# The synthetic media payloads encode pixels that are a CLOSED FORM of
+# (doc_id, frame, tile) — the test-data generator contract stated in
+# operators/jpeg.py / operators/video.py. Re-deriving fingerprints from
+# that contract (never from the engine's decode or the oracle's SQL)
+# third-implements the decode -> dHash -> banding -> cap -> histogram
+# chain end to end: if the real JPEG/AVI decode produced different
+# pixels, or the banding/cap/hamming logic drifted, these mismatch.
+
+IMAGE_BAND_CAP = 96  # queries/multimodal.py IMAGE_BAND_CAP
+VIDEO_BAND_CAP = 128  # queries/multimodal.py VIDEO_BAND_CAP
+
+
+def _dhash_closed_form(doc_id: int, frame: int | None = None) -> tuple[int, int]:
+    """9x8 dHash halves from the closed-form tile pixels."""
+    w = 8 * (doc_id % 4 + 2)
+    h = 8 * (doc_id % 3 + 2)
+    base = doc_id * 11 + (0 if frame is None else frame * 53)
+    v = [
+        [
+            (base + (((j * h // 8) // 8) * (w // 8) + ((i * w // 9) // 8)) * 37)
+            % 256
+            for i in range(9)
+        ]
+        for j in range(8)
+    ]
+    h1 = h2 = 0
+    for j in range(8):
+        for i in range(8):
+            if v[j][i + 1] > v[j][i]:
+                if j < 4:
+                    h1 |= 1 << (j * 8 + i)
+                else:
+                    h2 |= 1 << ((j - 4) * 8 + i)
+    return h1, h2
+
+
+def _bands_of(h1: int, h2: int) -> list[tuple[int, int]]:
+    return [
+        (0, h1 >> 16),
+        (1, h1 & 0xFFFF),
+        (2, h2 >> 16),
+        (3, h2 & 0xFFFF),
+    ]
+
+
+def _banded_pairs(items: list[tuple], cap: int, key=None) -> set[tuple]:
+    """items: (key..., h1, h2). Returns distinct candidate pairs
+    (a, b) sharing any band whose bucket size <= cap, with
+    ``key(a) < key(b)`` (default: first element)."""
+    key = key or (lambda it: it[0])
+    buckets: dict[tuple[int, int], list] = {}
+    for it in items:
+        h1, h2 = it[-2], it[-1]
+        for band in _bands_of(h1, h2):
+            buckets.setdefault(band, []).append(it)
+    pairs: set[tuple] = set()
+    for members in buckets.values():
+        if len(members) > cap:
+            continue  # hot-bucket guard
+        for x in range(len(members)):
+            for y in range(len(members)):
+                a, b = members[x], members[y]
+                if key(a) < key(b):
+                    pairs.add((a, b))
+    return pairs
+
+
+@replay("q_image_dhash_dedup")
+def r_image_dhash_dedup(t: Tables) -> pd.DataFrame:
+    items = [
+        (int(d),) + _dhash_closed_form(int(d))
+        for d in t.documents["doc_id"]
+    ]
+    hist: dict[int, int] = {}
+    for a, b in _banded_pairs(items, IMAGE_BAND_CAP):
+        ham = bin(a[1] ^ b[1]).count("1") + bin(a[2] ^ b[2]).count("1")
+        if ham <= 16:
+            hist[ham] = hist.get(ham, 0) + 1
+    return pd.DataFrame(
+        sorted(hist.items()), columns=["hamming", "n_pairs"]
+    )
+
+
+def _video_frames_fp(t: Tables) -> list[tuple]:
+    items = []
+    for d in t.documents["doc_id"]:
+        d = int(d)
+        for fi in range(d % 3 + 2):
+            h1, h2 = _dhash_closed_form(d, frame=fi)
+            items.append((d, fi, h1, h2))
+    return items
+
+
+@replay("q_video_near_dup")
+def r_video_near_dup(t: Tables) -> pd.DataFrame:
+    items = [((d, fi), h1, h2) for d, fi, h1, h2 in _video_frames_fp(t)]
+    per_pair: dict[tuple[int, int], int] = {}
+    # candidate rule is video_a < video_b (never frame pairs within
+    # one video), so compare on the VIDEO id, not the (video, frame)
+    # tuple
+    for a, b in _banded_pairs(items, VIDEO_BAND_CAP, key=lambda it: it[0][0]):
+        (da, _), h1a, h2a = a
+        (db, _), h1b, h2b = b
+        ham = bin(h1a ^ h1b).count("1") + bin(h2a ^ h2b).count("1")
+        if ham <= 10:
+            per_pair[(da, db)] = per_pair.get((da, db), 0) + 1
+    hist: dict[int, int] = {}
+    for n in per_pair.values():
+        hist[n] = hist.get(n, 0) + 1
+    return pd.DataFrame(
+        sorted(hist.items()), columns=["n_matched", "n_video_pairs"]
+    )
+
+
+def _audio_fp_from_text(text: str) -> int:
+    body = text.encode("utf-8")
+    energies = []
+    for w in range(33):
+        seg = body[w * 16 : (w + 1) * 16]
+        energies.append(sum(x * x for x in seg))
+    fp = 0
+    for w in range(32):
+        if energies[w + 1] > energies[w]:
+            fp |= 1 << w
+    return fp
+
+
+def _manifest_rows(t: Tables) -> pd.DataFrame:
+    rows = []
+    for d, text in zip(t.documents["doc_id"], t.documents["text"]):
+        d = int(d)
+        h1, h2 = _dhash_closed_form(d)
+        rows.append(("image", d, 0, h1, h2))
+        for fi in range(d % 3 + 2):
+            v1, v2 = _dhash_closed_form(d, frame=fi)
+            rows.append(("video", d, fi, v1, v2))
+        if d % 3 == 1:  # media_with_headers audio branch
+            rows.append(("audio", d, 0, _audio_fp_from_text(str(text)), 0))
+    return pd.DataFrame(
+        rows, columns=["kind", "media_id", "frame_idx", "h1", "h2"]
+    )
+
+
+@replay("q_media_fingerprint_manifest")
+def r_media_fingerprint_manifest(t: Tables) -> pd.DataFrame:
+    return _manifest_rows(t)
+
+
+@replay("q_media_manifest_ivm")
+def r_media_manifest_ivm(t: Tables) -> pd.DataFrame:
+    """The incremental manifest must equal the full rebuild — same
+    closed-form expectation as q_media_fingerprint_manifest."""
+    return _manifest_rows(t)
