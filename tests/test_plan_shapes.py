@@ -107,10 +107,24 @@ def test_round3_queries_have_no_smells(spark, sf_dir):
 
 
 def test_png_codec_queries_plan_no_exchange(spark, sf_dir):
-    # pure map-side codecs: scan → mapInPandas → scan output, no shuffle
+    """Round 11: media builders are expansion operators and now
+    REPARTITION their thin id input to session parallelism before
+    synthesizing payloads (operators/multimodal.py:
+    spread_for_expansion — the whole documents table scanned as ONE
+    split, so every decode ran serial, and a single task's Arrow
+    batches held the whole corpus's payloads). The codec plan is
+    therefore: scan → ONE round-robin Exchange of id-width rows →
+    mapInPandas decode. Exactly one exchange, and it must sit BELOW
+    the Python stage (shuffling ids, never payloads)."""
     for name in ("q_png_decode_stats", "q_png_resize_stats"):
         plan = _plan(spark, sf_dir, name)
-        assert "Exchange" not in plan, name
+        assert plan.count("+- Exchange") == 1, name
+        assert "roundrobin" in plan.lower(), name
+        assert plan.index("+- Exchange") > plan.index("MapInPandas"), (
+            # formatted plans print top-down: the exchange APPEARS
+            # after (= executes before) the Python stage
+            name,
+        )
 
 
 def test_pit_features_single_exchange_on_entity_key(spark, sf_dir):
