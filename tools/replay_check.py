@@ -173,6 +173,17 @@ def check_constants() -> list[str]:
         ("DBSCAN_MINPTS", "DBSCAN_MINPTS", qsim),
     ]:
         pairs.append((rname, (mod, pname)))
+    from sandbox_data_pipeline_spark.operators import text as otext
+    from sandbox_data_pipeline_spark.queries import analytics as qana2
+    from sandbox_data_pipeline_spark.queries import multimodal as qmm
+
+    pairs += [
+        ("LANG_MARKERS", otext),
+        ("BPE_ISH_PATTERN", otext),
+        ("CORR_COLS", qana2),
+        ("IMAGE_BAND_CAP", qmm),
+        ("VIDEO_BAND_CAP", qmm),
+    ]
     errs = []
     for cname, mod in pairs:
         if isinstance(mod, tuple):

@@ -1549,3 +1549,174 @@ def r_media_manifest_ivm(t: Tables) -> pd.DataFrame:
     """The incremental manifest must equal the full rebuild — same
     closed-form expectation as q_media_fingerprint_manifest."""
     return _manifest_rows(t)
+
+
+# ---------------------------------------------------------------------------
+# round-11 extension batch: dq / analytics / text scans
+# ---------------------------------------------------------------------------
+
+LANG_MARKERS = {
+    "en": ("the", "a", "of", "and", "is"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "es": ("el", "la", "los", "y", "es"),
+    "fr": ("le", "la", "les", "et", "est"),
+}  # operators/text.py LANG_MARKERS
+BPE_ISH_PATTERN = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"  # operators/text.py
+CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+@replay("q_benford_audit")
+def r_benford_audit(t: Tables) -> pd.DataFrame:
+    """Benford first-digit audit: P(d) = log10(1 + 1/d)."""
+    digits = [
+        int(str(v)[0])
+        for v in t.orders["o_totalprice"]
+        if str(v)[0].isdigit() and str(v)[0] != "0"
+    ]
+    n = len(digits)
+    rows = []
+    for d in sorted(set(digits)):
+        n_obs = digits.count(d)
+        share_obs = n_obs * 10000 / n
+        share_ben = round(math.log10(1 + 1 / d) * 10000, 4)
+        chi2 = (share_obs - share_ben) ** 2 / share_ben * 1000
+        rows.append((d, n_obs, share_obs, share_ben, chi2))
+    return pd.DataFrame(
+        rows,
+        columns=["digit", "n_obs", "share_obs", "share_benford", "chi2_x1000"],
+    )
+
+
+@replay("q_gini_concentration")
+def r_gini_concentration(t: Tables) -> pd.DataFrame:
+    """Gini of per-customer spend from the closed form
+    G = (2*sum(rank*s) - (n+1)*sum(s)) / (n*sum(s)), ranks 1-based in
+    (spend, custkey) order."""
+    from fractions import Fraction
+
+    o = t.orders
+    spend: dict[int, Fraction] = {}
+    for ck, p in zip(o["o_custkey"], o["o_totalprice"]):
+        spend[int(ck)] = spend.get(int(ck), Fraction(0)) + Fraction(str(p))
+    items = sorted(spend.items(), key=lambda kv: (kv[1], kv[0]))
+    n = len(items)
+    b = sum(s for _, s in items)
+    a = sum((i + 1) * s for i, (_, s) in enumerate(items))
+    gini = float((2 * a - (n + 1) * b) / (n * b))
+    return pd.DataFrame(
+        {
+            "n_customers": [n],
+            "total_spend": [float(b)],
+            "gini": [gini],
+        }
+    )
+
+
+@replay("q_mad_anomalies")
+def r_mad_anomalies(t: Tables) -> pd.DataFrame:
+    """Median/MAD as exact lower order statistics at rank ceil(n/2);
+    anomaly iff |v - med| > 3 * MAD."""
+    ev = t.events
+    rows = []
+    for et in sorted(ev["event_type"].unique()):
+        v = np.sort(ev.loc[ev["event_type"] == et, "value"].to_numpy(np.float64))
+        n = v.size
+        med = float(v[math.ceil(n * 0.5) - 1])
+        d = np.sort(np.abs(v - med))
+        mad = float(d[math.ceil(n * 0.5) - 1])
+        rows.append((et, n, med, mad, int((np.abs(v - med) > 3 * mad).sum())))
+    return pd.DataFrame(
+        rows,
+        columns=["event_type", "n_total", "median_value", "mad", "n_anomalies"],
+    )
+
+
+@replay("q_group_ttest")
+def r_group_ttest(t: Tables) -> pd.DataFrame:
+    """Welch's t per event type, week 1 vs week 2."""
+    ev = t.events
+    ts = pd.to_datetime(ev["ts"])
+    in2 = ts < pd.Timestamp("2024-01-15")
+    wk1 = ts < pd.Timestamp("2024-01-08")
+    rows = []
+    for et in sorted(ev["event_type"].unique()):
+        m = (ev["event_type"] == et) & in2
+        v1 = ev.loc[m & wk1, "value"].to_numpy(np.float64)
+        v2 = ev.loc[m & ~wk1, "value"].to_numpy(np.float64)
+        n1, n2 = v1.size, v2.size
+        var1 = (np.sum(v1 * v1) - v1.sum() ** 2 / n1) / (n1 - 1)
+        var2 = (np.sum(v2 * v2) - v2.sum() ** 2 / n2) / (n2 - 1)
+        tstat = (v1.mean() - v2.mean()) / math.sqrt(var1 / n1 + var2 / n2)
+        rows.append((et, n1, n2, v1.mean(), v2.mean(), tstat))
+    return pd.DataFrame(
+        rows, columns=["event_type", "n1", "n2", "mean1", "mean2", "t_stat"]
+    )
+
+
+@replay("q_token_count")
+def r_token_count(t: Tables) -> pd.DataFrame:
+    import re
+
+    pat = re.compile(BPE_ISH_PATTERN)
+    d = t.documents
+    return pd.DataFrame(
+        {
+            "doc_id": d["doc_id"].astype(np.int64),
+            "n_tokens": [len(_tokens(s)) for s in d["text"]],
+            "n_bpe_ish": [len(pat.findall(s)) for s in d["text"]],
+            "n_chars_actual": [len(s) for s in d["text"]],
+        }
+    )
+
+
+@replay("q_lang_id")
+def r_lang_id(t: Tables) -> pd.DataFrame:
+    """Stopword-hit argmax; ties break to the first language in sorted
+    code order; 'und' when no marker hits."""
+    d = t.documents
+    rows = []
+    for doc_id, lang, text in zip(d["doc_id"], d["lang"], d["text"]):
+        toks = text.split(" ")  # raw split, engine parity
+        hits = {
+            lg: sum(1 for tok in toks if tok in mk)
+            for lg, mk in LANG_MARKERS.items()
+        }
+        best = max(hits.values())
+        guess = "und"
+        if best > 0:
+            guess = min(lg for lg, h in hits.items() if h == best)
+        rows.append(
+            (int(doc_id), lang, guess)
+            + tuple(hits[lg] for lg in sorted(LANG_MARKERS))
+        )
+    return pd.DataFrame(
+        rows,
+        columns=["doc_id", "lang_declared", "lang_guess"]
+        + [f"hits_{lg}" for lg in sorted(LANG_MARKERS)],
+    )
+
+
+@replay("q_numeric_corr")
+def r_numeric_corr(t: Tables) -> pd.DataFrame:
+    """Pairwise Pearson from exact integer cents moments (arbitrary-
+    precision Python ints), final formula in float64."""
+    li = t.lineitem
+    cents = [
+        np.rint(_money(li[c]) * 100).astype(object) for c in CORR_COLS
+    ]
+    n = len(li)
+    s = [int(sum(c)) for c in cents]
+    p = {}
+    for i in range(4):
+        for j in range(i, 4):
+            p[(i, j)] = int(sum(a * b for a, b in zip(cents[i], cents[j])))
+    rows = []
+    for i in range(4):
+        for j in range(i + 1, 4):
+            num = float(n * p[(i, j)] - s[i] * s[j])
+            den = math.sqrt(
+                float(n * p[(i, i)] - s[i] * s[i])
+                * float(n * p[(j, j)] - s[j] * s[j])
+            )
+            rows.append((CORR_COLS[i], CORR_COLS[j], num / den))
+    return pd.DataFrame(rows, columns=["col_a", "col_b", "pearson_r"])
