@@ -225,8 +225,12 @@ def flagged_adjudication(timings: dict[str, float], threshold: float = 1.25):
             "r10": ref["r10"],
             "now": timings[name],
             "raw_vs_r9": round(raw, 3),
-            "normalized_vs_r9": round(norm, 3),
-            "verdict": "discharged" if norm < threshold else "REGRESSION",
+            "normalized_vs_r9": round(norm, 3) if norm is not None else None,
+            "verdict": (
+                "no_calibration"
+                if norm is None
+                else ("discharged" if norm < threshold else "REGRESSION")
+            ),
         }
     return out
 
@@ -251,8 +255,10 @@ def update_cumulative_ledger(timings: dict[str, float], sf: float) -> None:
     try:
         with open(path, "w", encoding="utf-8") as f:
             json.dump(ledger, f, indent=1, sort_keys=True)
-    except OSError:
-        pass
+    except OSError as e:
+        # The ledger is pitched as the on-disk completeness proof —
+        # a silent write failure would quietly stale it.
+        print(f"WARNING: BENCH_CUMULATIVE.json write failed: {e}", file=sys.stderr)
 
 
 def compare_block(timings: dict[str, float], threshold: float = 1.5):

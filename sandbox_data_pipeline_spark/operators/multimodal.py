@@ -88,8 +88,16 @@ def spread_for_expansion(thin: DataFrame) -> DataFrame:
     costs a shuffle of ids only — negligible against the decode it
     parallelizes — and bounds every task's payload working set to
     corpus/parallelism. The same rule a 100 TB cluster needs: size
-    expansion-stage tasks by their OUTPUT bytes, not their input."""
+    expansion-stage tasks by their OUTPUT bytes, not their input.
+
+    When the thin input ALREADY has at least session parallelism (a
+    100 TB scan arrives as thousands of splits), repartitioning down
+    would coalesce and CAP decode parallelism — skip the shuffle and
+    keep the scan's split count instead."""
     sc = thin.sparkSession.sparkContext
+    existing = thin.rdd.getNumPartitions()
+    if existing >= sc.defaultParallelism:
+        return thin
     return thin.repartition(sc.defaultParallelism)
 
 

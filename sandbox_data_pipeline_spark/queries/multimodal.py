@@ -1369,7 +1369,17 @@ def q_media_manifest_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
     dominates everything, and an ingest batch pays exactly its own
     decode, never a rescan. Refreshes are localCheckpoint-pinned
     between commits, mirroring a real MV materialization (the
-    q_txlog_ivm / q_sketch_ivm discipline)."""
+    q_txlog_ivm / q_sketch_ivm discipline).
+
+    The temp TxTable is removed at process exit (the
+    _cleanup_manifests discipline), NOT in a ``finally``: the returned
+    DataFrame is pinned only by localCheckpoint blocks, and a
+    post-return lineage recomputation (executor loss on a cluster,
+    checkpoint-block eviction) re-reads the table files — an eager
+    rmtree would turn that recovery into missing-input errors
+    (round-11 ADVICE item)."""
+    import atexit
+    import functools
     import shutil
     import tempfile
 
@@ -1380,22 +1390,20 @@ def q_media_manifest_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, sf_dir, "documents").select("doc_id", "text")
     tmp = tempfile.mkdtemp(prefix="mediaivm_")
-    try:
-        t = TxTable.create(
-            spark, f"{tmp}/docs", docs.where(F.col("doc_id") % 3 == 0)
-        )
-        mv, ver = refresh_media_fingerprints(t, None, -1)
-        mv = mv.localCheckpoint()
-        t.append(docs.where(F.col("doc_id") % 3 == 1))
-        mv, ver = refresh_media_fingerprints(t, mv, ver)
-        mv = mv.localCheckpoint()
-        t.append(docs.where(F.col("doc_id") % 3 == 2))
-        mv, ver = refresh_media_fingerprints(t, mv, ver)
-        return mv.select(
-            "kind", "media_id", "frame_idx", "h1", "h2"
-        ).localCheckpoint()
-    finally:
-        shutil.rmtree(tmp, ignore_errors=True)
+    atexit.register(functools.partial(shutil.rmtree, tmp, ignore_errors=True))
+    t = TxTable.create(
+        spark, f"{tmp}/docs", docs.where(F.col("doc_id") % 3 == 0)
+    )
+    mv, ver = refresh_media_fingerprints(t, None, -1)
+    mv = mv.localCheckpoint()
+    t.append(docs.where(F.col("doc_id") % 3 == 1))
+    mv, ver = refresh_media_fingerprints(t, mv, ver)
+    mv = mv.localCheckpoint()
+    t.append(docs.where(F.col("doc_id") % 3 == 2))
+    mv, ver = refresh_media_fingerprints(t, mv, ver)
+    return mv.select(
+        "kind", "media_id", "frame_idx", "h1", "h2"
+    ).localCheckpoint()
 
 
 ORACLE["q_media_fingerprint_manifest"] = """

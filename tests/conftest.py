@@ -1,8 +1,14 @@
 from __future__ import annotations
 
+import os
+
 import pytest
 
-SF_DIR = "/root/testdata/sf0.001"
+# Root of the driver-generated parquet corpora; override with
+# SPARK_GRAFT_TESTDATA on machines that stage it elsewhere.
+TESTDATA_ROOT = os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata")
+SF_DIR = os.path.join(TESTDATA_ROOT, "sf0.001")
+SF01_DIR = os.path.join(TESTDATA_ROOT, "sf0.01")
 
 
 @pytest.fixture(scope="session")
@@ -16,3 +22,8 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir() -> str:
     return SF_DIR
+
+
+@pytest.fixture(scope="session")
+def sf01_dir() -> str:
+    return SF01_DIR

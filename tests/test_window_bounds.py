@@ -32,7 +32,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
 
 from explain_all import GLOBAL_WINDOW_OK  # noqa: E402
 
-SF_001 = "/root/testdata/sf0.01"
+from conftest import SF01_DIR  # noqa: E402  (sf0.01 corpus, env-overridable)
 
 # query -> (ceiling, documented bound). The ceiling is the mechanical
 # tripwire; the string is the SURVEY-grade statement of WHY the frame
@@ -153,7 +153,7 @@ def test_global_window_frame_bounded(name, spark):
 
     qs, _ = registry()
     ceiling, why = BOUNDS[name]
-    df = qs[name](spark, SF_001)
+    df = qs[name](spark, SF01_DIR)
     df.collect()
     frames = _global_window_inputs(
         df._jdf.queryExecution().executedPlan(), []

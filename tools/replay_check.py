@@ -63,19 +63,24 @@ def _cell_match(a, b) -> bool:
     return str(a) == str(b)
 
 
-def _sort_key_frame(df: pd.DataFrame) -> pd.DataFrame:
+def _sort_key_frame(df: pd.DataFrame) -> tuple[pd.DataFrame, list[str]]:
     """Row ordering must agree on both sides even when float cells
-    differ in the last stabilized digit: sort on floats ROUNDED to 3
-    decimals (coarser than the tolerance) alongside the exact
-    non-float columns."""
+    differ in the last stabilized digit: sort PRIMARILY on the exact
+    (int/string/bool/date) columns and only fall back to floats
+    (rounded coarser than the tolerance) as trailing keys — two sides
+    whose floats straddle a rounding boundary would otherwise sort
+    into different row orders (round-11 ADVICE item)."""
     key = {}
+    exact, floaty = [], []
     for c in df.columns:
         col = df[c]
         if col.dtype.kind == "f":
             key[c] = col.round(3)
+            floaty.append(c)
         else:
             key[c] = col.astype(str)
-    return pd.DataFrame(key)
+            exact.append(c)
+    return pd.DataFrame(key), sorted(exact) + sorted(floaty)
 
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
@@ -89,9 +94,8 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
                 else v
             )
     if len(df):
-        order = _sort_key_frame(df).sort_values(
-            by=sorted(df.columns), kind="mergesort"
-        ).index
+        keys, order_cols = _sort_key_frame(df)
+        order = keys.sort_values(by=order_cols, kind="mergesort").index
         df = df.loc[order]
     return df.reset_index(drop=True)
 
@@ -183,6 +187,21 @@ def check_constants() -> list[str]:
         ("CORR_COLS", qana2),
         ("IMAGE_BAND_CAP", qmm),
         ("VIDEO_BAND_CAP", qmm),
+    ]
+    pairs += [
+        ("SPRT_P0", qana),
+        ("SPRT_P1", qana),
+        ("SPRT_ALPHA", qana),
+        ("SPRT_BETA", qana),
+        ("RDD_CUTOFF_C", qana),
+        ("RDD_BW_C", qana),
+        ("RBO_K", qtext),
+        ("RBO_P", qtext),
+        ("MI_TOPK", qtext),
+        ("MAP_K", qtext),
+        ("MAP_QUERIES", qtext),
+        ("MAP_REL_TERM", qtext),
+        ("DD_SUB", osk),
     ]
     errs = []
     for cname, mod in pairs:

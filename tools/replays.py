@@ -1720,3 +1720,805 @@ def r_numeric_corr(t: Tables) -> pd.DataFrame:
             )
             rows.append((CORR_COLS[i], CORR_COLS[j], num / den))
     return pd.DataFrame(rows, columns=["col_a", "col_b", "pearson_r"])
+
+
+# ---------------------------------------------------------------------------
+# round-12 wave: statistical-inference family (VERDICT r11 item 1)
+# ---------------------------------------------------------------------------
+
+# Production constants redeclared (checked by replay_check.py).
+SPRT_P0 = 0.19  # queries/analytics.py SPRT_P0
+SPRT_P1 = 0.21  # queries/analytics.py SPRT_P1
+SPRT_ALPHA = 0.05  # queries/analytics.py SPRT_ALPHA
+SPRT_BETA = 0.05  # queries/analytics.py SPRT_BETA
+RDD_CUTOFF_C = 25_000_000  # queries/analytics.py RDD_CUTOFF_C
+RDD_BW_C = 10_000_000  # queries/analytics.py RDD_BW_C
+RBO_K = 20  # queries/text.py RBO_K
+RBO_P = 0.9  # queries/text.py RBO_P
+MI_TOPK = 20  # queries/text.py MI_TOPK
+MAP_K = 20  # queries/text.py MAP_K
+MAP_QUERIES = ("scan", "merge", "sort")  # queries/text.py MAP_QUERIES
+MAP_REL_TERM = "join"  # queries/text.py MAP_REL_TERM
+DD_SUB = 16  # operators/sketch.py DD_SUB
+
+
+def _trunc_cents(col: pd.Series) -> np.ndarray:
+    """CAST(money * 100 AS BIGINT): IEEE multiply then truncate toward
+    zero — the engines truncate the SAME double, so the replay must
+    too (np.rint here would be a different operator)."""
+    return np.trunc(_money(col) * 100.0).astype(np.int64)
+
+
+def _dec_cents(col: pd.Series) -> np.ndarray:
+    """CAST(money AS DECIMAL(18,2)) * 100: HALF_UP on the double's
+    shortest decimal repr (BigDecimal.valueOf semantics = Python repr)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return np.array(
+        [
+            int(
+                Decimal(repr(float(v))).scaleb(2).to_integral_value(
+                    rounding=ROUND_HALF_UP
+                )
+            )
+            for v in col
+        ],
+        dtype=np.int64,
+    )
+
+
+def _round_cents(col: pd.Series) -> np.ndarray:
+    """round(money * 100): HALF_UP on the shortest repr of the IEEE
+    product (Spark F.round / DuckDB round on a double)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return np.array(
+        [
+            int(
+                Decimal(repr(float(v) * 100.0)).to_integral_value(
+                    rounding=ROUND_HALF_UP
+                )
+            )
+            for v in col
+        ],
+        dtype=np.int64,
+    )
+
+
+def _ftoks(text: str) -> list[str]:
+    """split(' ') with empties dropped — the engines' filtered-token
+    array."""
+    return [x for x in text.split(" ") if x != ""]
+
+
+def _half_away_ratio(num: int, den: int, scale: int) -> float:
+    """Exact half-away-from-zero decimal ratio (dec_ratio twin) on
+    Python ints; num may be any sign, den > 0."""
+    p = 10**scale
+    if num >= 0:
+        q = (2 * num * p + den) // (2 * den)
+    else:
+        q = -((2 * (-num) * p + den) // (2 * den))
+    return q / float(p)
+
+
+@replay("q_cuped_adjust")
+def r_cuped_adjust(t: Tables) -> pd.DataFrame:
+    """CUPED (Deng et al. 2013) from first principles: per-customer
+    pre/post whole-dollar spend, theta = cov(x,y)/var(x),
+    var_reduction = corr(x,y)^2 — moments as exact Python ints."""
+    o = t.orders
+    dollars = _trunc_cents(o["o_totalprice"]) // 100
+    pre = (o["o_orderdate"] < pd.Timestamp("1998-01-01")).to_numpy()
+    cust = o["o_custkey"].to_numpy(np.int64)
+    agg: dict[int, list[int]] = {}
+    for ck, dv, is_pre in zip(cust, dollars, pre):
+        xy = agg.setdefault(int(ck), [0, 0])
+        xy[0 if is_pre else 1] += int(dv)
+    xs = [v[0] for v in agg.values()]
+    ys = [v[1] for v in agg.values()]
+    n = len(agg)
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(a * b for a, b in zip(xs, ys))
+    sxx = sum(a * a for a in xs)
+    syy = sum(b * b for b in ys)
+    cov = float(n) * float(sxy) - float(sx) * float(sy)
+    varx = float(n) * float(sxx) - float(sx) * float(sx)
+    vary = float(n) * float(syy) - float(sy) * float(sy)
+    return pd.DataFrame(
+        {
+            "n_customers": [n],
+            "theta": [cov / varx],
+            "var_reduction": [cov * cov / (varx * vary)],
+        }
+    )
+
+
+@replay("q_diff_in_diff")
+def r_diff_in_diff(t: Tables) -> pd.DataFrame:
+    """Two-period DiD: four cell means of exact cents, effect =
+    (treat_post - treat_pre) - (ctrl_post - ctrl_pre)."""
+    o, c = t.orders, t.customer
+    treat_of = {
+        int(k): int(seg == "BUILDING")
+        for k, seg in zip(c["c_custkey"], c["c_mktsegment"])
+    }
+    cents = _trunc_cents(o["o_totalprice"])
+    post = (o["o_orderdate"] >= pd.Timestamp("1998-01-01")).to_numpy()
+    s = {(tt, pp): 0 for tt in (0, 1) for pp in (0, 1)}
+    nn = {(tt, pp): 0 for tt in (0, 1) for pp in (0, 1)}
+    for ck, cv, pp in zip(o["o_custkey"], cents, post):
+        key = (treat_of[int(ck)], int(pp))
+        s[key] += int(cv)
+        nn[key] += 1
+    mean = {k: s[k] / (100.0 * nn[k]) for k in s}
+    return pd.DataFrame(
+        {
+            "n00": [nn[(0, 0)]],
+            "n01": [nn[(0, 1)]],
+            "n10": [nn[(1, 0)]],
+            "n11": [nn[(1, 1)]],
+            "ctrl_pre": [mean[(0, 0)]],
+            "ctrl_post": [mean[(0, 1)]],
+            "treat_pre": [mean[(1, 0)]],
+            "treat_post": [mean[(1, 1)]],
+            "did": [
+                (mean[(1, 1)] - mean[(1, 0)])
+                - (mean[(0, 1)] - mean[(0, 0)])
+            ],
+        }
+    )
+
+
+@replay("q_ips_eval")
+def r_ips_eval(t: Tables) -> pd.DataFrame:
+    """IPS / SNIPS (Swaminathan & Joachims 2015) with empirical
+    logging propensities pi_b(a) = c_a / N; target policy: even users
+    -> 'click', odd -> 'purchase'."""
+    e = t.events
+    r_cents = _round_cents(e["value"])
+    per: dict[str, list[int]] = {}
+    for et, uid, rc in zip(e["event_type"], e["user_id"], r_cents):
+        target = "click" if int(uid) % 2 == 0 else "purchase"
+        row = per.setdefault(str(et), [0, 0, 0, 0])  # c, m, s, r_all
+        row[0] += 1
+        if str(et) == target:
+            row[1] += 1
+            row[2] += int(rc)
+        row[3] += int(rc)
+    ips = w = 0.0
+    n = m = r = 0
+    for a in sorted(per):  # engine folds in event_type order
+        c_a, m_a, s_a, r_a = per[a]
+        ips += s_a / (100.0 * c_a)
+        w += m_a / c_a
+        n += c_a
+        m += m_a
+        r += r_a
+    return pd.DataFrame(
+        {
+            "n_events": [n],
+            "n_matched": [m],
+            "logged_mean": [r / (100.0 * n)],
+            "ips_value": [ips],
+            "snips_value": [ips / w],
+        }
+    )
+
+
+@replay("q_sprt_ab")
+def r_sprt_ab(t: Tables) -> pd.DataFrame:
+    """Wald SPRT on the daily purchase share: cumulative Bernoulli LLR
+    of H1 p=0.21 vs H0 p=0.19 against the Wald boundaries."""
+    l1 = math.log(SPRT_P1 / SPRT_P0)
+    l0 = math.log((1.0 - SPRT_P1) / (1.0 - SPRT_P0))
+    upper = math.log((1.0 - SPRT_BETA) / SPRT_ALPHA)
+    lower = math.log(SPRT_BETA / (1.0 - SPRT_ALPHA))
+    e = t.events
+    days: dict = {}
+    for ts, et in zip(e["ts"], e["event_type"]):
+        d = pd.Timestamp(ts.date())  # Spark's DATE lands as Timestamp
+        row = days.setdefault(d, [0, 0])
+        row[0] += 1
+        row[1] += int(et == "purchase")
+    cum = 0.0
+    rows = []
+    for d in sorted(days):
+        n, x = days[d]
+        cum += float(x) * l1 + float(n - x) * l0
+        dec = (
+            "accept_h1"
+            if cum >= upper
+            else ("accept_h0" if cum <= lower else "continue")
+        )
+        rows.append((d, n, x, cum, dec))
+    return pd.DataFrame(
+        rows, columns=["d", "n_events", "n_purchases", "cum_llr", "decision"]
+    )
+
+
+@replay("q_regression_discontinuity")
+def r_regression_discontinuity(t: Tables) -> pd.DataFrame:
+    """Sharp RDD: local linear OLS on each side of the cents cutoff,
+    effect = jump between fitted intercepts at the cutoff."""
+    o = t.orders
+    x = _trunc_cents(o["o_totalprice"]) - RDD_CUTOFF_C
+    y = (o["o_orderpriority"].astype(str) <= "2-HIGH").to_numpy().astype(int)
+    keep = (x >= -RDD_BW_C) & (x < RDD_BW_C)
+    x, y = x[keep], y[keep]
+    out = {}
+    for side in (0, 1):
+        sel = (x >= 0) == bool(side)
+        xs, ys = x[sel], y[sel]
+        n = int(sel.sum())
+        sx = int(xs.sum())
+        sy = int(ys.sum())
+        sxx = int((xs.astype(object) * xs.astype(object)).sum())
+        sxy = int((xs * ys).sum())
+        slope = (float(n) * float(sxy) - float(sx) * float(sy)) / (
+            float(n) * float(sxx) - float(sx) * float(sx)
+        )
+        out[side] = (n, (float(sy) - slope * float(sx)) / float(n))
+    return pd.DataFrame(
+        {
+            "n_left": [out[0][0]],
+            "n_right": [out[1][0]],
+            "fit_left_at_cutoff": [out[0][1]],
+            "fit_right_at_cutoff": [out[1][1]],
+            "rdd_effect": [out[1][1] - out[0][1]],
+        }
+    )
+
+
+@replay("q_covariate_balance")
+def r_covariate_balance(t: Tables) -> pd.DataFrame:
+    """Standardized mean differences (balance table): SMD =
+    (m1-m0)/sqrt((v1+v0)/2) from exact integer moments, population
+    variance."""
+    c, o = t.customer, t.orders
+    n_orders = o.groupby("o_custkey").size().to_dict()
+    treat = (c["c_mktsegment"] == "BUILDING").to_numpy().astype(int)
+    bal = _trunc_cents(c["c_acctbal"])
+    cnt = np.array(
+        [n_orders.get(int(k), 0) for k in c["c_custkey"]], dtype=np.int64
+    )
+
+    def moments(v, sel):
+        vv = v[sel].astype(object)
+        return int(sel.sum()), int(vv.sum()), int((vv * vv).sum())
+
+    def smd(v):
+        n1, s1, ss1 = moments(v, treat == 1)
+        n0, s0, ss0 = moments(v, treat == 0)
+        m1, m0 = s1 / n1, s0 / n0
+        v1 = ss1 / n1 - m1 * m1
+        v0 = ss0 / n0 - m0 * m0
+        return (m1 - m0) / math.sqrt((v1 + v0) / 2.0)
+
+    return pd.DataFrame(
+        {
+            "n_treat": [int((treat == 1).sum())],
+            "n_ctrl": [int((treat == 0).sum())],
+            "smd_acctbal": [smd(bal)],
+            "smd_order_count": [smd(cnt)],
+        }
+    )
+
+
+@replay("q_psi_drift")
+def r_psi_drift(t: Tables) -> pd.DataFrame:
+    """PSI with decile edges frozen on the pre-1998 era, +0.5
+    smoothing: per-tile (p-q)*ln(p/q) terms."""
+    o = t.orders
+    cents = _dec_cents(o["o_totalprice"])
+    keys = o["o_orderkey"].to_numpy(np.int64)
+    pre = (o["o_orderdate"] < pd.Timestamp("1998-01-01")).to_numpy()
+    base_c, base_k = cents[pre], keys[pre]
+    cur_c = cents[~pre]
+    order = np.lexsort((base_k, base_c))
+    n1 = len(base_c)
+    tiles = (np.arange(n1, dtype=np.int64) * 10) // n1
+    sorted_c = base_c[order]
+    edges = [int(sorted_c[tiles == tl].max()) for tl in range(9)]
+    n_base = {tl: int((tiles == tl).sum()) for tl in range(10)}
+    cur_tiles = np.sum(
+        cur_c[:, None] > np.array(edges, dtype=np.int64)[None, :], axis=1
+    )
+    n2 = len(cur_c)
+    n_cur: dict[int, int] = {}
+    for tl in cur_tiles:
+        n_cur[int(tl)] = n_cur.get(int(tl), 0) + 1
+    rows = []
+    for tl in sorted(set(n_base) | set(n_cur)):
+        nb, nc = n_base.get(tl, 0), n_cur.get(tl, 0)
+        ps = (nb + 0.5) / (n1 + 5.0)
+        qs = (nc + 0.5) / (n2 + 5.0)
+        rows.append((tl, nb, nc, (ps - qs) * math.log(ps / qs)))
+    return pd.DataFrame(rows, columns=["tile", "n_base", "n_cur", "psi_term"])
+
+
+@replay("q_cramers_v")
+def r_cramers_v(t: Tables) -> pd.DataFrame:
+    """Cramer's V: chi2 over the lang x source contingency table,
+    V = sqrt(chi2 / (N * min(r-1, c-1)))."""
+    d = t.documents
+    cells: dict = {}
+    for lg, src in zip(d["lang"], d["source"]):
+        cells[(str(lg), str(src))] = cells.get((str(lg), str(src)), 0) + 1
+    row_m: dict = {}
+    col_m: dict = {}
+    for (lg, src), o in cells.items():
+        row_m[lg] = row_m.get(lg, 0) + o
+        col_m[src] = col_m.get(src, 0) + o
+    n = sum(cells.values())
+    chi2 = 0.0
+    for lg, src in sorted(cells):  # engine folds in (lang, source) order
+        o = cells[(lg, src)]
+        e = float(row_m[lg]) * float(col_m[src]) / float(n)
+        chi2 += (float(o) - e) * (float(o) - e) / e
+    r, c = len(row_m), len(col_m)
+    return pd.DataFrame(
+        {
+            "n_docs": [n],
+            "n_langs": [r],
+            "n_sources": [c],
+            "chi2": [chi2],
+            "cramers_v": [math.sqrt(chi2 / (float(n) * min(r - 1, c - 1)))],
+        }
+    )
+
+
+@replay("q_dd_quantiles")
+def r_dd_quantiles(t: Tables) -> pd.DataFrame:
+    """DD-style sketch (base-2 octaves, 16 linear sub-buckets) built
+    from scratch; p50/p95/p99 by rank selection on bucket lower
+    bounds — all integer arithmetic."""
+    li = t.lineitem
+    v = _trunc_cents(li["l_extendedprice"])
+    flags = li["l_returnflag"].astype(str).to_numpy()
+    sketches: dict[str, dict] = {}
+    for g, vv in zip(flags, v):
+        vv = int(vv)
+        if vv < 1:
+            continue
+        e = vv.bit_length()
+        p = 1 << (e - 1)
+        s = ((vv - p) * DD_SUB) // p
+        sk = sketches.setdefault(g, {})
+        sk[(e, s)] = sk.get((e, s), 0) + 1
+    rows = []
+    for g in sorted(sketches):
+        sk = sketches[g]
+        n = sum(sk.values())
+        cum = 0
+        est = {}
+        want = {
+            "p50_cents": (n * 1 + 2 - 1) // 2,
+            "p95_cents": (n * 19 + 20 - 1) // 20,
+            "p99_cents": (n * 99 + 100 - 1) // 100,
+        }
+        for (e, s) in sorted(sk):
+            cum += sk[(e, s)]
+            p = 1 << (e - 1)
+            lb = p + (s * p) // DD_SUB
+            for name, rank in want.items():
+                if name not in est and cum >= rank:
+                    est[name] = lb
+        rows.append(
+            (
+                g,
+                n,
+                len(sk),
+                est["p50_cents"],
+                est["p95_cents"],
+                est["p99_cents"],
+            )
+        )
+    df = pd.DataFrame(
+        rows,
+        columns=[
+            "l_returnflag",
+            "n_rows",
+            "n_buckets",
+            "p50_cents",
+            "p95_cents",
+            "p99_cents",
+        ],
+    )
+    df["n_buckets"] = df["n_buckets"].astype(np.int32)
+    return df
+
+
+@replay("q_holt_smooth")
+def r_holt_smooth(t: Tables) -> pd.DataFrame:
+    """Holt double-exponential smoothing in exact quarter units:
+    L_t = L+B + floor((X-(L+B))/4), B_t = B + floor((L_t-L-B)/4),
+    L0 = X0, B0 = X1 - X0; one-step-ahead SAE rides the fold."""
+    e = t.events
+    counts: dict = {}
+    for ts in e["ts"]:
+        d = ts.date()
+        counts[d] = counts.get(d, 0) + 1
+    xs = [4 * counts[d] for d in sorted(counts)]
+    n = len(xs)
+    level, trend, sae = xs[0], xs[1] - xs[0], 0
+    for x in xs[2:]:
+        pred = level + trend
+        delta = (x - pred) // 4  # floor division == floor(d/4.0)
+        new_level = pred + delta
+        trend = trend + delta // 4
+        sae += abs(x - pred)
+        level = new_level
+    return pd.DataFrame(
+        {
+            "n_days": [n],
+            "level_q": [level],
+            "trend_q": [trend],
+            "sae_q": [sae],
+            "forecast_next_q": [level + trend],
+        }
+    )
+
+
+@replay("q_group_quantiles")
+def r_group_quantiles(t: Tables) -> pd.DataFrame:
+    """Exact per-group order-statistic quantiles: rank by (price,
+    orderkey), pick ranks ceil(n*q); a rank matching two labels keeps
+    the FIRST label (p25 before p50 before p75)."""
+    o = t.orders
+    rows = []
+    for prio, grp in o.groupby("o_orderpriority"):
+        g = grp.sort_values(["o_totalprice", "o_orderkey"])
+        n = len(g)
+        prices = g["o_totalprice"].to_numpy()
+        ranks = {
+            "p25": math.ceil(n * 0.25),
+            "p50": math.ceil(n * 0.5),
+            "p75": math.ceil(n * 0.75),
+        }
+        got: dict[str, float] = {}
+        for rn in sorted(set(ranks.values())):
+            label = next(k for k in ("p25", "p50", "p75") if ranks[k] == rn)
+            v = float(prices[rn - 1])
+            got[label] = min(got.get(label, v), v)
+        rows.append(
+            (
+                str(prio),
+                got.get("p25", np.nan),
+                got.get("p50", np.nan),
+                got.get("p75", np.nan),
+            )
+        )
+    return pd.DataFrame(rows, columns=["o_orderpriority", "p25", "p50", "p75"])
+
+
+@replay("q_token_quantiles")
+def r_token_quantiles(t: Tables) -> pd.DataFrame:
+    """Per-language interpolated percentiles of whitespace token
+    counts (numpy 'linear' == SQL percentile_cont)."""
+    d = t.documents
+    ntok = d["text"].map(lambda s: len(_ftoks(s)))
+    rows = []
+    for lg, grp in pd.DataFrame({"lang": d["lang"], "n": ntok}).groupby("lang"):
+        v = grp["n"].to_numpy(np.float64)
+        rows.append(
+            (
+                str(lg),
+                len(v),
+                float(np.percentile(v, 50, method="linear")),
+                float(np.percentile(v, 90, method="linear")),
+                float(np.percentile(v, 99, method="linear")),
+                int(v.max()),
+            )
+        )
+    return pd.DataFrame(
+        rows, columns=["lang", "n_docs", "p50", "p90", "p99", "max_tokens"]
+    )
+
+
+@replay("q_unigram_bits")
+def r_unigram_bits(t: Tables) -> pd.DataFrame:
+    """Corpus-unigram cross-entropy per doc: mean -log2 p(token),
+    p = corpus count / corpus total."""
+    d = t.documents
+    vocab: dict[str, int] = {}
+    doc_toks = []
+    for doc_id, text in zip(d["doc_id"], d["text"]):
+        toks = _ftoks(text)
+        doc_toks.append((int(doc_id), toks))
+        for tok in toks:
+            vocab[tok] = vocab.get(tok, 0) + 1
+    total = float(sum(vocab.values()))
+    rows = []
+    for doc_id, toks in doc_toks:
+        if not toks:
+            continue
+        bits = [-math.log2(vocab[tok] / total) for tok in toks]
+        rows.append((doc_id, len(toks), sum(bits) / len(bits)))
+    return pd.DataFrame(rows, columns=["doc_id", "n_tokens", "bits_per_token"])
+
+
+def _doc_bigrams(t: Tables) -> tuple[list, dict, dict]:
+    """Shared bigram machinery: per-doc ordered bigram lists over the
+    filtered token array, corpus bigram counts c12 and prefix counts
+    c1 (bigram instances starting with w1)."""
+    d = t.documents
+    docs = []
+    c12: dict = {}
+    c1: dict = {}
+    for doc_id, text in zip(d["doc_id"], d["text"]):
+        toks = _ftoks(text)
+        pairs = list(zip(toks, toks[1:]))
+        docs.append((int(doc_id), pairs))
+        for pr in pairs:
+            c12[pr] = c12.get(pr, 0) + 1
+            c1[pr[0]] = c1.get(pr[0], 0) + 1
+    return docs, c12, c1
+
+
+@replay("q_bigram_perplexity")
+def r_bigram_perplexity(t: Tables) -> pd.DataFrame:
+    """Laplace-smoothed corpus bigram LM: p(w2|w1) = (c12+1)/(c1+V);
+    per-doc cross-entropy = positional mean of -ln p, ppl = exp(H)."""
+    docs, c12, c1 = _doc_bigrams(t)
+    vocab = set()
+    for text in t.documents["text"]:
+        vocab.update(_ftoks(text))
+    v = len(vocab)
+    rows = []
+    for doc_id, pairs in docs:
+        if not pairs:
+            continue
+        snll = 0.0
+        for w1, w2 in pairs:  # ordered positional fold
+            snll += -math.log((c12[(w1, w2)] + 1) / float(c1[w1] + v))
+        h = snll / len(pairs)
+        rows.append((doc_id, len(pairs), h, math.exp(h)))
+    return pd.DataFrame(
+        rows, columns=["doc_id", "n_bigrams", "cross_entropy", "ppl"]
+    )
+
+
+@replay("q_kneser_ney_bits")
+def r_kneser_ney_bits(t: Tables) -> pd.DataFrame:
+    """Interpolated Kneser-Ney bigram LM (D = 0.75): p(w2|w1) =
+    max(c12-D,0)/c1 + (D*N1+(w1,.)/c1) * N1+(.,w2)/B."""
+    docs, c12, c1 = _doc_bigrams(t)
+    nf: dict = {}
+    nb: dict = {}
+    for w1, w2 in c12:
+        nf[w1] = nf.get(w1, 0) + 1
+        nb[w2] = nb.get(w2, 0) + 1
+    b = float(len(c12))
+    rows = []
+    for doc_id, pairs in docs:
+        if not pairs:
+            continue
+        snll = 0.0
+        for w1, w2 in pairs:
+            p = max(c12[(w1, w2)] - 0.75, 0.0) / c1[w1] + (
+                0.75 * nf[w1] / c1[w1]
+            ) * (nb[w2] / b)
+            snll += -math.log(p)
+        rows.append((doc_id, len(pairs), snll / len(pairs)))
+    return pd.DataFrame(
+        rows, columns=["doc_id", "n_bigrams", "kn_cross_entropy"]
+    )
+
+
+@replay("q_rbo_rankings")
+def r_rbo_rankings(t: Tables) -> pd.DataFrame:
+    """Rank-biased overlap (Webber et al. 2010): per-depth overlap of
+    the chars-vs-tokens top-k rankings, RBO_min partial sums."""
+    d = t.documents
+    ntok = d["text"].map(lambda s: len(_ftoks(s))).to_numpy(np.int64)
+    nch = d["n_chars"].to_numpy(np.int64)
+    ids = d["doc_id"].to_numpy(np.int64)
+    rank_a = {
+        int(ids[i]): r + 1
+        for r, i in enumerate(np.lexsort((ids, -nch))[:RBO_K])
+    }
+    rank_b = {
+        int(ids[i]): r + 1
+        for r, i in enumerate(np.lexsort((ids, -ntok))[:RBO_K])
+    }
+    common = [
+        (rank_a[k], rank_b[k]) for k in rank_a.keys() & rank_b.keys()
+    ]
+    rows = []
+    acc = 0.0
+    for depth in range(1, RBO_K + 1):
+        n_common = sum(1 for ra, rb in common if ra <= depth and rb <= depth)
+        acc += (RBO_P ** (depth - 1)) * n_common / depth
+        rows.append((depth, n_common, (1.0 - RBO_P) * acc))
+    return pd.DataFrame(rows, columns=["depth", "n_common", "rbo_partial"])
+
+
+@replay("q_quantile_normalize")
+def r_quantile_normalize(t: Tables) -> pd.DataFrame:
+    """Quantile normalization (Bolstad et al. 2003): rank within
+    source, replace with the exact cross-source mean at that rank
+    (half-away decimal ratio)."""
+    d = t.documents
+    ranked = []
+    for src, grp in d.groupby("source"):
+        g = grp.sort_values(["n_chars", "doc_id"])
+        for rk, (doc_id, nc) in enumerate(
+            zip(g["doc_id"], g["n_chars"]), start=1
+        ):
+            ranked.append((int(doc_id), str(src), rk, int(nc)))
+    sums: dict[int, list[int]] = {}
+    for _, _, rk, nc in ranked:
+        sc = sums.setdefault(rk, [0, 0])
+        sc[0] += nc
+        sc[1] += 1
+    rows = [
+        (doc_id, src, rk, nc, _half_away_ratio(sums[rk][0], sums[rk][1], 4))
+        for doc_id, src, rk, nc in ranked
+    ]
+    return pd.DataFrame(
+        rows, columns=["doc_id", "source", "rk", "n_chars", "norm_chars"]
+    )
+
+
+@replay("q_map_mrr_eval")
+def r_map_mrr_eval(t: Tables) -> pd.DataFrame:
+    """MAP@k / MRR: three tf-ranked runs scored against the binary
+    >= 2 rel-term oracle; AP@k = sum rel_j (cum_rel_j / j) / min(R,k)."""
+    d = t.documents
+    base = []
+    for doc_id, text in zip(d["doc_id"], d["text"]):
+        toks = _ftoks(text)
+        tfs = {q: sum(1 for x in toks if x == q) for q in MAP_QUERIES}
+        rel = int(sum(1 for x in toks if x == MAP_REL_TERM) >= 2)
+        base.append((int(doc_id), tfs, rel))
+    r_tot = sum(rel for _, _, rel in base)
+    rows = []
+    for q in MAP_QUERIES:
+        ordered = sorted(base, key=lambda row: (-row[1][q], row[0]))[:MAP_K]
+        cum_rel = 0
+        ap_num = 0.0
+        first_rel = None
+        for j, (_, _, rel) in enumerate(ordered, start=1):
+            cum_rel += rel
+            ap_num += float(rel) * (float(cum_rel) / j)
+            if rel and first_rel is None:
+                first_rel = j
+        rows.append(
+            (
+                q,
+                r_tot,
+                cum_rel,
+                ap_num / float(min(r_tot, MAP_K)),
+                (1.0 / first_rel) if first_rel else 0.0,
+            )
+        )
+    return pd.DataFrame(
+        rows, columns=["query_term", "n_relevant", "rel_at_k", "ap_at_k", "rr"]
+    )
+
+
+@replay("q_mutual_information")
+def r_mutual_information(t: Tables) -> pd.DataFrame:
+    """MI(token presence; planted >= 2 'join' label) from the four
+    2x2 contingency cells per token, empty cells contributing zero;
+    top-k by (rounded mi desc, token)."""
+    d = t.documents
+    n = len(d)
+    ny = 0
+    n1x: dict[str, int] = {}
+    n11: dict[str, int] = {}
+    for text in d["text"]:
+        toks = _ftoks(text)
+        y = int(sum(1 for x in toks if x == "join") >= 2)
+        ny += y
+        for tok in set(toks):
+            n1x[tok] = n1x.get(tok, 0) + 1
+            n11[tok] = n11.get(tok, 0) + y
+
+    def term(nab, na, nb_):
+        if nab <= 0:
+            return 0.0
+        p = float(nab)
+        return (p / n) * math.log(p * float(n) / (float(na) * float(nb_)))
+
+    rows = []
+    for tok in n1x:
+        a11 = n11[tok]
+        a10 = n1x[tok] - a11
+        a01 = ny - a11
+        a00 = n - n1x[tok] - ny + a11
+        mi = (
+            term(a11, n1x[tok], ny)
+            + term(a10, n1x[tok], n - ny)
+            + term(a01, n - n1x[tok], ny)
+            + term(a00, n - n1x[tok], n - ny)
+        )
+        mi_r = math.floor(mi * 1e6 + 0.5) / 1e6  # engine's stable_round
+        rows.append((tok, n1x[tok], a11, mi_r))
+    rows.sort(key=lambda r: (-r[3], r[0]))
+    return pd.DataFrame(
+        rows[:MI_TOPK], columns=["t", "n_docs_with", "n_pos_with", "mi"]
+    )
+
+
+@replay("q_chi2_terms")
+def r_chi2_terms(t: Tables) -> pd.DataFrame:
+    """Chi-square feature selection per language over doc-distinct
+    token presence, df >= 5 prefilter; chi2 as the exact half-away
+    4-decimal integer ratio, top 10 per language by (chi2, token)."""
+    d = t.documents
+    n = len(d)
+    n_l: dict[str, int] = {}
+    df_t: dict[str, int] = {}
+    a_lt: dict = {}
+    for lg, text in zip(d["lang"], d["text"]):
+        lg = str(lg)
+        n_l[lg] = n_l.get(lg, 0) + 1
+        for tok in set(_ftoks(text)):
+            df_t[tok] = df_t.get(tok, 0) + 1
+            a_lt[(lg, tok)] = a_lt.get((lg, tok), 0) + 1
+    scored: dict[str, list] = {}
+    for (lg, tok), a in a_lt.items():
+        df = df_t[tok]
+        if df < 5:
+            continue
+        b = df - a
+        c = n_l[lg] - a
+        dd = n - df - c
+        num = n * (a * dd - b * c) ** 2
+        den = df * (n - df) * n_l[lg] * (n - n_l[lg])
+        q = (2 * num * 10**4 + den) // (2 * den)  # exact, num >= 0
+        scored.setdefault(lg, []).append((tok, a, df, q))
+    rows = []
+    for lg in scored:
+        ranked = sorted(scored[lg], key=lambda r: (-r[3], r[0]))[:10]
+        for rn, (tok, a, df, q) in enumerate(ranked, start=1):
+            rows.append((lg, tok, a, df, q / 1e4, rn))
+    return pd.DataFrame(
+        rows, columns=["lang", "tok", "a", "df", "chi2", "rn"]
+    )
+
+
+@replay("q_cohen_kappa")
+def r_cohen_kappa(t: Tables) -> pd.DataFrame:
+    """Cohen's kappa between declared and guessed language: po =
+    diag/N, pe = sum row_c col_c / N^2, kappa = (po-pe)/(1-pe). The
+    guesser is re-derived (stopword-hit argmax, ties to first sorted
+    code, 'und' on zero hits) — not imported from the engine."""
+    d = t.documents
+    cells: dict = {}
+    for lang, text in zip(d["lang"], d["text"]):
+        toks = text.split(" ")  # raw split, engine parity
+        hits = {
+            lg: sum(1 for tok in toks if tok in mk)
+            for lg, mk in LANG_MARKERS.items()
+        }
+        best = max(hits.values())
+        guess = "und"
+        if best > 0:
+            guess = min(lg for lg, h in hits.items() if h == best)
+        cells[(str(lang), guess)] = cells.get((str(lang), guess), 0) + 1
+    n_docs = sum(cells.values())
+    n_agree = sum(v for (a, b), v in cells.items() if a == b)
+    rows_m: dict = {}
+    cols_m: dict = {}
+    for (a, b), v in cells.items():
+        rows_m[a] = rows_m.get(a, 0) + v
+        cols_m[b] = cols_m.get(b, 0) + v
+    pe_num = sum(
+        rows_m.get(cls, 0) * cols_m.get(cls, 0)
+        for cls in set(rows_m) | set(cols_m)
+    )
+    po = n_agree / n_docs
+    pe = pe_num / (n_docs * n_docs)
+    kappa = 0.0 if pe == 1.0 else (po - pe) / (1.0 - pe)
+    return pd.DataFrame(
+        {
+            "n_docs": [n_docs],
+            "n_agree": [n_agree],
+            "po": [po],
+            "pe": [pe],
+            "kappa": [kappa],
+        }
+    )
