@@ -38,6 +38,17 @@ def test_replay_constants_match_production():
     assert replay_check.check_constants() == []
 
 
+def test_codec_golden_vectors(spark):
+    """Bit-exact golden vectors: spec-constructed payloads (hand-
+    derived JPEG Huffman scans, hand-packed GIF LZW including the
+    code-width bump and the KwKwK case, hand-filtered PNG scanlines)
+    against the production decoders — the one gate where decoder and
+    encoder cannot share a bug."""
+    import replay_check
+
+    assert replay_check.check_goldens(spark) == []
+
+
 @pytest.mark.parametrize("name", sorted(REPLAYS))
 def test_replay(name, spark, sf_dir, tables):
     import replay_check

@@ -217,6 +217,72 @@ def check_constants() -> list[str]:
     return errs
 
 
+def check_goldens(spark=None) -> list[str]:
+    """Feed the hand-built golden payloads (replays.GOLDENS — spec-
+    derived bytes + hand-computed decodes) to the PRODUCTION decoders
+    and compare. This is the only gate where decoder and encoder
+    cannot share a bug: the payloads never touch the engine's
+    encoders. Returns failure strings (empty = green)."""
+    from replays import GOLDENS
+
+    from sandbox_data_pipeline_spark.operators.jpeg import decode_jpeg
+    from sandbox_data_pipeline_spark.operators.multimodal import (
+        decode_bmp,
+        decode_gif,
+        decode_png,
+    )
+    from sandbox_data_pipeline_spark.operators.video import decode_avi
+
+    decoders = {
+        "bmp": decode_bmp,
+        "png": decode_png,
+        "gif": decode_gif,
+        "jpeg": decode_jpeg,
+        "avi": decode_avi,
+    }
+    errs: list[str] = []
+    for kind, vectors in GOLDENS.items():
+        for i, vec in enumerate(vectors):
+            tag = f"golden:{kind}[{i}]"
+            try:
+                if kind == "audio_windows":
+                    if spark is None:
+                        continue  # Spark-surface golden; skipped if absent
+                    got = _audio_windows_rows(spark, vec["payload"])
+                    want = vec["expect"]["windows"]
+                    if got != want:
+                        errs.append(f"{tag}: windows {got} != {want}")
+                    continue
+                out = decoders[kind](vec["payload"])
+                for key, want in vec["expect"].items():
+                    got = out.get(key)
+                    if isinstance(got, list) and got and isinstance(
+                        got[0], tuple
+                    ):
+                        got = [tuple(p) for p in got]
+                    if got != want:
+                        errs.append(f"{tag}: {key} = {got!r}, want {want!r}")
+            except Exception as e:  # noqa: BLE001
+                errs.append(f"{tag}: {type(e).__name__}: {e}")
+    return errs
+
+
+def _audio_windows_rows(spark, payload: bytes) -> list[tuple]:
+    """Drive the production segment_audio operator over one golden WAV
+    row and return (window_idx, start_byte, n_bytes, start_ms)."""
+    from sandbox_data_pipeline_spark.operators.multimodal import segment_audio
+
+    df = spark.createDataFrame(
+        [(1, "audio", bytearray(payload))],
+        "media_id: long, media_type: string, content: binary",
+    )
+    rows = segment_audio(df).collect()
+    return [
+        (r["window_idx"], r["start_byte"], r["n_bytes"], r["start_ms"])
+        for r in sorted(rows, key=lambda r: r["window_idx"])
+    ]
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -230,9 +296,16 @@ def main() -> int:
 
     spark = get_spark("replay-check")
     spark.sparkContext.setLogLevel("ERROR")
+
+    gerrs = check_goldens(spark) if not only else []
+    for e in gerrs:
+        print(f"FAIL  {e}")
+    if not only and not gerrs:
+        print("ok    <codec golden vectors>")
+
     qs = queries()
     t = Tables(sf_dir)
-    failed = list(cerrs)
+    failed = list(cerrs) + list(gerrs)
     n_ok = 0
     import time
 

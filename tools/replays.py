@@ -2522,3 +2522,332 @@ def r_cohen_kappa(t: Tables) -> pd.DataFrame:
             "kappa": [kappa],
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# round-12 wave: bit-exact codec golden vectors (VERDICT r11 item 2)
+#
+# The codec queries' oracle replays the PIXEL closed form, and the
+# decoder tests run against the repo's own encoders — so a bug shared
+# by encoder and decoder (a mirrored stride error, a wrong-but-
+# symmetric filter, an LZW width-off-by-one on both sides) survives
+# both gates. Each golden below is a payload CONSTRUCTED HERE from the
+# format's published spec (entropy bitstreams hand-derived in the
+# comments, never produced by the engine's encoder) paired with the
+# hand-computed decode. tools/replay_check.py feeds the payload to the
+# PRODUCTION decoder and compares. GOLDENS: kind -> list of
+# {payload, expect}; expect keys are a subset of the decoder's output.
+# ---------------------------------------------------------------------------
+
+
+def _bmp_golden(w: int, h: int, rows_rgb: list[list[tuple]]) -> bytes:
+    """Spec-layout 24-bit bottom-up BMP: BITMAPFILEHEADER +
+    BITMAPINFOHEADER, BGR byte order, rows padded to 4-byte stride,
+    file rows bottom-up (file row 0 = image row h-1)."""
+    import struct
+
+    stride = ((3 * w + 3) // 4) * 4
+    body = bytearray()
+    for y in range(h - 1, -1, -1):  # bottom-up
+        line = bytearray()
+        for r, g, b in rows_rgb[y]:
+            line += bytes((b, g, r))  # BGR on disk
+        line += bytes(stride - len(line))  # pad
+        body += line
+    header = struct.pack(
+        "<2sIHHIIiiHHIIiiII",
+        b"BM", 54 + len(body), 0, 0, 54,
+        40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0,
+    )
+    return header + bytes(body)
+
+
+def _png_golden(w: int, h: int, scanlines: list[bytes]) -> tuple[bytes, int]:
+    """Spec-layout 8-bit RGB PNG from HAND-FILTERED scanlines (each =
+    filter byte + filtered bytes, filtering worked out in the vector
+    comments, not by an encoder). Returns (blob, n_idat)."""
+    import struct
+    import zlib
+
+    def chunk(ctype: bytes, payload: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(payload))
+            + ctype
+            + payload
+            + struct.pack(">I", zlib.crc32(ctype + payload) & 0xFFFFFFFF)
+        )
+
+    comp = zlib.compress(b"".join(scanlines), 9)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    blob = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+    n_idat = 0
+    for off in range(0, len(comp), 5):  # 5-byte chunks: multi-IDAT path
+        blob += chunk(b"IDAT", comp[off : off + 5])
+        n_idat += 1
+    return blob + chunk(b"IEND", b""), n_idat
+
+
+def _gif_golden(w: int, h: int, lzw_bytes: bytes) -> bytes:
+    """Spec-layout GIF89a: 4-entry global color table (packed size
+    bits = 1), full-frame image descriptor, min LZW code size 2, the
+    HAND-PACKED LZW bitstream in one sub-block."""
+    import struct
+
+    blob = bytearray(b"GIF89a")
+    blob += struct.pack("<HHBBB", w, h, 0b10100001, 0, 0)  # GCT, 4 entries
+    for rgb in _GIF_GOLD_PALETTE:
+        blob += bytes(rgb)
+    blob += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+    blob += bytes([2])  # LZW min code size
+    blob += bytes([len(lzw_bytes)]) + lzw_bytes + b"\x00\x3b"
+    return bytes(blob)
+
+
+_GIF_GOLD_PALETTE = [(10, 20, 30), (40, 50, 60), (70, 80, 90), (200, 210, 220)]
+
+
+def _jpeg_golden(w: int, h: int, scan: bytes) -> bytes:
+    """Spec-layout baseline grayscale JFIF with DECLARED simple
+    Huffman tables (DC: eight 3-bit codes for categories 0-7, so
+    cat k = binary k; AC: the single 1-bit code 0 for EOB) and a
+    DC-exact quant table (Q[0]=8, rest 16). The entropy bytes are
+    hand-derived per vector."""
+    qt = bytes([8] + [16] * 63)  # zigzag order; index 0 is DC
+    b = bytearray(b"\xff\xd8")
+    b += b"\xff\xdb" + (2 + 1 + 64).to_bytes(2, "big") + b"\x00" + qt
+    bits_dc = bytes(8 if i == 2 else 0 for i in range(16))  # 8 codes, len 3
+    b += (
+        b"\xff\xc4"
+        + (2 + 1 + 16 + 8).to_bytes(2, "big")
+        + b"\x00"
+        + bits_dc
+        + bytes(range(8))
+    )
+    bits_ac = bytes(1 if i == 0 else 0 for i in range(16))  # 1 code, len 1
+    b += (
+        b"\xff\xc4"
+        + (2 + 1 + 16 + 1).to_bytes(2, "big")
+        + b"\x10"
+        + bits_ac
+        + b"\x00"
+    )
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes(
+        [1, 1, 0x11, 0]
+    )
+    b += b"\xff\xc0" + (2 + len(sof)).to_bytes(2, "big") + sof
+    sos = bytes([1, 1, 0x00, 0, 63, 0])
+    b += b"\xff\xda" + (2 + len(sos)).to_bytes(2, "big") + sos
+    b += scan
+    b += b"\xff\xd9"
+    return bytes(b)
+
+
+def _avi_golden(w: int, h: int, jpeg_frames: list[bytes]) -> bytes:
+    """Spec-layout RIFF/AVI (even-padding rules) wrapping hand-built
+    MJPG frames, with avih/strh headers and an idx1 index."""
+    import struct
+
+    def chunk(fourcc: bytes, payload: bytes) -> bytes:
+        pad = b"\x00" if len(payload) % 2 else b""
+        return fourcc + struct.pack("<I", len(payload)) + payload + pad
+
+    nf = len(jpeg_frames)
+    avih = struct.pack(
+        "<14I", 40_000, 0, 0, 0x10, nf, 0, 1,
+        max(len(fr) for fr in jpeg_frames), w, h, 0, 0, 0, 0,
+    )
+    strh = b"vids" + b"MJPG" + bytes(48)
+    strl = chunk(b"LIST", b"strl" + chunk(b"strh", strh))
+    hdrl = chunk(b"LIST", b"hdrl" + chunk(b"avih", avih) + strl)
+    movi_payload = b"movi"
+    idx = b""
+    for fr in jpeg_frames:
+        idx += b"00dc" + struct.pack(
+            "<III", 0x10, len(movi_payload) - 4, len(fr)
+        )
+        movi_payload += chunk(b"00dc", fr)
+    body = (
+        b"AVI " + hdrl + chunk(b"LIST", movi_payload) + chunk(b"idx1", idx)
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _wav_golden(body_len: int) -> bytes:
+    """16-byte RIFF/WAVE preamble + body (the media_with_headers WAV
+    row layout, rebuilt from the RIFF spec)."""
+    body = bytes((i * 7 + 3) % 256 for i in range(body_len))
+    return b"RIFF" + (36 + body_len).to_bytes(4, "little") + b"WAVEfmt " + body
+
+
+def build_goldens() -> dict[str, list[dict]]:
+    g: dict[str, list[dict]] = {}
+
+    # -- BMP: 2x2 primary colors (row order + BGR swap detector), and
+    # 3x1 (nonzero stride padding). Means are hand-computed.
+    g["bmp"] = [
+        {
+            "payload": _bmp_golden(
+                2, 2,
+                [[(255, 0, 0), (0, 255, 0)], [(0, 0, 255), (255, 255, 255)]],
+            ),
+            "expect": {
+                "width": 2, "height": 2,
+                "tl_r": 255, "tl_g": 0, "tl_b": 0,
+                "br_r": 255, "br_g": 255, "br_b": 255,
+                "mean_r": 127.5, "mean_g": 127.5, "mean_b": 127.5,
+            },
+        },
+        {
+            "payload": _bmp_golden(
+                3, 1, [[(10, 20, 30), (40, 50, 60), (70, 80, 90)]]
+            ),
+            "expect": {
+                "width": 3, "height": 1,
+                "tl_r": 10, "tl_g": 20, "tl_b": 30,
+                "br_r": 70, "br_g": 80, "br_b": 90,
+                "mean_r": 40.0, "mean_g": 50.0, "mean_b": 60.0,
+            },
+        },
+    ]
+
+    # -- PNG vector 1: 2x2, filters None + Up.
+    # pixels row0 (1,2,3),(4,5,6); row1 (7,8,9),(10,11,12).
+    # Up-filtered row1 bytes: v - up = 6,6,6,6,6,6.
+    png1, n1 = _png_golden(
+        2, 2,
+        [bytes([0, 1, 2, 3, 4, 5, 6]), bytes([2, 6, 6, 6, 6, 6, 6])],
+    )
+    # -- PNG vector 2: 1x4, filters None/Sub/Average/Paeth.
+    # actual rows: (10,20,30),(11,21,31),(15,25,35),(20,30,40).
+    # Sub row (left=0): stored = actual. Average row: pred =
+    # (0+up)//2 = (5,10,15) -> stored (10,15,20). Paeth row: a=c=0,
+    # b=up -> predictor = up = (15,25,35) -> stored (5,5,5).
+    png2, n2 = _png_golden(
+        1, 4,
+        [
+            bytes([0, 10, 20, 30]),
+            bytes([1, 11, 21, 31]),
+            bytes([3, 10, 15, 20]),
+            bytes([4, 5, 5, 5]),
+        ],
+    )
+    g["png"] = [
+        {
+            "payload": png1,
+            "expect": {
+                "width": 2, "height": 2,
+                "tl_r": 1, "tl_g": 2, "tl_b": 3,
+                "br_r": 10, "br_g": 11, "br_b": 12,
+                "mean_r": 5.5, "mean_g": 6.5, "mean_b": 7.5,
+                "n_idat": n1, "n_filters": 2,
+            },
+        },
+        {
+            "payload": png2,
+            "expect": {
+                "width": 1, "height": 4,
+                "tl_r": 10, "tl_g": 20, "tl_b": 30,
+                "br_r": 20, "br_g": 30, "br_b": 40,
+                "mean_r": 14.0, "mean_g": 24.0, "mean_b": 34.0,
+                "n_idat": n2, "n_filters": 4,
+            },
+        },
+    ]
+
+    # -- GIF vector 1: 2x2, indices [0,1,2,3] — exercises the code-
+    # width bump. min code 2: clear=4, eoi=5, start width 3. Encoder
+    # emits 4,0,1,2 at 3 bits, adds entries 6,7,8 (8 = 2^3 -> bump),
+    # then 3,5 at 4 bits. LSB-first packing:
+    # 4<<0 | 0<<3 | 1<<6 | 2<<9 | 3<<12 | 5<<16 = 341060 = 0x053444
+    # -> bytes 44 34 05.
+    # -- GIF vector 2: 3x1, indices [1,1,1] — exercises the KwKwK
+    # special case (decoder receives code 6 == next free entry).
+    # Codes 4,1,6,5 all at 3 bits: 4 | 1<<3 | 6<<6 | 5<<9 = 2956 =
+    # 0x0B8C -> bytes 8C 0B.
+    pal = _GIF_GOLD_PALETTE
+    g["gif"] = [
+        {
+            "payload": _gif_golden(2, 2, bytes([0x44, 0x34, 0x05])),
+            "expect": {
+                "width": 2, "height": 2,
+                "pixels": [pal[0], pal[1], pal[2], pal[3]],
+                "tl_r": pal[0][0], "tl_g": pal[0][1], "tl_b": pal[0][2],
+                "br_r": pal[3][0], "br_g": pal[3][1], "br_b": pal[3][2],
+                "mean_r": 80.0, "mean_g": 90.0, "mean_b": 100.0,
+            },
+        },
+        {
+            "payload": _gif_golden(3, 1, bytes([0x8C, 0x0B])),
+            "expect": {
+                "width": 3, "height": 1,
+                "pixels": [pal[1], pal[1], pal[1]],
+                "mean_r": 40.0, "mean_g": 50.0, "mean_b": 60.0,
+            },
+        },
+    ]
+
+    # -- JPEG vector 1: 8x8 flat gray 200. Quantized DC = 8*(200-128)
+    # / Q[0]=8 = 72, category 7 (code 111), raw bits 1001000, EOB 0,
+    # pad 11111 -> bytes F2 1F.
+    # -- JPEG vector 2: 16x8, two blocks 100 then 50 — exercises DC
+    # prediction. qDC1 = -28: diff -28, cat 5 (code 101), raw =
+    # -28 + 31 = 3 -> 00011. qDC2 = -78: diff -50, cat 6 (code 110),
+    # raw = -50 + 63 = 13 -> 001101. Bits:
+    # 101 00011 0 110 001101 0 + 11111 -> bytes A3 63 5F.
+    g["jpeg"] = [
+        {
+            "payload": _jpeg_golden(8, 8, bytes([0xF2, 0x1F])),
+            "expect": {
+                "width": 8, "height": 8, "n_comps": 1,
+                "pixels": [200] * 64,
+            },
+        },
+        {
+            "payload": _jpeg_golden(16, 8, bytes([0xA3, 0x63, 0x5F])),
+            "expect": {
+                "width": 16, "height": 8, "n_comps": 1,
+                "pixels": ([100] * 8 + [50] * 8) * 8,
+            },
+        },
+    ]
+
+    # -- AVI: one-frame MJPG container around JPEG vector 1, plus a
+    # two-frame container (vectors 1 then 1 again) proving the chunk
+    # walk + idx1 count.
+    j1 = g["jpeg"][0]["payload"]
+    g["avi"] = [
+        {
+            "payload": _avi_golden(8, 8, [j1]),
+            "expect": {
+                "width": 8, "height": 8, "n_frames": 1, "n_idx": 1,
+                "frames": [[200] * 64],
+            },
+        },
+        {
+            "payload": _avi_golden(8, 8, [j1, j1]),
+            "expect": {
+                "width": 8, "height": 8, "n_frames": 2, "n_idx": 2,
+                "frames": [[200] * 64, [200] * 64],
+            },
+        },
+    ]
+
+    # -- Audio windowing: RIFF preamble 16 bytes, window = 2 ms x
+    # 32 B/ms = 64 B. body 150 -> windows (0,64,0ms),(64,64,2ms),
+    # (128,22,4ms); body 64 -> exactly one full window.
+    g["audio_windows"] = [
+        {
+            "payload": _wav_golden(150),
+            "expect": {
+                "windows": [(0, 0, 64, 0), (1, 64, 64, 2), (2, 128, 22, 4)]
+            },
+        },
+        {
+            "payload": _wav_golden(64),
+            "expect": {"windows": [(0, 0, 64, 0)]},
+        },
+    ]
+    return g
+
+
+GOLDENS = build_goldens()
