@@ -18,19 +18,13 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-# Headline set — ROTATED per round like DRIVER_PRIORITY. Round 11:
-# (1) the 5 queries BENCH_r10's compare flagged >=1.5x vs r9 run FIRST
-#     (right after the flagship calibration) so their min-of-3 numbers
-#     land on a freshly-warmed, quiet JVM — the verdict's
-#     reproduce-or-discharge gate, adjudicated flagship-normalized in
-#     FLAGGED_R10 below;
-# (2) a 14-query continuity set (r10's slowest + the manifest twins +
-#     the canary) for the round-over-round compare;
-# (3) the 119 registry queries with no entry in ANY surviving bench
-#     artifact (BENCH_r* tails are budgeted slowest-first, so early
-#     rounds' fast-query numbers were truncated) — benching them once
-#     here makes cumulative 355/355 coverage reproducible from
-#     BENCH_CUMULATIVE.json alone instead of a README claim.
+# Headline set — ROTATED per round like DRIVER_PRIORITY. Round 12:
+# (1) the 20-query continuity set (r11's slowest + the manifest twins
+#     + the canary), run FIRST on the freshly-warmed JVM, anchors the
+#     round-over-round compare;
+# (2) the 142 ledger entries whose BENCH_CUMULATIVE timing still dates
+#     from r07/r08/r09 — one pass here makes every ledger row at most
+#     two rounds old (round-11 verdict item 3). Mostly sub-second.
 # Names must exist in queries().
 HEADLINE = [
     "q_coverage_greedy",
@@ -53,125 +47,148 @@ HEADLINE = [
     "q_image_dhash_from_manifest",
     "q_video_near_dup_from_manifest",
     "q_hash_canary",
-    "q_activity_heatmap",
-    "q_agg_distinct",
-    "q_agg_maxby",
-    "q_array_funcs",
-    "q_audio_windows",
-    "q_cities_source",
-    "q_city_normalize",
-    "q_clean_json",
-    "q_click_attribution",
-    "q_cocktails_insert",
-    "q_cocktails_stage",
-    "q_cocktails_variant_insert",
-    "q_cocktails_variant_stage",
-    "q_covariate_balance",
-    "q_cramers_v",
-    "q_cuped_adjust",
-    "q_dataset_card",
-    "q_date_funcs",
-    "q_dedup_exact_keep",
-    "q_dedup_normalized",
-    "q_delete_run_hr",
-    "q_domain_blocklist",
-    "q_dq_freshness",
-    "q_dup_rate_by_source",
-    "q_eb_shrinkage",
-    "q_embedding_centroids",
-    "q_exists_correlated",
-    "q_filter_basic",
-    "q_filter_cascade",
-    "q_fingerprint",
-    "q_funnel",
-    "q_group_quantiles",
-    "q_hash_split",
-    "q_hill_tail",
-    "q_histogram",
-    "q_hodges_lehmann",
-    "q_holt_smooth",
-    "q_holt_winters",
-    "q_inverted_index",
-    "q_ips_eval",
-    "q_isotonic_calibration",
-    "q_item_cooccurrence",
-    "q_join_anti",
-    "q_join_left",
-    "q_join_multi",
-    "q_join_range",
-    "q_join_semi",
-    "q_json_funcs",
-    "q_k_anonymity",
-    "q_kruskal_wallis",
-    "q_lang_id",
-    "q_mannwhitney_u",
-    "q_map_funcs",
-    "q_masked_export",
-    "q_media_features",
-    "q_media_frames",
-    "q_media_probe",
-    "q_media_resize",
-    "q_media_resolution_filter",
-    "q_merge_delete",
-    "q_mixture_sample",
-    "q_mixture_weights",
-    "q_multimodal_meta",
-    "q_mutual_information",
-    "q_negative_samples",
-    "q_nested_struct",
-    "q_outliers",
-    "q_pack_efficiency",
-    "q_pack_manifest",
-    "q_passage_dup_ratio",
-    "q_phrase_search",
-    "q_pivot",
-    "q_power_analysis",
-    "q_quality_sweep",
-    "q_quantile_normalize",
-    "q_rbo_rankings",
-    "q_regex_extract",
-    "q_regression_discontinuity",
-    "q_retention_cohorts",
-    "q_rfm_segments",
-    "q_rollup_cascade",
-    "q_rollup_ivm",
-    "q_run_hr_derive",
-    "q_scalar_subquery",
-    "q_seasonal_index",
-    "q_sessionize",
-    "q_set_ops",
-    "q_shapley_attribution",
-    "q_similarity_ivf_lists",
-    "q_similarity_lsh_buckets",
-    "q_sinkhorn_ot",
-    "q_sort_limit",
-    "q_source_stats",
-    "q_sprt_ab",
-    "q_stratified_sample",
-    "q_string_agg",
-    "q_string_funcs",
-    "q_table_diff",
-    "q_temperature_mixture",
-    "q_timeseries_decompose",
-    "q_token_quantiles",
-    "q_top5",
-    "q_tpch_q04",
-    "q_tpch_q06",
-    "q_tpch_q11",
-    "q_tpch_q12",
-    "q_tpch_q14",
-    "q_tpch_q15",
-    "q_tpch_q17",
-    "q_tpch_q20",
-    "q_tpch_q22",
-    "q_union_all",
-    "q_unpivot",
-    "q_url_canonical",
-    "q_wasserstein_drift",
-    "q_weather_variant_stage",
-    "q_window_analytics",
-    "q_window_frame",
-    "q_zorder_stats",
+    "q_agg_basic",
+    "q_agg_cube",
+    "q_agg_rollup",
+    "q_allpairs_jaccard",
+    "q_ann_index",
+    "q_ann_index_drift",
+    "q_ann_recall",
+    "q_association_rules",
+    "q_assortativity",
+    "q_auc_score",
+    "q_audio_near_dup",
+    "q_bigram_bits",
+    "q_bigram_perplexity",
+    "q_bloom_prefilter",
+    "q_bm25_topk",
+    "q_bmp_decode_stats",
+    "q_bmp_resize_stats",
+    "q_bpe_encode",
+    "q_budget_select",
+    "q_chi2_terms",
+    "q_class_f1",
+    "q_clustering_coeff",
+    "q_cms_heavy_hitters",
+    "q_cohen_kappa",
+    "q_conformal_interval",
+    "q_containment_pairs",
+    "q_crosslingual_dups",
+    "q_curation_pipeline",
+    "q_dd_quantiles",
+    "q_decontam",
+    "q_dedup_clusters",
+    "q_dedup_minhash_pairs",
+    "q_dedup_ngram_jaccard",
+    "q_dedup_simhash",
+    "q_dedup_simhash_pairs",
+    "q_dedup_survivors",
+    "q_diff_in_diff",
+    "q_doremi_weights",
+    "q_dq_referential",
+    "q_dq_report",
+    "q_dq_suite",
+    "q_dup_degree_dist",
+    "q_dup_triangles",
+    "q_embedding_quantize",
+    "q_entity_matches",
+    "q_entity_resolution",
+    "q_event_funnel",
+    "q_ewma_smooth",
+    "q_feature_hashing",
+    "q_fellegi_sunter",
+    "q_fuzzy_match",
+    "q_gif_decode_stats",
+    "q_gini_concentration",
+    "q_global_ids",
+    "q_graph_bfs",
+    "q_grouping_sets",
+    "q_hard_negatives",
+    "q_histogram_equidepth",
+    "q_hits_dups",
+    "q_hll_rollup",
+    "q_hybrid_rrf",
+    "q_incremental_dedup",
+    "q_join_asof",
+    "q_join_broadcast",
+    "q_join_cardinality_audit",
+    "q_join_salted",
+    "q_kcore_peel",
+    "q_kmv_distinct",
+    "q_kmv_jaccard",
+    "q_kneser_ney_bits",
+    "q_knn_join",
+    "q_lang_confusion",
+    "q_leakage_safe_split",
+    "q_linear_fit",
+    "q_link_prediction",
+    "q_lof_outliers",
+    "q_lpa_communities",
+    "q_mad_anomalies",
+    "q_map_mrr_eval",
+    "q_matryoshka_recall",
+    "q_merge_upsert",
+    "q_minhash_precision",
+    "q_mmr_rerank",
+    "q_ndcg_at_k",
+    "q_ngram_freq",
+    "q_numeric_corr",
+    "q_pagerank_dups",
+    "q_pair_bleu",
+    "q_pca_power",
+    "q_pmi_pairs",
+    "q_png_decode_stats",
+    "q_png_resize_stats",
+    "q_ppr_influence",
+    "q_pq_adc_topk",
+    "q_pq_codes",
+    "q_profile_orders",
+    "q_psi_drift",
+    "q_rag_index_pipeline",
+    "q_repetition",
+    "q_safe_casts",
+    "q_semantic_search",
+    "q_semdedup",
+    "q_sequence_mining",
+    "q_simhash_quality_sweep",
+    "q_similarity_ivf_topk",
+    "q_similarity_lsh_topk",
+    "q_similarity_near_dup",
+    "q_similarity_near_dup_lsh",
+    "q_similarity_topk",
+    "q_source_drift_kl",
+    "q_srm_check",
+    "q_suffix_dedup_spans",
+    "q_suffix_repeats",
+    "q_target_encode",
+    "q_text_quality",
+    "q_textrank_keywords",
+    "q_tfidf_top_terms",
+    "q_theilsen_trend",
+    "q_token_entropy",
+    "q_tpch_q01",
+    "q_tpch_q02",
+    "q_tpch_q03",
+    "q_tpch_q05",
+    "q_tpch_q07",
+    "q_tpch_q08",
+    "q_tpch_q09",
+    "q_tpch_q10",
+    "q_tpch_q16",
+    "q_tpch_q18",
+    "q_tpch_q19",
+    "q_tpch_q21",
+    "q_training_triplets",
+    "q_unigram_segment_cost",
+    "q_weather_insert",
+    "q_weather_stage",
+    "q_weather_variant_insert",
+    "q_weather_variant_native",
+    "q_weighted_sample",
+    "q_winnow_fingerprints",
+    "q_winsorize",
+    "q_wordpiece_encode",
+    "q_zorder_skipping",
 ]
 
 
@@ -249,7 +266,7 @@ def update_cumulative_ledger(timings: dict[str, float], sf: float) -> None:
             ledger = json.load(f)
     except (OSError, ValueError):
         ledger = {}
-    label = os.environ.get("SPARK_GRAFT_ROUND", "r11-local")
+    label = os.environ.get("SPARK_GRAFT_ROUND", "r12-local")
     for k, v in timings.items():
         ledger[k] = {"sec": round(v, 3), "at": label, "sf": sf}
     try:

@@ -256,3 +256,135 @@ def start_passage_admission(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def start_media_admission(
+    spark: SparkSession,
+    source_dir: str,
+    store_dir: str,
+    checkpoint_dir: str,
+    rejected_dir: str | None = None,
+    manifest_dir: str | None = None,
+):
+    """Continuous MEDIA near-dup admission through the INCREMENTAL
+    fingerprint manifest (round-11 verdict item 5): each arriving
+    micro-batch is decoded ONCE (operators/multimodal.py:
+    fingerprint_frame — image dHash, per-frame video dHash, audio
+    trend hash), gated against the manifest of everything ever
+    admitted, and the admitted docs commit to a TxTable whose commit
+    log then drives `refresh_media_fingerprints` — so manifest
+    maintenance decodes exactly the admitted commit, never the corpus
+    (sinks/txlog.py:1578). The streaming twin of the batch
+    q_media_manifest_ivm algebra.
+
+    Gate rule (deterministic, replayed by the twin test): a doc is
+    REJECTED iff any of its fingerprint rows collides with the
+    admitted-corpus manifest on (kind, frame-hash half) — the 2-band
+    LSH rule of the dHash dedup family, with each 32-bit half a band —
+    or with any SAME-BATCH doc of smaller media_id (min-id wins,
+    whether or not that doc itself survives, which keeps the rule
+    closed-form instead of sequential).
+
+    Replay safety: a re-run batch finds its own fingerprints in the
+    manifest, every doc collides, and the re-append is empty — the
+    manifest makes foreachBatch idempotent the same way the dedup
+    gate's corpus store does. After a process restart the in-memory
+    materialization is empty, so the first refresh catches up from the
+    commit log (still delta-only per commit, never a rescan).
+
+    At 100 TB: the batch-side fingerprint is map-side Arrow decode;
+    the gate join is manifest-keyed on 32-bit bands (uniform); the
+    store append is the lakehouse blind append. Nothing here rescans
+    the corpus."""
+    from sandbox_data_pipeline_spark.operators.multimodal import (
+        fingerprint_frame,
+    )
+    from sandbox_data_pipeline_spark.sinks.txlog import (
+        TxTable,
+        refresh_media_fingerprints,
+    )
+
+    state: dict = {"mv": None, "ver": -1}
+
+    def _halves(fps: DataFrame) -> DataFrame:
+        # audio rows carry h2 = 0 as a filler, not a band — banding it
+        # would collide every pair of audio docs; explode only real
+        # halves (h2 participates for image/video only).
+        h1 = fps.select(
+            "kind", "media_id", F.lit(1).alias("half"), F.col("h1").alias("h")
+        )
+        h2 = fps.where(F.col("kind") != "audio").select(
+            "kind", "media_id", F.lit(2).alias("half"), F.col("h2").alias("h")
+        )
+        return h1.unionByName(h2)
+
+    def _admit(batch_df: DataFrame, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        docs = batch_df.select("doc_id", "text")
+        # Sync the manifest to the store tail BEFORE gating: a no-op
+        # union in steady state (same process, no new commits), the
+        # log-driven catch-up after a process restart — each commit's
+        # files decode exactly once either way.
+        t = None
+        try:
+            t = TxTable(s, store_dir)
+            t.latest_version()
+        except FileNotFoundError:  # first batch ever: no store yet
+            t = None
+        if t is not None:
+            mv0, ver0 = refresh_media_fingerprints(
+                t, state["mv"], state["ver"]
+            )
+            state["mv"] = mv0.localCheckpoint()
+            state["ver"] = ver0
+        fps = fingerprint_frame(docs).localCheckpoint()  # one batch decode
+        bh = _halves(fps)
+        rejected = s.createDataFrame([], "media_id long")
+        if state["mv"] is not None:
+            corpus_bands = _halves(state["mv"]).select("kind", "half", "h")
+            rejected = rejected.unionByName(
+                bh.join(corpus_bands, ["kind", "half", "h"], "left_semi")
+                .select("media_id")
+            )
+        intra = (
+            bh.alias("a")
+            .join(
+                bh.alias("b"),
+                (F.col("a.kind") == F.col("b.kind"))
+                & (F.col("a.half") == F.col("b.half"))
+                & (F.col("a.h") == F.col("b.h"))
+                & (F.col("a.media_id") > F.col("b.media_id")),
+            )
+            .select(F.col("a.media_id").alias("media_id"))
+        )
+        rejected = rejected.unionByName(intra).distinct()
+        admitted = docs.join(
+            rejected.withColumnRenamed("media_id", "doc_id"),
+            "doc_id",
+            "left_anti",
+        )
+        if rejected_dir is not None:
+            docs.join(
+                rejected.withColumnRenamed("media_id", "doc_id"),
+                "doc_id",
+                "left_semi",
+            ).write.mode("append").parquet(rejected_dir)
+        if t is None:
+            t = TxTable.create(s, store_dir, admitted)
+        else:
+            t.append(admitted)
+        mv, ver = refresh_media_fingerprints(t, state["mv"], state["ver"])
+        state["mv"] = mv.localCheckpoint()
+        state["ver"] = ver
+        if manifest_dir is not None:
+            # the queryable manifest artifact (small fingerprint rows);
+            # safe to overwrite from the localCheckpoint-pinned frame
+            state["mv"].write.mode("overwrite").parquet(manifest_dir)
+
+    stream = spark.readStream.schema(DOC_STREAM_SCHEMA).json(source_dir)
+    return (
+        stream.writeStream.foreachBatch(_admit)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

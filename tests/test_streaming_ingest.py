@@ -252,3 +252,141 @@ def test_passage_admission_replay_is_idempotent(spark, tmp_path):
     )
     q2.awaitTermination(120)
     assert spark.read.parquet(adm).count() == 1
+
+
+def test_media_admission_incremental_manifest(spark, tmp_path):
+    """Streaming media near-dup gate through the incremental
+    fingerprint manifest (round-11 verdict item 5): (1) the admitted
+    store equals the gate rule replayed in BATCH form over the same
+    micro-batches, and (2) the incrementally-maintained manifest
+    equals a FULL fingerprint rebuild of the admitted store — the
+    q_media_manifest_ivm equivalence, now on the streaming surface."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from sandbox_data_pipeline_spark.operators.multimodal import (
+        fingerprint_frame,
+    )
+    from sandbox_data_pipeline_spark.streaming.ingest import (
+        start_media_admission,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+    manifest = str(tmp_path / "manifest")
+
+    # ids picked for a collision-free baseline (the synthetic JPEG/AVI
+    # fingerprints are coarse functions of doc_id, so arbitrary small
+    # ids collide): 100/101/102/107 are mutually clean on every
+    # fingerprint half; 142 (≡1 mod 3, the WAV lane) re-sends doc
+    # 100's text, so its audio trend fingerprint is identical and the
+    # gate must reject it.
+    def _text(i: int) -> str:
+        return f"document number {i} body with its own words " + "x " * (
+            i % 7
+        )
+
+    texts = {i: _text(i) for i in (100, 101, 102, 107)}
+    batches = [
+        [(100, texts[100]), (101, texts[101]), (102, texts[102])],
+        [(142, texts[100]), (107, texts[107])],
+    ]
+
+    def _write_batch(i, rows):
+        with open(src / f"b{i}.json", "w") as f:
+            f.write(
+                "\n".join(
+                    json.dumps(
+                        {
+                            "doc_id": d,
+                            "text": t,
+                            "lang": "en",
+                            "source": "t",
+                            "n_chars": len(t),
+                        }
+                    )
+                    for d, t in rows
+                )
+            )
+
+    def _halves(fps):
+        h1 = fps.select(
+            "kind", "media_id", F.lit(1).alias("half"), F.col("h1").alias("h")
+        )
+        h2 = fps.where(F.col("kind") != "audio").select(
+            "kind", "media_id", F.lit(2).alias("half"), F.col("h2").alias("h")
+        )
+        return h1.unionByName(h2)
+
+    # batch replay of the gate rule: corpus-half collision OR
+    # smaller-media-id same-batch collision
+    admitted_expect: list[int] = []
+    corpus_fps = None
+    for rows in batches:
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        fps = fingerprint_frame(docs).localCheckpoint()
+        bh = _halves(fps)
+        rej = set()
+        if corpus_fps is not None:
+            rej |= {
+                r["media_id"]
+                for r in bh.join(
+                    _halves(corpus_fps).select("kind", "half", "h"),
+                    ["kind", "half", "h"],
+                    "left_semi",
+                )
+                .select("media_id")
+                .collect()
+            }
+        pairs = (
+            bh.alias("a")
+            .join(
+                bh.alias("b"),
+                (F.col("a.kind") == F.col("b.kind"))
+                & (F.col("a.half") == F.col("b.half"))
+                & (F.col("a.h") == F.col("b.h"))
+                & (F.col("a.media_id") > F.col("b.media_id")),
+            )
+            .select(F.col("a.media_id").alias("m"))
+            .collect()
+        )
+        rej |= {r["m"] for r in pairs}
+        adm = [d for d, _ in rows if d not in rej]
+        admitted_expect.extend(adm)
+        adm_fps = fps.where(F.col("media_id").isin(adm))
+        corpus_fps = (
+            adm_fps
+            if corpus_fps is None
+            else corpus_fps.unionByName(adm_fps)
+        ).localCheckpoint()
+
+    # sanity on the fixture: batch 1 fully admitted, doc 142 rejected
+    assert admitted_expect == [100, 101, 102, 107]
+
+    # drive the stream batch by batch (availableNow drains all files
+    # present, so write-then-run per batch)
+    for i, rows in enumerate(batches):
+        _write_batch(i, rows)
+        q = start_media_admission(
+            spark, str(src), store, ckpt, manifest_dir=manifest
+        )
+        q.awaitTermination(180)
+
+    from sandbox_data_pipeline_spark.sinks.txlog import TxTable
+
+    store_df = TxTable(spark, store).read()
+    got_ids = sorted(
+        r["doc_id"] for r in store_df.select("doc_id").collect()
+    )
+    assert got_ids == sorted(admitted_expect)
+
+    # IVM equivalence: incremental manifest == full rebuild of store
+    full = fingerprint_frame(store_df.select("doc_id", "text"))
+    inc = spark.read.parquet(manifest)
+    cols = ["kind", "media_id", "frame_idx", "h1", "h2"]
+    assert sorted(map(tuple, inc.select(*cols).collect())) == sorted(
+        map(tuple, full.select(*cols).collect())
+    )
