@@ -1157,4 +1157,12 @@ def grid_dbscan(
             .alias("cluster_id"),
         )
     )
+    # Materialize, then RELEASE the scratch caches (unpersist-on-
+    # return hygiene): the operator is already eager (duplicate_
+    # clusters runs counts during build), so the localCheckpoint adds
+    # no extra pass, and composed callers no longer accumulate the
+    # pair/role frames in executor storage.
+    out = out.localCheckpoint(eager=True)
+    pairs.unpersist()
+    roles.unpersist()
     return out

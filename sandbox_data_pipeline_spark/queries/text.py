@@ -3939,21 +3939,27 @@ def q_coverage_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     selected: list = []
     rows = []
     coverage = 0
-    for r in range(1, COVERAGE_K + 1):
-        top = (
-            _coverage_candidates(tok, selected)
-            .groupBy("doc_id")
-            .agg(F.count(F.lit(1)).alias("g"))
-            .orderBy(F.desc("g"), F.asc("doc_id"))
-            .limit(1)
-            .collect()  # 1-row argmax — the only per-round transfer
-        )
-        if not top:
-            break
-        doc, gain = top[0]["doc_id"], top[0]["g"]
-        coverage += gain  # marginal gain IS the newly covered count
-        selected.append(doc)
-        rows.append((r, doc, gain, coverage))
+    try:
+        for r in range(1, COVERAGE_K + 1):
+            top = (
+                _coverage_candidates(tok, selected)
+                .groupBy("doc_id")
+                .agg(F.count(F.lit(1)).alias("g"))
+                .orderBy(F.desc("g"), F.asc("doc_id"))
+                .limit(1)
+                .collect()  # 1-row argmax — the only per-round transfer
+            )
+            if not top:
+                break
+            doc, gain = top[0]["doc_id"], top[0]["g"]
+            coverage += gain  # marginal gain IS the newly covered count
+            selected.append(doc)
+            rows.append((r, doc, gain, coverage))
+    finally:
+        # unpersist-on-return: the result is driver rows with no
+        # lineage on the token frame, so the cache releases here and
+        # composed callers never accumulate it
+        tok.unpersist()
     return spark.createDataFrame(
         rows, "sel_order: long, doc_id: long, gain: long, cum_coverage: long"
     )
