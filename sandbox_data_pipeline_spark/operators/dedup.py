@@ -337,7 +337,9 @@ def minhash_candidate_pairs(
     )
 
 
-def duplicate_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+def duplicate_clusters(
+    pairs: DataFrame, max_iter: int = 20, stats: dict | None = None
+) -> DataFrame:
     """Resolve near-duplicate PAIRS into CLUSTERS (connected
     components): output (doc_id, cluster_id) where cluster_id is the
     minimum doc id reachable through the pair graph — the canonical
@@ -354,7 +356,11 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     per round) and the previous round is dropped, so lineage stays
     flat. Raises RuntimeError if max_iter rounds were insufficient —
     silently returning half-propagated labels would split one connected
-    component into several clusters."""
+    component into several clusters.
+
+    ``stats`` (optional dict) receives {"iterations", "n_nodes"} —
+    the 10x blow-up stress (tools/blowup_stress.py) asserts the
+    pointer-jumping round count against the log2(N) bound."""
     # Undirect the edges with ONE explode, not a union of two selects:
     # Catalyst does not share common subplans across union branches, so
     # the union form would execute the whole upstream pair pipeline
@@ -379,7 +385,9 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         .persist()
     )
     changed = -1
+    n_rounds = 0
     for _ in range(max_iter):
+        n_rounds += 1
         neighbor_min = (
             edges.join(labels, edges.b == labels.node)
             .groupBy("a")
@@ -429,6 +437,9 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
             f"duplicate_clusters did not converge within {max_iter} rounds "
             f"({changed} labels still changing); raise max_iter"
         )
+    if stats is not None:
+        stats["iterations"] = n_rounds
+        stats["n_nodes"] = labels.count()
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 

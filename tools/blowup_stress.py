@@ -53,6 +53,43 @@ def build_blowup(spark, src: str, factor: int) -> str:
             *[c for c in df.columns if c != idc],
         )
         blown.write.mode("overwrite").parquet(os.path.join(out, f"{tbl}.parquet"))
+    # Join/skew family (round-12 verdict item): replicate the fact
+    # tables with CONSISTENT key offsets — lineitem.l_orderkey and
+    # orders.o_orderkey shift by the same base so the join fan-out per
+    # key is unchanged while the corpus is factor x bigger; events
+    # offset user_id too, so per-user event density (the asof/range
+    # join fan-out driver) stays constant — the realistic scale-up.
+    from sandbox_data_pipeline_spark.catalog import table as cat_table
+
+    obase = (
+        cat_table(spark, src, "orders").agg(F.max("o_orderkey")).first()[0]
+        + 1
+    )
+    ebase = (
+        cat_table(spark, src, "events")
+        .agg(F.max("event_id"), F.max("user_id"))
+        .first()
+    )
+    eid_base, uid_base = ebase[0] + 1, ebase[1] + 1
+    reps = spark.range(factor).select(F.col("id").alias("_rep"))
+    shifts = {
+        "lineitem": {"l_orderkey": obase},
+        "orders": {"o_orderkey": obase},
+        "events": {"event_id": eid_base, "user_id": uid_base},
+    }
+    for tbl, cols in shifts.items():
+        # catalog scan: nanos-ts conversion + money decimals — the
+        # written copy re-reads cleanly through the same catalog
+        df = cat_table(spark, src, tbl)
+        blown = df.crossJoin(F.broadcast(reps)).select(
+            *[
+                (F.col(c) + F.col("_rep") * F.lit(cols[c])).alias(c)
+                if c in cols
+                else F.col(c)
+                for c in df.columns
+            ]
+        )
+        blown.write.mode("overwrite").parquet(os.path.join(out, f"{tbl}.parquet"))
     for f in os.listdir(src):
         dst = os.path.join(out, f)
         if not os.path.exists(dst):
@@ -166,6 +203,122 @@ def shingle_stress(spark, sf_dir: str) -> dict:
     }
 
 
+def _max_task_shuffle_bytes(spark, group: str) -> dict:
+    """Max per-TASK shuffle read/write bytes over every stage of a
+    job group, from the UI REST API (the only surface where per-task
+    maxima survive — SQL metrics accumulate sums). This is the
+    'max-partition bytes' number the verdict asked for: the largest
+    single shuffle partition any task had to hold."""
+    import urllib.request
+
+    base = spark.sparkContext.uiWebUrl
+    app = spark.sparkContext.applicationId
+    tracker = spark.sparkContext.statusTracker()
+    stage_ids = set()
+    for jid in tracker.getJobIdsForGroup(group):
+        info = tracker.getJobInfo(jid)
+        if info is not None:
+            stage_ids.update(info.stageIds)
+    mx_read = mx_write = 0
+    for sid in sorted(stage_ids):
+        url = (
+            f"{base}/api/v1/applications/{app}/stages/{sid}"
+            f"?details=false&taskStatus=SUCCESS"
+        )
+        try:
+            with urllib.request.urlopen(url, timeout=10) as r:
+                for attempt in json.load(r):
+                    url2 = (
+                        f"{base}/api/v1/applications/{app}/stages/{sid}/"
+                        f"{attempt['attemptId']}/taskSummary?quantiles=1.0"
+                    )
+                    with urllib.request.urlopen(url2, timeout=10) as r2:
+                        q = json.load(r2)
+                    sr = q.get("shuffleReadMetrics", {})
+                    read = (sr.get("readBytes") or [0])[-1]
+                    sw = q.get("shuffleWriteMetrics", {})
+                    write = (sw.get("writeBytes") or [0])[-1]
+                    mx_read = max(mx_read, int(read))
+                    mx_write = max(mx_write, int(write))
+        except Exception:  # noqa: BLE001 — a stage with no tasks 404s
+            continue
+    return {
+        "max_task_shuffle_read_bytes": mx_read,
+        "max_task_shuffle_write_bytes": mx_write,
+    }
+
+
+def join_stress(spark, sf_dir: str) -> dict:
+    """Salted / as-of / range / bucketed-IVF joins at the blown-up
+    corpus: wall time, total shuffle, spill (must stay 0), and the
+    max per-task shuffle bytes (the straggler partition)."""
+    sys.path.insert(0, "tools")
+    from shuffle_audit import walk_metrics
+
+    from sandbox_data_pipeline_spark.queries import registry
+
+    qs, _ = registry()
+    out = {}
+    for name in (
+        "q_join_salted",
+        "q_join_asof",
+        "q_join_range",
+        "q_similarity_ivf_kmeans_topk",
+    ):
+        sc = spark.sparkContext
+        group = f"blowup-{name}"
+        sc.setJobGroup(group, name)
+        t0 = time.time()
+        df = qs[name](spark, sf_dir)
+        rows = df.count()
+        wall = time.time() - t0
+        acc = {"shuffle_bytes": 0, "spill_bytes": 0, "exchanges": 0}
+        walk_metrics(df._jdf.queryExecution().executedPlan(), set(), acc)
+        sc.setJobGroup("idle", "")
+        entry = {
+            "wall_sec": round(wall, 2),
+            "rows": rows,
+            "exchanges": acc["exchanges"],
+            "shuffle_bytes": int(acc["shuffle_bytes"]),
+            "spill_bytes": int(acc["spill_bytes"]),
+        }
+        entry.update(_max_task_shuffle_bytes(spark, group))
+        out[name] = entry
+    return out
+
+
+def cc_stress(spark, sf_dir: str) -> dict:
+    """Connected components (pointer-jumping min-label propagation) at
+    the blown-up corpus: iteration count must stay within the
+    log2(N) + 1 bound (each round at least doubles how far a small
+    label has spread)."""
+    import math
+
+    from sandbox_data_pipeline_spark.operators.dedup import (
+        duplicate_clusters,
+    )
+    from sandbox_data_pipeline_spark.queries.dedup import (
+        q_dedup_minhash_pairs,
+    )
+
+    t0 = time.time()
+    pairs = q_dedup_minhash_pairs(spark, sf_dir)
+    stats: dict = {}
+    clusters = duplicate_clusters(pairs, stats=stats)
+    n_clustered = clusters.count()
+    wall = time.time() - t0
+    n_nodes = stats["n_nodes"]
+    bound = math.ceil(math.log2(max(n_nodes, 2))) + 1
+    return {
+        "wall_sec": round(wall, 2),
+        "n_nodes": n_nodes,
+        "n_clustered_rows": n_clustered,
+        "iterations": stats["iterations"],
+        "log2_bound": bound,
+        "iterations_within_bound": stats["iterations"] <= bound,
+    }
+
+
 def main() -> None:
     factor = FACTOR
     src = "/root/testdata/sf0.1"
@@ -196,11 +349,16 @@ def main() -> None:
         "build_sec": round(time.time() - t0, 2),
     }
     print(f"[blowup] built {bdir}", file=sys.stderr, flush=True)
+    only = args[args.index("--only") + 1].split(",") if "--only" in args else None
     for name, fn in (
         ("image_band_cap", image_stress),
         ("video_band_cap", video_stress),
         ("shingle_df_cap", shingle_stress),
+        ("join_family", join_stress),
+        ("connected_components", cc_stress),
     ):
+        if only is not None and name not in only:
+            continue
         print(f"[blowup] {name}", file=sys.stderr, flush=True)
         result[name] = fn(spark, bdir)
     print(json.dumps(result, separators=(",", ":")))

@@ -202,6 +202,15 @@ def check_constants() -> list[str]:
         ("MAP_QUERIES", qtext),
         ("MAP_REL_TERM", qtext),
         ("DD_SUB", osk),
+        ("EWMA_ALPHA", qana),
+        ("CONF_ALPHA_NUM", qana),
+        ("CONF_ALPHA_DEN", qana),
+        ("ISO_BINS", qana),
+        ("ISO_CENTS_PER_BIN", qana),
+        ("SEQ_MINSUP_PCT", qana),
+        ("POWER_MDE_PCT", qana),
+        ("POWER_Z_ALPHA", qana),
+        ("POWER_Z_BETA", qana),
     ]
     errs = []
     for cname, mod in pairs:

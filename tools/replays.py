@@ -2851,3 +2851,477 @@ def build_goldens() -> dict[str, list[dict]]:
 
 
 GOLDENS = build_goldens()
+
+
+# ---------------------------------------------------------------------------
+# round-12 wave 2: time-series / causal-adjacent / mining family
+# ---------------------------------------------------------------------------
+
+EWMA_ALPHA = 0.2  # queries/analytics.py EWMA_ALPHA
+CONF_ALPHA_NUM = 9  # queries/analytics.py CONF_ALPHA_NUM
+CONF_ALPHA_DEN = 10  # queries/analytics.py CONF_ALPHA_DEN
+ISO_BINS = 16  # queries/analytics.py ISO_BINS
+ISO_CENTS_PER_BIN = 40_000_00  # queries/analytics.py ISO_CENTS_PER_BIN
+SEQ_MINSUP_PCT = 5  # queries/analytics.py SEQ_MINSUP_PCT
+POWER_MDE_PCT = 5  # queries/analytics.py POWER_MDE_PCT
+POWER_Z_ALPHA = 1.959963985  # queries/analytics.py POWER_Z_ALPHA
+POWER_Z_BETA = 0.841621234  # queries/analytics.py POWER_Z_BETA
+
+
+def _hourly_counts(t: Tables) -> dict:
+    """(event_type, hour_ts) -> count over the events stream."""
+    out: dict = {}
+    for et, ts in zip(t.events["event_type"], t.events["ts"]):
+        key = (str(et), ts.floor("h"))
+        out[key] = out.get(key, 0) + 1
+    return out
+
+
+def _daily_counts_by_type(t: Tables) -> dict:
+    out: dict = {}
+    for et, ts in zip(t.events["event_type"], t.events["ts"]):
+        key = (str(et), pd.Timestamp(ts.date()))
+        out[key] = out.get(key, 0) + 1
+    return out
+
+
+@replay("q_histogram_equidepth")
+def r_histogram_equidepth(t: Tables) -> pd.DataFrame:
+    """Exact equi-depth histogram: bucket = 0-based rank * 10 // N
+    (ties broken by orderkey), per-bucket count / min / max."""
+    o = t.orders
+    v = _money(o["o_totalprice"])
+    keys = o["o_orderkey"].to_numpy(np.int64)
+    order = np.lexsort((keys, v))
+    n = len(v)
+    buckets: dict[int, list] = {}
+    for gid, idx in enumerate(order):
+        b = (gid * 10) // n + 1
+        val = float(v[idx])
+        row = buckets.setdefault(b, [0, val, val])
+        row[0] += 1
+        row[1] = min(row[1], val)
+        row[2] = max(row[2], val)
+    return pd.DataFrame(
+        [(b, c, lo, hi) for b, (c, lo, hi) in sorted(buckets.items())],
+        columns=["bucket", "n", "lo", "hi"],
+    )
+
+
+@replay("q_timeseries_decompose")
+def r_timeseries_decompose(t: Tables) -> pd.DataFrame:
+    """Seasonal-naive decomposition: hour-of-day mean per type as the
+    seasonal component, residual = n - seasonal."""
+    hourly = _hourly_counts(t)
+    groups: dict = {}
+    for (et, hts), n in hourly.items():
+        groups.setdefault((et, hts.hour), []).append(n)
+    rows = []
+    for (et, hts), n in hourly.items():
+        vals = groups[(et, hts.hour)]
+        seas = sum(vals) / len(vals)
+        rows.append((et, hts, n, seas, n - seas))
+    return pd.DataFrame(
+        rows, columns=["event_type", "hour_ts", "n", "seasonal", "residual"]
+    )
+
+
+@replay("q_ewma_smooth")
+def r_ewma_smooth(t: Tables) -> pd.DataFrame:
+    """EWMA by the TEXTBOOK recursion e_1 = x_1,
+    e_i = a x_i + (1-a) e_{i-1} — the engine evaluates the closed-form
+    weight sum instead, so agreement proves the expansion."""
+    hourly = _hourly_counts(t)
+    series: dict = {}
+    for (et, hts), n in sorted(hourly.items(), key=lambda kv: kv[0]):
+        series.setdefault(et, []).append((hts, n))
+    rows = []
+    for et, pts in series.items():
+        e = None
+        for hts, x in pts:
+            e = x if e is None else EWMA_ALPHA * x + (1 - EWMA_ALPHA) * e
+            rows.append((et, hts, x, e, abs(x - e)))
+    return pd.DataFrame(
+        rows, columns=["event_type", "hour_ts", "n", "ewma", "deviation"]
+    )
+
+
+@replay("q_linear_fit")
+def r_linear_fit(t: Tables) -> pd.DataFrame:
+    """Per-segment OLS from exact integer cents moments (arbitrary-
+    precision Python ints), closed form in float64."""
+    li = t.lineitem
+    segs: dict[str, list] = {}
+    qx = np.rint(_money(li["l_quantity"]) * 100).astype(np.int64)
+    px = np.rint(_money(li["l_extendedprice"]) * 100).astype(np.int64)
+    for seg, x, y in zip(li["l_returnflag"], qx, px):
+        segs.setdefault(str(seg), []).append((int(x), int(y)))
+    rows = []
+    for seg, pts in sorted(segs.items()):
+        n = float(len(pts))
+        sx = float(sum(x for x, _ in pts))
+        sy = float(sum(y for _, y in pts))
+        sxx = float(sum(x * x for x, _ in pts))
+        sxy = float(sum(x * y for x, y in pts))
+        syy = float(sum(y * y for _, y in pts))
+        slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+        intercept = (sy - slope * sx) / n
+        r = (n * sxy - sx * sy) / math.sqrt(
+            (n * sxx - sx * sx) * (n * syy - sy * sy)
+        )
+        rows.append((seg, int(n), slope, intercept, r * r))
+    return pd.DataFrame(
+        rows, columns=["seg", "n_rows", "slope", "intercept", "r2"]
+    )
+
+
+@replay("q_seasonal_index")
+def r_seasonal_index(t: Tables) -> pd.DataFrame:
+    """Hour-of-day seasonal index: (sum_h * N) / (n_h * S) from exact
+    floor-cents integers."""
+    e = t.events
+    # value is DECIMAL(12,2) at the engine's scan (catalog.MONEY_COLS),
+    # so floor(value * 100) is the EXACT cents — rint, not float-floor
+    cents = np.rint(_money(e["value"]) * 100.0).astype(np.int64)
+    byh: dict[int, list] = {}
+    for ts, c in zip(e["ts"], cents):
+        row = byh.setdefault(ts.hour, [0, 0])
+        row[0] += 1
+        row[1] += int(c)
+    tot_n = sum(v[0] for v in byh.values())
+    tot_s = sum(v[1] for v in byh.values())
+    rows = [
+        (hr, n, s, (s * tot_n) / (n * tot_s))
+        for hr, (n, s) in sorted(byh.items())
+    ]
+    return pd.DataFrame(
+        rows, columns=["hr", "n_events", "sum_cents", "index_x"]
+    )
+
+
+@replay("q_cusum_changepoints")
+def r_cusum_changepoints(t: Tables) -> pd.DataFrame:
+    """One-sided CUSUM by the TEXTBOOK recursion S_t = max(0,
+    S_{t-1} + z_t) in scaled integers — the engine evaluates the
+    prefix-sum/running-min closed form instead."""
+    daily = _daily_counts_by_type(t)
+    series: dict = {}
+    for (et, d), x in sorted(daily.items(), key=lambda kv: kv[0]):
+        series.setdefault(et, []).append((d, x))
+    rows = []
+    for et, pts in series.items():
+        n_days = len(pts)
+        total = sum(x for _, x in pts)
+        s = 0
+        for d, x in pts:
+            s = max(0, s + (n_days * x - total))
+            rows.append((et, d, x, s, int(s > total)))
+    return pd.DataFrame(
+        rows, columns=["event_type", "d", "x", "s", "is_change"]
+    )
+
+
+@replay("q_association_rules")
+def r_association_rules(t: Tables) -> pd.DataFrame:
+    """A-priori pair rules over order baskets: support >= 3 pairs of
+    items each in >= 20 baskets; confidence/lift as exact half-away
+    4-decimal ratios."""
+    li = t.lineitem
+    baskets: dict[int, set] = {}
+    for o, p in zip(li["l_orderkey"], li["l_partkey"]):
+        baskets.setdefault(int(o), set()).add(int(p))
+    item: dict[int, int] = {}
+    for items in baskets.values():
+        for p in items:
+            item[p] = item.get(p, 0) + 1
+    frequent = {p for p, c in item.items() if c >= 20}
+    pair: dict = {}
+    for items in baskets.values():
+        fi = sorted(i for i in items if i in frequent)
+        for i in range(len(fi)):
+            for j in range(i + 1, len(fi)):
+                pair[(fi[i], fi[j])] = pair.get((fi[i], fi[j]), 0) + 1
+    nb = len(baskets)
+    rows = []
+    for (pa, pb), np_ in sorted(pair.items()):
+        if np_ < 3:
+            continue
+        na, nbb = item[pa], item[pb]
+        rows.append(
+            (
+                pa, pb, np_, na, nbb,
+                _half_away_ratio(np_, na, 4),
+                _half_away_ratio(np_, nbb, 4),
+                _half_away_ratio(np_ * nb, na * nbb, 4),
+            )
+        )
+    return pd.DataFrame(
+        rows,
+        columns=[
+            "p_a", "p_b", "n_pair", "n_a", "n_b",
+            "conf_ab", "conf_ba", "lift",
+        ],
+    )
+
+
+@replay("q_rolling_median")
+def r_rolling_median(t: Tables) -> pd.DataFrame:
+    """Trailing-7-row lower median of daily counts per type: element
+    floor((n-1)/2) of the sorted window — pure order statistics."""
+    daily = _daily_counts_by_type(t)
+    series: dict = {}
+    for (et, d), x in sorted(daily.items(), key=lambda kv: kv[0]):
+        series.setdefault(et, []).append((d, x))
+    rows = []
+    for et, pts in series.items():
+        for i, (d, x) in enumerate(pts):
+            win = sorted(v for _, v in pts[max(0, i - 6) : i + 1])
+            rows.append((et, d, x, win[(len(win) - 1) // 2]))
+    return pd.DataFrame(
+        rows, columns=["event_type", "d", "n_events", "rolling_median7"]
+    )
+
+
+@replay("q_conformal_interval")
+def r_conformal_interval(t: Tables) -> pd.DataFrame:
+    """Split-conformal interval: group-mean model on even keys, q-hat
+    = ceil(0.9 (n+1))-th smallest calibration residual, coverage on
+    odd keys."""
+    from decimal import Decimal
+
+    o = t.orders
+    is_cal = (o["o_orderkey"].to_numpy(np.int64) % 2) == 0
+    prio = o["o_orderpriority"].astype(str).to_numpy()
+    cents = np.rint(_money(o["o_totalprice"]) * 100).astype(np.int64)
+    sums: dict[str, list] = {}
+    for p, c, ic in zip(prio, cents, is_cal):
+        if ic:
+            row = sums.setdefault(p, [0, 0])
+            row[0] += int(c)
+            row[1] += 1
+    yhat = {
+        p: float(Decimal(s).scaleb(-2)) / n for p, (s, n) in sums.items()
+    }
+    r_cal, r_test = [], []
+    for p, c, ic in zip(prio, cents, is_cal):
+        r = abs(float(Decimal(int(c)).scaleb(-2)) - yhat[p])
+        (r_cal if ic else r_test).append(r)
+    r_cal.sort()
+    n_cal = len(r_cal)
+    rank = min(n_cal, -(-(CONF_ALPHA_NUM * (n_cal + 1)) // CONF_ALPHA_DEN))
+    qhat = r_cal[rank - 1]
+    n_in = sum(1 for r in r_test if r <= qhat)
+    return pd.DataFrame(
+        {
+            "n_cal": [n_cal],
+            "n_test": [len(r_test)],
+            "qhat": [qhat],
+            "coverage": [n_in / len(r_test)],
+        }
+    )
+
+
+@replay("q_mase_forecast_eval")
+def r_mase_forecast_eval(t: Tables) -> pd.DataFrame:
+    """MASE: seasonal-naive (lag 7) vs naive (lag 1) absolute errors
+    over calendar-matched day pairs, exact integer sums."""
+    counts: dict = {}
+    for ts in t.events["ts"]:
+        d = ts.date()
+        counts[d] = counts.get(d, 0) + 1
+
+    def err(k: int):
+        import datetime
+
+        n = ae = 0
+        for d, x in counts.items():
+            prev = d - datetime.timedelta(days=k)
+            if prev in counts:
+                n += 1
+                ae += abs(x - counts[prev])
+        return n, ae
+
+    ns, aes = err(7)
+    nn, aen = err(1)
+    mae_s, mae_n = aes / ns, aen / nn
+    return pd.DataFrame(
+        {
+            "n_seasonal": [ns],
+            "n_naive": [nn],
+            "mae_seasonal": [mae_s],
+            "mae_naive": [mae_n],
+            "mase": [0.0 if mae_n == 0.0 else mae_s / mae_n],
+        }
+    )
+
+
+@replay("q_isotonic_calibration")
+def r_isotonic_calibration(t: Tables) -> pd.DataFrame:
+    """Isotonic fit by the SEQUENTIAL pool-adjacent-violators
+    algorithm (stack form) — a genuinely different algorithm from the
+    engine's minimax closed form; equality proves the fit."""
+    o = t.orders
+    cents = _trunc_cents(o["o_totalprice"])
+    bins: dict[int, list] = {}
+    for c, st in zip(cents, o["o_orderstatus"]):
+        b = min(ISO_BINS - 1, int(c) // ISO_CENTS_PER_BIN)
+        row = bins.setdefault(b, [0, 0])
+        row[0] += 1
+        row[1] += int(str(st) == "F")
+    ordered = sorted(bins.items())
+    # PAVA: blocks of (sum_k, sum_n, members); merge while decreasing
+    stack: list[list] = []
+    for b, (n, k) in ordered:
+        stack.append([k, n, [b]])
+        while len(stack) >= 2 and (
+            stack[-2][0] * stack[-1][1] >= stack[-1][0] * stack[-2][1]
+        ):
+            k2, n2, m2 = stack.pop()
+            stack[-1][0] += k2
+            stack[-1][1] += n2
+            stack[-1][2].extend(m2)
+    rate = {}
+    for k, n, members in stack:
+        for b in members:
+            rate[b] = k / n
+    return pd.DataFrame(
+        [(b, n, k, rate[b]) for b, (n, k) in ordered],
+        columns=["bin", "n_orders", "n_pos", "iso_rate"],
+    )
+
+
+@replay("q_sequence_mining")
+def r_sequence_mining(t: Tables) -> pd.DataFrame:
+    """GSP-style frequent subsequences by the TEXTBOOK subsequence
+    test: per user ordered type sequence, brute-force existence scan
+    per candidate pattern — the engine's min/max-position compression
+    must agree."""
+    e = t.events.sort_values(["user_id", "ts", "event_id"])
+    seqs: dict[int, list[str]] = {}
+    for u, et in zip(e["user_id"], e["event_type"]):
+        seqs.setdefault(int(u), []).append(str(et))
+    types = sorted({et for s in seqs.values() for et in s})
+    n_users = len(seqs)
+    minsup = max(1, (n_users * SEQ_MINSUP_PCT) // 100)
+
+    def is_subseq(pat: tuple, seq: list[str]) -> bool:
+        i = 0
+        for x in seq:
+            if x == pat[i]:
+                i += 1
+                if i == len(pat):
+                    return True
+        return False
+
+    rows = []
+    for length in (2, 3):
+        import itertools
+
+        for pat in itertools.product(types, repeat=length):
+            sup = sum(1 for s in seqs.values() if is_subseq(pat, s))
+            if sup >= minsup:
+                rows.append((">".join(pat), length, sup))
+    return pd.DataFrame(rows, columns=["pattern", "length", "support"])
+
+
+@replay("q_power_analysis")
+def r_power_analysis(t: Tables) -> pd.DataFrame:
+    """A/B sample size n = 2 sigma^2 (z_a + z_b)^2 / delta^2 from
+    exact cents moments; days_needed at the observed event rate."""
+    e = t.events
+    c = _round_cents(e["value"])
+    n = len(c)
+    s = int(c.astype(object).sum())
+    ss = int((c.astype(object) * c.astype(object)).sum())
+    users = e["user_id"].nunique()
+    days = e["ts"].map(lambda x: x.date()).nunique()
+    mean = s / n
+    var = ss / n - mean * mean
+    delta = mean * (POWER_MDE_PCT / 100.0)
+    z = POWER_Z_ALPHA + POWER_Z_BETA
+    n_arm = math.ceil(2.0 * var * z * z / (delta * delta))
+    return pd.DataFrame(
+        {
+            "n_events": [n],
+            "metric_mean": [mean / 100.0],
+            "metric_sd": [math.sqrt(var) / 100.0],
+            "n_per_arm": [n_arm],
+            "days_needed": [math.ceil(2.0 * n_arm / (n / days))],
+        }
+    )
+
+
+@replay("q_srm_check")
+def r_srm_check(t: Tables) -> pd.DataFrame:
+    """Sample-ratio-mismatch chi-square on the portable 60-bit md5
+    50/50 user split."""
+    users = {str(int(u)) for u in t.events["user_id"]}
+    n0 = sum(1 for u in users if _portable_hash(u, salt="srm") % 2 == 0)
+    n1 = len(users) - n0
+    ex = (n0 + n1) / 2.0
+    chi = (n0 - ex) ** 2 / ex + (n1 - ex) ** 2 / ex
+    return pd.DataFrame(
+        {
+            "n_arm0": [n0],
+            "n_arm1": [n1],
+            "chi2": [chi],
+            "srm_flag": [int(chi > 3.841)],
+        }
+    )
+
+
+@replay("q_item_cooccurrence")
+def r_item_cooccurrence(t: Tables) -> pd.DataFrame:
+    """Item-item co-occurrence: distinct (user, type) pairs, cosine =
+    c_ab / sqrt(c_a c_b), lift = c_ab N / (c_a c_b)."""
+    e = t.events
+    ui = {(int(u), str(et)) for u, et in zip(e["user_id"], e["event_type"])}
+    n_users = len({u for u, _ in ui})
+    c_item: dict[str, int] = {}
+    by_user: dict[int, list] = {}
+    for u, it in ui:
+        c_item[it] = c_item.get(it, 0) + 1
+        by_user.setdefault(u, []).append(it)
+    pair: dict = {}
+    for items in by_user.values():
+        items = sorted(items)
+        for i in range(len(items)):
+            for j in range(i + 1, len(items)):
+                pair[(items[i], items[j])] = pair.get(
+                    (items[i], items[j]), 0
+                ) + 1
+    rows = []
+    for (a, b), cab in sorted(pair.items()):
+        ca, cb = c_item[a], c_item[b]
+        rows.append(
+            (
+                a, b, ca, cb, cab,
+                cab / math.sqrt(float(ca * cb)),
+                float(cab * n_users) / float(ca * cb),
+            )
+        )
+    return pd.DataFrame(
+        rows,
+        columns=["item_a", "item_b", "n_a", "n_b", "n_ab", "cosine", "lift"],
+    )
+
+
+@replay("q_event_transitions")
+def r_event_transitions(t: Tables) -> pd.DataFrame:
+    """First-order Markov transition counts over per-user (ts,
+    event_id)-ordered streams; share scaled x10000."""
+    e = t.events.sort_values(["user_id", "ts", "event_id"])
+    counts: dict = {}
+    prev_u = prev_t = None
+    for u, et in zip(e["user_id"], e["event_type"]):
+        if prev_u == u:
+            counts[(prev_t, str(et))] = counts.get((prev_t, str(et)), 0) + 1
+        prev_u, prev_t = u, str(et)
+    totals: dict = {}
+    for (src, _), n in counts.items():
+        totals[src] = totals.get(src, 0) + n
+    rows = [
+        (src, dst, n, n * 10000 / totals[src])
+        for (src, dst), n in sorted(counts.items())
+    ]
+    return pd.DataFrame(rows, columns=["src", "dst", "n_trans", "p_x10000"])
