@@ -211,6 +211,14 @@ def check_constants() -> list[str]:
         ("POWER_MDE_PCT", qana),
         ("POWER_Z_ALPHA", qana),
         ("POWER_Z_BETA", qana),
+        ("PPR_SEED_MOD", qd),
+        ("PPR_ITER", qd),
+        ("PPR_D", qd),
+        ("BM25_TERMS", (qtext, "BM25_TERMS")),
+        ("BM25_K", qtext),
+        ("TEXTRANK_TOP", qtext),
+        ("CMS_DEPTH", osk),
+        ("CMS_WIDTH", osk),
     ]
     errs = []
     for cname, mod in pairs:

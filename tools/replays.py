@@ -3325,3 +3325,411 @@ def r_event_transitions(t: Tables) -> pd.DataFrame:
         for (src, dst), n in sorted(counts.items())
     ]
     return pd.DataFrame(rows, columns=["src", "dst", "n_trans", "p_x10000"])
+
+
+# ---------------------------------------------------------------------------
+# round-12 wave 3: graph family over the near-dup pair graph
+# ---------------------------------------------------------------------------
+
+PPR_SEED_MOD = 10  # queries/dedup.py PPR_SEED_MOD
+PPR_ITER = 4  # queries/dedup.py PPR_ITER
+PPR_D = 0.85  # queries/dedup.py PPR_D
+
+
+def _dup_graph(t: Tables):
+    """Undirected near-dup graph from the independent MinHash pair
+    replay: (ordered pair list, directed both-orientation edge list,
+    degree map)."""
+    pairs = [(a, b) for a, b, _ in _minhash_pairs_replay(t)]
+    edges = [(a, b) for a, b in pairs] + [(b, a) for a, b in pairs]
+    deg: dict[int, int] = {}
+    for s, _ in edges:
+        deg[s] = deg.get(s, 0) + 1
+    return pairs, edges, deg
+
+
+@replay("q_dup_triangles")
+def r_dup_triangles(t: Tables) -> pd.DataFrame:
+    """Triangle count by direct set lookup over the ordered pair
+    list (a<b<c once each) — no join enumeration."""
+    pairs, _, _ = _dup_graph(t)
+    pset = set(pairs)
+    nbrs: dict[int, list[int]] = {}
+    for a, b in pairs:
+        nbrs.setdefault(a, []).append(b)
+    n_tri = 0
+    for a, bs in nbrs.items():
+        bs = sorted(bs)
+        for i in range(len(bs)):
+            for j in range(i + 1, len(bs)):
+                if (bs[i], bs[j]) in pset:
+                    n_tri += 1
+    return pd.DataFrame({"n_triangles": [n_tri]})
+
+
+@replay("q_dup_degree_dist")
+def r_dup_degree_dist(t: Tables) -> pd.DataFrame:
+    _, _, deg = _dup_graph(t)
+    dist: dict[int, int] = {}
+    for d in deg.values():
+        dist[d] = dist.get(d, 0) + 1
+    return pd.DataFrame(
+        sorted(dist.items()), columns=["degree", "n_nodes"]
+    )
+
+
+@replay("q_pagerank_dups")
+def r_pagerank_dups(t: Tables) -> pd.DataFrame:
+    """Textbook power iteration (5 rounds, d = 0.85, uniform init)
+    over the undirected dup graph — the engine runs the same update
+    as BSP joins; no sinks, so no dangling term."""
+    _, edges, deg = _dup_graph(t)
+    nodes = sorted(deg)
+    n = len(nodes)
+    rank = {v: 1.0 / n for v in nodes}
+    for _ in range(5):
+        s: dict[int, float] = {v: 0.0 for v in nodes}
+        for src, dst in edges:
+            s[dst] += rank[src] / deg[src]
+        rank = {v: (1.0 - 0.85) / n + 0.85 * s[v] for v in nodes}
+    return pd.DataFrame(
+        [(v, deg[v], rank[v], rank[v] * n) for v in nodes],
+        columns=["doc_id", "deg", "pagerank", "rank_rel"],
+    )
+
+
+@replay("q_hits_dups")
+def r_hits_dups(t: Tables) -> pd.DataFrame:
+    """HITS in exact ints (3 rounds, init 1, no in-loop
+    normalization) on the DIRECTED graph doc_b -> doc_a; final
+    relative scores are single divisions by the max."""
+    pairs, _, _ = _dup_graph(t)
+    e = [(b, a) for a, b in pairs]  # src=doc_b (newer), dst=doc_a
+    nodes = sorted({x for pr in e for x in pr})
+    a = {v: 1 for v in nodes}
+    h = {v: 1 for v in nodes}
+    for _ in range(3):
+        a_new = {v: 0 for v in nodes}
+        for s, d in e:
+            a_new[d] += h[s]
+        a = a_new
+        h_new = {v: 0 for v in nodes}
+        for s, d in e:
+            h_new[s] += a[d]
+        h = h_new
+    ma, mh = max(a.values()), max(h.values())
+    return pd.DataFrame(
+        [
+            (
+                v, a[v], h[v],
+                a[v] / ma if ma > 0 else 0.0,
+                h[v] / mh if mh > 0 else 0.0,
+            )
+            for v in nodes
+        ],
+        columns=[
+            "doc_id", "authority_raw", "hub_raw",
+            "authority_rel", "hub_rel",
+        ],
+    )
+
+
+@replay("q_ppr_influence")
+def r_ppr_influence(t: Tables) -> pd.DataFrame:
+    """Personalized PageRank (4 rounds, d = 0.85) with the %10 == 0
+    seed set, textbook power iteration."""
+    _, edges, deg = _dup_graph(t)
+    nodes = sorted(deg)
+    seeds = [v for v in nodes if v % PPR_SEED_MOD == 0]
+    ns = len(seeds)
+    rank = {v: (1.0 / ns if v % PPR_SEED_MOD == 0 else 0.0) for v in nodes}
+    for _ in range(PPR_ITER):
+        s: dict[int, float] = {v: 0.0 for v in nodes}
+        for src, dst in edges:
+            s[dst] += rank[src] / deg[src]
+        rank = {
+            v: (1.0 - PPR_D) * ((1.0 / ns) if v % PPR_SEED_MOD == 0 else 0.0)
+            + PPR_D * s[v]
+            for v in nodes
+        }
+    return pd.DataFrame(
+        [
+            (v, deg[v], int(v % PPR_SEED_MOD == 0), rank[v])
+            for v in nodes
+        ],
+        columns=["doc_id", "deg", "is_seed", "ppr"],
+    )
+
+
+@replay("q_assortativity")
+def r_assortativity(t: Tables) -> pd.DataFrame:
+    """Newman degree assortativity: Pearson r of endpoint degrees
+    over the directed edge list, exact integer moments."""
+    _, edges, deg = _dup_graph(t)
+    n = len(edges)
+    sx = sum(deg[s] for s, _ in edges)
+    sy = sum(deg[d] for _, d in edges)
+    sxy = sum(deg[s] * deg[d] for s, d in edges)
+    sxx = sum(deg[s] ** 2 for s, _ in edges)
+    syy = sum(deg[d] ** 2 for _, d in edges)
+    vx = float(n * sxx - sx * sx)
+    vy = float(n * syy - sy * sy)
+    den = math.sqrt(vx * vy)
+    r = 0.0 if den == 0.0 else float(n * sxy - sx * sy) / den
+    return pd.DataFrame({"n_edges": [n], "assortativity": [r]})
+
+
+@replay("q_clustering_coeff")
+def r_clustering_coeff(t: Tables) -> pd.DataFrame:
+    """Local clustering coefficient: per-node triangle membership /
+    C(deg, 2), triangles by set lookup."""
+    pairs, _, deg = _dup_graph(t)
+    pset = set(pairs)
+    nbrs: dict[int, list[int]] = {}
+    for a, b in pairs:
+        nbrs.setdefault(a, []).append(b)
+    n_tri: dict[int, int] = {}
+    for a, bs in nbrs.items():
+        bs = sorted(bs)
+        for i in range(len(bs)):
+            for j in range(i + 1, len(bs)):
+                if (bs[i], bs[j]) in pset:
+                    for v in (a, bs[i], bs[j]):
+                        n_tri[v] = n_tri.get(v, 0) + 1
+    rows = []
+    for v in sorted(deg):
+        d = deg[v]
+        tri = n_tri.get(v, 0)
+        c = 0.0 if d < 2 else tri * 2 / (d * (d - 1))
+        rows.append((v, d, tri, c))
+    return pd.DataFrame(
+        rows, columns=["doc_id", "deg", "n_tri", "clustering"]
+    )
+
+
+@replay("q_kcore_peel")
+def r_kcore_peel(t: Tables) -> pd.DataFrame:
+    """k-core (k = 3) of the part co-purchase graph (edges = part
+    pairs sharing >= 2 baskets) by 4 peel rounds of degree < 3
+    removal — direct dict arithmetic."""
+    li = t.lineitem
+    baskets: dict[int, set] = {}
+    for o, p in zip(li["l_orderkey"], li["l_partkey"]):
+        baskets.setdefault(int(o), set()).add(int(p))
+    w: dict = {}
+    for items in baskets.values():
+        fi = sorted(items)
+        for i in range(len(fi)):
+            for j in range(i + 1, len(fi)):
+                w[(fi[i], fi[j])] = w.get((fi[i], fi[j]), 0) + 1
+    edges = [pr for pr, c in w.items() if c >= 2]
+    for _ in range(4):
+        deg: dict[int, int] = {}
+        for a, b in edges:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        keep = {v for v, d in deg.items() if d >= 3}
+        edges = [(a, b) for a, b in edges if a in keep and b in keep]
+    deg = {}
+    for a, b in edges:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    return pd.DataFrame(
+        sorted(deg.items()), columns=["part", "degree"]
+    )
+
+
+# ---------------------------------------------------------------------------
+# round-12 wave 4: retrieval / quality-rule family
+# ---------------------------------------------------------------------------
+
+BM25_TERMS = ["filter", "join", "stream"]  # queries/text.py BM25_TERMS
+BM25_K = 20  # queries/text.py BM25_K
+TEXTRANK_TOP = 30  # queries/text.py TEXTRANK_TOP
+CMS_DEPTH = 4  # operators/sketch.py CMS_DEPTH
+CMS_WIDTH = 64  # operators/sketch.py CMS_WIDTH
+
+
+def _round6(x: float) -> float:
+    return math.floor(x * 1e6 + 0.5) / 1e6
+
+
+@replay("q_tfidf_top_terms")
+def r_tfidf_top_terms(t: Tables) -> pd.DataFrame:
+    """Smooth-idf TF-IDF top-5 per doc: score = tf (ln((N+1)/(df+1))
+    + 1), rounded to 6 dp BEFORE ranking (score desc, token asc)."""
+    d = t.documents
+    n_docs = len(d)
+    tf: dict = {}
+    df: dict = {}
+    for doc_id, text in zip(d["doc_id"], d["text"]):
+        cnt: dict = {}
+        for tok in _ftoks(text):
+            cnt[tok] = cnt.get(tok, 0) + 1
+        tf[int(doc_id)] = cnt
+        for tok in cnt:
+            df[tok] = df.get(tok, 0) + 1
+    rows = []
+    for doc_id, cnt in tf.items():
+        scored = [
+            (
+                tok,
+                c,
+                _round6(c * (math.log((n_docs + 1) / (df[tok] + 1)) + 1)),
+            )
+            for tok, c in cnt.items()
+        ]
+        scored.sort(key=lambda r: (-r[2], r[0]))
+        for rank, (tok, c, s) in enumerate(scored[:5], start=1):
+            rows.append((doc_id, rank, tok, c, s))
+    df_out = pd.DataFrame(
+        rows, columns=["doc_id", "rank", "token", "tf", "score"]
+    )
+    df_out["rank"] = df_out["rank"].astype(np.int32)
+    return df_out
+
+
+@replay("q_bm25_topk")
+def r_bm25_topk(t: Tables) -> pd.DataFrame:
+    """Okapi BM25 (k1 = 1.2, b = 0.75, probabilistic idf) for the
+    pinned query terms; per-doc sums rounded to 6 dp before the
+    (bm25 desc, doc_id) top-k."""
+    d = t.documents
+    k1, b = 1.2, 0.75
+    dls: dict[int, int] = {}
+    tfs: dict = {}
+    for doc_id, text in zip(d["doc_id"], d["text"]):
+        toks = _ftoks(text)
+        dls[int(doc_id)] = len(toks)
+        for q in BM25_TERMS:
+            c = sum(1 for x in toks if x == q)
+            if c:
+                tfs[(int(doc_id), q)] = c
+    df_t: dict[str, int] = {}
+    for (_, q) in tfs:
+        df_t[q] = df_t.get(q, 0) + 1
+    n_docs = len(d)
+    sum_dl = sum(dls.values())
+    agg: dict[int, list] = {}
+    for (doc_id, q), tf in tfs.items():
+        idf = math.log((n_docs - df_t[q] + 0.5) / (df_t[q] + 0.5) + 1)
+        denom = tf + k1 * (1 - b + b * dls[doc_id] * n_docs / sum_dl)
+        part = idf * tf * (k1 + 1) / denom
+        row = agg.setdefault(doc_id, [0.0, 0])
+        row[0] += part
+        row[1] += 1
+    scored = sorted(
+        ((doc_id, _round6(s), nh) for doc_id, (s, nh) in agg.items()),
+        key=lambda r: (-r[1], r[0]),
+    )[:BM25_K]
+    out = pd.DataFrame(
+        [(i + 1, doc_id, s, nh) for i, (doc_id, s, nh) in enumerate(scored)],
+        columns=["rank", "doc_id", "bm25", "n_terms_hit"],
+    )
+    out["rank"] = out["rank"].astype(np.int32)
+    return out
+
+
+@replay("q_cms_heavy_hitters")
+def r_cms_heavy_hitters(t: Tables) -> pd.DataFrame:
+    """Count-min sketch (4 x 64, portable md5 'cms<seed>' hashes)
+    rebuilt from scratch; estimate = min cell over seeds; candidates
+    = exact top-20 tokens."""
+    counts: dict[str, int] = {}
+    for text in t.documents["text"]:
+        for tok in _ftoks(text):
+            counts[tok] = counts.get(tok, 0) + 1
+    cells: dict = {}
+    for tok, c in counts.items():
+        for seed in range(CMS_DEPTH):
+            bucket = _portable_hash(tok, salt=f"cms{seed}") % CMS_WIDTH
+            cells[(seed, bucket)] = cells.get((seed, bucket), 0) + c
+    cand = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    rows = []
+    for tok, exact in cand:
+        est = min(
+            cells.get(
+                (seed, _portable_hash(tok, salt=f"cms{seed}") % CMS_WIDTH), 0
+            )
+            for seed in range(CMS_DEPTH)
+        )
+        rows.append((tok, exact, est, est - exact))
+    return pd.DataFrame(
+        rows, columns=["token", "exact_n", "cms_n", "overcount"]
+    )
+
+
+@replay("q_gopher_rules")
+def r_gopher_rules(t: Tables) -> pd.DataFrame:
+    """Gopher quality rules from the paper's definitions: word count,
+    mean word length, symbol ratio ('#' / '...'), alpha-word ratio,
+    stopword hits, and the conjunctive gate."""
+    import re
+
+    stop = set(LANG_MARKERS["en"])
+    sym_re = re.compile(r"#|\.\.\.")
+    rows = []
+    for doc_id, text in zip(t.documents["doc_id"], t.documents["text"]):
+        words = _ftoks(text)
+        nw = len(words)
+        nonspace = len(text.replace(" ", ""))
+        nsym = len(sym_re.findall(text))
+        nalpha = sum(1 for w in words if re.search(r"[A-Za-z]", w))
+        shits = sum(1 for w in words if w in stop)
+        mwl = nonspace / nw
+        symr = nsym / nw
+        alphar = nalpha / nw
+        ok_wc = 50 <= nw <= 100000
+        ok_mwl = 3.0 <= mwl <= 10.0
+        ok_sym = symr <= 0.1
+        ok_alpha = alphar >= 0.8
+        ok_stop = shits >= 2
+        rows.append(
+            (
+                int(doc_id), nw, mwl, symr, alphar, shits,
+                ok_wc, ok_mwl, ok_sym, ok_alpha, ok_stop,
+                ok_wc and ok_mwl and ok_sym and ok_alpha and ok_stop,
+            )
+        )
+    out = pd.DataFrame(
+        rows,
+        columns=[
+            "doc_id", "n_words", "mean_word_len", "symbol_ratio",
+            "alpha_word_ratio", "stop_hits", "ok_word_count",
+            "ok_mean_word_len", "ok_symbol_ratio", "ok_alpha_words",
+            "ok_stopwords", "passes_gopher",
+        ],
+    )
+    out["n_words"] = out["n_words"].astype(np.int32)
+    out["stop_hits"] = out["stop_hits"].astype(np.int32)
+    return out
+
+
+@replay("q_textrank_keywords")
+def r_textrank_keywords(t: Tables) -> pd.DataFrame:
+    """TextRank: PageRank (5 rounds, d = 0.85) over the deduplicated
+    undirected adjacent-token graph; top-30 by (rounded rank desc,
+    token)."""
+    edges = set()
+    for text in t.documents["text"]:
+        toks = _ftoks(text)
+        for a, b in zip(toks, toks[1:]):
+            if a != b:
+                edges.add((a, b))
+                edges.add((b, a))
+    deg: dict[str, int] = {}
+    for s, _ in edges:
+        deg[s] = deg.get(s, 0) + 1
+    nodes = sorted(deg)
+    n = len(nodes)
+    rank = {v: 1.0 / n for v in nodes}
+    for _ in range(5):
+        s: dict[str, float] = {v: 0.0 for v in nodes}
+        for src, dst in edges:
+            s[dst] += rank[src] / deg[src]
+        rank = {v: (1.0 - 0.85) / n + 0.85 * s[v] for v in nodes}
+    scored = sorted(
+        ((v, deg[v], _round6(rank[v])) for v in nodes),
+        key=lambda r: (-r[2], r[0]),
+    )[:TEXTRANK_TOP]
+    return pd.DataFrame(scored, columns=["token", "deg", "pagerank"])
