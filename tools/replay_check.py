@@ -219,6 +219,13 @@ def check_constants() -> list[str]:
         ("TEXTRANK_TOP", qtext),
         ("CMS_DEPTH", osk),
         ("CMS_WIDTH", osk),
+        ("BFS_SEED_MOD", qd),
+        ("BFS_MAX_HOPS", qd),
+        ("PASSAGE_W", qd),
+        ("WINNOW_K", qtext),
+        ("WINNOW_W", qtext),
+        ("FH_BUCKETS", qtext),
+        ("SPLIT_RATIOS", (qtext, "SPLIT_RATIOS")),
     ]
     errs = []
     for cname, mod in pairs:

@@ -3733,3 +3733,363 @@ def r_textrank_keywords(t: Tables) -> pd.DataFrame:
         key=lambda r: (-r[2], r[0]),
     )[:TEXTRANK_TOP]
     return pd.DataFrame(scored, columns=["token", "deg", "pagerank"])
+
+
+# ---------------------------------------------------------------------------
+# round-12 wave 5: LPA/BFS/link-pred, BLEU, passages, lang-ID family,
+# hashing splits, winnowing, source scorecards
+# ---------------------------------------------------------------------------
+
+BFS_SEED_MOD = 10  # queries/dedup.py BFS_SEED_MOD
+BFS_MAX_HOPS = 4  # queries/dedup.py BFS_MAX_HOPS
+PASSAGE_W = 16  # queries/dedup.py PASSAGE_W
+WINNOW_K = 4  # queries/text.py WINNOW_K
+WINNOW_W = 5  # queries/text.py WINNOW_W
+FH_BUCKETS = 16  # queries/text.py FH_BUCKETS
+SPLIT_RATIOS = {"train": 0.9, "val": 0.05, "test": 0.05}  # queries/text.py
+
+
+@replay("q_lpa_communities")
+def r_lpa_communities(t: Tables) -> pd.DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007), 4 rounds,
+    self-vote, most-frequent label with min-label ties — direct dict
+    arithmetic over the near-dup graph."""
+    _, edges, deg = _dup_graph(t)
+    nodes = sorted(deg)
+    nbrs: dict[int, list[int]] = {}
+    for s, d in edges:
+        nbrs.setdefault(d, []).append(s)
+    label = {v: v for v in nodes}
+    for _ in range(4):
+        new = {}
+        for v in nodes:
+            votes: dict[int, int] = {label[v]: 1}  # self-vote
+            for u in nbrs.get(v, []):
+                votes[label[u]] = votes.get(label[u], 0) + 1
+            new[v] = min(
+                votes, key=lambda lb: (-votes[lb], lb)
+            )  # max count, ties -> smallest label
+        label = new
+    sizes: dict[int, int] = {}
+    for lb in label.values():
+        sizes[lb] = sizes.get(lb, 0) + 1
+    return pd.DataFrame(
+        [(v, label[v], sizes[label[v]]) for v in nodes],
+        columns=["doc_id", "community", "community_size"],
+    )
+
+
+@replay("q_graph_bfs")
+def r_graph_bfs(t: Tables) -> pd.DataFrame:
+    """Bounded-hop BFS (4 hops of min-plus relaxation) from the
+    %10 == 0 seed set; unreached nodes absent."""
+    _, edges, deg = _dup_graph(t)
+    dist = {v: 0 for v in deg if v % BFS_SEED_MOD == 0}
+    for _ in range(BFS_MAX_HOPS):
+        new = dict(dist)
+        for s, d in edges:
+            if s in dist:
+                cand = dist[s] + 1
+                if d not in new or cand < new[d]:
+                    new[d] = cand
+        dist = new
+    out = pd.DataFrame(
+        sorted(dist.items()), columns=["doc_id", "dist"]
+    )
+    out["dist"] = out["dist"].astype(np.int32)
+    return out
+
+
+@replay("q_link_prediction")
+def r_link_prediction(t: Tables) -> pd.DataFrame:
+    """Common-neighbor link prediction on the part co-purchase graph:
+    non-edge pairs with >= 2 shared neighbors; Jaccard = cn /
+    (deg_u + deg_v - cn) as the exact half-away 4-decimal ratio."""
+    li = t.lineitem
+    baskets: dict[int, set] = {}
+    for o, p in zip(li["l_orderkey"], li["l_partkey"]):
+        baskets.setdefault(int(o), set()).add(int(p))
+    w: dict = {}
+    for items in baskets.values():
+        fi = sorted(items)
+        for i in range(len(fi)):
+            for j in range(i + 1, len(fi)):
+                w[(fi[i], fi[j])] = w.get((fi[i], fi[j]), 0) + 1
+    eset = {pr for pr, c in w.items() if c >= 2}
+    nbr: dict[int, set] = {}
+    for a, b in eset:
+        nbr.setdefault(a, set()).add(b)
+        nbr.setdefault(b, set()).add(a)
+    rows = []
+    seen = set()
+    for mid, ns in nbr.items():
+        ns_sorted = sorted(ns)
+        for i in range(len(ns_sorted)):
+            for j in range(i + 1, len(ns_sorted)):
+                u, v = ns_sorted[i], ns_sorted[j]
+                if (u, v) in seen or (u, v) in eset:
+                    continue
+                cn = len(nbr[u] & nbr[v])
+                if cn >= 2:
+                    seen.add((u, v))
+                    du, dv = len(nbr[u]), len(nbr[v])
+                    rows.append(
+                        (u, v, cn, du, dv,
+                         _half_away_ratio(cn, du + dv - cn, 4))
+                    )
+    return pd.DataFrame(
+        rows, columns=["u", "v", "cn", "deg_u", "deg_v", "jacc"]
+    )
+
+
+@replay("q_pair_bleu")
+def r_pair_bleu(t: Tables) -> pd.DataFrame:
+    """BLEU-2 over the MinHash candidate pairs (hypothesis = doc_b,
+    reference = doc_a): clipped 1/2-gram precisions in exact ints,
+    brevity penalty, geometric mean; zero clip -> 0."""
+    pairs, _, _ = _dup_graph(t)
+    d = t.documents.set_index("doc_id")
+
+    def grams(doc_id):
+        toks = _ftoks(d.loc[doc_id, "text"])
+        uni: dict = {}
+        for x in toks:
+            uni[x] = uni.get(x, 0) + 1
+        bi: dict = {}
+        for a, b in zip(toks, toks[1:]):
+            g = f"{a} {b}"
+            bi[g] = bi.get(g, 0) + 1
+        return len(toks), uni, bi
+
+    rows = []
+    for da, db in pairs:
+        len_ref, uni_r, bi_r = grams(da)
+        len_hyp, uni_h, bi_h = grams(db)
+        clip1 = sum(min(c, uni_r.get(g, 0)) for g, c in uni_h.items())
+        tot1 = sum(uni_h.values())
+        clip2 = sum(min(c, bi_r.get(g, 0)) for g, c in bi_h.items())
+        tot2 = sum(bi_h.values())
+        if clip1 == 0 or clip2 == 0:
+            bleu = 0.0
+        else:
+            p1, p2 = clip1 / tot1, clip2 / tot2
+            bp = (
+                1.0
+                if len_hyp > len_ref
+                else math.exp(1.0 - len_ref / len_hyp)
+            )
+            bleu = bp * math.exp((math.log(p1) + math.log(p2)) / 2.0)
+        rows.append(
+            (da, db, len_ref, len_hyp, clip1, tot1, clip2, tot2, bleu)
+        )
+    return pd.DataFrame(
+        rows,
+        columns=[
+            "doc_a", "doc_b", "len_ref", "len_hyp",
+            "clip1", "tot1", "clip2", "tot2", "bleu2",
+        ],
+    )
+
+
+@replay("q_passage_dup_ratio")
+def r_passage_dup_ratio(t: Tables) -> pd.DataFrame:
+    """Non-overlapping 16-token passages (trailing partial kept),
+    md5 fingerprints, global copy counts, per-doc duplicated ratio."""
+    import hashlib
+
+    chunks = []  # (doc_id, fp)
+    for doc_id, text in zip(t.documents["doc_id"], t.documents["text"]):
+        toks = _ftoks(text)
+        if not toks:
+            continue
+        for i in range(0, len(toks), PASSAGE_W):
+            fp = hashlib.md5(
+                " ".join(toks[i : i + PASSAGE_W]).encode()
+            ).hexdigest()
+            chunks.append((int(doc_id), fp))
+    copies: dict[str, int] = {}
+    for _, fp in chunks:
+        copies[fp] = copies.get(fp, 0) + 1
+    agg: dict[int, list] = {}
+    for doc_id, fp in chunks:
+        row = agg.setdefault(doc_id, [0, 0])
+        row[0] += 1
+        row[1] += int(copies[fp] > 1)
+    return pd.DataFrame(
+        [(d_, n, k, k / n) for d_, (n, k) in sorted(agg.items())],
+        columns=["doc_id", "n_passages", "n_dup_passages", "dup_ratio"],
+    )
+
+
+def _lang_cells(t: Tables) -> dict:
+    """Declared x guessed confusion cells via the independently
+    re-derived stopword-hit guesser (r_lang_id rule)."""
+    cells: dict = {}
+    for lang, text in zip(t.documents["lang"], t.documents["text"]):
+        toks = text.split(" ")
+        hits = {
+            lg: sum(1 for tok in toks if tok in mk)
+            for lg, mk in LANG_MARKERS.items()
+        }
+        best = max(hits.values())
+        guess = "und" if best == 0 else min(
+            lg for lg, h in hits.items() if h == best
+        )
+        cells[(str(lang), guess)] = cells.get((str(lang), guess), 0) + 1
+    return cells
+
+
+@replay("q_lang_confusion")
+def r_lang_confusion(t: Tables) -> pd.DataFrame:
+    cells = _lang_cells(t)
+    row_n: dict = {}
+    for (a, _), n in cells.items():
+        row_n[a] = row_n.get(a, 0) + n
+    return pd.DataFrame(
+        [
+            (a, b, n, n / row_n[a])
+            for (a, b), n in sorted(cells.items())
+        ],
+        columns=["lang_declared", "lang_guess", "n_docs", "share_of_declared"],
+    )
+
+
+@replay("q_class_f1")
+def r_class_f1(t: Tables) -> pd.DataFrame:
+    """Per-class precision/recall/F1 from the confusion cells; zero
+    denominators -> 0."""
+    cells = _lang_cells(t)
+    row_n: dict = {}
+    col_n: dict = {}
+    tp: dict = {}
+    for (a, b), n in cells.items():
+        row_n[a] = row_n.get(a, 0) + n
+        col_n[b] = col_n.get(b, 0) + n
+        if a == b:
+            tp[a] = n
+    rows = []
+    for cls in sorted(set(row_n) | set(col_n)):
+        tpp = tp.get(cls, 0)
+        fp = col_n.get(cls, 0) - tpp
+        fn = row_n.get(cls, 0) - tpp
+        prec = 0.0 if tpp + fp == 0 else tpp / (tpp + fp)
+        rec = 0.0 if tpp + fn == 0 else tpp / (tpp + fn)
+        f1 = 0.0 if prec + rec == 0.0 else 2.0 * prec * rec / (prec + rec)
+        rows.append((cls, tpp, fp, fn, prec, rec, f1))
+    return pd.DataFrame(
+        rows, columns=["cls", "tp", "fp", "fn", "precision", "recall", "f1"]
+    )
+
+
+@replay("q_feature_hashing")
+def r_feature_hashing(t: Tables) -> pd.DataFrame:
+    """Hashing-trick features: portable 60-bit md5 'fh' hash, bucket =
+    h mod 16, sign from bit 4; per (doc, bucket) signed sums."""
+    agg: dict = {}
+    for doc_id, text in zip(t.documents["doc_id"], t.documents["text"]):
+        for tok in _ftoks(text):
+            h = _portable_hash(tok, salt="fh")
+            bucket = h % FH_BUCKETS
+            sign = 1 - 2 * ((h >> 4) % 2)
+            key = (int(doc_id), bucket)
+            agg[key] = agg.get(key, 0) + sign
+    out = pd.DataFrame(
+        [(d_, b, v) for (d_, b), v in sorted(agg.items())],
+        columns=["doc_id", "bucket", "val"],
+    )
+    out["bucket"] = out["bucket"].astype(np.int32)
+    return out
+
+
+@replay("q_hash_split")
+def r_hash_split(t: Tables) -> pd.DataFrame:
+    """Content-hash dataset split: bucket = portable 'split' hash mod
+    10000; thresholds from the ratio table sorted by (-frac, name)."""
+    cum = 0.0
+    cases = []
+    for name, frac in sorted(
+        SPLIT_RATIOS.items(), key=lambda kv: (-kv[1], kv[0])
+    ):
+        cum += frac
+        cases.append((int(round(cum * 10_000)), name))
+    rows = []
+    for doc_id, text in zip(t.documents["doc_id"], t.documents["text"]):
+        bucket = _portable_hash(text, salt="split") % 10_000
+        split = cases[-1][1]
+        for thresh, name in cases[:-1]:
+            if bucket < thresh:
+                split = name
+                break
+        rows.append((int(doc_id), bucket, split))
+    return pd.DataFrame(rows, columns=["doc_id", "bucket", "split"])
+
+
+@replay("q_winnow_fingerprints")
+def r_winnow_fingerprints(t: Tables) -> pd.DataFrame:
+    """Winnowing (Schleimer et al. 2003): k-gram portable hashes over
+    the RAW token split, min per w-window, distinct per doc; docs
+    shorter than k + w - 1 tokens emit nothing."""
+    rows = []
+    for doc_id, text in zip(t.documents["doc_id"], t.documents["text"]):
+        toks = text.split(" ")  # raw split, engine parity
+        if len(toks) < WINNOW_K + WINNOW_W - 1:
+            continue
+        hs = [
+            _portable_hash(" ".join(toks[i : i + WINNOW_K]))
+            for i in range(len(toks) - WINNOW_K + 1)
+        ]
+        fps = {
+            min(hs[j : j + WINNOW_W])
+            for j in range(len(hs) - WINNOW_W + 1)
+        }
+        rows.extend((int(doc_id), fp) for fp in sorted(fps))
+    return pd.DataFrame(rows, columns=["doc_id", "fp"])
+
+
+@replay("q_source_stats")
+def r_source_stats(t: Tables) -> pd.DataFrame:
+    """Per-source scorecard: docs, unique texts (md5), dup docs,
+    total chars."""
+    import hashlib
+
+    per: dict = {}
+    for src, text, nc in zip(
+        t.documents["source"], t.documents["text"], t.documents["n_chars"]
+    ):
+        fp = hashlib.md5(text.encode()).hexdigest()
+        row = per.setdefault((str(src), fp), [0, 0])
+        row[0] += 1
+        row[1] += int(nc)
+    agg: dict = {}
+    for (src, _), (cnt, chars) in per.items():
+        row = agg.setdefault(src, [0, 0, 0, 0])
+        row[0] += cnt
+        row[1] += 1
+        row[2] += cnt - 1
+        row[3] += chars
+    return pd.DataFrame(
+        [(s, a, b, c, d_) for s, (a, b, c, d_) in sorted(agg.items())],
+        columns=[
+            "source", "n_docs", "n_unique_texts", "n_dup_docs", "total_chars"
+        ],
+    )
+
+
+@replay("q_dup_rate_by_source")
+def r_dup_rate_by_source(t: Tables) -> pd.DataFrame:
+    import hashlib
+
+    per: dict = {}
+    for src, text in zip(t.documents["source"], t.documents["text"]):
+        fp = hashlib.md5(text.encode()).hexdigest()
+        per.setdefault(str(src), set()).add(fp)
+    counts: dict = {}
+    for src in t.documents["source"]:
+        counts[str(src)] = counts.get(str(src), 0) + 1
+    return pd.DataFrame(
+        [
+            (s, counts[s], len(fps), 1.0 - len(fps) / counts[s])
+            for s, fps in sorted(per.items())
+        ],
+        columns=["source", "n_docs", "n_distinct", "dup_rate"],
+    )
