@@ -226,6 +226,16 @@ def check_constants() -> list[str]:
         ("WINNOW_W", qtext),
         ("FH_BUCKETS", qtext),
         ("SPLIT_RATIOS", (qtext, "SPLIT_RATIOS")),
+        ("PLANES", qsim),
+        ("KNN_QUERY_MOD", qsim),
+        ("MATRYOSHKA_DIM", qsim),
+        ("MMR_POOL", qsim),
+        ("MMR_K", qsim),
+        ("MMR_LAM", qsim),
+        ("RRF_K", qsim),
+        ("RRF_DEPTH", qsim),
+        ("RRF_TOP", qsim),
+        ("RRF_QUERY_VEC", qsim),
     ]
     errs = []
     for cname, mod in pairs:

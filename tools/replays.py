@@ -4093,3 +4093,268 @@ def r_dup_rate_by_source(t: Tables) -> pd.DataFrame:
         ],
         columns=["source", "n_docs", "n_distinct", "dup_rate"],
     )
+
+
+# ---------------------------------------------------------------------------
+# round-12 wave 6: vector retrieval family (SRP LSH, KNN join, nDCG,
+# recall evals, MMR, RRF, centroids)
+# ---------------------------------------------------------------------------
+
+PLANES = 8  # queries/similarity.py PLANES
+KNN_QUERY_MOD = 20  # queries/similarity.py KNN_QUERY_MOD
+MATRYOSHKA_DIM = 16  # queries/similarity.py MATRYOSHKA_DIM
+MMR_POOL = 10  # queries/similarity.py MMR_POOL
+MMR_K = 3  # queries/similarity.py MMR_K
+MMR_LAM = 0.7  # queries/similarity.py MMR_LAM
+RRF_K = 60  # queries/similarity.py RRF_K
+RRF_DEPTH = 20  # queries/similarity.py RRF_DEPTH
+RRF_TOP = 10  # queries/similarity.py RRF_TOP
+RRF_QUERY_VEC = 0  # queries/similarity.py RRF_QUERY_VEC
+
+
+def _hyperplanes(dim: int, planes: int) -> np.ndarray:
+    """Deterministic +/-1 SRP hyperplanes from md5(p|d) — re-derived
+    from the documented spec, not imported."""
+    import hashlib
+
+    out = np.empty((planes, dim))
+    for p in range(planes):
+        for d in range(dim):
+            h = hashlib.md5(f"{p}|{d}".encode()).hexdigest()
+            out[p, d] = 1.0 if int(h[:2], 16) % 2 == 0 else -1.0
+    return out
+
+
+def _srp_buckets(m: np.ndarray) -> np.ndarray:
+    hp = _hyperplanes(DIM, PLANES)
+    dots = m @ hp.T  # (N, planes)
+    bits = (dots >= 0).astype(np.int64)
+    return (bits * (1 << np.arange(PLANES))).sum(axis=1)
+
+
+@replay("q_embedding_centroids")
+def r_embedding_centroids(t: Tables) -> pd.DataFrame:
+    e = t.embeddings
+    sums: dict = {}
+    for lab, v in zip(e["label"], e["embedding"]):
+        arr = np.asarray(v, dtype=np.float64)
+        row = sums.setdefault(str(lab), [np.zeros(DIM), 0])
+        row[0] += arr
+        row[1] += 1
+    rows = []
+    for lab, (s, n) in sorted(sums.items()):
+        for i in range(DIM):
+            rows.append((lab, i, s[i] / n))
+    out = pd.DataFrame(rows, columns=["label", "dim_idx", "mean_val"])
+    out["dim_idx"] = out["dim_idx"].astype(np.int32)
+    return out
+
+
+@replay("q_semantic_search")
+def r_semantic_search(t: Tables) -> pd.DataFrame:
+    """Brute-force top-3 per query joined to the matched doc's
+    metadata."""
+    ids, m = _emb_matrix(t)
+    hits = _topk_frame(
+        ids, m, lambda qi: _rounded_cos(m[qi], m), 3, "cos_sim"
+    )
+    d = t.documents.set_index("doc_id")
+    hits["lang"] = [d.loc[c, "lang"] for c in hits["cand_id"]]
+    hits["source"] = [d.loc[c, "source"] for c in hits["cand_id"]]
+    return hits
+
+
+def _exact_topk_ids(ids, m, k, dim=None):
+    """Per query: top-k candidate ids by (6-dp cosine desc, id)."""
+    mm = m if dim is None else m[:, :dim]
+    out: dict[int, list[int]] = {}
+    for qi in np.nonzero(ids % QUERY_MOD == 0)[0]:
+        sims = _rounded_cos(mm[qi], mm)
+        mask = ids != ids[qi]
+        order = np.lexsort((ids[mask], -sims[mask]))[:k]
+        out[int(ids[qi])] = [int(x) for x in ids[mask][order]]
+    return out
+
+
+@replay("q_ann_recall")
+def r_ann_recall(t: Tables) -> pd.DataFrame:
+    """Recall@k of same-SRP-bucket retrieval vs exact brute force."""
+    ids, m = _emb_matrix(t)
+    exact = _exact_topk_ids(ids, m, TOPK)
+    buckets = _srp_buckets(m)
+    rows = []
+    for qid, exact_ids in sorted(exact.items()):
+        qi = int(np.nonzero(ids == qid)[0][0])
+        mask = (buckets == buckets[qi]) & (ids != qid)
+        sims = _rounded_cos(m[qi], m[mask])
+        order = np.lexsort((ids[mask], -sims))[:TOPK]
+        approx_ids = set(int(x) for x in ids[mask][order])
+        hits = sum(1 for x in exact_ids if x in approx_ids)
+        rows.append((qid, hits / len(exact_ids)))
+    return pd.DataFrame(rows, columns=["query_id", "recall"])
+
+
+@replay("q_matryoshka_recall")
+def r_matryoshka_recall(t: Tables) -> pd.DataFrame:
+    """Recall@k of exact search on the first 16 dims vs the full 64."""
+    ids, m = _emb_matrix(t)
+    exact = _exact_topk_ids(ids, m, TOPK)
+    approx = _exact_topk_ids(ids, m, TOPK, dim=MATRYOSHKA_DIM)
+    rows = [
+        (
+            qid,
+            sum(1 for x in exact_ids if x in set(approx[qid]))
+            / len(exact_ids),
+        )
+        for qid, exact_ids in sorted(exact.items())
+    ]
+    return pd.DataFrame(rows, columns=["query_id", "recall_prefix"])
+
+
+@replay("q_knn_join")
+def r_knn_join(t: Tables) -> pd.DataFrame:
+    """SRP-co-bucketed KNN join with Hamming-1 multiprobe: the 5%
+    query set probes its own bucket plus each one-bit flip."""
+    ids, m = _emb_matrix(t)
+    buckets = _srp_buckets(m)
+    rows = []
+    for qi in np.nonzero(ids % KNN_QUERY_MOD == 0)[0]:
+        probes = {int(buckets[qi])} | {
+            int(buckets[qi]) ^ (1 << p) for p in range(PLANES)
+        }
+        mask = np.isin(buckets, list(probes)) & (ids != ids[qi])
+        sims = _rounded_cos(m[qi], m[mask])
+        order = np.lexsort((ids[mask], -sims))[:TOPK]
+        for r, oi in enumerate(order, start=1):
+            c4 = _spark_round(float(sims[oi]), 4)
+            rows.append(
+                (
+                    int(ids[qi]), r, int(ids[mask][oi]),
+                    math.floor(c4 * 100.0 + 0.5) / 100.0,
+                )
+            )
+    out = pd.DataFrame(rows, columns=["query_id", "rank", "cand_id", "cos2"])
+    out["rank"] = out["rank"].astype(np.int32)
+    return out
+
+
+@replay("q_ndcg_at_k")
+def r_ndcg_at_k(t: Tables) -> pd.DataFrame:
+    """nDCG@k over the KNN-join edges with label-match relevance:
+    DCG = sum rel_r / log2(r+1), IDCG = prefix sum at n_rel."""
+    edges = r_knn_join(t)
+    lab = {
+        int(v): str(lb)
+        for v, lb in zip(t.embeddings["vec_id"], t.embeddings["label"])
+    }
+    disc = {r: 1.0 / math.log2(r + 1) for r in range(1, TOPK + 1)}
+    idcg_prefix = {0: 0.0}
+    for r in range(1, TOPK + 1):
+        idcg_prefix[r] = idcg_prefix[r - 1] + disc[r]
+    agg: dict[int, list] = {}
+    for qid, rank, cid in zip(
+        edges["query_id"], edges["rank"], edges["cand_id"]
+    ):
+        rel = int(lab[int(qid)] == lab[int(cid)])
+        row = agg.setdefault(int(qid), [0, 0.0])
+        row[0] += rel
+        row[1] += rel * disc[int(rank)]
+    rows = [
+        (qid, n_rel, 0.0 if n_rel == 0 else dcg / idcg_prefix[n_rel])
+        for qid, (n_rel, dcg) in sorted(agg.items())
+    ]
+    return pd.DataFrame(rows, columns=["query_id", "n_rel", "ndcg"])
+
+
+@replay("q_mmr_rerank")
+def r_mmr_rerank(t: Tables) -> pd.DataFrame:
+    """Maximal-marginal-relevance re-ranking, the textbook greedy:
+    pool = relevance top-10, then select argmax of
+    lam*rel - (1-lam)*max-sim-to-selected, ties to smallest id."""
+    ids, m = _emb_matrix(t)
+    rows = []
+    for qi in np.nonzero(ids % QUERY_MOD == 0)[0]:
+        sims = _rounded_cos(m[qi], m)
+        mask = ids != ids[qi]
+        order = np.lexsort((ids[mask], -sims[mask]))[:MMR_POOL]
+        pool = [
+            (int(ids[mask][oi]), float(sims[mask][oi])) for oi in order
+        ]
+        vec = {cid: m[np.nonzero(ids == cid)[0][0]] for cid, _ in pool}
+        selected = [pool[0]]
+        for rank in range(2, MMR_K + 1):
+            best = None
+            for cid, rel in pool:
+                if any(cid == s for s, _ in selected):
+                    continue
+                max_sim = max(
+                    float(_rounded_cos(vec[cid], vec[s][None, :])[0])
+                    for s, _ in selected
+                )
+                score = _spark_round(
+                    MMR_LAM * rel - (1.0 - MMR_LAM) * max_sim, 6
+                )
+                if best is None or (-score, cid) < (-best[1], best[0]):
+                    best = (cid, score, rel)
+            selected.append((best[0], best[2]))
+            rows.append(
+                (
+                    int(ids[qi]), rank, best[0],
+                    _spark_round(best[2], 4), _spark_round(best[1], 4),
+                )
+            )
+        rows.append(
+            (
+                int(ids[qi]), 1, pool[0][0],
+                _spark_round(pool[0][1], 4), _spark_round(pool[0][1], 4),
+            )
+        )
+    return pd.DataFrame(
+        rows,
+        columns=["query_id", "mmr_rank", "cand_id", "relevance", "mmr_score"],
+    )
+
+
+@replay("q_hybrid_rrf")
+def r_hybrid_rrf(t: Tables) -> pd.DataFrame:
+    """Reciprocal-rank fusion of the BM25 top-20 and the cosine
+    top-20 for the pinned query vector: rrf = sum 1/(60 + rank)."""
+    lex_df = r_bm25_topk(t)
+    lex = {
+        int(d): int(r)
+        for d, r in zip(lex_df["doc_id"], lex_df["rank"])
+        if int(r) <= RRF_DEPTH
+    }
+    ids, m = _emb_matrix(t)
+    qi = int(np.nonzero(ids == RRF_QUERY_VEC)[0][0])
+    sims = _rounded_cos(m[qi], m)
+    mask = ids != RRF_QUERY_VEC
+    order = np.lexsort((ids[mask], -sims[mask]))[:RRF_DEPTH]
+    sem = {int(ids[mask][oi]): r for r, oi in enumerate(order, start=1)}
+    fused = []
+    for i in sorted(set(lex) | set(sem)):
+        lr, sr = lex.get(i), sem.get(i)
+        rrf = (1.0 / (RRF_K + lr) if lr else 0.0) + (
+            1.0 / (RRF_K + sr) if sr else 0.0
+        )
+        fused.append((i, lr, sr, rrf))
+    fused.sort(key=lambda r: (-r[3], r[0]))
+    out = pd.DataFrame(
+        [
+            (rank, i, lr, sr, rrf)
+            for rank, (i, lr, sr, rrf) in enumerate(
+                fused[:RRF_TOP], start=1
+            )
+        ],
+        columns=["fused_rank", "id", "lex_rank", "sem_rank", "rrf"],
+    )
+    return out
+
+
+@replay("q_similarity_lsh_buckets")
+def r_similarity_lsh_buckets(t: Tables) -> pd.DataFrame:
+    ids, m = _emb_matrix(t)
+    buckets = _srp_buckets(m)
+    out = pd.DataFrame({"vec_id": ids, "bucket": buckets})
+    out["bucket"] = out["bucket"].astype(np.int32)
+    return out
