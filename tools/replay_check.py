@@ -237,6 +237,31 @@ def check_constants() -> list[str]:
         ("RRF_TOP", qsim),
         ("RRF_QUERY_VEC", qsim),
     ]
+    from sandbox_data_pipeline_spark.operators import quality as oq
+    from sandbox_data_pipeline_spark.queries import dq as qdq
+
+    pairs += [
+        ("UNIGRAM_PIECES2", qtext),
+        ("UNIGRAM_PIECES3", qtext),
+        ("UNIGRAM_VOCAB", (qtext, "UNIGRAM_VOCAB")),
+        ("Q_SCALE", oq),
+        ("Q_HALF", oq),
+        ("Q_BUCKETS", oq),
+        ("Q_NTOK", oq),
+        ("Q_BIAS", oq),
+        ("Q_NFEATS", oq),
+        ("Q_LABEL_NUM", oq),
+        ("Q_STEP_NUM", oq),
+        ("Q_ITERS", oq),
+        ("DOREMI_ITERS", oq),
+        ("DOREMI_M0", oq),
+        ("PCA_POWER_ITERS", qsim),
+        ("PCA_Q_SCALE", qsim),
+        ("PCA_V_SCALE", qsim),
+        ("LOF_FLAG_X1E6", qsim),
+        ("L_DIV_BUCKET", qdq),
+        ("T_CLOSE_X10000", qdq),
+    ]
     errs = []
     for cname, mod in pairs:
         if isinstance(mod, tuple):

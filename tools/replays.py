@@ -4358,3 +4358,421 @@ def r_similarity_lsh_buckets(t: Tables) -> pd.DataFrame:
     out = pd.DataFrame({"vec_id": ids, "bucket": buckets})
     out["bucket"] = out["bucket"].astype(np.int32)
     return out
+
+
+# ---------------------------------------------------------------------------
+# wave 7: trained-model / fixed-point-iteration family — the engine
+# and its oracle share the ITERATION (unrolled CTE twin), so these
+# replays re-derive the trajectory a third way: dense numpy linear
+# algebra or plain sequential Python, never per-step SQL.
+# ---------------------------------------------------------------------------
+
+# queries/text.py UNIGRAM_VOCAB (redeclared literally)
+UNIGRAM_PIECES2 = "th he lo ow ue an ta al ne er ar in st re ey".split()
+UNIGRAM_PIECES3 = (
+    "the val row key tab sca fas joi agg mer fil win ord dat col vec "
+    "bat spa gro sma lin cus que str has par slo".split()
+)
+UNIGRAM_VOCAB = {
+    **{c: 3.0 for c in " abcdefghijklmnopqrstuvwxyz0123456789"},
+    **{p: 4.5 for p in UNIGRAM_PIECES2},
+    **{p: 5.5 for p in UNIGRAM_PIECES3},
+}
+UNIGRAM_UNK = 20.0  # single-char fallback cost (oracle CASE default)
+
+
+@replay("q_unigram_segment_cost")
+def r_unigram_segment_cost(t: Tables) -> pd.DataFrame:
+    """SentencePiece-style unigram Viterbi, the textbook SEQUENTIAL
+    per-position DP (the engine runs a vectorized position-stepped
+    batch DP; the oracle a recursive CTE). State = (cost, n_pieces),
+    lexicographic min — cost first, fewer pieces on ties."""
+    rows = []
+    for doc_id, text in zip(t.documents["doc_id"], t.documents["text"]):
+        L = len(text)
+        best = [(math.inf, 0)] * (L + 1)
+        best[0] = (0.0, 0)
+        for i in range(1, L + 1):
+            # arm order: 1-char (always available, UNK fallback),
+            # then longer pieces only when in vocab
+            c1 = UNIGRAM_VOCAB.get(text[i - 1], UNIGRAM_UNK)
+            cand = (best[i - 1][0] + c1, best[i - 1][1] + 1)
+            for j in (2, 3):
+                if i >= j:
+                    piece = text[i - j : i]
+                    if piece in UNIGRAM_VOCAB:
+                        alt = (
+                            best[i - j][0] + UNIGRAM_VOCAB[piece],
+                            best[i - j][1] + 1,
+                        )
+                        if alt < cand:
+                            cand = alt
+            best[i] = cand
+        rows.append(
+            (int(doc_id), L, round(best[L][0], 2), int(best[L][1]))
+        )
+    return pd.DataFrame(
+        rows, columns=["doc_id", "n_chars", "seg_cost", "n_pieces"]
+    )
+
+
+# operators/quality.py constants (redeclared literally)
+Q_SCALE = 1 << 20
+Q_HALF = 1 << 19
+Q_BUCKETS = 64
+Q_NTOK = 64
+Q_BIAS = 65
+Q_NFEATS = 66
+Q_LABEL_NUM = 25
+Q_STEP_NUM = 2
+Q_ITERS = 16
+
+
+@replay("q_quality_classifier")
+def r_quality_classifier(t: Tables) -> pd.DataFrame:
+    """The fixed-point LR trainer re-run as DENSE numpy matrix
+    algebra (the engine trains via distributed per-bucket aggregates,
+    the oracle via an unrolled CTE chain): X is the full doc x 66
+    integer count matrix, each step is one matvec + one matvec
+    transpose, all in int64."""
+    docs = t.documents.sort_values("doc_id").reset_index(drop=True)
+    n = len(docs)
+    X = np.zeros((n, Q_NFEATS), dtype=np.int64)
+    y = np.zeros(n, dtype=np.int64)
+    for r, text in enumerate(docs["text"]):
+        toks = _tokens(text)
+        for tok in toks:
+            X[r, _portable_hash(tok, "qc") % Q_BUCKETS] += 1
+        X[r, Q_NTOK] = len(toks)
+        X[r, Q_BIAS] = 1
+        y[r] = 1 if toks.count("the") * Q_LABEL_NUM >= len(toks) else 0
+    ss = np.maximum((X * X).sum(axis=0), 1)
+    w = np.zeros(Q_NFEATS, dtype=np.int64)
+    for _ in range(Q_ITERS):
+        z = X @ w
+        sig = np.clip(Q_HALF + np.floor(z / 4.0).astype(np.int64), 0, Q_SCALE)
+        resid = sig - y * Q_SCALE
+        g = X.T @ resid
+        w = w - np.floor(
+            g.astype(np.float64) * Q_STEP_NUM / ss
+        ).astype(np.int64)
+    pred = ((X @ w) >= 0).astype(np.int64)
+    out = (
+        pd.DataFrame(
+            {
+                "source": docs["source"],
+                "y": y,
+                "pred": pred,
+                "correct": (pred == y).astype(np.int64),
+            }
+        )
+        .groupby("source", as_index=False)
+        .agg(
+            n_docs=("y", "size"),
+            n_label_pos=("y", "sum"),
+            n_pred_pos=("pred", "sum"),
+            n_correct=("correct", "sum"),
+        )
+    )
+    return out
+
+
+DOREMI_ITERS = 5  # operators/quality.py DOREMI_ITERS
+DOREMI_M0 = 1048576  # operators/quality.py DOREMI_M0
+
+
+@replay("q_doremi_weights")
+def r_doremi_weights(t: Tables) -> pd.DataFrame:
+    """DoReMi multiplicative weights, plain dict loop: per-source
+    unigram cross-entropy vs the corpus unigram LM, quantized to
+    integer 1e-4 bits, then 5 exact-integer MW updates."""
+    from collections import Counter
+
+    per_src: dict[str, list[float]] = {}
+    vocab: Counter = Counter()
+    toks_by_src: dict[str, list[str]] = {}
+    for src, text in zip(t.documents["source"], t.documents["text"]):
+        toks_by_src.setdefault(str(src), []).extend(_tokens(text))
+    for toks in toks_by_src.values():
+        vocab.update(toks)
+    total = sum(vocab.values())
+    loss_e4: dict[str, int] = {}
+    for src, toks in toks_by_src.items():
+        bits = [-math.log2(vocab[tk] / total) for tk in toks]
+        loss_e4[src] = int(_spark_round(sum(bits) / len(bits) * 10000, 0))
+    m = {src: DOREMI_M0 for src in loss_e4}
+    for _ in range(DOREMI_ITERS):
+        avgl = int(
+            math.floor(
+                float(sum(m[s] * loss_e4[s] for s in m)) / sum(m.values())
+            )
+        )
+        m = {
+            s: int(
+                math.floor(
+                    m[s]
+                    * (DOREMI_M0 + max(0, loss_e4[s] - avgl))
+                    / float(DOREMI_M0)
+                )
+            )
+            for s in m
+        }
+    total_m = sum(m.values())
+    rows = [
+        (
+            s,
+            loss_e4[s],
+            int(math.floor(float(m[s]) * 1000000.0 / total_m)),
+        )
+        for s in sorted(m)
+    ]
+    return pd.DataFrame(rows, columns=["source", "loss_e4", "weight_ppm"])
+
+
+PCA_POWER_ITERS = 8  # queries/similarity.py PCA_POWER_ITERS
+PCA_Q_SCALE = 2  # queries/similarity.py PCA_Q_SCALE
+PCA_V_SCALE = 128  # queries/similarity.py PCA_V_SCALE
+
+
+@replay("q_pca_power")
+def r_pca_power(t: Tables) -> pd.DataFrame:
+    """Integer power iteration re-run densely: quantized gram by one
+    numpy matmul, then the 8 rescaled steps."""
+    _, m = _emb_matrix(t)
+    X = np.trunc(m * (10**PCA_Q_SCALE)).astype(np.int64)
+    G = X.T @ X
+    v = np.full(64, PCA_V_SCALE, dtype=np.int64)
+    for _ in range(PCA_POWER_ITERS):
+        u = G @ v
+        mx = max(int(np.max(np.abs(u))), 1)
+        v = np.floor(
+            (u * PCA_V_SCALE).astype(np.float64) / mx
+        ).astype(np.int64)
+    num = int(v @ G @ v)
+    den = int(v @ v)
+    ray = _spark_round(num / den / float(10 ** (2 * PCA_Q_SCALE)), 4)
+    return pd.DataFrame(
+        {
+            "dim": np.arange(64, dtype=np.int32),
+            "loading": v,
+            "rayleigh": ray,
+        }
+    )
+
+
+@replay("q_best_split")
+def r_best_split(t: Tables) -> pd.DataFrame:
+    """Decision-stump histogram split scan, plain dicts."""
+    e = t.embeddings
+    hist: dict[int, list[int]] = {}
+    for v, lab in zip(e["embedding"], e["label"]):
+        b = int(math.floor(float(v[0]) * 32))
+        row = hist.setdefault(b, [0, 0])
+        row[0 if int(lab) < 5 else 1] += 1
+    tp = sum(r[0] for r in hist.values())
+    tn = sum(r[1] for r in hist.values())
+    rows, pos_l, neg_l = [], 0, 0
+    for b in sorted(hist):
+        pos_l += hist[b][0]
+        neg_l += hist[b][1]
+        acc = max(pos_l + tn - neg_l, neg_l + tp - pos_l)
+        rows.append(
+            (b, pos_l, neg_l, acc, _half_away_ratio(acc, tp + tn, 4))
+        )
+    return pd.DataFrame(
+        rows, columns=["bin", "pos_l", "neg_l", "acc", "acc_rate"]
+    )
+
+
+@replay("q_pr_curve")
+def r_pr_curve(t: Tables) -> pd.DataFrame:
+    """Binned PR curve, descending threshold sweep over plain dicts."""
+    e = t.embeddings
+    hist: dict[int, list[int]] = {}
+    for v, lab in zip(e["embedding"], e["label"]):
+        b = int(math.floor(float(v[0]) * 32))
+        row = hist.setdefault(b, [0, 0])
+        row[0 if int(lab) < 5 else 1] += 1
+    tp_all = sum(r[0] for r in hist.values())
+    rows, tp, fp = [], 0, 0
+    for b in sorted(hist, reverse=True):
+        tp += hist[b][0]
+        fp += hist[b][1]
+        rows.append(
+            (
+                b,
+                tp,
+                fp,
+                _half_away_ratio(tp, tp + fp, 4),
+                _half_away_ratio(tp, tp_all, 4),
+            )
+        )
+    return pd.DataFrame(
+        rows, columns=["bin", "tp", "fp", "precision_d", "recall_d"]
+    )
+
+
+L_DIV_BUCKET = 200  # queries/dq.py L_DIV_BUCKET
+T_CLOSE_X10000 = 3000  # queries/dq.py T_CLOSE_X10000
+
+
+@replay("q_t_closeness")
+def r_t_closeness(t: Tables) -> pd.DataFrame:
+    """t-closeness TV distance from the textbook definition with
+    cleared denominators, plain dict counting."""
+    from collections import Counter
+
+    d = t.documents
+    per: Counter = Counter()
+    for lang, src, n_chars in zip(d["lang"], d["source"], d["n_chars"]):
+        per[(str(lang), str(src), int(n_chars) // L_DIV_BUCKET)] += 1
+    cls: Counter = Counter()
+    glob: Counter = Counter()
+    for (lang, src, sens), n in per.items():
+        cls[(lang, src)] += n
+        glob[sens] += n
+    n_tot = sum(per.values())
+    rows = []
+    for (lang, src), n_c in sorted(cls.items()):
+        num = sum(
+            abs(per.get((lang, src, sens), 0) * n_tot - n_s * n_c)
+            for sens, n_s in glob.items()
+        )
+        den = 2 * n_c * n_tot
+        p = 10**4
+        q = (2 * num * p + den) // (2 * den)  # half-away, num >= 0
+        rows.append((lang, src, n_c, q / p, 1 if q > T_CLOSE_X10000 else 0))
+    return pd.DataFrame(
+        rows, columns=["lang", "source", "cls_n", "t_close", "above_t"]
+    )
+
+
+TE_SMOOTH_M = 10  # queries/analytics.py q_target_encode literal m = 10
+
+
+@replay("q_target_encode")
+def r_target_encode(t: Tables) -> pd.DataFrame:
+    """Smoothed mean target encoding with cleared denominators, exact
+    integer cents arithmetic end-to-end."""
+    li = t.lineitem[["l_partkey", "l_extendedprice"]]
+    pt = t.part[["p_partkey", "p_brand"]]
+    j = li.merge(pt, left_on="l_partkey", right_on="p_partkey")
+    cents = np.rint(j["l_extendedprice"].to_numpy(np.float64) * 100).astype(
+        np.int64
+    )
+    agg: dict[str, list[int]] = {}
+    for b, c in zip(j["p_brand"], cents):
+        row = agg.setdefault(str(b), [0, 0])
+        row[0] += 1
+        row[1] += int(c)
+    n_g = sum(r[0] for r in agg.values())
+    t_g = sum(r[1] for r in agg.values())
+    rows = []
+    for brand, (n_c, sum_c) in sorted(agg.items()):
+        # dec_ratio(num, den, num_scale=2, out=4):
+        # a = num*100 (integral cents), b = den*100
+        a = n_g * sum_c + TE_SMOOTH_M * t_g
+        b = n_g * (n_c + TE_SMOOTH_M) * 100
+        p = 10**4
+        q = (2 * a * p + b) // (2 * b)
+        rows.append((brand, n_c, sum_c / 100.0, q / p))
+    return pd.DataFrame(rows, columns=["p_brand", "n_c", "sum_c", "enc"])
+
+
+KL_VOCAB_SIZE = 40  # queries/text.py q_source_drift_kl vocab_size=40
+
+
+@replay("q_source_drift_kl")
+def r_source_drift_kl(t: Tables) -> pd.DataFrame:
+    """Add-one-smoothed KL (bits) of each source's top-40-vocab token
+    distribution vs the corpus, plain Counter arithmetic."""
+    from collections import Counter
+
+    corpus: Counter = Counter()
+    by_src: dict[str, Counter] = {}
+    for src, text in zip(t.documents["source"], t.documents["text"]):
+        toks = _tokens(text)
+        corpus.update(toks)
+        by_src.setdefault(str(src), Counter()).update(toks)
+    vocab = sorted(corpus.items(), key=lambda kv: (-kv[1], kv[0]))[
+        :KL_VOCAB_SIZE
+    ]
+    n_corpus = sum(c for _, c in vocab)
+    n_vocab = len(vocab)
+    rows = []
+    for src in sorted(by_src):
+        cnt = by_src[src]
+        n_src = sum(cnt.get(tok, 0) for tok, _ in vocab)
+        kl = 0.0
+        for tok, c_corpus in vocab:
+            p = (cnt.get(tok, 0) + 1) / (n_src + n_vocab)
+            qd = (c_corpus + 1) / (n_corpus + n_vocab)
+            kl += p * math.log2(p / qd)
+        rows.append((src, n_src, _spark_round(kl, 4)))
+    return pd.DataFrame(
+        rows, columns=["source", "n_vocab_tokens", "kl_bits"]
+    )
+
+
+LOF_FLAG_X1E6 = 1300000  # queries/similarity.py LOF_FLAG_X1E6
+
+
+@replay("q_lof_outliers")
+def r_lof_outliers(t: Tables) -> pd.DataFrame:
+    """Local Outlier Factor from the Breunig et al. definition over
+    the SAME declared SRP multiprobe-KNN graph, computed with plain
+    Python dict/loops and exact integer decimal terms (the engine
+    runs three distributed joins; the oracle one SQL pipeline)."""
+    ids, m = _emb_matrix(t)
+    buckets = _srp_buckets(m)
+    by_bucket: dict[int, list[int]] = {}
+    for idx, b in enumerate(buckets):
+        by_bucket.setdefault(int(b), []).append(idx)
+    n = len(ids)
+    edges: dict[int, list[tuple[int, int]]] = {}
+    for qi in range(n):
+        probes = {int(buckets[qi])} | {
+            int(buckets[qi]) ^ (1 << p) for p in range(PLANES)
+        }
+        cand = [
+            ci
+            for b in probes
+            for ci in by_bucket.get(b, [])
+            if ci != qi
+        ]
+        if not cand:
+            continue
+        cos6 = _rounded_cos(m[qi], m[cand])
+        ranked = sorted(
+            zip(cos6, (int(ids[c]) for c in cand)),
+            key=lambda rc: (-rc[0], rc[1]),
+        )[:TOPK]
+        edges[int(ids[qi])] = [
+            (cid, int(1000000 - math.floor(c * 1000000 + 0.5)))
+            for c, cid in ranked
+        ]
+    kdist = {p: max(d for _, d in es) for p, es in edges.items()}
+    n_nb = {p: len(es) for p, es in edges.items()}
+    reach_sum = {
+        p: max(sum(max(kdist[o], d) for o, d in es), 1)
+        for p, es in edges.items()
+    }
+    rows = []
+    for p, es in sorted(edges.items()):
+        term_sum = 0  # integer micro-units (scale 6), exact decimal sum
+        for o, _ in es:
+            a = n_nb[o] * reach_sum[p]
+            b = reach_sum[o] * n_nb[p] * n_nb[p]
+            term_sum += (2 * a * 10**6 + b) // (2 * b)
+        rows.append(
+            (
+                p,
+                n_nb[p],
+                kdist[p],
+                term_sum / 1e6,
+                1 if term_sum > LOF_FLAG_X1E6 else 0,
+            )
+        )
+    return pd.DataFrame(
+        rows, columns=["vec_id", "n_nb", "kdist", "lof", "is_outlier"]
+    )
