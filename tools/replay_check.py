@@ -261,6 +261,12 @@ def check_constants() -> list[str]:
         ("LOF_FLAG_X1E6", qsim),
         ("L_DIV_BUCKET", qdq),
         ("T_CLOSE_X10000", qdq),
+        ("BPE_N_MERGES", qtext),
+        ("BPE_MERGES", (qtext, "BPE_MERGES")),
+        ("WP_TOPK", qtext),
+        ("WP_MAXLEN", qtext),
+        ("KMV_MAX", osk),
+        ("WSAMPLE_K", qtext),
     ]
     errs = []
     for cname, mod in pairs:

@@ -4776,3 +4776,372 @@ def r_lof_outliers(t: Tables) -> pd.DataFrame:
     return pd.DataFrame(
         rows, columns=["vec_id", "n_nb", "kdist", "lof", "is_outlier"]
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 8: tokenizer trainers, KMV sketch algebra, LM statistics,
+# weighted sampling — the engine trains via distributed aggregates /
+# driver folds, the oracle via unrolled SQL; these replays run the
+# textbook sequential algorithms over plain dicts.
+# ---------------------------------------------------------------------------
+
+BPE_N_MERGES = 6  # queries/text.py BPE_N_MERGES
+# queries/text.py BPE_MERGES (the pinned applied-merge table)
+BPE_MERGES = [
+    ("t", "h"),
+    ("th", "e"),
+    ("e", "r"),
+    ("i", "n"),
+    ("a", "n"),
+    ("o", "r"),
+    ("s", "t"),
+    ("an", "d"),
+]
+
+
+@replay("q_bpe_merges")
+def r_bpe_merges(t: Tables) -> pd.DataFrame:
+    """Textbook BPE trainer (Sennrich et al. 2016): word-type counts,
+    then per round count adjacent symbol pairs (weighted, overlapping
+    positions included), argmax by (count desc, pair asc) with a
+    min-count-2 floor, and greedy left-to-right non-overlapping
+    application."""
+    from collections import Counter
+
+    wc: Counter = Counter()
+    for text in t.documents["text"]:
+        wc.update(_tokens(text))
+    syms = {w: list(w) for w in wc}
+    rows = []
+    for rank in range(1, BPE_N_MERGES + 1):
+        pairs: Counter = Counter()
+        for w, s in syms.items():
+            c = wc[w]
+            for i in range(len(s) - 1):
+                pairs[(s[i], s[i + 1])] += c
+        cand = [(c, p) for p, c in pairs.items() if c >= 2]
+        if not cand:
+            break
+        c_best, (a, b) = min(cand, key=lambda cp: (-cp[0], cp[1]))
+        rows.append((rank, a, b, c_best))
+        for w, s in syms.items():
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            syms[w] = out
+    return pd.DataFrame(
+        rows, columns=["merge_rank", "sym_a", "sym_b", "pair_count"]
+    )
+
+
+@replay("q_bpe_encode")
+def r_bpe_encode(t: Tables) -> pd.DataFrame:
+    """Apply the pinned merge table per document on symbol LISTS
+    (the engine compiles it to a chain of string replaces; the oracle
+    likewise) and roll token budgets up per language."""
+    agg: dict[str, list[int]] = {}
+    for lang, text in zip(t.documents["lang"], t.documents["text"]):
+        s = list(text)
+        for a, b in BPE_MERGES:
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            s = out
+        n_spaces = text.count(" ")
+        n_tok = len(s) - n_spaces
+        n_chr = len(text) - n_spaces
+        row = agg.setdefault(str(lang), [0, 0, 0])
+        row[0] += 1
+        row[1] += n_tok
+        row[2] += n_chr
+    rows = [
+        (
+            lang,
+            n_docs,
+            n_tokens,
+            n_chars,
+            _half_away_ratio(n_tokens, n_chars, 4),
+        )
+        for lang, (n_docs, n_tokens, n_chars) in sorted(agg.items())
+    ]
+    return pd.DataFrame(
+        rows,
+        columns=["lang", "n_docs", "n_tokens", "n_chars", "fertility"],
+    )
+
+
+WP_TOPK = 64  # queries/text.py WP_TOPK
+WP_MAXLEN = 4  # queries/text.py WP_MAXLEN
+
+
+@replay("q_wordpiece_encode")
+def r_wordpiece_encode(t: Tables) -> pd.DataFrame:
+    """WordPiece induction + greedy max-munch, re-derived over plain
+    dicts from the published definition."""
+    from collections import Counter
+
+    doc_words: dict[int, Counter] = {}
+    wc: Counter = Counter()
+    for doc_id, text in zip(t.documents["doc_id"], t.documents["text"]):
+        toks = _tokens(text)
+        doc_words[int(doc_id)] = Counter(toks)
+        wc.update(toks)
+    counts: dict[int, Counter] = {0: Counter(), 1: Counter()}
+    chars: dict[int, set] = {0: set(), 1: set()}
+    for w, c in wc.items():
+        for p in range(len(w)):
+            cls = 0 if p == 0 else 1
+            chars[cls].add(w[p])
+            for L in range(2, WP_MAXLEN + 1):
+                if p + L <= len(w):
+                    counts[cls][w[p : p + L]] += c
+    vocab: dict[int, set] = {}
+    for cls in (0, 1):
+        top = sorted(counts[cls].items(), key=lambda kv: (-kv[1], kv[0]))[
+            :WP_TOPK
+        ]
+        vocab[cls] = chars[cls] | {p for p, _ in top}
+
+    def encode_len(w: str) -> int:
+        pos, n = 0, 0
+        while pos < len(w):
+            cls = 0 if pos == 0 else 1
+            match = 1
+            for L in range(2, WP_MAXLEN + 1):
+                if pos + L <= len(w) and w[pos : pos + L] in vocab[cls]:
+                    match = L
+            pos += match
+            n += 1
+        return n
+
+    np_of = {w: encode_len(w) for w in wc}
+    rows = []
+    for doc_id in sorted(doc_words):
+        cnts = doc_words[doc_id]
+        n_tokens = sum(cnts.values())
+        n_pieces = sum(c * np_of[w] for w, c in cnts.items())
+        rows.append(
+            (
+                doc_id,
+                n_tokens,
+                n_pieces,
+                _half_away_ratio(n_pieces, n_tokens, 4),
+            )
+        )
+    return pd.DataFrame(
+        rows,
+        columns=["doc_id", "n_tokens", "n_pieces", "pieces_per_token"],
+    )
+
+
+KMV_MAX = (1 << 60) - 1  # operators/sketch.py KMV_MAX
+
+
+def _kmv_est(n_kept: int, kth: int) -> int:
+    if n_kept < KMV_K:
+        return n_kept
+    n2 = 2 * (KMV_K - 1) * KMV_MAX
+    return (n2 + kth) // (2 * kth)
+
+
+@replay("q_kmv_distinct")
+def r_kmv_distinct(t: Tables) -> pd.DataFrame:
+    """KMV distinct sketch per source from the definition: k smallest
+    distinct 60-bit hashes, (k-1)/normalized-kth estimator."""
+    by_src: dict[str, set] = {}
+    exact: dict[str, set] = {}
+    for src, text in zip(t.documents["source"], t.documents["text"]):
+        s = str(src)
+        toks = set(_tokens(text))
+        exact.setdefault(s, set()).update(toks)
+        by_src.setdefault(s, set()).update(
+            _portable_hash(tok, "kmv") for tok in toks
+        )
+    rows = []
+    for src in sorted(by_src):
+        kept = sorted(by_src[src])[:KMV_K]
+        kth, n_kept = kept[-1], len(kept)
+        est = _kmv_est(n_kept, kth)
+        n_exact = len(exact[src])
+        rel = (2 * abs(est - n_exact) * 10000 + n_exact) // (2 * n_exact)
+        rows.append((src, n_kept, est, n_exact, rel))
+    return pd.DataFrame(
+        rows,
+        columns=[
+            "source",
+            "n_kept",
+            "est_distinct",
+            "n_exact",
+            "rel_err_x10000",
+        ],
+    )
+
+
+@replay("q_hll_rollup")
+def r_hll_rollup(t: Tables) -> pd.DataFrame:
+    """Daily KMV build -> union-merge -> estimate, plain sets."""
+    daily: dict[tuple, set] = {}
+    for ts, et, uid in zip(
+        t.events["ts"], t.events["event_type"], t.events["user_id"]
+    ):
+        d = pd.Timestamp(ts).date()
+        daily.setdefault((d, str(et)), set()).add(
+            _portable_hash(str(int(uid)), "kmv")
+        )
+    merged: dict[str, set] = {}
+    n_days: dict[str, set] = {}
+    for (d, et), hvs in daily.items():
+        kept = sorted(hvs)[:KMV_K]
+        merged.setdefault(et, set()).update(kept)
+        n_days.setdefault(et, set()).add(d)
+    rows = []
+    for et in sorted(merged):
+        kept = sorted(merged[et])[:KMV_K]
+        rows.append((et, len(n_days[et]), _kmv_est(len(kept), kept[-1])))
+    return pd.DataFrame(
+        rows, columns=["event_type", "n_days", "est_users"]
+    )
+
+
+@replay("q_bigram_bits")
+def r_bigram_bits(t: Tables) -> pd.DataFrame:
+    """Corpus bigram conditional cross-entropy per doc, plain
+    Counters. Pairs are adjacent in the RAW split (an empty token
+    breaks adjacency), matching the declared tokenization."""
+    from collections import Counter
+
+    docs = t.documents
+    doc_pairs: dict[int, list] = {}
+    big: Counter = Counter()
+    ctx: Counter = Counter()
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        raw = text.split(" ")
+        ps = [
+            (raw[i], raw[i + 1])
+            for i in range(len(raw) - 1)
+            if raw[i] != "" and raw[i + 1] != ""
+        ]
+        if ps:
+            doc_pairs[int(doc_id)] = ps
+            big.update(ps)
+            ctx.update(p[0] for p in ps)
+    rows = []
+    for doc_id in sorted(doc_pairs):
+        ps = doc_pairs[doc_id]
+        bits = [-math.log2(big[p] / ctx[p[0]]) for p in ps]
+        rows.append(
+            (doc_id, len(ps), _spark_round(sum(bits) / len(bits), 4))
+        )
+    return pd.DataFrame(
+        rows, columns=["doc_id", "n_bigrams", "bits_per_bigram"]
+    )
+
+
+PMI_VOCAB = 40  # queries/text.py q_pmi_pairs vocab_size=40
+PMI_MIN_DOCS = 5  # queries/text.py q_pmi_pairs min_pair_docs=5
+
+
+@replay("q_pmi_pairs")
+def r_pmi_pairs(t: Tables) -> pd.DataFrame:
+    """Document-level PMI over the top-40 vocab, plain sets."""
+    from collections import Counter
+    from itertools import combinations
+
+    doc_toks = [
+        set(_tokens(text)) for text in t.documents["text"]
+    ]
+    n_docs = len(t.documents)
+    df: Counter = Counter()
+    for s in doc_toks:
+        df.update(s)
+    vocab = dict(
+        sorted(df.items(), key=lambda kv: (-kv[1], kv[0]))[:PMI_VOCAB]
+    )
+    both: Counter = Counter()
+    for s in doc_toks:
+        present = sorted(s & vocab.keys())
+        for a, b in combinations(present, 2):
+            both[(a, b)] += 1
+    rows = []
+    for (a, b), n_both in sorted(both.items()):
+        if n_both < PMI_MIN_DOCS:
+            continue
+        pmi = _spark_round(
+            math.log2((n_both * n_docs) / (vocab[a] * vocab[b])), 4
+        )
+        rows.append((a, b, vocab[a], vocab[b], n_both, pmi))
+    return pd.DataFrame(
+        rows,
+        columns=[
+            "tok_a",
+            "tok_b",
+            "n_docs_a",
+            "n_docs_b",
+            "n_docs_both",
+            "pmi_bits",
+        ],
+    )
+
+
+WSAMPLE_K = 10  # queries/text.py WSAMPLE_K
+
+
+def _quality_score_py(text: str) -> float:
+    """operators/text.py quality_score re-derived: stable 4-decimal
+    round of the clamped stopword/diversity/digit composite."""
+    n_chars = len(text)
+    raw = text.split(" ")
+    toks = [x for x in raw if x != ""]
+    n_tok = len(toks)
+    n_digit = sum(ch.isdigit() for ch in text)
+    markers = LANG_MARKERS["en"]
+    n_stop = sum(1 for x in raw if x in markers)
+    n_distinct = len(set(raw))
+    v = min(
+        1.0,
+        max(
+            0.0,
+            0.5 * (n_stop / n_tok)
+            + 0.5 * (n_distinct / n_tok)
+            - n_digit / n_chars,
+        ),
+    )
+    return _spark_round(v, 4)
+
+
+@replay("q_weighted_sample")
+def r_weighted_sample(t: Tables) -> pd.DataFrame:
+    """Efraimidis-Spirakis A-ES weighted sampling with the portable
+    content-hash uniform, plain Python."""
+    keyed = []
+    for doc_id, lang, text in zip(
+        t.documents["doc_id"], t.documents["lang"], t.documents["text"]
+    ):
+        w = _quality_score_py(text) + 0.05
+        u = (_portable_hash(text, "wsample") % (1 << 20) + 0.5) / float(
+            1 << 20
+        )
+        keyed.append(
+            (int(doc_id), str(lang), _spark_round(u ** (1.0 / w), 6))
+        )
+    rows = []
+    by_lang: dict[str, list] = {}
+    for doc_id, lang, k in keyed:
+        by_lang.setdefault(lang, []).append((doc_id, k))
+    for lang in sorted(by_lang):
+        ranked = sorted(by_lang[lang], key=lambda dk: (-dk[1], dk[0]))
+        for r, (doc_id, k) in enumerate(ranked[:WSAMPLE_K], start=1):
+            rows.append((doc_id, lang, k, r))
+    return pd.DataFrame(
+        rows, columns=["doc_id", "lang", "es_key", "sample_rank"]
+    )
