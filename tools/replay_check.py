@@ -267,6 +267,18 @@ def check_constants() -> list[str]:
         ("WP_MAXLEN", qtext),
         ("KMV_MAX", osk),
         ("WSAMPLE_K", qtext),
+        ("JACCARD_N", qd),
+        ("JACCARD_T", qd),
+        ("JACCARD_DF_CAP", qd),
+        ("CONTAIN_N", qd),
+        ("CONTAIN_T", qd),
+        ("SIMHASH_MAXH", qd),
+        ("SUFFIX_DOC_MOD", qd),
+        ("SUFFIX_MAX_LEN", qd),
+        ("SUFFIX_MIN_LCP", qd),
+        ("SUFFIX_TOP_K", qd),
+        ("FS_ITERS", qd),
+        ("FS_INIT", (qd, "FS_INIT")),
     ]
     errs = []
     for cname, mod in pairs:

@@ -5145,3 +5145,478 @@ def r_weighted_sample(t: Tables) -> pd.DataFrame:
     return pd.DataFrame(
         rows, columns=["doc_id", "lang", "es_key", "sample_rank"]
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 9: hash/LSH dedup detectors, suffix-array dedup, EM record
+# linkage — the engine and oracle share the banding/DP expressions;
+# these replays rebuild each detector from its published definition
+# with inverted indexes, Python sorts and sequential EM.
+# ---------------------------------------------------------------------------
+
+JACCARD_N = 5  # queries/dedup.py JACCARD_N
+JACCARD_T = 0.2  # queries/dedup.py JACCARD_T
+JACCARD_DF_CAP = 1000  # queries/dedup.py JACCARD_DF_CAP
+CONTAIN_N = 5  # queries/dedup.py CONTAIN_N
+CONTAIN_T = 0.3  # queries/dedup.py CONTAIN_T
+SIMHASH_MAXH = 3  # queries/dedup.py SIMHASH_MAXH
+
+
+def _distinct_shingle_sets(
+    t: Tables, n: int, df_cap: int | None = None
+) -> dict[int, set]:
+    """Distinct word-n-gram set per doc over the RAW split, optional
+    document-frequency cap on hot shingles."""
+    from collections import Counter
+
+    sets = {
+        int(doc_id): set(_shingles(text, n))
+        for doc_id, text in zip(t.documents["doc_id"], t.documents["text"])
+    }
+    if df_cap is not None:
+        df: Counter = Counter()
+        for s in sets.values():
+            df.update(s)
+        hot = {sh for sh, c in df.items() if c > df_cap}
+        if hot:
+            sets = {d: s - hot for d, s in sets.items()}
+    return sets
+
+
+def _pairs_common(sets: dict[int, set]) -> dict[tuple[int, int], int]:
+    """|A ∩ B| for every doc pair sharing >= 1 shingle, via an
+    inverted index (never all-pairs)."""
+    from collections import Counter
+
+    inv: dict[str, list[int]] = {}
+    for d in sorted(sets):
+        for sh in sets[d]:
+            inv.setdefault(sh, []).append(d)
+    common: Counter = Counter()
+    for docs in inv.values():
+        for i in range(len(docs) - 1):
+            for j in range(i + 1, len(docs)):
+                common[(docs[i], docs[j])] += 1
+    return common
+
+
+@replay("q_dedup_ngram_jaccard")
+def r_dedup_ngram_jaccard(t: Tables) -> pd.DataFrame:
+    sets = _distinct_shingle_sets(t, JACCARD_N, JACCARD_DF_CAP)
+    rows = []
+    for (a, b), c in sorted(_pairs_common(sets).items()):
+        jac = _spark_round(c / (len(sets[a]) + len(sets[b]) - c), 4)
+        if jac >= JACCARD_T:
+            rows.append((a, b, c, jac))
+    return pd.DataFrame(rows, columns=["doc_a", "doc_b", "common", "jaccard"])
+
+
+@replay("q_containment_pairs")
+def r_containment_pairs(t: Tables) -> pd.DataFrame:
+    sets = _distinct_shingle_sets(t, CONTAIN_N, JACCARD_DF_CAP)
+    rows = []
+    for (a, b), c in sorted(_pairs_common(sets).items()):
+        ca = _spark_round(c / len(sets[a]), 4)
+        cb = _spark_round(c / len(sets[b]), 4)
+        if max(ca, cb) >= CONTAIN_T:
+            rows.append((a, b, c, ca, cb))
+    return pd.DataFrame(
+        rows,
+        columns=["doc_a", "doc_b", "common", "cont_a_in_b", "cont_b_in_a"],
+    )
+
+
+def _simhash_fp(text: str) -> int | None:
+    """48-bit SimHash (Charikar 2002): per-token tf-weighted bit
+    votes over the portable 60-bit token hash."""
+    from collections import Counter
+
+    tf = Counter(tok for tok in text.split(" ") if tok != "")
+    if not tf:
+        return None
+    votes = [0] * SIMHASH_BITS
+    for tok, c in tf.items():
+        h = _portable_hash(tok)
+        for b in range(SIMHASH_BITS):
+            votes[b] += c if (h >> b) & 1 else -c
+    fp = 0
+    for b in range(SIMHASH_BITS):
+        if votes[b] >= 0:
+            fp |= 1 << b
+    return fp
+
+
+def _simhash_band_pairs(t: Tables) -> list[tuple[int, int, int]]:
+    """(doc_a, doc_b, hamming) for every byte-band collision pair
+    within the SIMHASH_MAXH radius."""
+    fps = {}
+    for doc_id, text in zip(t.documents["doc_id"], t.documents["text"]):
+        fp = _simhash_fp(text)
+        if fp is not None:
+            fps[int(doc_id)] = fp
+    buckets: dict[tuple[int, int], list[int]] = {}
+    for d in sorted(fps):
+        for i in range(SIMHASH_BITS // 8):
+            buckets.setdefault(
+                (i, (fps[d] >> (8 * i)) & 255), []
+            ).append(d)
+    seen: set[tuple[int, int]] = set()
+    out = []
+    for docs in buckets.values():
+        for i in range(len(docs) - 1):
+            for j in range(i + 1, len(docs)):
+                p = (docs[i], docs[j])
+                if p in seen:
+                    continue
+                seen.add(p)
+                ham = bin(fps[p[0]] ^ fps[p[1]]).count("1")
+                if ham <= SIMHASH_MAXH:
+                    out.append((p[0], p[1], ham))
+    return out
+
+
+@replay("q_dedup_simhash_pairs")
+def r_dedup_simhash_pairs(t: Tables) -> pd.DataFrame:
+    return pd.DataFrame(
+        sorted(_simhash_band_pairs(t)),
+        columns=["doc_a", "doc_b", "hamming"],
+    )
+
+
+@replay("q_simhash_quality_sweep")
+def r_simhash_quality_sweep(t: Tables) -> pd.DataFrame:
+    pairs = _simhash_band_pairs(t)
+    sets = _distinct_shingle_sets(t, MINHASH_N)
+    scored = []
+    for a, b, ham in pairs:
+        c = len(sets[a] & sets[b])
+        scored.append(
+            (ham, _spark_round(c / (len(sets[a]) + len(sets[b]) - c), 4))
+        )
+    rows = []
+    for max_h in range(SIMHASH_MAXH + 1):
+        sel = [j for h, j in scored if h <= max_h]
+        if not sel:
+            continue
+        rows.append(
+            (
+                max_h,
+                len(sel),
+                _spark_round(math.fsum(sel) / len(sel), 4),
+                sum(1 for j in sel if j >= 0.5),
+            )
+        )
+    return pd.DataFrame(
+        rows, columns=["max_h", "n_pairs", "mean_jaccard", "n_ge_05"]
+    )
+
+
+@replay("q_minhash_precision")
+def r_minhash_precision(t: Tables) -> pd.DataFrame:
+    """Every banded MinHash candidate's estimated vs EXACT Jaccard."""
+    pairs = _minhash_pairs_replay(t)
+    sets = _distinct_shingle_sets(t, MINHASH_N)
+    rows = []
+    for a, b, est in pairs:
+        c = len(sets[a] & sets[b])
+        exact = _spark_round(c / (len(sets[a]) + len(sets[b]) - c), 4)
+        rows.append((a, b, est, exact, _spark_round(abs(est - exact), 4)))
+    return pd.DataFrame(
+        rows,
+        columns=["doc_a", "doc_b", "est_jaccard", "exact_jaccard", "abs_err"],
+    )
+
+
+@replay("q_incremental_dedup")
+def r_incremental_dedup(t: Tables) -> pd.DataFrame:
+    """Batch-vs-corpus admission re-run with plain sets: exact fp
+    stage, then MinHash banded near-dup vs corpus and within batch
+    (>= 8/16 matching minhashes)."""
+    import hashlib
+
+    docs = t.documents
+    split = int(docs["doc_id"].max()) * 7 // 10
+    corpus = [
+        (int(d), txt)
+        for d, txt in zip(docs["doc_id"], docs["text"])
+        if int(d) < split
+    ]
+    batch = sorted(
+        (int(d), txt)
+        for d, txt in zip(docs["doc_id"], docs["text"])
+        if int(d) >= split
+    )
+    corpus_fps = {hashlib.md5(txt.encode()).hexdigest() for _, txt in corpus}
+    first_seen: dict[str, int] = {}
+    verdicts: dict[int, str] = {}
+    fps: dict[int, str] = {}
+    e_docs = []
+    for d, txt in batch:
+        fp = hashlib.md5(txt.encode()).hexdigest()
+        fps[d] = fp
+        if fp in corpus_fps:
+            verdicts[d] = "exact_corpus"
+        elif fp in first_seen:
+            verdicts[d] = "exact_batch"
+        else:
+            first_seen[fp] = d
+            e_docs.append((d, txt))
+    min_match = int(math.ceil(MINHASH_T * MINHASH_K))  # >= t ⇔ >= 8/16
+    r = MINHASH_K // MINHASH_BANDS
+    c_sigs, c_bands = {}, {}
+    for d, txt in corpus:
+        s = _minhash_sig(txt, MINHASH_K, MINHASH_N)
+        if s is None:
+            continue
+        c_sigs[d] = s
+        for bi in range(MINHASH_BANDS):
+            c_bands.setdefault(
+                (bi, tuple(s[bi * r : (bi + 1) * r])), []
+            ).append(d)
+    e_sigs, e_bands = {}, {}
+    for d, txt in e_docs:
+        s = _minhash_sig(txt, MINHASH_K, MINHASH_N)
+        if s is None:
+            continue
+        e_sigs[d] = s
+        for bi in range(MINHASH_BANDS):
+            e_bands.setdefault(
+                (bi, tuple(s[bi * r : (bi + 1) * r])), []
+            ).append(d)
+    near_corpus: set[int] = set()
+    near_batch: set[int] = set()
+    for key, eds in e_bands.items():
+        for ed in eds:
+            for cd in c_bands.get(key, []):
+                if (
+                    sum(
+                        x == y
+                        for x, y in zip(e_sigs[ed], c_sigs[cd])
+                    )
+                    >= min_match
+                ):
+                    near_corpus.add(ed)
+                    break
+        for i in range(len(eds) - 1):
+            for j in range(i + 1, len(eds)):
+                a, b = min(eds[i], eds[j]), max(eds[i], eds[j])
+                if (
+                    sum(x == y for x, y in zip(e_sigs[a], e_sigs[b]))
+                    >= min_match
+                ):
+                    near_batch.add(b)
+    for d, _ in e_docs:
+        if d in near_corpus:
+            verdicts[d] = "near_corpus"
+        elif d in near_batch:
+            verdicts[d] = "near_batch"
+        else:
+            verdicts[d] = "admitted"
+    return pd.DataFrame(
+        [(d, fps[d], verdicts[d]) for d, _ in batch],
+        columns=["doc_id", "fp", "verdict"],
+    )
+
+
+SUFFIX_DOC_MOD = 5  # queries/dedup.py SUFFIX_DOC_MOD
+SUFFIX_MAX_LEN = 128  # queries/dedup.py SUFFIX_MAX_LEN
+SUFFIX_MIN_LCP = 20  # queries/dedup.py SUFFIX_MIN_LCP
+SUFFIX_TOP_K = 50  # queries/dedup.py SUFFIX_TOP_K
+
+
+def _suffix_adjacent_pairs(t: Tables) -> list[tuple]:
+    """(sa_rank, doc, pos, next_doc, next_pos, lcp) for adjacent
+    suffixes in the true lexicographic order — a direct Python sort of
+    the suffix strings (the engine builds the order by Manber-Myers
+    prefix doubling)."""
+    sufs = []
+    for doc_id, text in zip(t.documents["doc_id"], t.documents["text"]):
+        if int(doc_id) % SUFFIX_DOC_MOD != 0:
+            continue
+        tt = text[:SUFFIX_MAX_LEN]
+        for p in range(len(tt)):
+            sufs.append((tt[p:], int(doc_id), p))
+    sufs.sort()
+    out = []
+    for r in range(len(sufs) - 1):
+        a, b = sufs[r], sufs[r + 1]
+        lcp = 0
+        mx = min(len(a[0]), len(b[0]))
+        while lcp < mx and a[0][lcp] == b[0][lcp]:
+            lcp += 1
+        out.append((r + 1, a[1], a[2], b[1], b[2], lcp))
+    return out
+
+
+@replay("q_suffix_repeats")
+def r_suffix_repeats(t: Tables) -> pd.DataFrame:
+    pairs = [p for p in _suffix_adjacent_pairs(t) if p[5] >= SUFFIX_MIN_LCP]
+    pairs.sort(key=lambda p: (-p[5], p[0]))
+    return pd.DataFrame(
+        pairs[:SUFFIX_TOP_K],
+        columns=["sa_rank", "doc_id", "pos", "next_doc", "next_pos", "lcp"],
+    )
+
+
+@replay("q_suffix_dedup_spans")
+def r_suffix_dedup_spans(t: Tables) -> pd.DataFrame:
+    ivals: set = set()
+    for _, d, p, nd, np_, lcp in _suffix_adjacent_pairs(t):
+        if lcp < SUFFIX_MIN_LCP:
+            continue
+        ivals.add((d, p, p + lcp))
+        ivals.add((nd, np_, np_ + lcp))
+    by_doc: dict[int, list] = {}
+    for d, s, e in sorted(ivals):
+        by_doc.setdefault(d, []).append((s, e))
+    rows = []
+    for d in sorted(by_doc):
+        cur_s, cur_e = None, None
+        for s, e in by_doc[d]:  # sorted (s, e); merge when s <= max_e
+            if cur_s is None or s > cur_e:
+                if cur_s is not None:
+                    rows.append((d, cur_s, cur_e, cur_e - cur_s))
+                cur_s, cur_e = s, e
+            else:
+                cur_e = max(cur_e, e)
+        rows.append((d, cur_s, cur_e, cur_e - cur_s))
+    return pd.DataFrame(
+        rows, columns=["doc_id", "span_start", "span_end", "span_len"]
+    )
+
+
+FS_ITERS = 5  # queries/dedup.py FS_ITERS
+FS_INIT = (0.25, 0.8, 0.3)  # queries/dedup.py FS_INIT
+
+
+@replay("q_fellegi_sunter")
+def r_fellegi_sunter(t: Tables) -> pd.DataFrame:
+    """Fellegi-Sunter EM on the 8-row agreement-pattern frame, plain
+    sequential Python (pattern sums folded in pid order)."""
+    from collections import Counter
+
+    c = t.customer
+    recs = []
+    for nk, seg, bal in zip(
+        c["c_nationkey"], c["c_mktsegment"], c["c_acctbal"]
+    ):
+        cents = int(_spark_round(float(bal) * 100, 0))
+        recs.append((int(nk), str(seg), cents, math.floor(cents / 100000.0)))
+    by_nation: dict[int, list] = {}
+    order = sorted(range(len(recs)), key=lambda i: int(c["c_custkey"].iloc[i]))
+    for i in order:
+        by_nation.setdefault(recs[i][0], []).append(recs[i])
+    pat: Counter = Counter()
+    for rs in by_nation.values():
+        for i in range(len(rs) - 1):
+            for j in range(i + 1, len(rs)):
+                a1 = 1 if rs[i][1] == rs[j][1] else 0
+                a2 = 1 if rs[i][3] == rs[j][3] else 0
+                a3 = 1 if abs(rs[i][2] - rs[j][2]) <= 10000 else 0
+                pat[(a1, a2, a3)] += 1
+    pats = sorted(
+        ((a1 * 4 + a2 * 2 + a3, a1, a2, a3, n) for (a1, a2, a3), n in pat.items())
+    )
+    nn = sum(p[4] for p in pats)
+    ag = [sum(p[4] * p[1 + j] for p in pats) for j in range(3)]
+    lam, m, u = FS_INIT[0], [FS_INIT[1]] * 3, [FS_INIT[2]] * 3
+
+    def prod(ps, pattern):
+        out = 1.0
+        for j in range(3):
+            out *= ps[j] if pattern[j] == 1 else 1.0 - ps[j]
+        return out
+
+    for _ in range(FS_ITERS):
+        sg, sga = 0.0, [0.0, 0.0, 0.0]
+        for pid, a1, a2, a3, n in pats:  # pid-ordered sequential fold
+            pm, pu = prod(m, (a1, a2, a3)), prod(u, (a1, a2, a3))
+            g = (lam * pm) / (lam * pm + (1.0 - lam) * pu)
+            sg += n * g
+            for j, aj in enumerate((a1, a2, a3)):
+                sga[j] += (n * g) * aj
+        lam = sg / nn
+        m = [sga[j] / sg for j in range(3)]
+        u = [(ag[j] - sga[j]) / (nn - sg) for j in range(3)]
+    rows = []
+    for pid, a1, a2, a3, n in pats:
+        pm, pu = prod(m, (a1, a2, a3)), prod(u, (a1, a2, a3))
+        post = (lam * pm) / (lam * pm + (1.0 - lam) * pu)
+        rows.append(
+            (
+                pid,
+                a1,
+                a2,
+                a3,
+                n,
+                _spark_round(post, 6),
+                _spark_round(math.log(pm / pu), 6),
+                _spark_round(lam, 6),
+            )
+        )
+    return pd.DataFrame(
+        rows,
+        columns=[
+            "pid",
+            "a1",
+            "a2",
+            "a3",
+            "n_pairs",
+            "posterior_match",
+            "match_weight",
+            "lambda_est",
+        ],
+    )
+
+
+@replay("q_similarity_lsh_topk")
+def r_similarity_lsh_topk(t: Tables) -> pd.DataFrame:
+    """LSH bucket-restricted top-k: same-bucket candidates, exact
+    cosine re-rank, plain Python."""
+    ids, m = _emb_matrix(t)
+    buckets = _srp_buckets(m)
+    by_bucket: dict[int, list[int]] = {}
+    for idx, b in enumerate(buckets):
+        by_bucket.setdefault(int(b), []).append(idx)
+    rows = []
+    for qi in range(len(ids)):
+        if int(ids[qi]) % QUERY_MOD != 0:
+            continue
+        cand = [ci for ci in by_bucket.get(int(buckets[qi]), []) if ci != qi]
+        if not cand:
+            continue
+        cos6 = _rounded_cos(m[qi], m[cand])
+        ranked = sorted(
+            zip(cos6, (int(ids[ci]) for ci in cand)),
+            key=lambda rc: (-rc[0], rc[1]),
+        )[:TOPK]
+        for r, (c6, cid) in enumerate(ranked, start=1):
+            rows.append((int(ids[qi]), r, cid, _spark_round(c6, 4)))
+    return pd.DataFrame(
+        rows, columns=["query_id", "rank", "cand_id", "cos_sim"]
+    )
+
+
+@replay("q_similarity_near_dup_lsh")
+def r_similarity_near_dup_lsh(t: Tables) -> pd.DataFrame:
+    """SRP-bucket-blocked near-dup pairs >= NEAR_T, plain Python."""
+    ids, m = _emb_matrix(t)
+    buckets = _srp_buckets(m)
+    by_bucket: dict[int, list[int]] = {}
+    for idx, b in enumerate(buckets):
+        by_bucket.setdefault(int(b), []).append(idx)
+    rows = []
+    for members in by_bucket.values():
+        for i in range(len(members) - 1):
+            ai = members[i]
+            cand = members[i + 1 :]
+            cos4 = _rounded_cos(m[ai], m[cand], 4)
+            for cj, c4 in zip(cand, cos4):
+                a, b = int(ids[ai]), int(ids[cj])
+                if a > b:
+                    a, b = b, a
+                if c4 >= NEAR_T:
+                    rows.append((a, b, c4))
+    return pd.DataFrame(
+        sorted(rows), columns=["id_a", "id_b", "cos_sim"]
+    )
