@@ -279,6 +279,19 @@ def check_constants() -> list[str]:
         ("SUFFIX_TOP_K", qd),
         ("FS_ITERS", qd),
         ("FS_INIT", (qd, "FS_INIT")),
+        ("STRATA_FRAC", qtext),
+        ("PACK_BUDGET", qtext),
+        ("SOURCE_QUOTA", qtext),
+        ("TOKEN_BUDGET", qtext),
+        ("MIX_ALPHA", qtext),
+        ("MIX_SAMPLE_N", qtext),
+        ("NEG_K", None),
+        ("HARD_CEIL", qsim),
+    ]
+    from sandbox_data_pipeline_spark.queries import layout as qlay
+
+    pairs = [
+        (("NEG_K", qlay) if p == ("NEG_K", None) else p) for p in pairs
     ]
     errs = []
     for cname, mod in pairs:

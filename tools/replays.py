@@ -5620,3 +5620,304 @@ def r_similarity_near_dup_lsh(t: Tables) -> pd.DataFrame:
     return pd.DataFrame(
         sorted(rows), columns=["id_a", "id_b", "cos_sim"]
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 10: curation-funnel mechanics — packing, quotas, budgets,
+# mixtures, deterministic sampling, contrastive triplet assembly.
+# Plain sequential Python over sorted lists.
+# ---------------------------------------------------------------------------
+
+STRATA_FRAC = 0.2  # queries/text.py STRATA_FRAC
+PACK_BUDGET = 256  # queries/text.py PACK_BUDGET
+SOURCE_QUOTA = 15  # queries/text.py SOURCE_QUOTA
+TOKEN_BUDGET = 2000  # queries/text.py TOKEN_BUDGET
+MIX_ALPHA = 0.7  # queries/text.py MIX_ALPHA
+MIX_SAMPLE_N = 200  # queries/text.py MIX_SAMPLE_N
+NEG_K = 4  # queries/layout.py NEG_K
+HARD_CEIL = 0.35  # queries/similarity.py HARD_CEIL (= NEAR_T)
+
+
+@replay("q_stratified_sample")
+def r_stratified_sample(t: Tables) -> pd.DataFrame:
+    from collections import Counter
+
+    c: Counter = Counter()
+    cut = int(STRATA_FRAC * 10_000)
+    for lang, text in zip(t.documents["lang"], t.documents["text"]):
+        if _portable_hash(text, "sample") % 10_000 < cut:
+            c[str(lang)] += 1
+    return pd.DataFrame(
+        sorted(c.items()), columns=["lang", "sampled"]
+    )
+
+
+def _pack_bins(t: Tables) -> dict[tuple[str, int], list[tuple[int, str, int]]]:
+    """(lang, bin_id) -> [(doc_id, text, n_tokens)] by the cumulative
+    first-fit cut in doc_id order."""
+    by_lang: dict[str, list] = {}
+    for doc_id, lang, text in zip(
+        t.documents["doc_id"], t.documents["lang"], t.documents["text"]
+    ):
+        ntok = 0 if text == "" else len(_tokens(text))
+        by_lang.setdefault(str(lang), []).append((int(doc_id), text, ntok))
+    bins: dict[tuple[str, int], list] = {}
+    for lang in by_lang:
+        cum = 0
+        for doc_id, text, ntok in sorted(by_lang[lang]):
+            bin_id = cum // PACK_BUDGET  # floor((cumsum - n)/budget)
+            bins.setdefault((lang, bin_id), []).append((doc_id, text, ntok))
+            cum += ntok
+    return bins
+
+
+@replay("q_pack_sequences")
+def r_pack_sequences(t: Tables) -> pd.DataFrame:
+    rows = [
+        (lang, bin_id, len(docs), sum(d[2] for d in docs))
+        for (lang, bin_id), docs in sorted(_pack_bins(t).items())
+    ]
+    return pd.DataFrame(
+        rows, columns=["lang", "bin_id", "n_docs", "bin_tokens"]
+    )
+
+
+@replay("q_pack_manifest")
+def r_pack_manifest(t: Tables) -> pd.DataFrame:
+    import hashlib
+
+    rows = []
+    for (lang, bin_id), docs in sorted(_pack_bins(t).items()):
+        packed = "\n\n".join(d[1] for d in sorted(docs))
+        rows.append(
+            (
+                lang,
+                bin_id,
+                len(docs),
+                sum(d[2] for d in docs),
+                hashlib.md5(packed.encode()).hexdigest(),
+            )
+        )
+    return pd.DataFrame(
+        rows,
+        columns=["lang", "bin_id", "n_docs", "bin_tokens", "pack_md5"],
+    )
+
+
+@replay("q_pack_efficiency")
+def r_pack_efficiency(t: Tables) -> pd.DataFrame:
+    per_lang: dict[str, list[int]] = {}
+    for (lang, _), docs in _pack_bins(t).items():
+        per_lang.setdefault(lang, []).append(sum(d[2] for d in docs))
+    rows = []
+    for lang in sorted(per_lang):
+        fills = per_lang[lang]
+        rows.append(
+            (
+                lang,
+                len(fills),
+                _spark_round(
+                    math.fsum(b / PACK_BUDGET for b in fills) / len(fills), 4
+                ),
+                sum(1 for b in fills if b < 0.8 * PACK_BUDGET),
+            )
+        )
+    return pd.DataFrame(
+        rows, columns=["lang", "n_bins", "avg_fill", "underfilled_bins"]
+    )
+
+
+@replay("q_mixture_sample")
+def r_mixture_sample(t: Tables) -> pd.DataFrame:
+    by_lang: dict[str, list] = {}
+    for doc_id, lang in zip(t.documents["doc_id"], t.documents["lang"]):
+        d = int(doc_id)
+        by_lang.setdefault(str(lang), []).append(
+            (_portable_hash(str(d)), d)
+        )
+    min_n = min(len(v) for v in by_lang.values())
+    rows = []
+    for lang in sorted(by_lang):
+        for _, d in sorted(by_lang[lang])[:min_n]:
+            rows.append((d, lang))
+    return pd.DataFrame(sorted(rows), columns=["doc_id", "lang"])
+
+
+@replay("q_source_quota")
+def r_source_quota(t: Tables) -> pd.DataFrame:
+    by_src: dict[str, list] = {}
+    for doc_id, src, text in zip(
+        t.documents["doc_id"], t.documents["source"], t.documents["text"]
+    ):
+        by_src.setdefault(str(src), []).append(
+            (_portable_hash(text, "quota"), int(doc_id))
+        )
+    rows = []
+    for src in sorted(by_src):
+        for r, (_, d) in enumerate(sorted(by_src[src])[:SOURCE_QUOTA], 1):
+            rows.append((d, src, r))
+    return pd.DataFrame(
+        sorted(rows), columns=["doc_id", "source", "quota_rank"]
+    )
+
+
+@replay("q_budget_select")
+def r_budget_select(t: Tables) -> pd.DataFrame:
+    by_lang: dict[str, list] = {}
+    for doc_id, lang, text in zip(
+        t.documents["doc_id"], t.documents["lang"], t.documents["text"]
+    ):
+        ntok = 0 if text == "" else len(_tokens(text))
+        by_lang.setdefault(str(lang), []).append(
+            (int(doc_id), _quality_score_py(text), ntok)
+        )
+    rows = []
+    for lang in sorted(by_lang):
+        cum = 0
+        for d, score, ntok in sorted(
+            by_lang[lang], key=lambda r: (-r[1], r[0])
+        ):
+            cum += ntok
+            if cum > TOKEN_BUDGET:
+                break
+            rows.append((d, lang, score, cum))
+    return pd.DataFrame(
+        rows, columns=["doc_id", "lang", "score", "cum_tokens"]
+    )
+
+
+@replay("q_temperature_mixture")
+def r_temperature_mixture(t: Tables) -> pd.DataFrame:
+    from collections import Counter
+
+    counts = Counter(str(x) for x in t.documents["lang"])
+    total = sum(counts.values())
+    w = {
+        lang: _spark_round((n / total) ** MIX_ALPHA, 6)
+        for lang, n in counts.items()
+    }
+    ws = math.fsum(w.values())
+    rows = []
+    for lang in sorted(counts):
+        frac = _spark_round(w[lang] / ws, 6)
+        rows.append(
+            (lang, counts[lang], frac, int(math.floor(frac * MIX_SAMPLE_N)))
+        )
+    return pd.DataFrame(
+        rows, columns=["lang", "n_docs", "sampled_frac", "target_docs"]
+    )
+
+
+@replay("q_dataset_card")
+def r_dataset_card(t: Tables) -> pd.DataFrame:
+    import hashlib
+
+    d = t.documents
+    scores = [_quality_score_py(x) for x in d["text"]]
+    ntoks = np.array(
+        [0 if x == "" else len(_tokens(x)) for x in d["text"]],
+        dtype=np.int64,
+    )
+    n_docs = len(d)
+    n_fp = len({hashlib.md5(x.encode()).hexdigest() for x in d["text"]})
+    return pd.DataFrame(
+        {
+            "n_docs": [n_docs],
+            "n_sources": [d["source"].nunique()],
+            "n_langs": [d["lang"].nunique()],
+            "dup_rate": [_spark_round(1.0 - n_fp / n_docs, 6)],
+            "mean_quality": [_spark_round(math.fsum(scores) / n_docs, 4)],
+            "p50_tokens": [
+                _spark_round(float(np.percentile(ntoks, 50)), 4)
+            ],
+            "p95_tokens": [
+                _spark_round(float(np.percentile(ntoks, 95)), 4)
+            ],
+            "total_tokens": [int(ntoks.sum())],
+        }
+    )
+
+
+def _hash_ring(ids: list[int]) -> list[int]:
+    """ids ordered by (md5 hexdigest string, id) — the declared ring."""
+    import hashlib
+
+    return [
+        i
+        for _, i in sorted(
+            (hashlib.md5(str(i).encode()).hexdigest(), i) for i in ids
+        )
+    ]
+
+
+@replay("q_negative_samples")
+def r_negative_samples(t: Tables) -> pd.DataFrame:
+    ring = _hash_ring([int(x) for x in t.documents["doc_id"]])
+    n = len(ring)
+    step = n // (NEG_K + 1)
+    rows = []
+    for r, anchor in enumerate(ring):
+        for j in range(1, NEG_K + 1):
+            neg = ring[(r + j * step) % n]
+            if neg != anchor:
+                rows.append((anchor, j, neg))
+    return pd.DataFrame(
+        sorted(rows), columns=["anchor_id", "neg_idx", "negative_id"]
+    )
+
+
+@replay("q_hard_negatives")
+def r_hard_negatives(t: Tables) -> pd.DataFrame:
+    ids, m = _emb_matrix(t)
+    rows = []
+    for qi in range(len(ids)):
+        if int(ids[qi]) % QUERY_MOD != 0:
+            continue
+        cand = [ci for ci in range(len(ids)) if ci != qi]
+        cos6 = _rounded_cos(m[qi], m[cand])
+        below = [
+            (c6, int(ids[ci]))
+            for c6, ci in zip(cos6, cand)
+            if c6 < HARD_CEIL
+        ]
+        ranked = sorted(below, key=lambda rc: (-rc[0], rc[1]))[:TOPK]
+        for r, (c6, cid) in enumerate(ranked, start=1):
+            rows.append((int(ids[qi]), r, cid, _spark_round(c6, 4)))
+    return pd.DataFrame(
+        rows, columns=["query_id", "rank", "cand_id", "cos_sim"]
+    )
+
+
+@replay("q_training_triplets")
+def r_training_triplets(t: Tables) -> pd.DataFrame:
+    e = t.embeddings.sort_values("vec_id")
+    ids = [int(x) for x in e["vec_id"]]
+    m = np.stack([np.asarray(v, np.float64) for v in e["embedding"]])
+    labels = [int(x) for x in e["label"]]
+    by_label: dict[int, list[int]] = {}
+    for idx, lab in enumerate(labels):
+        by_label.setdefault(lab, []).append(idx)
+    pos = []
+    for members in by_label.values():
+        for i in range(len(members) - 1):
+            ai = members[i]
+            cand = members[i + 1 :]
+            cos4 = _rounded_cos(m[ai], m[cand], 4)
+            for cj, c4 in zip(cand, cos4):
+                if c4 >= NEAR_T:
+                    pos.append((ids[ai], ids[cj], c4))
+    ring = _hash_ring(ids)
+    n = len(ring)
+    step = n // 2
+    neg = {}
+    for r, anchor in enumerate(ring):
+        cand = ring[(r + step) % n]
+        if cand != anchor:
+            neg[anchor] = cand
+    rows = [
+        (a, p, neg[a], c4) for a, p, c4 in pos if a in neg
+    ]
+    return pd.DataFrame(
+        sorted(rows),
+        columns=["anchor_id", "positive_id", "negative_id", "pos_sim"],
+    )
