@@ -42,6 +42,17 @@ def _is_na(v) -> bool:
 
 
 def _cell_match(a, b) -> bool:
+    if isinstance(a, (list, tuple, np.ndarray)) or isinstance(
+        b, (list, tuple, np.ndarray)
+    ):
+        if not isinstance(a, (list, tuple, np.ndarray)) or not isinstance(
+            b, (list, tuple, np.ndarray)
+        ):
+            return False
+        la, lb = list(a), list(b)
+        return len(la) == len(lb) and all(
+            _cell_match(x, y) for x, y in zip(la, lb)
+        )
     if _is_na(a) and _is_na(b):
         return True
     if _is_na(a) or _is_na(b):
@@ -287,6 +298,13 @@ def check_constants() -> list[str]:
         ("MIX_SAMPLE_N", qtext),
         ("NEG_K", None),
         ("HARD_CEIL", qsim),
+        ("EVAL_MOD", qd),
+        ("DECONTAM_N", qd),
+        ("NGRAM_N", qtext),
+        ("NGRAM_TOP", qtext),
+        ("SWEEP_THRESHOLDS", (qtext, "SWEEP_THRESHOLDS")),
+        ("INDEX_TOP_TOKENS", qtext),
+        ("PHRASE", (qtext, "PHRASE")),
     ]
     from sandbox_data_pipeline_spark.queries import layout as qlay
 

@@ -5921,3 +5921,414 @@ def r_training_triplets(t: Tables) -> pd.DataFrame:
         sorted(rows),
         columns=["anchor_id", "positive_id", "negative_id", "pos_sim"],
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 11: curation dedup surfaces (survivors, normalization,
+# decontamination, passages, anchored spans), text-feature QA, URL
+# canonicalization, positional/inverted indexes, event trigrams.
+# ---------------------------------------------------------------------------
+
+EVAL_MOD = 97  # queries/dedup.py EVAL_MOD
+DECONTAM_N = 5  # queries/dedup.py DECONTAM_N
+NGRAM_N = 2  # queries/text.py NGRAM_N
+NGRAM_TOP = 20  # queries/text.py NGRAM_TOP
+SWEEP_THRESHOLDS = (0.2, 0.3, 0.4, 0.5, 0.6, 0.7)  # queries/text.py
+INDEX_TOP_TOKENS = 25  # queries/text.py INDEX_TOP_TOKENS
+PHRASE = ("table", "hash")  # queries/text.py PHRASE
+
+
+@replay("q_dedup_survivors")
+def r_dedup_survivors(t: Tables) -> pd.DataFrame:
+    comp = _components([(a, b) for a, b, _ in _minhash_pairs_replay(t)])
+    sizes: dict[int, int] = {}
+    for _, rep in comp.items():
+        sizes[rep] = sizes.get(rep, 0) + 1
+    rows = []
+    for doc_id in t.documents["doc_id"].astype(int):
+        rep = comp.get(doc_id)
+        if rep is not None and rep != doc_id:
+            continue  # non-canonical cluster member dropped
+        rows.append((doc_id, sizes.get(doc_id, 1)))
+    return pd.DataFrame(sorted(rows), columns=["doc_id", "cluster_size"])
+
+
+@replay("q_dedup_normalized")
+def r_dedup_normalized(t: Tables) -> pd.DataFrame:
+    import hashlib
+    import re
+
+    agg: dict[str, list[int]] = {}
+    for doc_id, text in zip(t.documents["doc_id"], t.documents["text"]):
+        norm = re.sub(r"[ \t\n\r\f\v]+", " ", text.lower()).strip()
+        fp = hashlib.md5(norm.encode()).hexdigest()
+        row = agg.setdefault(fp, [int(doc_id), 0])
+        row[0] = min(row[0], int(doc_id))
+        row[1] += 1
+    return pd.DataFrame(
+        sorted((fp, k, c) for fp, (k, c) in agg.items()),
+        columns=["norm_fp", "keep_id", "dup_cnt"],
+    )
+
+
+@replay("q_decontam")
+def r_decontam(t: Tables) -> pd.DataFrame:
+    ev_docs: dict[int, set] = {}
+    co_docs: dict[int, set] = {}
+    for doc_id, text in zip(t.documents["doc_id"], t.documents["text"]):
+        d = int(doc_id)
+        sh = set(_shingles(text, DECONTAM_N))
+        (ev_docs if d % EVAL_MOD == 0 else co_docs)[d] = sh
+    inv: dict[str, list[int]] = {}
+    for ed, sh in ev_docs.items():
+        for s in sh:
+            inv.setdefault(s, []).append(ed)
+    rows = []
+    for cd in sorted(co_docs):
+        shared = {s for s in co_docs[cd] if s in inv}
+        if not shared:
+            continue
+        evs = {ed for s in shared for ed in inv[s]}
+        rows.append((cd, len(shared), len(evs)))
+    return pd.DataFrame(
+        rows, columns=["doc_id", "n_shared_shingles", "n_eval_docs"]
+    )
+
+
+@replay("q_passage_dedup")
+def r_passage_dedup(t: Tables) -> pd.DataFrame:
+    import hashlib
+
+    agg: dict[str, list] = {}
+    for doc_id, text in zip(t.documents["doc_id"], t.documents["text"]):
+        toks = _tokens(text)
+        if not toks:
+            continue
+        d = int(doc_id)
+        for i in range(0, len(toks), PASSAGE_W):
+            fp = hashlib.md5(
+                " ".join(toks[i : i + PASSAGE_W]).encode()
+            ).hexdigest()
+            row = agg.setdefault(fp, [0, set(), d])
+            row[0] += 1
+            row[1].add(d)
+            row[2] = min(row[2], d)
+    rows = [
+        (fp, n, len(docs), keep)
+        for fp, (n, docs, keep) in sorted(agg.items())
+        if n > 1
+    ]
+    return pd.DataFrame(
+        rows, columns=["passage_fp", "n_copies", "n_docs", "keep_doc"]
+    )
+
+
+ANCHOR_GRAM = 32  # operators/dedup.py duplicated_substring_spans gram_len
+ANCHOR_MOD = 4  # queries/dedup.py q_anchored_dup_spans anchor_mod
+
+
+@replay("q_anchored_dup_spans")
+def r_anchored_dup_spans(t: Tables) -> pd.DataFrame:
+    """Content-defined anchored duplicate spans: hash every 32-gram,
+    keep hash % 4 == 0 anchors, flag anchors whose gram repeats
+    anywhere, merge per-doc anchors <= 32 apart into spans."""
+    from collections import Counter
+
+    positions: dict[int, list[tuple[int, int]]] = {}
+    counts: Counter = Counter()
+    for doc_id, text in zip(t.documents["doc_id"], t.documents["text"]):
+        if len(text) < ANCHOR_GRAM:
+            continue
+        d = int(doc_id)
+        for p in range(1, len(text) - ANCHOR_GRAM + 2):  # 1-based
+            gk = _portable_hash(text[p - 1 : p - 1 + ANCHOR_GRAM])
+            if gk % ANCHOR_MOD == 0:
+                positions.setdefault(d, []).append((p, gk))
+                counts[gk] += 1
+    rows = []
+    for d in sorted(positions):
+        dup_pos = sorted(p for p, gk in positions[d] if counts[gk] >= 2)
+        if not dup_pos:
+            continue
+        start = prev = dup_pos[0]
+        for p in dup_pos[1:]:
+            if p - prev <= ANCHOR_GRAM:
+                prev = p
+            else:
+                rows.append(
+                    (d, start, prev + 31, prev + 31 - start + 1)
+                )
+                start = prev = p
+        rows.append((d, start, prev + 31, prev + 31 - start + 1))
+    return pd.DataFrame(
+        rows, columns=["doc_id", "span_start", "span_end", "span_len"]
+    )
+
+
+@replay("q_text_quality")
+def r_text_quality(t: Tables) -> pd.DataFrame:
+    rows = []
+    for doc_id, text in zip(t.documents["doc_id"], t.documents["text"]):
+        n_chars = len(text)
+        raw = text.split(" ")
+        toks = [x for x in raw if x != ""]
+        n_tok = len(toks)
+        n_space = text.count(" ")
+        n_punct = sum(ch in ".,!?;:" for ch in text)
+        n_digit = sum(ch.isdigit() for ch in text)
+        n_stop = sum(1 for x in raw if x in LANG_MARKERS["en"])
+        n_distinct = len(set(raw))
+        q = min(
+            1.0,
+            max(
+                0.0,
+                0.5 * (n_stop / n_tok)
+                + 0.5 * (n_distinct / n_tok)
+                - n_digit / n_chars,
+            ),
+        )
+        rows.append(
+            (
+                int(doc_id),
+                n_chars,
+                n_tok,
+                _spark_round((n_chars - n_space) / n_tok, 4),
+                _spark_round(n_punct / n_chars, 4),
+                _spark_round(n_digit / n_chars, 4),
+                _spark_round(n_stop / n_tok, 4),
+                _spark_round(n_distinct / n_tok, 4),
+                _spark_round(q, 4),
+            )
+        )
+    return pd.DataFrame(
+        rows,
+        columns=[
+            "doc_id",
+            "n_chars",
+            "n_tokens",
+            "avg_token_len",
+            "punct_ratio",
+            "digit_ratio",
+            "stopword_ratio",
+            "distinct_ratio",
+            "quality_score",
+        ],
+    )
+
+
+@replay("q_ngram_freq")
+def r_ngram_freq(t: Tables) -> pd.DataFrame:
+    from collections import Counter
+
+    occ: Counter = Counter()
+    df: Counter = Counter()
+    for text in t.documents["text"]:
+        sh = _shingles(text, NGRAM_N)
+        occ.update(sh)
+        df.update(set(sh))
+    top = sorted(occ.items(), key=lambda kv: (-kv[1], kv[0]))[:NGRAM_TOP]
+    return pd.DataFrame(
+        [(s, c, df[s]) for s, c in top],
+        columns=["shingle", "occurrences", "doc_freq"],
+    )
+
+
+@replay("q_repetition")
+def r_repetition(t: Tables) -> pd.DataFrame:
+    from collections import Counter
+
+    rows = []
+    for doc_id, text in zip(t.documents["doc_id"], t.documents["text"]):
+        toks = _tokens(text)
+        n, nd = len(toks), len(set(toks))
+        if n > 0:
+            top = Counter(toks).most_common(1)[0][1]
+            rows.append(
+                (
+                    int(doc_id),
+                    n,
+                    nd,
+                    _spark_round(1.0 - nd / n, 4),
+                    _spark_round(top / n, 4),
+                )
+            )
+        else:
+            rows.append((int(doc_id), 0, 0, None, None))
+    return pd.DataFrame(
+        rows,
+        columns=[
+            "doc_id",
+            "n_tokens",
+            "n_distinct",
+            "dup_ratio",
+            "top_token_ratio",
+        ],
+    )
+
+
+@replay("q_quality_sweep")
+def r_quality_sweep(t: Tables) -> pd.DataFrame:
+    scored = []
+    for text in t.documents["text"]:
+        toks = _tokens(text)
+        scored.append((_quality_score_py(text), len(toks)))
+    rows = []
+    for th in SWEEP_THRESHOLDS:
+        kept = [(s, n) for s, n in scored if s >= th]
+        rows.append(
+            (th, len(kept), sum(n for _, n in kept))
+        )
+    return pd.DataFrame(
+        rows, columns=["threshold", "docs_kept", "tokens_kept"]
+    )
+
+
+@replay("q_inverted_index")
+def r_inverted_index(t: Tables) -> pd.DataFrame:
+    from collections import Counter
+
+    postings: dict[str, set] = {}
+    for doc_id, text in zip(t.documents["doc_id"], t.documents["text"]):
+        for tok in set(_tokens(text)):
+            postings.setdefault(tok, set()).add(int(doc_id))
+    df = Counter({tok: len(s) for tok, s in postings.items()})
+    top = sorted(df.items(), key=lambda kv: (-kv[1], kv[0]))[
+        :INDEX_TOP_TOKENS
+    ]
+    return pd.DataFrame(
+        [
+            (tok, c, ",".join(str(d) for d in sorted(postings[tok])))
+            for tok, c in top
+        ],
+        columns=["token", "doc_freq", "postings"],
+    )
+
+
+@replay("q_phrase_search")
+def r_phrase_search(t: Tables) -> pd.DataFrame:
+    w1, w2 = PHRASE
+    rows = []
+    for doc_id, text in zip(t.documents["doc_id"], t.documents["text"]):
+        toks = _tokens(text)
+        hits = [
+            i
+            for i in range(len(toks) - 1)
+            if toks[i] == w1 and toks[i + 1] == w2
+        ]
+        if hits:
+            rows.append((int(doc_id), len(hits), hits[0] + 1))
+    return pd.DataFrame(
+        rows, columns=["doc_id", "n_hits", "first_pos"]
+    )
+
+
+@replay("q_event_trigrams")
+def r_event_trigrams(t: Tables) -> pd.DataFrame:
+    from collections import Counter
+
+    ev = t.events.sort_values(["user_id", "ts", "event_id"])
+    tri: Counter = Counter()
+    for _, g in ev.groupby("user_id"):
+        types = list(g["event_type"])
+        for i in range(len(types) - 2):
+            tri[(types[i], types[i + 1], types[i + 2])] += 1
+    total = sum(tri.values())
+    rows = [
+        (a, b, c, n, _half_away_ratio(n, total, 6))
+        for (a, b, c), n in sorted(tri.items())
+    ]
+    return pd.DataFrame(rows, columns=["a", "b", "c", "n_seq", "share"])
+
+
+def _canon_url(d: int, source: str) -> tuple[str, str]:
+    """(host, canonical_url) from the declared synth-URL residues and
+    the published canonicalization rules, plain string ops."""
+    scheme = "https" if d % 2 == 0 else "http"
+    www = "WWW." if d % 3 == 0 else ""
+    authority = (www + source + ".Example.COM").lower()
+    port = "443" if d % 2 == 0 else ("8080" if d % 5 == 0 else "")
+    if port:
+        authority_full = authority + ":" + port
+    else:
+        authority_full = authority
+    host = authority_full
+    if ":" in host and host.rsplit(":", 1)[1].isdigit():
+        host = host.rsplit(":", 1)[0]
+    if host.startswith("www."):
+        host = host[4:]
+    path = "/p/" + str(d % 7) + ("/" if d % 4 == 0 else "")
+    canon_path = path.rstrip("/") or "/"
+    params = ["utm_source=rss", "page=" + str(d % 5), "b=2", "a=1"]
+    if d % 6 == 0:
+        params.append("gclid=x")
+    kept = sorted(
+        p
+        for p in params
+        if p != ""
+        and not p.startswith("utm_")
+        and not p.startswith("fbclid=")
+        and not p.startswith("gclid=")
+    )
+    cq = "&".join(kept)
+    default = (scheme == "https" and port == "443") or (
+        scheme == "http" and port == "80"
+    )
+    url = (
+        scheme
+        + "://"
+        + host
+        + ((":" + port) if port and not default else "")
+        + canon_path
+        + (("?" + cq) if cq else "")
+    )
+    return host, url
+
+
+@replay("q_url_canonical")
+def r_url_canonical(t: Tables) -> pd.DataFrame:
+    rows = []
+    for doc_id, source in zip(
+        t.documents["doc_id"], t.documents["source"]
+    ):
+        host, url = _canon_url(int(doc_id), str(source))
+        rows.append((int(doc_id), host, url))
+    return pd.DataFrame(
+        rows, columns=["doc_id", "host", "canonical_url"]
+    )
+
+
+@replay("q_url_dedup")
+def r_url_dedup(t: Tables) -> pd.DataFrame:
+    agg: dict[str, list[int]] = {}
+    for doc_id, source in zip(
+        t.documents["doc_id"], t.documents["source"]
+    ):
+        _, url = _canon_url(int(doc_id), str(source))
+        row = agg.setdefault(url, [0, int(doc_id)])
+        row[0] += 1
+        row[1] = min(row[1], int(doc_id))
+    rows = [
+        (url, c, k) for url, (c, k) in sorted(agg.items()) if c > 1
+    ]
+    return pd.DataFrame(
+        rows, columns=["canonical_url", "dup_cnt", "keep_id"]
+    )
+
+
+@replay("q_crosslingual_dups")
+def r_crosslingual_dups(t: Tables) -> pd.DataFrame:
+    pairs = REPLAYS["q_similarity_near_dup_lsh"](t)
+    lang = {
+        int(d): str(lg)
+        for d, lg in zip(t.documents["doc_id"], t.documents["lang"])
+    }
+    rows = [
+        (a, b, c, lang[a], lang[b])
+        for a, b, c in pairs.itertuples(index=False)
+        if lang.get(a) is not None
+        and lang.get(b) is not None
+        and lang[a] != lang[b]
+    ]
+    return pd.DataFrame(
+        rows, columns=["id_a", "id_b", "cos_sim", "lang_a", "lang_b"]
+    )
