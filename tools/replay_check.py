@@ -305,6 +305,18 @@ def check_constants() -> list[str]:
         ("SWEEP_THRESHOLDS", (qtext, "SWEEP_THRESHOLDS")),
         ("INDEX_TOP_TOKENS", qtext),
         ("PHRASE", (qtext, "PHRASE")),
+        ("INCR_MOD", qsim),
+        ("FUZZY_PREFIX", qd),
+        ("FUZZY_BODY", qd),
+        ("FUZZY_MAXD", qd),
+        ("FUZZY_CAP", qd),
+        ("BLOCKED_SOURCES", (qtext, "BLOCKED_SOURCES")),
+        ("PII_MOD", qtext),
+        ("EMAIL_PATTERN", otext),
+        ("PHONE_PATTERN", otext),
+        ("CASCADE_MIN_CHARS", qtext),
+        ("CASCADE_MIN_TOKENS", qtext),
+        ("CASCADE_LANGS", (qtext, "CASCADE_LANGS")),
     ]
     from sandbox_data_pipeline_spark.queries import layout as qlay
 

@@ -6332,3 +6332,439 @@ def r_crosslingual_dups(t: Tables) -> pd.DataFrame:
     return pd.DataFrame(
         rows, columns=["id_a", "id_b", "cos_sim", "lang_a", "lang_b"]
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 12: embedding index builds, entity linkage, corpus hygiene
+# filters — dense numpy / plain dict third implementations.
+# ---------------------------------------------------------------------------
+
+INCR_MOD = 10  # queries/similarity.py INCR_MOD
+FUZZY_PREFIX = 8  # queries/dedup.py FUZZY_PREFIX
+FUZZY_BODY = 96  # queries/dedup.py FUZZY_BODY
+FUZZY_MAXD = 24  # queries/dedup.py FUZZY_MAXD
+FUZZY_CAP = 1000  # queries/dedup.py FUZZY_CAP
+BLOCKED_SOURCES = ("src3", "src7", "src13")  # queries/text.py
+PII_MOD = 3  # queries/text.py PII_MOD
+# operators/text.py EMAIL_PATTERN / PHONE_PATTERN
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_PATTERN = r"[0-9]{3}-[0-9]{3}-[0-9]{4}"
+CASCADE_MIN_CHARS = 64  # queries/text.py CASCADE_MIN_CHARS
+CASCADE_MIN_TOKENS = 10  # queries/text.py CASCADE_MIN_TOKENS
+CASCADE_LANGS = ("de", "en", "es", "fr")  # queries/text.py CASCADE_LANGS
+
+
+@replay("q_embedding_gram")
+def r_embedding_gram(t: Tables) -> pd.DataFrame:
+    _, m = _emb_matrix(t)
+    X = np.trunc(m * 1e6).astype(np.int64)
+    G = X.T @ X
+    n = len(X)
+    rows = [
+        (i, j, int(G[i, j]), n)
+        for i in range(DIM)
+        for j in range(i, DIM)
+    ]
+    return pd.DataFrame(rows, columns=["i", "j", "s", "n_vecs"])
+
+
+@replay("q_embedding_quantize")
+def r_embedding_quantize(t: Tables) -> pd.DataFrame:
+    ids, m = _emb_matrix(t)
+    rows = []
+    for vid, v in zip(ids, m):
+        scale = float(np.max(np.abs(v))) / 127.0
+        codes = [int(_spark_round(x / scale, 0)) for x in v]
+        err = max(abs(x - c * scale) for x, c in zip(v, codes))
+        rows.append(
+            (
+                int(vid),
+                _spark_round(scale, 6),
+                _spark_round(err, 6),
+                sum(codes),
+            )
+        )
+    return pd.DataFrame(
+        rows, columns=["vec_id", "scale", "max_abs_err", "codes_sum"]
+    )
+
+
+def _ivf_assign_py(
+    m: np.ndarray, ids: np.ndarray, cents: list[tuple[int, np.ndarray]]
+) -> list[int]:
+    """Nearest centroid per vector by 6-dp-rounded cosine, ties to the
+    smaller centroid id."""
+    out = []
+    for v in m:
+        best = None
+        for cid, cv in cents:
+            c6 = float(
+                _rounded_cos(v, cv.reshape(1, -1))[0]
+            )
+            if best is None or c6 > best[0] or (c6 == best[0] and cid < best[1]):
+                best = (c6, cid)
+        out.append(best[1])
+    return out
+
+
+@replay("q_similarity_ivf_lists")
+def r_similarity_ivf_lists(t: Tables) -> pd.DataFrame:
+    ids, m = _emb_matrix(t)
+    cents = [(int(ids[i]), m[i]) for i in range(N_CENTROIDS)]
+    lists = _ivf_assign_py(m, ids, cents)
+    return pd.DataFrame(
+        {"vec_id": ids, "list_id": lists}
+    )
+
+
+@replay("q_ann_index")
+def r_ann_index(t: Tables) -> pd.DataFrame:
+    ids, m = _emb_matrix(t)
+    buckets = _srp_buckets(m)
+    cents = [(int(ids[i]), m[i]) for i in range(N_CENTROIDS)]
+    lists = _ivf_assign_py(m, ids, cents)
+    norms = [
+        _spark_round(math.sqrt(float(v @ v)), 6) for v in m
+    ]
+    return pd.DataFrame(
+        {
+            "vec_id": ids,
+            "norm": norms,
+            "bucket": buckets.astype(np.int32),
+            "list_id": lists,
+        }
+    )
+
+
+@replay("q_ann_index_drift")
+def r_ann_index_drift(t: Tables) -> pd.DataFrame:
+    ids, m = _emb_matrix(t)
+    base_idx = [i for i in range(len(ids)) if int(ids[i]) % INCR_MOD != 0]
+    batch_idx = [i for i in range(len(ids)) if int(ids[i]) % INCR_MOD == 0]
+    cents = [(int(ids[i]), m[i]) for i in base_idx[:N_CENTROIDS]]
+    nb: dict[int, int] = {}
+    for lid in _ivf_assign_py(m[base_idx], ids[base_idx], cents):
+        nb[lid] = nb.get(lid, 0) + 1
+    nn: dict[int, int] = {}
+    for lid in _ivf_assign_py(m[batch_idx], ids[batch_idx], cents):
+        nn[lid] = nn.get(lid, 0) + 1
+    rows = []
+    for lid in sorted(set(nb) | set(nn)):
+        b, nw = nb.get(lid, 0), nn.get(lid, 0)
+        rows.append((lid, b, nw, _spark_round(nw / (b or 1), 6)))
+    return pd.DataFrame(
+        rows, columns=["list_id", "n_base", "n_new", "growth_ratio"]
+    )
+
+
+@replay("q_embedding_dup_clusters")
+def r_embedding_dup_clusters(t: Tables) -> pd.DataFrame:
+    e = t.embeddings.sort_values("vec_id")
+    ids = [int(x) for x in e["vec_id"]]
+    m = np.stack([np.asarray(v, np.float64) for v in e["embedding"]])
+    by_label: dict[int, list[int]] = {}
+    for idx, lab in enumerate(e["label"]):
+        by_label.setdefault(int(lab), []).append(idx)
+    pairs = []
+    for members in by_label.values():
+        for i in range(len(members) - 1):
+            ai = members[i]
+            cand = members[i + 1 :]
+            cos4 = _rounded_cos(m[ai], m[cand], 4)
+            for cj, c4 in zip(cand, cos4):
+                if c4 >= NEAR_T:
+                    pairs.append((ids[ai], ids[cj]))
+    comp = _components(pairs)
+    return pd.DataFrame(
+        sorted(comp.items()), columns=["vec_id", "cluster_id"]
+    )
+
+
+def _levenshtein(a: str, b: str) -> int:
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(
+                    prev[j] + 1,
+                    cur[j - 1] + 1,
+                    prev[j - 1] + (ca != cb),
+                )
+            )
+        prev = cur
+    return prev[-1]
+
+
+def _fuzzy_pairs_replay(t: Tables) -> list[tuple[int, int, str, int]]:
+    blocks: dict[tuple[str, str], list[tuple[int, str]]] = {}
+    for doc_id, lang, text in zip(
+        t.documents["doc_id"], t.documents["lang"], t.documents["text"]
+    ):
+        s = "".join(ch for ch in text if ord(ch) < 128)
+        blocks.setdefault(
+            (str(lang), s[:FUZZY_PREFIX]), []
+        ).append((int(doc_id), s[FUZZY_PREFIX : FUZZY_PREFIX + FUZZY_BODY]))
+    out = []
+    for (lang, _), members in blocks.items():
+        if len(members) > FUZZY_CAP:
+            continue
+        members = sorted(members)
+        for i in range(len(members) - 1):
+            for j in range(i + 1, len(members)):
+                d = _levenshtein(members[i][1], members[j][1])
+                if d <= FUZZY_MAXD:
+                    out.append((members[i][0], members[j][0], lang, d))
+    return out
+
+
+@replay("q_fuzzy_match")
+def r_fuzzy_match(t: Tables) -> pd.DataFrame:
+    return pd.DataFrame(
+        sorted(_fuzzy_pairs_replay(t)),
+        columns=["id_a", "id_b", "lang", "edit_dist"],
+    )
+
+
+@replay("q_entity_resolution")
+def r_entity_resolution(t: Tables) -> pd.DataFrame:
+    comp = _components(
+        [(a, b) for a, b, _, _ in _fuzzy_pairs_replay(t)]
+    )
+    agg: dict[int, list[int]] = {}
+    for doc_id, rep in comp.items():
+        row = agg.setdefault(rep, [0, doc_id])
+        row[0] += 1
+        row[1] = max(row[1], doc_id)
+    return pd.DataFrame(
+        sorted((e, n, mx) for e, (n, mx) in agg.items()),
+        columns=["entity_id", "n_members", "max_member"],
+    )
+
+
+@replay("q_entity_matches")
+def r_entity_matches(t: Tables) -> pd.DataFrame:
+    import hashlib
+
+    meta = {
+        int(d): (str(s), hashlib.md5(x.encode()).hexdigest(), len(x))
+        for d, s, x in zip(
+            t.documents["doc_id"],
+            t.documents["source"],
+            t.documents["text"],
+        )
+    }
+    rows = []
+    for a, b, est in _minhash_pairs_replay(t):
+        sa, fa, la = meta[a]
+        sb, fb, lb = meta[b]
+        exact = fa == fb
+        cls = "exact" if exact else ("strong" if est >= 0.9 else "candidate")
+        rows.append(
+            (
+                a,
+                b,
+                est,
+                _spark_round(min(la, lb) / max(la, lb), 4),
+                sa == sb,
+                exact,
+                cls,
+            )
+        )
+    return pd.DataFrame(
+        sorted(rows),
+        columns=[
+            "doc_a",
+            "doc_b",
+            "est_jaccard",
+            "len_ratio",
+            "same_source",
+            "exact_equal",
+            "match_class",
+        ],
+    )
+
+
+@replay("q_global_ids")
+def r_global_ids(t: Tables) -> pd.DataFrame:
+    ev = t.events[["ts", "event_id"]].sort_values(["ts", "event_id"])
+    return pd.DataFrame(
+        {
+            "event_id": ev["event_id"].to_numpy(),
+            "global_id": np.arange(len(ev), dtype=np.int64),
+        }
+    )
+
+
+@replay("q_fingerprint")
+def r_fingerprint(t: Tables) -> pd.DataFrame:
+    import hashlib
+
+    rows = []
+    for doc_id, text in zip(t.documents["doc_id"], t.documents["text"]):
+        toks = sorted(set(text.split(" ")))
+        rows.append(
+            (
+                int(doc_id),
+                hashlib.md5(" ".join(toks).encode()).hexdigest(),
+                len(toks),
+            )
+        )
+    return pd.DataFrame(
+        rows, columns=["doc_id", "fingerprint", "vocab_size"]
+    )
+
+
+@replay("q_winsorize")
+def r_winsorize(t: Tables) -> pd.DataFrame:
+    rows = []
+    for et, g in t.events.groupby("event_type"):
+        vals = np.sort(g["value"].to_numpy(np.float64))
+        n = len(vals)
+        p01 = vals[max(1, math.ceil(n * 0.01)) - 1]
+        p99 = vals[math.ceil(n * 0.99) - 1]
+        rows.append(
+            (
+                str(et),
+                n,
+                int((vals < p01).sum()),
+                int((vals > p99).sum()),
+                p01,
+                p99,
+            )
+        )
+    return pd.DataFrame(
+        rows,
+        columns=[
+            "event_type",
+            "n_total",
+            "n_clamped_low",
+            "n_clamped_high",
+            "p01",
+            "p99",
+        ],
+    )
+
+
+@replay("q_skyline")
+def r_skyline(t: Tables) -> pd.DataFrame:
+    pts = []
+    for doc_id, text, n_chars in zip(
+        t.documents["doc_id"], t.documents["text"], t.documents["n_chars"]
+    ):
+        nonspace = len(text) - text.count(" ")
+        y = (nonspace * 1000) // (text.count(" ") + 1)
+        pts.append((int(doc_id), int(n_chars), y))
+    ymax: dict[int, int] = {}
+    for _, x, y in pts:
+        ymax[x] = max(ymax.get(x, y), y)
+    frontier = set()
+    prev = None
+    for x in sorted(ymax, reverse=True):
+        if prev is None or ymax[x] > prev:
+            frontier.add((x, ymax[x]))
+            prev = ymax[x] if prev is None else max(prev, ymax[x])
+    rows = [
+        (d, x, y) for d, x, y in pts if (x, y) in frontier
+    ]
+    return pd.DataFrame(
+        sorted(rows), columns=["doc_id", "n_chars", "awl_x1000"]
+    )
+
+
+@replay("q_domain_blocklist")
+def r_domain_blocklist(t: Tables) -> pd.DataFrame:
+    blocked = {f"{s}.example.com" for s in BLOCKED_SOURCES}
+    agg: dict[str, list[int]] = {}
+    for doc_id, source in zip(
+        t.documents["doc_id"], t.documents["source"]
+    ):
+        host, _ = _canon_url(int(doc_id), str(source))
+        row = agg.setdefault(str(source), [0, 0])
+        row[0] += 1
+        row[1] += 1 if host in blocked else 0
+    return pd.DataFrame(
+        sorted((s, n, b) for s, (n, b) in agg.items()),
+        columns=["source", "n_urls", "n_blocked"],
+    )
+
+
+@replay("q_pii_scrub")
+def r_pii_scrub(t: Tables) -> pd.DataFrame:
+    import hashlib
+    import re
+
+    email_re = re.compile(EMAIL_PATTERN)
+    phone_re = re.compile(PHONE_PATTERN)
+    rows = []
+    for doc_id, text in zip(t.documents["doc_id"], t.documents["text"]):
+        d = int(doc_id)
+        if d % PII_MOD == 0:
+            text = (
+                text
+                + " contact user"
+                + str(d)
+                + "@example.com or 555-123-"
+                + str(d % 10000).rjust(4, "0")
+            )
+        n_emails = len(email_re.findall(text))
+        n_phones = len(phone_re.findall(text))
+        scrubbed = phone_re.sub(
+            "<PHONE>", email_re.sub("<EMAIL>", text)
+        )
+        rows.append(
+            (
+                d,
+                n_emails,
+                n_phones,
+                hashlib.md5(scrubbed.encode()).hexdigest(),
+            )
+        )
+    return pd.DataFrame(
+        rows, columns=["doc_id", "n_emails", "n_phones", "scrubbed_md5"]
+    )
+
+
+@replay("q_filter_cascade")
+def r_filter_cascade(t: Tables) -> pd.DataFrame:
+    import hashlib
+
+    first_by_fp: dict[str, int] = {}
+    docs = []
+    for doc_id, src, lang, text, n_chars in zip(
+        t.documents["doc_id"],
+        t.documents["source"],
+        t.documents["lang"],
+        t.documents["text"],
+        t.documents["n_chars"],
+    ):
+        d = int(doc_id)
+        fp = hashlib.md5(text.encode()).hexdigest()
+        if fp not in first_by_fp or d < first_by_fp[fp]:
+            first_by_fp[fp] = d
+        docs.append((d, str(src), str(lang), text, int(n_chars), fp))
+    agg: dict[str, list[int]] = {}
+    for d, src, lang, text, n_chars, fp in docs:
+        len_ok = n_chars >= CASCADE_MIN_CHARS
+        lang_ok = lang in CASCADE_LANGS
+        tok_ok = len(_tokens(text)) >= CASCADE_MIN_TOKENS
+        uniq_ok = first_by_fp[fp] == d
+        row = agg.setdefault(src, [0, 0, 0, 0, 0])
+        row[0] += 1
+        row[1] += len_ok
+        row[2] += len_ok and lang_ok
+        row[3] += len_ok and lang_ok and tok_ok
+        row[4] += len_ok and lang_ok and tok_ok and uniq_ok
+    return pd.DataFrame(
+        sorted((s, *v) for s, v in agg.items()),
+        columns=[
+            "source",
+            "n_total",
+            "after_length",
+            "after_lang",
+            "after_tokens",
+            "after_dedup",
+        ],
+    )
