@@ -317,6 +317,9 @@ def check_constants() -> list[str]:
         ("CASCADE_MIN_CHARS", qtext),
         ("CASCADE_MIN_TOKENS", qtext),
         ("CASCADE_LANGS", (qtext, "CASCADE_LANGS")),
+        ("K_ANON", qdq),
+        ("L_DIVERSITY", qdq),
+        ("QUALITY_CUT", qtext),
     ]
     from sandbox_data_pipeline_spark.queries import layout as qlay
 

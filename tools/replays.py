@@ -6768,3 +6768,752 @@ def r_filter_cascade(t: Tables) -> pd.DataFrame:
             "after_dedup",
         ],
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 13: event/session analytics, privacy audits, PIT features,
+# composition pipelines — plain sequential Python over grouped rows.
+# ---------------------------------------------------------------------------
+
+K_ANON = 5  # queries/dq.py K_ANON
+L_DIVERSITY = 3  # queries/dq.py L_DIVERSITY
+SESSION_GAP_MIN = 30  # queries/relational.py q_sessionize gap
+
+
+def _sessions(t: Tables):
+    """(user_id, [(ts, value)...] per 30-min-gap session) in ts order."""
+    ev = t.events.sort_values(["user_id", "ts", "event_id"])
+    gap = pd.Timedelta(minutes=SESSION_GAP_MIN)
+    for uid, g in ev.groupby("user_id"):
+        cur = []
+        prev = None
+        for ts, val in zip(g["ts"], g["value"]):
+            if prev is not None and ts - prev >= gap:
+                yield int(uid), cur
+                cur = []
+            cur.append((ts, float(val)))
+            prev = ts
+        if cur:
+            yield int(uid), cur
+
+
+@replay("q_sessionize")
+def r_sessionize(t: Tables) -> pd.DataFrame:
+    gap = pd.Timedelta(minutes=SESSION_GAP_MIN)
+    rows = []
+    for uid, evs in _sessions(t):
+        rows.append(
+            (
+                uid,
+                evs[0][0],
+                evs[-1][0] + gap,
+                len(evs),
+                _spark_round(math.fsum(v for _, v in evs), 4),
+            )
+        )
+    return pd.DataFrame(
+        rows,
+        columns=[
+            "user_id",
+            "session_start",
+            "session_end",
+            "n_events",
+            "sum_value",
+        ],
+    )
+
+
+@replay("q_sessionize_batch")
+def r_sessionize_batch(t: Tables) -> pd.DataFrame:
+    gap = pd.Timedelta(minutes=SESSION_GAP_MIN)
+    rows = []
+    for uid, evs in _sessions(t):
+        s6 = sum(int(np.rint(v * 1e6)) for _, v in evs)  # exact decimal(18,6)
+        rows.append(
+            (uid, evs[0][0], evs[-1][0] + gap, len(evs), s6 / 1e6)
+        )
+    return pd.DataFrame(
+        rows,
+        columns=[
+            "user_id",
+            "session_start",
+            "session_end",
+            "n_events",
+            "sum_value",
+        ],
+    )
+
+
+@replay("q_first_seen_batch")
+def r_first_seen_batch(t: Tables) -> pd.DataFrame:
+    ev = t.events.sort_values(["ts", "event_id"])
+    out = ev.groupby(["user_id", "event_type"], as_index=False).first()
+    return out[["user_id", "event_type", "event_id", "ts", "value"]]
+
+
+@replay("q_trending_batch")
+def r_trending_batch(t: Tables) -> pd.DataFrame:
+    from collections import Counter
+
+    per_src: dict[str, Counter] = {}
+    for src, text in zip(t.documents["source"], t.documents["text"]):
+        per_src.setdefault(str(src), Counter()).update(_tokens(text))
+    rows = []
+    for src in sorted(per_src):
+        top = sorted(
+            per_src[src].items(), key=lambda kv: (-kv[1], kv[0])
+        )[:10]
+        for r, (tok, n) in enumerate(top, start=1):
+            rows.append((src, tok, n, r))
+    return pd.DataFrame(rows, columns=["source", "token", "n", "rank"])
+
+
+def _stage_firsts(t: Tables, stages: list[str], strict: bool) -> list[dict]:
+    """Chained per-user first-timestamp stages; strict=True requires
+    ts > prev stage, else ts >= prev."""
+    ev = t.events
+    frames = []
+    cur: dict[int, pd.Timestamp] = {}
+    for si, st in enumerate(stages):
+        nxt: dict[int, pd.Timestamp] = {}
+        for uid, typ, ts in zip(ev["user_id"], ev["event_type"], ev["ts"]):
+            if str(typ) != st:
+                continue
+            u = int(uid)
+            if si > 0:
+                prev = cur.get(u)
+                if prev is None:
+                    continue
+                if strict and not ts > prev:
+                    continue
+                if not strict and not ts >= prev:
+                    continue
+            if u not in nxt or ts < nxt[u]:
+                nxt[u] = ts
+        frames.append(nxt)
+        cur = nxt
+    return frames
+
+
+@replay("q_funnel")
+def r_funnel(t: Tables) -> pd.DataFrame:
+    s, c, p = _stage_firsts(t, ["signup", "click", "purchase"], strict=True)
+    return pd.DataFrame(
+        {
+            "n_signup": [len(s)],
+            "n_click_after": [len(c)],
+            "n_purchase_after": [len(p)],
+        }
+    )
+
+
+@replay("q_event_funnel")
+def r_event_funnel(t: Tables) -> pd.DataFrame:
+    stages = ["signup", "view", "click", "purchase"]
+    frames = _stage_firsts(t, stages, strict=False)
+    n0 = len(frames[0])
+    rows = [
+        (i + 1, st, len(f), _spark_round(len(f) / n0, 4))
+        for i, (st, f) in enumerate(zip(stages, frames))
+    ]
+    return pd.DataFrame(
+        rows, columns=["stage_idx", "stage", "n_users", "pct_of_entry"]
+    )
+
+
+@replay("q_outliers")
+def r_outliers(t: Tables) -> pd.DataFrame:
+    rows = []
+    for et, g in t.events.groupby("event_type"):
+        v = g["value"].to_numpy(np.float64)
+        n = len(v)
+        s = sum(int(np.rint(x * 1e8)) for x in v)  # exact decimal(28,8)
+        s2 = sum(int(np.rint(x * x * 1e8)) for x in v)
+        mean = (s / 1e8) / n
+        std = math.sqrt((s2 / 1e8) / n - mean * mean)
+        for eid, x in zip(g["event_id"], v):
+            z = (x - mean) / std
+            if abs(z) > 3:
+                rows.append((int(eid), str(et), x, z))
+    return pd.DataFrame(
+        sorted(rows), columns=["event_id", "event_type", "value", "z_score"]
+    )
+
+
+@replay("q_click_attribution")
+def r_click_attribution(t: Tables) -> pd.DataFrame:
+    ev = t.events
+    horizon = pd.Timedelta(minutes=30)
+    views = ev[ev["event_type"] == "view"]
+    clicks = ev[ev["event_type"] == "click"]
+    by_user: dict[int, list] = {}
+    for uid, eid, ts in zip(
+        views["user_id"], views["event_id"], views["ts"]
+    ):
+        by_user.setdefault(int(uid), []).append((int(eid), ts))
+    rows = []
+    for uid, eid, ts, val in zip(
+        clicks["user_id"], clicks["event_id"], clicks["ts"], clicks["value"]
+    ):
+        for vid, vts in by_user.get(int(uid), []):
+            if vts <= ts <= vts + horizon:
+                rows.append(
+                    (int(uid), vid, vts, int(eid), ts, float(val))
+                )
+    return pd.DataFrame(
+        sorted(rows),
+        columns=[
+            "user_id",
+            "view_id",
+            "view_ts",
+            "click_id",
+            "click_ts",
+            "click_value",
+        ],
+    )
+
+
+@replay("q_activity_heatmap")
+def r_activity_heatmap(t: Tables) -> pd.DataFrame:
+    agg: dict[tuple[int, int], list[int]] = {}
+    for ts, val in zip(t.events["ts"], t.events["value"]):
+        p = pd.Timestamp(ts)
+        dow = (p.weekday() + 1) % 7 + 1  # Spark: Sunday=1..Saturday=7
+        row = agg.setdefault((dow, p.hour), [0, 0])
+        row[0] += 1
+        row[1] += int(np.rint(float(val) * 100))  # exact cents
+    rows = []
+    for (dow, hod), (n, cents) in sorted(agg.items()):
+        rows.append((dow, hod, n, _half_away_ratio(cents, n * 100, 4)))
+    return pd.DataFrame(
+        rows, columns=["dow", "hod", "n_events", "avg_value"]
+    )
+
+
+@replay("q_retention_cohorts")
+def r_retention_cohorts(t: Tables) -> pd.DataFrame:
+    import datetime
+
+    ev = t.events
+    first: dict[int, datetime.date] = {}
+    days: dict[int, set] = {}
+    for uid, ts in zip(ev["user_id"], ev["ts"]):
+        u = int(uid)
+        d = pd.Timestamp(ts).date()
+        days.setdefault(u, set()).add(d)
+        if u not in first or d < first[u]:
+            first[u] = d
+    agg: dict[tuple, set] = {}
+    for u, ds in days.items():
+        anchor = first[u]
+        cw = anchor - datetime.timedelta(days=anchor.weekday())
+        for d in ds:
+            agg.setdefault((cw, (d - anchor).days // 7), set()).add(u)
+    rows = [
+        (pd.Timestamp(cw), ws, len(users))
+        for (cw, ws), users in sorted(agg.items())
+    ]
+    return pd.DataFrame(
+        rows, columns=["cohort_week", "week_since", "active_users"]
+    )
+
+
+@replay("q_rfm_segments")
+def r_rfm_segments(t: Tables) -> pd.DataFrame:
+    import datetime
+
+    asof = datetime.date(2001, 9, 1)
+    per: dict[int, list] = {}
+    for ck, od, tp in zip(
+        t.orders["o_custkey"], t.orders["o_orderdate"], t.orders["o_totalprice"]
+    ):
+        d = pd.Timestamp(od).date()
+        row = per.setdefault(int(ck), [d, 0, 0])
+        row[0] = max(row[0], d)
+        row[1] += 1
+        row[2] += int(np.rint(float(tp) * 100))
+    agg: dict[str, list] = {}
+    for _, (last, freq, cents) in per.items():
+        rec = (asof - last).days
+        if rec <= 180 and freq >= 12:
+            seg = "champion"
+        elif rec <= 180:
+            seg = "recent"
+        elif freq >= 12:
+            seg = "loyal_lapsing"
+        else:
+            seg = "dormant"
+        row = agg.setdefault(seg, [0, 0, 10**9, 0])
+        row[0] += 1
+        row[1] += cents
+        row[2] = min(row[2], rec)
+        row[3] = max(row[3], freq)
+    rows = [
+        (seg, n, cents / 100.0, mn, mx)
+        for seg, (n, cents, mn, mx) in sorted(agg.items())
+    ]
+    return pd.DataFrame(
+        rows,
+        columns=[
+            "segment",
+            "customers",
+            "segment_value",
+            "min_recency",
+            "max_frequency",
+        ],
+    )
+
+
+@replay("q_k_anonymity")
+def r_k_anonymity(t: Tables) -> pd.DataFrame:
+    from collections import Counter
+
+    cls = Counter(
+        (str(lg), str(s))
+        for lg, s in zip(t.documents["lang"], t.documents["source"])
+    )
+    ns = list(cls.values())
+    below = [n for n in ns if n < K_ANON]
+    return pd.DataFrame(
+        {
+            "n_classes": [len(ns)],
+            "k_min": [min(ns)],
+            "n_below_k": [len(below)],
+            "rows_below_k_frac": [_spark_round(sum(below) / sum(ns), 6)],
+        }
+    )
+
+
+@replay("q_l_diversity")
+def r_l_diversity(t: Tables) -> pd.DataFrame:
+    per: dict[tuple, set] = {}
+    cnt: dict[tuple, int] = {}
+    for lg, s, nc in zip(
+        t.documents["lang"], t.documents["source"], t.documents["n_chars"]
+    ):
+        key = (str(lg), str(s))
+        per.setdefault(key, set()).add(int(nc) // L_DIV_BUCKET)
+        cnt[key] = cnt.get(key, 0) + 1
+    rows = [
+        (lg, s, cnt[(lg, s)], len(sens), 1 if len(sens) < L_DIVERSITY else 0)
+        for (lg, s), sens in sorted(per.items())
+    ]
+    return pd.DataFrame(
+        rows, columns=["lang", "source", "cls_n", "l_distinct", "below_l"]
+    )
+
+
+@replay("q_profile_drift")
+def r_profile_drift(t: Tables) -> pd.DataFrame:
+    ev = t.events
+    cut1 = pd.Timestamp("2024-01-08")
+    cut2 = pd.Timestamp("2024-01-15")
+    agg: dict[str, list] = {}
+    for et, uid, ts, val in zip(
+        ev["event_type"], ev["user_id"], ev["ts"], ev["value"]
+    ):
+        if ts >= cut2:
+            continue
+        wk1 = ts < cut1
+        row = agg.setdefault(str(et), [0, 0, set(), set(), 0, 0])
+        v4 = int(np.rint(float(val) * 1e4))
+        if wk1:
+            row[0] += 1
+            row[2].add(int(uid))
+            row[4] += v4
+        else:
+            row[1] += 1
+            row[3].add(int(uid))
+            row[5] += v4
+    rows = []
+    for et in sorted(agg):
+        n1, n2, u1, u2, s1, s2 = agg[et]
+        rows.append(
+            (
+                et,
+                n1,
+                n2,
+                len(u1),
+                len(u2),
+                _half_away_ratio(s1, n1 * 10**4, 4),
+                _half_away_ratio(s2, n2 * 10**4, 4),
+                _half_away_ratio((n2 - n1) * 10000 * 100, n1 * 100, 2),
+            )
+        )
+    return pd.DataFrame(
+        rows,
+        columns=[
+            "event_type",
+            "n_wk1",
+            "n_wk2",
+            "users_wk1",
+            "users_wk2",
+            "avg_val_wk1",
+            "avg_val_wk2",
+            "vol_drift_pct",
+        ],
+    )
+
+
+@replay("q_agg_approx")
+def r_agg_approx(t: Tables) -> pd.DataFrame:
+    by_type: dict[str, set] = {}
+    cnt: dict[str, int] = {}
+    for et, uid in zip(t.events["event_type"], t.events["user_id"]):
+        k = str(et)
+        by_type.setdefault(k, set()).add(
+            _portable_hash(str(int(uid)), "kmv")
+        )
+        cnt[k] = cnt.get(k, 0) + 1
+    rows = []
+    for et in sorted(by_type):
+        kept = sorted(by_type[et])[:KMV_K]
+        rows.append((et, _kmv_est(len(kept), kept[-1]), cnt[et]))
+    return pd.DataFrame(
+        rows, columns=["event_type", "approx_users", "event_cnt"]
+    )
+
+
+@replay("q_point_in_time_features")
+def r_point_in_time_features(t: Tables) -> pd.DataFrame:
+    o = t.orders.sort_values(["o_custkey", "o_orderdate", "o_orderkey"])
+    rows = []
+    for ck, g in o.groupby("o_custkey", sort=True):
+        cents = 0
+        n = 0
+        keep = int(ck) % 100 == 0
+        for ok, od, tp in zip(
+            g["o_orderkey"], g["o_orderdate"], g["o_totalprice"]
+        ):
+            if keep:
+                rows.append(
+                    (int(ck), int(ok), od, n, cents / 100.0)
+                )
+            n += 1
+            cents += int(np.rint(float(tp) * 100))
+    return pd.DataFrame(
+        rows,
+        columns=[
+            "o_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            "prior_orders",
+            "prior_spend",
+        ],
+    )
+
+
+QUALITY_CUT = 0.3  # queries/text.py QUALITY_CUT
+CHUNK_TOKENS = 32  # queries/text.py q_doc_chunks chunk_tokens
+CHUNK_STRIDE = 24  # queries/text.py q_doc_chunks stride
+
+
+@replay("q_doc_chunks")
+def r_doc_chunks(t: Tables) -> pd.DataFrame:
+    rows = []
+    for doc_id, text in zip(t.documents["doc_id"], t.documents["text"]):
+        toks = _tokens(text)
+        for start in range(0, len(toks), CHUNK_STRIDE):
+            end = min(start + CHUNK_TOKENS, len(toks))
+            rows.append(
+                (
+                    int(doc_id),
+                    start // CHUNK_STRIDE,
+                    start,
+                    end,
+                    end - start,
+                    " ".join(toks[start:end]),
+                )
+            )
+    return pd.DataFrame(
+        rows,
+        columns=[
+            "doc_id",
+            "chunk_idx",
+            "tok_start",
+            "tok_end",
+            "n_chunk_toks",
+            "chunk_text",
+        ],
+    )
+
+
+@replay("q_rag_index_pipeline")
+def r_rag_index_pipeline(t: Tables) -> pd.DataFrame:
+    ids, m = _emb_matrix(t)
+    bucket = {
+        int(i): int(b) for i, b in zip(ids, _srp_buckets(m))
+    }
+    meta = {
+        int(d): (str(lg), str(s))
+        for d, lg, s in zip(
+            t.documents["doc_id"], t.documents["lang"], t.documents["source"]
+        )
+    }
+    rows = []
+    for doc_id, text in zip(t.documents["doc_id"], t.documents["text"]):
+        d = int(doc_id)
+        if d not in bucket or d not in meta:
+            continue
+        toks = _tokens(text)
+        for start in range(0, len(toks), CHUNK_STRIDE):
+            end = min(start + CHUNK_TOKENS, len(toks))
+            rows.append(
+                (
+                    d,
+                    start // CHUNK_STRIDE,
+                    start,
+                    end,
+                    end - start,
+                    bucket[d],
+                    meta[d][0],
+                    meta[d][1],
+                )
+            )
+    return pd.DataFrame(
+        rows,
+        columns=[
+            "doc_id",
+            "chunk_idx",
+            "tok_start",
+            "tok_end",
+            "n_chunk_toks",
+            "bucket",
+            "lang",
+            "source",
+        ],
+    )
+
+
+@replay("q_substring_dup_spans")
+def r_substring_dup_spans(t: Tables) -> pd.DataFrame:
+    """Un-anchored exact substring spans: every 32-gram position,
+    global count >= 2, gaps-and-islands merge (anchor_mod = 1)."""
+    from collections import Counter
+
+    positions: dict[int, list[tuple[int, int]]] = {}
+    counts: Counter = Counter()
+    for doc_id, text in zip(t.documents["doc_id"], t.documents["text"]):
+        if len(text) < ANCHOR_GRAM:
+            continue
+        d = int(doc_id)
+        for p in range(1, len(text) - ANCHOR_GRAM + 2):
+            gk = _portable_hash(text[p - 1 : p - 1 + ANCHOR_GRAM])
+            positions.setdefault(d, []).append((p, gk))
+            counts[gk] += 1
+    rows = []
+    for d in sorted(positions):
+        dup_pos = sorted(p for p, gk in positions[d] if counts[gk] >= 2)
+        if not dup_pos:
+            continue
+        start = prev = dup_pos[0]
+        for p in dup_pos[1:]:
+            if p - prev <= ANCHOR_GRAM:
+                prev = p
+            else:
+                rows.append((d, start, prev + 31, prev + 31 - start + 1))
+                start = prev = p
+        rows.append((d, start, prev + 31, prev + 31 - start + 1))
+    return pd.DataFrame(
+        rows, columns=["doc_id", "span_start", "span_end", "span_len"]
+    )
+
+
+def _merge_islands(ivals: set) -> dict[int, list[tuple[int, int]]]:
+    """DISTINCT (doc, s, e) intervals -> per-doc merged spans; a new
+    island only when s > max(previous e)."""
+    by_doc: dict[int, list] = {}
+    for d, s, e in sorted(ivals):
+        by_doc.setdefault(d, []).append((s, e))
+    out: dict[int, list[tuple[int, int]]] = {}
+    for d, sp in by_doc.items():
+        merged = []
+        cur_s, cur_e = None, None
+        for s, e in sp:
+            if cur_s is None or s > cur_e:
+                if cur_s is not None:
+                    merged.append((cur_s, cur_e))
+                cur_s, cur_e = s, e
+            else:
+                cur_e = max(cur_e, e)
+        merged.append((cur_s, cur_e))
+        out[d] = merged
+    return out
+
+
+def _apply_spans(t: Tables, ivals: set) -> pd.DataFrame:
+    spans = _merge_islands(ivals)
+    rows = []
+    for doc_id, text in zip(t.documents["doc_id"], t.documents["text"]):
+        d = int(doc_id)
+        if d % SUFFIX_DOC_MOD != 0:
+            continue
+        sp = spans.get(d)
+        if not sp:
+            rows.append((d, text, 0))
+            continue
+        kept, prev = [], 0
+        for s, e in sp:
+            kept.append(text[prev:s])
+            prev = e
+        kept.append(text[prev:])
+        rows.append((d, "".join(kept), sum(e - s for s, e in sp)))
+    return pd.DataFrame(
+        rows, columns=["doc_id", "cleaned_text", "n_chars_removed"]
+    )
+
+
+@replay("q_suffix_dedup_apply")
+def r_suffix_dedup_apply(t: Tables) -> pd.DataFrame:
+    ivals: set = set()
+    for _, d, p, nd, np_, lcp in _suffix_adjacent_pairs(t):
+        if lcp < SUFFIX_MIN_LCP:
+            continue
+        ivals.add((d, p, p + lcp))
+        ivals.add((nd, np_, np_ + lcp))
+    return _apply_spans(t, ivals)
+
+
+@replay("q_suffix_dedup_apply_keep_first")
+def r_suffix_dedup_apply_keep_first(t: Tables) -> pd.DataFrame:
+    pairs = [
+        p for p in _suffix_adjacent_pairs(t) if p[5] >= SUFFIX_MIN_LCP
+    ]
+    runs: list[list] = []
+    prev_rank = None
+    for p in pairs:  # sa_rank ascending
+        if prev_rank is not None and p[0] == prev_rank + 1:
+            runs[-1].append(p)
+        else:
+            runs.append([p])
+        prev_rank = p[0]
+    ivals: set = set()
+    for run in runs:
+        members = set()
+        for _, d, pos, nd, npos, lcp in run:
+            members.add((d, pos))
+            members.add((nd, npos))
+            later = (nd, npos) if (nd, npos) > (d, pos) else (d, pos)
+            ivals.add((later[0], later[1], later[1] + lcp))
+        rmin = min(members)
+        rl = min(p[5] for p in run)
+        for m in members:
+            if m != rmin:
+                ivals.add((m[0], m[1], m[1] + rl))
+    return _apply_spans(t, ivals)
+
+
+@replay("q_curation_pipeline")
+def r_curation_pipeline(t: Tables) -> pd.DataFrame:
+    """The five-stage curation funnel composed sequentially in plain
+    Python: quality gate -> exact keep-first -> decontamination ->
+    source quota -> per-language token budget."""
+    import hashlib
+
+    docs = []
+    for doc_id, lang, src, text in zip(
+        t.documents["doc_id"],
+        t.documents["lang"],
+        t.documents["source"],
+        t.documents["text"],
+    ):
+        docs.append(
+            (
+                int(doc_id),
+                str(lang),
+                str(src),
+                text,
+                _quality_score_py(text),
+                0 if text == "" else len(_tokens(text)),
+            )
+        )
+    s1 = [r for r in docs if r[4] >= QUALITY_CUT]
+    seen_fp: set = set()
+    s2 = []
+    for r in sorted(s1):
+        fp = hashlib.md5(r[3].encode()).hexdigest()
+        if fp not in seen_fp:
+            seen_fp.add(fp)
+            s2.append(r)
+    ev_shingles: set = set()
+    for r in docs:
+        if r[0] % EVAL_MOD == 0:
+            ev_shingles.update(_shingles(r[3], DECONTAM_N))
+    s3 = [
+        r
+        for r in s2
+        if r[0] % EVAL_MOD != 0
+        and not (set(_shingles(r[3], DECONTAM_N)) & ev_shingles)
+    ]
+    by_src: dict[str, list] = {}
+    for r in s3:
+        by_src.setdefault(r[2], []).append(
+            ((_portable_hash(r[3], "quota"), r[0]), r)
+        )
+    s4 = [
+        r
+        for members in by_src.values()
+        for _, r in sorted(members)[:SOURCE_QUOTA]
+    ]
+    by_lang: dict[str, list] = {}
+    for r in s4:
+        by_lang.setdefault(r[1], []).append(r)
+    rows = []
+    for lang in sorted(by_lang):
+        cum = 0
+        for r in sorted(by_lang[lang], key=lambda x: (-x[4], x[0])):
+            cum += r[5]
+            if cum > TOKEN_BUDGET:
+                break
+            rows.append((r[0], r[1], r[2], r[4], cum))
+    return pd.DataFrame(
+        sorted(rows),
+        columns=["doc_id", "lang", "source", "score", "cum_tokens"],
+    )
+
+
+@replay("q_curriculum_shards")
+def r_curriculum_shards(t: Tables) -> pd.DataFrame:
+    docs = sorted(
+        (int(nc), int(d))
+        for d, nc in zip(t.documents["doc_id"], t.documents["n_chars"])
+    )
+    n = len(docs)
+    agg: dict[tuple[int, int], list[int]] = {}
+    for rank, (nc, d) in enumerate(docs):
+        stage = (rank * 10) // n
+        shard = _portable_hash(str(d), "shard") % 4
+        row = agg.setdefault((stage, shard), [0, nc, nc])
+        row[0] += 1
+        row[1] = min(row[1], nc)
+        row[2] = max(row[2], nc)
+    rows = [
+        (st, sh, n_docs, mn, mx)
+        for (st, sh), (n_docs, mn, mx) in sorted(agg.items())
+    ]
+    return pd.DataFrame(
+        rows,
+        columns=["stage", "shard", "n_docs", "min_chars", "max_chars"],
+    )
+
+
+@replay("q_similarity_near_dup")
+def r_similarity_near_dup(t: Tables) -> pd.DataFrame:
+    e = t.embeddings.sort_values("vec_id")
+    ids = [int(x) for x in e["vec_id"]]
+    m = np.stack([np.asarray(v, np.float64) for v in e["embedding"]])
+    by_label: dict[int, list[int]] = {}
+    for idx, lab in enumerate(e["label"]):
+        by_label.setdefault(int(lab), []).append(idx)
+    rows = []
+    for members in by_label.values():
+        for i in range(len(members) - 1):
+            ai = members[i]
+            cand = members[i + 1 :]
+            cos4 = _rounded_cos(m[ai], m[cand], 4)
+            for cj, c4 in zip(cand, cos4):
+                if c4 >= NEAR_T:
+                    rows.append((ids[ai], ids[cj], c4))
+    return pd.DataFrame(
+        sorted(rows), columns=["id_a", "id_b", "cos_sim"]
+    )
