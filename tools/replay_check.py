@@ -321,6 +321,30 @@ def check_constants() -> list[str]:
         ("L_DIVERSITY", qdq),
         ("QUALITY_CUT", qtext),
     ]
+    # wave-14 fixture-parity pins: the replay REGENERATES the
+    # reference-parity fixture documents standalone; they must stay
+    # byte-identical to the production fixtures module.
+    from sandbox_data_pipeline_spark import fixtures as fx
+    from sandbox_data_pipeline_spark import schemas as sch
+
+    if R.R_CITIES != list(fx.CITIES):
+        errs.append("R_CITIES != fixtures.CITIES")
+    if R.R_RUN_HRS != list(fx.RUN_HRS):
+        errs.append("R_RUN_HRS != fixtures.RUN_HRS")
+    if [
+        (c, h, j) for c, h, _d, j in R.r_weather_docs()
+    ] != fx.weather_json_docs():
+        errs.append("replay weather docs != fixtures.weather_json_docs()")
+    if [
+        (c, h, str(d)) for c, h, d, _j in R.r_weather_docs()
+    ] != fx.weather_raw_docs():
+        errs.append("replay weather raw != fixtures.weather_raw_docs()")
+    if R.r_cocktails_raw() != fx.cocktails_raw():
+        errs.append("replay cocktails raw != fixtures.cocktails_raw()")
+    if R.r_cocktails_json() != fx.cocktails_json():
+        errs.append("replay cocktails json != fixtures.cocktails_json()")
+    if R.R_COCKTAIL_RENAME != sch.COCKTAIL_RENAME:
+        errs.append("R_COCKTAIL_RENAME != schemas.COCKTAIL_RENAME")
     from sandbox_data_pipeline_spark.queries import layout as qlay
 
     pairs = [

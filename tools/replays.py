@@ -7517,3 +7517,463 @@ def r_similarity_near_dup(t: Tables) -> pd.DataFrame:
     return pd.DataFrame(
         sorted(rows), columns=["id_a", "id_b", "cos_sim"]
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 14: reference-parity ingest — the weather/cocktails transforms
+# whose hand-built oracle SQL mirrors the same field list and casts
+# (the one reference-parity surface with a real shared-expression
+# channel). The replay re-derives the fixture documents AND the
+# publish transforms standalone with the json/ast stdlib; the fixture
+# regeneration and rename map are pinned byte-equal to production by
+# check_constants.
+# ---------------------------------------------------------------------------
+
+R_CITIES = ["Seattle", "New York", "Los Angeles", "San Jose", "Fort Worth"]
+R_RUN_HRS = [202401150000, 202401150100]
+
+_R_COND = [
+    ("Sunny", "s.png", 1000),
+    ("Partly cloudy", "pc.png", 1003),
+    ("Rain", "r.png", 1189),
+]
+
+
+def _r_weather_doc(city: str, i: int) -> dict:
+    cond = _R_COND[i % 3]
+    return {
+        "location": {
+            "name": city,
+            "region": f"Region {i}",
+            "country": "United States of America",
+            "lat": round(30.0 + i * 1.25, 4),
+            "lon": round(-120.0 + i * 2.5, 4),
+            "tz_id": "America/Los_Angeles",
+            "localtime_epoch": 1705305600 + i * 3600,
+            "localtime": f"2024-01-15 {i:02d}:05",
+        },
+        "current": {
+            "last_updated_epoch": 1705305000 + i * 3600,
+            "last_updated": f"2024-01-15 {i:02d}:00",
+            "temp_c": 5.5 + i,
+            "temp_f": 41.9 + i * 1.8,
+            "is_day": i % 2,
+            "condition": {"text": cond[0], "icon": cond[1], "code": cond[2]},
+            "wind_mph": 5.6 + i,
+            "wind_kph": 9.0 + i,
+            "wind_degree": 200 + i,
+            "wind_dir": "SSW",
+            "pressure_mb": 1020.0 + i,
+            "pressure_in": 30.12,
+            "precip_mm": 0.1 * i,
+            "precip_in": 0.0,
+            "humidity": 86 - i,
+            "cloud": 25 * (i % 4),
+            "feelslike_c": 4.3 + i,
+            "feelslike_f": 39.7 + i,
+            "vis_km": 16.0,
+            "vis_miles": 9.0,
+            "uv": 1.0 + (i % 3),
+            "gust_mph": 9.8 + i,
+            "gust_kph": 15.8 + i,
+        },
+    }
+
+
+def r_weather_docs() -> list:
+    """(city, run_hr, doc dict, compact json) per fixture contract."""
+    import json as _json
+
+    out = []
+    for h, run_hr in enumerate(R_RUN_HRS):
+        for c, city in enumerate(R_CITIES):
+            doc = _r_weather_doc(city, h * len(R_CITIES) + c)
+            out.append(
+                (city, run_hr, doc, _json.dumps(doc, separators=(",", ":")))
+            )
+    return out
+
+
+R_DRINKS = [{'dateModified': '2017-09-02 18:37:52',
+  'idDrink': 17222.0,
+  'strAlcoholic': 'Alcoholic',
+  'strCategory': 'Cocktail',
+  'strCreativeCommonsConfirmed': 'No',
+  'strDrink': 'A1',
+  'strDrinkAlternate': None,
+  'strDrinkThumb': 'https://example.invalid/a1.jpg',
+  'strGlass': 'Cocktail glass',
+  'strIBA': None,
+  'strImageAttribution': None,
+  'strImageSource': None,
+  'strIngredient1': 'Gin',
+  'strIngredient2': 'Grand Marnier',
+  'strIngredient3': 'Lemon Juice',
+  'strIngredient4': 'Grenadine',
+  'strInstructions': 'Pour all ingredients into a cocktail\n'
+                     'shaker, mix and serve over ice into a chilled glass.',
+  'strInstructionsDE': 'Alle Zutaten in einen Cocktailshaker geben.',
+  'strInstructionsES': 'Vierta todos los ingredientes.',
+  'strInstructionsFR': None,
+  'strInstructionsIT': 'Versare tutti gli ingredienti.',
+  'strInstructionsZH-HANS': None,
+  'strInstructionsZH-HANT': None,
+  'strMeasure1': '1 3/4 shot ',
+  'strMeasure2': '1 Shot ',
+  'strMeasure3': '1/4 Shot',
+  'strMeasure4': '1/8 Shot',
+  'strTags': 'IBA,Classic',
+  'strVideo': None},
+ {'dateModified': '2016-11-04 09:17:09',
+  'idDrink': 13501.0,
+  'strAlcoholic': 'Alcoholic',
+  'strCategory': 'Shot',
+  'strCreativeCommonsConfirmed': 'No',
+  'strDrink': 'ABC',
+  'strDrinkAlternate': None,
+  'strDrinkThumb': 'https://example.invalid/abc.jpg',
+  'strGlass': 'Shot glass',
+  'strIBA': None,
+  'strImageAttribution': None,
+  'strImageSource': None,
+  'strIngredient1': 'Amaretto',
+  'strIngredient2': 'Baileys irish cream',
+  'strIngredient3': 'Cognac',
+  'strInstructions': 'Layered in a shot glass.',
+  'strInstructionsDE': 'In einem Schnapsglas\rschichten.',
+  'strInstructionsES': None,
+  'strInstructionsFR': None,
+  'strInstructionsIT': 'Stratificato in un bicchierino.',
+  'strInstructionsZH-HANS': None,
+  'strInstructionsZH-HANT': None,
+  'strMeasure1': '1/3 ',
+  'strMeasure2': '1/3 ',
+  'strMeasure3': '1/3 ',
+  'strTags': None,
+  'strVideo': None},
+ {'dateModified': '2016-08-31 19:32:08',
+  'idDrink': 17225.0,
+  'strAlcoholic': 'Alcoholic',
+  'strCategory': 'Cocktail',
+  'strCreativeCommonsConfirmed': 'Yes',
+  'strDrink': 'Ace',
+  'strDrinkAlternate': None,
+  'strDrinkThumb': 'https://example.invalid/ace.jpg',
+  'strGlass': 'Martini Glass',
+  'strIBA': None,
+  'strImageAttribution': None,
+  'strImageSource': None,
+  'strIngredient1': 'Gin',
+  'strIngredient2': 'Grenadine',
+  'strIngredient3': 'Heavy cream',
+  'strIngredient4': 'Milk',
+  'strIngredient5': 'Egg White',
+  'strInstructions': 'Shake all the ingredients in a cocktail shaker and '
+                     'ice then strain in a cold glass.',
+  'strInstructionsDE': None,
+  'strInstructionsES': None,
+  'strInstructionsFR': None,
+  'strInstructionsIT': 'Shakerare tutti gli ingredienti.',
+  'strInstructionsZH-HANS': None,
+  'strInstructionsZH-HANT': None,
+  'strMeasure1': '2 shots ',
+  'strMeasure2': '1/2 shot ',
+  'strMeasure3': '1/2 shot ',
+  'strMeasure4': '1/2 shot',
+  'strMeasure5': '1/2 Fresh',
+  'strTags': None,
+  'strVideo': None}]
+
+R_COCKTAIL_RENAME = {'dateModified': 'date_modified',
+ 'idDrink': 'id_drink',
+ 'strAlcoholic': 'alcoholic',
+ 'strCategory': 'category',
+ 'strCreativeCommonsConfirmed': 'creative_commons_confirmed',
+ 'strDrink': 'drink',
+ 'strDrinkAlternate': 'drink_alternate',
+ 'strDrinkThumb': 'drink_thumb',
+ 'strGlass': 'glass',
+ 'strIBA': 'iba',
+ 'strImageAttribution': 'image_attribution',
+ 'strImageSource': 'image_source',
+ 'strIngredient1': 'ingredient1',
+ 'strIngredient10': 'ingredient10',
+ 'strIngredient11': 'ingredient11',
+ 'strIngredient12': 'ingredient12',
+ 'strIngredient13': 'ingredient13',
+ 'strIngredient14': 'ingredient14',
+ 'strIngredient15': 'ingredient15',
+ 'strIngredient2': 'ingredient2',
+ 'strIngredient3': 'ingredient3',
+ 'strIngredient4': 'ingredient4',
+ 'strIngredient5': 'ingredient5',
+ 'strIngredient6': 'ingredient6',
+ 'strIngredient7': 'ingredient7',
+ 'strIngredient8': 'ingredient8',
+ 'strIngredient9': 'ingredient9',
+ 'strInstructions': 'instructions',
+ 'strInstructionsDE': 'instructions_de',
+ 'strInstructionsES': 'instructions_es',
+ 'strInstructionsFR': 'instructions_fr',
+ 'strInstructionsIT': 'instructions_it',
+ 'strInstructionsZH-HANS': 'instructions_zh_hans',
+ 'strInstructionsZH-HANT': 'instructions_zh_hant',
+ 'strMeasure1': 'measure1',
+ 'strMeasure10': 'measure10',
+ 'strMeasure11': 'measure11',
+ 'strMeasure12': 'measure12',
+ 'strMeasure13': 'measure13',
+ 'strMeasure14': 'measure14',
+ 'strMeasure15': 'measure15',
+ 'strMeasure2': 'measure2',
+ 'strMeasure3': 'measure3',
+ 'strMeasure4': 'measure4',
+ 'strMeasure5': 'measure5',
+ 'strMeasure6': 'measure6',
+ 'strMeasure7': 'measure7',
+ 'strMeasure8': 'measure8',
+ 'strMeasure9': 'measure9',
+ 'strTags': 'tags',
+ 'strVideo': 'video'}
+
+
+def r_clean_json(s: str) -> str:
+    """The declared repr-repair: strip newline/CR, literal_eval,
+    re-serialize (default separators)."""
+    import ast as _ast
+    import json as _json
+    import re as _re
+
+    return _json.dumps(_ast.literal_eval(_re.sub(r"[\n\r]", "", s)))
+
+
+def _r_full_drinks() -> list[dict]:
+    return [{k: d.get(k) for k in R_COCKTAIL_RENAME} for d in R_DRINKS]
+
+
+def r_cocktails_raw() -> str:
+    doc = {"drinks": _r_full_drinks()}
+    return str(doc).replace("\\n", "\n").replace("\\r", "\r")
+
+
+def r_cocktails_json() -> str:
+    return r_clean_json(r_cocktails_raw())
+
+
+_W_LOC_STR = ("name", "region", "country", "tz_id")
+_W_CUR_DBL = (
+    "temp_c", "temp_f", "wind_mph", "wind_kph", "pressure_mb",
+    "pressure_in", "precip_mm", "precip_in", "feelslike_c",
+    "feelslike_f", "vis_km", "vis_miles", "uv", "gust_mph", "gust_kph",
+)
+_W_CUR_BIG = ("last_updated_epoch", "is_day", "wind_degree", "humidity", "cloud")
+
+
+def _weather_row(doc: dict, run_hr: int, ts_parse: bool) -> dict:
+    loc, cur = doc["location"], doc["current"]
+    row = {"run_hr": run_hr}
+    for f in _W_LOC_STR:
+        row[f"loc_{f}"] = loc[f]
+    row["loc_lat"] = float(loc["lat"])
+    row["loc_lon"] = float(loc["lon"])
+    row["loc_localtime_epoch"] = int(loc["localtime_epoch"])
+    row["loc_localtime"] = (
+        pd.Timestamp(loc["localtime"] + ":00") if ts_parse else loc["localtime"]
+    )
+    for f in _W_CUR_BIG:
+        row[f"cur_{f}"] = int(cur[f])
+    row["cur_last_updated"] = (
+        pd.Timestamp(cur["last_updated"] + ":00")
+        if ts_parse
+        else cur["last_updated"]
+    )
+    for f in _W_CUR_DBL:
+        row[f"cur_{f}"] = float(cur[f])
+    row["cur_wind_dir"] = cur["wind_dir"]
+    row["cond_text"] = cur["condition"]["text"]
+    row["cond_icon"] = cur["condition"]["icon"]
+    row["cond_code"] = int(cur["condition"]["code"])
+    return row
+
+
+@replay("q_weather_stage")
+def r_weather_stage(t: Tables) -> pd.DataFrame:
+    return pd.DataFrame(
+        [
+            _weather_row(doc, run_hr, ts_parse=False)
+            for _, run_hr, doc, _j in r_weather_docs()
+        ]
+    )
+
+
+@replay("q_weather_insert")
+def r_weather_insert(t: Tables) -> pd.DataFrame:
+    return pd.DataFrame(
+        [
+            _weather_row(doc, run_hr, ts_parse=True)
+            for _, run_hr, doc, _j in r_weather_docs()
+        ]
+    )
+
+
+@replay("q_weather_variant_stage")
+def r_weather_variant_stage(t: Tables) -> pd.DataFrame:
+    return pd.DataFrame(
+        [(run_hr, j) for _, run_hr, _d, j in r_weather_docs()],
+        columns=["run_hr", "json_data"],
+    )
+
+
+def _weather_variant_frame() -> pd.DataFrame:
+    import json as _json
+
+    rows = []
+    for _, run_hr, doc, _j in r_weather_docs():
+        loc, cur = doc["location"], doc["current"]
+
+        def vint(x) -> int:
+            return int(_spark_round(float(x), 0))
+
+        rows.append(
+            {
+                "run_hr": run_hr,
+                "location_name": loc["name"],
+                "local_time": pd.Timestamp(
+                    loc["localtime"] + ":00"
+                ).floor("h"),
+                "temp_c": vint(cur["temp_c"]),
+                "temp_f": vint(cur["temp_f"]),
+                "is_day": bool(int(cur["is_day"])),
+                "condition": _json.dumps(
+                    cur["condition"], separators=(",", ":")
+                ),
+                "wind_kph": float(cur["wind_kph"]),
+                "wind_mph": float(cur["wind_mph"]),
+                "gust_kph": float(cur["gust_kph"]),
+                "gust_mph": float(cur["gust_mph"]),
+                "pressure_mb": vint(cur["pressure_mb"]),
+                "pressure_in": vint(cur["pressure_in"]),
+                "humidity": vint(cur["humidity"]),
+                "cloud": vint(cur["cloud"]),
+                "feelslike_c": vint(cur["feelslike_c"]),
+                "feelslike_f": vint(cur["feelslike_f"]),
+                "vis_km": vint(cur["vis_km"]),
+                "vis_miles": vint(cur["vis_miles"]),
+                "uv": vint(cur["uv"]),
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+@replay("q_weather_variant_insert")
+def r_weather_variant_insert(t: Tables) -> pd.DataFrame:
+    return _weather_variant_frame()
+
+
+@replay("q_weather_variant_native")
+def r_weather_variant_native(t: Tables) -> pd.DataFrame:
+    return _weather_variant_frame()
+
+
+@replay("q_cocktails_stage")
+def r_cocktails_stage(t: Tables) -> pd.DataFrame:
+    drinks = _r_full_drinks()
+    return pd.DataFrame(
+        {
+            "n_drinks": [len(drinks)],
+            "first_drink": [drinks[0]["strDrink"]],
+            "first_drink_id": [float(drinks[0]["idDrink"])],
+            "last_drink": [drinks[-1]["strDrink"]],
+        }
+    )
+
+
+@replay("q_cocktails_variant_stage")
+def r_cocktails_variant_stage(t: Tables) -> pd.DataFrame:
+    return pd.DataFrame(
+        [(R_RUN_HRS[0], r_cocktails_json())],
+        columns=["run_hr", "json_data"],
+    )
+
+
+def _cocktails_frame(variant: bool) -> pd.DataFrame:
+    import json as _json
+
+    # publish consumes the REPAIRED document: the repair strips real
+    # newline/CR chars from inside string values before literal_eval
+    rows = []
+    for d in _json.loads(r_cocktails_json())["drinks"]:
+        row = {}
+        for camel, snake in R_COCKTAIL_RENAME.items():
+            v = d.get(camel)
+            if camel == "dateModified":
+                row[snake] = pd.Timestamp(v) if v is not None else None
+            elif camel == "idDrink":
+                if variant:
+                    row["drink_id"] = (
+                        int(_spark_round(float(v), 0)) if v is not None else None
+                    )
+                else:
+                    row[snake] = float(v) if v is not None else None
+            else:
+                row[snake] = v
+        row["run_hr"] = R_RUN_HRS[0]
+        rows.append(row)
+    return pd.DataFrame(rows)
+
+
+@replay("q_cocktails_insert")
+def r_cocktails_insert(t: Tables) -> pd.DataFrame:
+    return _cocktails_frame(variant=False)
+
+
+@replay("q_cocktails_variant_insert")
+def r_cocktails_variant_insert(t: Tables) -> pd.DataFrame:
+    return _cocktails_frame(variant=True)
+
+
+@replay("q_cities_source")
+def r_cities_source(t: Tables) -> pd.DataFrame:
+    return pd.DataFrame({"city": R_CITIES})
+
+
+@replay("q_city_normalize")
+def r_city_normalize(t: Tables) -> pd.DataFrame:
+    return pd.DataFrame(
+        [(c, c.lower().replace(" ", "_")) for c in R_CITIES],
+        columns=["city", "city_key"],
+    )
+
+
+@replay("q_clean_json")
+def r_clean_json_query(t: Tables) -> pd.DataFrame:
+    rows = []
+    for city, run_hr, doc, _j in r_weather_docs():
+        raw = str(doc)
+        rows.append((f"weather:{city}:{run_hr}", r_clean_json(raw)))
+    rows.append(("cocktails", r_cocktails_json()))
+    return pd.DataFrame(rows, columns=["entity_key", "clean_body"])
+
+
+@replay("q_run_hr_derive")
+def r_run_hr_derive(t: Tables) -> pd.DataFrame:
+    from collections import Counter
+
+    c = Counter(
+        pd.Timestamp(ts).strftime("%Y%m%d%H00") for ts in t.events["ts"]
+    )
+    return pd.DataFrame(
+        sorted(c.items()), columns=["run_hr", "event_cnt"]
+    )
+
+
+@replay("q_explode")
+def r_explode(t: Tables) -> pd.DataFrame:
+    from collections import Counter
+
+    c = Counter()
+    for text in t.documents["text"]:
+        c.update(_tokens(text))
+    return pd.DataFrame(
+        sorted(c.items()), columns=["token", "token_cnt"]
+    )
