@@ -56,6 +56,35 @@ def _stack(col: pd.Series, dim: int) -> np.ndarray:
     return np.vstack([np.asarray(v, dtype=np.float64) for v in col.to_numpy()])
 
 
+# One matmul per TARGET_ROWS rows, independent of the session Arrow
+# batch size: the engine caps spark.sql.execution.arrow.maxRecordsPerBatch
+# at 512 for the media expansion operators (payload-sized batches), and
+# at 512 rows a per-batch BLAS matmul is all Python/Arrow round-trip
+# overhead — measured 9x on the sf0.1 per-segment OLS. Buffering the
+# THIN numeric inputs back up to the documented 10k-row budget restores
+# the one-matmul-per-10k shape without touching the session setting
+# (10k rows is also the int64 overflow budget in the module docstring,
+# so the coalesced batch stays inside the exact-path bound).
+_TARGET_ROWS = 10_000
+
+
+def _coalesce(
+    batches: Iterable[pd.DataFrame], target: int = _TARGET_ROWS
+) -> Iterator[pd.DataFrame]:
+    buf: list[pd.DataFrame] = []
+    n = 0
+    for pdf in batches:
+        if not len(pdf):
+            continue
+        buf.append(pdf)
+        n += len(pdf)
+        if n >= target:
+            yield pd.concat(buf, ignore_index=True) if len(buf) > 1 else buf[0]
+            buf, n = [], 0
+    if buf:
+        yield pd.concat(buf, ignore_index=True) if len(buf) > 1 else buf[0]
+
+
 def gram_matrix(
     df: DataFrame,
     col: str = "embedding",
@@ -75,7 +104,7 @@ def gram_matrix(
     schema = f"i int, j int, s {s_ty}, n long"
 
     def part(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
+        for pdf in _coalesce(batches):
             X = _stack(pdf[col], dim)
             if not len(X):
                 continue
@@ -105,7 +134,7 @@ def mean_vector(df: DataFrame, col: str = "embedding", dim: int = 64) -> DataFra
     as :func:`gram_matrix`."""
 
     def part(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
+        for pdf in _coalesce(batches):
             X = _stack(pdf[col], dim)
             if not len(X):
                 continue
@@ -162,7 +191,7 @@ def pca_project(
     dim = V.shape[0]
 
     def part(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
+        for pdf in _coalesce(batches):
             X = _stack(pdf[col], dim)
             P = X @ V
             yield pd.DataFrame(
@@ -216,9 +245,8 @@ def integer_moments(
     if by is None:
 
         def part(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            for pdf in batches:
-                if len(pdf):
-                    yield gram_rows(pdf)
+            for pdf in _coalesce(batches):
+                yield gram_rows(pdf)
 
         partials = df.select(*cols).mapInPandas(
             part, schema="i int, j int, s decimal(38,0)"
@@ -226,7 +254,7 @@ def integer_moments(
         return partials.groupBy("i", "j").agg(F.sum("s").alias("s"))
 
     def part_by(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
+        for pdf in _coalesce(batches):
             for key, grp in pdf.groupby(by, sort=False):
                 out = gram_rows(grp)
                 out.insert(0, by, key)
