@@ -68,7 +68,7 @@ def _stack(col: pd.Series, dim: int) -> np.ndarray:
 _TARGET_ROWS = 10_000
 
 
-def _coalesce(
+def coalesce_batches(
     batches: Iterable[pd.DataFrame], target: int = _TARGET_ROWS
 ) -> Iterator[pd.DataFrame]:
     buf: list[pd.DataFrame] = []
@@ -104,7 +104,7 @@ def gram_matrix(
     schema = f"i int, j int, s {s_ty}, n long"
 
     def part(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in _coalesce(batches):
+        for pdf in coalesce_batches(batches):
             X = _stack(pdf[col], dim)
             if not len(X):
                 continue
@@ -134,7 +134,7 @@ def mean_vector(df: DataFrame, col: str = "embedding", dim: int = 64) -> DataFra
     as :func:`gram_matrix`."""
 
     def part(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in _coalesce(batches):
+        for pdf in coalesce_batches(batches):
             X = _stack(pdf[col], dim)
             if not len(X):
                 continue
@@ -191,7 +191,7 @@ def pca_project(
     dim = V.shape[0]
 
     def part(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in _coalesce(batches):
+        for pdf in coalesce_batches(batches):
             X = _stack(pdf[col], dim)
             P = X @ V
             yield pd.DataFrame(
@@ -245,7 +245,7 @@ def integer_moments(
     if by is None:
 
         def part(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            for pdf in _coalesce(batches):
+            for pdf in coalesce_batches(batches):
                 yield gram_rows(pdf)
 
         partials = df.select(*cols).mapInPandas(
@@ -254,7 +254,7 @@ def integer_moments(
         return partials.groupBy("i", "j").agg(F.sum("s").alias("s"))
 
     def part_by(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in _coalesce(batches):
+        for pdf in coalesce_batches(batches):
             for key, grp in pdf.groupby(by, sort=False):
                 out = gram_rows(grp)
                 out.insert(0, by, key)

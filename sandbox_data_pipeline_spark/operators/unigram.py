@@ -266,7 +266,14 @@ def unigram_encode(
     def run(batches):
         import pandas as pd
 
-        for pdf in batches:
+        from sandbox_data_pipeline_spark.operators.linalg import (
+            coalesce_batches,
+        )
+
+        # session Arrow batches are payload-sized (512 rows, for the
+        # media expansion path); the DP input is thin text, so buffer
+        # back up to DP-sized batches
+        for pdf in coalesce_batches(batches):
             out = []
             for did, txt in zip(pdf[id_col], pdf[text_col]):
                 c, pieces = viterbi_py(txt or "", frozen, max_piece)
@@ -361,7 +368,11 @@ def viterbi_cost_df(
     def run(batches):
         import pandas as pd
 
-        for pdf in batches:
+        from sandbox_data_pipeline_spark.operators.linalg import (
+            coalesce_batches,
+        )
+
+        for pdf in coalesce_batches(batches):
             c, np_ = viterbi_batch(pdf[text_col], frozen, max_piece)
             yield pd.DataFrame(
                 {
