@@ -67,12 +67,14 @@ PIN_CONFS: dict[str, str] = {
     # footer statistics — any query that WRITES timestamped data and
     # then relies on stats pruning (txlog tables) needs INT64 micros
     "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
-    # Bound Arrow batches by rows low enough that binary media payloads
-    # stay tens-of-MB per in-flight batch under ANY driver session —
-    # the foreign-session twin of session.py's SCALE_CONFS entry (a
-    # 10k-row default batch of media rows OOMs a default-heap JVM;
-    # runtime-settable, semantically neutral).
-    "spark.sql.execution.arrow.maxRecordsPerBatch": "512",
+    # Bound Arrow batches by BYTES so binary media payloads stay
+    # tens-of-MB per in-flight batch under ANY driver session — the
+    # foreign-session twin of session.py's SCALE_CONFS entry (a 10k-row
+    # batch of media rows OOMs a default-heap JVM; runtime-settable,
+    # semantically neutral). Thin rows still fill the 10k-row default,
+    # which earlier rounds' 512-row cap needlessly throttled.
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+    "spark.sql.execution.arrow.maxBytesPerBatch": "33554432",
 }
 
 

@@ -42,13 +42,16 @@ SCALE_CONFS: dict[str, str] = {
     # At 100 TB files should split into ~128 MB tasks (default); keep
     # explicit so the intent is visible and tunable per deployment.
     "spark.sql.files.maxPartitionBytes": "134217728",
-    # Arrow batches must be bounded by BYTES, not the 10k-row default:
-    # media rows carry binary payloads (KB-MB each), so a 10k-row batch
-    # is GBs in flight per task — the round-11 10x blow-up stress OOMed
-    # a default-heap JVM exactly there. 512 rows keeps worst-case media
-    # batches ~tens of MB while costing text/scalar exchanges nothing
-    # measurable (they stream batch-after-batch either way).
-    "spark.sql.execution.arrow.maxRecordsPerBatch": "512",
+    # Arrow batches must be bounded by BYTES, not rows: media rows carry
+    # binary payloads (KB-MB each), so a 10k-row batch is GBs in flight
+    # per task — the round-11 10x blow-up stress OOMed a default-heap
+    # JVM exactly there. Earlier rounds capped rows at 512, which kept
+    # media safe but shrank every THIN numeric/text exchange to 1/20th
+    # of a useful batch (vectorization amortizes per-batch overhead).
+    # Spark 4's byte bound is the direct knob: fat rows split at 32 MB
+    # in flight, thin rows still fill the 10k-row default.
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+    "spark.sql.execution.arrow.maxBytesPerBatch": "33554432",
 }
 
 
