@@ -153,52 +153,62 @@ def train_quality_lr(
     iters: int = Q_ITERS,
 ) -> list[int]:
     """T fixed preconditioned gradient steps; returns the integer
-    weight vector (length Q_NFEATS, scale 2^-20). Per step: one join +
-    two bucket/doc aggregates distributed, ONE bounded collect (J+2
-    rows); the weight update runs on the driver in exact arithmetic.
+    weight vector (length Q_NFEATS, scale 2^-20). Per step ONE
+    distributed job, ONE bounded collect (J+2 rows); the weight update
+    runs on the driver in exact arithmetic.
 
-    The joined feature/label frame is evaluated once and
-    localCheckpointed — the loop re-reads materialized partitions,
-    never re-scans the corpus (release the storage via
-    spark.catalog.clearCache / bench release_storage when done)."""
+    Round-12 shape: the joined feature/label frame is hash-partitioned
+    by doc_id ONCE and persisted (localCheckpoint would lose the
+    partitioning metadata under AQE; an InMemoryTableScan keeps it —
+    measured, not assumed). The per-doc margin z is then a WINDOW sum
+    over partitionBy(doc_id) — satisfied by the cached partitioning
+    with no Exchange and, unlike the previous agg→join-back shape, no
+    per-iteration broadcast build job — so each training round is a
+    single cache-scan stage plus the (J+2)-row gradient exchange.
+    Integer window sums are association-free, so the weights are
+    bit-identical to the join formulation (A/B-verified)."""
+    from pyspark.sql import Window
+
     base = (
         feats.join(labels, "doc_id")
         .select("doc_id", "j", "cnt", "y")
-        .localCheckpoint(eager=True)
+        .repartition("doc_id")
+        .persist()
     )
-    # exact diagonal preconditioner: per-feature second moment
-    ss_rows = base.groupBy("j").agg(
-        F.sum(F.col("cnt") * F.col("cnt")).alias("ss")
-    ).collect()  # bounded: <= Q_NFEATS rows
-    ss = [1] * Q_NFEATS
-    for row in ss_rows:
-        ss[row["j"]] = max(1, int(row["ss"]))
-    w = [0] * Q_NFEATS
-    for _ in range(iters):
-        wm = _wmap(w)
-        z = base.groupBy("doc_id", "y").agg(
-            F.sum(F.element_at(wm, F.col("j")) * F.col("cnt")).alias("z")
-        )
-        resid = z.select(
-            "doc_id",
-            (
-                _hard_sigmoid_scaled(F.col("z"))
-                - F.col("y") * F.lit(Q_SCALE)
-            ).alias("r"),
-        )
-        grad = (
-            base.join(resid, "doc_id")
-            .groupBy("j")
-            .agg(F.sum(F.col("r") * F.col("cnt")).alias("g"))
-            .collect()
-        )  # bounded: <= Q_NFEATS rows
-        for row in grad:
-            j = row["j"]
-            # float(g) FIRST — the oracle's CAST(g AS DOUBLE) * 2 / ss
-            # order, so both sides round identically even if g ever
-            # exceeds 2^53 exactness
-            w[j] -= int(math.floor(float(row["g"]) * Q_STEP_NUM / ss[j]))
-    return w
+    try:
+        # exact diagonal preconditioner: per-feature second moment
+        ss_rows = base.groupBy("j").agg(
+            F.sum(F.col("cnt") * F.col("cnt")).alias("ss")
+        ).collect()  # bounded: <= Q_NFEATS rows
+        ss = [1] * Q_NFEATS
+        for row in ss_rows:
+            ss[row["j"]] = max(1, int(row["ss"]))
+        w = [0] * Q_NFEATS
+        win = Window.partitionBy("doc_id")
+        for _ in range(iters):
+            wm = _wmap(w)
+            zz = base.withColumn(
+                "z",
+                F.sum(F.element_at(wm, F.col("j")) * F.col("cnt")).over(win),
+            )
+            rr = zz.withColumn(
+                "r",
+                _hard_sigmoid_scaled(F.col("z")) - F.col("y") * F.lit(Q_SCALE),
+            )
+            grad = (
+                rr.groupBy("j")
+                .agg(F.sum(F.col("r") * F.col("cnt")).alias("g"))
+                .collect()
+            )  # bounded: <= Q_NFEATS rows
+            for row in grad:
+                j = row["j"]
+                # float(g) FIRST — the oracle's CAST(g AS DOUBLE) * 2
+                # / ss order, so both sides round identically even if
+                # g ever exceeds 2^53 exactness
+                w[j] -= int(math.floor(float(row["g"]) * Q_STEP_NUM / ss[j]))
+        return w
+    finally:
+        base.unpersist(False)
 
 
 def score_quality_lr(feats: DataFrame, weights: list[int]) -> DataFrame:
