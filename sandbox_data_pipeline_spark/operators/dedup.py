@@ -337,40 +337,187 @@ def minhash_candidate_pairs(
     )
 
 
+# Connected-components sizing (duplicate_clusters). One task's
+# union-find budget: 4M edges is ~64 MB of int64 ids, with np.unique's
+# ~4x transient — well inside an executor task's memory. Contraction
+# partitions target ~2M edges (~32 MB Arrow in flight, matching the
+# session's maxBytesPerBatch posture).
+CC_LOCAL_EDGE_CAP = 4_000_000
+CC_CONTRACT_TARGET = 2_000_000
+CC_MAX_CONTRACTIONS = 12
+
+
+def _cc_minlabel_numpy(a, b):
+    """Exact min-label connected components over edge arrays (a[i]
+    connected to b[i]). Vectorized min-propagation with full pointer
+    jumping per round: O(log n) rounds of O(E) work. Returns
+    (nodes, roots) with roots[i] = min node id of nodes[i]'s component."""
+    import numpy as np
+
+    nodes, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+    ea, eb = inv[: len(a)], inv[len(a) :]
+    lab = np.arange(len(nodes))
+    while True:
+        prev = lab
+        lab = lab.copy()
+        np.minimum.at(lab, ea, lab[eb])
+        np.minimum.at(lab, eb, lab[ea])
+        while True:
+            nxt = lab[lab]
+            if np.array_equal(nxt, lab):
+                break
+            lab = nxt
+        if np.array_equal(prev, lab):
+            break
+    # labels are INDICES into the sorted node array, so the min index
+    # is the min id — root lookup is one gather.
+    return nodes, nodes[lab]
+
+
+def _cc_gather_edges(batches):
+    import numpy as np
+
+    ca, cb = [], []
+    for pdf in batches:
+        if len(pdf):
+            ca.append(pdf["a"].to_numpy())
+            cb.append(pdf["b"].to_numpy())
+    if not ca:
+        return None, None
+    return np.concatenate(ca), np.concatenate(cb)
+
+
+def _cc_yield_chunked(cols: dict, n: int, chunk: int = 500_000):
+    """Yield a dict of equal-length arrays as pandas chunks — one giant
+    yielded frame would become one giant Arrow batch (pyspark does not
+    re-chunk mapInPandas output)."""
+    import pandas as pd
+
+    for lo in range(0, n, chunk):
+        yield pd.DataFrame({k: v[lo : lo + chunk] for k, v in cols.items()})
+
+
+def _cc_contract(batches):
+    """Per-partition contraction: replace this partition's edges by the
+    star (root -> member) of their local components. Connectivity of
+    the UNION over partitions is preserved (each partition's star spans
+    exactly the nodes its edges span), every node survives, and dense
+    components collapse to n-1 rows."""
+    a, b = _cc_gather_edges(batches)
+    if a is None:
+        return
+    nodes, roots = _cc_minlabel_numpy(a, b)
+    keep = roots != nodes
+    yield from _cc_yield_chunked({"a": roots[keep], "b": nodes[keep]}, int(keep.sum()))
+
+
+def _cc_solve(batches):
+    """Single-partition exact solve: emit (doc_id, cluster_id) for every
+    node, roots included."""
+    a, b = _cc_gather_edges(batches)
+    if a is None:
+        return
+    nodes, roots = _cc_minlabel_numpy(a, b)
+    yield from _cc_yield_chunked({"doc_id": nodes, "cluster_id": roots}, len(nodes))
+
+
 def duplicate_clusters(
-    pairs: DataFrame, max_iter: int = 20, stats: dict | None = None
+    pairs: DataFrame,
+    max_iter: int = 20,
+    stats: dict | None = None,
+    local_cap: int = CC_LOCAL_EDGE_CAP,
 ) -> DataFrame:
     """Resolve near-duplicate PAIRS into CLUSTERS (connected
     components): output (doc_id, cluster_id) where cluster_id is the
     minimum doc id reachable through the pair graph — the canonical
     survivor each member should defer to.
 
-    Min-label propagation with pointer jumping: each round every node
-    takes the min of its own, its neighbors', and its label's label —
-    the shortcut doubles propagation reach, so convergence is
-    O(log diameter) rounds instead of O(diameter) (near-dup clusters
-    are shallow anyway; the shortcut makes pathological chains cheap
-    too). The driver only checks the changed-label count per round.
-    Each iteration localCheckpoints its labels (persist alone keeps the
-    logical plan growing — with the shortcut self-join it would DOUBLE
-    per round) and the previous round is dropped, so lineage stays
-    flat. Raises RuntimeError if max_iter rounds were insufficient —
-    silently returning half-propagated labels would split one connected
-    component into several clusters.
+    Two-level scheme (r12 — the per-round Spark overhead of the label
+    loop dominated every CC query at bench scale: ~1.5 s/round x 12
+    rounds on a 1,711-node graph):
+
+    1. While the edge count exceeds ``local_cap``, run per-partition
+       CONTRACTION passes: partition edges by a deterministic synthetic
+       key (pmod(xxhash64(a,b))) — skew-proof, retry-stable — and let
+       one vectorized union-find per partition replace its edges by the
+       star of their local components. Connectivity is preserved
+       exactly; dense near-dup components collapse to (n-1) star rows,
+       so real dup graphs shrink geometrically. One shuffle + one
+       mapInPandas + one count per pass.
+    2. Once the survivor graph is under ``local_cap`` (~64 MB of ids),
+       ONE task solves it exactly with vectorized min-label pointer
+       jumping (O(E log n) numpy work, no per-round Spark jobs).
+    3. If contraction stalls (matching-like graphs shrink < 25%/pass)
+       or CC_MAX_CONTRACTIONS is hit, fall back to the distributed
+       min-label propagation loop (pointer jumping, O(log diameter)
+       rounds) on the contracted survivor — never wrong, just slower.
+       Only that loop can fail to converge; it raises RuntimeError
+       after ``max_iter`` rounds rather than silently returning
+       half-propagated labels.
 
     ``stats`` (optional dict) receives {"iterations", "n_nodes"} —
-    the 10x blow-up stress (tools/blowup_stress.py) asserts the
-    pointer-jumping round count against the log2(N) bound."""
+    iterations counts contraction passes plus solve passes/rounds; the
+    10x blow-up stress (tools/blowup_stress.py) asserts it against the
+    log2(N) bound, which the two-level scheme satisfies by a wide
+    margin."""
+    sc = pairs.sparkSession.sparkContext
+    id_type = pairs.schema["doc_a"].dataType.simpleString()
+    edges = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b")).persist()
+    n_edges = edges.count()
+    passes = 0
+    stalled = False
+    while n_edges > local_cap and passes < CC_MAX_CONTRACTIONS:
+        n_parts = max(-(-n_edges // CC_CONTRACT_TARGET), sc.defaultParallelism)
+        key = F.pmod(F.xxhash64(F.col("a"), F.col("b")), F.lit(n_parts * 64))
+        contracted = (
+            edges.repartition(n_parts, key)
+            .mapInPandas(_cc_contract, f"a {id_type}, b {id_type}")
+            .persist()
+        )
+        n_next = contracted.count()
+        passes += 1
+        edges.unpersist()
+        edges = contracted
+        stalled = n_next > n_edges * 3 // 4
+        n_edges = n_next
+        if stalled:
+            break
+    if n_edges > local_cap:
+        labels, rounds = _cc_propagation_loop(edges, max_iter)
+        edges.unpersist()
+    else:
+        labels = (
+            edges.repartition(1)
+            .mapInPandas(_cc_solve, f"doc_id {id_type}, cluster_id {id_type}")
+            .localCheckpoint(eager=True)
+        )
+        rounds = 1
+        edges.unpersist()
+    if stats is not None:
+        stats["iterations"] = passes + rounds
+        stats["n_nodes"] = labels.count()
+    return labels
+
+
+def _cc_propagation_loop(
+    edges_ab: DataFrame, max_iter: int
+) -> tuple[DataFrame, int]:
+    """Distributed min-label propagation with pointer jumping — the
+    pre-r12 implementation, kept as the exact fallback for graphs the
+    contraction passes cannot shrink under the local-solve cap. Each
+    round every node takes the min of its own, its neighbors', and its
+    label's label; O(log diameter) rounds; one localCheckpoint per
+    round keeps lineage flat. Raises RuntimeError when max_iter rounds
+    were insufficient."""
     # Undirect the edges with ONE explode, not a union of two selects:
     # Catalyst does not share common subplans across union branches, so
-    # the union form would execute the whole upstream pair pipeline
-    # (minhash signatures, band join, ...) twice.
+    # the union form would execute the whole upstream pipeline twice.
     edges = (
-        pairs.select(
+        edges_ab.select(
             F.explode(
                 F.array(
-                    F.struct(F.col("doc_a").alias("a"), F.col("doc_b").alias("b")),
-                    F.struct(F.col("doc_b").alias("a"), F.col("doc_a").alias("b")),
+                    F.struct(F.col("a"), F.col("b")),
+                    F.struct(F.col("b").alias("a"), F.col("a").alias("b")),
                 )
             ).alias("e")
         )
@@ -437,10 +584,10 @@ def duplicate_clusters(
             f"duplicate_clusters did not converge within {max_iter} rounds "
             f"({changed} labels still changing); raise max_iter"
         )
-    if stats is not None:
-        stats["iterations"] = n_rounds
-        stats["n_nodes"] = labels.count()
-    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+    return (
+        labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")),
+        n_rounds,
+    )
 
 
 def keep_canonical(

@@ -80,9 +80,12 @@ def test_ngram_df_cap_guard_engages_on_hot_shingle(spark):
 
 
 def test_duplicate_clusters_long_chain_pointer_jumping(spark):
-    """A 40-node path converges well under 40 rounds (pointer jumping
-    doubles label reach per round), and a too-small max_iter raises
-    instead of silently returning split clusters."""
+    """A 40-node path resolves exactly through every r12 path: the
+    single-task local solve (default cap), the contraction+fallback
+    route (local_cap=1 keeps the 40-edge chain above the cap — a
+    connected n-node component never contracts below n-1 star edges),
+    and the fallback loop's convergence guard still raises on a
+    too-small max_iter instead of silently returning split clusters."""
     import pytest
 
     from sandbox_data_pipeline_spark.operators.dedup import duplicate_clusters
@@ -90,10 +93,20 @@ def test_duplicate_clusters_long_chain_pointer_jumping(spark):
     chain = spark.createDataFrame(
         [(i, i + 1) for i in range(40)], "doc_a long, doc_b long"
     )
-    got = {r.doc_id: r.cluster_id for r in duplicate_clusters(chain, max_iter=10).collect()}
+    stats: dict = {}
+    got = {
+        r.doc_id: r.cluster_id
+        for r in duplicate_clusters(chain, max_iter=10, stats=stats).collect()
+    }
     assert set(got.values()) == {0} and len(got) == 41
+    assert stats["n_nodes"] == 41
+    got_fb = {
+        r.doc_id: r.cluster_id
+        for r in duplicate_clusters(chain, max_iter=10, local_cap=1).collect()
+    }
+    assert got_fb == got
     with pytest.raises(RuntimeError, match="did not converge"):
-        duplicate_clusters(chain, max_iter=2)
+        duplicate_clusters(chain, max_iter=1, local_cap=1)
 
 
 def test_duplicate_clusters_chain_and_canonical(spark):
