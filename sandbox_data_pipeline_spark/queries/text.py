@@ -3874,6 +3874,56 @@ QUERIES["q_quantile_normalize"] = q_quantile_normalize
 
 
 COVERAGE_K = 10
+# Local-solve budget for the greedy (r12): a (doc_id, bigram) frame
+# under this many rows (~tens of MB factorized) is solved exactly by
+# ONE executor task instead of K Spark rounds — same argmax, same
+# min-doc_id tie-break, verified against the unrolled oracle. Above
+# the cap the distributed per-round loop below runs unchanged.
+COVERAGE_LOCAL_ROW_CAP = 4_000_000
+
+
+def _coverage_greedy_local(k: int):
+    """mapInPandas body: the full greedy over one task's (doc_id, t)
+    rows. Vectorized: per round one bincount argmax + covered-mask
+    update; integer exact, so selection order and gains are identical
+    to the distributed rounds."""
+
+    def fn(batches):
+        import numpy as np
+        import pandas as pd
+
+        docs_c, toks_c = [], []
+        for pdf in batches:
+            if len(pdf):
+                docs_c.append(pdf["doc_id"].to_numpy())
+                toks_c.append(pdf["t"].to_numpy())
+        if not docs_c:
+            return
+        doc = np.concatenate(docs_c)
+        tok_code, _ = pd.factorize(np.concatenate(toks_c))  # exact, no hashing
+        n_tok_types = int(tok_code.max()) + 1
+        # dense doc indices for bincount; doc_ids map back at the end
+        doc_ids, doc_idx = np.unique(doc, return_inverse=True)
+        uncovered_row = np.ones(len(doc), dtype=bool)
+        covered_tok = np.zeros(n_tok_types, dtype=bool)
+        rows = []
+        coverage = 0
+        for r in range(1, k + 1):
+            gains = np.bincount(doc_idx[uncovered_row], minlength=len(doc_ids))
+            best = int(np.argmax(gains))  # argmax returns FIRST max =
+            g = int(gains[best])  # min doc_id on ties (doc_ids sorted)
+            if g == 0:
+                break
+            newly = tok_code[uncovered_row & (doc_idx == best)]
+            covered_tok[newly] = True
+            uncovered_row &= ~covered_tok[tok_code]
+            coverage += g
+            rows.append((r, int(doc_ids[best]), g, coverage))
+        yield pd.DataFrame(
+            rows, columns=["sel_order", "doc_id", "gain", "cum_coverage"]
+        ).astype("int64")
+
+    return fn
 
 
 def _coverage_candidates(tok: DataFrame, selected: list) -> DataFrame:
@@ -3936,6 +3986,20 @@ def q_coverage_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = (
         d.select("doc_id", F.explode(bigrams).alias("t")).distinct().persist()
     )
+    if tok.count() <= COVERAGE_LOCAL_ROW_CAP:
+        # capped local solve (r12): the whole greedy in ONE task —
+        # K Spark rounds of anti-join + groupBy + argmax collapse to
+        # one mapInPandas job; result rows come back as the frame.
+        out = (
+            tok.repartition(1)
+            .mapInPandas(
+                _coverage_greedy_local(COVERAGE_K),
+                "sel_order long, doc_id long, gain long, cum_coverage long",
+            )
+            .localCheckpoint(eager=True)
+        )
+        tok.unpersist()
+        return out
     selected: list = []
     rows = []
     coverage = 0

@@ -343,6 +343,24 @@ def test_quantile_normalize_equalizes_distributions(spark):
     assert all(v == first for v in dists.values())
 
 
+def test_coverage_greedy_local_matches_distributed_loop(spark, monkeypatch):
+    """The r12 capped local solve (one-task vectorized greedy) must
+    select the same docs with the same gains as the distributed
+    per-round loop — forced via a zero row cap."""
+    import sandbox_data_pipeline_spark.queries.text as text
+
+    local = sorted(
+        text.QUERIES["q_coverage_greedy"](spark, SF).collect(),
+        key=lambda r: r["sel_order"],
+    )
+    monkeypatch.setattr(text, "COVERAGE_LOCAL_ROW_CAP", 0)
+    loop = sorted(
+        text.QUERIES["q_coverage_greedy"](spark, SF).collect(),
+        key=lambda r: r["sel_order"],
+    )
+    assert [tuple(r) for r in local] == [tuple(r) for r in loop]
+
+
 def test_coverage_greedy_diminishing_returns(spark):
     """Greedy max-coverage gains are non-increasing (submodularity +
     greedy order) and coverage is the running sum of gains; all K
