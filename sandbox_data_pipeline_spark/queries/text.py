@@ -3582,16 +3582,17 @@ def q_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(tot))
         .withColumn("w", llr)
     )
-    wcum = (
-        Window.partitionBy("doc_id")
-        .orderBy("p")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    cum = scored.select(
-        "doc_id", "y", "p", F.sum("w").over(wcum).alias("cw")
-    )
-    per_doc = cum.groupBy("doc_id", "y").agg(
-        F.max_by("cw", "p").alias("s")
+    # deterministic positional sum (r12): fold the per-doc terms in
+    # ascending position order with ONE groupBy — arithmetic order is
+    # bit-identical to the former running-cumulant window read at the
+    # last position, without the window's doc_id sort pass (plan:
+    # Exchange+Sort+Window+max_by-agg -> Exchange+objagg fold).
+    per_doc = scored.groupBy("doc_id", "y").agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("p", "w"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["w"],
+        ).alias("s")
     )
     pred = per_doc.crossJoin(F.broadcast(pri)).select(
         "y",
