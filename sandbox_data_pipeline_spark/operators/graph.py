@@ -21,6 +21,270 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# One task's numpy budget for the capped local solve (r12): identical
+# discipline to operators/dedup.CC_LOCAL_EDGE_CAP — the per-round Spark
+# overhead of the BSP loops dominates bench-scale graphs, so graphs
+# whose edge frame fits one task's memory are solved in ONE mapInPandas
+# job. Every float recursion keeps its exact per-iteration formula (only
+# partial-sum ORDER differs — the same 1e-15 drift already absorbed by
+# the cross-engine oracle rounding); integer algorithms (LPA, BFS, HITS,
+# k-core) are bit-identical. All final rounding stays in Spark
+# expressions shared with the distributed loop. Above the cap the
+# unchanged BSP loops run.
+GRAPH_LOCAL_EDGE_CAP = 4_000_000
+
+
+def _gather_marked(batches):
+    """Collect (a, b, m) rows: m=0 edge rows, m=1 seed rows (seed id in
+    BOTH a and b — no nulls, which would float-coerce int64 ids)."""
+    import numpy as np
+
+    ca, cb, cm = [], [], []
+    for pdf in batches:
+        if len(pdf):
+            ca.append(pdf["a"].to_numpy())
+            cb.append(pdf["b"].to_numpy())
+            cm.append(pdf["m"].to_numpy())
+    if not ca:
+        return None, None, None
+    m = np.concatenate(cm)
+    a = np.concatenate(ca)
+    b = np.concatenate(cb)
+    return a[m == 0], b[m == 0], a[m == 1]
+
+
+def _index_graph(a, b, extra=None):
+    """Dense-index the node universe (sorted, so index order == id
+    order). Returns (nodes, ea, eb[, extra_idx])."""
+    import numpy as np
+
+    parts = [a, b] if extra is None else [a, b, extra]
+    nodes, inv = np.unique(np.concatenate(parts), return_inverse=True)
+    ea, eb = inv[: len(a)], inv[len(a) : 2 * len(a)]
+    if extra is None:
+        return nodes, ea, eb
+    return nodes, ea, eb, inv[2 * len(a) :]
+
+
+def _pagerank_local(damping: float, iterations: int):
+    def fn(batches):
+        import numpy as np
+
+        from sandbox_data_pipeline_spark.operators.dedup import (
+            _cc_gather_edges,
+            _cc_yield_chunked,
+        )
+
+        a, b = _cc_gather_edges(batches)
+        if a is None:
+            return
+        nodes, ea, eb = _index_graph(a, b)
+        n = len(nodes)
+        deg = np.bincount(ea, minlength=n)
+        sinks = deg == 0
+        has_sinks = bool(sinks.any())
+        safe_deg = np.where(sinks, 1, deg).astype("float64")
+        r = np.full(n, 1.0 / n)
+        for _ in range(iterations):
+            s = np.zeros(n)
+            np.add.at(s, eb, r[ea] / safe_deg[ea])
+            if has_sinks:
+                s = s + r[sinks].sum() / n
+            r = (1.0 - damping) / n + damping * s
+        yield from _cc_yield_chunked(
+            {
+                "node": nodes,
+                "deg": deg.astype("int64"),
+                "n_nodes": np.full(n, n, dtype="int64"),
+                "rank": r,
+            },
+            n,
+        )
+
+    return fn
+
+
+def _ppr_local(damping: float, iterations: int):
+    def fn(batches):
+        import numpy as np
+
+        from sandbox_data_pipeline_spark.operators.dedup import (
+            _cc_yield_chunked,
+        )
+
+        a, b, seed = _gather_marked(batches)
+        if a is None:
+            return
+        # node universe = edge endpoints only (the operator LEFT-joins
+        # seeds onto graph nodes — out-of-graph seeds drop)
+        nodes, ea, eb = _index_graph(a, b)
+        n = len(nodes)
+        deg = np.bincount(ea, minlength=n)
+        is_seed = np.zeros(n, dtype="int64")
+        is_seed[np.searchsorted(nodes, np.intersect1d(seed, nodes))] = 1
+        n_seeds = int(is_seed.sum())
+        restart = is_seed / float(n_seeds) if n_seeds else is_seed * 0.0
+        safe_deg = np.where(deg == 0, 1, deg).astype("float64")
+        r = restart.copy()
+        for _ in range(iterations):
+            s = np.zeros(n)
+            np.add.at(s, eb, r[ea] / safe_deg[ea])
+            r = (1.0 - damping) * restart + damping * s
+        yield from _cc_yield_chunked(
+            {
+                "node": nodes,
+                "deg": deg.astype("int64"),
+                "is_seed": is_seed,
+                "rank": r,
+            },
+            n,
+        )
+
+    return fn
+
+
+def _hits_local(iterations: int):
+    def fn(batches):
+        import numpy as np
+
+        from sandbox_data_pipeline_spark.operators.dedup import (
+            _cc_gather_edges,
+            _cc_yield_chunked,
+        )
+
+        a, b = _cc_gather_edges(batches)
+        if a is None:
+            return
+        nodes, ea, eb = _index_graph(a, b)
+        n = len(nodes)
+        auth = np.ones(n, dtype="int64")
+        hub = np.ones(n, dtype="int64")
+        for _ in range(iterations):
+            s = np.zeros(n, dtype="int64")
+            np.add.at(s, eb, hub[ea])
+            auth = s
+            s = np.zeros(n, dtype="int64")
+            np.add.at(s, ea, auth[eb])
+            hub = s
+        yield from _cc_yield_chunked(
+            {"node": nodes, "a": auth, "h": hub}, n
+        )
+
+    return fn
+
+
+def _lpa_local(iterations: int):
+    def fn(batches):
+        import numpy as np
+
+        from sandbox_data_pipeline_spark.operators.dedup import (
+            _cc_gather_edges,
+            _cc_yield_chunked,
+        )
+
+        a, b = _cc_gather_edges(batches)
+        if a is None:
+            return
+        nodes, ea, eb = _index_graph(a, b)
+        n = len(nodes)
+        lab = np.arange(n)
+        self_keys = np.arange(n)
+        for _ in range(iterations):
+            node_k = np.concatenate([eb, self_keys])
+            lab_k = np.concatenate([lab[ea], lab])
+            combined = node_k.astype("int64") * n + lab_k
+            keys, counts = np.unique(combined, return_counts=True)
+            k_node = keys // n
+            k_lab = keys % n
+            # winner per node: max count, ties -> smallest label VALUE
+            # (= smallest index, nodes sorted); lexsort's last key is
+            # primary, first-per-node after the sort is the winner
+            order = np.lexsort((k_lab, -counts, k_node))
+            k_node_o = k_node[order]
+            first = np.ones(len(order), dtype=bool)
+            first[1:] = k_node_o[1:] != k_node_o[:-1]
+            lab = np.empty(n, dtype="int64")
+            lab[k_node_o[first]] = k_lab[order][first]
+        yield from _cc_yield_chunked({"node": nodes, "label": nodes[lab]}, n)
+
+    return fn
+
+
+def _bfs_local(max_hops: int):
+    def fn(batches):
+        import numpy as np
+
+        from sandbox_data_pipeline_spark.operators.dedup import (
+            _cc_yield_chunked,
+        )
+
+        a, b, seed = _gather_marked(batches)
+        if seed is None or len(seed) == 0:
+            return
+        # node universe includes out-of-graph seeds (dist 0 rows)
+        if a is None or len(a) == 0:
+            nodes = np.unique(seed)
+            dist = np.zeros(len(nodes), dtype="int32")
+            yield from _cc_yield_chunked(
+                {"node": nodes, "dist": dist}, len(nodes)
+            )
+            return
+        nodes, ea, eb, seed_idx = _index_graph(a, b, np.unique(seed))
+        n = len(nodes)
+        inf = np.iinfo("int64").max - 1
+        dist = np.full(n, inf, dtype="int64")
+        dist[seed_idx] = 0
+        for _ in range(max_hops):
+            # BSP round: relax from the PREVIOUS round's snapshot only
+            # (sequential in-place relaxation could reach nodes beyond
+            # the hop bound, which the operator's contract excludes)
+            new = dist.copy()
+            np.minimum.at(new, eb, dist[ea] + 1)
+            dist = new
+        reached = dist < inf
+        yield from _cc_yield_chunked(
+            {"node": nodes[reached], "dist": dist[reached].astype("int32")},
+            int(reached.sum()),
+        )
+
+    return fn
+
+
+def _kcore_local(k: int, rounds: int):
+    """Bounded-round k-core peel over one task's edges: per round drop
+    nodes with degree < k and their incident edges — integer-exact twin
+    of the unrolled distributed peel. Emits (part, degree) over the
+    surviving edge set."""
+
+    def fn(batches):
+        import numpy as np
+
+        from sandbox_data_pipeline_spark.operators.dedup import (
+            _cc_gather_edges,
+            _cc_yield_chunked,
+        )
+
+        a, b = _cc_gather_edges(batches)
+        if a is None:
+            return
+        nodes, ea, eb = _index_graph(a, b)
+        n = len(nodes)
+        alive = np.ones(len(ea), dtype=bool)
+        for _ in range(rounds):
+            cnt = np.bincount(
+                np.concatenate([ea[alive], eb[alive]]), minlength=n
+            )
+            keep = cnt >= k
+            alive &= keep[ea] & keep[eb]
+        cnt = np.bincount(np.concatenate([ea[alive], eb[alive]]), minlength=n)
+        left = cnt > 0
+        yield from _cc_yield_chunked(
+            {"part": nodes[left], "degree": cnt[left].astype("int64")},
+            int(left.sum()),
+        )
+
+    return fn
+
 
 def pagerank(
     edges: DataFrame,
@@ -29,6 +293,7 @@ def pagerank(
     src: str = "src",
     dst: str = "dst",
     checkpoint_every: int = 4,
+    local_cap: int = GRAPH_LOCAL_EDGE_CAP,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge list (sink-node
     dangling mass redistributed uniformly). For undirected graphs,
@@ -47,6 +312,23 @@ def pagerank(
     # replay iterations+1 times. Same discipline as
     # duplicate_clusters: materialize once, iterate over the blocks.
     edges = edges.localCheckpoint(eager=False)
+    if local_cap and edges.count() <= local_cap:
+        id_t = edges.schema[src].dataType.simpleString()
+        state = (
+            edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+            .repartition(1)
+            .mapInPandas(
+                _pagerank_local(damping, iterations),
+                f"node {id_t}, deg long, n_nodes long, rank double",
+            )
+            .localCheckpoint(eager=True)
+        )
+        return state.select(
+            "node",
+            "deg",
+            F.round("rank", 6).alias("pagerank"),
+            F.round(F.col("rank") * F.col("n_nodes"), 4).alias("rank_rel"),
+        )
     deg = edges.groupBy(src).agg(F.count("*").alias("deg"))
     # node set = sources ∪ destinations: a genuinely directed graph
     # has sink nodes with out-degree 0 (deg coalesced to 0); their
@@ -117,6 +399,7 @@ def label_propagation(
     iterations: int = 4,
     src: str = "src",
     dst: str = "dst",
+    local_cap: int = GRAPH_LOCAL_EDGE_CAP,
 ) -> DataFrame:
     """Fixed-iteration synchronous label propagation (Raghavan et al.
     2007) — community detection on a pair graph. Each node starts
@@ -138,6 +421,16 @@ def label_propagation(
     if iterations < 1:
         raise ValueError("iterations must be >= 1")
     edges = edges.localCheckpoint(eager=False)
+    if local_cap and edges.count() <= local_cap:
+        id_t = edges.schema[src].dataType.simpleString()
+        return (
+            edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+            .repartition(1)
+            .mapInPandas(
+                _lpa_local(iterations), f"node {id_t}, label {id_t}"
+            )
+            .localCheckpoint(eager=True)
+        )
     e = edges.select(F.col(src).alias("e_src"), F.col(dst).alias("node"))
     labels = (
         edges.select(F.col(src).alias("node"))
@@ -177,6 +470,7 @@ def bfs_distances(
     max_hops: int = 4,
     src: str = "src",
     dst: str = "dst",
+    local_cap: int = GRAPH_LOCAL_EDGE_CAP,
 ) -> DataFrame:
     """Bounded-hop BFS from a seed set: min-plus relaxation, one round
     per hop — dist(v) after round k is the length of the shortest
@@ -192,6 +486,22 @@ def bfs_distances(
     if max_hops < 1:
         raise ValueError("max_hops must be >= 1")
     edges = edges.localCheckpoint(eager=False)
+    if local_cap and edges.count() <= local_cap:
+        id_t = edges.schema[src].dataType.simpleString()
+        marked = edges.select(
+            F.col(src).alias("a"), F.col(dst).alias("b"), F.lit(0).alias("m")
+        ).unionByName(
+            seeds.select(
+                F.col(seeds.columns[0]).alias("a"),
+                F.col(seeds.columns[0]).alias("b"),
+                F.lit(1).alias("m"),
+            )
+        )
+        return (
+            marked.repartition(1)
+            .mapInPandas(_bfs_local(max_hops), f"node {id_t}, dist int")
+            .localCheckpoint(eager=True)
+        )
     e = edges.select(F.col(src).alias("e_src"), F.col(dst).alias("node"))
     dist = seeds.select(
         F.col(seeds.columns[0]).alias("node"),
@@ -215,6 +525,7 @@ def hits(
     iterations: int = 3,
     src: str = "src",
     dst: str = "dst",
+    local_cap: int = GRAPH_LOCAL_EDGE_CAP,
 ) -> DataFrame:
     """Fixed-iteration HITS (Kleinberg 1999) in EXACT int64 arithmetic:
     authority(i) = Σ hub(j) over in-edges, hub(i) = Σ authority(j)
@@ -232,46 +543,59 @@ def hits(
     if iterations < 1:
         raise ValueError("iterations must be >= 1")
     edges = edges.localCheckpoint(eager=False)
-    nodes = (
-        edges.select(F.col(src).alias("node"))
-        .unionByName(edges.select(F.col(dst).alias("node")))
-        .distinct()
-    )
-    state = nodes.select(
-        "node", F.lit(1).cast("long").alias("a"), F.lit(1).cast("long").alias("h")
-    )
-    e_in = edges.select(F.col(src).alias("from_n"), F.col(dst).alias("node"))
-    e_out = edges.select(F.col(src).alias("node"), F.col(dst).alias("to_n"))
-    for _ in range(iterations):
-        a_new = (
-            e_in.join(
-                state.select(F.col("node").alias("from_n"), "h"), "from_n"
-            )
-            .groupBy("node")
-            .agg(F.sum("h").alias("a_new"))
-        )
+    if local_cap and edges.count() <= local_cap:
+        id_t = edges.schema[src].dataType.simpleString()
         state = (
-            state.join(a_new, "node", "left")
-            .select(
-                "node",
-                F.coalesce(F.col("a_new"), F.lit(0)).cast("long").alias("a"),
-                "h",
+            edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+            .repartition(1)
+            .mapInPandas(
+                _hits_local(iterations), f"node {id_t}, a long, h long"
             )
+            .localCheckpoint(eager=True)
         )
-        h_new = (
-            e_out.join(state.select(F.col("node").alias("to_n"), "a"), "to_n")
-            .groupBy("node")
-            .agg(F.sum("a").alias("h_new"))
+    else:
+        nodes = (
+            edges.select(F.col(src).alias("node"))
+            .unionByName(edges.select(F.col(dst).alias("node")))
+            .distinct()
         )
-        state = (
-            state.join(h_new, "node", "left")
-            .select(
-                "node",
-                "a",
-                F.coalesce(F.col("h_new"), F.lit(0)).cast("long").alias("h"),
+        state = nodes.select(
+            "node",
+            F.lit(1).cast("long").alias("a"),
+            F.lit(1).cast("long").alias("h"),
+        )
+        e_in = edges.select(F.col(src).alias("from_n"), F.col(dst).alias("node"))
+        e_out = edges.select(F.col(src).alias("node"), F.col(dst).alias("to_n"))
+        for _ in range(iterations):
+            a_new = (
+                e_in.join(
+                    state.select(F.col("node").alias("from_n"), "h"), "from_n"
+                )
+                .groupBy("node")
+                .agg(F.sum("h").alias("a_new"))
             )
-            .localCheckpoint(eager=False)
-        )
+            state = (
+                state.join(a_new, "node", "left")
+                .select(
+                    "node",
+                    F.coalesce(F.col("a_new"), F.lit(0)).cast("long").alias("a"),
+                    "h",
+                )
+            )
+            h_new = (
+                e_out.join(state.select(F.col("node").alias("to_n"), "a"), "to_n")
+                .groupBy("node")
+                .agg(F.sum("a").alias("h_new"))
+            )
+            state = (
+                state.join(h_new, "node", "left")
+                .select(
+                    "node",
+                    "a",
+                    F.coalesce(F.col("h_new"), F.lit(0)).cast("long").alias("h"),
+                )
+                .localCheckpoint(eager=False)
+            )
     maxes = state.agg(
         F.max("a").alias("max_a"), F.max("h").alias("max_h")
     )
@@ -339,6 +663,7 @@ def personalized_pagerank(
     iterations: int = 4,
     src: str = "src",
     dst: str = "dst",
+    local_cap: int = GRAPH_LOCAL_EDGE_CAP,
 ) -> DataFrame:
     """Personalized PageRank: random walk with restart onto ``seeds``
     (one column ``node``) — influence/contamination mass flowing FROM
@@ -355,6 +680,27 @@ def personalized_pagerank(
     if iterations < 1:
         raise ValueError("iterations must be >= 1")
     edges = edges.localCheckpoint(eager=False)
+    if local_cap and edges.count() <= local_cap:
+        id_t = edges.schema[src].dataType.simpleString()
+        marked = edges.select(
+            F.col(src).alias("a"), F.col(dst).alias("b"), F.lit(0).alias("m")
+        ).unionByName(
+            seeds.select(
+                F.col("node").alias("a"), F.col("node").alias("b"),
+                F.lit(1).alias("m"),
+            )
+        )
+        state = (
+            marked.repartition(1)
+            .mapInPandas(
+                _ppr_local(damping, iterations),
+                f"node {id_t}, deg long, is_seed long, rank double",
+            )
+            .localCheckpoint(eager=True)
+        )
+        return state.select(
+            "node", "deg", "is_seed", F.round("rank", 6).alias("ppr")
+        )
     deg = edges.groupBy(src).agg(F.count("*").alias("deg"))
     nodes = (
         edges.select(F.col(src).alias("node"))

@@ -2010,7 +2010,25 @@ def q_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("w"))
         .where(F.col("w") >= 2)
         .select("pa", "pb")
+        # materialized ONCE: both the cap probe and (above cap) round
+        # 1's three subtree references read the blocks, not the join
+        .localCheckpoint(eager=False)
     )
+    from sandbox_data_pipeline_spark.operators.graph import (
+        GRAPH_LOCAL_EDGE_CAP,
+        _kcore_local,
+    )
+
+    if e.count() <= GRAPH_LOCAL_EDGE_CAP:
+        # capped local solve (r12): all four integer-exact peel rounds
+        # in one task — the same scale-adaptive discipline as
+        # operators/graph.py's BSP loops and operators/dedup.py's CC
+        return (
+            e.select(F.col("pa").alias("a"), F.col("pb").alias("b"))
+            .repartition(1)
+            .mapInPandas(_kcore_local(3, 4), "part long, degree long")
+            .localCheckpoint(eager=True)
+        )
     for _ in range(4):
         nodes = e.select(F.col("pa").alias("n")).unionAll(
             e.select(F.col("pb").alias("n"))

@@ -123,3 +123,44 @@ def test_link_prediction_cap_subset_on_corpus(spark, sf_dir):
     assert set(capped) <= set(exact)
     for k, cn in capped.items():
         assert cn <= exact[k]
+
+
+def test_local_solvers_match_distributed_loops(spark):
+    """r12: every graph operator's capped local solve must reproduce
+    the distributed BSP loop row-for-row (forced via local_cap=0).
+    Floats compare exactly: same per-iteration formulas, and the
+    6-dp output rounding sits far above any partial-sum-order drift."""
+    from sandbox_data_pipeline_spark.operators.graph import (
+        hits,
+        pagerank,
+        personalized_pagerank,
+    )
+
+    pairs = [(i, (i * 7 + 3) % 30) for i in range(30) if i != (i * 7 + 3) % 30]
+    e = _edges(spark, pairs)
+    seeds = e.select(F.col("src").alias("node")).distinct().where(
+        F.col("node") % 5 == 0
+    )
+    for build in (
+        lambda cap: pagerank(e, iterations=5, local_cap=cap),
+        lambda cap: label_propagation(e, iterations=4, local_cap=cap),
+        lambda cap: bfs_distances(e, seeds, max_hops=4, local_cap=cap),
+        lambda cap: hits(e, iterations=3, local_cap=cap),
+        lambda cap: personalized_pagerank(e, seeds, iterations=4, local_cap=cap),
+    ):
+        local = sorted(map(tuple, build(10**6).collect()))
+        loop = sorted(map(tuple, build(0).collect()))
+        assert local == loop
+
+
+def test_pagerank_directed_sink_dangling_mass_local(spark):
+    """Directed graph WITH a sink node: the local solver must apply the
+    same dangling-mass redistribution as the loop (has_sinks branch)."""
+    from sandbox_data_pipeline_spark.operators.graph import pagerank
+
+    e = spark.createDataFrame(
+        [(0, 1), (1, 2), (0, 2)], "src long, dst long"  # 2 is a sink
+    )
+    local = sorted(map(tuple, pagerank(e, iterations=5).collect()))
+    loop = sorted(map(tuple, pagerank(e, iterations=5, local_cap=0).collect()))
+    assert local == loop
