@@ -220,6 +220,66 @@ def ivf_centroids_kmeans(
     return [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
 
 
+# Local-solve budget for the exact k-means trainer (r12): quantized
+# int64 cells (n_vectors x dim) one task iterates over in numpy; 8M
+# cells is ~64 MB. Same scale-adaptive discipline as the graph/CC
+# local solves; above the cap the exploded broadcast-join loop runs.
+KMEANS_LOCAL_CELL_CAP = 8_000_000
+
+
+def _kmeans_exact_local(
+    cents0: list[list[int]], n_centroids: int, n_iter: int, dim: int
+):
+    """All Lloyd iterations in one task, integer-exact and therefore
+    bit-identical to the distributed loop: distances via the int64
+    matmul expansion |a-c|^2 = a.a - 2a.c + c.c (every term bounded by
+    64*10^12, far inside int64), argmin ties to the lowest centroid id
+    (np.argmin first-occurrence == min_by struct(d, j)), means as the
+    same round-half-away integer division, empty clusters keep their
+    coords. Emits the final (j, pos, cval) rows."""
+
+    def _half_away(num: int, den: int) -> int:
+        if num >= 0:
+            return (2 * num + den) // (2 * den)
+        return -((2 * (-num) + den) // (2 * den))
+
+    def fn(batches):
+        import numpy as np
+        import pandas as pd
+
+        chunks = []
+        for pdf in batches:
+            if len(pdf):
+                chunks.append(np.stack(pdf["q"].to_numpy()).astype("int64"))
+        if not chunks:
+            return
+        x = np.concatenate(chunks)
+        cents = [list(c) for c in cents0]
+        a = x * 100
+        a2 = (a * a).sum(axis=1)
+        for _ in range(n_iter):
+            c = np.array(cents, dtype="int64")
+            d = a2[:, None] - 2 * (a @ c.T) + (c * c).sum(axis=1)[None, :]
+            asg = np.argmin(d, axis=1)
+            for j in range(n_centroids):
+                mask = asg == j
+                n = int(mask.sum())
+                if n:
+                    s = x[mask].sum(axis=0)
+                    cents[j] = [_half_away(int(s[p]) * 100, n) for p in range(dim)]
+        yield pd.DataFrame(
+            {
+                "j": np.repeat(np.arange(n_centroids), dim).astype("int32"),
+                "pos": np.tile(np.arange(dim), n_centroids).astype("int32"),
+                "cval": np.array(
+                    [c for cv in cents for c in cv], dtype="int64"
+                ),
+            }
+        )
+
+    return fn
+
+
 def ivf_centroids_kmeans_exact(
     embeddings: DataFrame,
     n_centroids: int = 16,
@@ -254,6 +314,26 @@ def ivf_centroids_kmeans_exact(
     )
     init = qv.orderBy("vid").limit(n_centroids).collect()
     cents: list[list[int]] = [[c * 100 for c in r["q"]] for r in init]
+
+    if qv.count() * dim <= KMEANS_LOCAL_CELL_CAP:
+        # capped local solve (r12): every Lloyd iteration in one task —
+        # integer-exact, so bit-identical to the loop below. The k*dim
+        # result collect is bounded metadata, same as the loop's
+        # per-iteration sums collect.
+        rows = (
+            qv.select("q")
+            .repartition(1)
+            .mapInPandas(
+                _kmeans_exact_local(cents, n_centroids, n_iter, dim),
+                "j int, pos int, cval long",
+            )
+            .collect()
+        )
+        final = {(r["j"], r["pos"]): int(r["cval"]) for r in rows}
+        cents = [
+            [final[(j, p)] for p in range(dim)] for j in range(n_centroids)
+        ]
+        return [(j, [c / 1000000.0 for c in cv]) for j, cv in enumerate(cents)]
 
     # (vid, pos, val) long form, materialized once and reused by every
     # iteration's two consumers. Broadcast-join against the k·dim

@@ -184,7 +184,8 @@ def test_collect_sites_are_allowlisted():
         ("operators/quality.py", "doremi_weights"): 1,  # J-row domain weights
         ("operators/quality.py", "train_quality_lr"): 2,  # (J+2)-row per GD step
         ("operators/similarity.py", "ivf_centroids"): 1,  # n_centroids rows
-        ("operators/similarity.py", "ivf_centroids_kmeans_exact"): 2,  # k rows/round
+        # k rows/round (loop) + the r12 local path's k*dim final rows
+        ("operators/similarity.py", "ivf_centroids_kmeans_exact"): 3,
         ("operators/similarity.py", "pq_codebook"): 1,  # codebook rows
         ("operators/unigram.py", "unigram_train_from_docs"): 1,  # capped vocab
         ("queries/analytics.py", "q_shapley_attribution"): 1,  # 2^4 lattice

@@ -337,3 +337,22 @@ def test_mmr_pandas_and_joins_paths_agree(spark, sf_dir):
     }
     assert a == b
     assert len(a) > 0
+
+
+def test_kmeans_exact_local_matches_loop(spark, monkeypatch):
+    """r12: the one-task integer k-means must return bit-identical
+    centroids to the exploded broadcast-join loop (forced via a zero
+    cell cap)."""
+    import sandbox_data_pipeline_spark.operators.similarity as sim
+
+    emb = spark.createDataFrame(
+        [
+            (i, [((i * 13 + p * 7) % 100) / 100.0 for p in range(8)])
+            for i in range(40)
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    local = sim.ivf_centroids_kmeans_exact(emb, n_centroids=4, n_iter=3, dim=8)
+    monkeypatch.setattr(sim, "KMEANS_LOCAL_CELL_CAP", 0)
+    loop = sim.ivf_centroids_kmeans_exact(emb, n_centroids=4, n_iter=3, dim=8)
+    assert local == loop
