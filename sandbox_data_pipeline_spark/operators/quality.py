@@ -147,26 +147,89 @@ def _wmap(weights: list[int]):
     )
 
 
+# One task's training budget: 8M (doc_id, j, cnt, y) int64 rows is
+# ~256 MB of arrays — the same executor-task sizing discipline as
+# KMEANS_LOCAL_CELL_CAP / CC_LOCAL_EDGE_CAP.
+LR_LOCAL_ROW_CAP = 8_000_000
+
+
+def _lr_solve_local(iters: int):
+    """All T gradient steps in one task, bit-identical to the
+    distributed loop: every quantity is an int64 sum (association-free)
+    except floor(z / 4.0) and the step division, whose long→double
+    conversion + IEEE double ops are identical in numpy and the JVM.
+    Emits the final (j, w) weight rows."""
+
+    def fn(batches):
+        import numpy as np
+        import pandas as pd
+
+        ds, js, cs, ys = [], [], [], []
+        for pdf in batches:
+            if len(pdf):
+                ds.append(pdf["doc_id"].to_numpy(np.int64))
+                js.append(pdf["j"].to_numpy(np.int64))
+                cs.append(pdf["cnt"].to_numpy(np.int64))
+                ys.append(pdf["y"].to_numpy(np.int64))
+        if not ds:
+            return
+        doc = np.concatenate(ds)
+        j = np.concatenate(js)
+        cnt = np.concatenate(cs)
+        y = np.concatenate(ys)
+        _, inv = np.unique(doc, return_inverse=True)
+        n_docs = int(inv.max()) + 1
+        ydoc = np.zeros(n_docs, dtype=np.int64)
+        ydoc[inv] = y
+        ss_acc = np.zeros(Q_NFEATS, dtype=np.int64)
+        np.add.at(ss_acc, j, cnt * cnt)
+        ss = np.maximum(ss_acc, 1)
+        w = np.zeros(Q_NFEATS, dtype=np.int64)
+        for _ in range(iters):
+            z = np.zeros(n_docs, dtype=np.int64)
+            np.add.at(z, inv, w[j] * cnt)
+            s = np.minimum(
+                np.int64(Q_SCALE),
+                Q_HALF + np.floor(z.astype(np.float64) / 4.0).astype(np.int64),
+            )
+            s = np.maximum(np.int64(0), s)
+            r = s - ydoc * Q_SCALE
+            g = np.zeros(Q_NFEATS, dtype=np.int64)
+            np.add.at(g, j, r[inv] * cnt)
+            # float(g) * Q_STEP_NUM / ss — the driver update's exact
+            # double-op order (see the loop below)
+            w = w - np.floor(
+                g.astype(np.float64) * Q_STEP_NUM / ss.astype(np.float64)
+            ).astype(np.int64)
+        yield pd.DataFrame(
+            {"j": np.arange(Q_NFEATS, dtype=np.int64), "w": w}
+        )
+
+    return fn
+
+
 def train_quality_lr(
     feats: DataFrame,
     labels: DataFrame,
     iters: int = Q_ITERS,
+    local_cap: int = LR_LOCAL_ROW_CAP,
 ) -> list[int]:
     """T fixed preconditioned gradient steps; returns the integer
-    weight vector (length Q_NFEATS, scale 2^-20). Per step ONE
-    distributed job, ONE bounded collect (J+2 rows); the weight update
-    runs on the driver in exact arithmetic.
+    weight vector (length Q_NFEATS, scale 2^-20).
 
-    Round-12 shape: the joined feature/label frame is hash-partitioned
-    by doc_id ONCE and persisted (localCheckpoint would lose the
-    partitioning metadata under AQE; an InMemoryTableScan keeps it —
-    measured, not assumed). The per-doc margin z is then a WINDOW sum
-    over partitionBy(doc_id) — satisfied by the cached partitioning
-    with no Exchange and, unlike the previous agg→join-back shape, no
-    per-iteration broadcast build job — so each training round is a
-    single cache-scan stage plus the (J+2)-row gradient exchange.
-    Integer window sums are association-free, so the weights are
-    bit-identical to the join formulation (A/B-verified)."""
+    Capped local solve (r12): when the joined feature frame fits one
+    task's budget, ALL T steps run in a single mapInPandas task
+    (_lr_solve_local) — the arithmetic is integer/dyadic-exact, so the
+    weights are bit-identical to the distributed loop, enforced by a
+    both-paths test. Plan: one count + one 1-partition shuffle + one
+    task + one Q_NFEATS-row collect, replacing T cache-scan jobs and
+    T+1 bounded collects. Above the cap, the distributed loop below is
+    unchanged: per step ONE job whose per-doc margin z is a WINDOW sum
+    over partitionBy(doc_id) satisfied by the cached hash partitioning
+    (no Exchange, no broadcast build), ONE bounded (J+2)-row gradient
+    collect, and a driver weight update in exact arithmetic. Integer
+    window sums are association-free, so the weights are bit-identical
+    to the earlier agg→join-back formulation (A/B-verified)."""
     from pyspark.sql import Window
 
     base = (
@@ -176,6 +239,16 @@ def train_quality_lr(
         .persist()
     )
     try:
+        if base.count() <= local_cap:
+            rows = (
+                base.repartition(1)
+                .mapInPandas(_lr_solve_local(iters), "j long, w long")
+                .collect()
+            )  # bounded: exactly Q_NFEATS rows
+            w = [0] * Q_NFEATS
+            for row in rows:
+                w[row["j"]] = int(row["w"])
+            return w
         # exact diagonal preconditioner: per-feature second moment
         ss_rows = base.groupBy("j").agg(
             F.sum(F.col("cnt") * F.col("cnt")).alias("ss")

@@ -73,6 +73,20 @@ def test_classifier_training_is_partition_count_independent(spark):
     assert w1 == w13
 
 
+def test_classifier_local_solve_matches_distributed_loop(spark):
+    """r12 capped local solve: the one-task numpy trainer must produce
+    the BIT-IDENTICAL weight vector to the distributed window-sum loop
+    (forced via local_cap=0) — every step is integer/dyadic arithmetic,
+    so any divergence is a bug, not float noise."""
+    docs = _planted_docs(spark, n_each=25)
+    feats = hashed_token_features(docs)
+    labels = rule_labels(docs)
+    w_local = train_quality_lr(feats, labels, iters=6)
+    w_loop = train_quality_lr(feats, labels, iters=6, local_cap=0)
+    assert w_local == w_loop
+    assert any(v != 0 for v in w_local)  # training actually moved
+
+
 def test_classifier_beats_majority_on_real_corpus(spark, sf_dir):
     """On the driver's own documents table the trained scorer must do
     strictly better than the majority-class predictor — the guard

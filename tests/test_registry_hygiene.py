@@ -182,7 +182,8 @@ def test_collect_sites_are_allowlisted():
         ("operators/ids.py", "stable_global_ids_with_count"): 1,  # per-partition counts
         ("operators/linalg.py", "pca_components"): 1,  # d x d Gram fold
         ("operators/quality.py", "doremi_weights"): 1,  # J-row domain weights
-        ("operators/quality.py", "train_quality_lr"): 2,  # (J+2)-row per GD step
+        # (J+2)-row per GD step x2 + the r12 local path's J+2 final rows
+        ("operators/quality.py", "train_quality_lr"): 3,
         ("operators/similarity.py", "ivf_centroids"): 1,  # n_centroids rows
         # k rows/round (loop) + the r12 local path's k*dim final rows
         ("operators/similarity.py", "ivf_centroids_kmeans_exact"): 3,
