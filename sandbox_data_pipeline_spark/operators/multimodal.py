@@ -1476,36 +1476,92 @@ def fingerprint_frame(docs: DataFrame) -> DataFrame:
     frame -> unified fingerprint rows (kind, media_id, frame_idx, h1,
     h2): image dHash halves, per-frame video dHash halves, and the
     32-bit audio energy-trend fingerprint in h1 (h2 = 0, frame_idx = 0
-    for whole-object fingerprints). Pure map-side Arrow stages unioned
-    — zero shuffle. Shared by the full manifest build
-    (queries/multimodal.py: fingerprint_manifest) and the log-driven
-    incremental refresh (sinks/txlog.py: refresh_media_fingerprints),
-    which feeds it ONLY the files appended since the last refresh —
-    at 100 TB an ingest batch pays its own decode, never a rescan."""
+    for whole-object fingerprints).
+
+    r12 shape: one spread + ONE fused Arrow stage computing all three
+    modalities per input row, instead of three parallel
+    build→decode pipelines unioned (3 scans + 3 id shuffles + 6
+    JVM↔Python crossings, and every payload serialized through Arrow
+    between its build and decode stage). The per-row arithmetic is the
+    SAME builder/decoder/dhash functions, so the row set is identical
+    (equivalence test pins it); payloads now live only transiently
+    inside the Python worker, never in an Arrow batch. Shared by the
+    full manifest build (queries/multimodal.py: fingerprint_manifest)
+    and the log-driven incremental refresh (sinks/txlog.py:
+    refresh_media_fingerprints), which feeds it ONLY the files
+    appended since the last refresh — at 100 TB an ingest batch pays
+    its own decode, never a rescan."""
     from sandbox_data_pipeline_spark.operators.jpeg import (
-        jpeg_dhash,
-        jpeg_media,
+        build_jpeg,
+        decode_jpeg,
+        dhash_halves,
     )
     from sandbox_data_pipeline_spark.operators.video import (
-        avi_media,
-        video_frame_dhash,
+        build_avi,
+        decode_avi,
     )
 
-    img = jpeg_dhash(jpeg_media(docs)).select(
-        F.lit("image").alias("kind"),
-        "media_id",
-        F.lit(0).cast("int").alias("frame_idx"),
-        "h1",
-        "h2",
+    def _fp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in chunked_pdfs(batches):
+            kinds: list[str] = []
+            mids: list[int] = []
+            fidx: list[int] = []
+            h1s: list[int] = []
+            h2s: list[int] = []
+
+            def emit(kind: str, mid: int, f: int, h1: int, h2: int) -> None:
+                kinds.append(kind)
+                mids.append(mid)
+                fidx.append(f)
+                h1s.append(h1)
+                h2s.append(h2)
+
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                did = int(did)
+                d = decode_jpeg(build_jpeg(did))
+                h1, h2 = dhash_halves(d["pixels"], d["width"], d["height"])
+                emit("image", did, 0, h1, h2)
+                v = decode_avi(build_avi(did))
+                for f, px in enumerate(v["frames"]):
+                    h1, h2 = dhash_halves(px, v["width"], v["height"])
+                    emit("video", did, f, h1, h2)
+                if did % 3 == 1:
+                    # the WAV rows of media_with_headers: fingerprint
+                    # reads blob[16:], which is exactly the utf-8 body
+                    # (16-byte RIFF preamble) — same windows, same
+                    # integer energies, same packed trend bits as
+                    # audio_fingerprint's defaults
+                    body = np.frombuffer(
+                        str(text).encode("utf-8"), dtype=np.uint8
+                    ).astype(np.int64)
+                    energies = []
+                    for w in range(32 + 1):
+                        seg = body[w * 16 : (w + 1) * 16]
+                        energies.append(int((seg * seg).sum()))
+                    fp = 0
+                    for w in range(32):
+                        if energies[w + 1] > energies[w]:
+                            fp |= 1 << w
+                    emit("audio", did, 0, fp, 0)
+            yield pd.DataFrame(
+                {
+                    "kind": kinds,
+                    "media_id": pd.array(mids, dtype="int64"),
+                    "frame_idx": pd.array(fidx, dtype="int32"),
+                    "h1": pd.array(h1s, dtype="int64"),
+                    "h2": pd.array(h2s, dtype="int64"),
+                }
+            )
+
+    schema = StructType(
+        [
+            StructField("kind", StringType()),
+            StructField("media_id", LongType()),
+            StructField("frame_idx", IntegerType()),
+            StructField("h1", LongType()),
+            StructField("h2", LongType()),
+        ]
     )
-    vid = video_frame_dhash(avi_media(docs)).select(
-        F.lit("video").alias("kind"), "media_id", "frame_idx", "h1", "h2"
+    return spread_for_expansion(docs.select("doc_id", "text")).mapInPandas(
+        _fp, schema
     )
-    aud = audio_fingerprint(media_with_headers(docs)).select(
-        F.lit("audio").alias("kind"),
-        "media_id",
-        F.lit(0).cast("int").alias("frame_idx"),
-        F.col("fp").alias("h1"),
-        F.lit(0).cast("long").alias("h2"),
-    )
-    return img.unionByName(vid).unionByName(aud)

@@ -504,6 +504,52 @@ def test_manifest_builds_once_and_probe_plan_has_no_decode(spark, sf_dir):
     assert "kind" in plan and "image" in plan
 
 
+def test_fused_fingerprint_frame_matches_three_branch_union(spark, sf_dir):
+    """r12: fingerprint_frame runs all three modality decodes in ONE
+    fused Arrow stage. The row set must be IDENTICAL to the original
+    three-branch composition (separate build→decode pipelines per
+    modality, unioned) — same builders, decoders and dhash per row, so
+    any divergence is a bug."""
+    from sandbox_data_pipeline_spark.catalog import table
+    from sandbox_data_pipeline_spark.operators.jpeg import (
+        jpeg_dhash,
+        jpeg_media,
+    )
+    from sandbox_data_pipeline_spark.operators.multimodal import (
+        audio_fingerprint,
+        fingerprint_frame,
+        media_with_headers,
+    )
+    from sandbox_data_pipeline_spark.operators.video import (
+        avi_media,
+        video_frame_dhash,
+    )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    fused = fingerprint_frame(docs)
+    img = jpeg_dhash(jpeg_media(docs)).select(
+        F.lit("image").alias("kind"),
+        "media_id",
+        F.lit(0).cast("int").alias("frame_idx"),
+        "h1",
+        "h2",
+    )
+    vid = video_frame_dhash(avi_media(docs)).select(
+        F.lit("video").alias("kind"), "media_id", "frame_idx", "h1", "h2"
+    )
+    aud = audio_fingerprint(media_with_headers(docs)).select(
+        F.lit("audio").alias("kind"),
+        "media_id",
+        F.lit(0).cast("int").alias("frame_idx"),
+        F.col("fp").alias("h1"),
+        F.lit(0).cast("long").alias("h2"),
+    )
+    ref = img.unionByName(vid).unionByName(aud)
+    a = sorted(map(tuple, fused.collect()))
+    b = sorted(map(tuple, ref.collect()))
+    assert a == b
+
+
 def test_manifest_covers_all_modalities(spark, sf_dir):
     from sandbox_data_pipeline_spark.queries.multimodal import QUERIES
 
