@@ -3969,23 +3969,22 @@ def q_coverage_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     unrolled greedy rounds. Docs whose tokens are fully covered cannot
     be re-picked (they leave the gain frame); ties break on min
     doc_id."""
+    from sandbox_data_pipeline_spark.operators.dedup import word_shingles
+
     d = table(spark, sf_dir, "documents")
-    toks = F.filter(F.split(F.col("text"), " "), lambda t: t != F.lit(""))
     # coverage universe = word BIGRAMS: the synthetic corpus has a
     # ~31-word vocabulary, so unigram coverage saturates in one pick;
     # bigram types (~|V|^2 realized) keep the greedy non-degenerate,
     # and bigram coverage is the better curation signal anyway.
-    bigrams = F.when(
-        F.size(toks) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 1),
-            lambda i: F.concat_ws(
-                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    # r12: built via word_shingles(n=2) — the indexed _toks[i+j] form
+    # tokenizes each text ONCE; the previous element_at(toks, i)
+    # lambdas re-evaluated the split per element, O(len²) per doc
+    # (measured 5.1 s → 1.8 s for the build at sf0.1; identical row
+    # set, exceptAll-verified both directions).
     tok = (
-        d.select("doc_id", F.explode(bigrams).alias("t")).distinct().persist()
+        word_shingles(d, n=2)
+        .select("doc_id", F.col("shingle").alias("t"))
+        .persist()
     )
     if tok.count() <= COVERAGE_LOCAL_ROW_CAP:
         # capped local solve (r12): the whole greedy in ONE task —
