@@ -3554,11 +3554,15 @@ def q_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
     y = (
         F.size(F.filter(toks_arr, lambda t: t == F.lit("join"))) >= 2
     ).cast("int")
+    # r12: materialize the token array + label in a projection and
+    # posexplode the COLUMN — generating straight off the
+    # filter(split(...)) expression with a sibling expression over the
+    # same array re-evaluated the tokenization per emitted row
+    # (measured 2.2 s → 0.35 s for the explode stage at sf0.1; the
+    # rows are identical by construction).
     toks = d.select(
-        "doc_id",
-        y.alias("y"),
-        F.posexplode(toks_arr).alias("p", "t"),
-    )
+        "doc_id", y.alias("y"), toks_arr.alias("_a")
+    ).select("doc_id", "y", F.posexplode("_a").alias("p", "t"))
     cls = toks.groupBy("t").agg(
         F.sum("y").alias("ct1"),
         F.sum(F.lit(1) - F.col("y")).alias("ct0"),
