@@ -1630,18 +1630,25 @@ def q_lof_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sandbox_data_pipeline_spark.queries._envproof import dec_ratio
 
     emb = table(spark, sf_dir, "embeddings")
-    edges = knn_join(
-        emb, emb, dim=DIM, planes=PLANES, k=TOPK, multiprobe=1
-    ).select(
-        F.col("query_id").alias("p"),
-        F.col("cand_id").alias("o"),
-        # integerize from the 6-decimal RANKING score (cos6), not the
-        # 4-decimal display score: re-rounding cos6 to 4 lands on
-        # exact decimal ties where Spark (HALF_UP) and DuckDB
-        # (half-even) split — observed as ±1e-4 distance flips
-        (F.lit(1000000) - F.floor(F.col("cos6") * 1000000 + F.lit(0.5)))
-        .cast("long")
-        .alias("d"),
+    edges = (
+        knn_join(emb, emb, dim=DIM, planes=PLANES, k=TOPK, multiprobe=1)
+        .select(
+            F.col("query_id").alias("p"),
+            F.col("cand_id").alias("o"),
+            # integerize from the 6-decimal RANKING score (cos6), not
+            # the 4-decimal display score: re-rounding cos6 to 4 lands
+            # on exact decimal ties where Spark (HALF_UP) and DuckDB
+            # (half-even) split — observed as ±1e-4 distance flips
+            (F.lit(1000000) - F.floor(F.col("cos6") * 1000000 + F.lit(0.5)))
+            .cast("long")
+            .alias("d"),
+        )
+        # eager checkpoint (r12): the kNN graph feeds kd, reach AND
+        # terms — exchange reuse does not cover all three references,
+        # so the bucketed join pipeline executed repeatedly (measured
+        # interleaved min-of-3: 3.2–3.8 s → 2.6–2.9 s). k·N-bounded
+        # rows, released with the lineage.
+        .localCheckpoint(eager=True)
     )
     kd = edges.groupBy("p").agg(
         F.max("d").alias("kdist"), F.count(F.lit(1)).alias("n_nb")
