@@ -342,6 +342,182 @@ def _adjacent_lcp_pairs(
     )
 
 
+# One task's span-solve budget: 8M suffix positions is an 8M x max_len
+# uint8 window matrix (~1 GB at max_len=128) sorted once — the same
+# capped local-solve discipline as CC_LOCAL_EDGE_CAP; above it the
+# distributed construction below is unchanged.
+SPAN_LOCAL_POS_CAP = 8_000_000
+
+
+def _span_local_stats(docs: DataFrame, text_col: str, max_len: int):
+    """(total truncated positions, corpus-is-pure-printable-ASCII) in
+    ONE bounded aggregate — the local-path gate. NUL is excluded along
+    with non-ASCII: the solver's zero-padded fixed-width byte sort
+    needs \\x00 to be a reserved pad byte."""
+    row = docs.agg(
+        F.sum(F.least(F.length(text_col), F.lit(max_len))).alias("n"),
+        F.max(
+            F.when(F.col(text_col).rlike("[^\\x01-\\x7F]"), 1).otherwise(0)
+        ).alias("nonascii"),
+    ).collect()[0]
+    return int(row["n"] or 0), row["nonascii"] == 0
+
+
+def _merge_ivals_py(ivals: list) -> list:
+    """merge_intervals' gaps-and-islands on a python list of
+    (doc_id, s, e): identical semantics — ordered by (s, e) per doc, a
+    new island starts where s exceeds the running max end."""
+    out = []
+    for doc, s, e in sorted(ivals):
+        if out and out[-1][0] == doc and s <= out[-1][2]:
+            if e > out[-1][2]:
+                out[-1][2] = e
+        else:
+            out.append([doc, s, e])
+    return out
+
+
+def _spans_local_solver(min_len: int, max_len: int, canonical: bool):
+    """duplicate_spans / canonical_duplicate_spans in ONE task,
+    bit-identical to the distributed construction (ASCII-gated):
+
+    * suffix order: zero-padded fixed-width byte rows sorted via
+      np.lexsort on (pos, doc, window bytes) — for NUL-free ASCII the
+      byte order IS the string order, a shorter suffix's pad bytes
+      sort before every extension, and (doc, pos) is the same total
+      tie-break the distributed sort declares;
+    * adjacent lcp: first mismatching byte column, clamped to both
+      suffix lengths (pad-vs-pad columns compare equal past the ends);
+    * runs / pairwise marking / interval merge: the exact
+      canonical_duplicate_spans and merge_intervals rules on python
+      ints. Equivalence is enforced by a both-paths test."""
+
+    def fn(batches):
+        import numpy as np
+        import pandas as pd
+
+        ids, txts = [], []
+        for pdf in batches:
+            if len(pdf):
+                ids.append(pdf["doc_id"].to_numpy(np.int64))
+                txts.append(pdf["_t"].to_numpy())
+        if not ids:
+            return
+        dids = np.concatenate(ids)
+        texts = np.concatenate(txts)
+        enc = [
+            (t if isinstance(t, str) else "").encode("ascii")
+            for t in texts
+        ]
+        lens = np.array([len(b) for b in enc], dtype=np.int64)
+        n_pos = int(lens.sum())
+        if n_pos == 0:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.array([], dtype="int64"),
+                    "span_start": pd.array([], dtype="int32"),
+                    "span_end": pd.array([], dtype="int32"),
+                    "span_len": pd.array([], dtype="int32"),
+                }
+            )
+            return
+        pad = b"\x00" * max_len
+        buf = np.frombuffer(b"".join(b + pad for b in enc), dtype=np.uint8)
+        starts = np.concatenate(
+            [[0], np.cumsum(lens[:-1] + max_len)]
+        ).astype(np.int64)
+        doc_arr = np.repeat(np.arange(len(enc), dtype=np.int64), lens)
+        pos_arr = np.concatenate(
+            [np.arange(n, dtype=np.int64) for n in lens]
+        )
+        idx = np.repeat(starts, lens) + pos_arr
+        M = np.lib.stride_tricks.sliding_window_view(buf, max_len)[idx]
+        key = np.ascontiguousarray(M).view(f"S{max_len}").ravel()
+        order = np.lexsort((pos_arr, dids[doc_arr], key))
+        A = M[order]
+        sdoc = dids[doc_arr][order]
+        spos = pos_arr[order]
+        slen = (lens[doc_arr] - pos_arr)[order]
+        neq = A[1:] != A[:-1]
+        has = neq.any(axis=1)
+        lcp = np.where(has, neq.argmax(axis=1), max_len)
+        lcp = np.minimum(lcp, np.minimum(slen[:-1], slen[1:]))
+        q = np.nonzero(lcp >= min_len)[0]  # pair i = ranks (i, i+1)
+        ivals: list = []
+        if canonical:
+            k = 0
+            while k < len(q):
+                j = k
+                while j + 1 < len(q) and q[j + 1] == q[j] + 1:
+                    j += 1
+                ranks = q[k : j + 1]
+                run_lcp = int(lcp[ranks].min())
+                members = set()
+                for r in ranks:
+                    members.add((int(sdoc[r]), int(spos[r])))
+                    members.add((int(sdoc[r + 1]), int(spos[r + 1])))
+                m_doc, m_pos = min(members)
+                for r in ranks:
+                    a = (int(sdoc[r]), int(spos[r]))
+                    b = (int(sdoc[r + 1]), int(spos[r + 1]))
+                    late = b if b > a else a
+                    ivals.append(
+                        (late[0], late[1], late[1] + int(lcp[r]))
+                    )
+                for doc, pos in members:
+                    if (doc, pos) != (m_doc, m_pos):
+                        ivals.append((doc, pos, pos + run_lcp))
+                k = j + 1
+        else:
+            for r in q:
+                ivals.append(
+                    (int(sdoc[r]), int(spos[r]), int(spos[r]) + int(lcp[r]))
+                )
+                ivals.append(
+                    (
+                        int(sdoc[r + 1]),
+                        int(spos[r + 1]),
+                        int(spos[r + 1]) + int(lcp[r]),
+                    )
+                )
+        merged = _merge_ivals_py(sorted(set(ivals)))
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.array([m[0] for m in merged], dtype="int64"),
+                "span_start": pd.array(
+                    [m[1] for m in merged], dtype="int32"
+                ),
+                "span_end": pd.array([m[2] for m in merged], dtype="int32"),
+                "span_len": pd.array(
+                    [m[2] - m[1] for m in merged], dtype="int32"
+                ),
+            }
+        )
+
+    return fn
+
+
+def _spans_local(
+    docs: DataFrame,
+    min_len: int,
+    max_len: int,
+    canonical: bool,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.substring(F.col(text_col), 1, max_len).alias("_t"),
+        )
+        .repartition(1)
+        .mapInPandas(
+            _spans_local_solver(min_len, max_len, canonical),
+            "doc_id long, span_start int, span_end int, span_len int",
+        )
+    )
+
+
 def merge_intervals(ivals: DataFrame) -> DataFrame:
     """Merge (doc_id, s, e) intervals into maximal disjoint spans
     (doc_id, span_start, span_end, span_len) — the gaps-and-islands
@@ -395,7 +571,20 @@ def duplicate_spans(
     Rank-adjacent suffix pairs with lcp >= min_len mark BOTH sides'
     intervals [pos, pos+lcp); a run of k equal-prefix suffixes chains
     through adjacency, so every occurrence is marked. Interval merge:
-    merge_intervals above."""
+    merge_intervals above.
+
+    Capped local solve (r12): when the truncated position count fits
+    one task's budget and the corpus is NUL-free ASCII, the whole
+    pipeline (suffix sort, lcp, interval merge) runs in ONE mapInPandas
+    task — bit-identical by construction (_spans_local_solver), 1 agg
+    + 1 shuffle + 1 task instead of ~10 small-frame exchanges. Above
+    the cap (or any non-ASCII byte) the distributed construction below
+    is unchanged."""
+    n_pos, ascii_ok = _span_local_stats(docs, text_col, max_len)
+    if ascii_ok and n_pos <= SPAN_LOCAL_POS_CAP:
+        return _spans_local(
+            docs, min_len, max_len, False, text_col, id_col
+        )
     pairs = _adjacent_lcp_pairs(docs, min_len, text_col, id_col, max_len)
     ivals = (
         pairs.select(
@@ -441,9 +630,16 @@ def canonical_duplicate_spans(
     its later element (same as duplicate_spans), plus the run lcp for
     every other non-minimum member — so the survivor keeps the
     run-shared prefix intact, and every marked span is a real
-    duplicate of its rank-neighbor at marking time."""
+    duplicate of its rank-neighbor at marking time.
+
+    Capped local solve (r12): same gate and solver as duplicate_spans
+    (canonical=True replays the run grouping exactly); the distributed
+    construction below is the above-cap / non-ASCII path."""
     from sandbox_data_pipeline_spark.operators.ids import global_cumsum
 
+    n_pos, ascii_ok = _span_local_stats(docs, text_col, max_len)
+    if ascii_ok and n_pos <= SPAN_LOCAL_POS_CAP:
+        return _spans_local(docs, min_len, max_len, True, text_col, id_col)
     pairs = _adjacent_lcp_pairs(docs, min_len, text_col, id_col, max_len)
     prev = pairs.select(
         (F.col("sa_rank") + 1).alias("sa_rank"), F.lit(1).alias("_hp")

@@ -188,6 +188,8 @@ def test_collect_sites_are_allowlisted():
         # k rows/round (loop) + the r12 local path's k*dim final rows
         ("operators/similarity.py", "ivf_centroids_kmeans_exact"): 3,
         ("operators/similarity.py", "pq_codebook"): 1,  # codebook rows
+        # 1-row gate: (position count, ascii flag) for the local path
+        ("operators/suffix.py", "_span_local_stats"): 1,
         ("operators/unigram.py", "unigram_train_from_docs"): 1,  # capped vocab
         ("queries/analytics.py", "q_shapley_attribution"): 1,  # 2^4 lattice
         ("queries/analytics.py", "q_sinkhorn_ot"): 1,  # bin histogram

@@ -279,3 +279,48 @@ def test_keep_first_survives_rank_permuted_runs(spark):
     }
     assert sum(t.count(block) for t in cleaned.values()) == 1
     assert block in cleaned[0]  # the (doc_id, pos) minimum survives
+
+
+def test_span_local_solve_matches_distributed(spark, sf_dir, monkeypatch):
+    """r12 capped local solve: the one-task span solver must produce
+    the IDENTICAL span set to the distributed SA construction (forced
+    via SPAN_LOCAL_POS_CAP=0), for both the plain and the keep-first
+    (run-grouped) variants, on the real corpus AND on the
+    rank-permuting fixture."""
+    import sandbox_data_pipeline_spark.operators.suffix as SX
+    from sandbox_data_pipeline_spark.catalog import table
+
+    corpus = (
+        table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 5 == 0)
+        .select("doc_id", "text")
+    )
+    block = "the shared repeated block"
+    fixture = _docs(spark, [block + " zz", block + " aa", block + " mm"])
+    for docs in (corpus, fixture):
+        for fn in (SX.duplicate_spans, SX.canonical_duplicate_spans):
+            local = sorted(
+                map(tuple, fn(docs, min_len=20, max_len=128).collect())
+            )
+            monkeypatch.setattr(SX, "SPAN_LOCAL_POS_CAP", 0)
+            dist = sorted(
+                map(tuple, fn(docs, min_len=20, max_len=128).collect())
+            )
+            monkeypatch.undo()
+            assert local == dist
+            assert local  # non-degenerate: real spans exist
+
+
+def test_span_local_gate_rejects_non_ascii_and_nul(spark):
+    """The local path's byte sort needs NUL-free ASCII; any other
+    corpus must fall through to the distributed construction (the
+    stats probe flags it). Both paths must still agree on such input
+    via the distributed result."""
+    import sandbox_data_pipeline_spark.operators.suffix as SX
+
+    docs = _docs(spark, ["plain ascii text here that repeats " * 2, "café " * 10])
+    n, ascii_ok = SX._span_local_stats(docs, "text", 128)
+    assert n > 0 and not ascii_ok
+    nul = _docs(spark, ["with\x00nul byte"])
+    _, ok2 = SX._span_local_stats(nul, "text", 128)
+    assert not ok2
