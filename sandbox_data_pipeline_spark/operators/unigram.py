@@ -285,16 +285,34 @@ def unigram_encode(
     return docs.select(id_col, text_col).mapInPandas(run, schema)
 
 
+# One batch's dense-codepoint budget: the fast path pads every text of
+# the batch to the batch max length (n x L uint32 matrix + one float64
+# arm-cost matrix per piece length), so a batch mixing 100-char and
+# 1M-char rows would waste padded cells. 16M cells keeps the matrices
+# under ~0.5 GB; above it the original pandas-slice path runs unchanged
+# (identical arithmetic — both are pinned to viterbi_py in tests).
+VITERBI_DENSE_CELL_CAP = 16_000_000
+
+
 def viterbi_batch(texts, costs: dict[str, float], max_piece: int = 3):
     """Vectorized batch Viterbi: the DP runs position-by-position but
-    VECTORIZED ACROSS the documents of an Arrow batch (numpy ring
-    buffers + pandas C-level substring/map per arm) — the batch-decoder
-    shape production tokenizers use. Returns (cost ndarray, n_pieces
-    ndarray) aligned with ``texts``. Work is O(max_len · max_piece)
-    vectorized steps per batch instead of O(Σ len · max_piece)
-    interpreted steps per row; same (cost, fewer-pieces) tie-break,
-    arm order, and UNK/prune rules as viterbi_py/viterbi_cost (pinned
-    equal in tests)."""
+    VECTORIZED ACROSS the documents of an Arrow batch — the
+    batch-decoder shape production tokenizers use. Returns (cost
+    ndarray, n_pieces ndarray) aligned with ``texts``.
+
+    r12 fast path: the per-position pandas ``str.slice`` + python-dict
+    ``map`` (an object allocation per row per position per arm — the
+    measured residual of q_unigram_segment_cost) is replaced by a
+    padded codepoint MATRIX and one vectorized lookup per arm length:
+    pieces pack into int64 keys (21 bits/codepoint, collision-free for
+    any unicode), found via searchsorted against the sorted vocab
+    codes. Pad codepoint 0 never matches a key, so rows shorter than
+    the batch max take the same UNK/INF defaults the slice path takes
+    on short/empty slices. The COST VALUES, addition order, and
+    (cost, fewer-pieces) tie-break are untouched — outputs are
+    bit-identical to the pandas path and to viterbi_py (pinned in
+    tests). Batches whose padded matrix exceeds
+    VITERBI_DENSE_CELL_CAP fall back to the pandas path."""
     import numpy as np
     import pandas as pd
 
@@ -302,12 +320,88 @@ def viterbi_batch(texts, costs: dict[str, float], max_piece: int = 3):
     n = len(s)
     lens = s.str.len().to_numpy(dtype=np.int64)
     L = int(lens.max()) if n else 0
+    out_c = np.zeros(n)
+    out_n = np.zeros(n, dtype=np.int64)
+    if n == 0 or L == 0:
+        return out_c, out_n
+    if n * L > VITERBI_DENSE_CELL_CAP:
+        return _viterbi_batch_pandas(s, lens, L, costs, max_piece)
+    # n x L codepoint matrix, zero-padded past each row's end
+    mat = (
+        np.asarray(s.to_numpy(), dtype=f"U{L}")
+        .view(np.uint32)
+        .reshape(n, L)
+        .astype(np.int64)
+    )
+    # per-arm-length sorted (packed code, cost) lookup tables
+    by_len: dict[int, list[tuple[int, float]]] = {}
+    for p, c in costs.items():
+        code = 0
+        for ch in p:
+            code = (code << 21) | ord(ch)
+        by_len.setdefault(len(p), []).append((code, float(c)))
+    # arm-cost matrix per piece length j: cost of text[i-j:i] at column
+    # i-j, misses -> the slice path's defaults (UNK for j=1, INF else)
+    arm_cost: dict[int, np.ndarray] = {}
+    for j in range(1, max_piece + 1):
+        if L - j + 1 <= 0:
+            continue
+        codes = mat[:, : L - j + 1].copy()
+        for k in range(1, j):
+            codes = (codes << 21) | mat[:, k : L - j + 1 + k]
+        default = UNK_COST if j == 1 else INF
+        items = sorted(by_len.get(j, []))
+        if items:
+            keys = np.array([k for k, _ in items], dtype=np.int64)
+            vals = np.array([v for _, v in items])
+            idx = np.searchsorted(keys, codes)
+            idx_c = np.minimum(idx, len(keys) - 1)
+            hit = keys[idx_c] == codes
+            cost_mat = np.where(hit, vals[idx_c], default)
+        else:
+            cost_mat = np.full(codes.shape, default)
+        # transposed (position-major): the DP loop reads one POSITION
+        # column per arm per step — row-major storage would stride that
+        # read across the whole matrix (measured 2.4 s -> 0.9 s)
+        arm_cost[j] = np.ascontiguousarray(cost_mat.T)
+    # ring[j-1] = best (c, n) for prefix i-j, updated as i advances
+    ring_c = [np.full(n, INF) for _ in range(max_piece)]
+    ring_n = [np.zeros(n, dtype=np.int64) for _ in range(max_piece)]
+    ring_c[0] = np.zeros(n)  # best[0] = (0, 0)
+    for i in range(1, L + 1):
+        best_c = np.full(n, INF)
+        best_n = np.zeros(n, dtype=np.int64)
+        for j in range(1, min(max_piece, i) + 1):
+            cand_c = ring_c[j - 1] + arm_cost[j][i - j]
+            cand_n = ring_n[j - 1] + 1
+            take = (cand_c < best_c) | ((cand_c == best_c) & (cand_n < best_n))
+            best_c = np.where(take, cand_c, best_c)
+            best_n = np.where(take, cand_n, best_n)
+        # rotate the ring: prefix i becomes ring[0] (i.e. i-j for j=1)
+        for j in range(max_piece - 1, 0, -1):
+            ring_c[j] = ring_c[j - 1]
+            ring_n[j] = ring_n[j - 1]
+        ring_c[0] = best_c
+        ring_n[0] = best_n
+        done = lens == i
+        if done.any():
+            out_c[done] = best_c[done]
+            out_n[done] = best_n[done]
+    return out_c, out_n
+
+
+def _viterbi_batch_pandas(s, lens, L, costs: dict[str, float], max_piece: int):
+    """The pre-r12 pandas-slice batch DP — kept as the above-cap
+    fallback (no padded matrix; memory tracks the strings themselves).
+    Arithmetic is identical to the dense path by construction."""
+    import numpy as np
+
+    n = len(s)
     by_len: dict[int, dict[str, float]] = {}
     for p, c in costs.items():
         by_len.setdefault(len(p), {})[p] = float(c)
     out_c = np.zeros(n)
     out_n = np.zeros(n, dtype=np.int64)
-    # ring[j-1] = best (c, n) for prefix i-j, updated as i advances
     ring_c = [np.full(n, INF) for _ in range(max_piece)]
     ring_n = [np.zeros(n, dtype=np.int64) for _ in range(max_piece)]
     ring_c[0] = np.zeros(n)  # best[0] = (0, 0)
@@ -328,7 +422,6 @@ def viterbi_batch(texts, costs: dict[str, float], max_piece: int = 3):
             take = (cand_c < best_c) | ((cand_c == best_c) & (cand_n < best_n))
             best_c = np.where(take, cand_c, best_c)
             best_n = np.where(take, cand_n, best_n)
-        # rotate the ring: prefix i becomes ring[0] (i.e. i-j for j=1)
         for j in range(max_piece - 1, 0, -1):
             ring_c[j] = ring_c[j - 1]
             ring_n[j] = ring_n[j - 1]

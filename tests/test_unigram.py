@@ -132,6 +132,38 @@ def test_batch_viterbi_matches_python_and_jvm(spark):
         assert (c[i], n[i]) == (rc, len(pieces)), t
 
 
+def test_batch_viterbi_dense_equals_pandas_fallback():
+    """r12: the dense codepoint-matrix fast path and the pandas-slice
+    fallback (above VITERBI_DENSE_CELL_CAP) must be bit-identical —
+    same cost floats, same piece counts — on mixed ascii / non-ascii /
+    empty / unknown-char inputs, and both must match viterbi_py."""
+    import random
+
+    import numpy as np
+
+    import sandbox_data_pipeline_spark.operators.unigram as U
+
+    rng = random.Random(31)
+    alpha = "abcdefghijklmnopqrstuvwxyz0123456789 XYä€\U0001d11e"
+    texts = ["", "abc ab bc", "älpha"]
+    texts += [
+        "".join(rng.choice(alpha) for _ in range(rng.randint(0, 70)))
+        for _ in range(120)
+    ]
+    dense_c, dense_n = U.viterbi_batch(texts, COSTS)
+    cap = U.VITERBI_DENSE_CELL_CAP
+    U.VITERBI_DENSE_CELL_CAP = 0  # force the pandas fallback
+    try:
+        fb_c, fb_n = U.viterbi_batch(texts, COSTS)
+    finally:
+        U.VITERBI_DENSE_CELL_CAP = cap
+    assert (dense_c == fb_c).all() and (dense_n == fb_n).all()
+    for i, t in enumerate(texts):
+        rc, pieces = viterbi_py(t, COSTS)
+        assert (dense_c[i], dense_n[i]) == (rc, len(pieces)), t
+    assert np.asarray(dense_c).dtype == np.float64
+
+
 def test_viterbi_cost_df_matches_reference(spark):
     from sandbox_data_pipeline_spark.operators.unigram import viterbi_cost_df
 
