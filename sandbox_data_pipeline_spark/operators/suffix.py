@@ -270,7 +270,31 @@ def repeated_substrings(
     Scale: the SA build is the dominant cost (log L rounds, see
     module docstring); the LCP pass is ONE self-join on sa_rank+1 —
     a hash join on a unique key, never a window over the whole array —
-    and the top-k is a TakeOrdered heap, no global sort."""
+    and the top-k is a TakeOrdered heap, no global sort.
+
+    Capped local solve (r12): same gate as duplicate_spans — when the
+    truncated position count fits SPAN_LOCAL_POS_CAP and the corpus is
+    NUL-free ASCII, ONE mapInPandas task runs the suffix sort +
+    adjacent-lcp + top-k (_sa_lcp_arrays, the byte-window sort shared
+    with the span solvers, bit-identical rank order), emitting at most
+    ``top_k`` rows; the trailing orderBy/limit then runs on <= top_k
+    rows. Above the cap / non-ASCII, the construction below is
+    unchanged."""
+    n_pos, ascii_ok = _span_local_stats(docs, text_col, max_len)
+    if ascii_ok and n_pos <= SPAN_LOCAL_POS_CAP:
+        local = (
+            docs.select(
+                F.col(id_col).alias("doc_id"),
+                F.substring(F.col(text_col), 1, max_len).alias("_t"),
+            )
+            .repartition(1)
+            .mapInPandas(
+                _repeats_local_solver(min_lcp, top_k, max_len),
+                "sa_rank long, doc_id long, pos int, "
+                "next_doc long, next_pos int, lcp int",
+            )
+        )
+        return local.orderBy(F.col("lcp").desc(), "sa_rank").limit(top_k)
     sa = suffix_array(docs, text_col, id_col, max_len)
     trunc = docs.select(
         F.col(id_col).alias("doc_id"),
@@ -377,6 +401,110 @@ def _merge_ivals_py(ivals: list) -> list:
     return out
 
 
+def _sa_lcp_arrays(batches, max_len: int):
+    """The shared numpy core of every capped local suffix solve: read
+    (doc_id, _t) batches, sort all truncated suffixes via the
+    zero-padded fixed-width byte window (byte order == string order
+    for NUL-free ASCII; pads sort shorter suffixes first; (doc, pos)
+    total tie-break — identical to the distributed sort's declared
+    order), and compute the adjacent-lcp vector clamped to both
+    suffix lengths. Returns None when the input held no rows at all,
+    (None, None, None) when it held rows but zero positions, else
+    (sdoc, spos, lcp) in rank order — rank i is 1-based i+1, pair i
+    spans ranks (i, i+1)."""
+    import numpy as np
+
+    ids, txts = [], []
+    for pdf in batches:
+        if len(pdf):
+            ids.append(pdf["doc_id"].to_numpy(np.int64))
+            txts.append(pdf["_t"].to_numpy())
+    if not ids:
+        return None
+    dids = np.concatenate(ids)
+    texts = np.concatenate(txts)
+    enc = [
+        (t if isinstance(t, str) else "").encode("ascii")
+        for t in texts
+    ]
+    lens = np.array([len(b) for b in enc], dtype=np.int64)
+    n_pos = int(lens.sum())
+    if n_pos == 0:
+        return (None, None, None)
+    pad = b"\x00" * max_len
+    buf = np.frombuffer(b"".join(b + pad for b in enc), dtype=np.uint8)
+    starts = np.concatenate(
+        [[0], np.cumsum(lens[:-1] + max_len)]
+    ).astype(np.int64)
+    doc_arr = np.repeat(np.arange(len(enc), dtype=np.int64), lens)
+    pos_arr = np.concatenate(
+        [np.arange(n, dtype=np.int64) for n in lens]
+    )
+    idx = np.repeat(starts, lens) + pos_arr
+    M = np.lib.stride_tricks.sliding_window_view(buf, max_len)[idx]
+    key = np.ascontiguousarray(M).view(f"S{max_len}").ravel()
+    order = np.lexsort((pos_arr, dids[doc_arr], key))
+    A = M[order]
+    sdoc = dids[doc_arr][order]
+    spos = pos_arr[order]
+    slen = (lens[doc_arr] - pos_arr)[order]
+    neq = A[1:] != A[:-1]
+    has = neq.any(axis=1)
+    lcp = np.where(has, neq.argmax(axis=1), max_len)
+    lcp = np.minimum(lcp, np.minimum(slen[:-1], slen[1:]))
+    return sdoc, spos, lcp
+
+
+def _repeats_local_solver(min_lcp: int, top_k: int, max_len: int):
+    """repeated_substrings in ONE task: rank-adjacent pairs with
+    lcp >= min_lcp from the shared byte-window suffix sort, top-k by
+    (lcp desc, sa_rank asc) selected with np.lexsort — the same total
+    order as the distributed orderBy (sa_rank is unique). Emits at
+    most top_k rows; the caller's orderBy/limit re-asserts the final
+    frame order cheaply."""
+
+    def fn(batches):
+        import numpy as np
+        import pandas as pd
+
+        def empty():
+            return pd.DataFrame(
+                {
+                    "sa_rank": pd.array([], dtype="int64"),
+                    "doc_id": pd.array([], dtype="int64"),
+                    "pos": pd.array([], dtype="int32"),
+                    "next_doc": pd.array([], dtype="int64"),
+                    "next_pos": pd.array([], dtype="int32"),
+                    "lcp": pd.array([], dtype="int32"),
+                }
+            )
+
+        res = _sa_lcp_arrays(batches, max_len)
+        if res is None:
+            return
+        sdoc, spos, lcp = res
+        if sdoc is None:
+            yield empty()
+            return
+        q = np.nonzero(lcp >= min_lcp)[0]  # pair i = ranks (i, i+1)
+        if len(q) == 0:
+            yield empty()
+            return
+        sel = q[np.lexsort((q, -lcp[q]))[:top_k]]
+        yield pd.DataFrame(
+            {
+                "sa_rank": (sel + 1).astype("int64"),
+                "doc_id": sdoc[sel].astype("int64"),
+                "pos": spos[sel].astype("int32"),
+                "next_doc": sdoc[sel + 1].astype("int64"),
+                "next_pos": spos[sel + 1].astype("int32"),
+                "lcp": lcp[sel].astype("int32"),
+            }
+        )
+
+    return fn
+
+
 def _spans_local_solver(min_len: int, max_len: int, canonical: bool):
     """duplicate_spans / canonical_duplicate_spans in ONE task,
     bit-identical to the distributed construction (ASCII-gated):
@@ -396,22 +524,11 @@ def _spans_local_solver(min_len: int, max_len: int, canonical: bool):
         import numpy as np
         import pandas as pd
 
-        ids, txts = [], []
-        for pdf in batches:
-            if len(pdf):
-                ids.append(pdf["doc_id"].to_numpy(np.int64))
-                txts.append(pdf["_t"].to_numpy())
-        if not ids:
+        res = _sa_lcp_arrays(batches, max_len)
+        if res is None:
             return
-        dids = np.concatenate(ids)
-        texts = np.concatenate(txts)
-        enc = [
-            (t if isinstance(t, str) else "").encode("ascii")
-            for t in texts
-        ]
-        lens = np.array([len(b) for b in enc], dtype=np.int64)
-        n_pos = int(lens.sum())
-        if n_pos == 0:
+        sdoc, spos, lcp = res
+        if sdoc is None:
             yield pd.DataFrame(
                 {
                     "doc_id": pd.array([], dtype="int64"),
@@ -421,27 +538,6 @@ def _spans_local_solver(min_len: int, max_len: int, canonical: bool):
                 }
             )
             return
-        pad = b"\x00" * max_len
-        buf = np.frombuffer(b"".join(b + pad for b in enc), dtype=np.uint8)
-        starts = np.concatenate(
-            [[0], np.cumsum(lens[:-1] + max_len)]
-        ).astype(np.int64)
-        doc_arr = np.repeat(np.arange(len(enc), dtype=np.int64), lens)
-        pos_arr = np.concatenate(
-            [np.arange(n, dtype=np.int64) for n in lens]
-        )
-        idx = np.repeat(starts, lens) + pos_arr
-        M = np.lib.stride_tricks.sliding_window_view(buf, max_len)[idx]
-        key = np.ascontiguousarray(M).view(f"S{max_len}").ravel()
-        order = np.lexsort((pos_arr, dids[doc_arr], key))
-        A = M[order]
-        sdoc = dids[doc_arr][order]
-        spos = pos_arr[order]
-        slen = (lens[doc_arr] - pos_arr)[order]
-        neq = A[1:] != A[:-1]
-        has = neq.any(axis=1)
-        lcp = np.where(has, neq.argmax(axis=1), max_len)
-        lcp = np.minimum(lcp, np.minimum(slen[:-1], slen[1:]))
         q = np.nonzero(lcp >= min_len)[0]  # pair i = ranks (i, i+1)
         ivals: list = []
         if canonical:

@@ -311,6 +311,41 @@ def test_span_local_solve_matches_distributed(spark, sf_dir, monkeypatch):
             assert local  # non-degenerate: real spans exist
 
 
+def test_repeats_local_solve_matches_distributed(spark, sf_dir, monkeypatch):
+    """r12 capped local solve for repeated_substrings: the one-task
+    top-k solver must equal the distributed SA construction (forced
+    via SPAN_LOCAL_POS_CAP=0) ROW FOR ROW IN ORDER — (lcp desc,
+    sa_rank) is the query's declared output order — on the real
+    corpus subset and a known-repeat fixture."""
+    import sandbox_data_pipeline_spark.operators.suffix as SX
+    from sandbox_data_pipeline_spark.catalog import table
+
+    corpus = (
+        table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 5 == 0)
+        .select("doc_id", "text")
+    )
+    block = "the shared repeated block that is long"
+    fixture = _docs(spark, [block + " zz", block + " aa", block + " mm"])
+    for docs in (corpus, fixture):
+        local = [
+            tuple(r)
+            for r in SX.repeated_substrings(
+                docs, min_lcp=20, top_k=50, max_len=128
+            ).collect()
+        ]
+        monkeypatch.setattr(SX, "SPAN_LOCAL_POS_CAP", 0)
+        dist = [
+            tuple(r)
+            for r in SX.repeated_substrings(
+                docs, min_lcp=20, top_k=50, max_len=128
+            ).collect()
+        ]
+        monkeypatch.undo()
+        assert local == dist
+        assert local  # non-degenerate: real repeats exist
+
+
 def test_span_local_gate_rejects_non_ascii_and_nul(spark):
     """The local path's byte sort needs NUL-free ASCII; any other
     corpus must fall through to the distributed construction (the
