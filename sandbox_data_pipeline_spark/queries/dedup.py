@@ -1918,10 +1918,20 @@ def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     graph — "how far is every document from a known-bad seed"
     (contamination blast-radius analysis). Seeds = graph nodes with
     doc_id % 10 == 0; 4 hops of min-plus relaxation; unreached nodes
-    are absent. operators/graph.py: bfs_distances."""
+    are absent. operators/graph.py: bfs_distances.
+
+    r12: the banded minhash pair subtree fans out 4x (src/dst union
+    x seed-derivation union) before the solver's own references; an
+    eager localCheckpoint on the bounded pair list runs it once
+    (interleaved A/B: 2.71 -> 1.65 s; same rationale as
+    q_assortativity — distinct aliases defeat exchange reuse)."""
     from sandbox_data_pipeline_spark.operators.graph import bfs_distances
 
-    pairs = q_dedup_minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    pairs = (
+        q_dedup_minhash_pairs(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
     edges = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).unionByName(
@@ -2129,6 +2139,13 @@ def q_link_prediction(
         .agg(F.count(F.lit(1)).alias("w"))
         .where(F.col("w") >= 2)
         .select("pa", "pb")
+        # r12: this co-purchase edge list is referenced ~6x downstream
+        # (adj union doubles it, the wedge self-join doubles adj, the
+        # anti-join and degree joins read it again — 36 scans / 86
+        # Exchanges in the plan); an eager localCheckpoint on the
+        # bounded w>=2 edge list runs the lineitem self-join ONCE
+        # (interleaved A/B under load: 4.35 -> 3.33 s)
+        .localCheckpoint(eager=True)
     )
     adj = e.select(F.col("pa").alias("u"), F.col("pb").alias("w")).unionAll(
         e.select(F.col("pb").alias("u"), F.col("pa").alias("w"))
@@ -2205,12 +2222,19 @@ def q_ppr_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
     gives only hop distance (a doc two hops away through many paths
     outranks one two hops away through one). Seeds = graph nodes with
     doc_id % 10 == 0 (the BFS seed rule); 4 iterations, d = 0.85.
-    operators/graph.py: personalized_pagerank."""
+    operators/graph.py: personalized_pagerank.
+
+    r12: eager localCheckpoint on the pair list — same 4x fan-out and
+    rationale as q_graph_bfs (interleaved A/B: 2.32 -> 1.55 s)."""
     from sandbox_data_pipeline_spark.operators.graph import (
         personalized_pagerank,
     )
 
-    pairs = q_dedup_minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    pairs = (
+        q_dedup_minhash_pairs(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
     edges = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).unionByName(
@@ -2293,8 +2317,21 @@ def q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact int64 sums over the edge list (two broadcast degree joins,
     shuffle bounded by the edge list); the finishing r is one fixed
     double expression tree, floor-rounded once — the exact
-    q_autocorrelation recipe on graph structure."""
-    pairs = q_dedup_minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    q_autocorrelation recipe on graph structure.
+
+    r12: the banded minhash pair subtree is referenced ~6x here (the
+    src/dst union doubles it, the two broadcast degree builds double
+    the union again) — 24 scans in the plan; an eager localCheckpoint
+    on the bounded candidate-pair list runs it ONCE (interleaved A/B
+    under load: 3.09 -> 2.01 s). The LOF precedent, not the
+    sweep/precision one — here the duplicated branches are NOT
+    identical exchanges, so runtime exchange reuse cannot dedupe
+    them."""
+    pairs = (
+        q_dedup_minhash_pairs(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
     edges = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).unionByName(
