@@ -1708,9 +1708,17 @@ def q_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     the candidate pass at very low minsup, but at minsup where the
     output is human-sized the pair join IS the cheap plan."""
     li = table(spark, sf_dir, "lineitem")
-    bi = li.select(
-        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
-    ).distinct()
+    bi = (
+        li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+        # r12: bi feeds the item counts, BOTH pair-join sides (via fb),
+        # and the basket total — 4+ instantiations of the scan+distinct
+        # under different downstream aliases; one eager checkpoint of
+        # the deduped basket list runs it once (interleaved A/B at
+        # sf0.1: 2.90 -> 2.15 s; also checkpointing `item` added
+        # nothing — it is broadcast-bounded already)
+        .localCheckpoint(eager=True)
+    )
     item = bi.groupBy("p").agg(F.count(F.lit(1)).alias("n_i"))
     frequent = item.where(F.col("n_i") >= 20)
     fb = bi.join(F.broadcast(frequent.select("p")), "p", "semi")
