@@ -441,16 +441,26 @@ def _sa_lcp_arrays(batches, max_len: int):
         [np.arange(n, dtype=np.int64) for n in lens]
     )
     idx = np.repeat(starts, lens) + pos_arr
+    # Peak-memory discipline (r12 ADVICE): at the 8M-position cap the
+    # n_pos x max_len window matrix is ~1 GB, and M / key-view / A /
+    # neq would coexist at ~4 GB without the explicit frees below —
+    # drop each as soon as its successor exists so peak stays ~2 GB
+    # (buf+M, then M+A, then A+neq).
     M = np.lib.stride_tricks.sliding_window_view(buf, max_len)[idx]
+    del buf, idx  # M is a fancy-index COPY; the padded buffer is dead
     key = np.ascontiguousarray(M).view(f"S{max_len}").ravel()
     order = np.lexsort((pos_arr, dids[doc_arr], key))
+    del key
     A = M[order]
+    del M
     sdoc = dids[doc_arr][order]
     spos = pos_arr[order]
     slen = (lens[doc_arr] - pos_arr)[order]
     neq = A[1:] != A[:-1]
+    del A
     has = neq.any(axis=1)
     lcp = np.where(has, neq.argmax(axis=1), max_len)
+    del neq
     lcp = np.minimum(lcp, np.minimum(slen[:-1], slen[1:]))
     return sdoc, spos, lcp
 

@@ -324,7 +324,11 @@ def viterbi_batch(texts, costs: dict[str, float], max_piece: int = 3):
     out_n = np.zeros(n, dtype=np.int64)
     if n == 0 or L == 0:
         return out_c, out_n
-    if n * L > VITERBI_DENSE_CELL_CAP:
+    # The packed int64 key holds 21 bits per codepoint, so only pieces
+    # up to 3 codepoints fit (3*21=63). max_piece > 3 would overflow
+    # the key build (r12 ADVICE) — route it to the pandas path, whose
+    # string slices have no length limit.
+    if n * L > VITERBI_DENSE_CELL_CAP or max_piece > 3:
         return _viterbi_batch_pandas(s, lens, L, costs, max_piece)
     # n x L codepoint matrix, zero-padded past each row's end
     mat = (
@@ -336,6 +340,11 @@ def viterbi_batch(texts, costs: dict[str, float], max_piece: int = 3):
     # per-arm-length sorted (packed code, cost) lookup tables
     by_len: dict[int, list[tuple[int, float]]] = {}
     for p, c in costs.items():
+        # A NaN cost must be a MISS (the pandas path's dict-map -> isnan
+        # -> UNK/INF default); the searchsorted lookup would instead
+        # propagate the NaN through every comparison (r12 ADVICE).
+        if c != c:
+            continue
         code = 0
         for ch in p:
             code = (code << 21) | ord(ch)

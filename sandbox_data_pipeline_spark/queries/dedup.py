@@ -1924,7 +1924,15 @@ def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     x seed-derivation union) before the solver's own references; an
     eager localCheckpoint on the bounded pair list runs it once
     (interleaved A/B: 2.71 -> 1.65 s; same rationale as
-    q_assortativity — distinct aliases defeat exchange reuse)."""
+    q_assortativity — distinct aliases defeat exchange reuse).
+
+    Deployment caveat (r12 ADVICE, applies to every eager
+    localCheckpoint in this repo): the blocks are executor-local and
+    non-replicated, so on a real cluster an executor loss makes the
+    frame unrecoverable (job failure, not recompute), and the
+    materialization runs at query-BUILD time. Fine for local[n]; a
+    cluster deployment should swap these sites to reliable
+    checkpoint/persist+count via a session-level policy."""
     from sandbox_data_pipeline_spark.operators.graph import bfs_distances
 
     pairs = (

@@ -164,6 +164,51 @@ def test_batch_viterbi_dense_equals_pandas_fallback():
     assert np.asarray(dense_c).dtype == np.float64
 
 
+def test_batch_viterbi_max_piece_over_3_routes_to_pandas():
+    """r13 (r12 ADVICE): the dense path packs pieces at 21 bits per
+    codepoint into int64, which only fits max_piece <= 3. max_piece=4
+    with a 4-char vocab piece must neither raise nor wrap — it routes
+    to the pandas fallback and matches it exactly."""
+    import sandbox_data_pipeline_spark.operators.unigram as U
+
+    costs = {"abcd": 1.0, "ab": 3.0, "cd": 3.0, "a": 5.0, "b": 5.0,
+             "c": 5.0, "d": 5.0}
+    texts = ["abcd", "abcdabcd", "dcba", ""]
+    c4, n4 = U.viterbi_batch(texts, costs, max_piece=4)
+    cap = U.VITERBI_DENSE_CELL_CAP
+    U.VITERBI_DENSE_CELL_CAP = 0
+    try:
+        fb_c, fb_n = U.viterbi_batch(texts, costs, max_piece=4)
+    finally:
+        U.VITERBI_DENSE_CELL_CAP = cap
+    assert (c4 == fb_c).all() and (n4 == fb_n).all()
+    # the 4-char piece must actually win where it applies
+    assert c4[0] == 1.0 and n4[0] == 1
+
+
+def test_batch_viterbi_nan_cost_is_a_miss_on_both_paths():
+    """r13 (r12 ADVICE): a NaN vocab cost must act as a MISS (UNK/INF
+    default) on the dense path exactly as the pandas dict-map path
+    treats it — not propagate NaN through the DP."""
+    import math
+
+    import sandbox_data_pipeline_spark.operators.unigram as U
+
+    costs = {"ab": float("nan"), "a": 2.0, "b": 2.0}
+    texts = ["ab", "aab"]
+    dense_c, dense_n = U.viterbi_batch(texts, costs)
+    cap = U.VITERBI_DENSE_CELL_CAP
+    U.VITERBI_DENSE_CELL_CAP = 0
+    try:
+        fb_c, fb_n = U.viterbi_batch(texts, costs)
+    finally:
+        U.VITERBI_DENSE_CELL_CAP = cap
+    assert (dense_c == fb_c).all() and (dense_n == fb_n).all()
+    assert not any(math.isnan(x) for x in dense_c)
+    # 'ab' decomposes as a+b (4.0), never the NaN bigram
+    assert dense_c[0] == 4.0 and dense_n[0] == 2
+
+
 def test_viterbi_cost_df_matches_reference(spark):
     from sandbox_data_pipeline_spark.operators.unigram import viterbi_cost_df
 
