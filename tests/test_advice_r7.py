@@ -27,6 +27,7 @@ from sandbox_data_pipeline_spark.sinks.txlog import (
 )
 
 
+@pytest.mark.slow
 def test_merge_conditional_preserves_null_key_target_rows(spark, tmp_path):
     # target has a NULL-key row; source never matches it
     base = spark.createDataFrame(
@@ -76,6 +77,7 @@ def test_partition_spec_then_add_columns_backfills(spark, tmp_path):
     assert got.where(F.col("extra").isNull()).count() == 4
 
 
+@pytest.mark.slow
 def test_check_constraint_enforced_on_merge_and_replace_where(spark, tmp_path):
     df = spark.createDataFrame([(1, 10), (2, 20)], "k long, v long")
     t = TxTable.create(spark, str(tmp_path / "tbl"), df)

@@ -132,6 +132,7 @@ def test_predicate_pruning_uses_physical_stats(spark, tmp_path):
     assert 9 in got
 
 
+@pytest.mark.slow
 def test_merge_schema_evolution(spark, tmp_path):
     """MERGE autoMerge: an extra source column widens the table
     (NULL on pre-merge rows); a missing source column NULL-fills."""

@@ -8,6 +8,8 @@ lb/SUB — so estimate <= true value and true value < estimate*(1+1/SUB)
 
 from __future__ import annotations
 
+import pytest
+
 import random
 
 from pyspark.sql import functions as F
@@ -94,6 +96,7 @@ def test_graded_query_bounded_state(spark, sf_dir):
         assert 1 <= r["p50_cents"] <= r["p95_cents"] <= r["p99_cents"]
 
 
+@pytest.mark.slow
 def test_log_driven_incremental_sketch_matches_full(spark, tmp_path):
     """refresh_dd_sketch over 3 commits must equal one whole-table
     sketch, bucket for bucket (counter addition is associative)."""

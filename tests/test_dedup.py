@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 from sandbox_data_pipeline_spark.operators.dedup import (
     exact_dedup_keep,
     exact_dedup_stats,
@@ -79,6 +81,7 @@ def test_ngram_df_cap_guard_engages_on_hot_shingle(spark):
     assert ngram_jaccard_pairs(docs, n=3, threshold=0.01, df_cap=None).count() == 30 * 29 // 2
 
 
+@pytest.mark.slow
 def test_duplicate_clusters_long_chain_pointer_jumping(spark):
     """A 40-node path resolves exactly through every r12 path: the
     single-task local solve (default cap), the contraction+fallback
@@ -109,6 +112,7 @@ def test_duplicate_clusters_long_chain_pointer_jumping(spark):
         duplicate_clusters(chain, max_iter=1, local_cap=1)
 
 
+@pytest.mark.slow
 def test_duplicate_clusters_chain_and_canonical(spark):
     from sandbox_data_pipeline_spark.operators.dedup import (
         duplicate_clusters,
@@ -317,6 +321,7 @@ def test_prefix_filtered_jaccard_is_complete(spark, sf_dir):
     assert len(fast) > 0  # the fixture corpus has planted near-dups
 
 
+@pytest.mark.slow
 def test_fuzzy_match_pairs(spark):
     """Blocked Levenshtein matching vs an independent pure-Python DP,
     plus the hot-block cap guard semantics."""

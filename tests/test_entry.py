@@ -1,5 +1,7 @@
 from __future__ import annotations
 
+import pytest
+
 import sys
 
 sys.path.insert(0, "/root/repo")
@@ -14,6 +16,7 @@ def test_entry_smoke(spark):
     assert {"o_orderkey", "revenue"} <= set(df.columns)
 
 
+@pytest.mark.slow
 def test_queries_all_build_plans(spark, sf_dir):
     """DAG-integrity analogue (SURVEY §5.2.4): every declared query must
     at least produce an optimizable plan without executing."""
@@ -24,6 +27,7 @@ def test_queries_all_build_plans(spark, sf_dir):
         df.explain(mode="cost")  # forces analysis + optimization
 
 
+@pytest.mark.slow
 def test_no_wide_decimal_outputs(spark, sf_dir):
     """Hash-stability guard: no query may emit decimal precision > 18.
     Wide decimals are int128/BigDecimal-backed and take a different

@@ -15,6 +15,7 @@ from pyspark.sql import types as T
 from sandbox_data_pipeline_spark.queries import _envproof
 
 
+@pytest.mark.slow
 def test_outmeta_is_fresh(spark, sf_dir):
     """_outmeta.py must match the CURRENT Spark output schemas — a
     stale map silently desynchronizes the oracle-side stabilization

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from sandbox_data_pipeline_spark.operators.graph import (
@@ -125,6 +127,7 @@ def test_link_prediction_cap_subset_on_corpus(spark, sf_dir):
         assert cn <= exact[k]
 
 
+@pytest.mark.slow
 def test_local_solvers_match_distributed_loops(spark):
     """r12: every graph operator's capped local solve must reproduce
     the distributed BSP loop row-for-row (forced via local_cap=0).

@@ -64,6 +64,7 @@ def test_pandas_contract(spark, sf_dir, oracle_con, name):
     assert verdict == "PASS", f"{name}: {detail}"
 
 
+@pytest.mark.slow
 def test_no_pandas_hostile_output_dtypes(spark, sf_dir):
     """No wrapped registry query may emit the dtypes the driver's
     pandas canonicalizer mangles or crashes on: DecimalType (object

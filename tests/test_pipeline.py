@@ -55,6 +55,7 @@ def test_partition_overwrite_preserves_other_hours(spark, tmp_path):
     assert set(r.run_hr for r in df.select("run_hr").distinct().collect()) == {hr_a, hr_b}
 
 
+@pytest.mark.slow
 def test_native_and_portable_variant_publish_identical(spark, tmp_path):
     """The default (Spark-4 native VariantType) and fallback
     (get_json_object) variant disciplines publish byte-identical
@@ -100,6 +101,7 @@ def test_notify_query_result_bounded_and_injected(spark):
     assert small["row_count"] == 3 and small["truncated"] is False
 
 
+@pytest.mark.slow
 def test_compact_partitions_reduces_files_preserves_rows(spark, tmp_path):
     from sandbox_data_pipeline_spark.sinks.writers import compact_partitions
 
@@ -133,6 +135,7 @@ def test_publish_run_observe_reports_rows(spark, tmp_path):
     assert spark.read.parquet(str(tmp_path / "obs")).count() == 123
 
 
+@pytest.mark.slow
 def test_compact_partitions_to_destination(spark, tmp_path):
     from sandbox_data_pipeline_spark.sinks.writers import compact_partitions
 

@@ -24,6 +24,14 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 from replays import REPLAYS, Tables  # noqa: E402
 
+# r13: the full 235-entry replay sweep measured 257 s — the single
+# biggest block of the 32m45s suite that kept the driver's verify from
+# finishing. It is the canonical "slow replay suite" the round-12
+# verdict told us to tier: excluded from the default driver-budget run
+# (pytest.ini), still run in full via `-m slow` in the closing gate
+# and standalone via tools/replay_check.py.
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def tables(sf_dir):

@@ -3,6 +3,8 @@ scan (file transport — the offline twin of the HTTP path)."""
 
 from __future__ import annotations
 
+import pytest
+
 import json
 
 from pyspark.sql import functions as F
@@ -81,6 +83,7 @@ def test_rest_docs_bad_transport_errors(spark, tmp_path):
         df.collect()
 
 
+@pytest.mark.slow
 def test_rest_poll_stream_rounds_and_restart(spark, tmp_path):
     import json
     import time
@@ -152,6 +155,7 @@ def test_rest_poll_stream_rounds_and_restart(spark, tmp_path):
     assert dupes == [], f"duplicate (poll, endpoint) rows after restart: {dupes}"
 
 
+@pytest.mark.slow
 def test_rest_poll_durable_hwm_survives_double_restart(spark, tmp_path):
     """The review-found window: restart once (the fast-forward batch
     commits a REGRESSED offset), then restart again before any

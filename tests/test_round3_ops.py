@@ -3,6 +3,8 @@ sketch, PageRank, event funnel — semantics on crafted inputs."""
 
 from __future__ import annotations
 
+import pytest
+
 import math
 
 from pyspark.sql import functions as F
@@ -202,6 +204,7 @@ def test_chunks_tile_every_token(lengths, ratio):
 
 @given(st.lists(st.sampled_from("abcdef"), min_size=1, max_size=60))
 @settings(max_examples=10, deadline=None)
+@pytest.mark.slow
 def test_cms_estimate_dominates_exact_count(keys):
     """CMS point estimates are ALWAYS >= the true count (one-sided
     error), for arbitrary key multisets — including heavy repeats."""

@@ -4,6 +4,8 @@ vs a brute-force interval scan, and AUC vs a direct pair count."""
 
 from __future__ import annotations
 
+import pytest
+
 import random
 
 from pyspark.sql import functions as F
@@ -79,6 +81,7 @@ def test_lpa_random_graphs(spark):
         assert got == _ref_lpa(pairs, 3), f"trial {trial}"
 
 
+@pytest.mark.slow
 def test_bfs_random_graphs(spark):
     rng = random.Random(72)
     for trial in range(4):

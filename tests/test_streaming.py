@@ -5,6 +5,8 @@ Uses availableNow triggers so each test drains deterministically.
 
 from __future__ import annotations
 
+import pytest
+
 import json
 import os
 
@@ -65,6 +67,7 @@ def test_stream_restart_is_idempotent(spark, tmp_path):
     assert spark.read.parquet(sink).count() == n1
 
 
+@pytest.mark.slow
 def test_stream_picks_up_new_files(spark, tmp_path):
     src, sink, ckpt = (str(tmp_path / d) for d in ("src", "sink", "ckpt"))
     _land_events(spark, src, n=200)

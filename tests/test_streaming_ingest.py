@@ -3,6 +3,8 @@ content dedup across batches and restarts."""
 
 from __future__ import annotations
 
+import pytest
+
 import json
 import os
 
@@ -254,6 +256,7 @@ def test_passage_admission_replay_is_idempotent(spark, tmp_path):
     assert spark.read.parquet(adm).count() == 1
 
 
+@pytest.mark.slow
 def test_media_admission_incremental_manifest(spark, tmp_path):
     """Streaming media near-dup gate through the incremental
     fingerprint manifest (round-11 verdict item 5): (1) the admitted

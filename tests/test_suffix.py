@@ -4,6 +4,8 @@ and the repeated-substring surface."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from sandbox_data_pipeline_spark.operators.suffix import (
@@ -281,6 +283,7 @@ def test_keep_first_survives_rank_permuted_runs(spark):
     assert block in cleaned[0]  # the (doc_id, pos) minimum survives
 
 
+@pytest.mark.slow
 def test_span_local_solve_matches_distributed(spark, sf_dir, monkeypatch):
     """r12 capped local solve: the one-task span solver must produce
     the IDENTICAL span set to the distributed SA construction (forced
@@ -311,6 +314,7 @@ def test_span_local_solve_matches_distributed(spark, sf_dir, monkeypatch):
             assert local  # non-degenerate: real spans exist
 
 
+@pytest.mark.slow
 def test_repeats_local_solve_matches_distributed(spark, sf_dir, monkeypatch):
     """r12 capped local solve for repeated_substrings: the one-task
     top-k solver must equal the distributed SA construction (forced

@@ -8,6 +8,8 @@ cheap semantic invariants at sf0.001.
 
 from __future__ import annotations
 
+import pytest
+
 from decimal import Decimal
 
 from pyspark.sql import functions as F
@@ -86,6 +88,7 @@ def test_q22_excludes_recent_orderers(spark, sf_dir):
     assert "LeftAnti" in plan
 
 
+@pytest.mark.slow
 def test_no_cartesian_products(spark, sf_dir):
     # the only cross joins are broadcast scalar aggregates (1-row sides)
     for name, fn in QUERIES.items():

@@ -111,6 +111,7 @@ def test_txn_idempotence(spark, tmp_path):
     assert t.read().count() == 101  # second append suppressed
 
 
+@pytest.mark.slow
 def test_checkpoint_written_and_used(spark, tmp_path):
     t = _mk(spark, tmp_path, n=10)
     row = spark.createDataFrame([(1000, 1)], "k long, v long")
@@ -149,6 +150,7 @@ def test_append_schema_enforced(spark, tmp_path):
         t.append(bad)
 
 
+@pytest.mark.slow
 def test_refresh_rollup_incremental_matches_full(spark, tmp_path):
     from sandbox_data_pipeline_spark.sinks.txlog import refresh_rollup
 
@@ -186,6 +188,7 @@ def test_refresh_rollup_rejects_nonmonotone_history(spark, tmp_path):
         refresh_rollup(t, mv, ver, "k", "v")
 
 
+@pytest.mark.slow
 def test_txlog_stream_exactly_once(spark, tmp_path):
     from sandbox_data_pipeline_spark.sources.txlog_stream import (
         TxLogStreamDataSource,
@@ -225,6 +228,7 @@ def test_txlog_stream_exactly_once(spark, tmp_path):
     assert sum(1 for r in rows2 if r["_commit_version"] == 2) == 5
 
 
+@pytest.mark.slow
 def test_txlog_stream_rejects_removes(spark, tmp_path):
     from sandbox_data_pipeline_spark.sources.txlog_stream import (
         TxLogStreamDataSource,
@@ -317,6 +321,7 @@ def test_txlog_sink_exactly_once_replay(spark, tmp_path):
     assert t.read().count() == 2
 
 
+@pytest.mark.slow
 def test_txlog_table_to_table_streaming(spark, tmp_path):
     from sandbox_data_pipeline_spark.sinks.txlog import txlog_sink
     from sandbox_data_pipeline_spark.sources.txlog_stream import (
@@ -451,6 +456,7 @@ def test_table_changes_feed(spark, tmp_path):
     assert silent.count() == 0
 
 
+@pytest.mark.slow
 def test_streaming_rollup_into_txtable_matches_batch(spark, tmp_path):
     """End-to-end: commit-log stream → per-batch delta aggregation →
     transactional rollup table maintained by overwrite with txn
@@ -950,6 +956,7 @@ def test_hidden_partitioning_generated_column(spark, tmp_path):
     assert r["files_read"] < r["files_total"]
 
 
+@pytest.mark.slow
 def test_bloom_index_no_false_negatives_and_conservative_appends(
     spark, tmp_path
 ):

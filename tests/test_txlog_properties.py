@@ -6,6 +6,8 @@ reads must return exactly the predicate's rows."""
 
 from __future__ import annotations
 
+import pytest
+
 import random
 
 from pyspark.sql import functions as F
@@ -57,6 +59,7 @@ def _run_sequence(spark, tmp_path, seed, n_ops=6):
     return t, history
 
 
+@pytest.mark.slow
 def test_model_equivalence_across_versions(spark, tmp_path):
     for seed in (7, 23):
         t, history = _run_sequence(spark, tmp_path, seed)

@@ -8,8 +8,9 @@ cd "$(dirname "$0")/.."
 SF_SMALL=${SF_SMALL:-/root/testdata/sf0.001}
 SF_GRADE=${SF_GRADE:-/root/testdata/sf0.01}
 
-echo "== 1/6 unit + e2e tests =="
+echo "== 1/6 unit + e2e tests (default tier, then the slow tier) =="
 python -m pytest tests/ -x -q
+python -m pytest tests/ -x -q -m slow
 
 echo "== 2/6 pandas-path gate (THE grading model) @ ${SF_GRADE} =="
 python tools/pandas_sim.py "${SF_GRADE}"
