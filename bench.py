@@ -288,7 +288,17 @@ def compare_block(timings: dict[str, float], threshold: float = 1.5):
     import re
 
     benches = sorted(
-        glob.glob(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_r*.json"))
+        p
+        for p in glob.glob(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_r*.json")
+        )
+        # Main-run artifacts only: BENCH_r12_c8.json is the driver's
+        # 8-core SCALING run — sorting it as "latest" made every
+        # 32-core compare flag queries at exactly their 8/32-core
+        # ratios (measurement bug found in round 13; the r13-entry
+        # run "flagged" q_fellegi_sunter at 2.79x = its scaling
+        # ratio, not a regression).
+        if re.fullmatch(r"BENCH_r\d+\.json", os.path.basename(p))
     )
     if not benches:
         return None

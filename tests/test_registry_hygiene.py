@@ -132,6 +132,23 @@ def test_bench_headline_names_resolve():
     assert not dups, f"duplicate HEADLINE names: {dups}"
 
 
+def test_bench_compare_baseline_skips_scaling_artifacts():
+    """r13 measurement bug: compare_block's glob sorted
+    BENCH_r12_c8.json (the driver's 8-CORE scaling run) as the
+    "latest" baseline, so 32-core runs flagged queries at exactly
+    their 8/32-core scaling ratios. The baseline must be a main-run
+    BENCH_r<N>.json artifact."""
+    import sys
+
+    sys.path.insert(0, str(QUERY_DIR.parent.parent))
+    import bench
+
+    cmp = bench.compare_block({"flagship": 1.0})
+    assert cmp is None or __import__("re").fullmatch(
+        r"BENCH_r\d+\.json", cmp["baseline"]
+    ), f"scaling/variant artifact chosen as compare baseline: {cmp['baseline']}"
+
+
 def test_bench_cumulative_ledger_complete():
     """Round-10 judge finding: surviving BENCH_r* artifacts proved
     only 236/355 queries ever benched (final lines are budgeted
